@@ -1,0 +1,123 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The engine's variant data model (SURVEY.md §1.2).
+  *
+  * One row per variant ("wide" form): per-variant fields plus per-call
+  * arrays indexed by sample. Mirrors the reference container of named
+  * arrays sharing the variant axis (`variation6/variations.py::Variations`)
+  * re-expressed relationally:
+  *
+  *   - `gt` is n_samples × ploidy; the missing sentinel is -1
+  *     (`variation6/__init__.py::MISSING_INT`), kept as a sentinel rather
+  *     than NULL so every kernel stays inside Catalyst codegen.
+  *   - `ao` is n_samples × n_alt (alt-allele observation counts), `ro` is
+  *     n_samples (ref observations); optional, like the reference's
+  *     dynamically-present fields.
+  *
+  * At cluster scale the wide form keeps every per-variant kernel map-only
+  * (no shuffle); the exploded "long" view (one row per variant×sample,
+  * `Stats.longView`) is the escape hatch for per-sample aggregations and
+  * very large cohorts.
+  */
+object VariantSchema {
+
+  /** Missing-call sentinel inside `gt` (reference MISSING_INT). */
+  val MissingInt: Int = -1
+
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("id", StringType, nullable = true),
+    StructField("ref", StringType, nullable = true),
+    StructField("alt", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("qual", DoubleType, nullable = true),
+    StructField("gt", ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false), nullable = true),
+    StructField("dp", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("gq", ArrayType(DoubleType, containsNull = false), nullable = true),
+    StructField("ao", ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false), nullable = true),
+    StructField("ro", ArrayType(IntegerType, containsNull = false), nullable = true)
+  ))
+
+  /** Persist partitioned by chromosome, the analog of the reference's
+    * zarr chunking + its region slicing: chrom partition pruning + pos
+    * min/max row-group skipping serve region queries without a shuffle. */
+  def save(df: DataFrame, meta: VariantsMetadata, path: String): Unit = {
+    df.write.mode("overwrite").partitionBy("chrom").parquet(path)
+    VariantsMetadata.save(meta, s"$path/_v6_metadata.json")
+  }
+
+  def load(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
+    val df = spark.read.parquet(path)
+    (df, VariantsMetadata.load(spark, s"$path/_v6_metadata.json"))
+  }
+}
+
+/** Sample list + ploidy + free-form metadata, the reference's
+  * `Variations.samples` / `.metadata` — small, carried beside the data as
+  * a JSON sidecar and broadcast-sized by construction. */
+final case class VariantsMetadata(
+    samples: Seq[String],
+    ploidy: Int,
+    extra: Map[String, String] = Map.empty) {
+  def nSamples: Int = samples.size
+  def sampleIndex(name: String): Int = {
+    val i = samples.indexOf(name)
+    require(i >= 0, s"unknown sample '$name' (have: ${samples.mkString(",")})")
+    i
+  }
+}
+
+object VariantsMetadata {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJson(m: VariantsMetadata): String = {
+    val ss = m.samples.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
+    val ex = m.extra.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"samples":$ss,"ploidy":${m.ploidy},"extra":$ex}"""
+  }
+
+  def fromJson(json: String): VariantsMetadata = {
+    // jackson-databind ships with Spark (/opt/spark/jars) — no new deps.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val samples = {
+      val it = node.get("samples").elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    val extra = {
+      val it = node.get("extra").properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+    VariantsMetadata(samples, node.get("ploidy").asInt(), extra)
+  }
+
+  def save(m: VariantsMetadata, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): VariantsMetadata = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try fromJson(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+}

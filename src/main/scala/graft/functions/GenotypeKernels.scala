@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-variant genotype kernels as Catalyst `Column` expressions.
+  *
+  * These are the engine's equivalents of the reference's NumPy kernels
+  * (`variation6/stats.py::count_alleles / calc_maf_by_gt / calc_obs_het /
+  * calc_unbias_expected_het / calc_missing_gt`, `variation6/filters.py`
+  * masking helpers) re-expressed as higher-order functions over the
+  * `VariantSchema` array columns — so every kernel stays inside
+  * whole-stage codegen, is map-only (no shuffle), and composes freely
+  * with filters and projections that Catalyst can reorder/push down.
+  *
+  * Conventions (SURVEY.md §1.1):
+  *   - missing sentinel -1 inside `gt`; a *sample call* is missing when
+  *     ANY of its ploidy entries is -1 (scikit-allel convention the
+  *     reference follows);
+  *   - statistics over "called" entries only; rates are NaN (not null)
+  *     when the denominator is 0, mirroring NumPy 0/0.
+  */
+object GenotypeKernels {
+
+  private val Missing = lit(graft.core.VariantSchema.MissingInt)
+  private def nan: Column = lit(Double.NaN)
+
+  /** True per sample-call: no ploidy entry is the missing sentinel. */
+  private def calledSample(s: Column): Column = !exists(s, a => a === Missing)
+
+  /** Number of samples with a fully-called genotype. */
+  def calledGtCount(gt: Column): Column =
+    size(filter(gt, s => calledSample(s))).cast("long")
+
+  /** Number of samples with a missing genotype. */
+  def missingGtCount(gt: Column): Column =
+    (size(gt) - size(filter(gt, s => calledSample(s)))).cast("long")
+
+  /** Fraction of samples called; NaN on an empty sample axis. */
+  def callRate(gt: Column): Column =
+    when(size(gt) === 0, nan)
+      .otherwise(calledGtCount(gt).cast("double") / size(gt).cast("double"))
+
+  /** All genotype entries across samples, missing excluded. */
+  private def calledAlleles(gt: Column): Column =
+    filter(flatten(gt), a => a =!= Missing)
+
+  /** Total called alleles (= ploidy × called samples when no partial calls). */
+  def calledAlleleCount(gt: Column): Column =
+    size(calledAlleles(gt)).cast("long")
+
+  /** Per-variant allele histogram: element i = count of allele code i,
+    * for codes 0..nAlleles-1 (`nAlleles` is typically `size(alt)+1`).
+    * The reference's workhorse `count_alleles` kernel. */
+  def alleleCounts(gt: Column, nAlleles: Column): Column =
+    transform(
+      sequence(lit(0), nAlleles - 1),
+      i => size(filter(calledAlleles(gt), a => a === i)).cast("long"))
+
+  /** counts → frequencies (NaN-safe). */
+  def alleleFreqs(counts: Column): Column = {
+    val total = aggregate(counts, lit(0L), (acc, c) => acc + c)
+    transform(counts, c =>
+      when(total === 0, nan).otherwise(c.cast("double") / total.cast("double")))
+  }
+
+  /** Major (= max) allele frequency from GT — what the reference's
+    * `calc_maf_by_gt` returns. NaN when no calls. */
+  def majorAlleleFreq(gt: Column, nAlleles: Column): Column = {
+    val counts = alleleCounts(gt, nAlleles)
+    val total = aggregate(counts, lit(0L), (acc, c) => acc + c)
+    when(total === 0, nan)
+      .otherwise(array_max(counts).cast("double") / total.cast("double"))
+  }
+
+  /** Minor-allele count = count of the SECOND-most-frequent allele
+    * (the reference's biallelic definition, pinned for multi-allelic
+    * sites too — FIXTURES.md §B.2 footnote). 0 when < 2 alleles seen. */
+  def mac(gt: Column, nAlleles: Column): Column = {
+    val sortedDesc = reverse(array_sort(alleleCounts(gt, nAlleles)))
+    when(size(sortedDesc) >= 2, element_at(sortedDesc, 2)).otherwise(lit(0L))
+  }
+
+  /** Distinct allele codes actually observed (for variable-variants /
+    * biallelic filters). */
+  def observedAlleleCount(gt: Column, nAlleles: Column): Column =
+    size(filter(alleleCounts(gt, nAlleles), c => c > 0)).cast("long")
+
+  /** Observed heterozygosity: among called samples, fraction carrying
+    * ≥ 2 distinct alleles. NaN when nothing is called. */
+  def obsHet(gt: Column): Column = {
+    val called = size(filter(gt, s => calledSample(s)))
+    val hets = size(filter(gt, s =>
+      calledSample(s) && size(array_distinct(s)) >= 2))
+    when(called === 0, nan).otherwise(hets.cast("double") / called.cast("double"))
+  }
+
+  /** Nei's unbiased expected heterozygosity:
+    * (1 − Σ pᵢ²) · t/(t−1) with t = called alleles (2n for diploid). */
+  def expHetUnbiased(gt: Column, nAlleles: Column): Column = {
+    val counts = alleleCounts(gt, nAlleles)
+    val t = aggregate(counts, lit(0L), (acc, c) => acc + c).cast("double")
+    val sumSq = aggregate(counts, lit(0.0), (acc, c) =>
+      acc + c.cast("double") * c.cast("double"))
+    when(t <= 1, nan).otherwise((lit(1.0) - sumSq / (t * t)) * t / (t - 1))
+  }
+
+  /** Major allele frequency from read depths (`calc_maf_by_allele_count`):
+    * ref reads from RO, per-alt reads from AO, negatives treated as 0.
+    * Null when AO/RO are absent (the reference raises on missing fields;
+    * relationally the row's stat is just null). */
+  def majorAlleleFreqByDepth(ao: Column, ro: Column, nAlt: Column): Column = {
+    val refTotal = aggregate(ro, lit(0L), (acc, r) => acc + greatest(r.cast("long"), lit(0L)))
+    val altTotals = transform(
+      sequence(lit(1), nAlt),
+      j => aggregate(ao, lit(0L), (acc, s) => acc + greatest(element_at(s, j).cast("long"), lit(0L))))
+    val altSum = aggregate(altTotals, lit(0L), (acc, c) => acc + c)
+    val total = refTotal + altSum
+    when(ao.isNull || ro.isNull, lit(null).cast("double"))
+      .when(total === 0, nan)
+      .otherwise(greatest(refTotal, array_max(altTotals)).cast("double") / total.cast("double"))
+  }
+
+  /** Set a sample's GT to missing where its depth is below `minDepth`
+    * (`min_depth_gt_to_missing`): cell-wise rewrite, row count unchanged. */
+  def maskGtByDepth(gt: Column, dp: Column, minDepth: Int): Column =
+    zip_with(gt, dp, (g, d) =>
+      when(d.isNull || d < minDepth, array_repeat(Missing, size(g))).otherwise(g))
+
+  /** Same masking keyed on genotype quality (GQ variant). */
+  def maskGtByQual(gt: Column, gq: Column, minQual: Double): Column =
+    zip_with(gt, gq, (g, q) =>
+      when(q.isNull || q < minQual, array_repeat(Missing, size(g))).otherwise(g))
+
+  /** Project a per-sample array column down to `indices` (0-based, in the
+    * new sample order) — the reference's keep/remove_samples axis-1 slice. */
+  def selectSamples(perSample: Column, indices: Seq[Int]): Column =
+    array(indices.map(i => element_at(perSample, i + 1)): _*)
+}

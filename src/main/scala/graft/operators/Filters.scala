@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.VariantsMetadata
+import graft.functions.GenotypeKernels._
+
+/** Variant filters (σ) with the reference's FLT_STATS side-output protocol:
+  * every filter yields the kept rows plus {N_KEPT, N_FILTERED_OUT}
+  * (`variation6/filters.py`, `FLT_VARS`/`FLT_STATS` constants).
+  *
+  * Two entry styles:
+  *   - single-filter: `Filters.apply(df, Filters.byCallRate(0.9))` — stats
+  *     cost one extra aggregation job over the input;
+  *   - pipeline (preferred, mirrors the reference's single `compute()`
+  *     sharing): `VariantPipeline(df).maskByDepth(5).byCallRate(0.9)
+  *     .byMaf(max = 0.95).run()` — ALL stages' stats come from ONE fused
+  *     aggregation pass (cumulative-predicate sums), so a k-stage pipeline
+  *     costs one stats scan + one output scan regardless of k, with no
+  *     cache required. At 100 TB this is the difference between 2 scans
+  *     and k+1 scans.
+  */
+object Filters {
+
+  final case class FilterStats(nKept: Long, nFilteredOut: Long) {
+    def total: Long = nKept + nFilteredOut
+  }
+  final case class FilterResult(kept: DataFrame, stats: FilterStats)
+
+  /** nAlleles expression used by allele-code kernels: alt list + ref. */
+  private def nAlleles: Column = coalesce(size(col("alt")), lit(0)) + 1
+
+  // ── predicate builders (composable Columns; NaN-safe: NaN compares false) ──
+  def byCallRate(minRate: Double): Column = callRate(col("gt")) >= minRate
+
+  def byMaf(min: Double = 0.0, max: Double = 1.0): Column = {
+    val f = majorAlleleFreq(col("gt"), nAlleles)
+    f >= min && f <= max
+  }
+
+  def byMafDepth(min: Double = 0.0, max: Double = 1.0): Column = {
+    val f = majorAlleleFreqByDepth(col("ao"), col("ro"), coalesce(size(col("alt")), lit(0)))
+    f >= min && f <= max
+  }
+
+  def byMac(min: Long = 0L, max: Long = Long.MaxValue): Column = {
+    val m = mac(col("gt"), nAlleles)
+    m >= min && m <= max
+  }
+
+  def byObsHet(min: Double = 0.0, max: Double = 1.0): Column = {
+    val h = obsHet(col("gt"))
+    h >= min && h <= max
+  }
+
+  def byQual(minQual: Double): Column = col("qual") >= minQual
+
+  /** Keep variants inside any of the (chrom, start, end] regions —
+    * pos predicates reach parquet row-group pruning, chrom predicates the
+    * partition pruning (our analog of the reference's sorted-pos slicing). */
+  def inRegions(regions: Seq[(String, Long, Long)]): Column =
+    regions.map { case (c, s, e) =>
+      col("chrom") === c && col("pos") > s && col("pos") <= e
+    }.reduceLeft(_ || _)
+
+  def outRegions(regions: Seq[(String, Long, Long)]): Column = !inRegions(regions)
+
+  /** ≥ 2 alleles observed (drop monomorphic) — keep_variable_variations. */
+  def variableOnly: Column = observedAlleleCount(col("gt"), nAlleles) >= 2
+
+  /** ≤ 2 alleles observed (drop multi-allelic sites). */
+  def biallelicOnly: Column = observedAlleleCount(col("gt"), nAlleles) <= 2
+
+  /** Run one filter, computing the FLT_STATS side-output in a single
+    * aggregation job (kept remains a lazy DataFrame). */
+  def apply(df: DataFrame, pred: Column): FilterResult = {
+    val row = df.agg(
+      sum(when(pred, 1L).otherwise(0L)).as("k"),
+      count(lit(1)).as("n")).head()
+    val k = if (row.isNullAt(0)) 0L else row.getLong(0)
+    FilterResult(df.filter(pred), FilterStats(k, row.getLong(1) - k))
+  }
+
+  // ── per-call masking (π with array rewrite; row count unchanged) ──
+  def maskByDepth(df: DataFrame, minDepth: Int): DataFrame =
+    df.withColumn("gt", maskGtByDepth(col("gt"), col("dp"), minDepth))
+
+  def maskByQual(df: DataFrame, minQual: Double): DataFrame =
+    df.withColumn("gt", maskGtByQual(col("gt"), col("gq"), minQual))
+
+  /** Project every per-call array down to the named samples (axis-1
+    * subset, `keep_samples`); returns the updated metadata too. */
+  def keepSamples(df: DataFrame, meta: VariantsMetadata, names: Seq[String]): (DataFrame, VariantsMetadata) = {
+    val idx = names.map(meta.sampleIndex)
+    val out = Seq("gt", "dp", "gq", "ao", "ro").foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, selectSamples(col(c), idx)) else d
+    }
+    (out, meta.copy(samples = names))
+  }
+
+  def removeSamples(df: DataFrame, meta: VariantsMetadata, names: Seq[String]): (DataFrame, VariantsMetadata) =
+    keepSamples(df, meta, meta.samples.filterNot(names.contains))
+}
+
+/** Fused multi-stage filter pipeline — see `Filters` scaladoc. */
+final class VariantPipeline private (
+    df: DataFrame,
+    stages: Vector[(String, Column)]) {
+
+  private def addFilter(name: String, pred: Column): VariantPipeline =
+    new VariantPipeline(df, stages :+ (name, pred))
+
+  /** Masks rewrite columns for every LATER stage (order matters, exactly
+    * like reference composition order). */
+  private def rewrite(d: DataFrame): VariantPipeline = new VariantPipeline(d, stages)
+
+  def maskByDepth(minDepth: Int): VariantPipeline = {
+    require(stages.isEmpty, "masks must precede filters (cell rewrites change later stats)")
+    rewrite(Filters.maskByDepth(df, minDepth))
+  }
+  def maskByQual(minQual: Double): VariantPipeline = {
+    require(stages.isEmpty, "masks must precede filters")
+    rewrite(Filters.maskByQual(df, minQual))
+  }
+
+  def byCallRate(minRate: Double): VariantPipeline = addFilter("call_rate", Filters.byCallRate(minRate))
+  def byMaf(min: Double = 0.0, max: Double = 1.0): VariantPipeline = addFilter("maf", Filters.byMaf(min, max))
+  def byMac(min: Long = 0L, max: Long = Long.MaxValue): VariantPipeline = addFilter("mac", Filters.byMac(min, max))
+  def byObsHet(min: Double = 0.0, max: Double = 1.0): VariantPipeline = addFilter("obs_het", Filters.byObsHet(min, max))
+  def byQual(minQual: Double): VariantPipeline = addFilter("qual", Filters.byQual(minQual))
+  def variableOnly(): VariantPipeline = addFilter("variable", Filters.variableOnly)
+  def biallelicOnly(): VariantPipeline = addFilter("biallelic", Filters.biallelicOnly)
+  def inRegions(rs: Seq[(String, Long, Long)]): VariantPipeline = addFilter("regions", Filters.inRegions(rs))
+
+  final case class PipelineResult(
+      variations: DataFrame,
+      stats: Seq[(String, Filters.FilterStats)],
+      nInput: Long)
+
+  /** One aggregation job computes every stage's kept-count via cumulative
+    * predicates; the returned DataFrame stays lazy (filter on the full
+    * conjunction — Catalyst folds it into the scan). */
+  def run(): PipelineResult = {
+    if (stages.isEmpty) return PipelineResult(df, Nil, -1L)
+    val cumulative = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }.tail
+    val aggs = count(lit(1)).as("n_input") +:
+      cumulative.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"k$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nInput = row.getLong(0)
+    val kept = (0 until stages.size).map(i => if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+    val stats = stages.zipWithIndex.map { case ((name, _), i) =>
+      val before = if (i == 0) nInput else kept(i - 1)
+      name -> Filters.FilterStats(kept(i), before - kept(i))
+    }
+    PipelineResult(df.filter(cumulative.last), stats, nInput)
+  }
+}
+
+object VariantPipeline {
+  def apply(df: DataFrame): VariantPipeline = new VariantPipeline(df, Vector.empty)
+}

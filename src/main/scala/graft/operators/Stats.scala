@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GenotypeKernels._
+
+/** Per-variant and per-dataset statistics (`variation6/stats.py`).
+  *
+  * Design (SURVEY.md §3.3): a stats report is ONE `select` appending every
+  * requested kernel column + ONE action — the Spark analog of the
+  * reference computing a dict of dask results in a single `compute()`.
+  * Per-variant kernels are map-only; the only genuine shuffle is the
+  * per-SAMPLE aggregation (`sampleDepthStats`), which goes through the
+  * exploded long view and aggregates on a 32-ish-cardinality key
+  * (sample index) — partial aggregation makes the shuffle negligible
+  * at any scale.
+  */
+object Stats {
+
+  private def nAlleles: Column = coalesce(size(col("alt")), lit(0)) + 1
+
+  /** Append the standard per-variant stat columns (map-only, no shuffle). */
+  def variantStats(df: DataFrame): DataFrame = {
+    val counts = alleleCounts(col("gt"), nAlleles)
+    df.select(
+      col("chrom"), col("pos"), col("id"),
+      callRate(col("gt")).as("call_rate"),
+      calledGtCount(col("gt")).as("n_called"),
+      missingGtCount(col("gt")).as("n_missing"),
+      counts.as("allele_counts"),
+      alleleFreqs(counts).as("allele_freqs"),
+      majorAlleleFreq(col("gt"), nAlleles).as("maf"),
+      mac(col("gt"), nAlleles).as("mac"),
+      obsHet(col("gt")).as("obs_het"),
+      expHetUnbiased(col("gt"), nAlleles).as("exp_het"),
+      observedAlleleCount(col("gt"), nAlleles).as("n_alleles_obs"))
+  }
+
+  /** One row per (variant, sample): the exploded "long" view — escape
+    * hatch for per-sample aggregation and for cohorts too wide for a
+    * single row (SURVEY.md §1.2). */
+  def longView(df: DataFrame): DataFrame = {
+    val hasDp = df.columns.contains("dp")
+    val hasGq = df.columns.contains("gq")
+    val zipped =
+      if (hasDp && hasGq) arrays_zip(col("gt").as("gt"), col("dp").as("dp"), col("gq").as("gq"))
+      else if (hasDp) arrays_zip(col("gt").as("gt"), col("dp").as("dp"))
+      else arrays_zip(col("gt").as("gt"))
+    val base = df.select(
+      col("chrom"), col("pos"), col("id"),
+      posexplode(zipped).as(Seq("sample_idx", "call")))
+    val withGt = base.select(
+      col("chrom"), col("pos"), col("id"), col("sample_idx"),
+      col("call.gt").as("gt"),
+      (if (hasDp) col("call.dp") else lit(null).cast("int")).as("dp"),
+      (if (hasGq) col("call.gq") else lit(null).cast("double")).as("gq"))
+    withGt
+  }
+
+  /** Depth distribution per sample — the reference's axis-1 aggregation;
+    * the one reference op that is a genuine (tiny-key) shuffle. */
+  def sampleDepthStats(df: DataFrame): DataFrame =
+    df.select(posexplode(col("dp")).as(Seq("sample_idx", "dp")))
+      .groupBy(col("sample_idx"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("dp")).as("mean_dp"),
+        min(col("dp")).as("min_dp"),
+        max(col("dp")).as("max_dp"),
+        expr("percentile_approx(dp, 0.5)").as("median_dp_approx"))
+      .orderBy(col("sample_idx"))
+
+  /** Fixed-bin histogram of any numeric expression (DEF_NUM_BINS = 40 in
+    * the reference). NaNs dropped like NumPy's histogram. */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double, nBins: Int = 40): DataFrame = {
+    val w = (hi - lo) / nBins
+    df.select(value.as("v"))
+      .filter(!isnan(col("v")) && col("v").isNotNull)
+      .select(least(greatest(floor((col("v") - lo) / w), lit(0)), lit(nBins - 1)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+
+  /** Whole-dataset summary in one job. */
+  def datasetSummary(df: DataFrame): DataFrame =
+    variantStats(df).agg(
+      count(lit(1)).as("n_variants"),
+      avg(when(isnan(col("call_rate")), lit(null)).otherwise(col("call_rate"))).as("mean_call_rate"),
+      avg(when(isnan(col("maf")), lit(null)).otherwise(col("maf"))).as("mean_maf"),
+      avg(when(isnan(col("obs_het")), lit(null)).otherwise(col("obs_het"))).as("mean_obs_het"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+class StatsSpec extends SparkTestBase {
+
+  private def fixture = GoldenFixture.df(spark)
+
+  test("long view: one row per (variant, sample), gt/dp/gq aligned") {
+    val lv = Stats.longView(fixture)
+    assert(lv.count() === 24) // 6 variants × 4 samples
+    val v1s1 = lv.filter(col("id") === "v1" && col("sample_idx") === 1).head()
+    assert(v1s1.getAs[Seq[Int]]("gt") === Seq(0, 1))
+    assert(v1s1.getAs[Int]("dp") === 3)
+    assert(v1s1.getAs[Double]("gq") === 20.0)
+  }
+
+  test("per-sample depth stats (axis-1 aggregation)") {
+    val s = Stats.sampleDepthStats(fixture).collect()
+    assert(s.length === 4)
+    val s0 = s.find(_.getAs[Int]("sample_idx") == 0).get
+    // s0 depths: 10, 12, 7, 30, 0, 15
+    assert(s0.getAs[Long]("n") === 6)
+    assertNear(s0.getAs[Double]("mean_dp"), (10 + 12 + 7 + 30 + 0 + 15) / 6.0)
+    assert(s0.getAs[Int]("min_dp") === 0)
+    assert(s0.getAs[Int]("max_dp") === 30)
+  }
+
+  test("histogram: fixed bins, clamped edges, NaN dropped") {
+    val h = Stats.histogram(
+      Stats.variantStats(fixture), col("call_rate"), 0.0, 1.0, nBins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // call rates: 1.0 .75 .75 1.0 0.0 1.0 → bin0: {0.0}, bin3: {.75,.75,1,1,1}
+    assert(h(0L) === 1L)
+    assert(h(3L) === 5L) // 1.0 clamps into the top bin like numpy's inclusive right edge
+    assert(h.values.sum === 6L)
+  }
+
+  test("dataset summary: one job, NaN-excluded means") {
+    val r = Stats.datasetSummary(fixture).head()
+    assert(r.getAs[Long]("n_variants") === 6)
+    // mean call rate over all 6 (none NaN): (1+.75+.75+1+0+1)/6
+    assertNear(r.getAs[Double]("mean_call_rate"), 4.5 / 6.0)
+    // maf NaN for v5 → mean over 5
+    assertNear(r.getAs[Double]("mean_maf"), (0.625 + 1.0 + 0.5 + 0.5 + 0.875) / 5.0)
+  }
+}

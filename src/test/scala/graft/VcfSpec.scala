@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.VariantSchema
+import graft.operators.Stats
+import graft.sources.Vcf
+
+/** VCF ingestion against the FIXTURES.md §B fixture VCF (tab-separated). */
+class VcfSpec extends SparkTestBase {
+
+  private val vcfText = Seq(
+    "##fileformat=VCFv4.3",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\ts1\ts2\ts3",
+    "chr1\t100\tv1\tA\tT\t50\tPASS\t.\tGT:DP:GQ:RO:AO\t0/0:10:99:8:2\t0/1:3:20:2:1\t1/1:8:45:1:7\t0/0:20:99:15:5",
+    "chr1\t200\tv2\tC\tG\t40\tPASS\t.\tGT:DP:GQ\t0/0:12:80\t./.:0:0\t0/0:9:60\t0/0:11:70",
+    "chr1\t300\tv3\tG\tA,T\t60\tPASS\t.\tGT:DP:GQ\t0/1:7:50\t1/2:14:90\t2/2:6:40\t./.:1:5",
+    "chr2\t50\tv4\tT\tC\t90\tPASS\t.\tGT:DP:GQ\t0/1:30:99\t0/1:25:99\t0/1:18:99\t0/1:22:99",
+    "chr2\t150\tv5\tA\tC\t5\tPASS\t.\tGT:DP:GQ\t./.:0:0\t./.:0:0\t./.:0:0\t./.:0:0",
+    "chr2\t250\tv6\tA\tG\t70\tPASS\t.\tGT:DP:GQ\t1/1:15:95\t1/1:16:96\t1/1:14:94\t0/1:9:33"
+  ).mkString("\n")
+
+  private lazy val vcfPath: String = {
+    val dir = Files.createTempDirectory("v6vcf")
+    val p = dir.resolve("fixture.vcf")
+    Files.writeString(p, vcfText)
+    p.toString
+  }
+
+  test("header sample list") {
+    assert(Vcf.readSamples(spark, vcfPath) === Seq("s0", "s1", "s2", "s3"))
+  }
+
+  test("parse: schema, sentinels, multi-allelic, per-row FORMAT") {
+    val (df, meta) = Vcf.read(spark, vcfPath)
+    assert(meta.samples === Seq("s0", "s1", "s2", "s3"))
+    assert(meta.ploidy === 2)
+    assert(df.count() === 6)
+
+    val v1 = df.filter(col("id") === "v1").head()
+    assert(v1.getAs[Seq[Seq[Int]]]("gt") === Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(0, 0)))
+    assert(v1.getAs[Seq[Int]]("dp") === Seq(10, 3, 8, 20))
+    assert(v1.getAs[Seq[Int]]("ro") === Seq(8, 2, 1, 15))
+    assert(v1.getAs[Seq[Seq[Int]]]("ao") === Seq(Seq(2), Seq(1), Seq(7), Seq(5)))
+
+    val v2 = df.filter(col("id") === "v2").head()
+    assert(v2.getAs[Seq[Seq[Int]]]("gt")(1) === Seq(-1, -1)) // ./. → sentinel
+    assert(v2.isNullAt(v2.fieldIndex("ao"))) // AO absent from FORMAT → null
+
+    val v3 = df.filter(col("id") === "v3").head()
+    assert(v3.getAs[Seq[String]]("alt") === Seq("A", "T"))
+    assert(v3.getAs[Seq[Seq[Int]]]("gt")(1) === Seq(1, 2))
+  }
+
+  test("parsed VCF reproduces the golden kernel values") {
+    val (df, _) = Vcf.read(spark, vcfPath)
+    val s = Stats.variantStats(df)
+    val rate = GoldenFixture.byId[Double](s, "call_rate")
+    assertNear(rate("v2"), 0.75); assertNear(rate("v5"), 0.0)
+    val maf = GoldenFixture.byId[Double](s, "maf")
+    assertNear(maf("v1"), 0.625); assertNear(maf("v6"), 0.875)
+  }
+
+  test("vcf → chrom-partitioned parquet → load round-trip with metadata") {
+    val out = Files.createTempDirectory("v6pq").resolve("store").toString
+    val meta = Vcf.toParquet(spark, vcfPath, out)
+    val (df, meta2) = VariantSchema.load(spark, out)
+    assert(meta2 === meta)
+    assert(df.count() === 6)
+    // chrom partition pruning works (region access path)
+    val pruned = df.filter(col("chrom") === "chr2" && col("pos") <= 150)
+    assert(pruned.select("id").collect().map(_.getString(0)).toSet === Set("v4", "v5"))
+    // partition layout on disk = chrom directories
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("chrom="))
+    assert(dirs.toSet === Set("chrom=chr1", "chrom=chr2"))
+  }
+
+  test("vcf export round-trips back through the parser") {
+    val (df, meta) = Vcf.read(spark, vcfPath)
+    val out = Files.createTempDirectory("v6out").resolve("export").toString
+    Vcf.write(df, meta, out)
+    val (df2, meta2) = Vcf.read(spark, out + "/part-*")
+    assert(meta2.samples === meta.samples)
+    assert(df2.count() === 6)
+    val s = Stats.variantStats(df2)
+    assertNear(GoldenFixture.byId[Double](s, "maf")("v1"), 0.625)
+    assertNear(GoldenFixture.byId[Double](s, "obs_het")("v4"), 1.0)
+  }
+}
