@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ext.{Dedup, Similarity, TextAnalysis, TextHash}
 
 /** One declared query: Spark builder + (optional) DuckDB oracle SQL.
   *
@@ -63,6 +64,24 @@ object Queries {
   }
   private val setA = "SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'"
   private val setB = "SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_quantity > 49"
+
+  // ── DuckDB twins of the graft.ext.TextHash kernels (SNIPPETS: none —
+  // authored against duckdb 1.0 list/lambda docs). The Scala kernels and
+  // these strings implement the SAME arithmetic (31-roll mod 1e9+7 etc.);
+  // q_fingerprint/q_minhash_sig/... hash-matching IS the proof they agree.
+  private val duckP = "1000000007"
+  private def duckCharHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e,''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (a,b) -> (a*31+b)%$duckP)"
+  private val duckWhs =
+    s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
+  private def duckRehash(i: Int): String = s"(x*${2 * i + 3}+${11 * i + 7})%$duckP"
+  /** All-language stopword list as a DuckDB array literal (same set the
+    * Spark kernel uses — generated from one constant to prevent drift). */
+  private val duckStopAll = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+    .map(w => s"'$w'").mkString("[", ",", "]")
+  private def duckStop(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
   val all: Vector[QueryDef] = Vector(
     // ── 1. scan + projection ────────────────────────────────────────────
@@ -625,7 +644,204 @@ object Queries {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
              |event_type, CAST(count(*) AS BIGINT) AS cnt,
              |round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin))
+             |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin)),
+
+    // ════ training-data pipeline operators (graft.ext) ══════════════════
+
+    // ── 36. rolling-hash document fingerprint ──────────────────────────
+    QueryDef(
+      "q_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextHash.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some(s"""SELECT doc_id, ${duckCharHash("text")} AS fp
+             |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)),
+
+    // ── 37. minhash signature (4 components) ───────────────────────────
+    QueryDef(
+      "q_minhash_sig",
+      (s, d) => {
+        val whs = TextHash.wordHashes(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id") +: (0 until 4).map(i => TextHash.minhash(whs, i).as(s"m$i")): _*)
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents)
+             |SELECT doc_id,
+             |${(0 until 4).map(i => s"list_min(list_transform(h, x -> ${duckRehash(i)})) AS m$i").mkString(",\n")}
+             |FROM w ORDER BY doc_id LIMIT 200""".stripMargin)),
+
+    // ── 38. minhash-LSH near-dup candidate buckets ─────────────────────
+    QueryDef(
+      "q_dedup_minhash",
+      (s, d) =>
+        Dedup.minhashDupGroups(t(s, d, "documents"), "doc_id", "text", k = 8, bands = 4)
+          .orderBy(col("band_key")),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sig AS (SELECT doc_id, list_transform(range(0,8),
+             |  i -> list_min(list_transform(h, x -> (x*(2*i+3)+(11*i+7))%$duckP))) AS s FROM w),
+             |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
+             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
+             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig)
+             |SELECT band_key, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+             |FROM bands GROUP BY band_key HAVING count(*) > 1 ORDER BY band_key""".stripMargin)),
+
+    // ── 39. simhash (16-bit) ───────────────────────────────────────────
+    QueryDef(
+      "q_dedup_simhash",
+      (s, d) =>
+        Dedup.withSimhash(t(s, d, "documents"), "text")
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents)
+             |SELECT doc_id, CAST(list_sum(list_transform(range(0,16), k ->
+             |  CASE WHEN list_sum(list_transform(h, x ->
+             |    CASE WHEN CAST(floor(x/pow(2,k)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0
+             |  THEN CAST(pow(2,k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+             |FROM w ORDER BY doc_id LIMIT 200""".stripMargin)),
+
+    // ── 40. n-gram Jaccard between consecutive docs (candidate pairs) ──
+    QueryDef(
+      "q_dedup_ngram",
+      (s, d) => {
+        val doc = t(s, d, "documents")
+        val a = doc.select(col("doc_id"), col("text").as("ta"))
+        val b = doc.select((col("doc_id") - 1).as("doc_id"), col("text").as("tb"))
+        a.join(b, "doc_id")
+          .select(col("doc_id"), round(Dedup.ngramJaccard(col("ta"), col("tb")), 4).as("jac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
+             |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+             |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w)
+             |SELECT a.doc_id AS doc_id,
+             |round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 'NaN'::DOUBLE
+             |  ELSE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s)))
+             |END, 4) AS jac
+             |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""".stripMargin)),
+
+    // ── 41. embedding cosine near-dup over candidate pairs ─────────────
+    QueryDef(
+      "q_neardup_cosine",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val a = e.select(col("vec_id"), col("embedding").as("ea"))
+        val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+        a.join(b, "vec_id")
+          .select(col("vec_id"), round(Similarity.cosine(col("ea"), col("eb")), 4).as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+             |SELECT a.vec_id AS vec_id,
+             |round(
+             |  list_sum(list_transform(range(1, len(a.embedding)+1),
+             |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+             |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             |   * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+             |       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cos
+             |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY a.vec_id""".stripMargin)),
+
+    // ── 42. LSH-bucketed ANN top-k (deterministic LCG hyperplanes) ─────
+    QueryDef(
+      "q_similarity_lsh",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val withBucket = e.filter(col("vec_id") =!= 0)
+          .withColumn("_bucket", Similarity.lshBucket(col("embedding"), dim = 64, bits = 4))
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("p_emb"))
+          .withColumn("_pbucket", Similarity.lshBucket(col("p_emb"), dim = 64, bits = 4))
+        withBucket.join(broadcast(probe), col("_bucket") === col("_pbucket"))
+          .select(col("vec_id"), round(Similarity.dot(col("embedding"), col("p_emb")), 4).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |  CAST(list_sum(list_transform(range(0,4), j ->
+             |    CASE WHEN list_sum(list_transform(range(0,64), i ->
+             |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+             |  FROM embeddings),
+             |p AS (SELECT embedding AS pe, bucket AS pb FROM b WHERE vec_id = 0)
+             |SELECT v.vec_id,
+             |round(list_sum(list_transform(range(1, len(v.embedding)+1),
+             |  i -> CAST(v.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))), 4) AS dot
+             |FROM b v, p WHERE v.vec_id <> 0 AND v.bucket = p.pb
+             |ORDER BY dot DESC, v.vec_id LIMIT 5""".stripMargin)),
+
+    // ── 43. language-ID heuristic (marker-stopword argmax) ─────────────
+    QueryDef(
+      "q_text_langid",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("pred", TextAnalysis.langId(col("text")))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("pred")),
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val scores = langs.map(l =>
+          s"len(list_filter(string_split(text,' '), w -> list_contains(${duckStop(l)}, w))) AS s_$l")
+          .mkString(",\n")
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        s"""WITH sc AS (SELECT lang,
+           |$scores
+           |FROM documents),
+           |p AS (SELECT lang, CASE $cases ELSE 'und' END AS pred
+           |      FROM (SELECT *, $best AS best FROM sc))
+           |SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt
+           |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+      }),
+
+    // ── 44. text quality metrics ───────────────────────────────────────
+    QueryDef(
+      "q_text_quality",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.wordCount(col("text")).as("n_words"),
+            round(TextAnalysis.avgWordLen(col("text")), 4).as("awl"),
+            round(TextAnalysis.stopwordRatio(col("text")), 4).as("swr"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some(s"""WITH m AS (SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+             |  length(text) AS n_chars,
+             |  len(list_filter(string_split(text,' '), w -> list_contains($duckStopAll, w))) AS n_stop,
+             |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |round(CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS awl,
+             |round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS swr,
+             |round(least(n_words / 20.0, 1.0)
+             |  * greatest(1.0 - (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 5.0, 0.0)
+             |  * least((CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 4.0, 1.0), 4) AS quality
+             |FROM m ORDER BY doc_id LIMIT 200""".stripMargin)),
+
+    // ── 45. BPE-ish token counting ─────────────────────────────────────
+    QueryDef(
+      "q_token_count",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+            round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang,
+             |CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
+             |round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

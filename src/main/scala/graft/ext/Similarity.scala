@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (ArrayType(FloatType)).
+  *
+  * Baseline: brute-force dot/cosine top-k — one broadcast of the probe,
+  * map-side scoring, TakeOrderedAndProject for the top-k (no full sort,
+  * no shuffle of the corpus).
+  *
+  * Scale path: random-hyperplane LSH. Hyperplanes are derived from a
+  * deterministic LCG (seeded by (plane, dim) index), so buckets are
+  * reproducible across engines and runs — no stored model, no RNG state.
+  * Bucketing is map-side; the candidate search then touches only the
+  * probe's bucket (a partition-pruned fraction ~2^-bits of the corpus).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NaN when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * LCG over the flat index plane*dim + i (i is the 1-based dim index). */
+  private def planeComponent(plane: Int, dim: Int, i: Column): Column = {
+    val t = (lit(1103515245L) * (lit(plane.toLong * dim) + i) + lit(12345L)) % 2147483648L
+    t.cast("double") / 2147483648.0 - 0.5
+  }
+
+  /** Signed projection of `vec` onto hyperplane `plane`. */
+  def hyperplaneDot(vec: Column, plane: Int, dim: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(dim)),
+      lit(0.0),
+      (acc, i) => acc + element_at(vec, i).cast("double") * planeComponent(plane, dim, i))
+
+  /** LSH bucket id: `bits` sign bits packed into a long. */
+  def lshBucket(vec: Column, dim: Int, bits: Int = 4): Column =
+    (0 until bits).map { j =>
+      when(hyperplaneDot(vec, j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force top-k by dot product against one probe row.
+    * `probe` must be a 1-row DataFrame with column `probeCol`. */
+  def bruteForceTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
+                     k: Int, scoreCol: String = "score"): DataFrame =
+    corpus.crossJoin(broadcast(probe))
+      .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
+      .drop(probeCol)
+      .orderBy(col(scoreCol).desc)
+      .limit(k)
+
+  /** LSH-bucketed top-k: score only the probe's bucket. Same contract as
+    * bruteForceTopK; `dim` is the embedding dimensionality. Approximate:
+    * recall < 1 by construction (near vectors in other buckets are not
+    * scored) — raise recall by lowering `bits` or probing multiple
+    * buckets. */
+  def lshTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
+              dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score"): DataFrame = {
+    val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
+    val p = probe.withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
+    bucketed.join(broadcast(p), col("_bucket") === col("_pbucket"))
+      .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
+      .drop(probeCol, "_bucket", "_pbucket")
+      .orderBy(col(scoreCol).desc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text-hashing kernels for the dedup / fingerprinting
+  * operators (BASELINE.json:6 "LLM-data-pipeline" extension surface).
+  *
+  * All hashes are plain 31-base polynomial rolls mod P = 1e9+7 built from
+  * Catalyst higher-order functions — NOT murmur/xxhash — deliberately:
+  * the same arithmetic is expressible in any ANSI-ish SQL engine
+  * (the DuckDB oracle replicates them with list_reduce/list_transform),
+  * so every dedup operator stays differential-testable cross-engine.
+  * Values stay < 2^30, so double-based bit extraction is exact and the
+  * kernels survive engines without 64-bit bitwise ops.
+  *
+  * Scale: every kernel is map-side (per-row arrays), shuffle-free;
+  * the dedup operators built on them shuffle only on the short
+  * signature/bucket keys (Dedup.scala).
+  */
+object TextHash {
+
+  val P = 1000000007L
+
+  /** Polynomial rolling hash of a string, char code points base-31.
+    * Spark's split keeps a trailing "" (Java split limit -1) — filtered
+    * out so the roll matches engines whose char-split doesn't. */
+  def charHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % P)
+
+  /** Hash of every whitespace token of `text`. */
+  def wordHashes(text: Column): Column = transform(split(text, " "), w => charHash(w))
+
+  /** i-th universal-family rehash of a word-hash: (aᵢ·w + bᵢ) mod P. */
+  def rehash(w: Column, i: Int): Column =
+    (w * lit(2L * i + 3L) + lit(11L * i + 7L)) % P
+
+  /** MinHash component i: min over token hashes of rehash i. Null-safe:
+    * empty texts yield P (an impossible hash) rather than null so
+    * signatures always compare. */
+  def minhash(whs: Column, i: Int): Column =
+    coalesce(array_min(transform(whs, w => rehash(w, i))), lit(P))
+
+  /** Full k-component MinHash signature. */
+  def minhashSignature(whs: Column, k: Int): Column =
+    array((0 until k).map(i => minhash(whs, i)): _*)
+
+  /** SimHash over token hashes, low `bits` bits (default 16): per bit,
+    * tokens vote ±1; the bit is set when the vote is positive.
+    * Bit extraction via exact double floor-div (hashes < 2^30). */
+  def simhash(whs: Column, bits: Int = 16): Column =
+    (0 until bits).map { k =>
+      val vote = aggregate(whs, lit(0L), (acc, w) =>
+        acc + when(floor(w / pow(lit(2.0), lit(k))).cast("long") % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hashes of the n-gram (default trigram) word shingles of `whs`;
+    * empty when the text has fewer than n tokens. */
+  def shingleHashes(whs: Column, n: Int = 3): Column = {
+    require(n >= 1)
+    val combined: Column => Column = i =>
+      (1 until n).foldLeft(element_at(whs, i + 1)) { (acc, j) =>
+        (acc * 31L + element_at(whs, i + 1 + j)) % P
+      }
+    when(size(whs) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(whs) - n), combined))
+  }
+
+  /** Jaccard similarity of two shingle-hash sets. NaN when both empty. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = size(array_distinct(concat(da, db))).cast("double")
+    when(union === 0, lit(Double.NaN)).otherwise(inter / union)
+  }
+
+  /** Whole-document fingerprint: char-level rolling hash (the rolling-
+    * hash document-fingerprinting operator; exact-dup detection key). */
+  def fingerprint(text: Column): Column = charHash(text)
+}

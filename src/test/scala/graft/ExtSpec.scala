@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis, TextHash}
+
+/** Hand-computed goldens for the training-data-pipeline kernels.
+  * (Their cross-engine behavior is separately proven by the DuckDB
+  * oracle on q_fingerprint, q_minhash_sig, the q_dedup family, and
+  * q_similarity_lsh.) */
+class ExtSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("dummy").select(c).head().get(0)
+
+  test("charHash: 31-base roll over code points") {
+    // "abc": ((97*31+98)*31+99) = 3105*31+99 = 96354
+    assert(one(TextHash.charHash(lit("abc"))) === 96354L)
+    assert(one(TextHash.charHash(lit(""))) === 0L)
+  }
+
+  test("wordHashes + minhash: min of rehashed token hashes") {
+    val whs = TextHash.wordHashes(lit("abc abc"))
+    assert(one(whs) === Seq(96354L, 96354L))
+    // i=0 rehash: (96354*3+7) % P = 289069
+    assert(one(TextHash.minhash(whs, 0)) === 289069L)
+    // empty text splits to [""] (hash 0) in Spark AND DuckDB → rehash of 0
+    assert(one(TextHash.minhash(TextHash.wordHashes(lit("")), 0)) === 7L)
+  }
+
+  test("simhash of a single word = its low 16 bits") {
+    // one token: every bit vote is ±1 by that token's bit → simhash = w mod 2^16
+    val w = 96354L
+    assert(one(TextHash.simhash(TextHash.wordHashes(lit("abc")))) === (w % 65536))
+  }
+
+  test("shingles: n-2 trigrams; jaccard identity/disjoint") {
+    val whs = TextHash.wordHashes(lit("a b c d e"))
+    assert(one(size(TextHash.shingleHashes(whs))) === 3)
+    val sh1 = TextHash.shingleHashes(TextHash.wordHashes(lit("a b c d")))
+    val sh2 = TextHash.shingleHashes(TextHash.wordHashes(lit("x y z w")))
+    assert(one(TextHash.jaccard(sh1, sh1)) === 1.0)
+    assert(one(TextHash.jaccard(sh1, sh2)) === 0.0)
+    assert(one(TextHash.jaccard(sh2, TextHash.shingleHashes(TextHash.wordHashes(lit("a b"))))) === 0.0)
+  }
+
+  test("dot / cosine") {
+    val a = lit(Array(1.0f, 2.0f, 2.0f))
+    val b = lit(Array(2.0f, 0.0f, 0.0f))
+    assert(one(Similarity.dot(a, b)) === 2.0)
+    assertNear(one(Similarity.cosine(a, a)).asInstanceOf[Double], 1.0)
+    assertNear(one(Similarity.cosine(a, b)).asInstanceOf[Double], 2.0 / (3.0 * 2.0))
+  }
+
+  test("lsh bucket: in range, deterministic, probe-consistent") {
+    val vec = lit(Array.tabulate(64)(i => (i % 7 - 3).toFloat))
+    val b1 = one(Similarity.lshBucket(vec, dim = 64, bits = 4))
+    val b2 = one(Similarity.lshBucket(vec, dim = 64, bits = 4))
+    assert(b1 === b2)
+    assert(b1.asInstanceOf[Long] >= 0L && b1.asInstanceOf[Long] < 16L)
+  }
+
+  test("brute-force vs LSH top-k: LSH results are a subset with same scores") {
+    val corpus = (1 to 50).map(i => (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probe = Seq(Tuple1(Array.tabulate(8)(j => (j % 3 - 1).toFloat))).toDF("p_emb")
+    val bf = Similarity.bruteForceTopK(corpus, "embedding", probe, "p_emb", k = 50)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(corpus, "embedding", probe, "p_emb", dim = 8, k = 5)
+      .select("vec_id", "score").collect()
+    assert(lsh.nonEmpty && lsh.length <= 5)
+    lsh.foreach { r => assertNear(r.getDouble(1), bf(r.getLong(0))) }
+  }
+
+  test("language id: marker argmax with und fallback") {
+    val df = Seq(
+      ("the cat and the dog of it", "en"),
+      ("der hund und die katze ist", "de"),
+      ("le chat et la maison est", "fr"),
+      ("xyzzy plugh qwerty", "und")
+    ).toDF("text", "expected")
+    df.select(TextAnalysis.langId(col("text")).as("pred"), col("expected"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("quality metrics: wordCount/avgWordLen/tokenCount") {
+    assert(one(TextAnalysis.wordCount(lit("a bb ccc"))) === 3L)
+    assertNear(one(TextAnalysis.avgWordLen(lit("a bb ccc"))).asInstanceOf[Double], 2.0)
+    // "ab12 cd" → [ab][12][cd] = 3 tokens, space dropped
+    assert(one(TextAnalysis.tokenCount(lit("ab12 cd"))) === 3L)
+    val q = one(TextAnalysis.qualityScore(lit("the cat and the dog sat on a mat of the house"))).asInstanceOf[Double]
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("exact dedup keeps deterministic representative") {
+    val df = Seq((3L, "a", "x"), (1L, "a", "x"), (2L, "b", "y"))
+      .toDF("doc_id", "lang", "source")
+    val out = Dedup.exact(df, Seq("lang", "source"), "doc_id")
+      .orderBy("lang").collect()
+    assert(out.map(_.getLong(2)) === Array(1L, 2L))
+  }
+
+  test("minhash bands: one row per (doc, band); dup texts collide on all bands") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(df, "doc_id", "text", k = 8, bands = 4)
+    assert(bands.count() === 12)
+    val groups = Dedup.minhashDupGroups(df, "doc_id", "text", k = 8, bands = 4).collect()
+    assert(groups.length === 4) // docs 1,2 identical → all 4 bands collide
+    groups.foreach(r => assert(r.getAs[Long]("n_docs") === 2 && r.getAs[Long]("min_doc_id") === 1L))
+  }
+
+  test("ngram jaccard on near-identical texts is high, disjoint is zero") {
+    val j = one(Dedup.ngramJaccard(lit("a b c d e f g"), lit("a b c d e f h")))
+      .asInstanceOf[Double]
+    assert(j > 0.4 && j < 1.0)
+    assert(one(Dedup.ngramJaccard(lit("a b c d"), lit("w x y z"))) === 0.0)
+  }
+}
