@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as an opaque `binary` column + typed metadata — the
+  * Spark-side machinery (schema, batch iteration, partition sizing,
+  * frame slicing) is real and tested; the codec call itself is a STUB
+  * (`decodeStub`): this container has no image/audio libraries, and a
+  * real deployment replaces exactly that one function with JNI/javacv/
+  * a codec of choice. Shapes and determinism are preserved so pipelines
+  * built on this run unchanged when the codec lands.
+  *
+  * Scale notes: decode is the classic CPU-heavy map stage — it runs in
+  * `mapPartitions` (no shuffle), so parallelism = input splits;
+  * `repartitionForDecode` rebalances by byte size first so one partition
+  * of 4K videos doesn't straggle behind thumbnails.
+  */
+object Multimodal {
+
+  final case class MediaItem(
+      media_id: Long, kind: String, mime: String,
+      content: Array[Byte], meta: Map[String, String])
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** STUB — deterministic fake "decode → feature vector".
+    * Real implementation: decode `bytes` with an image/audio codec and
+    * run the feature extractor; everything around this call is the real
+    * distributed plumbing. The fake is a byte-histogram projection so
+    * tests get stable, content-sensitive vectors. */
+  private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Decode + feature-extract each media item (batched per partition). */
+  def extractFeatures(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaFeatures] =
+    items.mapPartitions { it =>
+      it.map { m =>
+        val bytes = if (m.content == null) Array.emptyByteArray else m.content
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong, decodeStub(bytes, dim))
+      }
+    }(Encoders.product[MediaFeatures])
+
+  /** Rebalance so each partition carries ≈ `targetBytes` of media — large
+    * items dominate decode cost, row counts don't. */
+  def repartitionForDecode(items: Dataset[MediaItem], totalBytes: Long, targetBytes: Long): Dataset[MediaItem] = {
+    val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
+    items.repartition(parts, col("media_id"))
+  }
+
+  /** Pure-expression frame sampler: slice the binary payload into
+    * `frameSize`-byte frames and keep every `everyK`-th. (For real video
+    * this becomes keyframe extraction inside the codec; the column shape
+    * — array<binary> — is the contract downstream stages rely on.) */
+  def sampleFrames(content: Column, frameSize: Int, everyK: Int): Column = {
+    val nFrames = ceil(length(content).cast("double") / frameSize).cast("int")
+    transform(
+      filter(sequence(lit(0), greatest(nFrames - 1, lit(0))), i => i % everyK === 0),
+      i => substring(content, (i * frameSize + 1).cast("int"), lit(frameSize)))
+  }
+}

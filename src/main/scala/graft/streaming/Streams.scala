@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (extension beyond the reference, which has
+  * no streaming — SURVEY.md §2.5).
+  *
+  * Every transform here is written against a plain DataFrame so the SAME
+  * code path serves batch tables and `readStream` sources — the declared
+  * batch queries (q_stream_tumbling, q_sessionize) are the batch twins of
+  * these operators. Watermarks bound state; aggregations are standard
+  * partial+final, so at scale the shuffle carries only (key, window)
+  * partial aggregates.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation (counts + sum of `valueCol`). With a
+    * watermark, append-mode emits each window once when it closes; state
+    * is bounded by watermark horizon × key cardinality. */
+  def tumblingAgg(
+      df: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    in.groupBy(window(col(tsCol), windowDur) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select((col("window.start").as("win_start") +: col("window.end").as("win_end") +:
+        keyCols.map(col)) ++ Seq(col("cnt"), col("sum_value")): _*)
+  }
+
+  /** Built-in session windows (gap-based), the streaming twin of
+    * q_sessionize's lag-based batch form. */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      gap: String,
+      keyCols: Seq[String],
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    in.groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("session_window.start").as("sess_start") +:
+        col("session_window.end").as("sess_end") +: keyCols.map(col)) :+ col("cnt"): _*)
+  }
+
+  // ── custom stateful sessionizer (flatMapGroupsWithState) ─────────────
+
+  final case class Event(userId: Long, ts: Timestamp, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  final case class Session(userId: Long, start: Timestamp, end: Timestamp, n: Long, sum: Double)
+
+  /** Custom session state machine: events are merged into the user's open
+    * session; a gap > `gapMs` closes it (emitted immediately on the batch
+    * that reveals the gap; the final open session closes via event-time
+    * timeout once the watermark passes lastTs + gap). State per key is one
+    * fixed-size record — memory is O(active users), not O(events). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val out = Vector.newBuilder[Session]
+      var cur = state.getOption
+      if (batch.isEmpty && state.hasTimedOut) {
+        cur.foreach(s => out += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum))
+        state.remove()
+      } else {
+        for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              out += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+import graft.ext.Multimodal.MediaItem
+
+class MultimodalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def item(id: Long, bytes: Array[Byte]) =
+    MediaItem(id, "image", "image/fake", bytes, Map("w" -> "8", "h" -> "8"))
+
+  test("feature extraction: deterministic, content-sensitive, batched") {
+    val ds = Seq(
+      item(1L, Array[Byte](1, 2, 3, 4)),
+      item(2L, Array[Byte](1, 2, 3, 4)),
+      item(3L, Array[Byte](9, 9, 9, 9, 9)),
+      MediaItem(4L, "image", "image/fake", null, Map.empty)).toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 4).collect().map(f => f.media_id -> f).toMap
+    assert(out(1).features.toSeq === out(2).features.toSeq) // same bytes → same features
+    assert(out(1).features.toSeq !== out(3).features.toSeq)
+    assert(out(3).n_bytes === 5L)
+    assert(out(4).n_bytes === 0L && out(4).features.length === 4) // null-safe
+    // stub semantics: byte-histogram projection
+    assertNear(out(1).features(0).toDouble, 1 / 255.0, 1e-6)
+  }
+
+  test("repartitionForDecode sizes partitions by bytes") {
+    val ds = (1L to 100L).map(i => item(i, Array.fill(1000)(i.toByte))).toDS()
+    val re = Multimodal.repartitionForDecode(ds, totalBytes = 100000L, targetBytes = 10000L)
+    assert(re.rdd.getNumPartitions === 10)
+    assert(re.count() === 100)
+  }
+
+  test("frame sampling: every k-th fixed-size frame via pure expressions") {
+    val df = Seq((1L, (0 until 100).map(_.toByte).toArray)).toDF("id", "content")
+    val frames = df.select(Multimodal.sampleFrames(col("content"), frameSize = 10, everyK = 3).as("f"))
+      .head().getSeq[Array[Byte]](0)
+    assert(frames.length === 4) // frames 0,3,6,9 of 10
+    assert(frames(0).toSeq === (0 until 10).map(_.toByte))
+    assert(frames(1).toSeq === (30 until 40).map(_.toByte))
+    assert(frames(3).toSeq === (90 until 100).map(_.toByte))
+  }
+}

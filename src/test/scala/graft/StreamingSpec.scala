@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+/** MemoryStream-driven tests for the streaming surface (no DuckDB oracle
+  * exists for streaming semantics — SURVEY.md §5.2.4). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("tumbling window agg over a stream (complete mode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.tumblingAgg(df, "ts", "1 hour", Seq("event_type"), "value")
+    val q = agg.writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 5.0),
+        (ts(70), "click", 3.0)) // second hour
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt, sum_value FROM tumb ORDER BY win_start, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session_window agg with watermark (update mode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val agg = Streams.sessionAgg(df, "ts", "30 minutes", Seq("user_id"), watermark = Some("10 minutes"))
+    // session_window streaming aggs support append mode only: a session row
+    // is emitted once the watermark passes its close (last event + gap)
+    val q = agg.writeStream.format("memory").queryName("sess_w").outputMode("append").start()
+    try {
+      // user 1: events 0,10min (one session); then 120min (new session)
+      input.addData((ts(0), 1L), (ts(10), 1L), (ts(120), 1L))
+      q.processAllAvailable()
+      // push the watermark far past both sessions with another user's event
+      input.addData((ts(1000), 2L))
+      q.processAllAvailable()
+      input.addData((ts(2000), 2L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, cnt FROM sess_w WHERE user_id = 1 ORDER BY sess_start").collect()
+      assert(rows.map(_.getLong(1)).toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer: gap closes session across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 30 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_c").outputMode("append").start()
+    try {
+      input.addData(Streams.Event(1L, ts(0), 1.0), Streams.Event(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      // batch 2: event far past the gap → session 1 must be emitted closed
+      input.addData(Streams.Event(1L, ts(600), 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, n, sum FROM sess_c").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(1) === 2L)
+      assert(rows.head.getDouble(2) === 3.0)
+      // out-of-order within batch is sorted before sessionizing
+      input.addData(Streams.Event(2L, ts(1300), 1.0), Streams.Event(2L, ts(1290), 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(2L, ts(5000), 0.0))
+      q.processAllAvailable()
+      val u2 = spark.sql("SELECT n FROM sess_c WHERE userId = 2").collect()
+      assert(u2.map(_.getLong(0)).toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
+  test("streaming and batch tumbling agg agree on the same data") {
+    import spark.implicits._
+    val batch = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 5.0), (ts(70), "click", 3.0))
+      .toDF("ts", "event_type", "value")
+    val rows = Streams.tumblingAgg(batch, "ts", "1 hour", Seq("event_type"), "value")
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 3.0)))
+  }
+}
