@@ -662,13 +662,12 @@ object Queries {
     // ── 37. minhash signature (4 components) ───────────────────────────
     QueryDef(
       "q_minhash_sig",
-      (s, d) => {
-        val whs = TextHash.wordHashes(col("text"))
+      (s, d) =>
         t(s, d, "documents")
-          .select(col("doc_id") +: (0 until 4).map(i => TextHash.minhash(whs, i).as(s"m$i")): _*)
+          .withColumn("_whs", TextHash.wordHashes(col("text"))) // materialize once (interpreted HOFs)
+          .select(col("doc_id") +: (0 until 4).map(i => TextHash.minhash(col("_whs"), i).as(s"m$i")): _*)
           .orderBy(col("doc_id"))
-          .limit(200)
-      },
+          .limit(200),
       Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents)
              |SELECT doc_id,
              |${(0 until 4).map(i => s"list_min(list_transform(h, x -> ${duckRehash(i)})) AS m$i").mkString(",\n")}
@@ -708,11 +707,15 @@ object Queries {
     QueryDef(
       "q_dedup_ngram",
       (s, d) => {
+        // shingle sets are computed ONCE per doc before the self-join —
+        // never per pair, and never re-inlined per reference
         val doc = t(s, d, "documents")
-        val a = doc.select(col("doc_id"), col("text").as("ta"))
-        val b = doc.select((col("doc_id") - 1).as("doc_id"), col("text").as("tb"))
+          .withColumn("_whs", TextHash.wordHashes(col("text")))
+          .withColumn("_sh", array_distinct(TextHash.shingleHashes(col("_whs"))))
+        val a = doc.select(col("doc_id"), col("_sh").as("sa"))
+        val b = doc.select((col("doc_id") - 1).as("doc_id"), col("_sh").as("sb"))
         a.join(b, "doc_id")
-          .select(col("doc_id"), round(Dedup.ngramJaccard(col("ta"), col("tb")), 4).as("jac"))
+          .select(col("doc_id"), round(TextHash.jaccard(col("sa"), col("sb")), 4).as("jac"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
@@ -779,12 +782,21 @@ object Queries {
     // ── 43. language-ID heuristic (marker-stopword argmax) ─────────────
     QueryDef(
       "q_text_langid",
-      (s, d) =>
-        t(s, d, "documents")
-          .withColumn("pred", TextAnalysis.langId(col("text")))
+      (s, d) => {
+        // scores materialized per language (same fold order as
+        // TextAnalysis.langId, which is the single-column API form)
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val scored = langs.foldLeft(t(s, d, "documents")) { (df, l) =>
+          df.withColumn(s"_s_$l", TextAnalysis.stopwordCount(col("text"), TextAnalysis.stopwords(l)))
+        }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
+        val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
+          when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)
+        }
+        scored.withColumn("pred", pred)
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("lang"), col("pred")),
+          .orderBy(col("lang"), col("pred"))
+      },
       Some {
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted
         val scores = langs.map(l =>
@@ -804,16 +816,28 @@ object Queries {
     // ── 44. text quality metrics ───────────────────────────────────────
     QueryDef(
       "q_text_quality",
-      (s, d) =>
+      (s, d) => {
+        // raw counts materialized once; derived metrics use the columns
+        // (same arithmetic as the TextAnalysis.* single-column forms)
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
         t(s, d, "documents")
+          .withColumn("_nw", TextAnalysis.wordCount(col("text")))
+          .withColumn("_nstop", TextAnalysis.stopwordCount(col("text"), allStop))
+          .withColumn("_npunct", length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+          .withColumn("_nchars", length(col("text")).cast("long"))
           .select(
             col("doc_id"),
-            TextAnalysis.wordCount(col("text")).as("n_words"),
-            round(TextAnalysis.avgWordLen(col("text")), 4).as("awl"),
-            round(TextAnalysis.stopwordRatio(col("text")), 4).as("swr"),
-            TextAnalysis.qualityScore(col("text")).as("quality"))
+            col("_nw").as("n_words"),
+            round((col("_nchars") - (col("_nw") - 1)).cast("double") / col("_nw").cast("double"), 4).as("awl"),
+            round(col("_nstop").cast("double") / col("_nw").cast("double"), 4).as("swr"),
+            round(
+              least(col("_nw").cast("double") / 20.0, lit(1.0)) *
+                greatest(lit(1.0) - (col("_npunct").cast("double") / col("_nchars").cast("double")) * 5.0, lit(0.0)) *
+                least((col("_nstop").cast("double") / col("_nw").cast("double")) * 4.0, lit(1.0)),
+              4).as("quality"))
           .orderBy(col("doc_id"))
-          .limit(200),
+          .limit(200)
+      },
       Some(s"""WITH m AS (SELECT doc_id,
              |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
              |  length(text) AS n_chars,

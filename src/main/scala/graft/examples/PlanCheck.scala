@@ -1,0 +1,57 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for headline queries and asserts the
+  * plan properties the 100 TB design depends on (pushdown reaches the
+  * scan, small sides broadcast, top-k avoids full sort).
+  * Run: sbt "runMain graft.examples.PlanCheck [sfDir]". */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def plan(name: String): String = {
+      val df = graft.Queries.byName(name).build(spark, sfDir)
+      df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+
+    val checks: Seq[(String, String, String => Boolean)] = Seq(
+      ("q_filter_predicate", "filters pushed to parquet scan",
+        p => p.contains("PushedFilters: [IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity,30")),
+      ("q_filter_predicate", "column-pruned read schema",
+        p => !p.contains("l_comment") && p.contains("ReadSchema")),
+      ("q_join_broadcast", "dimension side broadcast",
+        p => p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange")),
+      ("q_sort_limit_topk", "top-k via TakeOrderedAndProject (no global sort)",
+        p => p.contains("TakeOrderedAndProject")),
+      ("q_agg_hash", "partial+final hash aggregation",
+        p => p.contains("HashAggregate") && p.split("HashAggregate").length >= 3),
+      ("q_scan_project", "projection computed pre-limit, codegen",
+        p => p.contains("codegen id") && p.contains("TakeOrderedAndProject")),
+      ("q_join_shuffle", "multi-join: every small dim broadcast (no SMJ)",
+        p => p.contains("BroadcastHashJoin")),
+      ("q_similarity_topk", "probe broadcast in similarity search",
+        p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    )
+
+    var failed = 0
+    checks.foreach { case (q, what, ok) =>
+      val p = plan(q)
+      val res = ok(p)
+      println(f"${if (res) "PASS" else "FAIL"}  $q%-22s $what")
+      if (!res) { failed += 1; println(p.linesIterator.take(40).mkString("\n")) }
+    }
+    // full plan dump for eyeballing when args request it
+    if (args.length > 1) args.drop(1).foreach(q => println(s"\n=== $q ===\n${plan(q)}"))
+    println(s"PLANCHECK failed=$failed")
+    assert(failed == 0)
+    spark.stop()
+  }
+}

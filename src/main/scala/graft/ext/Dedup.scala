@@ -23,9 +23,20 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(orderCol)).as(s"first_$orderCol"))
 
-  /** Append a k-component MinHash signature column. */
+  /** Append a k-component MinHash signature column.
+    *
+    * PERFORMANCE INVARIANT (all builders here): token hashes are
+    * materialized into a real column before any kernel references them.
+    * Lambda HOFs are interpreted (CodegenFallback), and passing the
+    * `wordHashes(text)` EXPRESSION into a k-reference kernel makes
+    * Catalyst inline the whole token-hash computation at every reference
+    * — measured as an O(words²)-ish 500× blowup at sf0.1. A separate
+    * Project is kept by CollapseProject because the expression is
+    * non-cheap and multiply-referenced. */
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int = 8, outCol: String = "minhash_sig"): DataFrame =
-    df.withColumn(outCol, minhashSignature(wordHashes(col(textCol)), k))
+    df.withColumn("_whs", wordHashes(col(textCol)))
+      .withColumn(outCol, minhashSignature(col("_whs"), k))
+      .drop("_whs")
 
   /** LSH banding: one output row per (doc, band); `band_key` combines the
     * band's signature components into a single group key. Downstream,
@@ -35,8 +46,8 @@ object Dedup {
                    k: Int = 8, bands: Int = 4): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible into $bands bands")
     val rowsPerBand = k / bands
-    val sig = minhashSignature(wordHashes(col(textCol)), k)
-    df.withColumn("_sig", sig)
+    df.withColumn("_whs", wordHashes(col(textCol)))
+      .withColumn("_sig", minhashSignature(col("_whs"), k))
       .select(col(idCol), posexplode(array((0 until bands).map { b =>
         array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_")
       }: _*)).as(Seq("band", "band_hash")))
@@ -55,7 +66,9 @@ object Dedup {
 
   /** Append the 16-bit SimHash; exact-group near-dups = equal simhash. */
   def withSimhash(df: DataFrame, textCol: String, bits: Int = 16, outCol: String = "simhash"): DataFrame =
-    df.withColumn(outCol, simhash(wordHashes(col(textCol)), bits))
+    df.withColumn("_whs", wordHashes(col(textCol)))
+      .withColumn(outCol, simhash(col("_whs"), bits))
+      .drop("_whs")
 
   /** n-gram Jaccard similarity between candidate pairs: `pairs` must
     * provide the two texts as columns — this operator deliberately takes

@@ -64,27 +64,44 @@ object GenotypeKernels {
       when(total === 0, nan).otherwise(c.cast("double") / total.cast("double")))
   }
 
-  /** Major (= max) allele frequency from GT — what the reference's
-    * `calc_maf_by_gt` returns. NaN when no calls. */
-  def majorAlleleFreq(gt: Column, nAlleles: Column): Column = {
-    val counts = alleleCounts(gt, nAlleles)
+  // Counts-based kernel forms: callers computing several statistics
+  // should materialize `alleleCounts` into a column ONCE and use these —
+  // lambda HOFs are interpreted, so a multiply-referenced counts
+  // EXPRESSION would be re-evaluated at every reference (see
+  // Stats.variantStats / Dedup scaladoc on the same trap).
+
+  /** Major (= max) allele frequency from a counts histogram. */
+  def majorFreqFromCounts(counts: Column): Column = {
     val total = aggregate(counts, lit(0L), (acc, c) => acc + c)
     when(total === 0, nan)
       .otherwise(array_max(counts).cast("double") / total.cast("double"))
   }
 
-  /** Minor-allele count = count of the SECOND-most-frequent allele
-    * (the reference's biallelic definition, pinned for multi-allelic
-    * sites too — FIXTURES.md §B.2 footnote). 0 when < 2 alleles seen. */
-  def mac(gt: Column, nAlleles: Column): Column = {
-    val sortedDesc = reverse(array_sort(alleleCounts(gt, nAlleles)))
+  /** Major (= max) allele frequency from GT — what the reference's
+    * `calc_maf_by_gt` returns. NaN when no calls. */
+  def majorAlleleFreq(gt: Column, nAlleles: Column): Column =
+    majorFreqFromCounts(alleleCounts(gt, nAlleles))
+
+  /** MAC from a counts histogram: count of the SECOND-most-frequent
+    * allele (the reference's biallelic definition, pinned for
+    * multi-allelic sites too — FIXTURES.md §B.2 footnote). */
+  def macFromCounts(counts: Column): Column = {
+    val sortedDesc = reverse(array_sort(counts))
     when(size(sortedDesc) >= 2, element_at(sortedDesc, 2)).otherwise(lit(0L))
   }
+
+  /** Minor-allele count from GT. 0 when < 2 alleles seen. */
+  def mac(gt: Column, nAlleles: Column): Column =
+    macFromCounts(alleleCounts(gt, nAlleles))
+
+  /** Distinct allele codes observed, from a counts histogram. */
+  def observedFromCounts(counts: Column): Column =
+    size(filter(counts, c => c > 0)).cast("long")
 
   /** Distinct allele codes actually observed (for variable-variants /
     * biallelic filters). */
   def observedAlleleCount(gt: Column, nAlleles: Column): Column =
-    size(filter(alleleCounts(gt, nAlleles), c => c > 0)).cast("long")
+    observedFromCounts(alleleCounts(gt, nAlleles))
 
   /** Observed heterozygosity: among called samples, fraction carrying
     * ≥ 2 distinct alleles. NaN when nothing is called. */
@@ -95,15 +112,18 @@ object GenotypeKernels {
     when(called === 0, nan).otherwise(hets.cast("double") / called.cast("double"))
   }
 
-  /** Nei's unbiased expected heterozygosity:
+  /** Nei's unbiased expected het from a counts histogram:
     * (1 − Σ pᵢ²) · t/(t−1) with t = called alleles (2n for diploid). */
-  def expHetUnbiased(gt: Column, nAlleles: Column): Column = {
-    val counts = alleleCounts(gt, nAlleles)
+  def expHetFromCounts(counts: Column): Column = {
     val t = aggregate(counts, lit(0L), (acc, c) => acc + c).cast("double")
     val sumSq = aggregate(counts, lit(0.0), (acc, c) =>
       acc + c.cast("double") * c.cast("double"))
     when(t <= 1, nan).otherwise((lit(1.0) - sumSq / (t * t)) * t / (t - 1))
   }
+
+  /** Nei's unbiased expected heterozygosity from GT. */
+  def expHetUnbiased(gt: Column, nAlleles: Column): Column =
+    expHetFromCounts(alleleCounts(gt, nAlleles))
 
   /** Major allele frequency from read depths (`calc_maf_by_allele_count`):
     * ref reads from RO, per-alt reads from AO, negatives treated as 0.

@@ -19,22 +19,24 @@ object Stats {
 
   private def nAlleles: Column = coalesce(size(col("alt")), lit(0)) + 1
 
-  /** Append the standard per-variant stat columns (map-only, no shuffle). */
-  def variantStats(df: DataFrame): DataFrame = {
-    val counts = alleleCounts(col("gt"), nAlleles)
-    df.select(
-      col("chrom"), col("pos"), col("id"),
-      callRate(col("gt")).as("call_rate"),
-      calledGtCount(col("gt")).as("n_called"),
-      missingGtCount(col("gt")).as("n_missing"),
-      counts.as("allele_counts"),
-      alleleFreqs(counts).as("allele_freqs"),
-      majorAlleleFreq(col("gt"), nAlleles).as("maf"),
-      mac(col("gt"), nAlleles).as("mac"),
-      obsHet(col("gt")).as("obs_het"),
-      expHetUnbiased(col("gt"), nAlleles).as("exp_het"),
-      observedAlleleCount(col("gt"), nAlleles).as("n_alleles_obs"))
-  }
+  /** Append the standard per-variant stat columns (map-only, no shuffle).
+    * The allele histogram is materialized ONCE and every count-derived
+    * stat reads the materialized column — interpreted HOF expressions are
+    * re-evaluated per reference if inlined (see GenotypeKernels). */
+  def variantStats(df: DataFrame): DataFrame =
+    df.withColumn("_counts", alleleCounts(col("gt"), nAlleles))
+      .select(
+        col("chrom"), col("pos"), col("id"),
+        callRate(col("gt")).as("call_rate"),
+        calledGtCount(col("gt")).as("n_called"),
+        missingGtCount(col("gt")).as("n_missing"),
+        col("_counts").as("allele_counts"),
+        alleleFreqs(col("_counts")).as("allele_freqs"),
+        majorFreqFromCounts(col("_counts")).as("maf"),
+        macFromCounts(col("_counts")).as("mac"),
+        obsHet(col("gt")).as("obs_het"),
+        expHetFromCounts(col("_counts")).as("exp_het"),
+        observedFromCounts(col("_counts")).as("n_alleles_obs"))
 
   /** One row per (variant, sample): the exploded "long" view — escape
     * hatch for per-sample aggregation and for cohorts too wide for a
