@@ -30,11 +30,24 @@ object Filters {
   /** nAlleles expression used by allele-code kernels: alt list + ref. */
   private def nAlleles: Column = coalesce(size(col("alt")), lit(0)) + 1
 
-  // ── predicate builders (composable Columns; NaN-safe: NaN compares false) ──
-  def byCallRate(minRate: Double): Column = callRate(col("gt")) >= minRate
+  /** One-pass codegen'd genotype stats struct (GtStatsExpr). Referencing
+    * several fields re-states the expression, but gt_stats is
+    * deterministic + codegen-capable, so whole-stage subexpression
+    * elimination evaluates it once per row. */
+  private def gs: Column = graft.functions.GtStats.of(col("gt"), nAlleles)
+
+  // ── predicate builders (composable Columns). NaN semantics follow
+  // Spark ordering (NaN sorts LAST/greatest): a NaN stat passes `>= min`
+  // but fails `<= max` — pinned by FiltersSpec against the HOF kernels. ──
+  def byCallRate(minRate: Double): Column = {
+    val g = gs
+    val rate = when(g.getField("n_samples") === 0, lit(Double.NaN))
+      .otherwise(g.getField("n_called").cast("double") / g.getField("n_samples").cast("double"))
+    rate >= minRate
+  }
 
   def byMaf(min: Double = 0.0, max: Double = 1.0): Column = {
-    val f = majorAlleleFreq(col("gt"), nAlleles)
+    val f = majorFreqFromCounts(gs.getField("counts"))
     f >= min && f <= max
   }
 
@@ -44,12 +57,14 @@ object Filters {
   }
 
   def byMac(min: Long = 0L, max: Long = Long.MaxValue): Column = {
-    val m = mac(col("gt"), nAlleles)
+    val m = macFromCounts(gs.getField("counts"))
     m >= min && m <= max
   }
 
   def byObsHet(min: Double = 0.0, max: Double = 1.0): Column = {
-    val h = obsHet(col("gt"))
+    val g = gs
+    val h = when(g.getField("n_called") === 0, lit(Double.NaN))
+      .otherwise(g.getField("n_het").cast("double") / g.getField("n_called").cast("double"))
     h >= min && h <= max
   }
 
@@ -66,10 +81,10 @@ object Filters {
   def outRegions(regions: Seq[(String, Long, Long)]): Column = !inRegions(regions)
 
   /** ≥ 2 alleles observed (drop monomorphic) — keep_variable_variations. */
-  def variableOnly: Column = observedAlleleCount(col("gt"), nAlleles) >= 2
+  def variableOnly: Column = observedFromCounts(gs.getField("counts")) >= 2
 
   /** ≤ 2 alleles observed (drop multi-allelic sites). */
-  def biallelicOnly: Column = observedAlleleCount(col("gt"), nAlleles) <= 2
+  def biallelicOnly: Column = observedFromCounts(gs.getField("counts")) <= 2
 
   /** Run one filter, computing the FLT_STATS side-output in a single
     * aggregation job (kept remains a lazy DataFrame). */
@@ -137,24 +152,33 @@ final class VariantPipeline private (
       stats: Seq[(String, Filters.FilterStats)],
       nInput: Long)
 
-  /** One aggregation job computes every stage's kept-count via cumulative
-    * predicates; the returned DataFrame stays lazy (filter on the full
-    * conjunction — Catalyst folds it into the scan). */
+  /** One aggregation job computes every stage's kept-count; the returned
+    * DataFrame stays lazy.
+    *
+    * Each stage's predicate is MATERIALIZED as a boolean column first, so
+    * a k-stage pipeline evaluates each (interpreted-HOF) kernel exactly
+    * once per row — the naive cumulative-conjunction form re-evaluated
+    * stage i's kernel in every cumulative j ≥ i (O(k²) kernel evals;
+    * measured 4× slowdown at 200k×50 with 2 filter stages). */
   def run(): PipelineResult = {
     if (stages.isEmpty) return PipelineResult(df, Nil, -1L)
-    val cumulative = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }.tail
+    val predCols = stages.indices.map(i => s"_p$i")
+    val withPreds = stages.zipWithIndex.foldLeft(df) { case (d, ((_, p), i)) =>
+      d.withColumn(predCols(i), p)
+    }
+    val cumulative = predCols.scanLeft(lit(true)) { (acc, c) => acc && col(c) }.tail
     val aggs = count(lit(1)).as("n_input") +:
       cumulative.zipWithIndex.map { case (c, i) =>
         sum(when(c, 1L).otherwise(0L)).as(s"k$i")
       }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = withPreds.agg(aggs.head, aggs.tail: _*).head()
     val nInput = row.getLong(0)
     val kept = (0 until stages.size).map(i => if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
     val stats = stages.zipWithIndex.map { case ((name, _), i) =>
       val before = if (i == 0) nInput else kept(i - 1)
       name -> Filters.FilterStats(kept(i), before - kept(i))
     }
-    PipelineResult(df.filter(cumulative.last), stats, nInput)
+    PipelineResult(withPreds.filter(cumulative.last).drop(predCols: _*), stats, nInput)
   }
 }
 

@@ -20,10 +20,38 @@ object Stats {
   private def nAlleles: Column = coalesce(size(col("alt")), lit(0)) + 1
 
   /** Append the standard per-variant stat columns (map-only, no shuffle).
-    * The allele histogram is materialized ONCE and every count-derived
-    * stat reads the materialized column — interpreted HOF expressions are
-    * re-evaluated per reference if inlined (see GenotypeKernels). */
-  def variantStats(df: DataFrame): DataFrame =
+    *
+    * The gt matrix is scanned exactly ONCE, by the codegen'd `gt_stats`
+    * expression (GtStatsExpr); every stat is then cheap arithmetic over
+    * the materialized struct. The HOF twin (`variantStatsHof`) is kept
+    * for differential testing — GtStatsPropertySpec proves them equal. */
+  def variantStats(df: DataFrame): DataFrame = {
+    val gs = col("_gs")
+    val counts = gs.getField("counts")
+    val nSamp = gs.getField("n_samples")
+    val nCalled = gs.getField("n_called")
+    val nHet = gs.getField("n_het")
+    val nanC = lit(Double.NaN)
+    df.withColumn("_gs", graft.functions.GtStats.of(col("gt"), nAlleles))
+      .select(
+        col("chrom"), col("pos"), col("id"),
+        when(nSamp === 0, nanC)
+          .otherwise(nCalled.cast("double") / nSamp.cast("double")).as("call_rate"),
+        nCalled.as("n_called"),
+        (nSamp.cast("long") - nCalled).as("n_missing"),
+        counts.as("allele_counts"),
+        alleleFreqs(counts).as("allele_freqs"),
+        majorFreqFromCounts(counts).as("maf"),
+        macFromCounts(counts).as("mac"),
+        when(nCalled === 0, nanC)
+          .otherwise(nHet.cast("double") / nCalled.cast("double")).as("obs_het"),
+        expHetFromCounts(counts).as("exp_het"),
+        observedFromCounts(counts).as("n_alleles_obs"))
+  }
+
+  /** Interpreted-HOF twin of variantStats (GenotypeKernels only) — the
+    * differential-testing reference for the codegen path. */
+  def variantStatsHof(df: DataFrame): DataFrame =
     df.withColumn("_counts", alleleCounts(col("gt"), nAlleles))
       .select(
         col("chrom"), col("pos"), col("id"),
