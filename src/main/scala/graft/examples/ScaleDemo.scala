@@ -79,6 +79,22 @@ object ScaleDemo {
     time("sampleDepthStats (long view)") {
       Stats.sampleDepthStats(df).write.format("noop").mode("overwrite").save()
     }
+    time("sampleDepthStatsFast (UDAF)") {
+      Stats.sampleDepthStatsFast(df).write.format("noop").mode("overwrite").save()
+    }
+    // skewed aggregation: 22 chrom keys, chr1 ~4.5% hot at uniform — make
+    // it hot by keying on a constant-heavy derivation
+    time("salted agg over skewed key") {
+      val skewed = df.select(
+        when(col("pos") % 10 < 9, lit("hot")).otherwise(col("chrom")).as("key"),
+        col("qual").as("v"))
+      val out = graft.operators.Skew.saltedAgg(skewed, Seq("key"), "v", salt = 16)
+      val direct = skewed.groupBy("key").agg(count(lit(1)).as("cnt"))
+      val a = out.select("key", "cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val b = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a == b, s"salted != direct")
+      println(s"SCALE   hot key rows: ${a.getOrElse("hot", 0L)}")
+    }
     spark.stop()
   }
 }

@@ -87,10 +87,22 @@ object Stats {
     withGt
   }
 
+  /** Depth mean/min/max per sample via the SampleDepthAgg Aggregator —
+    * no explode, no wide shuffle: one vector buffer per partition
+    * (use this at scale; `sampleDepthStats` when percentiles are needed). */
+  def sampleDepthStatsFast(df: DataFrame): DataFrame = {
+    val agg = udaf(graft.functions.SampleDepthAgg)
+    df.select(agg(col("dp")).as("r"))
+      .select(explode(col("r.stats")).as("s"))
+      .select(col("s.sample_idx"), col("s.n"), col("s.mean_dp"), col("s.min_dp"), col("s.max_dp"))
+      .orderBy("sample_idx")
+  }
+
   /** Depth distribution per sample — the reference's axis-1 aggregation;
     * the one reference op that is a genuine (tiny-key) shuffle. */
   def sampleDepthStats(df: DataFrame): DataFrame =
     df.select(posexplode(col("dp")).as(Seq("sample_idx", "dp")))
+      .filter(col("dp") >= 0) // -1 = missing sentinel, excluded like the fast path
       .groupBy(col("sample_idx"))
       .agg(
         count(lit(1)).as("n"),

@@ -45,6 +45,15 @@ class FiltersSpec extends SparkTestBase {
     assert(keptIds(out) === Set("v1", "v4", "v5", "v6"))
   }
 
+  test("depth-based MAF filter: AO/RO rows only (null stats drop rows)") {
+    // v1: depth maf = 26/41 ≈ 0.634 → kept at max=0.7; all other rows have
+    // no AO/RO → null stat → null predicate → dropped
+    val r = Filters(fixture, Filters.byMafDepth(max = 0.7))
+    assert(keptIds(r) === Set("v1"))
+    val strict = Filters(fixture, Filters.byMafDepth(max = 0.6))
+    assert(keptIds(strict) === Set.empty)
+  }
+
   test("qual filter") {
     val r = Filters(fixture, Filters.byQual(50.0))
     assert(keptIds(r) === Set("v1", "v3", "v4", "v6"))

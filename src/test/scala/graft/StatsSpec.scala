@@ -27,6 +27,14 @@ class StatsSpec extends SparkTestBase {
     assert(s0.getAs[Int]("max_dp") === 30)
   }
 
+  test("fast per-sample depth stats (Aggregator) ≡ long-view aggregation") {
+    val slow = Stats.sampleDepthStats(fixture).collect()
+      .map(r => r.getAs[Int]("sample_idx") -> (r.getAs[Long]("n"), r.getAs[Double]("mean_dp"), r.getAs[Int]("min_dp"), r.getAs[Int]("max_dp"))).toMap
+    val fast = Stats.sampleDepthStatsFast(fixture).collect()
+      .map(r => r.getAs[Int]("sample_idx") -> (r.getAs[Long]("n"), r.getAs[Double]("mean_dp"), r.getAs[Int]("min_dp"), r.getAs[Int]("max_dp"))).toMap
+    assert(fast === slow)
+  }
+
   test("histogram: fixed bins, clamped edges, NaN dropped") {
     val h = Stats.histogram(
       Stats.variantStats(fixture), col("call_rate"), 0.0, 1.0, nBins = 4)

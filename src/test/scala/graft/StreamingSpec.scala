@@ -77,6 +77,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source readStream: tumbling agg over json files (AvailableNow)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream-src")
+    java.nio.file.Files.writeString(dir.resolve("b1.json"),
+      """{"ts":"2024-01-01 10:05:00","event_type":"click","value":1.0}
+        |{"ts":"2024-01-01 10:20:00","event_type":"click","value":2.0}""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("b2.json"),
+      """{"ts":"2024-01-01 11:15:00","event_type":"view","value":5.0}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir.toString)
+    val q = Streams.tumblingAgg(stream, "ts", "1 hour", Seq("event_type"), "value")
+      .writeStream.format("memory").queryName("file_tumb").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.sql("SELECT event_type, cnt, sum_value FROM file_tumb ORDER BY win_start")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming and batch tumbling agg agree on the same data") {
     import spark.implicits._
     val batch = Seq(
