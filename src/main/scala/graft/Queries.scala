@@ -319,18 +319,18 @@ object Queries {
              |ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // ── 15. as-of join (max-< emulation) ───────────────────────────────
+    // ── 15. as-of join (sort-based union+window operator, AsOf.scala —
+    // NOT the O(|L|·|R_key|) max-< join the oracle uses) ────────────────
     QueryDef(
       "q_join_asof",
       (s, d) => {
         val ev = events(s, d)
         val p = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .select(col("event_id"), col("user_id").as("uid"), col("ts").as("p_ts"))
         val sg = ev.filter(col("event_type") === "signup")
-          .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-        p.join(sg, col("p_user") === col("s_user") && col("s_ts") < col("p_ts"), "left")
-          .groupBy(col("event_id"))
-          .agg(fmtTs(date_trunc("second", max(col("s_ts")))).as("asof_ts"))
+          .select(col("user_id").as("uid"), col("ts").as("s_ts"))
+        graft.operators.AsOf.joinAsOf(p, sg, key = "uid", leftTs = "p_ts", rightTs = "s_ts", strict = true)
+          .select(col("event_id"), fmtTs(date_trunc("second", col("asof_ts"))).as("asof_ts"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT p.event_id,

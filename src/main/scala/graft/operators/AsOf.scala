@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY.md §2.4: no native Spark operator) — for each left
+  * row, attach the latest right row with right.ts < left.ts (strict) or
+  * ≤ (non-strict) within the same key.
+  *
+  * Implementation is the sort-based union+window form, NOT a θ-join:
+  * both sides are unioned with a side tag, one window pass per key in
+  * event order carries the last-seen right timestamp forward. Cost is
+  * one shuffle on the key + a per-key sort — O((|L|+|R|) log) — versus
+  * the max-< join's O(|L|·|R_key|) intermediate, which explodes on keys
+  * with long histories (exactly the hot users a 100 TB event log has).
+  */
+object AsOf {
+
+  /** @param left      probe side (every row preserved)
+    * @param right     reference side
+    * @param key       join key column name present on both sides
+    * @param leftTs    left timestamp column name
+    * @param rightTs   right timestamp column name
+    * @param strict    true → right.ts strictly earlier than left.ts
+    * @param outCol    name of the attached as-of timestamp column
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      strict: Boolean = true,
+      outCol: String = "asof_ts"): DataFrame = {
+
+    val leftCols = left.columns
+    val lpayType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // union layout: key, ts, side (0 = right, 1 = left), right-ts payload,
+    // left payload as a native struct (nullable on the right side)
+    val r = right.select(
+      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+      col(rightTs).as("_rts"), lit(null).cast(lpayType).as("_lpay"))
+    val l = left.select(
+      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
+      lit(null).cast(right.schema(rightTs).dataType).as("_rts"),
+      struct(leftCols.map(col): _*).as("_lpay"))
+
+    // At equal timestamps: strict → the left row must NOT see the right
+    // row, so left sorts first; non-strict → right sorts first.
+    val sideOrder = if (strict) col("_side").desc else col("_side").asc
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .withColumn(outCol, last(col("_rts"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_lpay.$c")) :+ col(outCol): _*)
+  }
+}

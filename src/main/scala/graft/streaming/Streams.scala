@@ -49,6 +49,13 @@ object Streams {
         col("session_window.end").as("sess_end") +: keyCols.map(col)) :+ col("cnt"): _*)
   }
 
+  /** Streaming exact dedup with bounded state: duplicate keys arriving
+    * within the watermark horizon are dropped; per-key state expires as
+    * the watermark advances (the streaming twin of Dedup.exact — state
+    * is O(keys in horizon), not O(stream)). */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(keys)
+
   // ── custom stateful sessionizer (flatMapGroupsWithState) ─────────────
 
   final case class Event(userId: Long, ts: Timestamp, value: Double)

@@ -77,6 +77,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops duplicate keys across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_key", "payload")
+    val q = Streams.dedupWithinWatermark(df, Seq("doc_key"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(2), 1L, "dup"))
+      q.processAllAvailable()
+      input.addData((ts(3), 1L, "dup2"), (ts(4), 3L, "c"))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT doc_key, count(*) c FROM dedup_s GROUP BY doc_key").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(keys === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+
   test("file-source readStream: tumbling agg over json files (AvailableNow)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("stream-src")
