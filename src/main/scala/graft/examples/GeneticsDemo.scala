@@ -58,6 +58,12 @@ object GeneticsDemo {
 
     println("\nper-sample depth stats:")
     Stats.sampleDepthStats(df).show(false)
+
+    // DataSourceV2 path: format("vcf") with chrom/pos pushdown
+    val v2 = spark.read.format("vcf").load(vcf)
+      .filter(col("chrom") === "chr2" && col("pos") <= 150)
+    println(s"format(\"vcf\") pushdown chr2/<=150: " +
+      v2.select("id").collect().map(_.getString(0)).mkString(","))
     spark.stop()
   }
 }

@@ -1,0 +1,205 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.VariantSchema
+
+/** VCF as a DataSourceV2 `TableProvider` (SURVEY.md §4.2(3) "v2:
+  * DataSourceV2 with pushdown of chrom/pos"):
+  *
+  *   spark.read.format("vcf").load(dirOrGlobOfVcfOrVcfGz)
+  *
+  * - one input partition per file (gzip VCF is not splittable; many-file
+  *   cohorts parallelize at file granularity, the same unit the
+  *   reference's chunked parser used);
+  * - chrom equality/IN and pos range filters are PUSHED to the source:
+  *   non-matching variants are skipped during the streaming parse,
+  *   before any row materializes (for .gz there is nothing better —
+  *   region slicing over seekable storage belongs to the parquet store,
+  *   written once via Vcf.toParquet);
+  * - emits `VariantSchema` rows with the reference sentinels (GT -1,
+  *   DP -1, GQ NaN, absent AO/RO → null).
+  */
+class VcfDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "vcf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = VariantSchema.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VcfTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class VcfTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"vcf:$path"
+  override def schema(): StructType = VariantSchema.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcfScanBuilder(Option(options.get("path")).getOrElse(path))
+}
+
+class VcfScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo("chrom", _: String) => true
+      case In("chrom", vs) => vs.forall(_.isInstanceOf[String])
+      case GreaterThan("pos", _: Long) | GreaterThanOrEqual("pos", _: Long) => true
+      case LessThan("pos", _: Long) | LessThanOrEqual("pos", _: Long) => true
+      case _ => false
+    }
+    pushed = supported
+    rest // Spark still re-applies everything; source-side skip is an optimization
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new VcfScan(path, pushed)
+}
+
+class VcfScan(path: String, filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = VariantSchema.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"VcfScan($path, pushed=[${filters.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val statuses: Array[FileStatus] =
+      if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile)
+      else fs.globStatus(p) match {
+        case null => Array(fs.getFileStatus(p))
+        case g => g.filter(_.isFile)
+      }
+    statuses
+      .filterNot(s => s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_"))
+      .map(s => VcfInputPartition(s.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(filters)
+}
+
+case class VcfInputPartition(file: String) extends InputPartition
+
+class VcfReaderFactory(filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VcfPartitionReader(partition.asInstanceOf[VcfInputPartition].file, filters)
+}
+
+/** Streaming line parser for one VCF file. */
+class VcfPartitionReader(file: String, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val stream = {
+    val p = new Path(file)
+    val raw = p.getFileSystem(new Configuration()).open(p)
+    if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
+  }
+  private val lines = new java.io.BufferedReader(
+    new java.io.InputStreamReader(stream, "UTF-8"), 1 << 16)
+
+  private var current: InternalRow = _
+
+  private def keep(chrom: String, pos: Long): Boolean = filters.forall {
+    case EqualTo("chrom", v: String) => chrom == v
+    case In("chrom", vs) => vs.contains(chrom)
+    case GreaterThan("pos", v: Long) => pos > v
+    case GreaterThanOrEqual("pos", v: Long) => pos >= v
+    case LessThan("pos", v: Long) => pos < v
+    case LessThanOrEqual("pos", v: Long) => pos <= v
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    var line = lines.readLine()
+    while (line != null) {
+      if (line.nonEmpty && line.charAt(0) != '#') {
+        val row = parse(line)
+        if (row != null) { current = row; return true }
+      }
+      line = lines.readLine()
+    }
+    false
+  }
+
+  /** @return null when the pushed filters reject the variant. */
+  private def parse(line: String): InternalRow = {
+    val f = line.split("\t", -1)
+    if (f.length < 10) return null
+    val chrom = f(0)
+    val pos = f(1).toLong
+    if (!keep(chrom, pos)) return null
+
+    val fmt = f(8).split(":", -1)
+    def idx(key: String): Int = fmt.indexOf(key)
+    val (gi, di, qi, ai, ri) = (idx("GT"), idx("DP"), idx("GQ"), idx("AO"), idx("RO"))
+
+    val n = f.length - 9
+    val gt = new Array[Any](n)
+    val dp = new Array[Any](n)
+    val gq = new Array[Any](n)
+    val ao = if (ai >= 0) new Array[Any](n) else null
+    val ro = if (ri >= 0) new Array[Any](n) else null
+
+    var s = 0
+    while (s < n) {
+      val parts = f(9 + s).split(":", -1)
+      def part(i: Int): String = if (i >= 0 && i < parts.length) parts(i) else null
+
+      val g = part(gi)
+      gt(s) =
+        if (g == null || g == "." ) new GenericArrayData(Array[Any](-1, -1))
+        else {
+          val alleles = g.split("[/|]", -1)
+          new GenericArrayData(alleles.map(a =>
+            (if (a == "." || a.isEmpty) -1 else a.toInt): Any))
+        }
+      val d = part(di)
+      dp(s) = if (d == null || d == ".") -1 else d.toInt
+      val q = part(qi)
+      gq(s) = if (q == null || q == ".") Double.NaN else q.toDouble
+      if (ao != null) {
+        val a = part(ai)
+        ao(s) = if (a == null || a == ".") null
+          else new GenericArrayData(a.split(",", -1).map(_.toInt: Any))
+      }
+      if (ro != null) {
+        val r = part(ri)
+        ro(s) = if (r == null || r == ".") -1 else r.toInt
+      }
+      s += 1
+    }
+
+    val alt: Any =
+      if (f(4) == ".") new GenericArrayData(Array.empty[Any])
+      else new GenericArrayData(f(4).split(",", -1).map(UTF8String.fromString(_): Any))
+
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(chrom),
+      pos,
+      if (f(2) == ".") null else UTF8String.fromString(f(2)),
+      UTF8String.fromString(f(3)),
+      alt,
+      if (f(5) == ".") null else f(5).toDouble,
+      new GenericArrayData(gt),
+      new GenericArrayData(dp),
+      new GenericArrayData(gq),
+      if (ao == null) null else new GenericArrayData(ao),
+      if (ro == null) null else new GenericArrayData(ro)))
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
