@@ -96,12 +96,14 @@ object Filters {
     FilterResult(df.filter(pred), FilterStats(k, row.getLong(1) - k))
   }
 
-  // ── per-call masking (π with array rewrite; row count unchanged) ──
+  // ── per-call masking (π with array rewrite; row count unchanged).
+  // Codegen'd MaskGt expression; HOF twins in GenotypeKernels are the
+  // spec and the property-test reference. ──
   def maskByDepth(df: DataFrame, minDepth: Int): DataFrame =
-    df.withColumn("gt", maskGtByDepth(col("gt"), col("dp"), minDepth))
+    df.withColumn("gt", graft.functions.MaskGt.of(col("gt"), col("dp"), minDepth.toDouble))
 
   def maskByQual(df: DataFrame, minQual: Double): DataFrame =
-    df.withColumn("gt", maskGtByQual(col("gt"), col("gq"), minQual))
+    df.withColumn("gt", graft.functions.MaskGt.of(col("gt"), col("gq"), minQual))
 
   /** Project every per-call array down to the named samples (axis-1
     * subset, `keep_samples`); returns the updated metadata too. */

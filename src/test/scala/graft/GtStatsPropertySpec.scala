@@ -82,6 +82,25 @@ class GtStatsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("codegen MaskGt ≡ HOF zip_with masking on random matrices") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GenotypeKernels, MaskGt}
+    for (seed <- 40 to 44) {
+      val rnd = new Random(seed)
+      val df = mkDf(randVariants(rnd, 20))
+        .withColumn("dp", transform(col("gt"), _ => lit(rnd.nextInt(40)).cast("int")))
+      val thr = rnd.nextInt(40)
+      val fast = df.select(col("pos"), MaskGt.of(col("gt"), col("dp"), thr.toDouble).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[Int]](1)).toMap
+      val slow = df.select(col("pos"), GenotypeKernels.maskGtByDepth(col("gt"), col("dp"), thr).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[Int]](1)).toMap
+      assert(fast.keySet === slow.keySet, s"seed=$seed")
+      fast.keySet.foreach { k =>
+        assert(fast(k).map(_.toSeq) === slow(k).map(_.toSeq), s"seed=$seed pos=$k thr=$thr")
+      }
+    }
+  }
+
   test("invariant: filter stats partition the input (N_KEPT + N_OUT = N)") {
     for (seed <- 30 to 34) {
       val rnd = new Random(seed)
