@@ -22,17 +22,25 @@ object TextHash {
 
   val P = 1000000007L
 
-  /** Polynomial rolling hash of a string, char code points base-31.
+  /** Polynomial rolling hash of a string, char code points base-31 —
+    * codegen'd fused loop (TextHashExpr); `charHashHof` is the
+    * HOF spec it must equal. */
+  def charHash(s: Column): Column = TextHashExprs.charHash(s)
+
+  /** Hash of every whitespace token of `text` (codegen'd). */
+  def wordHashes(text: Column): Column = TextHashExprs.wordHashes(text)
+
+  /** HOF spec form of charHash (differential-testing reference).
     * Spark's split keeps a trailing "" (Java split limit -1) — filtered
     * out so the roll matches engines whose char-split doesn't. */
-  def charHash(s: Column): Column =
+  def charHashHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31L + c) % P)
 
-  /** Hash of every whitespace token of `text`. */
-  def wordHashes(text: Column): Column = transform(split(text, " "), w => charHash(w))
+  /** HOF spec form of wordHashes. */
+  def wordHashesHof(text: Column): Column = transform(split(text, " "), w => charHashHof(w))
 
   /** i-th universal-family rehash of a word-hash: (aᵢ·w + bᵢ) mod P. */
   def rehash(w: Column, i: Int): Column =

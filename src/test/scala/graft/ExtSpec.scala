@@ -20,6 +20,22 @@ class ExtSpec extends SparkTestBase {
     assert(one(TextHash.charHash(lit(""))) === 0L)
   }
 
+  test("codegen char/word hashes ≡ HOF spec forms on random word soups") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("the", "cat", "sat", "a", "", "zz", "longerword", "12", "x!y")
+    val texts = (1 to 40).map(_ => Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = spark.createDataFrame(texts.map(Tuple1(_))).toDF("t")
+    val rows = df.select(
+      TextHash.charHash(col("t")).as("ce"),
+      TextHash.charHashHof(col("t")).as("ch"),
+      TextHash.wordHashes(col("t")).as("we"),
+      TextHash.wordHashesHof(col("t")).as("wh")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+  }
+
   test("wordHashes + minhash: min of rehashed token hashes") {
     val whs = TextHash.wordHashes(lit("abc abc"))
     assert(one(whs) === Seq(96354L, 96354L))
