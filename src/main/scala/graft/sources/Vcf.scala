@@ -80,6 +80,12 @@ object Vcf {
 
     val df = spark.read.text(path)
       .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      // malformed-line tolerance (PERMISSIVE-style drop): a data line must
+      // carry ≥ 10 tab-separated fields with an integer POS — under ANSI
+      // mode a stray header/garbage line would otherwise fail the cast
+      // and kill the whole ingest
+      .filter(size(split(col("value"), "\t")) >= 10 &&
+        col("value").rlike("^[^\t]+\t[0-9]+\t"))
       .select(
         f(1).as("chrom"),
         f(2).cast("long").as("pos"),

@@ -126,7 +126,10 @@ class VcfPartitionReader(file: String, filters: Array[Filter])
     var line = lines.readLine()
     while (line != null) {
       if (line.nonEmpty && line.charAt(0) != '#') {
-        val row = parse(line)
+        // malformed lines are dropped (PERMISSIVE), not fatal
+        val row =
+          try parse(line)
+          catch { case _: NumberFormatException => null }
         if (row != null) { current = row; return true }
       }
       line = lines.readLine()

@@ -75,6 +75,16 @@ class VcfSpec extends SparkTestBase {
     assert(dirs.toSet === Set("chrom=chr1", "chrom=chr2"))
   }
 
+  test("malformed lines are dropped, not fatal (both readers)") {
+    val dir = Files.createTempDirectory("v6bad")
+    val p = dir.resolve("bad.vcf")
+    Files.writeString(p, vcfText + "\ngarbage line without tabs\nchrX\tnotanumber\tv9\tA\tT\t1\tP\t.\tGT\t0/0\n")
+    val (df, _) = Vcf.read(spark, p.toString)
+    assert(df.count() === 6) // the 2 bad lines vanish, good ones survive
+    val v2 = spark.read.format("vcf").load(p.toString)
+    assert(v2.count() === 6)
+  }
+
   test("vcf export round-trips back through the parser") {
     val (df, meta) = Vcf.read(spark, vcfPath)
     val out = Files.createTempDirectory("v6out").resolve("export").toString
