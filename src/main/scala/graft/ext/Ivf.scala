@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the third
+  * similarity path beside brute force and hyperplane LSH: a coarse
+  * k-means quantizer partitions the corpus into cells; a query probes
+  * only the `nprobe` nearest cells.
+  *
+  * Scale shape: training is `iters` rounds of (broadcast centroids →
+  * map-side assign → vector-sum Aggregator per cell) — no explode, one
+  * tiny shuffle per round (k buffers per partition). Search touches
+  * ~nprobe/k of the corpus; with the cell id written into a partition
+  * column, cells prune at the parquet scan.
+  *
+  * Deterministic by construction: centroids init from the k lowest ids
+  * (any deterministic order works — k-means converges from any seed) and
+  * Lloyd iterations are fixed-count, so indexes reproduce across runs —
+  * the same no-RNG-state policy as Similarity.lshBucket.
+  */
+object Ivf {
+
+  /** Squared L2 distance between two float-array columns. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest centroid id for `vec` given a driver-side centroid list. */
+  private def nearest(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val ds = centroids.map { case (cid, c) =>
+      struct(dist2(vec, lit(c)).as("d"), lit(cid).as("cid"))
+    }
+    array_min(array(ds: _*)).getField("cid")
+  }
+
+  /** Train the coarse quantizer: returns (cell id, centroid) pairs.
+    * Centroid count is `k`; `iters` Lloyd rounds (2-3 suffice for a
+    * coarse quantizer). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): Seq[(Int, Array[Double])] = {
+    val init = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+
+    (0 until iters).foldLeft(init) { (centroids, _) =>
+      val agg = udaf(VecMeanAgg)
+      val updated = corpus
+        .withColumn("_cell", nearest(col(vecCol), centroids))
+        .groupBy("_cell")
+        .agg(agg(col(vecCol).cast("array<double>")).as("m"))
+        .select(col("_cell"), col("m.mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      // empty cells keep their previous centroid
+      centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
+    }
+  }
+
+  /** Assign each corpus row its IVF cell (write this as a partition
+    * column for scan-level pruning at rest). */
+  def withCell(corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])], cellCol: String = "ivf_cell"): DataFrame =
+    corpus.withColumn(cellCol, nearest(col(vecCol), centroids))
+
+  /** Top-k by dot product probing the `nprobe` nearest cells only.
+    * `probeVec` is driver-side (the usual single-query ANN shape). */
+  def topK(
+      corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
+      probeVec: Array[Double], k: Int, nprobe: Int = 2,
+      scoreCol: String = "score"): DataFrame = {
+    val cells = centroids
+      .map { case (cid, c) =>
+        (cid, c.zip(probeVec).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    Similarity.bruteForceTopK(
+      withCell(corpus, vecCol, centroids).filter(col("ivf_cell").isin(cells: _*)),
+      vecCol,
+      corpus.sparkSession.range(1).select(lit(probeVec.map(_.toFloat)).as("_probe")),
+      "_probe", k, scoreCol)
+      .drop("ivf_cell")
+  }
+}
+
+final case class VecMeanBuf(sum: Array[Double], cnt: Long)
+final case class VecMeanOut(mean: Seq[Double])
+
+/** Element-wise mean of array<double> columns (same vector-buffer
+  * pattern as SampleDepthAgg: one buffer per partition, no explode). */
+object VecMeanAgg extends Aggregator[Seq[Double], VecMeanBuf, VecMeanOut] {
+  override def zero: VecMeanBuf = VecMeanBuf(Array.empty, 0L)
+
+  override def reduce(b: VecMeanBuf, v: Seq[Double]): VecMeanBuf = {
+    if (v == null) return b
+    val s = if (b.sum.length >= v.length) b.sum else java.util.Arrays.copyOf(b.sum, v.length)
+    var i = 0
+    while (i < v.length) { s(i) += v(i); i += 1 }
+    VecMeanBuf(s, b.cnt + 1)
+  }
+
+  override def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf = {
+    val n = math.max(x.sum.length, y.sum.length)
+    val s = java.util.Arrays.copyOf(x.sum, n)
+    var i = 0
+    while (i < y.sum.length) { s(i) += y.sum(i); i += 1 }
+    VecMeanBuf(s, x.cnt + y.cnt)
+  }
+
+  override def finish(b: VecMeanBuf): VecMeanOut =
+    VecMeanOut(if (b.cnt == 0) b.sum.toSeq else b.sum.map(_ / b.cnt).toSeq)
+
+  override def bufferEncoder: Encoder[VecMeanBuf] = Encoders.product[VecMeanBuf]
+  override def outputEncoder: Encoder[VecMeanOut] = Encoders.product[VecMeanOut]
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Ivf, Similarity}
+
+/** IVF coarse-quantizer ANN on the driver's embeddings table. */
+class IvfSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("train is deterministic; every cell id valid; cells non-trivial") {
+    val c1 = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val c2 = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(c1.map(_._1) === c2.map(_._1))
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    val cells = Ivf.withCell(emb, "embedding", c1)
+      .groupBy("ivf_cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.keys.forall(c => c >= 0 && c < 8))
+    assert(cells.size > 1, s"degenerate clustering: $cells") // not all in one cell
+  }
+
+  test("IVF top-k scores match brute force for returned ids; decent recall") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val probeVec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+
+    val probe = spark.range(1).select(lit(probeVec.map(_.toFloat)).as("p"))
+    val bf = Similarity.bruteForceTopK(corpus, "embedding", probe, "p", k = 20)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val ivf = Ivf.topK(corpus, "embedding", centroids, probeVec, k = 10, nprobe = 3)
+      .select("vec_id", "score").collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // every IVF score must equal the brute-force score for that id
+    ivf.foreach { r => assertNear(r.getDouble(1), bf.getOrElse(r.getLong(0), Double.NaN)) }
+    // recall sanity: with nprobe=3 of 8 cells, ≥ 3 of the true top-10 found
+    val trueTop10 = bf.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    val found = ivf.map(_.getLong(0)).count(trueTop10)
+    assert(found >= 3, s"recall too low: $found of 10")
+  }
+}
