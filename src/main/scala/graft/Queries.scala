@@ -779,6 +779,31 @@ object Queries {
              |FROM b v, p WHERE v.vec_id <> 0 AND v.bucket = p.pb
              |ORDER BY dot DESC, v.vec_id LIMIT 5""".stripMargin)),
 
+    // ── 42b. brute-force COSINE top-k (normalized; q_similarity_topk is
+    // the dot-product form) ────────────────────────────────────────────
+    QueryDef(
+      "q_similarity_cosine",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p_emb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), round(Similarity.cosine(col("embedding"), col("p_emb")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+             |SELECT v.vec_id,
+             |round(
+             |  list_sum(list_transform(range(1, len(v.embedding)+1),
+             |    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(range(1, len(v.embedding)+1),
+             |       i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+             |   * sqrt(list_sum(list_transform(range(1, len(p.pe)+1),
+             |       i -> CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))))), 4) AS cos
+             |FROM embeddings v, p WHERE v.vec_id <> 0
+             |ORDER BY cos DESC, v.vec_id LIMIT 5""".stripMargin)),
+
     // ── 43. language-ID heuristic (marker-stopword argmax) ─────────────
     QueryDef(
       "q_text_langid",
