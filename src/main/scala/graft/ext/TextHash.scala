@@ -67,8 +67,12 @@ object TextHash {
     }.reduce(_ + _)
 
   /** Hashes of the n-gram (default trigram) word shingles of `whs`;
-    * empty when the text has fewer than n tokens. */
-  def shingleHashes(whs: Column, n: Int = 3): Column = {
+    * empty when the text has fewer than n tokens (codegen'd fused loop;
+    * `shingleHashesHof` is the spec form). */
+  def shingleHashes(whs: Column, n: Int = 3): Column = TextHashExprs.shingleHashes(whs, n)
+
+  /** HOF spec form of shingleHashes (differential-testing reference). */
+  def shingleHashesHof(whs: Column, n: Int = 3): Column = {
     require(n >= 1)
     val combined: Column => Column = i =>
       (1 until n).foldLeft(element_at(whs, i + 1)) { (acc, j) =>

@@ -80,7 +80,49 @@ case class WordHashesExpr(child: Expression) extends UnaryExpression with Expect
     copy(child = newChild)
 }
 
+object TextHashLoopsShingle {
+  /** n-gram shingle hashes over a token-hash array (combined base-31 mod
+    * P, same arithmetic as the HOF `TextHash.shingleHashes`). */
+  def shingles(whs: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Array[Long] = {
+    val len = whs.numElements()
+    if (len < n) return Array.emptyLongArray
+    val out = new Array[Long](len - n + 1)
+    val P = TextHashLoops.P
+    var i = 0
+    while (i <= len - n) {
+      var acc = whs.getLong(i)
+      var j = 1
+      while (j < n) { acc = (acc * 31L + whs.getLong(i + j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  protected override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHashLoopsShingle.shingles(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.ext.TextHashLoopsShingle.shingles($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
   def charHash(c: Column): Column = bridge.column(CharHashExpr(bridge.expression(c)))
   def wordHashes(c: Column): Column = bridge.column(WordHashesExpr(bridge.expression(c)))
+  def shingleHashes(c: Column, n: Int): Column =
+    bridge.column(ShingleHashesExpr(bridge.expression(c), n))
 }

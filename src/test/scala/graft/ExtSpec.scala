@@ -34,6 +34,11 @@ class ExtSpec extends SparkTestBase {
       assert(r.getLong(0) === r.getLong(1))
       assert(r.getSeq[Long](2) === r.getSeq[Long](3))
     }
+    // shingles: codegen ≡ HOF spec, incl. the <n-token empty case
+    val sh = df.select(
+      TextHash.shingleHashes(TextHash.wordHashes(col("t"))).as("se"),
+      TextHash.shingleHashesHof(TextHash.wordHashes(col("t"))).as("sh")).collect()
+    sh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
   test("wordHashes + minhash: min of rehashed token hashes") {
