@@ -122,6 +122,24 @@ class FiltersSpec extends SparkTestBase {
     assert(stats("call_rate").total === 6)
   }
 
+  test("pipeline: 4-stage composition (qual, regions, biallelic, mac) telescopes") {
+    val r = VariantPipeline(fixture)
+      .byQual(40.0)                                  // keeps v1 v2 v3 v4 v6 (5)
+      .inRegions(Seq(("chr1", 0L, 1000L), ("chr2", 0L, 260L)))  // all 5 remain
+      .biallelicOnly()                               // drops v3 → v1 v2 v4 v6 (4)
+      .byMac(min = 2)                                // v1(3) v4(4) keep; v2(0) v6(1) drop
+      .run()
+    assert(r.nInput === 6)
+    val stats = r.stats.toMap
+    assert(stats("qual").nKept === 5)
+    assert(stats("regions").nKept === 5)
+    assert(stats("biallelic").nKept === 4)
+    assert(stats("mac").nKept === 2)
+    // telescoping: each stage's total = previous stage's kept
+    assert(r.stats.map(_._2.total) === Seq(6L, 5L, 5L, 4L))
+    assert(r.variations.select("id").collect().map(_.getString(0)).toSet === Set("v1", "v4"))
+  }
+
   test("allele counts sum equals called allele total (ploidy invariant)") {
     val df = fixture.select(
       GenotypeKernels.calledAlleleCount(col("gt")).as("t"),
