@@ -70,8 +70,8 @@ case class MaskGt(gt: Expression, metric: Expression, threshold: Double)
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $s = $gTerm.getArray($i);
-         |  boolean $masked = $i >= $mTerm.numElements() || $mTerm.isNullAt($i)
-         |    || $getter < $threshold;
+         |  boolean $masked = $i >= $mTerm.numElements() || $mTerm.isNullAt($i) ||
+         |  $getter < $threshold;
          |  if (!$masked) {
          |    $out[$i] = $s;
          |  } else {

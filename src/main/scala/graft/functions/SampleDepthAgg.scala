@@ -14,6 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * depths (-1 sentinel) are excluded from all statistics, matching the
   * long-view semantics. Median still needs the long view — this is the
   * mean/min/max fast path.
+  *
+  * Crossover (measured): 13× faster than the long view at 50 samples,
+  * but ~3× SLOWER at 2000 samples — the Aggregator input encoder boxes
+  * every depth into Seq[Int], and boxing dominates once rows are wide.
+  * Rule: fast path for cohorts up to a few hundred samples; long view
+  * (codegen'd explode) beyond. A TypedImperativeAggregate reading
+  * ArrayData directly would win at every width — round-2 candidate.
   */
 final case class DepthBuf(sum: Array[Long], cnt: Array[Long], min: Array[Int], max: Array[Int])
 final case class DepthOut(sample_idx: Int, n: Long, mean_dp: Double, min_dp: Option[Int], max_dp: Option[Int])
