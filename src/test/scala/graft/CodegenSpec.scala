@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.debug._
+import graft.ext.TextHash
+import graft.operators.{Filters, Stats}
+
+/** Guards against SILENT codegen fallback: Janino failures in custom
+  * expressions don't fail queries (Spark falls back to interpreted eval
+  * and only logs), so a template typo costs 10-100× quietly — exactly
+  * what happened with MaskGt's '||' continuation line. These tests
+  * assert every whole-stage subtree of plans using our expressions
+  * actually compiled (maxMethodCodeSize == -1 marks a failed subtree). */
+class CodegenSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def assertCompiles(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val s = codegenString(df.queryExecution.executedPlan)
+    assert(!s.contains("maxMethodCodeSize:-1"),
+      s"$what: a whole-stage subtree failed to compile\n" + s.linesIterator.take(8).mkString("\n"))
+    assert(s.contains("WholeStageCodegen subtrees"), s"$what: no codegen at all?")
+  }
+
+  test("gt_stats + mask_gt + filter pipeline compiles") {
+    val df = Filters.maskByDepth(GoldenFixture.df(spark), 5)
+      .filter(Filters.byCallRate(0.5) && Filters.byMaf(max = 0.95))
+    assertCompiles(df, "mask+filter")
+  }
+
+  test("variantStats plan compiles") {
+    assertCompiles(Stats.variantStats(GoldenFixture.df(spark)), "variantStats")
+  }
+
+  test("text hash expressions compile") {
+    val docs = Seq((1L, "the cat sat"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val df = docs
+      .withColumn("whs", TextHash.wordHashes(col("text")))
+      .select(
+        col("doc_id"),
+        TextHash.fingerprint(col("text")).as("fp"),
+        TextHash.shingleHashes(col("whs")).as("sh"))
+    assertCompiles(df, "text-hash")
+  }
+}
