@@ -87,16 +87,17 @@ object Stats {
     withGt
   }
 
-  /** Depth mean/min/max per sample via the SampleDepthAgg Aggregator —
-    * no explode, no wide shuffle: one vector buffer per partition
-    * (use this at scale; `sampleDepthStats` when percentiles are needed). */
-  def sampleDepthStatsFast(df: DataFrame): DataFrame = {
-    val agg = udaf(graft.functions.SampleDepthAgg)
-    df.select(agg(col("dp")).as("r"))
-      .select(explode(col("r.stats")).as("s"))
+  /** Depth mean/min/max per sample via the DepthStatsAgg
+    * TypedImperativeAggregate — no explode, no wide shuffle, no boxing:
+    * one vector buffer per partition at any cohort width (use this at
+    * scale; `sampleDepthStats` when percentiles are needed; the boxed
+    * Aggregator twin SampleDepthAgg remains as the narrow-cohort
+    * reference implementation). */
+  def sampleDepthStatsFast(df: DataFrame): DataFrame =
+    df.select(graft.functions.DepthStatsAgg.of(col("dp")).as("r"))
+      .select(explode(col("r")).as("s"))
       .select(col("s.sample_idx"), col("s.n"), col("s.mean_dp"), col("s.min_dp"), col("s.max_dp"))
       .orderBy("sample_idx")
-  }
 
   /** Depth distribution per sample — the reference's axis-1 aggregation;
     * the one reference op that is a genuine (tiny-key) shuffle. */
