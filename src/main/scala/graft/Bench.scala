@@ -20,8 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one trivial job to absorb session/codegen warmup noise
+    // untimed warmup: absorb session/codegen startup AND warm the table
+    // scans — otherwise the alphabetically-first query pays ~3-4 s of
+    // first-touch cost that belongs to no query (measured, SURVEY §7.1)
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "orders", "customer", "part", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
