@@ -31,10 +31,12 @@ object Vcf {
     header.split("\t").drop(9).toSeq
   }
 
-  def read(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
-    val samples = readSamples(spark, path)
-    val n = samples.size
-
+  /** Expression-only parse of a `value: string` lines DataFrame into
+    * VariantSchema — shared by the batch reader AND the streaming ingest
+    * (the transformations are stateless, so the identical plan runs
+    * under readStream). */
+  def parseLines(linesDf: DataFrame, nSamples: Int): DataFrame = {
+    val n = nSamples
     val fields = split(col("value"), "\t")
     def f(i: Int): Column = element_at(fields, i)
     val fmt = split(f(9), ":")
@@ -78,7 +80,7 @@ object Vcf {
         when(r.isNull || r === ".", lit(-1)).otherwise(r.cast("int"))
       }))
 
-    val df = spark.read.text(path)
+    linesDf
       .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
       // malformed-line tolerance (PERMISSIVE-style drop): a data line must
       // carry ≥ 10 tab-separated fields with an integer POS — under ANSI
@@ -95,12 +97,24 @@ object Vcf {
           .otherwise(split(f(5), ",")).as("alt"),
         when(f(6) === ".", lit(null).cast("double")).otherwise(f(6).cast("double")).as("qual"),
         gtCol.as("gt"), dpCol.as("dp"), gqCol.as("gq"), aoCol.as("ao"), roCol.as("ro"))
+  }
 
+  def read(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
+    val samples = readSamples(spark, path)
+    val df = parseLines(spark.read.text(path), samples.size)
     val ploidy =
       df.select(size(element_at(col("gt"), 1))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(2)
     (df, VariantsMetadata(samples, ploidy))
   }
+
+  /** Streaming VCF ingest: watch a directory for new VCF files and parse
+    * them with the SAME expression plan as the batch reader. Samples
+    * must be known upfront (a growing cohort is a schema change, not a
+    * stream). Typical sink: `.writeStream.partitionBy("chrom")
+    * .format("parquet")` — a continuously-appending variant store. */
+  def readStream(spark: SparkSession, dir: String, nSamples: Int): DataFrame =
+    parseLines(spark.readStream.text(dir), nSamples)
 
   /** VCF → chrom-partitioned parquet + metadata sidecar, one shuffle-free
     * job (the reference's read_vcf → prepare_zarr_storage → compute). */

@@ -85,6 +85,38 @@ class VcfSpec extends SparkTestBase {
     assert(v2.count() === 6)
   }
 
+  test("streaming VCF ingest: files arriving across batches land in the store") {
+    val watchDir = Files.createTempDirectory("vcfstream")
+    val outDir = Files.createTempDirectory("vcfstream-out")
+    val lines = vcfText.linesIterator.toSeq
+    val (header, body) = lines.partition(_.startsWith("#"))
+    Files.writeString(watchDir.resolve("chunk1.vcf"), (header ++ body.take(3)).mkString("\n"))
+
+    val stream = graft.sources.Vcf.readStream(spark, watchDir.toString, nSamples = 4)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir.resolve("store").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    // second file arrives; a new AvailableNow pass picks up only the delta
+    Files.writeString(watchDir.resolve("chunk2.vcf"), (header ++ body.drop(3)).mkString("\n"))
+    val q2 = stream.writeStream
+      .format("parquet")
+      .option("path", outDir.resolve("store").toString)
+      .option("checkpointLocation", outDir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+
+    val stored = spark.read.parquet(outDir.resolve("store").toString)
+    assert(stored.count() === 6)
+    val maf = GoldenFixture.byId[Double](graft.operators.Stats.variantStats(stored), "maf")
+    assertNear(maf("v1"), 0.625); assertNear(maf("v6"), 0.875)
+  }
+
   test("vcf export round-trips back through the parser") {
     val (df, meta) = Vcf.read(spark, vcfPath)
     val out = Files.createTempDirectory("v6out").resolve("export").toString
