@@ -232,6 +232,27 @@ object Queries {
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // ── 9b. explicit grouping sets (beyond rollup/cube) ────────────────
+    QueryDef(
+      "q_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+                |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+                |CAST(count(*) AS BIGINT) AS cnt
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+             |CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // ── 10. broadcast equi-join ────────────────────────────────────────
     QueryDef(
       "q_join_broadcast",
@@ -372,6 +393,32 @@ object Queries {
       Some("""SELECT event_id,
              |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ── 17b. analytic window: lead/first/last over frames ──────────────
+    QueryDef(
+      "q_window_analytic2",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(s, d)
+          .select(
+            col("event_id"),
+            lead(col("event_type"), 1).over(wOrd).as("next_type"),
+            first(col("event_type")).over(wAll).as("first_type"),
+            last(col("event_type")).over(wAll).as("last_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |lead(event_type) OVER w AS next_type,
+             |first_value(event_type) OVER
+             |  (PARTITION BY user_id ORDER BY ts, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+             |last_value(event_type) OVER
+             |  (PARTITION BY user_id ORDER BY ts, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
 
     // ── 18. window frame (moving sum; events has unique event_id) ──────
     QueryDef(
