@@ -109,7 +109,11 @@ object VariantsMetadata {
 
   def save(m: VariantsMetadata, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // Session conf (like load), so configured filesystems work for writes.
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
   }

@@ -65,13 +65,18 @@ case class MaskGt(gt: Expression, metric: Expression, threshold: Double)
       val j = ctx.freshName("j")
       val arr = ctx.freshName("arr")
       val getter = if (metricIsInt) s"$mTerm.getInt($i)" else s"$mTerm.getDouble($i)"
+      // Bit-pattern literal: interpolating the raw double would render
+      // NaN/Infinity as `NaN`/`Infinity` — not valid Java literals — and
+      // Janino failure silently degrades the stage to interpreted eval.
+      val thresholdLit =
+        s"Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(threshold)}L)"
       s"""
          |final int $n = $gTerm.numElements();
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $s = $gTerm.getArray($i);
          |  boolean $masked = $i >= $mTerm.numElements() || $mTerm.isNullAt($i) ||
-         |  $getter < $threshold;
+         |  $getter < $thresholdLit;
          |  if (!$masked) {
          |    $out[$i] = $s;
          |  } else {

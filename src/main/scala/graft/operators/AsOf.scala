@@ -35,27 +35,38 @@ object AsOf {
       outCol: String = "asof_ts"): DataFrame = {
 
     val leftCols = left.columns
+    require(!leftCols.contains(outCol),
+      s"joinAsOf: left already has a column named '$outCol' (outCol)")
+
+    // Internal union-layout names must not collide with user columns —
+    // a fixed "_k"/"_ts" would silently shadow same-named inputs.
+    val taken = (leftCols ++ right.columns).toSet + outCol
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").filterNot(taken).next()
+    val (kC, tsC, sideC, rtsC, lpayC) =
+      (fresh("_k"), fresh("_ts"), fresh("_side"), fresh("_rts"), fresh("_lpay"))
+
     val lpayType = org.apache.spark.sql.types.StructType(left.schema.fields)
     // union layout: key, ts, side (0 = right, 1 = left), right-ts payload,
     // left payload as a native struct (nullable on the right side)
     val r = right.select(
-      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
-      col(rightTs).as("_rts"), lit(null).cast(lpayType).as("_lpay"))
+      col(key).as(kC), col(rightTs).as(tsC), lit(0).as(sideC),
+      col(rightTs).as(rtsC), lit(null).cast(lpayType).as(lpayC))
     val l = left.select(
-      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
-      lit(null).cast(right.schema(rightTs).dataType).as("_rts"),
-      struct(leftCols.map(col): _*).as("_lpay"))
+      col(key).as(kC), col(leftTs).as(tsC), lit(1).as(sideC),
+      lit(null).cast(right.schema(rightTs).dataType).as(rtsC),
+      struct(leftCols.map(col): _*).as(lpayC))
 
     // At equal timestamps: strict → the left row must NOT see the right
     // row, so left sorts first; non-strict → right sorts first.
-    val sideOrder = if (strict) col("_side").desc else col("_side").asc
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), sideOrder)
+    val sideOrder = if (strict) col(sideC).desc else col(sideC).asc
+    val w = Window.partitionBy(col(kC))
+      .orderBy(col(tsC), sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)
-      .withColumn(outCol, last(col("_rts"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(leftCols.map(c => col(s"_lpay.$c")) :+ col(outCol): _*)
+      .withColumn(outCol, last(col(rtsC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .select(leftCols.map(c => col(s"$lpayC.$c")) :+ col(outCol): _*)
   }
 }

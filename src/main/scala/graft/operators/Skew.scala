@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic shard key: a content hash of the whole row, NOT
+    * spark_partition_id/monotonically_increasing_id. Those are
+    * recompute-unstable — after a fetch failure partially re-runs a map
+    * stage, re-executed rows would land in different (key, _salt)
+    * shuffle partitions and reducers could double-count or drop rows
+    * (the SPARK-23207 round-robin class of bug). Hashing the row content
+    * is retry-stable; duplicate rows sharing a shard only dulls the
+    * spread slightly, it never breaks correctness. */
+  private def shard(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong))
+
   /** Salted two-phase aggregation. Result ≡ `df.groupBy(keys).agg(count,
     * sum(valueCol), min, max)` but with bounded per-task key volume.
     * Shuffle 1 carries (keys, salt) — `salt`× more groups, each `salt`×
@@ -22,7 +33,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String, salt: Int = 16): DataFrame = {
     require(salt >= 1)
     val keyCols = keys.map(col)
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("_salt", shard(df, salt))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(
         count(lit(1)).as("_cnt"),
@@ -44,8 +55,7 @@ object Skew {
     * the standard trade when AQE splitting isn't available (e.g. the
     * join feeds a co-partitioned downstream op). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn(
-      "_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val saltedFact = fact.withColumn("_salt", shard(fact, salt))
     val explodedDim = dim.withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
     saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
   }

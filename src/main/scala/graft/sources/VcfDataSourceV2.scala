@@ -61,7 +61,13 @@ class VcfScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilt
       case _ => false
     }
     pushed = supported
-    rest // Spark still re-applies everything; source-side skip is an optimization
+    // DSv2 contract: filters NOT returned here are treated as fully
+    // handled by the source and REMOVED from the plan — correctness would
+    // then rest entirely on keep() exactly enforcing each accepted
+    // predicate. Returning `filters` unchanged keeps Spark re-applying
+    // everything, so the source-side skip stays purely an optimization
+    // and a future keep()/pushFilters mismatch cannot drop rows.
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new VcfScan(path, pushed)
@@ -73,9 +79,15 @@ class VcfScan(path: String, filters: Array[Filter]) extends Scan with Batch {
   override def description(): String =
     s"VcfScan($path, pushed=[${filters.mkString(",")}])"
 
+  // Session Hadoop conf, not `new Configuration()`: Spark-configured
+  // filesystem settings (fs.s3a credentials, fs.defaultFS, …) must reach
+  // both driver-side planning and the executor-side readers.
+  private def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(sessionConf())
     val statuses: Array[FileStatus] =
       if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile)
       else fs.globStatus(p) match {
@@ -88,23 +100,26 @@ class VcfScan(path: String, filters: Array[Filter]) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(filters)
+    new VcfReaderFactory(filters, org.apache.spark.sql.graft.bridge.serializableConf(sessionConf()))
 }
 
 case class VcfInputPartition(file: String) extends InputPartition
 
-class VcfReaderFactory(filters: Array[Filter]) extends PartitionReaderFactory {
+class VcfReaderFactory(
+    filters: Array[Filter],
+    conf: org.apache.spark.sql.graft.SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VcfPartitionReader(partition.asInstanceOf[VcfInputPartition].file, filters)
+    new VcfPartitionReader(partition.asInstanceOf[VcfInputPartition].file, filters, conf.value)
 }
 
 /** Streaming line parser for one VCF file. */
-class VcfPartitionReader(file: String, filters: Array[Filter])
+class VcfPartitionReader(file: String, filters: Array[Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val stream = {
     val p = new Path(file)
-    val raw = p.getFileSystem(new Configuration()).open(p)
+    val raw = p.getFileSystem(conf).open(p)
     if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
   }
   private val lines = new java.io.BufferedReader(
