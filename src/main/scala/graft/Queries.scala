@@ -855,11 +855,14 @@ object Queries {
     QueryDef(
       "q_text_langid",
       (s, d) => {
-        // scores materialized per language (same fold order as
-        // TextAnalysis.langId, which is the single-column API form)
+        // tokenize ONCE, then score every language from the materialized
+        // token array (the single-column langId form would re-split the
+        // document per profile — 4 tokenizations/row)
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        val scored = langs.foldLeft(t(s, d, "documents")) { (df, l) =>
-          df.withColumn(s"_s_$l", TextAnalysis.stopwordCount(col("text"), TextAnalysis.stopwords(l)))
+        val toks = t(s, d, "documents")
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        val scored = langs.foldLeft(toks) { (df, l) =>
+          df.withColumn(s"_s_$l", TextAnalysis.stopwordCountOf(col("_toks"), TextAnalysis.stopwords(l)))
         }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
         val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
           when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)
@@ -889,12 +892,14 @@ object Queries {
     QueryDef(
       "q_text_quality",
       (s, d) => {
-        // raw counts materialized once; derived metrics use the columns
-        // (same arithmetic as the TextAnalysis.* single-column forms)
+        // tokenize once, then raw counts materialized once; derived
+        // metrics use the columns (same arithmetic as the TextAnalysis.*
+        // single-column forms)
         val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
         t(s, d, "documents")
-          .withColumn("_nw", TextAnalysis.wordCount(col("text")))
-          .withColumn("_nstop", TextAnalysis.stopwordCount(col("text"), allStop))
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+          .withColumn("_nw", TextAnalysis.wordCountOf(col("_toks")))
+          .withColumn("_nstop", TextAnalysis.stopwordCountOf(col("_toks"), allStop))
           .withColumn("_npunct", length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
           .withColumn("_nchars", length(col("text")).cast("long"))
           .select(
@@ -928,11 +933,15 @@ object Queries {
     QueryDef(
       "q_token_count",
       (s, d) =>
+        // one regex scan per document: materialize the count, then feed
+        // the column to both aggregates (inline it twice and each row
+        // pays two regexp_extract_all passes)
         t(s, d, "documents")
+          .withColumn("_tc", TextAnalysis.tokenCount(col("text")))
           .groupBy(col("lang"))
           .agg(
-            sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
-            round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+            sum(col("_tc")).as("total_tokens"),
+            round(avg(col("_tc")), 4).as("avg_tokens"))
           .orderBy(col("lang")),
       Some("""SELECT lang,
              |CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,

@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for corpus curation: language ID, quality
   * scoring, token counting, fingerprinting. All map-side Column kernels
   * (no UDFs, no shuffle); aggregation is whatever the caller groups by.
+  *
+  * Two API layers:
+  *   - `*Of(toks, …)` forms take a pre-materialized token array. This is
+  *     the scale path: materialize `tokens(text)` ONCE via `withColumn`
+  *     and feed the column to every metric. Lambda HOFs are interpreted
+  *     (CodegenFallback), and Catalyst inlines a multiply-referenced
+  *     HOF *expression* into each consumer — k metrics would mean k full
+  *     re-tokenizations per row. A materialized column is evaluated once
+  *     (CollapseProject keeps non-cheap multiply-referenced projects).
+  *   - `(text)` convenience forms tokenize internally; fine for a single
+  *     metric, wasteful when combining several.
   */
 object TextAnalysis {
 
@@ -19,18 +30,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
     "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en"))
 
-  private def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokenizer — materialize this once per document
+    * (`df.withColumn("toks", TextAnalysis.tokens(col("text")))`) before
+    * computing several token-based metrics. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens belonging to `list`, over a token array. */
+  def stopwordCountOf(toks: Column, list: Seq[String]): Column =
+    size(filter(toks, w => w.isin(list: _*))).cast("long")
 
   /** Count of tokens belonging to `list`. */
   def stopwordCount(text: Column, list: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isin(list: _*))).cast("long")
+    stopwordCountOf(tokens(text), list)
 
-  /** Language-ID heuristic: argmax of per-language marker counts,
-    * lexicographically-first language on ties, 'und' (undetermined) when
-    * every score is 0. */
-  def langId(text: Column, profiles: Map[String, Seq[String]] = stopwords): Column = {
+  /** Language-ID heuristic over a token array: argmax of per-language
+    * marker counts, lexicographically-first language on ties, 'und'
+    * (undetermined) when every score is 0. One filter pass per profile,
+    * zero re-tokenizations. */
+  def langIdOf(toks: Column, profiles: Map[String, Seq[String]] = stopwords): Column = {
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, list) =>
-      (lang, stopwordCount(text, list))
+      (lang, stopwordCountOf(toks, list))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
@@ -38,35 +57,58 @@ object TextAnalysis {
     }
   }
 
-  def wordCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Single-column language ID. NOTE: re-tokenizes per profile — for
+    * pipelines computing more than one metric, materialize `tokens` and
+    * use `langIdOf`. */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = stopwords): Column =
+    langIdOf(tokens(text), profiles)
+
+  def wordCountOf(toks: Column): Column = size(toks).cast("long")
+
+  def wordCount(text: Column): Column = wordCountOf(tokens(text))
 
   /** Mean token length (separator-free chars / tokens). */
-  def avgWordLen(text: Column): Column =
-    (length(text) - (wordCount(text) - 1)).cast("double") / wordCount(text).cast("double")
+  def avgWordLenOf(text: Column, toks: Column): Column = {
+    val n = wordCountOf(toks)
+    (length(text) - (n - 1)).cast("double") / n.cast("double")
+  }
 
-  /** Fraction of characters outside [a-z0-9 ] — punctuation/symbol load. */
+  def avgWordLen(text: Column): Column = avgWordLenOf(text, tokens(text))
+
+  /** Fraction of characters outside [a-z0-9 ] — punctuation/symbol load.
+    * Character-level: no tokenization involved. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
       length(text).cast("double")
 
   /** Fraction of tokens that are (any-language) stopwords — the classic
     * fluency signal (natural text ≈ 0.3-0.6; keyword spam ≈ 0). */
-  def stopwordRatio(text: Column, profiles: Map[String, Seq[String]] = stopwords): Column = {
+  def stopwordRatioOf(toks: Column, profiles: Map[String, Seq[String]] = stopwords): Column = {
     val all = profiles.values.flatten.toSeq.distinct
-    stopwordCount(text, all).cast("double") / wordCount(text).cast("double")
+    stopwordCountOf(toks, all).cast("double") / wordCountOf(toks).cast("double")
   }
+
+  def stopwordRatio(text: Column, profiles: Map[String, Seq[String]] = stopwords): Column =
+    stopwordRatioOf(tokens(text), profiles)
 
   /** Composite quality score in [0,1]: length sweet-spot × (1 − punct
     * excess) × stopword presence. Heuristic, monotone, deterministic. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(wordCount(text).cast("double") / 20.0, lit(1.0))
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val n = wordCountOf(toks).cast("double")
+    val lenScore = least(n / 20.0, lit(1.0))
     val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatioOf(toks) * 4.0, lit(1.0))
     round(lenScore * punctScore * stopScore, 4)
   }
 
+  /** Single-column quality score. NOTE: re-tokenizes internally (3
+    * passes) — materialize `tokens` and use `qualityScoreOf` in
+    * pipelines. */
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
   /** BPE-ish token count: alpha runs, digit runs, and single symbols —
-    * the standard pre-tokenizer split, counted without a vocab. */
+    * the standard pre-tokenizer split, counted without a vocab. Regex
+    * scan: materialize the result column before aggregating it twice. */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 

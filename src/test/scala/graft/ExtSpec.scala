@@ -105,6 +105,44 @@ class ExtSpec extends SparkTestBase {
       .collect().foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
+  test("token-materialized forms ≡ single-column forms; plan tokenizes ONCE") {
+    val df = Seq(
+      "the cat and the dog of it",
+      "der hund und die katze ist",
+      "xyzzy plugh qwerty",
+      "a! b? c.").toDF("text")
+    val fused = df
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(
+        TextAnalysis.langIdOf(col("_toks")).as("lang2"),
+        TextAnalysis.qualityScoreOf(col("text"), col("_toks")).as("q2"),
+        col("text"))
+    val naive = df.select(
+      TextAnalysis.langId(col("text")).as("lang1"),
+      TextAnalysis.qualityScore(col("text")).as("q1"),
+      col("text"))
+    val j = fused.join(naive, "text").collect()
+    assert(j.length === 4)
+    j.foreach { r =>
+      assert(r.getAs[String]("lang2") === r.getAs[String]("lang1"))
+      assert(r.getAs[Double]("q2") === r.getAs[Double]("q1"))
+    }
+    // The materialized token column must survive CollapseProject: the
+    // optimized plan evaluates split exactly once even though 5+ metric
+    // expressions consume it (the inlining trap re-tokenizes per metric).
+    // Needs a non-local relation — ConvertToLocalRelation folds Seq.toDF
+    // plans entirely, so assert over the parquet-backed documents table.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fusedPq = docs
+      .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      .select(
+        TextAnalysis.langIdOf(col("_toks")).as("lang2"),
+        TextAnalysis.qualityScoreOf(col("text"), col("_toks")).as("q2"))
+    val planStr = fusedPq.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(planStr).length
+    assert(splits === 1, s"expected 1 tokenization in plan, got $splits:\n$planStr")
+  }
+
   test("quality metrics: wordCount/avgWordLen/tokenCount") {
     assert(one(TextAnalysis.wordCount(lit("a bb ccc"))) === 3L)
     assertNear(one(TextAnalysis.avgWordLen(lit("a bb ccc"))).asInstanceOf[Double], 2.0)
