@@ -946,7 +946,138 @@ object Queries {
       Some("""SELECT lang,
              |CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
              |round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_tokens
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── 46. RANGE window frame (time-based: last-5-minutes running sum).
+    // RANGE includes all peers of the current order value, so the result
+    // is deterministic even on tied timestamps — no tie-break needed
+    // inside the frame. ──────────────────────────────────────────────────
+    QueryDef(
+      "q_window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"))
+          .rangeBetween(-300, 0)
+        events(s, d)
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("rsum", round(sum(col("value")).over(w), 4))
+          .withColumn("rcnt", count(lit(1)).over(w))
+          .select(col("event_id"), col("sec"), col("rsum"), col("rcnt"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, sec,
+             |round(sum(value) OVER w, 4) AS rsum,
+             |CAST(count(*) OVER w AS BIGINT) AS rcnt
+             |FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000000000 AS sec
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── 47. map functions end-to-end: build a real MapType column (from
+    // JSON + from scalars), then map_keys / map_values / transform_values
+    // / map_filter / element_at consume it. The oracle verifies the same
+    // VALUES from the base columns (DuckDB needs no MAP type for that). ──
+    QueryDef(
+      "q_map_funcs",
+      (s, d) =>
+        events(s, d)
+          .withColumn("mj", from_json(col("props"), MapType(StringType, LongType)))
+          .withColumn("m", map(
+            lit("k"), element_at(col("mj"), "k"),
+            lit("u"), col("user_id"),
+            lit("v100"), floor(col("value") * 100).cast("long")))
+          .withColumn("tv", transform_values(col("m"), (_, v) => v * 2))
+          .withColumn("mf", map_filter(col("m"), (_, v) => v > 50))
+          .select(
+            col("event_id"),
+            concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+            aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("vsum"),
+            element_at(col("tv"), lit("v100")).as("v100_x2"),
+            size(col("mf")).cast("long").as("n_over50"))
+          .orderBy(col("event_id"))
+          .limit(300),
+      Some("""SELECT event_id, 'k,u,v100' AS keys_csv,
+             |CAST(json_extract(props, '$.k') AS BIGINT) + user_id
+             |  + CAST(floor(value * 100) AS BIGINT) AS vsum,
+             |CAST(floor(value * 100) AS BIGINT) * 2 AS v100_x2,
+             |CAST((CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END)
+             |  + (CASE WHEN user_id > 50 THEN 1 ELSE 0 END)
+             |  + (CASE WHEN CAST(floor(value * 100) AS BIGINT) > 50 THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS n_over50
+             |FROM events ORDER BY event_id LIMIT 300""".stripMargin)),
+
+    // ── 48. IVF ANN, oracle-proven: deterministic coarse k-means (init =
+    // k lowest vec_ids, 2 Lloyd rounds, ties to lower cell), probe the 2
+    // nearest cells, dot-product top-5. The DuckDB twin unrolls the same
+    // two rounds in SQL (element-wise means via generate_series). ────────
+    QueryDef(
+      "q_ivf_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val centroids = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2)
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+        graft.ext.Ivf.topKIndexed(
+            graft.ext.Ivf.withCell(e.filter(col("vec_id") =!= 0), "embedding", centroids),
+            "embedding", centroids, probe, k = 5, nprobe = 2)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, e
+             |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+             |a1 AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
+             |    FROM emb v CROSS JOIN c0 c) WHERE rn = 1),
+             |m1 AS (
+             |  SELECT cell, list(m ORDER BY idx) AS e FROM (
+             |    SELECT a1.cell, gs.i AS idx, avg(v.e[gs.i]) AS m
+             |    FROM a1 JOIN emb v USING (vec_id)
+             |    CROSS JOIN generate_series(1, 64) AS gs(i)
+             |    GROUP BY a1.cell, gs.i) GROUP BY cell),
+             |c1 AS (
+             |  SELECT c0.cid, COALESCE(m1.e, c0.e) AS e
+             |  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cid),
+             |a2 AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
+             |    FROM emb v CROSS JOIN c1 c) WHERE rn = 1),
+             |m2 AS (
+             |  SELECT cell, list(m ORDER BY idx) AS e FROM (
+             |    SELECT a2.cell, gs.i AS idx, avg(v.e[gs.i]) AS m
+             |    FROM a2 JOIN emb v USING (vec_id)
+             |    CROSS JOIN generate_series(1, 64) AS gs(i)
+             |    GROUP BY a2.cell, gs.i) GROUP BY cell),
+             |c2 AS (
+             |  SELECT c1.cid, COALESCE(m2.e, c1.e) AS e
+             |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cid),
+             |probe AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+             |pc AS (
+             |  SELECT c.cid FROM c2 c, probe p
+             |  ORDER BY list_sum(list_transform(range(1, 65),
+             |    i -> (c.e[i] - p.pe[i]) * (c.e[i] - p.pe[i]))), c.cid
+             |  LIMIT 2),
+             |af AS (
+             |  SELECT vec_id, cid AS cell FROM (
+             |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
+             |    FROM (SELECT * FROM emb WHERE vec_id <> 0) v CROSS JOIN c2 c) WHERE rn = 1)
+             |SELECT vec_id, round(dot, 4) AS score FROM (
+             |  SELECT v.vec_id,
+             |    list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pe[i])) AS dot
+             |  FROM af JOIN emb v USING (vec_id), probe p
+             |  WHERE af.cell IN (SELECT cid FROM pc))
+             |ORDER BY dot DESC, vec_id LIMIT 5""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -53,6 +53,33 @@ object VariantSchema {
     val df = spark.read.parquet(path)
     (df, VariantsMetadata.load(spark, s"$path/_v6_metadata.json"))
   }
+
+  /** Approximate bytes of per-call array data in one wide row. */
+  private def rowBytes(nSamples: Int, ploidy: Int): Long =
+    nSamples.toLong * (4L * ploidy /*gt*/ + 4L /*dp*/ + 8L /*gq*/)
+
+  /** Rows-per-batch for the vectorized parquet reader at cohort width
+    * `nSamples` (wide-cohort rehearsal finding, ScaleDemo 10k/100k): the
+    * default `spark.sql.parquet.columnarReaderBatchSize` = 4096 would ask
+    * the reader for 4096 × row-width contiguous child vectors — ~3 GB at
+    * 10k samples — and fail with "Cannot reserve additional contiguous
+    * bytes". Cap a batch's array payload at ~64 MB per column family:
+    * ≥ ~2.7M-sample cohorts degenerate to 1-row batches, which is the
+    * true wide-row ceiling — switch to `Stats.variantCallStatsLong`'s
+    * long view beyond it. */
+  def wideReaderBatchSize(nSamples: Int, ploidy: Int = 2): Int = {
+    val target = 64L << 20
+    math.max(1, math.min(4096L, target / math.max(1L, rowBytes(nSamples, ploidy)))).toInt
+  }
+
+  /** Load a wide store, sizing the vectorized-reader batch to the cohort
+    * width from the metadata sidecar (session conf — set once per width). */
+  def loadWide(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
+    val meta = VariantsMetadata.load(spark, s"$path/_v6_metadata.json")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      wideReaderBatchSize(meta.nSamples, meta.ploidy).toString)
+    (spark.read.parquet(path), meta)
+  }
 }
 
 /** Sample list + ploidy + free-form metadata, the reference's

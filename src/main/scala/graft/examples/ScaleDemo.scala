@@ -66,10 +66,19 @@ object ScaleDemo {
         .repartition(8)
         .write.mode("overwrite").parquet(store)
     }
+    // Wide-cohort reader sizing: default 4096-row vectorized batches fail
+    // outright at ≥10k samples (contiguous child-vector reservation) —
+    // see VariantSchema.wideReaderBatchSize.
+    val batch = graft.core.VariantSchema.wideReaderBatchSize(nSamples)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", batch.toString)
+    println(s"SCALE   columnarReaderBatchSize=$batch for width $nSamples")
     val df = spark.read.parquet(store)
 
     time("variantStats (all kernels)") {
       Stats.variantStats(df).write.format("noop").mode("overwrite").save()
+    }
+    time("variantCallStatsLong") {
+      Stats.variantCallStatsLong(df).write.format("noop").mode("overwrite").save()
     }
     time("pipeline mask+2 filters") {
       val r = VariantPipeline(df).maskByDepth(5).byCallRate(0.8).byMaf(max = 0.95).run()

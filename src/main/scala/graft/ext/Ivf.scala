@@ -65,24 +65,51 @@ object Ivf {
   def withCell(corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])], cellCol: String = "ivf_cell"): DataFrame =
     corpus.withColumn(cellCol, nearest(col(vecCol), centroids))
 
-  /** Top-k by dot product probing the `nprobe` nearest cells only.
-    * `probeVec` is driver-side (the usual single-query ANN shape). */
-  def topK(
+  /** Persist the corpus as an IVF index: the cell id becomes a PARTITION
+    * column, so a probe's `isin(cells)` filter prunes whole cells at the
+    * parquet scan (IvfSpec asserts the pruned file count). Build once,
+    * probe many times — assignment is never recomputed at query time. */
+  def saveIndex(
       corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
-      probeVec: Array[Double], k: Int, nprobe: Int = 2,
-      scoreCol: String = "score"): DataFrame = {
-    val cells = centroids
+      path: String, cellCol: String = "ivf_cell"): Unit =
+    withCell(corpus, vecCol, centroids, cellCol)
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** The `nprobe` cells nearest to a probe vector (driver-side: centroid
+    * list is tiny by construction). Ties break toward the lower cell id,
+    * matching `nearest`. */
+  def probeCells(centroids: Seq[(Int, Array[Double])], probeVec: Array[Double], nprobe: Int): Seq[Int] =
+    centroids
       .map { case (cid, c) =>
         (cid, c.zip(probeVec).map { case (x, y) => (x - y) * (x - y) }.sum)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
+
+  /** Top-k by dot product over a PRE-ASSIGNED corpus (`cellCol` already
+    * present — typically `spark.read.parquet(indexPath)` of a
+    * [[saveIndex]] store, where the cell filter prunes at the scan).
+    * Scores only the probed cells; no corpus-wide recomputation. */
+  def topKIndexed(
+      indexed: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
+      probeVec: Array[Double], k: Int, nprobe: Int = 2,
+      cellCol: String = "ivf_cell", scoreCol: String = "score"): DataFrame = {
+    val cells = probeCells(centroids, probeVec, nprobe)
     Similarity.bruteForceTopK(
-      withCell(corpus, vecCol, centroids).filter(col("ivf_cell").isin(cells: _*)),
+      indexed.filter(col(cellCol).isin(cells: _*)),
       vecCol,
-      corpus.sparkSession.range(1).select(lit(probeVec.map(_.toFloat)).as("_probe")),
+      indexed.sparkSession.range(1).select(lit(probeVec.map(_.toFloat)).as("_probe")),
       "_probe", k, scoreCol)
-      .drop("ivf_cell")
+      .drop(cellCol)
   }
+
+  /** One-shot convenience: assign + probe in a single plan. For repeated
+    * probes, [[saveIndex]] + [[topKIndexed]] is the scale path. */
+  def topK(
+      corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
+      probeVec: Array[Double], k: Int, nprobe: Int = 2,
+      scoreCol: String = "score"): DataFrame =
+    topKIndexed(withCell(corpus, vecCol, centroids), vecCol, centroids,
+      probeVec, k, nprobe, scoreCol = scoreCol)
 }
 
 final case class VecMeanBuf(sum: Array[Double], cnt: Long)

@@ -87,6 +87,39 @@ object Stats {
     withGt
   }
 
+  /** Long-view twin of the CALL-stats subset of [[variantStats]] (call
+    * rate, called/missing counts, observed het): explode to one row per
+    * (variant, sample), aggregate back per variant — SURVEY.md §1.2's
+    * escape hatch for cohorts too wide to hold as one row.
+    *
+    * WHEN TO SWITCH (rehearsed in ScaleDemo at 10k and 100k samples,
+    * ~200M genotype calls both ways — wall-times in README §scale): the
+    * wide codegen kernel stays map-only and wins at every rehearsed
+    * width; this form pays explode (n_variants × n_samples rows) plus a
+    * per-variant shuffle. Use it only when a single wide row stops
+    * fitting comfortably in task/codegen buffers — at ploidy 2 that is
+    * ≳1M samples (≈ 8 MB of gt per row), beyond any rehearsed cohort.
+    * Caveat: variants with an empty sample axis produce no long rows and
+    * are absent from this output (wide form: call_rate = NaN). */
+  def variantCallStatsLong(df: DataFrame): DataFrame = {
+    val missing = lit(graft.core.VariantSchema.MissingInt)
+    longView(df)
+      .withColumn("_called", !exists(col("gt"), a => a === missing))
+      .withColumn("_het", col("_called") && size(array_distinct(col("gt"))) >= 2)
+      .groupBy(col("chrom"), col("pos"), col("id"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("_called").cast("long")).as("n_called"),
+        sum(col("_het").cast("long")).as("_n_het"))
+      .select(
+        col("chrom"), col("pos"), col("id"),
+        (col("n_called").cast("double") / col("_n").cast("double")).as("call_rate"),
+        col("n_called"),
+        (col("_n") - col("n_called")).as("n_missing"),
+        when(col("n_called") === 0, lit(Double.NaN))
+          .otherwise(col("_n_het").cast("double") / col("n_called").cast("double")).as("obs_het"))
+  }
+
   /** Depth mean/min/max per sample via the DepthStatsAgg
     * TypedImperativeAggregate — no explode, no wide shuffle, no boxing:
     * one vector buffer per partition at any cohort width (use this at

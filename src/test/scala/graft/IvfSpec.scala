@@ -39,4 +39,42 @@ class IvfSpec extends SparkTestBase {
     val found = ivf.map(_.getLong(0)).count(trueTop10)
     assert(found >= 3, s"recall too low: $found of 10")
   }
+
+  test("persisted index: cell partition column prunes at the scan; results ≡ one-shot topK") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val probeVec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").resolve("index").toString
+    Ivf.saveIndex(corpus, "embedding", centroids, path)
+
+    val indexed = spark.read.parquet(path)
+    val nprobe = 3
+    val viaIndex = Ivf.topKIndexed(indexed, "embedding", centroids, probeVec, k = 10, nprobe = nprobe)
+    // plan-level pruning proof: the scan reads only the probed cells'
+    // partition directories, not the whole index
+    val cells = Ivf.probeCells(centroids, probeVec, nprobe).toSet
+    // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive node
+    // whose leaves are exchange placeholders until execution
+    val scan = viaIndex.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    val readCells = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+      .map(p => "ivf_cell=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt).toSet
+    assert(readCells.subsetOf(cells), s"scan read cells $readCells, probed $cells")
+    val allCells = Ivf.withCell(corpus, "embedding", centroids)
+      .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(allCells.size > cells.size, "pruning vacuous: probe touched every cell")
+
+    // result parity with the one-shot (in-memory assignment) path
+    val a = viaIndex.select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val b = Ivf.topK(corpus, "embedding", centroids, probeVec, k = 10, nprobe = nprobe)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((_, x), (_, y)) => assertNear(x, y) }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Skew
+import graft.operators.{Skew, Stats}
 
 /** Skew + bucketing: correctness of the salted two-phase ops, and the
   * plan-level proof that bucketed tables co-locate joins (no shuffle). */
@@ -32,6 +32,41 @@ class ScaleOpsSpec extends SparkTestBase {
     val salted = Skew.saltedJoin(skewed, dim, "key", salt = 8).groupBy("label").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === direct)
+  }
+
+  test("wide-cohort rehearsal at 10k samples: wide kernel ≡ long view, fast ≡ explode depth stats") {
+    // 300 variants × 10,000 samples = 3M genotype calls per kernel — the
+    // SURVEY §1.2 wide-row escape-hatch check above the 2,000-sample
+    // ceiling the round-1 suite stopped at (full 200M-call timings live
+    // in ScaleDemo / README §scale).
+    val nSamples = 10000
+    val df = graft.examples.ScaleDemo.synthVariants(spark, 300L, nSamples).cache()
+    try {
+      val wide = Stats.variantStats(df)
+        .select("chrom", "pos", "id", "call_rate", "n_called", "n_missing", "obs_het")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+      val long = Stats.variantCallStatsLong(df).collect()
+      assert(long.length === 300)
+      long.foreach { r =>
+        val w = wide((r.getString(0), r.getLong(1)))
+        assert(r.getLong(4) === w.getLong(4), s"n_called @ ${r.getString(2)}")
+        assert(r.getLong(5) === w.getLong(5), s"n_missing @ ${r.getString(2)}")
+        assert(math.abs(r.getDouble(3) - w.getDouble(3)) < 1e-12, s"call_rate @ ${r.getString(2)}")
+        assert(math.abs(r.getDouble(6) - w.getDouble(6)) < 1e-12, s"obs_het @ ${r.getString(2)}")
+      }
+      // per-sample depth: the unboxed TypedImperativeAggregate must agree
+      // with the exploded long view at this width, sample for sample
+      val fast = Stats.sampleDepthStatsFast(df).collect()
+      val slow = Stats.sampleDepthStats(df)
+        .select("sample_idx", "n", "mean_dp", "min_dp", "max_dp").collect()
+      assert(fast.length === nSamples && slow.length === nSamples)
+      fast.zip(slow).foreach { case (f, s) =>
+        assert(f.getInt(0) === s.getInt(0))
+        assert(f.getLong(1) === s.getLong(1))
+        assert(math.abs(f.getDouble(2) - s.getDouble(2)) < 1e-9)
+        assert(f.getInt(3) === s.getInt(3) && f.getInt(4) === s.getInt(4))
+      }
+    } finally df.unpersist()
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in plan") {
