@@ -44,7 +44,7 @@ class VcfTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"vcf:$path"
   override def schema(): StructType = VariantSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(Option(options.get("path")).getOrElse(path))
 }
@@ -101,6 +101,60 @@ class VcfScan(path: String, filters: Array[Filter]) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(filters, org.apache.spark.sql.graft.bridge.serializableConf(sessionConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new VcfMicroBatchStream(path, filters, sessionConf())
+}
+
+/** Micro-batch streaming over a growing directory of VCF files: the
+  * offset is a count into the name-sorted file listing, so each new file
+  * is exactly one unit of progress and every micro-batch reuses
+  * VcfPartitionReader unchanged (one partition per file, same pushdown).
+  *
+  * Producer contract (documented, like part-file conventions): files are
+  * immutable once visible and new files sort lexicographically AFTER
+  * already-delivered ones — a late file that sorts earlier would shift
+  * the slice (the cost of a metadata-log-free offset; Spark's own file
+  * source carries a checkpoint log to lift this).
+  */
+class VcfMicroBatchStream(path: String, filters: Array[Filter], conf: Configuration)
+    extends streaming.MicroBatchStream {
+
+  private def listFiles(): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses: Array[FileStatus] =
+      if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile)
+      else fs.globStatus(p) match {
+        case null => Array.empty
+        case g => g.filter(_.isFile)
+      }
+    statuses
+      .map(_.getPath.toString)
+      .filterNot(f => f.split("/").last.startsWith(".") || f.split("/").last.startsWith("_"))
+      .sorted
+  }
+
+  override def initialOffset(): streaming.Offset = VcfStreamOffset(0)
+  override def latestOffset(): streaming.Offset = VcfStreamOffset(listFiles().length)
+  override def deserializeOffset(json: String): streaming.Offset =
+    VcfStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VcfStreamOffset].seen
+    val e = end.asInstanceOf[VcfStreamOffset].seen
+    listFiles().slice(s, e).map(f => VcfInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(filters, org.apache.spark.sql.graft.bridge.serializableConf(conf))
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class VcfStreamOffset(seen: Int) extends streaming.Offset {
+  override def json(): String = seen.toString
 }
 
 case class VcfInputPartition(file: String) extends InputPartition

@@ -87,4 +87,21 @@ class ScaleOpsSpec extends SparkTestBase {
       assert(n === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("BucketedStore API: save/load round-trip joins with no exchange") {
+    import graft.sources.BucketedStore
+    val a = (1L to 4000L).map(i => (i % 83, s"a$i")).toDF("key", "av")
+    val b = (1L to 2500L).map(i => (i % 83, s"b$i")).toDF("key", "bv")
+    BucketedStore.save(a, "bs_a", Seq("key"), buckets = 8)
+    BucketedStore.save(b, "bs_b", Seq("key"), buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketedStore.load(spark, "bs_a").join(BucketedStore.load(spark, "bs_b"), "key")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+      assert(joined.count() === a.join(b, "key").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -118,6 +118,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DSv2 vcf micro-batch stream: growing directory delivers each file once") {
+    val dir = java.nio.file.Files.createTempDirectory("vcf-stream")
+    def writeVcf(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        (Seq("##fileformat=VCFv4.3",
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0") ++ rows).mkString("\n"))
+    writeVcf("a.vcf", Seq(
+      "chr1\t100\tv1\tA\tT\t50\tPASS\t.\tGT:DP:GQ\t0/1:10:99",
+      "chr1\t200\tv2\tC\tG\t40\tPASS\t.\tGT:DP:GQ\t0/0:12:80"))
+    val stream = spark.readStream.format("vcf").load(dir.toString)
+      .selectExpr("id", "chrom", "pos")
+    val q = stream.writeStream.format("memory").queryName("vcf_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM vcf_stream").collect().map(_.getString(0)).toSet
+        === Set("v1", "v2"))
+      // a later file (sorts after a.vcf) arrives: exactly its rows are appended
+      writeVcf("b.vcf", Seq("chr2\t50\tv3\tT\tC\t90\tPASS\t.\tGT:DP:GQ\t1/1:30:99"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM vcf_stream").collect().map(_.getString(0))
+      assert(ids.length === 3 && ids.toSet === Set("v1", "v2", "v3"))
+    } finally q.stop()
+  }
+
   test("streaming and batch tumbling agg agree on the same data") {
     import spark.implicits._
     val batch = Seq(
