@@ -120,16 +120,19 @@ object Stats {
           .otherwise(col("_n_het").cast("double") / col("n_called").cast("double")).as("obs_het"))
   }
 
-  /** Depth mean/min/max per sample via the DepthStatsAgg
+  /** Depth mean/min/max/approx-median per sample via the DepthStatsAgg
     * TypedImperativeAggregate — no explode, no wide shuffle, no boxing:
     * one vector buffer per partition at any cohort width (use this at
-    * scale; `sampleDepthStats` when percentiles are needed; the boxed
-    * Aggregator twin SampleDepthAgg remains as the narrow-cohort
-    * reference implementation). */
-  def sampleDepthStatsFast(df: DataFrame): DataFrame =
-    df.select(graft.functions.DepthStatsAgg.of(col("dp")).as("r"))
+    * scale; the boxed Aggregator twin SampleDepthAgg remains as the
+    * narrow-cohort reference implementation). `withMedian` adds a
+    * mergeable DepthHist per sample (exact below depth 256, ≤1/8
+    * relative error above; 3.5 KB/sample/partition-buffer — disable at
+    * ≳100k samples or use the long view). */
+  def sampleDepthStatsFast(df: DataFrame, withMedian: Boolean = true): DataFrame =
+    df.select(graft.functions.DepthStatsAgg.of(col("dp"), withMedian).as("r"))
       .select(explode(col("r")).as("s"))
-      .select(col("s.sample_idx"), col("s.n"), col("s.mean_dp"), col("s.min_dp"), col("s.max_dp"))
+      .select(col("s.sample_idx"), col("s.n"), col("s.mean_dp"), col("s.min_dp"), col("s.max_dp"),
+        col("s.median_dp_approx"))
       .orderBy("sample_idx")
 
   /** Depth distribution per sample — the reference's axis-1 aggregation;

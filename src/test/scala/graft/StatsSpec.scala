@@ -30,9 +30,34 @@ class StatsSpec extends SparkTestBase {
   test("fast per-sample depth stats (Aggregator) ≡ long-view aggregation") {
     val slow = Stats.sampleDepthStats(fixture).collect()
       .map(r => r.getAs[Int]("sample_idx") -> (r.getAs[Long]("n"), r.getAs[Double]("mean_dp"), r.getAs[Int]("min_dp"), r.getAs[Int]("max_dp"))).toMap
-    val fast = Stats.sampleDepthStatsFast(fixture).collect()
+    val fastRows = Stats.sampleDepthStatsFast(fixture).collect()
+    val fast = fastRows
       .map(r => r.getAs[Int]("sample_idx") -> (r.getAs[Long]("n"), r.getAs[Double]("mean_dp"), r.getAs[Int]("min_dp"), r.getAs[Int]("max_dp"))).toMap
     assert(fast === slow)
+    // approx median is EXACT below depth 256 (unit bins): lower median of
+    // each sample's called depths, computed here from the long view
+    val exactMed = Stats.longView(fixture).filter(col("dp") >= 0)
+      .collect().groupBy(_.getAs[Int]("sample_idx"))
+      .map { case (s, rows) =>
+        val ds = rows.map(_.getAs[Int]("dp")).sorted
+        s -> ds((ds.length - 1) / 2).toDouble
+      }
+    fastRows.foreach { r =>
+      assert(r.getAs[Double]("median_dp_approx") === exactMed(r.getAs[Int]("sample_idx")))
+    }
+  }
+
+  test("DepthHist: log-bin median bounded error above 256, exact below") {
+    import graft.functions.DepthHist
+    // every depth below 256 maps to its own bin and reps back exactly
+    (0 until 256).foreach(d => assert(DepthHist.repOf(DepthHist.binOf(d)) === d.toDouble))
+    // above 256: representative within 1/8 relative error, bins monotone
+    Seq(256, 300, 1000, 5000, 123456, 10000000, Int.MaxValue).foreach { d =>
+      val rep = DepthHist.repOf(DepthHist.binOf(d))
+      assert(math.abs(rep - d) <= d / 8.0 + 1, s"d=$d rep=$rep")
+    }
+    assert(DepthHist.binOf(255) < DepthHist.binOf(256))
+    assert(DepthHist.binOf(511) < DepthHist.binOf(512))
   }
 
   test("histogram: fixed bins, clamped edges, NaN dropped") {
