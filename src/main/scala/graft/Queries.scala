@@ -1077,7 +1077,169 @@ object Queries {
              |    list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pe[i])) AS dot
              |  FROM af JOIN emb v USING (vec_id), probe p
              |  WHERE af.cell IN (SELECT cid FROM pc))
-             |ORDER BY dot DESC, vec_id LIMIT 5""".stripMargin))
+             |ORDER BY dot DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ── 49. full outer join (group-level, sparse sides at small SF) ────
+    QueryDef(
+      "q_join_outer",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        val b = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        a.join(b, a("c_nationkey") === b("s_nationkey"), "full_outer")
+          .select(
+            coalesce(a("c_nationkey"), b("s_nationkey")).as("nkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nkey"))
+      },
+      Some("""SELECT COALESCE(a.c_nationkey, b.s_nationkey) AS nkey,
+             |CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+             |CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+             |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+             |      WHERE c_acctbal > 9000 GROUP BY c_nationkey) a
+             |FULL OUTER JOIN
+             |     (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+             |      WHERE s_acctbal > 9000 GROUP BY s_nationkey) b
+             |ON a.c_nationkey = b.s_nationkey
+             |ORDER BY nkey""".stripMargin)),
+
+    // ── 50. pivot (explicit value list: one pass, no values-collect job) ─
+    QueryDef(
+      "q_pivot",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderstatus"),
+            coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+            coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+            coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+             |count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+             |count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ── 51. unpivot / melt ─────────────────────────────────────────────
+    QueryDef(
+      "q_unpivot",
+      (s, d) => {
+        val agg = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            decSum(col("l_quantity"), 2).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_price"))
+        agg.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price")),
+            "metric", "val")
+          .orderBy(col("l_returnflag"), col("metric"))
+      },
+      Some("""WITH agg AS (SELECT l_returnflag,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM agg
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ── 52. scalar subquery (exact: integer max, no float boundary) ────
+    QueryDef(
+      "q_subquery_scalar",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_sq")
+        s.sql("""SELECT l_orderkey, l_linenumber FROM li_sq
+                |WHERE l_quantity = (SELECT max(l_quantity) FROM li_sq)
+                |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── 53. correlated LATERAL subquery (top-1 order per customer) ─────
+    QueryDef(
+      "q_lateral",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("c_lat")
+        t(s, d, "orders").createOrReplaceTempView("o_lat")
+        s.sql("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+                |FROM c_lat, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM o_lat
+                |  WHERE o_custkey = c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── 54. distribution windows: ntile / percent_rank / cume_dist ─────
+    // total order inside each partition (tie-break by o_orderkey) so the
+    // rank-derived ratios are the same exact integer divisions in both
+    // engines — no peer-group ambiguity
+    QueryDef(
+      "q_window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |ntile(4) OVER w AS quartile,
+             |percent_rank() OVER w AS pr,
+             |cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── 55. conditional aggregation (FILTER / count_if) ────────────────
+    QueryDef(
+      "q_conditional_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_big"),
+            decSum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0)), 2)
+              .as("disc_price"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             |CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END
+             |  AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── 56. array aggregation (sorted collect_list; emitted as a joined
+    // string — array-typed outputs don't survive every comparator) ─────
+    QueryDef(
+      "q_collect_list",
+      (s, d) =>
+        t(s, d, "orders").filter(col("o_totalprice") > 400000)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(col("o_orderkey"))), k => k.cast("string")),
+              ",").as("okeys"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS okeys
+             |FROM orders WHERE o_totalprice > 400000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
