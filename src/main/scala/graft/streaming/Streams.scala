@@ -56,6 +56,27 @@ object Streams {
   def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String, watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream inner join with an event-time interval
+    * bound: a right row matches a left row with the equal key when its
+    * timestamp falls in [leftTs, leftTs + maxDelay] (the ad-impression →
+    * click shape). The interval condition plus BOTH watermarks are what
+    * let Spark expire buffered rows on both sides — an unbounded
+    * stream-stream equi-join keeps all history in state; this keeps
+    * O(rows within watermark+maxDelay horizon) per side. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   // ── custom stateful sessionizer (flatMapGroupsWithState) ─────────────
 
   final case class Event(userId: Long, ts: Timestamp, value: Double)

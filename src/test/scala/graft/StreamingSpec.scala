@@ -118,6 +118,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: click matches impression only within the bound") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("imp_ts", "ad_id"),
+      clicks.toDF().toDF("click_ts", "click_ad_id"),
+      "ad_id", "click_ad_id", "imp_ts", "click_ts",
+      maxDelay = "30 minutes", watermark = "10 minutes")
+      .select("ad_id", "imp_ts", "click_ts")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(0), 1L), (ts(0), 2L))
+      clicks.addData((ts(10), 1L)) // within 30 min of ad 1's impression
+      clicks.addData((ts(45), 2L)) // 45 min after ad 2's impression: outside
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id FROM ssj").collect().map(_.getLong(0))
+      assert(rows.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("DSv2 vcf micro-batch stream: growing directory delivers each file once") {
     val dir = java.nio.file.Files.createTempDirectory("vcf-stream")
     def writeVcf(name: String, rows: Seq[String]): Unit =
