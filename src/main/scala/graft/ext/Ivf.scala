@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between two float-array columns. */
+  /** Squared L2 distance between two vector columns — codegen'd
+    * (VectorLoops.dist2; identical doubles to the zip_with/aggregate
+    * HOF spec form, same element order and cast points). */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.bridge.column(graft.functions.Dist2Expr(
+      org.apache.spark.sql.graft.bridge.expression(a),
+      org.apache.spark.sql.graft.bridge.expression(b)))
 
   /** Nearest centroid id for `vec` given a driver-side centroid list. */
   private def nearest(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
 /** Vector similarity search over embedding columns (ArrayType(FloatType)).
   *
@@ -17,7 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd dot product (VectorLoops — identical doubles to
+    * [[dotHof]], the HOF spec form the oracle replicates). */
   def dot(a: Column, b: Column): Column =
+    bridge.column(graft.functions.DotExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** HOF spec form of [[dot]] — kept as the differential-test reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -41,8 +48,15 @@ object Similarity {
       lit(0.0),
       (acc, i) => acc + element_at(vec, i).cast("double") * planeComponent(plane, dim, i))
 
-  /** LSH bucket id: `bits` sign bits packed into a long. */
+  /** LSH bucket id: `bits` sign bits packed into a long — codegen'd,
+    * all planes in one pass per row (VectorLoops.lshBucket replicates
+    * [[lshBucketHof]]'s LCG arithmetic exactly). */
   def lshBucket(vec: Column, dim: Int, bits: Int = 4): Column =
+    bridge.column(graft.functions.LshBucketExpr(bridge.expression(vec), dim, bits))
+
+  /** HOF spec form of [[lshBucket]] — the differential-test reference
+    * and the arithmetic the DuckDB oracle replicates. */
+  def lshBucketHof(vec: Column, dim: Int, bits: Int = 4): Column =
     (0 until bits).map { j =>
       when(hyperplaneDot(vec, j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

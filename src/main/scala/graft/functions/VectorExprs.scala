@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels for the similarity family.
+  *
+  * The HOF forms (`zip_with` + `aggregate` in Similarity/Ivf) are the
+  * spec — they match the DuckDB oracle's `list_transform`/`list_sum`
+  * arithmetic. But lambda HOFs are CodegenFallback: every row pays
+  * interpreted eval over each element (the dominant cost of the
+  * similarity bench family at 64-dim × corpus). These loops compute
+  * IDENTICAL doubles — same element order, same cast points, so IEEE
+  * results are bit-equal and every similarity oracle hash is preserved
+  * (ExtSpec asserts the equivalence differentially).
+  *
+  * Contract: dense equal-length vectors (embeddings) — element nulls are
+  * not expected; length mismatch uses the shorter prefix.
+  */
+object VectorLoops {
+  @inline private def get(a: ArrayData, isDouble: Boolean, i: Int): Double =
+    if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
+
+  def dot(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(a, aD, i) * get(b, bD, i); i += 1 }
+    acc
+  }
+
+  def dist2(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, aD, i) - get(b, bD, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** All `bits` hyperplane sign tests in ONE pass per row; replicates
+    * Similarity.planeComponent's LCG exactly (same 1-based flat index,
+    * same mod-2^31 scaling). */
+  def lshBucket(a: ArrayData, aD: Boolean, dim: Int, bits: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      val base = j.toLong * dim
+      var i = 1
+      while (i <= dim) {
+        val t = (1103515245L * (base + i) + 12345L) % 2147483648L
+        acc += get(a, aD, i - 1) * (t.toDouble / 2147483648.0 - 0.5)
+        i += 1
+      }
+      if (acc > 0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+trait VectorInputCheck { self: Expression =>
+  protected def vectorChildren: Seq[Expression]
+  protected def isDoubleElem(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = vectorChildren.filterNot(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} expects array<float|double>, got ${bad.map(_.dataType.sql).mkString(", ")}")
+  }
+}
+
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with VectorInputCheck {
+  override protected def vectorChildren: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorLoops.dot(a.asInstanceOf[ArrayData], isDoubleElem(left),
+      b.asInstanceOf[ArrayData], isDoubleElem(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorLoops.dot($a, ${isDoubleElem(left)}, $b, ${isDoubleElem(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
+}
+
+case class Dist2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with VectorInputCheck {
+  override protected def vectorChildren: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dist2"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorLoops.dist2(a.asInstanceOf[ArrayData], isDoubleElem(left),
+      b.asInstanceOf[ArrayData], isDoubleElem(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorLoops.dist2($a, ${isDoubleElem(left)}, $b, ${isDoubleElem(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Dist2Expr =
+    copy(left = l, right = r)
+}
+
+case class LshBucketExpr(child: Expression, dim: Int, bits: Int)
+    extends UnaryExpression with VectorInputCheck {
+  override protected def vectorChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  protected override def nullSafeEval(a: Any): Any =
+    VectorLoops.lshBucket(a.asInstanceOf[ArrayData], isDoubleElem(child), dim, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorLoops.lshBucket($a, ${isDoubleElem(child)}, $dim, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}

@@ -32,6 +32,15 @@ class CodegenSpec extends SparkTestBase {
     assertCompiles(Stats.variantStats(GoldenFixture.df(spark)), "variantStats")
   }
 
+  test("vector expressions compile") {
+    val df = Seq((1L, Array(1.0f, 2.0f), Array(0.5f, 0.25f)))
+      .toDF("id", "va", "vb")
+      .select(
+        graft.ext.Similarity.dot(col("va"), col("vb")).as("d"),
+        graft.ext.Similarity.lshBucket(col("va"), dim = 2, bits = 4).as("b"))
+    assertCompiles(df, "vector-kernels")
+  }
+
   test("text hash expressions compile") {
     val docs = Seq((1L, "the cat sat"), (2L, "a b c d e")).toDF("doc_id", "text")
     val df = docs

@@ -82,6 +82,33 @@ class ExtSpec extends SparkTestBase {
     assert(b1.asInstanceOf[Long] >= 0L && b1.asInstanceOf[Long] < 16L)
   }
 
+  test("codegen vector kernels ≡ HOF spec forms (bit-equal doubles)") {
+    import graft.functions.{Dist2Expr => _, _}
+    // deterministic pseudo-random 64-dim float vectors, incl. negatives
+    val df = (0 until 40).map { r =>
+      (r.toLong,
+        Array.tabulate(64)(i => ((r * 131 + i * 17) % 19 - 9) / 3.0f),
+        Array.tabulate(64)(i => ((r * 37 + i * 113) % 23 - 11) / 7.0f))
+    }.toDF("id", "va", "vb")
+    val cmp = df.select(
+      Similarity.dot(col("va"), col("vb")).as("d_cg"),
+      Similarity.dotHof(col("va"), col("vb")).as("d_hof"),
+      org.apache.spark.sql.graft.bridge.column(graft.functions.Dist2Expr(
+        org.apache.spark.sql.graft.bridge.expression(col("va")),
+        org.apache.spark.sql.graft.bridge.expression(col("vb")))).as("l2_cg"),
+      aggregate(
+        zip_with(col("va"), col("vb"),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v).as("l2_hof"),
+      Similarity.lshBucket(col("va"), dim = 64, bits = 4).as("b_cg"),
+      Similarity.lshBucketHof(col("va"), dim = 64, bits = 4).as("b_hof")).collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approximate
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getLong(4) === r.getLong(5))
+    }
+  }
+
   test("brute-force vs LSH top-k: LSH results are a subset with same scores") {
     val corpus = (1 to 50).map(i => (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
       .toDF("vec_id", "embedding")
