@@ -53,9 +53,14 @@ object Vcf {
 
     val sampleStrs = slice(fields, 10, n)
 
+    // GT token semantics: each [/|]-separated allele maps to its int code,
+    // "." (and "") to -1 — so a bare "." is ONE missing allele ([-1]),
+    // consistent with haploid neighbors in the same row (ploidy is not
+    // knowable from the token alone). Only a FORMAT with no GT at all
+    // falls back to the diploid missing default [-1,-1].
     val gtCol = transform(sampleStrs, s => {
       val g = sampleField(s, gtIdx)
-      when(g.isNull || g === "." , array(lit(-1), lit(-1)))
+      when(g.isNull, array(lit(-1), lit(-1)))
         .otherwise(transform(
           split(g, "[/|]"),
           a => when(a === "." || a === "", lit(-1)).otherwise(a.cast("int"))))

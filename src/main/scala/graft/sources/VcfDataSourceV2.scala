@@ -231,8 +231,10 @@ class VcfPartitionReader(file: String, filters: Array[Filter], conf: Configurati
       def part(i: Int): String = if (i >= 0 && i < parts.length) parts(i) else null
 
       val g = part(gi)
+      // same GT token semantics as Vcf.scala: "." = one missing allele
+      // ([-1]); only an absent GT field gets the diploid default [-1,-1]
       gt(s) =
-        if (g == null || g == "." ) new GenericArrayData(Array[Any](-1, -1))
+        if (g == null) new GenericArrayData(Array[Any](-1, -1))
         else {
           val alleles = g.split("[/|]", -1)
           new GenericArrayData(alleles.map(a =>

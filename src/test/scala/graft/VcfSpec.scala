@@ -117,6 +117,28 @@ class VcfSpec extends SparkTestBase {
     assertNear(maf("v1"), 0.625); assertNear(maf("v6"), 0.875)
   }
 
+  test("phased / haploid / half-called genotypes parse in both readers") {
+    val dir = Files.createTempDirectory("v6phased")
+    val text = Seq(
+      "##fileformat=VCFv4.3",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\ts1\ts2",
+      // phased (|), mixed phased/unphased, haploid call, half-call (./1)
+      "chr1\t10\tp1\tA\tT\t50\tPASS\t.\tGT:DP\t0|1:10\t1|1:12\t0/1:9",
+      "chr1\t20\tp2\tC\tG\t40\tPASS\t.\tGT:DP\t1:7\t0:8\t.:0",
+      "chr1\t30\tp3\tG\tA\t60\tPASS\t.\tGT:DP\t./1:5\t0|0:6\t1/.:4"
+    ).mkString("\n")
+    Files.writeString(dir.resolve("phased.vcf"), text)
+
+    val (df, _) = Vcf.read(spark, dir.resolve("phased.vcf").toString)
+    val v2 = spark.read.format("vcf").load(dir.resolve("phased.vcf").toString)
+    for ((d, which) <- Seq((df, "expr"), (v2, "dsv2"))) {
+      val byId = d.collect().map(r => r.getAs[String]("id") -> r.getAs[Seq[Seq[Int]]]("gt")).toMap
+      assert(byId("p1") === Seq(Seq(0, 1), Seq(1, 1), Seq(0, 1)), which)
+      assert(byId("p2") === Seq(Seq(1), Seq(0), Seq(-1)), which)
+      assert(byId("p3") === Seq(Seq(-1, 1), Seq(0, 0), Seq(1, -1)), which)
+    }
+  }
+
   test("vcf export round-trips back through the parser") {
     val (df, meta) = Vcf.read(spark, vcfPath)
     val out = Files.createTempDirectory("v6out").resolve("export").toString
