@@ -1239,7 +1239,55 @@ object Queries {
       Some("""SELECT o_orderpriority,
              |string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS okeys
              |FROM orders WHERE o_totalprice > 400000
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── 57. composed training-data pipeline (gate → langid → exact
+    // dedup → minhash near-dup removal → per-language stats) ───────────
+    QueryDef(
+      "q_doc_pipeline",
+      (s, d) =>
+        graft.ext.DocPipeline.prepare(t(s, d, "documents"), minWords = 30)
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+          .orderBy(col("lang_pred")),
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val scores = langs.map(l =>
+          s"len(list_filter(string_split(text,' '), w -> list_contains(${duckStop(l)}, w))) AS s_$l")
+          .mkString(",\n")
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+           |  FROM documents WHERE len(string_split(text,' ')) >= 30),
+           |sc AS (SELECT doc_id, text, n_words, $scores FROM base),
+           |p AS (SELECT doc_id, text, n_words,
+           |      CASE $cases ELSE 'und' END AS lang_pred
+           |      FROM (SELECT *, $best AS best FROM sc)),
+           |ex AS (SELECT doc_id, text, n_words, lang_pred FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY ${duckCharHash("text")}
+           |    ORDER BY doc_id) AS rn FROM p) WHERE rn = 1),
+           |w AS (SELECT doc_id, $duckWhs AS h FROM ex),
+           |sig AS (SELECT doc_id, list_transform(range(0,8),
+           |  i -> list_min(list_transform(h, x -> (x*(2*i+3)+(11*i+7))%$duckP))) AS s FROM w),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
+           |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
+           |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+           |bmin AS (SELECT band_key, min(doc_id) AS min_id FROM bands GROUP BY band_key),
+           |cand AS (SELECT DISTINCT b.doc_id, min_id FROM bands b
+           |  JOIN bmin USING (band_key) WHERE b.doc_id > min_id),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
+           |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+           |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w),
+           |drops AS (SELECT DISTINCT c.doc_id FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.min_id
+           |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+           |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |CAST(sum(n_words) AS BIGINT) AS sum_words
+           |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      })
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-call training-data document preparation: the composed form of the
+  * extension operators, in the order a real corpus pipeline runs them.
+  *
+  *   1. tokenize ONCE (materialized column — the interpreted-HOF
+  *      inlining trap makes re-tokenization O(metrics × words));
+  *   2. quality gate: keep docs with ≥ `minWords` tokens;
+  *   3. language-ID: stopword-marker argmax over the token column;
+  *   4. exact dedup: one survivor per text fingerprint (lowest id);
+  *   5. MinHash-LSH near-dup removal: band-bucket collisions are
+  *      CANDIDATES only (same-language corpora collide constantly — the
+  *      min word hash is usually a common stopword); each candidate is
+  *      verified by n-gram Jaccard against its bucket's smallest id and
+  *      dropped only at similarity ≥ `tau`.
+  *
+  * Scale shape: steps 1-3 are map-only; step 4 shuffles once on the
+  * 64-bit fingerprint; step 5 shuffles (id, band_key) pairs — a few
+  * short rows per doc, never the text — and verifies only candidate
+  * pairs against shingle sets computed once per doc. Nothing is
+  * pairwise across the corpus; every step is deterministic, so the
+  * whole pipeline is DuckDB-oracle-checkable end to end
+  * (q_doc_pipeline).
+  */
+object DocPipeline {
+
+  /** Returns the surviving documents with `n_words` and `lang_pred`
+    * appended. See the object doc for the five stages. */
+  def prepare(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8): DataFrame = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+
+    // 1-2: single tokenization + quality gate
+    val gated = docs
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("n_words", TextAnalysis.wordCountOf(col("_toks")))
+      .filter(col("n_words") >= minWords)
+
+    // 3: language-ID from the materialized token column
+    val scored = langs.foldLeft(gated) { (df, l) =>
+      df.withColumn(s"_s_$l", TextAnalysis.stopwordCountOf(col("_toks"), TextAnalysis.stopwords(l)))
+    }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
+    val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
+      when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)
+    }
+    val enriched = scored
+      .withColumn("lang_pred", pred)
+      .drop("_toks" +: "_best" +: langs.map(l => s"_s_$l"): _*)
+
+    // 4: exact dedup — lowest id per fingerprint survives
+    val byFp = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    val exact = enriched
+      .withColumn("_fp", TextHash.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(byFp))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+
+    // 5a: candidates — ids sharing a band bucket with a smaller id
+    // (bucket shuffle key is (band, band-hash), never text)
+    val banded = Dedup.minhashBands(
+      exact.select(col(idCol), col(textCol)), idCol, textCol, minhashK, bands)
+    val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
+    val cand = banded.join(bucketMin, "band_key")
+      .filter(col(idCol) > col("_min_id"))
+      .select(col(idCol), col("_min_id")).distinct()
+
+    // 5b: verify — shingle sets computed ONCE per doc, joined to the
+    // candidate pairs; drop only above the Jaccard threshold
+    val shingled = exact
+      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+      .select(col(idCol), array_distinct(TextHash.shingleHashes(col("_whs"))).as("_sh"))
+    val dropIds = cand
+      .join(shingled.select(col(idCol), col("_sh").as("_sa")), Seq(idCol))
+      .join(shingled.select(col(idCol).as("_min_id"), col("_sh").as("_sb")), Seq("_min_id"))
+      .filter(TextHash.jaccard(col("_sa"), col("_sb")) >= tau)
+      .select(col(idCol)).distinct()
+    exact.join(dropIds, Seq(idCol), "left_anti")
+  }
+}

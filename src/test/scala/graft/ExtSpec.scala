@@ -179,6 +179,28 @@ class ExtSpec extends SparkTestBase {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("DocPipeline: gate, langid, exact dedup, verified near-dup removal compose") {
+    import graft.ext.DocPipeline
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ") // 40 distinct words
+    val base = "the and of " + long("aaa")
+    val docs = Seq(
+      (1L, base),                               // en, survives
+      (2L, base),                               // exact dup of 1 → dropped
+      (3L, "short doc"),                        // gated (2 words)
+      (4L, "der und ist " + long("bbb")),       // de, distinct content → survives
+      (5L, long("zzz")),                        // no markers → und, survives
+      (6L, base.split(" ").dropRight(1).mkString(" ") + " changed") // near-dup of 1 → verified drop
+    ).toDF("doc_id", "text")
+    val out = DocPipeline.prepare(docs, minWords = 10).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.contains(2L), "exact dup must drop the higher id")
+    assert(!ids.contains(3L), "short doc must be gated")
+    assert(!ids.contains(6L), "one-word-changed twin must fail Jaccard verify")
+    assert(ids === Set(1L, 4L, 5L), s"got $ids")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(byId(1L) === "en" && byId(4L) === "de" && byId(5L) === "und")
+  }
+
   test("exact dedup keeps deterministic representative") {
     val df = Seq((3L, "a", "x"), (1L, "a", "x"), (2L, "b", "y"))
       .toDF("doc_id", "lang", "source")
