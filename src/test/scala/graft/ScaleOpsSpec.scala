@@ -88,6 +88,33 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    val keep = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // left: half the rows pile onto key 0 — one shuffle partition far
+      // exceeds the (lowered) skew threshold; right: uniform small
+      val left = spark.range(200000L)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("key"), col("id").as("v"))
+      val right = spark.range(5000L).select(col("id").as("key"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "key")
+      // drive THIS queryExecution (count() would plan its own) so AQE
+      // re-plans it and the final plan carries the skew marker
+      val n = joined.collect().length
+      assert(n === 100000 + 2500) // key 0 matches once; 2500 odd keys < 5000
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("BucketedStore API: save/load round-trip joins with no exchange") {
     import graft.sources.BucketedStore
     val a = (1L to 4000L).map(i => (i % 83, s"a$i")).toDF("key", "av")

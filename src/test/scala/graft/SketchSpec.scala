@@ -33,4 +33,27 @@ class SketchSpec extends SparkTestBase {
     assert(rows.length === 3)
     rows.foreach(r => assert(r.getDouble(1) >= 1.0 && r.getDouble(1) <= 50.0))
   }
+
+  test("Misra-Gries heavy hitters: frequent items present, estimates within n/k") {
+    import spark.implicits._
+    import graft.functions.HeavyHittersAgg
+    // known frequencies: 3 heavy tokens + 200 rare ones, shuffled
+    // deterministically; n = 11_500, k = 10 → n/k = 1_150
+    val truth = Map("alpha" -> 5000, "beta" -> 3000, "gamma" -> 1500) ++
+      (0 until 200).map(i => s"rare$i" -> 10).toMap
+    val n = truth.values.sum
+    val k = 10
+    val data = truth.toSeq.flatMap { case (t, c) => Seq.fill(c)(t) }
+      .sortBy(_.hashCode) // deterministic interleaving of heavy + rare
+    val df = data.toDF("tok").repartition(8) // force multi-buffer merge
+    val hh = df.select(HeavyHittersAgg.of(col("tok"), k).as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.item", "e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.size <= k - 1)
+    Seq("alpha", "beta", "gamma").foreach { t =>
+      assert(hh.contains(t), s"item with count ${truth(t)} > n/k must be present")
+      assert(hh(t) <= truth(t) && hh(t) >= truth(t) - n / k,
+        s"$t est=${hh(t)} true=${truth(t)} n/k=${n / k}")
+    }
+  }
 }
