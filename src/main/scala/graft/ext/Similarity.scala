@@ -74,8 +74,8 @@ object Similarity {
   /** LSH-bucketed top-k: score only the probe's bucket. Same contract as
     * bruteForceTopK; `dim` is the embedding dimensionality. Approximate:
     * recall < 1 by construction (near vectors in other buckets are not
-    * scored) — raise recall by lowering `bits` or probing multiple
-    * buckets. */
+    * scored) — raise recall by lowering `bits`, or probe the Hamming-1
+    * neighborhood with [[lshTopKMultiProbe]]. */
   def lshTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
               dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score"): DataFrame = {
     val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
@@ -83,6 +83,27 @@ object Similarity {
     bucketed.join(broadcast(p), col("_bucket") === col("_pbucket"))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol, "_bucket", "_pbucket")
+      .orderBy(col(scoreCol).desc)
+      .limit(k)
+  }
+
+  /** Multi-probe LSH top-k: also scores the `bits` buckets at Hamming
+    * distance 1 from the probe's bucket (a near vector that disagrees on
+    * ONE hyperplane sign — the dominant miss mode — is recovered). Cost:
+    * the broadcast side grows to bits+1 rows; the corpus side still
+    * touches only matching buckets, ~(bits+1)/2^bits of the data. Each
+    * corpus vector matches at most one probe bucket (the XOR'd ids are
+    * distinct), so no dedup is needed before the top-k. */
+  def lshTopKMultiProbe(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
+                        dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score"): DataFrame = {
+    val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
+    val p = probe
+      .withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
+      .withColumn("_pb", explode(array(
+        col("_pbucket") +: (0 until bits).map(j => col("_pbucket").bitwiseXOR(lit(1L << j))): _*)))
+    bucketed.join(broadcast(p), col("_bucket") === col("_pb"))
+      .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
+      .drop(probeCol, "_bucket", "_pbucket", "_pb")
       .orderBy(col(scoreCol).desc)
       .limit(k)
   }

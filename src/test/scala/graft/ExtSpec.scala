@@ -121,6 +121,24 @@ class ExtSpec extends SparkTestBase {
     lsh.foreach { r => assertNear(r.getDouble(1), bf(r.getLong(0))) }
   }
 
+  test("multi-probe LSH: superset of single-probe, recall vs brute force improves") {
+    val corpus = (1 to 400).map(i => (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 7) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probe = Seq(Tuple1(Array.tabulate(16)(j => ((j * 5) % 9 - 4).toFloat))).toDF("p_emb")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val k = 20
+    val bf = ids(Similarity.bruteForceTopK(corpus, "embedding", probe, "p_emb", k))
+    val single = ids(Similarity.lshTopK(corpus, "embedding", probe, "p_emb", dim = 16, k = k))
+    val multi = ids(Similarity.lshTopKMultiProbe(corpus, "embedding", probe, "p_emb", dim = 16, k = k))
+    // multi-probe candidates include the single-probe bucket, so at equal
+    // k the recalled set can only improve (ties aside: scores identical)
+    val rSingle = (bf & single).size
+    val rMulti = (bf & multi).size
+    assert(rMulti >= rSingle, s"multi=$rMulti single=$rSingle")
+    assert(multi.nonEmpty && multi.size <= k)
+  }
+
   test("language id: marker argmax with und fallback") {
     val df = Seq(
       ("the cat and the dog of it", "en"),
