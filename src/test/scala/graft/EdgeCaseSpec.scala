@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.VariantSchema
+import graft.operators.{Filters, Stats}
+
+/** Degenerate-input behavior: empty relations, all-missing rows, empty
+  * arrays. At 100 TB a partition with zero matching rows is routine —
+  * every operator must return an empty (or well-defined) result, never
+  * throw. */
+class EdgeCaseSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def emptyVariants = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], VariantSchema.schema)
+
+  test("variant stats + filters on an empty relation stay empty, no throw") {
+    val stats = Stats.variantStats(emptyVariants)
+    assert(stats.count() === 0)
+    assert(Filters.maskByDepth(emptyVariants, 5).count() === 0)
+    assert(Stats.variantCallStatsLong(emptyVariants).count() === 0)
+    assert(Stats.sampleDepthStatsFast(emptyVariants).count() === 0)
+    assert(Stats.sampleDepthStats(emptyVariants).count() === 0)
+  }
+
+  test("variant with zero samples: rates NaN, never divide-by-zero throw") {
+    val row = Row("chr1", 1L, "v0", "A", Seq("T"), 10.0,
+      Seq.empty[Seq[Int]], Seq.empty[Int], Seq.empty[Double], null, null)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)), VariantSchema.schema)
+    val s = Stats.variantStats(df).head()
+    assert(s.getAs[Double]("call_rate").isNaN)
+  }
+
+  test("DocPipeline on an empty corpus returns an empty frame") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ext.DocPipeline.prepare(empty, minWords = 1).count() === 0)
+  }
+
+  test("heavy hitters: empty input and all-null column give empty sketch") {
+    import graft.functions.HeavyHittersAgg
+    val empty = Seq.empty[String].toDF("tok")
+      .select(HeavyHittersAgg.of(col("tok"), 5).as("hh")).head()
+    assert(empty.getSeq[Row](0).isEmpty)
+    val nulls = Seq[Option[String]](None, None).toDF("tok")
+      .select(HeavyHittersAgg.of(col("tok"), 5).as("hh")).head()
+    assert(nulls.getSeq[Row](0).isEmpty)
+  }
+
+  test("similarity over an empty corpus: top-k empty, no throw") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val probe = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("p_emb")
+    assert(graft.ext.Similarity.bruteForceTopK(corpus, "embedding", probe, "p_emb", 5).count() === 0)
+    assert(graft.ext.Similarity.lshTopKMultiProbe(corpus, "embedding", probe, "p_emb", dim = 2, k = 5).count() === 0)
+  }
+
+  test("depth-stats median on a sample with no called depths is null") {
+    val df = Seq(Tuple1(Seq(-1, -1)), Tuple1(Seq(-1, 7))).toDF("dp")
+    val rows = Stats.sampleDepthStatsFast(df).collect()
+    assert(rows.length === 2)
+    val s0 = rows.find(_.getInt(0) == 0).get
+    assert(s0.isNullAt(s0.fieldIndex("median_dp_approx")))
+    val s1 = rows.find(_.getInt(0) == 1).get
+    assert(s1.getAs[Double]("median_dp_approx") === 7.0)
+  }
+}
