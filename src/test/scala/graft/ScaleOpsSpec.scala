@@ -115,6 +115,28 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("runtime bloom filter injects on a selective dim join (semi-join reduction)") {
+    // the fact-side scan gets a might_contain(bloom_of(dim keys)) filter
+    // BEFORE the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~1% that can match
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dir = "/root/testdata/sf0.001"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val p = spark.read.parquet(s"$dir/part.parquet").filter("p_brand = 'Brand#23'")
+      val j = li.join(p, li("l_partkey") === p("p_partkey"))
+      assert(j.queryExecution.optimizedPlan.toString().contains("might_contain"),
+        "runtime bloom filter did not inject")
+      assert(j.count() > 0)
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("BucketedStore API: save/load round-trip joins with no exchange") {
     import graft.sources.BucketedStore
     val a = (1L to 4000L).map(i => (i % 83, s"a$i")).toDF("key", "av")
