@@ -28,6 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object DocPipeline {
 
+  /** Append `lang_pred` scored from an existing token-array column —
+    * all profiles read the SAME materialized array (map-only; shared by
+    * the batch pipeline and [[prepareStream]]). */
+  def withLangPred(df: DataFrame, toksCol: String): DataFrame = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(df) { (acc, l) =>
+      acc.withColumn(s"_s_$l", TextAnalysis.stopwordCountOf(col(toksCol), TextAnalysis.stopwords(l)))
+    }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
+    val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
+      when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred)
+      .drop("_best" +: langs.map(l => s"_s_$l"): _*)
+  }
+
+  /** Streaming twin of stages 1-4: quality gate + language-ID + exact
+    * dedup with WATERMARK-BOUNDED state (duplicate fingerprints within
+    * the horizon are dropped; per-key state expires as the watermark
+    * advances). LSH near-dup needs cross-document state with no horizon
+    * — run the batch [[prepare]] as a periodic compaction instead. */
+  def prepareStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String = "text",
+      minWords: Long = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    withLangPred(
+      docs.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+        .withColumn("n_words", TextAnalysis.wordCountOf(col("_toks")))
+        .filter(col("n_words") >= minWords),
+      "_toks")
+      .drop("_toks")
+      .withColumn("_fp", TextHash.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Returns the surviving documents with `n_words` and `lang_pred`
     * appended. See the object doc for the five stages. */
   def prepare(
@@ -47,15 +84,7 @@ object DocPipeline {
       .filter(col("n_words") >= minWords)
 
     // 3: language-ID from the materialized token column
-    val scored = langs.foldLeft(gated) { (df, l) =>
-      df.withColumn(s"_s_$l", TextAnalysis.stopwordCountOf(col("_toks"), TextAnalysis.stopwords(l)))
-    }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
-    val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
-      when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)
-    }
-    val enriched = scored
-      .withColumn("lang_pred", pred)
-      .drop("_toks" +: "_best" +: langs.map(l => s"_s_$l"): _*)
+    val enriched = withLangPred(gated, "_toks").drop("_toks")
 
     // 4: exact dedup — lowest id per fingerprint survives
     val byFp = Window.partitionBy(col("_fp")).orderBy(col(idCol))

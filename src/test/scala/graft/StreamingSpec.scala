@@ -118,6 +118,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming doc prep: gate + langid + fingerprint dedup across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val prepped = graft.ext.DocPipeline.prepareStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", minWords = 4)
+    val q = prepped.writeStream.format("memory").queryName("doc_prep")
+      .outputMode("append").start()
+    try {
+      val en = "the cat and the dog of it"
+      input.addData((ts(0), 1L, en), (ts(1), 2L, "x y"))   // 2 gated (2 words)
+      q.processAllAvailable()
+      input.addData((ts(2), 3L, en))                        // dup text of 1 within watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, lang_pred FROM doc_prep").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.toSeq === Seq(1L -> "en"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: click matches impression only within the bound") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
