@@ -43,11 +43,18 @@ object Dedup {
     * docs sharing a band_key are near-dup candidates — the shuffle key is
     * this short string, never the document. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 8, bands: Int = 4): DataFrame = {
+                   k: Int = 8, bands: Int = 4): DataFrame =
+    minhashBandsFromWhs(
+      df.withColumn("_whs", wordHashes(col(textCol))), idCol, "_whs", k, bands)
+
+  /** [[minhashBands]] over an ALREADY-materialized word-hash column —
+    * use when the caller also needs the hashes for another stage
+    * (DocPipeline shares one pass between banding and shingles). */
+  def minhashBandsFromWhs(df: DataFrame, idCol: String, whsCol: String,
+                          k: Int = 8, bands: Int = 4): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible into $bands bands")
     val rowsPerBand = k / bands
-    df.withColumn("_whs", wordHashes(col(textCol)))
-      .withColumn("_sig", minhashSignature(col("_whs"), k))
+    df.withColumn("_sig", minhashSignature(col(whsCol), k))
       .select(col(idCol), posexplode(array((0 until bands).map { b =>
         array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_")
       }: _*)).as(Seq("band", "band_hash")))

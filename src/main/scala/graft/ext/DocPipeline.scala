@@ -95,18 +95,18 @@ object DocPipeline {
       .drop("_fp", "_rn")
 
     // 5a: candidates — ids sharing a band bucket with a smaller id
-    // (bucket shuffle key is (band, band-hash), never text)
-    val banded = Dedup.minhashBands(
-      exact.select(col(idCol), col(textCol)), idCol, textCol, minhashK, bands)
+    // (bucket shuffle key is (band, band-hash), never text). Word hashes
+    // are materialized ONCE and shared with the shingle verify stage.
+    val hashed = exact.select(col(idCol), TextHash.wordHashes(col(textCol)).as("_whs"))
+    val banded = Dedup.minhashBandsFromWhs(hashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
     val cand = banded.join(bucketMin, "band_key")
       .filter(col(idCol) > col("_min_id"))
       .select(col(idCol), col("_min_id")).distinct()
 
-    // 5b: verify — shingle sets computed ONCE per doc, joined to the
+    // 5b: verify — shingle sets from the same hash pass, joined to the
     // candidate pairs; drop only above the Jaccard threshold
-    val shingled = exact
-      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+    val shingled = hashed
       .select(col(idCol), array_distinct(TextHash.shingleHashes(col("_whs"))).as("_sh"))
     val dropIds = cand
       .join(shingled.select(col(idCol), col("_sh").as("_sa")), Seq(idCol))
