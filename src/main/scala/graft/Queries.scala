@@ -44,6 +44,40 @@ object Queries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Deterministic synthetic genotype matrix for the genetics-kernel
+    * oracle rows (the driver testdata has no variants table, so both
+    * engines DERIVE the same gt arrays from `orders` with identical
+    * integer arithmetic): 100 variants (vid = the 100 lowest orderkeys),
+    * 12 diploid samples; sample s of variant v hashes to
+    * hs = (vid*7919 + s*104729) mod 1000 — missing ([-1,-1]) when
+    * hs < 150, else alleles (hs mod 2, (hs div 3) mod 2). The Spark side
+    * then runs the REAL kernels (GtStatsExpr / GenotypeKernels / MaskGt)
+    * over the arrays; the DuckDB twin recomputes the statistics from
+    * first principles — so a hash match is a cross-engine proof of the
+    * genetics kernels themselves, same as the text-kernel oracles. */
+  private def gtTable(s: SparkSession, d: String): DataFrame = {
+    val nS = 12
+    t(s, d, "orders").select(col("o_orderkey").as("vid"))
+      .orderBy(col("vid")).limit(100)
+      .withColumn("gt", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+        val hs = pmod(col("vid") * 7919L + sIdx * 104729L, lit(1000L))
+        when(hs < 150, array(lit(-1), lit(-1)))
+          .otherwise(array(
+            pmod(hs, lit(2L)).cast("int"),
+            pmod(floor(hs / lit(3L)).cast("long"), lit(2L)).cast("int")))
+      }))
+      .withColumn("alt", array(lit("A"))) // biallelic: nAlleles = 2
+  }
+
+  /** DuckDB twin of [[gtTable]]'s gt construction (shared by the three
+    * genetics oracle queries). */
+  private val duckGt =
+    """SELECT vid, list_transform(range(0,12), s ->
+      |  CASE WHEN (vid*7919 + s*104729) % 1000 < 150 THEN [-1,-1]
+      |       ELSE [CAST((vid*7919 + s*104729) % 1000 % 2 AS INT),
+      |             CAST(((vid*7919 + s*104729) % 1000 // 3) % 2 AS INT)] END) AS gt
+      |FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100)""".stripMargin
+
   /** Exact money sum: 2-decimal doubles → DECIMAL(18,2) → exact sum → DOUBLE. */
   private def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
@@ -1287,7 +1321,157 @@ object Queries {
            |CAST(sum(n_words) AS BIGINT) AS sum_words
            |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
-      })
+      }),
+
+    // ── 58. corpus-wide embedding near-dup candidates: LSH-bucket
+    // SELF-join blocking (bucket-min) + cosine verify — the missing
+    // operator round 2 flagged; the unfiltered pair set is emitted so
+    // the oracle checks bucketing, blocking AND scoring end to end ────
+    QueryDef(
+      "q_neardup_lsh",
+      (s, d) =>
+        Dedup.embeddingCandidatePairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, bits = 4)
+          .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("vec_id"), col("dup_of")),
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |  CAST(list_sum(list_transform(range(0,4), j ->
+             |    CASE WHEN list_sum(list_transform(range(0,64), i ->
+             |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+             |  FROM embeddings),
+             |bmin AS (SELECT bucket, min(vec_id) AS min_id FROM b GROUP BY bucket),
+             |cand AS (SELECT DISTINCT v.vec_id, min_id FROM b v
+             |  JOIN bmin USING (bucket) WHERE v.vec_id > min_id)
+             |SELECT c.vec_id, c.min_id AS dup_of,
+             |round(
+             |  list_sum(list_transform(range(1, len(a.embedding)+1),
+             |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+             |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             |   * sqrt(list_sum(list_transform(range(1, len(x.embedding)+1),
+             |       i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))), 4) AS cos
+             |FROM cand c JOIN b a ON a.vec_id = c.vec_id JOIN b x ON x.vec_id = c.min_id
+             |ORDER BY c.vec_id, dup_of""".stripMargin)),
+
+    // ── 59. batch ANN join: many probes served by ONE plan (bucket
+    // equi-join + per-probe WindowGroupLimit top-k) ────────────────────
+    QueryDef(
+      "q_ann_join",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 10)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        Similarity.lshTopKJoin(
+          corpus, "embedding", probes, "probe_id", "p_emb",
+          dim = 64, k = 3, bits = 4, tieBreak = Seq("vec_id"))
+          .select(col("probe_id"), col("vec_id"), round(col("score"), 4).as("dot"))
+          .orderBy(col("probe_id"), col("vec_id"))
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |  CAST(list_sum(list_transform(range(0,4), j ->
+             |    CASE WHEN list_sum(list_transform(range(0,64), i ->
+             |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
+             |      FROM b WHERE vec_id < 10),
+             |j AS (SELECT p.probe_id, c.vec_id,
+             |  list_sum(list_transform(range(1, len(c.embedding)+1),
+             |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))) AS dot
+             |  FROM b c JOIN p ON c.bucket = p.pb WHERE c.vec_id >= 10),
+             |r AS (SELECT probe_id, vec_id, dot,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn FROM j)
+             |SELECT probe_id, vec_id, round(dot, 4) AS dot FROM r WHERE rn <= 3
+             |ORDER BY probe_id, vec_id""".stripMargin)),
+
+    // ── 60. genetics kernels vs first-principles SQL: call rate, MAF,
+    // MAC, observed + Nei expected het over a derived gt matrix — the
+    // REAL kernel expressions (GenotypeKernels) on the Spark side ─────
+    QueryDef(
+      "q_gt_stats",
+      (s, d) => {
+        import graft.functions.GenotypeKernels
+        gtTable(s, d)
+          .withColumn("counts", GenotypeKernels.alleleCounts(col("gt"), lit(2)))
+          .select(
+            col("vid"),
+            GenotypeKernels.calledGtCount(col("gt")).as("n_called"),
+            round(GenotypeKernels.callRate(col("gt")), 4).as("call_rate"),
+            round(GenotypeKernels.majorFreqFromCounts(col("counts")), 4).as("maf"),
+            GenotypeKernels.macFromCounts(col("counts")).as("mac"),
+            round(GenotypeKernels.obsHet(col("gt")), 4).as("obs_het"),
+            round(GenotypeKernels.expHetFromCounts(col("counts")), 4).as("exp_het"))
+          .orderBy(col("vid"))
+      },
+      Some(s"""WITH g AS ($duckGt),
+             |st AS (SELECT vid,
+             |  len(list_filter(gt, x -> NOT list_contains(x, -1))) AS n_called,
+             |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
+             |  len(list_filter(flatten(gt), a -> a = 1)) AS c1,
+             |  len(list_filter(gt, x -> NOT list_contains(x, -1)
+             |      AND len(list_distinct(x)) >= 2)) AS n_het
+             |  FROM g)
+             |SELECT vid, CAST(n_called AS BIGINT) AS n_called,
+             |round(CAST(n_called AS DOUBLE) / 12, 4) AS call_rate,
+             |round(CAST(greatest(c0, c1) AS DOUBLE) / (c0 + c1), 4) AS maf,
+             |CAST(least(c0, c1) AS BIGINT) AS mac,
+             |round(CAST(n_het AS DOUBLE) / n_called, 4) AS obs_het,
+             |round((1 - (CAST(c0 AS DOUBLE)*c0 + CAST(c1 AS DOUBLE)*c1)
+             |           / (CAST(c0 + c1 AS DOUBLE) * (c0 + c1)))
+             |      * (c0 + c1) / (c0 + c1 - 1), 4) AS exp_het
+             |FROM st ORDER BY vid""".stripMargin)),
+
+    // ── 61. depth→missing mask (the codegen'd MaskGt expression) +
+    // call-rate/MAF variant filter (GtStatsExpr through Filters) ──────
+    QueryDef(
+      "q_gt_mask",
+      (s, d) => {
+        import graft.functions.{GenotypeKernels, MaskGt}
+        val dp = transform(sequence(lit(0), lit(11)), sIdx =>
+          pmod(col("vid") * 31L + sIdx * 17L, lit(30L)).cast("int"))
+        gtTable(s, d)
+          .withColumn("dp", dp)
+          .withColumn("gt_m", MaskGt.of(col("gt"), col("dp"), 10.0))
+          .select(
+            col("vid"),
+            GenotypeKernels.missingGtCount(col("gt")).as("miss_before"),
+            GenotypeKernels.missingGtCount(col("gt_m")).as("miss_after"))
+          .orderBy(col("vid"))
+      },
+      Some(s"""WITH g AS ($duckGt),
+             |m AS (SELECT vid, gt, list_transform(range(0,12), s ->
+             |  CASE WHEN (vid*31 + s*17) % 30 < 10 THEN [-1,-1]
+             |       ELSE gt[CAST(s+1 AS INT)] END) AS gt_m FROM g)
+             |SELECT vid,
+             |CAST(len(list_filter(gt, x -> list_contains(x, -1))) AS BIGINT) AS miss_before,
+             |CAST(len(list_filter(gt_m, x -> list_contains(x, -1))) AS BIGINT) AS miss_after
+             |FROM m ORDER BY vid""".stripMargin)),
+
+    // ── 62. variant filter predicates (call rate + MAF band) driven by
+    // the one-pass codegen GtStats struct via the Filters operators ───
+    QueryDef(
+      "q_gt_filter",
+      (s, d) =>
+        gtTable(s, d)
+          .filter(graft.operators.Filters.byCallRate(0.8) &&
+            graft.operators.Filters.byMaf(max = 0.95))
+          .select(col("vid"))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |st AS (SELECT vid,
+             |  len(list_filter(gt, x -> NOT list_contains(x, -1))) AS n_called,
+             |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
+             |  len(list_filter(flatten(gt), a -> a = 1)) AS c1
+             |  FROM g)
+             |SELECT vid FROM st
+             |WHERE CAST(n_called AS DOUBLE) / 12 >= 0.8
+             |  AND CAST(greatest(c0, c1) AS DOUBLE) / (c0 + c1) >= 0.0
+             |  AND CAST(greatest(c0, c1) AS DOUBLE) / (c0 + c1) <= 0.95
+             |ORDER BY vid""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -88,4 +88,90 @@ object Dedup {
     * the LSH blocking that generates candidates at scale). */
   def cosineNearDup(vecA: Column, vecB: Column, threshold: Double): Column =
     Similarity.cosine(vecA, vecB) > threshold
+
+  /** Corpus-wide embedding near-dup CANDIDATE pairs with their cosine —
+    * the self-join analog of the text MinHash banding: map-side LSH
+    * bucket per band (Similarity.lshBucket, band b on plane family
+    * b*bits), bucket-min blocking (each id pairs only with its bucket's
+    * smallest id), then cosine over the candidate pairs only.
+    *
+    * Scale shape: the banding shuffle carries (id, band, bucket) — three
+    * scalars, never the vector; vectors are joined back for CANDIDATE
+    * pairs only. No all-pairs product anywhere. More `bands` raises
+    * recall (a near pair only needs to agree on all `bits` planes of ONE
+    * band); more `bits` sharpens precision per band.
+    *
+    * Output: (idCol, dup_of, cos) with idCol > dup_of, one row per
+    * distinct candidate pair. [[embeddingNearDups]] applies the `tau`
+    * verification; this unfiltered form is the oracle-checkable surface
+    * (q_neardup_lsh hash-matches it against DuckDB end to end). */
+  def embeddingCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, bits: Int = 8, bands: Int = 1): DataFrame = {
+    val ids = corpus.select(col(idCol), col(vecCol))
+    val keys = ids.select(col(idCol), posexplode(array((0 until bands).map { b =>
+      Similarity.lshBucket(col(vecCol), dim, bits, b * bits)
+    }: _*)).as(Seq("_band", "_bucket")))
+    val bucketMin = keys.groupBy(col("_band"), col("_bucket"))
+      .agg(min(col(idCol)).as("_min_id"))
+    val cand = keys.join(bucketMin, Seq("_band", "_bucket"))
+      .filter(col(idCol) > col("_min_id"))
+      .select(col(idCol), col("_min_id")).distinct()
+    cand
+      .join(ids.select(col(idCol), col(vecCol).as("_va")), Seq(idCol))
+      .join(ids.select(col(idCol).as("_min_id"), col(vecCol).as("_vb")), Seq("_min_id"))
+      .select(col(idCol), col("_min_id").as("dup_of"),
+        Similarity.cosine(col("_va"), col("_vb")).as("cos"))
+  }
+
+  /** Verified embedding near-dup pairs: [[embeddingCandidatePairs]]
+    * filtered to cosine ≥ `tau` — the "band collision ≠ duplicate"
+    * discipline of DocPipeline applied to vectors. Feed the result to
+    * [[transitiveClusters]] when chained duplicates (A~B~C with no
+    * shared bucket between A and C) must collapse to one survivor. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, bits: Int = 8, tau: Double = 0.9,
+                        bands: Int = 1): DataFrame =
+    embeddingCandidatePairs(corpus, idCol, vecCol, dim, bits, bands)
+      .filter(col("cos") >= tau)
+
+  /** Connected components over an undirected near-dup edge set by
+    * iterated hash-min label propagation: every vertex starts as its own
+    * component; each round, a vertex's label drops to the minimum label
+    * among itself and its neighbors; at fixpoint the label IS the
+    * component's smallest vertex id — so chains A~B~C collapse to A even
+    * when A and C never shared a bucket.
+    *
+    * Scale notes: the input is the VERIFIED candidate edge set, which is
+    * tiny relative to the corpus (post-banding, post-threshold) — each
+    * round is one small join+groupBy shuffle, and `localCheckpoint`
+    * truncates the lineage so plans don't grow with iteration count.
+    * Convergence needs at most `diameter` rounds (near-dup components
+    * are shallow in practice; `maxIter` is a safety bound and the loop
+    * exits as soon as no label changes).
+    *
+    * Returns one row per vertex appearing in `edges`: (id, comp). */
+  def transitiveClusters(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .union(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("_a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = sym.join(labels.select(col("id").as("_b"), col("comp").as("_nc")), Seq("_b"))
+        .groupBy(col("_a")).agg(min(col("_nc")).as("_nmin"))
+      val next = labels
+        .join(nbrMin.select(col("_a").as("id"), col("_nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // labels only ever decrease: any strict drop means another round
+      done = next.join(labels.select(col("id"), col("comp").as("_prev")), Seq("id"))
+        .filter(col("comp") < col("_prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

@@ -66,7 +66,15 @@ object DocPipeline {
       .drop("_fp")
 
   /** Returns the surviving documents with `n_words` and `lang_pred`
-    * appended. See the object doc for the five stages. */
+    * appended. See the object doc for the five stages.
+    *
+    * `transitive = true` additionally collapses CHAINS of near-dups:
+    * plain bucket-min blocking drops docs similar to their bucket's
+    * smallest id, so A~B~C survives as {A, C} when A and C never share a
+    * bucket; with the flag on, the verified pair set becomes an edge
+    * list, connected components are computed by iterated hash-min
+    * ([[Dedup.transitiveClusters]] — the edge set is tiny post-banding),
+    * and only each component's smallest id survives. */
   def prepare(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -74,7 +82,8 @@ object DocPipeline {
       minWords: Long = 30,
       minhashK: Int = 8,
       bands: Int = 4,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8,
+      transitive: Boolean = false): DataFrame = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
 
     // 1-2: single tokenization + quality gate
@@ -108,11 +117,94 @@ object DocPipeline {
     // candidate pairs; drop only above the Jaccard threshold
     val shingled = hashed
       .select(col(idCol), array_distinct(TextHash.shingleHashes(col("_whs"))).as("_sh"))
-    val dropIds = cand
+    val verified = cand
       .join(shingled.select(col(idCol), col("_sh").as("_sa")), Seq(idCol))
       .join(shingled.select(col(idCol).as("_min_id"), col("_sh").as("_sb")), Seq("_min_id"))
       .filter(TextHash.jaccard(col("_sa"), col("_sb")) >= tau)
-      .select(col(idCol)).distinct()
+      .select(col(idCol), col("_min_id"))
+    val dropIds =
+      if (!transitive) verified.select(col(idCol)).distinct()
+      else Dedup.transitiveClusters(verified, idCol, "_min_id")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as(idCol))
     exact.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Compact per-doc signature row — the unit an incremental-dedup store
+    * persists instead of the corpus itself: the 64-bit text fingerprint
+    * (exact dup key), the LSH band keys (near-dup blocking keys, same
+    * format as Dedup.minhashBandsFromWhs), and the distinct shingle-hash
+    * set (near-dup verification payload). One tokenization pass feeds
+    * all three, and nothing here retains the text. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minhashK: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(minhashK % bands == 0, s"k=$minhashK not divisible into $bands bands")
+    val rowsPerBand = minhashK / bands
+    docs
+      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+      .withColumn("_sig", TextHash.minhashSignature(col("_whs"), minhashK))
+      .select(
+        col(idCol),
+        TextHash.fingerprint(col(textCol)).as("fp"),
+        array((0 until bands).map { b =>
+          concat_ws(":", lit(b),
+            array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_"))
+        }: _*).as("band_keys"),
+        array_distinct(TextHash.shingleHashes(col("_whs"))).as("shingles"))
+  }
+
+  /** Persist a signature store bucketed on the fingerprint so repeated
+    * incremental batches anti-join against it with no exchange on the
+    * store side (BucketedStore — the shuffle happened once, at write). */
+  def saveSignatureStore(sigs: DataFrame, name: String, buckets: Int = 32,
+                         path: Option[String] = None): Unit =
+    graft.sources.BucketedStore.save(sigs, name, Seq("fp"), buckets, path = path)
+
+  /** Incremental batch dedup against a persisted corpus: run the full
+    * in-batch [[prepare]] on the NEW documents, then drop survivors that
+    * duplicate the existing corpus — judged entirely from the corpus's
+    * signature STORE ([[signatures]] rows), never by rescanning its text.
+    *
+    *   - exact: anti-join the new fingerprints against the stored set
+    *     (one equi-key shuffle; exchange-free on a bucketed store);
+    *   - near-dup: explode band keys on both sides, equi-join on the
+    *     short band key → candidate (new, stored) pairs, verify with
+    *     shingle Jaccard ≥ `tau` — candidates only, the same blocking
+    *     discipline as the in-batch pipeline.
+    *
+    * Returns the accepted new rows (prepare's output schema). Append
+    * `signatures(accepted)` to the store to absorb the batch. */
+  def prepareIncremental(
+      newDocs: DataFrame,
+      store: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8): DataFrame = {
+    val batch = prepare(newDocs, idCol, textCol, minWords, minhashK, bands, tau)
+    val sigs = signatures(batch, idCol, textCol, minhashK, bands)
+
+    // exact: new fingerprints never seen before
+    val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
+
+    // near-dup: band-key candidates vs the store, shingle-verified
+    val newKeys = fresh.select(col(idCol), explode(col("band_keys")).as("band_key"))
+    val storeKeys = store.select(col(idCol).as("_sid"), explode(col("band_keys")).as("band_key"))
+    val cand = newKeys.join(storeKeys, Seq("band_key"))
+      .select(col(idCol), col("_sid")).distinct()
+    val dropIds = cand
+      .join(fresh.select(col(idCol), col("shingles").as("_na")), Seq(idCol))
+      .join(store.select(col(idCol).as("_sid"), col("shingles").as("_sa")), Seq("_sid"))
+      .filter(TextHash.jaccard(col("_na"), col("_sa")) >= tau)
+      .select(col(idCol)).distinct()
+
+    batch.join(fresh.select(col(idCol)), Seq(idCol))
+      .join(dropIds, Seq(idCol), "left_anti")
   }
 }

@@ -40,9 +40,20 @@ object Ivf {
 
   /** Train the coarse quantizer: returns (cell id, centroid) pairs.
     * Centroid count is `k`; `iters` Lloyd rounds (2-3 suffice for a
-    * coarse quantizer). */
-  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): Seq[(Int, Array[Double])] = {
-    val init = corpus.orderBy(col(idCol)).limit(k)
+    * coarse quantizer).
+    *
+    * Init: by default the k lowest ids — deterministic, but on
+    * id-CORRELATED data (e.g. embeddings appended in topic order) the
+    * seeds cluster in one region and Lloyd may leave far cells coarse.
+    * `spreadInit = true` instead seeds from the k smallest `xxhash64(id)`
+    * values: still fully deterministic (pure id hash, no RNG state), but
+    * pseudo-uniformly spread over the corpus, and still a distributed
+    * top-k (TakeOrderedAndProject) — NOT a global sort and NOT a
+    * `sample()`, whose output depends on partition layout. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2,
+            spreadInit: Boolean = false): Seq[(Int, Array[Double])] = {
+    val seedOrder = if (spreadInit) xxhash64(col(idCol)) else col(idCol)
+    val init = corpus.orderBy(seedOrder, col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       .zipWithIndex.map { case (c, i) => (i, c) }.toSeq

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
@@ -50,25 +51,39 @@ object Similarity {
 
   /** LSH bucket id: `bits` sign bits packed into a long — codegen'd,
     * all planes in one pass per row (VectorLoops.lshBucket replicates
-    * [[lshBucketHof]]'s LCG arithmetic exactly). */
-  def lshBucket(vec: Column, dim: Int, bits: Int = 4): Column =
-    bridge.column(graft.functions.LshBucketExpr(bridge.expression(vec), dim, bits))
+    * [[lshBucketHof]]'s LCG arithmetic exactly). `planeOffset` selects an
+    * independent plane family (band b of a multi-band scheme passes
+    * `b * bits`), so banded embedding LSH reuses the same kernel. */
+  def lshBucket(vec: Column, dim: Int, bits: Int = 4, planeOffset: Int = 0): Column =
+    bridge.column(graft.functions.LshBucketExpr(bridge.expression(vec), dim, bits, planeOffset))
 
   /** HOF spec form of [[lshBucket]] — the differential-test reference
     * and the arithmetic the DuckDB oracle replicates. */
-  def lshBucketHof(vec: Column, dim: Int, bits: Int = 4): Column =
+  def lshBucketHof(vec: Column, dim: Int, bits: Int = 4, planeOffset: Int = 0): Column =
     (0 until bits).map { j =>
-      when(hyperplaneDot(vec, j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(hyperplaneDot(vec, planeOffset + j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Tie-break order for the top-k APIs: equal scores would otherwise
+    * make the k-th row partition-order-dependent (shuffled input could
+    * return a different, equally-scored row). Default = every corpus
+    * column except the vector itself, ascending — a total order whenever
+    * the corpus rows are distinct. */
+  private def tieBreakCols(corpus: DataFrame, vecCol: String, tieBreak: Seq[String]): Seq[Column] =
+    (if (tieBreak.nonEmpty) tieBreak
+     else corpus.columns.toSeq.filterNot(_ == vecCol)).map(col(_).asc)
+
   /** Brute-force top-k by dot product against one probe row.
-    * `probe` must be a 1-row DataFrame with column `probeCol`. */
+    * `probe` must be a 1-row DataFrame with column `probeCol`.
+    * Deterministic: ties on score break by `tieBreak` (default: all
+    * corpus columns except the vector). */
   def bruteForceTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
-                     k: Int, scoreCol: String = "score"): DataFrame =
+                     k: Int, scoreCol: String = "score",
+                     tieBreak: Seq[String] = Nil): DataFrame =
     corpus.crossJoin(broadcast(probe))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol)
-      .orderBy(col(scoreCol).desc)
+      .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
       .limit(k)
 
   /** LSH-bucketed top-k: score only the probe's bucket. Same contract as
@@ -77,13 +92,14 @@ object Similarity {
     * scored) — raise recall by lowering `bits`, or probe the Hamming-1
     * neighborhood with [[lshTopKMultiProbe]]. */
   def lshTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
-              dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score"): DataFrame = {
+              dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score",
+              tieBreak: Seq[String] = Nil): DataFrame = {
     val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
     val p = probe.withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
     bucketed.join(broadcast(p), col("_bucket") === col("_pbucket"))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol, "_bucket", "_pbucket")
-      .orderBy(col(scoreCol).desc)
+      .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
       .limit(k)
   }
 
@@ -95,7 +111,8 @@ object Similarity {
     * corpus vector matches at most one probe bucket (the XOR'd ids are
     * distinct), so no dedup is needed before the top-k. */
   def lshTopKMultiProbe(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
-                        dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score"): DataFrame = {
+                        dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score",
+                        tieBreak: Seq[String] = Nil): DataFrame = {
     val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
     val p = probe
       .withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
@@ -104,7 +121,58 @@ object Similarity {
     bucketed.join(broadcast(p), col("_bucket") === col("_pb"))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol, "_bucket", "_pbucket", "_pb")
-      .orderBy(col(scoreCol).desc)
+      .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
       .limit(k)
+  }
+
+  /** Exact batch top-k JOIN: every row of `probes` gets its k best corpus
+    * rows in ONE plan — query workloads arrive as a DataFrame of probes,
+    * and running [[bruteForceTopK]] per probe would launch one job each.
+    * Plan shape: broadcast the probes (they are the small side by
+    * assumption), map-side score, then a per-probe window top-k — Spark 4
+    * plans the `row_number <= k` filter as partial+final WindowGroupLimit,
+    * so each task keeps only k rows per probe before the shuffle.
+    * Deterministic: score ties break by `tieBreak` (default: all corpus
+    * columns except the vector). */
+  def bruteForceTopKJoin(corpus: DataFrame, vecCol: String,
+                         probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                         k: Int, scoreCol: String = "score",
+                         tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
+    corpus.crossJoin(broadcast(probes))
+      .withColumn(scoreCol, dot(col(vecCol), col(probeVecCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn", probeVecCol)
+  }
+
+  /** LSH batch top-k JOIN — the scale form of [[bruteForceTopKJoin]]:
+    * bucket BOTH sides map-side, equi-join on the bucket id, score only
+    * co-bucketed pairs, then the same per-probe WindowGroupLimit top-k.
+    * `multiProbe` additionally explodes each probe to its Hamming-1
+    * bucket neighborhood (bits+1 rows/probe) for the recall recovery of
+    * [[lshTopKMultiProbe]] — still at most one match per (corpus row,
+    * probe). At scale pick `bits` ≥ log2(shuffle parallelism): the join
+    * key cardinality is 2^bits, and a too-small `bits` under-partitions
+    * the shuffle (Catalyst broadcasts the probe side automatically when
+    * it is small enough, which sidesteps the issue entirely). */
+  def lshTopKJoin(corpus: DataFrame, vecCol: String,
+                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                  dim: Int, k: Int, bits: Int = 4, multiProbe: Boolean = false,
+                  scoreCol: String = "score", tieBreak: Seq[String] = Nil): DataFrame = {
+    val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
+    val p0 = probes.withColumn("_pbucket", lshBucket(col(probeVecCol), dim, bits))
+    val p =
+      if (multiProbe) p0.withColumn("_pb", explode(array(
+        col("_pbucket") +: (0 until bits).map(j => col("_pbucket").bitwiseXOR(lit(1L << j))): _*)))
+      else p0.withColumn("_pb", col("_pbucket"))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
+    bucketed.join(p, col("_bucket") === col("_pb"))
+      .withColumn(scoreCol, dot(col(vecCol), col(probeVecCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn", "_bucket", "_pbucket", "_pb", probeVecCol)
   }
 }

@@ -46,13 +46,15 @@ object VectorLoops {
 
   /** All `bits` hyperplane sign tests in ONE pass per row; replicates
     * Similarity.planeComponent's LCG exactly (same 1-based flat index,
-    * same mod-2^31 scaling). */
-  def lshBucket(a: ArrayData, aD: Boolean, dim: Int, bits: Int): Long = {
+    * same mod-2^31 scaling). `planeOffset` selects an independent plane
+    * family (band b uses planes b*bits .. b*bits+bits-1) so multi-band
+    * embedding LSH needs no second hash scheme. */
+  def lshBucket(a: ArrayData, aD: Boolean, dim: Int, bits: Int, planeOffset: Int): Long = {
     var bucket = 0L
     var j = 0
     while (j < bits) {
       var acc = 0.0
-      val base = j.toLong * dim
+      val base = (planeOffset + j).toLong * dim
       var i = 1
       while (i <= dim) {
         val t = (1103515245L * (base + i) + 12345L) % 2147483648L
@@ -117,18 +119,18 @@ case class Dist2Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class LshBucketExpr(child: Expression, dim: Int, bits: Int)
+case class LshBucketExpr(child: Expression, dim: Int, bits: Int, planeOffset: Int = 0)
     extends UnaryExpression with VectorInputCheck {
   override protected def vectorChildren: Seq[Expression] = Seq(child)
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
 
   protected override def nullSafeEval(a: Any): Any =
-    VectorLoops.lshBucket(a.asInstanceOf[ArrayData], isDoubleElem(child), dim, bits)
+    VectorLoops.lshBucket(a.asInstanceOf[ArrayData], isDoubleElem(child), dim, bits, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
-      s"graft.functions.VectorLoops.lshBucket($a, ${isDoubleElem(child)}, $dim, $bits)")
+      s"graft.functions.VectorLoops.lshBucket($a, ${isDoubleElem(child)}, $dim, $bits, $planeOffset)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)
