@@ -1341,10 +1341,9 @@ object Queries {
              |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
              |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
              |  FROM embeddings),
-             |bmin AS (SELECT bucket, min(vec_id) AS min_id FROM b GROUP BY bucket),
-             |cand AS (SELECT DISTINCT v.vec_id, min_id FROM b v
-             |  JOIN bmin USING (bucket) WHERE v.vec_id > min_id)
-             |SELECT c.vec_id, c.min_id AS dup_of,
+             |cand AS (SELECT DISTINCT l.vec_id AS lo, h.vec_id AS hi FROM b l
+             |  JOIN b h ON l.bucket = h.bucket AND l.vec_id < h.vec_id)
+             |SELECT c.hi AS vec_id, c.lo AS dup_of,
              |round(
              |  list_sum(list_transform(range(1, len(a.embedding)+1),
              |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
@@ -1352,8 +1351,8 @@ object Queries {
              |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
              |   * sqrt(list_sum(list_transform(range(1, len(x.embedding)+1),
              |       i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))), 4) AS cos
-             |FROM cand c JOIN b a ON a.vec_id = c.vec_id JOIN b x ON x.vec_id = c.min_id
-             |ORDER BY c.vec_id, dup_of""".stripMargin)),
+             |FROM cand c JOIN b a ON a.vec_id = c.hi JOIN b x ON x.vec_id = c.lo
+             |ORDER BY vec_id, dup_of""".stripMargin)),
 
     // ── 59. batch ANN join: many probes served by ONE plan (bucket
     // equi-join + per-probe WindowGroupLimit top-k) ────────────────────

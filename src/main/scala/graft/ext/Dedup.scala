@@ -92,14 +92,19 @@ object Dedup {
   /** Corpus-wide embedding near-dup CANDIDATE pairs with their cosine —
     * the self-join analog of the text MinHash banding: map-side LSH
     * bucket per band (Similarity.lshBucket, band b on plane family
-    * b*bits), bucket-min blocking (each id pairs only with its bucket's
-    * smallest id), then cosine over the candidate pairs only.
+    * b*bits), all distinct within-bucket id pairs as candidates, then
+    * cosine over the candidate pairs only.
     *
     * Scale shape: the banding shuffle carries (id, band, bucket) — three
     * scalars, never the vector; vectors are joined back for CANDIDATE
-    * pairs only. No all-pairs product anywhere. More `bands` raises
-    * recall (a near pair only needs to agree on all `bits` planes of ONE
-    * band); more `bits` sharpens precision per band.
+    * pairs only, and the only pairwise product is WITHIN buckets — the
+    * same contract as MLlib's approxSimilarityJoin. That makes `bits`
+    * the load-bearing knob: size it so the expected bucket holds O(1)-
+    * O(100) rows (bits ≈ log2(corpus/targetBucket)); then candidates are
+    * linear in the corpus. More `bands` raises recall (a near pair need
+    * only agree on all `bits` planes of ONE band); a pathological
+    * all-identical corpus lands in one bucket — AQE skew handling plus
+    * the documented salting escape hatch apply, as with text banding.
     *
     * Output: (idCol, dup_of, cos) with idCol > dup_of, one row per
     * distinct candidate pair. [[embeddingNearDups]] applies the `tau`
@@ -111,16 +116,16 @@ object Dedup {
     val keys = ids.select(col(idCol), posexplode(array((0 until bands).map { b =>
       Similarity.lshBucket(col(vecCol), dim, bits, b * bits)
     }: _*)).as(Seq("_band", "_bucket")))
-    val bucketMin = keys.groupBy(col("_band"), col("_bucket"))
-      .agg(min(col(idCol)).as("_min_id"))
-    val cand = keys.join(bucketMin, Seq("_band", "_bucket"))
-      .filter(col(idCol) > col("_min_id"))
-      .select(col(idCol), col("_min_id")).distinct()
+    val cand = keys.select(col("_band"), col("_bucket"), col(idCol).as("_lo"))
+      .join(keys.select(col("_band"), col("_bucket"), col(idCol).as("_hi")),
+        Seq("_band", "_bucket"))
+      .filter(col("_lo") < col("_hi"))
+      .select(col("_lo"), col("_hi")).distinct()
     cand
-      .join(ids.select(col(idCol), col(vecCol).as("_va")), Seq(idCol))
-      .join(ids.select(col(idCol).as("_min_id"), col(vecCol).as("_vb")), Seq("_min_id"))
-      .select(col(idCol), col("_min_id").as("dup_of"),
-        Similarity.cosine(col("_va"), col("_vb")).as("cos"))
+      .join(ids.select(col(idCol).as("_hi"), col(vecCol).as("_vh")), Seq("_hi"))
+      .join(ids.select(col(idCol).as("_lo"), col(vecCol).as("_vl")), Seq("_lo"))
+      .select(col("_hi").as(idCol), col("_lo").as("dup_of"),
+        Similarity.cosine(col("_vh"), col("_vl")).as("cos"))
   }
 
   /** Verified embedding near-dup pairs: [[embeddingCandidatePairs]]

@@ -106,12 +106,27 @@ object DocPipeline {
     // 5a: candidates — ids sharing a band bucket with a smaller id
     // (bucket shuffle key is (band, band-hash), never text). Word hashes
     // are materialized ONCE and shared with the shingle verify stage.
+    // Transitive mode widens the star (id, bucket-min) edge set with the
+    // consecutive-by-id PATH edges of each bucket — still ≤ 2 edges per
+    // (doc, band), but now a bucket whose min is an unrelated band-
+    // collision can't hide a true pair between two non-min members, and
+    // cross-bucket chains connect for the component pass below.
     val hashed = exact.select(col(idCol), TextHash.wordHashes(col(textCol)).as("_whs"))
     val banded = Dedup.minhashBandsFromWhs(hashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
-    val cand = banded.join(bucketMin, "band_key")
+    val starCand = banded.join(bucketMin, "band_key")
       .filter(col(idCol) > col("_min_id"))
-      .select(col(idCol), col("_min_id")).distinct()
+      .select(col(idCol), col("_min_id"))
+    val cand =
+      (if (!transitive) starCand
+       else {
+         val byBucket = Window.partitionBy(col("band_key")).orderBy(col(idCol))
+         val pathCand = banded
+           .withColumn("_prev", lag(col(idCol), 1).over(byBucket))
+           .filter(col("_prev").isNotNull)
+           .select(col(idCol), col("_prev").as("_min_id"))
+         starCand.union(pathCand)
+       }).distinct()
 
     // 5b: verify — shingle sets from the same hash pass, joined to the
     // candidate pairs; drop only above the Jaccard threshold

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, DocPipeline, Similarity}
+
+/** Round-3 near-dup surface: corpus-wide embedding self-dedup, batch ANN
+  * joins, transitive clustering, incremental dedup against a persisted
+  * signature store, and top-k tie-break determinism. Cross-engine
+  * behavior of the embedding blocking + cosine verify is separately
+  * proven by the DuckDB oracle (q_neardup_lsh, q_ann_join). */
+class NearDupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Deterministic pseudo-random 16-dim corpus with planted near-dups:
+    * ids 1..n are base vectors; id 1000+i is a tiny perturbation of
+    * vector i for each planted i (cosine ≈ 1 with its original). */
+  private def plantedCorpus(n: Int, planted: Seq[Int]): DataFrame = {
+    def base(i: Int) = Array.tabulate(16)(j => ((i * 131 + j * 47) % 23 - 11) / 3.0f)
+    val rows = (1 to n).map(i => (i.toLong, base(i))) ++
+      planted.map(i => (1000L + i, base(i).zipWithIndex.map { case (v, j) =>
+        v + (if (j == 0) 0.001f else 0.0f)
+      }))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("lshBucket plane offset: codegen ≡ HOF, independent families differ") {
+    val df = (0 until 40).map { r =>
+      (r.toLong, Array.tabulate(16)(i => ((r * 37 + i * 113) % 23 - 11) / 7.0f))
+    }.toDF("id", "v")
+    val rows = df.select(
+      Similarity.lshBucket(col("v"), dim = 16, bits = 4, planeOffset = 4).as("cg"),
+      Similarity.lshBucketHof(col("v"), dim = 16, bits = 4, planeOffset = 4).as("hof"),
+      Similarity.lshBucket(col("v"), dim = 16, bits = 4).as("b0")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // different plane families must not be the same hash function
+    assert(rows.exists(r => r.getLong(0) !== r.getLong(2)))
+  }
+
+  test("embeddingCandidatePairs = exactly the distinct within-bucket pairs") {
+    val corpus = plantedCorpus(60, Seq(7))
+    val got = Dedup.embeddingCandidatePairs(corpus, "vec_id", "embedding",
+      dim = 16, bits = 4, bands = 2)
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truth: bucket every vector per band with the HOF spec, all pairs
+    val buckets = corpus.select(col("vec_id"),
+      Similarity.lshBucketHof(col("embedding"), 16, 4, 0).as("b0"),
+      Similarity.lshBucketHof(col("embedding"), 16, 4, 4).as("b1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (for {
+      (i, b0i, b1i) <- buckets; (j, b0j, b1j) <- buckets
+      if i < j && (b0i == b0j || b1i == b1j)
+    } yield (j, i)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("embeddingNearDups: planted pairs recovered, nothing spurious") {
+    val planted = Seq(3, 11, 27, 42)
+    val corpus = plantedCorpus(80, planted)
+    val tau = 0.999
+    // truth by brute force over all pairs
+    val a = corpus.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val truth = a.crossJoin(corpus.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= tau)
+      .select(col("ib"), col("ia")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= planted.size, s"fixture must plant high-cos pairs, got $truth")
+    val got = Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
+      dim = 16, bits = 6, tau = tau, bands = 4)
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction (cosine-verified); recall: every truth
+    // pair whose vectors agree on one band's planes is found — at 4
+    // bands a near-identical pair misses only if a hyperplane separates
+    // it in EVERY band; assert the planted pairs are all recovered
+    assert(got.subsetOf(truth), s"spurious pairs: ${got -- truth}")
+    planted.foreach { i =>
+      assert(got.contains((1000L + i, i.toLong)), s"planted pair $i missed (got $got)")
+    }
+  }
+
+  test("transitiveClusters: chains collapse, separate components stay apart") {
+    val edges = Seq(
+      (2L, 1L), (3L, 2L), (4L, 3L), // chain 1-2-3-4 (no direct 1-4 edge)
+      (10L, 11L),                   // pair, reversed direction
+      (20L, 20L)                    // self-loop degenerate
+    ).toDF("src", "dst")
+    val comp = Dedup.transitiveClusters(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L && comp(4L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert(comp(20L) === 20L)
+  }
+
+  test("DocPipeline transitive mode collapses near-dup chains") {
+    // A(1) → B(2) differs in the LAST word (1 trigram → J = 37/39 ≈
+    // .949) → C(3) differs from B in the SECOND word (2 trigrams → J =
+    // 36/40 = .9); J(A,C) spans both edits (3 trigrams → 35/41 ≈ .854).
+    // At tau = 0.88: A~B and B~C are dups, A~C is not. Neither edited
+    // word is a minhash argmin, so A, B, C share every band bucket with
+    // min A — the flat star verifies only (B,A) and (C,A), so C slips
+    // through; the transitive path edge (C,B) catches the chain.
+    val words = Array.tabulate(40)(i => s"w${i}x")
+    val aTxt = words.mkString(" ")
+    val bTxt = (words.dropRight(1) :+ "endB").mkString(" ")
+    val cTxt = (words.take(1) ++ Array("midC") ++ words.drop(2).dropRight(1) :+ "endB")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, aTxt), (2L, bTxt), (3L, cTxt),
+      (9L, Array.tabulate(40)(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+
+    val flat = DocPipeline.prepare(docs, minWords = 10, tau = 0.88)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trans = DocPipeline.prepare(docs, minWords = 10, tau = 0.88, transitive = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sanity on the fixture: flat mode drops B (dup of bucket-min A) but
+    // keeps C (only Jaccard-similar to the already-dropped B)
+    assert(flat === Set(1L, 3L, 9L), s"fixture drifted: flat=$flat")
+    // transitive mode follows the A-B-C chain and keeps one survivor
+    assert(trans === Set(1L, 9L), s"trans=$trans")
+  }
+
+  test("batch brute-force top-k join ≡ per-probe top-k; one plan serves 100 probes") {
+    val corpus = (1 to 200).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = (0 until 100).map(p =>
+      (p.toLong, Array.tabulate(8)(j => ((p * 13 + j * 5) % 9 - 4).toFloat)))
+      .toDF("probe_id", "p_emb")
+
+    val joined = Similarity.bruteForceTopKJoin(
+      corpus, "embedding", probes, "probe_id", "p_emb", k = 3)
+    val byProbe = joined.select("probe_id", "vec_id", "score").collect()
+      .groupBy(_.getLong(0))
+    assert(byProbe.size === 100)
+    byProbe.values.foreach(rows => assert(rows.length === 3))
+
+    // exact parity with the single-probe API on sampled probes
+    Seq(0L, 17L, 42L, 99L).foreach { p =>
+      val single = Similarity.bruteForceTopK(
+        corpus, "embedding", probes.filter(col("probe_id") === p).select("p_emb"),
+        "p_emb", k = 3)
+        .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = byProbe(p).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch === single, s"probe $p: batch=$batch single=$single")
+    }
+  }
+
+  test("batch LSH top-k join ≡ per-probe lshTopK; multiProbe only adds rows") {
+    val corpus = (1 to 300).map(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 7) % 17 - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = (0 until 20).map(p =>
+      (p.toLong, Array.tabulate(16)(j => ((p * 11 + j * 5) % 13 - 6).toFloat)))
+      .toDF("probe_id", "p_emb")
+
+    val joined = Similarity.lshTopKJoin(
+      corpus, "embedding", probes, "probe_id", "p_emb", dim = 16, k = 5)
+    val byProbe = joined.select("probe_id", "vec_id", "score").collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    Seq(1L, 7L, 13L).foreach { p =>
+      val single = Similarity.lshTopK(
+        corpus, "embedding", probes.filter(col("probe_id") === p).select("p_emb"),
+        "p_emb", dim = 16, k = 5)
+        .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byProbe.getOrElse(p, Nil) === single, s"probe $p")
+    }
+    val multi = Similarity.lshTopKJoin(
+      corpus, "embedding", probes, "probe_id", "p_emb", dim = 16, k = 5,
+      multiProbe = true)
+    assert(multi.count() >= joined.count())
+  }
+
+  test("top-k APIs are deterministic under shuffled input (score ties)") {
+    // every vector duplicated under two ids → every score is tied
+    val base = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i % 10) * 5 + j).toFloat)))
+    val corpus = (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "embedding")
+    val probe = Seq(Tuple1(Array.tabulate(8)(j => (j + 1).toFloat))).toDF("p_emb")
+    def ids(df: DataFrame) = df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val r1 = ids(Similarity.bruteForceTopK(corpus, "embedding", probe, "p_emb", k = 7))
+    val r2 = ids(Similarity.bruteForceTopK(
+      corpus.repartition(7, col("embedding")).sortWithinPartitions(col("vec_id").desc),
+      "embedding", probe, "p_emb", k = 7))
+    assert(r1 === r2, "tie-broken top-k must not depend on partition layout")
+    val l1 = ids(Similarity.lshTopK(corpus, "embedding", probe, "p_emb", dim = 8, k = 7))
+    val l2 = ids(Similarity.lshTopK(corpus.repartition(5, col("embedding")),
+      "embedding", probe, "p_emb", dim = 8, k = 7))
+    assert(l1 === l2)
+  }
+
+  test("prepareIncremental drops exact + near dups of the persisted store") {
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
+    val batch1 = Seq((1L, long("aaa")), (2L, long("bbb"))).toDF("doc_id", "text")
+    val store = DocPipeline.signatures(DocPipeline.prepare(batch1, minWords = 10))
+
+    val nearOfA = (long("aaa").split(" ").dropRight(1) :+ "changed").mkString(" ")
+    val batch2 = Seq(
+      (10L, long("aaa")),  // exact dup of stored 1 → dropped via fp anti-join
+      (11L, nearOfA),      // near dup of stored 1 → dropped via band+Jaccard
+      (12L, long("qqq")),  // fresh → survives
+      (13L, long("qqq")),  // in-batch exact dup of 12 → dropped by prepare
+      (14L, "too short")   // gated
+    ).toDF("doc_id", "text")
+
+    val out = DocPipeline.prepareIncremental(batch2, store, minWords = 10)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(12L), s"got $ids")
+    // absorbing the accepted rows grows the store by exactly those rows
+    val updated = store.unionByName(DocPipeline.signatures(out))
+    assert(updated.count() === store.count() + 1)
+    // and a replay of the same batch now drops everything
+    val replay = DocPipeline.prepareIncremental(batch2, updated, minWords = 10)
+    assert(replay.isEmpty)
+  }
+
+  test("signature store round-trips through parquet (no text retained)") {
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
+    val docs = Seq((1L, long("aaa")), (2L, long("bbb"))).toDF("doc_id", "text")
+    val sigs = DocPipeline.signatures(docs)
+    assert(sigs.columns.toSet === Set("doc_id", "fp", "band_keys", "shingles"))
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    sigs.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val out = DocPipeline.prepareIncremental(
+      Seq((10L, long("aaa")), (11L, long("zzz"))).toDF("doc_id", "text"),
+      loaded, minWords = 10)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+  }
+
+  test("Ivf spreadInit: deterministic, seeds differ from lowest-id init") {
+    val corpus = (1 to 120).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 29) % 19 - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val low = graft.ext.Ivf.train(corpus, "vec_id", "embedding", k = 4, iters = 1)
+    val spread1 = graft.ext.Ivf.train(corpus, "vec_id", "embedding", k = 4, iters = 1,
+      spreadInit = true)
+    val spread2 = graft.ext.Ivf.train(corpus, "vec_id", "embedding", k = 4, iters = 1,
+      spreadInit = true)
+    assert(spread1.map(_._2.toSeq) === spread2.map(_._2.toSeq), "spread init must be deterministic")
+    assert(low.map(_._2.toSeq) !== spread1.map(_._2.toSeq), "spread init should pick different seeds")
+    // both quantizers assign every row to a valid cell
+    val cells = graft.ext.Ivf.withCell(corpus, "embedding", spread1)
+      .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 4).toSet) && cells.nonEmpty)
+  }
+}
