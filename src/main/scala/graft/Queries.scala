@@ -1326,13 +1326,19 @@ object Queries {
     // ── 58. corpus-wide embedding near-dup candidates: LSH-bucket
     // SELF-join blocking (bucket-min) + cosine verify — the missing
     // operator round 2 flagged; the unfiltered pair set is emitted so
-    // the oracle checks bucketing, blocking AND scoring end to end ────
+    // the oracle checks bucketing, blocking AND scoring end to end.
+    // Score quantized via explicit FP floor(x*1e4+0.5), NOT round():
+    // Spark rounds doubles through decimal HALF_UP while DuckDB rounds
+    // in binary FP, so engine-native round() flips the 4th decimal on
+    // midpoint-representable cosines (round-3 hash mismatch); floor and
+    // multiply are IEEE-identical given identical input doubles ───────
     QueryDef(
       "q_neardup_lsh",
       (s, d) =>
         Dedup.embeddingCandidatePairs(
           t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, bits = 4)
-          .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos"))
+          .select(col("vec_id"), col("dup_of"),
+            floor(col("cos") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
           .orderBy(col("vec_id"), col("dup_of")),
       Some("""WITH b AS (SELECT vec_id, embedding,
              |  CAST(list_sum(list_transform(range(0,4), j ->
@@ -1344,13 +1350,14 @@ object Queries {
              |cand AS (SELECT DISTINCT l.vec_id AS lo, h.vec_id AS hi FROM b l
              |  JOIN b h ON l.bucket = h.bucket AND l.vec_id < h.vec_id)
              |SELECT c.hi AS vec_id, c.lo AS dup_of,
-             |round(
+             |CAST(floor(
              |  list_sum(list_transform(range(1, len(a.embedding)+1),
              |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
              |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
              |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
              |   * sqrt(list_sum(list_transform(range(1, len(x.embedding)+1),
-             |       i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))), 4) AS cos
+             |       i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))))
+             |  * 10000.0 + 0.5) AS BIGINT) AS cos_e4
              |FROM cand c JOIN b a ON a.vec_id = c.hi JOIN b x ON x.vec_id = c.lo
              |ORDER BY vec_id, dup_of""".stripMargin)),
 

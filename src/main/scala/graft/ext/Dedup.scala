@@ -150,9 +150,13 @@ object Dedup {
     * tiny relative to the corpus (post-banding, post-threshold) — each
     * round is one small join+groupBy shuffle, and `localCheckpoint`
     * truncates the lineage so plans don't grow with iteration count.
-    * Convergence needs at most `diameter` rounds (near-dup components
-    * are shallow in practice; `maxIter` is a safety bound and the loop
-    * exits as soon as no label changes).
+    * Each round combines edge relaxation (min over neighbor labels) with
+    * POINTER DOUBLING (min over the label's own label, comp[comp]), so
+    * convergence is O(log diameter) rounds, not O(diameter) — a
+    * 1M-vertex path component converges in ~20 rounds instead of 1M.
+    * The loop exits as soon as no label changes; if `maxIter` is hit
+    * first the result would be silently wrong (multiple survivors per
+    * component), so it THROWS instead.
     *
     * Returns one row per vertex appearing in `edges`: (id, comp). */
   def transitiveClusters(edges: DataFrame, srcCol: String, dstCol: String,
@@ -167,9 +171,13 @@ object Dedup {
     while (!done && it < maxIter) {
       val nbrMin = sym.join(labels.select(col("id").as("_b"), col("comp").as("_nc")), Seq("_b"))
         .groupBy(col("_a")).agg(min(col("_nc")).as("_nmin"))
-      val next = labels
+      val relaxed = labels
         .join(nbrMin.select(col("_a").as("id"), col("_nmin")), Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+      // pointer doubling: chase one hop up the label forest (comp[comp])
+      val next = relaxed
+        .join(relaxed.select(col("id").as("comp"), col("comp").as("_cc")), Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("_cc"), col("comp"))).as("comp"))
         .localCheckpoint()
       // labels only ever decrease: any strict drop means another round
       done = next.join(labels.select(col("id"), col("comp").as("_prev")), Seq("id"))
@@ -177,6 +185,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"transitiveClusters did not converge within maxIter=$maxIter rounds; " +
+        "labels are not a fixpoint (a component wider than 2^maxIter hops exists " +
+        "or the edge set is pathological) — raise maxIter")
     labels
   }
 }

@@ -83,8 +83,23 @@ object DocPipeline {
       minhashK: Int = 8,
       bands: Int = 4,
       tau: Double = 0.8,
-      transitive: Boolean = false): DataFrame = {
-    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      transitive: Boolean = false): DataFrame =
+    prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
+      transitive).drop("_fp", "_whs")
+
+  /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
+    * and `_whs` (word-hash array) columns on the surviving rows, so
+    * [[prepareIncremental]] can derive store signatures from the pass
+    * that already ran instead of re-tokenizing the accepted batch. */
+  private[ext] def prepareWithHashes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long,
+      minhashK: Int,
+      bands: Int,
+      tau: Double,
+      transitive: Boolean): DataFrame = {
 
     // 1-2: single tokenization + quality gate
     val gated = docs
@@ -101,17 +116,21 @@ object DocPipeline {
       .withColumn("_fp", TextHash.fingerprint(col(textCol)))
       .withColumn("_rn", row_number().over(byFp))
       .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
+      .drop("_rn")
+      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
 
     // 5a: candidates — ids sharing a band bucket with a smaller id
     // (bucket shuffle key is (band, band-hash), never text). Word hashes
     // are materialized ONCE and shared with the shingle verify stage.
     // Transitive mode widens the star (id, bucket-min) edge set with the
     // consecutive-by-id PATH edges of each bucket — still ≤ 2 edges per
-    // (doc, band), but now a bucket whose min is an unrelated band-
-    // collision can't hide a true pair between two non-min members, and
-    // cross-bucket chains connect for the component pass below.
-    val hashed = exact.select(col(idCol), TextHash.wordHashes(col(textCol)).as("_whs"))
+    // (doc, band). Recall caveat: path edges connect ADJACENT bucket
+    // members only, so a true pair of non-min members separated by an
+    // unrelated id in the same bucket is still missed unless the pair
+    // also collides in another band; full within-bucket recall needs
+    // all-pairs edges (what embeddingCandidatePairs emits) at O(b²)
+    // per bucket instead of O(b).
+    val hashed = exact.select(col(idCol), col("_whs"))
     val banded = Dedup.minhashBandsFromWhs(hashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
     val starCand = banded.join(bucketMin, "band_key")
@@ -156,15 +175,25 @@ object DocPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minhashK: Int = 8,
-      bands: Int = 4): DataFrame = {
-    require(minhashK % bands == 0, s"k=$minhashK not divisible into $bands bands")
-    val rowsPerBand = minhashK / bands
+      bands: Int = 4): DataFrame =
     docs
       .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+      .withColumn("_fp", TextHash.fingerprint(col(textCol)))
+      .transform(signaturesFromHashes(_, idCol, minhashK, bands))
+
+  /** Signature rows from ALREADY-MATERIALIZED `_fp`/`_whs` columns (the
+    * [[prepareWithHashes]] output) — no re-tokenization. */
+  private def signaturesFromHashes(
+      hashed: DataFrame, idCol: String, minhashK: Int, bands: Int): DataFrame = {
+    require(minhashK % bands == 0, s"k=$minhashK not divisible into $bands bands")
+    val rowsPerBand = minhashK / bands
+    // _sig materialized via withColumn: slice() references it once per
+    // band and an inline HOF expression would be re-evaluated `bands`×
+    hashed
       .withColumn("_sig", TextHash.minhashSignature(col("_whs"), minhashK))
       .select(
         col(idCol),
-        TextHash.fingerprint(col(textCol)).as("fp"),
+        col("_fp").as("fp"),
         array((0 until bands).map { b =>
           concat_ws(":", lit(b),
             array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_"))
@@ -192,7 +221,16 @@ object DocPipeline {
     *     discipline as the in-batch pipeline.
     *
     * Returns the accepted new rows (prepare's output schema). Append
-    * `signatures(accepted)` to the store to absorb the batch. */
+    * `signatures(accepted)` to the store to absorb the batch.
+    *
+    * Chain caveat: in-batch chains collapse via `prepare` and
+    * batch-vs-store pairs are dropped here, but a chain SPANNING the
+    * boundary (new A ~ stored B ~ stored C, where B was itself dropped
+    * in an earlier batch) is judged only against what the store kept —
+    * survivors of earlier batches. To collapse cross-batch components
+    * exactly, feed the verified (new, stored) edges plus the store's
+    * historical edges to [[Dedup.transitiveClusters]] in a periodic
+    * batch compaction, the same escape hatch [[prepareStream]] uses. */
   def prepareIncremental(
       newDocs: DataFrame,
       store: DataFrame,
@@ -202,8 +240,11 @@ object DocPipeline {
       minhashK: Int = 8,
       bands: Int = 4,
       tau: Double = 0.8): DataFrame = {
-    val batch = prepare(newDocs, idCol, textCol, minWords, minhashK, bands, tau)
-    val sigs = signatures(batch, idCol, textCol, minhashK, bands)
+    // _fp/_whs ride along from prepare's pass — signatures of the
+    // accepted batch are derived from them, not re-tokenized
+    val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
+      minhashK, bands, tau, transitive = false)
+    val sigs = signaturesFromHashes(batch, idCol, minhashK, bands)
 
     // exact: new fingerprints never seen before
     val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
@@ -219,7 +260,8 @@ object DocPipeline {
       .filter(TextHash.jaccard(col("_na"), col("_sa")) >= tau)
       .select(col(idCol)).distinct()
 
-    batch.join(fresh.select(col(idCol)), Seq(idCol))
+    batch.drop("_fp", "_whs")
+      .join(fresh.select(col(idCol)), Seq(idCol))
       .join(dropIds, Seq(idCol), "left_anti")
   }
 }
