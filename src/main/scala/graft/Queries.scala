@@ -86,6 +86,14 @@ object Queries {
 
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Rounding-stable 4-decimal quantization of a double: explicit
+    * floor(x·1e4 + 0.5) instead of engine-native round() — Spark rounds
+    * doubles through decimal HALF_UP while DuckDB rounds in binary FP,
+    * so round(x,4) flips on midpoint-representable values; floor and
+    * multiply are IEEE-identical given identical input doubles. */
+  private def e4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast("long")
+
   // shared inputs for the set-operation queries (defined before `all` —
   // the oracle strings interpolate them at initialization time):
   // A = orderkeys of 'F'-status orders, B = orderkeys with any quantity>49 line
@@ -1337,8 +1345,7 @@ object Queries {
       (s, d) =>
         Dedup.embeddingCandidatePairs(
           t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, bits = 4)
-          .select(col("vec_id"), col("dup_of"),
-            floor(col("cos") * lit(10000.0) + lit(0.5)).cast("long").as("cos_e4"))
+          .select(col("vec_id"), col("dup_of"), e4(col("cos")).as("cos_e4"))
           .orderBy(col("vec_id"), col("dup_of")),
       Some("""WITH b AS (SELECT vec_id, embedding,
              |  CAST(list_sum(list_transform(range(0,4), j ->
@@ -1477,7 +1484,142 @@ object Queries {
              |WHERE CAST(n_called AS DOUBLE) / 12 >= 0.8
              |  AND CAST(greatest(c0, c1) AS DOUBLE) / (c0 + c1) >= 0.0
              |  AND CAST(greatest(c0, c1) AS DOUBLE) / (c0 + c1) <= 0.95
-             |ORDER BY vid""".stripMargin))
+             |ORDER BY vid""".stripMargin)),
+
+    // ── 63. deterministic stratified sample: ceil(frac·|stratum|)
+    // hash-first rows per (lang, source) stratum — the corpus
+    // rebalancing operator; the LCG order hash is replicated in SQL so
+    // both engines pick the SAME documents, not just the same counts ──
+    QueryDef(
+      "q_stratified_sample",
+      (s, d) =>
+        ext.Corpus.stratifiedSample(
+          t(s, d, "documents"), Seq("lang", "source"), 0.3, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source,
+             |    row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY (doc_id*1103515245 + 12345) % 2147483648, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang, source) AS cnt
+             |  FROM documents)
+             |WHERE rn <= ceil(cnt * 0.3)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── 64. sequence packing: streaming fill of 512-token context
+    // windows per language shard (docs never split; bin = the window the
+    // doc's cumulative offset starts in), then per-bin occupancy ───────
+    QueryDef(
+      "q_pack",
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn(
+          "n_tok", TextAnalysis.wordCountOf(TextAnalysis.tokens(col("text"))))
+        ext.Corpus.packSequences(docs, "doc_id", "n_tok", 512, Seq("lang"))
+          .groupBy(col("lang"), col("bin_id"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tok"))
+          .orderBy(col("lang"), col("bin_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+             |c AS (SELECT lang, doc_id, n_tok,
+             |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+             |b AS (SELECT lang, n_tok,
+             |  CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin_id FROM c)
+             |SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(n_tok) AS BIGINT) AS sum_tok
+             |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin)),
+
+    // ── 65. benchmark decontamination: max distinct 5-gram shingle
+    // overlap of each training doc vs any single "benchmark" doc
+    // (doc_id % 17 = 0 plays the held-out set); shuffle carries
+    // (id, shingle-hash) pairs only, bench side broadcast ─────────────
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        ext.Corpus.contaminationScores(
+          docs.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(17)) === 0),
+          "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sh5 = s"list_distinct(list_transform(range(0, len(h)-4), i -> " +
+          s"((((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31 " +
+          s"+ h[CAST(i+3 AS INT)])%$duckP*31 + h[CAST(i+4 AS INT)])%$duckP*31 " +
+          s"+ h[CAST(i+5 AS INT)])%$duckP))"
+        s"""WITH wt AS (SELECT doc_id, $duckWhs AS h FROM documents WHERE doc_id % 17 <> 0),
+           |wb AS (SELECT doc_id, $duckWhs AS h FROM documents WHERE doc_id % 17 = 0),
+           |st AS (SELECT doc_id, unnest($sh5) AS sh FROM wt),
+           |sb AS (SELECT doc_id AS bid, unnest($sh5) AS sh FROM wb),
+           |p AS (SELECT st.doc_id, bid, count(*) AS shared
+           |      FROM st JOIN sb USING (sh) GROUP BY 1, 2)
+           |SELECT doc_id, CAST(max(shared) AS BIGINT) AS max_shared
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── 66. Gopher-style repetition quality: distinct-token fraction,
+    // duplicate-bigram fraction, top-token fraction — fracs quantized
+    // via explicit floor(x·1e4+0.5) (same rationale as q_neardup_lsh) ──
+    QueryDef(
+      "q_rep_quality",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .withColumn("_toks", TextAnalysis.tokens(col("text")))
+          .filter(size(col("_toks")) >= 2)
+          .withColumn("_whs", TextHash.wordHashes(col("text")))
+          .withColumn("_s2", TextHash.shingleHashes(col("_whs"), 2))
+        val top = base.select(col("doc_id"), explode(col("_toks")).as("_w"))
+          .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("_c"))
+          .groupBy(col("doc_id")).agg(max(col("_c")).as("_topc"))
+        base.join(top, Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            size(col("_toks")).cast("long").as("n_tok"),
+            e4(size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")))
+              .as("distinct_e4"),
+            e4(lit(1.0) - size(array_distinct(col("_s2"))).cast("double") / size(col("_s2")))
+              .as("dup2_e4"),
+            e4(col("_topc").cast("double") / size(col("_toks"))).as("top_word_e4"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+             |  $duckWhs AS h FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |b AS (SELECT doc_id, toks, list_transform(range(0, len(h)-1),
+             |  i -> (h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP) AS s2 FROM d),
+             |t AS (SELECT doc_id, unnest(toks) AS w FROM d),
+             |tc AS (SELECT doc_id, max(c) AS topc FROM
+             |  (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1)
+             |SELECT doc_id,
+             |CAST(len(toks) AS BIGINT) AS n_tok,
+             |CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)*10000.0 + 0.5)
+             |  AS BIGINT) AS distinct_e4,
+             |CAST(floor((1 - CAST(len(list_distinct(s2)) AS DOUBLE)/len(s2))*10000.0 + 0.5)
+             |  AS BIGINT) AS dup2_e4,
+             |CAST(floor(CAST(topc AS DOUBLE)/len(toks)*10000.0 + 0.5)
+             |  AS BIGINT) AS top_word_e4
+             |FROM b JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ── 67. Z-order (Morton) key: the bit-interleave both engines
+    // recompute from first principles — the layout key behind
+    // ZOrder.layout's multi-dimensional parquet min-max pruning ────────
+    QueryDef(
+      "q_zorder",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            graft.operators.ZOrder.zvalue(
+              pmod(col("c_custkey"), lit(1024L)), col("c_nationkey"), 10).as("z"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, CAST(list_sum(list_transform(range(0, 10), i ->
+             |  ((c_custkey % 1024) // CAST(pow(2, i) AS BIGINT)) % 2
+             |    * CAST(pow(2, 2*i) AS BIGINT)
+             |  + (c_nationkey // CAST(pow(2, i) AS BIGINT)) % 2
+             |    * CAST(pow(2, 2*i+1) AS BIGINT))) AS BIGINT) AS z
+             |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: stratified
+  * sampling (domain/language rebalancing), sequence packing (context-
+  * window fill), and benchmark decontamination — the steps that run
+  * AFTER cleaning/dedup (DocPipeline) and BEFORE the corpus is handed
+  * to a trainer.
+  *
+  * Everything here is deterministic by construction (LCG order hashes,
+  * polynomial shingle hashes — no engine RNG), so each operator is
+  * DuckDB-oracle-checkable (q_stratified_sample / q_pack /
+  * q_decontaminate) and reruns reproduce byte-identical corpora — a
+  * practical requirement for training-data lineage.
+  *
+  * Scale shape: sampling is one window over the strata partitioning;
+  * packing is one window per writer partition; decontamination shuffles
+  * (id, shingle) pairs — never text — and aggregates candidate pairs
+  * only. No driver-side loops, no all-pairs products anywhere.
+  */
+object Corpus {
+
+  /** Deterministic per-row order hash: LCG over the id, the same
+    * arithmetic the LSH plane constants use (public-domain LCG
+    * parameters), replicated verbatim in the DuckDB oracles. Maps id →
+    * [0, 2^31) with no RNG so the sample is stable across engines,
+    * partitionings and reruns. */
+  def orderHash(id: Column): Column =
+    pmod(id * 1103515245L + 12345L, lit(2147483648L))
+
+  /** Stratified sample: keep `ceil(frac · |stratum|)` rows per stratum,
+    * chosen by deterministic hash order (tie-broken by id). Guarantees
+    * every non-empty stratum keeps ≥ 1 row — the property that matters
+    * when rebalancing a corpus whose tail languages are thousands of
+    * times rarer than the head.
+    *
+    * One shuffle on the strata key for the window; the count rides the
+    * same window (no second aggregation pass). At 100 TB a hot stratum
+    * (e.g. `en`) is a skewed window partition: sub-stratify by adding a
+    * salt column to `strata` and rescaling `frac`, or pre-filter hot
+    * strata with a cheaper `orderHash(id) < frac·2^31` range predicate
+    * (exact-count per stratum is rarely required at that size). */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], frac: Double,
+                       idCol: String): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac=$frac outside (0,1]")
+    val part = Window.partitionBy(strata.map(col): _*)
+    val w = part.orderBy(orderHash(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(part))
+      .filter(col("_rn") <= ceil(col("_cnt") * lit(frac)))
+      .drop("_rn", "_cnt")
+  }
+
+  /** Stratified sample with an exact per-stratum cap: keep the `n`
+    * hash-first rows of every stratum (fewer when the stratum is
+    * smaller) — the "at most N documents per domain" rebalancing rule. */
+  def stratifiedSampleN(df: DataFrame, strata: Seq[String], n: Int,
+                        idCol: String): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(orderHash(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget bins
+    * ("context windows") by streaming fill — documents are taken in id
+    * order within each writer partition, and a document belongs to the
+    * bin its cumulative token offset starts in:
+    * `bin = floor((cumsum_inclusive − n_tok) / budget)`.
+    *
+    * This is the concat-then-chunk packing used for pretraining shards
+    * (documents are never split; a document straddling a boundary stays
+    * in the bin where it started, so bins can overflow by at most one
+    * document — the spillover variant). First-fit-decreasing would pack
+    * tighter but is inherently sequential per bin set; streaming fill is
+    * one window cumsum, embarrassingly parallel across writer
+    * partitions, and deterministic — at 100 TB each writer partition
+    * (e.g. language × date shard) packs independently.
+    *
+    * Returns the input plus `bin_id` (0-based within the partition). */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(nTokCol)).over(w))
+      .withColumn("bin_id",
+        floor((col("_cum") - col(nTokCol)) / lit(budget)).cast("long"))
+      .drop("_cum")
+  }
+
+  /** Benchmark-contamination scores: for every training document, the
+    * maximum number of distinct word n-gram shingles it shares with any
+    * single benchmark document. `maxShared = 0` rows are omitted (they
+    * are the uncontaminated bulk — at 100 TB you don't want a score row
+    * per training doc).
+    *
+    * The join key is the shingle HASH (TextHash polynomial roll — the
+    * cross-engine-deterministic kernel the dedup operators use), so the
+    * shuffle carries (id, hash) pairs, never text, and the aggregation
+    * touches candidate (train, bench) pairs only — the same blocking
+    * discipline as MinHash banding. The benchmark side is tiny by
+    * definition; Spark broadcasts it and the "join" is a map-side hash
+    * probe. Stopword-run shingles shared by everything are the skew
+    * hazard: raise `n` (13-grams in GPT-3-style decontamination) so a
+    * shared shingle is evidence, not noise. */
+  def contaminationScores(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 13): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df
+      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+      .select(col(idCol).as(as),
+        explode(array_distinct(TextHash.shingleHashes(col("_whs"), n))).as("_sh"))
+    shingled(train, "_tid")
+      .join(broadcast(shingled(bench, "_bid")), Seq("_sh"))
+      .groupBy(col("_tid"), col("_bid")).agg(count(lit(1)).as("_shared"))
+      .groupBy(col("_tid")).agg(max(col("_shared")).as("max_shared"))
+      .select(col("_tid").as(idCol), col("max_shared"))
+  }
+
+  /** Drop training documents sharing ≥ `minShared` distinct n-gram
+    * shingles with any single benchmark document (left-anti against
+    * [[contaminationScores]]) — GPT-3-style test-set decontamination. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 13, minShared: Long = 1): DataFrame =
+    train.join(
+      contaminationScores(train, bench, idCol, textCol, n)
+        .filter(col("max_shared") >= minShared)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Corpus, Dedup}
+import graft.operators.ZOrder
+
+/** Round-4 corpus-shaping surface: stratified sampling, sequence
+  * packing, decontamination, Z-order keys, and the pointer-doubling
+  * convergence of transitive clustering. Cross-engine arithmetic is
+  * separately proven by the DuckDB oracles (q_stratified_sample,
+  * q_pack, q_decontaminate, q_rep_quality, q_zorder). */
+class CorpusSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map { i =>
+      (i.toLong, s"lang${i % 3}", s"src${i % 4}",
+        (1 to (5 + i % 7)).map(w => s"w${(i * 31 + w * 7) % 11}").mkString(" "))
+    }.toDF("doc_id", "lang", "source", "text")
+
+  test("stratifiedSample keeps ceil(frac·count) hash-first rows per stratum") {
+    val d = docs(120)
+    val out = Corpus.stratifiedSample(d, Seq("lang", "source"), 0.25, "doc_id")
+    val got = out.groupBy("lang", "source").count().as[(String, String, Long)]
+      .collect().map { case (l, s, c) => (l, s) -> c }.toMap
+    val want = d.groupBy("lang", "source").count().as[(String, String, Long)]
+      .collect().map { case (l, s, c) => (l, s) -> math.ceil(c * 0.25).toLong }.toMap
+    assert(got === want)
+    assert(want.values.forall(_ >= 1)) // every non-empty stratum survives
+  }
+
+  test("stratifiedSample is deterministic under input reshuffling") {
+    val d = docs(97)
+    val a = Corpus.stratifiedSample(d, Seq("lang"), 0.4, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val b = Corpus.stratifiedSample(d.repartition(13, col("source")), Seq("lang"), 0.4, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("stratifiedSampleN caps every stratum at n") {
+    val out = Corpus.stratifiedSampleN(docs(100), Seq("lang"), 7, "doc_id")
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 == 7))
+  }
+
+  test("packSequences: streaming fill — each doc's bin is where its offset starts") {
+    val d = docs(60).withColumn("n_tok", size(split(col("text"), " ")))
+    val out = Corpus.packSequences(d, "doc_id", "n_tok", budget = 20, Seq("lang"))
+      .select("lang", "doc_id", "n_tok", "bin_id")
+      .as[(String, Long, Int, Long)].collect()
+      .groupBy(_._1).values
+    out.foreach { part =>
+      var cum = 0L
+      part.sortBy(_._2).foreach { case (_, _, tok, bin) =>
+        assert(bin === cum / 20) // offset BEFORE the doc decides the bin
+        cum += tok
+      }
+    }
+  }
+
+  test("packSequences bins are dense from 0 within each partition") {
+    val d = docs(60).withColumn("n_tok", size(split(col("text"), " ")))
+    val bins = Corpus.packSequences(d, "doc_id", "n_tok", 20, Seq("lang"))
+      .groupBy("lang").agg(min("bin_id").as("lo"), countDistinct("bin_id").as("k"),
+        max("bin_id").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+    bins.foreach { case (_, lo, k, hi) => assert(lo === 0L && hi === k - 1) }
+  }
+
+  test("contaminationScores flags the copied doc, omits unrelated ones") {
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // contains bench
+      (2L, "one two three four five six seven eight nine"), // unrelated
+      (3L, "gamma delta epsilon zeta eta something else entirely here")) // partial overlap
+      .toDF("doc_id", "text")
+    val scores = Corpus.contaminationScores(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(scores(1L) === 4L) // 8-token bench window slid over 9 tokens: 4 shared 5-grams
+    assert(scores(3L) === 1L) // exactly one shared 5-gram
+    assert(!scores.contains(2L)) // zero-overlap rows omitted
+    val kept = Corpus.decontaminate(train, bench, "doc_id", "text", n = 5, minShared = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L)))
+  }
+
+  test("transitiveClusters converges on a long path via pointer doubling") {
+    // 64-node path 0-1-2-...-63: diameter 63, but pointer doubling needs
+    // only O(log n) rounds — maxIter=10 must suffice (2^10 > 63)
+    val edges = (0 until 63).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val comp = Dedup.transitiveClusters(edges, "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(comp.length === 64 && comp.forall(_._2 == 0L))
+  }
+
+  test("transitiveClusters throws instead of returning unconverged labels") {
+    val edges = (0 until 63).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.transitiveClusters(edges, "a", "b", maxIter = 2).collect()
+    }
+  }
+
+  test("zvalue interleaves bits: known points and monotone locality") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (1023L, 0L))
+      .toDF("x", "y")
+    val z = pts.select(ZOrder.zvalue(col("x"), col("y"), 10).as("z"))
+      .as[Long].collect()
+    // x bit j → position 2j; y bit j → position 2j+1
+    assert(z(0) === 0L)
+    assert(z(1) === 1L)
+    assert(z(2) === 2L)
+    assert(z(3) === 15L)
+    assert(z(4) === 6L)
+    assert(z(5) === 0x55555L) // 1023 = ten set x-bits at even positions
+  }
+
+  test("zvalue masks to `bits` and rejects keys over 63 bits") {
+    val v = Seq((1025L, 0L)).toDF("x", "y")
+      .select(ZOrder.zvalue(col("x"), col("y"), 10).as("z")).as[Long].head()
+    assert(v === 1L) // 1025 mod 1024 = 1 → only bit 0 survives
+    intercept[IllegalArgumentException] {
+      ZOrder.zvalue(Seq(col("x"), col("y")), 32)
+    }
+  }
+
+  test("layout yields non-overlapping z ranges across partitions (pruning shape)") {
+    val d = (0 until 4096).map(i => ((i * 2654435761L) % 512, (i * 40503L) % 512))
+      .toDF("x", "y")
+    val laid = ZOrder.layout(d, Seq("x", "y"), bits = 9, numPartitions = 8)
+    val ranges = laid
+      .withColumn("z", ZOrder.zvalue(col("x"), col("y"), 9))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}
