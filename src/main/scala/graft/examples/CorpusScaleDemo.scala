@@ -1,0 +1,71 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Corpus
+import graft.operators.ZOrder
+
+/** Scale rehearsal for the corpus-shaping operators: a deterministic
+  * synthetic corpus generated ON EXECUTORS (spark.range arithmetic, no
+  * driver collect, no RNG state), then wall-times for stratified
+  * sampling, sequence packing, decontamination and Z-order layout at a
+  * size where per-partition behavior matches what a 1000-executor
+  * cluster sees per task at 100 TB. Timings are comparable WITHIN one
+  * run only (shared box, ±50% across runs — README "Timing noise").
+  * Run: sbt "runMain graft.examples.CorpusScaleDemo [nDocs]". */
+object CorpusScaleDemo {
+
+  /** Synthetic documents: ~40-token texts over a 1k-word vocabulary,
+    * 20 languages × 50 sources, deterministic per id. */
+  def synthDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val i = col("_i")
+    spark.range(nDocs).select(col("id").as("_i")).select(
+      i.as("doc_id"),
+      concat(lit("lang"), pmod(i, lit(20L))).as("lang"),
+      concat(lit("src"), pmod(i * 7L, lit(50L))).as("source"),
+      array_join(transform(sequence(lit(0), pmod(i, lit(30L)).cast("int") + 20),
+        w => concat(lit("w"), pmod(i * 131L + w * 97L, lit(1000L)))), " ").as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .appName("corpus-scale-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = synthDocs(spark, nDocs)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .localCheckpoint() // isolate generation cost from operator timing
+
+    ScaleDemo.time(s"generate ${nDocs / 1000}k docs")(docs.count())
+
+    ScaleDemo.time("stratifiedSample 10%") {
+      Corpus.stratifiedSample(docs, Seq("lang", "source"), 0.1, "doc_id").count()
+    }
+    ScaleDemo.time("stratifiedSampleN 1000") {
+      Corpus.stratifiedSampleN(docs, Seq("lang", "source"), 1000, "doc_id").count()
+    }
+    ScaleDemo.time("packSequences 8k budget") {
+      Corpus.packSequences(docs, "doc_id", "n_tok", 8192, Seq("lang"))
+        .groupBy("lang", "bin_id").count().count()
+    }
+    // bench side: every 4096th doc — ~nDocs/4096 held-out docs
+    val bench = docs.filter(pmod(col("doc_id"), lit(4096L)) === 0)
+      .select("doc_id", "text").localCheckpoint()
+    ScaleDemo.time("contaminationScores n=13") {
+      Corpus.contaminationScores(docs, bench, "doc_id", "text", n = 13).count()
+    }
+    ScaleDemo.time("zorder layout 64 parts") {
+      ZOrder.layout(
+        docs.withColumn("x", pmod(col("doc_id") * 2654435761L, lit(4096L)))
+          .withColumn("y", pmod(col("doc_id") * 40503L, lit(4096L))),
+        Seq("x", "y"), bits = 12, numPartitions = 64)
+        .foreach(_ => ()) // materialize the exchange + sort
+    }
+    spark.stop()
+  }
+}

@@ -239,7 +239,22 @@ object DocPipeline {
       minWords: Long = 30,
       minhashK: Int = 8,
       bands: Int = 4,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8): DataFrame =
+    prepareIncrementalWithHashes(newDocs, store, idCol, textCol, minWords,
+      minhashK, bands, tau).drop("_fp", "_whs")
+
+  /** [[prepareIncremental]] retaining `_fp`/`_whs` on the accepted rows
+    * (so [[streamIncremental]] derives the store-absorption signatures
+    * without a third tokenization pass). */
+  private[ext] def prepareIncrementalWithHashes(
+      newDocs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long,
+      minhashK: Int,
+      bands: Int,
+      tau: Double): DataFrame = {
     // _fp/_whs ride along from prepare's pass — signatures of the
     // accepted batch are derived from them, not re-tokenized
     val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
@@ -260,8 +275,60 @@ object DocPipeline {
       .filter(TextHash.jaccard(col("_na"), col("_sa")) >= tau)
       .select(col(idCol)).distinct()
 
-    batch.drop("_fp", "_whs")
+    batch
       .join(fresh.select(col(idCol)), Seq(idCol))
       .join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** Streaming dedup against a GROWING persisted corpus — the piece
+    * [[prepareStream]]'s watermark horizon cannot cover: duplicates of
+    * documents seen arbitrarily long ago, plus near-dups vs everything
+    * accepted so far.
+    *
+    * Shape: `foreachBatch` — the idiomatic Structured Streaming escape
+    * hatch when per-batch logic needs full batch semantics (multi-join
+    * dedup, then a store append) rather than incremental state. Each
+    * micro-batch runs [[prepareIncremental]] against the signature store
+    * at `storePath`, hands the accepted rows to `onBatch` (the caller's
+    * sink), and appends the accepted rows' signatures to the store — so
+    * batch N+1 dedups against every batch ≤ N with no watermark bound
+    * and no corpus rescan (signatures only, text is never re-read).
+    *
+    * Ordering inside the closure matters: the accepted rows are
+    * materialized (eager `localCheckpoint`) BEFORE the store append —
+    * the store scan in their plan must not see the files this very
+    * batch is about to write. Exactly-once caveat: the store append is
+    * not transactional with the sink; on batch replay after a crash,
+    * re-accepted rows anti-join against their own signatures and come
+    * back empty — re-delivery to `onBatch` is therefore suppressed, but
+    * rows of a HALF-written store append could be dropped spuriously;
+    * production stores should write through an atomic-commit table
+    * format. Cross-boundary chain caveat as in [[prepareIncremental]].
+    *
+    * Returns the started query (memory/console sinks stay testable). */
+  def streamIncremental(
+      docs: DataFrame,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        val storeExists = new java.io.File(storePath).exists()
+        val store =
+          if (storeExists) spark.read.parquet(storePath)
+          else signatures(b.limit(0), idCol, textCol, minhashK, bands)
+        val accepted = prepareIncrementalWithHashes(
+          b, store, idCol, textCol, minWords, minhashK, bands, tau)
+          .localCheckpoint(true) // materialize BEFORE the store append
+        signaturesFromHashes(accepted, idCol, minhashK, bands)
+          .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        onBatch(accepted.drop("_fp", "_whs"), batchId)
+      }
+      .start()
 }

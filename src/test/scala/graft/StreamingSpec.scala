@@ -196,4 +196,39 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4)))
     assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0), ("click", 1L, 3.0)))
   }
+
+  test("streamIncremental dedups each micro-batch against the growing store") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("sigstore").toFile
+    storeDir.delete() // streamIncremental bootstraps an absent store
+    val textB = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textBNear = textB.replaceAll("upsilon$", "phi") // last word changed
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ext.DocPipeline.streamIncremental(
+      input.toDF().toDF("doc_id", "text"), storeDir.getAbsolutePath,
+      minWords = 4, tau = 0.7) { (df, _) =>
+      accepted ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      input.addData((1L, "one two three four five six"), (2L, textB))
+      q.processAllAvailable()
+      assert(accepted.sorted.toSeq === Seq(1L, 2L))
+      // next batch: exact dup of 1, near-dup of 2, and a genuinely new doc —
+      // both dups are vs PREVIOUS batches, far outside any watermark horizon
+      input.addData((3L, "one two three four five six"), (4L, textBNear),
+        (5L, "cat dog bird fish mouse horse cow sheep"))
+      q.processAllAvailable()
+      assert(accepted.sorted.toSeq === Seq(1L, 2L, 5L))
+      // store absorbed batch 2's survivor as well
+      val storeIds = spark.read.parquet(storeDir.getAbsolutePath)
+        .select("doc_id").as[Long].collect().sorted
+      assert(storeIds.toSeq === Seq(1L, 2L, 5L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
+    }
+  }
 }
