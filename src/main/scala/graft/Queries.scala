@@ -1602,7 +1602,25 @@ object Queries {
              |  AS BIGINT) AS top_word_e4
              |FROM b JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
-    // ── 67. Z-order (Morton) key: the bit-interleave both engines
+    // ── 67. deterministic weighted sampling: keep row iff
+    // orderHash(id) < weight·2³¹ — quality-proportional downsampling
+    // with no RNG (recompute-stable, map-only); weight derived from
+    // n_chars so both engines compute the identical double ───────────
+    QueryDef(
+      "q_weighted_sample",
+      (s, d) =>
+        ext.Corpus.weightedSample(
+          t(s, d, "documents")
+            .withColumn("w", pmod(col("n_chars"), lit(100L)).cast("double") / lit(100.0)),
+          "w", "doc_id")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+             |WHERE (doc_id*1103515245 + 12345) % 2147483648
+             |      < (n_chars % 100) / 100.0 * 2147483648.0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── 68. Z-order (Morton) key: the bit-interleave both engines
     // recompute from first principles — the layout key behind
     // ZOrder.layout's multi-dimensional parquet min-max pruning ────────
     QueryDef(

@@ -95,6 +95,34 @@ object Corpus {
       .drop("_cum")
   }
 
+  /** Weighted (quality-proportional) sampling: keep a row with
+    * probability `weightCol` (clamped to [0,1]) — but DETERMINISTICALLY,
+    * by comparing the row's LCG order hash against the weight:
+    * `orderHash(id) < weight · 2³¹`. The standard quality-score /
+    * temperature downsampling step, with no RNG state: map-only (zero
+    * shuffle), reproducible across engines, partitionings and reruns,
+    * and stable under re-execution of failed tasks (a `rand()` filter
+    * is NOT — recomputed partitions draw different rows, the
+    * SPARK-23207 class of bug this library designs out everywhere). */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String): DataFrame =
+    df.filter(
+      orderHash(col(idCol)).cast("double") <
+        least(greatest(col(weightCol), lit(0.0)), lit(1.0)) * lit(2147483648.0))
+
+  /** Deterministic corpus shuffle for training-order randomization:
+    * globally sort by the LCG order hash (tie-break id). The range
+    * exchange samples hash boundaries, so output shards are balanced
+    * regardless of input order, and the resulting order is decorrelated
+    * from every natural key (source, time, id locality) yet fully
+    * reproducible — write the result and shard N is always the same
+    * documents in the same order. */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+                           numShards: Int): DataFrame =
+    df.withColumn("_h", orderHash(col(idCol)))
+      .repartitionByRange(numShards, col("_h"), col(idCol))
+      .sortWithinPartitions(col("_h"), col(idCol))
+      .drop("_h")
+
   /** Benchmark-contamination scores: for every training document, the
     * maximum number of distinct word n-gram shingles it shares with any
     * single benchmark document. `maxShared = 0` rows are omitted (they

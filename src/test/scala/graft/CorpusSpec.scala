@@ -102,6 +102,30 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("weightedSample: w=1 keeps all, w=0 keeps none, partial is layout-stable") {
+    val d = docs(200).withColumn("w", (col("doc_id") % 10).cast("double") / 10.0)
+    assert(Corpus.weightedSample(d.withColumn("w", lit(1.0)), "w", "doc_id").count() === 200L)
+    assert(Corpus.weightedSample(d.withColumn("w", lit(0.0)), "w", "doc_id").count() === 0L)
+    val a = Corpus.weightedSample(d, "w", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val b = Corpus.weightedSample(d.repartition(17), "w", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.length < 200 && a.sameElements(b))
+  }
+
+  test("shuffleDeterministic: global hash order, balanced shards") {
+    val d = docs(1000)
+    val shuffled = Corpus.shuffleDeterministic(d, "doc_id", 8)
+    val got = shuffled.select("doc_id").as[Long].collect()
+    val want = d.orderBy(Corpus.orderHash(col("doc_id")), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(got.sameElements(want)) // collect() walks partitions in range order
+    assert(!got.take(100).sameElements(want.sorted.take(100))) // decorrelated from id
+    val sizes = shuffled.groupBy(spark_partition_id()).count()
+      .as[(Int, Long)].collect().map(_._2)
+    assert(sizes.length === 8 && sizes.max < sizes.min * 3) // range sampler balance
+  }
+
   test("zvalue interleaves bits: known points and monotone locality") {
     val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (1023L, 0L))
       .toDF("x", "y")
