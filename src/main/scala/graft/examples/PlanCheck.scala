@@ -38,7 +38,20 @@ object PlanCheck {
       ("q_join_shuffle", "multi-join: every small dim broadcast (no SMJ)",
         p => p.contains("BroadcastHashJoin")),
       ("q_similarity_topk", "probe broadcast in similarity search",
-        p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+        p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      // the final ORDER BY of every declared query adds one
+      // rangepartitioning exchange — operator cost is the
+      // hashpartitioning count, so that's what the checks pin down
+      ("q_stratified_sample", "ONE strata shuffle: rn + count share the window sort",
+        p => p.split("hashpartitioning").length == 2 && p.split("\\) Window").length == 3),
+      ("q_decontaminate", "bench shingle side broadcast",
+        p => p.contains("BroadcastHashJoin")),
+      ("q_pack", "ONE shuffle: cumsum window and (lang,bin) agg co-partitioned",
+        p => p.split("hashpartitioning").length == 2 && p.contains(") Window")),
+      ("q_zorder", "Morton key is a map-only project (no hash shuffle)",
+        p => !p.contains("hashpartitioning") && p.contains(") Project")),
+      ("q_weighted_sample", "weighted sample is a map-only filter (no hash shuffle)",
+        p => !p.contains("hashpartitioning") && p.contains(") Filter"))
     )
 
     var failed = 0
