@@ -82,8 +82,15 @@ object TextHash {
       .otherwise(transform(sequence(lit(0), size(whs) - n), combined))
   }
 
-  /** Jaccard similarity of two shingle-hash sets. NaN when both empty. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Jaccard similarity of two shingle-hash sets. NaN when both empty.
+    * Codegen'd fused kernel (one set build + one probe pass;
+    * `jaccardHof` is the 5-pass spec it must equal). In sessions with
+    * `GraftExtensions` registered, `jaccard(a,b) >= τ` additionally
+    * rewrites to the early-exit [[JaccardGteExpr]] predicate. */
+  def jaccard(a: Column, b: Column): Column = TextHashExprs.jaccard(a, b)
+
+  /** HOF spec form of jaccard (differential-testing reference). */
+  def jaccardHof(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)
     val inter = size(array_intersect(da, db)).cast("double")

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.bridge
@@ -120,9 +120,162 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fused Jaccard kernels over long-array columns.
+  *
+  * The HOF spec (`TextHash.jaccardHof`) runs array_distinct twice,
+  * array_intersect, concat and a third distinct — ~5 hash-set passes and
+  * as many allocations per pair. These do ONE open-addressing set build
+  * over `a` plus ONE probe pass over `b` (counting new-distinct and
+  * intersecting in the same step), with identical results: the division
+  * is the same int-exact double division, and union=0 yields NaN.
+  * Null ELEMENTS are not supported (shingle arrays are containsNull =
+  * false by construction).
+  */
+object JaccardLoops {
+
+  /** Minimal open-addressing long set (linear probing, power-of-2). */
+  final class LongSet(expected: Int) {
+    private[this] var cap = {
+      var c = 8; while (c < expected * 2) c <<= 1; c
+    }
+    private[this] var mask = cap - 1
+    private[this] var keys = new Array[Long](cap)
+    private[this] var used = new Array[Boolean](cap)
+    private[this] var n = 0
+
+    def size: Int = n
+
+    /** Adds `k`; returns true when it was not present. */
+    def add(k: Long): Boolean = {
+      if (n * 2 >= cap) grow()
+      var i = (scramble(k) & mask).toInt
+      while (used(i)) {
+        if (keys(i) == k) return false
+        i = (i + 1) & mask
+      }
+      used(i) = true; keys(i) = k; n += 1
+      true
+    }
+
+    def contains(k: Long): Boolean = {
+      var i = (scramble(k) & mask).toInt
+      while (used(i)) {
+        if (keys(i) == k) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+
+    private def scramble(k: Long): Long = {
+      // fibonacci scramble — the raw hashes are small ints
+      (k * -7046029254386353131L) >>> 40
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ou = used
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); used = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) add(ok(i)); i += 1 }
+    }
+  }
+
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)|; NaN when
+    * the union is empty — exactly `TextHash.jaccardHof`. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new LongSet(a.numElements())
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getLong(i)); i += 1 }
+    val seenB = new LongSet(b.numElements())
+    var inter = 0
+    var onlyB = 0
+    i = 0
+    while (i < b.numElements()) {
+      val k = b.getLong(i)
+      if (seenB.add(k)) { if (sa.contains(k)) inter += 1 else onlyB += 1 }
+      i += 1
+    }
+    val union = sa.size + onlyB
+    if (union == 0) Double.NaN else inter.toDouble / union.toDouble
+  }
+
+  /** `jaccard(a, b) >= tau` under SPARK's double ordering (NaN is
+    * greater than everything, so union=0 → true), with early exit: at
+    * any point the final similarity is ≤ (inter + remaining)/union-so-far
+    * — once that bound drops below `tau` no suffix of `b` can rescue the
+    * pair. Band-collision candidates that share only a stopword minhash
+    * (most of them, on same-language corpora) exit within a few probes. */
+  def jaccardGte(a: ArrayData, b: ArrayData, tau: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return true // NaN >= tau in Spark's ordering
+    val sa = new LongSet(na)
+    var i = 0
+    while (i < na) { sa.add(a.getLong(i)); i += 1 }
+    val seenB = new LongSet(nb)
+    var inter = 0
+    var onlyB = 0
+    i = 0
+    while (i < nb) {
+      val k = b.getLong(i)
+      if (seenB.add(k)) { if (sa.contains(k)) inter += 1 else onlyB += 1 }
+      i += 1
+      val unionMin = sa.size + onlyB
+      if (unionMin > 0 && (inter + (nb - i)).toDouble < tau * unionMin) return false
+    }
+    val union = sa.size + onlyB
+    if (union == 0) true else inter.toDouble / union.toDouble >= tau
+  }
+}
+
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLoops.jaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.JaccardLoops.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `jaccard(l, r) >= tau` fused with early exit — produced by the
+  * [[graft.plans.JaccardPredicateRule]] optimizer rewrite (registered
+  * through `GraftExtensions`), never written directly by users. */
+case class JaccardGteExpr(left: Expression, right: Expression, tau: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "jaccard_gte"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLoops.jaccardGte(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], tau)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.JaccardLoops.jaccardGte($a, $b, $tau)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardGteExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextHashExprs {
   def charHash(c: Column): Column = bridge.column(CharHashExpr(bridge.expression(c)))
   def wordHashes(c: Column): Column = bridge.column(WordHashesExpr(bridge.expression(c)))
   def shingleHashes(c: Column, n: Int): Column =
     bridge.column(ShingleHashesExpr(bridge.expression(c), n))
+  def jaccard(a: Column, b: Column): Column =
+    bridge.column(JaccardExpr(bridge.expression(a), bridge.expression(b)))
 }

@@ -41,6 +41,55 @@ class ExtSpec extends SparkTestBase {
     sh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("fused jaccard ≡ HOF spec (incl. duplicates, empty sides, NaN)") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 60).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toLong)
+      (arr, arr)
+    } ++ Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(1L, 1L, 1L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq(2L)), (Seq(5L, 5L), Seq(5L)))
+    val df = pairs.toDF("a", "b")
+    df.select(
+      TextHash.jaccard(col("a"), col("b")).as("cg"),
+      TextHash.jaccardHof(col("a"), col("b")).as("hof")).collect().foreach { r =>
+      val (cg, hof) = (r.getDouble(0), r.getDouble(1))
+      assert(cg === hof || (cg.isNaN && hof.isNaN), s"$cg vs $hof")
+    }
+  }
+
+  test("JaccardPredicateRule rewrites >= tau to the early-exit predicate") {
+    // parquet-backed input: a LocalRelation would be folded through the
+    // filter by ConvertToLocalRelation before the plan can be inspected
+    val dir = java.nio.file.Files.createTempDirectory("jacc").toString
+    Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 9L)),
+      (Seq(1L, 2L), Seq(7L, 8L)), (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val filtered = df.filter(TextHash.jaccard(col("a"), col("b")) >= 0.5)
+    val optimized = filtered.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("jaccard_gte"),
+      s"rule did not fire:\n$optimized")
+    // semantics: pair 1 has J=3/5=0.6 ≥ 0.5; pair 2 J=0; pair 3 NaN ≥ τ
+    // is TRUE under Spark's double ordering (NaN greatest) — the fused
+    // predicate must preserve exactly that
+    val kept = filtered.count()
+    val spec = df.filter(TextHash.jaccardHof(col("a"), col("b")) >= 0.5).count()
+    assert(kept === spec && kept === 2L)
+  }
+
+  test("jaccardGte early exit agrees with the full computation on random pairs") {
+    val rnd = new scala.util.Random(23)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (1 to 500).foreach { _ =>
+      val a = new GenericArrayData(Array.fill(rnd.nextInt(20))(rnd.nextInt(12).toLong))
+      val b = new GenericArrayData(Array.fill(rnd.nextInt(20))(rnd.nextInt(12).toLong))
+      val tau = rnd.nextDouble()
+      val full = graft.ext.JaccardLoops.jaccard(a, b)
+      val expected = full.isNaN || full >= tau
+      assert(graft.ext.JaccardLoops.jaccardGte(a, b, tau) === expected)
+    }
+  }
+
   test("wordHashes + minhash: min of rehashed token hashes") {
     val whs = TextHash.wordHashes(lit("abc abc"))
     assert(one(whs) === Seq(96354L, 96354L))

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
