@@ -1620,7 +1620,47 @@ object Queries {
              |      < (n_chars % 100) / 100.0 * 2147483648.0
              |ORDER BY doc_id""".stripMargin)),
 
-    // ── 68. Z-order (Morton) key: the bit-interleave both engines
+    // ── 68. recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): a
+    // recursively generated month ladder outer-joined to order counts —
+    // the iterative-query surface, via spark.sql on a temp view ───────
+    QueryDef(
+      "q_recursive_cte",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_rc")
+        s.sql("""WITH RECURSIVE m(mon) AS (
+                |  SELECT 1 UNION ALL SELECT mon+1 FROM m WHERE mon < 12)
+                |SELECT mon, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+                |FROM m LEFT JOIN orders_rc ON month(o_orderdate) = mon
+                |GROUP BY mon ORDER BY mon""".stripMargin)
+      },
+      Some("""WITH RECURSIVE m(mon) AS (
+             |  SELECT 1 UNION ALL SELECT mon+1 FROM m WHERE mon < 12)
+             |SELECT mon, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+             |FROM m LEFT JOIN orders ON month(o_orderdate) = mon
+             |GROUP BY mon ORDER BY mon""".stripMargin)),
+
+    // ── 69. exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont): TPC-H quantities are small-decimal values, so the
+    // interpolated result is a ≤4-decimal true value and the e4
+    // quantization is boundary-safe (see e4 scaladoc) ─────────────────
+    QueryDef(
+      "q_percentile",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            e4(expr("percentile(l_quantity, 0.25)")).as("p25_e4"),
+            e4(expr("percentile(l_quantity, 0.5)")).as("p50_e4"),
+            e4(expr("percentile(l_quantity, 0.9)")).as("p90_e4"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |CAST(floor(quantile_cont(l_quantity, 0.25)*10000.0 + 0.5) AS BIGINT) AS p25_e4,
+             |CAST(floor(quantile_cont(l_quantity, 0.5)*10000.0 + 0.5) AS BIGINT) AS p50_e4,
+             |CAST(floor(quantile_cont(l_quantity, 0.9)*10000.0 + 0.5) AS BIGINT) AS p90_e4
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── 70. Z-order (Morton) key: the bit-interleave both engines
     // recompute from first principles — the layout key behind
     // ZOrder.layout's multi-dimensional parquet min-max pruning ────────
     QueryDef(
