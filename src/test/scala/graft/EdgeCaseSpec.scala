@@ -60,6 +60,26 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(graft.ext.Similarity.lshTopKMultiProbe(corpus, "embedding", probe, "p_emb", dim = 2, k = 5).count() === 0)
   }
 
+  test("corpus ops on empty/degenerate inputs stay empty, never throw") {
+    import graft.ext.Corpus
+    val empty = Seq.empty[(Long, String, String, Int)].toDF("doc_id", "lang", "text", "n_tok")
+    assert(Corpus.stratifiedSample(empty, Seq("lang"), 0.5, "doc_id").count() === 0L)
+    assert(Corpus.stratifiedSampleN(empty, Seq("lang"), 3, "doc_id").count() === 0L)
+    assert(Corpus.packSequences(empty, "doc_id", "n_tok", 100, Seq("lang")).count() === 0L)
+    assert(Corpus.weightedSample(empty.withColumn("w", lit(0.5)), "w", "doc_id").count() === 0L)
+    assert(Corpus.shuffleDeterministic(empty, "doc_id", 4).count() === 0L)
+    // empty-text docs: zero shingles → no contamination rows, no throw
+    val t = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    assert(Corpus.contaminationScores(t, t, "doc_id", "text", n = 3).count() === 0L)
+    // single mega-doc exceeding the packing budget still gets bin 0
+    val big = Seq((1L, "x", 999)).toDF("doc_id", "lang", "n_tok")
+    assert(Corpus.packSequences(big, "doc_id", "n_tok", 100, Seq("lang"))
+      .select("bin_id").head().getLong(0) === 0L)
+    // transitiveClusters on an empty edge set: empty result, no loop
+    assert(graft.ext.Dedup.transitiveClusters(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0L)
+  }
+
   test("depth-stats median on a sample with no called depths is null") {
     val df = Seq(Tuple1(Seq(-1, -1)), Tuple1(Seq(-1, 7))).toDF("dp")
     val rows = Stats.sampleDepthStatsFast(df).collect()
