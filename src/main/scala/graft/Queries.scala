@@ -1660,7 +1660,26 @@ object Queries {
              |CAST(floor(quantile_cont(l_quantity, 0.9)*10000.0 + 0.5) AS BIGINT) AS p90_e4
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ── 70. Z-order (Morton) key: the bit-interleave both engines
+    // ── 70. binary (multimodal) columns cross-engine: text bytes as an
+    // opaque BLOB — byte length, standard MD5 content digest (the
+    // media-dedup key shape), and a byte-slice, all engine-independent ─
+    QueryDef(
+      "q_binary_funcs",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("byte_len"),
+            md5(col("text").cast("binary")).as("content_md5"),
+            substring(col("text"), 1, 8).as("head8"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |md5(text) AS content_md5,
+             |substr(text, 1, 8) AS head8
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── 71. Z-order (Morton) key: the bit-interleave both engines
     // recompute from first principles — the layout key behind
     // ZOrder.layout's multi-dimensional parquet min-max pruning ────────
     QueryDef(
