@@ -39,10 +39,10 @@ object Corpus {
     *
     * One shuffle on the strata key for the window; the count rides the
     * same window (no second aggregation pass). At 100 TB a hot stratum
-    * (e.g. `en`) is a skewed window partition: sub-stratify by adding a
-    * salt column to `strata` and rescaling `frac`, or pre-filter hot
-    * strata with a cheaper `orderHash(id) < frac·2^31` range predicate
-    * (exact-count per stratum is rarely required at that size). */
+    * (e.g. `en`) is a skewed window partition: use
+    * [[stratifiedSampleSalted]] to sub-stratify it, or [[weightedSample]]
+    * with a constant weight when exact per-stratum counts aren't
+    * required (map-only, no window at all). */
   def stratifiedSample(df: DataFrame, strata: Seq[String], frac: Double,
                        idCol: String): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac=$frac outside (0,1]")
@@ -52,6 +52,25 @@ object Corpus {
       .withColumn("_cnt", count(lit(1)).over(part))
       .filter(col("_rn") <= ceil(col("_cnt") * lit(frac)))
       .drop("_rn", "_cnt")
+  }
+
+  /** [[stratifiedSample]] for corpora with HOT strata (an `en` stratum
+    * thousands of times larger than the tail): sub-stratify every
+    * stratum into `salts` deterministic shards (LCG hash of the id —
+    * NOT round-robin, which depends on partition layout) and sample
+    * each shard independently. The window partition count multiplies by
+    * `salts`, so no single sort partition holds a whole hot stratum.
+    *
+    * Exactness trade: each shard keeps `ceil(frac·|shard|)`, so the
+    * stratum total is at most `salts − 1` rows above `ceil(frac·count)`
+    * — negligible at the sizes that need salting, and every non-empty
+    * stratum still keeps ≥ 1 row. Fully deterministic: same corpus,
+    * same salt count → byte-identical sample. */
+  def stratifiedSampleSalted(df: DataFrame, strata: Seq[String], frac: Double,
+                             idCol: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts=$salts must be >= 1")
+    val salted = df.withColumn("_salt", pmod(orderHash(col(idCol)), lit(salts.toLong)))
+    stratifiedSample(salted, strata :+ "_salt", frac, idCol).drop("_salt")
   }
 
   /** Stratified sample with an exact per-stratum cap: keep the `n`

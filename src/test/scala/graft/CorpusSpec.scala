@@ -39,6 +39,27 @@ class CorpusSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("stratifiedSampleSalted: salts=1 ≡ unsalted; counts within ceil bound + salts-1") {
+    val d = docs(500)
+    val plain = Corpus.stratifiedSample(d, Seq("lang"), 0.2, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val one = Corpus.stratifiedSampleSalted(d, Seq("lang"), 0.2, "doc_id", salts = 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(plain.sameElements(one))
+    val salted = Corpus.stratifiedSampleSalted(d, Seq("lang"), 0.2, "doc_id", salts = 8)
+    val got = salted.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val want = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    want.foreach { case (l, c) =>
+      val lo = math.ceil(c * 0.2).toLong
+      assert(got(l) >= lo && got(l) <= lo + 7, s"$l: ${got(l)} not in [$lo, ${lo + 7}]")
+    }
+    // deterministic under reshuffling, like the unsalted form
+    val a = salted.select("doc_id").as[Long].collect().sorted
+    val b = Corpus.stratifiedSampleSalted(d.repartition(11), Seq("lang"), 0.2, "doc_id", salts = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("stratifiedSampleN caps every stratum at n") {
     val out = Corpus.stratifiedSampleN(docs(100), Seq("lang"), 7, "doc_id")
     val counts = out.groupBy("lang").count().as[(String, Long)].collect()
