@@ -66,6 +66,35 @@ object Multimodal {
     items.repartition(parts, col("media_id"))
   }
 
+  /** STUB — deterministic fake "resize": keep every `factor`-th byte of
+    * the payload. A real deployment replaces this one function with the
+    * codec's scaler (image resize / audio downsample); the surrounding
+    * plumbing — schema preservation, metadata stamping, partition-local
+    * execution — is the real contract. */
+  private[graft] def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (bytes.length == 0) return Array.emptyByteArray
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize each media item by `factor` (partition-local map, no
+    * shuffle), stamping `meta("resize_factor")` so downstream stages and
+    * lineage audits see the transformation. Schema is unchanged — a
+    * resized corpus feeds every operator the original does. */
+  def resize(items: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    items.mapPartitions { it =>
+      it.map { m =>
+        val bytes = if (m.content == null) Array.emptyByteArray else m.content
+        val meta = (if (m.meta == null) Map.empty[String, String] else m.meta) +
+          ("resize_factor" -> factor.toString)
+        m.copy(content = resizeStub(bytes, factor), meta = meta)
+      }
+    }(Encoders.product[MediaItem])
+  }
+
   /** Pure-expression frame sampler: slice the binary payload into
     * `frameSize`-byte frames and keep every `everyK`-th. (For real video
     * this becomes keyframe extraction inside the codec; the column shape

@@ -33,6 +33,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(re.count() === 100)
   }
 
+  test("resize: decimated payload, schema preserved, factor stamped in meta") {
+    val ds = Seq(
+      item(1L, Array[Byte](10, 20, 30, 40, 50, 60, 70)),
+      MediaItem(2L, "image", "image/fake", null, null)).toDS()
+    val out = Multimodal.resize(ds, factor = 3).collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).content.toSeq === Seq[Byte](10, 40, 70)) // every 3rd byte
+    assert(out(1L).meta("resize_factor") === "3")
+    assert(out(1L).meta("w") === "8") // original metadata survives
+    assert(out(2L).content.length === 0 && out(2L).meta("resize_factor") === "3")
+    // resized corpus feeds the same downstream operators unchanged
+    val feats = Multimodal.extractFeatures(Multimodal.resize(ds, 3), dim = 4).collect()
+    assert(feats.length === 2)
+  }
+
   test("frame sampling: every k-th fixed-size frame via pure expressions") {
     val df = Seq((1L, (0 until 100).map(_.toByte).toArray)).toDF("id", "content")
     val frames = df.select(Multimodal.sampleFrames(col("content"), frameSize = 10, everyK = 3).as("f"))
