@@ -1562,19 +1562,17 @@ object Queries {
 
     // ── 66. Gopher-style repetition quality: distinct-token fraction,
     // duplicate-bigram fraction, top-token fraction — fracs quantized
-    // via explicit floor(x·1e4+0.5) (same rationale as q_neardup_lsh) ──
+    // via explicit floor(x·1e4+0.5) (same rationale as q_neardup_lsh).
+    // Mode-per-doc is the fused TopCountExpr loop (map-only plan); the
+    // oracle recomputes it relationally via unnest + two aggregations ──
     QueryDef(
       "q_rep_quality",
-      (s, d) => {
-        val base = t(s, d, "documents")
+      (s, d) =>
+        t(s, d, "documents")
           .withColumn("_toks", TextAnalysis.tokens(col("text")))
           .filter(size(col("_toks")) >= 2)
           .withColumn("_whs", TextHash.wordHashes(col("text")))
           .withColumn("_s2", TextHash.shingleHashes(col("_whs"), 2))
-        val top = base.select(col("doc_id"), explode(col("_toks")).as("_w"))
-          .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("_c"))
-          .groupBy(col("doc_id")).agg(max(col("_c")).as("_topc"))
-        base.join(top, Seq("doc_id"))
           .select(
             col("doc_id"),
             size(col("_toks")).cast("long").as("n_tok"),
@@ -1582,9 +1580,9 @@ object Queries {
               .as("distinct_e4"),
             e4(lit(1.0) - size(array_distinct(col("_s2"))).cast("double") / size(col("_s2")))
               .as("dup2_e4"),
-            e4(col("_topc").cast("double") / size(col("_toks"))).as("top_word_e4"))
-          .orderBy(col("doc_id"))
-      },
+            e4(TextAnalysis.topTokenCountOf(col("_toks")).cast("double") / size(col("_toks")))
+              .as("top_word_e4"))
+          .orderBy(col("doc_id")),
       Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
              |  $duckWhs AS h FROM documents WHERE len(string_split(text,' ')) >= 2),
              |b AS (SELECT doc_id, toks, list_transform(range(0, len(h)-1),

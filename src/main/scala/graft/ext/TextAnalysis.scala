@@ -67,6 +67,12 @@ object TextAnalysis {
 
   def wordCount(text: Column): Column = wordCountOf(tokens(text))
 
+  /** Mode count of a token array (max multiplicity of any token) — the
+    * numerator of the Gopher-style top-token repetition fraction. Fused
+    * per-row loop (TopCountExpr): mode-per-document is map-side work,
+    * not an explode → two-level groupBy → join shuffle. */
+  def topTokenCountOf(toks: Column): Column = TextHashExprs.topTokenCount(toks)
+
   /** Mean token length (separator-free chars / tokens). */
   def avgWordLenOf(text: Column, toks: Column): Column = {
     val n = wordCountOf(toks)

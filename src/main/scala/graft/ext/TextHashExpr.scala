@@ -230,6 +230,47 @@ object JaccardLoops {
   }
 }
 
+object TopCountLoops {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Max multiplicity of any element in a string array (0 when empty) —
+    * the mode count, per row in one pass. The per-doc loop (tokens are
+    * bounded per document) replaces an explode → groupBy(doc, token) →
+    * groupBy(doc) → join plan: mode-per-row is map-side work, not a
+    * corpus-wide shuffle. Exact over the token STRINGS (a hash-valued
+    * variant would need a collision argument the cross-engine oracle
+    * can't make). */
+  def topStringCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val c = counts.merge(k, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+case class TopCountExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_token_count"
+
+  protected override def nullSafeEval(v: Any): Any =
+    TopCountLoops.topStringCount(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TopCountLoops.topStringCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopCountExpr =
+    copy(child = newChild)
+}
+
 case class JaccardExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
@@ -278,4 +319,6 @@ object TextHashExprs {
     bridge.column(ShingleHashesExpr(bridge.expression(c), n))
   def jaccard(a: Column, b: Column): Column =
     bridge.column(JaccardExpr(bridge.expression(a), bridge.expression(b)))
+  def topTokenCount(toks: Column): Column =
+    bridge.column(TopCountExpr(bridge.expression(toks)))
 }

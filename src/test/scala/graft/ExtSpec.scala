@@ -41,6 +41,18 @@ class ExtSpec extends SparkTestBase {
     sh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("topTokenCount: mode multiplicity, empty array, duplicates-only") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c", "a")), // a ×3
+      (2L, Seq("x")), // singleton
+      (3L, Seq.empty[String]), // empty → 0
+      (4L, Seq("z", "z", "z", "z"))) // all same
+      .toDF("id", "toks")
+    val got = df.select(col("id"), TextAnalysis.topTokenCountOf(col("toks")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 4))
+  }
+
   test("fused jaccard ≡ HOF spec (incl. duplicates, empty sides, NaN)") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 60).map { _ =>
