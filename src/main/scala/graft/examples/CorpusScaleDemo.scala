@@ -66,6 +66,14 @@ object CorpusScaleDemo {
         Seq("x", "y"), bits = 12, numPartitions = 64)
         .foreach(_ => ()) // materialize the exchange + sort
     }
+    // near-dup components: 6250 path components of diameter 32 (200k
+    // edges) — pointer doubling converges in ~log2(32) rounds, not 32
+    val edges = spark.range(200000L)
+      .select((col("id") + floor(col("id") / 32) * 1000000L).as("a"),
+        (col("id") + floor(col("id") / 32) * 1000000L + 1L).as("b"))
+    ScaleDemo.time("transitiveClusters 200k edges") {
+      graft.ext.Dedup.transitiveClusters(edges.toDF(), "a", "b").count()
+    }
     spark.stop()
   }
 }
