@@ -139,6 +139,24 @@ object Dedup {
     embeddingCandidatePairs(corpus, idCol, vecCol, dim, bits, bands)
       .filter(col("cos") >= tau)
 
+  /** One-call embedding-corpus dedup: [[embeddingNearDups]] edges →
+    * drop every non-survivor. `transitive = false` drops any row with a
+    * verified near-dup of smaller id (star blocking); `transitive =
+    * true` first collapses chains via [[transitiveClusters]] so A~B~C
+    * keeps exactly one survivor even when A and C share no bucket —
+    * the vector twin of `DocPipeline.prepare`. */
+  def dedupByEmbedding(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, bits: Int = 8, tau: Double = 0.9,
+                       bands: Int = 1, transitive: Boolean = false): DataFrame = {
+    val edges = embeddingNearDups(corpus, idCol, vecCol, dim, bits, tau, bands)
+    val dropIds =
+      if (!transitive) edges.select(col(idCol)).distinct()
+      else transitiveClusters(edges, idCol, "dup_of")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as(idCol))
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected near-dup edge set by
     * iterated hash-min label propagation: every vertex starts as its own
     * component; each round, a vertex's label drops to the minimum label
@@ -171,18 +189,24 @@ object Dedup {
     while (!done && it < maxIter) {
       val nbrMin = sym.join(labels.select(col("id").as("_b"), col("comp").as("_nc")), Seq("_b"))
         .groupBy(col("_a")).agg(min(col("_nc")).as("_nmin"))
-      val relaxed = labels
+      // carry the pre-round label as _prev so the convergence check is a
+      // filter on the checkpointed frame, not another join per round
+      // (inputs renamed FIRST — aliasing "comp" in the same select that
+      // still reads the old comp trips Spark 4 lateral-alias resolution)
+      val relaxed = labels.select(col("id"), col("comp").as("_prev"))
         .join(nbrMin.select(col("_a").as("id"), col("_nmin")), Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        .select(col("id"), col("_prev"),
+          least(col("_prev"), coalesce(col("_nmin"), col("_prev"))).as("comp"))
       // pointer doubling: chase one hop up the label forest (comp[comp])
+      val hop = relaxed.select(col("id").as("_cid"), col("comp").as("_cc"))
       val next = relaxed
-        .join(relaxed.select(col("id").as("comp"), col("comp").as("_cc")), Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("_cc"), col("comp"))).as("comp"))
+        .join(hop, col("comp") === col("_cid"), "left")
+        .select(col("id"), col("_prev"),
+          least(col("comp"), coalesce(col("_cc"), col("comp"))).as("comp"))
         .localCheckpoint()
       // labels only ever decrease: any strict drop means another round
-      done = next.join(labels.select(col("id"), col("comp").as("_prev")), Seq("id"))
-        .filter(col("comp") < col("_prev")).isEmpty
-      labels = next
+      done = next.filter(col("comp") < col("_prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       it += 1
     }
     if (!done)

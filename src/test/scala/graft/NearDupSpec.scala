@@ -83,6 +83,28 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("dedupByEmbedding: one survivor per planted pair; transitive collapses chains") {
+    import spark.implicits._
+    // base(i) cycles mod 23 (i*131 % 23), so ids 24.. are EXACT dups of
+    // id-23 — the canonical survivor set is exactly {1..23}, with every
+    // planted perturbation (1000+i) and every cycle dup dropped
+    val planted = Seq(3, 11, 27)
+    val corpus = plantedCorpus(60, planted)
+    val kept = Dedup.dedupByEmbedding(corpus, "vec_id", "embedding",
+      dim = 16, bits = 6, tau = 0.999, bands = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === (1L to 23L).toSet)
+    // 3-chain a~b~c where only consecutive vectors are near: transitive
+    // mode must keep exactly the smallest id
+    def vec(eps: Float) = Array.tabulate(16)(j => ((j * 47) % 23 - 11) / 3.0f + (if (j == 0) eps else 0f))
+    val chain = Seq((1L, vec(0f)), (2L, vec(0.001f)), (3L, vec(0.002f)))
+      .toDF("vec_id", "embedding")
+    val keptChain = Dedup.dedupByEmbedding(chain, "vec_id", "embedding",
+      dim = 16, bits = 4, tau = 0.999, bands = 4, transitive = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptChain === Set(1L))
+  }
+
   test("transitiveClusters: chains collapse, separate components stay apart") {
     val edges = Seq(
       (2L, 1L), (3L, 2L), (4L, 3L), // chain 1-2-3-4 (no direct 1-4 edge)
