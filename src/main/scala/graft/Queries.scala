@@ -1658,7 +1658,39 @@ object Queries {
              |CAST(floor(quantile_cont(l_quantity, 0.9)*10000.0 + 0.5) AS BIGINT) AS p90_e4
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ── 70. binary (multimodal) columns cross-engine: text bytes as an
+    // ── 70. forward/backward gap fill (time-series imputation): sparse
+    // observations (value ≥ 5 kept, rest nulled) filled per user along
+    // event order — last/first(IGNORE NULLS) over one-sided frames,
+    // O(1) running state per row on both engines ──────────────────────
+    QueryDef(
+      "q_ffill",
+      (s, d) => {
+        import graft.operators.Fill
+        val sparse = events(s, d)
+          .withColumn("obs", when(col("value") >= 5, col("value")))
+          .select(col("event_id"), col("user_id"),
+            col("obs").as("ff"), col("obs").as("bf"))
+        val filled = Fill.backwardFill(
+          Fill.forwardFill(sparse, Seq("user_id"), Seq("event_id"), Seq("ff")),
+          Seq("user_id"), Seq("event_id"), Seq("bf"))
+        filled
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("ff"), lit(-1.0)).as("ff"),
+            coalesce(col("bf"), lit(-1.0)).as("bf"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH s AS (SELECT event_id, user_id,
+             |  CASE WHEN value >= 5 THEN value END AS obs FROM events)
+             |SELECT event_id, user_id,
+             |coalesce(last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+             |  ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  -1.0) AS ff,
+             |coalesce(first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+             |  ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             |  -1.0) AS bf
+             |FROM s ORDER BY event_id""".stripMargin)),
+
+    // ── 71. binary (multimodal) columns cross-engine: text bytes as an
     // opaque BLOB — byte length, standard MD5 content digest (the
     // media-dedup key shape), and a byte-slice, all engine-independent ─
     QueryDef(

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Fill
+
+/** Goldens for gap filling (cross-engine behavior of the window forms
+  * is proven by the q_ffill oracle). */
+class FillSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // key A: leading null, gap, trailing null; key B: all null
+  private def df = Seq(
+    ("A", 1L, None: Option[Double]), ("A", 2L, Some(10.0)), ("A", 3L, None),
+    ("A", 4L, Some(20.0)), ("A", 5L, None),
+    ("B", 1L, None), ("B", 2L, None))
+    .toDF("k", "t", "v")
+
+  private def vals(out: org.apache.spark.sql.DataFrame): Seq[(String, Long, Option[Double])] =
+    out.orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+
+  test("forwardFill carries the last observation; leading nulls stay null") {
+    assert(vals(Fill.forwardFill(df, Seq("k"), Seq("t"), Seq("v"))) === Seq(
+      ("A", 1L, None), ("A", 2L, Some(10.0)), ("A", 3L, Some(10.0)),
+      ("A", 4L, Some(20.0)), ("A", 5L, Some(20.0)),
+      ("B", 1L, None), ("B", 2L, None)))
+  }
+
+  test("backwardFill mirrors forward; trailing nulls stay null") {
+    assert(vals(Fill.backwardFill(df, Seq("k"), Seq("t"), Seq("v"))) === Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, Some(10.0)), ("A", 3L, Some(20.0)),
+      ("A", 4L, Some(20.0)), ("A", 5L, None),
+      ("B", 1L, None), ("B", 2L, None)))
+  }
+
+  test("fill = ffill, then bfill the prefix, then default for empty keys") {
+    assert(vals(Fill.fill(df, Seq("k"), Seq("t"), Seq("v"), lit(-1.0))) === Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, Some(10.0)), ("A", 3L, Some(10.0)),
+      ("A", 4L, Some(20.0)), ("A", 5L, Some(20.0)),
+      ("B", 1L, Some(-1.0)), ("B", 2L, Some(-1.0))))
+  }
+
+  test("multi-column fill shares one window (single sort in the plan)") {
+    val two = df.withColumn("v2", col("v") * 2)
+    val out = Fill.forwardFill(two, Seq("k"), Seq("t"), Seq("v", "v2"))
+    assert(out.filter(col("t") === 3 && col("k") === "A")
+      .select("v", "v2").head() === org.apache.spark.sql.Row(10.0, 20.0))
+    // both filled columns ride the same Window operator — exactly one
+    // exchange on k in the plan
+    val exchanges = out.queryExecution.executedPlan.toString
+      .split("Exchange hashpartitioning").length - 1
+    assert(exchanges === 1, s"expected one exchange, plan:\n${out.queryExecution.executedPlan}")
+  }
+}
