@@ -68,6 +68,12 @@ object DocPipeline {
   /** Returns the surviving documents with `n_words` and `lang_pred`
     * appended. See the object doc for the five stages.
     *
+    * `maxTopTokenFrac` / `maxDupBigramFrac` (default 1.0 = off) add
+    * Gopher-style repetition gates to stage 2 — drop docs whose most
+    * frequent token exceeds the given fraction, or whose bigram
+    * duplicate fraction does; both are fused per-row kernels over the
+    * stage-1 token column (no extra pass, no shuffle).
+    *
     * `transitive = true` additionally collapses CHAINS of near-dups:
     * plain bucket-min blocking drops docs similar to their bucket's
     * smallest id, so A~B~C survives as {A, C} when A and C never share a
@@ -83,9 +89,11 @@ object DocPipeline {
       minhashK: Int = 8,
       bands: Int = 4,
       tau: Double = 0.8,
-      transitive: Boolean = false): DataFrame =
+      transitive: Boolean = false,
+      maxTopTokenFrac: Double = 1.0,
+      maxDupBigramFrac: Double = 1.0): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
-      transitive).drop("_fp", "_whs")
+      transitive, maxTopTokenFrac, maxDupBigramFrac).drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
     * and `_whs` (word-hash array) columns on the surviving rows, so
@@ -99,13 +107,32 @@ object DocPipeline {
       minhashK: Int,
       bands: Int,
       tau: Double,
-      transitive: Boolean): DataFrame = {
+      transitive: Boolean,
+      maxTopTokenFrac: Double = 1.0,
+      maxDupBigramFrac: Double = 1.0): DataFrame = {
 
-    // 1-2: single tokenization + quality gate
-    val gated = docs
+    // 1-2: single tokenization + quality gate (length, plus optional
+    // Gopher-style repetition gates — both fused per-row kernels on the
+    // already-materialized token column, so extra gates cost no extra
+    // pass and no shuffle)
+    val lengthGated = docs
       .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("n_words", TextAnalysis.wordCountOf(col("_toks")))
       .filter(col("n_words") >= minWords)
+    val gated = {
+      val afterTop =
+        if (maxTopTokenFrac >= 1.0) lengthGated
+        else lengthGated.filter(
+          TextAnalysis.topTokenCountOf(col("_toks")).cast("double") / col("n_words")
+            <= maxTopTokenFrac)
+      if (maxDupBigramFrac >= 1.0) afterTop
+      else afterTop
+        .withColumn("_b2", TextHash.shingleHashes(TextHash.wordHashes(col(textCol)), 2))
+        .filter(
+          lit(1.0) - size(array_distinct(col("_b2"))).cast("double") / size(col("_b2"))
+            <= maxDupBigramFrac)
+        .drop("_b2")
+    }
 
     // 3: language-ID from the materialized token column
     val enriched = withLangPred(gated, "_toks").drop("_toks")

@@ -115,6 +115,42 @@ object Ivf {
       .drop(cellCol)
   }
 
+  /** The `nprobe` nearest cell ids per probe VECTOR as an expression —
+    * the column twin of [[probeCells]] (array_sort of (dist², cid)
+    * structs sorts by distance then lower cid, the same tie-break). */
+  private def nearestCellsExpr(vec: Column, centroids: Seq[(Int, Array[Double])],
+                               nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(centroids.map { case (cid, c) =>
+        struct(dist2(vec, lit(c)).as("d"), lit(cid).as("cid"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** Batch ANN join over the IVF index: a whole DataFrame of probes
+    * served in ONE plan — each probe explodes to its `nprobe` nearest
+    * cells (map-side arithmetic against the broadcast centroid list),
+    * equi-joins the index on the cell id, and takes its top-k by dot
+    * product via a per-probe window. The IVF twin of
+    * [[Similarity.lshTopKJoin]]: thousands of probes cost one job, and
+    * on a [[saveIndex]] store the cell equi-join reads only the probed
+    * cells' partitions. */
+  def topKJoin(indexed: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
+               probes: DataFrame, probeIdCol: String, probeVecCol: String,
+               k: Int, nprobe: Int = 2, cellCol: String = "ivf_cell",
+               scoreCol: String = "score", tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pcells = probes.select(col(probeIdCol), col(probeVecCol),
+      explode(nearestCellsExpr(col(probeVecCol).cast("array<double>"), centroids, nprobe))
+        .as(cellCol))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col(scoreCol).desc +: tieBreak.map(col): _*)
+    indexed.join(broadcast(pcells), Seq(cellCol))
+      .withColumn(scoreCol, Similarity.dot(col(vecCol), col(probeVecCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn", cellCol, probeVecCol)
+  }
+
   /** One-shot convenience: assign + probe in a single plan. For repeated
     * probes, [[saveIndex]] + [[topKIndexed]] is the scale path. */
   def topK(

@@ -280,6 +280,23 @@ class ExtSpec extends SparkTestBase {
     assert(byId(1L) === "en" && byId(4L) === "de" && byId(5L) === "und")
   }
 
+  test("DocPipeline repetition gates drop spammy docs, leave clean ones") {
+    import graft.ext.DocPipeline
+    val distinct40 = Array.tabulate(40)(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, distinct40), // clean: top frac 1/40, dup-bigram 0
+      (2L, Array.fill(40)("spam").mkString(" ")), // top frac 1.0, dup-bigram ~1
+      (3L, ("buy now " * 20).trim)) // alternating: top frac 0.5, dup-bigram high
+      .toDF("doc_id", "text")
+    val default = DocPipeline.prepare(docs, minWords = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(default === Set(1L, 2L, 3L)) // gates off by default
+    val gated = DocPipeline.prepare(docs, minWords = 10,
+      maxTopTokenFrac = 0.3, maxDupBigramFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated === Set(1L), s"got $gated")
+  }
+
   test("exact dedup keeps deterministic representative") {
     val df = Seq((3L, "a", "x"), (1L, "a", "x"), (2L, "b", "y"))
       .toDF("doc_id", "lang", "source")

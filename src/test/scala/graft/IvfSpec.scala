@@ -77,4 +77,27 @@ class IvfSpec extends SparkTestBase {
     assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
     a.zip(b).foreach { case ((_, x), (_, y)) => assertNear(x, y) }
   }
+
+  test("topKJoin: many probes in one plan ≡ per-probe topKIndexed") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val indexed = Ivf.withCell(corpus, "embedding", centroids)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val joined = Ivf.topKJoin(indexed, "embedding", centroids, probes,
+      "probe_id", "p_emb", k = 5, nprobe = 3, tieBreak = Seq("vec_id"))
+      .select("probe_id", "vec_id", "score").collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq }
+    assert(joined.size === 10)
+    probes.collect().foreach { pr =>
+      val pid = pr.getLong(0)
+      val pv = pr.getSeq[Float](1).toArray.map(_.toDouble)
+      val single = Ivf.topKIndexed(indexed, "embedding", centroids, pv, k = 5, nprobe = 3)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(joined(pid).map(_._1) === single.map(_._1), s"probe $pid ids differ")
+      joined(pid).zip(single).foreach { case ((_, x), (_, y)) => assertNear(x, y) }
+    }
+  }
 }
