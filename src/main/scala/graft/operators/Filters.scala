@@ -96,6 +96,21 @@ object Filters {
     FilterResult(df.filter(pred), FilterStats(k, row.getLong(1) - k))
   }
 
+  /** FLT_STATS with ZERO extra scan: the counts ride the caller's own
+    * action as observed metrics (a CollectMetrics node below the
+    * filter — Catalyst does not push the filter through it, so the
+    * metrics see every input row). Read `observation.get` AFTER the
+    * first action on the returned frame; at 100 TB this turns the
+    * stats pass from a second full scan into a free side-channel. */
+  def applyObserved(df: DataFrame, pred: Column,
+                    name: String = "flt_stats"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      sum(when(pred, 1L).otherwise(0L)).as("n_kept"),
+      count(lit(1)).as("n_total"))
+    (observed.filter(pred), obs)
+  }
+
   // ── per-call masking (π with array rewrite; row count unchanged).
   // Codegen'd MaskGt expression; HOF twins in GenotypeKernels are the
   // spec and the property-test reference. ──
@@ -181,6 +196,28 @@ final class VariantPipeline private (
       name -> Filters.FilterStats(kept(i), before - kept(i))
     }
     PipelineResult(withPreds.filter(cumulative.last).drop(predCols: _*), stats, nInput)
+  }
+
+  /** [[run]]'s zero-extra-scan twin: the cumulative per-stage counts
+    * (`n_input`, `k0` … `k{n−1}`) ride the caller's first action on the
+    * returned frame as observed metrics instead of a dedicated
+    * aggregation job — the same single-pass predicate materialization,
+    * one fewer full scan. Read stats from `observation.get` after the
+    * action; `k{i} − k{i+1}` is stage i+1's N_FILTERED_OUT. */
+  def runObserved(name: String = "flt_stats"): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(stages.nonEmpty, "runObserved needs at least one stage")
+    val predCols = stages.indices.map(i => s"_p$i")
+    val withPreds = stages.zipWithIndex.foldLeft(df) { case (d, ((_, p), i)) =>
+      d.withColumn(predCols(i), p)
+    }
+    val cumulative = predCols.scanLeft(lit(true)) { (acc, c) => acc && col(c) }.tail
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("n_input") +:
+      cumulative.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"k$i")
+      }
+    val observed = withPreds.observe(obs, metrics.head, metrics.tail: _*)
+    (observed.filter(cumulative.last).drop(predCols: _*), obs)
   }
 }
 

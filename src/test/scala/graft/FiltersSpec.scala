@@ -105,6 +105,29 @@ class FiltersSpec extends SparkTestBase {
     assert(df2.count() === 6)
   }
 
+  test("observed FLT_STATS ride the caller's action — no extra aggregation job") {
+    val (kept, obs) = Filters.applyObserved(fixture, Filters.byCallRate(0.8))
+    assert(kept.select("id").collect().map(_.getString(0)).toSet === Set("v1", "v4", "v6"))
+    val m = obs.get // available because the collect above ran the plan
+    assert(m("n_kept") === 3L && m("n_total") === 6L)
+    // metrics counted PRE-filter rows: the filter was not pushed through
+    // the CollectMetrics barrier
+    val (kept2, obs2) = Filters.applyObserved(fixture, Filters.byQual(40.0), "q")
+    assert(kept2.count() === 5L)
+    assert(obs2.get("n_total") === 6L)
+  }
+
+  test("observed pipeline: cumulative stage counts from the action itself") {
+    val (out, obs) = VariantPipeline(fixture)
+      .maskByDepth(5)
+      .byCallRate(0.8)
+      .byMaf(max = 0.7)
+      .runObserved()
+    assert(out.select("id").collect().map(_.getString(0)).toSet === Set("v4"))
+    val m = obs.get
+    assert(m("n_input") === 6L && m("k0") === 2L && m("k1") === 1L)
+  }
+
   test("pipeline: mask then two filters — all stats from one pass") {
     val r = VariantPipeline(fixture)
       .maskByDepth(5)
