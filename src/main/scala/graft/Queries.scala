@@ -1658,7 +1658,33 @@ object Queries {
              |CAST(floor(quantile_cont(l_quantity, 0.9)*10000.0 + 0.5) AS BIGINT) AS p90_e4
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ── 70. forward/backward gap fill (time-series imputation): sparse
+    // ── 70. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
+    // multisets (an orderkey repeats per qualifying line), multiplicity
+    // arithmetic min(m_a, m_b) / max(0, m_a − m_b) checked end to end ──
+    QueryDef(
+      "q_set_ops_all",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.filter(col("l_quantity") > 45).select(col("l_orderkey").as("okey"))
+        val b = li.filter(col("l_discount") > 0.08).select(col("l_orderkey").as("okey"))
+        val ia = a.intersectAll(b).groupBy(col("okey"))
+          .agg(count(lit(1)).cast("long").as("cnt")).withColumn("op", lit("ia"))
+        val ea = a.exceptAll(b).groupBy(col("okey"))
+          .agg(count(lit(1)).cast("long").as("cnt")).withColumn("op", lit("ea"))
+        ia.unionByName(ea)
+          .select(col("op"), col("okey"), col("cnt"))
+          .orderBy(col("op"), col("okey"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 45),
+             |b AS (SELECT l_orderkey AS okey FROM lineitem WHERE l_discount > 0.08),
+             |ia AS (SELECT okey FROM a INTERSECT ALL SELECT okey FROM b),
+             |ea AS (SELECT okey FROM a EXCEPT ALL SELECT okey FROM b)
+             |SELECT 'ia' AS op, okey, CAST(count(*) AS BIGINT) AS cnt FROM ia GROUP BY okey
+             |UNION ALL
+             |SELECT 'ea' AS op, okey, CAST(count(*) AS BIGINT) AS cnt FROM ea GROUP BY okey
+             |ORDER BY op, okey""".stripMargin)),
+
+    // ── 71. forward/backward gap fill (time-series imputation): sparse
     // observations (value ≥ 5 kept, rest nulled) filled per user along
     // event order — last/first(IGNORE NULLS) over one-sided frames,
     // O(1) running state per row on both engines ──────────────────────
