@@ -114,6 +114,44 @@ object Corpus {
       .drop("_cum")
   }
 
+  /** Exact greedy packing: like [[packSequences]] but bins NEVER exceed
+    * `budget` (a doc that doesn't fit starts the next bin; a single
+    * oversized doc gets a bin to itself). Greedy fill is inherently
+    * sequential per writer partition, so this is the one corpus
+    * operator where `mapPartitions` is the honest primitive, not a
+    * window: rows are hash-partitioned by the writer key (a key never
+    * splits across partitions), sorted by (key, id), and scanned once
+    * with O(1) state — fully deterministic, parallel ACROSS writer
+    * partitions, and the row scan does no per-row allocation beyond the
+    * output row. Use [[packSequences]] when slight overflow is
+    * acceptable and a pure-SQL plan is preferred. */
+  def packSequencesGreedy(df: DataFrame, idCol: String, nTokCol: String,
+                          budget: Long, partitionCols: Seq[String]): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(partitionCols.nonEmpty,
+      "greedy packing needs writer partitions (pass e.g. a language/shard column)")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val parted = df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ idCol).map(col): _*)
+    val outSchema = df.schema.add("bin_id", LongType, nullable = false)
+    val keyIdx = partitionCols.map(df.schema.fieldIndex)
+    val tokIdx = df.schema.fieldIndex(nTokCol)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var bin = 0L
+      var fill = 0L
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) { curKey = key; bin = 0L; fill = 0L }
+        val tok = r.getAs[Number](tokIdx).longValue()
+        if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0L }
+        fill += tok
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Weighted (quality-proportional) sampling: keep a row with
     * probability `weightCol` (clamped to [0,1]) — but DETERMINISTICALLY,
     * by comparing the row's LCG order hash against the weight:

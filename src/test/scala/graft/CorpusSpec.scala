@@ -81,6 +81,29 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("packSequencesGreedy: no bin over budget; oversized doc isolated; deterministic") {
+    val d = docs(80).withColumn("n_tok", size(split(col("text"), " ")))
+      .union(Seq((999L, "lang0", "src0", ("big " * 50).trim))
+        .toDF("doc_id", "lang", "source", "text")
+        .withColumn("n_tok", size(split(col("text"), " "))))
+    val out = Corpus.packSequencesGreedy(d, "doc_id", "n_tok", budget = 20, Seq("lang"))
+    val bins = out.groupBy("lang", "bin_id")
+      .agg(sum("n_tok").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    bins.foreach { case (l, b, s, n) =>
+      assert(s <= 20 || n == 1, s"bin ($l,$b) holds $s tokens across $n docs")
+    }
+    // the 50-token doc exceeds the budget and sits alone in its bin
+    val bigBin = out.filter(col("doc_id") === 999L).select("lang", "bin_id")
+      .as[(String, Long)].head()
+    assert(bins.find(x => (x._1, x._2) == bigBin).get._4 === 1L)
+    // deterministic under input reshuffling
+    val a = out.select("doc_id", "bin_id").as[(Long, Long)].collect().sortBy(_._1)
+    val b = Corpus.packSequencesGreedy(d.repartition(13), "doc_id", "n_tok", 20, Seq("lang"))
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("packSequences bins are dense from 0 within each partition") {
     val d = docs(60).withColumn("n_tok", size(split(col("text"), " ")))
     val bins = Corpus.packSequences(d, "doc_id", "n_tok", 20, Seq("lang"))
