@@ -24,6 +24,11 @@ object AsOf {
     * @param rightTs   right timestamp column name
     * @param strict    true → right.ts strictly earlier than left.ts
     * @param outCol    name of the attached as-of timestamp column
+    * @param maxGap    optional tolerance (pandas merge_asof style): the
+    *                  match is nulled when `left.ts > asof + maxGap` —
+    *                  pass any gap addable to the ts type (a numeric
+    *                  delta, or `expr("INTERVAL 5 MINUTES")` for
+    *                  timestamps); a stale quote is no quote
     */
   def joinAsOf(
       left: DataFrame,
@@ -32,7 +37,8 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       strict: Boolean = true,
-      outCol: String = "asof_ts"): DataFrame = {
+      outCol: String = "asof_ts",
+      maxGap: Option[Column] = None): DataFrame = {
 
     val leftCols = left.columns
     require(!leftCols.contains(outCol),
@@ -64,9 +70,11 @@ object AsOf {
       .orderBy(col(tsC), sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    r.unionByName(l)
+    val joined = r.unionByName(l)
       .withColumn(outCol, last(col(rtsC), ignoreNulls = true).over(w))
       .filter(col(sideC) === 1)
       .select(leftCols.map(c => col(s"$lpayC.$c")) :+ col(outCol): _*)
+    maxGap.fold(joined)(g =>
+      joined.withColumn(outCol, when(col(leftTs) <= col(outCol) + g, col(outCol))))
   }
 }

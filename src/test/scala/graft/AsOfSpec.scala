@@ -51,4 +51,23 @@ class AsOfSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "p1", 2L -> "p2", 3L -> "p3", 4L -> "p4"))
   }
+
+  test("maxGap tolerance: stale matches become null, fresh ones survive") {
+    import org.apache.spark.sql.functions.expr
+    // non-strict so p1 (t=10) matches the t=10 quote exactly
+    val out = AsOf.joinAsOf(left, right, "uid", "lts", "rts", strict = false,
+      maxGap = Some(expr("INTERVAL 5 MINUTES")))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime)).toMap
+    assert(out(1L) === Some(ts(10).getTime)) // gap 0 ≤ 5 min
+    assert(out(2L) === None) // t=30 vs quote t=20: 10 min gap → stale
+    assert(out(3L) === None) // no prior quote at all
+    assert(out(4L) === None) // t=50 vs quote t=40: 10 min gap → stale
+    // boundary is inclusive: exactly 10 minutes with a 10-minute gap
+    val incl = AsOf.joinAsOf(left, right, "uid", "lts", "rts", strict = false,
+      maxGap = Some(expr("INTERVAL 10 MINUTES")))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime)).toMap
+    assert(incl(2L) === Some(ts(20).getTime) && incl(4L) === Some(ts(40).getTime))
+  }
 }
