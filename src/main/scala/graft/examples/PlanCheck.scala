@@ -51,7 +51,11 @@ object PlanCheck {
       ("q_zorder", "Morton key is a map-only project (no hash shuffle)",
         p => !p.contains("hashpartitioning") && p.contains(") Project")),
       ("q_weighted_sample", "weighted sample is a map-only filter (no hash shuffle)",
-        p => !p.contains("hashpartitioning") && p.contains(") Filter"))
+        p => !p.contains("hashpartitioning") && p.contains(") Filter")),
+      ("q_ffill", "ffill+bfill share ONE user shuffle (two frames, same partitioning)",
+        p => p.split("hashpartitioning").length == 2),
+      ("q_set_ops_all", "bag set-ops: no cartesian anywhere",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
     )
 
     var failed = 0
