@@ -897,14 +897,16 @@ object Queries {
     QueryDef(
       "q_text_langid",
       (s, d) => {
-        // tokenize ONCE, then score every language from the materialized
-        // token array (the single-column langId form would re-split the
-        // document per profile — 4 tokenizations/row)
+        // tokenize ONCE, then score every language in ONE fused pass
+        // (LangScoresExpr) from the materialized token array — the
+        // single-column langId form would re-split per profile, and the
+        // per-profile filter-HOF form ran 4 interpreted passes/row
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted
         val toks = t(s, d, "documents")
           .withColumn("_toks", TextAnalysis.tokens(col("text")))
-        val scored = langs.foldLeft(toks) { (df, l) =>
-          df.withColumn(s"_s_$l", TextAnalysis.stopwordCountOf(col("_toks"), TextAnalysis.stopwords(l)))
+          .withColumn("_ls", TextAnalysis.langScoresOf(col("_toks")))
+        val scored = langs.zipWithIndex.foldLeft(toks) { case (df, (l, i)) =>
+          df.withColumn(s"_s_$l", element_at(col("_ls"), i + 1))
         }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
         val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
           when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)

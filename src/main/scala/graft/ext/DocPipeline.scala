@@ -29,18 +29,22 @@ import org.apache.spark.sql.functions._
 object DocPipeline {
 
   /** Append `lang_pred` scored from an existing token-array column —
-    * all profiles read the SAME materialized array (map-only; shared by
-    * the batch pipeline and [[prepareStream]]). */
+    * ONE fused pass scores every profile (LangScoresExpr; the per-lang
+    * filter-HOF form it replaces ran one interpreted pass per profile),
+    * and all downstream references are cheap element_at extractions of
+    * the materialized score array (map-only; shared by the batch
+    * pipeline and [[prepareStream]]). */
   def withLangPred(df: DataFrame, toksCol: String): DataFrame = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-    val scored = langs.foldLeft(df) { (acc, l) =>
-      acc.withColumn(s"_s_$l", TextAnalysis.stopwordCountOf(col(toksCol), TextAnalysis.stopwords(l)))
+    val scored = langs.zipWithIndex.foldLeft(
+      df.withColumn("_ls", TextAnalysis.langScoresOf(col(toksCol)))) {
+      case (acc, (l, i)) => acc.withColumn(s"_s_$l", element_at(col("_ls"), i + 1))
     }.withColumn("_best", langs.map(l => col(s"_s_$l")).reduce(greatest(_, _)))
     val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
       when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l)).otherwise(els)
     }
     scored.withColumn("lang_pred", pred)
-      .drop("_best" +: langs.map(l => s"_s_$l"): _*)
+      .drop("_ls" +: "_best" +: langs.map(l => s"_s_$l"): _*)
   }
 
   /** Streaming twin of stages 1-4: quality gate + language-ID + exact

@@ -35,9 +35,18 @@ object TextAnalysis {
     * computing several token-based metrics. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Count of tokens belonging to `list`, over a token array. */
+  /** Count of tokens belonging to `list`, over a token array.
+    * Interpreted filter-HOF — the spec form; scoring several profiles
+    * should use the fused [[langScoresOf]] (one pass for all). */
   def stopwordCountOf(toks: Column, list: Seq[String]): Column =
     size(filter(toks, w => w.isin(list: _*))).cast("long")
+
+  /** ALL profiles' marker counts in ONE codegen'd pass over the token
+    * array (LangScoresExpr hash-map lookup per token), array-ordered by
+    * profile key — `element_at(scores, i+1)` is profile i's count,
+    * identical to `stopwordCountOf` per profile. */
+  def langScoresOf(toks: Column, profiles: Map[String, Seq[String]] = stopwords): Column =
+    TextHashExprs.langScores(toks, profiles.toSeq.sortBy(_._1))
 
   /** Count of tokens belonging to `list`. */
   def stopwordCount(text: Column, list: Seq[String]): Column =

@@ -230,6 +230,63 @@ object JaccardLoops {
   }
 }
 
+object LangScoreLoops {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** One pass over the token array, incrementing every profile a token
+    * belongs to (a marker like "un" can sit in several languages'
+    * lists) — replaces one interpreted filter-HOF pass PER profile. */
+  def scores(arr: ArrayData, table: java.util.HashMap[UTF8String, Array[Int]],
+             nProfiles: Int): GenericArrayData = {
+    val out = new Array[Long](nProfiles)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val hit = table.get(arr.getUTF8String(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { out(hit(j)) += 1L; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-profile marker counts over a token array, all profiles in ONE
+  * pass (profile order = the constructor's order). */
+case class LangScoresExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    LangScoreLoops.scores(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], table, profiles.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("langTable", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ext.LangScoreLoops.scores($c, $tableRef, ${profiles.size})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangScoresExpr =
+    copy(child = newChild)
+}
+
 object TopCountLoops {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -321,4 +378,6 @@ object TextHashExprs {
     bridge.column(JaccardExpr(bridge.expression(a), bridge.expression(b)))
   def topTokenCount(toks: Column): Column =
     bridge.column(TopCountExpr(bridge.expression(toks)))
+  def langScores(toks: Column, profiles: Seq[(String, Seq[String])]): Column =
+    bridge.column(LangScoresExpr(bridge.expression(toks), profiles))
 }

@@ -41,6 +41,24 @@ class ExtSpec extends SparkTestBase {
     sh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("fused langScores ≡ per-profile stopwordCountOf on mixed-language soups") {
+    val rnd = new scala.util.Random(31)
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val vocab = TextAnalysis.stopwords.values.flatten.toVector ++ Vector("xx", "yy", "")
+    val texts = (1 to 50).map(_ =>
+      Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("t").withColumn("_toks", TextAnalysis.tokens(col("t")))
+      .withColumn("_ls", TextAnalysis.langScoresOf(col("_toks")))
+    val cols = langs.zipWithIndex.flatMap { case (l, i) =>
+      Seq(element_at(col("_ls"), i + 1).as(s"f_$l"),
+        TextAnalysis.stopwordCountOf(col("_toks"), TextAnalysis.stopwords(l)).as(s"h_$l"))
+    }
+    df.select(cols: _*).collect().foreach { r =>
+      langs.indices.foreach(i =>
+        assert(r.getLong(2 * i) === r.getLong(2 * i + 1), s"profile ${langs(i)} differs"))
+    }
+  }
+
   test("topTokenCount: mode multiplicity, empty array, duplicates-only") {
     val df = Seq(
       (1L, Seq("a", "b", "a", "c", "a")), // a ×3
