@@ -57,9 +57,14 @@ object TextHash {
     array((0 until k).map(i => minhash(whs, i)): _*)
 
   /** SimHash over token hashes, low `bits` bits (default 16): per bit,
-    * tokens vote ±1; the bit is set when the vote is positive.
+    * tokens vote ±1; the bit is set when the vote is positive. Fused
+    * one-pass codegen kernel (`simhashHof` is the per-bit aggregate-HOF
+    * spec it must equal — that form ran `bits` interpreted passes). */
+  def simhash(whs: Column, bits: Int = 16): Column = TextHashExprs.simhash(whs, bits)
+
+  /** HOF spec form of simhash (differential-testing reference).
     * Bit extraction via exact double floor-div (hashes < 2^30). */
-  def simhash(whs: Column, bits: Int = 16): Column =
+  def simhashHof(whs: Column, bits: Int = 16): Column =
     (0 until bits).map { k =>
       val vote = aggregate(whs, lit(0L), (acc, w) =>
         acc + when(floor(w / pow(lit(2.0), lit(k))).cast("long") % 2 === 1, 1L).otherwise(-1L))

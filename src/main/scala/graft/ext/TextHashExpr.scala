@@ -287,6 +287,50 @@ case class LangScoresExpr(child: Expression, profiles: Seq[(String, Seq[String])
     copy(child = newChild)
 }
 
+object SimHashLoops {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** All `bits` SimHash bit votes in one pass over the token hashes —
+    * replaces one interpreted aggregate-HOF pass PER BIT. Bit test is
+    * integer shift-and, identical to the HOF's exact double floor-div
+    * for the < 2^30 hash values the kernels produce. */
+  def simhash(whs: ArrayData, bits: Int): Long = {
+    val votes = new Array[Long](bits)
+    val n = whs.numElements()
+    var i = 0
+    while (i < n) {
+      val w = whs.getLong(i)
+      var k = 0
+      while (k < bits) {
+        votes(k) += (if (((w >> k) & 1L) == 1L) 1L else -1L)
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < bits) { if (votes(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+}
+
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 62)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  protected override def nullSafeEval(v: Any): Any =
+    SimHashLoops.simhash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.SimHashLoops.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 object TopCountLoops {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -380,4 +424,6 @@ object TextHashExprs {
     bridge.column(TopCountExpr(bridge.expression(toks)))
   def langScores(toks: Column, profiles: Seq[(String, Seq[String])]): Column =
     bridge.column(LangScoresExpr(bridge.expression(toks), profiles))
+  def simhash(whs: Column, bits: Int): Column =
+    bridge.column(SimHashExpr(bridge.expression(whs), bits))
 }

@@ -41,6 +41,22 @@ class ExtSpec extends SparkTestBase {
     sh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("fused simhash ≡ per-bit aggregate-HOF spec") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "far", "x1", "z9")
+    val texts = (1 to 40).map(_ =>
+      Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) :+ ""
+    val df = texts.toDF("t").withColumn("_whs", TextHash.wordHashes(col("t")))
+    df.select(
+      TextHash.simhash(col("_whs")).as("cg"),
+      TextHash.simhashHof(col("_whs")).as("hof"),
+      TextHash.simhash(col("_whs"), 8).as("cg8"),
+      TextHash.simhashHof(col("_whs"), 8).as("hof8")).collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("fused langScores ≡ per-profile stopwordCountOf on mixed-language soups") {
     val rnd = new scala.util.Random(31)
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
