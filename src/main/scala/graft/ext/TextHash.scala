@@ -52,8 +52,13 @@ object TextHash {
   def minhash(whs: Column, i: Int): Column =
     coalesce(array_min(transform(whs, w => rehash(w, i))), lit(P))
 
-  /** Full k-component MinHash signature. */
+  /** Full k-component MinHash signature — fused one-pass codegen
+    * kernel (`minhashSignatureHof` is the per-component HOF spec). */
   def minhashSignature(whs: Column, k: Int): Column =
+    TextHashExprs.minhashSignature(whs, k)
+
+  /** HOF spec form of minhashSignature (differential reference). */
+  def minhashSignatureHof(whs: Column, k: Int): Column =
     array((0 until k).map(i => minhash(whs, i)): _*)
 
   /** SimHash over token hashes, low `bits` bits (default 16): per bit,

@@ -287,6 +287,51 @@ case class LangScoresExpr(child: Expression, profiles: Seq[(String, Seq[String])
     copy(child = newChild)
 }
 
+object MinHashLoops {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** All k MinHash components in one pass over the token hashes —
+    * replaces one interpreted transform+array_min HOF pass PER
+    * component. Same universal-family arithmetic as TextHash.rehash:
+    * component i = min over w of (w·(2i+3) + (11i+7)) mod P; empty
+    * input yields P per component (the HOF's coalesce sentinel). */
+  def signature(whs: ArrayData, k: Int): GenericArrayData = {
+    val P = TextHashLoops.P
+    val out = Array.fill(k)(P)
+    val n = whs.numElements()
+    var i = 0
+    while (i < n) {
+      val w = whs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (w * (2L * j + 3L) + (11L * j + 7L)) % P
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(v: Any): Any =
+    MinHashLoops.signature(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.MinHashLoops.signature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 object SimHashLoops {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -426,4 +471,6 @@ object TextHashExprs {
     bridge.column(LangScoresExpr(bridge.expression(toks), profiles))
   def simhash(whs: Column, bits: Int): Column =
     bridge.column(SimHashExpr(bridge.expression(whs), bits))
+  def minhashSignature(whs: Column, k: Int): Column =
+    bridge.column(MinHashSigExpr(bridge.expression(whs), k))
 }

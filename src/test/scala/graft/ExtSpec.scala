@@ -41,6 +41,23 @@ class ExtSpec extends SparkTestBase {
     sh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("fused minhash signature ≡ per-component HOF spec") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "", "q7")
+    val texts = (1 to 40).map(_ =>
+      Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("t").withColumn("_whs", TextHash.wordHashes(col("t")))
+    df.select(
+      TextHash.minhashSignature(col("_whs"), 8).as("cg"),
+      TextHash.minhashSignatureHof(col("_whs"), 8).as("hof")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // empty token array → all-P sentinel signature, matching the HOF coalesce
+    val e = Seq(Seq.empty[Long]).toDF("w")
+      .select(TextHash.minhashSignature(col("w"), 4)).head().getSeq[Long](0)
+    assert(e === Seq.fill(4)(TextHash.P))
+  }
+
   test("fused simhash ≡ per-bit aggregate-HOF spec") {
     val rnd = new scala.util.Random(43)
     val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "far", "x1", "z9")
