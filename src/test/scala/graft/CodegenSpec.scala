@@ -51,4 +51,25 @@ class CodegenSpec extends SparkTestBase {
         TextHash.shingleHashes(col("whs")).as("sh"))
     assertCompiles(df, "text-hash")
   }
+
+  test("round-4 fused kernels compile (jaccard, lang scores, simhash, minhash, mode)") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "the cat sat the"), (2L, "der und ist x")).toDF("doc_id", "text")
+    val df = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("whs", TextHash.wordHashes(col("text")))
+      .select(
+        col("doc_id"),
+        TextHash.jaccard(col("whs"), col("whs")).as("j"),
+        TextAnalysis.langScoresOf(col("toks")).as("ls"),
+        TextHash.simhash(col("whs")).as("sim"),
+        TextHash.minhashSignature(col("whs"), 8).as("sig"),
+        TextAnalysis.topTokenCountOf(col("toks")).as("topc"))
+    assertCompiles(df, "round-4-kernels")
+    // the early-exit predicate form (rule-rewritten) must also compile
+    val pred = docs
+      .withColumn("whs", TextHash.wordHashes(col("text")))
+      .filter(TextHash.jaccard(col("whs"), col("whs")) >= 0.5)
+    assertCompiles(pred, "jaccard-gte")
+  }
 }
