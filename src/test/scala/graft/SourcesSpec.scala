@@ -37,4 +37,25 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("chr2"), plan.take(800))
     assert(pruned.count() === 3)
   }
+
+  test("compactTo: 64 tiny files -> few target-size files, content preserved") {
+    import graft.sources.Compact
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    spark.range(10000).selectExpr("id", "id % 7 AS k")
+      .repartition(64).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles === 64)
+    val bytes = Compact.dataBytes(spark, in)
+    assert(bytes > 0)
+    // target half the data per file -> expect exactly 2 output files
+    val n = Compact.compactTo(spark, in, out, targetBytes = (bytes + 1) / 2)
+    assert(n === 2)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles === 2)
+    val a = spark.read.parquet(in).selectExpr("sum(id)", "count(*)").head()
+    val b = spark.read.parquet(out).selectExpr("sum(id)", "count(*)").head()
+    assert(a === b)
+  }
 }
