@@ -1660,7 +1660,33 @@ object Queries {
              |CAST(floor(quantile_cont(l_quantity, 0.9)*10000.0 + 0.5) AS BIGINT) AS p90_e4
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ── 70. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
+    // ── 70. SimHash near-dup pairs at Hamming ≤ 1: single-bit-flip key
+    // blocking (bits+1 short keys/doc, never all-pairs) + exact
+    // bit_count verify — both engines replicate blocking AND verify ───
+    QueryDef(
+      "q_neardup_simhash",
+      (s, d) =>
+        Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          bits = 16, maxHamming = 1)
+          .orderBy(col("doc_id"), col("dup_of")),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,16), k ->
+             |  CASE WHEN list_sum(list_transform(h, x ->
+             |    CASE WHEN CAST(floor(x/pow(2,k)) AS BIGINT)%2=1 THEN 1 ELSE -1 END)) > 0
+             |  THEN CAST(pow(2,k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS s
+             |  FROM w),
+             |keyed AS (SELECT doc_id, s, unnest(list_concat([s],
+             |  list_transform(range(0,16), k -> xor(s, CAST(pow(2,k) AS BIGINT))))) AS key
+             |  FROM sim),
+             |cand AS (SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi,
+             |                a.s AS sa, b.s AS sb
+             |  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id)
+             |SELECT hi AS doc_id, lo AS dup_of,
+             |CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+             |ORDER BY doc_id, dup_of""".stripMargin)),
+
+    // ── 71. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
     // multisets (an orderkey repeats per qualifying line), multiplicity
     // arithmetic min(m_a, m_b) / max(0, m_a − m_b) checked end to end ──
     QueryDef(

@@ -77,6 +77,34 @@ object Dedup {
       .withColumn(outCol, simhash(col("_whs"), bits))
       .drop("_whs")
 
+  /** Corpus-wide SimHash near-dup pairs at Hamming distance ≤
+    * `maxHamming`: each doc emits its signature plus every single-bit
+    * FLIP of it (bits+1 short keys), pairs sharing any key become
+    * candidates (distance-1 pairs collide on the flipped key,
+    * distance-2 pairs on flip-vs-flip), and `bit_count(a xor b)` keeps
+    * the exact distances only. The same blocking discipline as MinHash
+    * banding — the shuffle carries (key, id, sig) rows, never text, and
+    * nothing is all-pairs. Output: (idCol, dup_of, hamming) with
+    * idCol > dup_of, one row per pair. Exact recall for maxHamming ≤ 2
+    * (a distance-2 pair always shares a flip-vs-flip key); raise the
+    * probe neighborhood for larger radii. */
+  def simhashNearDups(corpus: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 16, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"maxHamming=$maxHamming outside the single-flip blocking guarantee (0..2)")
+    val sims = withSimhash(corpus.select(col(idCol), col(textCol)), textCol, bits, "_sim")
+      .select(col(idCol), col("_sim"))
+    val keyed = sims.select(col(idCol), col("_sim"), explode(array(
+      col("_sim") +: (0 until bits).map(k => col("_sim").bitwiseXOR(lit(1L << k))): _*)).as("_key"))
+    keyed.select(col("_key"), col(idCol).as("_lo"), col("_sim").as("_sa"))
+      .join(keyed.select(col("_key"), col(idCol).as("_hi"), col("_sim").as("_sb")), Seq("_key"))
+      .filter(col("_lo") < col("_hi"))
+      .select(col("_lo"), col("_hi"), col("_sa"), col("_sb")).distinct()
+      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("_hi").as(idCol), col("_lo").as("dup_of"), col("hamming"))
+  }
+
   /** n-gram Jaccard similarity between candidate pairs: `pairs` must
     * provide the two texts as columns — this operator deliberately takes
     * pre-banded candidates (from minhashBands or any blocking) instead of

@@ -366,6 +366,26 @@ class ExtSpec extends SparkTestBase {
     groups.foreach(r => assert(r.getAs[Long]("n_docs") === 2 && r.getAs[Long]("min_doc_id") === 1L))
   }
 
+  test("simhashNearDups ≡ brute-force Hamming pairs; exact dups at distance 0") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val texts = (1L to 40L).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = (texts :+ (99L -> texts.head._2)).toDF("doc_id", "text") // planted exact dup
+    val got = Dedup.simhashNearDups(docs, "doc_id", "text", bits = 16, maxHamming = 2)
+      .select("doc_id", "dup_of", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force truth over all pairs
+    val sims = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 2
+    } yield (ib, ia) -> d.toLong).toMap
+    assert(got === truth)
+    assert(got((99L, 1L)) === 0L) // identical text → distance 0
+  }
+
   test("ngram jaccard on near-identical texts is high, disjoint is zero") {
     val j = one(Dedup.ngramJaccard(lit("a b c d e f g"), lit("a b c d e f h")))
       .asInstanceOf[Double]
