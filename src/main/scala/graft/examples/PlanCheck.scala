@@ -55,6 +55,8 @@ object PlanCheck {
       ("q_ffill", "ffill+bfill share ONE user shuffle (two frames, same partitioning)",
         p => p.split("hashpartitioning").length == 2),
       ("q_set_ops_all", "bag set-ops: no cartesian anywhere",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_neardup_simhash", "flip-key blocking: equi-join on keys, no cartesian",
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
     )
 
