@@ -1686,7 +1686,41 @@ object Queries {
              |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
              |ORDER BY doc_id, dup_of""".stripMargin)),
 
-    // ── 71. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
+    // ── 71. transitive near-dup clustering vs a recursive-CTE oracle:
+    // the REAL pointer-doubling hash-min operator (Dedup
+    // .transitiveClusters) on a derived chain graph, checked against
+    // DuckDB's WITH RECURSIVE reachability closure (comp = min
+    // reachable id) — the component operator is SQL-expressible after
+    // all, so it gets the same cross-engine proof as everything else ──
+    QueryDef(
+      "q_transitive_cc",
+      (s, d) => {
+        // densify orderkeys to ranks 1..10k, then chain edges (rk−1, rk)
+        // except every 10th — path components of exactly 10 vertices
+        val rk = t(s, d, "orders").select(col("o_orderkey"))
+          .orderBy(col("o_orderkey")).limit(10000)
+          .select(row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))).as("rk"))
+        val edges = rk.filter(pmod(col("rk"), lit(10)) =!= 1)
+          .select((col("rk") - 1).as("a"), col("rk").as("b"))
+        Dedup.transitiveClusters(edges, "a", "b")
+          .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE ranked AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS rk
+             |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10000)),
+             |edges AS (SELECT rk - 1 AS a, rk AS b FROM ranked WHERE rk % 10 <> 1),
+             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+             |verts AS (SELECT DISTINCT a AS id FROM sym),
+             |reach AS (
+             |  SELECT id, id AS comp FROM verts
+             |  UNION
+             |  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id
+             |)
+             |SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS comp
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ── 72. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
     // multisets (an orderkey repeats per qualifying line), multiplicity
     // arithmetic min(m_a, m_b) / max(0, m_a − m_b) checked end to end ──
     QueryDef(
