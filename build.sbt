@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through RAW (no "[info] " logger prefix):
+// the driver greps/parses graft.Bench's one-line JSON from stdout, and
+// a logger prefix makes `json.loads(line)` fail (BENCH_r{1..4} all
+// record "parsed": null with the line otherwise intact in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

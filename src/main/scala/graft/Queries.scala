@@ -125,6 +125,43 @@ object Queries {
   private def duckStop(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
+  // ── DuckDB twin of Ivf.train(k=4, iters=2): nearest-centroid
+  // assignment + Lloyd mean update, unrolled (DuckDB has no iteration
+  // outside recursive CTEs; two rounds = two CTE pairs). Shared by
+  // q_ivf_topk and q_semantic_dedup — both hash-matching IS the proof
+  // the SQL replicates the Scala trainer's arithmetic. ────────────────
+  private def duckAssign(vecSrc: String, centSrc: String): String =
+    s"""SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
+       |    FROM $vecSrc v CROSS JOIN $centSrc c) WHERE rn = 1""".stripMargin
+  private def duckLloydRound(n: Int): String = {
+    val (a, m, prev) = (s"a$n", s"m$n", s"c${n - 1}")
+    s"""$a AS (
+       |  ${duckAssign("emb", prev)}),
+       |$m AS (
+       |  SELECT cell, list(m ORDER BY idx) AS e FROM (
+       |    SELECT $a.cell, gs.i AS idx, avg(v.e[gs.i]) AS m
+       |    FROM $a JOIN emb v USING (vec_id)
+       |    CROSS JOIN generate_series(1, 64) AS gs(i)
+       |    GROUP BY $a.cell, gs.i) GROUP BY cell),
+       |c$n AS (
+       |  SELECT $prev.cid, COALESCE($m.e, $prev.e) AS e
+       |  FROM $prev LEFT JOIN $m ON $m.cell = $prev.cid)""".stripMargin
+  }
+  /** CTE chain `emb, c0, a1, m1, c1, a2, m2, c2` — `emb(vec_id, e)` is
+    * the double-cast corpus, `c2(cid, e)` the trained centroids. */
+  private val duckKmeans4x2: String =
+    s"""emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, e
+       |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+       |${duckLloydRound(1)},
+       |${duckLloydRound(2)}""".stripMargin
+
   val all: Vector[QueryDef] = Vector(
     // ── 1. scan + projection ────────────────────────────────────────────
     QueryDef(
@@ -1068,42 +1105,7 @@ object Queries {
           .select(col("vec_id"), round(col("score"), 4).as("score"))
           .orderBy(col("score").desc, col("vec_id"))
       },
-      Some("""WITH emb AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-             |  FROM embeddings),
-             |c0 AS (
-             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, e
-             |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
-             |a1 AS (
-             |  SELECT vec_id, cid AS cell FROM (
-             |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, 65),
-             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
-             |    FROM emb v CROSS JOIN c0 c) WHERE rn = 1),
-             |m1 AS (
-             |  SELECT cell, list(m ORDER BY idx) AS e FROM (
-             |    SELECT a1.cell, gs.i AS idx, avg(v.e[gs.i]) AS m
-             |    FROM a1 JOIN emb v USING (vec_id)
-             |    CROSS JOIN generate_series(1, 64) AS gs(i)
-             |    GROUP BY a1.cell, gs.i) GROUP BY cell),
-             |c1 AS (
-             |  SELECT c0.cid, COALESCE(m1.e, c0.e) AS e
-             |  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cid),
-             |a2 AS (
-             |  SELECT vec_id, cid AS cell FROM (
-             |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, 65),
-             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
-             |    FROM emb v CROSS JOIN c1 c) WHERE rn = 1),
-             |m2 AS (
-             |  SELECT cell, list(m ORDER BY idx) AS e FROM (
-             |    SELECT a2.cell, gs.i AS idx, avg(v.e[gs.i]) AS m
-             |    FROM a2 JOIN emb v USING (vec_id)
-             |    CROSS JOIN generate_series(1, 64) AS gs(i)
-             |    GROUP BY a2.cell, gs.i) GROUP BY cell),
-             |c2 AS (
-             |  SELECT c1.cid, COALESCE(m2.e, c1.e) AS e
-             |  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cid),
+      Some(s"""WITH $duckKmeans4x2,
              |probe AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
              |pc AS (
              |  SELECT c.cid FROM c2 c, probe p
@@ -1111,11 +1113,7 @@ object Queries {
              |    i -> (c.e[i] - p.pe[i]) * (c.e[i] - p.pe[i]))), c.cid
              |  LIMIT 2),
              |af AS (
-             |  SELECT vec_id, cid AS cell FROM (
-             |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, 65),
-             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
-             |    FROM (SELECT * FROM emb WHERE vec_id <> 0) v CROSS JOIN c2 c) WHERE rn = 1)
+             |  ${duckAssign("(SELECT * FROM emb WHERE vec_id <> 0)", "c2")})
              |SELECT vec_id, round(dot, 4) AS score FROM (
              |  SELECT v.vec_id,
              |    list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pe[i])) AS dot
@@ -1814,7 +1812,144 @@ object Queries {
              |    * CAST(pow(2, 2*i) AS BIGINT)
              |  + (c_nationkey // CAST(pow(2, i) AS BIGINT)) % 2
              |    * CAST(pow(2, 2*i+1) AS BIGINT))) AS BIGINT) AS z
-             |FROM customer ORDER BY c_custkey""".stripMargin))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ── 72. temperature mixture sampling (α = 0.5): per-language keep
+    // rate sqrt(min_count/count) — sqrt is IEEE correctly-rounded, so
+    // both engines derive the bit-identical rate and the LCG keep rule
+    // picks the SAME documents (see Corpus.temperatureSample) ──────────
+    QueryDef(
+      "q_temperature_mix",
+      (s, d) =>
+        ext.Corpus.temperatureSample(t(s, d, "documents"), "lang", "doc_id")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |  sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt) AS rate FROM c)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE (d.doc_id*1103515245 + 12345) % 2147483648 < rate * 2147483648.0
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ── 73. token-budget selection: best-quality-first (n_chars here)
+    // per-language take until 2000 tokens are drawn; the kept set is a
+    // window cumsum filter, spillover convention as q_pack ─────────────
+    QueryDef(
+      "q_token_budget",
+      (s, d) =>
+        ext.Corpus.selectByBudget(
+          t(s, d, "documents").withColumn(
+            "n_tok", TextAnalysis.wordCountOf(TextAnalysis.tokens(col("text")))),
+          Seq("lang"), "n_tok", "n_chars", 2000L, "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_tok").cast("long").as("n_tok"))
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+             |c AS (SELECT doc_id, lang, n_tok,
+             |  sum(n_tok) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+             |SELECT doc_id, lang, n_tok FROM c
+             |WHERE cum - n_tok < 2000 ORDER BY doc_id""".stripMargin)),
+
+    // ── 74. PII redaction: email/IPv4/phone spans → typed placeholders
+    // + per-category counts. The corpus text is digit-free, so PII is
+    // planted deterministically from doc_id (mod-2/3/5 → every
+    // count combination 0/1 occurs); patterns are RE2-safe so Java
+    // regex (Spark) and RE2 (DuckDB) match identical spans ─────────────
+    QueryDef(
+      "q_pii_redact",
+      (s, d) => {
+        val contact = concat(
+          substring(col("text"), 1, 40),
+          when(pmod(col("doc_id"), lit(2L)) === 0,
+            concat(lit(" user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit(" tel 555-"),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7")))
+            .otherwise(lit("")))
+        t(s, d, "documents")
+          .withColumn("_c", contact)
+          .select(
+            col("doc_id"),
+            TextAnalysis.redactPii(col("_c")).as("redacted"),
+            TextAnalysis.emailCount(col("_c")).as("n_email"),
+            TextAnalysis.phoneCount(col("_c")).as("n_phone"),
+            TextAnalysis.ipCount(col("_c")).as("n_ip"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |  substr(text, 1, 40)
+             |  || CASE WHEN doc_id % 2 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+             |       || '@mail.example.com' ELSE '' END
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-'
+             |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             |  || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'
+             |       || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS s
+             |  FROM documents)
+             |SELECT doc_id,
+             |regexp_replace(regexp_replace(regexp_replace(s,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+             |  '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+             |CAST(len(regexp_extract_all(s,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |CAST(len(regexp_extract_all(s, '\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+             |CAST(len(regexp_extract_all(s,
+             |  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ── 75. fuzzy join: blocked edit-distance pairs over the DISTINCT
+    // p_name vocabulary (block = noun, length-band prune, banded
+    // Levenshtein) — entity resolution without all-pairs ────────────────
+    QueryDef(
+      "q_fuzzy_join",
+      (s, d) =>
+        graft.operators.Fuzzy.fuzzyPairs(
+          t(s, d, "part").select(col("p_name")).distinct(),
+          "p_name", "p_name", c => split(c, " ").getItem(1), maxDist = 3)
+          .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+          .orderBy(col("name_a"), col("name_b")),
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+             |k AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // ── 76. SemDeDup-style semantic dedup: k-means cells (the shared
+    // Ivf trainer + DuckDB twin), within-cell pairs with cos ≥ τ drop
+    // to the pair's min id (star blocking). Only the SURVIVOR ids are
+    // compared — thresholded booleans over bit-identical doubles, no
+    // rounded score column (the q_neardup_lsh lesson) ──────────────────
+    QueryDef(
+      "q_semantic_dedup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2)
+        graft.ext.Dedup.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.35)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $duckKmeans4x2,
+             |af AS (
+             |  ${duckAssign("emb", "c2")}),
+             |dup AS (
+             |  SELECT b.vec_id AS vid
+             |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  JOIN emb va ON va.vec_id = a.vec_id
+             |  JOIN emb vb ON vb.vec_id = b.vec_id
+             |  WHERE list_sum(list_transform(range(1, 65), i -> vb.e[i] * va.e[i]))
+             |    / (sqrt(list_sum(list_transform(range(1, 65), i -> vb.e[i] * vb.e[i])))
+             |     * sqrt(list_sum(list_transform(range(1, 65), i -> va.e[i] * va.e[i]))))
+             |    >= 0.35)
+             |SELECT vec_id FROM emb
+             |WHERE vec_id NOT IN (SELECT vid FROM dup)
+             |ORDER BY vec_id""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -166,6 +166,60 @@ object Corpus {
       orderHash(col(idCol)).cast("double") <
         least(greatest(col(weightCol), lit(0.0)), lit(1.0)) * lit(2147483648.0))
 
+  /** Temperature-flattened mixture sampling (α = 0.5): downsample each
+    * group (language / source / domain) so kept counts are proportional
+    * to `count^α` instead of `count` — the multilingual-pretraining
+    * rebalancing rule that keeps tail languages visible without letting
+    * the head dominate. Rates are anchored at the SMALLEST group (it
+    * keeps everything): `rate_g = sqrt(min_count / count_g)`, and a row
+    * survives iff `orderHash(id) < rate_g · 2³¹` — the same
+    * deterministic no-RNG keep rule as [[weightedSample]].
+    *
+    * α is fixed at 0.5 because `sqrt` is IEEE-754 correctly rounded —
+    * both engines (and any rerun) compute the bit-identical rate, so
+    * the sample is byte-reproducible cross-engine; `pow(x, α)` for
+    * general α carries no such guarantee. For other temperatures,
+    * compose: α = 0.25 is `temperatureSample` applied twice.
+    *
+    * Scale shape: the per-group count aggregation produces one row per
+    * group (dozens, not billions) — it and the derived rate frame
+    * broadcast back onto the corpus, so the corpus itself is touched by
+    * exactly one map-side pass (partial agg + broadcast-hash probe +
+    * filter); no corpus shuffle at any size. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min(col("_cnt")).as("_min"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col(groupCol),
+        sqrt(col("_min").cast("double") / col("_cnt")).as("_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(orderHash(col(idCol)).cast("double") < col("_rate") * lit(2147483648.0))
+      .drop("_rate")
+  }
+
+  /** Token-budget selection: per group, keep the highest-`qualityCol`
+    * documents until `budget` tokens are taken — the "best N tokens per
+    * domain" corpus-shaping rule. A document is kept iff its cumulative
+    * token offset (in quality order, id tie-break) STARTS under the
+    * budget, so the last kept document may straddle the boundary — the
+    * same spillover convention as [[packSequences]], and the choice
+    * that keeps the filter a pure window function (exact take-until
+    * would need the previous row's decision, i.e. a sequential scan).
+    *
+    * One window cumsum per group partition — embarrassingly parallel
+    * across groups; a hot group is a skewed sort partition, the same
+    * hazard (and salting remedy) as [[stratifiedSample]]. */
+  def selectByBudget(df: DataFrame, groupCols: Seq[String], nTokCol: String,
+                     qualityCol: String, budget: Long, idCol: String): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(nTokCol)).over(w))
+      .filter(col("_cum") - col(nTokCol) < budget)
+      .drop("_cum")
+  }
+
   /** Deterministic corpus shuffle for training-order randomization:
     * globally sort by the LCG order hash (tie-break id). The range
     * exchange samples hash boundaries, so output shards are balanced

@@ -185,6 +185,56 @@ object Dedup {
     corpus.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic candidate pairs: partition the corpus with
+    * a (deterministic) k-means coarse quantizer — `Ivf.train` — and emit
+    * every within-cell pair with its cosine. Where LSH banding
+    * ([[embeddingCandidatePairs]]) blocks by random hyperplanes,
+    * semantic blocking is DATA-AWARE: duplicates concentrate in the
+    * same centroid cell by construction, so recall at equal candidate
+    * budget is higher on clustered corpora (the SemDeDup observation —
+    * Abbas et al. 2023, arXiv:2303.09540).
+    *
+    * Scale shape: cell assignment is map-side (centroids broadcast as
+    * literals); the only shuffle keys on the cell id; the only pairwise
+    * product is WITHIN cells, so `k` is the load-bearing knob — size it
+    * so cells hold O(100) rows (k ≈ corpus/100), exactly the IVF cell
+    * discipline. Vectors ride the cell shuffle once; joining them back
+    * per PAIR instead would move strictly more data (within-cell pair
+    * count ≥ row count). A mega-cell (corpus collapses onto one
+    * centroid) is the skew hazard: raise k, or re-block the offending
+    * cell with [[embeddingCandidatePairs]] LSH inside it.
+    *
+    * Output: (idCol, dup_of, cos) with idCol > dup_of, one row per
+    * within-cell pair. */
+  def semanticCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                             centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val celled = Ivf.withCell(corpus.select(col(idCol), col(vecCol)),
+      vecCol, centroids, "_cell")
+    val a = celled.select(col("_cell"), col(idCol).as("_lo"), col(vecCol).as("_vl"))
+    val b = celled.select(col("_cell"), col(idCol).as("_hi"), col(vecCol).as("_vh"))
+    a.join(b, Seq("_cell"))
+      .filter(col("_lo") < col("_hi"))
+      .select(col("_hi").as(idCol), col("_lo").as("dup_of"),
+        Similarity.cosine(col("_vh"), col("_vl")).as("cos"))
+  }
+
+  /** One-call semantic dedup: [[semanticCandidatePairs]] ≥ `tau` edges →
+    * drop non-survivors; star blocking by default, `transitive = true`
+    * collapses chains via [[transitiveClusters]] (same contract as
+    * [[dedupByEmbedding]], with k-means cells instead of LSH buckets). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Int, Array[Double])], tau: Double = 0.9,
+                    transitive: Boolean = false): DataFrame = {
+    val edges = semanticCandidatePairs(corpus, idCol, vecCol, centroids)
+      .filter(col("cos") >= tau)
+    val dropIds =
+      if (!transitive) edges.select(col(idCol)).distinct()
+      else transitiveClusters(edges, idCol, "dup_of")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as(idCol))
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected near-dup edge set by
     * iterated hash-min label propagation: every vertex starts as its own
     * component; each round, a vertex's label drops to the minimum label

@@ -129,4 +129,40 @@ object TextAnalysis {
 
   /** Whole-document rolling-hash fingerprint (see TextHash). */
   def fingerprint(text: Column): Column = TextHash.fingerprint(text)
+
+  // ── PII redaction ──────────────────────────────────────────────────
+  // Training corpora scrub contact-like spans before anything ships to
+  // a trainer. Patterns are deliberately RE2-safe (no backreferences,
+  // no lookaround) so the same pattern string runs identically under
+  // Spark's Java regex and RE2-family engines — cross-engine-stable
+  // redaction is a lineage requirement, not a nicety. All three are
+  // codegen'd map-only expressions (regexp_replace / regexp_count):
+  // zero shuffle at any corpus size.
+
+  /** RFC-ish email span (conservative: never matches across spaces). */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style 3-4 phone fragment (e.g. `555-0142`). */
+  val phonePattern: String = "\\d{3}-\\d{4}"
+
+  /** Dotted-quad IPv4 literal. */
+  val ipPattern: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Redact email / IPv4 / phone spans to typed placeholder tokens
+    * (`<EMAIL>`, `<IP>`, `<PHONE>`). Email first: its match can contain
+    * digits the narrower patterns would nibble at; IP before phone so a
+    * dotted quad is never half-eaten as a phone fragment. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+        lit(ipPattern), lit("<IP>")),
+      lit(phonePattern), lit("<PHONE>"))
+
+  /** Per-category PII span counts — the audit metric reported alongside
+    * redaction (how much PII a source carries drives source-level
+    * filtering decisions). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern)).cast("long")
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern)).cast("long")
+  def ipCount(text: Column): Column = regexp_count(text, lit(ipPattern)).cast("long")
 }
