@@ -12,9 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // Pass forked-run stdout through RAW (no "[info] " logger prefix):
-// the driver greps/parses graft.Bench's one-line JSON from stdout, and
-// a logger prefix makes `json.loads(line)` fail (BENCH_r{1..4} all
-// record "parsed": null with the line otherwise intact in the tail).
+// the driver greps/parses graft.Bench's JSON from stdout, and a logger
+// prefix makes `json.loads(line)` fail (BENCH_r{1..4}). That alone was
+// not enough: the driver keeps only a 2000-char stdout TAIL, so r5's
+// ~5KB full-precision line was truncated mid-line ("parsed" still
+// null). graft.Bench therefore also emits a compact (2-decimal) line
+// LAST, sized to always fit inside the tail window, and writes the
+// full-precision JSON to bench_full.json.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1897,8 +1897,14 @@ object Queries {
              |  '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
              |CAST(len(regexp_extract_all(s,
              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-             |CAST(len(regexp_extract_all(s, '\d{3}-\d{4}')) AS BIGINT) AS n_phone,
-             |CAST(len(regexp_extract_all(s,
+             |CAST(len(regexp_extract_all(
+             |  regexp_replace(regexp_replace(s,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+             |  '\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+             |CAST(len(regexp_extract_all(
+             |  regexp_replace(s,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip
              |FROM c ORDER BY doc_id""".stripMargin)),
 

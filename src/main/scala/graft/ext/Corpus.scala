@@ -181,6 +181,14 @@ object Corpus {
     * general α carries no such guarantee. For other temperatures,
     * compose: α = 0.25 is `temperatureSample` applied twice.
     *
+    * Precondition (all `orderHash` consumers, incl. [[weightedSample]]):
+    * `idCol` must be NON-NEGATIVE and small enough that the hash's
+    * multiply stays inside a 64-bit signed range (ids < ~8.4e9). The
+    * SQL twin uses `%` (sign follows the dividend) against Spark's
+    * `pmod`, and an unchecked BIGINT multiply — negative or larger ids
+    * diverge or error cross-engine, so "byte-reproducible" holds only
+    * under this id contract.
+    *
     * Scale shape: the per-group count aggregation produces one row per
     * group (dozens, not billions) — it and the derived rate frame
     * broadcast back onto the corpus, so the corpus itself is touched by

@@ -208,8 +208,12 @@ object Dedup {
     * within-cell pair. */
   def semanticCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                              centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    // Materialize the cell assignment before the self-join: the
+    // k-distance argmin (k struct distances per vector) is the
+    // expensive part, and without a checkpoint both join sides would
+    // recompute it and ride the cell shuffle twice.
     val celled = Ivf.withCell(corpus.select(col(idCol), col(vecCol)),
-      vecCol, centroids, "_cell")
+      vecCol, centroids, "_cell").localCheckpoint(true)
     val a = celled.select(col("_cell"), col(idCol).as("_lo"), col(vecCol).as("_vl"))
     val b = celled.select(col("_cell"), col(idCol).as("_hi"), col(vecCol).as("_vh"))
     a.join(b, Seq("_cell"))

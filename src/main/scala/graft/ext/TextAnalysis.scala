@@ -161,8 +161,22 @@ object TextAnalysis {
 
   /** Per-category PII span counts — the audit metric reported alongside
     * redaction (how much PII a source carries drives source-level
-    * filtering decisions). */
+    * filtering decisions). Counted PROGRESSIVELY in redaction order
+    * (email → IP → phone): each category is counted on the string with
+    * the earlier categories already replaced, so a span [[redactPii]]
+    * consumes once (e.g. a phone-shaped fragment inside an email local
+    * part) is never double-counted — the three counts sum to exactly
+    * the spans redaction replaces. The placeholders are digit-free, so
+    * replacement can never CREATE a later-category match. Still
+    * map-only codegen'd regex work; for a raw independent count over an
+    * arbitrary string, use `regexp_count` directly. */
   def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern)).cast("long")
-  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern)).cast("long")
-  def ipCount(text: Column): Column = regexp_count(text, lit(ipPattern)).cast("long")
+  def ipCount(text: Column): Column =
+    regexp_count(regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+      lit(ipPattern)).cast("long")
+  def phoneCount(text: Column): Column =
+    regexp_count(
+      regexp_replace(regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+        lit(ipPattern), lit("<IP>")),
+      lit(phonePattern)).cast("long")
 }
