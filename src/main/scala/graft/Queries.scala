@@ -1955,7 +1955,215 @@ object Queries {
              |    >= 0.35)
              |SELECT vec_id FROM emb
              |WHERE vec_id NOT IN (SELECT vid FROM dup)
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ── 77. cross-document repeated n-grams (Lee et al. substring-level
+    // dedup signal): per doc, distinct 5-gram shingles and how many
+    // recur in ≥2 docs; rep_e4 = the templated fraction. Shuffles key
+    // on the shingle hash / doc id, never a doc pair ───────────────────
+    QueryDef(
+      "q_crossdoc_ngram",
+      (s, d) =>
+        Dedup.repeatedShingleStats(t(s, d, "documents"), "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("n_shingles"), col("n_repeated"),
+            when(col("n_shingles") === 0, lit(-1L))
+              .otherwise(e4(col("n_repeated").cast("double") / col("n_shingles")))
+              .as("rep_e4"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |s AS (SELECT doc_id, CASE WHEN len(h) >= 5 THEN list_distinct(
+             |  list_transform(range(0, len(h)-4), i ->
+             |    ((((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+             |      + h[CAST(i+3 AS INT)])%$duckP*31 + h[CAST(i+4 AS INT)])%$duckP*31
+             |      + h[CAST(i+5 AS INT)])%$duckP))
+             |  ELSE [] END AS gs FROM w),
+             |e AS (SELECT doc_id, unnest(gs) AS g FROM s),
+             |dfq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY g),
+             |a AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS ns,
+             |  CAST(count(CASE WHEN dfq.df >= 2 THEN 1 END) AS BIGINT) AS nr
+             |  FROM e JOIN dfq USING (g) GROUP BY e.doc_id)
+             |SELECT d.doc_id, COALESCE(a.ns, 0) AS n_shingles,
+             |COALESCE(a.nr, 0) AS n_repeated,
+             |CASE WHEN COALESCE(a.ns, 0) = 0 THEN -1
+             |  ELSE CAST(floor(CAST(a.nr AS DOUBLE)/a.ns*10000.0 + 0.5) AS BIGINT)
+             |  END AS rep_e4
+             |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ── 78. inverted index build: term → df + sorted posting list (the
+    // one term-keyed shuffle; postings joined to a string because the
+    // compare harness can't diff array cells) ──────────────────────────
+    QueryDef(
+      "q_inverted_index",
+      (s, d) =>
+        graft.ext.Search.invertedIndex(t(s, d, "documents"), "doc_id", "text")
+          .select(col("term"), col("df"),
+            array_join(transform(col("postings"), _.cast("string")), ",").as("postings"))
+          .orderBy(col("term")),
+      Some("""SELECT term, CAST(count(*) AS BIGINT) AS df,
+             |string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+             |FROM (SELECT DISTINCT doc_id, term FROM
+             |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+             |GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ── 79. TF-IDF (smooth idf), top-5 terms per doc by score: row-local
+    // tf, broadcast df/N — no corpus-wide shuffle; scores e4-quantized
+    // (ln over identical doubles, floor-quantize both engines) ─────────
+    QueryDef(
+      "q_tfidf",
+      (s, d) => {
+        val scored = graft.ext.Search.tfidf(
+          t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            e4(col("score")).as("score_e4"))
+          .orderBy(col("doc_id"), col("term"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             |  tf.tf * (ln(CAST(n.n + 1 AS DOUBLE)/(dfq.df + 1)) + 1.0) AS score
+             |  FROM tf JOIN dfq USING (term), n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |  ORDER BY score DESC, term) AS rn FROM sc)
+             |SELECT doc_id, term, tf, df,
+             |CAST(floor(score*10000.0 + 0.5) AS BIGINT) AS score_e4
+             |FROM r WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin)),
+
+    // ── 80. BM25 ranking for a fixed query-term set. Per-term scores
+    // quantized to exact micro-units BEFORE the per-doc sum (double
+    // addition is partition-order-sensitive; BIGINT addition is not) ───
+    QueryDef(
+      "q_bm25",
+      (s, d) =>
+        graft.ext.Search.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "join", "fast"))
+          .orderBy(col("score_e6").desc, col("doc_id"))
+          .limit(50),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(len(toks)) AS BIGINT) AS sdl FROM tk),
+             |q(term) AS (VALUES ('spark'), ('join'), ('fast')),
+             |tf AS (SELECT doc_id, term,
+             |  CAST(len(list_filter(toks, w -> w = term)) AS BIGINT) AS tf,
+             |  CAST(len(toks) AS BIGINT) AS dl FROM tk, q),
+             |tf2 AS (SELECT * FROM tf WHERE tf > 0),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+             |sc AS (SELECT tf2.doc_id,
+             |  CAST(floor(ln((CAST(st.n AS DOUBLE) - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)
+             |    * (tf2.tf * (1.2 + 1)) / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl
+             |      / (CAST(st.sdl AS DOUBLE)/st.n)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS s6
+             |  FROM tf2 JOIN dfq USING (term), st)
+             |SELECT doc_id, CAST(sum(s6) AS BIGINT) AS score_e6 FROM sc
+             |GROUP BY doc_id ORDER BY score_e6 DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // ── 81. MERGE-style latest-wins upsert: changelog (derived from
+    // orders; version = orderkey, 'F' status = tombstone) into the
+    // customer base. One key-partitioned window, WindowGroupLimit plan ─
+    QueryDef(
+      "q_merge_upsert",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(0L).as("v"), lit(false).as("del"))
+        val changes = t(s, d, "orders")
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("upd-"), col("o_orderkey").cast("string")).as("c_name"),
+            col("o_totalprice").as("c_acctbal"),
+            col("o_orderkey").as("v"),
+            (col("o_orderstatus") === "F").as("del"))
+        graft.operators.Merge.upsert(base, changes, Seq("c_custkey"), "v", Some("del"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("v"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH b AS (SELECT c_custkey, c_name, c_acctbal,
+             |  CAST(0 AS BIGINT) AS v, false AS del FROM customer),
+             |ch AS (SELECT o_custkey AS c_custkey,
+             |  'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             |  o_totalprice AS c_acctbal, o_orderkey AS v,
+             |  o_orderstatus = 'F' AS del FROM orders),
+             |u AS (SELECT * FROM b UNION ALL SELECT * FROM ch),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |  ORDER BY v DESC) AS rn FROM u)
+             |SELECT c_custkey, c_name, c_acctbal, v FROM r WHERE rn = 1 AND NOT del
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── 82. SCD-2 validity intervals from a change log (orders per
+    // custkey): valid_from/valid_to via lead(), orderkey tie-break for
+    // same-timestamp changes, timestamps emitted as formatted strings ──
+    QueryDef(
+      "q_scd2",
+      (s, d) => {
+        val log0 = t(s, d, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+            col("o_totalprice").as("attr"), col("o_orderkey").as("seq"))
+        graft.operators.Merge.scd2(log0, Seq("key"), "ts", Seq("seq"))
+          .select(col("key"), col("seq"),
+            date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+            coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("current"))
+              .as("valid_to"),
+            col("is_current"), col("attr"))
+          .orderBy(col("key"), col("seq"))
+      },
+      Some("""WITH l AS (SELECT o_custkey AS key, o_orderdate AS ts,
+             |  o_totalprice AS attr, o_orderkey AS seq FROM orders WHERE o_custkey < 100),
+             |v AS (SELECT key, seq, ts AS vf,
+             |  lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS vt, attr FROM l)
+             |SELECT key, seq, strftime(vf, '%Y-%m-%d') AS valid_from,
+             |COALESCE(strftime(vt, '%Y-%m-%d'), 'current') AS valid_to,
+             |vt IS NULL AS is_current, attr FROM v ORDER BY key, seq""".stripMargin)),
+
+    // ── 83. int8 scalar quantization of the embedding store (max-abs
+    // symmetric, explicit floor(x+0.5) rounding — engine-native round()
+    // diverges on doubles). Full q vector emitted as a string for exact
+    // element-wise cross-engine comparison ─────────────────────────────
+    QueryDef(
+      "q_quantize",
+      (s, d) =>
+        graft.ext.Quantize.quantizeInt8(t(s, d, "embeddings"), "embedding", "qc")
+          .select(col("vec_id"),
+            e4(col("qc.scale")).as("scale_e4"),
+            aggregate(col("qc.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_join(transform(col("qc.q"), _.cast("string")), ",").as("q_str"))
+          .orderBy(col("vec_id")),
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, mx, CASE WHEN mx = 0
+             |  THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+             |  ELSE list_transform(embedding,
+             |    v -> CAST(floor(CAST(v AS DOUBLE)*127.0/mx + 0.5) AS BIGINT))
+             |  END AS ql FROM m)
+             |SELECT vec_id,
+             |CAST(floor((CASE WHEN mx = 0 THEN 0.0 ELSE mx/127.0 END)*10000.0 + 0.5)
+             |  AS BIGINT) AS scale_e4,
+             |CAST(list_sum(ql) AS BIGINT) AS q_sum,
+             |array_to_string(ql, ',') AS q_str
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ── 84. signed-random-projection dim reduction (64 → 4, the
+    // lshBucket LCG plane family without the sign threshold) — each
+    // output component e4-quantized ────────────────────────────────────
+    QueryDef(
+      "q_rand_proj",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .withColumn("_p", Similarity.randomProject(col("embedding"), dimIn = 64, dimOut = 4))
+          .select((col("vec_id") +: (0 until 4).map(j =>
+            e4(element_at(col("_p"), j + 1)).as(s"p${j}_e4"))): _*)
+          .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id,
+             |${(0 until 4).map(j =>
+                 s"CAST(floor(list_sum(list_transform(range(0,64), i -> " +
+                 s"CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * " +
+                 s"(((1103515245*($j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5)))" +
+                 s"*10000.0 + 0.5) AS BIGINT) AS p${j}_e4").mkString(",\n")}
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -23,6 +23,41 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(orderCol)).as(s"first_$orderCol"))
 
+  /** Cross-document repeated n-gram statistics — the substring-level
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499): a span that
+    * recurs across documents is boilerplate/template text even when no
+    * whole document is a near-dup. Per document: how many DISTINCT
+    * word n-gram shingles it has, and how many of those appear in at
+    * least `minDocs` documents. `n_repeated / n_shingles` is the
+    * "templated fraction" a corpus-shaping gate thresholds on.
+    *
+    * Scale shape: shingle hashes are map-side (TextHash fused kernel,
+    * one pass); the shuffles key on the 64-bit shingle hash — first
+    * the document-frequency count (map-side partial agg collapses
+    * within-partition repeats), then the candidate join back — and on
+    * the doc id for the final roll-up. Never a doc-pair product. The
+    * df table is corpus-sized (distinct shingles) so the join back is
+    * a real shuffle join by design: exactly the substring-dedup
+    * exchange every published implementation pays. Documents with
+    * fewer than `n` tokens surface with (0, 0) counts. */
+  def repeatedShingleStats(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val pairs = docs
+      .withColumn("_whs", wordHashes(col(textCol)))
+      .select(col(idCol),
+        explode_outer(array_distinct(shingleHashes(col("_whs"), n))).as("_sh"))
+    val repeated = pairs.filter(col("_sh").isNotNull)
+      .groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_sh"), lit(1).as("_rep"))
+    pairs.join(repeated, Seq("_sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("_sh")).as("n_shingles"),
+        count(col("_rep")).as("n_repeated"))
+  }
+
   /** Append a k-component MinHash signature column.
     *
     * PERFORMANCE INVARIANT (all builders here): token hashes are

@@ -64,6 +64,20 @@ object Similarity {
       when(hyperplaneDot(vec, planeOffset + j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Signed-random-projection dimensionality reduction (the
+    * Johnson–Lindenstrauss workhorse): `out_j = ⟨vec, plane_j⟩` over
+    * the SAME deterministic LCG hyperplane family as [[lshBucket]] —
+    * so a reduced corpus and its LSH buckets come from one plane
+    * budget, and the DuckDB oracle replicates the arithmetic it
+    * already knows. Angles/cosines are preserved in expectation at any
+    * uniform rescale, so the conventional 1/√dimOut factor is left to
+    * the caller. Map-only, shuffle-free; `dimOut` is statically
+    * unrolled (reduction targets are small by definition). */
+  def randomProject(vec: Column, dimIn: Int, dimOut: Int, planeOffset: Int = 0): Column = {
+    require(dimOut >= 1, s"dimOut=$dimOut must be >= 1")
+    array((0 until dimOut).map(j => hyperplaneDot(vec, planeOffset + j, dimIn)): _*)
+  }
+
   /** Tie-break order for the top-k APIs: equal scores would otherwise
     * make the k-th row partition-order-dependent (shuffled input could
     * return a different, equally-scored row). Default = every corpus

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+/** Table-maintenance operators (round 6): latest-wins upsert and SCD-2
+  * intervals. Cross-engine proof lives in q_merge_upsert / q_scd2;
+  * these pin the semantics (tie rank, tombstones, interval chaining)
+  * on hand-checkable inputs. */
+class MergeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a0", 0L, false), (2L, "b0", 0L, false), (3L, "c0", 0L, false)
+  ).toDF("k", "val", "v", "del")
+
+  private def changes = Seq(
+    (1L, "a1", 5L, false), (1L, "a2", 9L, false), // two updates, v=9 wins
+    (2L, "b1", 4L, true),                         // tombstone deletes key 2
+    (4L, "d1", 2L, false)                         // insert of a new key
+  ).toDF("k", "val", "v", "del")
+
+  test("upsert: latest version wins, tombstone deletes, unseen keys survive") {
+    val out = Merge.upsert(base, changes, Seq("k"), "v", Some("del"))
+      .select("k", "val", "v").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1L -> (("a2", 9L)), // highest version of the changelog
+      3L -> (("c0", 0L)), // untouched base row
+      4L -> (("d1", 2L))  // inserted
+    ))
+  }
+
+  test("upsert: change outranks base at equal version") {
+    val ch = Seq((3L, "c9", 0L, false)).toDF("k", "val", "v", "del")
+    val out = Merge.upsert(base, ch, Seq("k"), "v", Some("del"))
+      .filter(col("k") === 3L).select("val").as[String].collect()
+    assert(out === Array("c9"))
+  }
+
+  test("upsert is deterministic under input reshuffling") {
+    val a = Merge.upsert(base, changes, Seq("k"), "v", Some("del"))
+      .select("k", "val").as[(Long, String)].collect().sorted
+    val b = Merge.upsert(base.repartition(5, col("val")),
+      changes.repartition(3, col("v")), Seq("k"), "v", Some("del"))
+      .select("k", "val").as[(Long, String)].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("scd2: intervals chain (valid_to = next valid_from), one current row per key") {
+    val log0 = Seq(
+      (1L, 10L, "x1", 100L), (1L, 20L, "x2", 101L), (1L, 20L, "x3", 102L),
+      (2L, 5L, "y1", 103L)
+    ).toDF("k", "ts", "attr", "seq")
+    val out = Merge.scd2(log0, Seq("k"), "ts", Seq("seq"))
+      .select("k", "seq", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Seq(
+      (1L, 100L, 10L, Some(20L), false),
+      (1L, 101L, 20L, Some(20L), false), // same-ts change: empty interval, seq-ordered
+      (1L, 102L, 20L, None, true),
+      (2L, 103L, 5L, None, true)
+    ))
+    val currents = out.filter(_._5).groupBy(_._1).view.mapValues(_.size).toMap
+    assert(currents.values.forall(_ === 1))
+  }
+}

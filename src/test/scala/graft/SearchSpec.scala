@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Search
+
+/** Ranked-retrieval surface (round 6). Cross-engine arithmetic is
+  * separately proven by the DuckDB oracles (q_inverted_index, q_tfidf,
+  * q_bm25); these tests pin the library semantics on a corpus small
+  * enough to check by hand. */
+class SearchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark join fast fast"),
+    (2L, "spark slow scan"),
+    (3L, "join join spark fast"),
+    (4L, "table scan only")
+  ).toDF("doc_id", "text")
+
+  test("invertedIndex: df counts docs once, postings sorted") {
+    val idx = Search.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(idx("spark") === ((3L, Seq(1L, 2L, 3L))))
+    assert(idx("fast") === ((2L, Seq(1L, 3L)))) // two 'fast' in doc 1 count once
+    assert(idx("only") === ((1L, Seq(4L))))
+  }
+
+  test("searchAll is conjunctive") {
+    val hits = Search.searchAll(docs, "doc_id", "text", Seq("spark", "join"))
+      .as[Long].collect().sorted
+    assert(hits === Seq(1L, 3L)) // doc 2 has spark but no join
+  }
+
+  test("tfidf: tf is the occurrence count, rarer terms score higher at equal tf") {
+    val rows = Search.tfidf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(rows((1L, "fast"))._1 === 2L)   // tf counts occurrences
+    assert(rows((1L, "fast"))._2 === 2L)   // df counts documents
+    // 'only' (df=1) must outscore 'spark' (df=3) at tf=1 in the same doc set
+    assert(rows((4L, "only"))._3 > rows((2L, "spark"))._3)
+  }
+
+  test("bm25: a doc matching more query terms outranks a doc matching fewer") {
+    val scores = Search.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(scores(3L) > scores(2L)) // doc 3 has both terms, doc 2 only 'spark'
+    assert(!scores.contains(4L))    // no match, no row
+  }
+
+  test("bm25 is deterministic under input reshuffling (fixed-point sums)") {
+    val a = Search.bm25(docs, "doc_id", "text", Seq("spark", "fast"))
+      .as[(Long, Long)].collect().toMap
+    val b = Search.bm25(docs.repartition(7, col("text")), "doc_id", "text", Seq("spark", "fast"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("repeatedShingleStats flags a planted cross-doc boilerplate span only") {
+    val boiler = "terms of service apply to all users"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, "completely unrelated text with enough tokens here"),
+      (4L, "tiny doc") // < 5 tokens: (0, 0) row, not dropped
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.repeatedShingleStats(corpus, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(4L) === ((0L, 0L)))
+    assert(out(3L)._2 === 0L)              // unique doc: nothing repeated
+    assert(out(1L)._2 === 3L)              // the 7-token planted span = 3 shared 5-grams
+    assert(out(2L)._2 === 3L)
+    assert(out(1L)._1 > out(1L)._2)        // its unique prefix shingles stay unrepeated
+  }
+}
