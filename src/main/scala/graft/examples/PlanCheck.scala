@@ -57,6 +57,20 @@ object PlanCheck {
       ("q_set_ops_all", "bag set-ops: no cartesian anywhere",
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
       ("q_neardup_simhash", "flip-key blocking: equi-join on keys, no cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_merge_upsert", "upsert rank-1: partial+final WindowGroupLimit (losers dropped map-side)",
+        p => p.split("WindowGroupLimit").length >= 3),
+      ("q_inverted_index", "index build pays exactly ONE term-keyed shuffle",
+        p => p.split("hashpartitioning").length == 2),
+      ("q_bm25", "df + corpus stats broadcast; only term-df and doc-sum hash exchanges",
+        p => p.contains("BroadcastHashJoin") && p.split("hashpartitioning").length <= 3),
+      ("q_quantize", "int8 quantization is map-only (no hash shuffle)",
+        p => !p.contains("hashpartitioning")),
+      ("q_rand_proj", "random projection is map-only (no hash shuffle)",
+        p => !p.contains("hashpartitioning")),
+      ("q_scd2", "SCD-2 is ONE key-partitioned window",
+        p => p.split("hashpartitioning").length == 2 && p.contains(") Window")),
+      ("q_crossdoc_ngram", "repeated n-grams: equi-joins only, no cartesian",
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
     )
 
