@@ -2163,7 +2163,75 @@ object Queries {
                  s"CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * " +
                  s"(((1103515245*($j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5)))" +
                  s"*10000.0 + 0.5) AS BIGINT) AS p${j}_e4").mkString(",\n")}
-             |FROM embeddings ORDER BY vec_id""".stripMargin))
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ── 85. context-window chunking (40-token windows, 8-token overlap):
+    // map-only token-array slicing, chunk content pinned by MD5 (proven
+    // cross-engine by q_binary_funcs) ──────────────────────────────────
+    QueryDef(
+      "q_chunk",
+      (s, d) =>
+        graft.ext.Corpus.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          maxTokens = 40, overlap = 8)
+          .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+            md5(col("chunk").cast("binary")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |nn AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0),
+             |ch AS (SELECT doc_id, toks, unnest(range(0,
+             |  greatest(1, CAST(floor((nt - 9)/32) AS BIGINT) + 1))) AS k FROM nn)
+             |SELECT doc_id, k AS chunk_id,
+             |CAST(len(toks[CAST(k*32+1 AS INT):CAST(k*32+40 AS INT)]) AS BIGINT) AS n_tok,
+             |md5(array_to_string(toks[CAST(k*32+1 AS INT):CAST(k*32+40 AS INT)], ' ')) AS chunk_md5
+             |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ── 86. asymmetric shingle containment over candidate pairs
+    // (consecutive ids, the q_dedup_ngram convention): quoted-passage
+    // detection where Jaccard dilutes; both directions, e4-quantized ───
+    QueryDef(
+      "q_containment",
+      (s, d) => {
+        val doc = t(s, d, "documents")
+          .withColumn("_whs", TextHash.wordHashes(col("text")))
+          .withColumn("_sh", array_distinct(TextHash.shingleHashes(col("_whs"))))
+        val a = doc.select(col("doc_id"), col("_sh").as("sa"))
+        val b = doc.select((col("doc_id") - 1).as("doc_id"), col("_sh").as("sb"))
+        a.join(b, "doc_id")
+          .select(col("doc_id"),
+            e4(TextHash.containment(col("sa"), col("sb"))).as("c_ab_e4"),
+            e4(TextHash.containment(col("sb"), col("sa"))).as("c_ba_e4"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
+             |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+             |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w)
+             |SELECT a.doc_id AS doc_id,
+             |CAST(floor(len(list_intersect(a.s, b.s))*1.0/len(a.s)*10000.0 + 0.5)
+             |  AS BIGINT) AS c_ab_e4,
+             |CAST(floor(len(list_intersect(b.s, a.s))*1.0/len(b.s)*10000.0 + 0.5)
+             |  AS BIGINT) AS c_ba_e4
+             |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // ── 87. corpus-unigram LM log-prob per doc (CCNet-style quality
+    // signal): per-token fixed-point micro-units, exact integer doc
+    // sums; vocabulary broadcast, term freqs row-local ─────────────────
+    QueryDef(
+      "q_lm_score",
+      (s, d) =>
+        TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM w),
+             |lp AS (SELECT w.doc_id,
+             |  CAST(floor(ln(CAST(v.cnt AS DOUBLE)/t.tot)*1000000.0 + 0.5) AS BIGINT) AS lp6
+             |  FROM w JOIN v USING (term), t)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |CAST(sum(lp6) AS BIGINT) AS lp_e6
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

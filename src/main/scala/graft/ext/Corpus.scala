@@ -242,6 +242,40 @@ object Corpus {
       .sortWithinPartitions(col("_h"), col(idCol))
       .drop("_h")
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of `maxTokens` tokens with `overlap` tokens carried over
+    * between consecutive chunks (stride = maxTokens − overlap) — the
+    * long-document preprocessing step ahead of sequence packing
+    * ([[packSequences]] bins the RESULTING chunks). The final chunk may
+    * be shorter; documents shorter than one window yield exactly one
+    * chunk; empty documents yield none. Output: (idCol, chunk_id,
+    * chunk, n_tok) with chunk_id counting from 0.
+    *
+    * Map-only and shuffle-free at any corpus size: tokens are
+    * materialized once per row (HOF-inlining trap, SURVEY §7.1) and
+    * each chunk is a slice of that array — no explode-then-window
+    * regrouping, which would shuffle every token. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_ntok", size(col("_toks")))
+      .filter(col("_ntok") > 0)
+      .withColumn("_nch",
+        greatest(lit(1L),
+          (floor((col("_ntok") - lit(overlap + 1)) / lit(stride)) + 1).cast("long")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("_nch") - 1), k =>
+          slice(col("_toks"), k.cast("int") * stride + 1, lit(maxTokens))))
+          .as(Seq("chunk_id", "_ctoks")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("_ctoks"), " ").as("chunk"),
+        size(col("_ctoks")).cast("long").as("n_tok"))
+  }
+
   /** Benchmark-contamination scores: for every training document, the
     * maximum number of distinct word n-gram shingles it shares with any
     * single benchmark document. `maxShared = 0` rows are omitted (they

@@ -147,6 +147,52 @@ object Dedup {
   def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
     jaccard(shingleHashes(wordHashes(textA), n), shingleHashes(wordHashes(textB), n))
 
+  /** Corpus-wide CONTAINMENT pairs: detects a document quoted or
+    * embedded inside another — the asymmetric near-dup Jaccard misses
+    * (a 50-token passage inside a 5000-token doc has Jaccard ≈ 0.01 but
+    * containment 1.0). MinHash banding is deliberately NOT the blocker
+    * here: a host document's min-hashes are dominated by its non-shared
+    * tokens, so a short contained passage collides with its host only
+    * with probability ≈ containment-of-the-HOST — near zero exactly in
+    * the interesting case. Candidates instead come from the
+    * plagiarism-detection blocking: an inverted index over n-gram
+    * shingle hashes — any two docs sharing a NON-UBIQUITOUS shingle
+    * (document frequency in [2, maxShingleDf]) become a candidate pair,
+    * then exact shingle-set containment is verified in both directions,
+    * keeping pairs where either direction ≥ `tau`.
+    *
+    * Scale shape: the shuffles carry (id, shingle-hash) scalars (the
+    * contaminationScores discipline), and the df cap bounds pair
+    * generation — each surviving shingle emits < maxShingleDf² pairs,
+    * and the ubiquitous boilerplate shingles that would emit corpus²
+    * pairs are excluded as non-evidence (a real quote shares many RARE
+    * shingles). Raise `n` so that sharing a single shingle is stronger
+    * evidence (decontamination uses 13-grams). Output:
+    * (idCol, other, c_in_other, c_of_other) with idCol < other. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tau: Double = 0.8,
+                       maxShingleDf: Int = 100): DataFrame = {
+    val shingled = docs.withColumn("_whs", wordHashes(col(textCol)))
+      .select(col(idCol), array_distinct(shingleHashes(col("_whs"), n)).as("_sh"))
+    val posting = shingled
+      .select(col(idCol), explode(col("_sh")).as("_g"))
+    val evidential = posting.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
+      .select(col("_g"))
+    val keyed = posting.join(evidential, Seq("_g"))
+    val pairs = keyed.select(col("_g"), col(idCol).as("_a"))
+      .join(keyed.select(col("_g"), col(idCol).as("_b")), Seq("_g"))
+      .filter(col("_a") < col("_b"))
+      .select(col("_a"), col("_b")).distinct()
+    pairs
+      .join(shingled.select(col(idCol).as("_a"), col("_sh").as("_sha")), Seq("_a"))
+      .join(shingled.select(col(idCol).as("_b"), col("_sh").as("_shb")), Seq("_b"))
+      .select(col("_a").as(idCol), col("_b").as("other"),
+        containment(col("_sha"), col("_shb")).as("c_in_other"),
+        containment(col("_shb"), col("_sha")).as("c_of_other"))
+      .filter(col("c_in_other") >= tau || col("c_of_other") >= tau)
+  }
+
   /** Embedding near-dup: cosine over candidate pairs (see Similarity for
     * the LSH blocking that generates candidates at scale). */
   def cosineNearDup(vecA: Column, vecB: Column, threshold: Double): Column =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: language ID, quality
@@ -129,6 +129,36 @@ object TextAnalysis {
 
   /** Whole-document rolling-hash fingerprint (see TextHash). */
   def fingerprint(text: Column): Column = TextHash.fingerprint(text)
+
+  /** Corpus-unigram log-probability per document — the simplest member
+    * of the CCNet-style LM quality-filter family: documents whose
+    * average token log-prob under the corpus unigram distribution is
+    * far below typical are gibberish/boilerplate candidates. Returns
+    * (doc_id, n_tok, lp_e6) where `lp_e6 = Σ_tokens ⌊ln(cnt_w/total)·1e6
+    * + 0.5⌋` — per-token fixed-point micro-units so the document sum is
+    * exact integer addition (partition-order-proof; same convention as
+    * Search.bm25); divide by `n_tok` for the average-log-prob score.
+    *
+    * Scale shape: term frequencies are row-local (Search.termFreqs —
+    * no token-stream shuffle); the vocabulary count is the only
+    * term-keyed exchange and broadcasts back; the final doc roll-up
+    * ships one row per (doc, distinct term). Self-scored here (vocab
+    * from `docs` itself); to score against a reference corpus, join a
+    * precomputed vocab instead — unseen terms then null out and must be
+    * smoothed by the caller. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val tf = toks.select(col("doc_id"), explode(Search.termFreqs(col("_toks"))).as("_t"))
+      .select(col("doc_id"), col("_t.term").as("term"), col("_t.tf").as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("_cnt"))
+    val total = vocab.agg(sum(col("_cnt")).as("_tot"))
+    tf.join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("_lp6",
+        floor(log(col("_cnt").cast("double") / col("_tot")) * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("_lp6")).as("lp_e6"))
+  }
 
   // ── PII redaction ──────────────────────────────────────────────────
   // Training corpora scrub contact-like spans before anything ships to

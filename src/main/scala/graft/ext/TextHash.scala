@@ -108,6 +108,19 @@ object TextHash {
     when(union === 0, lit(Double.NaN)).otherwise(inter / union)
   }
 
+  /** Asymmetric containment of shingle set `a` in `b`:
+    * `|distinct(a) ∩ distinct(b)| / |distinct(a)|` — 1.0 when `a` is a
+    * subset (a quoted/embedded passage), where Jaccard would dilute by
+    * the larger document's size. NaN when `a` is empty. HOF form only:
+    * containment runs on CANDIDATE pairs (post-blocking), never in a
+    * corpus-scan hot path, so the fused-kernel escalation that
+    * [[jaccard]] needed does not pay for itself here. */
+  def containment(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    when(size(da) === 0, lit(Double.NaN))
+      .otherwise(size(array_intersect(da, array_distinct(b))).cast("double") / size(da))
+  }
+
   /** Whole-document fingerprint: char-level rolling hash (the rolling-
     * hash document-fingerprinting operator; exact-dup detection key). */
   def fingerprint(text: Column): Column = charHash(text)

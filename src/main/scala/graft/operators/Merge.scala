@@ -48,6 +48,79 @@ object Merge {
     }
   }
 
+  /** Streaming CDC upsert: maintain a latest-wins keyed store from a
+    * changelog stream — MERGE INTO as a `foreachBatch` loop over a
+    * hash-bucketed parquet store. Each micro-batch:
+    *
+    *  1. assigns every change row its key bucket
+    *     (`pmod(hash(keys), nBuckets)` — a stored partition column);
+    *  2. reads back ONLY the buckets the batch touches (partition
+    *     pruning on `_bucket`; an idle 100 TB store costs nothing);
+    *  3. runs [[upsert]] within those buckets;
+    *  4. rewrites exactly those partitions (dynamic partition
+    *     overwrite).
+    *
+    * So per-batch cost scales with the touched-bucket fraction, not the
+    * store: size `nBuckets` so a typical batch touches a minority of
+    * buckets (hot-key batches degrade gracefully to a compaction).
+    * `nBuckets` is fixed at store creation — changing it re-keys the
+    * layout (rewrite through [[upsert]] into a fresh path).
+    *
+    * Tombstones are STORED, not dropped (`deleteCol` rows win their key
+    * and persist with the flag set; [[readUpsertStore]] filters them) —
+    * dropping them would leave a fully-tombstoned bucket with no output
+    * rows, and dynamic overwrite never rewrites a partition it emits
+    * nothing for, so the dead rows would survive. The merged frame is
+    * MATERIALIZED (eager localCheckpoint) before the write: the
+    * overwrite targets files its own plan just read (SURVEY §7.1
+    * self-append lesson). Same non-transactional replay caveat as
+    * DocPipeline.streamIncremental: upsert is idempotent per
+    * (key, version), so batch replay converges, but a crash mid-rewrite
+    * of a partition needs an atomic-commit table format in production.
+    *
+    * Returns the started query. */
+  def streamUpsert(changes: DataFrame, storePath: String, keys: Seq[String],
+                   versionCol: String, nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val spark = b.sparkSession
+        val batch = b.withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+        val touched = batch.select(col("_bucket")).distinct()
+          .collect().map(_.getInt(0)) // ≤ nBuckets values by construction
+        if (touched.nonEmpty) {
+          val storeExists = new java.io.File(storePath).exists()
+          val existing =
+            if (storeExists)
+              spark.read.parquet(storePath)
+                .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+            else batch.limit(0)
+          val merged = upsert(existing, batch, keys, versionCol, deleteCol = None)
+            .localCheckpoint(true) // materialize BEFORE overwriting inputs
+          val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try merged.write.mode("overwrite").partitionBy("_bucket").parquet(storePath)
+          finally mode match {
+            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Current live state of a [[streamUpsert]] store: tombstoned keys
+    * filtered out, the bucket column dropped. */
+  def readUpsertStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                      deleteCol: Option[String] = None): DataFrame = {
+    val raw = spark.read.parquet(storePath).drop("_bucket")
+    deleteCol match {
+      case Some(d) => raw.filter(!coalesce(col(d), lit(false)))
+      case None    => raw
+    }
+  }
+
   /** SCD-2 validity intervals from a change log: each change row
     * becomes a version valid from its own `tsCol` until the key's next
     * change (`valid_to` null = still current). `tieBreak` columns make

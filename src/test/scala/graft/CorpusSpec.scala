@@ -208,4 +208,27 @@ class CorpusSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("chunkDocs: stride coverage, overlap carry, short docs, empty docs") {
+    val toks = (1 to 100).map(i => s"t$i")
+    val d = Seq(
+      (1L, toks.mkString(" ")),   // 100 tokens → 4 chunks at (40, 8)
+      (2L, "a b c"),              // shorter than one window → 1 chunk
+      (3L, "")                    // split("") → [""] → 1 token, 1 chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(d, "doc_id", "text", maxTokens = 40, overlap = 8)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._2) === Seq(0L, 1L, 2L)) // ceil((100-8)/32) = 3 chunks, starts 0/32/64
+    // chunk k starts at token k*32: consecutive chunks share exactly 8 tokens
+    val c0 = doc1(0)._3.split(" "); val c1 = doc1(1)._3.split(" ")
+    assert(c0.length === 40 && c0.takeRight(8).sameElements(c1.take(8)))
+    // full coverage: stitching chunks (dropping each overlap) rebuilds the doc
+    val rebuilt = doc1.zipWithIndex.flatMap { case ((_, _, c, _), i) =>
+      val ts = c.split(" "); if (i == 0) ts else ts.drop(8)
+    }
+    assert(rebuilt.sameElements(toks))
+    assert(out.filter(_._1 == 2L).map(_._3) === Seq("a b c"))
+    assert(out.count(_._1 == 3L) === 1) // Spark split("") yields [""]
+  }
 }

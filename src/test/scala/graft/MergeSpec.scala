@@ -48,6 +48,37 @@ class MergeSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("streamUpsert: cross-batch latest-wins, tombstones stored and filtered on read") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/store"
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Merge.streamUpsert(
+      input.toDF().toDF("k", "val", "v", "del"), dir, Seq("k"), "v", nBuckets = 4)
+    try {
+      input.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false), (3L, "c1", 1L, false))
+      q.processAllAvailable()
+      // batch 2: update k=1, tombstone k=2, leave k=3 untouched
+      input.addData((1L, "a2", 2L, false), (2L, "b2", 2L, true))
+      q.processAllAvailable()
+      val live = Merge.readUpsertStore(spark, dir, Some("del"))
+        .select("k", "val", "v").as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(live === Map(1L -> (("a2", 2L)), 3L -> (("c1", 1L))))
+      // the tombstone survives as a stored row (an emptied bucket must
+      // still be rewritten under dynamic partition overwrite)
+      val raw = Merge.readUpsertStore(spark, dir, None)
+        .select("k", "del").as[(Long, Boolean)].collect().toMap
+      assert(raw(2L) === true)
+      // stale version replay after the fact cannot regress the store
+      input.addData((1L, "a0", 1L, false))
+      q.processAllAvailable()
+      val after = Merge.readUpsertStore(spark, dir, Some("del"))
+        .filter(col("k") === 1L).select("val").as[String].collect()
+      assert(after === Array("a2"))
+    } finally q.stop()
+  }
+
   test("scd2: intervals chain (valid_to = next valid_from), one current row per key") {
     val log0 = Seq(
       (1L, 10L, "x1", 100L), (1L, 20L, "x2", 101L), (1L, 20L, "x3", 102L),

@@ -57,6 +57,44 @@ class SearchSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("containmentPairs finds a quoted passage Jaccard would dilute away") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val host = ("filler" +: (1 to 60).map(i => s"w$i")).mkString(" ") + " " + passage
+    val corpus = Seq(
+      (1L, passage),                                      // the quote
+      (2L, host),                                         // contains it verbatim
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))      // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 3, tau = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val (_, _, cAB, _) = pairs.head
+    assert(cAB === 1.0) // every shingle of the quote is in the host
+    // while Jaccard on the same pair is diluted far below tau
+    val jac = corpus.filter(col("doc_id") === 1L)
+      .crossJoin(corpus.filter(col("doc_id") === 2L).select(col("text").as("t2")))
+      .select(graft.ext.Dedup.ngramJaccard(col("text"), col("t2")))
+      .as[Double].head()
+    assert(jac < 0.5)
+  }
+
+  test("unigramLogProb: rare-token docs score lower per token than common-token docs") {
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common"),
+      (3L, "common common common common"),
+      (4L, "rareword common common common")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.values.forall(_._1 === 4L))
+    // avg log-prob of the rare-containing doc is strictly lower
+    assert(out(4L)._2 < out(1L)._2)
+    // identical docs get identical fixed-point sums (determinism)
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+  }
+
   test("repeatedShingleStats flags a planted cross-doc boilerplate span only") {
     val boiler = "terms of service apply to all users"
     val corpus = Seq(
