@@ -2231,7 +2231,115 @@ object Queries {
              |  FROM w JOIN v USING (term), t)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
              |CAST(sum(lp6) AS BIGINT) AS lp_e6
-             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── 88. Hardy–Weinberg chi-square + Wright's F_IS over the derived
+    // gt matrix: REAL kernels (genotypeClassCounts/hweChi2/inbreedingF)
+    // vs first-principles SQL in a pinned evaluation order; undefined
+    // (monomorphic) variants surface as NULL on both engines ───────────
+    QueryDef(
+      "q_gt_hwe",
+      (s, d) => {
+        import graft.functions.GenotypeKernels
+        def e4OrNull(c: Column): Column =
+          when(isnan(c), lit(null).cast("long")).otherwise(e4(c))
+        gtTable(s, d)
+          .withColumn("_cls", GenotypeKernels.genotypeClassCounts(col("gt")))
+          .select(
+            col("vid"),
+            col("_cls.n_hom_ref").as("n_hom_ref"),
+            col("_cls.n_het").as("n_het"),
+            col("_cls.n_hom_alt").as("n_hom_alt"),
+            e4OrNull(GenotypeKernels.hweChi2FromClasses(col("_cls"))).as("chi2_e4"),
+            e4OrNull(GenotypeKernels.inbreedingF(col("gt"), lit(2))).as("f_e4"))
+          .orderBy(col("vid"))
+      },
+      Some(s"""WITH g AS ($duckGt),
+             |cls AS (SELECT vid,
+             |  CAST(len(list_filter(gt, x -> NOT list_contains(x, -1)
+             |    AND x[1] = 0 AND x[2] = 0)) AS BIGINT) AS aa,
+             |  CAST(len(list_filter(gt, x -> NOT list_contains(x, -1)
+             |    AND len(list_distinct(x)) >= 2)) AS BIGINT) AS het,
+             |  CAST(len(list_filter(gt, x -> NOT list_contains(x, -1)
+             |    AND x[1] = 1 AND x[2] = 1)) AS BIGINT) AS bb,
+             |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
+             |  len(list_filter(flatten(gt), a -> a = 1)) AS c1,
+             |  CAST(len(list_filter(gt, x -> NOT list_contains(x, -1))) AS BIGINT) AS nc
+             |  FROM g),
+             |hw AS (SELECT vid, aa, het, bb, c0, c1, nc,
+             |  CAST(aa + het + bb AS DOUBLE) AS n,
+             |  (2.0*aa + het)/(2.0*CAST(aa + het + bb AS DOUBLE)) AS p
+             |  FROM cls),
+             |hx AS (SELECT *, 1.0 - p AS q,
+             |  n*p*p AS ea, 2.0*n*p*(1.0 - p) AS eh, n*(1.0 - p)*(1.0 - p) AS eb
+             |  FROM hw),
+             |he AS (SELECT *,
+             |  (1 - (CAST(c0 AS DOUBLE)*c0 + CAST(c1 AS DOUBLE)*c1)
+             |     / (CAST(c0 + c1 AS DOUBLE) * (c0 + c1)))
+             |    * (c0 + c1) / (c0 + c1 - 1) AS ehet
+             |  FROM hx),
+             |fin AS (SELECT vid, aa, het, bb,
+             |  CASE WHEN n = 0 OR p = 0 OR q = 0 THEN NULL
+             |    ELSE (aa - ea)*(aa - ea)/ea + (het - eh)*(het - eh)/eh
+             |       + (bb - eb)*(bb - eb)/eb END AS chi2,
+             |  CASE WHEN nc = 0 OR c0 + c1 <= 1 OR ehet = 0 THEN NULL
+             |    ELSE 1.0 - (CAST(het AS DOUBLE) / nc) / ehet END AS f
+             |  FROM he)
+             |SELECT vid, aa AS n_hom_ref, het AS n_het, bb AS n_hom_alt,
+             |CASE WHEN chi2 IS NULL OR isnan(chi2) THEN NULL
+             |  ELSE CAST(floor(chi2*10000.0 + 0.5) AS BIGINT) END AS chi2_e4,
+             |CASE WHEN f IS NULL OR isnan(f) THEN NULL
+             |  ELSE CAST(floor(f*10000.0 + 0.5) AS BIGINT) END AS f_e4
+             |FROM fin ORDER BY vid""".stripMargin)),
+
+    // ── 89. pairwise IBS relatedness matrix (12-sample cohort): integer
+    // num/den sums are exact on both engines; one (i,j)-keyed shuffle ──
+    QueryDef(
+      "q_gt_kinship",
+      (s, d) =>
+        graft.operators.Stats.ibsPairs(gtTable(s, d), "gt")
+          .select(col("si").cast("long").as("si"), col("sj").cast("long").as("sj"),
+            col("ibs_num"), col("ibs_den"),
+            when(col("ibs_den") === 0, lit(null).cast("long"))
+              .otherwise(e4(col("ibs_num").cast("double") / col("ibs_den"))).as("ibs_e4"))
+          .orderBy(col("si"), col("sj")),
+      Some(s"""WITH g AS ($duckGt),
+             |dos AS (SELECT vid, list_transform(gt, x ->
+             |  CASE WHEN list_contains(x, -1) THEN -1 ELSE x[1] + x[2] END) AS d FROM g),
+             |pr AS (SELECT vid, d, r1.i AS si, r2.j AS sj
+             |  FROM dos, range(0, 12) r1(i), range(0, 12) r2(j) WHERE r2.j > r1.i),
+             |terms AS (SELECT si, sj,
+             |  CASE WHEN d[CAST(si+1 AS INT)] >= 0 AND d[CAST(sj+1 AS INT)] >= 0
+             |    THEN 2 - abs(d[CAST(si+1 AS INT)] - d[CAST(sj+1 AS INT)]) ELSE 0 END AS num,
+             |  CASE WHEN d[CAST(si+1 AS INT)] >= 0 AND d[CAST(sj+1 AS INT)] >= 0
+             |    THEN 2 ELSE 0 END AS den
+             |  FROM pr)
+             |SELECT CAST(si AS BIGINT) AS si, CAST(sj AS BIGINT) AS sj,
+             |CAST(sum(num) AS BIGINT) AS ibs_num, CAST(sum(den) AS BIGINT) AS ibs_den,
+             |CASE WHEN CAST(sum(den) AS BIGINT) = 0 THEN NULL
+             |  ELSE CAST(floor(CAST(sum(num) AS BIGINT)*1.0/CAST(sum(den) AS BIGINT)
+             |    *10000.0 + 0.5) AS BIGINT) END AS ibs_e4
+             |FROM terms GROUP BY si, sj ORDER BY si, sj""".stripMargin)),
+
+    // ── 90. distribution window functions: percent_rank + cume_dist
+    // (rank-based — deterministic under value ties, unlike row_number
+    // over a non-unique order) ─────────────────────────────────────────
+    QueryDef(
+      "q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            e4(percent_rank().over(w)).as("pr_e4"),
+            e4(cume_dist().over(w)).as("cd_e4"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |CAST(floor(percent_rank() OVER (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice)*10000.0 + 0.5) AS BIGINT) AS pr_e4,
+             |CAST(floor(cume_dist() OVER (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice)*10000.0 + 0.5) AS BIGINT) AS cd_e4
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -125,6 +125,55 @@ object GenotypeKernels {
   def expHetUnbiased(gt: Column, nAlleles: Column): Column =
     expHetFromCounts(alleleCounts(gt, nAlleles))
 
+  /** Genotype-class counts for a biallelic diploid variant among called
+    * samples: struct(n_hom_ref, n_het, n_hom_alt) — the sufficient
+    * statistic for Hardy–Weinberg tests. Map-only, three filter passes
+    * over the per-variant sample array. */
+  def genotypeClassCounts(gt: Column): Column = struct(
+    size(filter(gt, s => calledSample(s) && forall(s, a => a === 0)))
+      .cast("long").as("n_hom_ref"),
+    size(filter(gt, s => calledSample(s) && size(array_distinct(s)) >= 2))
+      .cast("long").as("n_het"),
+    size(filter(gt, s => calledSample(s) && forall(s, a => a === 1)))
+      .cast("long").as("n_hom_alt"))
+
+  /** Hardy–Weinberg chi-square (1 df) from genotype-class counts: with
+    * p̂ = (2·AA + Het)/(2n), expected (p̂²n, 2p̂q̂n, q̂²n) vs observed.
+    * NaN when n = 0 or the variant is monomorphic (an expected class is
+    * empty — the test is undefined, not zero). Arithmetic is written in
+    * a fixed evaluation order so the DuckDB oracle twin reproduces the
+    * doubles bit-for-bit. */
+  def hweChi2FromClasses(classes: Column): Column = {
+    val aa = classes.getField("n_hom_ref").cast("double")
+    val het = classes.getField("n_het").cast("double")
+    val bb = classes.getField("n_hom_alt").cast("double")
+    val n = aa + het + bb
+    val p = (lit(2.0) * aa + het) / (lit(2.0) * n)
+    val q = lit(1.0) - p
+    val ea = n * p * p
+    val eh = lit(2.0) * n * p * q
+    val eb = n * q * q
+    // nested guards, not one disjunction: under ANSI mode (Spark 4
+    // default) even double division by zero throws, so p must never be
+    // EVALUATED when n = 0, nor the expected-count divisions when an
+    // expected class is empty — CaseWhen branches evaluate lazily.
+    when(n === 0, nan).otherwise(
+      when(p === 0 || q === 0, nan).otherwise(
+        (aa - ea) * (aa - ea) / ea +
+        (het - eh) * (het - eh) / eh +
+        (bb - eb) * (bb - eb) / eb))
+  }
+
+  /** Wright's inbreeding coefficient F_IS = 1 − H_obs/H_exp. NaN when
+    * either component is undefined OR H_exp = 0 (monomorphic — the
+    * ratio is 0/0; guarded explicitly because ANSI mode rejects the
+    * division rather than producing NaN). */
+  def inbreedingF(gt: Column, nAlleles: Column): Column = {
+    val he = expHetFromCounts(alleleCounts(gt, nAlleles))
+    when(isnan(he) || he === 0.0, nan)
+      .otherwise(lit(1.0) - obsHet(gt) / he)
+  }
+
   /** Major allele frequency from read depths (`calc_maf_by_allele_count`):
     * ref reads from RO, per-alt reads from AO, negatives treated as 0.
     * Null when AO/RO are absent (the reference raises on missing fields;

@@ -167,4 +167,39 @@ object Stats {
       avg(when(isnan(col("call_rate")), lit(null)).otherwise(col("call_rate"))).as("mean_call_rate"),
       avg(when(isnan(col("maf")), lit(null)).otherwise(col("maf"))).as("mean_maf"),
       avg(when(isnan(col("obs_het")), lit(null)).otherwise(col("obs_het"))).as("mean_obs_het"))
+
+  /** Pairwise identity-by-state similarity over all sample pairs of a
+    * SMALL-TO-MODERATE cohort: per pair (i < j), `ibs_num = Σ_variants
+    * (2 − |dosage_i − dosage_j|)` and `ibs_den = 2 · #variants where
+    * both are called` — `ibs_num/ibs_den` is the usual [0,1] relatedness
+    * screen (1 = identical genotypes). Dosage = allele sum per sample
+    * (diploid biallelic: 0/1/2), missing excluded pairwise.
+    *
+    * Scale shape: each variant row emits its s·(s−1)/2 upper-triangle
+    * pair terms map-side (integers, no text/arrays), and ONE
+    * (i, j)-keyed sum reduces them — partial aggregation collapses
+    * within partitions, so the shuffle moves O(s²) rows total, not
+    * O(variants·s²). That is the right plan to ~10³ samples (≈500k
+    * pairs); a biobank-scale cohort needs a blocked matrix product
+    * (outside this operator's contract — see SURVEY §2.3 wide/long
+    * switchover for the same reasoning). Integer sums are exact, so
+    * results are bit-stable under any partitioning. */
+  def ibsPairs(df: DataFrame, gtCol: String = "gt"): DataFrame = {
+    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
+      when(exists(s, a => a === -1), lit(-1))
+        .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+    val nS = size(col("_dos"))
+    val pairTerms = flatten(transform(sequence(lit(0), nS - 2), i =>
+      transform(sequence(i + 1, nS - 1), j => {
+        val di = element_at(col("_dos"), i + 1)
+        val dj = element_at(col("_dos"), j + 1)
+        val both = di >= 0 && dj >= 0
+        struct(i.as("si"), j.as("sj"),
+          when(both, lit(2) - abs(di - dj)).otherwise(lit(0)).cast("long").as("num"),
+          when(both, lit(2)).otherwise(lit(0)).cast("long").as("den"))
+      })))
+    dosed.select(explode(pairTerms).as("_p"))
+      .groupBy(col("_p.si").as("si"), col("_p.sj").as("sj"))
+      .agg(sum(col("_p.num")).as("ibs_num"), sum(col("_p.den")).as("ibs_den"))
+  }
 }

@@ -73,4 +73,44 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assertNear(g("v1").sum, 1.0); assertNear(g("v3").sum, 1.0)
     assert(g("v5").forall(_.isNaN))
   }
+
+  test("HWE chi-square: perfect-HW counts → 0, all-het excess → n, monomorphic → NaN") {
+    import spark.implicits._
+    import graft.functions.GenotypeKernels
+    // (AA, Aa, aa) = (1, 2, 1): p = 0.5, expected exactly (1, 2, 1) → chi2 = 0
+    // 4 hets, 0 homs: p = 0.5, expected (1, 2, 1) → chi2 = 1 + 2 + 1 = 4
+    // monomorphic (all AA): p = 1 → undefined
+    val gts = Seq(
+      ("hw0", Seq(Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(1, 1))),
+      ("het4", Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1), Seq(0, 1))),
+      ("mono", Seq(Seq(0, 0), Seq(0, 0), Seq(0, 0), Seq(0, 0)))
+    ).toDF("id", "gt")
+    val out = gts.select(col("id"),
+      GenotypeKernels.hweChi2FromClasses(
+        GenotypeKernels.genotypeClassCounts(col("gt"))).as("chi2"),
+      GenotypeKernels.inbreedingF(col("gt"), lit(2)).as("f"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assertNear(out("hw0")._1, 0.0)
+    assertNear(out("het4")._1, 4.0)
+    assert(out("mono")._1.isNaN)
+    // F: hw0 obsHet 0.5 vs Nei-unbiased expHet (1-0.5)·8/7 = 4/7 → 1 − 7/8
+    assertNear(out("hw0")._2, 1.0 - 0.5 / (0.5 * 8 / 7.0))
+    assert(out("het4")._2 < 0)      // het excess → negative F
+    assert(out("mono")._2.isNaN)
+  }
+
+  test("ibsPairs: identical samples 1.0, opposite homozygotes 0, missing excluded") {
+    import spark.implicits._
+    // 3 samples × 2 variants; s0 ≡ s1; s2 is opposite-hom of s0 at v1 and
+    // missing at v2 (so its denominators drop to one variant)
+    val df = Seq(
+      ("v1", Seq(Seq(0, 0), Seq(0, 0), Seq(1, 1))),
+      ("v2", Seq(Seq(0, 1), Seq(0, 1), Seq(-1, -1)))
+    ).toDF("id", "gt")
+    val got = Stats.ibsPairs(df, "gt")
+      .as[(Int, Int, Long, Long)].collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((0, 1)) === ((4L, 4L)))  // identical across both variants
+    assert(got((0, 2)) === ((0L, 2L)))  // |0−2| at v1 → 0 shared; v2 skipped
+    assert(got((1, 2)) === ((0L, 2L)))
+  }
 }
