@@ -74,6 +74,26 @@ object CorpusScaleDemo {
     ScaleDemo.time("transitiveClusters 200k edges") {
       graft.ext.Dedup.transitiveClusters(edges.toDF(), "a", "b").count()
     }
+    // round-6 operators at the same corpus size
+    ScaleDemo.time("chunkDocs 24/4 (map-only)") {
+      Corpus.chunkDocs(docs, "doc_id", "text", maxTokens = 24, overlap = 4).count()
+    }
+    ScaleDemo.time("bm25 3-term query") {
+      graft.ext.Search.bm25(docs, "doc_id", "text", Seq("w1", "w500", "w999")).count()
+    }
+    ScaleDemo.time("invertedIndex 1k vocab") {
+      graft.ext.Search.invertedIndex(docs, "doc_id", "text").count()
+    }
+    ScaleDemo.time("unigramLogProb") {
+      graft.ext.TextAnalysis.unigramLogProb(docs, "doc_id", "text").count()
+    }
+    ScaleDemo.time("upsert 1% changelog") {
+      graft.operators.Merge.upsert(
+        docs.select(col("doc_id"), col("lang"), lit(0L).as("v")),
+        docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+          .select(col("doc_id"), lit("upd").as("lang"), lit(1L).as("v")),
+        Seq("doc_id"), "v").count()
+    }
     spark.stop()
   }
 }

@@ -139,25 +139,49 @@ object TextAnalysis {
     * exact integer addition (partition-order-proof; same convention as
     * Search.bm25); divide by `n_tok` for the average-log-prob score.
     *
-    * Scale shape: term frequencies are row-local (Search.termFreqs —
-    * no token-stream shuffle); the vocabulary count is the only
-    * term-keyed exchange and broadcasts back; the final doc roll-up
-    * ships one row per (doc, distinct term). Self-scored here (vocab
-    * from `docs` itself); to score against a reference corpus, join a
-    * precomputed vocab instead — unseen terms then null out and must be
-    * smoothed by the caller. */
+    * Scale shape: one token explode, entirely codegen'd (a row-local
+    * tf pass via Search.termFreqs was measured SLOWER — the per-term
+    * `filter` HOFs are interpreted, and since each document's token
+    * rows are partition-local, the doc-keyed partial aggregation
+    * collapses them to ~1 row/doc before the shuffle either way); the
+    * vocabulary count is the only term-keyed exchange and broadcasts
+    * back. Self-scored here (vocab from `docs` itself); to score
+    * against a reference corpus, join a precomputed vocab instead —
+    * unseen terms then null out and must be smoothed by the caller. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
-    val tf = toks.select(col("doc_id"), explode(Search.termFreqs(col("_toks"))).as("_t"))
-      .select(col("doc_id"), col("_t.term").as("term"), col("_t.tf").as("tf"))
-    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("_cnt"))
+    val words = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+    val vocab = words.groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
+    scoreAgainstVocab(words, vocab)
+  }
+
+  /** Corpus unigram counts, the reusable artifact for
+    * [[unigramLogProbWithVocab]] — at 100 TB the self-scoring form
+    * above scans the corpus twice (vocab build + scoring); persist this
+    * once and score any number of batches with single-scan cost. */
+  def unigramVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
+
+  /** [[unigramLogProb]] against a PRECOMPUTED vocabulary (columns
+    * (term, _cnt), e.g. a persisted [[unigramVocab]] of a reference
+    * corpus). Out-of-vocabulary tokens are DROPPED from both the sum
+    * and `n_tok` (an inner join — ln(0) is undefined); callers wanting
+    * smoothing should add pseudo-count rows to the vocab instead. */
+  def unigramLogProbWithVocab(docs: DataFrame, idCol: String, textCol: String,
+                              vocab: DataFrame): DataFrame =
+    scoreAgainstVocab(
+      docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term")),
+      vocab)
+
+  private def scoreAgainstVocab(words: DataFrame, vocab: DataFrame): DataFrame = {
     val total = vocab.agg(sum(col("_cnt")).as("_tot"))
-    tf.join(broadcast(vocab), Seq("term"))
+    words.join(broadcast(vocab), Seq("term"))
       .crossJoin(broadcast(total))
       .withColumn("_lp6",
         floor(log(col("_cnt").cast("double") / col("_tot")) * 1000000.0 + 0.5).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("_lp6")).as("lp_e6"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("_lp6")).as("lp_e6"))
   }
 
   // ── PII redaction ──────────────────────────────────────────────────
