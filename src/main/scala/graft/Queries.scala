@@ -2339,7 +2339,35 @@ object Queries {
              |  ORDER BY o_totalprice)*10000.0 + 0.5) AS BIGINT) AS pr_e4,
              |CAST(floor(cume_dist() OVER (PARTITION BY o_orderpriority
              |  ORDER BY o_totalprice)*10000.0 + 0.5) AS BIGINT) AS cd_e4
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ── 91. higher-order array functions end-to-end: transform, filter,
+    // exists, forall, array_sort, zip_with over an embedding slice —
+    // each replicated with DuckDB list lambdas ─────────────────────────
+    QueryDef(
+      "q_hof_funcs",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .withColumn("_arr", transform(slice(col("embedding"), 1, 8), v => v.cast("double")))
+          .select(col("vec_id"),
+            size(filter(col("_arr"), v => v > 0)).cast("long").as("n_pos"),
+            exists(col("_arr"), v => v > lit(0.9)).as("any_big"),
+            forall(col("_arr"), v => abs(v) < lit(10.0)).as("all_small"),
+            e4(element_at(array_sort(col("_arr")), 1)).as("min_e4"),
+            e4(aggregate(zip_with(col("_arr"), reverse(col("_arr")), (x, y) => x * y),
+              lit(0.0), (acc, v) => acc + v)).as("revdot_e4"))
+          .orderBy(col("vec_id")),
+      Some("""WITH a AS (SELECT vec_id,
+             |  list_transform(embedding[1:8], v -> CAST(v AS DOUBLE)) AS arr
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |CAST(len(list_filter(arr, v -> v > 0)) AS BIGINT) AS n_pos,
+             |len(list_filter(arr, v -> v > 0.9)) > 0 AS any_big,
+             |len(list_filter(arr, v -> NOT (abs(v) < 10.0))) = 0 AS all_small,
+             |CAST(floor(list_sort(arr)[1]*10000.0 + 0.5) AS BIGINT) AS min_e4,
+             |CAST(floor(list_sum(list_transform(range(1, len(arr)+1),
+             |  i -> arr[i] * arr[len(arr)-i+1]))*10000.0 + 0.5) AS BIGINT) AS revdot_e4
+             |FROM a ORDER BY vec_id""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
