@@ -2367,7 +2367,238 @@ object Queries {
              |CAST(floor(list_sort(arr)[1]*10000.0 + 0.5) AS BIGINT) AS min_e4,
              |CAST(floor(list_sum(list_transform(range(1, len(arr)+1),
              |  i -> arr[i] * arr[len(arr)-i+1]))*10000.0 + 0.5) AS BIGINT) AS revdot_e4
-             |FROM a ORDER BY vec_id""".stripMargin))
+             |FROM a ORDER BY vec_id""".stripMargin)),
+
+    // ── 92. TPC-H Q3 analog (shipping priority): the canonical
+    // 3-way star join — customer σ broadcast into orders, orders⋈lineitem
+    // shuffles on the shared orderkey, partial agg before the exchange.
+    // Top-10 by exact-decimal revenue, orderkey tie-break ──────────────
+    QueryDef(
+      "q_tpch_q3",
+      (s, d) => {
+        val cut = lit("1998-06-01").cast("timestamp")
+        t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+          .join(t(s, d, "orders").filter(col("o_orderdate") < cut),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem").filter(col("l_shipdate") > cut),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), fmtTs(col("o_orderdate")).as("odate"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("odate"), e4(col("revenue")).as("rev_e4"))
+          .orderBy(col("rev_e4").desc, col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, odate, CAST(floor(revenue*10000.0 + 0.5) AS BIGINT) AS rev_e4
+             |FROM (
+             |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |  FROM customer, orders, lineitem
+             |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |    AND l_orderkey = o_orderkey
+             |    AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+             |    AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+             |  GROUP BY l_orderkey, odate
+             |  ORDER BY revenue DESC, l_orderkey LIMIT 10)
+             |ORDER BY rev_e4 DESC, l_orderkey""".stripMargin)),
+
+    // ── 93. TPC-H Q5 analog (local-supplier volume): 6-table snowflake
+    // — region/nation/supplier broadcast, the c_nationkey = s_nationkey
+    // locality predicate closes the cycle; one group per nation ────────
+    QueryDef(
+      "q_tpch_q5",
+      (s, d) => {
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        t(s, d, "region").filter(col("r_name") === "ASIA")
+          .join(t(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+          .join(t(s, d, "supplier"), col("n_nationkey") === col("s_nationkey"))
+          .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+          .join(t(s, d, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .select(col("n_name"), e4(col("revenue")).as("rev_e4"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(floor(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS rev_e4
+             |FROM region, nation, supplier, lineitem, orders, customer
+             |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+             |  AND n_nationkey = s_nationkey AND s_suppkey = l_suppkey
+             |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND c_nationkey = s_nationkey
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ── 94. TPC-H Q10 analog (returned-item reporting): big⋈big on
+    // orderkey then customer/nation decoration, top-20 losers by exact
+    // revenue — the classic "find the bad customers" reporting join ────
+    QueryDef(
+      "q_tpch_q10",
+      (s, d) => {
+        val lo = lit("1997-10-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        t(s, d, "customer")
+          .join(t(s, d, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            e4(col("revenue")).as("rev_e4"))
+          .orderBy(col("rev_e4").desc, col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |CAST(floor(revenue*10000.0 + 0.5) AS BIGINT) AS rev_e4
+             |FROM (
+             |  SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |  FROM customer, orders, lineitem, nation
+             |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |    AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             |  GROUP BY c_custkey, c_name, n_name
+             |  ORDER BY revenue DESC, c_custkey LIMIT 20)
+             |ORDER BY rev_e4 DESC, c_custkey""".stripMargin)),
+
+    // ── 95. Hudson F_ST between two 6-sample groups of the genetics
+    // cohort (samples 0-5 vs 6-11): map-only kernel, DuckDB recomputes
+    // from first principles over the same derived gt arrays ────────────
+    QueryDef(
+      "q_gt_fst",
+      (s, d) =>
+        graft.operators.Stats.fstHudson(gtTable(s, d), "gt", 0 until 6, 6 until 12)
+          .select(col("vid"),
+            when(col("fst_num").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("fst_num"))).as("num_e4"),
+            when(col("fst_den").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("fst_den"))).as("den_e4"),
+            when(col("fst").isNull || isnan(col("fst")), lit(null).cast("long"))
+              .otherwise(e4(col("fst"))).as("fst_e4"))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(flatten(gt[1:6]),  a -> a = 0)) AS a0,
+             |  len(list_filter(flatten(gt[1:6]),  a -> a = 1)) AS a1,
+             |  len(list_filter(flatten(gt[7:12]), a -> a = 0)) AS b0,
+             |  len(list_filter(flatten(gt[7:12]), a -> a = 1)) AS b1
+             |  FROM g),
+             |fr AS (SELECT vid, a0+a1 AS na, b0+b1 AS nb,
+             |  a1*1.0/(a0+a1) AS pa, b1*1.0/(b0+b1) AS pb FROM cnt),
+             |fin AS (SELECT vid,
+             |  CASE WHEN na > 1 AND nb > 1 THEN
+             |    (pa-pb)*(pa-pb) - pa*(1.0-pa)/(na-1) - pb*(1.0-pb)/(nb-1) END AS num,
+             |  CASE WHEN na > 1 AND nb > 1 THEN
+             |    pa*(1.0-pb) + pb*(1.0-pa) END AS den
+             |  FROM fr)
+             |SELECT vid,
+             |CASE WHEN num IS NULL THEN NULL
+             |  ELSE CAST(floor(num*10000.0 + 0.5) AS BIGINT) END AS num_e4,
+             |CASE WHEN den IS NULL THEN NULL
+             |  ELSE CAST(floor(den*10000.0 + 0.5) AS BIGINT) END AS den_e4,
+             |CASE WHEN den IS NULL OR NOT den > 0 THEN NULL
+             |  ELSE CAST(floor(num/den*10000.0 + 0.5) AS BIGINT) END AS fst_e4
+             |FROM fin ORDER BY vid""".stripMargin)),
+
+    // ── 96. column profiling (counts-only = engine-exact): one scan,
+    // one Expand-based multi-column distinct, stack to long ────────────
+    QueryDef(
+      "q_profile",
+      (s, d) =>
+        graft.operators.Profile.profileColumns(
+            t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+          .select(col("column"), col("n_rows").cast("long").as("n_rows"),
+            col("n_null").cast("long").as("n_null"),
+            col("n_distinct").cast("long").as("n_distinct"))
+          .orderBy(col("column")),
+      Some("""SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+             |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+             |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+             |  CAST(count(*) - count(o_custkey) AS BIGINT),
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+             |ORDER BY "column"""".stripMargin)),
+
+    // ── 97. IQR outlier gate: Tukey fence from exact interpolated
+    // percentiles (parity proven by q_percentile), broadcast back,
+    // closed-interval keep — 2-decimal money vs quarter-weight fences
+    // keeps every comparison away from FP boundaries ───────────────────
+    QueryDef(
+      "q_outlier_iqr",
+      (s, d) =>
+        graft.operators.Profile.filterOutliers(
+            t(s, d, "orders").groupBy(col("o_custkey"))
+              .agg(moneySum(col("o_totalprice")).as("spend")),
+            "spend", 1.5)
+          .select(col("o_custkey"), e4(col("spend")).as("spend_e4"))
+          .orderBy(col("o_custkey")),
+      Some("""WITH v AS (SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |  FROM orders GROUP BY o_custkey),
+             |f AS (SELECT quantile_cont(spend, 0.25) AS q1,
+             |    quantile_cont(spend, 0.75) AS q3 FROM v)
+             |SELECT o_custkey,
+             |  CAST(floor(spend*10000.0 + 0.5) AS BIGINT) AS spend_e4
+             |FROM v, f
+             |WHERE spend >= q1 - (q3-q1)*1.5
+             |  AND spend <= q3 + (q3-q1)*1.5
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ── 98. winsorization: same fences, clamp instead of drop ──────────
+    QueryDef(
+      "q_winsorize",
+      (s, d) =>
+        graft.operators.Profile.winsorize(
+            t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+            "c_acctbal", 1.5, "w")
+          .select(col("c_custkey"), e4(col("w")).as("w_e4"))
+          .orderBy(col("c_custkey")),
+      Some("""WITH f AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+             |    quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)
+             |SELECT c_custkey,
+             |CAST(floor(least(greatest(c_acctbal, q1-(q3-q1)*1.5), q3+(q3-q1)*1.5)
+             |  *10000.0 + 0.5) AS BIGINT) AS w_e4
+             |FROM customer, f ORDER BY c_custkey""".stripMargin)),
+
+    // ── 99. null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other — the semantics a plain equi-join silently drops
+    // (the Fuzzy.scala class of divergence, here exercised head-on) ────
+    QueryDef(
+      "q_join_nullsafe",
+      (s, d) => {
+        val keyed = t(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("k"))
+        // distinct attribute for the aggregate's key: the groupBy output
+        // reuses the input exprId, so a same-name self-join is ambiguous
+        val counts = keyed.groupBy(col("k").as("k2")).agg(count(lit(1)).as("n_k"))
+        keyed.join(counts, col("k") <=> col("k2"))
+          .select(col("o_orderkey"), col("k2").as("k"), col("n_k"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH keyed AS (SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k
+             |  FROM orders),
+             |counts AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM keyed GROUP BY k)
+             |SELECT keyed.o_orderkey, counts.k, counts.n_k
+             |FROM keyed JOIN counts ON keyed.k IS NOT DISTINCT FROM counts.k
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -71,7 +71,21 @@ object PlanCheck {
       ("q_scd2", "SCD-2 is ONE key-partitioned window",
         p => p.split("hashpartitioning").length == 2 && p.contains(") Window")),
       ("q_crossdoc_ngram", "repeated n-grams: equi-joins only, no cartesian",
-        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_tpch_q3", "Q3: filtered customer dim broadcast, no cartesian",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_tpch_q5", "Q5 snowflake: region/nation/supplier/customer all broadcast",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_tpch_q10", "Q10: nation broadcast, big-big join on orderkey only",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_gt_fst", "F_ST kernel is map-only (no hash shuffle)",
+        p => !p.contains("hashpartitioning")),
+      ("q_profile", "multi-column distinct profile via ONE Expand scan",
+        p => p.contains("Expand") && !p.contains("Join")),
+      ("q_outlier_iqr", "IQR fence broadcast back (1-row BNLJ, no shuffle of corpus)",
+        p => p.contains("BroadcastNestedLoop") && !p.contains("Cartesian")),
+      ("q_join_nullsafe", "null-safe equality still hash-joinable (broadcast, no BNLJ)",
+        p => p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop"))
     )
 
     var failed = 0

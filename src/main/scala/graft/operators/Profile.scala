@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column profiling and distribution-based quality gates — the table-
+  * maintenance / data-quality layer a long-lived 100 TB store needs
+  * (reference has no analog; extension surface, SURVEY.md §2.5). A
+  * profile drives partition-layout and filter decisions (null-heavy
+  * columns, low-cardinality candidates for dictionary/partition keys);
+  * the IQR gates are the numeric analog of TextAnalysis's text-quality
+  * filters (drop/clamp metric outliers before they skew training
+  * mixes).
+  */
+object Profile {
+
+  /** Per-column profile — (column, n_rows, n_null, n_distinct) — of the
+    * named columns, computed in ONE aggregation job.
+    *
+    * Scale shape: one scan; the multi-column exact distinct runs on
+    * Catalyst's Expand (one duplicated stream per column, the same plan
+    * q_agg_distinct measured and kept deliberately) with partial
+    * aggregation, so the shuffle carries distinct values only — there
+    * is no per-column job loop, unlike naive `df.select(c).distinct()
+    * .count()` profiling. Exact integer outputs: bit-stable on any
+    * engine and partitioning. For thousands-of-columns profiling swap
+    * `countDistinct` for `approx_count_distinct` (HLL, sketch policy —
+    * no oracle row) — the Expand blowup, not the agg, is the cliff. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"_n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"_null_$c"),
+        countDistinct(col(c)).as(s"_dist_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', _n_$c, _null_$c, _dist_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (column, n_rows, n_null, n_distinct)")
+  }
+
+  /** Tukey fences of `valueCol`: one row (q1, q3, lo, hi) with
+    * lo = q1 − k·IQR, hi = q3 + k·IQR (k = 1.5 is Tukey's "inner
+    * fence"). Exact interpolated percentiles (≡ DuckDB quantile_cont,
+    * parity proven by q_percentile); one aggregation row, broadcastable.
+    * Exact percentile sorts per group — fine to ~10⁹ rows/group; beyond
+    * that use approx_percentile and accept the sketch contract. */
+  def iqrBounds(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame =
+    df.agg(
+        percentile(col(valueCol), lit(0.25)).as("q1"),
+        percentile(col(valueCol), lit(0.75)).as("q3"))
+      .select(col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * k).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * k).as("hi"))
+
+  /** Keep rows with `valueCol` inside the closed Tukey fence
+    * [lo, hi] — nulls are dropped (no evidence either way ⇒ not
+    * provably inlier; keep-nulls callers should coalesce first).
+    *
+    * Scale shape: the fence is a 1-row aggregate broadcast back onto
+    * the corpus — one stats pass + one map-side filter pass, no corpus
+    * shuffle (same two-scan shape as temperatureSample; at 100 TB
+    * persist the fence row and reuse it across batches instead of
+    * recomputing). */
+  def filterOutliers(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame =
+    df.crossJoin(broadcast(iqrBounds(df, valueCol, k).select(col("lo"), col("hi"))))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .drop("lo", "hi")
+
+  /** Winsorize: CLAMP `valueCol` to the fence instead of dropping —
+    * the variance-preserving alternative when row loss is unacceptable
+    * (per-group token budgets, paired observations). Same broadcast
+    * shape as [[filterOutliers]]; nulls pass through as null. */
+  def winsorize(df: DataFrame, valueCol: String, k: Double = 1.5,
+                outCol: String = "winsorized"): DataFrame =
+    df.crossJoin(broadcast(iqrBounds(df, valueCol, k).select(col("lo"), col("hi"))))
+      .withColumn(outCol, least(greatest(col(valueCol), col("lo")), col("hi")))
+      .drop("lo", "hi")
+}

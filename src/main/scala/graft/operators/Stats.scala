@@ -202,4 +202,51 @@ object Stats {
       .groupBy(col("_p.si").as("si"), col("_p.sj").as("sj"))
       .agg(sum(col("_p.num")).as("ibs_num"), sum(col("_p.den")).as("ibs_den"))
   }
+
+  /** Per-variant Hudson F_ST between two sample groups of a biallelic
+    * cohort (Bhatia/Patterson/Sankararaman/Price 2013, "Estimating and
+    * interpreting FST", Genome Res 23:1514 — the estimator they
+    * recommend over Weir-Cockerham for its insensitivity to unequal
+    * group sizes). With p̂ᵢ the alt-allele frequency and nᵢ the CALLED
+    * allele count (2·called samples, missing excluded) of group i:
+    *
+    *   num = (p̂₁−p̂₂)² − p̂₁(1−p̂₁)/(n₁−1) − p̂₂(1−p̂₂)/(n₂−1)
+    *   den = p̂₁(1−p̂₂) + p̂₂(1−p̂₁)
+    *
+    * `fst` is NULL where undefined (either group has n ≤ 1, or den = 0
+    * — a variant fixed for the same allele in both groups carries no
+    * differentiation signal). Genome-wide F_ST must be computed as the
+    * RATIO OF SUMS Σnum/Σden over variants (ibid. §"Combining"), never
+    * the mean of per-variant ratios — both columns are emitted so the
+    * caller's one aggregation does exactly that.
+    *
+    * Scale shape: map-only per variant (two sample projections + the
+    * one-pass allele-count kernel); no shuffle at any cohort width, so
+    * the genome-wide sum is a partial-agg scan like every §2.3 kernel. */
+  def fstHudson(df: DataFrame, gtCol: String, popA: Seq[Int], popB: Seq[Int]): DataFrame = {
+    // counts arrays materialized ONCE per group (multiply-referenced
+    // lambda HOFs re-evaluate at every reference — house rule)
+    val base = df
+      .withColumn("_ca", alleleCounts(selectSamples(col(gtCol), popA), lit(2)))
+      .withColumn("_cb", alleleCounts(selectSamples(col(gtCol), popB), lit(2)))
+      .withColumn("_na", element_at(col("_ca"), 1) + element_at(col("_ca"), 2))
+      .withColumn("_nb", element_at(col("_cb"), 1) + element_at(col("_cb"), 2))
+      // n = 0 (group fully missing) → p null, not 0/0 (ANSI divide throws)
+      .withColumn("_pa", when(col("_na") > 0,
+        element_at(col("_ca"), 2).cast("double") / col("_na").cast("double")))
+      .withColumn("_pb", when(col("_nb") > 0,
+        element_at(col("_cb"), 2).cast("double") / col("_nb").cast("double")))
+    val pa = col("_pa"); val pb = col("_pb")
+    val num = (pa - pb) * (pa - pb) -
+      pa * (lit(1.0) - pa) / (col("_na") - 1).cast("double") -
+      pb * (lit(1.0) - pb) / (col("_nb") - 1).cast("double")
+    val den = pa * (lit(1.0) - pb) + pb * (lit(1.0) - pa)
+    base.withColumn("fst_num",
+        when(col("_na") > 1 && col("_nb") > 1, num))
+      .withColumn("fst_den",
+        when(col("_na") > 1 && col("_nb") > 1, den))
+      .withColumn("fst",
+        when(col("fst_den") > 0, col("fst_num") / col("fst_den")))
+      .drop("_ca", "_cb", "_na", "_pa", "_nb", "_pb")
+  }
 }

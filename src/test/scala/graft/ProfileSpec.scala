@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profileColumns: counts, nulls, exact distincts in one pass") {
+    val df = Seq(
+      (Some(1), "a"), (Some(1), "b"), (Some(2), "b"), (None, "c"))
+      .toDF("x", "y")
+    val p = Profile.profileColumns(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p("x") === ((4L, 1L, 2L))) // null excluded from distinct
+    assert(p("y") === ((4L, 0L, 3L)))
+  }
+
+  test("iqrBounds: exact interpolated quartiles and Tukey fences") {
+    // values 1,2,3,4,100: q1 = 2 (pos .25*4 = 1), q3 = 4, IQR = 2
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val b = Profile.iqrBounds(df, "v").head()
+    assert(b.getAs[Double]("q1") === 2.0)
+    assert(b.getAs[Double]("q3") === 4.0)
+    assert(b.getAs[Double]("lo") === -1.0)
+    assert(b.getAs[Double]("hi") === 7.0)
+  }
+
+  test("filterOutliers drops fence violations; winsorize clamps them") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val kept = Profile.filterOutliers(df, "v").as[Double].collect().sorted
+    assert(kept === Array(1.0, 2.0, 3.0, 4.0))
+    val w = Profile.winsorize(df, "v").select(col("winsorized"))
+      .as[Double].collect().sorted
+    assert(w === Array(1.0, 2.0, 3.0, 4.0, 7.0)) // 100 clamped to hi
+  }
+
+  test("filterOutliers drops null values (no evidence of inlier-ness)") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    assert(Profile.filterOutliers(df, "v").count() === 3)
+  }
+}

@@ -78,4 +78,33 @@ class StatsSpec extends SparkTestBase {
     // maf NaN for v5 → mean over 5
     assertNear(r.getAs[Double]("mean_maf"), (0.625 + 1.0 + 0.5 + 0.5 + 0.875) / 5.0)
   }
+
+  test("Hudson F_ST: hand-computed variants, null where undefined") {
+    import spark.implicits._
+    val df = Seq(
+      // pA: 0,0,0,1 → n=4 p=.25; pB: 1,1,1,1 → n=4 p=1
+      // num = .5625 − .25·.75/3 − 0 = .5; den = .25·0 + 1·.75 = .75
+      (1, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(1, 1))),
+      // fixed same allele both groups → num 0, den 0 → fst null
+      (2, Seq(Seq(0, 0), Seq(0, 0), Seq(0, 0), Seq(0, 0))),
+      // pA sample missing: n=2 p=.5; pB: n=4 p=.25
+      // num = .0625 − .5·.5/1 − .25·.75/3 = −.25; den = .375+.125 = .5
+      (3, Seq(Seq(-1, -1), Seq(0, 1), Seq(0, 1), Seq(0, 0))),
+      // group A entirely missing → n=0 → all null
+      (4, Seq(Seq(-1, -1), Seq(-1, -1), Seq(0, 1), Seq(0, 0))))
+      .toDF("vid", "gt")
+    val r = Stats.fstHudson(df, "gt", Seq(0, 1), Seq(2, 3))
+      .select("vid", "fst_num", "fst_den", "fst")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assertNear(r(1).getDouble(1), 0.5)
+    assertNear(r(1).getDouble(2), 0.75)
+    assertNear(r(1).getDouble(3), 2.0 / 3.0)
+    assertNear(r(2).getDouble(1), 0.0)
+    assertNear(r(2).getDouble(2), 0.0)
+    assert(r(2).isNullAt(3)) // den = 0 → undefined
+    assertNear(r(3).getDouble(1), -0.25)
+    assertNear(r(3).getDouble(2), 0.5)
+    assertNear(r(3).getDouble(3), -0.5)
+    assert(r(4).isNullAt(1) && r(4).isNullAt(2) && r(4).isNullAt(3))
+  }
 }
