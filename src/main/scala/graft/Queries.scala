@@ -78,6 +78,50 @@ object Queries {
       |             CAST(((vid*7919 + s*104729) % 1000 // 3) % 2 AS INT)] END) AS gt
       |FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100)""".stripMargin
 
+  /** LD-query twin of [[gtTable]]: 48 samples and a QUADRATIC vid mix
+    * (vid²·7919) — [[gtTable]]'s linear mix makes neighboring variants
+    * constant-shift transforms of each other (near-universal perfect
+    * LD), and 12 samples of a 3-level dosage exceed r² = 0.5 by chance
+    * alone; 48 quadratic-mixed samples give the prune threshold a real
+    * 60/40 split to discriminate on. */
+  private def ldGtTable(s: SparkSession, d: String): DataFrame = {
+    val nS = 48
+    t(s, d, "orders").select(col("o_orderkey").as("vid"))
+      .orderBy(col("vid")).limit(100)
+      .withColumn("gt", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+        val hs = pmod(col("vid") * col("vid") * 7919L + sIdx * 104729L, lit(1000L))
+        when(hs < 150, array(lit(-1), lit(-1)))
+          .otherwise(array(
+            pmod(hs, lit(2L)).cast("int"),
+            pmod(floor(hs / lit(3L)).cast("long"), lit(2L)).cast("int")))
+      }))
+  }
+
+  /** DuckDB twin of [[ldGtTable]] (dosage form — the LD oracle only
+    * needs dosages) + the six pairwise integer sums over banded variant
+    * pairs; shared by q_gt_ld and q_gt_ld_prune. Yields CTEs
+    * `dos(vid, d)`, `pr`, `t(pos_a, pos_b, n, sx, sy, sxy, sxx, syy)`. */
+  private val duckLdSums: String = {
+    def sum(term: String, name: String) =
+      s"""CAST(list_sum(list_transform(range(1,49), i ->
+         |    CASE WHEN da[i]>=0 AND db[i]>=0 THEN $term ELSE 0 END)) AS BIGINT) AS $name""".stripMargin
+    s"""dos AS (SELECT vid, list_transform(range(0,48), s ->
+       |  CASE WHEN (vid*vid*7919 + s*104729) % 1000 < 150 THEN -1
+       |       ELSE ((vid*vid*7919 + s*104729) % 1000) % 2
+       |          + (((vid*vid*7919 + s*104729) % 1000) // 3) % 2 END) AS d
+       |  FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100)),
+       |pr AS (SELECT a.vid AS pos_a, b.vid AS pos_b, a.d AS da, b.d AS db
+       |  FROM dos a JOIN dos b ON b.vid > a.vid AND b.vid - a.vid <= 5),
+       |t AS (SELECT pos_a, pos_b,
+       |  ${sum("1", "n")},
+       |  ${sum("da[i]", "sx")},
+       |  ${sum("db[i]", "sy")},
+       |  ${sum("da[i]*db[i]", "sxy")},
+       |  ${sum("da[i]*da[i]", "sxx")},
+       |  ${sum("db[i]*db[i]", "syy")}
+       |  FROM pr)""".stripMargin
+  }
+
   /** Exact money sum: 2-decimal doubles → DECIMAL(18,2) → exact sum → DOUBLE. */
   private def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
@@ -2575,6 +2619,43 @@ object Queries {
              |CAST(floor(least(greatest(c_acctbal, q1-(q3-q1)*1.5), q3+(q3-q1)*1.5)
              |  *10000.0 + 0.5) AS BIGINT) AS w_e4
              |FROM customer, f ORDER BY c_custkey""".stripMargin)),
+
+    // ── 99a. composite LD r² for variant pairs within 5 positions:
+    // banded self-join (each pair meets exactly once), integer Rogers-
+    // Huff sums exact on both engines, division the only FP step ───────
+    QueryDef(
+      "q_gt_ld",
+      (s, d) =>
+        graft.operators.Stats.ldPairs(ldGtTable(s, d), "gt", "vid", 5L)
+          .select(col("pos_a"), col("pos_b"), col("n_called"),
+            col("ld_num"), col("ld_vx"), col("ld_vy"),
+            when(col("r2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("r2"))).as("r2_e4"))
+          .orderBy(col("pos_a"), col("pos_b")),
+      Some(s"""WITH $duckLdSums
+             |SELECT pos_a, pos_b, n AS n_called,
+             |n*sxy - sx*sy AS ld_num, n*sxx - sx*sx AS ld_vx, n*syy - sy*sy AS ld_vy,
+             |CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             |  CAST(floor((n*sxy - sx*sy)*(n*sxy - sx*sy)*1.0
+             |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)) * 10000.0 + 0.5) AS BIGINT)
+             |END AS r2_e4
+             |FROM t ORDER BY pos_a, pos_b""".stripMargin)),
+
+    // ── 99b. LD pruning: variants surviving the drop-the-later-twin
+    // thinning at r² > 0.8 — one anti-join over the same pair set ──────
+    QueryDef(
+      "q_gt_ld_prune",
+      (s, d) =>
+        graft.operators.Stats.ldPrune(ldGtTable(s, d), "gt", "vid", 5L, 0.8)
+          .select(col("vid"))
+          .orderBy(col("vid")),
+      Some(s"""WITH $duckLdSums,
+             |dropped AS (SELECT DISTINCT pos_b FROM t
+             |  WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             |    AND (n*sxy - sx*sy)*(n*sxy - sx*sy)*1.0
+             |      / ((n*sxx - sx*sx)*(n*syy - sy*sy)) > 0.8)
+             |SELECT vid FROM dos WHERE vid NOT IN (SELECT pos_b FROM dropped)
+             |ORDER BY vid""".stripMargin)),
 
     // ── 99. null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the semantics a plain equi-join silently drops

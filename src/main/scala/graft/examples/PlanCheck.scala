@@ -85,7 +85,9 @@ object PlanCheck {
       ("q_outlier_iqr", "IQR fence broadcast back (1-row BNLJ, no shuffle of corpus)",
         p => p.contains("BroadcastNestedLoop") && !p.contains("Cartesian")),
       ("q_join_nullsafe", "null-safe equality still hash-joinable (broadcast, no BNLJ)",
-        p => p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop"))
+        p => p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop")),
+      ("q_gt_ld", "LD pairs meet on banded equi-keys, never a cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
     )
 
     var failed = 0

@@ -249,4 +249,80 @@ object Stats {
         when(col("fst_den") > 0, col("fst_num") / col("fst_den")))
       .drop("_ca", "_cb", "_na", "_pa", "_nb", "_pb")
   }
+
+  /** Pairwise linkage disequilibrium r² for variant pairs within
+    * `maxDist` positions of each other, from UNPHASED genotypes via the
+    * composite (Burrows) correlation of dosages — Rogers & Huff 2009
+    * ("Linkage disequilibrium between loci with unknown phase", Genetics
+    * 182:839): r = corr(dosᵢ, dosⱼ) over samples called at BOTH loci.
+    * With integer sums n, Σx, Σy, Σxy, Σx², Σy²:
+    *
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+    *
+    * NULL when either variance term is zero (monomorphic-in-the-
+    * pairwise-complete-subset — no correlation is defined). The exact
+    * integer numerators (`ld_num` = nΣxy−ΣxΣy, `ld_vx`, `ld_vy`) are
+    * emitted alongside, so the division is the only FP step.
+    *
+    * Scale shape — never all-pairs: variants band to position buckets of
+    * width `maxDist`; the left side is exploded to its own and the NEXT
+    * bucket, the right side keeps one key, so every qualifying pair
+    * (|Δpos| ≤ maxDist, posA < posB) meets on an equi-key EXACTLY once
+    * (same-bucket pairs on b, cross-bucket on b+1) and the shuffle
+    * carries each dosage vector at most twice. Pair count is linear in
+    * variants × (density · maxDist), the genome-scan contract of LD
+    * pruning; dosages are computed map-side BEFORE the join so gt
+    * arrays never ride the exchange. */
+  def ldPairs(df: DataFrame, gtCol: String, posCol: String, maxDist: Long): DataFrame = {
+    require(maxDist > 0, s"maxDist=$maxDist must be > 0")
+    val dosed = df.select(col(posCol).as("_pos"),
+      transform(col(gtCol), s =>
+        when(exists(s, a => a === -1), lit(-1))
+          .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))).as("_dos"))
+    val bucket = floor(col("_pos") / maxDist)
+    val left = dosed.select(col("_pos").as("pos_a"), col("_dos").as("_da"),
+      explode(array(bucket, bucket + 1)).as("_bkt"))
+    val right = dosed.select(col("_pos").as("pos_b"), col("_dos").as("_db"),
+      bucket.as("_bkt"))
+    val paired = left.join(right, Seq("_bkt"))
+      .filter(col("pos_a") < col("pos_b") && col("pos_b") - col("pos_a") <= maxDist)
+    val both = filter(
+      zip_with(col("_da"), col("_db"), (a, b) => struct(a.as("x"), b.as("y"))),
+      p => p("x") >= 0 && p("y") >= 0)
+    val zero = struct(lit(0L).as("n"), lit(0L).as("sx"), lit(0L).as("sy"),
+      lit(0L).as("sxy"), lit(0L).as("sxx"), lit(0L).as("syy"))
+    val sums = aggregate(both, zero, (acc, p) => struct(
+      (acc("n") + 1L).as("n"),
+      (acc("sx") + p("x")).as("sx"),
+      (acc("sy") + p("y")).as("sy"),
+      (acc("sxy") + p("x") * p("y")).as("sxy"),
+      (acc("sxx") + p("x") * p("x")).as("sxx"),
+      (acc("syy") + p("y") * p("y")).as("syy")))
+    paired.withColumn("_s", sums)
+      .select(col("pos_a"), col("pos_b"),
+        col("_s.n").as("n_called"),
+        (col("_s.n") * col("_s.sxy") - col("_s.sx") * col("_s.sy")).as("ld_num"),
+        (col("_s.n") * col("_s.sxx") - col("_s.sx") * col("_s.sx")).as("ld_vx"),
+        (col("_s.n") * col("_s.syy") - col("_s.sy") * col("_s.sy")).as("ld_vy"))
+      .withColumn("r2",
+        when(col("ld_vx") > 0 && col("ld_vy") > 0,
+          (col("ld_num") * col("ld_num")).cast("double") /
+            (col("ld_vx") * col("ld_vy")).cast("double")))
+  }
+
+  /** LD pruning: drop every variant that is in high LD (r² > `r2Max`
+    * within `maxDist`) with an EARLIER-position variant — the standard
+    * thinning step before PCA/kinship (each retained pair of neighbors
+    * is guaranteed below the threshold ONLY pairwise-vs-kept-or-dropped
+    * earlier variants; this is the one-pass "drop the later twin"
+    * approximation of plink's greedy windowed prune, which would need a
+    * sequential scan). One banded self-join + one anti-join; same
+    * linear-in-pairs cost as [[ldPairs]]. */
+  def ldPrune(df: DataFrame, gtCol: String, posCol: String,
+              maxDist: Long, r2Max: Double): DataFrame = {
+    val drop = ldPairs(df, gtCol, posCol, maxDist)
+      .filter(col("r2") > r2Max)
+      .select(col("pos_b").as(posCol)).distinct()
+    df.join(drop, Seq(posCol), "left_anti")
+  }
 }

@@ -107,4 +107,47 @@ class StatsSpec extends SparkTestBase {
     assertNear(r(3).getDouble(3), -0.5)
     assert(r(4).isNullAt(1) && r(4).isNullAt(2) && r(4).isNullAt(3))
   }
+
+  test("LD pairs: composite r² from hand-computed dosage sums") {
+    import spark.implicits._
+    val df = Seq(
+      // dosages: v1 [0,1,2,-1], v2 [1,1,2,0], v3 [1,1,1,1] (monomorphic)
+      (1L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(-1, -1))),
+      (2L, Seq(Seq(0, 1), Seq(0, 1), Seq(1, 1), Seq(0, 0))),
+      (3L, Seq(Seq(0, 1), Seq(1, 0), Seq(0, 1), Seq(1, 0))))
+      .toDF("pos", "gt")
+    val p = Stats.ldPairs(df, "gt", "pos", 2L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    assert(p.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L))) // every pair once
+    val v12 = p((1L, 2L)) // complete samples 0-2: x=[0,1,2] y=[1,1,2]
+    assert(v12.getAs[Long]("n_called") === 3L)
+    assert(v12.getAs[Long]("ld_num") === 3L)  // 3·5 − 3·4
+    assert(v12.getAs[Long]("ld_vx") === 6L)   // 3·5 − 9
+    assert(v12.getAs[Long]("ld_vy") === 2L)   // 3·6 − 16
+    assertNear(v12.getAs[Double]("r2"), 0.75) // 9 / 12
+    assert(p((1L, 3L)).isNullAt(6)) // v3 monomorphic → vy = 0 → null
+    assert(p((2L, 3L)).isNullAt(6))
+  }
+
+  test("LD prune drops the later variant of each high-LD pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(-1, -1))),
+      (2L, Seq(Seq(0, 1), Seq(0, 1), Seq(1, 1), Seq(0, 0))),
+      (3L, Seq(Seq(0, 1), Seq(1, 0), Seq(0, 1), Seq(1, 0))))
+      .toDF("pos", "gt")
+    // only pair (1,2) exceeds 0.7 (r² = .75) → pos 2 dropped, 1 and 3 kept
+    val kept = Stats.ldPrune(df, "gt", "pos", 2L, 0.7)
+      .select("pos").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L))
+  }
+
+  test("LD banding: far-apart variants never pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Seq(0, 0), Seq(1, 1))),
+      (100L, Seq(Seq(0, 0), Seq(1, 1))))
+      .toDF("pos", "gt")
+    assert(Stats.ldPairs(df, "gt", "pos", 5L).count() === 0L)
+  }
 }
