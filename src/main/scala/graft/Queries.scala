@@ -122,6 +122,23 @@ object Queries {
        |  FROM pr)""".stripMargin
   }
 
+  /** DuckDB twin of Funnel.funnelTimes(view→click→purchase, 24 h
+    * deadline) — CTEs `u, s1, s2, s3(user_id, t1, t2, t3)`; shared by
+    * q_funnel and q_funnel_conv. Chained CTEs keep each stage's greedy
+    * pick single-nested (DuckDB lateral column aliases can't reference
+    * a list_filter result inside another lambda). */
+  private val duckFunnel: String =
+    """u AS (SELECT user_id,
+      |  list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l1,
+      |  list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS l2,
+      |  list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l3
+      |  FROM events GROUP BY user_id),
+      |s1 AS (SELECT user_id, l2, l3, l1[1] AS t1 FROM u),
+      |s2 AS (SELECT user_id, l3, t1, list_filter(l2,
+      |  x -> x > t1 AND x <= t1 + INTERVAL 86400 SECOND)[1] AS t2 FROM s1),
+      |s3 AS (SELECT user_id, t1, t2, list_filter(l3,
+      |  x -> x > t2 AND x <= t2 + INTERVAL 86400 SECOND)[1] AS t3 FROM s2)""".stripMargin
+
   /** Exact money sum: 2-decimal doubles → DECIMAL(18,2) → exact sum → DOUBLE. */
   private def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
@@ -2656,6 +2673,51 @@ object Queries {
              |      / ((n*sxx - sx*sx)*(n*syy - sy*sy)) > 0.8)
              |SELECT vid FROM dos WHERE vid NOT IN (SELECT pos_b FROM dropped)
              |ORDER BY vid""".stripMargin)),
+
+    // ── 99c. strictly-ordered funnel (view → click → purchase): one
+    // user-keyed shuffle, greedy earliest-valid-event scan group-local;
+    // per-user µs timestamps are collision-free so the strict
+    // inequalities agree across the ns/µs parquet divide ───────────────
+    QueryDef(
+      "q_funnel",
+      (s, d) =>
+        graft.operators.Funnel.funnelTimes(events(s, d),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+            maxGapSeconds = Some(86400L))
+          .select(col("user_id"), col("reached"),
+            fmtTs(col("t1")).as("ts1"), fmtTs(col("t2")).as("ts2"),
+            fmtTs(col("t3")).as("ts3"))
+          .orderBy(col("user_id")),
+      Some(s"""WITH $duckFunnel
+             |SELECT user_id,
+             |CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+             |   + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+             |   + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached,
+             |strftime(t1, '%Y-%m-%d %H:%M:%S') AS ts1,
+             |strftime(t2, '%Y-%m-%d %H:%M:%S') AS ts2,
+             |strftime(t3, '%Y-%m-%d %H:%M:%S') AS ts3
+             |FROM s3 ORDER BY user_id""".stripMargin)),
+
+    // ── 99d. funnel conversion report: non-increasing per-stage user
+    // counts off the same per-user times ───────────────────────────────
+    QueryDef(
+      "q_funnel_conv",
+      (s, d) =>
+        graft.operators.Funnel.conversion(events(s, d),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+            maxGapSeconds = Some(86400L))
+          .select(col("stage").cast("long").as("stage"), col("stage_name"),
+            col("n_users").cast("long").as("n_users"))
+          .orderBy(col("stage")),
+      Some(s"""WITH $duckFunnel
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+             |    CAST(count(t1) AS BIGINT) AS n_users FROM s3
+             |  UNION ALL
+             |  SELECT 2, 'click', CAST(count(t2) AS BIGINT) FROM s3
+             |  UNION ALL
+             |  SELECT 3, 'purchase', CAST(count(t3) AS BIGINT) FROM s3)
+             |ORDER BY stage""".stripMargin)),
 
     // ── 99. null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the semantics a plain equi-join silently drops

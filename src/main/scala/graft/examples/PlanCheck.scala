@@ -87,7 +87,9 @@ object PlanCheck {
       ("q_join_nullsafe", "null-safe equality still hash-joinable (broadcast, no BNLJ)",
         p => p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop")),
       ("q_gt_ld", "LD pairs meet on banded equi-keys, never a cartesian",
-        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_funnel", "funnel pays exactly ONE user-keyed shuffle",
+        p => p.split("hashpartitioning").length == 2)
     )
 
     var failed = 0
