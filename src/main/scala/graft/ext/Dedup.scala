@@ -127,8 +127,12 @@ object Dedup {
                       bits: Int = 16, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
       s"maxHamming=$maxHamming outside the single-flip blocking guarantee (0..2)")
+    // materialize the signatures before the self-join: both sides would
+    // otherwise re-run the tokenize + simhash kernel over the full text
+    // (two scalars/doc checkpointed; the cheap flip-key explode is
+    // recomputed per side — same discipline as semanticCandidatePairs)
     val sims = withSimhash(corpus.select(col(idCol), col(textCol)), textCol, bits, "_sim")
-      .select(col(idCol), col("_sim"))
+      .select(col(idCol), col("_sim")).localCheckpoint(true)
     val keyed = sims.select(col(idCol), col("_sim"), explode(array(
       col("_sim") +: (0 until bits).map(k => col("_sim").bitwiseXOR(lit(1L << k))): _*)).as("_key"))
     keyed.select(col("_key"), col(idCol).as("_lo"), col("_sim").as("_sa"))
@@ -222,9 +226,11 @@ object Dedup {
   def embeddingCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                               dim: Int, bits: Int = 8, bands: Int = 1): DataFrame = {
     val ids = corpus.select(col(idCol), col(vecCol))
+    // three scalars per (doc, band), checkpointed so the self-join's two
+    // sides don't each re-run the codegen bucketing over the vectors
     val keys = ids.select(col(idCol), posexplode(array((0 until bands).map { b =>
       Similarity.lshBucket(col(vecCol), dim, bits, b * bits)
-    }: _*)).as(Seq("_band", "_bucket")))
+    }: _*)).as(Seq("_band", "_bucket"))).localCheckpoint(true)
     val cand = keys.select(col("_band"), col("_bucket"), col(idCol).as("_lo"))
       .join(keys.select(col("_band"), col("_bucket"), col(idCol).as("_hi")),
         Seq("_band", "_bucket"))
