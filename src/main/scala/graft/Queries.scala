@@ -2719,6 +2719,86 @@ object Queries {
              |  SELECT 3, 'purchase', CAST(count(t3) AS BIGINT) FROM s3)
              |ORDER BY stage""".stripMargin)),
 
+    // ── 99e. weekly retention triangle: signup-week cohorts × active
+    // weeks, exact date arithmetic end to end ──────────────────────────
+    QueryDef(
+      "q_retention",
+      (s, d) =>
+        graft.operators.Events.retention(events(s, d),
+            "user_id", "ts", "event_type", "signup")
+          .select(fmtTs(col("cohort_week")).as("cohort_week"),
+            col("week_offset").cast("long").as("week_offset"),
+            col("n_users").cast("long").as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset")),
+      Some("""WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |a AS (SELECT user_id, date_trunc('week', ts) AS aw FROM events),
+             |d AS (SELECT DISTINCT c.user_id, cw,
+             |  CAST(floor(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) / 7)
+             |    AS BIGINT) AS week_offset
+             |  FROM c JOIN a USING (user_id) WHERE aw >= cw)
+             |SELECT strftime(cw, '%Y-%m-%d %H:%M:%S') AS cohort_week, week_offset,
+             |CAST(count(*) AS BIGINT) AS n_users
+             |FROM d GROUP BY cw, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // ── 99f. event-transition matrix: per-user lead() adjacencies
+    // (timestamps are per-user unique, so the order is total), counts
+    // on the tiny (from, to) key space ─────────────────────────────────
+    QueryDef(
+      "q_transitions",
+      (s, d) =>
+        graft.operators.Events.transitions(events(s, d), "user_id", "ts", "event_type")
+          .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"))
+          .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH t AS (SELECT event_type,
+             |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+             |  FROM events)
+             |SELECT event_type AS from_type, nxt AS to_type,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM t WHERE nxt IS NOT NULL
+             |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin)),
+
+    // ── 99g. per-group OLS fit (slope/intercept/r² from the five
+    // classical sums): exact decimal sums, double arithmetic mirrored
+    // term by term, division last ──────────────────────────────────────
+    QueryDef(
+      "q_linear_fit",
+      (s, d) =>
+        graft.operators.Profile.linearFit(t(s, d, "lineitem"),
+            "l_returnflag", "l_quantity", "l_extendedprice")
+          .select(col("l_returnflag"), col("n"),
+            when(col("slope").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("slope"))).as("slope_e4"),
+            when(col("intercept").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("intercept"))).as("intercept_e4"),
+            when(col("r2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("r2"))).as("r2_e4"))
+          .orderBy(col("l_returnflag")),
+      Some("""WITH s AS (SELECT l_returnflag,
+             |  CAST(count(*) AS DOUBLE) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY l_returnflag),
+             |f AS (SELECT l_returnflag, n, sx, sy,
+             |  CASE WHEN n*sxx - sx*sx > 0
+             |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+             |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             |    THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+             |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r2
+             |  FROM s)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |CASE WHEN slope IS NULL THEN NULL
+             |  ELSE CAST(floor(slope*10000.0 + 0.5) AS BIGINT) END AS slope_e4,
+             |CASE WHEN slope IS NULL THEN NULL
+             |  ELSE CAST(floor((sy - slope*sx)/n*10000.0 + 0.5) AS BIGINT) END AS intercept_e4,
+             |CASE WHEN r2 IS NULL THEN NULL
+             |  ELSE CAST(floor(r2*10000.0 + 0.5) AS BIGINT) END AS r2_e4
+             |FROM f ORDER BY l_returnflag""".stripMargin)),
+
     // ── 99. null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the semantics a plain equi-join silently drops
     // (the Fuzzy.scala class of divergence, here exercised head-on) ────

@@ -89,7 +89,11 @@ object PlanCheck {
       ("q_gt_ld", "LD pairs meet on banded equi-keys, never a cartesian",
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
       ("q_funnel", "funnel pays exactly ONE user-keyed shuffle",
-        p => p.split("hashpartitioning").length == 2)
+        p => p.split("hashpartitioning").length == 2),
+      ("q_linear_fit", "OLS sums are one partial+final hash agg, no join",
+        p => p.split("HashAggregate").length >= 3 && !p.contains("Join")),
+      ("q_transitions", "transition matrix: user window + tiny-key agg only",
+        p => p.split("hashpartitioning").length <= 3 && !p.contains("Join"))
     )
 
     var failed = 0

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream cohort analytics beyond the funnel (operators/Funnel):
+  * weekly retention triangles and event-transition matrices — the other
+  * two product-analytics staples (extension surface, SURVEY.md §2.5).
+  * Both are exact integer/date arithmetic end to end: no floats, so
+  * results are bit-stable on any engine and partitioning.
+  */
+object Events {
+
+  /** Weekly retention triangle: users cohorted by the week of their
+    * first `cohortType` event; one output row per (cohort week, week
+    * offset ≥ 0) with the count of cohort users active (ANY event) in
+    * that week. `week0` is the cohort week itself; offsets are exact
+    * (week-truncated date difference / 7). Activity before the cohort
+    * event is ignored — a pre-signup visit is not retention.
+    *
+    * Scale shape: one user-keyed aggregation for cohort weeks, one
+    * user-keyed equi-join onto per-event activity weeks (co-partitioned
+    * with the agg output — AQE reuses the exchange), then a distinct +
+    * count on (cohort, offset) short keys. Nothing is collected; the
+    * (user, week) distinct is the only corpus-sized shuffle. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, cohortType: String): DataFrame = {
+    val cohorts = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(date_trunc("week", col(tsCol))).as("_cw"))
+    val activity = events.select(col(userCol), date_trunc("week", col(tsCol)).as("_aw"))
+    cohorts.join(activity, Seq(userCol))
+      .filter(col("_aw") >= col("_cw"))
+      .select(col(userCol), col("_cw"),
+        floor(datediff(to_date(col("_aw")), to_date(col("_cw"))) / 7).as("week_offset"))
+      .distinct()
+      .groupBy(col("_cw").as("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-transition counts: for each user's time-ordered event
+    * sequence, count (event → next event) adjacencies corpus-wide —
+    * the empirical Markov transition matrix of the product. Rows with
+    * no successor (each user's last event) emit nothing. Requires
+    * per-user-unique timestamps for a deterministic order (the driver
+    * testdata guarantees it; ties would make `lead` partition-order-
+    * dependent).
+    *
+    * Scale shape: ONE user-keyed window (sorted within partitions) and
+    * an agg on the tiny (from, to) key space; partial aggregation
+    * collapses the shuffle to O(|event types|²) rows. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -68,6 +68,45 @@ object Profile {
       .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
       .drop("lo", "hi")
 
+  /** Per-group ordinary-least-squares line y = intercept + slope·x,
+    * with r² — the "does this metric trend with that one, per segment"
+    * profiling question, computed from the five classical sums in ONE
+    * aggregation pass (no second centered pass, no per-group collect):
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    *
+    * NULL where undefined (x constant in the group ⇒ zero x-variance;
+    * r² additionally needs y-variance). Sums are EXACT decimal sums of
+    * `scale`-decimal products (the decSum convention every money oracle
+    * row uses), cast to double only for the final arithmetic — so
+    * results are bit-stable under any partitioning and engine, given
+    * inputs that are true `scale`-decimal values.
+    *
+    * Scale shape: partial+final hash agg on the group key — one scan,
+    * one short-key shuffle, same plan class as any groupBy-sum. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, scale))).cast("double")
+    val x = col(xCol); val y = col(yCol)
+    val agged = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("_n"),
+      dsum(x).as("_sx"), dsum(y).as("_sy"),
+      dsum(x * y).as("_sxy"), dsum(x * x).as("_sxx"), dsum(y * y).as("_syy"))
+    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val cxy = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    agged
+      .withColumn("slope", when(vx > 0, cxy / vx))
+      .withColumn("intercept",
+        when(vx > 0, (col("_sy") - col("slope") * col("_sx")) / col("_n")))
+      .withColumn("r2", when(vx > 0 && vy > 0, cxy * cxy / (vx * vy)))
+      .select(col(groupCol), col("_n").cast("long").as("n"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
   /** Winsorize: CLAMP `valueCol` to the fence instead of dropping —
     * the variance-preserving alternative when row loss is unacceptable
     * (per-group token budgets, paired observations). Same broadcast

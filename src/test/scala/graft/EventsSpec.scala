@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Events
+
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retention: cohort by signup week, pre-signup activity ignored") {
+    val df = Seq(
+      // user 1: signs up Mon 2024-01-01 week, active that week and +2
+      (1L, ts("2024-01-02 10:00:00"), "signup"),
+      (1L, ts("2024-01-03 10:00:00"), "click"),
+      (1L, ts("2024-01-16 10:00:00"), "click"),
+      // user 2: activity BEFORE signup must not count as retention
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-09 10:00:00"), "signup"),
+      // user 3: never signs up → not in any cohort
+      (3L, ts("2024-01-02 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.retention(df, "user_id", "ts", "event_type", "signup")
+      .collect()
+      .map(x => (x.getAs[Timestamp]("cohort_week").toString.take(10),
+        x.getAs[Long]("week_offset")) -> x.getAs[Long]("n_users")).toMap
+    // user 1 cohort 2024-01-01: offsets 0 (signup+click) and 2
+    assert(r(("2024-01-01", 0L)) === 1L)
+    assert(r(("2024-01-01", 2L)) === 1L)
+    // user 2 cohort 2024-01-08: offset 0 only (the 01-01 view is ignored)
+    assert(r(("2024-01-08", 0L)) === 1L)
+    assert(r.size === 3)
+  }
+
+  test("transitions: per-user adjacencies, last event emits nothing") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:05:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.transitions(df, "user_id", "ts", "event_type")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n")).toMap
+    assert(r === Map(
+      ("view", "click") -> 1L,
+      ("click", "purchase") -> 1L,
+      ("view", "view") -> 1L))
+  }
+}

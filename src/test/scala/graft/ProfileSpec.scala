@@ -40,4 +40,25 @@ class ProfileSpec extends SparkTestBase {
     val df = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
     assert(Profile.filterOutliers(df, "v").count() === 3)
   }
+
+  test("linearFit: exact line recovered; constant-x group is null") {
+    val line = (1 to 5).map(i => ("a", i.toDouble, 2.0 * i + 1.0))
+    val flat = Seq(("b", 3.0, 1.0), ("b", 3.0, 2.0)) // zero x-variance
+    val df = (line ++ flat).toDF("g", "x", "y")
+    val r = Profile.linearFit(df, "g", "x", "y")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("n") === 5L)
+    assertNear(r("a").getAs[Double]("slope"), 2.0)
+    assertNear(r("a").getAs[Double]("intercept"), 1.0)
+    assertNear(r("a").getAs[Double]("r2"), 1.0)
+    assert(r("b").isNullAt(2) && r("b").isNullAt(3) && r("b").isNullAt(4))
+  }
+
+  test("linearFit: negative slope, imperfect fit bounded by r2 < 1") {
+    val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 8.0), ("a", 3.0, 7.0))
+      .toDF("g", "x", "y")
+    val r = Profile.linearFit(df, "g", "x", "y").head()
+    assertNear(r.getAs[Double]("slope"), -1.5)
+    assert(r.getAs[Double]("r2") < 1.0 && r.getAs[Double]("r2") > 0.9)
+  }
 }
