@@ -2799,6 +2799,23 @@ object Queries {
              |  ELSE CAST(floor(r2*10000.0 + 0.5) AS BIGINT) END AS r2_e4
              |FROM f ORDER BY l_returnflag""".stripMargin)),
 
+    // ── 99h. deterministic train/val/test split: hash-range label,
+    // map-only, stable under corpus growth ─────────────────────────────
+    QueryDef(
+      "q_split",
+      (s, d) =>
+        graft.ext.Corpus.assignSplits(t(s, d, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CASE WHEN (doc_id*1103515245 + 12345) % 2147483648 / 2147483648.0 < 0.8
+             |  THEN 'train'
+             |WHEN (doc_id*1103515245 + 12345) % 2147483648 / 2147483648.0 < 0.9
+             |  THEN 'val'
+             |ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── 99. null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the semantics a plain equi-join silently drops
     // (the Fuzzy.scala class of divergence, here exercised head-on) ────

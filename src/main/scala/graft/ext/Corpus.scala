@@ -316,4 +316,29 @@ object Corpus {
         .filter(col("max_shared") >= minShared)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Deterministic train/validation/test split: appends `outCol` with
+    * the split label chosen by where [[orderHash]](id)/2³¹ falls in the
+    * cumulative `fractions` ranges (last split takes any rounding
+    * remainder). Map-only, no RNG: the assignment is a pure function of
+    * the id, so it is stable across engines, partitionings, reruns AND
+    * corpus growth — a document keeps its split when new data arrives,
+    * the property that keeps eval sets uncontaminated over a corpus's
+    * lifetime (a `randomSplit` re-deals every row on every run).
+    * Same non-negative, < ~8.4e9 id precondition as every orderHash
+    * consumer. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   fractions: Seq[(String, Double)],
+                   outCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be non-negative and sum to 1: $fractions")
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val u = orderHash(col(idCol)).cast("double") / lit(2147483648.0)
+    val label = fractions.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((name, hi), rest) =>
+        when(u < hi, lit(name)).otherwise(rest)
+      }
+    df.withColumn(outCol, label)
+  }
 }

@@ -126,4 +126,47 @@ object Streams {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // ── streaming funnel (flatMapGroupsWithState) ─────────────────────────
+
+  final case class TypedEvent(userId: Long, ts: Timestamp, eventType: String)
+  final case class FunnelProgress(userId: Long, reached: Int, stageTimes: Seq[Timestamp])
+
+  /** Streaming twin of `operators/Funnel.funnelTimes`: per-user funnel
+    * progress maintained incrementally, one Update-mode row per touched
+    * user per micro-batch. State per key is ≤ |stages| epoch longs —
+    * O(active users), never O(events).
+    *
+    * Correctness contract: requires PER-USER IN-ORDER delivery (e.g. a
+    * user-keyed, time-ordered log). Under it, the first arriving valid
+    * stage-k event IS the earliest valid one, so the final state equals
+    * the batch operator's greedy result exactly (StreamingSpec asserts
+    * the parity, with and without a deadline). Under out-of-order
+    * arrival a late earlier event could beat an accepted one — the
+    * batch operator is the recovery path, as with LSH banding vs
+    * streaming fingerprint dedup (DocPipeline). A `maxGapMs` deadline
+    * rejects any in-order candidate past `t_k + gap`; later candidates
+    * are further past it, so rejection is final — matching batch. */
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
+                   maxGapMs: Option[Long] = None): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[TypedEvent],
+           state: GroupState[Seq[Long]]): Iterator[FunnelProgress] = {
+      var times = state.getOption.getOrElse(Seq.empty)
+      for (e <- batch.toSeq.sortBy(_.ts.getTime) if times.length < stages.length) {
+        val t = e.ts.getTime
+        if (e.eventType == stages(times.length) &&
+            (times.isEmpty ||
+              (t > times.last && maxGapMs.forall(g => t <= times.last + g))))
+          times = times :+ t
+      }
+      if (times.nonEmpty) state.update(times)
+      Iterator.single(FunnelProgress(userId, times.length, times.map(new Timestamp(_))))
+    }
+
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -79,4 +79,103 @@ class InvariantSpec extends SparkTestBase {
     }
     assert(got.exists(r => !r._2.isNaN), "no defined chi2 in 80 random variants")
   }
+
+  test("LD r² in [0,1] when defined; self-consistent under input shuffling") {
+    val variants = (0 until 60).map { i =>
+      (i.toLong, (0 until 10).map { _ =>
+        if (rnd.nextInt(8) == 0) Seq(-1, -1)
+        else Seq(rnd.nextInt(2), rnd.nextInt(2))
+      })
+    }
+    val df = variants.toDF("pos", "gt")
+    val pairs = graft.operators.Stats.ldPairs(df, "gt", "pos", 4L)
+      .select(col("pos_a"), col("pos_b"), col("r2"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, r2) =>
+      assert(b > a && b - a <= 4, s"pair ($a,$b) outside the window")
+      r2.foreach(v => assert(v >= -1e-12 && v <= 1.0 + 1e-12, s"pair ($a,$b) r2=$v"))
+    }
+    val shuffled = graft.operators.Stats
+      .ldPairs(df.orderBy(rand(7)), "gt", "pos", 4L)
+      .select(col("pos_a"), col("pos_b"), col("r2"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(shuffled.sortBy(p => (p._1, p._2)).toSeq ===
+      pairs.sortBy(p => (p._1, p._2)).toSeq, "pair set depends on input order")
+  }
+
+  test("Hudson F_ST per-variant estimate is ≤ 1 and den ≥ 0 when defined") {
+    val variants = (0 until 80).map { i =>
+      (i.toLong, (0 until 12).map { _ =>
+        if (rnd.nextInt(8) == 0) Seq(-1, -1)
+        else Seq(rnd.nextInt(2), rnd.nextInt(2))
+      })
+    }
+    val got = graft.operators.Stats
+      .fstHudson(variants.toDF("vid", "gt"), "gt", 0 until 6, 6 until 12)
+      .select(col("vid"), col("fst_den"), col("fst"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+    got.foreach { case (id, den, fst) =>
+      den.foreach(v => assert(v >= -1e-12, s"variant $id den=$v negative"))
+      // Hudson fst can be negative (finite-sample), but never exceeds 1
+      fst.foreach(v => assert(v <= 1.0 + 1e-12, s"variant $id fst=$v > 1"))
+    }
+    assert(got.exists(_._3.isDefined), "no defined fst in 80 random variants")
+  }
+
+  test("funnel monotonicity: reached counts never increase across stages (random events)") {
+    val events = (0 until 400).map { _ =>
+      (rnd.nextInt(25).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+        Seq("a", "b", "c")(rnd.nextInt(3)))
+    }
+    val df = events.toDF("user_id", "ts", "event_type")
+    for (gap <- Seq(None, Some(3600L))) {
+      val times = graft.operators.Funnel
+        .funnelTimes(df, "user_id", "ts", "event_type", Seq("a", "b", "c"), gap)
+        .select(col("t1"), col("t2"), col("t3"), col("reached")).collect()
+      times.foreach { r =>
+        // null-propagation: t_{k+1} defined ⇒ t_k defined and strictly earlier
+        if (!r.isNullAt(1)) {
+          assert(!r.isNullAt(0))
+          assert(r.getTimestamp(1).after(r.getTimestamp(0)))
+        }
+        if (!r.isNullAt(2)) {
+          assert(!r.isNullAt(1))
+          assert(r.getTimestamp(2).after(r.getTimestamp(1)))
+        }
+        val expectReached = Seq(0, 1, 2).count(i => !r.isNullAt(i))
+        assert(r.getAs[Long]("reached") === expectReached.toLong)
+      }
+    }
+  }
+
+  test("assignSplits: exhaustive labeling, deterministic, stable under corpus growth") {
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (0L until 300L).toDF("id")
+    val big = (0L until 1000L).toDF("id")
+    val s1 = Corpus.assignSplits(small, "id", fracs)
+      .as[(Long, String)].collect().toMap
+    val s2 = Corpus.assignSplits(big, "id", fracs)
+      .as[(Long, String)].collect().toMap
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // growth stability: every id keeps its label when the corpus grows
+    s1.foreach { case (id, lbl) => assert(s2(id) === lbl, s"id $id re-dealt") }
+    val counts = s2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("winsorize never widens the range; filterOutliers output within fences") {
+    val vals = (0 until 300).map(_ => (rnd.nextGaussian() * 10 + 50))
+    val df = vals.toDF("v")
+    val w = graft.operators.Profile.winsorize(df, "v")
+      .select(col("winsorized")).as[Double].collect()
+    assert(w.min >= vals.min - 1e-9 && w.max <= vals.max + 1e-9)
+    val b = graft.operators.Profile.iqrBounds(df, "v").head()
+    val (lo, hi) = (b.getAs[Double]("lo"), b.getAs[Double]("hi"))
+    val kept = graft.operators.Profile.filterOutliers(df, "v")
+      .select(col("v")).as[Double].collect()
+    kept.foreach(v => assert(v >= lo && v <= hi))
+    assert(w.forall(v => v >= lo - 1e-9 && v <= hi + 1e-9))
+  }
 }

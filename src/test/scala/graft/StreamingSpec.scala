@@ -231,4 +231,36 @@ class StreamingSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
     }
   }
+
+  test("streaming funnel ≡ batch funnel under per-user in-order delivery") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val stages = Seq("a", "b", "c")
+    val all = (0 until 300).map { i =>
+      Streams.TypedEvent(rnd.nextInt(20).toLong,
+        new Timestamp(1700000000000L + i * 60000L + rnd.nextInt(50000)),
+        stages(rnd.nextInt(3)))
+    }.sortBy(_.ts.getTime) // global ts order ⇒ per-user in-order
+    for (gap <- Seq(None, Some(30L * 60000L))) {
+      val input = MemoryStream[Streams.TypedEvent]
+      val name = s"funnel_${gap.isDefined}"
+      val q = Streams.funnelStream(input.toDS(), stages, gap)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        all.grouped(75).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+        // state only progresses: max reached per user is the final state
+        val streamed = spark.table(name)
+          .groupBy("userId").agg(org.apache.spark.sql.functions.max("reached").as("reached"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val batch = graft.operators.Funnel.funnelTimes(
+            all.toDF("user_id", "ts", "event_type"),
+            "user_id", "ts", "event_type", stages,
+            gap.map(_ / 1000L)) // batch deadline is in seconds, stream in ms
+          .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("reached").toInt).toMap
+        assert(streamed === batch, s"parity failed (gap=$gap)")
+        assert(batch.values.exists(_ > 0), "degenerate test: nobody converted")
+      } finally q.stop()
+    }
+  }
 }
