@@ -1837,6 +1837,71 @@ object Queries {
              |  -1.0) AS bf
              |FROM s ORDER BY event_id""".stripMargin)),
 
+    // ── 71b. linear interpolation (pandas interpolate(method='values')):
+    // nulls between observations take the order-distance-weighted blend,
+    // edges hold the nearest observation. All IEEE correctly-rounded ops
+    // in one fixed expression shape — raw doubles hash-match, no
+    // rounding (see Fill.interpolateLinear) ───────────────────────────
+    QueryDef(
+      "q_interpolate",
+      (s, d) => {
+        import graft.operators.Fill
+        val sparse = events(s, d)
+          .withColumn("obs", when(col("value") >= 5, col("value")))
+          .select(col("event_id"), col("user_id"), col("obs").as("li"))
+        Fill.interpolateLinear(sparse, Seq("user_id"), "event_id", Seq("li"))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("li"), lit(-1.0)).as("li"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH s AS (SELECT event_id, user_id,
+             |  CASE WHEN value >= 5 THEN value END AS obs FROM events),
+             |w AS (SELECT event_id, user_id, obs,
+             |  last_value(obs IGNORE NULLS) OVER wp AS pv,
+             |  last_value(CASE WHEN obs IS NOT NULL
+             |    THEN CAST(event_id AS DOUBLE) END IGNORE NULLS) OVER wp AS px,
+             |  first_value(obs IGNORE NULLS) OVER wn AS nv,
+             |  first_value(CASE WHEN obs IS NOT NULL
+             |    THEN CAST(event_id AS DOUBLE) END IGNORE NULLS) OVER wn AS nx
+             |  FROM s
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_id, user_id,
+             |  coalesce(CASE WHEN obs IS NOT NULL THEN obs
+             |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+             |    THEN pv + (nv - pv) * ((CAST(event_id AS DOUBLE) - px) / (nx - px))
+             |    ELSE coalesce(pv, nv) END, -1.0) AS li
+             |FROM w ORDER BY event_id""".stripMargin)),
+
+    // ── 71c. last-touch attribution: each purchase credited to the
+    // nearest preceding view/click in the user's stream (strictly
+    // before — (unbounded, 1 PRECEDING) frame), no touch → 'direct'.
+    // Exact integer counts end to end ─────────────────────────────────
+    QueryDef(
+      "q_attribution",
+      (s, d) => {
+        import graft.operators.Events
+        Events.attribution(events(s, d), "user_id", "ts", "event_id",
+            "event_type", Seq("view", "click"), "purchase", "last")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).cast("long").as("conversions"),
+            countDistinct(col("user_id")).cast("long").as("users"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH a AS (SELECT user_id, event_type,
+             |  last_value(CASE WHEN event_type IN ('view','click')
+             |    THEN event_type END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+             |  FROM events)
+             |SELECT coalesce(channel, 'direct') AS channel,
+             |CAST(count(*) AS BIGINT) AS conversions,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS users
+             |FROM a WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── 71. binary (multimodal) columns cross-engine: text bytes as an
     // opaque BLOB — byte length, standard MD5 content digest (the
     // media-dedup key shape), and a byte-slice, all engine-independent ─

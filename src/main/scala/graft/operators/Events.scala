@@ -59,4 +59,34 @@ object Events {
       .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Touch attribution: each `convType` event is credited to the
+    * nearest `touchTypes` event STRICTLY before it in the same user's
+    * stream (`model = "last"`, the default last-touch rule) or to the
+    * user's earliest preceding touch (`model = "first"`). Conversions
+    * with no preceding touch get a null channel (direct conversions —
+    * callers decide whether to keep or drop them). Output: the
+    * conversion rows with a `channel` column.
+    *
+    * Both models are ONE user-keyed window over the time-sorted
+    * stream — last/first(IGNORE NULLS) over a (unbounded, 1 PRECEDING)
+    * frame is O(1) running state per row, so the whole attribution is
+    * a single shuffle on the user key no matter how long the streams
+    * are. Ordering ties on `tsCol` are broken by `idCol` so credit is
+    * partition-order-independent. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, touchTypes: Seq[String],
+                  convType: String, model: String = "last"): DataFrame = {
+    require(model == "last" || model == "first", s"unknown model: $model")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(lit): _*), col(typeCol))
+    val credited =
+      if (model == "last") last(touch, ignoreNulls = true).over(w)
+      else first(touch, ignoreNulls = true).over(w)
+    events
+      .withColumn("channel", credited)
+      .filter(col(typeCol) === convType)
+  }
 }

@@ -53,4 +53,39 @@ object Fill {
       partitionCols, orderCols, cols)
     cols.foldLeft(filled)((acc, c) => acc.withColumn(c, coalesce(col(c), default)))
   }
+
+  /** Linear interpolation between the surrounding observations per key
+    * (pandas `interpolate(method='values')`): a null at position x
+    * between observations (x0,v0) and (x1,v1) becomes
+    * v0 + (v1−v0)·(x−x0)/(x1−x0); rows outside the observed span take
+    * the nearest observation (edge hold). `orderCol` must be numeric —
+    * the interpolation weight is a ratio of order distances, not of row
+    * counts.
+    *
+    * Four window expressions over ONE (key, order) sort — Spark fuses
+    * them into a single Window operator, so the cost is one shuffle on
+    * `partitionCols` regardless of how many value columns are filled.
+    * Each expression is last/first(IGNORE NULLS) over a one-sided
+    * frame: O(1) running state per row at any partition size. All
+    * arithmetic is IEEE correctly-rounded ops (sub/div/mul/add) on
+    * binary64 in a fixed expression shape, so engines agree bitwise —
+    * no rounding needed for cross-engine hashing. */
+  def interpolateLinear(df: DataFrame, partitionCols: Seq[String],
+                        orderCol: String, cols: Seq[String]): DataFrame = {
+    val wPrev = ffillWindow(partitionCols, Seq(orderCol))
+    val wNext = bfillWindow(partitionCols, Seq(orderCol))
+    val x = col(orderCol).cast("double")
+    cols.foldLeft(df) { (acc, c) =>
+      val v = col(c)
+      val pv = last(v, ignoreNulls = true).over(wPrev)
+      val px = last(when(v.isNotNull, x), ignoreNulls = true).over(wPrev)
+      val nv = first(v, ignoreNulls = true).over(wNext)
+      val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
+      acc.withColumn(c,
+        when(v.isNotNull, v)
+          .when(pv.isNotNull && nv.isNotNull,
+            pv + (nv - pv) * ((x - px) / (nx - px)))
+          .otherwise(coalesce(pv, nv)))
+    }
+  }
 }

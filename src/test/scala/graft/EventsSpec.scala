@@ -48,4 +48,33 @@ class EventsSpec extends SparkTestBase {
       ("click", "purchase") -> 1L,
       ("view", "view") -> 1L))
   }
+
+  test("attribution: last vs first touch, strictly-before, direct=null") {
+    val df = Seq(
+      // user 1: view, click, purchase → last=click, first=view
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      // user 2: purchase BEFORE any touch → direct (null); the later
+      // view must not be credited (strictly-before frame)
+      (2L, ts("2024-01-01 09:00:00"), 4L, "purchase"),
+      (2L, ts("2024-01-01 09:30:00"), 5L, "view"),
+      // user 3: two purchases share the earlier view; the click between
+      // them only switches last-touch credit for the second
+      (3L, ts("2024-01-01 08:00:00"), 6L, "view"),
+      (3L, ts("2024-01-01 08:10:00"), 7L, "purchase"),
+      (3L, ts("2024-01-01 08:20:00"), 8L, "click"),
+      (3L, ts("2024-01-01 08:30:00"), 9L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    def credits(model: String): Map[Long, Option[String]] =
+      Events.attribution(df, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click"), "purchase", model)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("channel"))).toMap
+    assert(credits("last") === Map(
+      3L -> Some("click"), 4L -> None, 7L -> Some("view"), 9L -> Some("click")))
+    assert(credits("first") === Map(
+      3L -> Some("view"), 4L -> None, 7L -> Some("view"), 9L -> Some("view")))
+  }
 }

@@ -42,6 +42,25 @@ class FillSpec extends SparkTestBase {
       ("B", 1L, Some(-1.0)), ("B", 2L, Some(-1.0))))
   }
 
+  test("interpolateLinear blends by order distance; edges hold nearest") {
+    // A: t=3 sits 1/2 of the way from (2,10) to (4,20) → 15; t=1 edge
+    // holds 10 (nearest following); t=5 edge holds 20 (nearest
+    // preceding); B (no observations) stays null
+    assert(vals(Fill.interpolateLinear(df, Seq("k"), "t", Seq("v"))) === Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, Some(10.0)), ("A", 3L, Some(15.0)),
+      ("A", 4L, Some(20.0)), ("A", 5L, Some(20.0)),
+      ("B", 1L, None), ("B", 2L, None)))
+  }
+
+  test("interpolateLinear weights by ORDER distance, not row count") {
+    // observations at t=0 (v=0) and t=10 (v=100); single null at t=7
+    // → 70, not the row-midpoint 50
+    val gaps = Seq(("A", 0L, Some(0.0)), ("A", 7L, None: Option[Double]),
+      ("A", 10L, Some(100.0))).toDF("k", "t", "v")
+    assert(vals(Fill.interpolateLinear(gaps, Seq("k"), "t", Seq("v")))
+      .find(_._2 == 7L).flatMap(_._3).contains(70.0))
+  }
+
   test("multi-column fill shares one window (single sort in the plan)") {
     val two = df.withColumn("v2", col("v") * 2)
     val out = Fill.forwardFill(two, Seq("k"), Seq("t"), Seq("v", "v2"))
