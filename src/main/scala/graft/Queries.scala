@@ -2637,6 +2637,34 @@ object Queries {
              |  ELSE CAST(floor(num/den*10000.0 + 0.5) AS BIGINT) END AS fst_e4
              |FROM fin ORDER BY vid""".stripMargin)),
 
+    // ── 95b. kinship sufficient statistics: integer-exact centered
+    // cross-products per sample pair (u = n·d − T, missing → 0; see
+    // Kinship.grmPairs) — bit-stable under any partitioning, so raw
+    // integers hash-match; the normalized VanRaden GRM and PCA build on
+    // the same kernel (KinshipSpec proves the gramian twin equal) ──────
+    QueryDef(
+      "q_grm",
+      (s, d) =>
+        graft.operators.Kinship.grmPairs(gtTable(s, d), "gt")
+          .select(col("si"), col("sj"), col("a").cast("long").as("a"))
+          .orderBy(col("si"), col("sj")),
+      Some(s"""WITH g AS ($duckGt),
+             |dd AS (SELECT vid, list_transform(gt, x ->
+             |    CASE WHEN list_contains(x, -1) THEN CAST(-1 AS BIGINT)
+             |         ELSE CAST(list_aggregate(x, 'sum') AS BIGINT) END) AS dos
+             |  FROM g),
+             |st AS (SELECT vid, dos,
+             |    CAST(len(list_filter(dos, d -> d >= 0)) AS BIGINT) AS n,
+             |    CAST(coalesce(list_aggregate(list_filter(dos, d -> d >= 0),
+             |      'sum'), 0) AS BIGINT) AS t
+             |  FROM dd),
+             |u AS (SELECT vid, list_transform(dos, d ->
+             |    CASE WHEN d >= 0 THEN n*d - t ELSE 0 END) AS u FROM st)
+             |SELECT CAST(si AS BIGINT) AS si, CAST(sj AS BIGINT) AS sj,
+             |  CAST(sum(u[si+1]*u[sj+1]) AS BIGINT) AS a
+             |FROM u, range(0, 12) r1(si), range(0, 12) r2(sj)
+             |WHERE si <= sj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── 96. column profiling (counts-only = engine-exact): one scan,
     // one Expand-based multi-column distinct, stack to long ────────────
     QueryDef(

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Kinship
+
+class KinshipSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4 samples, 3 variants, one missing call on variant 2
+  private lazy val gt = Seq(
+    (1L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(1, 1))),
+    (2L, Seq(Seq(0, 1), Seq(-1, -1), Seq(1, 1), Seq(0, 0))),
+    (3L, Seq(Seq(0, 0), Seq(0, 0), Seq(0, 1), Seq(1, 1)))).toDF("vid", "gt")
+
+  // driver-side reference: dosages, u = n·d − T (missing → 0)
+  private val dosages = Seq(
+    Seq(0, 1, 2, 2),   // v1: n=4, T=5
+    Seq(1, -1, 2, 0),  // v2: n=3, T=3
+    Seq(0, 0, 1, 2))   // v3: n=4, T=3
+
+  private def uVectors: Seq[Seq[Long]] = dosages.map { dos =>
+    val called = dos.filter(_ >= 0)
+    val (n, t) = (called.size.toLong, called.sum.toLong)
+    dos.map(d => if (d >= 0) n * d - t else 0L)
+  }
+
+  test("grmPairs = brute-force integer cross-products") {
+    val expected = (for {
+      i <- 0 until 4; j <- i until 4
+    } yield (i.toLong, j.toLong) -> uVectors.map(u => u(i) * u(j)).sum).toMap
+    val got = Kinship.grmPairs(gt, "gt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("gramian path = exploded-pairs path on missing-free data (a = S²·g)") {
+    val full = Seq(
+      (1L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(1, 1))),
+      (2L, Seq(Seq(0, 1), Seq(1, 1), Seq(1, 1), Seq(0, 0))),
+      (3L, Seq(Seq(0, 0), Seq(0, 0), Seq(0, 1), Seq(1, 1)))).toDF("vid", "gt")
+    val (s, tri, _) = Kinship.grmTriangle(full, "gt")
+    assert(s === 4)
+    val pairs = Kinship.grmPairs(full, "gt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // no missing → n = S for every variant, so u = S·z and a = S²·[ZZᵀ]
+    var idx = 0
+    for (i <- 0 until s; j <- i until s) {
+      assertNear(tri(idx), pairs((i.toLong, j.toLong)).toDouble / (s * s), 1e-9)
+      idx += 1
+    }
+  }
+
+  test("grmTriangle matches driver-side VanRaden algebra with missing calls") {
+    val zs = dosages.map { dos =>
+      val called = dos.filter(_ >= 0)
+      val p = called.sum.toDouble / (2.0 * called.size)
+      (dos.map(d => if (d >= 0) d - 2.0 * p else 0.0), 2.0 * p * (1.0 - p))
+    }
+    val expTri = for (i <- 0 until 4; j <- i until 4)
+      yield zs.map(_._1).map(z => z(i) * z(j)).sum
+    val expDen = zs.map(_._2).sum
+    val (s, tri, den) = Kinship.grmTriangle(gt, "gt")
+    assert(s === 4)
+    assertNear(den, expDen, 1e-9)
+    tri.zip(expTri).foreach { case (g, e) => assertNear(g, e, 1e-9) }
+    // normalized long form agrees
+    val kin = Kinship.grm(gt, "gt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var idx = 0
+    for (i <- 0 until 4; j <- i until 4) {
+      assertNear(kin((i.toLong, j.toLong)), expTri(idx) / expDen, 1e-9)
+      idx += 1
+    }
+  }
+
+  test("all-missing and monomorphic variants contribute nothing") {
+    val padded = gt.union(Seq(
+      (4L, Seq(Seq(-1, -1), Seq(-1, -1), Seq(-1, -1), Seq(-1, -1))),
+      (5L, Seq(Seq(1, 1), Seq(1, 1), Seq(1, 1), Seq(1, 1)))).toDF("vid", "gt"))
+    val (_, tri0, den0) = Kinship.grmTriangle(gt, "gt")
+    val (_, tri1, den1) = Kinship.grmTriangle(padded, "gt")
+    assertNear(den1, den0, 1e-9) // monomorphic: 2p(1−p) = 0
+    tri0.zip(tri1).foreach { case (a, b) => assertNear(b, a, 1e-9) }
+  }
+
+  test("pca separates two planted populations on PC1") {
+    // 12 samples: 0-5 mostly ref (dosage 0), 6-11 mostly alt (dosage 2),
+    // with a deterministic flip pattern for within-group variance
+    val nV = 40
+    val rows = (0 until nV).map { v =>
+      val gts = (0 until 12).map { smp =>
+        val base = if (smp < 6) 0 else 1
+        val flip = (v * 31 + smp * 17) % 7 == 0
+        val a = if (flip) 1 - base else base
+        Seq(a, a)
+      }
+      (v.toLong, gts)
+    }
+    val df = rows.toDF("vid", "gt")
+    val (eig, proj) = Kinship.pca(df, "gt", k = 3)
+    assert(eig.length === 3)
+    assert(eig(0) >= eig(1) && eig(1) >= eig(2))
+    val pc1 = proj.orderBy(col("sample_idx")).collect()
+      .map(r => r.getSeq[Double](1).head)
+    val (grpA, grpB) = (pc1.take(6), pc1.drop(6))
+    // PC1 splits the groups: all of A on one side of all of B
+    assert(grpA.max < grpB.min || grpB.max < grpA.min,
+      s"PC1 failed to separate populations: ${pc1.toSeq}")
+    // the population split dominates the spectrum
+    assert(eig(0) > 3.0 * eig(1),
+      s"expected dominant first eigenvalue, got ${eig.toSeq}")
+  }
+}
