@@ -721,6 +721,36 @@ object Queries {
       Some("""SELECT lang, source, min(doc_id) AS first_doc
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // ── 29b. intra-corpus span dedup (MassiveText repeated-passage
+    // removal): 3-token chunks, corpus-wide first occurrence wins,
+    // documents reassembled from surviving chunks (Dedup.chunkDedup;
+    // NULL text_kept = fully-boilerplate doc) ──────────────────────────
+    QueryDef(
+      "q_chunk_dedup",
+      (s, d) =>
+        graft.ext.Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text", 3)
+          .select(col("doc_id"), col("text_kept"),
+            col("n_kept").cast("long").as("n_kept"),
+            col("n_dropped").cast("long").as("n_dropped"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+             |ex AS (SELECT doc_id, tk,
+             |    unnest(range(0, CAST(floor((len(tk)-1)/3) AS BIGINT) + 1)) AS chunk_id
+             |  FROM toks),
+             |ch AS (SELECT doc_id, chunk_id,
+             |    array_to_string(tk[chunk_id*3+1 : chunk_id*3+3], ' ') AS chunk FROM ex),
+             |w AS (SELECT doc_id, chunk_id, chunk,
+             |    row_number() OVER (PARTITION BY md5(chunk)
+             |      ORDER BY doc_id, chunk_id) AS rn
+             |  FROM ch)
+             |SELECT doc_id,
+             |  string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id)
+             |    AS text_kept,
+             |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+             |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── 30. groupwise ratio (MAF analog) ───────────────────────────────
     QueryDef(
       "q_groupwise_ratio",

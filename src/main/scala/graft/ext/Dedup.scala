@@ -385,4 +385,44 @@ object Dedup {
         "or the edge set is pathological) — raise maxIter")
     labels
   }
+
+  /** Intra-corpus SPAN dedup (the MassiveText/Gopher "remove repeated
+    * passages" step, complementing whole-document dedup): split every
+    * document into non-overlapping `chunkTokens`-token windows
+    * (`Corpus.chunkDocs`), keep only the corpus-wide FIRST occurrence
+    * of each distinct chunk (minimum (doc, chunk_id) — deterministic,
+    * not partition-order first), and reassemble each document from its
+    * surviving chunks in order.
+    *
+    * Output: (idCol, text_kept, n_kept, n_dropped) — one row per input
+    * document with ≥ 1 chunk; `text_kept` is NULL when every chunk of
+    * the document was seen earlier elsewhere (a fully-boilerplate doc —
+    * callers typically drop those rows).
+    *
+    * Scale shape: the first-occurrence decision shuffles (md5, doc,
+    * chunk_id) — a fixed 32-char key plus two scalars per chunk, NOT
+    * the chunk text (at 100-token chunks that is ~20× less shuffle IO;
+    * md5 collisions are 2⁻¹²⁸ — accepted and documented). One window
+    * over the hash decides winners, one doc-keyed aggregation
+    * reassembles; chunk text rides only the second (unavoidable —
+    * reassembly needs it). Duplicate-heavy corpora skew the hash
+    * partition; AQE's skew handling applies as with all dedup keys. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Corpus.chunkDocs(df, idCol, textCol, chunkTokens)
+    val w = Window.partitionBy(md5(col("chunk").cast("binary")))
+      .orderBy(col(idCol), col("chunk_id"))
+    val ranked = chunks.withColumn("_rn", row_number().over(w))
+    ranked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_rn") === 1,
+            struct(col("chunk_id"), col("chunk"))))),
+          c => c.getField("chunk")), " ").as("_txt"),
+        count(when(col("_rn") === 1, lit(1))).as("n_kept"),
+        count(when(col("_rn") > 1, lit(1))).as("n_dropped"))
+      .withColumn("text_kept", nullif(col("_txt"), lit("")))
+      .drop("_txt")
+  }
 }

@@ -231,4 +231,22 @@ class CorpusSpec extends SparkTestBase {
     assert(out.filter(_._1 == 2L).map(_._3) === Seq("a b c"))
     assert(out.count(_._1 == 3L) === 1) // Spark split("") yields [""]
   }
+
+  test("chunkDedup: corpus-wide first occurrence wins, docs reassemble in order") {
+    val d = Seq(
+      (1L, "a b c d x y"),     // chunks: "a b", "c d", "x y"
+      (2L, "c d a b p q"),     // "c d", "a b" seen in doc 1 → only "p q" survives
+      (3L, "a b c d"),         // fully boilerplate → text_kept NULL
+      (4L, "p q r s")          // "p q" lost to doc 2, "r s" fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("text_kept")), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(out(1L) === ((Some("a b c d x y"), 3L, 0L)))
+    assert(out(2L) === ((Some("p q"), 1L, 2L)))
+    assert(out(3L) === ((None, 0L, 2L)))
+    assert(out(4L) === ((Some("r s"), 1L, 1L)))
+  }
 }
