@@ -317,6 +317,49 @@ object Corpus {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination — the zero-shuffle twin of
+    * [[decontaminate]] for when the benchmark suite is large enough
+    * that even a broadcast hash join of its shingles is unwelcome: all
+    * distinct benchmark n-gram shingle hashes go into ONE Bloom filter
+    * (`fpp` sized, a few bits per shingle — tens of MB for hundreds of
+    * millions of shingles), the filter broadcasts once, and every
+    * training document is probed map-side against its own shingle
+    * array. No explode, no join, no shuffle: the only cluster traffic
+    * is the filter broadcast.
+    *
+    * Semantics: drops training docs with ≥ `minShared` distinct
+    * shingles hitting the filter — overlap counted against the UNION
+    * of benchmark shingles, a conservative superset of
+    * [[decontaminate]]'s per-benchmark-doc rule (union count ≥ any
+    * single-doc count). Errors are therefore ONE-SIDED in the safe
+    * direction: a contaminated doc is NEVER kept (Bloom filters have
+    * no false negatives); a clean doc may be dropped with probability
+    * ≤ ~`fpp`·shingles-per-doc. The probe is a Scala UDF by necessity
+    * (a sketch lookup has no Catalyst form) — but a row-local,
+    * allocation-free one. */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 13, minShared: Long = 1,
+                         fpp: Double = 0.001): DataFrame = {
+    val benchShingles = bench
+      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+      .select(explode(array_distinct(TextHash.shingleHashes(col("_whs"), n))).as("_sh"))
+      .distinct()
+    val expected = math.max(benchShingles.count(), 1L)
+    val bf = benchShingles.stat.bloomFilter("_sh", expected, fpp)
+    val bcast = train.sparkSession.sparkContext.broadcast(bf)
+    val hits = udf { shingles: Seq[Long] =>
+      var c = 0L
+      shingles.foreach(h => if (bcast.value.mightContainLong(h)) c += 1)
+      c
+    }
+    train
+      .withColumn("_whs", TextHash.wordHashes(col(textCol)))
+      .withColumn("_hits", hits(array_distinct(TextHash.shingleHashes(col("_whs"), n))))
+      .filter(col("_hits") < minShared)
+      .drop("_whs", "_hits")
+  }
+
   /** Deterministic train/validation/test split: appends `outCol` with
     * the split label chosen by where [[orderHash]](id)/2³¹ falls in the
     * cumulative `fractions` ranges (last split takes any rounding

@@ -130,6 +130,34 @@ class CorpusSpec extends SparkTestBase {
     assert(kept.sameElements(Array(2L, 3L)))
   }
 
+  test("bloomDecontaminate never keeps a doc the exact rule drops") {
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "gamma delta epsilon zeta eta something else entirely here"))
+      .toDF("doc_id", "text")
+    for (minShared <- Seq(1L, 2L)) {
+      val exact = Corpus.decontaminate(train, bench, "doc_id", "text",
+        n = 5, minShared = minShared).select("doc_id").as[Long].collect().toSet
+      val bloom = Corpus.bloomDecontaminate(train, bench, "doc_id", "text",
+        n = 5, minShared = minShared).select("doc_id").as[Long].collect().toSet
+      // one-sided: bloom may drop extra (fpp), never keep a contaminated doc
+      assert(bloom.subsetOf(exact), s"minShared=$minShared: $bloom ⊄ $exact")
+      // at this size and fpp the fp probability is negligible → equal
+      assert(bloom === exact)
+    }
+    // larger planted corpus: every exact-contaminated doc is gone
+    val big = docs(200)
+    val bench2 = big.filter(col("doc_id") <= 5).select(col("doc_id") + 1000, col("text"))
+      .toDF("doc_id", "text")
+    val exactKept = Corpus.decontaminate(big, bench2, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomKept = Corpus.bloomDecontaminate(big, bench2, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomKept.subsetOf(exactKept))
+  }
+
   test("transitiveClusters converges on a long path via pointer doubling") {
     // 64-node path 0-1-2-...-63: diameter 63, but pointer doubling needs
     // only O(log n) rounds — maxIter=10 must suffice (2^10 > 63)
