@@ -138,7 +138,16 @@ object Dedup {
     keyed.select(col("_key"), col(idCol).as("_lo"), col("_sim").as("_sa"))
       .join(keyed.select(col("_key"), col(idCol).as("_hi"), col("_sim").as("_sb")), Seq("_key"))
       .filter(col("_lo") < col("_hi"))
-      .select(col("_lo"), col("_hi"), col("_sa"), col("_sb")).distinct()
+      // canonical-key dedup instead of a corpus-wide DISTINCT shuffle:
+      // an equal-signature pair collides on all bits+1 keys — keep only
+      // the identity-key row; a distance-1/2 pair collides on EXACTLY
+      // the two keys k and k⊕sa⊕sb (exhaustive case check in the
+      // maxHamming ≤ 2 contract) — keep the smaller. Row-local, stays
+      // in codegen, and each qualifying pair survives exactly once.
+      .filter(
+        when(col("_sa") === col("_sb"), col("_key") === col("_sa"))
+          .otherwise(col("_key") <=
+            col("_key").bitwiseXOR(col("_sa")).bitwiseXOR(col("_sb"))))
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("_hi").as(idCol), col("_lo").as("dup_of"), col("hamming"))
@@ -366,13 +375,20 @@ object Dedup {
         .join(nbrMin.select(col("_a").as("id"), col("_nmin")), Seq("id"), "left")
         .select(col("id"), col("_prev"),
           least(col("_prev"), coalesce(col("_nmin"), col("_prev"))).as("comp"))
-      // pointer doubling: chase one hop up the label forest (comp[comp])
-      val hop = relaxed.select(col("id").as("_cid"), col("comp").as("_cc"))
-      val next = relaxed
+      // pointer doubling: chase TWO hops up the label forest through the
+      // CHECKPOINTED pre-round labels. A self-join on `relaxed` (the
+      // obvious comp[comp] on fresh labels) would recompute the whole
+      // neighbor-min join+groupBy subtree a second time per round —
+      // differently-projected exchanges don't reuse; two chases through
+      // comp_t instead give at least the same per-round reach (covered
+      // distance ≥ 3d+1 vs the self-join's 2d+2) while every hop side
+      // is a cheap scan of already-materialized partitions
+      val hop = labels.select(col("id").as("_cid"), col("comp").as("_cc"))
+      def chase(frame: DataFrame): DataFrame = frame
         .join(hop, col("comp") === col("_cid"), "left")
         .select(col("id"), col("_prev"),
           least(col("comp"), coalesce(col("_cc"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = chase(chase(relaxed)).localCheckpoint()
       // labels only ever decrease: any strict drop means another round
       done = next.filter(col("comp") < col("_prev")).isEmpty
       labels = next.select(col("id"), col("comp"))

@@ -161,7 +161,16 @@ object DocPipeline {
     // also collides in another band; full within-bucket recall needs
     // all-pairs edges (what embeddingCandidatePairs emits) at O(b²)
     // per bucket instead of O(b).
-    val hashed = exact.select(col(idCol), col("_whs"))
+    // (id, word-hashes) is referenced by THREE subtrees — banding, the
+    // _sa shingle join, the _sb shingle join — and each reference would
+    // re-run stages 1-4 (tokenize + gates + langid + the _fp window)
+    // from the raw corpus. Materialize it once: the checkpoint row is
+    // two scalars + one hash array (no text), so the upstream pipeline
+    // runs exactly once for the whole near-dup stage. The final
+    // anti-join's LEFT side still recomputes stages 1-4 once — that
+    // pass produces the output rows themselves (text included), and a
+    // map-only recompute is cheaper than materializing the corpus.
+    val hashed = exact.select(col(idCol), col("_whs")).localCheckpoint(true)
     val banded = Dedup.minhashBandsFromWhs(hashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
     val starCand = banded.join(bucketMin, "band_key")

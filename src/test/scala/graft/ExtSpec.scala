@@ -372,9 +372,14 @@ class ExtSpec extends SparkTestBase {
     val texts = (1L to 40L).map(i =>
       i -> Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     val docs = (texts :+ (99L -> texts.head._2)).toDF("doc_id", "text") // planted exact dup
-    val got = Dedup.simhashNearDups(docs, "doc_id", "text", bits = 16, maxHamming = 2)
+    val rows = Dedup.simhashNearDups(docs, "doc_id", "text", bits = 16, maxHamming = 2)
       .select("doc_id", "dup_of", "hamming").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    // canonical-key dedup must emit each pair EXACTLY once (a Map
+    // compare alone would mask duplicate rows)
+    assert(rows.length === rows.distinct.length,
+      s"duplicate pair rows: ${rows.groupBy(identity).filter(_._2.length > 1).keys}")
+    val got = rows.toMap
     // brute-force truth over all pairs
     val sims = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
