@@ -2667,6 +2667,41 @@ object Queries {
              |  ELSE CAST(floor(num/den*10000.0 + 0.5) AS BIGINT) END AS fst_e4
              |FROM fin ORDER BY vid""".stripMargin)),
 
+    // ── 95a. Nei (1972) gene-identity terms between the same two
+    // 6-sample groups: jx, jy, jxy per variant (map-only kernel;
+    // genome-wide D = −ln(mean jxy / √(mean jx · mean jy)) via
+    // Stats.neiD) — DuckDB recomputes from first principles with the
+    // identical expression shape, e4 fixed point ──────────────────────
+    QueryDef(
+      "q_nei_distance",
+      (s, d) =>
+        graft.operators.Stats.neiIdentity(gtTable(s, d), "gt", 0 until 6, 6 until 12)
+          .select(col("vid"),
+            e4(col("jx")).as("jx_e4"), e4(col("jy")).as("jy_e4"),
+            e4(col("jxy")).as("jxy_e4"))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(flatten(gt[1:6]),  a -> a = 0)) AS a0,
+             |  len(list_filter(flatten(gt[1:6]),  a -> a = 1)) AS a1,
+             |  len(list_filter(flatten(gt[7:12]), a -> a = 0)) AS b0,
+             |  len(list_filter(flatten(gt[7:12]), a -> a = 1)) AS b1
+             |  FROM g),
+             |fr AS (SELECT vid,
+             |  CASE WHEN a0+a1 > 0 THEN a1*1.0/(a0+a1) END AS pa,
+             |  CASE WHEN b0+b1 > 0 THEN b1*1.0/(b0+b1) END AS pb FROM cnt)
+             |SELECT vid,
+             |CASE WHEN pa IS NOT NULL AND pb IS NOT NULL THEN
+             |  CAST(floor((pa*pa + (1.0-pa)*(1.0-pa))*10000.0 + 0.5) AS BIGINT)
+             |END AS jx_e4,
+             |CASE WHEN pa IS NOT NULL AND pb IS NOT NULL THEN
+             |  CAST(floor((pb*pb + (1.0-pb)*(1.0-pb))*10000.0 + 0.5) AS BIGINT)
+             |END AS jy_e4,
+             |CASE WHEN pa IS NOT NULL AND pb IS NOT NULL THEN
+             |  CAST(floor((pa*pb + (1.0-pa)*(1.0-pb))*10000.0 + 0.5) AS BIGINT)
+             |END AS jxy_e4
+             |FROM fr ORDER BY vid""".stripMargin)),
+
     // ── 95b. kinship sufficient statistics: integer-exact centered
     // cross-products per sample pair (u = n·d − T, missing → 0; see
     // Kinship.grmPairs) — bit-stable under any partitioning, so raw

@@ -250,6 +250,59 @@ object Stats {
       .drop("_ca", "_cb", "_na", "_pa", "_nb", "_pb")
   }
 
+  /** Per-variant Nei (1972) gene-identity terms between two sample
+    * groups of a biallelic cohort — the inputs to Nei's standard
+    * genetic distance D = −ln(Jxy / √(Jx·Jy)), the classic
+    * population-divergence measure alongside [[fstHudson]]. With p̂ the
+    * alt-allele frequency over CALLED samples of a group:
+    *
+    *   jx = p̂ₓ² + (1−p̂ₓ)²,  jy likewise,  jxy = p̂ₓp̂ᵧ + (1−p̂ₓ)(1−p̂ᵧ)
+    *
+    * All three are NULL when either group has no called samples at the
+    * locus (such loci carry no between-group information and must be
+    * excluded from ALL three genome-wide means — pairwise deletion
+    * would bias I). Genome-wide: D = −ln(mean(jxy)/√(mean(jx)·mean(jy)))
+    * over non-null loci — means of per-locus identities, Nei's J̄
+    * (use [[neiD]]; averaging per-locus ratios would be wrong the same
+    * way mean-of-fst-ratios is).
+    *
+    * Scale shape: map-only per variant (two sample projections through
+    * the one-pass allele-count kernel), no shuffle at any cohort width;
+    * the genome-wide reduction is one partial-agg scan. */
+  def neiIdentity(df: DataFrame, gtCol: String, popA: Seq[Int], popB: Seq[Int]): DataFrame = {
+    val base = df
+      .withColumn("_ca", alleleCounts(selectSamples(col(gtCol), popA), lit(2)))
+      .withColumn("_cb", alleleCounts(selectSamples(col(gtCol), popB), lit(2)))
+      .withColumn("_na", element_at(col("_ca"), 1) + element_at(col("_ca"), 2))
+      .withColumn("_nb", element_at(col("_cb"), 1) + element_at(col("_cb"), 2))
+      .withColumn("_pa", when(col("_na") > 0,
+        element_at(col("_ca"), 2).cast("double") / col("_na").cast("double")))
+      .withColumn("_pb", when(col("_nb") > 0,
+        element_at(col("_cb"), 2).cast("double") / col("_nb").cast("double")))
+    val pa = col("_pa"); val pb = col("_pb")
+    // the both-groups-called guard applies to ALL three terms (jx from
+    // pa alone would otherwise survive a locus where group B is fully
+    // missing and bias the mean-of-jx against mean-of-jxy)
+    val informative = pa.isNotNull && pb.isNotNull
+    base
+      .withColumn("jx", when(informative,
+        pa * pa + (lit(1.0) - pa) * (lit(1.0) - pa)))
+      .withColumn("jy", when(informative,
+        pb * pb + (lit(1.0) - pb) * (lit(1.0) - pb)))
+      .withColumn("jxy", when(informative,
+        pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)))
+      .drop("_ca", "_cb", "_na", "_nb", "_pa", "_pb")
+  }
+
+  /** Genome-wide Nei standard distance D between the two groups (see
+    * [[neiIdentity]]); one aggregation job. */
+  def neiD(df: DataFrame, gtCol: String, popA: Seq[Int], popB: Seq[Int]): Double = {
+    val r = neiIdentity(df, gtCol, popA, popB)
+      .agg(avg(col("jx")).as("jx"), avg(col("jy")).as("jy"), avg(col("jxy")).as("jxy"))
+      .head()
+    -math.log(r.getDouble(2) / math.sqrt(r.getDouble(0) * r.getDouble(1)))
+  }
+
   /** Pairwise linkage disequilibrium r² for variant pairs within
     * `maxDist` positions of each other, from UNPHASED genotypes via the
     * composite (Burrows) correlation of dosages — Rogers & Huff 2009

@@ -108,6 +108,36 @@ class StatsSpec extends SparkTestBase {
     assert(r(4).isNullAt(1) && r(4).isNullAt(2) && r(4).isNullAt(3))
   }
 
+  test("Nei identity terms and genome-wide D from hand-computed frequencies") {
+    import spark.implicits._
+    val df = Seq(
+      // v1: pA=.25 (alleles 0,0,0,1), pB=1 → jx=.625, jy=1, jxy=.25
+      (1, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(1, 1))),
+      // v2: A sample missing → pA=.5 (n=2), pB=.25 → jx=.5, jy=.625, jxy=.5
+      (2, Seq(Seq(-1, -1), Seq(0, 1), Seq(0, 0), Seq(0, 1))),
+      // v3: group A entirely missing → all three NULL (excluded locus)
+      (3, Seq(Seq(-1, -1), Seq(-1, -1), Seq(0, 1), Seq(0, 0))))
+      .toDF("vid", "gt")
+    val r = Stats.neiIdentity(df, "gt", Seq(0, 1), Seq(2, 3))
+      .select("vid", "jx", "jy", "jxy")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assertNear(r(1).getDouble(1), 0.625)
+    assertNear(r(1).getDouble(2), 1.0)
+    assertNear(r(1).getDouble(3), 0.25)
+    assertNear(r(2).getDouble(1), 0.5)
+    assertNear(r(2).getDouble(2), 0.625)
+    assertNear(r(2).getDouble(3), 0.5)
+    assert(r(3).isNullAt(1) && r(3).isNullAt(2) && r(3).isNullAt(3))
+    // D over the two informative loci: means jx=.5625 jy=.8125 jxy=.375
+    val expected = -math.log(0.375 / math.sqrt(0.5625 * 0.8125))
+    assertNear(Stats.neiD(df, "gt", Seq(0, 1), Seq(2, 3)), expected)
+    // identical groups → I = 1 → D = 0
+    val same = Seq(
+      (1, Seq(Seq(0, 1), Seq(1, 1), Seq(0, 1), Seq(1, 1))),
+      (2, Seq(Seq(0, 0), Seq(0, 1), Seq(0, 0), Seq(0, 1)))).toDF("vid", "gt")
+    assertNear(Stats.neiD(same, "gt", Seq(0, 1), Seq(2, 3)), 0.0)
+  }
+
   test("LD pairs: composite r² from hand-computed dosage sums") {
     import spark.implicits._
     val df = Seq(
