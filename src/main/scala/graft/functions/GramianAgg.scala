@@ -54,26 +54,24 @@ case class GramianAgg(
 
   private def sFromBuf(len: Int): Int = ((math.sqrt(8.0 * len + 1) - 1) / 2).round.toInt
 
+  // vectorized kernels (netlib's pure-JVM BLAS, same dependency Spark
+  // MLlib uses): the accumulate is a packed symmetric rank-1 update —
+  // our row-major upper triangle of a symmetric matrix IS BLAS
+  // 'L'-packed storage, entry (i, j≥i) at i·s − i(i−1)/2 + (j−i) both
+  // ways — and the merge is one daxpy
+  @transient private lazy val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+
   override def update(b: Array[Double], input: InternalRow): Array[Double] = {
-    val v = child.eval(input)
-    if (v == null) return b
-    val arr = v.asInstanceOf[ArrayData]
-    val s = arr.numElements()
+    val raw = child.eval(input)
+    if (raw == null) return b
+    // one bulk copy to a primitive array; dspr then runs the s²/2
+    // multiply-adds over flat doubles
+    val v = raw.asInstanceOf[ArrayData].toDoubleArray()
+    val s = v.length
     val buf = if (b.isEmpty) new Array[Double](s * (s + 1) / 2) else b
     require(sFromBuf(buf.length) == s,
       s"gramian: vector length $s != established ${sFromBuf(buf.length)}")
-    var i = 0
-    var k = 0
-    while (i < s) {
-      val vi = arr.getDouble(i)
-      var j = i
-      while (j < s) {
-        buf(k) += vi * arr.getDouble(j)
-        j += 1
-        k += 1
-      }
-      i += 1
-    }
+    blas.dspr("L", s, 1.0, v, 1, buf)
     buf
   }
 
@@ -81,8 +79,7 @@ case class GramianAgg(
     if (x.isEmpty) return y
     if (y.isEmpty) return x
     require(x.length == y.length, s"gramian: buffer ${y.length} != ${x.length}")
-    var i = 0
-    while (i < x.length) { x(i) += y(i); i += 1 }
+    blas.daxpy(x.length, 1.0, y, 1, x, 1)
     x
   }
 

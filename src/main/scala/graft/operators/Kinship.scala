@@ -120,8 +120,16 @@ object Kinship {
     * scaling). Returns eigenvalues (descending) and a (sample_idx,
     * pcs: array<double>) DataFrame. Negative tail eigenvalues (numeric
     * noise around 0) clamp to 0 before the sqrt. */
-  def pca(df: DataFrame, gtCol: String = "gt", k: Int = 10): (Array[Double], DataFrame) = {
-    val (s, tri, den) = grmTriangle(df, gtCol)
+  def pca(df: DataFrame, gtCol: String = "gt", k: Int = 10): (Array[Double], DataFrame) =
+    pcaFromTriangle(df.sparkSession, grmTriangle(df, gtCol), k)
+
+  /** PCA from an already-computed [[grmTriangle]] — callers holding the
+    * triangle (a GRM report, the scale demo) skip the second full
+    * variant scan [[pca]] would otherwise pay. */
+  def pcaFromTriangle(spark: org.apache.spark.sql.SparkSession,
+                      triangle: (Int, Array[Double], Double),
+                      k: Int): (Array[Double], DataFrame) = {
+    val (s, tri, den) = triangle
     val m = DenseMatrix.zeros[Double](s, s)
     var idx = 0
     for (i <- 0 until s; j <- i until s) {
@@ -133,7 +141,6 @@ object Kinship {
     val top = math.min(k, s)
     val order = (s - 1) to (s - top) by -1
     val eigenvalues = order.map(es.eigenvalues(_)).toArray
-    val spark = df.sparkSession
     val rows = (0 until s).map { i =>
       Row(i.toLong, order.map { c =>
         math.sqrt(math.max(es.eigenvalues(c), 0.0)) * es.eigenvectors(i, c)
