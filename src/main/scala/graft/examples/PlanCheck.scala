@@ -93,7 +93,19 @@ object PlanCheck {
       ("q_linear_fit", "OLS sums are one partial+final hash agg, no join",
         p => p.split("HashAggregate").length >= 3 && !p.contains("Join")),
       ("q_transitions", "transition matrix: user window + tiny-key agg only",
-        p => p.split("hashpartitioning").length <= 3 && !p.contains("Join"))
+        p => p.split("hashpartitioning").length <= 3 && !p.contains("Join")),
+      ("q_grm", "GRM pair sums are one partial+final hash agg, no join",
+        p => p.split("HashAggregate").length >= 3 && !p.contains("Join")),
+      ("q_nei_distance", "Nei identity kernel is map-only (no hash shuffle)",
+        p => !p.contains("hashpartitioning")),
+      ("q_chunk_dedup", "span dedup: md5-window + doc reassembly, no join of text",
+        p => p.split("hashpartitioning").length <= 3 && p.contains(") Window")
+          && !p.contains("Join")),
+      ("q_interpolate", "interpolation: ffill+bfill frames share ONE key shuffle",
+        p => p.split("hashpartitioning").length == 2),
+      ("q_attribution", "attribution: ONE user window + tiny channel agg",
+        p => p.split("hashpartitioning").length <= 3 && p.contains(") Window")
+          && !p.contains("Join"))
     )
 
     var failed = 0

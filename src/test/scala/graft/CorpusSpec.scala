@@ -156,6 +156,11 @@ class CorpusSpec extends SparkTestBase {
     val bloomKept = Corpus.bloomDecontaminate(big, bench2, "doc_id", "text", n = 3)
       .select("doc_id").as[Long].collect().toSet
     assert(bloomKept.subsetOf(exactKept))
+    // the scale claim, pinned: the train-side plan has NO exchange at
+    // all — the filter broadcast is the only cluster traffic
+    val plan = Corpus.bloomDecontaminate(big, bench2, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
   test("transitiveClusters converges on a long path via pointer doubling") {
