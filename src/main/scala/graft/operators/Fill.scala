@@ -88,4 +88,47 @@ object Fill {
           .otherwise(coalesce(pv, nv)))
     }
   }
+
+  /** Exponentially weighted moving average per key (pandas
+    * `ewm(alpha, adjust=False, ignore_na=True).mean()`):
+    * y_t = (1−α)·y_{t−1} + α·x_t over the key's order-sorted stream;
+    * null observations leave the state unchanged (and take the carried
+    * value; leading nulls stay null). Appends `outCol`.
+    *
+    * The recurrence is inherently sequential per key, which no window
+    * frame expresses (Spark has no recursive window state) — so this is
+    * the documented `mapPartitions` escalation (SURVEY §4.2(d), same as
+    * `Corpus.packSequencesGreedy`): ONE shuffle to co-locate each key,
+    * a sort within partitions, then an O(1)-state scan. Keys must
+    * individually fit a partition (billions of short streams parallelize
+    * across partitions; one trillion-row key would serialize — the same
+    * contract every per-key sequential op carries). */
+  def ewma(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+           valueCol: String, alpha: Double, outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    require(partitionCols.nonEmpty, "ewma needs key columns (per-key streams)")
+    require(!df.columns.contains(outCol),
+      s"outCol '$outCol' already exists (schema.add would duplicate it — rename)")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.DoubleType
+    val parted = df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ orderCols).map(col): _*)
+    val outSchema = df.schema.add(outCol, DoubleType, nullable = true)
+    val keyIdx = partitionCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var state: java.lang.Double = null
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) { curKey = key; state = null }
+        val v = r.get(valIdx)
+        if (v != null) {
+          val x = v.asInstanceOf[Number].doubleValue()
+          state = if (state == null) x else (1.0 - alpha) * state + alpha * x
+        }
+        Row.fromSeq(r.toSeq :+ state)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

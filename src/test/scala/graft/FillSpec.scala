@@ -61,6 +61,30 @@ class FillSpec extends SparkTestBase {
       .find(_._2 == 7L).flatMap(_._3).contains(70.0))
   }
 
+  test("ewma follows the adjust=False recurrence; nulls carry state") {
+    val d = Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, None: Option[Double]),
+      ("A", 3L, Some(20.0)), ("A", 4L, Some(0.0)),
+      ("B", 1L, None: Option[Double]), ("B", 2L, Some(5.0))).toDF("k", "t", "v")
+    val out = vals(Fill.ewma(d, Seq("k"), Seq("t"), "v", alpha = 0.5)
+      .select(col("k"), col("t"), col("ewma").as("v")))
+    // A: y1=10; t2 null → carry 10; y3 = .5·10+.5·20 = 15; y4 = 7.5
+    // B: leading null → null; then first obs seeds state
+    assert(out === Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, Some(10.0)), ("A", 3L, Some(15.0)),
+      ("A", 4L, Some(7.5)), ("B", 1L, None), ("B", 2L, Some(5.0))))
+  }
+
+  test("ewma is deterministic under input reshuffling") {
+    val d = (1 to 500).map(i => (s"k${i % 7}", i.toLong, Some(i * 1.0)))
+      .toDF("k", "t", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Fill.ewma(df, Seq("k"), Seq("t"), "v", 0.3)
+        .select("k", "t", "ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(run(d) === run(d.repartition(13).sortWithinPartitions("v")))
+  }
+
   test("multi-column fill shares one window (single sort in the plan)") {
     val two = df.withColumn("v2", col("v") * 2)
     val out = Fill.forwardFill(two, Seq("k"), Seq("t"), Seq("v", "v2"))
