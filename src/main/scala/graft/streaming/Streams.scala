@@ -169,4 +169,42 @@ object Streams {
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  // ── streaming EWMA (flatMapGroupsWithState) ───────────────────────────
+
+  final case class EwmaPoint(userId: Long, ts: Timestamp, value: Double, ewma: Double)
+
+  /** Streaming twin of `operators/Fill.ewma` (adjust=False recurrence):
+    * per-key smoothed value maintained across micro-batches, one output
+    * row PER EVENT (Append; each event's smoothed value is final the
+    * moment it is computed — the recurrence never revises the past).
+    * State per key is ONE double — O(active keys), never O(events).
+    *
+    * Same in-order contract as [[funnelStream]]: per-key ordered
+    * delivery makes the stream equal the batch operator exactly
+    * (StreamingSpec asserts parity); out-of-order arrival would blend
+    * in the wrong order — batch recompute is the recovery path. */
+  def ewmaStream(events: Dataset[Event], alpha: Double): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[Double]): Iterator[EwmaPoint] = {
+      val out = Vector.newBuilder[EwmaPoint]
+      var cur = state.getOption
+      for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+        val y = cur match {
+          case Some(prev) => (1.0 - alpha) * prev + alpha * e.value
+          case None => e.value
+        }
+        cur = Some(y)
+        out += EwmaPoint(userId, e.ts, e.value, y)
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

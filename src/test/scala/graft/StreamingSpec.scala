@@ -263,4 +263,36 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("streaming ewma ≡ batch ewma under per-key in-order delivery") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val all = (0 until 240).map { i =>
+      Streams.Event(rnd.nextInt(9).toLong,
+        new Timestamp(1700000000000L + i * 60000L), rnd.nextInt(100).toDouble)
+    } // strictly increasing ts ⇒ per-key in-order
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.ewmaStream(input.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      all.grouped(60).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("ewma_stream")
+        .collect()
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Timestamp]("ts").getTime) ->
+          r.getAs[Double]("ewma")).toMap
+      val batch = graft.operators.Fill.ewma(
+          all.toDF("user_id", "ts", "value"),
+          Seq("user_id"), Seq("ts"), "value", 0.25)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts").getTime) ->
+          r.getAs[Double]("ewma")).toMap
+      assert(streamed.size === all.size) // one final row per event
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, v) =>
+        assert(math.abs(v - batch(k)) < 1e-12, s"parity failed at $k: $v vs ${batch(k)}")
+      }
+    } finally q.stop()
+  }
 }
