@@ -105,4 +105,40 @@ object Multimodal {
       filter(sequence(lit(0), greatest(nFrames - 1, lit(0))), i => i % everyK === 0),
       i => substring(content, (i * frameSize + 1).cast("int"), lit(frameSize)))
   }
+
+  // ── media dedup: the standard two-tier pipeline ──────────────────────
+
+  /** Tier 1 — EXACT media dedup by content digest: one row per distinct
+    * payload, keeping the smallest media_id (deterministic, not
+    * partition-order first). The md5 shuffle key is 16 bytes — the
+    * payload itself never shuffles (the q_binary_funcs digest shape,
+    * computed map-side before the exchange). Output: (dup media_id,
+    * canonical dup_of) pairs for every non-survivor. */
+  def exactDupPairs(items: Dataset[MediaItem]): Dataset[(Long, Long)] = {
+    import items.sparkSession.implicits._
+    val keyed = items.toDF()
+      .select(col("media_id"), md5(coalesce(col("content"), lit(Array.emptyByteArray))).as("_d"))
+    val canon = keyed.groupBy(col("_d")).agg(min(col("media_id")).as("_keep"))
+    keyed.join(canon, Seq("_d"))
+      .filter(col("media_id") =!= col("_keep"))
+      .select(col("media_id"), col("_keep").as("dup_of"))
+      .as[(Long, Long)]
+  }
+
+  /** Tier 2 — NEAR-dup media pairs: decode-stub features → the same
+    * LSH-bucketed embedding near-dup path the text corpus uses
+    * (`Dedup.embeddingNearDups`) — bucket keys shuffle as three scalars,
+    * cosine verifies only within-bucket candidates, nothing is
+    * all-pairs. A real deployment swaps `decodeStub` for a codec +
+    * perceptual-embedding model and this composition is unchanged —
+    * which is the point of keeping the plumbing real.
+    *
+    * Empty/null payloads are excluded: a zero feature vector has no
+    * cosine (0/0) — byte-identical empties are already caught by tier-1
+    * [[exactDupPairs]]. */
+  def nearDupPairs(items: Dataset[MediaItem], dim: Int = 16,
+                   bits: Int = 6, bands: Int = 2, tau: Double = 0.95): org.apache.spark.sql.DataFrame =
+    Dedup.embeddingNearDups(
+      extractFeatures(items, dim).toDF().filter(col("n_bytes") > 0),
+      "media_id", "features", dim, bits, tau, bands)
 }

@@ -56,4 +56,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(1).toSeq === (30 until 40).map(_.toByte))
     assert(frames(3).toSeq === (90 until 100).map(_.toByte))
   }
+
+  test("media dedup: exact pairs by digest, near-dups by feature LSH") {
+    val base = (0 until 64).map(i => (i * 7 % 256).toByte).toArray
+    val nearCopy = base.clone(); nearCopy(0) = (nearCopy(0) ^ 1).toByte
+    val other = (0 until 64).map(i => (i * 131 % 256).toByte).toArray
+    val ds = Seq(
+      item(1L, base), item(2L, base.clone()), // exact dup pair
+      item(3L, nearCopy),                      // 1-byte-off near dup of 1
+      item(4L, other),                         // unrelated
+      MediaItem(5L, "image", "image/fake", null, Map.empty),
+      MediaItem(6L, "image", "image/fake", null, Map.empty)) // null ≡ empty pair
+      .toDS()
+    val exact = Multimodal.exactDupPairs(ds).collect().toSet
+    assert(exact === Set((2L, 1L), (6L, 5L))) // min-id canonical, null-safe
+    val near = Multimodal.nearDupPairs(ds, dim = 16, bits = 4, bands = 2, tau = 0.999)
+      .select("media_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(near.contains((2L, 1L))) // identical content: cos = 1
+    assert(near.contains((3L, 1L)), s"near-copy not found in $near") // 1-byte drift
+    assert(!near.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated stays out
+  }
 }
