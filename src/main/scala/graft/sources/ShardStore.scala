@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+/** Training-shard writer — the pipeline's last mile: turn a prepared
+  * corpus into N reproducible parquet shards plus a verifiable
+  * MANIFEST, so a trainer (or an auditor, months later) can check that
+  * what it reads is byte-for-byte what the pipeline wrote.
+  *
+  * Sharding is `pmod(orderHash(id), numShards)` — a pure function of
+  * the row id, so a document's shard never depends on partitioning,
+  * input order, task retries, or corpus growth elsewhere (the
+  * assignSplits stability argument applied to shards). The manifest
+  * fingerprint per shard is `bit_xor` of a whole-row hash:
+  * order-INDEPENDENT (parquet row order within a shard is layout, not
+  * content), overflow-free, and cheap to recompute at read time.
+  *
+  * Scale shape: one hash-partitioned write (the only shuffle), one
+  * partial+final aggregation for the manifest over the same scan; no
+  * driver-side iteration at any corpus size. */
+object ShardStore {
+
+  /** Write `df` as `numShards` hash-sharded parquet directories under
+    * `path` (partition column `shard`) and a `_manifest` parquet next
+    * to them; returns the manifest (shard, n_rows, fingerprint).
+    * `hashCols` selects the columns that DEFINE content identity
+    * (default: every input column). */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int, path: String,
+                  hashCols: Seq[String] = Nil): DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val cols = if (hashCols.nonEmpty) hashCols else df.columns.toSeq
+    df.withColumn("shard", pmod(Corpus.orderHash(col(idCol)), lit(numShards.toLong)))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // fingerprint the files that LANDED, not the in-memory frame — the
+    // manifest certifies bytes on disk (and costs a scan of compressed
+    // parquet, not a second pass over the upstream pipeline)
+    val manifest = shardManifest(df.sparkSession.read.parquet(path), cols)
+    manifest.write.mode("overwrite").parquet(s"$path/_manifest")
+    manifest
+  }
+
+  /** The shard → (n_rows, fingerprint) aggregation; `bit_xor` over
+    * xxhash64 of the content columns. */
+  private def shardManifest(sharded: DataFrame, cols: Seq[String]): DataFrame =
+    sharded
+      .withColumn("_h", xxhash64(cols.map(col): _*))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("fingerprint"))
+
+  /** Recompute the manifest from what is ON DISK and compare against
+    * the stored one; returns per-shard rows with an `ok` flag (false =
+    * corruption, truncation, or post-hoc mutation). The audit a trainer
+    * runs before consuming a shard set. */
+  def validateShards(spark: SparkSession, path: String,
+                     hashCols: Seq[String] = Nil): DataFrame = {
+    val data = spark.read.parquet(path)
+    val cols = if (hashCols.nonEmpty) hashCols
+      else data.columns.toSeq.filter(_ != "shard")
+    val actual = shardManifest(data, cols)
+      .withColumnRenamed("n_rows", "actual_rows")
+      .withColumnRenamed("fingerprint", "actual_fp")
+    spark.read.parquet(s"$path/_manifest")
+      .join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_rows"), col("actual_rows"),
+        col("fingerprint"), col("actual_fp"),
+        (col("n_rows") <=> col("actual_rows") &&
+          col("fingerprint") <=> col("actual_fp")).as("ok"))
+  }
+}
