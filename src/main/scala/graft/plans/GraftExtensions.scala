@@ -1,11 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GreaterThanOrEqual, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
-import graft.ext.{JaccardExpr, JaccardGteExpr}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import graft.ext.{CharHashExpr, JaccardExpr, JaccardGteExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr, WordHashesExpr}
+import graft.functions.{DotExpr, GramianAgg, GtStats, HeavyHittersAgg}
 
 /** Catalyst citizenship: the engine's optimizer rules, injected through
   * the standard `SparkSessionExtensions` hook —
@@ -21,8 +23,70 @@ import graft.ext.{JaccardExpr, JaccardGteExpr}
   * fire on predicate SHAPES users write, which no single expression
   * constructor can see. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaccardPredicateRule)
+    GraftExtensions.sqlFunctions.foreach(ext.injectFunction)
+  }
+}
+
+/** SQL names for the engine's custom expressions — `spark.sql` users
+  * get the same codegen kernels the Scala API builds, with no
+  * wrapping UDF layer (so pushdown, codegen and the optimizer rule
+  * above all still apply to SQL-authored queries):
+  *
+  * {{{ SELECT doc_id FROM d a JOIN d b
+  *     WHERE jaccard_sim(shingle_hashes(word_hashes(a.text), 3),
+  *                       shingle_hashes(word_hashes(b.text), 3)) >= 0.8 }}}
+  *
+  * Static-parameter kernels (shingle n, minhash k, simhash bits,
+  * heavy-hitter k) take an integer LITERAL — they compile the constant
+  * into generated code, which is the point of their design. */
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.GraftExtensions", name, usage),
+      builder)
+
+  private[graft] val sqlFunctions = Seq(
+    fn("char_hash", "char_hash(str) - rolling character hash (fingerprint key)") {
+      a => CharHashExpr(a.head)
+    },
+    fn("word_hashes", "word_hashes(str) - array of per-word rolling hashes") {
+      a => WordHashesExpr(a.head)
+    },
+    fn("shingle_hashes", "shingle_hashes(word_hashes, n) - word n-gram shingle hashes") {
+      a => ShingleHashesExpr(a.head, intLit(a(1), "shingle_hashes"))
+    },
+    fn("minhash_sig", "minhash_sig(word_hashes, k) - k-permutation MinHash signature") {
+      a => MinHashSigExpr(a.head, intLit(a(1), "minhash_sig"))
+    },
+    fn("simhash", "simhash(word_hashes, bits) - SimHash of the hash multiset") {
+      a => SimHashExpr(a.head, intLit(a(1), "simhash"))
+    },
+    fn("jaccard_sim", "jaccard_sim(arr_a, arr_b) - exact set Jaccard " +
+      "(>= literal threshold rewrites to the early-exit kernel)") {
+      a => JaccardExpr(a.head, a(1))
+    },
+    fn("vec_dot", "vec_dot(arr_a, arr_b) - float-vector dot product") {
+      a => DotExpr(a.head, a(1))
+    },
+    fn("gt_stats", "gt_stats(gt, n_alleles) - one-pass genotype stats struct") {
+      a => GtStats(a.head, a(1))
+    },
+    fn("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries top items (aggregate)") {
+      a => HeavyHittersAgg(a.head, intLit(a(1), "heavy_hitters"))
+    },
+    fn("gramian", "gramian(vec) - packed upper-triangular sum of v*v' (aggregate)") {
+      a => GramianAgg(a.head)
+    })
 }
 
 /** Rewrites `jaccard_sim(a, b) >= τ` (τ a non-NaN double literal) into

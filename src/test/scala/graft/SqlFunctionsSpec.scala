@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextHash
+
+/** The SQL surface of the custom kernels (GraftExtensions
+  * injectFunction): spark.sql users must get the SAME codegen
+  * expressions the Scala API builds — each test cross-checks the SQL
+  * name against its Column-API twin. */
+class SqlFunctionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("text kernels by SQL name ≡ Column API") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT char_hash(text) AS ch, word_hashes(text) AS wh,
+        |  shingle_hashes(word_hashes(text), 3) AS sh,
+        |  minhash_sig(word_hashes(text), 4) AS mh,
+        |  simhash(word_hashes(text), 16) AS sim
+        |FROM sqlfn_docs""".stripMargin).head()
+    val viaApi = df.select(
+      TextHash.fingerprint(col("text")).as("ch"),
+      TextHash.wordHashes(col("text")).as("wh"),
+      TextHash.shingleHashes(TextHash.wordHashes(col("text")), 3).as("sh"),
+      TextHash.minhashSignature(TextHash.wordHashes(col("text")), 4).as("mh"),
+      TextHash.simhash(TextHash.wordHashes(col("text")), 16).as("sim")).head()
+    assert(viaSql === viaApi)
+  }
+
+  test("jaccard_sim in SQL; >= literal threshold fires the fused rewrite") {
+    val j = spark.sql(
+      "SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+    // a FILE source, not a local relation: ConvertToLocalRelation would
+    // otherwise evaluate the projection at plan time and hide whether
+    // the rewrite fired
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+      .createOrReplaceTempView("sqlfn_docs2")
+    val pred = spark.sql(
+      """SELECT jaccard_sim(shingle_hashes(word_hashes(text), 3),
+        |                   shingle_hashes(word_hashes(text), 3)) >= 0.5 AS hit
+        |FROM sqlfn_docs2""".stripMargin)
+    assert(pred.queryExecution.executedPlan.toString.toLowerCase.contains("jaccard_gte"),
+      "optimizer rule did not rewrite the SQL-authored predicate")
+    assert(pred.collect().forall(_.getBoolean(0))) // self-similarity = 1
+  }
+
+  test("aggregates by SQL name: heavy_hitters and gramian") {
+    Seq("a", "a", "a", "b", "c").toDF("w").createOrReplaceTempView("sqlfn_words")
+    val hh = spark.sql("SELECT heavy_hitters(w, 3) AS top FROM sqlfn_words")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) === "a")
+    Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDF("v").createOrReplaceTempView("sqlfn_vecs")
+    val g = spark.sql("SELECT gramian(v) AS g FROM sqlfn_vecs").head().getSeq[Double](0)
+    assert(g === Seq(10.0, 14.0, 20.0)) // [1+9, 2+12, 4+16]
+  }
+
+  test("gt_stats by SQL name on a genotype array") {
+    Seq((1L, Seq(Seq(0, 1), Seq(1, 1), Seq(-1, -1)))).toDF("vid", "gt")
+      .createOrReplaceTempView("sqlfn_gt")
+    val r = spark.sql("SELECT gt_stats(gt, 2) AS s FROM sqlfn_gt")
+      .select("s.*").head()
+    // 2 called samples of 3; alleles: one 0, three 1
+    assert(r.getAs[Long]("n_called") === 2L)
+    assert(r.getAs[Seq[Long]]("counts") === Seq(1L, 3L))
+  }
+}
