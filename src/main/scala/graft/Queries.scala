@@ -2702,6 +2702,35 @@ object Queries {
              |END AS jxy_e4
              |FROM fr ORDER BY vid""".stripMargin)),
 
+    // ── 95a2. mean-imputed dosage matrix, long form: the standard
+    // pre-matrix-methods imputation (missing → variant mean over
+    // called), e4 fixed point; identical division shape both engines ──
+    QueryDef(
+      "q_gt_impute",
+      (s, d) =>
+        graft.operators.Kinship.meanImputedDosages(gtTable(s, d), "gt")
+          .select(col("vid"), posexplode(col("dos_imp")).as(Seq("sample_idx", "_v")))
+          .select(col("vid"), col("sample_idx").cast("long").as("sample_idx"),
+            e4(col("_v")).as("dos_e4"))
+          .orderBy(col("vid"), col("sample_idx")),
+      Some(s"""WITH g AS ($duckGt),
+             |dd AS (SELECT vid, list_transform(gt, x ->
+             |    CASE WHEN list_contains(x, -1) THEN -1
+             |         ELSE CAST(list_aggregate(x, 'sum') AS INT) END) AS dos
+             |  FROM g),
+             |st AS (SELECT vid, dos,
+             |    len(list_filter(dos, d -> d >= 0)) AS n,
+             |    coalesce(list_aggregate(list_filter(dos, d -> d >= 0), 'sum'), 0) AS t
+             |  FROM dd),
+             |ex AS (SELECT vid, n, t,
+             |    unnest(dos) AS d, unnest(range(0, len(dos))) AS sample_idx
+             |  FROM st)
+             |SELECT vid, CAST(sample_idx AS BIGINT) AS sample_idx,
+             |  CAST(floor((CASE WHEN d >= 0 THEN CAST(d AS DOUBLE)
+             |    ELSE CAST(t AS DOUBLE) / CAST(n AS DOUBLE) END)*10000.0 + 0.5)
+             |    AS BIGINT) AS dos_e4
+             |FROM ex ORDER BY vid, sample_idx""".stripMargin)),
+
     // ── 95b. kinship sufficient statistics: integer-exact centered
     // cross-products per sample pair (u = n·d − T, missing → 0; see
     // Kinship.grmPairs) — bit-stable under any partitioning, so raw

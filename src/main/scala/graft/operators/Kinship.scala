@@ -73,6 +73,22 @@ object Kinship {
       .agg(sum(col("_p.a")).as("a"))
   }
 
+  /** Mean-imputed dosage vectors (`array<double>`): each missing call
+    * takes the variant's mean dosage over CALLED samples — the standard
+    * imputation ahead of matrix methods (it is exactly what makes a
+    * centered missing entry contribute zero in [[grm]]); exposed
+    * standalone for pipelines that export a dense dosage matrix.
+    * Variants with no called samples keep an all-null vector (there is
+    * no mean to impute). Map-only at any cohort width. */
+  def meanImputedDosages(df: DataFrame, gtCol: String = "gt",
+                         outCol: String = "dos_imp"): DataFrame =
+    withDosStats(df, gtCol)
+      .withColumn(outCol, when(col("_n") > 0,
+        transform(col("_dos"), d =>
+          when(d >= 0, d.cast("double"))
+            .otherwise(col("_t").cast("double") / col("_n").cast("double")))))
+      .drop("_dos", "_cal", "_n", "_t")
+
   /** Centered-dosage vector (`array<double>`, missing → 0.0) and the
     * VanRaden denominator weight 2p(1−p) per variant. Variants with no
     * called samples are dropped (p undefined). */

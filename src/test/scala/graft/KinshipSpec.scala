@@ -83,6 +83,17 @@ class KinshipSpec extends SparkTestBase {
     tri0.zip(tri1).foreach { case (a, b) => assertNear(b, a, 1e-9) }
   }
 
+  test("meanImputedDosages: missing takes the called mean; all-missing stays null") {
+    val df = Seq(
+      (1L, Seq(Seq(0, 1), Seq(-1, -1), Seq(1, 1))),   // dosages 1,·,2 → mean 1.5
+      (2L, Seq(Seq(-1, -1), Seq(-1, -1), Seq(-1, -1)))) // no mean to impute
+      .toDF("vid", "gt")
+    val out = Kinship.meanImputedDosages(df, "gt").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](2)).map(_.toSeq)).toMap
+    assert(out(1L) === Some(Seq(1.0, 1.5, 2.0)))
+    assert(out(2L) === None)
+  }
+
   test("pca separates two planted populations on PC1") {
     // 12 samples: 0-5 mostly ref (dosage 0), 6-11 mostly alt (dosage 2),
     // with a deterministic flip pattern for within-group variance
