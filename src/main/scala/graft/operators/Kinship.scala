@@ -139,12 +139,62 @@ object Kinship {
   def pca(df: DataFrame, gtCol: String = "gt", k: Int = 10): (Array[Double], DataFrame) =
     pcaFromTriangle(df.sparkSession, grmTriangle(df, gtCol), k)
 
-  /** PCA from an already-computed [[grmTriangle]] — callers holding the
-    * triangle (a GRM report, the scale demo) skip the second full
-    * variant scan [[pca]] would otherwise pay. */
-  def pcaFromTriangle(spark: org.apache.spark.sql.SparkSession,
-                      triangle: (Int, Array[Double], Double),
-                      k: Int): (Array[Double], DataFrame) = {
+  /** Variant LOADINGS of the cohort PCA — the reusable artifact for
+    * projecting NEW samples onto the reference PCs (ancestry
+    * assignment): l_v = Zᵀ·U·Λ^(−1/2)/den per variant, plus the
+    * variant's reference allele frequency p (a projected sample must be
+    * centered by the REFERENCE cohort's frequencies, never its own).
+    * Self-consistency: projecting the reference cohort through these
+    * loadings reproduces [[pca]]'s scores exactly (Z·L = K·U·Λ^(−1/2) =
+    * U·Λ^(1/2); KinshipSpec asserts it).
+    *
+    * Scale shape: the small U matrix (S×k) broadcasts as literals into
+    * a map-only projection over variants — one pass, no shuffle beyond
+    * [[grmTriangle]]'s own aggregation. Output: (idCol, p, loadings). */
+  def pcaLoadings(df: DataFrame, idCol: String, gtCol: String = "gt",
+                  k: Int = 10): (Array[Double], DataFrame) = {
+    val tri@(s, _, den) = grmTriangle(df, gtCol)
+    val (eigenvalues, _) = pcaFromTriangle(df.sparkSession, tri, k)
+    val es = eigSym(triToMatrix(tri))
+    val top = math.min(k, s)
+    val order = (s - 1) to (s - top) by -1
+    // scaled eigenvector columns: u_c / (den·√λ_c), one literal array per PC
+    val uScaled: Seq[Seq[Double]] = order.zipWithIndex.map { case (c, ci) =>
+      val lam = math.max(eigenvalues(ci), 0.0)
+      val scale = if (lam > 0) 1.0 / (den * math.sqrt(lam)) else 0.0
+      (0 until s).map(i => es.eigenvectors(i, c) * scale)
+    }
+    val loadings = centeredDosages(df, gtCol)
+      .withColumn("loadings", array(uScaled.map { u =>
+        aggregate(zip_with(col("_z"), lit(u.toArray), (z, w) => z * w),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*))
+      .select(col(idCol), col("_p").as("p"), col("loadings"))
+    (eigenvalues, loadings)
+  }
+
+  /** Project a cohort onto precomputed [[pcaLoadings]]: per variant,
+    * z′ = d′ − 2p (REFERENCE p; missing → 0), each sample's coordinate
+    * vector is Σ_variants z′·l_v. One equi-join on the variant id, one
+    * sample-keyed [[graft.functions.VecSumAgg]] reduction (partial
+    * aggregation collapses to S′ rows per partition before the
+    * shuffle). Variants absent from the loadings (not in the reference
+    * panel) are ignored — the inner join IS the panel filter. */
+  def pcaProjectNew(newDf: DataFrame, loadingsDf: DataFrame,
+                    idCol: String, gtCol: String = "gt"): DataFrame = {
+    import graft.functions.VecSumAgg
+    val dosed = newDf.select(col(idCol), dosagesFromGt(col(gtCol)).as("_dos"))
+      .join(loadingsDf, Seq(idCol))
+      .select(posexplode(col("_dos")).as(Seq("sample_idx", "_d")),
+        col("p"), col("loadings"))
+      .withColumn("_z", when(col("_d") >= 0,
+        col("_d").cast("double") - lit(2.0) * col("p")).otherwise(lit(0.0)))
+      .withColumn("_contrib", transform(col("loadings"), l => l * col("_z")))
+    dosed.groupBy(col("sample_idx").cast("long").as("sample_idx"))
+      .agg(VecSumAgg.of(col("_contrib")).as("pcs"))
+  }
+
+  private def triToMatrix(triangle: (Int, Array[Double], Double)): DenseMatrix[Double] = {
     val (s, tri, den) = triangle
     val m = DenseMatrix.zeros[Double](s, s)
     var idx = 0
@@ -153,7 +203,17 @@ object Kinship {
       m(j, i) = m(i, j)
       idx += 1
     }
-    val es = eigSym(m) // eigenvalues ascending
+    m
+  }
+
+  /** PCA from an already-computed [[grmTriangle]] — callers holding the
+    * triangle (a GRM report, the scale demo) skip the second full
+    * variant scan [[pca]] would otherwise pay. */
+  def pcaFromTriangle(spark: org.apache.spark.sql.SparkSession,
+                      triangle: (Int, Array[Double], Double),
+                      k: Int): (Array[Double], DataFrame) = {
+    val s = triangle._1
+    val es = eigSym(triToMatrix(triangle)) // eigenvalues ascending
     val top = math.min(k, s)
     val order = (s - 1) to (s - top) by -1
     val eigenvalues = order.map(es.eigenvalues(_)).toArray

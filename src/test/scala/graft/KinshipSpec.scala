@@ -94,6 +94,54 @@ class KinshipSpec extends SparkTestBase {
     assert(out(2L) === None)
   }
 
+  test("pcaLoadings: self-projection reproduces the pca scores") {
+    val df = Seq(
+      (1L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(1, 1))),
+      (2L, Seq(Seq(0, 1), Seq(-1, -1), Seq(1, 1), Seq(0, 0))),
+      (3L, Seq(Seq(0, 0), Seq(0, 0), Seq(0, 1), Seq(1, 1))),
+      (4L, Seq(Seq(1, 1), Seq(0, 1), Seq(0, 0), Seq(0, 1)))).toDF("vid", "gt")
+    val (eig, proj) = Kinship.pca(df, "gt", k = 3)
+    val expected = proj.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val (eig2, loadings) = Kinship.pcaLoadings(df, "vid", "gt", k = 3)
+    assert(eig.toSeq === eig2.toSeq)
+    // projecting the SAME cohort through the loadings must give the
+    // same coordinates: Z·L = U·Λ^(1/2)
+    val got = Kinship.pcaProjectNew(df, loadings, "vid", "gt").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (i, v) =>
+      v.zip(expected(i)).foreach { case (a, b) => assertNear(a, b, 1e-9) }
+    }
+  }
+
+  test("pcaProjectNew places a new population-A-like sample on A's side") {
+    val nV = 40
+    val rows = (0 until nV).map { v =>
+      val gts = (0 until 12).map { smp =>
+        val base = if (smp < 6) 0 else 1
+        val flip = (v * 31 + smp * 17) % 7 == 0
+        val a = if (flip) 1 - base else base
+        Seq(a, a)
+      }
+      (v.toLong, gts)
+    }
+    val ref = rows.toDF("vid", "gt")
+    val (_, loadings) = Kinship.pcaLoadings(ref, "vid", "gt", k = 2)
+    val refProj = Kinship.pcaProjectNew(ref, loadings, "vid", "gt").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    val aSide = (0 until 6).map(refProj(_)) // population A's PC1 range
+    // new cohort: one all-ref sample (A-like), one all-alt (B-like)
+    val newbies = (0 until nV).map { v =>
+      (v.toLong, Seq(Seq(0, 0), Seq(1, 1)))
+    }.toDF("vid", "gt")
+    val np = Kinship.pcaProjectNew(newbies, loadings, "vid", "gt").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    // the A-like newcomer lands on A's sign side, B-like on the other
+    assert(math.signum(np(0L)) === math.signum(aSide.sum / 6))
+    assert(math.signum(np(1L)) === -math.signum(aSide.sum / 6))
+  }
+
   test("pca separates two planted populations on PC1") {
     // 12 samples: 0-5 mostly ref (dosage 0), 6-11 mostly alt (dosage 2),
     // with a deterministic flip pattern for within-group variance
