@@ -105,7 +105,9 @@ object PlanCheck {
         p => p.split("hashpartitioning").length == 2),
       ("q_attribution", "attribution: ONE user window + tiny channel agg",
         p => p.split("hashpartitioning").length <= 3 && p.contains(") Window")
-          && !p.contains("Join"))
+          && !p.contains("Join")),
+      ("q_gt_impute", "mean imputation is map-only (no hash shuffle, no join)",
+        p => !p.contains("hashpartitioning") && !p.contains("Join"))
     )
 
     var failed = 0
