@@ -751,6 +751,32 @@ object Queries {
              |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
              |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 29c. corpus report (the "dataset card" aggregation): per
+    // (lang, source) — doc count, char volume, token mean, DISTINCT
+    // content fingerprints (dedup headroom) — one scan, one agg ───────
+    QueryDef(
+      "q_corpus_report",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("_fp", graft.ext.TextHash.fingerprint(col("text")))
+          .withColumn("_nt", size(split(col("text"), " ")).cast("long"))
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            round(avg(col("_nt")), 4).as("avg_tokens"),
+            countDistinct(col("_fp")).as("n_distinct_fp"))
+          .orderBy(col("lang"), col("source")),
+      Some(s"""SELECT lang, source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4)
+             |    AS avg_tokens,
+             |  CAST(count(DISTINCT ${duckCharHash("text")}) AS BIGINT)
+             |    AS n_distinct_fp
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
     // ── 30. groupwise ratio (MAF analog) ───────────────────────────────
     QueryDef(
       "q_groupwise_ratio",
