@@ -1958,6 +1958,38 @@ object Queries {
              |FROM a WHERE event_type = 'purchase'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ── 71d. multi-touch linear attribution: integer sufficient
+    // statistics per (channel, n_touches) — pair counts are exact, and
+    // credit = pairs/n is ONE division then e4 floor (no float sums
+    // anywhere, so engines agree bitwise) ─────────────────────────────
+    QueryDef(
+      "q_attribution_linear",
+      (s, d) => {
+        import graft.operators.Events
+        Events.attributionLinear(events(s, d), "user_id", "ts", "event_id",
+            "event_type", Seq("view", "click"), "purchase")
+          .groupBy(col("channel"), col("n_touches"))
+          .agg(count(lit(1)).cast("long").as("pairs"))
+          .withColumn("credit_e4",
+            floor(col("pairs").cast("double") / col("n_touches").cast("double")
+              * 10000.0 + 0.5).cast("long"))
+          .orderBy(col("channel"), col("n_touches"))
+      },
+      Some("""WITH a AS (SELECT user_id, event_id, event_type,
+             |  list(event_type) FILTER (event_type IN ('view', 'click'))
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touches
+             |  FROM events),
+             |p AS (SELECT u.ch AS channel,
+             |    CAST(len(touches) AS BIGINT) AS n_touches
+             |  FROM a, unnest(touches) u(ch)
+             |  WHERE event_type = 'purchase' AND len(touches) > 0)
+             |SELECT channel, n_touches, CAST(count(*) AS BIGINT) AS pairs,
+             |  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(n_touches AS DOUBLE)
+             |    * 10000.0 + 0.5) AS BIGINT) AS credit_e4
+             |FROM p GROUP BY channel, n_touches
+             |ORDER BY channel, n_touches""".stripMargin)),
+
     // ── 71. binary (multimodal) columns cross-engine: text bytes as an
     // opaque BLOB — byte length, standard MD5 content digest (the
     // media-dedup key shape), and a byte-slice, all engine-independent ─

@@ -74,6 +74,37 @@ object Events {
     * a single shuffle on the user key no matter how long the streams
     * are. Ordering ties on `tsCol` are broken by `idCol` so credit is
     * partition-order-independent. */
+  /** MULTI-touch (linear) attribution: every touch strictly before a
+    * conversion shares its credit equally — the complement of
+    * [[attribution]]'s winner-take-all models. Output: one row per
+    * (conversion, preceding touch) with the touch `channel`, the
+    * conversion's `n_touches`, and `weight` = 1/n_touches; conversions
+    * with no preceding touch emit nothing (callers count them as
+    * 'direct' via [[attribution]]).
+    *
+    * Scale shape: one user-keyed window whose per-row state is the
+    * LIST of preceding touches (collect_list skips the null
+    * non-touches) — memory per row is the user's touch count, the same
+    * per-key bound as sorted collect_list aggregation; the explode
+    * multiplies only conversion rows. Ordering ties break on `idCol`,
+    * so credit is partition-order-independent. */
+  def attributionLinear(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String, touchTypes: Seq[String],
+                        convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(lit): _*), col(typeCol))
+    events
+      .withColumn("_touches", collect_list(touch).over(w))
+      .filter(col(typeCol) === convType && size(col("_touches")) > 0)
+      .withColumn("n_touches", size(col("_touches")).cast("long"))
+      .select(col(userCol), col(idCol), col(tsCol),
+        explode(col("_touches")).as("channel"),
+        col("n_touches"),
+        (lit(1.0) / col("n_touches")).as("weight"))
+  }
+
   def attribution(events: DataFrame, userCol: String, tsCol: String,
                   idCol: String, typeCol: String, touchTypes: Seq[String],
                   convType: String, model: String = "last"): DataFrame = {

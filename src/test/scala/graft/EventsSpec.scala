@@ -77,4 +77,30 @@ class EventsSpec extends SparkTestBase {
     assert(credits("first") === Map(
       3L -> Some("view"), 4L -> None, 7L -> Some("view"), 9L -> Some("view")))
   }
+
+  test("attributionLinear: equal split over preceding touches only") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"), // view+click → ½ each
+      (1L, ts("2024-01-01 10:03:00"), 4L, "view"),
+      (1L, ts("2024-01-01 10:04:00"), 5L, "purchase"), // 3 touches → ⅓ each
+      (2L, ts("2024-01-01 09:00:00"), 6L, "purchase")) // no touches → no rows
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Events.attributionLinear(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"), "purchase")
+      .select("event_id", "channel", "n_touches", "weight").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.count(_._1 == 3L) === 2)
+    rows.filter(_._1 == 3L).foreach { case (_, _, n, w) =>
+      assert(n === 2L && math.abs(w - 0.5) < 1e-12)
+    }
+    assert(rows.count(_._1 == 5L) === 3)
+    rows.filter(_._1 == 5L).foreach { case (_, _, n, w) =>
+      assert(n === 3L && math.abs(w - 1.0 / 3.0) < 1e-12)
+    }
+    assert(!rows.exists(_._1 == 6L))
+    // total credit per conversion sums to 1
+    assert(math.abs(rows.filter(_._1 == 3L).map(_._4).sum - 1.0) < 1e-12)
+  }
 }
