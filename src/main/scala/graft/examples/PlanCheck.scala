@@ -107,7 +107,12 @@ object PlanCheck {
         p => p.split("hashpartitioning").length <= 3 && p.contains(") Window")
           && !p.contains("Join")),
       ("q_gt_impute", "mean imputation is map-only (no hash shuffle, no join)",
-        p => !p.contains("hashpartitioning") && !p.contains("Join"))
+        p => !p.contains("hashpartitioning") && !p.contains("Join")),
+      ("q_corpus_report", "dataset card: one scan, no join (distinct via agg)",
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 3),
+      ("q_attribution_linear", "linear credit: ONE user window, tiny-key agg, no join",
+        p => !p.contains("Join") && p.contains(") Window")
+          && p.split("hashpartitioning").length <= 3)
     )
 
     var failed = 0
