@@ -2789,6 +2789,93 @@ object Queries {
              |    AS BIGINT) AS dos_e4
              |FROM ex ORDER BY vid, sample_idx""".stripMargin)),
 
+    // ── 95a3. folded site-frequency spectrum: variants per minor-allele
+    // count — the classic pop-gen summary (selection/demography scans
+    // read its shape); pure integer histogram, one agg ────────────────
+    QueryDef(
+      "q_gt_sfs",
+      (s, d) => {
+        import graft.functions.GenotypeKernels
+        gtTable(s, d)
+          .withColumn("_c", GenotypeKernels.alleleCounts(col("gt"), lit(2)))
+          .groupBy(GenotypeKernels.macFromCounts(col("_c")).cast("long").as("mac"))
+          .agg(count(lit(1)).cast("long").as("n_variants"))
+          .orderBy(col("mac"))
+      },
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
+             |  len(list_filter(flatten(gt), a -> a = 1)) AS c1
+             |  FROM g)
+             |SELECT CAST(least(c0, c1) AS BIGINT) AS mac,
+             |  CAST(count(*) AS BIGINT) AS n_variants
+             |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── 95a4. Tajima's D over complete sites (n = 24 haploid): the
+    // one-pass integer components in-engine, then the 1989 formula with
+    // the harmonic constants inlined as IDENTICAL double literals into
+    // both engines (Double.toString round-trips, so both parse to the
+    // same bits — no cross-engine formula mirroring to drift) ─────────
+    QueryDef(
+      "q_gt_tajima",
+      (s, d) => {
+        import graft.operators.Stats
+        val nn = 24.0
+        val (a1, a2) = Stats.tajimaConstants(24)
+        val b1 = (nn + 1.0) / (3.0 * (nn - 1.0))
+        val b2 = 2.0 * (nn * nn + nn + 3.0) / (9.0 * nn * (nn - 1.0))
+        val c1 = b1 - 1.0 / a1
+        val c2 = b2 - (nn + 2.0) / (a1 * nn) + a2 / (a1 * a1)
+        val e1 = c1 / a1
+        val e2 = c2 / (a1 * a1 + a2)
+        val pairs = nn * (nn - 1.0) / 2.0
+        val comp = Stats.tajimaComponents(gtTable(s, d), "gt")
+        val sSeg = col("s_seg").cast("double")
+        val pi = col("sum_c0c1").cast("double") / lit(pairs)
+        val dStat = (pi - sSeg / lit(a1)) /
+          sqrt(lit(e1) * sSeg + lit(e2) * sSeg * (sSeg - lit(1.0)))
+        comp.select(
+          col("n_complete"), col("s_seg"),
+          when(col("s_seg") > 0, e4(pi)).otherwise(lit(null).cast("long")).as("pi_e4"),
+          when(col("s_seg") > 0, e4(sSeg / lit(a1)))
+            .otherwise(lit(null).cast("long")).as("theta_e4"),
+          when(col("s_seg") > 0, e4(dStat))
+            .otherwise(lit(null).cast("long")).as("d_e4"))
+      },
+      Some {
+        val nn = 24.0
+        val (a1, a2) = graft.operators.Stats.tajimaConstants(24)
+        val b1 = (nn + 1.0) / (3.0 * (nn - 1.0))
+        val b2 = 2.0 * (nn * nn + nn + 3.0) / (9.0 * nn * (nn - 1.0))
+        val c1 = b1 - 1.0 / a1
+        val c2 = b2 - (nn + 2.0) / (a1 * nn) + a2 / (a1 * a1)
+        val e1 = c1 / a1
+        val e2 = c2 / (a1 * a1 + a2)
+        s"""WITH g AS ($duckGt),
+           |cnt AS (SELECT vid,
+           |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
+           |  len(list_filter(flatten(gt), a -> a = 1)) AS c1
+           |  FROM g WHERE NOT list_contains(flatten(gt), -1)),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_complete,
+           |  CAST(count(*) FILTER (c0 > 0 AND c1 > 0) AS BIGINT) AS s_seg,
+           |  CAST(coalesce(sum(c0*c1) FILTER (c0 > 0 AND c1 > 0), 0) AS BIGINT)
+           |    AS sum_c0c1 FROM cnt)
+           |SELECT n_complete, s_seg,
+           |CASE WHEN s_seg > 0 THEN CAST(floor(
+           |  (CAST(sum_c0c1 AS DOUBLE) / 276.0)*10000.0 + 0.5) AS BIGINT)
+           |END AS pi_e4,
+           |CASE WHEN s_seg > 0 THEN CAST(floor(
+           |  (CAST(s_seg AS DOUBLE) / $a1)*10000.0 + 0.5) AS BIGINT)
+           |END AS theta_e4,
+           |CASE WHEN s_seg > 0 THEN CAST(floor(
+           |  ((CAST(sum_c0c1 AS DOUBLE) / 276.0 - CAST(s_seg AS DOUBLE) / $a1)
+           |    / sqrt($e1 * CAST(s_seg AS DOUBLE)
+           |      + $e2 * CAST(s_seg AS DOUBLE) * (CAST(s_seg AS DOUBLE) - 1.0)))
+           |   *10000.0 + 0.5) AS BIGINT)
+           |END AS d_e4
+           |FROM agg""".stripMargin
+      }),
+
     // ── 95b. kinship sufficient statistics: integer-exact centered
     // cross-products per sample pair (u = n·d − T, missing → 0; see
     // Kinship.grmPairs) — bit-stable under any partitioning, so raw

@@ -303,6 +303,56 @@ object Stats {
     -math.log(r.getDouble(2) / math.sqrt(r.getDouble(0) * r.getDouble(1)))
   }
 
+  /** Integer sufficient statistics for Tajima's D over COMPLETE sites
+    * (every sample called — per-site haploid n is then the constant
+    * 2·n_samples the classic formula assumes; sites with any missing
+    * call are excluded, the standard complete-cases contract). One
+    * aggregation: number of complete sites, segregating sites S, and
+    * Σ c0·c1 over segregating sites — all exact integers, so the
+    * reduction is partition-order-proof. π = Σc0c1 / C(n,2) and the
+    * D normalization are single divisions on top (see [[tajimaD]]). */
+  def tajimaComponents(df: DataFrame, gtCol: String): DataFrame = {
+    val complete = df.filter(!exists(col(gtCol), s => exists(s, a => a === -1)))
+      .withColumn("_c", alleleCounts(col(gtCol), lit(2)))
+      .withColumn("_c0", element_at(col("_c"), 1))
+      .withColumn("_c1", element_at(col("_c"), 2))
+    complete.agg(
+      max(col("_c0") + col("_c1")).cast("long").as("n_hap"),
+      count(lit(1)).cast("long").as("n_complete"),
+      count(when(col("_c0") > 0 && col("_c1") > 0, lit(1))).cast("long").as("s_seg"),
+      coalesce(sum(when(col("_c0") > 0 && col("_c1") > 0, col("_c0") * col("_c1"))),
+        lit(0L)).cast("long").as("sum_c0c1"))
+  }
+
+  /** Harmonic-number constants of Tajima 1989: a1 = Σ1/i, a2 = Σ1/i²
+    * for i < n — LEFT-fold ascending, the order the DuckDB oracle twin
+    * reproduces for bitwise-equal constants. */
+  def tajimaConstants(nHap: Int): (Double, Double) = {
+    var a1 = 0.0; var a2 = 0.0
+    var i = 1
+    while (i < nHap) { a1 += 1.0 / i; a2 += 1.0 / (i.toDouble * i); i += 1 }
+    (a1, a2)
+  }
+
+  /** Tajima's D (Tajima 1989 eq. 38) from the one-pass components;
+    * None when no site segregates (D undefined). */
+  def tajimaD(df: DataFrame, gtCol: String): Option[Double] = {
+    val r = tajimaComponents(df, gtCol).head()
+    val n = r.getLong(0).toInt
+    val s = r.getLong(2)
+    if (s == 0) return None
+    val (a1, a2) = tajimaConstants(n)
+    val nn = n.toDouble
+    val pi = r.getLong(3).toDouble / (nn * (nn - 1.0) / 2.0)
+    val b1 = (nn + 1.0) / (3.0 * (nn - 1.0))
+    val b2 = 2.0 * (nn * nn + nn + 3.0) / (9.0 * nn * (nn - 1.0))
+    val c1 = b1 - 1.0 / a1
+    val c2 = b2 - (nn + 2.0) / (a1 * nn) + a2 / (a1 * a1)
+    val e1 = c1 / a1
+    val e2 = c2 / (a1 * a1 + a2)
+    Some((pi - s / a1) / math.sqrt(e1 * s + e2 * s * (s - 1.0)))
+  }
+
   /** Pairwise linkage disequilibrium r² for variant pairs within
     * `maxDist` positions of each other, from UNPHASED genotypes via the
     * composite (Burrows) correlation of dosages — Rogers & Huff 2009

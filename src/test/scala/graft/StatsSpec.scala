@@ -138,6 +138,25 @@ class StatsSpec extends SparkTestBase {
     assertNear(Stats.neiD(same, "gt", Seq(0, 1), Seq(2, 3)), 0.0)
   }
 
+  test("Tajima components and D on a hand-computed complete-sites cohort") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(Seq(0, 0), Seq(0, 1))),   // c0=3 c1=1: segregating, c0·c1=3
+      (2, Seq(Seq(0, 1), Seq(1, 1))),   // c0=1 c1=3: segregating, 3
+      (3, Seq(Seq(0, 0), Seq(0, 0))),   // monomorphic complete site
+      (4, Seq(Seq(-1, -1), Seq(0, 1)))) // missing call → excluded
+      .toDF("vid", "gt")
+    val c = Stats.tajimaComponents(df, "gt").head()
+    assert(c.getLong(0) === 4L)  // n_hap
+    assert(c.getLong(1) === 3L)  // complete sites
+    assert(c.getLong(2) === 2L)  // segregating
+    assert(c.getLong(3) === 6L)  // Σ c0·c1
+    // π = 6/C(4,2) = 1.0; θ_W = 2/a1; D per Tajima 1989 eq. 38
+    assertNear(Stats.tajimaD(df, "gt").get, -0.709896167879475, 1e-12)
+    // no segregating site → undefined
+    assert(Stats.tajimaD(df.filter(col("vid") === 3), "gt").isEmpty)
+  }
+
   test("LD pairs: composite r² from hand-computed dosage sums") {
     import spark.implicits._
     val df = Seq(
