@@ -371,4 +371,61 @@ object DocPipeline {
         onBatch(accepted.drop("_fp", "_whs"), batchId)
       }
       .start()
+
+  /** Streaming SPAN dedup against a growing chunk-hash store — the
+    * continuous-ingestion twin of `Dedup.chunkDedup`: each micro-batch
+    * splits its documents into `chunkTokens`-token chunks, keeps only
+    * chunks that are first occurrences BOTH within the batch (min
+    * (doc, chunk_id) wins) and versus every previously accepted batch
+    * (anti-join on the persisted md5 set), reassembles surviving text
+    * per document, hands (idCol, text_kept, n_kept, n_dropped) to
+    * `onBatch`, and appends the newly accepted hashes to the store.
+    *
+    * The store holds ONE 32-char hash per ever-accepted chunk — it
+    * grows with distinct content, not with traffic. Same `foreachBatch`
+    * durability caveat as [[streamIncremental]] (store append is not
+    * atomic with sink commit; production wants an atomic-commit table
+    * format). */
+  def streamChunkDedup(
+      docs: DataFrame,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 20)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        val storeExists = new java.io.File(storePath).exists()
+        val store =
+          if (storeExists) spark.read.parquet(storePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("h",
+                org.apache.spark.sql.types.StringType, nullable = false))))
+        val chunks = Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
+          .withColumn("_h", md5(col("chunk").cast("binary")))
+        val w = Window.partitionBy(col("_h")).orderBy(col(idCol), col("chunk_id"))
+        val flagged = chunks
+          .withColumn("_rn", row_number().over(w))
+          .join(store.select(col("h").as("_h")).distinct()
+            .withColumn("_seen", lit(1)), Seq("_h"), "left")
+          .withColumn("_keep", col("_rn") === 1 && col("_seen").isNull)
+          .localCheckpoint(true) // one pass feeds output AND store append
+        val out = flagged.groupBy(col(idCol))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(when(col("_keep"),
+                struct(col("chunk_id"), col("chunk"))))),
+              c => c.getField("chunk")), " ").as("_txt"),
+            count(when(col("_keep"), lit(1))).as("n_kept"),
+            count(when(!col("_keep"), lit(1))).as("n_dropped"))
+          .withColumn("text_kept", nullif(col("_txt"), lit("")))
+          .drop("_txt")
+        flagged.filter(col("_keep")).select(col("_h").as("h")).distinct()
+          .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        onBatch(out, batchId)
+      }
+      .start()
 }

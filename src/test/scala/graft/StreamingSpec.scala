@@ -264,6 +264,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamChunkDedup drops spans within AND across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("chunkstore").toFile
+    storeDir.delete()
+    val got = scala.collection.mutable.Map[Long, (Option[String], Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ext.DocPipeline.streamChunkDedup(
+      input.toDF().toDF("doc_id", "text"), storeDir.getAbsolutePath,
+      chunkTokens = 2) { (df, _) =>
+      df.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (Option(r.getAs[String]("text_kept")),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+    }
+    try {
+      // within-batch: doc 2's "c d" loses to doc 1
+      input.addData((1L, "a b c d"), (2L, "c d p q"))
+      q.processAllAvailable()
+      assert(got(1L) === ((Some("a b c d"), 2L, 0L)))
+      assert(got(2L) === ((Some("p q"), 1L, 1L)))
+      // across batches: "a b" and "p q" lost to the STORE; "x y" fresh;
+      // doc 4 is fully boilerplate
+      input.addData((3L, "a b x y"), (4L, "p q c d"))
+      q.processAllAvailable()
+      assert(got(3L) === ((Some("x y"), 1L, 1L)))
+      assert(got(4L) === ((None, 0L, 2L)))
+      // store holds one hash per accepted chunk: a b, c d, p q, x y
+      assert(spark.read.parquet(storeDir.getAbsolutePath).count() === 4L)
+    } finally {
+      q.stop()
+    }
+  }
+
   test("streaming ewma ≡ batch ewma under per-key in-order delivery") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
