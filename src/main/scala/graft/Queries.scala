@@ -78,6 +78,31 @@ object Queries {
       |             CAST(((vid*7919 + s*104729) % 1000 // 3) % 2 AS INT)] END) AS gt
       |FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100)""".stripMargin
 
+  /** Fully-called twin of [[gtTable]] for the complete-sites pop-gen
+    * queries (Tajima's D, windowed π): [[gtTable]]'s deterministic
+    * missingness TILES the mod-1000 ring (12 exclusion windows of width
+    * 150, max offset gap 103 < 150), so no site is ever complete —
+    * these statistics need a cohort where the complete-sites contract
+    * actually bites on every site. */
+  private def fullGtTable(s: SparkSession, d: String): DataFrame = {
+    val nS = 12
+    t(s, d, "orders").select(col("o_orderkey").as("vid"))
+      .orderBy(col("vid")).limit(100)
+      .withColumn("gt", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+        val hs = pmod(col("vid") * 7919L + sIdx * 104729L, lit(1000L))
+        array(
+          pmod(hs, lit(2L)).cast("int"),
+          pmod(floor(hs / lit(3L)).cast("long"), lit(2L)).cast("int"))
+      }))
+  }
+
+  /** DuckDB twin of [[fullGtTable]]. */
+  private val duckFullGt =
+    """SELECT vid, list_transform(range(0,12), s ->
+      |  [CAST((vid*7919 + s*104729) % 1000 % 2 AS INT),
+      |   CAST(((vid*7919 + s*104729) % 1000 // 3) % 2 AS INT)]) AS gt
+      |FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100)""".stripMargin
+
   /** LD-query twin of [[gtTable]]: 48 samples and a QUADRATIC vid mix
     * (vid²·7919) — [[gtTable]]'s linear mix makes neighboring variants
     * constant-shift transforms of each other (near-universal perfect
@@ -2829,7 +2854,7 @@ object Queries {
         val e1 = c1 / a1
         val e2 = c2 / (a1 * a1 + a2)
         val pairs = nn * (nn - 1.0) / 2.0
-        val comp = Stats.tajimaComponents(gtTable(s, d), "gt")
+        val comp = Stats.tajimaComponents(fullGtTable(s, d), "gt")
         val sSeg = col("s_seg").cast("double")
         val pi = col("sum_c0c1").cast("double") / lit(pairs)
         val dStat = (pi - sSeg / lit(a1)) /
@@ -2851,7 +2876,7 @@ object Queries {
         val c2 = b2 - (nn + 2.0) / (a1 * nn) + a2 / (a1 * a1)
         val e1 = c1 / a1
         val e2 = c2 / (a1 * a1 + a2)
-        s"""WITH g AS ($duckGt),
+        s"""WITH g AS ($duckFullGt),
            |cnt AS (SELECT vid,
            |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
            |  len(list_filter(flatten(gt), a -> a = 1)) AS c1
@@ -2875,6 +2900,40 @@ object Queries {
            |END AS d_e4
            |FROM agg""".stripMargin
       }),
+
+    // ── 95a5. windowed nucleotide diversity: per 20-variant genomic
+    // window, complete-sites π (integer Σc0·c1, two mirrored divisions)
+    // — the sliding-diversity scan behind selection sweeps ────────────
+    QueryDef(
+      "q_gt_pi_window",
+      (s, d) => {
+        import graft.functions.GenotypeKernels
+        fullGtTable(s, d)
+          .filter(!exists(col("gt"), g => exists(g, a => a === -1)))
+          .withColumn("_c", GenotypeKernels.alleleCounts(col("gt"), lit(2)))
+          .groupBy(floor(col("vid") / 20L).cast("long").as("win"))
+          .agg(
+            count(lit(1)).cast("long").as("n_sites"),
+            coalesce(sum(element_at(col("_c"), 1) * element_at(col("_c"), 2)),
+              lit(0L)).cast("long").as("sum_c0c1"))
+          .withColumn("pi_mean_e4",
+            e4(col("sum_c0c1").cast("double") / lit(276.0)
+              / col("n_sites").cast("double")))
+          .orderBy(col("win"))
+      },
+      Some(s"""WITH g AS ($duckFullGt),
+             |cnt AS (SELECT vid,
+             |  CAST(len(list_filter(flatten(gt), a -> a = 0)) AS BIGINT) AS c0,
+             |  CAST(len(list_filter(flatten(gt), a -> a = 1)) AS BIGINT) AS c1
+             |  FROM g WHERE NOT list_contains(flatten(gt), -1)),
+             |w AS (SELECT CAST(vid // 20 AS BIGINT) AS win,
+             |  CAST(count(*) AS BIGINT) AS n_sites,
+             |  CAST(coalesce(sum(c0*c1), 0) AS BIGINT) AS sum_c0c1
+             |  FROM cnt GROUP BY 1)
+             |SELECT win, n_sites, sum_c0c1,
+             |CAST(floor((CAST(sum_c0c1 AS DOUBLE) / 276.0
+             |  / CAST(n_sites AS DOUBLE))*10000.0 + 0.5) AS BIGINT) AS pi_mean_e4
+             |FROM w ORDER BY win""".stripMargin)),
 
     // ── 95b. kinship sufficient statistics: integer-exact centered
     // cross-products per sample pair (u = n·d − T, missing → 0; see

@@ -112,7 +112,13 @@ object PlanCheck {
         p => !p.contains("Join") && p.split("hashpartitioning").length <= 3),
       ("q_attribution_linear", "linear credit: ONE user window, tiny-key agg, no join",
         p => !p.contains("Join") && p.contains(") Window")
-          && p.split("hashpartitioning").length <= 3)
+          && p.split("hashpartitioning").length <= 3),
+      ("q_gt_sfs", "SFS: map-side kernel + one tiny-key agg, no join",
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 2),
+      ("q_gt_tajima", "Tajima components: single global agg, no join, no window",
+        p => !p.contains("Join") && !p.contains(") Window")),
+      ("q_gt_pi_window", "windowed diversity: one window-key agg, no join",
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 2)
     )
 
     var failed = 0
