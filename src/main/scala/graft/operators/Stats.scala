@@ -338,9 +338,10 @@ object Stats {
     * None when no site segregates (D undefined). */
   def tajimaD(df: DataFrame, gtCol: String): Option[Double] = {
     val r = tajimaComponents(df, gtCol).head()
+    // n_hap is max over zero rows (null) when no site is complete
+    if (r.isNullAt(0) || r.getLong(2) == 0) return None
     val n = r.getLong(0).toInt
     val s = r.getLong(2)
-    if (s == 0) return None
     val (a1, a2) = tajimaConstants(n)
     val nn = n.toDouble
     val pi = r.getLong(3).toDouble / (nn * (nn - 1.0) / 2.0)

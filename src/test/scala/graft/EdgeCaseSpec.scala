@@ -89,4 +89,32 @@ class EdgeCaseSpec extends SparkTestBase {
     val s1 = rows.find(_.getInt(0) == 1).get
     assert(s1.getAs[Double]("median_dp_approx") === 7.0)
   }
+
+  test("round-7 operators on empty/degenerate inputs stay empty, never throw") {
+    import graft.operators.{Events, Fill, Kinship}
+    import graft.ext.Dedup
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.chunkDedup(emptyDocs, "doc_id", "text", 3).count() === 0)
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Events.attribution(emptyEvents, "user_id", "ts", "event_id",
+      "event_type", Seq("view"), "purchase").count() === 0)
+    assert(Events.attributionLinear(emptyEvents, "user_id", "ts", "event_id",
+      "event_type", Seq("view"), "purchase").count() === 0)
+    val emptySeries = Seq.empty[(String, Long, Option[Double])].toDF("k", "t", "v")
+    assert(Fill.interpolateLinear(emptySeries, Seq("k"), "t", Seq("v")).count() === 0)
+    assert(Fill.ewma(emptySeries, Seq("k"), Seq("t"), "v", 0.5).count() === 0)
+    val emptyGt = Seq.empty[(Long, Seq[Seq[Int]])].toDF("vid", "gt")
+    assert(Kinship.grmPairs(emptyGt, "gt").count() === 0)
+    assert(Kinship.meanImputedDosages(emptyGt, "gt").count() === 0)
+    assert(Stats.tajimaD(emptyGt, "gt").isEmpty) // S = 0 → undefined
+    // grmTriangle has nothing to aggregate → must throw the documented
+    // require, not return garbage
+    intercept[IllegalArgumentException](Kinship.grmTriangle(emptyGt, "gt"))
+  }
+
+  test("tajimaD on an all-missing cohort is undefined, not a throw") {
+    val df = Seq((1L, Seq(Seq(-1, -1), Seq(-1, -1)))).toDF("vid", "gt")
+    assert(Stats.tajimaD(df, "gt").isEmpty)
+  }
 }
