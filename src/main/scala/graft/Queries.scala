@@ -2935,6 +2935,69 @@ object Queries {
              |  / CAST(n_sites AS DOUBLE))*10000.0 + 0.5) AS BIGINT) AS pi_mean_e4
              |FROM w ORDER BY win""".stripMargin)),
 
+    // ── 95a6. genome-scan Tajima's D: the statistic per 20-variant
+    // window (its real field use — sweep detection scans windows, not
+    // genomes); same literal-inlined constants discipline as 95a4 ─────
+    QueryDef(
+      "q_gt_tajima_window",
+      (s, d) => {
+        import graft.functions.GenotypeKernels
+        import graft.operators.Stats
+        val nn = 24.0
+        val (a1, a2) = Stats.tajimaConstants(24)
+        val b1 = (nn + 1.0) / (3.0 * (nn - 1.0))
+        val b2 = 2.0 * (nn * nn + nn + 3.0) / (9.0 * nn * (nn - 1.0))
+        val c1 = b1 - 1.0 / a1
+        val c2 = b2 - (nn + 2.0) / (a1 * nn) + a2 / (a1 * a1)
+        val e1 = c1 / a1
+        val e2 = c2 / (a1 * a1 + a2)
+        val comp = fullGtTable(s, d)
+          .withColumn("_c", GenotypeKernels.alleleCounts(col("gt"), lit(2)))
+          .withColumn("_c0", element_at(col("_c"), 1))
+          .withColumn("_c1", element_at(col("_c"), 2))
+          .groupBy(floor(col("vid") / 20L).cast("long").as("win"))
+          .agg(
+            count(when(col("_c0") > 0 && col("_c1") > 0, lit(1)))
+              .cast("long").as("s_seg"),
+            coalesce(sum(when(col("_c0") > 0 && col("_c1") > 0,
+              col("_c0") * col("_c1"))), lit(0L)).cast("long").as("sum_c0c1"))
+        val sSeg = col("s_seg").cast("double")
+        val dStat = (col("sum_c0c1").cast("double") / lit(276.0) - sSeg / lit(a1)) /
+          sqrt(lit(e1) * sSeg + lit(e2) * sSeg * (sSeg - lit(1.0)))
+        comp.select(col("win"), col("s_seg"),
+            when(col("s_seg") > 1, e4(dStat))
+              .otherwise(lit(null).cast("long")).as("d_e4"))
+          .orderBy(col("win"))
+      },
+      Some {
+        val nn = 24.0
+        val (a1, a2) = graft.operators.Stats.tajimaConstants(24)
+        val b1 = (nn + 1.0) / (3.0 * (nn - 1.0))
+        val b2 = 2.0 * (nn * nn + nn + 3.0) / (9.0 * nn * (nn - 1.0))
+        val c1 = b1 - 1.0 / a1
+        val c2 = b2 - (nn + 2.0) / (a1 * nn) + a2 / (a1 * a1)
+        val e1 = c1 / a1
+        val e2 = c2 / (a1 * a1 + a2)
+        s"""WITH g AS ($duckFullGt),
+           |cnt AS (SELECT vid,
+           |  CAST(len(list_filter(flatten(gt), a -> a = 0)) AS BIGINT) AS c0,
+           |  CAST(len(list_filter(flatten(gt), a -> a = 1)) AS BIGINT) AS c1
+           |  FROM g),
+           |w AS (SELECT CAST(vid // 20 AS BIGINT) AS win,
+           |  CAST(count(*) FILTER (c0 > 0 AND c1 > 0) AS BIGINT) AS s_seg,
+           |  CAST(coalesce(sum(c0*c1) FILTER (c0 > 0 AND c1 > 0), 0) AS BIGINT)
+           |    AS sum_c0c1
+           |  FROM cnt GROUP BY 1)
+           |SELECT win, s_seg,
+           |CASE WHEN s_seg > 1 THEN CAST(floor(
+           |  ((CAST(sum_c0c1 AS DOUBLE) / 276.0 - CAST(s_seg AS DOUBLE) / $a1)
+           |    / sqrt($e1 * CAST(s_seg AS DOUBLE)
+           |      + $e2 * CAST(s_seg AS DOUBLE) * (CAST(s_seg AS DOUBLE) - 1.0)))
+           |   *10000.0 + 0.5) AS BIGINT)
+           |END AS d_e4
+           |FROM w ORDER BY win""".stripMargin
+      }),
+
     // ── 95b. kinship sufficient statistics: integer-exact centered
     // cross-products per sample pair (u = n·d − T, missing → 0; see
     // Kinship.grmPairs) — bit-stable under any partitioning, so raw
