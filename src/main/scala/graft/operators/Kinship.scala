@@ -91,8 +91,30 @@ object Kinship {
 
   /** Centered-dosage vector (`array<double>`, missing → 0.0) and the
     * VanRaden denominator weight 2p(1−p) per variant. Variants with no
-    * called samples are dropped (p undefined). */
+    * called samples are dropped (p undefined).
+    *
+    * One fused codegen pass ([[graft.functions.CenteredDosages]]) — the
+    * HOF chain it replaces walked the gt array ~6 interpreted times per
+    * row, the dominant cost of the wide-cohort GRM. The struct is
+    * materialized ONCE as a named column and fields are extracted from
+    * the attribute (KinshipSpec pins the HOF ≡ codegen property). */
   def centeredDosages(df: DataFrame, gtCol: String = "gt"): DataFrame =
+    df
+      // drop no-called-sample variants on the CHEAP raw-gt predicate
+      // BEFORE the kernel: a filter on the kernel's own null output gets
+      // pushed below the defining projection and re-evaluates the whole
+      // expression per row (KinshipSpec pins the once-only plan)
+      .filter(exists(col(gtCol), s => !exists(s, a => a === -1)))
+      .withColumn("_cd", graft.functions.CenteredDosages.of(col(gtCol)))
+      .withColumn("_z", col("_cd.z"))
+      .withColumn("_p", col("_cd.p"))
+      .withColumn("_w", col("_cd.w"))
+      .drop("_cd")
+
+  /** Interpreted-HOF reference of [[centeredDosages]] — retained as the
+    * differential-test spec form (house pattern: every fused kernel
+    * keeps its HOF twin). */
+  private[graft] def centeredDosagesHof(df: DataFrame, gtCol: String): DataFrame =
     withDosStats(df, gtCol)
       .filter(col("_n") > 0)
       .withColumn("_p", col("_t").cast("double") / (col("_n").cast("double") * 2.0))

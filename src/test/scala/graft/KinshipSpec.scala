@@ -83,6 +83,40 @@ class KinshipSpec extends SparkTestBase {
     tri0.zip(tri1).foreach { case (a, b) => assertNear(b, a, 1e-9) }
   }
 
+  test("centeredDosages: fused codegen expression ≡ interpreted HOF chain") {
+    // deterministic pseudo-random cohort incl. missing and monomorphic
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 60).map { v =>
+      (v.toLong, (0 until 10).map { _ =>
+        if (rnd.nextInt(8) == 0) Seq(-1, -1)
+        else Seq(rnd.nextInt(2), rnd.nextInt(2))
+      })
+    } :+ (99L -> (0 until 10).map(_ => Seq(-1, -1))) // all-missing → dropped
+    val df = rows.toDF("vid", "gt")
+    def collect(out: org.apache.spark.sql.DataFrame) =
+      out.select("vid", "_z", "_p", "_w").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+    val fused = collect(Kinship.centeredDosages(df, "gt"))
+    val hof = collect(Kinship.centeredDosagesHof(df, "gt"))
+    assert(fused.keySet === hof.keySet)
+    assert(!fused.contains(99L))
+    fused.foreach { case (vid, (z, p, w)) =>
+      val (ez, ep, ew) = hof(vid)
+      assertNear(p, ep, 1e-12); assertNear(w, ew, 1e-12)
+      z.zip(ez).foreach { case (a, b) => assertNear(a, b, 1e-12) }
+    }
+    // the fused expression must appear exactly ONCE in the optimized
+    // plan (CollapseProject must not inline it into each field access);
+    // a FILE source, because a local relation optimizes to evaluated rows
+    val dir = java.nio.file.Files.createTempDirectory("cd").resolve("gt").toString
+    df.write.parquet(dir)
+    val plan = Kinship.centeredDosages(spark.read.parquet(dir), "gt")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("centered_dosages").length == 2,
+      s"centered_dosages duplicated in plan:\n$plan")
+  }
+
   test("meanImputedDosages: missing takes the called mean; all-missing stays null") {
     val df = Seq(
       (1L, Seq(Seq(0, 1), Seq(-1, -1), Seq(1, 1))),   // dosages 1,·,2 → mean 1.5
