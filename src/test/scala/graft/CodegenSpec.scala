@@ -72,4 +72,12 @@ class CodegenSpec extends SparkTestBase {
       .filter(TextHash.jaccard(col("whs"), col("whs")) >= 0.5)
     assertCompiles(pred, "jaccard-gte")
   }
+
+  test("centered_dosages kernel compiles") {
+    val gt = Seq(
+      (1L, Seq(Seq(0, 1), Seq(1, 1), Seq(-1, -1))),
+      (2L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 0)))).toDF("vid", "gt")
+    assertCompiles(graft.operators.Kinship.centeredDosages(gt, "gt"),
+      "centered-dosages")
+  }
 }
