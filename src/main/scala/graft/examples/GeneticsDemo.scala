@@ -64,6 +64,15 @@ object GeneticsDemo {
       .filter(col("chrom") === "chr2" && col("pos") <= 150)
     println(s"format(\"vcf\") pushdown chr2/<=150: " +
       v2.select("id").collect().map(_.getString(0)).mkString(","))
+
+    // population structure: GRM (one-pass gramian) + PCA + Nei/Tajima
+    println("\nkinship (VanRaden GRM, upper triangle):")
+    graft.operators.Kinship.grm(df, "gt").show(false)
+    val (eig, proj) = graft.operators.Kinship.pca(df, "gt", k = 2)
+    println(s"PCA eigenvalues: ${eig.map(v => f"$v%.3f").mkString(", ")}")
+    proj.show(false)
+    println(s"Tajima's D (complete sites): " +
+      graft.operators.Stats.tajimaD(df, "gt").map(d => f"$d%.4f").getOrElse("undefined"))
     spark.stop()
   }
 }
