@@ -3112,6 +3112,37 @@ object Queries {
              |END AS r2_e4
              |FROM t ORDER BY pos_a, pos_b""".stripMargin)),
 
+    // ── 99a2. LD decay: mean r² by pairwise distance — the curve whose
+    // drop-off sets pruning windows and imputation panel density. Each
+    // pair's r² is fixed-pointed to e6 FIRST (one deterministic floor),
+    // so the per-bin mean is integer-sum arithmetic plus two mirrored
+    // divisions — no float accumulation anywhere ──────────────────────
+    QueryDef(
+      "q_gt_ld_decay",
+      (s, d) =>
+        graft.operators.Stats.ldPairs(ldGtTable(s, d), "gt", "vid", 5L)
+          .filter(col("r2").isNotNull)
+          .withColumn("_r2e6", floor(col("r2") * 1000000.0 + 0.5).cast("long"))
+          .groupBy((col("pos_b") - col("pos_a")).cast("long").as("dist"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("_r2e6")).as("_s"))
+          .withColumn("mean_r2_e4",
+            floor(col("_s").cast("double") / col("n_pairs").cast("double")
+              / 100.0 + 0.5).cast("long"))
+          .drop("_s")
+          .orderBy(col("dist")),
+      Some(s"""WITH $duckLdSums,
+             |p2 AS (SELECT pos_b - pos_a AS dist,
+             |  CAST(floor((n*sxy - sx*sy)*(n*sxy - sx*sy)*1.0
+             |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)) * 1000000.0 + 0.5) AS BIGINT)
+             |    AS r2e6
+             |  FROM t WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0)
+             |SELECT CAST(dist AS BIGINT) AS dist,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(floor(CAST(sum(r2e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    / 100.0 + 0.5) AS BIGINT) AS mean_r2_e4
+             |FROM p2 GROUP BY dist ORDER BY dist""".stripMargin)),
+
     // ── 99b. LD pruning: variants surviving the drop-the-later-twin
     // thinning at r² > 0.8 — one anti-join over the same pair set ──────
     QueryDef(
