@@ -2785,6 +2785,42 @@ object Queries {
              |END AS jxy_e4
              |FROM fr ORDER BY vid""".stripMargin)),
 
+    // ── 95a1. per-SAMPLE heterozygosity and call rate — the sample-QC
+    // screen (excess het flags contamination, low call rate flags bad
+    // assays; variants have §2.3 kernels, samples get this transpose):
+    // integer counts per sample index + one mirrored division ─────────
+    QueryDef(
+      "q_gt_sample_het",
+      (s, d) =>
+        gtTable(s, d)
+          .select(posexplode(col("gt")).as(Seq("sample_idx", "_s")))
+          .withColumn("_called", !exists(col("_s"), a => a === -1))
+          .withColumn("_het", col("_called") && size(array_distinct(col("_s"))) >= 2)
+          .groupBy(col("sample_idx").cast("long").as("sample_idx"))
+          .agg(
+            count(when(col("_called"), lit(1))).cast("long").as("n_called"),
+            count(when(col("_het"), lit(1))).cast("long").as("n_het"))
+          .withColumn("het_rate_e4",
+            when(col("n_called") > 0,
+              e4(col("n_het").cast("double") / col("n_called").cast("double"))))
+          .orderBy(col("sample_idx")),
+      Some(s"""WITH g AS ($duckGt),
+             |ex AS (SELECT unnest(gt) AS s,
+             |    unnest(range(0, len(gt))) AS sample_idx FROM g),
+             |fl AS (SELECT sample_idx,
+             |    NOT list_contains(s, -1) AS called,
+             |    NOT list_contains(s, -1) AND len(list_distinct(s)) >= 2 AS het
+             |  FROM ex),
+             |ag AS (SELECT CAST(sample_idx AS BIGINT) AS sample_idx,
+             |    CAST(count(CASE WHEN called THEN 1 END) AS BIGINT) AS n_called,
+             |    CAST(count(CASE WHEN het THEN 1 END) AS BIGINT) AS n_het
+             |  FROM fl GROUP BY 1)
+             |SELECT sample_idx, n_called, n_het,
+             |CASE WHEN n_called > 0 THEN CAST(floor(
+             |  (CAST(n_het AS DOUBLE) / CAST(n_called AS DOUBLE))*10000.0 + 0.5)
+             |  AS BIGINT) END AS het_rate_e4
+             |FROM ag ORDER BY sample_idx""".stripMargin)),
+
     // ── 95a2. mean-imputed dosage matrix, long form: the standard
     // pre-matrix-methods imputation (missing → variant mean over
     // called), e4 fixed point; identical division shape both engines ──
