@@ -98,9 +98,9 @@ object PlanCheck {
         p => p.split("HashAggregate").length >= 3 && !p.contains("Join")),
       ("q_nei_distance", "Nei identity kernel is map-only (no hash shuffle)",
         p => !p.contains("hashpartitioning")),
-      ("q_chunk_dedup", "span dedup: md5-window + doc reassembly, no join of text",
-        p => p.split("hashpartitioning").length <= 3 && p.contains(") Window")
-          && !p.contains("Join")),
+      ("q_chunk_dedup", "span dedup: winners via partial+final agg, NO window on md5 key",
+        p => !p.contains(") Window") && !p.contains("WindowExec")
+          && p.split("HashAggregate").length >= 3),
       ("q_interpolate", "interpolation: ffill+bfill frames share ONE key shuffle",
         p => p.split("hashpartitioning").length == 2),
       ("q_attribution", "attribution: ONE user window + tiny channel agg",

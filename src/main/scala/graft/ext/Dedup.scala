@@ -185,8 +185,16 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, tau: Double = 0.8,
                        maxShingleDf: Int = 100): DataFrame = {
+    // materialize the shingle sets ONCE before the join tree: shingled
+    // feeds three branches (posting derivation + both verify sides) and
+    // posting two (df filter + candidate keying) — without the
+    // checkpoint the tokenize+shingle kernel re-runs over the full text
+    // on every branch (the house discipline of simhashNearDups /
+    // embeddingCandidatePairs; one hash array per doc is checkpointed,
+    // never the text)
     val shingled = docs.withColumn("_whs", wordHashes(col(textCol)))
       .select(col(idCol), array_distinct(shingleHashes(col("_whs"), n)).as("_sh"))
+      .localCheckpoint(true)
     val posting = shingled
       .select(col(idCol), explode(col("_sh")).as("_g"))
     val evidential = posting.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
@@ -415,30 +423,48 @@ object Dedup {
     * the document was seen earlier elsewhere (a fully-boilerplate doc —
     * callers typically drop those rows).
     *
-    * Scale shape: the first-occurrence decision shuffles (md5, doc,
-    * chunk_id) — a fixed 32-char key plus two scalars per chunk, NOT
-    * the chunk text (at 100-token chunks that is ~20× less shuffle IO;
-    * md5 collisions are 2⁻¹²⁸ — accepted and documented). One window
-    * over the hash decides winners, one doc-keyed aggregation
-    * reassembles; chunk text rides only the second (unavoidable —
-    * reassembly needs it). Duplicate-heavy corpora skew the hash
-    * partition; AQE's skew handling applies as with all dedup keys. */
+    * Scale shape: the first-occurrence decision is a partial+final
+    * `min(struct(doc, chunk_id))` AGGREGATION over a TEXT-FREE
+    * projection — map-side combine collapses a boilerplate chunk
+    * repeated 10⁹ times to one candidate per map task BEFORE the
+    * exchange, so the hot key this operator exists for never lands on
+    * a single reducer (a window would give it no partial aggregation),
+    * and the winner shuffle carries only (md5, doc, chunk_id) scalars
+    * (md5 collisions are 2⁻¹²⁸ — accepted and documented). Winners are
+    * then UNIONED (as text-free scalar rows) into the doc-keyed
+    * reassembly aggregation rather than joined back: one ObjectHash
+    * aggregate builds both the kept-positions set and the ordered
+    * chunk list, so chunk text rides exactly one doc-keyed shuffle
+    * (unavoidable: reassembly needs it) and the plan has no join at
+    * all. `chunkDocs` is recomputed on the two branches; it is a
+    * map-only split of the source — cheaper at 100 TB than
+    * checkpointing every chunk's text to local disk. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val chunks = Corpus.chunkDocs(df, idCol, textCol, chunkTokens)
-    val w = Window.partitionBy(md5(col("chunk").cast("binary")))
-      .orderBy(col(idCol), col("chunk_id"))
-    val ranked = chunks.withColumn("_rn", row_number().over(w))
-    ranked.groupBy(col(idCol))
+    val winners = chunks
+      .select(md5(col("chunk").cast("binary")).as("_h"),
+        struct(col(idCol).as("_wid"), col("chunk_id").as("_wcid")).as("_w"))
+      .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
+      .select(col("_w._wid").as(idCol), col("_w._wcid").as("_wcid"))
+    val unioned = chunks
+      .select(col(idCol), col("chunk_id"), col("chunk"),
+        lit(null).cast("long").as("_wcid"))
+      .unionByName(winners.select(col(idCol),
+        lit(null).cast("long").as("chunk_id"),
+        lit(null).cast("string").as("chunk"), col("_wcid")))
+    unioned.groupBy(col(idCol))
       .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("_rn") === 1,
-            struct(col("chunk_id"), col("chunk"))))),
-          c => c.getField("chunk")), " ").as("_txt"),
-        count(when(col("_rn") === 1, lit(1))).as("n_kept"),
-        count(when(col("_rn") > 1, lit(1))).as("n_dropped"))
-      .withColumn("text_kept", nullif(col("_txt"), lit("")))
-      .drop("_txt")
+        collect_set(col("_wcid")).as("_kept"),
+        array_sort(collect_list(when(col("chunk").isNotNull,
+          struct(col("chunk_id"), col("chunk"))))).as("_cs"),
+        count(col("chunk")).as("_n"))
+      .select(col(idCol),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (col("_n") - size(col("_kept"))).as("n_dropped"),
+        nullif(array_join(transform(
+          filter(col("_cs"), c =>
+            array_contains(col("_kept"), c.getField("chunk_id"))),
+          c => c.getField("chunk")), " "), lit("")).as("text_kept"))
   }
 }

@@ -406,14 +406,25 @@ object DocPipeline {
                 org.apache.spark.sql.types.StringType, nullable = false))))
         val chunks = Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
           .withColumn("_h", md5(col("chunk").cast("binary")))
-        val w = Window.partitionBy(col("_h")).orderBy(col(idCol), col("chunk_id"))
-        val flagged = chunks
-          .withColumn("_rn", row_number().over(w))
-          .join(store.select(col("h").as("_h")).distinct()
-            .withColumn("_seen", lit(1)), Seq("_h"), "left")
-          .withColumn("_keep", col("_rn") === 1 && col("_seen").isNull)
-          .localCheckpoint(true) // one pass feeds output AND store append
-        val out = flagged.groupBy(col(idCol))
+        // winner decision mirrors Dedup.chunkDedup: partial+final
+        // min(struct) over a text-free projection (skew-safe — a hot
+        // chunk collapses map-side), then anti-join the persisted set;
+        // the checkpoint materializes the TINY winner frame (scalars),
+        // not the chunk text, before it feeds both store append and
+        // the doc-keyed join-back
+        val winners = chunks
+          .select(col("_h"),
+            struct(col(idCol).as("_wid"), col("chunk_id").as("_wcid")).as("_w"))
+          .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
+          .join(store.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
+          .select(col("_h"), col("_w._wid").as(idCol), col("_w._wcid").as("_wcid"))
+          .localCheckpoint(true)
+        val keptPerDoc = winners.groupBy(col(idCol))
+          .agg(collect_set(col("_wcid")).as("_kept_ids"))
+        val out = chunks.join(keptPerDoc, Seq(idCol), "left")
+          .withColumn("_keep",
+            coalesce(array_contains(col("_kept_ids"), col("chunk_id")), lit(false)))
+          .groupBy(col(idCol))
           .agg(
             array_join(transform(
               array_sort(collect_list(when(col("_keep"),
@@ -423,7 +434,7 @@ object DocPipeline {
             count(when(!col("_keep"), lit(1))).as("n_dropped"))
           .withColumn("text_kept", nullif(col("_txt"), lit("")))
           .drop("_txt")
-        flagged.filter(col("_keep")).select(col("_h").as("h")).distinct()
+        winners.select(col("_h").as("h"))
           .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
         onBatch(out, batchId)
       }
