@@ -3269,7 +3269,8 @@ object Queries {
     QueryDef(
       "q_transitions",
       (s, d) =>
-        graft.operators.Events.transitions(events(s, d), "user_id", "ts", "event_type")
+        graft.operators.Events.transitions(events(s, d), "user_id", "ts", "event_type",
+          idCol = Some("event_id"))
           .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"))
           .orderBy(col("from_type"), col("to_type")),
       Some("""WITH t AS (SELECT event_type,

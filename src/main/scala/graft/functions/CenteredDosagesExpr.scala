@@ -41,15 +41,23 @@ case class CenteredDosages(child: Expression)
     var called = 0L
     var si = 0
     while (si < n) {
-      val s = arr.getArray(si)
-      val p = s.numElements()
+      // declared input type admits null sample arrays / null alleles
+      // (containsNull=true); both mean "no call" — same as allele -1,
+      // matching the null-tolerant HOF twin (Kinship.centeredDosagesHof)
+      val s = if (arr.isNullAt(si)) null else arr.getArray(si)
       var d = 0
-      var miss = false
-      var j = 0
-      while (j < p) {
-        val a = s.getInt(j)
-        if (a == -1) miss = true else d += a
-        j += 1
+      var miss = s == null
+      if (!miss) {
+        val p = s.numElements()
+        var j = 0
+        while (j < p) {
+          if (s.isNullAt(j)) miss = true
+          else {
+            val a = s.getInt(j)
+            if (a == -1) miss = true else d += a
+          }
+          j += 1
+        }
       }
       if (miss) dos(si) = -1
       else { dos(si) = d; t += d; called += 1 }
@@ -89,13 +97,20 @@ case class CenteredDosages(child: Expression)
          |long $t = 0L;
          |long $called = 0L;
          |for (int $si = 0; $si < $n; $si++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $s = $arrTerm.getArray($si);
-         |  final int $p = $s.numElements();
+         |  // null sample array / null allele = no call (matches nullSafeEval)
+         |  org.apache.spark.sql.catalyst.util.ArrayData $s =
+         |    $arrTerm.isNullAt($si) ? null : $arrTerm.getArray($si);
          |  int $d = 0;
-         |  boolean $miss = false;
-         |  for (int $j = 0; $j < $p; $j++) {
-         |    final int $a = $s.getInt($j);
-         |    if ($a == -1) { $miss = true; } else { $d += $a; }
+         |  boolean $miss = ($s == null);
+         |  if (!$miss) {
+         |    final int $p = $s.numElements();
+         |    for (int $j = 0; $j < $p; $j++) {
+         |      if ($s.isNullAt($j)) { $miss = true; }
+         |      else {
+         |        final int $a = $s.getInt($j);
+         |        if ($a == -1) { $miss = true; } else { $d += $a; }
+         |      }
+         |    }
          |  }
          |  if ($miss) { $dos[$si] = -1; }
          |  else { $dos[$si] = $d; $t += $d; $called++; }

@@ -42,17 +42,19 @@ object Events {
   /** Event-transition counts: for each user's time-ordered event
     * sequence, count (event → next event) adjacencies corpus-wide —
     * the empirical Markov transition matrix of the product. Rows with
-    * no successor (each user's last event) emit nothing. Requires
-    * per-user-unique timestamps for a deterministic order (the driver
-    * testdata guarantees it; ties would make `lead` partition-order-
-    * dependent).
+    * no successor (each user's last event) emit nothing. Pass `idCol`
+    * to break timestamp ties deterministically (the attribution
+    * operators' discipline); with `idCol = None` per-user-unique
+    * timestamps are required for a partition-order-independent result
+    * (the driver testdata guarantees them).
     *
     * Scale shape: ONE user-keyed window (sorted within partitions) and
     * an agg on the tiny (from, to) key space; partial aggregation
     * collapses the shuffle to O(|event types|²) rows. */
   def transitions(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+                  typeCol: String, idCol: Option[String] = None): DataFrame = {
+    val order = col(tsCol) +: idCol.map(col).toSeq
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     events
       .withColumn("_next", lead(col(typeCol), 1).over(w))
       .filter(col("_next").isNotNull)

@@ -83,7 +83,10 @@ object Fill {
       val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(wNext)
       acc.withColumn(c,
         when(v.isNotNull, v)
-          .when(pv.isNotNull && nv.isNotNull,
+          // nx > px guard: duplicate orderCol values on both sides of a
+          // gap would divide by zero (NaN/Inf); fall to the edge-hold
+          // branch instead
+          .when(pv.isNotNull && nv.isNotNull && nx > px,
             pv + (nv - pv) * ((x - px) / (nx - px)))
           .otherwise(coalesce(pv, nv)))
     }

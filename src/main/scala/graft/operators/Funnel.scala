@@ -71,9 +71,12 @@ object Funnel {
     val counts = stages.indices.map(i =>
       sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"_c$i"))
     val wide = times.agg(counts.head, counts.tail: _*)
-    val stacked = stages.indices
-      .map(i => s"${i + 1}L, '${stages(i)}', _c$i").mkString(", ")
-    wide.selectExpr(
-      s"stack(${stages.size}, $stacked) AS (stage, stage_name, n_users)")
+    // Column API, not interpolated selectExpr: a stage name containing
+    // a quote must arrive as a literal, never as SQL text
+    val rows = stages.indices.map(i =>
+      struct(lit((i + 1).toLong).as("stage"), lit(stages(i)).as("stage_name"),
+        col(s"_c$i").as("n_users")))
+    wide.select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.stage"), col("_r.stage_name"), col("_r.n_users"))
   }
 }

@@ -28,16 +28,20 @@ object Profile {
     * no oracle row) — the Expand blowup, not the agg, is the cliff. */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"_n_$c"),
-        count(when(col(c).isNull, lit(1))).as(s"_null_$c"),
-        countDistinct(col(c)).as(s"_dist_$c"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"_n_$i"),
+        count(when(col(c).isNull, lit(1))).as(s"_null_$i"),
+        countDistinct(col(c)).as(s"_dist_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', _n_$c, _null_$c, _dist_$c").mkString(", ")
-    wide.selectExpr(
-      s"stack(${cols.size}, $stacked) AS (column, n_rows, n_null, n_distinct)")
+    // Column API with index-keyed intermediate aliases, not interpolated
+    // selectExpr: column names with quotes/dots/backticks arrive only as
+    // literals, never as parsed SQL text or attribute names
+    val rows = cols.indices.map(i =>
+      struct(lit(cols(i)).as("column"), col(s"_n_$i").as("n_rows"),
+        col(s"_null_$i").as("n_null"), col(s"_dist_$i").as("n_distinct")))
+    wide.select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.column"), col("_r.n_rows"), col("_r.n_null"), col("_r.n_distinct"))
   }
 
   /** Tukey fences of `valueCol`: one row (q1, q3, lo, hi) with

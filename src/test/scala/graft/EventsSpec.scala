@@ -49,6 +49,19 @@ class EventsSpec extends SparkTestBase {
       ("view", "view") -> 1L))
   }
 
+  test("transitions: idCol breaks timestamp ties deterministically") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val df = Seq( // both events share a timestamp — id decides the order
+      (1L, t0, 2L, "b"),
+      (1L, t0, 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Events.transitions(df, "user_id", "ts", "event_type", Some("event_id"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n")).toMap
+    assert(r === Map(("a", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("attribution: last vs first touch, strictly-before, direct=null") {
     val df = Seq(
       // user 1: view, click, purchase → last=click, first=view

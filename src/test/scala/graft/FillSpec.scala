@@ -61,6 +61,17 @@ class FillSpec extends SparkTestBase {
       .find(_._2 == 7L).flatMap(_._3).contains(70.0))
   }
 
+  test("interpolateLinear: duplicate order keys fall to edge hold, never NaN") {
+    // the null row shares t=5 with both observations → zero order
+    // distance; the guard falls back to coalesce(prev, next), not 0/0
+    val dup = Seq(("A", 5L, Some(10.0)), ("A", 5L, None: Option[Double]),
+      ("A", 5L, Some(20.0))).toDF("k", "t", "v")
+    val out = Fill.interpolateLinear(dup, Seq("k"), "t", Seq("v"))
+      .collect().map(_.getAs[Double]("v"))
+    assert(out.forall(v => !v.isNaN && !v.isInfinity))
+    assert(out.sorted === Seq(10.0, 10.0, 20.0)) // held from prev obs
+  }
+
   test("ewma follows the adjust=False recurrence; nulls carry state") {
     val d = Seq(
       ("A", 1L, Some(10.0)), ("A", 2L, None: Option[Double]),

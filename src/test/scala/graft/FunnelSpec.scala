@@ -76,4 +76,14 @@ class FunnelSpec extends SparkTestBase {
     assert(c(1L) === 2L)
     assert(c(2L) === 1L)
   }
+
+  test("conversion report: stage names with SQL metacharacters are literal-safe") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "it's a view"),
+      (1L, "2024-01-01 10:10:00", "click -- not a comment"))
+    val c = Funnel.conversion(df, "user_id", "ts", "event_type",
+        Seq("it's a view", "click -- not a comment"))
+      .collect().map(x => x.getString(1) -> x.getAs[Long]("n_users")).toMap
+    assert(c === Map("it's a view" -> 1L, "click -- not a comment" -> 1L))
+  }
 }

@@ -117,6 +117,29 @@ class KinshipSpec extends SparkTestBase {
       s"centered_dosages duplicated in plan:\n$plan")
   }
 
+  test("centeredDosages: null sample arrays and null alleles are missing calls") {
+    // declared input type admits nulls (containsNull=true) — both eval
+    // paths must agree with the null-tolerant HOF twin, not NPE
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(array(0,1), CAST(NULL AS ARRAY<INT>), array(0, CAST(NULL AS INT)), array(1,1))),
+        |  (2L, array(CAST(NULL AS ARRAY<INT>), array(0, CAST(NULL AS INT))))
+        |AS t(vid, gt)""".stripMargin)
+    def collect(out: org.apache.spark.sql.DataFrame) =
+      out.select("vid", "_z", "_p", "_w").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+    val fused = collect(Kinship.centeredDosages(df, "gt"))
+    val hof = collect(Kinship.centeredDosagesHof(df, "gt"))
+    assert(fused.keySet === Set(1L)) // vid 2 has no fully-called sample
+    assert(fused.keySet === hof.keySet)
+    val (z, p, w) = fused(1L)
+    val (ez, ep, ew) = hof(1L)
+    assertNear(p, 0.75, 1e-12); assertNear(p, ep, 1e-12); assertNear(w, ew, 1e-12)
+    assert(z === Seq(1.0 - 1.5, 0.0, 0.0, 2.0 - 1.5))
+    z.zip(ez).foreach { case (a, b) => assertNear(a, b, 1e-12) }
+  }
+
   test("meanImputedDosages: missing takes the called mean; all-missing stays null") {
     val df = Seq(
       (1L, Seq(Seq(0, 1), Seq(-1, -1), Seq(1, 1))),   // dosages 1,·,2 → mean 1.5
