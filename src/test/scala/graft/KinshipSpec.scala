@@ -117,6 +117,60 @@ class KinshipSpec extends SparkTestBase {
       s"centered_dosages duplicated in plan:\n$plan")
   }
 
+  test("grmBlocksWrite + grmFromBlocks ≡ driver-triangle grm (ragged tail block)") {
+    val path = java.nio.file.Files.createTempDirectory("grmb").toString
+    val (s, den) = Kinship.grmBlocksWrite(gt, path, "gt", blockSize = 3)
+    assert(s === 4) // blocks: (0,0) 3×3 diag, (0,1) 3×1, (1,1) 1×1 diag
+    val exact = Kinship.grm(gt, "gt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = Kinship.grmFromBlocks(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked.keySet === exact.keySet)
+    exact.foreach { case (k, v) => assertNear(blocked(k), v, 1e-9) }
+    val denExact = Kinship.grmTriangle(gt, "gt")._3
+    assertNear(den, denExact, 1e-9)
+  }
+
+  test("grmAuto: blocked path (forced by a tiny cap) ≡ driver path") {
+    val exact = Kinship.grm(gt, "gt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val auto = Kinship.grmAuto(gt, "gt", maxDriverSamples = 2, blockSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(auto.keySet === exact.keySet)
+    exact.foreach { case (k, v) => assertNear(auto(k), v, 1e-9) }
+  }
+
+  test("pcaRandomized ≡ exact pca: eigenvalues and basis-free score projector") {
+    // planted two-population cohort → separated top eigenvalues
+    val df = graft.examples.KinshipScaleDemo.synthGt(spark, 300L, 30).localCheckpoint()
+    val k = 5
+    val (le, pe) = Kinship.pca(df, "gt", k)
+    val (lr, pr) = Kinship.pcaRandomized(df, "gt", k, iters = 80, seed = 7L)
+    le.zip(lr).foreach { case (a, b) => assertNear(b, a, 1e-6 * math.max(1.0, le.head)) }
+    // eigenvector signs (and any rotation within near-degenerate pairs)
+    // are basis choices — compare the rank-k projector S·Sᵀ = U Λ Uᵀ,
+    // which is basis-independent
+    def scores(dfp: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+      dfp.orderBy("sample_idx").collect().map(_.getSeq[Double](1).toArray)
+    val (se, sr) = (scores(pe), scores(pr))
+    val n = se.length
+    for (i <- 0 until n; j <- 0 until n) {
+      val a = se(i).zip(se(j)).map { case (x, y) => x * y }.sum
+      val b = sr(i).zip(sr(j)).map { case (x, y) => x * y }.sum
+      assertNear(b, a, 1e-6 * math.max(1.0, math.abs(a)))
+    }
+  }
+
+  test("pcaAuto switches on cohort width") {
+    val df = graft.examples.KinshipScaleDemo.synthGt(spark, 200L, 12).localCheckpoint()
+    val (le, _) = Kinship.pca(df, "gt", 3)
+    val (la, _) = Kinship.pcaAuto(df, "gt", 3, maxDriverSamples = 100) // exact path
+    val (lb, _) = Kinship.pcaAuto(df, "gt", 3, maxDriverSamples = 4,   // randomized path
+      iters = 30)
+    le.zip(la).foreach { case (a, b) => assertNear(b, a, 1e-12) }
+    le.zip(lb).foreach { case (a, b) => assertNear(b, a, 1e-6 * math.max(1.0, le.head)) }
+  }
+
   test("centeredDosages: null sample arrays and null alleles are missing calls") {
     // declared input type admits nulls (containsNull=true) — both eval
     // paths must agree with the null-tolerant HOF twin, not NPE
