@@ -66,6 +66,50 @@ object KinshipScaleDemo {
         f"PC1 sign-splits planted halves at ${frac * 100}%.1f%%")
     }
 
+    // biobank-width cohort: the driver triangle is infeasible here
+    // (50k samples → 10 GB of S(S+1)/2 doubles), so this is the
+    // gramian-free escalation's rehearsal — pcaRandomized holds only
+    // S×m doubles anywhere (m = k + oversample; ~5 MB at 50k), and
+    // each iteration is one ProjOuterAgg pass over the variants
+    val nWide = args.drop(2).headOption.map(_.toInt).getOrElse(50000)
+    val vWide = 1000L
+    val huge = synthGt(spark, vWide, nWide).localCheckpoint()
+    ScaleDemo.time(s"generate ${vWide} variants × ${nWide / 1000}k samples")(
+      huge.count())
+    ScaleDemo.time(s"pcaRandomized ($nWide samples — driver triangle would " +
+      s"need ${nWide.toLong * (nWide + 1) / 2 * 8 / (1 << 20)} MB; S×m state is " +
+      s"${nWide.toLong * 13 * 8 / (1 << 20)} MB)") {
+      val (eig, proj) = Kinship.pcaRandomized(huge, "gt", k = 5, iters = 6)
+      val pc1 = proj.orderBy(col("sample_idx")).collect().map(_.getSeq[Double](1).head)
+      val (a, b) = (pc1.take(nWide / 2), pc1.drop(nWide / 2))
+      val split = (a.count(_ > 0) + b.count(_ <= 0)).toDouble / nWide
+      val frac = math.max(split, 1.0 - split)
+      println(f"    λ=${eig.take(3).map(v => f"$v%.1f").mkString(",")} " +
+        f"PC1 sign-splits planted halves at ${frac * 100}%.1f%%")
+    }
+
+    // blocked GRM store past the driver-triangle default cap (10k):
+    // peak memory is one blockSize² block PER CONCURRENT TASK (33 MB
+    // at 2048) — block size trades per-task memory against job count,
+    // and local[N] runs N tasks of one job in ONE shared heap, so the
+    // single box wants modest blocks; a real cluster spreads the same
+    // buffers across executors and takes 4096-8192. Scans are
+    // column-pruned slices of the blocked parquet, zero shuffle. No
+    // checkpoint needed: grmBlocksWrite materializes its own blocked
+    // parquet, so the synthetic source is scanned exactly once.
+    val nBlocked = 12288
+    val blocked = synthGt(spark, vWide, nBlocked)
+    val grmPath = java.nio.file.Files.createTempDirectory("grm_blocks").toString
+    ScaleDemo.time(s"grmBlocksWrite ($nBlocked samples, blockSize=2048 → " +
+      s"${((nBlocked + 2047) / 2048) * ((nBlocked + 2047) / 2048 + 1) / 2} block jobs)") {
+      Kinship.grmBlocksWrite(blocked, grmPath, "gt", blockSize = 2048)
+    }
+    ScaleDemo.time("grmFromBlocks long-form view (count only — the full " +
+      "S² explode is the consumer's choice)") {
+      val n = Kinship.grmFromBlocks(spark, grmPath).count()
+      println(s"    $n kinship entries")
+    }
+
     // narrow cohort: both paths run — the switchover measurement
     val nNarrow = 96
     val narrow = synthGt(spark, nVariants, nNarrow).localCheckpoint()

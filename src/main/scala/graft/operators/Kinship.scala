@@ -320,9 +320,13 @@ object Kinship {
     * shuffle, no replication), then runs one executor-side aggregation
     * per block pair — [[graft.functions.GramianAgg]] (packed triangle)
     * on the diagonal, [[graft.functions.OuterSumAgg]] (full nl×nr
-    * col-major) off it — appending one (bi, bj, block) row per job to
-    * `outPath/blocks`. Peak memory anywhere = blockSize² doubles
-    * (32 MB at the 2048 default); the driver holds ONE block at a time.
+    * col-major) off it — appending the block to `outPath/blocks` as
+    * one parquet row PER BLOCK ROW ((bi, bj, i, j0, values[≤blockSize])
+    * — ≤16 KB rows the vectorized reader batches happily; a single
+    * blockSize²-array row would make every downstream scan reserve the
+    * whole block per batch slot). Peak memory anywhere = blockSize²
+    * doubles (32 MB at the 2048 default) per in-flight aggregation
+    * task; the driver holds ONE block at a time.
     *
     * Total scan cost is (B+1)× the blocked parquet (each of the B
     * columns is read by B+1 of the B(B+1)/2 jobs) with zero shuffle —
@@ -350,24 +354,44 @@ object Kinship {
     val blockSchema = StructType(Seq(
       StructField("bi", IntegerType, nullable = false),
       StructField("bj", IntegerType, nullable = false),
-      StructField("nl", IntegerType, nullable = false),
-      StructField("nr", IntegerType, nullable = false),
+      StructField("i", IntegerType, nullable = false),
+      StructField("j0", IntegerType, nullable = false),
       StructField("block_size", IntegerType, nullable = false),
       StructField("den", DoubleType, nullable = false),
-      StructField("block", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
     for (i <- 0 until nb; j <- i until nb) {
       val (nl, nr) = (math.min(blockSize, s - i * blockSize),
         math.min(blockSize, s - j * blockSize))
-      val block: Array[Double] =
-        if (i == j)
-          z.agg(GramianAgg.of(col(s"zb_$i"))).head().getSeq[Double](0).toArray
-        else {
+      val rows: java.util.List[Row] =
+        if (i == j) {
+          // GramianAgg 'L'-packed triangle: row r's (r, c≥r) entries
+          // are the contiguous slice of length nl−r at r·nl − r(r−1)/2
+          val tri = z.agg(GramianAgg.of(col(s"zb_$i"))).head().getSeq[Double](0).toArray
+          val out = new java.util.ArrayList[Row](nl)
+          var r = 0
+          while (r < nl) {
+            val off = (r.toLong * nl - r.toLong * (r - 1) / 2).toInt
+            out.add(Row(i, j, r, r, blockSize, den,
+              tri.slice(off, off + (nl - r)).toSeq))
+            r += 1
+          }
+          out
+        } else {
+          // OuterSumAgg col-major block (header [nl, nr] stripped):
+          // entry (r, c) at 2 + c·nl + r
           val raw = z.agg(graft.functions.OuterSumAgg.of(col(s"zb_$i"), col(s"zb_$j")))
             .head().getSeq[Double](0)
-          raw.drop(2).toArray // strip the [nl, nr] buffer header
+          val out = new java.util.ArrayList[Row](nl)
+          var r = 0
+          while (r < nl) {
+            val rr = r
+            out.add(Row(i, j, r, 0, blockSize, den,
+              Array.tabulate(nr)(c => raw(2 + c * nl + rr)).toSeq))
+            r += 1
+          }
+          out
         }
-      spark.createDataFrame(
-        java.util.List.of(Row(i, j, nl, nr, blockSize, den, block.toSeq)), blockSchema)
+      spark.createDataFrame(rows, blockSchema)
         .write.mode("append").parquet(s"$outPath/blocks")
     }
     (s, den)
@@ -377,31 +401,19 @@ object Kinship {
     * DISTRIBUTED explode (never through the driver): diagonal blocks
     * unpack GramianAgg's 'L'-packed triangle (entry (i, j≥i) at
     * i·n − i(i−1)/2 + (j−i)), off-diagonal blocks index col-major.
-    * Same output contract as [[grm]]. */
+    * Same output contract as [[grm]]. One declarative posexplode over
+    * the ≤blockSize-element row arrays — column pruning drops the
+    * array itself after the generator, so only (si, sj, kin) scalars
+    * flow downstream. */
   def grmFromBlocks(spark: org.apache.spark.sql.SparkSession,
-                    outPath: String): DataFrame = {
-    val blocks = spark.read.parquet(s"$outPath/blocks")
-    val base = col("block_size").cast("long")
-    val diag = blocks.filter(col("bi") === col("bj"))
-      .select(col("bi"), col("bj"), base.as("_bs"), col("den"), col("nl"),
-        explode(flatten(transform(sequence(lit(0), col("nl") - 1), ii =>
-          transform(sequence(ii, col("nl") - 1), jj =>
-            struct(ii.as("ii"), jj.as("jj"),
-              element_at(col("block"),
-                ii * col("nl") - ((ii * (ii - 1)) / lit(2)).cast("int")
-                  + (jj - ii) + 1).as("v")))))).as("_e"))
-    val off = blocks.filter(col("bi") =!= col("bj"))
-      .select(col("bi"), col("bj"), base.as("_bs"), col("den"), col("nl"),
-        explode(flatten(transform(sequence(lit(0), col("nl") - 1), ii =>
-          transform(sequence(lit(0), col("nr") - 1), jj =>
-            struct(ii.as("ii"), jj.as("jj"),
-              element_at(col("block"), jj * col("nl") + ii + 1).as("v")))))).as("_e"))
-    diag.unionByName(off)
+                    outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/blocks")
       .select(
-        (col("bi").cast("long") * col("_bs") + col("_e.ii")).as("si"),
-        (col("bj").cast("long") * col("_bs") + col("_e.jj")).as("sj"),
-        (col("_e.v") / col("den")).as("kin"))
-  }
+        (col("bi").cast("long") * col("block_size") + col("i")).as("si"),
+        (col("bj").cast("long") * col("block_size") + col("j0")).as("sj0"),
+        col("den"), posexplode(col("values")))
+      .select(col("si"), (col("sj0") + col("pos")).as("sj"),
+        (col("col") / col("den")).as("kin"))
 
   /** [[grm]] with the driver-cap auto-switch: the one-pass driver
     * triangle while it fits (default 10k samples → 400 MB), the blocked
