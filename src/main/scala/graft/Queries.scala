@@ -1171,6 +1171,42 @@ object Queries {
              |round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ── 45b. BPE subword token counting (ext.Bpe codegen kernel). The
+    // merge table is rank-monotone (Bpe.demoMerges scaladoc), so the
+    // oracle replicates the min-rank merge loop as an in-rank-order
+    // replace() chain over a '|c|'-delimited char encoding: delimiters
+    // are owned per token (adjacent matches share no characters →
+    // left-to-right non-overlapping replace ≡ leftmost-first BPE), and
+    // the final token count is the delimiter-pair count. ──────────────
+    QueryDef(
+      "q_bpe_tokens",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            ext.Bpe.tokenCount(col("text"), ext.Bpe.demoMerges).as("n_bpe"),
+            size(split(col("text"), " ")).cast("long").as("n_words"))
+          .orderBy(col("doc_id")),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+             |), enc AS (
+             |  SELECT doc_id,
+             |    replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(w, '(.)', '|\1|', 'g'),
+             |      '|t||h|','|th|'), '|th||e|','|the|'),
+             |      '|d||a|','|da|'), '|da||t|','|dat|'), '|dat||a|','|data|'),
+             |      '|j||o|','|jo|'), '|jo||i|','|joi|'), '|joi||n|','|join|'),
+             |      '|e||r|','|er|'), '|o||r|','|or|'), '|s||t|','|st|') AS e
+             |  FROM words WHERE w <> ''
+             |), wc AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+             |  FROM documents
+             |)
+             |SELECT enc.doc_id,
+             |  CAST(sum((length(e) - length(replace(e, '|', ''))) // 2) AS BIGINT) AS n_bpe,
+             |  any_value(wc.n_words) AS n_words
+             |FROM enc JOIN wc ON enc.doc_id = wc.doc_id
+             |GROUP BY enc.doc_id ORDER BY enc.doc_id""".stripMargin)),
+
     // ── 46. RANGE window frame (time-based: last-5-minutes running sum).
     // RANGE includes all peers of the current order value, so the result
     // is deterministic even on tied timestamps — no tie-break needed

@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic byte-pair-encoding (BPE) subword tokenization as a
+  * codegen Expression — the missing token-budget primitive (VERDICT r6
+  * #2): every downstream budget (chunking, packing, LM scoring, BM25
+  * length norm) can now count SUBWORDS against a fixed merge table
+  * instead of whitespace words.
+  *
+  * Algorithm (the public BPE of Sennrich et al. 2016, as implemented by
+  * GPT-2's encoder): pre-tokenize on whitespace runs, split each word
+  * into single characters, then repeatedly merge the adjacent pair with
+  * the LOWEST rank in the merge table (all its occurrences, leftmost
+  * first) until no adjacent pair is ranked. Fully deterministic for a
+  * fixed table — no RNG, no tie ambiguity (rank is the tiebreak;
+  * distinct pairs never share a rank).
+  *
+  * Scale shape: the merge table rides the expression (one broadcast per
+  * stage via the task binary — same mechanism as literal arrays), the
+  * merge loop is row-local, and both expressions stay inside
+  * whole-stage codegen (`doGenCode` calls the static kernel — the
+  * TextHashExprs pattern). Real vocabularies (50k merges) are a
+  * HashMap probe per adjacent pair; the loop is O(word·merges-applied),
+  * the standard single-node cost.
+  */
+object BpeLoops {
+
+  /** Rank map key: left + ' ' + right — unambiguous because tokens
+    * come from whitespace-split words, so neither half can contain a
+    * space. */
+  def key(left: String, right: String): String = left + " " + right
+
+  def buildRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.nonEmpty && r.nonEmpty, s"empty merge component at rank $i")
+      val prev = m.put(key(l, r), Integer.valueOf(i))
+      require(prev == null, s"duplicate merge pair ($l, $r)")
+    }
+    m
+  }
+
+  /** Greedy min-rank BPE over one word's characters. */
+  def encodeWord(w: String, ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    val toks = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { toks.add(String.valueOf(w.charAt(i))); i += 1 }
+    var done = toks.size < 2
+    while (!done) {
+      // find the lowest-ranked adjacent pair present
+      var best = Integer.MAX_VALUE
+      var bl: String = null
+      var br: String = null
+      var j = 0
+      while (j < toks.size - 1) {
+        val r = ranks.get(key(toks.get(j), toks.get(j + 1)))
+        if (r != null && r.intValue() < best) {
+          best = r.intValue(); bl = toks.get(j); br = toks.get(j + 1)
+        }
+        j += 1
+      }
+      if (bl == null) done = true
+      else {
+        // merge ALL its occurrences, leftmost first (in place: read
+        // index walks ahead of write index)
+        val merged = bl + br
+        var rd = 0
+        var wr = 0
+        while (rd < toks.size) {
+          if (rd < toks.size - 1 && toks.get(rd) == bl && toks.get(rd + 1) == br) {
+            toks.set(wr, merged); rd += 2
+          } else {
+            toks.set(wr, toks.get(rd)); rd += 1
+          }
+          wr += 1
+        }
+        while (toks.size > wr) toks.remove(toks.size - 1)
+        done = toks.size < 2
+      }
+    }
+    toks
+  }
+
+  private def eachWord(text: String)(f: String => Unit): Unit = {
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) f(text.substring(start, i))
+    }
+  }
+
+  /** Total subword count of a whitespace-pre-tokenized text. */
+  def countTokens(text: String, ranks: java.util.HashMap[String, Integer]): Long = {
+    var n = 0L
+    eachWord(text)(w => n += encodeWord(w, ranks).size)
+    n
+  }
+
+  /** All subword tokens of a text, in order, as catalyst array data. */
+  def tokens(text: String, ranks: java.util.HashMap[String, Integer]): GenericArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    eachWord(text) { w =>
+      val ts = encodeWord(w, ranks)
+      var i = 0
+      while (i < ts.size) { out.add(UTF8String.fromString(ts.get(i))); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Subword count of a string under a fixed BPE merge table. */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  @transient private lazy val ranks = BpeLoops.buildRanks(merges)
+
+  protected override def nullSafeEval(v: Any): Any =
+    BpeLoops.countTokens(v.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.ext.BpeLoops.countTokens($c.toString(), $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** All subword tokens of a string under a fixed BPE merge table, in
+  * document order (word boundaries not marked — words never merge
+  * across whitespace by construction). */
+case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  @transient private lazy val ranks = BpeLoops.buildRanks(merges)
+
+  protected override def nullSafeEval(v: Any): Any =
+    BpeLoops.tokens(v.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.ext.BpeLoops.tokens($c.toString(), $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+    copy(child = newChild)
+}
+
+object Bpe {
+
+  /** Subword count under `merges` (LongType — summable into budgets). */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeCountExpr(bridge.expression(text), merges))
+
+  /** Subword tokens under `merges` (array<string>, document order). */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeTokensExpr(bridge.expression(text), merges))
+
+  /** Demo merge table over the synthetic corpus vocabulary.
+    *
+    * Deliberately RANK-MONOTONE: every merge's output is only ever a
+    * component of LATER-ranked merges, and merges never create new
+    * adjacencies of earlier pairs (new pairs always involve the merged
+    * token). Under that restriction one in-rank-order exhaustive
+    * replacement pass is provably identical to the min-rank loop —
+    * which is what lets the DuckDB oracle replicate this table as a
+    * chain of `replace()` calls over a `|c|`-delimited character
+    * encoding (delimiters owned per token, so adjacent matches never
+    * share characters and left-to-right non-overlapping replacement ==
+    * leftmost-first BPE merging). The general Expression handles
+    * arbitrary tables; the oracle pins this safe one cross-engine. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"),                      // the
+    ("d", "a"), ("da", "t"), ("dat", "a"),        // data
+    ("j", "o"), ("jo", "i"), ("joi", "n"),        // join
+    ("e", "r"), ("o", "r"), ("s", "t"))           // common tails
+}

@@ -276,6 +276,62 @@ object Corpus {
         size(col("_ctoks")).cast("long").as("n_tok"))
   }
 
+  /** [[chunkDocs]] with a PER-WORD COST function — the subword-budget
+    * chunker (chunk while `Σ wordCost ≤ budget`, never splitting a
+    * word): pass `w => Bpe.tokenCount(w, merges)` (a codegen BPE count
+    * per word) and chunks respect a SUBWORD context budget, the real
+    * training constraint, instead of a whitespace-word count.
+    *
+    * Greedy fill per document: a word that would overflow the running
+    * budget starts the next chunk; a single word costing more than the
+    * whole budget gets a chunk to itself (never silently dropped).
+    * Output contract ≡ [[chunkDocs]]: (idCol, chunk_id, chunk, n_tok),
+    * n_tok now in COST units. With `wordCost = 1` this reproduces
+    * chunkDocs(maxTokens = budget, overlap = 0) exactly (CorpusSpec
+    * pins it).
+    *
+    * Scale shape: map-only and shuffle-free like its parent — the
+    * greedy scan is an `aggregate` HOF over the costs array emitting
+    * only CHUNK BOUNDARIES (state is O(chunks), not O(words)), chunks
+    * are slices of the one materialized token array, and the generator
+    * input is the built chunk-struct array, so the token/cost arrays
+    * never ride the exploded rows. */
+  def chunkDocsBudget(df: DataFrame, idCol: String, textCol: String,
+                      budget: Long,
+                      wordCost: Column => Column = _ => lit(1L)): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_ntok", size(col("_toks")))
+      .filter(col("_ntok") > 0)
+      .withColumn("_costs", transform(col("_toks"), w => wordCost(w).cast("long")))
+      .withColumn("_bounds",
+        aggregate(
+          col("_costs"),
+          struct(array(lit(0)).as("bounds"), lit(0L).as("fill"), lit(0).as("idx")),
+          (st, c) => {
+            val overflow = st("fill") > 0 && st("fill") + c > budget
+            struct(
+              when(overflow, concat(st("bounds"), array(st("idx"))))
+                .otherwise(st("bounds")).as("bounds"),
+              when(overflow, c).otherwise(st("fill") + c).as("fill"),
+              (st("idx") + 1).as("idx"))
+          },
+          st => st("bounds")))
+      .withColumn("_nb", size(col("_bounds")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_nb") - 1), k => {
+          val start = element_at(col("_bounds"), k + 1)
+          val end = when(k + 1 < col("_nb"), element_at(col("_bounds"), k + 2))
+            .otherwise(col("_ntok"))
+          struct(
+            array_join(slice(col("_toks"), start + 1, end - start), " ").as("chunk"),
+            aggregate(slice(col("_costs"), start + 1, end - start),
+              lit(0L), _ + _).as("n_tok"))
+        })).as(Seq("chunk_id", "_c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("_c.chunk").as("chunk"), col("_c.n_tok").as("n_tok"))
+  }
+
   /** Benchmark-contamination scores: for every training document, the
     * maximum number of distinct word n-gram shingles it shares with any
     * single benchmark document. `maxShared = 0` rows are omitted (they

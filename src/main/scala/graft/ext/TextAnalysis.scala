@@ -148,8 +148,9 @@ object TextAnalysis {
     * back. Self-scored here (vocab from `docs` itself); to score
     * against a reference corpus, join a precomputed vocab instead —
     * unseen terms then null out and must be smoothed by the caller. */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     tokenizer: Column => Column = tokens): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"), tokenizer(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(col("_toks")).as("term"))
     val vocab = words.groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
     scoreAgainstVocab(words, vocab)
@@ -158,9 +159,15 @@ object TextAnalysis {
   /** Corpus unigram counts, the reusable artifact for
     * [[unigramLogProbWithVocab]] — at 100 TB the self-scoring form
     * above scans the corpus twice (vocab build + scoring); persist this
-    * once and score any number of batches with single-scan cost. */
-  def unigramVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("term"))
+    * once and score any number of batches with single-scan cost.
+    *
+    * `tokenizer` swaps the unit the LM is estimated over — the default
+    * whitespace [[tokens]], or subwords via
+    * `t => Bpe.tokens(t, merges)` (then scoring and vocab share one
+    * fixed merge table, the real-pipeline setup). */
+  def unigramVocab(docs: DataFrame, textCol: String,
+                   tokenizer: Column => Column = tokens): DataFrame =
+    docs.select(explode(tokenizer(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
 
   /** [[unigramLogProb]] against a PRECOMPUTED vocabulary (columns
@@ -169,9 +176,10 @@ object TextAnalysis {
     * and `n_tok` (an inner join — ln(0) is undefined); callers wanting
     * smoothing should add pseudo-count rows to the vocab instead. */
   def unigramLogProbWithVocab(docs: DataFrame, idCol: String, textCol: String,
-                              vocab: DataFrame): DataFrame =
+                              vocab: DataFrame,
+                              tokenizer: Column => Column = tokens): DataFrame =
     scoreAgainstVocab(
-      docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term")),
+      docs.select(col(idCol).as("doc_id"), explode(tokenizer(col(textCol))).as("term")),
       vocab)
 
   private def scoreAgainstVocab(words: DataFrame, vocab: DataFrame): DataFrame = {
