@@ -151,6 +151,72 @@ object Ivf {
       .drop("_rn", cellCol, probeVecCol)
   }
 
+  /** Persist the QUANTIZED IVF index: (idCol, scale, q8, cell) with the
+    * int8 codes stored as `array<tinyint>` — the index artifact is ~4×
+    * smaller than the float32 corpus (the binding constraint at 100 TB
+    * is index residency, not compute), cells still prune at the scan,
+    * and every other corpus column is deliberately dropped (the index
+    * answers "which ids"; attributes live in the primary store).
+    * Search with [[topKJoinQ]]; re-rank against the primary store for
+    * full-precision scores. */
+  def saveIndexQ(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[(Int, Array[Double])], path: String,
+                 cellCol: String = "ivf_cell"): Unit =
+    Quantize.quantizeInt8(withCell(corpus, vecCol, centroids, cellCol), vecCol, "_q")
+      .select(col(idCol), col("_q.scale").as("scale"),
+        transform(col("_q.q"), x => x.cast("byte")).as("q8"), col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** Batch ANN join over a [[saveIndexQ]] store: candidate scoring runs
+    * entirely on int8 codes (exact integer folds — Quantize.dotQParts),
+    * each probe keeps its top `k·rerankFactor` quantized candidates,
+    * and, when `rerank` supplies the full-precision corpus (idCol →
+    * vecCol), those candidates alone are re-scored exactly and cut to
+    * k — the standard two-stage quantized search (FAISS's IVF+refine):
+    * the wide float vectors are touched for k·rerankFactor rows per
+    * probe, never for whole cells. Without `rerank` the quantized
+    * scores are final (scoreCol then carries quantization error ~1e-2
+    * relative). Output: (probeIdCol, idCol, scoreCol).
+    *
+    * Ties break toward lower idCol at both stages — deterministic for
+    * any partitioning. */
+  def topKJoinQ(indexedQ: DataFrame, idCol: String,
+                centroids: Seq[(Int, Array[Double])],
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                k: Int, nprobe: Int = 2,
+                rerank: Option[(DataFrame, String)] = None, rerankFactor: Int = 4,
+                cellCol: String = "ivf_cell", scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankFactor >= 1, s"rerankFactor=$rerankFactor must be >= 1")
+    val pq = Quantize.quantizeInt8(
+      probes.select(col(probeIdCol), col(probeVecCol)), probeVecCol, "_pq")
+    val pcells = pq.select(col(probeIdCol), col(probeVecCol),
+      col("_pq.scale").as("_pscale"), col("_pq.q").as("_pq8"),
+      explode(nearestCellsExpr(col(probeVecCol).cast("array<double>"), centroids, nprobe))
+        .as(cellCol))
+    val wq = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("_qscore").desc, col(idCol))
+    val kq = if (rerank.isDefined) k * rerankFactor else k
+    val candidates = indexedQ.join(broadcast(pcells), Seq(cellCol))
+      .withColumn("_qscore",
+        Quantize.dotQParts(col("q8"), col("scale"), col("_pq8"), col("_pscale")))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= kq)
+    rerank match {
+      case None =>
+        candidates.select(col(probeIdCol), col(idCol), col("_qscore").as(scoreCol))
+      case Some((corpus, vecCol)) =>
+        val we = Window.partitionBy(col(probeIdCol))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        candidates.select(col(probeIdCol), col(probeVecCol), col(idCol))
+          .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+          .withColumn(scoreCol, Similarity.dot(col(vecCol), col(probeVecCol)))
+          .withColumn("_rn", row_number().over(we))
+          .filter(col("_rn") <= k)
+          .select(col(probeIdCol), col(idCol), col(scoreCol))
+    }
+  }
+
   /** One-shot convenience: assign + probe in a single plan. For repeated
     * probes, [[saveIndex]] + [[topKIndexed]] is the scale path. */
   def topK(

@@ -48,8 +48,16 @@ object Quantize {
     * once — `Σ qa_i·qb_i · scale_a·scale_b`. The integer fold is
     * overflow-safe to dim ≈ 2^47 (|q| ≤ 127 → |q·q| ≤ 16129 per term). */
   def dotQ(a: Column, b: Column): Column =
+    dotQParts(a.getField("q"), a.getField("scale"),
+      b.getField("q"), b.getField("scale"))
+
+  /** [[dotQ]] over split (q, scale) columns — the persisted-index form
+    * (Ivf.saveIndexQ stores q as array<tinyint> and scale separately).
+    * Elements are cast to long BEFORE multiplying, so byte-typed
+    * storage can't overflow its own width. */
+  def dotQParts(qa: Column, scaleA: Column, qb: Column, scaleB: Column): Column =
     aggregate(
-      zip_with(a.getField("q"), b.getField("q"), (x, y) => x * y),
+      zip_with(qa, qb, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
-      .cast("double") * a.getField("scale") * b.getField("scale")
+      .cast("double") * scaleA * scaleB
 }

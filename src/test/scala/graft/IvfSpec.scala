@@ -1,12 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Ivf, Similarity}
+import graft.ext.{Eval, Ivf, Similarity}
 
 /** IVF coarse-quantizer ANN on the driver's embeddings table. */
 class IvfSpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def dirBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
 
   test("train is deterministic; every cell id valid; cells non-trivial") {
     val c1 = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
@@ -99,5 +107,104 @@ class IvfSpec extends SparkTestBase {
       assert(joined(pid).map(_._1) === single.map(_._1), s"probe $pid ids differ")
       joined(pid).zip(single).foreach { case ((_, x), (_, y)) => assertNear(x, y) }
     }
+  }
+
+  test("quantized index: ~4× smaller than the float index on disk") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("ivfq")
+    val fPath = base.resolve("float").toString
+    val qPath = base.resolve("quant").toString
+    // float baseline stores the same (id, vec, cell) payload shape
+    Ivf.saveIndex(emb.select("vec_id", "embedding"), "embedding", centroids, fPath)
+    Ivf.saveIndexQ(emb, "vec_id", "embedding", centroids, qPath)
+    val (fb, qb) = (dirBytes(fPath), dirBytes(qPath))
+    assert(qb.toDouble / fb < 0.5, s"quantized index $qb B vs float $fb B — expected < 0.5×")
+    // schema contract: tinyint codes + one scale per vector
+    val idx = spark.read.parquet(qPath)
+    assert(idx.schema("q8").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = true)
+      || idx.schema("q8").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false))
+  }
+
+  test("topKJoinQ with exact re-rank: recall parity with the float path") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+
+    val path = java.nio.file.Files.createTempDirectory("ivfq2").resolve("index").toString
+    Ivf.saveIndexQ(corpus, "vec_id", "embedding", centroids, path)
+    val indexedQ = spark.read.parquet(path)
+
+    val floatTop = Ivf.topKJoin(Ivf.withCell(corpus, "embedding", centroids),
+      "embedding", centroids, probes, "probe_id", "p_emb",
+      k = 5, nprobe = 3, tieBreak = Seq("vec_id"))
+    val quantTop = Ivf.topKJoinQ(indexedQ, "vec_id", centroids, probes,
+      "probe_id", "p_emb", k = 5, nprobe = 3,
+      rerank = Some((corpus, "embedding")))
+
+    // identical id sets per probe (re-rank restores exact ordering; the
+    // candidate pool at rerankFactor=4 comfortably covers the true top-5)
+    val f = floatTop.select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = quantTop.select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q === f, s"quantized∖float: ${q -- f}; float∖quantized: ${f -- q}")
+
+    // re-ranked scores are the EXACT float dots
+    val exact = floatTop.select("probe_id", "vec_id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    quantTop.collect().foreach { r =>
+      assertNear(r.getDouble(2), exact((r.getLong(0), r.getLong(1))))
+    }
+
+    // and mean recall@5 vs brute-force truth matches the float path's
+    val truth = Similarity.bruteForceTopKJoin(corpus, "embedding", probes,
+      "probe_id", "p_emb", k = 5, tieBreak = Seq("vec_id"))
+    val rf = Eval.meanRecallAtK(floatTop, truth, "probe_id", "vec_id", 5)
+    val rq = Eval.meanRecallAtK(quantTop, truth, "probe_id", "vec_id", 5)
+    assertNear(rq, rf, 1e-9)
+    assert(rq >= 0.3, s"nprobe=3/8 mean recall@5 $rq suspiciously low")
+  }
+
+  test("quantized-only scores carry bounded error; without re-rank ids may reorder") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val indexedQ = {
+      val path = java.nio.file.Files.createTempDirectory("ivfq3").resolve("index").toString
+      Ivf.saveIndexQ(corpus, "vec_id", "embedding", centroids, path)
+      spark.read.parquet(path)
+    }
+    val qOnly = Ivf.topKJoinQ(indexedQ, "vec_id", centroids, probes,
+      "probe_id", "p_emb", k = 5, nprobe = 3)
+    val exactDots = Ivf.topKJoin(Ivf.withCell(corpus, "embedding", centroids),
+      "embedding", centroids, probes, "probe_id", "p_emb",
+      k = 1000000, nprobe = 3, tieBreak = Seq("vec_id"))
+      .select("probe_id", "vec_id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    qOnly.collect().foreach { r =>
+      val e = exactDots((r.getLong(0), r.getLong(1)))
+      // int8 max-abs quantization: ~1% relative error per vector pair
+      assert(math.abs(r.getDouble(2) - e) <= 0.05 * math.max(1.0, math.abs(e)),
+        s"quantized score ${r.getDouble(2)} too far from exact $e")
+    }
+  }
+
+  test("recallAtK: planted ground truth, partial overlap, missing probes") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("probe_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 20L), (2L, 21L), (2L, 20L))
+      .toDF("probe_id", "vec_id")
+    val r = Eval.recallAtK(approx, truth, "probe_id", "vec_id", k = 3)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assertNear(r(1L), 2.0 / 3.0) // 2 of 3 found; the 99 is noise
+    assertNear(r(2L), 1.0)       // both found (duplicate counted once); denom = min(2, 3)
+    assertNear(r(3L), 0.0)       // probe absent from approx = total miss
+    assertNear(Eval.meanRecallAtK(approx, truth, "probe_id", "vec_id", 3),
+      (2.0 / 3.0 + 1.0 + 0.0) / 3.0)
   }
 }
