@@ -110,6 +110,77 @@ object Merge {
       .start()
   }
 
+  /** [[streamUpsert]] under the write-new-then-commit protocol
+    * (graft.sources.AtomicCommit — the r6 torn-state fix): each batch
+    * writes its rewritten buckets into a FRESH `v=<N>/` directory and
+    * publishes them by committing a bucket→version ownership manifest;
+    * untouched buckets keep their old owner version, so nothing is
+    * copied forward. A crash anywhere mid-batch leaves an orphan
+    * version directory no reader resolves, and a reader concurrent
+    * with a batch sees the previous manifest in full — never a mix.
+    * [[readUpsertStoreAtomic]] resolves the manifest; `AtomicCommit
+    * .vacuum` clears crash debris. No eager checkpoint needed anymore:
+    * the write never overwrites files its own plan reads. Single
+    * writer per store (foreachBatch guarantees it). */
+  def streamUpsertAtomic(changes: DataFrame, storeRoot: String, keys: Seq[String],
+                         versionCol: String, nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    import graft.sources.AtomicCommit
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val spark = b.sparkSession
+        val batch = b.withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+        val touched = batch.select(col("_bucket")).distinct()
+          .collect().map(_.getInt(0)).sorted // ≤ nBuckets values by construction
+        if (touched.nonEmpty) {
+          val prior = AtomicCommit.latest(spark, storeRoot)
+          val owners = prior.map(p => AtomicCommit.decodeOwners(p._2))
+            .getOrElse(Map.empty[Int, Long])
+          val newV = prior.map(_._1 + 1).getOrElse(1L)
+          val touchedPaths = touched.toSeq.flatMap(bk =>
+            owners.get(bk).map(v => s"${AtomicCommit.versionDir(storeRoot, v)}/_bucket=$bk"))
+          // direct leaf-dir reads: the v=N/_bucket=K directories sit
+          // ABOVE the given paths, so no partition column is inferred —
+          // nothing can collide with a data column named `v`. _bucket
+          // is re-derived (pure key hash, identical by construction).
+          val existing =
+            if (touchedPaths.nonEmpty)
+              spark.read.parquet(touchedPaths: _*)
+                .withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+            else batch.limit(0)
+          upsert(existing, batch, keys, versionCol, deleteCol = None)
+            .write.mode("overwrite") // clobbers only uncommitted crash debris
+            .partitionBy("_bucket").parquet(AtomicCommit.versionDir(storeRoot, newV))
+          val manifest = AtomicCommit.encodeOwners(
+            owners ++ touched.map(_ -> newV))
+          require(AtomicCommit.commit(spark, storeRoot, newV, manifest),
+            s"version $newV already committed under $storeRoot — concurrent writer?")
+        }
+      }
+      .start()
+  }
+
+  /** Current live state of a [[streamUpsertAtomic]] store at its
+    * latest committed version: bucket data dirs resolved through the
+    * ownership manifest, tombstones filtered like [[readUpsertStore]]. */
+  def readUpsertStoreAtomic(spark: org.apache.spark.sql.SparkSession, storeRoot: String,
+                            deleteCol: Option[String] = None): DataFrame = {
+    import graft.sources.AtomicCommit
+    val (_, body) = AtomicCommit.latest(spark, storeRoot)
+      .getOrElse(sys.error(s"no committed version under $storeRoot"))
+    val paths = AtomicCommit.decodeOwners(body).toSeq.map { case (bk, v) =>
+      s"${AtomicCommit.versionDir(storeRoot, v)}/_bucket=$bk"
+    }
+    // direct leaf-dir reads (see streamUpsertAtomic): no partition
+    // inference, so data columns can't collide with the v=N dir name
+    val raw = spark.read.parquet(paths: _*)
+    deleteCol match {
+      case Some(d) => raw.filter(!coalesce(col(d), lit(false)))
+      case None    => raw
+    }
+  }
+
   /** Current live state of a [[streamUpsert]] store: tombstoned keys
     * filtered out, the bucket column dropped. */
   def readUpsertStore(spark: org.apache.spark.sql.SparkSession, storePath: String,

@@ -51,6 +51,37 @@ object ShardStore {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("fingerprint"))
 
+  /** [[writeShards]] under the [[AtomicCommit]] protocol: shards and
+    * manifest land in a fresh `v=<N>/` directory and publish with one
+    * atomic commit — a crash between shard writes leaves debris no
+    * reader sees, and readers concurrent with a rewrite keep the
+    * previous version in full (the r6 torn-state fix). Returns
+    * (version, manifest). */
+  def writeShardsAtomic(df: DataFrame, idCol: String, numShards: Int, root: String,
+                        hashCols: Seq[String] = Nil): (Long, DataFrame) = {
+    val spark = df.sparkSession
+    val v = AtomicCommit.nextVersion(spark, root)
+    val manifest = writeShards(df, idCol, numShards, AtomicCommit.versionDir(root, v), hashCols)
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    (v, manifest)
+  }
+
+  /** Data directory of the latest COMMITTED version. */
+  def latestShardPath(spark: SparkSession, root: String): String = {
+    val (v, _) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed shard version under $root"))
+    AtomicCommit.versionDir(root, v)
+  }
+
+  /** Read / audit the latest committed version of an atomic store. */
+  def readShardsLatest(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(latestShardPath(spark, root))
+
+  def validateShardsLatest(spark: SparkSession, root: String,
+                           hashCols: Seq[String] = Nil): DataFrame =
+    validateShards(spark, latestShardPath(spark, root), hashCols)
+
   /** Recompute the manifest from what is ON DISK and compare against
     * the stored one; returns per-shard rows with an `ok` flag (false =
     * corruption, truncation, or post-hoc mutation). The audit a trainer

@@ -79,6 +79,50 @@ class MergeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamUpsertAtomic: cross-batch latest-wins; crash debris invisible to readers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-acdc").toString + "/store"
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Merge.streamUpsertAtomic(
+      input.toDF().toDF("k", "val", "v", "del"), root, Seq("k"), "v", nBuckets = 4)
+    try {
+      input.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false), (3L, "c1", 1L, false))
+      q.processAllAvailable()
+      // batch 2: update k=1, tombstone k=2, leave k=3 untouched
+      input.addData((1L, "a2", 2L, false), (2L, "b2", 2L, true))
+      q.processAllAvailable()
+      val live = Merge.readUpsertStoreAtomic(spark, root, Some("del"))
+        .select("k", "val", "v").as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(live === Map(1L -> (("a2", 2L)), 3L -> (("c1", 1L))))
+      // untouched buckets were NOT rewritten: k=3's bucket still owned
+      // by version 1 in the latest manifest
+      val (vLatest, body) = AtomicCommit.latest(spark, root).get
+      val owners = AtomicCommit.decodeOwners(body)
+      assert(vLatest === 2L)
+      assert(owners.values.toSet === Set(1L, 2L), s"owners $owners")
+
+      // crash simulation: a half-written uncommitted version must not
+      // change what readers resolve
+      Seq((9L, "zz", 9L, false)).toDF("k", "val", "v", "del")
+        .withColumn("_bucket", lit(0))
+        .write.partitionBy("_bucket")
+        .parquet(AtomicCommit.versionDir(root, 99L))
+      val after = Merge.readUpsertStoreAtomic(spark, root, Some("del"))
+        .select("k").as[Long].collect().toSet
+      assert(after === Set(1L, 3L), "uncommitted version leaked into reads")
+
+      // stale replay cannot regress the store
+      input.addData((1L, "a0", 1L, false))
+      q.processAllAvailable()
+      val replay = Merge.readUpsertStoreAtomic(spark, root, Some("del"))
+        .filter(col("k") === 1L).select("val").as[String].collect()
+      assert(replay === Array("a2"))
+    } finally q.stop()
+  }
+
   test("scd2: intervals chain (valid_to = next valid_from), one current row per key") {
     val log0 = Seq(
       (1L, 10L, "x1", 100L), (1L, 20L, "x2", 101L), (1L, 20L, "x3", 102L),

@@ -86,4 +86,40 @@ class SourcesSpec extends SparkTestBase {
     val after = ShardStore.validateShards(spark, dir).collect()
     assert(after.count(!_.getAs[Boolean]("ok")) === 1)
   }
+
+  test("atomic shard store: crash debris invisible, readers keep the committed version") {
+    import graft.sources.{AtomicCommit, ShardStore}
+    val root = java.nio.file.Files.createTempDirectory("ashards").resolve("corpus").toString
+    val (v1, _) = ShardStore.writeShardsAtomic(docs, "doc_id", numShards = 4, root)
+    assert(v1 === 1L)
+    assert(ShardStore.readShardsLatest(spark, root).count() === docs.count())
+    assert(ShardStore.validateShardsLatest(spark, root).collect().forall(_.getAs[Boolean]("ok")))
+
+    // crash simulation: a writer died after writing data but BEFORE the
+    // commit — the half-written v=2 must be invisible to every reader
+    docs.limit(3).write.parquet(AtomicCommit.versionDir(root, 2L) + "/shard=0")
+    assert(ShardStore.latestShardPath(spark, root) === AtomicCommit.versionDir(root, 1L))
+    assert(ShardStore.readShardsLatest(spark, root).count() === docs.count())
+    assert(ShardStore.validateShardsLatest(spark, root).collect().forall(_.getAs[Boolean]("ok")))
+
+    // recovery: the next atomic write claims v=2, clobbers the debris,
+    // commits — and only then do readers move forward
+    val (v2, _) = ShardStore.writeShardsAtomic(docs.limit(10), "doc_id", 4, root)
+    assert(v2 === 2L)
+    assert(ShardStore.readShardsLatest(spark, root).count() === 10L)
+    assert(ShardStore.validateShardsLatest(spark, root).collect().forall(_.getAs[Boolean]("ok")))
+    // v=1 still present and intact (time travel until vacuumed)
+    assert(spark.read.parquet(AtomicCommit.versionDir(root, 1L)).count() === docs.count())
+  }
+
+  test("atomic commit: vacuum removes orphans, never the committed version") {
+    import graft.sources.{AtomicCommit, ShardStore}
+    val root = java.nio.file.Files.createTempDirectory("avac").resolve("corpus").toString
+    ShardStore.writeShardsAtomic(docs, "doc_id", numShards = 2, root)
+    // orphan debris from a crashed writer
+    docs.limit(1).write.parquet(AtomicCommit.versionDir(root, 7L))
+    val removed = AtomicCommit.vacuum(spark, root)
+    assert(removed.exists(_.endsWith("v=7")) && removed.length === 1)
+    assert(ShardStore.readShardsLatest(spark, root).count() === docs.count())
+  }
 }
