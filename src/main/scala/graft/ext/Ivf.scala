@@ -217,6 +217,58 @@ object Ivf {
     }
   }
 
+  /** Persist the PRODUCT-QUANTIZED IVF index: (idCol, codes, cell)
+    * with m one-byte PQ codes per vector — D·4 float bytes per vector
+    * become m bytes (32× at D = 64, m = 8), the deepest compression
+    * tier (float → int8 → PQ); cells still prune at the scan. Search
+    * with [[topKJoinPQ]] + exact re-rank. */
+  def saveIndexPQ(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[(Int, Array[Double])], books: Pq.Codebooks,
+                  path: String, cellCol: String = "ivf_cell"): Unit =
+    withCell(corpus, vecCol, centroids, cellCol)
+      .select(col(idCol), Pq.encode(col(vecCol), books).as("codes"), col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** Batch ANN join over a [[saveIndexPQ]] store: candidates score by
+    * asymmetric PQ lookup (probe full-precision, corpus coded —
+    * Pq.adcScoreCol), each probe keeps its top k·rerankFactor, and
+    * `rerank` re-scores those exactly (mandatory for final ranking at
+    * PQ's compression level — without it scores carry subspace
+    * reconstruction error). Output: (probeIdCol, idCol, scoreCol),
+    * ties toward lower idCol. */
+  def topKJoinPQ(indexedPQ: DataFrame, idCol: String,
+                 centroids: Seq[(Int, Array[Double])], books: Pq.Codebooks,
+                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                 k: Int, nprobe: Int = 2,
+                 rerank: Option[(DataFrame, String)] = None, rerankFactor: Int = 4,
+                 cellCol: String = "ivf_cell", scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankFactor >= 1, s"rerankFactor=$rerankFactor must be >= 1")
+    val pcells = probes.select(col(probeIdCol), col(probeVecCol),
+      explode(nearestCellsExpr(col(probeVecCol).cast("array<double>"), centroids, nprobe))
+        .as(cellCol))
+    val wq = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("_qscore").desc, col(idCol))
+    val kq = if (rerank.isDefined) k * rerankFactor else k
+    val candidates = indexedPQ.join(broadcast(pcells), Seq(cellCol))
+      .withColumn("_qscore", Pq.adcScoreCol(col("codes"), books, col(probeVecCol)))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= kq)
+    rerank match {
+      case None =>
+        candidates.select(col(probeIdCol), col(idCol), col("_qscore").as(scoreCol))
+      case Some((corpus, vecCol)) =>
+        val we = Window.partitionBy(col(probeIdCol))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        candidates.select(col(probeIdCol), col(probeVecCol), col(idCol))
+          .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+          .withColumn(scoreCol, Similarity.dot(col(vecCol), col(probeVecCol)))
+          .withColumn("_rn", row_number().over(we))
+          .filter(col("_rn") <= k)
+          .select(col(probeIdCol), col(idCol), col(scoreCol))
+    }
+  }
+
   /** One-shot convenience: assign + probe in a single plan. For repeated
     * probes, [[saveIndex]] + [[topKIndexed]] is the scale path. */
   def topK(
