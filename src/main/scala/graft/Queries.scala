@@ -1579,6 +1579,60 @@ object Queries {
              |SELECT probe_id, vec_id, round(dot, 4) AS dot FROM r WHERE rn <= 3
              |ORDER BY probe_id, vec_id""".stripMargin)),
 
+    // ── 59b. ANN recall@k evaluation, cross-engine: the LSH ANN result
+    // (q_ann_join construction) scored by Eval.recallAtK against exact
+    // brute-force truth — the evaluation operator itself proven against
+    // DuckDB's from-first-principles recall computation ────────────────
+    QueryDef(
+      "q_ann_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 10)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val approx = Similarity.lshTopKJoin(
+          corpus, "embedding", probes, "probe_id", "p_emb",
+          dim = 64, k = 3, bits = 4, tieBreak = Seq("vec_id"))
+        val truth = Similarity.bruteForceTopKJoin(
+          corpus, "embedding", probes, "probe_id", "p_emb",
+          k = 3, tieBreak = Seq("vec_id"))
+        ext.Eval.recallAtK(approx, truth, "probe_id", "vec_id", 3)
+          .select(col("probe_id"), round(col("recall"), 4).as("recall"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |  CAST(list_sum(list_transform(range(0,4), j ->
+             |    CASE WHEN list_sum(list_transform(range(0,64), i ->
+             |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
+             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
+             |      FROM b WHERE vec_id < 10),
+             |j AS (SELECT p.probe_id, c.vec_id,
+             |  list_sum(list_transform(range(1, len(c.embedding)+1),
+             |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))) AS dot
+             |  FROM b c JOIN p ON c.bucket = p.pb WHERE c.vec_id >= 10),
+             |approx AS (SELECT probe_id, vec_id FROM (
+             |  SELECT probe_id, vec_id,
+             |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn
+             |  FROM j) WHERE rn <= 3),
+             |t0 AS (SELECT p.probe_id, c.vec_id,
+             |  list_sum(list_transform(range(1, len(c.embedding)+1),
+             |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))) AS dot
+             |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10) c
+             |  CROSS JOIN p),
+             |truth AS (SELECT probe_id, vec_id FROM (
+             |  SELECT probe_id, vec_id,
+             |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn
+             |  FROM t0) WHERE rn <= 3),
+             |hits AS (SELECT truth.probe_id, CAST(count(*) AS BIGINT) AS nh
+             |  FROM truth JOIN approx USING (probe_id, vec_id) GROUP BY truth.probe_id)
+             |SELECT tp.probe_id, round(coalesce(nh, 0) / 3.0, 4) AS recall
+             |FROM (SELECT DISTINCT probe_id FROM truth) tp
+             |LEFT JOIN hits USING (probe_id)
+             |ORDER BY tp.probe_id""".stripMargin)),
+
     // ── 60. genetics kernels vs first-principles SQL: call rate, MAF,
     // MAC, observed + Nei expected het over a derived gt matrix — the
     // REAL kernel expressions (GenotypeKernels) on the Spark side ─────

@@ -53,9 +53,18 @@ object Quantize {
 
   /** [[dotQ]] over split (q, scale) columns — the persisted-index form
     * (Ivf.saveIndexQ stores q as array<tinyint> and scale separately).
-    * Elements are cast to long BEFORE multiplying, so byte-typed
-    * storage can't overflow its own width. */
+    * The integer fold is the fused codegen DotQExpr (elements widen to
+    * long inside the loop, so byte-typed storage can't overflow its
+    * own width); [[dotQPartsHof]] is the spec twin. */
   def dotQParts(qa: Column, scaleA: Column, qb: Column, scaleB: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(graft.functions.DotQExpr(
+      org.apache.spark.sql.graft.bridge.expression(qa),
+      org.apache.spark.sql.graft.bridge.expression(qb)))
+      .cast("double") * scaleA * scaleB
+
+  /** HOF spec form of [[dotQParts]] — kept as the differential-test
+    * reference (identical exact-integer fold, interpreted lambdas). */
+  def dotQPartsHof(qa: Column, scaleA: Column, qb: Column, scaleB: Column): Column =
     aggregate(
       zip_with(qa, qb, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)

@@ -83,6 +83,63 @@ trait VectorInputCheck { self: Expression =>
   }
 }
 
+object IntVectorLoops {
+  /** Element as long by type code: 0=byte, 1=short, 2=int, 3=long. */
+  @inline private def get(a: ArrayData, t: Int, i: Int): Long = t match {
+    case 0 => a.getByte(i).toLong
+    case 1 => a.getShort(i).toLong
+    case 2 => a.getInt(i).toLong
+    case _ => a.getLong(i)
+  }
+
+  /** Exact integer dot — the quantized-scoring hot loop (int8 codes:
+    * |q·q| ≤ 16129/term, overflow-safe to dim ≈ 2^47). */
+  def dotQ(a: ArrayData, at: Int, b: ArrayData, bt: Int): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += get(a, at, i) * get(b, bt, i); i += 1 }
+    acc
+  }
+}
+
+/** Exact integer dot product of two integral arrays (any width mix —
+  * the persisted index stores tinyint codes, in-flight probes carry
+  * longs). Fused twin of the `zip_with`+`aggregate` HOF spec form in
+  * Quantize (QuantizeSpec pins the differential). */
+case class DotQExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dotq"
+
+  private def typeCode(e: Expression): Int = e.dataType match {
+    case ArrayType(ByteType, _) => 0
+    case ArrayType(ShortType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case _ => 3
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).filterNot(_.dataType match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
+    })
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects integral arrays, got ${bad.map(_.dataType.sql).mkString(", ")}")
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    IntVectorLoops.dotQ(a.asInstanceOf[ArrayData], typeCode(left),
+      b.asInstanceOf[ArrayData], typeCode(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.IntVectorLoops.dotQ($a, ${typeCode(left)}, $b, ${typeCode(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotQExpr =
+    copy(left = l, right = r)
+}
+
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression with VectorInputCheck {
   override protected def vectorChildren: Seq[Expression] = Seq(left, right)

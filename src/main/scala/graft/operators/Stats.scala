@@ -180,10 +180,10 @@ object Stats {
     * (i, j)-keyed sum reduces them — partial aggregation collapses
     * within partitions, so the shuffle moves O(s²) rows total, not
     * O(variants·s²). That is the right plan to ~10³ samples (≈500k
-    * pairs); a biobank-scale cohort needs a blocked matrix product
-    * (outside this operator's contract — see SURVEY §2.3 wide/long
-    * switchover for the same reasoning). Integer sums are exact, so
-    * results are bit-stable under any partitioning. */
+    * pairs); wider cohorts should use [[ibsGramian]], the one-pass
+    * matrix-aggregate escalation (identical integer results). Integer
+    * sums are exact, so results are bit-stable under any
+    * partitioning. */
   def ibsPairs(df: DataFrame, gtCol: String = "gt"): DataFrame = {
     val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
       when(exists(s, a => a === -1), lit(-1))
@@ -201,6 +201,69 @@ object Stats {
     dosed.select(explode(pairTerms).as("_p"))
       .groupBy(col("_p.si").as("si"), col("_p.sj").as("sj"))
       .agg(sum(col("_p.num")).as("ibs_num"), sum(col("_p.den")).as("ibs_den"))
+  }
+
+  /** [[ibsPairs]] as a ONE-PASS gramian aggregation — the wide-cohort
+    * escalation that removes the s²/2-pair-terms-PER-VARIANT explode:
+    * IBS decomposes over dosage-class indicator vectors
+    * (I_a = 1[dos = a], C = 1[called]) as
+    *
+    *   num = 2·(G00 + G11 + G22) + (G01 + G01ᵀ + G12 + G12ᵀ)
+    *   den = 2·Gcc,      with G_ab = Σ_variants I_a·I_bᵀ
+    *
+    * so ONE scan with six matrix aggregates (GramianAgg packed
+    * triangles for the symmetric terms, OuterSumAgg for the two
+    * asymmetric ones — the same BLAS dspr/dger kernels as the GRM)
+    * replaces the exploded shuffle entirely: indicator arrays never
+    * leave their task, only partial matrix buffers merge. The ~3·s²
+    * doubles of aggregate state bound the width (≈2 GB at s = 9k —
+    * the grmTriangle driver envelope; past that, block the cohort like
+    * grmBlocksWrite). Indicator products are exact small integers in
+    * doubles, so results are bit-stable and equal [[ibsPairs]]
+    * verbatim (StatsSpec pins the differential). Output contract ≡
+    * [[ibsPairs]]; assembly of the s(s+1)/2 output rows is distributed
+    * (broadcast matrices, flatMap over si). */
+  def ibsGramian(df: DataFrame, gtCol: String = "gt"): DataFrame = {
+    import graft.functions.{GramianAgg, OuterSumAgg}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
+      when(exists(s, a => a === -1), lit(-1))
+        .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+    def ind(p: Column => Column) =
+      transform(col("_dos"), d => when(p(d), 1.0).otherwise(0.0))
+    val row = dosed.select(
+        ind(_ === 0).as("_i0"), ind(_ === 1).as("_i1"),
+        ind(_ === 2).as("_i2"), ind(_ >= 0).as("_ic"))
+      .agg(
+        GramianAgg.of(col("_i0")).as("t00"),
+        GramianAgg.of(col("_i1")).as("t11"),
+        GramianAgg.of(col("_i2")).as("t22"),
+        GramianAgg.of(col("_ic")).as("tcc"),
+        OuterSumAgg.of(col("_i0"), col("_i1")).as("o01"),
+        OuterSumAgg.of(col("_i1"), col("_i2")).as("o12"))
+      .head()
+    if (row.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0).as("si"), lit(0).as("sj"),
+          lit(0L).as("ibs_num"), lit(0L).as("ibs_den"))
+        .limit(0)
+    val Seq(t00, t11, t22, tcc) = (0 to 3).map(i => row.getSeq[Double](i).toArray)
+    val Seq(o01, o12) = (4 to 5).map(i => row.getSeq[Double](i).toArray)
+    val s = o01(0).toInt // OuterSumAgg header [nl, nr]
+    val bc = spark.sparkContext.broadcast((t00, t11, t22, tcc, o01, o12))
+    spark.range(0, math.max(0, s - 1)).as[Long].flatMap { iL =>
+      val (a00, a11, a22, acc, b01, b12) = bc.value
+      val i = iL.toInt
+      val triOff = i.toLong * s - i.toLong * (i - 1) / 2 - i // + j = packed (i, j≥i)
+      (i + 1 until s).iterator.map { j =>
+        val t = (triOff + j).toInt
+        val num = 2.0 * (a00(t) + a11(t) + a22(t)) +
+          b01(2 + j * s + i) + b01(2 + i * s + j) +
+          b12(2 + j * s + i) + b12(2 + i * s + j)
+        (i, j, num.toLong, (2.0 * acc(t)).toLong)
+      }
+    }.toDF("si", "sj", "ibs_num", "ibs_den")
   }
 
   /** Per-variant Hudson F_ST between two sample groups of a biallelic

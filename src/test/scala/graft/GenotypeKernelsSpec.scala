@@ -113,4 +113,22 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(got((0, 2)) === ((0L, 2L)))  // |0−2| at v1 → 0 shared; v2 skipped
     assert(got((1, 2)) === ((0L, 2L)))
   }
+
+  test("ibsGramian ≡ ibsPairs (hand case + synthetic cohort with missing)") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val hand = Seq(
+      ("v1", Seq(Seq(0, 0), Seq(0, 0), Seq(1, 1))),
+      ("v2", Seq(Seq(0, 1), Seq(0, 1), Seq(-1, -1)))
+    ).toDF("id", "gt")
+    assert(asMap(Stats.ibsGramian(hand, "gt")) === asMap(Stats.ibsPairs(hand, "gt")))
+    // 40 variants × 12 samples, ~5% missing, all dosage classes present
+    val synth = graft.examples.KinshipScaleDemo.synthGt(spark, 40L, 12)
+      .localCheckpoint()
+    val (g, p) = (asMap(Stats.ibsGramian(synth, "gt")), asMap(Stats.ibsPairs(synth, "gt")))
+    assert(g.keySet === p.keySet && g.keySet.size === 12 * 11 / 2)
+    assert(g === p)
+  }
 }

@@ -59,6 +59,31 @@ class QuantizeSpec extends SparkTestBase {
     assert((exact & quant).size >= 4, s"exact=$exact quant=$quant")
   }
 
+  test("fused DotQExpr ≡ HOF fold on byte×long, long×long, ragged, negative codes") {
+    val corpus = Quantize.quantizeInt8(vecs(100), "vec", "qc")
+      .select(col("vec_id"), col("qc.scale").as("s"),
+        col("qc.q").as("ql"),
+        transform(col("qc.q"), x => x.cast("byte")).as("qb"))
+      .localCheckpoint(true)
+    val probe = corpus.filter(col("vec_id") === 0)
+      .select(col("ql").as("pq"), col("s").as("ps")).crossJoin(corpus)
+    val rows = probe.select(
+      Quantize.dotQParts(col("qb"), col("s"), col("pq"), col("ps")).as("fusedB"),
+      Quantize.dotQParts(col("ql"), col("s"), col("pq"), col("ps")).as("fusedL"),
+      Quantize.dotQPartsHof(col("ql"), col("s"), col("pq"), col("ps")).as("hof"))
+      .collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(2), "byte-typed fused != HOF")
+      assert(r.getDouble(1) === r.getDouble(2), "long-typed fused != HOF")
+    }
+    // codegen actually compiled (no silent fallback)
+    import org.apache.spark.sql.execution.debug._
+    val plan = codegenString(probe.select(
+      Quantize.dotQParts(col("qb"), col("s"), col("pq"), col("ps"))).queryExecution.executedPlan)
+    assert(!plan.contains("maxMethodCodeSize:-1"), "dotq codegen subtree failed to compile")
+  }
+
   test("randomProject component signs reproduce lshBucketHof bits (same plane family)") {
     val d = vecs(30)
       .withColumn("p", Similarity.randomProject(col("vec"), dim, 4))
