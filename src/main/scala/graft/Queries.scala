@@ -2650,6 +2650,36 @@ object Queries {
              |    *10000.0 + 0.5) AS BIGINT) END AS ibs_e4
              |FROM terms GROUP BY si, sj ORDER BY si, sj""".stripMargin)),
 
+    // ── 89b. the SAME IBS semantics through the one-pass gramian
+    // escalation (six matrix aggregates, no pair explode) — proving the
+    // wide-cohort path bit-equal to the exploded oracle arithmetic ─────
+    QueryDef(
+      "q_gt_ibs_gramian",
+      (s, d) =>
+        graft.operators.Stats.ibsGramian(gtTable(s, d), "gt")
+          .select(col("si").cast("long").as("si"), col("sj").cast("long").as("sj"),
+            col("ibs_num"), col("ibs_den"),
+            when(col("ibs_den") === 0, lit(null).cast("long"))
+              .otherwise(e4(col("ibs_num").cast("double") / col("ibs_den"))).as("ibs_e4"))
+          .orderBy(col("si"), col("sj")),
+      Some(s"""WITH g AS ($duckGt),
+             |dos AS (SELECT vid, list_transform(gt, x ->
+             |  CASE WHEN list_contains(x, -1) THEN -1 ELSE x[1] + x[2] END) AS d FROM g),
+             |pr AS (SELECT vid, d, r1.i AS si, r2.j AS sj
+             |  FROM dos, range(0, 12) r1(i), range(0, 12) r2(j) WHERE r2.j > r1.i),
+             |terms AS (SELECT si, sj,
+             |  CASE WHEN d[CAST(si+1 AS INT)] >= 0 AND d[CAST(sj+1 AS INT)] >= 0
+             |    THEN 2 - abs(d[CAST(si+1 AS INT)] - d[CAST(sj+1 AS INT)]) ELSE 0 END AS num,
+             |  CASE WHEN d[CAST(si+1 AS INT)] >= 0 AND d[CAST(sj+1 AS INT)] >= 0
+             |    THEN 2 ELSE 0 END AS den
+             |  FROM pr)
+             |SELECT CAST(si AS BIGINT) AS si, CAST(sj AS BIGINT) AS sj,
+             |CAST(sum(num) AS BIGINT) AS ibs_num, CAST(sum(den) AS BIGINT) AS ibs_den,
+             |CASE WHEN CAST(sum(den) AS BIGINT) = 0 THEN NULL
+             |  ELSE CAST(floor(CAST(sum(num) AS BIGINT)*1.0/CAST(sum(den) AS BIGINT)
+             |    *10000.0 + 0.5) AS BIGINT) END AS ibs_e4
+             |FROM terms GROUP BY si, sj ORDER BY si, sj""".stripMargin)),
+
     // ── 90. distribution window functions: percent_rank + cume_dist
     // (rank-based — deterministic under value ties, unlike row_number
     // over a non-unique order) ─────────────────────────────────────────

@@ -86,7 +86,37 @@ object GraftExtensions {
     },
     fn("gramian", "gramian(vec) - packed upper-triangular sum of v*v' (aggregate)") {
       a => GramianAgg(a.head)
+    },
+    fn("vec_dotq", "vec_dotq(int_arr_a, int_arr_b) - exact integer dot " +
+      "(quantized-code scoring; any integral widths)") {
+      a => graft.functions.DotQExpr(a.head, a(1))
+    },
+    fn("bpe_count", "bpe_count(str, merges) - BPE subword count; merges is a " +
+      "foldable array of 'left right' pair strings in rank order") {
+      a => graft.ext.BpeCountExpr(a.head, mergesLit(a(1), "bpe_count"))
+    },
+    fn("bpe_tokens", "bpe_tokens(str, merges) - BPE subword tokens; merges as in bpe_count") {
+      a => graft.ext.BpeTokensExpr(a.head, mergesLit(a(1), "bpe_tokens"))
     })
+
+  /** Foldable `array<string>` of "left right" pairs → the merge table.
+    * Evaluated at resolution time (the table compiles into the plan,
+    * like every static-parameter kernel above). */
+  private def mergesLit(e: Expression, fnName: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    require(e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }), s"$fnName: merges must be a foldable array<string>, got $e")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val sp = s.indexOf(' ')
+      require(sp > 0 && sp < s.length - 1,
+        s"$fnName: merge entry '$s' must be 'left right'")
+      (s.substring(0, sp), s.substring(sp + 1))
+    }
+  }
 }
 
 /** Rewrites `jaccard_sim(a, b) >= τ` (τ a non-NaN double literal) into

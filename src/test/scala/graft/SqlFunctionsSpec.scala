@@ -58,6 +58,25 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(g === Seq(10.0, 14.0, 20.0)) // [1+9, 2+12, 4+16]
   }
 
+  test("vec_dotq and bpe kernels by SQL name ≡ Column API") {
+    val dq = spark.sql(
+      "SELECT vec_dotq(array(CAST(1 AS TINYINT), CAST(-2 AS TINYINT)), array(3L, 4L)) AS d")
+      .head().getLong(0)
+    assert(dq === 1L * 3 - 2 * 4)
+    Seq((1L, "the data join th")).toDF("id", "text")
+      .createOrReplaceTempView("sqlfn_bpe")
+    val merges = graft.ext.Bpe.demoMerges.map { case (l, r) => s"'$l $r'" }.mkString(", ")
+    val viaSql = spark.sql(
+      s"""SELECT bpe_count(text, array($merges)) AS n,
+         |  bpe_tokens(text, array($merges)) AS toks
+         |FROM sqlfn_bpe""".stripMargin).head()
+    val viaApi = spark.table("sqlfn_bpe").select(
+      graft.ext.Bpe.tokenCount(col("text"), graft.ext.Bpe.demoMerges).as("n"),
+      graft.ext.Bpe.tokens(col("text"), graft.ext.Bpe.demoMerges).as("toks")).head()
+    assert(viaSql === viaApi)
+    assert(viaSql.getLong(0) === 4L) // the, data, join, th — all fully merged
+  }
+
   test("gt_stats by SQL name on a genotype array") {
     Seq((1L, Seq(Seq(0, 1), Seq(1, 1), Seq(-1, -1)))).toDF("vid", "gt")
       .createOrReplaceTempView("sqlfn_gt")
