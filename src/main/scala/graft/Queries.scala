@@ -2650,6 +2650,45 @@ object Queries {
              |    *10000.0 + 0.5) AS BIGINT) END AS ibs_e4
              |FROM terms GROUP BY si, sj ORDER BY si, sj""".stripMargin)),
 
+    // ── 89a. product-quantization encode + ADC scoring vs a FIXED
+    // literal codebook (2 subspaces × 4 constant-vector centroids) —
+    // the PQ arithmetic (argmin-by-dist² with low-code ties, LUT
+    // lookup-sum) proven cross-engine; trained codebooks are the same
+    // expressions with learned literals ─────────────────────────────────
+    QueryDef(
+      "q_pq_encode",
+      (s, d) => {
+        val books = ext.Pq.Codebooks(2, 32,
+          (0 until 2).map(_ => (0 until 4).map(c =>
+            Array.fill(32)(0.2 * (c + 1) - 0.5))))
+        val probe = Array.tabulate(64)(i => (i + 1) / 64.0)
+        t(s, d, "embeddings")
+          .withColumn("_codes", ext.Pq.encode(col("embedding"), books))
+          .select(col("vec_id"),
+            element_at(col("_codes"), 1).cast("int").as("c0"),
+            element_at(col("_codes"), 2).cast("int").as("c1"),
+            e4(ext.Pq.adcScore(col("_codes"), books, probe)).as("adc_e4"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH enc AS (SELECT vec_id,
+             |  list_sort(list_transform(range(0, 4), c -> {'d':
+             |    list_sum(list_transform(range(1, 33), i ->
+             |      (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (0.2*(c+1) - 0.5))
+             |      * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (0.2*(c+1) - 0.5)))),
+             |    'cid': c}))[1]['cid'] AS c0,
+             |  list_sort(list_transform(range(0, 4), c -> {'d':
+             |    list_sum(list_transform(range(33, 65), i ->
+             |      (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (0.2*(c+1) - 0.5))
+             |      * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (0.2*(c+1) - 0.5)))),
+             |    'cid': c}))[1]['cid'] AS c1
+             |  FROM embeddings)
+             |SELECT vec_id, CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1,
+             |CAST(floor((
+             |  list_sum(list_transform(range(1, 33), i -> (0.2*(c0+1) - 0.5) * (i/64.0))) +
+             |  list_sum(list_transform(range(33, 65), i -> (0.2*(c1+1) - 0.5) * (i/64.0)))
+             |) * 10000.0 + 0.5) AS BIGINT) AS adc_e4
+             |FROM enc ORDER BY vec_id""".stripMargin)),
+
     // ── 89b. the SAME IBS semantics through the one-pass gramian
     // escalation (six matrix aggregates, no pair explode) — proving the
     // wide-cohort path bit-equal to the exploded oracle arithmetic ─────

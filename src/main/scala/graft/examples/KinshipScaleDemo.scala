@@ -66,6 +66,16 @@ object KinshipScaleDemo {
         f"PC1 sign-splits planted halves at ${frac * 100}%.1f%%")
     }
 
+    // IBS at the same width: the exploded pair form would emit
+    // s(s-1)/2 ≈ 500k terms PER VARIANT here; the gramian form is six
+    // matrix aggregates over indicator arrays (one scan, no explode)
+    ScaleDemo.time(s"ibsGramian ($nSamples samples — exploded twin would " +
+      s"shuffle ${nSamples.toLong * (nSamples - 1) / 2 / 1000}k terms/variant)") {
+      val top = graft.operators.Stats.ibsGramian(wide, "gt")
+        .orderBy(col("si"), col("sj")).head()
+      println(s"    ibs(0,1)=${top.getLong(2)}/${top.getLong(3)}")
+    }
+
     // biobank-width cohort: the driver triangle is infeasible here
     // (50k samples → 10 GB of S(S+1)/2 doubles), so this is the
     // gramian-free escalation's rehearsal — pcaRandomized holds only
