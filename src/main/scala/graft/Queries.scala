@@ -2719,6 +2719,64 @@ object Queries {
              |    *10000.0 + 0.5) AS BIGINT) END AS ibs_e4
              |FROM terms GROUP BY si, sj ORDER BY si, sj""".stripMargin)),
 
+    // ── 89c. KING kinship screen (Manichaikul 2010): the four pairwise
+    // integer counts + sum-denominator φ̂, exact on both engines — the
+    // allele-frequency-free relatedness QC every GWAS runs ─────────────
+    QueryDef(
+      "q_gt_king",
+      (s, d) =>
+        graft.operators.Stats.kingPairs(gtTable(s, d), "gt")
+          .select(col("si").cast("long").as("si"), col("sj").cast("long").as("sj"),
+            col("n_hethet"), col("n_opp"), col("n_het_i"), col("n_het_j"),
+            when(col("phi").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("phi"))).as("phi_e4"))
+          .orderBy(col("si"), col("sj")),
+      Some(s"""WITH g AS ($duckGt),
+             |dos AS (SELECT vid, list_transform(gt, x ->
+             |  CASE WHEN list_contains(x, -1) THEN -1 ELSE x[1] + x[2] END) AS d FROM g),
+             |pr AS (SELECT vid, d[CAST(r1.i+1 AS INT)] AS di,
+             |    d[CAST(r2.j+1 AS INT)] AS dj, r1.i AS si, r2.j AS sj
+             |  FROM dos, range(0, 12) r1(i), range(0, 12) r2(j) WHERE r2.j > r1.i),
+             |terms AS (SELECT si, sj,
+             |  CASE WHEN di >= 0 AND dj >= 0 AND di = 1 AND dj = 1 THEN 1 ELSE 0 END AS hh,
+             |  CASE WHEN di >= 0 AND dj >= 0 AND ((di = 0 AND dj = 2) OR (di = 2 AND dj = 0))
+             |    THEN 1 ELSE 0 END AS opp,
+             |  CASE WHEN di >= 0 AND dj >= 0 AND di = 1 THEN 1 ELSE 0 END AS hi,
+             |  CASE WHEN di >= 0 AND dj >= 0 AND dj = 1 THEN 1 ELSE 0 END AS hj
+             |  FROM pr)
+             |SELECT CAST(si AS BIGINT) AS si, CAST(sj AS BIGINT) AS sj,
+             |CAST(sum(hh) AS BIGINT) AS n_hethet, CAST(sum(opp) AS BIGINT) AS n_opp,
+             |CAST(sum(hi) AS BIGINT) AS n_het_i, CAST(sum(hj) AS BIGINT) AS n_het_j,
+             |CASE WHEN sum(hi) + sum(hj) = 0 THEN NULL
+             |  ELSE CAST(floor((sum(hh) - 2.0*sum(opp)) / (sum(hi) + sum(hj))
+             |    *10000.0 + 0.5) AS BIGINT) END AS phi_e4
+             |FROM terms GROUP BY si, sj ORDER BY si, sj""".stripMargin)),
+
+    // ── 89d. runs of homozygosity (gaps-and-islands over the exploded
+    // long view; runs break at het AND missing sites) — the autozygosity
+    // screen; both engines window on the same (sample, pos) keys ───────
+    QueryDef(
+      "q_gt_roh",
+      (s, d) =>
+        graft.operators.Stats.rohSegments(gtTable(s, d), "gt", "vid", minSites = 2)
+          .select(col("sample_idx"), col("start_pos"), col("end_pos"), col("n_sites"))
+          .orderBy(col("sample_idx"), col("start_pos")),
+      Some(s"""WITH g AS ($duckGt),
+             |lv AS (SELECT vid, s.i AS sample_idx, gt[CAST(s.i+1 AS INT)] AS al
+             |  FROM g, range(0, 12) s(i)),
+             |fl AS (SELECT vid, sample_idx,
+             |  (NOT list_contains(al, -1)) AND al[1] = al[2] AS hom FROM lv),
+             |rn AS (SELECT vid, sample_idx, hom,
+             |  row_number() OVER (PARTITION BY sample_idx ORDER BY vid) AS r FROM fl),
+             |isl AS (SELECT vid, sample_idx,
+             |  r - row_number() OVER (PARTITION BY sample_idx ORDER BY vid) AS grp
+             |  FROM rn WHERE hom)
+             |SELECT CAST(sample_idx AS INT) AS sample_idx,
+             |min(vid) AS start_pos, max(vid) AS end_pos,
+             |CAST(count(*) AS BIGINT) AS n_sites
+             |FROM isl GROUP BY sample_idx, grp HAVING count(*) >= 2
+             |ORDER BY sample_idx, start_pos""".stripMargin)),
+
     // ── 90. distribution window functions: percent_rank + cume_dist
     // (rank-based — deterministic under value ties, unlike row_number
     // over a non-unique order) ─────────────────────────────────────────

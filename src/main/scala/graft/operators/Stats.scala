@@ -266,6 +266,154 @@ object Stats {
     }.toDF("si", "sj", "ibs_num", "ibs_den")
   }
 
+  /** Pairwise KING kinship counts over all sample pairs of a
+    * SMALL-TO-MODERATE cohort (Manichaikul et al. 2010, "Robust
+    * relationship inference in genome-wide association studies",
+    * Bioinformatics 26:2867 — the allele-frequency-free estimator every
+    * GWAS QC pipeline runs before association). Per pair (i < j), over
+    * variants where BOTH samples are called:
+    *
+    *   n_hethet = #{ dos_i = 1 ∧ dos_j = 1 }    (shared heterozygotes)
+    *   n_opp    = #{ {dos_i, dos_j} = {0, 2} }  (opposite homozygotes)
+    *   n_het_i, n_het_j = per-sample het counts on the SHARED support
+    *
+    * and φ̂ = (n_hethet − 2·n_opp) / (n_het_i + n_het_j) — the
+    * sum-denominator form of eq. 11 (exactly ½ for identical genomes,
+    * 0 in expectation for unrelateds under HWE at any allele
+    * frequency, null when neither sample is ever het on the shared
+    * support). Duplicates/MZ twins ≈ ½, parent-offspring ≈ ¼ with
+    * n_opp ≈ 0, full sibs ≈ ¼ with n_opp > 0 — the classic screen.
+    *
+    * Scale shape ≡ [[ibsPairs]]: s(s−1)/2 integer pair terms explode
+    * map-side per variant and ONE (i,j)-keyed partial-agg sum reduces
+    * them — right to ~10³ samples; wider cohorts use [[kingGramian]]
+    * (identical integers, one pass, no explode). Integer sums → exact,
+    * partition-order-proof. */
+  def kingPairs(df: DataFrame, gtCol: String = "gt"): DataFrame = {
+    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
+      when(exists(s, a => a === -1), lit(-1))
+        .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+    val nS = size(col("_dos"))
+    val pairTerms = flatten(transform(sequence(lit(0), nS - 2), i =>
+      transform(sequence(i + 1, nS - 1), j => {
+        val di = element_at(col("_dos"), i + 1)
+        val dj = element_at(col("_dos"), j + 1)
+        val both = di >= 0 && dj >= 0
+        def cnt(c: Column) = when(both && c, 1L).otherwise(0L)
+        struct(i.as("si"), j.as("sj"),
+          cnt(di === 1 && dj === 1).as("hh"),
+          cnt((di === 0 && dj === 2) || (di === 2 && dj === 0)).as("opp"),
+          cnt(di === 1).as("hi"),
+          cnt(dj === 1).as("hj"))
+      })))
+    dosed.select(explode(pairTerms).as("_p"))
+      .groupBy(col("_p.si").as("si"), col("_p.sj").as("sj"))
+      .agg(sum(col("_p.hh")).as("n_hethet"), sum(col("_p.opp")).as("n_opp"),
+        sum(col("_p.hi")).as("n_het_i"), sum(col("_p.hj")).as("n_het_j"))
+      .withColumn("phi", when(col("n_het_i") + col("n_het_j") > 0,
+        (col("n_hethet") - col("n_opp") * 2L).cast("double") /
+          (col("n_het_i") + col("n_het_j")).cast("double")))
+  }
+
+  /** [[kingPairs]] as a ONE-PASS gramian aggregation — the wide-cohort
+    * escalation on the [[ibsGramian]] pattern: every KING count is a
+    * bilinear form over per-variant indicator vectors
+    * (H = 1[dos = 1], R = 1[dos = 0], A = 1[dos = 2], C = 1[called]):
+    *
+    *   n_hethet = G_HH    n_opp = O_RA + O_RAᵀ
+    *   n_het_i  = O_HC    n_het_j = O_HCᵀ       (G = gramian, O = outer)
+    *
+    * so ONE scan with one packed-triangle GramianAgg and two
+    * OuterSumAggs replaces the pair explode; indicator arrays never
+    * leave their task, only the ~3·s² doubles of matrix buffers merge
+    * (same s ≈ 9k driver envelope as [[ibsGramian]]; block past it).
+    * Indicator products are exact small integers in doubles → equals
+    * [[kingPairs]] verbatim (StatsSpec pins the differential). Output
+    * assembly is distributed (broadcast matrices, flatMap over si). */
+  def kingGramian(df: DataFrame, gtCol: String = "gt"): DataFrame = {
+    import graft.functions.{GramianAgg, OuterSumAgg}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
+      when(exists(s, a => a === -1), lit(-1))
+        .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+    def ind(p: Column => Column) =
+      transform(col("_dos"), d => when(p(d), 1.0).otherwise(0.0))
+    val row = dosed.select(
+        ind(_ === 1).as("_ih"), ind(_ === 0).as("_ir"),
+        ind(_ === 2).as("_ia"), ind(_ >= 0).as("_ic"))
+      .agg(
+        GramianAgg.of(col("_ih")).as("thh"),
+        OuterSumAgg.of(col("_ir"), col("_ia")).as("ora"),
+        OuterSumAgg.of(col("_ih"), col("_ic")).as("ohc"))
+      .head()
+    if (row.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0).as("si"), lit(0).as("sj"),
+          lit(0L).as("n_hethet"), lit(0L).as("n_opp"),
+          lit(0L).as("n_het_i"), lit(0L).as("n_het_j"),
+          lit(0.0).as("phi"))
+        .limit(0)
+    val thh = row.getSeq[Double](0).toArray
+    val ora = row.getSeq[Double](1).toArray
+    val ohc = row.getSeq[Double](2).toArray
+    val s = ora(0).toInt // OuterSumAgg header [nl, nr]; entry (i,j) at 2 + j·nl + i
+    val bc = spark.sparkContext.broadcast((thh, ora, ohc))
+    spark.range(0, math.max(0, s - 1)).as[Long].flatMap { iL =>
+      val (ahh, bra, bhc) = bc.value
+      val i = iL.toInt
+      val triOff = i.toLong * s - i.toLong * (i - 1) / 2 - i // + j = packed (i, j≥i)
+      (i + 1 until s).iterator.map { j =>
+        val hh = ahh((triOff + j).toInt).toLong
+        val opp = (bra(2 + j * s + i) + bra(2 + i * s + j)).toLong
+        val hi = bhc(2 + j * s + i).toLong // O_HC(i,j) = Σ H_i·C_j
+        val hj = bhc(2 + i * s + j).toLong // O_HC(j,i) = Σ H_j·C_i
+        val phi = if (hi + hj > 0) (hh - 2.0 * opp) / (hi + hj) else Double.NaN
+        (i, j, hh, opp, hi, hj, phi)
+      }
+    }.toDF("si", "sj", "n_hethet", "n_opp", "n_het_i", "n_het_j", "phi")
+      .withColumn("phi", when(!isnan(col("phi")), col("phi")))
+  }
+
+  /** Runs of homozygosity: per sample, maximal runs of CONSECUTIVE
+    * (in `posCol` order, per `chromCol` when given) homozygous called
+    * sites — the classic inbreeding/autozygosity screen (long ROH ⇒
+    * recent parental relatedness; Σ length / genome = F_ROH). A run
+    * BREAKS at every heterozygous OR missing site (the strict
+    * complete-information contract — permissive variants that tolerate
+    * k hets are a windowed post-filter the caller can layer on).
+    * Emits one row per run with ≥ `minSites` sites: sample_idx,
+    * start/end position, n_sites.
+    *
+    * Scale shape: the variant-major matrix explodes to a
+    * (pos, sample, dosage) long view of ints — text/arrays never
+    * shuffle — and BOTH window passes (global row index, then
+    * island grouping by the rn−rn' gaps-and-islands difference) sort
+    * on the SAME (sample, pos) keys, so Spark plans ONE exchange and
+    * one sort, then a partial-agg groupBy on (sample, island). Skew =
+    * genome size per sample — uniform by construction. */
+  def rohSegments(df: DataFrame, gtCol: String = "gt", posCol: String = "vid",
+      minSites: Int = 3, chromCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val partCols = chromCol.toSeq.map(col) :+ col("sample_idx")
+    val long = df.select(chromCol.toSeq.map(col) :+ col(posCol).as("_pos") :+
+        posexplode(col(gtCol)).as(Seq("sample_idx", "_g")): _*)
+      .withColumn("_hom", !exists(col("_g"), a => a === -1) &&
+        size(array_distinct(col("_g"))) === 1)
+    val wAll = Window.partitionBy(partCols: _*).orderBy(col("_pos"))
+    val wHom = Window.partitionBy(partCols: _*).orderBy(col("_pos"))
+    val islands = long
+      .withColumn("_rn", row_number().over(wAll))
+      .filter(col("_hom"))
+      .withColumn("_grp", col("_rn") - row_number().over(wHom))
+    islands
+      .groupBy(partCols :+ col("_grp"): _*)
+      .agg(min(col("_pos")).as("start_pos"), max(col("_pos")).as("end_pos"),
+        count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= minSites)
+      .drop("_grp")
+  }
+
   /** Per-variant Hudson F_ST between two sample groups of a biallelic
     * cohort (Bhatia/Patterson/Sankararaman/Price 2013, "Estimating and
     * interpreting FST", Genome Res 23:1514 — the estimator they

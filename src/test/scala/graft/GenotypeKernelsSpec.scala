@@ -131,4 +131,65 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(g.keySet === p.keySet && g.keySet.size === 12 * 11 / 2)
     assert(g === p)
   }
+
+  test("kingPairs: MZ-twin φ=½, opposite-homs drive φ negative, missing excluded") {
+    import spark.implicits._
+    // s0 ≡ s1 (identical: hethet=het_i=het_j → φ=½); s2 opposite-hom of
+    // s0 at v1/v3 and missing at v2 (shared support drops to 2 variants)
+    val df = Seq(
+      ("v1", Seq(Seq(0, 0), Seq(0, 0), Seq(1, 1))),
+      ("v2", Seq(Seq(0, 1), Seq(0, 1), Seq(-1, -1))),
+      ("v3", Seq(Seq(1, 1), Seq(1, 1), Seq(0, 0)))
+    ).toDF("id", "gt")
+    val got = Stats.kingPairs(df, "gt")
+      .as[(Int, Int, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got((0, 1)) === ((1L, 0L, 1L, 1L, Some(0.5))))
+    assert(got((0, 2)) === ((0L, 2L, 0L, 0L, None))) // no hets on shared support
+    assert(got((1, 2)) === ((0L, 2L, 0L, 0L, None)))
+  }
+
+  test("kingGramian ≡ kingPairs (hand case + synthetic cohort with missing)") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long, Long, Long, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    val hand = Seq(
+      ("v1", Seq(Seq(0, 0), Seq(0, 0), Seq(1, 1))),
+      ("v2", Seq(Seq(0, 1), Seq(0, 1), Seq(-1, -1))),
+      ("v3", Seq(Seq(1, 1), Seq(0, 1), Seq(0, 1)))
+    ).toDF("id", "gt")
+    assert(asMap(Stats.kingGramian(hand, "gt")) === asMap(Stats.kingPairs(hand, "gt")))
+    val synth = graft.examples.KinshipScaleDemo.synthGt(spark, 40L, 12)
+      .localCheckpoint()
+    val (g, p) = (asMap(Stats.kingGramian(synth, "gt")), asMap(Stats.kingPairs(synth, "gt")))
+    assert(g.keySet === p.keySet && g.keySet.size === 12 * 11 / 2)
+    // integer counts equal verbatim; φ is the same exact division on
+    // both sides (double ratio of exact integers) → bit-equal too
+    assert(g === p)
+  }
+
+  test("rohSegments: runs break at het/missing sites, minSites filters, chrom partitions") {
+    import spark.implicits._
+    // one sample (idx 0) hom at pos 1,2,3 then het at 4 then hom at 5,6;
+    // second sample (idx 1) hom everywhere except missing at pos 3
+    val df = Seq(
+      ("c1", 1L, Seq(Seq(0, 0), Seq(1, 1))),
+      ("c1", 2L, Seq(Seq(1, 1), Seq(0, 0))),
+      ("c1", 3L, Seq(Seq(0, 0), Seq(-1, -1))),
+      ("c1", 4L, Seq(Seq(0, 1), Seq(1, 1))),
+      ("c1", 5L, Seq(Seq(0, 0), Seq(1, 1))),
+      ("c1", 6L, Seq(Seq(1, 1), Seq(0, 0)))
+    ).toDF("chrom", "pos", "gt")
+    val got = Stats.rohSegments(df, "gt", "pos", minSites = 2, chromCol = Some("chrom"))
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3, r._4) -> r._5).toMap
+    // sample 0: [1..3] (3 sites) and [5..6] (2 sites); sample 1:
+    // [1..2] then the missing at 3 breaks, [4..6] (3 sites)
+    assert(got === Map((0, 1L, 3L) -> 3L, (0, 5L, 6L) -> 2L,
+      (1, 1L, 2L) -> 2L, (1, 4L, 6L) -> 3L))
+    // minSites=4 keeps nothing
+    assert(Stats.rohSegments(df, "gt", "pos", minSites = 4,
+      chromCol = Some("chrom")).count() === 0L)
+  }
 }
