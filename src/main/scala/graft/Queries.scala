@@ -2777,6 +2777,86 @@ object Queries {
              |FROM isl GROUP BY sample_idx, grp HAVING count(*) >= 2
              |ORDER BY sample_idx, start_pos""".stripMargin)),
 
+    // ── 89e. Mendelian-error trio screen over an explicit 4-trio
+    // pedigree: integer tested/error counts per trio, exact on both
+    // engines (transmission range [min_f+min_m, max_f+max_m]) ──────────
+    QueryDef(
+      "q_gt_mendel",
+      (s, d) =>
+        graft.operators.Stats.mendelErrors(gtTable(s, d), "gt",
+            Seq((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)))
+          .select(col("trio_idx"), col("child_idx"), col("father_idx"),
+            col("mother_idx"), col("n_tested"), col("n_errors"),
+            when(col("error_rate").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("error_rate"))).as("rate_e4"))
+          .orderBy(col("trio_idx")),
+      Some(s"""WITH g AS ($duckGt),
+             |dos AS (SELECT vid, list_transform(gt, x ->
+             |  CASE WHEN list_contains(x, -1) THEN -1 ELSE x[1] + x[2] END) AS d FROM g),
+             |tr AS (SELECT * FROM (VALUES (0,0,1,2),(1,3,4,5),(2,6,7,8),(3,9,10,11))
+             |  t(ti, c, f, m)),
+             |terms AS (SELECT ti, c, f, m,
+             |  d[CAST(c+1 AS INT)] AS dc, d[CAST(f+1 AS INT)] AS df, d[CAST(m+1 AS INT)] AS dm
+             |  FROM dos, tr),
+             |fl AS (SELECT ti, c, f, m,
+             |  CASE WHEN dc >= 0 AND df >= 0 AND dm >= 0 THEN 1 ELSE 0 END AS tested,
+             |  CASE WHEN dc >= 0 AND df >= 0 AND dm >= 0 AND (
+             |    dc < (CASE WHEN df = 2 THEN 1 ELSE 0 END + CASE WHEN dm = 2 THEN 1 ELSE 0 END)
+             |    OR dc > (CASE WHEN df >= 1 THEN 1 ELSE 0 END + CASE WHEN dm >= 1 THEN 1 ELSE 0 END))
+             |    THEN 1 ELSE 0 END AS err
+             |  FROM terms)
+             |SELECT CAST(ti AS INT) AS trio_idx, CAST(c AS INT) AS child_idx,
+             |CAST(f AS INT) AS father_idx, CAST(m AS INT) AS mother_idx,
+             |CAST(sum(tested) AS BIGINT) AS n_tested,
+             |CAST(sum(err) AS BIGINT) AS n_errors,
+             |CASE WHEN sum(tested) = 0 THEN NULL
+             |  ELSE CAST(floor(sum(err)*1.0/sum(tested)*10000.0 + 0.5) AS BIGINT)
+             |  END AS rate_e4
+             |FROM fl GROUP BY ti, c, f, m ORDER BY trio_idx""".stripMargin)),
+
+    // ── 89f. genome-scan windowed Hudson F_ST (ratio of per-window
+    // fixed-point sums — integer-exact reduction, so the scan is
+    // partition-order-proof on both engines) ───────────────────────────
+    QueryDef(
+      "q_gt_fst_window",
+      (s, d) =>
+        graft.operators.Stats.fstWindowed(gtTable(s, d), "gt", "vid", 16L,
+            0 until 6, 6 until 12)
+          .select(col("win_start"), col("n_informative"),
+            col("num_fp"), col("den_fp"),
+            when(col("fst").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("fst"))).as("fst_e4"))
+          .orderBy(col("win_start")),
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(flatten(gt[1:6]),  a -> a = 0)) AS a0,
+             |  len(list_filter(flatten(gt[1:6]),  a -> a = 1)) AS a1,
+             |  len(list_filter(flatten(gt[7:12]), a -> a = 0)) AS b0,
+             |  len(list_filter(flatten(gt[7:12]), a -> a = 1)) AS b1
+             |  FROM g),
+             |fr AS (SELECT vid, a0+a1 AS na, b0+b1 AS nb,
+             |  a1*1.0/(a0+a1) AS pa, b1*1.0/(b0+b1) AS pb FROM cnt),
+             |fin AS (SELECT vid,
+             |  CASE WHEN na > 1 AND nb > 1 THEN
+             |    (pa-pb)*(pa-pb) - pa*(1.0-pa)/(na-1) - pb*(1.0-pb)/(nb-1) END AS num,
+             |  CASE WHEN na > 1 AND nb > 1 THEN
+             |    pa*(1.0-pb) + pb*(1.0-pa) END AS den
+             |  FROM fr),
+             |win AS (SELECT vid // 16 * 16 AS win_start,
+             |  CASE WHEN num IS NULL THEN NULL
+             |    ELSE CAST(floor(num*1000000.0 + 0.5) AS BIGINT) END AS num_fp,
+             |  CASE WHEN den IS NULL THEN NULL
+             |    ELSE CAST(floor(den*1000000.0 + 0.5) AS BIGINT) END AS den_fp
+             |  FROM fin)
+             |SELECT CAST(win_start AS BIGINT) AS win_start,
+             |CAST(count(num_fp) AS BIGINT) AS n_informative,
+             |CAST(sum(num_fp) AS BIGINT) AS num_fp,
+             |CAST(sum(den_fp) AS BIGINT) AS den_fp,
+             |CASE WHEN sum(den_fp) IS NULL OR NOT sum(den_fp) > 0 THEN NULL
+             |  ELSE CAST(floor(sum(num_fp)*1.0/sum(den_fp)*10000.0 + 0.5) AS BIGINT)
+             |  END AS fst_e4
+             |FROM win GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
     // ── 90. distribution window functions: percent_rank + cume_dist
     // (rank-based — deterministic under value ties, unlike row_number
     // over a non-unique order) ─────────────────────────────────────────

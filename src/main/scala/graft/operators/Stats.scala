@@ -461,6 +461,78 @@ object Stats {
       .drop("_ca", "_cb", "_na", "_pa", "_nb", "_pb")
   }
 
+  /** Per-trio Mendelian-error screen over an explicit pedigree: for
+    * each (child, father, mother) sample-index triple, counts variants
+    * where all three are called and the child's dosage is IMPOSSIBLE
+    * under biallelic transmission — child receives exactly one allele
+    * from each parent, so with per-parent transmissible-alt range
+    * [1[dos=2], 1[dos≥1]] the child dosage must lie in
+    * [min_f + min_m, max_f + max_m]; anything outside is a genotyping
+    * or pedigree error (the classic trio-QC metric: high error rate ⇒
+    * sample swap or wrong pedigree; per-cohort elevated rate at a
+    * variant ⇒ genotyping artifact).
+    *
+    * Scale shape: map-only per variant (|trios| integer terms explode
+    * from a literal list, no text/arrays), ONE partial-agg sum keyed by
+    * trio — the shuffle carries |trios| rows total. Integer counts →
+    * exact, partition-order-proof; `error_rate` is the one division on
+    * top, null when no variant has the full trio called. */
+  def mendelErrors(df: DataFrame, gtCol: String, trios: Seq[(Int, Int, Int)]): DataFrame = {
+    require(trios.nonEmpty, "mendelErrors: at least one trio required")
+    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
+      when(exists(s, a => a === -1), lit(-1))
+        .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+    val terms = array(trios.zipWithIndex.map { case ((c, f, m), ti) =>
+      val dc = element_at(col("_dos"), c + 1)
+      val dF = element_at(col("_dos"), f + 1)
+      val dM = element_at(col("_dos"), m + 1)
+      val allCalled = dc >= 0 && dF >= 0 && dM >= 0
+      val minP = when(dF === 2, 1).otherwise(0) + when(dM === 2, 1).otherwise(0)
+      val maxP = when(dF >= 1, 1).otherwise(0) + when(dM >= 1, 1).otherwise(0)
+      struct(lit(ti).as("trio_idx"), lit(c).as("child_idx"),
+        lit(f).as("father_idx"), lit(m).as("mother_idx"),
+        when(allCalled, 1L).otherwise(0L).as("tested"),
+        when(allCalled && (dc < minP || dc > maxP), 1L).otherwise(0L).as("err"))
+    }: _*)
+    dosed.select(explode(terms).as("_t"))
+      .groupBy(col("_t.trio_idx").as("trio_idx"), col("_t.child_idx").as("child_idx"),
+        col("_t.father_idx").as("father_idx"), col("_t.mother_idx").as("mother_idx"))
+      .agg(sum(col("_t.tested")).as("n_tested"), sum(col("_t.err")).as("n_errors"))
+      .withColumn("error_rate", when(col("n_tested") > 0,
+        col("n_errors").cast("double") / col("n_tested").cast("double")))
+  }
+
+  /** Genome-scan windowed Hudson F_ST: [[fstHudson]]'s per-variant
+    * num/den terms reduced per fixed `windowSize` position window as
+    * the RATIO OF SUMS (the only valid combination — see [[fstHudson]]).
+    * Per-variant doubles are converted to fixed-point integers
+    * (×10^`scale`, half-up) BEFORE summing, the [[ldDecay]] house
+    * pattern: integer sums are exact and partition-order-proof, so the
+    * scan is reproducible across engines and any repartitioning —
+    * windowed doubles summed in shuffle order would not be. `fst` is
+    * the one division on top (null when the window's den ≤ 0 or holds
+    * no informative variant).
+    *
+    * Scale shape: map-only kernel + ONE partial-agg sum keyed by
+    * window start — genome scans are embarrassingly parallel; the
+    * shuffle carries one integer row per window. */
+  def fstWindowed(df: DataFrame, gtCol: String, posCol: String, windowSize: Long,
+      popA: Seq[Int], popB: Seq[Int], scale: Int = 6): DataFrame = {
+    require(windowSize > 0, "fstWindowed: windowSize must be positive")
+    val fp = math.pow(10, scale)
+    def fixed(c: Column) = floor(c * fp + 0.5).cast("long")
+    fstHudson(df, gtCol, popA, popB)
+      .withColumn("win_start",
+        (floor(col(posCol) / windowSize) * windowSize).cast("long"))
+      .groupBy(col("win_start"))
+      .agg(
+        count(when(col("fst_num").isNotNull, 1)).as("n_informative"),
+        sum(when(col("fst_num").isNotNull, fixed(col("fst_num")))).as("num_fp"),
+        sum(when(col("fst_den").isNotNull, fixed(col("fst_den")))).as("den_fp"))
+      .withColumn("fst", when(col("den_fp") > 0,
+        col("num_fp").cast("double") / col("den_fp").cast("double")))
+  }
+
   /** Per-variant Nei (1972) gene-identity terms between two sample
     * groups of a biallelic cohort — the inputs to Nei's standard
     * genetic distance D = −ln(Jxy / √(Jx·Jy)), the classic

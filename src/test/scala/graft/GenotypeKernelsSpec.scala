@@ -169,6 +169,51 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(g === p)
   }
 
+  test("mendelErrors: impossible transmissions flagged, missing excluded") {
+    import spark.implicits._
+    // trio = (child 0, father 1, mother 2)
+    // v1: F=0/0, M=0/0, child 0/1 → error (alt from nowhere)
+    // v2: F=1/1, M=0/0, child 0/0 → error (father must transmit alt)
+    // v3: F=0/1, M=0/1, child 1/1 → legal
+    // v4: father missing → not tested
+    // v5: F=1/1, M=1/1, child 1/1 → legal (dc=2 in [2,2])
+    val df = Seq(
+      ("v1", Seq(Seq(0, 1), Seq(0, 0), Seq(0, 0))),
+      ("v2", Seq(Seq(0, 0), Seq(1, 1), Seq(0, 0))),
+      ("v3", Seq(Seq(1, 1), Seq(0, 1), Seq(0, 1))),
+      ("v4", Seq(Seq(0, 0), Seq(-1, -1), Seq(0, 0))),
+      ("v5", Seq(Seq(1, 1), Seq(1, 1), Seq(1, 1)))
+    ).toDF("id", "gt")
+    val got = Stats.mendelErrors(df, "gt", Seq((0, 1, 2)))
+      .select("trio_idx", "n_tested", "n_errors").as[(Int, Long, Long)].collect()
+    assert(got === Array((0, 4L, 2L)))
+  }
+
+  test("fstWindowed: ratio-of-sums over fixed-point window sums") {
+    import spark.implicits._
+    // 4 samples, groups {0,1} vs {2,3}; windowSize 100 → two windows
+    val df = Seq(
+      (10L, Seq(Seq(0, 0), Seq(0, 0), Seq(1, 1), Seq(1, 1))),   // fully diverged
+      (20L, Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1), Seq(0, 1))),   // identical freqs
+      (110L, Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(0, 1)))   // partial
+    ).toDF("pos", "gt").withColumn("alt", array(lit("A")))
+    val got = Stats.fstWindowed(df, "gt", "pos", 100L, Seq(0, 1), Seq(2, 3))
+      .orderBy("win_start")
+      .select("win_start", "n_informative").as[(Long, Long)].collect()
+    assert(got === Array((0L, 2L), (100L, 1L)))
+    // cross-check window 0's ratio against the per-variant kernel's sums
+    val perVariant = Stats.fstHudson(df.filter(col("pos") < 100), "gt",
+      Seq(0, 1), Seq(2, 3)).select("fst_num", "fst_den")
+      .as[(Option[Double], Option[Double])].collect()
+    val expNum = perVariant.flatMap(_._1).map(v => math.floor(v * 1e6 + 0.5)).sum
+    val expDen = perVariant.flatMap(_._2).map(v => math.floor(v * 1e6 + 0.5)).sum
+    val w0 = Stats.fstWindowed(df, "gt", "pos", 100L, Seq(0, 1), Seq(2, 3))
+      .filter(col("win_start") === 0).select("num_fp", "den_fp", "fst")
+      .as[(Long, Long, Option[Double])].head()
+    assert(w0._1 === expNum.toLong && w0._2 === expDen.toLong)
+    assert(w0._3.get === expNum / expDen)
+  }
+
   test("rohSegments: runs break at het/missing sites, minSites filters, chrom partitions") {
     import spark.implicits._
     // one sample (idx 0) hom at pos 1,2,3 then het at 4 then hom at 5,6;
