@@ -120,6 +120,26 @@ object KinshipScaleDemo {
       println(s"    $n kinship entries")
     }
 
+    // blocked pair-count store (IBS + KING past the ~9k gramian
+    // envelope): one indicator parquet, B(B+1)/2 block-pair jobs of
+    // twelve OuterSums each, long-form views map-only off the store
+    // blockSize 1024 here, not 2048: each job holds TWELVE blockSize²
+    // buffers per task (vs grmBlocksWrite's one), so the single shared
+    // local[N] heap wants the next block size down — 12 × 8.4 MB =
+    // 100 MB/task; a real cluster spreads tasks and takes 2048
+    val nPair = 6144
+    val pairGt = synthGt(spark, vWide, nPair)
+    val pairPath = java.nio.file.Files.createTempDirectory("pair_blocks").toString
+    ScaleDemo.time(s"PairBlocks.write ($nPair samples, blockSize=1024 → " +
+      s"${((nPair + 1023) / 1024) * ((nPair + 1023) / 1024 + 1) / 2} block jobs × 12 terms)") {
+      graft.operators.PairBlocks.write(pairGt, pairPath, "gt", blockSize = 1024)
+    }
+    ScaleDemo.time("ibsFromBlocks + kingFromBlocks long views (count only)") {
+      val ni = graft.operators.PairBlocks.ibsFromBlocks(spark, pairPath).count()
+      val nk = graft.operators.PairBlocks.kingFromBlocks(spark, pairPath).count()
+      println(s"    $ni ibs pairs, $nk king pairs")
+    }
+
     // narrow cohort: both paths run — the switchover measurement
     val nNarrow = 96
     val narrow = synthGt(spark, nVariants, nNarrow).localCheckpoint()

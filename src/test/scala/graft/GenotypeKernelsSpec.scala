@@ -169,6 +169,35 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(g === p)
   }
 
+  test("PairBlocks: blocked IBS + KING ≡ exploded twins on ragged blocks") {
+    import spark.implicits._
+    // 12 samples, blockSize 5 → blocks of 5/5/2 (ragged tail exercises
+    // the header-driven widths); ~5% missing, all dosage classes
+    val synth = graft.examples.KinshipScaleDemo.synthGt(spark, 40L, 12)
+      .localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("pair_blocks").toString
+    val (s, nb) = graft.operators.PairBlocks.write(synth, path, "gt", blockSize = 5)
+    assert(s === 12 && nb === 3)
+    def ibsMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("si", "sj", "ibs_num", "ibs_den").as[(Int, Int, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (bi, pi) = (ibsMap(graft.operators.PairBlocks.ibsFromBlocks(spark, path)),
+      ibsMap(Stats.ibsPairs(synth, "gt")))
+    assert(bi.keySet === pi.keySet && bi.keySet.size === 12 * 11 / 2)
+    assert(bi === pi)
+    def kingMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long, Long, Long, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    val (bk, pk) = (kingMap(graft.operators.PairBlocks.kingFromBlocks(spark, path)),
+      kingMap(Stats.kingPairs(synth, "gt")))
+    assert(bk === pk)
+    // auto-switch picks the exploded path at this width but the blocked
+    // path under a forced tiny envelope
+    val auto = ibsMap(graft.operators.PairBlocks.ibsAuto(synth, "gt",
+      maxExplodedSamples = 4, maxDriverSamples = 8, blockSize = 5))
+    assert(auto === pi)
+  }
+
   test("mendelErrors: impossible transmissions flagged, missing excluded") {
     import spark.implicits._
     // trio = (child 0, father 1, mother 2)
