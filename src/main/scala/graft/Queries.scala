@@ -2814,6 +2814,80 @@ object Queries {
              |  END AS rate_e4
              |FROM fl GROUP BY ti, c, f, m ORDER BY trio_idx""".stripMargin)),
 
+    // ── 89e2. allelic 2×2 case/control chi-square: exact integer
+    // contingency cells (missing excluded) + identical double expression
+    // shape on both engines for the statistic ──────────────────────────
+    QueryDef(
+      "q_gt_assoc",
+      (s, d) =>
+        graft.operators.Assoc.allelicTest(gtTable(s, d), "gt", 0 until 6, 6 until 12)
+          .select(col("vid"), col("case_alt"), col("case_ref"),
+            col("ctrl_alt"), col("ctrl_ref"),
+            when(col("chi2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("chi2"))).as("chi2_e4"),
+            when(col("odds_ratio").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("odds_ratio"))).as("or_e4"))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(flatten(gt[1:6]),  x -> x = 1)) AS ca,
+             |  len(list_filter(flatten(gt[1:6]),  x -> x = 0)) AS cb,
+             |  len(list_filter(flatten(gt[7:12]), x -> x = 1)) AS cc,
+             |  len(list_filter(flatten(gt[7:12]), x -> x = 0)) AS cd
+             |  FROM g)
+             |SELECT vid,
+             |CAST(ca AS BIGINT) AS case_alt, CAST(cb AS BIGINT) AS case_ref,
+             |CAST(cc AS BIGINT) AS ctrl_alt, CAST(cd AS BIGINT) AS ctrl_ref,
+             |CASE WHEN ca+cb > 0 AND cc+cd > 0 AND ca+cc > 0 AND cb+cd > 0 THEN
+             |  CAST(floor(CAST(ca+cb+cc+cd AS DOUBLE)
+             |    * CAST(ca*cd - cb*cc AS DOUBLE) * CAST(ca*cd - cb*cc AS DOUBLE)
+             |    / (CAST(ca+cb AS DOUBLE) * CAST(cc+cd AS DOUBLE)
+             |       * CAST(ca+cc AS DOUBLE) * CAST(cb+cd AS DOUBLE))
+             |    * 10000.0 + 0.5) AS BIGINT) END AS chi2_e4,
+             |CASE WHEN cb*cc > 0 THEN
+             |  CAST(floor(CAST(ca*cd AS DOUBLE) / CAST(cb*cc AS DOUBLE)
+             |    * 10000.0 + 0.5) AS BIGINT) END AS or_e4
+             |FROM cnt ORDER BY vid""".stripMargin)),
+
+    // ── 89e3. Cochran-Armitage trend test (additive weights, exact
+    // hypergeometric N−1 variance): integer genotype-class cells exact
+    // on both engines; one float ratio on top ──────────────────────────
+    QueryDef(
+      "q_gt_trend",
+      (s, d) =>
+        graft.operators.Assoc.trendTest(gtTable(s, d), "gt", 0 until 6, 6 until 12)
+          .select(col("vid"), col("case_r0"), col("case_r1"), col("case_r2"),
+            col("ctrl_s0"), col("ctrl_s1"), col("ctrl_s2"),
+            when(col("chi2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("chi2"))).as("chi2_e4"))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |dos AS (SELECT vid, list_transform(gt, x ->
+             |  CASE WHEN list_contains(x, -1) THEN -1 ELSE x[1] + x[2] END) AS d FROM g),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(d[1:6],  x -> x = 0)) AS r0,
+             |  len(list_filter(d[1:6],  x -> x = 1)) AS r1,
+             |  len(list_filter(d[1:6],  x -> x = 2)) AS r2,
+             |  len(list_filter(d[7:12], x -> x = 0)) AS s0,
+             |  len(list_filter(d[7:12], x -> x = 1)) AS s1,
+             |  len(list_filter(d[7:12], x -> x = 2)) AS s2
+             |  FROM dos),
+             |tm AS (SELECT vid, r0, r1, r2, s0, s1, s2,
+             |  r0+r1+r2 AS rr, s0+s1+s2 AS ss, r0+r1+r2+s0+s1+s2 AS nn,
+             |  r1+s1 AS n1, r2+s2 AS n2,
+             |  r1 + 2*r2 AS u, (r1+s1) + 2*(r2+s2) AS w FROM cnt)
+             |SELECT vid,
+             |CAST(r0 AS BIGINT) AS case_r0, CAST(r1 AS BIGINT) AS case_r1,
+             |CAST(r2 AS BIGINT) AS case_r2, CAST(s0 AS BIGINT) AS ctrl_s0,
+             |CAST(s1 AS BIGINT) AS ctrl_s1, CAST(s2 AS BIGINT) AS ctrl_s2,
+             |CASE WHEN rr > 0 AND ss > 0 AND nn*(n1+4*n2) - w*w > 0 THEN
+             |  CAST(floor(CAST(nn-1 AS DOUBLE)
+             |    * CAST(nn*u - rr*w AS DOUBLE) * CAST(nn*u - rr*w AS DOUBLE)
+             |    / (CAST(rr AS DOUBLE) * CAST(ss AS DOUBLE)
+             |       * CAST(nn*(n1+4*n2) - w*w AS DOUBLE))
+             |    * 10000.0 + 0.5) AS BIGINT) END AS chi2_e4
+             |FROM tm ORDER BY vid""".stripMargin)),
+
     // ── 89f. genome-scan windowed Hudson F_ST (ratio of per-window
     // fixed-point sums — integer-exact reduction, so the scan is
     // partition-order-proof on both engines) ───────────────────────────

@@ -198,6 +198,55 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(auto === pi)
   }
 
+  test("allelicTest: perfect separation → chi2 = N, null OR; balance → 0; missing excluded") {
+    import spark.implicits._
+    def gt(d: Int*) = d.map {
+      case -1 => Seq(-1, -1)
+      case 0  => Seq(0, 0)
+      case 1  => Seq(0, 1)
+      case 2  => Seq(1, 1)
+    }
+    // 6 samples: 0-2 cases, 3-5 controls
+    val df = Seq(
+      ("sep",  gt(2, 2, 2, 0, 0, 0)),   // a=6 b=0 c=0 d=6 → chi2=N=12, OR null
+      ("bal",  gt(1, 1, 1, 1, 1, 1)),   // same freq both groups → det=0 → chi2=0, OR=1
+      ("miss", gt(2, 2, -1, 0, 0, -1)), // missing excluded: a=4 b=0 c=0 d=4 → chi2=8
+      ("mono", gt(0, 0, 0, 0, 0, 0)))   // alt margin 0 → chi2 null
+      .toDF("vid", "gt")
+    val r = graft.operators.Assoc.allelicTest(df, "gt", Seq(0, 1, 2), Seq(3, 4, 5))
+      .select("vid", "case_alt", "case_ref", "ctrl_alt", "ctrl_ref", "chi2", "odds_ratio")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("sep").getLong(1) === 6L && r("sep").getLong(4) === 6L)
+    assertNear(r("sep").getDouble(5), 12.0)
+    assert(r("sep").isNullAt(6))
+    assertNear(r("bal").getDouble(5), 0.0); assertNear(r("bal").getDouble(6), 1.0)
+    assertNear(r("miss").getDouble(5), 8.0)
+    assert(r("mono").isNullAt(5))
+  }
+
+  test("trendTest: perfect additive trend → chi2 = N−1; monomorphic null; missing excluded") {
+    import spark.implicits._
+    def gt(d: Int*) = d.map {
+      case -1 => Seq(-1, -1)
+      case 0  => Seq(0, 0)
+      case 1  => Seq(0, 1)
+      case 2  => Seq(1, 1)
+    }
+    val df = Seq(
+      ("sep",  gt(2, 2, 2, 0, 0, 0)),   // r=(0,0,3) s=(3,0,0): chi2 = N−1 = 5
+      ("mono", gt(1, 1, 1, 1, 1, 1)),   // all het: varTerm = N·n1 − n1² = 0 → null
+      ("miss", gt(2, 2, -1, 0, 0, -1))) // called: r=(0,0,2) s=(2,0,0) → chi2 = 3
+      .toDF("vid", "gt")
+    val r = graft.operators.Assoc.trendTest(df, "gt", Seq(0, 1, 2), Seq(3, 4, 5))
+      .select("vid", "case_r0", "case_r1", "case_r2",
+        "ctrl_s0", "ctrl_s1", "ctrl_s2", "chi2")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("sep").getLong(3) === 3L && r("sep").getLong(4) === 3L)
+    assertNear(r("sep").getDouble(7), 5.0)
+    assert(r("mono").isNullAt(7))
+    assertNear(r("miss").getDouble(7), 3.0)
+  }
+
   test("mendelErrors: impossible transmissions flagged, missing excluded") {
     import spark.implicits._
     // trio = (child 0, father 1, mother 2)
