@@ -78,6 +78,31 @@ object Queries {
       |             CAST(((vid*7919 + s*104729) % 1000 // 3) % 2 AS INT)] END) AS gt
       |FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100)""".stripMargin
 
+  /** Second-callset twin of [[gtTable]] (the "re-call": different vid
+    * mix constant → genuine per-sample discordance and one-sided
+    * missingness) covering only the first 80 variants — the inner-join
+    * scope of the concordance query is then a real subset. */
+  private def gtTableB(s: SparkSession, d: String): DataFrame = {
+    val nS = 12
+    t(s, d, "orders").select(col("o_orderkey").as("vid"))
+      .orderBy(col("vid")).limit(80)
+      .withColumn("gt", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+        val hs = pmod(col("vid") * 6151L + sIdx * 104729L, lit(1000L))
+        when(hs < 150, array(lit(-1), lit(-1)))
+          .otherwise(array(
+            pmod(hs, lit(2L)).cast("int"),
+            pmod(floor(hs / lit(3L)).cast("long"), lit(2L)).cast("int")))
+      }))
+  }
+
+  /** DuckDB twin of [[gtTableB]]. */
+  private val duckGtB =
+    """SELECT vid, list_transform(range(0,12), s ->
+      |  CASE WHEN (vid*6151 + s*104729) % 1000 < 150 THEN [-1,-1]
+      |       ELSE [CAST((vid*6151 + s*104729) % 1000 % 2 AS INT),
+      |             CAST(((vid*6151 + s*104729) % 1000 // 3) % 2 AS INT)] END) AS gt
+      |FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 80)""".stripMargin
+
   /** Fully-called twin of [[gtTable]] for the complete-sites pop-gen
     * queries (Tajima's D, windowed π): [[gtTable]]'s deterministic
     * missingness TILES the mod-1000 ring (12 exclusion windows of width
@@ -2887,6 +2912,160 @@ object Queries {
              |       * CAST(nn*(n1+4*n2) - w*w AS DOUBLE))
              |    * 10000.0 + 0.5) AS BIGINT) END AS chi2_e4
              |FROM tm ORDER BY vid""".stripMargin)),
+
+    // ── 89e4. cross-callset genotype concordance per sample: inner
+    // join on shared variants, unphased compare, exact integer count
+    // cells on both engines ────────────────────────────────────────────
+    QueryDef(
+      "q_gt_concordance",
+      (s, d) =>
+        graft.operators.Stats.concordance(gtTable(s, d), gtTableB(s, d), "vid", "gt")
+          .select(col("sample_idx"), col("n_both_called"), col("n_concordant"),
+            col("n_a_only"), col("n_b_only"), col("n_both_missing"),
+            when(col("concordance").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("concordance"))).as("conc_e4"))
+          .orderBy(col("sample_idx")),
+      Some(s"""WITH ga AS ($duckGt),
+             |gb AS ($duckGtB),
+             |j AS (SELECT ga.gt AS x, gb.gt AS y FROM ga JOIN gb USING (vid)),
+             |fl AS (SELECT s.i AS sample_idx,
+             |  NOT list_contains(x[CAST(s.i+1 AS INT)], -1) AS ca,
+             |  NOT list_contains(y[CAST(s.i+1 AS INT)], -1) AS cb,
+             |  list_sort(x[CAST(s.i+1 AS INT)]) = list_sort(y[CAST(s.i+1 AS INT)]) AS eq
+             |  FROM j, range(0, 12) s(i))
+             |SELECT CAST(sample_idx AS INT) AS sample_idx,
+             |CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_called,
+             |CAST(sum(CASE WHEN ca AND cb AND eq THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+             |CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+             |CAST(sum(CASE WHEN cb AND NOT ca THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+             |CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_missing,
+             |CASE WHEN sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) > 0 THEN
+             |  CAST(floor(sum(CASE WHEN ca AND cb AND eq THEN 1 ELSE 0 END)*1.0
+             |    / sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)*10000.0 + 0.5) AS BIGINT)
+             |  END AS conc_e4
+             |FROM fl GROUP BY sample_idx ORDER BY sample_idx""".stripMargin)),
+
+    // ── 89e5. per-sample inbreeding F (plink --het method of moments):
+    // fixed-point per-site expected-hom sums — integer-exact reduction,
+    // one float ratio on top ───────────────────────────────────────────
+    QueryDef(
+      "q_gt_inbreeding",
+      (s, d) =>
+        graft.operators.Stats.sampleInbreeding(gtTable(s, d), "gt")
+          .select(col("sample_idx"), col("n_sites"), col("n_hom_obs"),
+            col("ehom_fp"),
+            when(col("f").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("f"))).as("f_e4"))
+          .orderBy(col("sample_idx")),
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid, gt,
+             |  len(list_filter(flatten(gt), a -> a = 0)) AS c0,
+             |  len(list_filter(flatten(gt), a -> a = 1)) AS c1 FROM g),
+             |st AS (SELECT vid, gt,
+             |  CASE WHEN c0+c1 > 1 THEN CAST(floor(
+             |    (1.0 - 2.0*(c1*1.0/(c0+c1))*(1.0 - c1*1.0/(c0+c1))
+             |       *CAST(c0+c1 AS DOUBLE)/CAST(c0+c1-1 AS DOUBLE))
+             |    *1000000.0 + 0.5) AS BIGINT) END AS ehom_fp
+             |  FROM cnt),
+             |ex AS (SELECT ehom_fp, s.i AS sample_idx,
+             |  gt[CAST(s.i+1 AS INT)] AS al
+             |  FROM st, range(0, 12) s(i) WHERE ehom_fp IS NOT NULL),
+             |fl AS (SELECT sample_idx, ehom_fp,
+             |  NOT list_contains(al, -1) AND len(list_distinct(al)) = 1 AS hom
+             |  FROM ex WHERE NOT list_contains(al, -1)),
+             |ag AS (SELECT CAST(sample_idx AS INT) AS sample_idx,
+             |  CAST(count(*) AS BIGINT) AS n_sites,
+             |  CAST(sum(CASE WHEN hom THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_obs,
+             |  CAST(sum(ehom_fp) AS BIGINT) AS ehom_fp
+             |  FROM fl GROUP BY 1)
+             |SELECT sample_idx, n_sites, n_hom_obs, ehom_fp,
+             |CASE WHEN CAST(n_sites AS DOUBLE) - CAST(ehom_fp AS DOUBLE)/1000000.0 <> 0.0
+             |  THEN CAST(floor(
+             |    (CAST(n_hom_obs AS DOUBLE) - CAST(ehom_fp AS DOUBLE)/1000000.0)
+             |    / (CAST(n_sites AS DOUBLE) - CAST(ehom_fp AS DOUBLE)/1000000.0)
+             |    *10000.0 + 0.5) AS BIGINT) END AS f_e4
+             |FROM ag ORDER BY sample_idx""".stripMargin)),
+
+    // ── 89e6. windowed three-population PBS scan: one pass for all
+    // three pairwise fst ratio-of-fixed-point-sums, branch lengths
+    // recombined with ln (the q_tfidf/q_lm_score cross-engine ln
+    // precedent) ───────────────────────────────────────────────────────
+    QueryDef(
+      "q_gt_pbs",
+      (s, d) =>
+        graft.operators.Stats.pbsWindowed(gtTable(s, d), "gt", "vid", 16L,
+            0 until 4, 4 until 8, 8 until 12)
+          .select(Seq(col("win_start"), col("n_informative")) ++
+            Seq("ab", "ac", "bc").map(pr =>
+              when(col(s"fst_$pr").isNull, lit(null).cast("long"))
+                .otherwise(e4(col(s"fst_$pr"))).as(s"fst_${pr}_e4")) ++
+            Seq("a", "b", "c").map(p =>
+              when(col(s"pbs_$p").isNull, lit(null).cast("long"))
+                .otherwise(e4(col(s"pbs_$p"))).as(s"pbs_${p}_e4")): _*)
+          .orderBy(col("win_start")),
+      Some(s"""WITH g AS ($duckGt),
+             |cnt AS (SELECT vid,
+             |  len(list_filter(flatten(gt[1:4]),  x -> x = 0)) AS a0,
+             |  len(list_filter(flatten(gt[1:4]),  x -> x = 1)) AS a1,
+             |  len(list_filter(flatten(gt[5:8]),  x -> x = 0)) AS b0,
+             |  len(list_filter(flatten(gt[5:8]),  x -> x = 1)) AS b1,
+             |  len(list_filter(flatten(gt[9:12]), x -> x = 0)) AS c0,
+             |  len(list_filter(flatten(gt[9:12]), x -> x = 1)) AS c1
+             |  FROM g),
+             |fr AS (SELECT vid, a0+a1 AS na, b0+b1 AS nb, c0+c1 AS nc,
+             |  CASE WHEN a0+a1 > 0 THEN a1*1.0/(a0+a1) END AS pa,
+             |  CASE WHEN b0+b1 > 0 THEN b1*1.0/(b0+b1) END AS pb,
+             |  CASE WHEN c0+c1 > 0 THEN c1*1.0/(c0+c1) END AS pc FROM cnt),
+             |fin AS (SELECT vid,
+             |  CASE WHEN na > 1 AND nb > 1 THEN
+             |    (pa-pb)*(pa-pb) - pa*(1.0-pa)/(na-1) - pb*(1.0-pb)/(nb-1) END AS num_ab,
+             |  CASE WHEN na > 1 AND nb > 1 THEN
+             |    pa*(1.0-pb) + pb*(1.0-pa) END AS den_ab,
+             |  CASE WHEN na > 1 AND nc > 1 THEN
+             |    (pa-pc)*(pa-pc) - pa*(1.0-pa)/(na-1) - pc*(1.0-pc)/(nc-1) END AS num_ac,
+             |  CASE WHEN na > 1 AND nc > 1 THEN
+             |    pa*(1.0-pc) + pc*(1.0-pa) END AS den_ac,
+             |  CASE WHEN nb > 1 AND nc > 1 THEN
+             |    (pb-pc)*(pb-pc) - pb*(1.0-pb)/(nb-1) - pc*(1.0-pc)/(nc-1) END AS num_bc,
+             |  CASE WHEN nb > 1 AND nc > 1 THEN
+             |    pb*(1.0-pc) + pc*(1.0-pb) END AS den_bc
+             |  FROM fr),
+             |win AS (SELECT vid // 16 * 16 AS win_start,
+             |  CASE WHEN num_ab IS NOT NULL AND num_ac IS NOT NULL
+             |    AND num_bc IS NOT NULL THEN 1 END AS info,
+             |  CAST(floor(num_ab*1000000.0 + 0.5) AS BIGINT) AS nab,
+             |  CAST(floor(den_ab*1000000.0 + 0.5) AS BIGINT) AS dab,
+             |  CAST(floor(num_ac*1000000.0 + 0.5) AS BIGINT) AS nac,
+             |  CAST(floor(den_ac*1000000.0 + 0.5) AS BIGINT) AS dac,
+             |  CAST(floor(num_bc*1000000.0 + 0.5) AS BIGINT) AS nbc,
+             |  CAST(floor(den_bc*1000000.0 + 0.5) AS BIGINT) AS dbc
+             |  FROM fin),
+             |ag AS (SELECT CAST(win_start AS BIGINT) AS win_start,
+             |  CAST(count(info) AS BIGINT) AS n_informative,
+             |  CASE WHEN sum(dab) > 0 THEN sum(nab)*1.0/sum(dab) END AS fab,
+             |  CASE WHEN sum(dac) > 0 THEN sum(nac)*1.0/sum(dac) END AS fac,
+             |  CASE WHEN sum(dbc) > 0 THEN sum(nbc)*1.0/sum(dbc) END AS fbc
+             |  FROM win GROUP BY 1)
+             |SELECT win_start, n_informative,
+             |CASE WHEN fab IS NOT NULL THEN
+             |  CAST(floor(fab*10000.0 + 0.5) AS BIGINT) END AS fst_ab_e4,
+             |CASE WHEN fac IS NOT NULL THEN
+             |  CAST(floor(fac*10000.0 + 0.5) AS BIGINT) END AS fst_ac_e4,
+             |CASE WHEN fbc IS NOT NULL THEN
+             |  CAST(floor(fbc*10000.0 + 0.5) AS BIGINT) END AS fst_bc_e4,
+             |CASE WHEN fab IS NOT NULL AND fab < 1.0 AND fac IS NOT NULL
+             |  AND fac < 1.0 AND fbc IS NOT NULL AND fbc < 1.0 THEN
+             |  CAST(floor((-ln(1.0-fab) + -ln(1.0-fac) - -ln(1.0-fbc))/2.0
+             |    *10000.0 + 0.5) AS BIGINT) END AS pbs_a_e4,
+             |CASE WHEN fab IS NOT NULL AND fab < 1.0 AND fac IS NOT NULL
+             |  AND fac < 1.0 AND fbc IS NOT NULL AND fbc < 1.0 THEN
+             |  CAST(floor((-ln(1.0-fab) + -ln(1.0-fbc) - -ln(1.0-fac))/2.0
+             |    *10000.0 + 0.5) AS BIGINT) END AS pbs_b_e4,
+             |CASE WHEN fab IS NOT NULL AND fab < 1.0 AND fac IS NOT NULL
+             |  AND fac < 1.0 AND fbc IS NOT NULL AND fbc < 1.0 THEN
+             |  CAST(floor((-ln(1.0-fac) + -ln(1.0-fbc) - -ln(1.0-fab))/2.0
+             |    *10000.0 + 0.5) AS BIGINT) END AS pbs_c_e4
+             |FROM ag ORDER BY win_start""".stripMargin)),
 
     // ── 89f. genome-scan windowed Hudson F_ST (ratio of per-window
     // fixed-point sums — integer-exact reduction, so the scan is

@@ -712,4 +712,173 @@ object Stats {
       .select(col("pos_b").as(posCol)).distinct()
     df.join(drop, Seq(posCol), "left_anti")
   }
+
+  /** Genome-scan windowed Population Branch Statistic (Yi 2010,
+    * "Sequencing of 50 human exomes reveals adaptation to high
+    * altitude", Science 329:75 — the three-population selection scan):
+    * per position window, Hudson F_ST ratio-of-sums for the three pops'
+    * pairs (the [[fstWindowed]] reduction), branch lengths
+    * T_xy = −ln(1 − fst_xy), and
+    *
+    *   pbs_a = (T_ab + T_ac − T_bc) / 2    (b, c by rotation)
+    *
+    * — the allele-frequency branch length private to each population
+    * since the divergence of the other two; a selective sweep in A
+    * elevates pbs_a alone where plain A-vs-B F_ST can't tell which side
+    * moved. NULL where any pairwise fst is undefined or ≥ 1 (branch
+    * length infinite).
+    *
+    * Scale shape: ONE map-only pass computes all three pairs' num/den
+    * per variant (per-pop allele counts materialized once, reused by
+    * both adjacent pairs), then ONE partial-agg window sum over six
+    * fixed-point integer columns — strictly better than composing
+    * [[fstWindowed]] three times (three scans + a 3-way join); the
+    * shuffle carries one integer row per window. */
+  def pbsWindowed(df: DataFrame, gtCol: String, posCol: String, windowSize: Long,
+      popA: Seq[Int], popB: Seq[Int], popC: Seq[Int], scale: Int = 6): DataFrame = {
+    require(windowSize > 0, "pbsWindowed: windowSize must be positive")
+    val fp = math.pow(10, scale)
+    def fixed(c: Column) = floor(c * fp + 0.5).cast("long")
+    val pops = Seq("a" -> popA, "b" -> popB, "c" -> popC)
+    val counted = pops.foldLeft(df) { case (acc, (tag, pop)) =>
+      acc.withColumn(s"_c$tag", alleleCounts(selectSamples(col(gtCol), pop), lit(2)))
+        .withColumn(s"_n$tag",
+          element_at(col(s"_c$tag"), 1) + element_at(col(s"_c$tag"), 2))
+        .withColumn(s"_p$tag", when(col(s"_n$tag") > 0,
+          element_at(col(s"_c$tag"), 2).cast("double") / col(s"_n$tag").cast("double")))
+    }
+    val pairs = Seq(("ab", "a", "b"), ("ac", "a", "c"), ("bc", "b", "c"))
+    val termed = pairs.foldLeft(counted) { case (acc, (pr, x, y)) =>
+      val px = col(s"_p$x"); val py = col(s"_p$y")
+      val nx = col(s"_n$x"); val ny = col(s"_n$y")
+      val num = (px - py) * (px - py) -
+        px * (lit(1.0) - px) / (nx - 1).cast("double") -
+        py * (lit(1.0) - py) / (ny - 1).cast("double")
+      val den = px * (lit(1.0) - py) + py * (lit(1.0) - px)
+      acc.withColumn(s"_num_$pr", when(nx > 1 && ny > 1, num))
+        .withColumn(s"_den_$pr", when(nx > 1 && ny > 1, den))
+    }
+    val winned = termed
+      .withColumn("win_start",
+        (floor(col(posCol) / windowSize) * windowSize).cast("long"))
+      .groupBy(col("win_start"))
+      .agg(
+        count(when(col("_num_ab").isNotNull && col("_num_ac").isNotNull &&
+          col("_num_bc").isNotNull, 1)).as("n_informative"),
+        pairs.flatMap { case (pr, _, _) => Seq(
+          sum(when(col(s"_num_$pr").isNotNull, fixed(col(s"_num_$pr"))))
+            .as(s"num_${pr}_fp"),
+          sum(when(col(s"_den_$pr").isNotNull, fixed(col(s"_den_$pr"))))
+            .as(s"den_${pr}_fp"))
+        }: _*)
+    val withFst = pairs.foldLeft(winned) { case (acc, (pr, _, _)) =>
+      acc.withColumn(s"fst_$pr", when(col(s"den_${pr}_fp") > 0,
+        col(s"num_${pr}_fp").cast("double") / col(s"den_${pr}_fp").cast("double")))
+    }
+    def t(pr: String) = -log(lit(1.0) - col(s"fst_$pr"))
+    val defined = pairs.map { case (pr, _, _) =>
+      col(s"fst_$pr").isNotNull && col(s"fst_$pr") < 1.0 }.reduce(_ && _)
+    withFst
+      .withColumn("pbs_a", when(defined, (t("ab") + t("ac") - t("bc")) / 2.0))
+      .withColumn("pbs_b", when(defined, (t("ab") + t("bc") - t("ac")) / 2.0))
+      .withColumn("pbs_c", when(defined, (t("ac") + t("bc") - t("ab")) / 2.0))
+  }
+
+  /** Per-sample inbreeding coefficient F by the method of moments —
+    * the plink `--het` screen (Purcell 2007 §"--het"; the per-sample
+    * companion of the per-variant [[graft.functions.GenotypeKernels.inbreedingF]]):
+    * over the sites where a sample is CALLED,
+    *
+    *   F = (O_hom − E_hom) / (L − E_hom)
+    *
+    * with O_hom the sample's observed homozygous site count, L its
+    * called site count, and E_hom = Σ_sites (1 − 2p(1−p)·2n/(2n−1))
+    * the cohort-expected homozygosity (p = site alt frequency, n =
+    * called samples at the site — the same Nei small-sample correction
+    * as exp_het). F ≈ 0 for an outbred sample, > 0 for autozygosity /
+    * DNA-quality het deficit, < 0 for contamination-style het excess —
+    * the standard sample-QC axis next to [[concordance]] and call rate.
+    * NULL when L = E_hom (no information, e.g. zero called sites).
+    *
+    * Per-site e_hom is converted to fixed point (×10^`scale`, half-up)
+    * BEFORE the per-sample sum — the [[fstWindowed]] house pattern:
+    * integer sums are exact and partition-order-proof where summed
+    * doubles would depend on shuffle arrival order. Scale shape:
+    * map-only site kernel + ONE partial-agg sum keyed by sample — the
+    * shuffle carries S rows. */
+  def sampleInbreeding(df: DataFrame, gtCol: String, scale: Int = 6): DataFrame = {
+    val fp = math.pow(10, scale)
+    val sited = df
+      .withColumn("_c", alleleCounts(col(gtCol), lit(2)))
+      .withColumn("_n2", element_at(col("_c"), 1) + element_at(col("_c"), 2))
+      .withColumn("_ehom_fp", when(col("_n2") > 1, {
+        val p = element_at(col("_c"), 2).cast("double") / col("_n2").cast("double")
+        val ehom = lit(1.0) - lit(2.0) * p * (lit(1.0) - p) *
+          col("_n2").cast("double") / (col("_n2") - 1).cast("double")
+        floor(ehom * fp + 0.5).cast("long")
+      }))
+    sited
+      .filter(col("_ehom_fp").isNotNull)
+      .select(col("_ehom_fp"), posexplode(col(gtCol)).as(Seq("sample_idx", "_s")))
+      .withColumn("_called", !exists(col("_s"), a => a === -1))
+      .withColumn("_hom", col("_called") && size(array_distinct(col("_s"))) === 1)
+      .filter(col("_called"))
+      .groupBy(col("sample_idx"))
+      .agg(
+        count(lit(1)).cast("long").as("n_sites"),
+        sum(when(col("_hom"), 1L).otherwise(0L)).as("n_hom_obs"),
+        sum(col("_ehom_fp")).as("ehom_fp"))
+      .withColumn("f", {
+        val e = col("ehom_fp").cast("double") / lit(fp)
+        val denom = col("n_sites").cast("double") - e
+        when(denom =!= 0.0, (col("n_hom_obs").cast("double") - e) / denom)
+      })
+  }
+
+  /** Per-sample genotype concordance between two callsets sharing the
+    * same sample axis (the standard cross-platform / re-call QC: array
+    * vs sequencing, caller A vs caller B, pre/post-imputation). Inner
+    * join on `idCol` scopes the comparison to SHARED variants; per
+    * sample, counts over those variants:
+    *
+    *   n_both_called  — called in both callsets
+    *   n_concordant   — both called, same unordered genotype
+    *                    (array_sort before compare: 0/1 ≡ 1/0 — calls
+    *                    are unphased)
+    *   n_a_only / n_b_only — called in exactly one
+    *   n_both_missing
+    *   concordance    — n_concordant / n_both_called (null when 0)
+    *
+    * Scale shape: ONE variant-keyed equi-join (the genuinely required
+    * shuffle — both callsets co-partition on `idCol`; AQE picks
+    * broadcast when one side is a small panel), then a map-side
+    * zip_with to per-sample flag structs and a partial-agg sum keyed by
+    * sample_idx — the second shuffle carries S rows total. Flags are
+    * exact integers; the rate is one division on top. */
+  def concordance(dfA: DataFrame, dfB: DataFrame,
+                  idCol: String, gtCol: String): DataFrame = {
+    val a = dfA.select(col(idCol).as("_id"), col(gtCol).as("_ga"))
+    val b = dfB.select(col(idCol).as("_id"), col(gtCol).as("_gb"))
+    val flags = zip_with(col("_ga"), col("_gb"), (x, y) => {
+      val ca = !exists(x, v => v === -1)
+      val cb = !exists(y, v => v === -1)
+      struct(
+        when(ca && cb, 1L).otherwise(0L).as("bc"),
+        when(ca && cb && array_sort(x) === array_sort(y), 1L).otherwise(0L).as("cc"),
+        when(ca && !cb, 1L).otherwise(0L).as("ao"),
+        when(!ca && cb, 1L).otherwise(0L).as("bo"),
+        when(!ca && !cb, 1L).otherwise(0L).as("bm"))
+    })
+    a.join(b, "_id")
+      .select(posexplode(flags).as(Seq("sample_idx", "_f")))
+      .groupBy(col("sample_idx"))
+      .agg(
+        sum(col("_f.bc")).as("n_both_called"),
+        sum(col("_f.cc")).as("n_concordant"),
+        sum(col("_f.ao")).as("n_a_only"),
+        sum(col("_f.bo")).as("n_b_only"),
+        sum(col("_f.bm")).as("n_both_missing"))
+      .withColumn("concordance", when(col("n_both_called") > 0,
+        col("n_concordant").cast("double") / col("n_both_called").cast("double")))
+  }
 }

@@ -247,6 +247,73 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assertNear(r("miss").getDouble(7), 3.0)
   }
 
+  test("concordance: unphased compare, one-sided missing split, shared variants only") {
+    import spark.implicits._
+    val a = Seq(
+      ("v1", Seq(Seq(0, 1), Seq(0, 0), Seq(-1, -1))),
+      ("v2", Seq(Seq(1, 1), Seq(0, 1), Seq(0, 0))),
+      ("v3", Seq(Seq(0, 0), Seq(0, 0), Seq(0, 0)))) // A-only variant: excluded
+      .toDF("id", "gt")
+    val b = Seq(
+      ("v1", Seq(Seq(1, 0), Seq(0, 1), Seq(0, 0))),   // s0: 0/1≡1/0 concordant
+      ("v2", Seq(Seq(1, 1), Seq(-1, -1), Seq(-1, -1))))
+      .toDF("id", "gt")
+    val r = Stats.concordance(a, b, "id", "gt")
+      .orderBy("sample_idx")
+      .as[(Int, Long, Long, Long, Long, Long, Option[Double])].collect()
+    // s0: v1 conc (unphased), v2 conc → 2/2
+    assert(r(0) === ((0, 2L, 2L, 0L, 0L, 0L, Some(1.0))))
+    // s1: v1 discordant (0/0 vs 0/1), v2 a_only
+    assert(r(1) === ((1, 1L, 0L, 1L, 0L, 0L, Some(0.0))))
+    // s2: v1 b_only, v2 a_only
+    assert(r(2) === ((2, 0L, 0L, 1L, 1L, 0L, None)))
+  }
+
+  test("sampleInbreeding: all-hom F=1, het deficit negative, missing drops L") {
+    import spark.implicits._
+    // v1: p=0.5, n2=8 → ehom = 3/7; v2: p=0, n2=6 → ehom = 1 (s3 missing)
+    val df = Seq(
+      ("v1", Seq(Seq(0, 0), Seq(0, 1), Seq(1, 1), Seq(0, 1))),
+      ("v2", Seq(Seq(0, 0), Seq(0, 0), Seq(0, 0), Seq(-1, -1))))
+      .toDF("id", "gt")
+    val r = Stats.sampleInbreeding(df, "gt").orderBy("sample_idx")
+      .as[(Int, Long, Long, Long, Option[Double])].collect()
+    val e1 = 0.428571 // fixed-point(3/7, 1e6)/1e6
+    assert(r(0)._2 === 2L && r(0)._3 === 2L && r(0)._4 === (428571L + 1000000L))
+    assertNear(r(0)._5.get, 1.0)                               // O = L → F = 1
+    assertNear(r(1)._5.get, (1.0 - (e1 + 1.0)) / (2.0 - (e1 + 1.0)), 1e-9)
+    assertNear(r(2)._5.get, 1.0)
+    assert(r(3)._2 === 1L)                                     // v2 missing → L = 1
+    assertNear(r(3)._5.get, (0.0 - e1) / (1.0 - e1), 1e-9)
+  }
+
+  test("pbsWindowed: pairwise fst ≡ fstWindowed; PBS recombines the branch lengths") {
+    val synth = graft.examples.KinshipScaleDemo.synthGt(spark, 64L, 12)
+      .localCheckpoint()
+    val (pa, pb, pc) = (0 until 4, 4 until 8, 8 until 12)
+    val got = graft.operators.Stats.pbsWindowed(synth, "gt", "vid", 16L, pa, pb, pc)
+      .collect().map(r => r.getAs[Long]("win_start") -> r).toMap
+    assert(got.size === 4)
+    // each pair's windowed fst must equal the standalone fstWindowed scan
+    for (((pr, x, y), idx) <- Seq(("ab", pa, pb), ("ac", pa, pc), ("bc", pb, pc)).zipWithIndex) {
+      val solo = graft.operators.Stats.fstWindowed(synth, "gt", "vid", 16L, x, y)
+        .collect().map(r => r.getAs[Long]("win_start") ->
+          (if (r.isNullAt(r.fieldIndex("fst"))) None else Some(r.getDouble(r.fieldIndex("fst"))))).toMap
+      for ((w, r) <- got) {
+        val fused = if (r.isNullAt(r.fieldIndex(s"fst_$pr"))) None
+          else Some(r.getDouble(r.fieldIndex(s"fst_$pr")))
+        assert(fused === solo(w), s"pair $pr window $w")
+      }
+    }
+    // PBS is the half-sum recombination of −ln(1−fst)
+    for ((w, r) <- got if !r.isNullAt(r.fieldIndex("pbs_a"))) {
+      def t(pr: String) = -math.log(1.0 - r.getDouble(r.fieldIndex(s"fst_$pr")))
+      assertNear(r.getDouble(r.fieldIndex("pbs_a")), (t("ab") + t("ac") - t("bc")) / 2, 1e-12)
+      assertNear(r.getDouble(r.fieldIndex("pbs_c")), (t("ac") + t("bc") - t("ab")) / 2, 1e-12)
+    }
+    assert(got.values.exists(r => !r.isNullAt(r.fieldIndex("pbs_a"))))
+  }
+
   test("mendelErrors: impossible transmissions flagged, missing excluded") {
     import spark.implicits._
     // trio = (child 0, father 1, mother 2)
