@@ -3067,6 +3067,42 @@ object Queries {
              |    *10000.0 + 0.5) AS BIGINT) END AS pbs_c_e4
              |FROM ag ORDER BY win_start""".stripMargin)),
 
+    // ── 89e7. phasing switch-error rate vs the second callset: exact
+    // integer pair/switch counts off a per-sample position-ordered
+    // lag window, identical on both engines ────────────────────────────
+    QueryDef(
+      "q_gt_switch",
+      (s, d) =>
+        graft.operators.Stats.switchErrors(gtTable(s, d), gtTableB(s, d),
+            "vid", "vid", "gt")
+          .select(col("sample_idx"), col("n_pairs"), col("n_switches"),
+            when(col("switch_rate").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("switch_rate"))).as("rate_e4"))
+          .orderBy(col("sample_idx")),
+      Some(s"""WITH ga AS ($duckGt),
+             |gb AS ($duckGtB),
+             |j AS (SELECT vid, ga.gt AS x, gb.gt AS y FROM ga JOIN gb USING (vid)),
+             |ex AS (SELECT vid, s.i AS sample_idx,
+             |  x[CAST(s.i+1 AS INT)] AS xa, y[CAST(s.i+1 AS INT)] AS ya
+             |  FROM j, range(0, 12) s(i)),
+             |cmp AS (SELECT vid, sample_idx,
+             |  CASE WHEN NOT list_contains(xa, -1) AND NOT list_contains(ya, -1)
+             |    AND len(list_distinct(xa)) = 2 AND list_sort(xa) = list_sort(ya)
+             |  THEN CASE WHEN xa = ya THEN 0 ELSE 1 END END AS o
+             |  FROM ex),
+             |fl AS (SELECT sample_idx, o,
+             |  lag(o) OVER (PARTITION BY sample_idx ORDER BY vid) AS prev
+             |  FROM cmp WHERE o IS NOT NULL)
+             |SELECT CAST(sample_idx AS INT) AS sample_idx,
+             |CAST(count(prev) AS BIGINT) AS n_pairs,
+             |CAST(sum(CASE WHEN prev IS NOT NULL AND o <> prev
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+             |CASE WHEN count(prev) > 0 THEN
+             |  CAST(floor(sum(CASE WHEN prev IS NOT NULL AND o <> prev
+             |    THEN 1 ELSE 0 END)*1.0/count(prev)*10000.0 + 0.5) AS BIGINT)
+             |  END AS rate_e4
+             |FROM fl GROUP BY sample_idx ORDER BY sample_idx""".stripMargin)),
+
     // ── 89f. genome-scan windowed Hudson F_ST (ratio of per-window
     // fixed-point sums — integer-exact reduction, so the scan is
     // partition-order-proof on both engines) ───────────────────────────

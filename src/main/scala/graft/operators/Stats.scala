@@ -835,6 +835,50 @@ object Stats {
       })
   }
 
+  /** Per-sample phasing switch-error rate between two callsets of the
+    * same cohort (the standard phasing-QC metric — switch errors per
+    * comparable het-het pair, cf. the SHAPEIT/Beagle evaluation
+    * convention): genotype arrays are ordered allele pairs (phased
+    * representation), and at every variant where a sample is het in
+    * BOTH callsets with the same unordered genotype, the relative
+    * orientation is either `same` ([a₁,a₂] = [b₁,b₂]) or `flipped`
+    * ([a₁,a₂] = [b₂,b₁]). Walking those comparable sites in `posCol`
+    * order, a SWITCH is an orientation change between consecutive
+    * sites. Output per sample: `n_pairs` (consecutive comparable-site
+    * pairs), `n_switches`, `switch_rate` (null when no pairs).
+    *
+    * Scale shape: ONE variant-keyed equi-join (same contract as
+    * [[concordance]]), a map-side explode to comparable het sites only
+    * (hom and discordant sites never enter the shuffle), then ONE
+    * sample-keyed window in position order + a partial-agg sum — per
+    * sample the window state is O(1), and samples parallelize across
+    * partitions. */
+  def switchErrors(dfA: DataFrame, dfB: DataFrame,
+                   idCol: String, posCol: String, gtCol: String): DataFrame = {
+    val a = dfA.select(col(idCol).as("_id"), col(posCol).as("_pos"),
+      col(gtCol).as("_ga"))
+    val b = dfB.select(col(idCol).as("_id"), col(gtCol).as("_gb"))
+    val paired = zip_with(col("_ga"), col("_gb"), (x, y) => {
+      val comparable = !exists(x, v => v === -1) && !exists(y, v => v === -1) &&
+        size(array_distinct(x)) === 2 && array_sort(x) === array_sort(y)
+      // orientation: 0 = same allele order, 1 = flipped; null = not comparable
+      when(comparable, when(x === y, 0).otherwise(1)).otherwise(lit(null).cast("int"))
+    })
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("sample_idx")).orderBy(col("_pos"))
+    a.join(b, "_id")
+      .select(col("_pos"), posexplode(paired).as(Seq("sample_idx", "_o")))
+      .filter(col("_o").isNotNull)
+      .withColumn("_prev", lag(col("_o"), 1).over(w))
+      .groupBy(col("sample_idx"))
+      .agg(
+        count(col("_prev")).cast("long").as("n_pairs"),
+        sum(when(col("_prev").isNotNull && col("_o") =!= col("_prev"), 1L)
+          .otherwise(0L)).as("n_switches"))
+      .withColumn("switch_rate", when(col("n_pairs") > 0,
+        col("n_switches").cast("double") / col("n_pairs").cast("double")))
+  }
+
   /** Per-sample genotype concordance between two callsets sharing the
     * same sample axis (the standard cross-platform / re-call QC: array
     * vs sequencing, caller A vs caller B, pre/post-imputation). Inner

@@ -314,6 +314,30 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(got.values.exists(r => !r.isNullAt(r.fieldIndex("pbs_a"))))
   }
 
+  test("switchErrors: orientation flips counted between consecutive comparable hets") {
+    import spark.implicits._
+    // s0 comparable at all 4 sites, orientations 0,1,1,0 → 3 pairs, 2 switches
+    // s1: v2 hom and v3 missing in B → comparable v1, v4 (orient 0, 1) → 1 pair, 1 switch
+    // s2: only v1 comparable (v2-v4 het with DIFFERENT unordered gt) → 0 pairs
+    val a = Seq(
+      ("v1", 1L, Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1))),
+      ("v2", 2L, Seq(Seq(0, 1), Seq(0, 1), Seq(0, 2))),
+      ("v3", 3L, Seq(Seq(0, 1), Seq(0, 1), Seq(0, 2))),
+      ("v4", 4L, Seq(Seq(0, 1), Seq(1, 0), Seq(0, 2))))
+      .toDF("id", "pos", "gt")
+    val b = Seq(
+      ("v1", Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1))),
+      ("v2", Seq(Seq(1, 0), Seq(0, 0), Seq(0, 1))),
+      ("v3", Seq(Seq(1, 0), Seq(-1, -1), Seq(0, 1))),
+      ("v4", Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1))))
+      .toDF("id", "gt")
+    val r = Stats.switchErrors(a, b, "id", "pos", "gt").orderBy("sample_idx")
+      .as[(Int, Long, Long, Option[Double])].collect()
+    assert(r(0) === ((0, 3L, 2L, Some(2.0 / 3.0))))
+    assert(r(1) === ((1, 1L, 1L, Some(1.0))))
+    assert(r(2) === ((2, 0L, 0L, None)))
+  }
+
   test("mendelErrors: impossible transmissions flagged, missing excluded") {
     import spark.implicits._
     // trio = (child 0, father 1, mother 2)
