@@ -2913,6 +2913,141 @@ object Queries {
              |    * 10000.0 + 0.5) AS BIGINT) END AS chi2_e4
              |FROM tm ORDER BY vid""".stripMargin)),
 
+    // ── 89e3b. quantitative-trait linear regression (plink --linear
+    // analog): exact integer sufficient-statistic cells (fixed-point
+    // phenotype), identical double expression shape for beta/r²/t² ─────
+    QueryDef(
+      "q_gt_linreg",
+      (s, d) =>
+        graft.operators.Assoc.quantTest(gtTable(s, d), "gt",
+            Seq(4200L, 980L, 3100L, 5050L, 120L, 2750L,
+                3990L, 610L, 4480L, 1830L, 2520L, 5200L))
+          .select(col("vid"), col("n_called"), col("sum_x"), col("sum_xx"),
+            col("sum_y"), col("sum_yy"), col("sum_xy"),
+            when(col("beta").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("beta"))).as("beta_e4"),
+            when(col("r2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("r2"))).as("r2_e4"),
+            when(col("t2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("t2"))).as("t2_e4"))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |ex AS (SELECT vid,
+             |  CASE WHEN list_contains(gt[CAST(s.i+1 AS INT)], -1) THEN -1
+             |    ELSE gt[CAST(s.i+1 AS INT)][1] + gt[CAST(s.i+1 AS INT)][2]
+             |    END AS d,
+             |  ([4200,980,3100,5050,120,2750,3990,610,4480,1830,2520,5200]
+             |    )[CAST(s.i+1 AS INT)] AS y
+             |  FROM g, range(0, 12) s(i)),
+             |cells AS (SELECT vid,
+             |  CAST(count(*) FILTER (d <> -1) AS BIGINT) AS n,
+             |  CAST(coalesce(sum(d)      FILTER (d <> -1), 0) AS BIGINT) AS sx,
+             |  CAST(coalesce(sum(d*d)    FILTER (d <> -1), 0) AS BIGINT) AS sxx,
+             |  CAST(coalesce(sum(y)      FILTER (d <> -1), 0) AS BIGINT) AS sy,
+             |  CAST(coalesce(sum(y*y)    FILTER (d <> -1), 0) AS BIGINT) AS syy,
+             |  CAST(coalesce(sum(d*y)    FILTER (d <> -1), 0) AS BIGINT) AS sxy
+             |  FROM ex GROUP BY vid),
+             |dt AS (SELECT vid, n, sx, sxx, sy, syy, sxy,
+             |  CAST(n*sxx - sx*sx AS DOUBLE) AS dxx,
+             |  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS dxy,
+             |  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             |    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dyy
+             |  FROM cells)
+             |SELECT vid, n AS n_called, sx AS sum_x, sxx AS sum_xx,
+             |sy AS sum_y, syy AS sum_yy, sxy AS sum_xy,
+             |CASE WHEN dxx > 0 THEN
+             |  CAST(floor(dxy/dxx*10000.0 + 0.5) AS BIGINT) END AS beta_e4,
+             |CASE WHEN dxx > 0 AND dyy > 0 THEN
+             |  CAST(floor(dxy*dxy/(dxx*dyy)*10000.0 + 0.5) AS BIGINT)
+             |  END AS r2_e4,
+             |CASE WHEN n > 2 AND dxx > 0 AND dxx*dyy - dxy*dxy > 0 THEN
+             |  CAST(floor(CAST(n-2 AS DOUBLE)*dxy*dxy/(dxx*dyy - dxy*dxy)
+             |    *10000.0 + 0.5) AS BIGINT) END AS t2_e4
+             |FROM dt ORDER BY vid""".stripMargin)),
+
+    // ── 89e3c. rare-variant burden matrix: integer cross-multiplied
+    // rarity (no float MAF), per-window per-sample alt-dosage sums —
+    // exact integers end to end on both engines ────────────────────────
+    QueryDef(
+      "q_gt_burden",
+      (s, d) =>
+        graft.operators.Assoc.burdenMatrix(gtTable(s, d), "gt", "vid", 16L, 2500L)
+          .select(col("win_start"), col("n_rare"),
+            col("sample_idx"), col("burden"))
+          .orderBy(col("win_start"), col("sample_idx")),
+      Some(s"""WITH g AS ($duckGt),
+             |cc AS (SELECT vid,
+             |  len(list_filter(flatten(gt), x -> x = 0)) AS c0,
+             |  len(list_filter(flatten(gt), x -> x = 1)) AS c1 FROM g),
+             |rare AS (SELECT vid FROM cc WHERE c0+c1 > 0
+             |  AND least(c0, c1) > 0
+             |  AND least(c0, c1)*10000 <= 2500*(c0+c1)),
+             |ex AS (SELECT g.vid, s.i AS si,
+             |  CASE WHEN list_contains(gt[CAST(s.i+1 AS INT)], -1) THEN 0
+             |    ELSE gt[CAST(s.i+1 AS INT)][1] + gt[CAST(s.i+1 AS INT)][2]
+             |    END AS d
+             |  FROM g JOIN rare USING (vid), range(0, 12) s(i))
+             |SELECT CAST((vid // 16)*16 AS BIGINT) AS win_start,
+             |CAST(count(*) AS BIGINT) AS n_rare,
+             |CAST(si AS INT) AS sample_idx,
+             |CAST(sum(d) AS BIGINT) AS burden
+             |FROM ex GROUP BY 1, si ORDER BY win_start, sample_idx""".stripMargin)),
+
+    // ── 89e3d. per-window burden association (collapsing test): OLS of
+    // the fixed-point phenotype on burden, same D-term shape as linreg ─
+    QueryDef(
+      "q_gt_burden_test",
+      (s, d) =>
+        graft.operators.Assoc.burdenTest(gtTable(s, d), "gt", "vid", 16L, 2500L,
+            Seq(4200L, 980L, 3100L, 5050L, 120L, 2750L,
+                3990L, 610L, 4480L, 1830L, 2520L, 5200L))
+          .select(col("win_start"), col("n_rare"), col("sum_x"), col("sum_xx"),
+            col("sum_xy"),
+            when(col("beta").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("beta"))).as("beta_e4"),
+            when(col("t2").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("t2"))).as("t2_e4"))
+          .orderBy(col("win_start")),
+      Some(s"""WITH g AS ($duckGt),
+             |cc AS (SELECT vid,
+             |  len(list_filter(flatten(gt), x -> x = 0)) AS c0,
+             |  len(list_filter(flatten(gt), x -> x = 1)) AS c1 FROM g),
+             |rare AS (SELECT vid FROM cc WHERE c0+c1 > 0
+             |  AND least(c0, c1) > 0
+             |  AND least(c0, c1)*10000 <= 2500*(c0+c1)),
+             |ex AS (SELECT g.vid, s.i AS si,
+             |  CASE WHEN list_contains(gt[CAST(s.i+1 AS INT)], -1) THEN 0
+             |    ELSE gt[CAST(s.i+1 AS INT)][1] + gt[CAST(s.i+1 AS INT)][2]
+             |    END AS d
+             |  FROM g JOIN rare USING (vid), range(0, 12) s(i)),
+             |bm AS (SELECT (vid // 16)*16 AS win, count(*) AS n_rare, si,
+             |  sum(d) AS b,
+             |  ([4200,980,3100,5050,120,2750,3990,610,4480,1830,2520,5200]
+             |    )[CAST(si+1 AS INT)] AS y
+             |  FROM ex GROUP BY win, si),
+             |cells AS (SELECT win, min(n_rare) AS n_rare,
+             |  count(*) AS n, sum(b) AS sx, sum(b*b) AS sxx,
+             |  sum(y) AS sy, sum(y*y) AS syy, sum(b*y) AS sxy
+             |  FROM bm GROUP BY win),
+             |dt AS (SELECT win, n_rare, n, sx, sxx, sy, syy, sxy,
+             |  CAST(n*sxx - sx*sx AS DOUBLE) AS dxx,
+             |  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS dxy,
+             |  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             |    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dyy
+             |  FROM cells)
+             |SELECT CAST(win AS BIGINT) AS win_start,
+             |CAST(n_rare AS BIGINT) AS n_rare,
+             |CAST(sx AS BIGINT) AS sum_x, CAST(sxx AS BIGINT) AS sum_xx,
+             |CAST(sxy AS BIGINT) AS sum_xy,
+             |CASE WHEN dxx > 0 THEN
+             |  CAST(floor(dxy/dxx*10000.0 + 0.5) AS BIGINT) END AS beta_e4,
+             |CASE WHEN n > 2 AND dxx > 0 AND dxx*dyy - dxy*dxy > 0 THEN
+             |  CAST(floor(CAST(n-2 AS DOUBLE)*dxy*dxy/(dxx*dyy - dxy*dxy)
+             |    *10000.0 + 0.5) AS BIGINT) END AS t2_e4
+             |FROM dt ORDER BY win_start""".stripMargin)),
+
     // ── 89e4. cross-callset genotype concordance per sample: inner
     // join on shared variants, unphased compare, exact integer count
     // cells on both engines ────────────────────────────────────────────

@@ -61,6 +61,145 @@ object Assoc {
       .drop("_cc", "_ct")
   }
 
+  /** Per-variant quantitative-trait linear regression (the plink
+    * `--linear` single-predictor screen): per variant, OLS of a
+    * continuous phenotype y on additive dosage x ∈ {0,1,2} over CALLED
+    * samples. `pheno(s)` is sample s's phenotype in caller-chosen
+    * FIXED-POINT units (long — e.g. e3 micro-units), so every
+    * sufficient statistic is an exact integer sum and the per-variant
+    * reduction is partition-order-proof; `beta` is reported in those
+    * same units per dosage copy.
+    *
+    * Emitted per variant: the exact sufficient-statistic cells
+    * (n_called, sum_x, sum_xx, sum_y, sum_yy, sum_xy — the auditable,
+    * hash-stable part) plus, with Dxx = n·Sxx − Sx², Dxy = n·Sxy −
+    * Sx·Sy, Dyy = n·Syy − Sy² (computed in doubles — int64 overflows
+    * near 10⁶-sample cohorts on Dyy, matching [[allelicTest]]'s margin
+    * convention):
+    *
+    *   beta = Dxy / Dxx                       (NULL when Dxx = 0 —
+    *                                           monomorphic among called)
+    *   r2   = Dxy² / (Dxx·Dyy)                (NULL when Dxx·Dyy = 0)
+    *   t2   = (n−2)·Dxy² / (Dxx·Dyy − Dxy²)   (squared t-statistic of
+    *          the slope; NULL when n ≤ 2 or the residual term is 0 —
+    *          a perfect fit has no finite t)
+    *
+    * Scale shape: map-only per variant like every §2.3 kernel — the
+    * phenotype vector rides the plan as an array literal (a cohort's
+    * phenotype is ~8 bytes/sample, broadcast-trivial at any width), the
+    * dosage/phenotype pairs are zipped and folded per row, and a
+    * genome-wide screen is an embarrassingly parallel scan with no
+    * shuffle. */
+  def quantTest(df: DataFrame, gtCol: String, pheno: Seq[Long]): DataFrame = {
+    val ph = array(pheno.map(lit): _*)
+    // called (dosage, y) pairs materialized ONCE (house rule: HOF
+    // results are multiply-referenced only through a column)
+    val base = df
+      .withColumn("_dos", transform(col(gtCol), s =>
+        when(exists(s, a => a === -1), lit(-1))
+          .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+      .withColumn("_p", filter(
+        zip_with(col("_dos"), ph, (d, y) => struct(d.as("d"), y.as("y"))),
+        p => p.getField("d") =!= -1))
+    def fsum(f: Column => Column) =
+      aggregate(col("_p"), lit(0L), (acc, p) => acc + f(p))
+    val cells = base
+      .withColumn("n_called", size(col("_p")).cast("long"))
+      .withColumn("sum_x", fsum(p => p.getField("d").cast("long")))
+      .withColumn("sum_xx", fsum(p =>
+        (p.getField("d") * p.getField("d")).cast("long")))
+      .withColumn("sum_y", fsum(p => p.getField("y")))
+      .withColumn("sum_yy", fsum(p => p.getField("y") * p.getField("y")))
+      .withColumn("sum_xy", fsum(p => p.getField("d").cast("long") * p.getField("y")))
+      .drop("_dos", "_p")
+    withOls(cells, col("n_called"))
+  }
+
+  /** Appends beta / r2 / t2 to a frame holding the exact OLS cells
+    * (sum_x, sum_xx, sum_y, sum_yy, sum_xy) — the shared tail of
+    * [[quantTest]] and [[burdenTest]]; see [[quantTest]] for the
+    * formulas and NULL contract. */
+  private def withOls(cells: DataFrame, n: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val dxx = dbl(n * col("sum_xx") - col("sum_x") * col("sum_x"))
+    val dxy = dbl(n) * dbl(col("sum_xy")) - dbl(col("sum_x")) * dbl(col("sum_y"))
+    val dyy = dbl(n) * dbl(col("sum_yy")) - dbl(col("sum_y")) * dbl(col("sum_y"))
+    val resid = dxx * dyy - dxy * dxy
+    cells
+      .withColumn("beta", when(dxx > 0, dxy / dxx))
+      .withColumn("r2", when(dxx > 0 && dyy > 0, dxy * dxy / (dxx * dyy)))
+      .withColumn("t2", when(n > 2 && dxx > 0 && resid > 0,
+        dbl(n - 2) * dxy * dxy / resid))
+  }
+
+  /** Rare-variant burden matrix (the collapsing step of burden /
+    * SKAT-style region tests, cf. Lee et al. 2014, "Rare-variant
+    * association analysis", AJHG 95:5): per genomic window of
+    * `windowSize` starting positions, each sample's burden is the sum
+    * of its ALT dosages over the window's RARE variants — rare meaning
+    * minor-allele frequency in (0, mafMaxE4/10⁴] decided by the exact
+    * integer cross-multiplication `mac·10⁴ ≤ mafMaxE4·an` (no float
+    * MAF anywhere, so the variant set is bit-stable across engines);
+    * missing calls contribute 0. Output long form: (win_start,
+    * sample_idx, burden) plus the window's `n_rare` variant count —
+    * windows with no rare variant emit nothing.
+    *
+    * Scale shape: the rarity decision is map-only off the one-pass
+    * allele-count kernel; qualifying dosage vectors reduce through ONE
+    * window-keyed [[graft.functions.VecSumAgg]] elementwise aggregation
+    * (partial per partition — a window's vectors never co-locate before
+    * combining, and the shuffle carries one S-length array per
+    * (partition, window), not S×V rows); the long form is one
+    * posexplode of the aggregated row. Dosage sums are small integers
+    * in doubles — exact to 2⁵³. */
+  def burdenMatrix(df: DataFrame, gtCol: String, posCol: String,
+                   windowSize: Long, mafMaxE4: Long): DataFrame = {
+    val cc = alleleCounts(col(gtCol), lit(2))
+    val base = df
+      .withColumn("_cc", cc)
+      .withColumn("_an", (element_at(col("_cc"), 1) + element_at(col("_cc"), 2)).cast("long"))
+      .withColumn("_mac", least(element_at(col("_cc"), 1), element_at(col("_cc"), 2)).cast("long"))
+      .filter(col("_an") > 0 && col("_mac") > 0 &&
+        col("_mac") * lit(10000L) <= lit(mafMaxE4) * col("_an"))
+      .withColumn("_dos", transform(col(gtCol), s =>
+        when(exists(s, a => a === -1), lit(0.0))
+          .otherwise(aggregate(s, lit(0), (acc, a) => acc + a).cast("double"))))
+      .withColumn("_win", (floor(col(posCol) / lit(windowSize)) * lit(windowSize)).cast("long"))
+    import graft.functions.VecSumAgg
+    base.groupBy(col("_win").as("win_start"))
+      .agg(count(lit(1)).as("n_rare"), VecSumAgg.of(col("_dos")).as("_b"))
+      .select(col("win_start"), col("n_rare"),
+        posexplode(col("_b")).as(Seq("sample_idx", "burden")))
+      .withColumn("burden", col("burden").cast("long"))
+  }
+
+  /** Per-window burden association with a quantitative phenotype: OLS
+    * of phenotype on each sample's [[burdenMatrix]] score, using the
+    * same exact sufficient-statistic / D-term shapes as [[quantTest]]
+    * (x = burden instead of dosage; every called sample participates —
+    * burden has no missingness once variants collapse). Emitted per
+    * window: n_rare, the six cells, beta / r2 / t2 with [[quantTest]]'s
+    * NULL contract. One extra map stage over the burden matrix — the
+    * genome-wide screen stays a single VecSumAgg pass + a window-keyed
+    * integer agg. */
+  def burdenTest(df: DataFrame, gtCol: String, posCol: String,
+                 windowSize: Long, mafMaxE4: Long,
+                 pheno: Seq[Long]): DataFrame = {
+    val ph = array(pheno.map(lit): _*)
+    val m = burdenMatrix(df, gtCol, posCol, windowSize, mafMaxE4)
+      .withColumn("_y", element_at(ph, col("sample_idx") + 1))
+    val cells = m.groupBy(col("win_start"))
+      .agg(
+        first(col("n_rare")).as("n_rare"),
+        count(lit(1)).as("n_samples"),
+        sum(col("burden")).as("sum_x"),
+        sum(col("burden") * col("burden")).as("sum_xx"),
+        sum(col("_y")).as("sum_y"),
+        sum(col("_y") * col("_y")).as("sum_yy"),
+        sum(col("burden") * col("_y")).as("sum_xy"))
+    withOls(cells, col("n_samples"))
+  }
+
   /** Per-variant Cochran-Armitage trend test (1 df, additive weights
     * w = (0, 1, 2) over dosage classes): with r_g / s_g the CALLED
     * case / control sample counts at dosage g, R = Σr, S = Σs,

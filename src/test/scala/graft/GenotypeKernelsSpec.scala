@@ -224,6 +224,72 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(r("mono").isNullAt(5))
   }
 
+  test("quantTest: hand-computed OLS cells, perfect fit t2 null, monomorphic null") {
+    import spark.implicits._
+    def gt(d: Int*) = d.map {
+      case -1 => Seq(-1, -1)
+      case 0  => Seq(0, 0)
+      case 1  => Seq(0, 1)
+      case 2  => Seq(1, 1)
+    }
+    val df = Seq(
+      ("slope", gt(0, 0, 1, 1, 2, 2)),    // Dxx=24 Dxy=480 Dyy=10500 → beta=20
+      ("mono",  gt(1, 1, 1, 1, 1, 1)),    // Dxx=0 → all stats null
+      ("fit",   gt(0, 1, 2, -1, -1, -1)), // perfect fit: r2=1, resid=0 → t2 null
+      ("n2",    gt(0, 2, -1, -1, -1, -1)))// n=2 → beta fine, t2 null
+      .toDF("vid", "gt")
+    val y = Seq(10L, 20L, 30L, 40L, 50L, 60L)
+    val r = graft.operators.Assoc.quantTest(df, "gt", y)
+      .select("vid", "n_called", "sum_x", "sum_xy", "beta", "r2", "t2")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("slope").getLong(1) === 6L && r("slope").getLong(3) === 290L)
+    assertNear(r("slope").getDouble(4), 20.0)
+    assertNear(r("slope").getDouble(5), 230400.0 / 252000.0)
+    assertNear(r("slope").getDouble(6), 921600.0 / 21600.0)
+    assert(r("mono").isNullAt(4) && r("mono").isNullAt(5) && r("mono").isNullAt(6))
+    assertNear(r("fit").getDouble(4), 10.0)
+    assertNear(r("fit").getDouble(5), 1.0)
+    assert(r("fit").isNullAt(6))
+    assert(r("n2").getLong(1) === 2L)
+    assertNear(r("n2").getDouble(4), 5.0)
+    assert(r("n2").isNullAt(6))
+  }
+
+  test("burdenMatrix/burdenTest: integer rarity gate, missing→0, empty windows absent") {
+    import spark.implicits._
+    def gt(d: Int*) = d.map {
+      case -1 => Seq(-1, -1)
+      case 0  => Seq(0, 0)
+      case 1  => Seq(0, 1)
+      case 2  => Seq(1, 1)
+    }
+    val df = Seq(
+      (1L,  gt(0, 0, 0, 0, 0, 1)),  // mac=1/12 → rare
+      (2L,  gt(1, 1, 0, 0, 0, 0)),  // mac=2/12 → rare
+      (17L, gt(2, 0, 0, 0, 0, -1)), // mac=2/10 → rare; missing contributes 0
+      (18L, gt(1, 1, 1, 1, 1, 1)),  // maf=0.5 → common, excluded
+      (33L, gt(0, 0, 0, 0, 0, 0)))  // monomorphic → excluded
+      .toDF("pos", "gt")
+    val m = graft.operators.Assoc.burdenMatrix(df, "gt", "pos", 16L, 2500L)
+      .orderBy("win_start", "sample_idx")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(m.map(_._1).distinct.toSeq === Seq(0L, 16L)) // win 32 empty → absent
+    val w0 = m.filter(_._1 == 0L)
+    assert(w0.forall(_._2 == 2L))
+    assert(w0.map(_._4).toSeq === Seq(1L, 1L, 0L, 0L, 0L, 1L))
+    val w16 = m.filter(_._1 == 16L)
+    assert(w16.forall(_._2 == 1L))
+    assert(w16.map(_._4).toSeq === Seq(2L, 0L, 0L, 0L, 0L, 0L))
+    val t = graft.operators.Assoc.burdenTest(df, "gt", "pos", 16L, 2500L,
+        Seq(10L, 20L, 30L, 40L, 50L, 60L))
+      .orderBy("win_start")
+      .select("win_start", "n_rare", "sum_x", "sum_xx", "sum_xy", "beta")
+      .collect()
+    // win 0: b=[1,1,0,0,0,1] → Sx=3 Sxx=3 Sxy=90, Dxx=9 Dxy=-90 → beta=-10
+    assert(t(0).getLong(2) === 3L && t(0).getLong(3) === 3L && t(0).getLong(4) === 90L)
+    assertNear(t(0).getDouble(5), -10.0)
+  }
+
   test("trendTest: perfect additive trend → chi2 = N−1; monomorphic null; missing excluded") {
     import spark.implicits._
     def gt(d: Int*) = d.map {
