@@ -3238,6 +3238,48 @@ object Queries {
              |  END AS rate_e4
              |FROM fl GROUP BY sample_idx ORDER BY sample_idx""".stripMargin)),
 
+    // ── 89e8. cross-callset sample-swap scan: full SA×SB concordance
+    // matrix via four OuterSum gramians on the Spark side vs the
+    // exploded pair arithmetic in DuckDB — integer cells, argmax on
+    // the (identical-double) ratio with lowest-j tie-break ─────────────
+    QueryDef(
+      "q_gt_swap_scan",
+      (s, d) =>
+        graft.operators.Stats.sampleSwapScan(gtTable(s, d), gtTableB(s, d),
+            "vid", "gt")
+          .select(col("a_idx"), col("best_b_idx"), col("n_match"),
+            col("n_comp"), e4(col("concordance")).as("conc_e4"),
+            col("self_match"), col("self_comp"), col("swapped"))
+          .orderBy(col("a_idx")),
+      Some(s"""WITH ga AS ($duckGt),
+             |gb AS ($duckGtB),
+             |j AS (SELECT vid, ga.gt AS x, gb.gt AS y FROM ga JOIN gb USING (vid)),
+             |ex AS (SELECT vid, i.i AS ai, jj.i AS bi,
+             |  CASE WHEN list_contains(x[CAST(i.i+1 AS INT)], -1) THEN -1
+             |    ELSE x[CAST(i.i+1 AS INT)][1] + x[CAST(i.i+1 AS INT)][2]
+             |    END AS da,
+             |  CASE WHEN list_contains(y[CAST(jj.i+1 AS INT)], -1) THEN -1
+             |    ELSE y[CAST(jj.i+1 AS INT)][1] + y[CAST(jj.i+1 AS INT)][2]
+             |    END AS db
+             |  FROM j, range(0, 12) i(i), range(0, 12) jj(i)),
+             |cells AS (SELECT ai, bi,
+             |  sum(CASE WHEN da >= 0 AND db >= 0 AND da = db THEN 1 ELSE 0 END) AS m,
+             |  sum(CASE WHEN da >= 0 AND db >= 0 THEN 1 ELSE 0 END) AS c
+             |  FROM ex GROUP BY ai, bi),
+             |rk AS (SELECT ai, bi, m, c,
+             |  row_number() OVER (PARTITION BY ai
+             |    ORDER BY m*1.0/c DESC, bi ASC) AS rn
+             |  FROM cells WHERE c > 0),
+             |sf AS (SELECT ai, m AS sm, c AS sc FROM cells WHERE ai = bi)
+             |SELECT CAST(rk.ai AS INT) AS a_idx, CAST(bi AS INT) AS best_b_idx,
+             |CAST(m AS BIGINT) AS n_match, CAST(c AS BIGINT) AS n_comp,
+             |CAST(floor(m*1.0/c*10000.0 + 0.5) AS BIGINT) AS conc_e4,
+             |CAST(coalesce(sm, 0) AS BIGINT) AS self_match,
+             |CAST(coalesce(sc, 0) AS BIGINT) AS self_comp,
+             |(bi <> rk.ai) AS swapped
+             |FROM rk LEFT JOIN sf ON rk.ai = sf.ai
+             |WHERE rn = 1 ORDER BY a_idx""".stripMargin)),
+
     // ── 89f. genome-scan windowed Hudson F_ST (ratio of per-window
     // fixed-point sums — integer-exact reduction, so the scan is
     // partition-order-proof on both engines) ───────────────────────────

@@ -879,6 +879,85 @@ object Stats {
         col("n_switches").cast("double") / col("n_pairs").cast("double")))
   }
 
+  /** Cross-callset sample-swap scan (the identity-QC step run whenever
+    * the same cohort is assayed twice — array vs sequencing, plate
+    * re-runs: a mislabeled tube shows up as sample i's genotypes
+    * matching some OTHER column j of the second callset better than
+    * its own). For every sample i of callset A, finds the callset-B
+    * column with the highest genotype concordance (n_match/n_comp over
+    * variants shared by the two callsets where both calls are present;
+    * unphased dosage compare), ties broken to the LOWEST j; emits the
+    * best match alongside the same-index concordance and a `swapped`
+    * flag (best ≠ self). Argmax on the float ratio is deterministic
+    * cross-engine: equal rationals divide to the IDENTICAL double
+    * (both divisions round the same real), so the (ratio DESC, j ASC)
+    * order is total and engine-stable.
+    *
+    * Scale shape: the full SA×SB concordance matrix from ONE scan of
+    * the variant-keyed equi-join via FOUR [[graft.functions.OuterSumAgg]]
+    * matrices (per-dosage-class indicator outer products — matches =
+    * O_RR′+O_HH′+O_AA′, comparable = O_CC′; the [[PairBlocks]]
+    * decomposition applied cross-callset), so genotype arrays never
+    * shuffle and no S² row explosion exists. Driver holds 4·SA·SB
+    * doubles — the [[kingGramian]] envelope (~9k×9k); wider cohorts
+    * block the same way [[PairBlocks]] does. */
+  def sampleSwapScan(dfA: DataFrame, dfB: DataFrame,
+                     idCol: String, gtCol: String): DataFrame = {
+    import graft.functions.OuterSumAgg
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    def dosed(df: DataFrame, out: String) = df.select(col(idCol).as("_id"),
+      transform(col(gtCol), s =>
+        when(exists(s, a => a === -1), lit(-1))
+          .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))).as(out))
+    val j = dosed(dfA, "_da").join(dosed(dfB, "_db"), "_id")
+    def ind(c: String, p: Column => Column) =
+      transform(col(c), d => when(p(d), 1.0).otherwise(0.0))
+    val row = j.select(
+        ind("_da", _ === 0).as("_ar"), ind("_da", _ === 1).as("_ah"),
+        ind("_da", _ === 2).as("_aa"), ind("_da", _ >= 0).as("_ac"),
+        ind("_db", _ === 0).as("_br"), ind("_db", _ === 1).as("_bh"),
+        ind("_db", _ === 2).as("_ba"), ind("_db", _ >= 0).as("_bc"))
+      .agg(
+        OuterSumAgg.of(col("_ar"), col("_br")).as("orr"),
+        OuterSumAgg.of(col("_ah"), col("_bh")).as("ohh"),
+        OuterSumAgg.of(col("_aa"), col("_ba")).as("oaa"),
+        OuterSumAgg.of(col("_ac"), col("_bc")).as("occ"))
+      .head()
+    val empty = spark.emptyDataFrame
+      .select(lit(0).as("a_idx"), lit(0).as("best_b_idx"),
+        lit(0L).as("n_match"), lit(0L).as("n_comp"),
+        lit(0.0).as("concordance"), lit(0L).as("self_match"),
+        lit(0L).as("self_comp"), lit(false).as("swapped"))
+      .limit(0)
+    if (row.isNullAt(0)) return empty
+    val (orr, ohh, oaa, occ) = (
+      row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray,
+      row.getSeq[Double](2).toArray, row.getSeq[Double](3).toArray)
+    val sa = orr(0).toInt; val sb = orr(1).toInt
+    val bc = spark.sparkContext.broadcast((orr, ohh, oaa, occ))
+    spark.range(0, sa).as[Long].flatMap { iL =>
+      val (mrr, mhh, maa, mcc) = bc.value
+      val i = iL.toInt
+      def at(m: Array[Double], jj: Int) = m(2 + jj * sa + i).toLong
+      def cells(jj: Int) =
+        (at(mrr, jj) + at(mhh, jj) + at(maa, jj), at(mcc, jj))
+      // (ratio DESC, j ASC) — comparable-free columns never win
+      val best = (0 until sb).iterator
+        .map(jj => (jj, cells(jj)))
+        .filter(_._2._2 > 0)
+        .reduceOption { (x, y) =>
+          val (rx, ry) = (x._2._1.toDouble / x._2._2, y._2._1.toDouble / y._2._2)
+          if (ry > rx || (ry == rx && y._1 < x._1)) y else x
+        }
+      best.iterator.map { case (bj, (m, c)) =>
+        val (sm, sc) = if (i < sb) cells(i) else (0L, 0L)
+        (i, bj, m, c, m.toDouble / c, sm, sc, bj != i)
+      }
+    }.toDF("a_idx", "best_b_idx", "n_match", "n_comp",
+        "concordance", "self_match", "self_comp", "swapped")
+  }
+
   /** Per-sample genotype concordance between two callsets sharing the
     * same sample axis (the standard cross-platform / re-call QC: array
     * vs sequencing, caller A vs caller B, pre/post-imputation). Inner

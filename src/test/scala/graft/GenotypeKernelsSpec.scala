@@ -404,6 +404,33 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(r(2) === ((2, 0L, 0L, None)))
   }
 
+  test("sampleSwapScan: planted swap detected, self-match clean elsewhere") {
+    import spark.implicits._
+    def gt(d: Int*) = d.map {
+      case -1 => Seq(-1, -1)
+      case 0  => Seq(0, 0)
+      case 1  => Seq(0, 1)
+      case 2  => Seq(1, 1)
+    }
+    // A has samples (s0, s1, s2); B re-calls the cohort but swaps the
+    // tubes of s0 and s1; s2 is intact. 4 variants, distinct profiles.
+    val a = Seq(
+      ("v1", gt(0, 1, 2)), ("v2", gt(2, 0, 1)),
+      ("v3", gt(1, 2, 0)), ("v4", gt(0, 0, 2)))
+      .toDF("id", "gt")
+    val b = Seq(
+      ("v1", gt(1, 0, 2)), ("v2", gt(0, 2, 1)),
+      ("v3", gt(2, 1, 0)), ("v4", gt(0, 0, 2)))
+      .toDF("id", "gt")
+    val r = graft.operators.Stats.sampleSwapScan(a, b, "id", "gt")
+      .orderBy("a_idx")
+      .select("a_idx", "best_b_idx", "n_match", "n_comp", "swapped")
+      .as[(Int, Int, Long, Long, Boolean)].collect()
+    assert(r(0) === ((0, 1, 4L, 4L, true)))
+    assert(r(1) === ((1, 0, 4L, 4L, true)))
+    assert(r(2) === ((2, 2, 4L, 4L, false)))
+  }
+
   test("mendelErrors: impossible transmissions flagged, missing excluded") {
     import spark.implicits._
     // trio = (child 0, father 1, mother 2)
