@@ -197,6 +197,36 @@ object Queries {
 
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** DuckDB twin of [[graft.ext.Graph.pageRank]] over the q_pagerank
+    * edge construction: the fixed iteration count lets the integer
+    * recurrence unroll into chained (non-recursive) CTEs — one
+    * dangling-pool scalar, one contribution sum, and one rank rebuild
+    * per iteration, all floor-division arithmetic (`//` here ≡ Spark's
+    * `div` on non-negatives). */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH edges AS (SELECT DISTINCT l_orderkey % 500 AS src,
+        |  l_partkey % 500 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rk FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb ++= s""",
+        |dang$i AS (SELECT coalesce(sum(rk), 0) AS dm FROM $p
+        |  LEFT JOIN deg ON node = src WHERE d IS NULL),
+        |in$i AS (SELECT dst, sum(c) AS m FROM
+        |  (SELECT node, rk // d AS c FROM $p JOIN deg ON node = src) t
+        |  JOIN edges ON t.node = edges.src GROUP BY dst),
+        |r$i AS (SELECT node,
+        |  CAST(150000000 + ((coalesce(m, 0) + dm // n) * 85) // 100 AS BIGINT) AS rk
+        |  FROM $p LEFT JOIN in$i ON node = dst, dang$i, nn)""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(node AS BIGINT) AS node, rk FROM r$iters ORDER BY node"
+    sb.toString
+  }
+
   /** Rounding-stable 4-decimal quantization of a double: explicit
     * floor(x·1e4 + 0.5) instead of engine-native round() — Spark rounds
     * doubles through decimal HALF_UP while DuckDB rounds in binary FP,
@@ -1974,6 +2004,22 @@ object Queries {
              |)
              |SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS comp
              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ── 71b. integer-exact damped PageRank over the order→part
+    // bipartite projection: 3 fixed iterations, floor-divided
+    // contributions / dangling share / damping — DuckDB unrolls the
+    // identical integer recurrence, so every rank bit must match ──────
+    QueryDef(
+      "q_pagerank",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast("long").as("src"),
+          (col("l_partkey") % 500).cast("long").as("dst")).distinct()
+        graft.ext.Graph.pageRank(e, "src", "dst", 3)
+          .select(col("node"), col("rk"))
+          .orderBy(col("node"))
+      },
+      Some(pageRankSql(3))),
 
     // ── 72. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
     // multisets (an orderkey repeats per qualifying line), multiplicity

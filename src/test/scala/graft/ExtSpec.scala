@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity, TextAnalysis, TextHash}
+import graft.ext.{Dedup, Graph, Similarity, TextAnalysis, TextHash}
 
 /** Hand-computed goldens for the training-data-pipeline kernels.
   * (Their cross-engine behavior is separately proven by the DuckDB
@@ -396,5 +396,27 @@ class ExtSpec extends SparkTestBase {
       .asInstanceOf[Double]
     assert(j > 0.4 && j < 1.0)
     assert(one(Dedup.ngramJaccard(lit("a b c d"), lit("w x y z"))) === 0.0)
+  }
+
+  test("pageRank: cycle is a fixpoint of the integer recurrence") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val r = Graph.pageRank(e, "s", "t", 4).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 1000000000L), (2L, 1000000000L), (3L, 1000000000L)))
+  }
+
+  test("pageRank: hand-computed star with dangling hub, one iteration") {
+    import spark.implicits._
+    // 1→2, 3→2; node 2 is dangling → its mass redistributes as
+    // share = 1e9 // 3; every floor matches the scaladoc recurrence
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("s", "t")
+    val r = Graph.pageRank(e, "s", "t", 1).orderBy("node")
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) === 433333333L)
+    assert(r(2L) === 2133333333L)
+    assert(r(3L) === 433333333L)
+    // mass conserved up to the documented < N floor decay
+    assert(r.values.sum > 3000000000L - 3 && r.values.sum <= 3000000000L)
   }
 }
