@@ -2633,6 +2633,47 @@ object Queries {
              |CAST(sum(lp6) AS BIGINT) AS lp_e6
              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 87b. multinomial Naive Bayes language classifier: train on the
+    // 80% doc_id split, score the rest — e6 fixed-point log-weights,
+    // integer score sums, argmax with lexical tie-break on both engines ─
+    QueryDef(
+      "q_nb_classify",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.nbModel(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), "lang", "text")
+        TextAnalysis.nbScore(
+            docs.filter(pmod(col("doc_id"), lit(10)) >= 8), "doc_id", "text", model)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 10 < 8),
+             |vocab AS (SELECT DISTINCT term FROM w),
+             |vc AS (SELECT count(*) AS v FROM vocab),
+             |cnt AS (SELECT label, term, count(*) AS c FROM w GROUP BY label, term),
+             |lt AS (SELECT label, count(*) AS t FROM w GROUP BY label),
+             |ld AS (SELECT lang AS label, count(*) AS d FROM documents
+             |  WHERE doc_id % 10 < 8 GROUP BY 1),
+             |dd AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 < 8),
+             |model AS (SELECT lt.label, vocab.term,
+             |  CAST(floor(ln(CAST(coalesce(c, 0)+1 AS DOUBLE)/(t+v))
+             |    *1000000.0 + 0.5) AS BIGINT) AS lw,
+             |  CAST(floor(ln(CAST(d AS DOUBLE)/n)*1000000.0 + 0.5) AS BIGINT) AS prior
+             |  FROM vocab CROSS JOIN lt
+             |  LEFT JOIN cnt ON cnt.label = lt.label AND cnt.term = vocab.term
+             |  JOIN ld ON ld.label = lt.label, vc, dd),
+             |q AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 10 >= 8),
+             |sc AS (SELECT doc_id, label, count(*) AS n_tok,
+             |  min(prior) + sum(lw) AS score
+             |  FROM q JOIN model USING (term) GROUP BY doc_id, label),
+             |rk AS (SELECT doc_id, label, score, n_tok,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, label ASC) AS rn FROM sc)
+             |SELECT doc_id, label AS best_label,
+             |CAST(score AS BIGINT) AS score_e6, CAST(n_tok AS BIGINT) AS n_tok
+             |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // ── 88. Hardy–Weinberg chi-square + Wright's F_IS over the derived
     // gt matrix: REAL kernels (genotypeClassCounts/hweChi2/inbreedingF)
     // vs first-principles SQL in a pinned evaluation order; undefined

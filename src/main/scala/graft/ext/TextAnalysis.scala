@@ -192,6 +192,80 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("_lp6")).as("lp_e6"))
   }
 
+  // ── Naive Bayes document classifier ────────────────────────────────
+  // The workhorse cheap quality/domain classifier of corpus pipelines
+  // (fastText-style linear scorers and the CCNet quality buckets are
+  // this shape): train on a small labeled set, score the whole corpus
+  // map-side. Multinomial NB with Laplace smoothing (standard
+  // presentation: Manning/Raghavan/Schütze, IIR §13) under the house
+  // fixed-point contract — per-(label, term) log-weights quantized to
+  // e6 micro-units, so corpus-side scoring is INTEGER sums
+  // (partition-order-proof, replicable in SQL from first principles).
+
+  /** Trains a multinomial NB model: one row per (label, term) over the
+    * FULL training vocabulary (dense grid, so scoring needs no per-label
+    * OOV branch — a term seen under any label has a smoothed weight
+    * under every label):
+    *
+    *   lw_e6    = ⌊ln((c(label,term)+1) / (tok(label)+V)) · 10⁶⌉
+    *   prior_e6 = ⌊ln(docs(label) / docs) · 10⁶⌉
+    *
+    * Model size is V·L rows — the broadcastable artifact (a 1M-term
+    * vocab × 10 labels ≈ 10M compact rows; persist once, score any
+    * number of batches). Training is two token-keyed integer aggs over
+    * the labeled set — the labeled set is assumed corpus-small (it's
+    * hand-labeled), the CORPUS side never shuffles at all. */
+  def nbModel(labeled: DataFrame, labelCol: String, textCol: String,
+              tokenizer: Column => Column = tokens): DataFrame = {
+    val words = labeled.select(col(labelCol).as("label"),
+      explode(tokenizer(col(textCol))).as("term"))
+    val vocab = words.select(col("term")).distinct()
+    val vc = vocab.agg(count(lit(1)).as("_v"))
+    val counts = words.groupBy(col("label"), col("term")).agg(count(lit(1)).as("_c"))
+    val labelTok = words.groupBy(col("label")).agg(count(lit(1)).as("_t"))
+    val labelDocs = labeled.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("_d"))
+    val totDocs = labeled.agg(count(lit(1)).as("_dd"))
+    vocab.crossJoin(broadcast(labelTok))
+      .join(counts, Seq("label", "term"), "left")
+      .crossJoin(broadcast(vc))
+      .join(broadcast(labelDocs), "label")
+      .crossJoin(broadcast(totDocs))
+      .select(col("label"), col("term"),
+        floor(log((coalesce(col("_c"), lit(0L)) + 1L).cast("double")
+          / (col("_t") + col("_v"))) * 1000000.0 + 0.5).cast("long").as("lw_e6"),
+        floor(log(col("_d").cast("double") / col("_dd")) * 1000000.0 + 0.5)
+          .cast("long").as("prior_e6"))
+  }
+
+  /** Scores documents against a [[nbModel]], emitting each doc's
+    * best label by integer NB score (prior_e6 + Σ lw_e6 over in-vocab
+    * tokens; ties break to the LEXICALLY LOWEST label — integer
+    * compare, engine-stable). Out-of-vocabulary tokens are dropped
+    * from both the sum and `n_tok` (the [[unigramLogProbWithVocab]]
+    * convention); a document with NO in-vocab token emits nothing.
+    *
+    * Scale shape: ONE broadcast join of the model onto the exploded
+    * token stream (each token fans out to its L label rows map-side),
+    * one (doc, label)-keyed partial+final integer agg, then a per-doc
+    * argmax window over exactly L rows — bounded group size, no skew
+    * exposure. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame,
+              tokenizer: Column => Column = tokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokenizer(col(textCol))).as("term"))
+    val scored = words.join(broadcast(model), Seq("term"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n_tok"),
+        (first(col("prior_e6")) + sum(col("lw_e6"))).as("score_e6"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("label").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("doc_id"), col("label").as("best_label"),
+        col("score_e6"), col("n_tok"))
+  }
+
   // ── PII redaction ──────────────────────────────────────────────────
   // Training corpora scrub contact-like spans before anything ships to
   // a trainer. Patterns are deliberately RE2-safe (no backreferences,

@@ -398,6 +398,23 @@ class ExtSpec extends SparkTestBase {
     assert(one(Dedup.ngramJaccard(lit("a b c d"), lit("w x y z"))) === 0.0)
   }
 
+  test("nbModel/nbScore: smoothed argmax matches hand computation, OOV doc emits nothing") {
+    import spark.implicits._
+    val train = Seq(("a", "x x y"), ("a", "x z"), ("b", "y y z"))
+      .toDF("label", "text")
+    val model = TextAnalysis.nbModel(train, "label", "text")
+    // dense grid: 2 labels × 3 terms
+    assert(model.count() === 6)
+    val docs = Seq((1L, "x x"), (2L, "y y"), (3L, "w w")).toDF("doc_id", "text")
+    val r = TextAnalysis.nbScore(docs, "doc_id", "text", model)
+      .orderBy("doc_id").select("doc_id", "best_label", "score_e6", "n_tok")
+      .as[(Long, String, Long, Long)].collect()
+    // hand: score_a("x x") = ⌊ln(2/3)e6⌉ + 2⌊ln(4/8)e6⌉ = -405465 - 1386294
+    assert(r.toSeq === Seq(
+      (1L, "a", -405465L - 2 * 693147L, 2L),
+      (2L, "b", -1098612L - 2 * 693147L, 2L)))
+  }
+
   test("pageRank: cycle is a fixpoint of the integer recurrence") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
