@@ -713,6 +713,127 @@ object Stats {
     df.join(drop, Seq(posCol), "left_anti")
   }
 
+  /** plink-style LD clumping (the post-GWAS index-variant report:
+    * `--clump`): walk variants in ASCENDING `scoreCol` order (p-value
+    * convention — smaller is better; ties break to lower position),
+    * make each still-unclaimed variant an INDEX, and assign every
+    * still-unclaimed variant within `maxDist` of it with r² ≥ `r2Min`
+    * to its clump. Output one row per input variant: (posCol, score,
+    * clump_pos = its index's position, is_index).
+    *
+    * EXACTLY the sequential greedy, computed in parallel rounds
+    * (confluence: the sequential index set is the lexicographically
+    * first MIS of the (score, pos) order — v is an index iff no
+    * better-ordered FINAL index neighbors it — and taking all local
+    * order minima of the remaining-variant LD graph each round,
+    * removing them and their neighbors, computes exactly that set: the
+    * Luby-MIS argument specialized to a total order. Assignment runs
+    * ONCE against the final index set — each claimed variant to its
+    * best-ordered adjacent index, the one whose sequential turn claims
+    * it first). GenotypeKernelsSpec pins a differential vs the literal
+    * sequential reference.
+    *
+    * Scale shape: LD edges from ONE banded [[ldPairs]] self-join
+    * (checkpointed — reused every round); each round is two
+    * edge-keyed joins + an anti-join on a frame that SHRINKS by at
+    * least the eliminated set, with [[Dedup.transitiveClusters]]-style
+    * `localCheckpoint` lineage cuts. Rounds needed = LD-graph
+    * "greedy depth", ≤ the longest better-ordered chain — single
+    * digits on real panels (LD blocks are short-range). Positions
+    * must be unique (the genetics position-key contract). */
+  def ldClump(df: DataFrame, gtCol: String, posCol: String, scoreCol: String,
+              maxDist: Long, r2Min: Double, maxIter: Int = 64): DataFrame = {
+    val sym0 = ldPairs(df, gtCol, posCol, maxDist)
+      .filter(col("r2") >= r2Min)
+      .select(col("pos_a"), col("pos_b"))
+    val sym = sym0.select(col("pos_a").as("_p"), col("pos_b").as("_q"))
+      .unionByName(sym0.select(col("pos_b").as("_p"), col("pos_a").as("_q")))
+      .localCheckpoint(true)
+    val all = df.select(col(posCol).as("_p"), col(scoreCol).as("_s"))
+      .localCheckpoint(true)
+    // rounds fix the INDEX SET only (the lexicographically-first MIS of
+    // the order); claims just leave candidacy. Assignment happens once
+    // at the end against the FINAL index set — a round-time assignment
+    // would bind a claimed variant to an early-round index even when a
+    // better-ordered neighbor only becomes an index in a later round,
+    // diverging from the sequential walk.
+    var remaining = all
+    var indexAcc = all.limit(0)
+    var it = 0
+    while (!remaining.isEmpty && it < maxIter) {
+      val live = sym
+        .join(remaining, Seq("_p"))
+        .join(remaining.select(col("_p").as("_q"), col("_s").as("_qs")), Seq("_q"))
+      // v is a new index iff no live neighbor precedes it in (score, pos)
+      val dominated = live.filter(
+          col("_qs") < col("_s") || (col("_qs") === col("_s") && col("_q") < col("_p")))
+        .select(col("_p")).distinct()
+      val indexes = remaining.join(dominated, Seq("_p"), "left_anti")
+        .localCheckpoint(true)
+      val claimed = live
+        .join(indexes.select(col("_p").as("_q")), Seq("_q"))
+        .select(col("_p")).distinct()
+      indexAcc = indexAcc.unionByName(indexes).localCheckpoint(true)
+      remaining = remaining
+        .join(indexes.select(col("_p")).unionByName(claimed), Seq("_p"), "left_anti")
+        .localCheckpoint(true)
+      it += 1
+    }
+    if (!remaining.isEmpty)
+      throw new IllegalStateException(
+        s"ldClump did not converge within maxIter=$maxIter rounds — " +
+        "a better-ordered LD chain longer than maxIter exists; raise maxIter")
+    // each non-index goes to its earliest-(score, pos)-ordered adjacent
+    // index — exactly the index whose sequential turn claims it first
+    val assignments = all
+      .join(indexAcc.select(col("_p")), Seq("_p"), "left_anti")
+      .join(sym, Seq("_p"))
+      .join(indexAcc.select(col("_p").as("_q"), col("_s").as("_qs")), Seq("_q"))
+      .groupBy(col("_p"), col("_s"))
+      .agg(min(struct(col("_qs"), col("_q"))).as("_w"))
+      .select(col("_p"), col("_s"), col("_w._q").as("clump_pos"),
+        lit(false).as("is_index"))
+    indexAcc.select(col("_p"), col("_s"), col("_p").as("clump_pos"),
+        lit(true).as("is_index"))
+      .unionByName(assignments)
+      .select(col("_p").as(posCol), col("_s").as(scoreCol),
+        col("clump_pos"), col("is_index"))
+  }
+
+  /** Maximal-unrelated-subset selection (the plink2 `--king-cutoff`
+    * step): given pairwise kinship rows (e.g. [[kingPairs]] output),
+    * greedily drop the sample with the MOST above-threshold
+    * relationships (ties drop the HIGHER index — deterministic) until
+    * no related pair survives; emits (sample_idx, kept) for all
+    * `nSamples`. The post-threshold edge list is collected to the
+    * driver — documented envelope: after any sane cutoff a cohort has
+    * O(S) related pairs (relatives are rare), not O(S²); the S² pair
+    * GENERATION already lives distributed in [[kingPairs]] /
+    * [[PairBlocks]]. */
+  def unrelatedSet(pairs: DataFrame, iCol: String, jCol: String,
+                   phiCol: String, phiMin: Double, nSamples: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.filter(col(phiCol) > phiMin)
+      .select(col(iCol).cast("int"), col(jCol).cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val adj = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Set[Int]]
+    edges.foreach { case (i, j) =>
+      adj.getOrElseUpdate(i, scala.collection.mutable.Set.empty) += j
+      adj.getOrElseUpdate(j, scala.collection.mutable.Set.empty) += i
+    }
+    val dropped = scala.collection.mutable.Set.empty[Int]
+    while (adj.exists(_._2.nonEmpty)) {
+      val (worst, _) = adj.filter(_._2.nonEmpty)
+        .maxBy { case (s, ns) => (ns.size, s) }
+      dropped += worst
+      adj(worst).foreach(n => adj(n) -= worst)
+      adj(worst).clear()
+    }
+    (0 until nSamples).map(s => (s, !dropped.contains(s)))
+      .toDF("sample_idx", "kept")
+  }
+
   /** Genome-scan windowed Population Branch Statistic (Yi 2010,
     * "Sequencing of 50 human exomes reveals adaptation to high
     * altitude", Science 329:75 — the three-population selection scan):

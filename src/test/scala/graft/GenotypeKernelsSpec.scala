@@ -431,6 +431,75 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(r(2) === ((2, 2, 4L, 4L, false)))
   }
 
+  test("ldClump: parallel rounds ≡ literal sequential greedy on a hashed panel") {
+    import spark.implicits._
+    // 48 variants, deterministic hashed gts over 8 samples, scores from
+    // a second hash — dense enough LD for multi-round clump chains
+    val nS = 8
+    def dosv(v: Int, s: Int): Int = {
+      val h = math.abs(v * 2654435761L + s * 40503L).toInt % 100
+      if (h < 12) -1 else (h % 3)
+    }
+    val rows = (0 until 48).map { v =>
+      val gt = (0 until nS).map { s =>
+        dosv(v, s) match {
+          case -1 => Seq(-1, -1); case 0 => Seq(0, 0)
+          case 1  => Seq(0, 1);   case 2 => Seq(1, 1)
+        }
+      }
+      (v.toLong * 3, gt, ((v * 48271) % 97).toDouble)
+    }
+    val df = rows.toDF("pos", "gt", "score")
+    val maxDist = 30L; val r2Min = 0.2
+    val got = graft.operators.Stats.ldClump(df, "gt", "pos", "score", maxDist, r2Min)
+      .select("pos", "clump_pos", "is_index")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // literal sequential reference over brute-force r² edges
+    val dos = rows.map(r => r._1 -> (0 until nS).map(s => dosv((r._1 / 3).toInt, s))).toMap
+    def r2(a: Long, b: Long): Double = {
+      val ps = (0 until nS).map(s => (dos(a)(s), dos(b)(s)))
+        .filter(p => p._1 >= 0 && p._2 >= 0)
+      val n = ps.length.toLong
+      val (sx, sy) = (ps.map(_._1.toLong).sum, ps.map(_._2.toLong).sum)
+      val sxy = ps.map(p => p._1.toLong * p._2).sum
+      val sxx = ps.map(p => p._1.toLong * p._1).sum
+      val syy = ps.map(p => p._2.toLong * p._2).sum
+      val (num, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      if (vx > 0 && vy > 0) (num * num).toDouble / (vx * vy).toDouble else -1.0
+    }
+    val ordered = rows.map(r => (r._3, r._1)).sorted.map(_._2)
+    val nbrs = rows.map(_._1).map { p =>
+      p -> rows.map(_._1).filter(q => q != p &&
+        math.abs(q - p) <= maxDist && r2(p, q) >= r2Min).toSet
+    }.toMap
+    val claimedBy = scala.collection.mutable.Map.empty[Long, Long]
+    val idxSet = scala.collection.mutable.Set.empty[Long]
+    for (p <- ordered if !claimedBy.contains(p)) {
+      idxSet += p
+      for (q <- nbrs(p).toSeq.sorted if !claimedBy.contains(q) && !idxSet.contains(q))
+        claimedBy(q) = p
+    }
+    val want = rows.map(_._1).map { p =>
+      p -> (if (idxSet.contains(p)) (p, true) else (claimedBy(p), false))
+    }.toMap
+    assert(got === want)
+    assert(got.values.count(_._2) > 1, "degenerate panel: everything one clump")
+  }
+
+  test("unrelatedSet: hub dropped first, deterministic high-index tie-break") {
+    import spark.implicits._
+    val pairs = Seq((0, 1, 0.3), (1, 2, 0.3), (1, 3, 0.3)).toDF("si", "sj", "phi")
+    val r = graft.operators.Stats.unrelatedSet(pairs, "si", "sj", "phi", 0.177, 5)
+      .as[(Int, Boolean)].collect().toMap
+    assert(r === Map(0 -> true, 1 -> false, 2 -> true, 3 -> true, 4 -> true))
+    // all degree-1 ties: drop the higher index of each edge
+    val t = Seq((0, 1, 0.5), (2, 3, 0.5)).toDF("si", "sj", "phi")
+    val r2 = graft.operators.Stats.unrelatedSet(t, "si", "sj", "phi", 0.177, 4)
+      .as[(Int, Boolean)].collect().toMap
+    assert(r2 === Map(0 -> true, 1 -> false, 2 -> true, 3 -> false))
+  }
+
   test("mendelErrors: impossible transmissions flagged, missing excluded") {
     import spark.implicits._
     // trio = (child 0, father 1, mother 2)
