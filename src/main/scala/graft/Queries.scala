@@ -1793,6 +1793,30 @@ object Queries {
              |WHERE rn <= ceil(cnt * 0.3)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── 63b. mixture balancing to target weights en:fr:es:de = 5:2:2:1
+    // (zh dropped): all-integer largest-realizable-subsample arithmetic
+    // + LCG hash-first row selection, identical on both engines ────────
+    QueryDef(
+      "q_match_mixture",
+      (s, d) =>
+        ext.Corpus.matchMixture(t(s, d, "documents"), "lang", "doc_id",
+            Map("en" -> 5L, "fr" -> 2L, "es" -> 2L, "de" -> 1L))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n,
+             |  CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 2
+             |    WHEN 'es' THEN 2 WHEN 'de' THEN 1 END AS w
+             |  FROM documents WHERE lang IN ('en','fr','es','de')
+             |  GROUP BY lang),
+             |tt AS (SELECT min(n * 10 // w) AS t FROM c),
+             |k AS (SELECT lang, w * t // 10 AS keep FROM c, tt),
+             |r AS (SELECT doc_id, lang,
+             |  row_number() OVER (PARTITION BY lang
+             |    ORDER BY (doc_id*1103515245 + 12345) % 2147483648, doc_id) AS rn
+             |  FROM documents WHERE lang IN ('en','fr','es','de'))
+             |SELECT doc_id, lang FROM r JOIN k USING (lang)
+             |WHERE rn <= keep ORDER BY doc_id""".stripMargin)),
+
     // ── 64. sequence packing: streaming fill of 512-token context
     // windows per language shard (docs never split; bin = the window the
     // doc's cumulative offset starts in), then per-bin occupancy ───────

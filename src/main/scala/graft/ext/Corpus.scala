@@ -73,6 +73,51 @@ object Corpus {
     stratifiedSample(salted, strata :+ "_salt", frac, idCol).drop("_salt")
   }
 
+  /** Mixture balancing to a TARGET distribution (the data-mixture
+    * shaping step of pretraining recipes — fix the domain/language
+    * proportions, cf. the published mixture tables of the major
+    * open-data recipes and the DoReMi line of work): given integer
+    * target `weights` w_g (proportions w_g/ΣW), keep the LARGEST
+    * corpus subsample realizing them without upsampling —
+    *
+    *   T      = min_g ⌊count_g · W / w_g⌋     (binding group saturates)
+    *   keep_g = ⌊w_g · T / W⌋                 (≤ count_g by T's bound)
+    *
+    * then per group the `keep_g` hash-first rows ([[orderHash]] order,
+    * id tie-break — deterministic, engine-replicable). All integer
+    * floor arithmetic; realized proportions sit within one row of
+    * target. Groups absent from `weights` are dropped; a weights group
+    * empty in the corpus forces T = 0 (callers wanting "best effort"
+    * drop those keys first). Returns the kept rows.
+    *
+    * Scale shape: one tiny per-group count agg (≤ |groups| rows to the
+    * driver — the [[graft.operators.Profile]] broadcast convention),
+    * then ONE group-partitioned window with the keep caps broadcast
+    * back; hot groups salt exactly like [[stratifiedSampleSalted]]
+    * (sub-stratify, divide each cap by `salts`) if needed. */
+  def matchMixture(df: DataFrame, groupCol: String, idCol: String,
+                   weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val w = weights.values.sum
+    val counts = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (g, wg) =>
+      counts.getOrElse(g, 0L) * w / wg
+    }.min
+    val keeps = weights.map { case (g, wg) => g -> wg * t / w }
+    val keepCol = keeps.foldLeft(lit(0L)) { case (acc, (g, k)) =>
+      when(col(groupCol) === g, lit(k)).otherwise(acc)
+    }
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(orderHash(col(idCol)), col(idCol))
+    df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= keepCol)
+      .drop("_rn")
+  }
+
   /** Stratified sample with an exact per-stratum cap: keep the `n`
     * hash-first rows of every stratum (fewer when the stratum is
     * smaller) — the "at most N documents per domain" rebalancing rule. */

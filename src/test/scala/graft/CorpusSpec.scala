@@ -60,6 +60,24 @@ class CorpusSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("matchMixture: proportions within a row of target, binding group saturates") {
+    import spark.implicits._
+    // counts: a=40, b=12, c=30 → weights 2:1:1 (W=4):
+    // T = min(40·4/2, 12·4/1, 30·4/1) = min(80, 48, 120) = 48
+    // keep: a=2·48/4=24, b=12 (saturated), c=12
+    val df = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 112).map(i => (i.toLong, "b")) ++
+      (200 until 230).map(i => (i.toLong, "c")) ++
+      (300 until 310).map(i => (i.toLong, "zz"))) // not in weights → dropped
+      .toDF("id", "g")
+    val kept = Corpus.matchMixture(df, "g", "id", Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("a" -> 24L, "b" -> 12L, "c" -> 12L))
+    // weights group with no corpus rows → T = 0 → empty
+    assert(Corpus.matchMixture(df, "g", "id",
+      Map("a" -> 1L, "missing" -> 1L)).isEmpty)
+  }
+
   test("stratifiedSampleN caps every stratum at n") {
     val out = Corpus.stratifiedSampleN(docs(100), Seq("lang"), 7, "doc_id")
     val counts = out.groupBy("lang").count().as[(String, Long)].collect()
