@@ -2657,6 +2657,35 @@ object Queries {
              |CAST(sum(lp6) AS BIGINT) AS lp_e6
              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 87a2. CCNet quality buckets: per-language ntile over mean
+    // per-token log-prob — fixed-point sums, double mean, ntile parity
+    // (already pinned by q_window_ntile) ───────────────────────────────
+    QueryDef(
+      "q_quality_buckets",
+      (s, d) =>
+        TextAnalysis.qualityBuckets(t(s, d, "documents"), "doc_id", "text",
+            3, Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_tok"), col("lp_e6"),
+            col("bucket"))
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM w),
+             |lp AS (SELECT w.doc_id,
+             |  CAST(floor(ln(CAST(v.cnt AS DOUBLE)/t.tot)*1000000.0 + 0.5) AS BIGINT) AS lp6
+             |  FROM w JOIN v USING (term), t),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(lp6) AS BIGINT) AS lp_e6 FROM lp GROUP BY doc_id),
+             |j AS (SELECT tk.doc_id, lang, n_tok, lp_e6,
+             |  CAST(lp_e6 AS DOUBLE)/n_tok AS mean_lp
+             |  FROM tk JOIN sc ON tk.doc_id = sc.doc_id)
+             |SELECT doc_id, lang, n_tok, lp_e6,
+             |CAST(ntile(3) OVER (PARTITION BY lang
+             |  ORDER BY mean_lp DESC, doc_id) AS INT) AS bucket
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
     // ── 87b. multinomial Naive Bayes language classifier: train on the
     // 80% doc_id split, score the rest — e6 fixed-point log-weights,
     // integer score sums, argmax with lexical tie-break on both engines ─

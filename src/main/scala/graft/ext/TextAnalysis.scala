@@ -192,6 +192,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("_lp6")).as("lp_e6"))
   }
 
+  // ── Quality buckets ────────────────────────────────────────────────
+
+  /** CCNet-style quality bucketing (Wenzek 2020, "CCNet: Extracting
+    * high quality monolingual datasets from web crawl data": rank
+    * documents by LM score, split into head/middle/tail): per
+    * `partitionCols` shard (CCNet buckets PER LANGUAGE — global
+    * bucketing mixes incomparable LMs), rank docs by mean per-token
+    * log-prob (lp_e6 / n_tok in doubles — identical operands divide to
+    * identical doubles cross-engine; doc id breaks ties) and `ntile`
+    * into `nBuckets` (1 = best). Scoring is [[unigramLogProb]]
+    * (self-vocab; pass a persisted reference vocab via `vocab` for the
+    * real CCNet setup — target-domain LM, not self).
+    *
+    * Scale shape: scoring never shuffles the corpus (see
+    * [[unigramLogProb]]); ranking is ONE window per shard — language
+    * shards bound the sort; an empty `partitionCols` means one global
+    * sort partition and is for small corpora only (callers at 100 TB
+    * always shard). */
+  def qualityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     nBuckets: Int, partitionCols: Seq[String] = Nil,
+                     vocab: Option[DataFrame] = None,
+                     tokenizer: Column => Column = tokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val lp = vocab match {
+      case Some(v) => unigramLogProbWithVocab(docs, idCol, textCol, v, tokenizer)
+      case None    => unigramLogProb(docs, idCol, textCol, tokenizer)
+    }
+    val joined = docs.select(
+        (col(idCol).as("doc_id") +: partitionCols.map(col)): _*)
+      .join(lp, Seq("doc_id"))
+      .withColumn("mean_lp", col("lp_e6").cast("double") / col("n_tok"))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("mean_lp").desc, col("doc_id"))
+    joined.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
   // ── Naive Bayes document classifier ────────────────────────────────
   // The workhorse cheap quality/domain classifier of corpus pipelines
   // (fastText-style linear scorers and the CCNet quality buckets are
