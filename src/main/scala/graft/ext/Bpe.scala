@@ -164,6 +164,68 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
 
 object Bpe {
 
+  /** Learns a BPE merge table from a corpus — the TRAINING half of the
+    * primitive (Sennrich 2016 §3.2's algorithm, distributed): start
+    * from per-word character sequences, and `nMerges` times (a) count
+    * adjacent symbol pairs across the vocabulary weighted by word
+    * frequency, (b) adopt the most frequent pair (ties: lexicographic
+    * (left, right) — total order, engine- and partitioning-stable),
+    * (c) replace all its occurrences leftmost-first-non-overlapping.
+    * Returns the ranked merge list, directly feedable to [[tokens]] /
+    * [[tokenCount]] (differential parity pinned in BpeSpec).
+    *
+    * Scale shape: the corpus is touched ONCE (whitespace-word count —
+    * the classic pre-aggregation: training state is the (word, freq)
+    * VOCABULARY, corpus-size-independent); each merge round is one
+    * pair-keyed partial+final sum over the vocab plus a map-only fold
+    * rewriting symbol arrays, `localCheckpoint` per round. The argmax
+    * is a 1-row driver action per round (the [[Ivf]] k-means training
+    * convention). 50k-merge production runs batch fine — each round's
+    * shuffle is |vocab| rows of a few dozen bytes. */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+            nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    require(nMerges >= 0, s"nMerges=$nMerges must be >= 0")
+    var vocab = docs
+      .select(explode(split(col(textCol), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .select(split(col("_w"), "").as("_syms"), col("_f"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val top = vocab.filter(size(col("_syms")) >= 2)
+        .select(col("_f"), explode(transform(
+          sequence(lit(0), size(col("_syms")) - 2),
+          i => struct(element_at(col("_syms"), i + 1).as("l"),
+            element_at(col("_syms"), i + 2).as("r")))).as("_p"))
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum(col("_f")).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        // leftmost-first non-overlapping replacement as a fold: merge
+        // when the accumulated tail is `l` and the next symbol is `r`
+        // (a just-merged token never re-matches as `l` unless it IS
+        // `l+r = l`, impossible for non-empty r)
+        vocab = vocab.withColumn("_syms",
+          aggregate(col("_syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === l && s === r,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), s))))
+              .otherwise(concat(acc, array(s)))))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Subword count under `merges` (LongType — summable into budgets). */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     bridge.column(BpeCountExpr(bridge.expression(text), merges))

@@ -165,4 +165,57 @@ class BpeSpec extends SparkTestBase {
     assert(out(0).getLong(2) === (2 * lnThe + lnData).toLong)
     assert(out(1).getLong(2) === (lnThe + lnData).toLong)
   }
+
+  test("train: distributed merge learning ≡ literal sequential Sennrich reference") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low lower lower lowest",
+      "new new newer newer newer newest widest wide")
+    // literal sequential reference (count pairs over the word-frequency
+    // vocab, adopt max with (count desc, pair lex asc), replace
+    // leftmost-first non-overlapping)
+    def applyMerge(syms: Vector[String], p: (String, String)): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+          out += (p._1 + p._2); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refTrain(k: Int): Seq[(String, String)] = {
+      var vocab: Seq[(Vector[String], Long)] = corpus
+        .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+      val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (ms.length < k && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.iterator.zip(syms.iterator.drop(1))
+            .foreach(p => pc(p) += f)
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val best = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+          ms += best
+          vocab = vocab.map { case (s, f) => (applyMerge(s, best), f) }
+        }
+      }
+      ms.toSeq
+    }
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ext.Bpe.train(docs, "text", 10)
+    assert(got === refTrain(10))
+    // trained table feeds the apply expression
+    val toks = docs.select(graft.ext.Bpe.tokens(col("text"), got).as("t"))
+      .as[Seq[String]].collect()
+    assert(toks.forall(_.nonEmpty))
+    assert(got.exists { case (l, r) => (l + r) == "low" },
+      s"'low' (freq 4 prefix + 2 in lower/lowest) should merge early: $got")
+  }
 }
