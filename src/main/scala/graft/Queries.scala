@@ -3378,6 +3378,42 @@ object Queries {
              |  END AS rate_e4
              |FROM fl GROUP BY sample_idx ORDER BY sample_idx""".stripMargin)),
 
+    // ── 89e7b. composite per-sample QC report: callability, het rate,
+    // cohort-singleton carriage — one pass, exact integer cells ────────
+    QueryDef(
+      "q_gt_sample_qc",
+      (s, d) =>
+        graft.operators.Stats.sampleQcReport(gtTable(s, d), "gt")
+          .select(col("sample_idx"), col("n_sites"), col("n_called"),
+            col("n_het"), col("n_singleton"),
+            e4(col("call_rate")).as("call_rate_e4"),
+            when(col("het_rate").isNull, lit(null).cast("long"))
+              .otherwise(e4(col("het_rate"))).as("het_rate_e4"))
+          .orderBy(col("sample_idx")),
+      Some(s"""WITH g AS ($duckGt),
+             |ac AS (SELECT vid, gt,
+             |  len(list_filter(flatten(gt), x -> x = 1)) AS a FROM g),
+             |ex AS (SELECT vid, a, s.i AS si,
+             |  gt[CAST(s.i+1 AS INT)] AS c FROM ac, range(0, 12) s(i)),
+             |cells AS (SELECT si,
+             |  count(*) AS n_sites,
+             |  sum(CASE WHEN NOT list_contains(c, -1) THEN 1 ELSE 0 END) AS n_called,
+             |  sum(CASE WHEN NOT list_contains(c, -1)
+             |    AND len(list_distinct(c)) > 1 THEN 1 ELSE 0 END) AS n_het,
+             |  sum(CASE WHEN a = 1 AND NOT list_contains(c, -1)
+             |    AND len(list_filter(c, x -> x = 1)) = 1 THEN 1 ELSE 0 END) AS n_singleton
+             |  FROM ex GROUP BY si)
+             |SELECT CAST(si AS INT) AS sample_idx,
+             |CAST(n_sites AS BIGINT) AS n_sites,
+             |CAST(n_called AS BIGINT) AS n_called,
+             |CAST(n_het AS BIGINT) AS n_het,
+             |CAST(n_singleton AS BIGINT) AS n_singleton,
+             |CAST(floor(n_called*1.0/n_sites*10000.0 + 0.5) AS BIGINT) AS call_rate_e4,
+             |CASE WHEN n_called > 0 THEN
+             |  CAST(floor(n_het*1.0/n_called*10000.0 + 0.5) AS BIGINT)
+             |  END AS het_rate_e4
+             |FROM cells ORDER BY sample_idx""".stripMargin)),
+
     // ── 89e8. cross-callset sample-swap scan: full SA×SB concordance
     // matrix via four OuterSum gramians on the Spark side vs the
     // exploded pair arithmetic in DuckDB — integer cells, argmax on

@@ -1000,6 +1000,44 @@ object Stats {
         col("n_switches").cast("double") / col("n_pairs").cast("double")))
   }
 
+  /** Composite per-sample QC report — the plink `--missing` +
+    * `--het` + singleton-count sweep in ONE pass: per sample,
+    * callability (n_called / n_sites), heterozygosity among called
+    * sites, and the sample's SINGLETON count (variants whose single
+    * cohort-wide alt allele this sample carries — the standard
+    * contamination/quality tell: excess singletons ⇒ sequencing
+    * artifacts, deficit ⇒ consanguinity or reference bias).
+    *
+    * Scale shape: cohort-level per-variant cells (alt count) ride the
+    * row from the one-pass allele-count kernel, then ONE posexplode +
+    * ONE sample-keyed integer agg — same single-exchange contract as
+    * [[sampleInbreeding]]; rates are one float division on top of
+    * exact integer cells. */
+  def sampleQcReport(df: DataFrame, gtCol: String): DataFrame = {
+    val sited = df
+      .withColumn("_c", alleleCounts(col(gtCol), lit(2)))
+      .withColumn("_ac", element_at(col("_c"), 2).cast("long"))
+    sited
+      .select(col("_ac"), posexplode(col(gtCol)).as(Seq("sample_idx", "_s")))
+      .withColumn("_called", !exists(col("_s"), a => a === -1))
+      .withColumn("_het",
+        col("_called") && size(array_distinct(col("_s"))) > 1)
+      .withColumn("_nalt",
+        when(col("_called"), size(filter(col("_s"), a => a === 1)).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("sample_idx"))
+      .agg(
+        count(lit(1)).cast("long").as("n_sites"),
+        sum(when(col("_called"), 1L).otherwise(0L)).as("n_called"),
+        sum(when(col("_het"), 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("_ac") === 1 && col("_nalt") === 1, 1L).otherwise(0L))
+          .as("n_singleton"))
+      .withColumn("call_rate",
+        col("n_called").cast("double") / col("n_sites").cast("double"))
+      .withColumn("het_rate", when(col("n_called") > 0,
+        col("n_het").cast("double") / col("n_called").cast("double")))
+  }
+
   /** Cross-callset sample-swap scan (the identity-QC step run whenever
     * the same cohort is assayed twice — array vs sequencing, plate
     * re-runs: a mislabeled tube shows up as sample i's genotypes

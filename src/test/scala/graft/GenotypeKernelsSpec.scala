@@ -404,6 +404,28 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(r(2) === ((2, 0L, 0L, None)))
   }
 
+  test("sampleQcReport: callability, het, singleton carriage hand case") {
+    import spark.implicits._
+    def gt(d: Int*) = d.map {
+      case -1 => Seq(-1, -1)
+      case 0  => Seq(0, 0)
+      case 1  => Seq(0, 1)
+      case 2  => Seq(1, 1)
+    }
+    val df = Seq(
+      ("v1", gt(1, 0, 0)),   // s0 het, cohort ac=1 → s0 singleton
+      ("v2", gt(2, 0, 0)),   // ac=2 hom-alt s0 → not singleton
+      ("v3", gt(-1, 1, 1)),  // s0 missing; ac=2 → no singleton
+      ("v4", gt(0, 0, 1)))   // s2 singleton
+      .toDF("vid", "gt")
+    val r = graft.operators.Stats.sampleQcReport(df, "gt").orderBy("sample_idx")
+      .select("sample_idx", "n_sites", "n_called", "n_het", "n_singleton")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(r(0) === ((0, 4L, 3L, 1L, 1L)))
+    assert(r(1) === ((1, 4L, 4L, 1L, 0L)))
+    assert(r(2) === ((2, 4L, 4L, 2L, 1L)))
+  }
+
   test("sampleSwapScan: planted swap detected, self-match clean elsewhere") {
     import spark.implicits._
     def gt(d: Int*) = d.map {
