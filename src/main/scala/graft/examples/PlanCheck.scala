@@ -118,7 +118,24 @@ object PlanCheck {
       ("q_gt_tajima", "Tajima components: single global agg, no join, no window",
         p => !p.contains("Join") && !p.contains(") Window")),
       ("q_gt_pi_window", "windowed diversity: one window-key agg, no join",
-        p => !p.contains("Join") && p.split("hashpartitioning").length <= 2)
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 2),
+      ("q_gt_linreg", "per-variant OLS: map-only kernel, phenotype rides as literal",
+        p => !p.contains("Join") && !p.contains("hashpartitioning")),
+      ("q_gt_burden", "burden matrix: rarity map-side, ONE window-key vector agg",
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 2),
+      ("q_gt_burden_test", "burden OLS: no join anywhere, bounded shuffles",
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 3),
+      ("q_gt_sample_qc", "sample QC: one explode + one sample-keyed agg, no join",
+        p => !p.contains("Join") && p.split("hashpartitioning").length <= 2),
+      ("q_nb_classify", "NB scoring: model meets tokens via broadcast hash join",
+        p => p.contains("BroadcastHashJoin")),
+      ("q_match_mixture", "mixture: ONE group window (caps as literals, no join)",
+        p => p.split("hashpartitioning").length == 2 && p.contains(") Window")),
+      ("q_quality_buckets", "quality buckets: vocab broadcast, per-lang window only",
+        p => p.contains("BroadcastHashJoin") && p.contains(") Window")
+          && !p.contains("Cartesian")),
+      ("q_pagerank", "pagerank round: equi-joins only, no cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
     )
 
     var failed = 0
