@@ -57,17 +57,19 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
-      val dangling = withDeg.filter(col("d").isNull)
-        .agg(coalesce(sum(col("rk")), lit(0L))).head().getLong(0)
-      val share = dangling / n
+      // dangling share stays IN the plan as a 1-row broadcast (a driver
+      // action per round would double the iteration's job count)
+      val share = withDeg.filter(col("d").isNull)
+        .agg(expr(s"coalesce(sum(rk), 0L) div ${n}L").as("_share"))
       val in = withDeg.filter(col("d").isNotNull)
         .select(col("node"), expr("rk div d").as("c"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       ranks = ranks.join(in, ranks("node") === in("dst"), "left")
+        .crossJoin(broadcast(share))
         .select(col("node"),
           (lit(teleport) +
-            expr(s"(coalesce(m, 0L) + ${share}L) * $dampingPct div 100")
+            expr(s"(coalesce(m, 0L) + _share) * $dampingPct div 100")
           ).as("rk"))
         .localCheckpoint(true)
     }
