@@ -2486,6 +2486,26 @@ object Queries {
              |SELECT doc_id, CAST(sum(s6) AS BIGINT) AS score_e6 FROM sc
              |GROUP BY doc_id ORDER BY score_e6 DESC, doc_id LIMIT 50""".stripMargin)),
 
+    // ── 80b. exact phrase search ("order sort" at consecutive
+    // positions) via the anchor trick — map-side term prune, integer
+    // anchor-vote counting on both engines ─────────────────────────────
+    QueryDef(
+      "q_phrase_search",
+      (s, d) =>
+        graft.ext.Search.phraseSearch(t(s, d, "documents"), "doc_id", "text",
+            Seq("order", "sort"))
+          .orderBy(col("doc_id")),
+      Some("""WITH ph AS (SELECT * FROM (VALUES (0, 'order'), (1, 'sort')) v(j, w)),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS term,
+             |  generate_subscripts(toks, 1) - 1 AS pos FROM tk),
+             |a AS (SELECT doc_id, pos - j AS anchor FROM w
+             |  JOIN ph ON w.term = ph.w WHERE pos - j >= 0),
+             |g AS (SELECT doc_id, anchor, count(*) AS c FROM a
+             |  GROUP BY doc_id, anchor)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM g WHERE c = 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── 81. MERGE-style latest-wins upsert: changelog (derived from
     // orders; version = orderkey, 'F' status = tombstone) into the
     // customer base. One key-partitioned window, WindowGroupLimit plan ─

@@ -134,4 +134,40 @@ object Search {
       .groupBy(col("doc_id"))
       .agg(sum(col("_s6")).as("score_e6"))
   }
+
+  /** Exact PHRASE search — the positional-postings capability the
+    * bag-of-terms surface above can't express (IIR §2.4 positional
+    * indexes): a document matches where the phrase's terms occur at
+    * CONSECUTIVE token positions; emits (doc_id, n_occurrences) for
+    * matching docs.
+    *
+    * Anchor trick: token at position p matching phrase offset j votes
+    * for anchor p − j; an anchor with all |phrase| distinct votes is an
+    * occurrence (duplicate phrase terms vote once per offset, so the
+    * count is exact for phrases like "the cat the"). Scale shape: the
+    * exploded token stream is pruned to phrase terms MAP-SIDE (the
+    * phrase rides as literals — no query-side join), then one
+    * (doc, anchor) integer agg and one doc-keyed count; both
+    * partial-agg, no skew exposure beyond a term's true df. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val offMap = phrase.zipWithIndex.groupBy(_._1)
+      .map { case (t, l) => t -> l.map(_._2) }
+    val offCol = offMap.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (t, js)) =>
+        when(col("_term") === t, array(js.map(lit): _*)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_term")))
+      .filter(col("_term").isin(phrase.distinct: _*))
+      .withColumn("_j", explode(offCol))
+      .select(col("doc_id"), (col("_pos") - col("_j")).as("_anchor"))
+      .filter(col("_anchor") >= 0)
+      .groupBy(col("doc_id"), col("_anchor"))
+      .agg(count(lit(1)).as("_k"))
+      .filter(col("_k") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

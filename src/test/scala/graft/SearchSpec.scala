@@ -111,4 +111,27 @@ class SearchSpec extends SparkTestBase {
     assert(out(2L)._2 === 3L)
     assert(out(1L)._1 > out(1L)._2)        // its unique prefix shingles stay unrepeated
   }
+
+  test("phraseSearch: consecutive positions only, repeated-term phrases exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),     // "a b" twice
+      (2L, "a c b"),           // both terms, never adjacent
+      (3L, "b a"),             // reversed — no match
+      (4L, "x a b y a b a b") // three occurrences
+    ).toDF("doc_id", "text")
+    val r = graft.ext.Search.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 2L), (4L, 3L)))
+    // duplicate term in the phrase: "the cat the" needs BOTH 'the' offsets
+    val docs2 = Seq(
+      (1L, "the cat the dog"),   // match at 0
+      (2L, "the cat cat the"),   // 'the cat' then gap — no
+      (3L, "cat the cat the cat")// match at 1
+    ).toDF("doc_id", "text")
+    val r2 = graft.ext.Search.phraseSearch(docs2, "doc_id", "text",
+        Seq("the", "cat", "the"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(r2.toSeq === Seq((1L, 1L), (3L, 1L)))
+  }
 }
