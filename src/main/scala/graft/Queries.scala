@@ -2506,6 +2506,50 @@ object Queries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
              |FROM g WHERE c = 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 80c. URL canonicalization + host extraction over synthesized
+    // crawl URLs (two shapes: http:80 + interleaved utm params + frag;
+    // https:443 + lone gclid + trailing slash) — identical RE2-safe
+    // rule chain authored in each engine's replacement syntax ──────────
+    QueryDef(
+      "q_url_canon",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val u = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("HTTP://Host"), col("source"), lit(".COM:80/p/"),
+            col("doc_id"), lit("?utm_source=a&id="), col("doc_id"), lit("#f")))
+          .otherwise(concat(lit("HTTPS://Host"), col("source"),
+            lit(".COM:443/?gclid=zzz")))
+        docs.select(col("doc_id"),
+            graft.ext.Web.canonicalUrl(u).as("url_canon"),
+            graft.ext.Web.host(u).as("host"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u0 AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN
+             |    'HTTP://Host' || source || '.COM:80/p/' || doc_id
+             |      || '?utm_source=a&id=' || doc_id || '#f'
+             |  ELSE 'HTTPS://Host' || source || '.COM:443/?gclid=zzz' END AS u
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, u, regexp_replace(u, '#.*', '', 'g') AS x FROM u0),
+             |s2 AS (SELECT doc_id, u,
+             |  lower(regexp_extract(x, '^[^/?#]*//[^/?#]*'))
+             |    || regexp_replace(x, '^[^/?#]*//[^/?#]*', '') AS x FROM s1),
+             |s3 AS (SELECT doc_id, u,
+             |  regexp_replace(regexp_replace(x,
+             |    '^(http://[^/?#:]+):80([/?#]|$)', '\1\2'),
+             |    '^(https://[^/?#:]+):443([/?#]|$)', '\1\2') AS x FROM s2),
+             |s4 AS (SELECT doc_id, u,
+             |  regexp_replace(regexp_replace(regexp_replace(x,
+             |    '&(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+             |    '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)=[^&#]*&', '?'),
+             |    '\?(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)=[^&#]*$', '') AS x
+             |  FROM s3),
+             |s5 AS (SELECT doc_id, u,
+             |  regexp_replace(x, '^(https?://[^/?#]+)/$', '\1') AS x FROM s4)
+             |SELECT doc_id, x AS url_canon,
+             |regexp_extract(lower(u), '//(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host
+             |FROM s5 ORDER BY doc_id""".stripMargin)),
+
     // ── 81. MERGE-style latest-wins upsert: changelog (derived from
     // orders; version = orderkey, 'F' status = tombstone) into the
     // customer base. One key-partitioned window, WindowGroupLimit plan ─

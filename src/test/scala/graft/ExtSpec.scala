@@ -415,6 +415,28 @@ class ExtSpec extends SparkTestBase {
       (2L, "b", -1098612L - 2 * 693147L, 2L)))
   }
 
+  test("canonicalUrl/host: lowercase authority, ports, tracking params, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      // frag + default port + interleaved tracking
+      ("HTTP://WWW.Ex.COM:80/Path/X?utm_source=a&id=7&utm_b=c#frag",
+        "http://www.ex.com/Path/X?id=7"),
+      // https default port, lone tracking param, bare trailing slash
+      ("HTTPS://A.B.com:443/?gclid=z", "https://a.b.com"),
+      // non-default port kept; path case preserved
+      ("http://h.com:8080/CaseD?x=1", "http://h.com:8080/CaseD?x=1"),
+      // tracking at end after real param
+      ("http://h.com/p?x=1&fbclid=22", "http://h.com/p?x=1"),
+      // scheme-less input passes through un-lowered
+      ("Relative/Path?utm_x=1", "Relative/Path"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.ext.Web.canonicalUrl(col("u"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+    val hosts = Seq("HTTP://User:p@Ex.COM:80/x", "no-authority", "https://H.io/y")
+      .toDF("u").select(graft.ext.Web.host(col("u"))).as[String].collect()
+    assert(hosts.toSeq === Seq("ex.com", "", "h.io"))
+  }
+
   test("pageRank: cycle is a fixpoint of the integer recurrence") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
