@@ -3520,6 +3520,55 @@ object Queries {
              |FROM rk LEFT JOIN sf ON rk.ai = sf.ai
              |WHERE rn = 1 ORDER BY a_idx""".stripMargin)),
 
+    // ── 89e9. GERMLINE-style IBD segments over an IBD-friendly derived
+    // callset (samples s, s+4, s+8 share a dosage profile except in
+    // every third window, which re-keys per sample and breaks runs):
+    // Spark buckets by xxhash64 fingerprint, DuckDB by the literal
+    // sequence string — identical buckets, identical islands ───────────
+    QueryDef(
+      "q_gt_ibd",
+      (s, d) => {
+        val nS = 12
+        val gt = t(s, d, "orders").select(col("o_orderkey").as("vid"))
+          .orderBy(col("vid")).limit(100)
+          .withColumn("gt", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+            val k = when(pmod(floor(col("vid") / lit(16)), lit(3)) === 1,
+              sIdx).otherwise(pmod(sIdx, lit(4)))
+            val hs = pmod(col("vid") * 7919L + k * 104729L, lit(1000L))
+            val dd = pmod(hs, lit(3L))
+            when(hs < 150, array(lit(-1), lit(-1)))
+              .when(dd === 0, array(lit(0), lit(0)))
+              .when(dd === 1, array(lit(0), lit(1)))
+              .otherwise(array(lit(1), lit(1)))
+          }))
+        graft.operators.Stats.ibdSegments(gt, "gt", "vid", 16L, 2, maxBucket = 12)
+          .orderBy(col("si"), col("sj"), col("win_start"))
+      },
+      Some("""WITH g AS (SELECT vid, s.i AS si,
+             |  CASE WHEN (vid // 16) % 3 = 1 THEN s.i ELSE s.i % 4 END AS k
+             |  FROM (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100),
+             |    range(0, 12) s(i)),
+             |dd AS (SELECT vid, si,
+             |  CASE WHEN (vid*7919 + k*104729) % 1000 < 150 THEN -1
+             |       ELSE (vid*7919 + k*104729) % 1000 % 3 END AS dos FROM g),
+             |fp AS (SELECT (vid // 16)*16 AS win, si,
+             |  string_agg(vid || ':' || dos, ',' ORDER BY vid) AS sig
+             |  FROM dd GROUP BY 1, si),
+             |bs AS (SELECT win, sig, count(*) AS c FROM fp GROUP BY win, sig),
+             |pr AS (SELECT a.win, a.si AS si, b.si AS sj
+             |  FROM fp a JOIN fp b ON a.win = b.win AND a.sig = b.sig AND a.si < b.si
+             |  JOIN bs ON bs.win = a.win AND bs.sig = a.sig
+             |  WHERE bs.c BETWEEN 2 AND 12),
+             |il AS (SELECT si, sj, win,
+             |  win - row_number() OVER (PARTITION BY si, sj ORDER BY win) * 16 AS grp
+             |  FROM pr)
+             |SELECT CAST(si AS INT) AS si, CAST(sj AS INT) AS sj,
+             |CAST(min(win) AS BIGINT) AS win_start,
+             |CAST(max(win) AS BIGINT) AS win_end,
+             |CAST(count(*) AS BIGINT) AS n_windows
+             |FROM il GROUP BY si, sj, grp HAVING count(*) >= 2
+             |ORDER BY si, sj, win_start""".stripMargin)),
+
     // ── 89f. genome-scan windowed Hudson F_ST (ratio of per-window
     // fixed-point sums — integer-exact reduction, so the scan is
     // partition-order-proof on both engines) ───────────────────────────

@@ -1000,6 +1000,65 @@ object Stats {
         col("n_switches").cast("double") / col("n_pairs").cast("double")))
   }
 
+  /** Pairwise IBD-segment scan, GERMLINE-style (Gusev 2009, "Whole
+    * population, genome-wide mapping of hidden relatedness", Genome
+    * Res 19:318 — the hash-seeded approach that avoids all-pairs
+    * comparison): slice the genome into `windowSize`-position windows,
+    * fingerprint every sample's EXACT genotype sequence per window,
+    * bucket samples by (window, fingerprint), and report runs of ≥
+    * `minWindows` CONSECUTIVE shared windows per sample pair as IBD
+    * segments (si < sj, win_start, win_end, n_windows).
+    *
+    * Match semantics are strict sequence identity (missing calls
+    * included in the fingerprint — both samples must agree on the
+    * whole window, GERMLINE's exact-match seed phase; fuzzy extension
+    * over genotyping error is a caller-side relaxation). Fingerprints
+    * are xxhash64 of the position-sorted (pos, dosage) structs —
+    * partitioning-independent, collisions 2⁻⁶⁴ (the md5 chunk-key
+    * convention).
+    *
+    * Scale shape: one (window, sample)-keyed agg builds fingerprints
+    * (the S×V explode shuffles scalars, not arrays), one
+    * (window, hash)-keyed agg forms buckets; buckets wider than
+    * `maxBucket` samples are DROPPED before pair generation (the
+    * inverted-index df-cap convention — a monomorphic window matches
+    * everyone and carries no relatedness signal; dropped windows can
+    * only split segments, never fabricate them), so pair fan-out is
+    * bounded by maxBucket²/2 per window. The final islands pass is one
+    * (pair)-keyed window — gaps-and-islands exactly like
+    * [[rohSegments]]. */
+  def ibdSegments(df: DataFrame, gtCol: String, posCol: String,
+                  windowSize: Long, minWindows: Int,
+                  maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = df
+      .select(col(posCol).as("_pos"),
+        (floor(col(posCol) / windowSize) * windowSize).cast("long").as("_win"),
+        posexplode(transform(col(gtCol), s =>
+          when(exists(s, a => a === -1), lit(-1))
+            .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+          .as(Seq("sample_idx", "_dos")))
+      .groupBy(col("_win"), col("sample_idx"))
+      .agg(xxhash64(sort_array(collect_list(
+        struct(col("_pos"), col("_dos"))))).as("_h"))
+    val buckets = fp.groupBy(col("_win"), col("_h"))
+      .agg(sort_array(collect_list(col("sample_idx"))).as("_ss"))
+      .filter(size(col("_ss")) >= 2 && size(col("_ss")) <= maxBucket)
+    val pairs = buckets
+      .select(col("_win"), explode(col("_ss")).as("si"), col("_ss"))
+      .select(col("_win"), col("si"), explode(col("_ss")).as("sj"))
+      .filter(col("si") < col("sj"))
+    val w = Window.partitionBy(col("si"), col("sj")).orderBy(col("_win"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_grp", col("_win") - col("_rn") * windowSize)
+      .groupBy(col("si"), col("sj"), col("_grp"))
+      .agg(min(col("_win")).as("win_start"), max(col("_win")).as("win_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      .drop("_grp")
+  }
+
   /** Composite per-sample QC report — the plink `--missing` +
     * `--het` + singleton-count sweep in ONE pass: per sample,
     * callability (n_called / n_sites), heterozygosity among called

@@ -404,6 +404,44 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(r(2) === ((2, 0L, 0L, None)))
   }
 
+  test("ibdSegments: planted shared block found; wide buckets df-capped") {
+    import spark.implicits._
+    def g(d: Int) = d match {
+      case -1 => Seq(-1, -1); case 0 => Seq(0, 0)
+      case 1  => Seq(0, 1);   case 2 => Seq(1, 1)
+    }
+    // 3 samples, positions 0..59 (6 windows of 10):
+    //  win 0:      all three differ
+    //  wins 10-30: s0 ≡ s1 (pattern p%3, includes a shared missing),
+    //              s2 constant 2
+    //  win 40:     s0 ≠ s1
+    //  win 50:     ALL equal → bucket of 3
+    val rows = (0L until 60L).map { p =>
+      val dos =
+        if (p < 10) Seq(0, 1, 2)
+        else if (p < 40) {
+          val d = if (p == 15) -1 else (p % 3).toInt
+          Seq(d, d, 2)
+        }
+        else if (p < 50) Seq(0, 1, 2)
+        else Seq(1, 1, 1)
+      (p, dos.map(g))
+    }
+    val df = rows.toDF("pos", "gt")
+    val seg = graft.operators.Stats.ibdSegments(df, "gt", "pos", 10L, 2, maxBucket = 2)
+      .select("si", "sj", "win_start", "win_end", "n_windows")
+      .as[(Int, Int, Long, Long, Long)].collect()
+    assert(seg.toSeq === Seq((0, 1, 10L, 30L, 3L)))
+    // raising the cap admits the monomorphic window 50 as 1-window runs
+    val seg2 = graft.operators.Stats.ibdSegments(df, "gt", "pos", 10L, 1, maxBucket = 3)
+      .orderBy("si", "sj", "win_start")
+      .select("si", "sj", "win_start", "win_end", "n_windows")
+      .as[(Int, Int, Long, Long, Long)].collect()
+    assert(seg2.toSeq === Seq(
+      (0, 1, 10L, 30L, 3L), (0, 1, 50L, 50L, 1L),
+      (0, 2, 50L, 50L, 1L), (1, 2, 50L, 50L, 1L)))
+  }
+
   test("sampleQcReport: callability, het, singleton carriage hand case") {
     import spark.implicits._
     def gt(d: Int*) = d.map {
