@@ -227,6 +227,35 @@ object Queries {
     sb.toString
   }
 
+  /** DuckDB twin of [[graft.ext.Graph.hits]] over the q_hits edge
+    * construction — the [[pageRankSql]] unrolling applied to the
+    * hub/authority mutual recursion with integer max-norm rescales. */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH edges AS (SELECT DISTINCT l_orderkey % 500 AS src,
+        |  l_partkey % 500 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub,
+        |  CAST(1000000 AS BIGINT) AS auth FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = s"s${i - 1}"
+      sb ++= s""",
+        |ar$i AS (SELECT dst, sum(hub) AS a FROM $p
+        |  JOIN edges ON node = src GROUP BY dst),
+        |am$i AS (SELECT coalesce(max(a), 1) AS m FROM ar$i),
+        |sa$i AS (SELECT node, hub, coalesce(a, 0) * 1000000 // m AS auth
+        |  FROM $p LEFT JOIN ar$i ON node = dst, am$i),
+        |hr$i AS (SELECT src, sum(auth) AS h FROM sa$i
+        |  JOIN edges ON node = dst GROUP BY src),
+        |hm$i AS (SELECT coalesce(max(h), 1) AS m FROM hr$i),
+        |s$i AS (SELECT node, coalesce(h, 0) * 1000000 // m AS hub, auth
+        |  FROM sa$i LEFT JOIN hr$i ON node = src, hm$i)""".stripMargin
+    }
+    sb ++= s"""\nSELECT CAST(node AS BIGINT) AS node, CAST(hub AS BIGINT) AS hub,
+      |CAST(auth AS BIGINT) AS auth FROM s$iters ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   /** Rounding-stable 4-decimal quantization of a double: explicit
     * floor(x·1e4 + 0.5) instead of engine-native round() — Spark rounds
     * doubles through decimal HALF_UP while DuckDB rounds in binary FP,
@@ -2044,6 +2073,21 @@ object Queries {
           .orderBy(col("node"))
       },
       Some(pageRankSql(3))),
+
+    // ── 71c. integer-exact HITS hubs/authorities on the same bipartite
+    // projection: 2 iterations of the mutual recursion with max-norm
+    // integer rescaling — DuckDB unrolls the identical recurrence ──────
+    QueryDef(
+      "q_hits",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast("long").as("src"),
+          (col("l_partkey") % 500).cast("long").as("dst")).distinct()
+        graft.ext.Graph.hits(e, "src", "dst", 2)
+          .select(col("node"), col("hub"), col("auth"))
+          .orderBy(col("node"))
+      },
+      Some(hitsSql(2))),
 
     // ── 72. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
     // multisets (an orderkey repeats per qualifying line), multiplicity

@@ -75,4 +75,61 @@ object Graph {
     }
     ranks
   }
+
+  /** Integer-exact HITS hubs & authorities (Kleinberg 1999,
+    * "Authoritative sources in a hyperlinked environment", JACM 46:5),
+    * `iters` fixed iterations of the mutual recursion with MAX
+    * rescaling in place of the float L2 norm:
+    *
+    *   auth'(v) = Σ_{u→v} hub(u)            then ·10⁶ div max(auth')
+    *   hub'(u)  = Σ_{u→v} auth''(v)         then ·10⁶ div max(hub')
+    *
+    * Scores start at 10⁶ and stay in [0, 10⁶] micro-units after each
+    * rescale — relative ranking is what HITS is for, and the integer
+    * max-norm keeps every bit engine-replicable where an L2 norm
+    * would compound float error. Nodes with no in-edges (resp.
+    * out-edges) hold authority (resp. hub) 0. Intermediate sums are
+    * ≤ N·10⁶ and the rescale product ≤ N·10¹² — int64-safe to
+    * N ≈ 10⁶ nodes per connected region of the score mass; shard
+    * wider graphs by component first.
+    *
+    * Scale shape per iteration: two edge-keyed integer sums + two
+    * 1-row max broadcasts ([[pageRank]]'s in-plan scalar pattern),
+    * `localCheckpoint` lineage cuts. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var scores = nodes
+      .withColumn("hub", lit(1000000L))
+      .withColumn("auth", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val aRaw = scores.join(e, scores("node") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("_a"))
+      val aMax = aRaw.agg(coalesce(max(col("_a")), lit(1L)).as("_am"))
+      val withA = scores.select(col("node"), col("hub"))
+        .join(aRaw, scores("node") === aRaw("dst"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"), col("hub"),
+          expr("coalesce(_a, 0L) * 1000000L div _am").as("auth"))
+        .localCheckpoint(true)
+      val hRaw = withA.select(col("node").as("_v"), col("auth"))
+        .join(e, col("_v") === e("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("_h"))
+      val hMax = hRaw.agg(coalesce(max(col("_h")), lit(1L)).as("_hm"))
+      scores = withA.select(col("node"), col("auth"))
+        .join(hRaw, withA("node") === hRaw("src"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"),
+          expr("coalesce(_h, 0L) * 1000000L div _hm").as("hub"),
+          col("auth"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
 }

@@ -445,6 +445,18 @@ class ExtSpec extends SparkTestBase {
     assert(r.toSeq === Seq((1L, 1000000000L), (2L, 1000000000L), (3L, 1000000000L)))
   }
 
+  test("hits: hand-computed chain, max-norm integer rescale") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4: after one iteration auth(3)=1e6 (max), auth(4)=5e5,
+    // hubs renormalize to 1→1e6, 2→1e6, 3→5e5, 4→0
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val r = Graph.hits(e, "s", "t", 1).orderBy("node")
+      .as[(Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 1000000L, 0L), (2L, 1000000L, 0L),
+      (3L, 500000L, 1000000L), (4L, 0L, 500000L)))
+  }
+
   test("pageRank: hand-computed star with dangling hub, one iteration") {
     import spark.implicits._
     // 1→2, 3→2; node 2 is dangling → its mass redistributes as
