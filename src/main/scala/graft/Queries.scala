@@ -4456,7 +4456,321 @@ object Queries {
              |counts AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM keyed GROUP BY k)
              |SELECT keyed.o_orderkey, counts.k, counts.n_k
              |FROM keyed JOIN counts ON keyed.k IS NOT DISTINCT FROM counts.k
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── 100. TPC-H Q4 analog (order-priority checking): EXISTS
+    // decorrelates to a LEFT SEMI join with a non-equi residual
+    // (l_shipdate > o_orderdate) — the date-window σ prunes orders
+    // BEFORE the semi probe, and the semi join short-circuits per key ──
+    QueryDef(
+      "q_tpch_q4",
+      (s, d) => {
+        val lo = lit("1997-07-01").cast("timestamp")
+        val hi = lit("1997-10-01").cast("timestamp")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── 100b. TPC-H Q6 (forecasting revenue change): the pure-pushdown
+    // scan-agg — every predicate reaches the parquet reader
+    // (PushedFilters), one partial+final decimal sum, zero joins ───────
+    QueryDef(
+      "q_tpch_q6",
+      (s, d) => {
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(decSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n"))
+          .select(e4(col("revenue")).as("rev_e4"), col("n"))
+      },
+      Some("""SELECT CAST(floor(CAST(sum(CAST(l_extendedprice*l_discount
+             |    AS DECIMAL(18,4))) AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS rev_e4,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ── 100c. TPC-H Q14 analog (promotion effect): lineitem⋈part on
+    // partkey (part is the broadcast dim), conditional vs total decimal
+    // sums in ONE agg, the percentage division last on two exact
+    // operands — identical doubles cross-engine ────────────────────────
+    QueryDef(
+      "q_tpch_q14",
+      (s, d) => {
+        val lo = lit("1997-06-01").cast("timestamp")
+        val hi = lit("1997-07-01").cast("timestamp")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(
+            decSum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0)), 4).as("promo"),
+            decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("total"))
+          .select(e4(lit(100.0) * col("promo") / col("total")).as("promo_pct_e4"))
+      },
+      Some("""SELECT CAST(floor(100.0 * promo / total * 10000.0 + 0.5) AS BIGINT)
+             |  AS promo_pct_e4 FROM (
+             |  SELECT
+             |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+             |    THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS promo,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |  FROM lineitem, part
+             |  WHERE l_partkey = p_partkey
+             |    AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')""".stripMargin)),
+
+    // ── 100d. TPC-H Q18 (large-volume customers): the groupBy-HAVING-
+    // then-decorate shape — the qty agg runs FIRST on the narrow
+    // (orderkey, quantity) projection, the >150 HAVING prunes to a few
+    // thousand keys, and only those rows rejoin orders/customer.
+    // Decimal qty sums, top-100 by (qty desc, orderkey) ────────────────
+    QueryDef(
+      "q_tpch_q18",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(decSum(col("l_quantity"), 2).as("qty"))
+          .filter(col("qty") > 150.0)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .orderBy(col("qty").desc, col("o_orderkey"))
+          .limit(100)
+          .select(col("c_custkey"), col("o_orderkey"),
+            fmtTs(col("o_orderdate")).as("odate"),
+            e4(col("o_totalprice")).as("total_e4"),
+            e4(col("qty")).as("qty_e4"))
+          .orderBy(col("qty_e4").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, o_orderkey, odate,
+             |CAST(floor(o_totalprice*10000.0 + 0.5) AS BIGINT) AS total_e4,
+             |CAST(floor(qty*10000.0 + 0.5) AS BIGINT) AS qty_e4
+             |FROM (
+             |  SELECT c_custkey, o_orderkey,
+             |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+             |    o_totalprice, qty
+             |  FROM orders, customer,
+             |    (SELECT l_orderkey,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |     FROM lineitem GROUP BY l_orderkey HAVING qty > 150.0) big
+             |  WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
+             |  ORDER BY qty DESC, o_orderkey LIMIT 100)
+             |ORDER BY qty_e4 DESC, o_orderkey""".stripMargin)),
+
+    // ── 101. exact triangle enumeration by degree orientation over the
+    // sparsified order→part projection (undirected): wedge fan-out
+    // bounded by oriented out-degree, closure by one (v,w) equi-join —
+    // DuckDB replays the identical orientation and joins ───────────────
+    QueryDef(
+      "q_triangles",
+      (s, d) => {
+        val e = t(s, d, "lineitem").filter(col("l_quantity") > 45).select(
+          (col("l_orderkey") % 2000).cast("long").as("src"),
+          (col("l_partkey") % 2000).cast("long").as("dst"))
+        graft.ext.Graph.triangles(e, "src", "dst")
+          .orderBy(col("a"), col("b"), col("c"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT l_orderkey % 2000 AS src,
+             |    l_partkey % 2000 AS dst
+             |  FROM lineitem WHERE l_quantity > 45),
+             |p AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+             |  FROM e0 WHERE src <> dst),
+             |d AS (SELECT node, count(*) AS deg FROM
+             |  (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+             |  GROUP BY node),
+             |o AS (SELECT
+             |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+             |    THEN a ELSE b END AS u,
+             |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+             |    THEN b ELSE a END AS v
+             |  FROM p JOIN d da ON da.node = p.a JOIN d db ON db.node = p.b),
+             |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+             |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v)
+             |SELECT CAST(least(u, x) AS BIGINT) AS a,
+             |CAST(CASE WHEN u < x THEN x WHEN u > y THEN y ELSE u END AS BIGINT) AS b,
+             |CAST(greatest(u, y) AS BIGINT) AS c
+             |FROM w JOIN p ON w.x = p.a AND w.y = p.b
+             |ORDER BY a, b, c""".stripMargin)),
+
+    // ── 101b. multi-source BFS hop distances on the directed
+    // projection, 3 hops: frontier-join/anti-join rounds vs DuckDB's
+    // bounded recursive CTE with min-hop collapse ──────────────────────
+    QueryDef(
+      "q_bfs",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast("long").as("src"),
+          (col("l_partkey") % 500).cast("long").as("dst")).distinct()
+        graft.ext.Graph.bfsDepths(e, "src", "dst", Seq(0L, 1L), 3)
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT l_orderkey % 500 AS src,
+             |    l_partkey % 500 AS dst FROM lineitem),
+             |b(node, hop) AS (
+             |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0),
+             |    (CAST(1 AS BIGINT), 0)) v(node, hop)
+             |  UNION
+             |  SELECT e.dst, b.hop + 1 FROM b JOIN e ON b.node = e.src
+             |  WHERE b.hop < 3)
+             |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS INT) AS hop
+             |FROM b GROUP BY node ORDER BY node""".stripMargin)),
+
+    // ── 102. per-host crawl budget: ≤ 25 docs per synthesized host,
+    // winners by the corpus LCG hash (stable under growth/reshuffle);
+    // row_number ≤ k plans as WindowGroupLimit — map-side top-k per
+    // host BEFORE the one host-keyed exchange ─────────────────────────
+    QueryDef(
+      "q_host_budget",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("url", concat(lit("https://h"), pmod(col("doc_id"), lit(7)),
+            lit(".example.com/p/"), col("doc_id")))
+        graft.ext.Web.hostBudget(docs, "url", "doc_id", 25)
+          .select(col("doc_id"), col("host"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id AS url
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |  regexp_extract(lower(url), '//(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host
+             |  FROM u),
+             |r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host
+             |  ORDER BY (doc_id*1103515245 + 12345) % 2147483648, doc_id) AS rn
+             |  FROM h)
+             |SELECT doc_id, host FROM r WHERE rn <= 25
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── 102b. interpolated bigram LM (Jelinek-Mercer λ=80), self-
+    // scored: map-only zip_with bigram extraction, one (prev,cur)
+    // exchange, unigram vocab broadcast — DuckDB rebuilds the identical
+    // counts and the same double arithmetic per bigram ─────────────────
+    QueryDef(
+      "q_bigram_lm",
+      (s, d) =>
+        graft.ext.TextAnalysis.bigramLogProb(t(s, d, "documents"),
+            "doc_id", "text", lambdaPct = 80)
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS term,
+             |  generate_subscripts(toks, 1) AS pos FROM tk),
+             |uni AS (SELECT term, count(*) AS c1 FROM w GROUP BY term),
+             |tot AS (SELECT sum(c1) AS s FROM uni),
+             |pairs AS (SELECT w1.doc_id, w1.term AS prev, w2.term AS cur
+             |  FROM w w1 JOIN w w2
+             |    ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1),
+             |bi AS (SELECT prev, cur, count(*) AS c2 FROM pairs
+             |  GROUP BY prev, cur),
+             |sc AS (SELECT p.doc_id,
+             |  floor(ln((80.0 * (bi.c2 / CAST(up.c1 AS DOUBLE))
+             |    + 20.0 * (uc.c1 / CAST(tot.s AS DOUBLE))) / 100.0)
+             |    * 1000000.0 + 0.5) AS lp6
+             |  FROM pairs p
+             |  JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+             |  JOIN uni up ON up.term = p.prev
+             |  JOIN uni uc ON uc.term = p.cur, tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+             |CAST(sum(lp6) AS BIGINT) AS lp_e6
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── 103. top-3 characteristic terms per doc by tf-idf (keyword
+    // extraction): row_number ≤ k plans as WindowGroupLimit (map-side
+    // per-doc top-k before the exchange); (score desc, term) ranking
+    // is deterministic cross-engine on identical count inputs ─────────
+    QueryDef(
+      "q_top_terms",
+      (s, d) =>
+        graft.ext.Search.topTerms(t(s, d, "documents"), "doc_id", "text", 3)
+          .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+             |  (SELECT doc_id, unnest(toks) AS term FROM tk)
+             |  GROUP BY doc_id, term),
+             |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc
+             |  GROUP BY term),
+             |sc AS (SELECT doc_id, term,
+             |  tf * (ln(CAST(n.n + 1 AS DOUBLE) / (dfs.df + 1)) + 1.0) AS score
+             |  FROM tfc JOIN dfs USING (term), n),
+             |r AS (SELECT doc_id, term, score, row_number() OVER
+             |  (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             |  FROM sc)
+             |SELECT doc_id, term, CAST(rank AS INT) AS rank,
+             |CAST(floor(score*1000000.0 + 0.5) AS BIGINT) AS score_e6
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ── 103b. reciprocal-rank fusion of two single-term BM25 rankings
+    // (Cormack 2009): integer 10⁶ div (60 + rank) contributions — the
+    // fusion layer every hybrid (lexical + vector) retrieval stack
+    // runs; DuckDB replays both rankings and the integer fold ─────────
+    QueryDef(
+      "q_rrf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val a = graft.ext.Search.bm25(docs, "doc_id", "text", Seq("order"))
+        val b = graft.ext.Search.bm25(docs, "doc_id", "text", Seq("sort"))
+        graft.ext.Search.rrfFuse(Seq(a, b), "doc_id", "score_e6")
+          .orderBy(col("rrf_e6").desc, col("id"))
+          .limit(50)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(len(toks)) AS BIGINT) AS sdl FROM tk),
+             |tfa AS (SELECT doc_id,
+             |  CAST(len(list_filter(toks, w -> w = 'order')) AS BIGINT) AS tf,
+             |  CAST(len(toks) AS BIGINT) AS dl FROM tk),
+             |tfa2 AS (SELECT * FROM tfa WHERE tf > 0),
+             |dfa AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tfa2),
+             |sca AS (SELECT doc_id,
+             |  CAST(floor(ln((CAST(st.n AS DOUBLE) - dfa.df + 0.5)/(dfa.df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+             |      / (CAST(st.sdl AS DOUBLE)/st.n)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS s6
+             |  FROM tfa2, dfa, st),
+             |ra AS (SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id) AS rk
+             |  FROM sca),
+             |tfb AS (SELECT doc_id,
+             |  CAST(len(list_filter(toks, w -> w = 'sort')) AS BIGINT) AS tf,
+             |  CAST(len(toks) AS BIGINT) AS dl FROM tk),
+             |tfb2 AS (SELECT * FROM tfb WHERE tf > 0),
+             |dfb AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tfb2),
+             |scb AS (SELECT doc_id,
+             |  CAST(floor(ln((CAST(st.n AS DOUBLE) - dfb.df + 0.5)/(dfb.df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+             |      / (CAST(st.sdl AS DOUBLE)/st.n)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS s6
+             |  FROM tfb2, dfb, st),
+             |rb AS (SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id) AS rk
+             |  FROM scb),
+             |u AS (SELECT doc_id, 1000000 // (60 + rk) AS c FROM ra
+             |  UNION ALL SELECT doc_id, 1000000 // (60 + rk) FROM rb)
+             |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS rrf_e6
+             |FROM u GROUP BY doc_id ORDER BY rrf_e6 DESC, id LIMIT 50""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -132,4 +132,97 @@ object Graph {
     }
     scores
   }
+
+  /** Exact triangle enumeration by degree orientation (the standard
+    * scalable formulation — Cohen 2009, "Graph twiddling in a MapReduce
+    * world", CiSE 11:4; also Suri & Vassilvitskii 2011 WWW): treat
+    * edges as UNDIRECTED, orient each edge from its lower-(degree,
+    * node) endpoint to the higher (a total order, so orientation is a
+    * DAG), generate wedges only from each node's OUT-edges, and close
+    * a wedge (u→v, u→w) iff the undirected edge {v,w} exists. Each
+    * triangle is emitted exactly once (its orientation-minimum vertex
+    * owns it); output columns (a, b, c) are the triple sorted by node
+    * id. Self-loops and duplicate/reverse edges are dropped by the
+    * normalization.
+    *
+    * Why orientation matters at 100 TB: wedge fan-out is Σ outdeg²,
+    * and orientation bounds outdeg by O(√m) even on power-law graphs
+    * (a celebrity with 10⁷ followers has ~all edges oriented INTO it,
+    * so it generates no wedges) — the naive per-node wedge join is
+    * Σ deg² and dies on exactly those hubs.
+    *
+    * Scale shape: degree is one node-keyed count; orientation two
+    * N-row joins onto the m-row pair list; wedges ONE src-keyed
+    * self-join of the oriented list (checkpointed once, read three
+    * times); closure ONE (v,w)-keyed equi-join against the normalized
+    * pairs. No all-pairs anywhere. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val pairs = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node): strict total order, ties broken by id
+    val oriented = pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y")) // canonical wedge: closure key is {x,y}
+    wedges.join(pairs, wedges("x") === pairs("a") && wedges("y") === pairs("b"))
+      .select(least(col("u"), col("x")).as("a"),
+        when(col("u") < col("x"), col("x"))
+          .when(col("u") > col("y"), col("y"))
+          .otherwise(col("u")).as("b"),
+        greatest(col("u"), col("y")).as("c"))
+  }
+
+  /** Multi-source BFS hop distances, `maxHops` bounded (the frontier
+    * formulation every distributed BFS uses — Pregel's SSSP example,
+    * Malewicz 2010 SIGMOD, with unit weights): depth(s) = 0 for each
+    * source, then per hop the FRONTIER (nodes first reached last
+    * round, not the whole visited set) joins the edge list and
+    * anti-joins the visited set — so each node's depth is final when
+    * first assigned, and work per round is proportional to the
+    * frontier, not the graph. Directed edges as given; pass the
+    * symmetrized list for undirected reachability. Returns (node,
+    * hop) for every node within `maxHops` of a source.
+    *
+    * Scale shape per hop: one src-keyed equi-join (frontier is the
+    * small side), one hop-dedup agg, one anti-join against visited;
+    * frontier and visited `localCheckpoint` each round (the iterative
+    * house pattern — lineage stays one round deep). Fixed `maxHops`
+    * rounds keep the job count deterministic; an emptied frontier
+    * makes the remaining rounds no-op joins. */
+  def bfsDepths(edges: DataFrame, srcCol: String, dstCol: String,
+                sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(sources.nonEmpty, "sources must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    var visited = sources.distinct.toDF("node")
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val reached = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+      frontier = reached.join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    visited
+  }
 }

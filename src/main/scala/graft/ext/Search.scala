@@ -170,4 +170,62 @@ object Search {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Top-`k` characteristic terms per document by [[tfidf]] score —
+    * the keyword-extraction / doc-summarization primitive (tf-idf
+    * keyword selection is the classic baseline; IIR §6.2). Ranking is
+    * (score desc, term asc) — ties (same tf and df) break
+    * lexicographically, so the kept set is deterministic cross-engine.
+    * Output: (doc_id, term, rank, score_e6) with score quantized to
+    * micro-units AFTER ranking (ranking compares the exact doubles;
+    * identical count inputs give identical doubles on any engine).
+    *
+    * Scale shape: [[tfidf]]'s one doc-keyed tf agg + broadcast df,
+    * then ONE doc-keyed window whose `row_number() <= k` filter plans
+    * as WindowGroupLimit — each map task pre-prunes to its local
+    * top-k per doc before the exchange, so a 10⁶-term doc ships k
+    * rows per upstream partition, not its whole vocabulary. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"),
+        floor(col("score") * 1000000.0 + 0.5).cast("long").as("score_e6"))
+  }
+
+  /** Reciprocal-rank fusion of several rankings (Cormack, Clarke &
+    * Buettcher 2009 SIGIR, "Reciprocal rank fusion outperforms
+    * Condorcet and individual rank learning methods"): each ranking
+    * contributes `10⁶ div (k + rank)` micro-units per doc (rank from
+    * 1 by that ranking's (score desc, id asc) order) and fused
+    * candidates sum their contributions — INTEGER floor division, so
+    * the fused score is bit-replicable in any engine, unlike the
+    * 1/(k+r) float form. Docs absent from a ranking contribute
+    * nothing (the full-outer union semantics RRF is defined with).
+    * Input frames carry (idColumn, scoreColumn); `k` = 60 per the
+    * paper. Output: (id, rrf_e6) — callers sort/limit.
+    *
+    * Scale shape: one window per input ranking (each pre-pruned by
+    * its producer — rankings are top-N result sets, not corpora),
+    * one union, one id-keyed integer sum. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"k must be >= 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankings.map { r =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      r.select(col(idCol).as("id"),
+          row_number().over(w).cast("long").as("_rank"))
+        .select(col("id"), expr(s"1000000L div (${k}L + _rank)").as("_rrf"))
+    }
+    ranked.reduce(_ union _)
+      .groupBy(col("id"))
+      .agg(sum(col("_rrf")).as("rrf_e6"))
+  }
 }

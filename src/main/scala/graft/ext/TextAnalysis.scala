@@ -192,6 +192,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("_lp6")).as("lp_e6"))
   }
 
+  /** Interpolated bigram LM score (Jelinek-Mercer smoothing, the
+    * textbook fixed-λ linear interpolation — Jurafsky & Martin SLP3
+    * §3.5; KenLM-class pipelines use this family for corpus quality
+    * filtering): per adjacent token pair,
+    *
+    *   p(cur | prev) = (λ·c₂(prev,cur)/c₁(prev)
+    *                    + (100−λ)·c₁(cur)/Σc₁) / 100,   λ = `lambdaPct`
+    *
+    * self-scored (counts from `docs` itself — every bigram then has
+    * c₂ ≥ 1 and every cur is in-vocab, so p > 0 with no extra
+    * smoothing). Returns (doc_id, n_bigram, lp_e6) with lp_e6 the sum
+    * of `floor(ln(p)·10⁶ + 0.5)` over the doc's bigrams — the
+    * [[unigramLogProb]] fixed-point discipline (identical integer
+    * counts divide/log to identical doubles cross-engine, floor pins
+    * the sum to int64). Single-token and empty docs have no bigrams
+    * and drop out (left-join downstream to keep them).
+    *
+    * Scale shape: bigram extraction is MAP-ONLY (zip_with of the
+    * array against its own tail — no posexplode self-join); the
+    * unigram vocab broadcasts back as in [[unigramLogProb]]; the ONE
+    * real exchange keys on (prev, cur) — bigram-count build and
+    * score join — and the doc-keyed final agg collapses map-side.
+    * Corpus text never shuffles. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambdaPct: Int = 80,
+                    tokenizer: Column => Column = tokens): DataFrame = {
+    require(lambdaPct >= 1 && lambdaPct <= 99,
+      s"lambdaPct must be in [1, 99] (the unigram share smooths unseen " +
+        s"continuations), got $lambdaPct")
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokenizer(col(textCol)).as("_toks"))
+    val pairs = toked.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+          slice(col("_toks"), lit(2), greatest(size(col("_toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+    val uni = toked.select(explode(col("_toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c1"))
+    val total = uni.agg(sum(col("_c1")).as("_tot"))
+    val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_c2"))
+    val lam = lambdaPct.toDouble
+    pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(broadcast(uni.select(col("term").as("prev"), col("_c1").as("_cp"))),
+        Seq("prev"))
+      .join(broadcast(uni.select(col("term").as("cur"), col("_c1").as("_cc"))),
+        Seq("cur"))
+      .crossJoin(broadcast(total))
+      .withColumn("_p",
+        (lit(lam) * (col("_c2").cast("double") / col("_cp")) +
+          lit(100.0 - lam) * (col("_cc").cast("double") / col("_tot"))) / lit(100.0))
+      .withColumn("_lp6", floor(log(col("_p")) * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigram"), sum(col("_lp6")).as("lp_e6"))
+  }
+
   // ── Quality buckets ────────────────────────────────────────────────
 
   /** CCNet-style quality bucketing (Wenzek 2020, "CCNet: Extracting

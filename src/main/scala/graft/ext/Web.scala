@@ -52,4 +52,40 @@ object Web {
     * input has no `//authority` part. */
   def host(url: Column): Column =
     regexp_extract(lower(url), "//(?:[^/?#@]*@)?([^/?#:]+)", 1)
+
+  /** Per-host crawl budget: keep at most `maxPerHost` documents per
+    * [[host]] — the anti-monoculture cap every web-corpus recipe
+    * applies so that a single mega-site (or a crawler trap generating
+    * unbounded URLs under one domain) can't dominate the training mix
+    * (C4 and its descendants cap per-domain contribution; Penedo 2023
+    * "The RefinedWeb dataset" §3 documents the same per-domain limit).
+    *
+    * Selection within a host is a deterministic uniform sample, not
+    * head-of-crawl order: rows rank by the [[Corpus]] LCG hash of
+    * `idCol` (id tie-break), so the kept set is a stable function of
+    * the corpus content — growing the crawl or reshuffling partitions
+    * never flips which rows survive except where new ids genuinely
+    * displace old ranks.
+    *
+    * Scale shape: ONE host-keyed exchange. The rank filter is
+    * `row_number() <= k` over (host | hash, id), which Spark plans as
+    * WindowGroupLimit — each map task pre-prunes to its local top-k
+    * per host BEFORE the shuffle, so a 10⁸-page host contributes k
+    * rows per upstream partition to the exchange, not 10⁸ (the skew
+    * this operator exists to police is exactly the skew the partial
+    * limit absorbs). Docs with no parseable host ('' key) compete
+    * under one budget like any other host; filter upstream if they
+    * should be dropped instead. */
+  def hostBudget(docs: org.apache.spark.sql.DataFrame, urlCol: String,
+                 idCol: String, maxPerHost: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    import org.apache.spark.sql.expressions.Window
+    val rk = pmod(col(idCol).cast("long") * 1103515245L + 12345L,
+      lit(2147483648L))
+    docs.withColumn("host", host(col(urlCol)))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("host")).orderBy(rk, col(idCol))))
+      .filter(col("_rn") <= maxPerHost)
+      .drop("_rn")
+  }
 }

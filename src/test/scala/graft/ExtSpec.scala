@@ -437,6 +437,23 @@ class ExtSpec extends SparkTestBase {
     assert(hosts.toSeq === Seq("ex.com", "", "h.io"))
   }
 
+  test("hostBudget: caps per host, keeps the LCG-ranked winners, stable under growth") {
+    import spark.implicits._
+    def url(h: Int, id: Long) = s"https://h$h.ex.com/p/$id"
+    val docs = (0L until 30L).map(i => (i, url((i % 2).toInt, i))).toDF("doc_id", "url")
+    val kept = graft.ext.Web.hostBudget(docs, "url", "doc_id", 5)
+    assert(kept.groupBy("host").count().as[(String, Long)].collect().toMap ===
+      Map("h0.ex.com" -> 5L, "h1.ex.com" -> 5L))
+    // winners = 5 lowest LCG hashes per host (id tie-break)
+    def lcg(id: Long) = ((id * 1103515245L + 12345L) % 2147483648L + 2147483648L) % 2147483648L
+    val expect = (0L until 30L).groupBy(i => (i % 2))
+      .flatMap { case (_, ids) => ids.sortBy(i => (lcg(i), i)).take(5) }.toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet === expect)
+    // budget under a host below the cap: all rows survive
+    val small = Seq((100L, url(9, 100L)), (101L, url(9, 101L))).toDF("doc_id", "url")
+    assert(graft.ext.Web.hostBudget(small, "url", "doc_id", 5).count() === 2L)
+  }
+
   test("pageRank: cycle is a fixpoint of the integer recurrence") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
@@ -469,5 +486,33 @@ class ExtSpec extends SparkTestBase {
     assert(r(3L) === 433333333L)
     // mass conserved up to the documented < N floor decay
     assert(r.values.sum > 3000000000L - 3 && r.values.sum <= 3000000000L)
+  }
+
+  test("triangles: hand graph, each triangle once, duplicates/loops dropped") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5 + self-loop + a
+    // reversed duplicate edge; orientation must not double-count
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (5L, 5L)).toDF("s", "t")
+    val r = Graph.triangles(e, "s", "t").orderBy("a", "b", "c")
+      .as[(Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: wedge without closure is not a triangle") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("s", "t")
+    assert(Graph.triangles(e, "s", "t").count() === 0L)
+  }
+
+  test("bfsDepths: hop distances honor min-hop and the maxHops bound") {
+    import spark.implicits._
+    // 0→1→2→3→4 chain plus shortcut 0→2: node 2 is hop 1 (not 2),
+    // node 4 is beyond maxHops=3 from source 0... but source 9 is an
+    // isolated second source at hop 0
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L)).toDF("s", "t")
+    val r = Graph.bfsDepths(e, "s", "t", Seq(0L, 9L), 2)
+      .orderBy("node").as[(Long, Int)].collect()
+    assert(r.toSeq === Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2), (9L, 0)))
   }
 }

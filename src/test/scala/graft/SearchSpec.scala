@@ -95,6 +95,30 @@ class SearchSpec extends SparkTestBase {
     assert(out(1L) === out(2L) && out(2L) === out(3L))
   }
 
+  test("bigramLogProb: hand-computed two-doc corpus, fixed-point exact") {
+    // corpus: "a b a b" + "a b" → unigrams a:3 b:3 (tot 6);
+    // bigrams (a,b):3, (b,a):1; λ=80:
+    //   p(b|a) = (80·(3/3) + 20·(3/6))/100 = 0.9
+    //   p(a|b) = (80·(1/3) + 20·(3/6))/100 = 11/30
+    val corpus = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramLogProb(corpus, "doc_id", "text", 80)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def lp6(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    // expected probs follow the operator's exact double op order
+    val pBA = (80.0 * (3.0 / 3.0) + 20.0 * (3.0 / 6.0)) / 100.0
+    val pAB = (80.0 * (1.0 / 3.0) + 20.0 * (3.0 / 6.0)) / 100.0
+    assert(out(1L) === ((3L, 2 * lp6(pBA) + lp6(pAB))))
+    assert(out(2L) === ((1L, lp6(pBA))))
+  }
+
+  test("bigramLogProb: single-token and empty docs drop; repeated bigrams count") {
+    val corpus = Seq((1L, "x x x"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set(1L)) // docs 2 and 3 have no bigrams
+    assert(out(1L)._1 === 2L)
+  }
+
   test("repeatedShingleStats flags a planted cross-doc boilerplate span only") {
     val boiler = "terms of service apply to all users"
     val corpus = Seq(
