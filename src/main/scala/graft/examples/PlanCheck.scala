@@ -135,7 +135,23 @@ object PlanCheck {
         p => p.contains("BroadcastHashJoin") && p.contains(") Window")
           && !p.contains("Cartesian")),
       ("q_pagerank", "pagerank round: equi-joins only, no cartesian",
-        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_tpch_q6", "Q6: every predicate pushed to the parquet scan, no join",
+        p => p.contains("PushedFilters: [IsNotNull") && !p.contains("Join")),
+      ("q_tpch_q4", "Q4: EXISTS as a semi join, no cartesian",
+        p => (p.contains("LeftSemi") || p.contains("Semi")) && !p.contains("Cartesian")),
+      ("q_tpch_q18", "Q18: having-prefilter before decoration, dims broadcast",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_triangles", "triangles: equi-joins only, never a cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_host_budget", "host budget: rank<=k plans as partial+final WindowGroupLimit",
+        p => p.split("WindowGroupLimit").length >= 3),
+      ("q_top_terms", "top terms: df broadcast + per-doc WindowGroupLimit",
+        p => p.split("WindowGroupLimit").length >= 3 && p.contains("BroadcastHashJoin")),
+      ("q_bigram_lm", "bigram LM: unigram vocab broadcast, no cartesian",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_rrf", "rrf: integer fold over pre-ranked inputs, no join at fuse time",
+        p => !p.contains("Cartesian"))
     )
 
     var failed = 0
