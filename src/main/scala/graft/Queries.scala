@@ -227,6 +227,65 @@ object Queries {
     sb.toString
   }
 
+  /** DuckDB twin of [[graft.ext.Graph.personalizedPageRank]] over the
+    * q_pagerank edge construction — [[pageRankSql]] with teleport and
+    * dangling mass restricted to the seed set. */
+  private def pprSql(iters: Int, seeds: Seq[Long]): String = {
+    val inSeeds = s"node IN (${seeds.mkString(", ")})"
+    val sb = new StringBuilder(
+      """WITH edges AS (SELECT DISTINCT l_orderkey % 500 AS src,
+        |  l_partkey % 500 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(CASE WHEN """.stripMargin +
+        inSeeds + """ THEN 1000000000 ELSE 0 END AS BIGINT) AS rk FROM nodes)""")
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb ++= s""",
+        |dang$i AS (SELECT coalesce(sum(rk), 0) AS dm FROM $p
+        |  LEFT JOIN deg ON node = src WHERE d IS NULL),
+        |in$i AS (SELECT dst, sum(c) AS m FROM
+        |  (SELECT node, rk // d AS c FROM $p JOIN deg ON node = src) t
+        |  JOIN edges ON t.node = edges.src GROUP BY dst),
+        |r$i AS (SELECT node,
+        |  CAST(CASE WHEN $inSeeds THEN 150000000 ELSE 0 END
+        |    + ((coalesce(m, 0) + CASE WHEN $inSeeds
+        |        THEN dm // ${seeds.size} ELSE 0 END) * 85) // 100
+        |    AS BIGINT) AS rk
+        |  FROM $p LEFT JOIN in$i ON node = dst, dang$i)""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(node AS BIGINT) AS node, rk FROM r$iters ORDER BY node"
+    sb.toString
+  }
+
+  /** DuckDB twin of [[graft.ext.Graph.kCore]] over the q_triangles-
+    * style undirected projection (mod 500, unfiltered — dense enough
+    * for a k=10 core at every sf): fixed peel rounds unrolled. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS (SELECT DISTINCT l_orderkey % 500 AS src,
+        |  l_partkey % 500 AS dst FROM lineitem),
+        |p0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |d0 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM p0 UNION ALL SELECT b FROM p0)
+        |  GROUP BY node)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val (pp, pd) = (s"p${i - 1}", s"d${i - 1}")
+      sb ++= s""",
+        |k$i AS (SELECT node FROM $pd WHERE deg >= $k),
+        |p$i AS (SELECT $pp.a, $pp.b FROM $pp
+        |  JOIN k$i x ON $pp.a = x.node JOIN k$i y ON $pp.b = y.node),
+        |d$i AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM p$i UNION ALL SELECT b FROM p$i)
+        |  GROUP BY node)""".stripMargin
+    }
+    sb ++= s"""\nSELECT CAST(node AS BIGINT) AS node,
+      |CAST(deg AS BIGINT) AS deg FROM d$rounds
+      |ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.ext.Graph.hits]] over the q_hits edge
     * construction — the [[pageRankSql]] unrolling applied to the
     * hub/authority mutual recursion with integer max-norm rescales. */
@@ -2088,6 +2147,35 @@ object Queries {
           .orderBy(col("node"))
       },
       Some(hitsSql(2))),
+
+    // ── 71d. personalized PageRank from seeds {0,1,2}: teleport and
+    // dangling mass restart at the seed set only — proximity-to-seed
+    // scores, integer-exact, DuckDB unrolls the same recurrence ────────
+    QueryDef(
+      "q_ppr",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast("long").as("src"),
+          (col("l_partkey") % 500).cast("long").as("dst")).distinct()
+        graft.ext.Graph.personalizedPageRank(e, "src", "dst", Seq(0L, 1L, 2L), 3)
+          .select(col("node"), col("rk"))
+          .orderBy(col("node"))
+      },
+      Some(pprSql(3, Seq(0L, 1L, 2L)))),
+
+    // ── 71e. k-core peel (k=10, 3 fixed rounds) on the undirected
+    // projection: degree filter + surviving-endpoint semi joins per
+    // round; DuckDB unrolls the identical peel ─────────────────────────
+    QueryDef(
+      "q_kcore",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast("long").as("src"),
+          (col("l_partkey") % 500).cast("long").as("dst"))
+        graft.ext.Graph.kCore(e, "src", "dst", 10, 3)
+          .orderBy(col("node"))
+      },
+      Some(kCoreSql(10, 3))),
 
     // ── 72. bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): true
     // multisets (an orderkey repeats per qualifying line), multiplicity

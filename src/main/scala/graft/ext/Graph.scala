@@ -133,6 +133,108 @@ object Graph {
     scores
   }
 
+  /** Integer-exact PERSONALIZED PageRank (Page 1999 §6 "personalized"
+    * restart vector; the seed-expansion / crawl-frontier-scoring
+    * workhorse — rank mass restarts at the `sources` set instead of
+    * uniformly, so scores measure proximity to the seeds):
+    *
+    *   rank⁰(u)   = 10⁹·[u ∈ S]
+    *   share      = (Σ_{outdeg=0} rank) div |S|      dangling → seeds
+    *   in(v)      = Σ_in contrib + [v ∈ S]·share
+    *   rankᵏ⁺¹(v) = [v ∈ S]·(100−d)·10⁷ + (in·d) div 100
+    *
+    * i.e. [[pageRank]]'s recurrence with teleport AND dangling mass
+    * restricted to the seed set (per-seed constants identical to the
+    * uniform case — total teleport stays (100−d)% of initial mass).
+    * Nodes unreachable from S hold rank 0 exactly.
+    *
+    * Scale shape: identical to [[pageRank]] — one src-keyed equi-join
+    * + one dst-keyed integer sum per iteration, dangling pool as a
+    * 1-row broadcast, seed membership as a map-side literal
+    * (`isin` — seed sets are small by definition; pass ≤ a few
+    * thousand). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: Seq[Long], iters: Int,
+                           dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(sources.nonEmpty, "personalizedPageRank needs a non-empty seed set")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val seeds = sources.distinct
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val teleport = (100L - dampingPct) * 10000000L
+    val isSeed = col("node").isin(seeds: _*)
+    var ranks = nodes
+      .withColumn("rk", when(isSeed, lit(1000000000L)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
+      val share = withDeg.filter(col("d").isNull)
+        .agg(expr(s"coalesce(sum(rk), 0L) div ${seeds.size}L").as("_share"))
+      val in = withDeg.filter(col("d").isNotNull)
+        .select(col("node"), expr("rk div d").as("c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = ranks.join(in, ranks("node") === in("dst"), "left")
+        .crossJoin(broadcast(share))
+        .select(col("node"),
+          (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"(coalesce(m, 0L) + if(node in (${seeds.mkString(",")})," +
+              s" _share, 0L)) * $dampingPct div 100")).as("rk"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** k-core peel, `rounds` fixed rounds (Seidman 1983, "Network
+    * structure and minimum degree"; the density filter link-spam and
+    * community pipelines run): treat edges as UNDIRECTED, repeatedly
+    * drop nodes whose degree in the SURVIVING subgraph is < `k`. A
+    * round that drops nothing is the fixpoint (the true k-core);
+    * `rounds` bounds the peel depth with deterministic job count —
+    * the result after r rounds is a superset of the core, shrinking
+    * monotonically (callers needing the exact core on pathological
+    * chains pick rounds ≥ longest peel cascade; real link graphs
+    * converge in a handful). Output: (node, deg) for every node with
+    * a surviving edge after exactly `rounds` peels — mid-cascade
+    * nodes may still show deg < k until a later round removes them.
+    *
+    * Scale shape per round: one node-keyed degree count over the
+    * surviving pair list + two semi joins pruning edges to surviving
+    * endpoints; pairs `localCheckpoint` each round. Never touches
+    * anything quadratic. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var pairs = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      pairs = pairs
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }
+    deg
+  }
+
   /** Exact triangle enumeration by degree orientation (the standard
     * scalable formulation — Cohen 2009, "Graph twiddling in a MapReduce
     * world", CiSE 11:4; also Suri & Vassilvitskii 2011 WWW): treat

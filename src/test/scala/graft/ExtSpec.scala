@@ -488,6 +488,50 @@ class ExtSpec extends SparkTestBase {
     assert(r.values.sum > 3000000000L - 3 && r.values.sum <= 3000000000L)
   }
 
+  test("personalizedPageRank: mass stays on the seed's reachable side") {
+    import spark.implicits._
+    // two disjoint 2-cycles {1,2} and {3,4}; seed = 1 → component
+    // {3,4} holds rank 0 exactly, every iteration
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("s", "t")
+    val r = Graph.personalizedPageRank(e, "s", "t", Seq(1L), 3).orderBy("node")
+      .as[(Long, Long)].collect().toMap
+    assert(r(3L) === 0L && r(4L) === 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+    // hand-unroll one iteration: r0 = (1e9, 0); no dangling;
+    // r1(1) = 1.5e8 + (0*85 div 100) = 1.5e8; r1(2) = 0 + (1e9*85 div 100)
+    val r1 = Graph.personalizedPageRank(e, "s", "t", Seq(1L), 1).orderBy("node")
+      .as[(Long, Long)].collect().toMap
+    assert(r1(1L) === 150000000L)
+    assert(r1(2L) === 850000000L)
+  }
+
+  test("personalizedPageRank: dangling mass restarts at seeds only") {
+    import spark.implicits._
+    // 1→2, 2 dangling; seed = 1. r0 = (1e9, 0). iter1: dangling dm = 0
+    // (node 2 holds 0); r1(1) = 1.5e8, r1(2) = 8.5e8. iter2: dm = 8.5e8
+    // → share to seed 1 only: r2(1) = 1.5e8 + (0 + 8.5e8)*85 div 100,
+    // r2(2) = (1.5e8 div 1)*85 div 100
+    val e = Seq((1L, 2L)).toDF("s", "t")
+    val r = Graph.personalizedPageRank(e, "s", "t", Seq(1L), 2).orderBy("node")
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) === 150000000L + 850000000L * 85L / 100L)
+    assert(r(2L) === 150000000L * 85L / 100L)
+  }
+
+  test("kCore: peel cascade removes the tail pendant chain round by round") {
+    import spark.implicits._
+    // triangle {1,2,3} (2-core) + chain 3-5-6 hanging off: k=2 peels
+    // 6 in round 1, 5 in round 2; triangle survives with degrees 2
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (5L, 6L)).toDF("s", "t")
+    val r = Graph.kCore(e, "s", "t", k = 2, rounds = 3).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // one round is NOT enough for the cascade (5 still present)
+    val r1 = Graph.kCore(e, "s", "t", k = 2, rounds = 1)
+      .select("node").as[Long].collect().toSet
+    assert(r1.contains(5L))
+  }
+
   test("triangles: hand graph, each triangle once, duplicates/loops dropped") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 5 + self-loop + a
