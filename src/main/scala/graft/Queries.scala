@@ -3610,6 +3610,45 @@ object Queries {
              |  END AS het_rate_e4
              |FROM cells ORDER BY sample_idx""".stripMargin)),
 
+    // ── 89e7b. per-sample het allele balance from read depths: ref
+    // fraction at heterozygous calls, e6-floored per site before the
+    // integer sum — DuckDB recomputes calls AND depths from the same
+    // hash arithmetic ──────────────────────────────────────────────────
+    QueryDef(
+      "q_gt_ab",
+      (s, d) => {
+        val nS = 12
+        val g = gtTable(s, d)
+          .withColumn("ro", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+            val hs = pmod(col("vid") * 7919L + sIdx * 104729L, lit(1000L))
+            pmod(floor(hs / lit(7L)).cast("long"), lit(30L)).cast("int")
+          }))
+          .withColumn("ao", transform(sequence(lit(0), lit(nS - 1)), sIdx => {
+            val hs = pmod(col("vid") * 7919L + sIdx * 104729L, lit(1000L))
+            array(pmod(floor(hs / lit(11L)).cast("long"), lit(30L)).cast("int"))
+          }))
+        graft.operators.Stats.alleleBalance(g, "gt", "ro", "ao")
+          .orderBy(col("sample_idx"))
+      },
+      Some("""WITH v AS (SELECT o_orderkey AS vid FROM orders ORDER BY vid LIMIT 100),
+             |x AS (SELECT vid, s.i AS si,
+             |  (vid*7919 + s.i*104729) % 1000 AS hs FROM v, range(0, 12) s(i)),
+             |y AS (SELECT vid, si,
+             |  (hs // 7) % 30 AS r, (hs // 11) % 30 AS a FROM x
+             |  WHERE hs >= 150 AND (hs % 2) <> ((hs // 3) % 2)),
+             |z AS (SELECT si, count(*) AS n_ab, sum(r) AS ref_reads,
+             |  sum(a) AS alt_reads,
+             |  sum(r * 1000000 // (r + a)) AS ab_sum_e6
+             |  FROM y WHERE r + a > 0 GROUP BY si)
+             |SELECT CAST(si AS INT) AS sample_idx,
+             |CAST(n_ab AS BIGINT) AS n_ab,
+             |CAST(ref_reads AS BIGINT) AS ref_reads,
+             |CAST(alt_reads AS BIGINT) AS alt_reads,
+             |CAST(ab_sum_e6 AS BIGINT) AS ab_sum_e6,
+             |CAST(floor(CAST(ab_sum_e6 AS DOUBLE) / n_ab + 0.5) AS BIGINT)
+             |  AS mean_ab_e6
+             |FROM z ORDER BY sample_idx""".stripMargin)),
+
     // ── 89e8. cross-callset sample-swap scan: full SA×SB concordance
     // matrix via four OuterSum gramians on the Spark side vs the
     // exploded pair arithmetic in DuckDB — integer cells, argmax on

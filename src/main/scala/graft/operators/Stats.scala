@@ -1097,6 +1097,47 @@ object Stats {
         col("n_het").cast("double") / col("n_called").cast("double")))
   }
 
+  /** Per-sample heterozygous ALLELE BALANCE screen (GATK's AB metric,
+    * aggregated per sample — the contamination / allelic-bias tell
+    * read depth makes visible: a clean het site draws reads from both
+    * alleles at ~0.5 ref fraction, while cross-sample contamination
+    * or reference bias skews the distribution cohort-wide; reference:
+    * vcf depth-field semantics, VCFv4.x spec AD/RO/AO fields, public):
+    * per (site, sample) where the call is HETEROZYGOUS and reads are
+    * present, ref-read balance = ro/(ro + Σ_j ao_j); per sample the
+    * report carries n_ab sites, the exact integer read totals, and
+    * the micro-unit balance sum (each site's balance floored to e6
+    * BEFORE summing — the [[graft.ext.Search]] fixed-point sum
+    * discipline, so partial-agg order is immaterial), plus mean_ab as
+    * one final division.
+    *
+    * Scale shape: ONE posexplode + ONE sample-keyed integer agg —
+    * the [[sampleQcReport]] single-exchange contract; depth arrays
+    * are consumed map-side and never shuffle. */
+  def alleleBalance(df: DataFrame, gtCol: String, roCol: String,
+                    aoCol: String): DataFrame = {
+    df.select(posexplode(col(gtCol)).as(Seq("sample_idx", "_s")),
+        col(roCol).as("_ro"), col(aoCol).as("_ao"))
+      .withColumn("_het",
+        !exists(col("_s"), a => a === -1) &&
+          size(array_distinct(col("_s"))) > 1)
+      .withColumn("_r",
+        greatest(element_at(col("_ro"), col("sample_idx") + 1).cast("long"), lit(0L)))
+      .withColumn("_a", aggregate(
+        element_at(col("_ao"), col("sample_idx") + 1), lit(0L),
+        (acc, x) => acc + greatest(x.cast("long"), lit(0L))))
+      .filter(col("_het") && (col("_r") + col("_a")) > 0)
+      .withColumn("_ab6", expr("_r * 1000000L div (_r + _a)"))
+      .groupBy(col("sample_idx"))
+      .agg(
+        count(lit(1)).as("n_ab"),
+        sum(col("_r")).as("ref_reads"),
+        sum(col("_a")).as("alt_reads"),
+        sum(col("_ab6")).as("ab_sum_e6"))
+      .withColumn("mean_ab_e6",
+        floor(col("ab_sum_e6").cast("double") / col("n_ab") + 0.5).cast("long"))
+  }
+
   /** Cross-callset sample-swap scan (the identity-QC step run whenever
     * the same cohort is assayed twice — array vs sequencing, plate
     * re-runs: a mislabeled tube shows up as sample i's genotypes

@@ -628,4 +628,25 @@ class GenotypeKernelsSpec extends SparkTestBase {
     assert(Stats.rohSegments(df, "gt", "pos", minSites = 4,
       chromCol = Some("chrom")).count() === 0L)
   }
+
+  test("alleleBalance: het-only, read-gated, e6-floored per site") {
+    import spark.implicits._
+    // sample 0: het with reads at both variants (4/4 then 1/3);
+    // sample 1: hom — never counted; sample 2: het but zero reads at
+    // v1, het with reads at v2; sample 3: missing call
+    val df = Seq(
+      (Seq(Seq(0, 1), Seq(1, 1), Seq(0, 1), Seq(-1, -1)),
+        Seq(4, 9, 0, 5), Seq(Seq(4), Seq(1), Seq(0), Seq(5))),
+      (Seq(Seq(1, 0), Seq(0, 0), Seq(0, 1), Seq(-1, -1)),
+        Seq(1, 2, 6, 7), Seq(Seq(3), Seq(0), Seq(2), Seq(1)))
+    ).toDF("gt", "ro", "ao")
+    val got = Stats.alleleBalance(df, "gt", "ro", "ao")
+      .orderBy("sample_idx")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    // s0: ab6 = 4e6/8 = 500000 and 1e6/4 = 250000 → sum 750000, mean 375000
+    // s2: only v2 counts (v1 has 0 reads): 6e6/8 = 750000
+    assert(got.toSeq === Seq(
+      (0, 2L, 5L, 7L, 750000L, 375000L),
+      (2, 1L, 6L, 2L, 750000L, 750000L)))
+  }
 }
