@@ -26,12 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Per-row (term, tf) struct array from a MATERIALIZED token-array
-    * column. `tokens` must be a real column (`withColumn`), not an
-    * inline `split(...)`: the kernel references it once per distinct
-    * term and Catalyst inlines (re-evaluating) expression arguments
-    * into every reference site (SURVEY §7.1 HOF-inlining trap). */
-  def termFreqs(tokens: Column): Column =
+  /** Per-row (term, tf) struct array in ONE fused codegen pass
+    * (TermFreqsExpr hash-map loop) — the HOF twin below is
+    * O(distinct·len) per document and quadratic on long pages; this
+    * is linear. Output identical incl. first-occurrence order. */
+  def termFreqs(tokens: Column): Column = TextHashExprs.termFreqs(tokens)
+
+  /** Interpreted-HOF spec twin of [[termFreqs]] (the differential
+    * test baseline, [[graft.functions]] house pattern). `tokens` must
+    * be a real column (`withColumn`), not an inline `split(...)`: the
+    * HOF references it once per distinct term and Catalyst inlines
+    * (re-evaluating) expression arguments into every reference site
+    * (SURVEY §7.1 HOF-inlining trap). */
+  def termFreqsHof(tokens: Column): Column =
     transform(array_distinct(tokens),
       t => struct(t.as("term"),
         size(filter(tokens, w => w === t)).cast("long").as("tf")))

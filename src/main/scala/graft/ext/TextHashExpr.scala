@@ -417,6 +417,66 @@ case class TopCountExpr(child: Expression) extends UnaryExpression with ExpectsI
     copy(child = newChild)
 }
 
+object TermFreqLoops {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** All (term, tf) pairs in ONE LinkedHashMap pass over the token
+    * array — replaces `transform(array_distinct(toks), t =>
+    * filter(toks, eq t))`, which is O(distinct·len) per document and
+    * quadratic on long documents (a 10⁴-token page costs 10⁸
+    * comparisons; this loop costs 10⁴ hash probes). Output order is
+    * first-occurrence, identical to `array_distinct`. Exact HOF
+    * parity includes the null-token edge: a null element appears once
+    * at its first position with tf 0 (`w === null` is never true in
+    * the HOF filter) — whitespace/BPE tokenizers never produce nulls,
+    * but the twins must not diverge on any input (the
+    * CenteredDosagesExpr lesson). */
+  def freqs(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Long](Math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) {
+        if (!m.containsKey(null)) m.put(null, 0L)
+      } else {
+        val t = toks.getUTF8String(i)
+        val prev = m.get(t)
+        m.put(t, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue)): InternalRow
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class TermFreqsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = true),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_freqs"
+
+  protected override def nullSafeEval(v: Any): Any =
+    TermFreqLoops.freqs(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TermFreqLoops.freqs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqsExpr =
+    copy(child = newChild)
+}
+
 case class JaccardExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
@@ -473,4 +533,6 @@ object TextHashExprs {
     bridge.column(SimHashExpr(bridge.expression(whs), bits))
   def minhashSignature(whs: Column, k: Int): Column =
     bridge.column(MinHashSigExpr(bridge.expression(whs), k))
+  def termFreqs(toks: Column): Column =
+    bridge.column(TermFreqsExpr(bridge.expression(toks)))
 }

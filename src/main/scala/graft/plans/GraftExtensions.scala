@@ -97,6 +97,10 @@ object GraftExtensions {
     },
     fn("bpe_tokens", "bpe_tokens(str, merges) - BPE subword tokens; merges as in bpe_count") {
       a => graft.ext.BpeTokensExpr(a.head, mergesLit(a(1), "bpe_tokens"))
+    },
+    fn("term_freqs", "term_freqs(tokens) - (term, tf) pairs in one pass, " +
+      "first-occurrence order") {
+      a => graft.ext.TermFreqsExpr(a.head)
     })
 
   /** Foldable `array<string>` of "left right" pairs → the merge table.

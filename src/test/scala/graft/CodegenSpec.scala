@@ -80,4 +80,28 @@ class CodegenSpec extends SparkTestBase {
     assertCompiles(graft.operators.Kinship.centeredDosages(gt, "gt"),
       "centered-dosages")
   }
+
+  test("term_freqs kernel compiles and matches its HOF twin bit-for-bit") {
+    val docs = Seq((1L, "the cat sat the cat the"), (2L, "a"), (3L, ""),
+      (4L, "x y x y x z")).toDF("doc_id", "text")
+    val toked = docs.withColumn("toks", split(col("text"), " "))
+    assertCompiles(toked.select(graft.ext.Search.termFreqs(col("toks")).as("tf")),
+      "term-freqs")
+    val fused = toked.select(col("doc_id"),
+        graft.ext.Search.termFreqs(col("toks")).as("tf"))
+      .as[(Long, Seq[(String, Long)])].collect().toMap
+    val hof = toked.select(col("doc_id"),
+        graft.ext.Search.termFreqsHof(col("toks")).as("tf"))
+      .as[(Long, Seq[(String, Long)])].collect().toMap
+    assert(fused === hof) // values AND first-occurrence order
+    assert(fused(1L) === Seq(("the", 3L), ("cat", 2L), ("sat", 1L)))
+    // null-token edge: HOF emits (null, 0) once; the kernel must agree
+    val withNull = Seq(Tuple1(Seq("a", null, "a", null, "b"))).toDF("toks")
+    val f2 = withNull.select(graft.ext.Search.termFreqs(col("toks")).as("tf"))
+      .as[Seq[(Option[String], Long)]].head()
+    val h2 = withNull.select(graft.ext.Search.termFreqsHof(col("toks")).as("tf"))
+      .as[Seq[(Option[String], Long)]].head()
+    assert(f2 === h2)
+    assert(f2 === Seq((Some("a"), 2L), (None, 0L), (Some("b"), 1L)))
+  }
 }

@@ -77,6 +77,18 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaSql.getLong(0) === 4L) // the, data, join, th — all fully merged
   }
 
+  test("term_freqs by SQL name ≡ Column API") {
+    Seq((1L, "b a b c b a")).toDF("id", "text")
+      .createOrReplaceTempView("sqlfn_tf")
+    val viaSql = spark.sql(
+      "SELECT term_freqs(split(text, ' ')) AS tf FROM sqlfn_tf").head()
+    val viaApi = spark.table("sqlfn_tf")
+      .select(graft.ext.Search.termFreqs(split(col("text"), " ")).as("tf")).head()
+    assert(viaSql === viaApi)
+    assert(viaSql.getSeq[org.apache.spark.sql.Row](0).map(r =>
+      (r.getString(0), r.getLong(1))) === Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+
   test("gt_stats by SQL name on a genotype array") {
     Seq((1L, Seq(Seq(0, 1), Seq(1, 1), Seq(-1, -1)))).toDF("vid", "gt")
       .createOrReplaceTempView("sqlfn_gt")
