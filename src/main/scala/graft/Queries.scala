@@ -4823,6 +4823,88 @@ object Queries {
              |CAST(sum(lp6) AS BIGINT) AS lp_e6
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 102c. Gopher document-quality rules over docs salted with
+    // hash-spam (%7) and ellipsis-spam (%11) tails: every ratio gate
+    // decided by integer cross-multiplication — both engines compute
+    // the identical cells and the identical keep flag ─────────────────
+    QueryDef(
+      "q_gopher_rules",
+      (s, d) => {
+        val hashTail = " ## ## ## ## ## ## ## ## ## ## ## ##"
+        val dotsTail = " ..." * 18
+        val docs = t(s, d, "documents")
+          .withColumn("t2", concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(hashTail)).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0, lit(dotsTail)).otherwise(lit(""))))
+        graft.ext.TextAnalysis.gopherRules(docs, "doc_id", "t2", minWords = 40L)
+          .orderBy(col("doc_id"))
+      },
+      Some(("""WITH u AS (SELECT doc_id, text ||
+             |  CASE WHEN doc_id % 7 = 0
+             |    THEN ' ## ## ## ## ## ## ## ## ## ## ## ##' ELSE '' END ||
+             |  CASE WHEN doc_id % 11 = 0
+             |    THEN repeat(' ...', 18) ELSE '' END AS t
+             |  FROM documents),
+             |c AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM u),
+             |m AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_words,
+             |  CAST(length(t) - (len(toks) - 1) AS BIGINT) AS n_chars,
+             |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+             |  CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+             |    AS n_ellipsis,
+             |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+             |    AS BIGINT) AS n_alpha_words,
+             |  CAST(len(list_filter(toks, w -> w IN ('the','be','to','of',
+             |    'and','that','have','with'))) AS BIGINT) AS n_stop
+             |  FROM c)
+             |SELECT doc_id, n_words, n_chars, n_hash, n_ellipsis,
+             |n_alpha_words, n_stop,
+             |(n_words >= 40 AND n_words <= 100000
+             |  AND 3*n_words <= n_chars AND n_chars <= 10*n_words
+             |  AND 10*n_hash < n_words
+             |  AND 10*n_ellipsis < 3*n_words
+             |  AND 5*n_alpha_words >= 4*n_words
+             |  AND n_stop >= 2) AS kept
+             |FROM m ORDER BY doc_id""").stripMargin)),
+
+    // ── 102d. C4 line-level cleaning over multi-line docs synthesized
+    // by sentence-splitting the word soup at ' table ' (plus a
+    // boilerplate line on %5 docs and a code brace on %13 docs): line
+    // predicate and page gates replayed rule-for-rule in DuckDB ───────
+    QueryDef(
+      "q_c4_lines",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("t2", concat(
+            regexp_replace(col("text"), " table ", ".\n"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\nthis page uses javascript and cookie consent."))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0, lit(" {")).otherwise(lit(""))))
+        graft.ext.TextAnalysis.c4CleanLines(docs, "doc_id", "t2")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  replace(text, ' table ', '.' || chr(10)) ||
+             |  CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+             |    'this page uses javascript and cookie consent.' ELSE '' END ||
+             |  CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS t
+             |  FROM documents),
+             |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM u),
+             |k AS (SELECT doc_id, t, lines,
+             |  list_filter(lines, x -> len(string_split(x, ' ')) >= 3
+             |    AND regexp_matches(x, '[.!?"]$')
+             |    AND NOT contains(lower(x), 'javascript')
+             |    AND NOT contains(lower(x), 'cookie')) AS keptl
+             |  FROM l)
+             |SELECT doc_id,
+             |CAST(len(lines) AS BIGINT) AS n_lines,
+             |CAST(len(keptl) AS BIGINT) AS n_kept,
+             |coalesce(array_to_string(keptl, chr(10)), '') AS text_clean,
+             |(NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum'))
+             |  AS doc_kept
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
     // ── 103. top-3 characteristic terms per doc by tf-idf (keyword
     // extraction): row_number ≤ k plans as WindowGroupLimit (map-side
     // per-doc top-k before the exchange); (score desc, term) ranking

@@ -192,6 +192,99 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("_lp6")).as("lp_e6"))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling language
+    * models: ... Gopher" §A1.1 — the standard pre-LM-filter gate;
+    * MassiveText applies these before any dedup): per document the
+    * INTEGER sufficient cells and the composite keep flag:
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] chars
+    *   - '#'-to-word ratio < 0.1, '...'-to-word ratio < 0.3
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 distinct occurrences from a tiny required-stopword list
+    *
+    * Every ratio gate is evaluated by INTEGER cross-multiplication
+    * (10·n_hash < n_words, 3·n_words ≤ chars ≤ 10·n_words, 5·n_alpha
+    * ≥ 4·n_words, 10·n_ellipsis < 3·n_words) — no float compare can
+    * flip cross-engine. Map-only kernel: zero shuffle at any corpus
+    * size; callers aggregate the keep flag however they group. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  requiredStopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    require(requiredStopwords.nonEmpty, "requiredStopwords must be non-empty")
+    val toked = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+      tokens(col(textCol)).as("_toks"))
+    toked
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      // separator-free character mass (the avgWordLenOf numerator)
+      .withColumn("n_chars",
+        (length(col("_text")) - (col("n_words") - 1)).cast("long"))
+      .withColumn("n_hash",
+        (length(col("_text")) -
+          length(regexp_replace(col("_text"), "#", ""))).cast("long"))
+      .withColumn("n_ellipsis",
+        ((length(col("_text")) -
+          length(regexp_replace(col("_text"), "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(col("_toks"), w => w.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("_toks"),
+          w => w.isin(requiredStopwords: _*))).cast("long"))
+      .withColumn("kept",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          lit(3L) * col("n_words") <= col("n_chars") &&
+          col("n_chars") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_hash") < col("n_words") &&
+          lit(10L) * col("n_ellipsis") < lit(3L) * col("n_words") &&
+          lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
+          col("n_stop") >= 2L)
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_hash"),
+        col("n_ellipsis"), col("n_alpha_words"), col("n_stop"), col("kept"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the limits
+    * of transfer learning with a unified text-to-text transformer"
+    * §2.2 — the rule set behind the C4 corpus, applied line-by-line
+    * before any document filter): a line SURVIVES iff it
+    *
+    *   - has at least `minLineWords` words,
+    *   - ends in terminal punctuation (`.` `!` `?` `"`), and
+    *   - contains no `blocklist` term (case-insensitive substring —
+    *     C4 uses "javascript"; cookie-notice boilerplate is the other
+    *     classic entry).
+    *
+    * Doc-level, the C4 page gates ride along: `doc_kept` is false
+    * when the text contains `{` (code) or "lorem ipsum" (template
+    * filler) — C4 drops those pages outright, whatever their lines.
+    * Output: (doc_id, n_lines, n_kept, text_clean, doc_kept) with
+    * `text_clean` the surviving lines re-joined by newline.
+    *
+    * Map-only expression chain (split → filter HOF → array_join):
+    * zero shuffle at any corpus size. The line predicate is RE2-safe
+    * ([[redactPii]] convention) so oracle engines replay it. */
+  def c4CleanLines(docs: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 3,
+                   blocklist: Seq[String] = Seq("javascript", "cookie"))
+      : DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    val keepLine = (x: Column) =>
+      blocklist.foldLeft(
+        size(split(x, " ")) >= minLineWords && x.rlike("[.!?\"]$")) {
+        (acc, b) => acc && !lower(x).contains(b.toLowerCase)
+      }
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        split(col(textCol), "\n").as("_lines"))
+      .withColumn("_kept", filter(col("_lines"), keepLine))
+      .select(col("doc_id"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        array_join(col("_kept"), "\n").as("text_clean"),
+        (!col("_t").contains("{") &&
+          !lower(col("_t")).contains("lorem ipsum")).as("doc_kept"))
+  }
+
   /** Interpolated bigram LM score (Jelinek-Mercer smoothing, the
     * textbook fixed-λ linear interpolation — Jurafsky & Martin SLP3
     * §3.5; KenLM-class pipelines use this family for corpus quality

@@ -111,6 +111,53 @@ class SearchSpec extends SparkTestBase {
     assert(out(2L) === ((1L, lp6(pBA))))
   }
 
+  test("gopherRules: each gate trips independently, integer cells exact") {
+    val corpus = Seq(
+      (1L, "the quick brown fox and the lazy dog trot"),   // clean → kept
+      (2L, "the and word # # # # # # # # # #"),            // hash ratio
+      (3L, "the and"),                                     // too few words
+      (4L, "alpha beta gamma delta epsilon zeta"),         // no stopwords
+      (5L, "the and 111 222 333 444 555 666 777 888"),     // alpha fraction
+      (6L, "the and go on up it is at we so do no")        // mean word len < 3
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.gopherRules(corpus, "doc_id", "text",
+        minWords = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._8 === true)
+    assert(out(2L)._8 === false && out(2L)._4 === 10L) // n_hash
+    assert(out(3L)._8 === false && out(3L)._2 === 2L)  // n_words
+    assert(out(4L)._8 === false && out(4L)._7 === 0L)  // n_stop
+    assert(out(5L)._8 === false && out(5L)._6 === 2L)  // n_alpha_words
+    assert(out(6L)._8 === false)                       // 3·n_words > n_chars
+    // ellipsis gate: 18 of them on a 10-word base → 10·18 ≥ 3·28
+    val dots = Seq((7L, "the quick brown fox and the lazy dog trot here" +
+      (" ..." * 18))).toDF("doc_id", "text")
+    val d7 = graft.ext.TextAnalysis.gopherRules(dots, "doc_id", "text",
+        minWords = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(d7._5 === 18L && d7._8 === false)
+  }
+
+  test("c4CleanLines: line predicate + page gates, hand document") {
+    val text = "This is a good sentence.\nshort.\nno terminal punctuation here\n" +
+      "Please enable JavaScript to continue.\nAnother keeper line!\n" +
+      "Quote ends well they said \""
+    val corpus = Seq((1L, text), (2L, "Fine line stays here.\nsee { code }"),
+      (3L, "Lorem Ipsum dolor sit amet.")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.c4CleanLines(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 6 lines; kept = good sentence, keeper line, quote line
+    assert(out(1L)._2 === 6L && out(1L)._3 === 3L)
+    assert(out(1L)._4 === "This is a good sentence.\nAnother keeper line!\n" +
+      "Quote ends well they said \"")
+    assert(out(1L)._5 === true)
+    // doc 2: brace kills the page even though a line survives
+    assert(out(2L)._3 === 1L && out(2L)._5 === false)
+    // doc 3: lorem ipsum page gate (case-insensitive)
+    assert(out(3L)._5 === false)
+  }
+
   test("bigramLogProb: single-token and empty docs drop; repeated bigrams count") {
     val corpus = Seq((1L, "x x x"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
     val out = graft.ext.TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
