@@ -4979,7 +4979,193 @@ object Queries {
              |u AS (SELECT doc_id, 1000000 // (60 + rk) AS c FROM ra
              |  UNION ALL SELECT doc_id, 1000000 // (60 + rk) FROM rb)
              |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS rrf_e6
-             |FROM u GROUP BY doc_id ORDER BY rrf_e6 DESC, id LIMIT 50""".stripMargin))
+             |FROM u GROUP BY doc_id ORDER BY rrf_e6 DESC, id LIMIT 50""".stripMargin)),
+
+    // ── 104. TPC-H Q7 (volume shipping): the two-nation trade-flow
+    // report — nation dims broadcast TWICE under different role names,
+    // the symmetric pair predicate closes after both decorations, one
+    // group per (supplier-nation, customer-nation, ship-year) ──────────
+    QueryDef(
+      "q_tpch_q7",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val n1 = t(s, d, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation")
+          .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        t(s, d, "supplier").join(n1, col("s_nationkey") === col("s_nkey"))
+          .join(t(s, d, "lineitem")
+              .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi),
+            col("s_suppkey") === col("l_suppkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(n2, col("c_nationkey") === col("c_nkey"))
+          .filter(
+            (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+            (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            e4(col("revenue")).as("rev_e4"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |CAST(floor(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS rev_e4
+             |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |  AND c_nationkey = n2.n_nationkey
+             |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+             |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ── 104b. TPC-H Q8 (national market share): the conditional-share
+    // agg — ECONOMY parts sold into ASIA customers, NATION_3's slice of
+    // each order-year's volume; both sums exact-decimal in ONE agg, the
+    // share division last on identical doubles (q_tpch_q14 pattern) ────
+    QueryDef(
+      "q_tpch_q8",
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "nation")
+              .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("s_nkey"))
+          .join(t(s, d, "orders")
+              .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "nation")
+              .select(col("n_nationkey").as("c_nkey"), col("n_regionkey").as("c_rkey")),
+            col("c_nationkey") === col("c_nkey"))
+          .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+            col("c_rkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            decSum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)), 4)
+              .as("nat_vol"),
+            decSum(vol, 4).as("tot_vol"))
+          .select(col("o_year"),
+            e4(col("nat_vol") / col("tot_vol")).as("mkt_share_e4"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT o_year,
+             |CAST(floor(nat_vol / tot_vol * 10000.0 + 0.5) AS BIGINT) AS mkt_share_e4
+             |FROM (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+             |    THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS nat_vol,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS tot_vol
+             |  FROM part, lineitem, supplier, nation n1, orders, customer,
+             |    nation n2, region
+             |  WHERE p_type = 'ECONOMY' AND p_partkey = l_partkey
+             |    AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+             |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n2.n_nationkey
+             |    AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY o_year)
+             |ORDER BY o_year""".stripMargin)),
+
+    // ── 104c. TPC-H Q9 analog (product-type profit): widget-line
+    // revenue by supplier nation and order year (the testdata carries no
+    // partsupp, so profit omits the supplycost term — revenue-only) ────
+    QueryDef(
+      "q_tpch_q9",
+      (s, d) =>
+        t(s, d, "part").filter(col("p_name").like("%widget%"))
+          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("profit"))
+          .select(col("nation"), col("o_year"), e4(col("profit")).as("profit_e4"))
+          .orderBy(col("nation"), col("o_year").desc),
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |CAST(floor(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS profit_e4
+             |FROM part, lineitem, supplier, nation, orders
+             |WHERE p_name LIKE '%widget%' AND p_partkey = l_partkey
+             |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             |  AND l_orderkey = o_orderkey
+             |GROUP BY n_name, o_year ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // ── 104d. TPC-H Q12 analog (late-shipment priority): ship-lag
+    // replaces the missing commit/receipt dates — lines shipped > 90
+    // days after order date in 1997, split urgent vs not per return
+    // flag; conditional integer counts in one agg ─────────────────────
+    QueryDef(
+      "q_tpch_q12",
+      (s, d) => {
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        t(s, d, "orders")
+          .join(t(s, d, "lineitem")
+              .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT" ||
+                col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+                col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders, lineitem
+             |WHERE o_orderkey = l_orderkey
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ── 104e. TPC-H Q13 analog (customer order distribution): LEFT
+    // join so zero-order customers survive into the c_count=0 bucket,
+    // the filter lives in the JOIN condition (not WHERE — the classic
+    // outer-join trap), then a second agg over the first's output ──────
+    QueryDef(
+      "q_tpch_q13",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+             |FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
