@@ -5165,7 +5165,160 @@ object Queries {
              |  FROM customer LEFT JOIN orders
              |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
              |  GROUP BY c_custkey)
-             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin))
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ── 105. TPC-H Q2 analog (minimum-cost supplier): the correlated-
+    // min decorrelation — per-(part, supplier) unit price from lineitem
+    // (no partsupp in the testdata), per-part min via a re-grouped
+    // twin joined back on DOUBLE equality (both engines derive the
+    // same IEEE division, so the min is bit-identical) ─────────────────
+    QueryDef(
+      "q_tpch_q2",
+      (s, d) => {
+        val eur = t(s, d, "supplier")
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val cost = t(s, d, "part")
+          .filter(col("p_type") === "STANDARD")
+          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .join(eur, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+            col("s_acctbal"), col("n_name"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        val mins = cost.groupBy(col("p_partkey").as("mk"))
+          .agg(min(col("cost")).as("mincost"))
+        cost.join(mins, col("p_partkey") === col("mk") &&
+            col("cost") === col("mincost"))
+          .select(e4(col("s_acctbal")).as("bal_e4"), col("s_name"), col("n_name"),
+            col("p_partkey"), e4(col("cost")).as("cost_e4"))
+          .orderBy(col("bal_e4").desc, col("s_name"), col("n_name"),
+            col("p_partkey"))
+      },
+      Some("""WITH cost AS (
+             |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             |    min(l_extendedprice / l_quantity) AS cost
+             |  FROM part, lineitem, supplier, nation, region
+             |  WHERE p_type = 'STANDARD'
+             |    AND p_partkey = l_partkey AND l_suppkey = s_suppkey
+             |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |    AND r_name = 'EUROPE'
+             |  GROUP BY 1, 2, 3, 4, 5)
+             |SELECT CAST(floor(s_acctbal*10000.0 + 0.5) AS BIGINT) AS bal_e4,
+             |s_name, n_name, p_partkey,
+             |CAST(floor(cost*10000.0 + 0.5) AS BIGINT) AS cost_e4
+             |FROM cost
+             |WHERE cost = (SELECT min(cost) FROM cost c2
+             |  WHERE c2.p_partkey = cost.p_partkey)
+             |ORDER BY bal_e4 DESC, s_name, n_name, p_partkey""".stripMargin)),
+
+    // ── 105b. TPC-H Q11 analog (important stock): part value from
+    // EUROPE-supplied lineitem revenue, kept when above 1/1000 of the
+    // scope total — the global scalar rides a broadcast single-row
+    // cross join, both threshold operands identical doubles ────────────
+    QueryDef(
+      "q_tpch_q11",
+      (s, d) => {
+        val eur = t(s, d, "supplier")
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"))
+        val value = t(s, d, "lineitem")
+          .join(eur, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("value"))
+        val total = value.agg(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double").as("total"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value") > col("total") * 0.001)
+          .select(col("l_partkey"), e4(col("value")).as("value_e4"))
+          .orderBy(col("value_e4").desc, col("l_partkey"))
+      },
+      Some("""WITH value AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |      AS DECIMAL(18,4))) AS DOUBLE) AS value
+             |  FROM lineitem, supplier, nation, region
+             |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+             |  GROUP BY l_partkey)
+             |SELECT l_partkey,
+             |CAST(floor(value*10000.0 + 0.5) AS BIGINT) AS value_e4
+             |FROM value
+             |WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,4)))
+             |  AS DOUBLE) FROM value) * 0.001
+             |ORDER BY value_e4 DESC, l_partkey""".stripMargin)),
+
+    // ── 105c. TPC-H Q15 (top supplier): quarter revenue per supplier,
+    // winners = revenue equal to the single-row broadcast max — exact-
+    // decimal sums make the double equality safe cross-engine ──────────
+    QueryDef(
+      "q_tpch_q15",
+      (s, d) => {
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1997-04-01").cast("timestamp")
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .groupBy(col("l_suppkey"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("maxrev"))
+        t(s, d, "supplier")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(top))
+          .filter(col("total_revenue") === col("maxrev"))
+          .select(col("s_suppkey"), col("s_name"),
+            e4(col("total_revenue")).as("rev_e4"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name,
+             |CAST(floor(total_revenue*10000.0 + 0.5) AS BIGINT) AS rev_e4
+             |FROM supplier, rev
+             |WHERE s_suppkey = l_suppkey
+             |  AND total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ── 105d. TPC-H Q16 analog (parts/supplier relationship): distinct
+    // supplier count per (brand, type, size) over the observed lineitem
+    // pairs, negative-balance suppliers excluded by ANTI join (the
+    // NOT IN subquery shape), Brand#5 / PROMO / size-set σ on part ─────
+    QueryDef(
+      "q_tpch_q16",
+      (s, d) => {
+        val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+        val badSupp = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_key"))
+        t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(sizes: _*))
+          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .join(badSupp, col("l_suppkey") === col("bad_key"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM part, lineitem
+             |WHERE p_partkey = l_partkey
+             |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |    WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
