@@ -5318,7 +5318,184 @@ object Queries {
              |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
              |    WHERE s_acctbal < 0)
              |GROUP BY p_brand, p_type, p_size
-             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // ── 106. TPC-H Q17 (small-quantity-order revenue): the correlated
+    // per-part average decorrelates to a groupBy twin joined back;
+    // the 0.2·avg threshold is the same double in both engines because
+    // avg is computed as exact-decimal-sum / count, division last ──────
+    QueryDef(
+      "q_tpch_q17",
+      (s, d) => {
+        val small = t(s, d, "part").filter(col("p_type") === "SMALL")
+          .select(col("p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(small, col("l_partkey") === col("p_partkey"))
+        val avgq = li.groupBy(col("l_partkey").as("ak"))
+          .agg((decSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"))
+        li.join(avgq, col("l_partkey") === col("ak"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(decSum(col("l_extendedprice"), 2).as("total"))
+          .select(e4(col("total") / 7.0).as("avg_yearly_e4"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem, part
+             |  WHERE l_partkey = p_partkey AND p_type = 'SMALL'),
+             |avgq AS (SELECT l_partkey AS ak,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             |    AS avg_qty
+             |  FROM li GROUP BY 1)
+             |SELECT CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |  AS DOUBLE) / 7.0 * 10000.0 + 0.5) AS BIGINT) AS avg_yearly_e4
+             |FROM li, avgq
+             |WHERE l_partkey = ak AND l_quantity < 0.2 * avg_qty""".stripMargin)),
+
+    // ── 106b. TPC-H Q19 analog (discounted revenue, OR-of-ANDs): three
+    // brand/size/quantity predicate blocks OR-ed inside ONE join —
+    // Catalyst extracts the common l_partkey = p_partkey equi-key and
+    // keeps the disjunction as a residual, no cartesian fallback ───────
+    QueryDef(
+      "q_tpch_q19",
+      (s, d) => {
+        val b1 = col("p_brand") === "Brand#1" && col("p_size") <= 25 &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 20
+        val b2 = col("p_brand") === "Brand#2" && col("p_size") <= 30 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 30
+        val b3 = col("p_brand") === "Brand#3" && col("p_size") <= 40 &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 40
+        t(s, d, "lineitem")
+          .join(t(s, d, "part"),
+            col("l_partkey") === col("p_partkey") && (b1 || b2 || b3))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"), count(lit(1)).as("n"))
+          .select(e4(col("revenue")).as("rev_e4"), col("n"))
+      },
+      Some("""SELECT CAST(floor(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS rev_e4,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey AND (
+             |  (p_brand = 'Brand#1' AND p_size <= 25
+             |    AND l_quantity BETWEEN 1 AND 20)
+             |  OR (p_brand = 'Brand#2' AND p_size <= 30
+             |    AND l_quantity BETWEEN 10 AND 30)
+             |  OR (p_brand = 'Brand#3' AND p_size <= 40
+             |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin)),
+
+    // ── 106c. TPC-H Q20 analog (part promotion): suppliers who moved
+    // > 50 units of any red part in 1997 — HAVING on the (supplier,
+    // part) volume agg, then DISTINCT suppliers SEMI-join the supplier
+    // dim (the nested-IN chain decorrelated bottom-up) ─────────────────
+    QueryDef(
+      "q_tpch_q20",
+      (s, d) => {
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val red = t(s, d, "part").filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))
+        val movers = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+          .join(red, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(decSum(col("l_quantity"), 2).as("qty"))
+          .filter(col("qty") > 50.0)
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), e4(col("s_acctbal")).as("bal_e4"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |CAST(floor(s_acctbal*10000.0 + 0.5) AS BIGINT) AS bal_e4
+             |FROM supplier WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem, part
+             |  WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY l_suppkey, l_partkey
+             |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ── 106d. TPC-H Q21 analog (suppliers who kept orders waiting):
+    // the EXISTS + NOT-EXISTS double correlation on the SAME table —
+    // semi join (another supplier contributed to the order) then anti
+    // join (no OTHER supplier was late), ship-lag > 60 days standing in
+    // for the missing commit/receipt dates; numwait counts l1 lines ────
+    QueryDef(
+      "q_tpch_q21",
+      (s, d) => {
+        val l1 = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val lAll = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ao"), col("l_suppkey").as("asupp"))
+          .distinct()
+        val lLate = l1.select(col("l_orderkey").as("bo"), col("l_suppkey").as("bsupp"))
+          .distinct()
+        l1.join(lAll, col("l_orderkey") === col("ao") &&
+            col("l_suppkey") =!= col("asupp"), "left_semi")
+          .join(lLate, col("l_orderkey") === col("bo") &&
+            col("l_suppkey") =!= col("bsupp"), "left_anti")
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM lineitem l1, orders, supplier
+             |WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND l1.l_suppkey = s_suppkey
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_orderkey = o3.o_orderkey AND o3.o_orderstatus = 'F'
+             |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // ── 106e. TPC-H Q22 analog (global sales opportunity): nationkey
+    // mod 10 stands in for the phone country code — rich (above scoped
+    // positive-balance average) customers with NO orders, the scalar
+    // average broadcast, the no-orders test an ANTI join ───────────────
+    QueryDef(
+      "q_tpch_q22",
+      (s, d) => {
+        val codes = Seq(0, 1, 2, 3, 4)
+        val scoped = t(s, d, "customer")
+          .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)).cast("long"))
+          .filter(col("cntrycode").isin(codes: _*))
+        val avgBal = scoped.filter(col("c_acctbal") > 0.0)
+          .agg((decSum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+        scoped.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(t(s, d, "orders")
+              .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("cntrycode"))
+          .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("tot"))
+          .select(col("cntrycode"), col("numcust"), e4(col("tot")).as("totacctbal_e4"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""WITH scoped AS (SELECT c_custkey, c_acctbal,
+             |    CAST(c_nationkey % 10 AS BIGINT) AS cntrycode
+             |  FROM customer WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4)),
+             |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+             |    AS DOUBLE) / count(*) AS avg_bal
+             |  FROM scoped WHERE c_acctbal > 0.0)
+             |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+             |CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |  *10000.0 + 0.5) AS BIGINT) AS totacctbal_e4
+             |FROM scoped, ab
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
