@@ -151,7 +151,37 @@ object PlanCheck {
       ("q_bigram_lm", "bigram LM: unigram vocab broadcast, no cartesian",
         p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
       ("q_rrf", "rrf: integer fold over pre-ranked inputs, no join at fuse time",
-        p => !p.contains("Cartesian"))
+        p => !p.contains("Cartesian")),
+      ("q_tpch_q7", "Q7: both nation roles broadcast, no cartesian",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_tpch_q8", "Q8: snowflake dims broadcast, share in ONE conditional agg",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")
+          && p.split("HashAggregate").length >= 3),
+      ("q_tpch_q9", "Q9: part/supplier/nation broadcast, no cartesian",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian")),
+      ("q_tpch_q12", "Q12: orderkey equi-join with lag residual, partial+final agg",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")
+          && p.split("HashAggregate").length >= 3),
+      ("q_tpch_q13", "Q13: outer join keeps filter in join condition, no cartesian",
+        p => !p.contains("Cartesian") && p.split("HashAggregate").length >= 3),
+      ("q_tpch_q2", "Q2: correlated min decorrelates to equi joins, no cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_tpch_q11", "Q11: global threshold rides a 1-row broadcast (no shuffle)",
+        p => p.contains("BroadcastNestedLoop") && !p.contains("Cartesian")),
+      ("q_tpch_q15", "Q15: max-revenue scalar broadcast, winners by equality",
+        p => p.contains("BroadcastExchange") && !p.contains("Cartesian")),
+      ("q_tpch_q16", "Q16: complaint suppliers excluded by ANTI join, no cartesian",
+        p => p.contains("Anti") && !p.contains("Cartesian")),
+      ("q_tpch_q17", "Q17: per-part avg joins back on the partkey only",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_tpch_q19", "Q19: OR-of-ANDs keeps the partkey equi-key (no BNLJ)",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_tpch_q20", "Q20: nested-IN chain as SEMI join, no cartesian",
+        p => p.contains("Semi") && !p.contains("Cartesian")),
+      ("q_tpch_q21", "Q21: EXISTS semi + NOT-EXISTS anti on orderkey, no cartesian",
+        p => p.contains("Semi") && p.contains("Anti") && !p.contains("Cartesian")),
+      ("q_tpch_q22", "Q22: no-recent-orders as ANTI join, avg broadcast",
+        p => p.contains("Anti") && !p.contains("Cartesian"))
     )
 
     var failed = 0
