@@ -286,6 +286,33 @@ object Queries {
     sb.toString
   }
 
+  /** DuckDB twin of [[graft.ext.Graph.labelPropagation]] over the
+    * q_pagerank edge construction: fixed rounds unrolled, the
+    * deterministic (count desc, label asc) argmax replayed with a
+    * row_number window per round. */
+  private def labelPropSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS (SELECT DISTINCT l_orderkey % 500 AS a,
+        |  l_partkey % 500 AS b FROM lineitem
+        |  WHERE l_orderkey % 500 <> l_partkey % 500),
+        |adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT a AS node FROM adj),
+        |l0 AS (SELECT node, node AS lbl FROM nodes)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |v$i AS (SELECT adj.a, l.lbl, count(*) AS c FROM adj
+        |  JOIN l${i - 1} l ON adj.b = l.node GROUP BY 1, 2),
+        |w$i AS (SELECT a, lbl FROM (SELECT a, lbl,
+        |  row_number() OVER (PARTITION BY a ORDER BY c DESC, lbl) AS rn
+        |  FROM v$i) WHERE rn = 1),
+        |l$i AS (SELECT node, coalesce(w$i.lbl, node) AS lbl
+        |  FROM nodes LEFT JOIN w$i ON node = w$i.a)""".stripMargin
+    }
+    sb ++= s"""\nSELECT CAST(node AS BIGINT) AS node,
+      |CAST(lbl AS BIGINT) AS lbl FROM l$rounds ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.ext.Graph.hits]] over the q_hits edge
     * construction — the [[pageRankSql]] unrolling applied to the
     * hub/authority mutual recursion with integer max-norm rescales. */
@@ -5495,7 +5522,54 @@ object Queries {
              |WHERE c_acctbal > avg_bal
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
              |    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
-             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    // ── 107. deterministic synchronous label propagation, 3 rounds
+    // over the q_pagerank projection: the (count desc, label asc)
+    // argmax replaces the paper's random tie-break so DuckDB can
+    // replay every round exactly (unrolled CTEs, pagerank pattern) ─────
+    QueryDef(
+      "q_label_prop",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 500).cast("long").as("src"),
+          (col("l_partkey") % 500).cast("long").as("dst"))
+        graft.ext.Graph.labelPropagation(e, "src", "dst", rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some(labelPropSql(3))),
+
+    // ── 107b. Adamic-Adar + common-neighbor link prediction over the
+    // sparse q_triangles projection: witness-blocked pair generation
+    // (never all-pairs), hub witnesses capped at deg 64, per-witness
+    // weight floor(10⁶/ln deg) integer-summed; top-200 predicted ───────
+    QueryDef(
+      "q_adamic_adar",
+      (s, d) => {
+        val e = t(s, d, "lineitem").filter(col("l_quantity") > 45).select(
+          (col("l_orderkey") % 2000).cast("long").as("src"),
+          (col("l_partkey") % 2000).cast("long").as("dst"))
+        graft.ext.Graph.adamicAdar(e, "src", "dst", maxWitnessDeg = 64L)
+          .orderBy(col("aa_e6").desc, col("u"), col("w"))
+          .limit(200)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT l_orderkey % 2000 AS a,
+             |    l_partkey % 2000 AS b
+             |  FROM lineitem WHERE l_quantity > 45
+             |    AND l_orderkey % 2000 <> l_partkey % 2000),
+             |adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+             |deg AS (SELECT a AS v, count(*) AS deg FROM adj GROUP BY 1),
+             |wit AS (SELECT adj.a AS v, adj.b AS n,
+             |    CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w6
+             |  FROM adj JOIN deg ON adj.a = deg.v WHERE deg <= 64),
+             |cand AS (SELECT x.v, x.n AS u, y.n AS w, x.w6
+             |  FROM wit x JOIN wit y ON x.v = y.v AND x.n < y.n)
+             |SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS w,
+             |CAST(count(*) AS BIGINT) AS cn, CAST(sum(w6) AS BIGINT) AS aa_e6
+             |FROM cand
+             |WHERE NOT EXISTS (SELECT 1 FROM adj
+             |  WHERE adj.a = cand.u AND adj.b = cand.w)
+             |GROUP BY u, w ORDER BY aa_e6 DESC, u, w LIMIT 200""".stripMargin))
   )
 
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -327,4 +327,99 @@ object Graph {
     }
     visited
   }
+
+  /** Synchronous label propagation (Raghavan 2007, "Near linear time
+    * algorithm to detect community structures in large-scale
+    * networks", Phys. Rev. E 76 — the standard cheap community
+    * detector), `rounds` fixed rounds with a DETERMINISTIC update in
+    * place of the paper's random tie-break:
+    *
+    *   label⁰(v)   = v
+    *   labelᵏ⁺¹(v) = argmax over neighbor labels by (count desc,
+    *                 label asc); own label kept when v has no neighbor
+    *
+    * Fixed rounds + total-order tie-break make every round replicable
+    * from first principles (the q_label_prop oracle unrolls the same
+    * rounds in DuckDB); synchronous LPA may oscillate on bipartite
+    * structures — callers pick `rounds`, the round output is exact
+    * either way. Edges are symmetrized and deduped here; self-loops
+    * dropped (a self-vote would freeze every label).
+    *
+    * Scale shape per round: ONE nbr-keyed equi-join (labels onto the
+    * adjacency — labels are the N-row small side), ONE (node, label)
+    * partial+final count, ONE node-keyed min-struct agg (map-side
+    * combine collapses hot nodes), labels `localCheckpoint` each
+    * round ([[pageRank]]'s lineage-cut pattern). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = e0.union(e0.select(col("b"), col("a")))
+      .distinct().localCheckpoint(true) // (node, nbr) both directions
+    val nodes = adj.select(col("a").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select(col("node").as("nb"), col("lbl")),
+          adj("b") === col("nb"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      val winners = votes
+        .groupBy(col("a"))
+        .agg(min(struct((lit(0L) - col("c")).as("nc"), col("lbl"))).as("w"))
+        .select(col("a").as("node"), col("w.lbl").as("lbl"))
+      labels = labels.select(col("node"))
+        .join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Common-neighbor and Adamic-Adar link prediction scores (Adamic &
+    * Adar 2003, "Friends and neighbors on the web", Social Networks
+    * 25:3; Liben-Nowell & Kleinberg 2007 JASIST) for non-adjacent
+    * node pairs sharing at least one neighbor:
+    *
+    *   cn(u,w)    = |Γ(u) ∩ Γ(w)|
+    *   aa_e6(u,w) = Σ_{v ∈ Γ(u) ∩ Γ(w)} floor(10⁶ / ln deg(v))
+    *
+    * The per-witness weight is quantized to integer e6 units BEFORE
+    * the sum, so the aggregate is an integer — partial-sum order
+    * can't move a bit and DuckDB replays it exactly (ln on identical
+    * doubles is IEEE-identical). deg(v) ≥ 2 always holds for a
+    * witness (it has two distinct neighbors), so ln > 0.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * witnesses (the inverted-index blocking of [[Dedup]] applied to
+    * adjacency): witnesses with degree > `maxWitnessDeg` are dropped
+    * — the standard hub cap; a celebrity node's deg² pair fan-out
+    * would dominate cost while contributing the least-informative
+    * 1/ln(deg) weight. One witness-keyed self-join, one ANTI join
+    * against the edge list (predict only NEW links), one (u,w)
+    * integer agg. Never all-pairs. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxWitnessDeg: Long = 64L): DataFrame = {
+    require(maxWitnessDeg >= 2, s"maxWitnessDeg must be >= 2, got $maxWitnessDeg")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = e0.union(e0.select(col("b"), col("a")))
+      .distinct().localCheckpoint(true)
+    val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val witness = adj.select(col("a").as("v"), col("b").as("n"))
+      .join(deg.filter(col("deg") <= maxWitnessDeg), Seq("v"))
+      .withColumn("w6", floor(lit(1000000.0) / log(col("deg").cast("double")))
+        .cast("long"))
+      .localCheckpoint(true)
+    val cand = witness.select(col("v"), col("n").as("u"), col("w6"))
+      .join(witness.select(col("v"), col("n").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+    cand
+      .join(adj, cand("u") === adj("a") && cand("w") === adj("b"), "left_anti")
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("cn"), sum(col("w6")).as("aa_e6"))
+  }
 }
