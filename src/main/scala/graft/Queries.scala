@@ -32,16 +32,24 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a long and truncate ns→µs with
-    * exact integer division (double division would lose sub-µs bits at
-    * 2024-epoch magnitudes). DuckDB keeps ns — all declared queries only
-    * compare/emit at ≥second granularity or strict inequalities, where the
-    * sub-µs difference is immaterial. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Normalize events.ts across the testdata generations the driver has
+    * shipped: TIMESTAMP(NANOS) (which Spark rejects —
+    * [PARQUET_TYPE_ILLEGAL] — so it is read as a long under
+    * `nanosAsLong` and truncated ns→µs with exact integer division;
+    * double division would lose sub-µs bits at 2024-epoch magnitudes),
+    * plain µs TIMESTAMP, and isAdjustedToUTC=false µs (TIMESTAMP_NTZ;
+    * the session timezone is pinned to UTC, so the NTZ→LTZ cast is a
+    * byte-exact reinterpretation). DuckDB reads the file natively — all
+    * declared queries only compare/emit at ≥second granularity or
+    * strict inequalities, where sub-µs differences are immaterial. */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Deterministic synthetic genotype matrix for the genetics-kernel
@@ -5561,7 +5569,8 @@ object Queries {
              |deg AS (SELECT a AS v, count(*) AS deg FROM adj GROUP BY 1),
              |wit AS (SELECT adj.a AS v, adj.b AS n,
              |    CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w6
-             |  FROM adj JOIN deg ON adj.a = deg.v WHERE deg <= 64),
+             |  FROM adj JOIN deg ON adj.a = deg.v
+             |  WHERE deg BETWEEN 2 AND 64),
              |cand AS (SELECT x.v, x.n AS u, y.n AS w, x.w6
              |  FROM wit x JOIN wit y ON x.v = y.v AND x.n < y.n)
              |SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS w,

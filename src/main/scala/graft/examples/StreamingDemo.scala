@@ -20,9 +20,7 @@ object StreamingDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Queries.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .collect()

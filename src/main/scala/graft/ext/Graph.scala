@@ -389,8 +389,10 @@ object Graph {
     * The per-witness weight is quantized to integer e6 units BEFORE
     * the sum, so the aggregate is an integer — partial-sum order
     * can't move a bit and DuckDB replays it exactly (ln on identical
-    * doubles is IEEE-identical). deg(v) ≥ 2 always holds for a
-    * witness (it has two distinct neighbors), so ln > 0.
+    * doubles is IEEE-identical). Degree-1 nodes are excluded from the
+    * witness set up front: they can never produce a u<w pair anyway,
+    * and their ln(1)=0 weight would divide by zero (ANSI) before the
+    * pair join got a chance to drop them.
     *
     * Scale shape: candidate pairs are generated ONLY through shared
     * witnesses (the inverted-index blocking of [[Dedup]] applied to
@@ -410,7 +412,7 @@ object Graph {
       .distinct().localCheckpoint(true)
     val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
     val witness = adj.select(col("a").as("v"), col("b").as("n"))
-      .join(deg.filter(col("deg") <= maxWitnessDeg), Seq("v"))
+      .join(deg.filter(col("deg").between(2L, maxWitnessDeg)), Seq("v"))
       .withColumn("w6", floor(lit(1000000.0) / log(col("deg").cast("double")))
         .cast("long"))
       .localCheckpoint(true)
