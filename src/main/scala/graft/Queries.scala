@@ -43,11 +43,33 @@ object Queries {
     * declared queries only compare/emit at ≥second granularity or
     * strict inequalities, where sub-µs differences are immaterial. */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val path = s"$dir/events.parquet"
+    // Probe-read first: `nanosAsLong` is mutated ONLY when the file is
+    // genuinely TIMESTAMP(NANOS) (schema inference throws
+    // PARQUET_TYPE_ILLEGAL without it). Once set it must STAY set for
+    // the returned frame's lifetime — the parquet scan consults the
+    // session conf again at action time, so a restore-after-read would
+    // break execution; scoping to nanos files keeps every other
+    // session's parquet reads untouched.
+    def isNanosReject(t: Throwable): Boolean = t != null &&
+      ((t.getMessage != null && t.getMessage.contains("PARQUET_TYPE_ILLEGAL")) ||
+        isNanosReject(t.getCause))
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception if isNanosReject(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ→LTZ is a byte-exact reinterpretation ONLY under UTC; a
+        // non-UTC session would silently shift every event, so refuse.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Queries.events requires spark.sql.session.timeZone=UTC to " +
+            "reinterpret TIMESTAMP_NTZ event times without shifting them")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

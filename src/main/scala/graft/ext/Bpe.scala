@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -178,7 +179,7 @@ object Bpe {
     * the classic pre-aggregation: training state is the (word, freq)
     * VOCABULARY, corpus-size-independent); each merge round is one
     * pair-keyed partial+final sum over the vocab plus a map-only fold
-    * rewriting symbol arrays, `localCheckpoint` per round. The argmax
+    * rewriting symbol arrays, [[graft.core.Checkpoints.cut]] per round. The argmax
     * is a 1-row driver action per round (the [[Ivf]] k-means training
     * convention). 50k-merge production runs batch fine — each round's
     * shuffle is |vocab| rows of a few dozen bytes. */
@@ -191,7 +192,7 @@ object Bpe {
       .filter(length(col("_w")) > 0)
       .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
       .select(split(col("_w"), "").as("_syms"), col("_f"))
-      .localCheckpoint(true)
+      .cut
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
@@ -220,7 +221,7 @@ object Bpe {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat(element_at(acc, -1), s))))
               .otherwise(concat(acc, array(s)))))
-          .localCheckpoint(true)
+          .cut
       }
     }
     merges.toSeq

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.CutOps
 import TextHash._
 
 /** Deduplication operators for document corpora.
@@ -132,7 +133,7 @@ object Dedup {
     // (two scalars/doc checkpointed; the cheap flip-key explode is
     // recomputed per side — same discipline as semanticCandidatePairs)
     val sims = withSimhash(corpus.select(col(idCol), col(textCol)), textCol, bits, "_sim")
-      .select(col(idCol), col("_sim")).localCheckpoint(true)
+      .select(col(idCol), col("_sim")).cut
     val keyed = sims.select(col(idCol), col("_sim"), explode(array(
       col("_sim") +: (0 until bits).map(k => col("_sim").bitwiseXOR(lit(1L << k))): _*)).as("_key"))
     keyed.select(col("_key"), col(idCol).as("_lo"), col("_sim").as("_sa"))
@@ -194,7 +195,7 @@ object Dedup {
     // never the text)
     val shingled = docs.withColumn("_whs", wordHashes(col(textCol)))
       .select(col(idCol), array_distinct(shingleHashes(col("_whs"), n)).as("_sh"))
-      .localCheckpoint(true)
+      .cut
     val posting = shingled
       .select(col(idCol), explode(col("_sh")).as("_g"))
     val evidential = posting.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
@@ -247,7 +248,7 @@ object Dedup {
     // sides don't each re-run the codegen bucketing over the vectors
     val keys = ids.select(col(idCol), posexplode(array((0 until bands).map { b =>
       Similarity.lshBucket(col(vecCol), dim, bits, b * bits)
-    }: _*)).as(Seq("_band", "_bucket"))).localCheckpoint(true)
+    }: _*)).as(Seq("_band", "_bucket"))).cut
     val cand = keys.select(col("_band"), col("_bucket"), col(idCol).as("_lo"))
       .join(keys.select(col("_band"), col("_bucket"), col(idCol).as("_hi")),
         Seq("_band", "_bucket"))
@@ -317,7 +318,7 @@ object Dedup {
     // expensive part, and without a checkpoint both join sides would
     // recompute it and ride the cell shuffle twice.
     val celled = Ivf.withCell(corpus.select(col(idCol), col(vecCol)),
-      vecCol, centroids, "_cell").localCheckpoint(true)
+      vecCol, centroids, "_cell").cut
     val a = celled.select(col("_cell"), col(idCol).as("_lo"), col(vecCol).as("_vl"))
     val b = celled.select(col("_cell"), col(idCol).as("_hi"), col(vecCol).as("_vh"))
     a.join(b, Seq("_cell"))
@@ -352,7 +353,7 @@ object Dedup {
     *
     * Scale notes: the input is the VERIFIED candidate edge set, which is
     * tiny relative to the corpus (post-banding, post-threshold) — each
-    * round is one small join+groupBy shuffle, and `localCheckpoint`
+    * round is one small join+groupBy shuffle, and [[graft.core.Checkpoints.cut]]
     * truncates the lineage so plans don't grow with iteration count.
     * Each round combines edge relaxation (min over neighbor labels) with
     * POINTER DOUBLING (min over the label's own label, comp[comp]), so
@@ -367,9 +368,9 @@ object Dedup {
                          maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .union(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
-      .distinct().localCheckpoint()
+      .distinct().cut
     var labels = sym.select(col("_a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).cut
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -396,7 +397,7 @@ object Dedup {
         .join(hop, col("comp") === col("_cid"), "left")
         .select(col("id"), col("_prev"),
           least(col("comp"), coalesce(col("_cc"), col("comp"))).as("comp"))
-      val next = chase(chase(relaxed)).localCheckpoint()
+      val next = chase(chase(relaxed)).cut
       // labels only ever decrease: any strict drop means another round
       done = next.filter(col("comp") < col("_prev")).isEmpty
       labels = next.select(col("id"), col("comp"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.CutOps
 
 /** Link-graph operators for crawl curation — ranking a web corpus's
   * pages by link structure is the classic crawl-prioritization /
@@ -35,7 +36,7 @@ object Graph {
     * Scale shape: per iteration ONE src-keyed equi-join (ranks onto
     * edges — the rank table is the small, N-row side; edges stay put)
     * and ONE dst-keyed partial+final integer sum; the dangling pool is
-    * a scalar aggregate. Ranks `localCheckpoint` each round (the
+    * a scalar aggregate. Ranks [[graft.core.Checkpoints.cut]] each round (the
     * iterative-plan house pattern — [[Dedup.transitiveClusters]]), so
     * the lineage stays one round deep. Self-loops and parallel edges
     * are honored as given; callers dedup upstream if unwanted. */
@@ -48,13 +49,13 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .cut
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .cut
     val n = nodes.count()
     val teleport = (100L - dampingPct) * 10000000L
     var ranks = nodes.withColumn("rk", lit(1000000000L))
-      .localCheckpoint(true)
+      .cut
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
       // dangling share stays IN the plan as a 1-row broadcast (a driver
@@ -71,7 +72,7 @@ object Graph {
           (lit(teleport) +
             expr(s"(coalesce(m, 0L) + _share) * $dampingPct div 100")
           ).as("rk"))
-        .localCheckpoint(true)
+        .cut
     }
     ranks
   }
@@ -95,19 +96,19 @@ object Graph {
     *
     * Scale shape per iteration: two edge-keyed integer sums + two
     * 1-row max broadcasts ([[pageRank]]'s in-plan scalar pattern),
-    * `localCheckpoint` lineage cuts. */
+    * [[graft.core.Checkpoints.cut]] lineage cuts. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+      col(dstCol).cast("long").as("dst")).cut
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .cut
     var scores = nodes
       .withColumn("hub", lit(1000000L))
       .withColumn("auth", lit(1000000L))
-      .localCheckpoint(true)
+      .cut
     for (_ <- 1 to iters) {
       val aRaw = scores.join(e, scores("node") === e("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("_a"))
@@ -117,7 +118,7 @@ object Graph {
         .crossJoin(broadcast(aMax))
         .select(col("node"), col("hub"),
           expr("coalesce(_a, 0L) * 1000000L div _am").as("auth"))
-        .localCheckpoint(true)
+        .cut
       val hRaw = withA.select(col("node").as("_v"), col("auth"))
         .join(e, col("_v") === e("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("_h"))
@@ -128,7 +129,7 @@ object Graph {
         .select(col("node"),
           expr("coalesce(_h, 0L) * 1000000L div _hm").as("hub"),
           col("auth"))
-        .localCheckpoint(true)
+        .cut
     }
     scores
   }
@@ -165,14 +166,14 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .cut
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .cut
     val teleport = (100L - dampingPct) * 10000000L
     val isSeed = col("node").isin(seeds: _*)
     var ranks = nodes
       .withColumn("rk", when(isSeed, lit(1000000000L)).otherwise(lit(0L)))
-      .localCheckpoint(true)
+      .cut
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
       val share = withDeg.filter(col("d").isNull)
@@ -187,7 +188,7 @@ object Graph {
           (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
             expr(s"(coalesce(m, 0L) + if(node in (${seeds.mkString(",")})," +
               s" _share, 0L)) * $dampingPct div 100")).as("rk"))
-        .localCheckpoint(true)
+        .cut
     }
     ranks
   }
@@ -207,7 +208,7 @@ object Graph {
     *
     * Scale shape per round: one node-keyed degree count over the
     * surviving pair list + two semi joins pruning edges to surviving
-    * endpoints; pairs `localCheckpoint` each round. Never touches
+    * endpoints; pairs [[graft.core.Checkpoints.cut]] each round. Never touches
     * anything quadratic. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int): DataFrame = {
@@ -218,7 +219,7 @@ object Graph {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .cut
     var deg = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -227,7 +228,7 @@ object Graph {
       pairs = pairs
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .cut
       deg = pairs.select(col("a").as("node"))
         .union(pairs.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -264,7 +265,7 @@ object Graph {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .cut
     val deg = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -277,7 +278,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+      .cut
     val wedges = oriented.select(col("u"), col("v").as("x"))
       .join(oriented.select(col("u"), col("v").as("y")), Seq("u"))
       .filter(col("x") < col("y")) // canonical wedge: closure key is {x,y}
@@ -302,7 +303,7 @@ object Graph {
     *
     * Scale shape per hop: one src-keyed equi-join (frontier is the
     * small side), one hop-dedup agg, one anti-join against visited;
-    * frontier and visited `localCheckpoint` each round (the iterative
+    * frontier and visited [[graft.core.Checkpoints.cut]] each round (the iterative
     * house pattern — lineage stays one round deep). Fixed `maxHops`
     * rounds keep the job count deterministic; an emptied frontier
     * makes the remaining rounds no-op joins. */
@@ -315,15 +316,15 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     var visited = sources.distinct.toDF("node")
-      .withColumn("hop", lit(0)).localCheckpoint(true)
+      .withColumn("hop", lit(0)).cut
     var frontier = visited
     for (h <- 1 to maxHops) {
       val reached = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
       frontier = reached.join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint(true)
-      visited = visited.union(frontier).localCheckpoint(true)
+        .cut
+      visited = visited.union(frontier).cut
     }
     visited
   }
@@ -348,7 +349,7 @@ object Graph {
     * Scale shape per round: ONE nbr-keyed equi-join (labels onto the
     * adjacency — labels are the N-row small side), ONE (node, label)
     * partial+final count, ONE node-keyed min-struct agg (map-side
-    * combine collapses hot nodes), labels `localCheckpoint` each
+    * combine collapses hot nodes), labels [[graft.core.Checkpoints.cut]] each
     * round ([[pageRank]]'s lineage-cut pattern). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
@@ -357,10 +358,10 @@ object Graph {
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val adj = e0.union(e0.select(col("b"), col("a")))
-      .distinct().localCheckpoint(true) // (node, nbr) both directions
+      .distinct().cut // (node, nbr) both directions
     val nodes = adj.select(col("a").as("node")).distinct()
-      .localCheckpoint(true)
-    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
+      .cut
+    var labels = nodes.withColumn("lbl", col("node")).cut
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(labels.select(col("node").as("nb"), col("lbl")),
@@ -373,7 +374,7 @@ object Graph {
       labels = labels.select(col("node"))
         .join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
-        .localCheckpoint(true)
+        .cut
     }
     labels
   }
@@ -409,13 +410,13 @@ object Graph {
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val adj = e0.union(e0.select(col("b"), col("a")))
-      .distinct().localCheckpoint(true)
+      .distinct().cut
     val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
     val witness = adj.select(col("a").as("v"), col("b").as("n"))
       .join(deg.filter(col("deg").between(2L, maxWitnessDeg)), Seq("v"))
       .withColumn("w6", floor(lit(1000000.0) / log(col("deg").cast("double")))
         .cast("long"))
-      .localCheckpoint(true)
+      .cut
     val cand = witness.select(col("v"), col("n").as("u"), col("w6"))
       .join(witness.select(col("v"), col("n").as("w")), Seq("v"))
       .filter(col("u") < col("w"))

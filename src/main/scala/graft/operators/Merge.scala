@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.CutOps
 
 /** Table-maintenance operators: latest-wins upsert (the MERGE INTO of
   * changelog ingestion, without a table format) and SCD-2 validity
@@ -71,7 +72,7 @@ object Merge {
     * dropping them would leave a fully-tombstoned bucket with no output
     * rows, and dynamic overwrite never rewrites a partition it emits
     * nothing for, so the dead rows would survive. The merged frame is
-    * MATERIALIZED (eager localCheckpoint) before the write: the
+    * MATERIALIZED (eager [[graft.core.Checkpoints.cut]]) before the write: the
     * overwrite targets files its own plan just read (SURVEY §7.1
     * self-append lesson). Same non-transactional replay caveat as
     * DocPipeline.streamIncremental: upsert is idempotent per
@@ -97,7 +98,7 @@ object Merge {
                 .filter(col("_bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
             else batch.limit(0)
           val merged = upsert(existing, batch, keys, versionCol, deleteCol = None)
-            .localCheckpoint(true) // materialize BEFORE overwriting inputs
+            .cut // materialize BEFORE overwriting inputs
           val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           try merged.write.mode("overwrite").partitionBy("_bucket").parquet(storePath)

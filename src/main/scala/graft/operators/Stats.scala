@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.CutOps
 import graft.functions.GenotypeKernels._
 
 /** Per-variant and per-dataset statistics (`variation6/stats.py`).
@@ -737,7 +738,7 @@ object Stats {
     * (checkpointed — reused every round); each round is two
     * edge-keyed joins + an anti-join on a frame that SHRINKS by at
     * least the eliminated set, with [[Dedup.transitiveClusters]]-style
-    * `localCheckpoint` lineage cuts. Rounds needed = LD-graph
+    * [[graft.core.Checkpoints.cut]] lineage cuts. Rounds needed = LD-graph
     * "greedy depth", ≤ the longest better-ordered chain — single
     * digits on real panels (LD blocks are short-range). Positions
     * must be unique (the genetics position-key contract). */
@@ -748,9 +749,9 @@ object Stats {
       .select(col("pos_a"), col("pos_b"))
     val sym = sym0.select(col("pos_a").as("_p"), col("pos_b").as("_q"))
       .unionByName(sym0.select(col("pos_b").as("_p"), col("pos_a").as("_q")))
-      .localCheckpoint(true)
+      .cut
     val all = df.select(col(posCol).as("_p"), col(scoreCol).as("_s"))
-      .localCheckpoint(true)
+      .cut
     // rounds fix the INDEX SET only (the lexicographically-first MIS of
     // the order); claims just leave candidacy. Assignment happens once
     // at the end against the FINAL index set — a round-time assignment
@@ -769,14 +770,14 @@ object Stats {
           col("_qs") < col("_s") || (col("_qs") === col("_s") && col("_q") < col("_p")))
         .select(col("_p")).distinct()
       val indexes = remaining.join(dominated, Seq("_p"), "left_anti")
-        .localCheckpoint(true)
+        .cut
       val claimed = live
         .join(indexes.select(col("_p").as("_q")), Seq("_q"))
         .select(col("_p")).distinct()
-      indexAcc = indexAcc.unionByName(indexes).localCheckpoint(true)
+      indexAcc = indexAcc.unionByName(indexes).cut
       remaining = remaining
         .join(indexes.select(col("_p")).unionByName(claimed), Seq("_p"), "left_anti")
-        .localCheckpoint(true)
+        .cut
       it += 1
     }
     if (!remaining.isEmpty)

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints
+import graft.ext.{Dedup, Graph}
+
+/** Reliable-checkpoint opt-in (VERDICT r9 task #1): with
+  * `spark.graft.checkpointDir` set, every iterative lineage cut goes to
+  * the reliable checkpoint store instead of executor-local blocks — so
+  * a preemptible cluster resumes a round from storage instead of dying.
+  * These specs prove (a) results are bit-identical to the local
+  * default, (b) round state really lands in the reliable dir, (c) the
+  * checkpointed frame survives with its lineage truncated (recompute
+  * reads the store, not the severed parent plan). */
+class CheckpointSpec extends SparkTestBase {
+
+  private def rddDirs(root: Path): Seq[Path] =
+    if (!Files.exists(root)) Seq.empty
+    else Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+
+  private def withReliable[A](body: Path => A): A = {
+    val dir = Files.createTempDirectory("graft-ckpt")
+    spark.conf.set(Checkpoints.DirConf, dir.toString)
+    try body(dir)
+    finally spark.conf.unset(Checkpoints.DirConf)
+  }
+
+  test("cut: conf unset keeps the local default; set routes to the reliable dir") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // default: localCheckpoint — no reliable files anywhere
+    val local = Checkpoints.cut(df)
+    assert(local.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    withReliable { dir =>
+      val reliable = Checkpoints.cut(df)
+      assert(reliable.orderBy("id").as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b")))
+      assert(rddDirs(dir).nonEmpty,
+        s"expected reliable checkpoint data under $dir")
+    }
+  }
+
+  test("pageRank: reliable rounds persist per-iteration state, same ranks") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    val localRanks = Graph.pageRank(e, "s", "t", 3).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    withReliable { dir =>
+      val reliableRanks = Graph.pageRank(e, "s", "t", 3).orderBy("node")
+        .as[(Long, Long)].collect().toSeq
+      assert(reliableRanks === localRanks)
+      // 3 iterations + nodes/deg/init cuts — several rounds in the store
+      assert(rddDirs(dir).size >= 4,
+        s"expected one reliable checkpoint per round, found ${rddDirs(dir).size}")
+    }
+  }
+
+  test("transitiveClusters: reliable rounds match the local default") {
+    import spark.implicits._
+    // two chains that must collapse to their min ids: 1-2-3-4 and 10-11
+    val e = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("10", "11")).toDF("x", "y")
+    val local = Dedup.transitiveClusters(e, "x", "y").orderBy("id")
+      .as[(String, String)].collect().toSeq
+    withReliable { dir =>
+      val reliable = Dedup.transitiveClusters(e, "x", "y").orderBy("id")
+        .as[(String, String)].collect().toSeq
+      assert(reliable === local)
+      assert(rddDirs(dir).nonEmpty)
+    }
+  }
+
+  test("cut: reliable frame recomputes from the store after the cut") {
+    import spark.implicits._
+    withReliable { dir =>
+      val base = Seq(1L, 2L, 3L).toDF("id")
+      val cutFrame = Checkpoints.cut(base.withColumn("sq", col("id") * col("id")))
+      // lineage is truncated: the physical plan scans the checkpoint,
+      // not the parent LocalRelation
+      val plan = cutFrame.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LocalRelation") || plan.contains("Scan"),
+        s"expected checkpoint-backed plan, got:\n$plan")
+      // a SECOND action after the first must still produce the rows —
+      // i.e. the stored round is re-readable (resume), not a one-shot
+      assert(cutFrame.agg(sum("sq")).as[Long].head() === 14L)
+      assert(cutFrame.orderBy("id").as[(Long, Long)].collect().toSeq ===
+        Seq((1L, 1L), (2L, 4L), (3L, 9L)))
+      assert(rddDirs(dir).nonEmpty)
+    }
+  }
+}

@@ -559,4 +559,82 @@ class ExtSpec extends SparkTestBase {
       .orderBy("node").as[(Long, Int)].collect()
     assert(r.toSeq === Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2), (9L, 0)))
   }
+
+  test("adamicAdar: star witness — hand-computed cn and e6 weights") {
+    import spark.implicits._
+    // star: center 0 ~ leaves 1,2,3. Only node 0 has deg ≥ 2, so every
+    // candidate pair runs through witness 0 with weight
+    // floor(1e6 / ln 3) = 910239; none of the leaf pairs are adjacent.
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
+    val r = Graph.adamicAdar(e, "s", "t").orderBy("u", "w")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 2L, 1L, 910239L), (1L, 3L, 1L, 910239L), (2L, 3L, 1L, 910239L)))
+  }
+
+  test("adamicAdar: K4 predicts nothing (every pair already adjacent)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "t")
+    assert(Graph.adamicAdar(e, "s", "t").count() === 0L)
+  }
+
+  test("adamicAdar: degree-1 pendant excluded up front (ln(1) regression)") {
+    import spark.implicits._
+    // single edge: both endpoints deg 1 → no eligible witness, empty
+    // result, and no ANSI divide-by-zero from ln(1)=0 (the round-9 fix)
+    val e = Seq((1L, 2L)).toDF("s", "t")
+    assert(Graph.adamicAdar(e, "s", "t").count() === 0L)
+  }
+
+  test("adamicAdar: hub over maxWitnessDeg is dropped as a witness") {
+    import spark.implicits._
+    // hub 100 ~ {1..70} (deg 70 > cap 64 → not a witness) plus small
+    // witness 200 ~ {1, 2}. Surviving pairs:
+    //   (1,2)     via witness 200 only (deg 2): aa = floor(1e6/ln 2) = 1442695
+    //   (100,200) via witnesses 1 AND 2 (deg 2 each): cn=2, aa = 2·1442695
+    // — the hub's 70·69/2 pair fan-out never materializes.
+    val hub = (1L to 70L).map(i => (100L, i))
+    val e = (hub ++ Seq((200L, 1L), (200L, 2L))).toDF("s", "t")
+    val r = Graph.adamicAdar(e, "s", "t").orderBy("u", "w")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 2L, 1L, 1442695L), (100L, 200L, 2L, 2885390L)))
+  }
+
+  test("labelPropagation: triangle + pendant converges to min label in 3 rounds") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4~1. Hand-unrolled with the
+    // (count desc, label asc) tie-break:
+    //   r1: 1→2 (nbr labels {2,3,4} all tied → min), 2→1, 3→1, 4→1
+    //   r2: 1→1, 2→1 (nbr labels {2,1} tied → 1), 3→1, 4→2
+    //   r3: everyone → 1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("s", "t")
+    val r1 = Graph.labelPropagation(e, "s", "t", 1).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r1.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    val r2 = Graph.labelPropagation(e, "s", "t", 2).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r2.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
+    val r3 = Graph.labelPropagation(e, "s", "t", 3).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r3.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("labelPropagation: bipartite path oscillates deterministically") {
+    import spark.implicits._
+    // path 1-2-3 (bipartite): synchronous LPA oscillates with period 2 —
+    // the documented behavior; each round output is still exact
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val r1 = Graph.labelPropagation(e, "s", "t", 1).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r1.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+    val r3 = Graph.labelPropagation(e, "s", "t", 3).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r3.toSeq === r1.toSeq) // period 2: round 3 ≡ round 1
+    // rounds = 0 is the identity labeling
+    val r0 = Graph.labelPropagation(e, "s", "t", 0).orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(r0.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
 }

@@ -122,4 +122,79 @@ class SourcesSpec extends SparkTestBase {
     assert(removed.exists(_.endsWith("v=7")) && removed.length === 1)
     assert(ShardStore.readShardsLatest(spark, root).count() === docs.count())
   }
+
+  // ---- Queries.events timestamp-encoding normalization (VERDICT r9 #2) ----
+
+  private def eventsDigest(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("event_id", "us", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+  }
+
+  test("events reader: µs, TIMESTAMP_NTZ, and nanos-long encodings read identically") {
+    val base = Queries.events(spark, "/root/testdata/sf0.001")
+    val want = eventsDigest(base)
+    assert(want.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("events-enc")
+    // isAdjustedToUTC=false (TIMESTAMP_NTZ): byte-exact reinterpretation
+    // under the pinned-UTC session
+    val ntzDir = root.resolve("ntz").toString
+    base.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.parquet(s"$ntzDir/events.parquet")
+    assert(eventsDigest(Queries.events(spark, ntzDir)) === want)
+    // raw INT64 nanos (the nanosAsLong read shape): exact ns→µs div
+    val nsDir = root.resolve("ns").toString
+    base.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .write.parquet(s"$nsDir/events.parquet")
+    assert(eventsDigest(Queries.events(spark, nsDir)) === want)
+  }
+
+  test("events reader: true TIMESTAMP(NANOS) parquet scopes the conf and truncates exactly") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-nanos")
+    val file = new org.apache.hadoop.fs.Path(dir.resolve("events.parquet").toString)
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val gf = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(file).withType(schema).build()
+    val rows = Seq((1L, 1704067200123456789L), (2L, 1704067201999999999L))
+    rows.foreach { case (id, ns) =>
+      val g = gf.newGroup()
+      g.add("event_id", id)
+      g.add("ts", ns)
+      w.write(g)
+    }
+    w.close()
+    // start from a clean session: the conf must be set by events() itself,
+    // and ONLY because this file is TIMESTAMP(NANOS)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val got = Queries.events(spark, dir.toString)
+        .select(col("event_id"), unix_micros(col("ts")))
+        .orderBy("event_id").as[(Long, Long)].collect().toSeq
+      assert(got === rows.map { case (id, ns) => (id, ns / 1000L) })
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+
+  test("events reader: non-UTC session refuses the NTZ reinterpretation") {
+    val base = Queries.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("events-tz")
+    val ntzDir = root.resolve("ntz").toString
+    base.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.parquet(s"$ntzDir/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try intercept[IllegalArgumentException] { Queries.events(spark, ntzDir) }
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
