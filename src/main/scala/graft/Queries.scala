@@ -1474,7 +1474,11 @@ object Queries {
       "q_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val centroids = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2)
+        // spreadInit=false pinned: the DuckDB twin's c0 seeds by
+        // `ORDER BY vec_id LIMIT 4` (id order) — xxhash64 seeding has
+        // no SQL twin. Library default is the spread init.
+        val centroids = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2,
+          spreadInit = false)
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
         graft.ext.Ivf.topKIndexed(
@@ -2549,7 +2553,9 @@ object Queries {
       "q_semantic_dedup",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val cents = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2)
+        // spreadInit=false pinned for the id-order DuckDB twin (see q_ivf_topk)
+        val cents = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2,
+          spreadInit = false)
         graft.ext.Dedup.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.35)
           .select(col("vec_id"))
           .orderBy(col("vec_id"))

@@ -42,16 +42,20 @@ object Ivf {
     * Centroid count is `k`; `iters` Lloyd rounds (2-3 suffice for a
     * coarse quantizer).
     *
-    * Init: by default the k lowest ids — deterministic, but on
-    * id-CORRELATED data (e.g. embeddings appended in topic order) the
-    * seeds cluster in one region and Lloyd may leave far cells coarse.
-    * `spreadInit = true` instead seeds from the k smallest `xxhash64(id)`
-    * values: still fully deterministic (pure id hash, no RNG state), but
-    * pseudo-uniformly spread over the corpus, and still a distributed
-    * top-k (TakeOrderedAndProject) — NOT a global sort and NOT a
-    * `sample()`, whose output depends on partition layout. */
+    * Init: by default (`spreadInit = true`) seeds are the k smallest
+    * `xxhash64(id)` values: fully deterministic (pure id hash, no RNG
+    * state), pseudo-uniformly spread over the corpus, and still a
+    * distributed top-k (TakeOrderedAndProject) — NOT a global sort and
+    * NOT a `sample()`, whose output depends on partition layout. This
+    * is the right default because real embedding stores are id-
+    * CORRELATED (appended in topic/crawl order), where lowest-id
+    * seeding clusters all seeds in one region and Lloyd may leave far
+    * cells coarse. `spreadInit = false` seeds from the k lowest ids
+    * instead — kept for replicating fixed published seedings (and the
+    * declared-query DuckDB twins, which express id-order seeding as
+    * plain `ORDER BY id LIMIT k` SQL). */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2,
-            spreadInit: Boolean = false): Seq[(Int, Array[Double])] = {
+            spreadInit: Boolean = true): Seq[(Int, Array[Double])] = {
     val seedOrder = if (spreadInit) xxhash64(col(idCol)) else col(idCol)
     val init = corpus.orderBy(seedOrder, col(idCol)).limit(k)
       .select(col(vecCol)).collect()

@@ -37,7 +37,7 @@ object Pq {
     * deterministic [[Ivf.train]] coarse k-means. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int = 256, iters: Int = 2,
-            spreadInit: Boolean = false): Codebooks = {
+            spreadInit: Boolean = true): Codebooks = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m

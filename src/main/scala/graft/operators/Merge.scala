@@ -168,13 +168,30 @@ object Merge {
   def readUpsertStoreAtomic(spark: org.apache.spark.sql.SparkSession, storeRoot: String,
                             deleteCol: Option[String] = None): DataFrame = {
     import graft.sources.AtomicCommit
-    val (_, body) = AtomicCommit.latest(spark, storeRoot)
+    val (v, _) = AtomicCommit.latest(spark, storeRoot)
       .getOrElse(sys.error(s"no committed version under $storeRoot"))
+    readUpsertStoreAt(spark, storeRoot, v, deleteCol)
+  }
+
+  /** [[readUpsertStoreAtomic]] AS OF committed version `version` —
+    * time travel over the upsert store. Version `v`'s manifest is the
+    * FULL bucket→owner map at commit time (each commit re-encodes
+    * `owners ++ touched`), so resolving the store at `v` is exactly the
+    * same read as "latest", just against an older manifest; bucket data
+    * from before `v` that `v` still owned is readable until vacuum's
+    * retention floor passes every manifest referencing it. Fails fast
+    * when `version` was never committed or was vacuumed. */
+  def readUpsertStoreAt(spark: org.apache.spark.sql.SparkSession, storeRoot: String,
+                        version: Long,
+                        deleteCol: Option[String] = None): DataFrame = {
+    import graft.sources.AtomicCommit
+    val (_, body) = AtomicCommit.at(spark, storeRoot, version)
+      .getOrElse(sys.error(
+        s"version $version is not committed under $storeRoot (never written, or " +
+          s"vacuumed); committed: ${AtomicCommit.committedVersions(spark, storeRoot).mkString(", ")}"))
     val paths = AtomicCommit.decodeOwners(body).toSeq.map { case (bk, v) =>
       s"${AtomicCommit.versionDir(storeRoot, v)}/_bucket=$bk"
     }
-    // direct leaf-dir reads (see streamUpsertAtomic): no partition
-    // inference, so data columns can't collide with the v=N dir name
     val raw = spark.read.parquet(paths: _*)
     deleteCol match {
       case Some(d) => raw.filter(!coalesce(col(d), lit(false)))

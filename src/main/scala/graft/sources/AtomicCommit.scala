@@ -34,21 +34,40 @@ object AtomicCommit {
 
   private def commitsDir(root: String) = new Path(root, "_commits")
 
+  /** All committed versions, ascending; empty for an absent store.
+    * This is the time-travel index: any listed version is readable via
+    * [[at]] until [[vacuum]]'s retention floor passes it. */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = commitsDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  private def readBody(spark: SparkSession, root: String, v: Long): String = {
+    val in = fs(spark, root).open(new Path(commitsDir(root), v.toString))
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), UTF_8)
+    finally in.close()
+  }
+
+  /** The manifest body of committed version `v` — time travel's
+    * resolution step. None if `v` was never committed or was vacuumed
+    * past (its commit file is the retention token: vacuum removes it
+    * together with the data only it references). */
+  def at(spark: SparkSession, root: String, v: Long): Option[(Long, String)] = {
+    val f = fs(spark, root)
+    val p = new Path(commitsDir(root), v.toString)
+    if (f.exists(p)) Some((v, readBody(spark, root, v))) else None
+  }
+
   /** Latest committed (version, manifest body), None for an empty or
     * absent store. */
   def latest(spark: SparkSession, root: String): Option[(Long, String)] = {
-    val f = fs(spark, root)
-    val dir = commitsDir(root)
-    if (!f.exists(dir)) return None
-    val versions = f.listStatus(dir).toSeq
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    val versions = committedVersions(spark, root)
     if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val in = f.open(new Path(dir, v.toString))
-      try Some((v, new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), UTF_8)))
-      finally in.close()
-    }
+    else Some((versions.max, readBody(spark, root, versions.max)))
   }
 
   /** The version a writer should produce next. */
@@ -83,23 +102,35 @@ object AtomicCommit {
     }.toMap
 
   /** Delete uncommitted orphan `v=<N>` directories (crash debris) and
-    * data versions no manifest references. Safe to run any time from
-    * the single writer; never touches the committed-latest version's
-    * referenced directories. */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    * versions past the retention floor. `keepVersions` is the floor:
+    * the newest N COMMITTED versions stay fully readable — their commit
+    * files survive and every data directory any of their manifests
+    * references survives (for the upsert store that includes older
+    * `v=` dirs still owning untouched buckets). Commit files older
+    * than the floor are removed WITH their now-unreferenced data, so a
+    * time-travel read of a vacuumed version fails cleanly at version
+    * resolution ([[at]] → None) instead of scanning missing files.
+    * Safe to run any time from the single writer. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions=$keepVersions must be >= 1")
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return Nil
-    val live: Set[Long] = latest(spark, root) match {
-      case None => Set.empty
-      case Some((v, body)) =>
-        decodeOwners(body).values.toSet + v // whole-version stores: just v
+    val versions = committedVersions(spark, root)
+    val retained = versions.takeRight(keepVersions)
+    val live: Set[Long] = retained.flatMap { v =>
+      decodeOwners(readBody(spark, root, v)).values.toSeq :+ v // whole-version stores: just v
+    }.toSet
+    val staleCommits = versions.dropRight(keepVersions).map { v =>
+      val p = new Path(commitsDir(root), v.toString)
+      f.delete(p, false); p.toString
     }
-    f.listStatus(rootPath).toSeq
+    val deadDirs = f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .flatMap { s =>
         scala.util.Try(s.getPath.getName.stripPrefix("v=").toLong).toOption
           .filterNot(live).map { _ => f.delete(s.getPath, true); s.getPath.toString }
       }
+    deadDirs ++ staleCommits
   }
 }

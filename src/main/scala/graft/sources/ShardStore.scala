@@ -78,6 +78,29 @@ object ShardStore {
   def readShardsLatest(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(latestShardPath(spark, root))
 
+  /** Data directory of committed version `v` — time travel. Fails fast
+    * when `v` was never committed or has been vacuumed past the
+    * retention floor (its commit file is gone), rather than scanning a
+    * missing or debris directory. */
+  def shardPathAt(spark: SparkSession, root: String, v: Long): String = {
+    require(AtomicCommit.at(spark, root, v).isDefined,
+      s"version $v is not committed under $root (never written, or vacuumed); " +
+        s"committed: ${AtomicCommit.committedVersions(spark, root).mkString(", ")}")
+    AtomicCommit.versionDir(root, v)
+  }
+
+  /** Read the store AS OF committed version `v`: the reproducibility
+    * primitive — a trainer records the version it consumed, an auditor
+    * re-reads exactly those bytes months later (until vacuum's
+    * retention floor passes `v`). */
+  def readShardsAt(spark: SparkSession, root: String, v: Long): DataFrame =
+    spark.read.parquet(shardPathAt(spark, root, v))
+
+  /** [[validateShards]] against version `v`'s own manifest. */
+  def validateShardsAt(spark: SparkSession, root: String, v: Long,
+                       hashCols: Seq[String] = Nil): DataFrame =
+    validateShards(spark, shardPathAt(spark, root, v), hashCols)
+
   def validateShardsLatest(spark: SparkSession, root: String,
                            hashCols: Seq[String] = Nil): DataFrame =
     validateShards(spark, latestShardPath(spark, root), hashCols)

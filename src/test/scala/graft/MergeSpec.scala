@@ -123,6 +123,42 @@ class MergeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsert store time travel: readUpsertStoreAt resolves each commit's manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-acdc-tt").toString + "/store"
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Merge.streamUpsertAtomic(
+      input.toDF().toDF("k", "val", "v", "del"), root, Seq("k"), "v", nBuckets = 4)
+    try {
+      input.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false), (3L, "c1", 1L, false))
+      q.processAllAvailable()
+      input.addData((1L, "a2", 2L, false), (2L, "b2", 2L, true))
+      q.processAllAvailable()
+      def stateAt(v: Long): Map[Long, String] =
+        Merge.readUpsertStoreAt(spark, root, v, Some("del"))
+          .select("k", "val").as[(Long, String)].collect().toMap
+      // v=1: the pre-update world, including the later-tombstoned k=2;
+      // v=2 ≡ latest. Both resolve THROUGH their own manifests (v=2's
+      // untouched bucket still reads from version 1's directory).
+      assert(stateAt(1L) === Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+      assert(stateAt(2L) === Map(1L -> "a2", 3L -> "c1"))
+      assert(stateAt(2L) ===
+        Merge.readUpsertStoreAtomic(spark, root, Some("del"))
+          .select("k", "val").as[(Long, String)].collect().toMap)
+      // retention floor keeps v=2 readable and fails v=1 cleanly; v=1's
+      // DATA directory survives the vacuum because v=2's manifest still
+      // owns buckets in it (only the v=1 commit file goes)
+      val removed = AtomicCommit.vacuum(spark, root, keepVersions = 1)
+      assert(removed.exists(_.endsWith("_commits/1")), s"removed=$removed")
+      assert(!removed.exists(_.endsWith("v=1")), s"removed=$removed")
+      assert(stateAt(2L) === Map(1L -> "a2", 3L -> "c1"))
+      val e = intercept[RuntimeException] { stateAt(1L) }
+      assert(e.getMessage.contains("vacuumed"))
+    } finally q.stop()
+  }
+
   test("scd2: intervals chain (valid_to = next valid_from), one current row per key") {
     val log0 = Seq(
       (1L, 10L, "x1", 100L), (1L, 20L, "x2", 101L), (1L, 20L, "x3", 102L),

@@ -123,6 +123,35 @@ class SourcesSpec extends SparkTestBase {
     assert(ShardStore.readShardsLatest(spark, root).count() === docs.count())
   }
 
+  test("shard store time travel: readShardsAt serves old versions until vacuumed") {
+    import graft.sources.{AtomicCommit, ShardStore}
+    val root = java.nio.file.Files.createTempDirectory("attv").resolve("corpus").toString
+    val (v1, _) = ShardStore.writeShardsAtomic(docs, "doc_id", numShards = 2, root)
+    val (v2, _) = ShardStore.writeShardsAtomic(docs.limit(5), "doc_id", 2, root)
+    val (v3, _) = ShardStore.writeShardsAtomic(docs.limit(9), "doc_id", 2, root)
+    assert((v1, v2, v3) === ((1L, 2L, 3L)))
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(1L, 2L, 3L))
+    // latest unchanged; every committed version readable AS OF, with
+    // its own manifest validating
+    assert(ShardStore.readShardsLatest(spark, root).count() === 9L)
+    assert(ShardStore.readShardsAt(spark, root, 1L).count() === docs.count())
+    assert(ShardStore.readShardsAt(spark, root, 2L).count() === 5L)
+    assert(ShardStore.validateShardsAt(spark, root, 1L).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    // retention floor 2: v=1 (data + commit file) goes, v=2 and v=3 stay
+    val removed = AtomicCommit.vacuum(spark, root, keepVersions = 2)
+    assert(removed.exists(_.endsWith("v=1")), s"removed=$removed")
+    assert(removed.exists(_.endsWith("_commits/1")), s"removed=$removed")
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(2L, 3L))
+    assert(ShardStore.readShardsAt(spark, root, 2L).count() === 5L)
+    assert(ShardStore.readShardsLatest(spark, root).count() === 9L)
+    // a vacuumed version fails at RESOLUTION (clean error), not at scan
+    val e = intercept[IllegalArgumentException] {
+      ShardStore.readShardsAt(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   // ---- Queries.events timestamp-encoding normalization (VERDICT r9 #2) ----
 
   private def eventsDigest(df: org.apache.spark.sql.DataFrame) = {
