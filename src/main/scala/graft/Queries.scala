@@ -1311,6 +1311,75 @@ object Queries {
            |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
       }),
 
+    // ── 43b. language ID, Cavnar-Trenkle char-n-gram rank profiles ─────
+    // The REAL langid (VERDICT r9 task #3): per doc, build the ranked
+    // top-K char-n-gram profile (1..3-grams over padded lowercased
+    // tokens) and sum rank displacement against each stock profile;
+    // argmin wins, ties to the lexicographically-first language. The
+    // twin replicates ranking + out-of-place arithmetic in SQL against
+    // the SAME profile table (embedded as literals), so hash-matching
+    // proves the codegen'd kernel end to end. Accuracy on real
+    // multilingual text is ExtSpec's job (this corpus's text is
+    // synthetic keyword soup — the twin proves arithmetic, not F1).
+    QueryDef(
+      "q_text_langid_ct",
+      (s, d) => {
+        val langs = graft.ext.LangId.profiles.map(_._1)
+        // materialize distances ONCE (the langScoresOf lesson), then
+        // argmin over the array slots
+        val dists = t(s, d, "documents")
+          .withColumn("_d", graft.ext.LangId.distances(lower(col("text"))))
+        val scored = langs.zipWithIndex.foldLeft(dists) { case (df, (l, i)) =>
+          df.withColumn(s"_d_$l", element_at(col("_d"), i + 1))
+        }.withColumn("_best", langs.map(l => col(s"_d_$l")).reduce(least(_, _)))
+        val pred = langs.foldRight(lit("und"): Column) { case (l, els) =>
+          when(col(s"_d_$l") === col("_best"), lit(l)).otherwise(els)
+        }
+        scored.withColumn("pred", pred)
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some {
+        val k = graft.ext.LangId.TopK
+        val prof = graft.ext.LangId.profiles.flatMap { case (l, grams) =>
+          grams.zipWithIndex.map { case (g, r) =>
+            s"('$l','${g.replace("'", "''")}',$r)"
+          }
+        }.mkString(",")
+        s"""WITH prof(plang, g, r) AS (VALUES $prof),
+           |toks AS (
+           |  SELECT doc_id, lang, ' '||t||' ' AS tok
+           |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text),' ')) AS t
+           |        FROM documents)),
+           |grams AS (
+           |  SELECT doc_id, lang, unnest(
+           |    list_transform(range(len(tok)),   i -> tok[i+1 : i+1]) ||
+           |    list_transform(range(len(tok)-1), i -> tok[i+1 : i+2]) ||
+           |    list_transform(range(len(tok)-2), i -> tok[i+1 : i+3])) AS g
+           |  FROM toks),
+           |docprof AS (
+           |  SELECT doc_id, lang, g, r FROM (
+           |    SELECT doc_id, lang, g,
+           |           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) - 1 AS r
+           |    FROM grams GROUP BY doc_id, lang, g)
+           |  WHERE r < $k),
+           |dist AS (
+           |  SELECT dp.doc_id, dp.lang, pl.plang,
+           |         sum(CASE WHEN p.r IS NULL THEN $k ELSE abs(dp.r - p.r) END) AS d
+           |  FROM docprof dp
+           |  CROSS JOIN (SELECT DISTINCT plang FROM prof) pl
+           |  LEFT JOIN prof p ON p.plang = pl.plang AND p.g = dp.g
+           |  GROUP BY dp.doc_id, dp.lang, pl.plang),
+           |best AS (
+           |  SELECT lang, plang AS pred FROM (
+           |    SELECT lang, plang,
+           |           row_number() OVER (PARTITION BY doc_id ORDER BY d, plang) AS rn
+           |    FROM dist) WHERE rn = 1)
+           |SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt
+           |FROM best GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+      }),
+
     // ── 44. text quality metrics ───────────────────────────────────────
     QueryDef(
       "q_text_quality",

@@ -1,0 +1,278 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-n-gram language identification — the Cavnar-Trenkle
+  * rank-order method ("N-Gram-Based Text Categorization", SDAIR 1994),
+  * the public-standard replacement for marker-word heuristics
+  * ([[TextAnalysis.langIdOf]] stays as the cheap/SQL-twin form).
+  *
+  * A language PROFILE is the top-K most frequent character n-grams
+  * (n = 1..nMax) of a training corpus, ranked by frequency. A document
+  * is classified by building its own ranked profile the same way and
+  * summing the rank displacement ("out-of-place" distance) of each of
+  * its grams against every language profile — a gram absent from the
+  * language profile costs the maximum displacement K. Smallest total
+  * distance wins. Rank-order matching is what makes the method robust
+  * on SHORT and accented text, where marker-word hit counts are mostly
+  * zero: every character of the document contributes evidence.
+  *
+  * Determinism: ranking breaks frequency ties lexicographically, so
+  * profiles and distances are pure functions of the text. Characters
+  * are UTF-16 code units — identical to code points for all BMP text,
+  * and the same convention as every other kernel here.
+  *
+  * Scale shape: classification is a map-side codegen'd per-row loop
+  * ([[CtLangDistExpr]] — the LangScoresExpr convention) with the
+  * profiles broadcast as literal state in the expression; no shuffle,
+  * no UDF. Training at corpus scale ([[trainProfiles]]) is one
+  * explode → (lang, gram) partial+final count → per-lang top-K window;
+  * only K·nLangs tiny rows ever reach the driver. */
+object LangId {
+
+  /** C-T classic settings, sized down from the paper's 300 for the
+    * 1..3-gram alphabet (the paper uses 1..5-grams). */
+  val NMax = 3
+  val TopK = 200
+
+  // ── profile construction (pure — shared by the embedded profiles,
+  //    the executor-side classifier loop, and the DuckDB twin
+  //    generator in Queries) ─────────────────────────────────────────
+
+  /** Per-word padded n-gram counts of one text: each whitespace token
+    * is lowercased and padded to `" tok "`, then every n-gram for
+    * n = 1..nMax is counted (word-boundary grams like `" th"` carry
+    * the strongest signal — the reason C-T pads). */
+  private[ext] def gramCounts(text: String, nMax: Int): java.util.HashMap[String, Long] = {
+    val counts = new java.util.HashMap[String, Long]()
+    val toks = text.toLowerCase.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val padded = " " + toks(t) + " "
+      var n = 1
+      while (n <= nMax) {
+        var i = 0
+        val last = padded.length - n
+        while (i <= last) {
+          val g = padded.substring(i, i + n)
+          val prev = counts.get(g)
+          counts.put(g, prev + 1L) // HashMap[ ,Long] unboxes absent to 0
+          i += 1
+        }
+        n += 1
+      }
+      t += 1
+    }
+    counts
+  }
+
+  /** Ranked top-K profile of a training corpus: grams ordered by
+    * (count desc, gram asc) — the lexicographic tie-break pins the
+    * order — truncated to `topK`. */
+  def profileOf(texts: Seq[String], nMax: Int = NMax, topK: Int = TopK): Seq[String] = {
+    val total = new java.util.HashMap[String, Long]()
+    texts.foreach { t =>
+      gramCounts(t, nMax).forEach { (g, c) =>
+        total.put(g, total.get(g) + c)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    total.asScala.toSeq.sortBy { case (g, c) => (-c, g) }.take(topK).map(_._1)
+  }
+
+  /** Embedded seed corpora for the four stock profiles — a few
+    * sentences of ordinary prose per language (original text, written
+    * for this library; accents included so the gram alphabet carries
+    * them). Production systems train on their own corpus via
+    * [[trainProfiles]]; these seeds make the stock classifier usable
+    * out of the box on short/accented text the stopword heuristic
+    * misses. */
+  private[graft] val seeds: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog while the children watch from the garden",
+      "she said that the weather would be better in the morning and that they should wait",
+      "this is the house that we built together last summer near the river and the old bridge",
+      "people often think that reading books is the best way to learn about the world around them",
+      "there was nothing left to do but wait for the train and hope that it would not be late",
+      "it is on the roof and the cat is in the kitchen with the dog and the children"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund während die kinder aus dem garten zuschauen",
+      "sie sagte dass das wetter morgen besser werden würde und dass sie warten sollten",
+      "das ist das haus das wir letzten sommer zusammen in der nähe des flusses gebaut haben",
+      "viele menschen glauben dass bücher lesen der beste weg ist um die welt zu verstehen",
+      "es gab nichts mehr zu tun außer auf den zug zu warten und zu hoffen dass er nicht zu spät kommt",
+      "die katze ist auf dem dach und der hund ist in der küche bei den kindern"),
+    "fr" -> Seq(
+      "le rapide renard brun saute par dessus le chien paresseux pendant que les enfants regardent depuis le jardin",
+      "elle a dit que le temps serait meilleur demain matin et qu'ils devraient attendre",
+      "c'est la maison que nous avons construite ensemble l'été dernier près de la rivière et du vieux pont",
+      "beaucoup de gens pensent que lire des livres est la meilleure façon de comprendre le monde",
+      "il ne restait plus rien à faire sauf attendre le train et espérer qu'il ne soit pas en retard",
+      "le chat est sur le toit et le chien est dans la cuisine avec les enfants"),
+    "es" -> Seq(
+      "el rápido zorro marrón salta sobre el perro perezoso mientras los niños miran desde el jardín",
+      "ella dijo que el tiempo sería mejor por la mañana y que deberían esperar",
+      "esta es la casa que construimos juntos el verano pasado cerca del río y del puente viejo",
+      "mucha gente piensa que leer libros es la mejor manera de aprender sobre el mundo",
+      "no quedaba nada más que hacer salvo esperar el tren y confiar en que no llegara tarde",
+      "el gato está en el tejado y el perro está en la cocina con los niños"))
+
+  /** The stock profiles, (lang, ranked grams), sorted by language key —
+    * the array order every distance/argmin consumer indexes by. */
+  lazy val profiles: Seq[(String, Seq[String])] =
+    seeds.toSeq.sortBy(_._1).map { case (l, ts) => (l, profileOf(ts)) }
+
+  /** Distributed profile training: one labeled corpus in, ranked
+    * top-K gram profile per language out. The corpus is touched once;
+    * the only driver materialization is K grams per language. */
+  def trainProfiles(df: DataFrame, langCol: String, textCol: String,
+                    nMax: Int = NMax, topK: Int = TopK): Seq[(String, Seq[String])] = {
+    val grams = df.select(col(langCol).as("_lang"),
+        explode(CtLangExprs.grams(lower(col(textCol)), nMax)).as("_g"))
+      .groupBy(col("_lang"), col("_g")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_lang")).orderBy(col("_c").desc, col("_g"))
+    grams.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= topK)
+      .orderBy(col("_lang"), col("_r"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (l, rows) => (l, rows.sortBy(_.getInt(3)).map(_.getString(1)).toSeq) }
+  }
+
+  // ── classification ───────────────────────────────────────────────
+
+  /** Out-of-place distances of `text` (pre-lowercased by the caller if
+    * needed — the stock wrappers lowercase) to each profile, profile
+    * order = the given sequence's. Codegen'd one-pass-per-row. */
+  def distances(text: Column, profs: Seq[(String, Seq[String])] = profiles,
+                nMax: Int = NMax, topK: Int = TopK): Column =
+    bridge.column(CtLangDistExpr(bridge.expression(text), profs.toIndexedSeq, nMax, topK))
+
+  /** Cavnar-Trenkle language ID: argmin of [[distances]], ties to the
+    * lexicographically-first language, 'und' for null text. */
+  def langIdCt(text: Column, profs: Seq[(String, Seq[String])] = profiles,
+               nMax: Int = NMax, topK: Int = TopK): Column = {
+    val d = distances(lower(text), profs, nMax, topK)
+    val scored = profs.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(d, i + 1))
+    }
+    val best = scored.map(_._2).reduce(least(_, _))
+    coalesce(
+      scored.foldRight(lit("und"): Column) { case ((l, s), els) =>
+        when(s === best, lit(l)).otherwise(els)
+      },
+      lit("und"))
+  }
+}
+
+object CtLangLoops {
+
+  /** The document's ranked profile as (gram → rank) entries is never
+    * materialized; the distance loop ranks the doc's grams and streams
+    * the displacement sum per profile in one pass. */
+  def distances(text: UTF8String,
+                profMaps: Array[java.util.HashMap[String, Integer]],
+                nMax: Int, topK: Int): GenericArrayData = {
+    val counts = LangId.gramCounts(text.toString, nMax)
+    import scala.jdk.CollectionConverters._
+    val ranked = counts.asScala.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(topK)
+    val out = new Array[Long](profMaps.length)
+    var i = 0
+    while (i < ranked.length) {
+      val g = ranked(i)._1
+      var l = 0
+      while (l < profMaps.length) {
+        val r = profMaps(l).get(g)
+        out(l) += (if (r == null) topK.toLong else math.abs(i - r.intValue()).toLong)
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All padded n-grams of `text` WITH multiplicity — the training-side
+    * explode feed ([[LangId.trainProfiles]]). */
+  def grams(text: UTF8String, nMax: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var t = 0
+    while (t < toks.length) {
+      val padded = " " + toks(t) + " "
+      var n = 1
+      while (n <= nMax) {
+        var i = 0
+        val last = padded.length - n
+        while (i <= last) {
+          out += UTF8String.fromString(padded.substring(i, i + n))
+          i += 1
+        }
+        n += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Out-of-place distance of a document to each language profile, all
+  * profiles in ONE pass over the doc's ranked grams (profile order =
+  * constructor order). */
+case class CtLangDistExpr(child: Expression, profiles: IndexedSeq[(String, Seq[String])],
+                          nMax: Int, topK: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ct_lang_dist"
+
+  @transient private lazy val profMaps: Array[java.util.HashMap[String, Integer]] =
+    profiles.map { case (_, grams) =>
+      val m = new java.util.HashMap[String, Integer]()
+      grams.zipWithIndex.foreach { case (g, r) => m.put(g, r) }
+      m
+    }.toArray
+
+  protected override def nullSafeEval(v: Any): Any =
+    CtLangLoops.distances(v.asInstanceOf[UTF8String], profMaps, nMax, topK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapsRef = ctx.addReferenceObj("ctProfiles", profMaps,
+      "java.util.HashMap[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ext.CtLangLoops.distances($c, $mapsRef, $nMax, $topK)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CtLangDistExpr =
+    copy(child = newChild)
+}
+
+/** Training-side gram explode feed. */
+case class CtGramsExpr(child: Expression, nMax: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ct_grams"
+
+  protected override def nullSafeEval(v: Any): Any =
+    CtLangLoops.grams(v.asInstanceOf[UTF8String], nMax)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.CtLangLoops.grams($c, $nMax)")
+
+  override protected def withNewChildInternal(newChild: Expression): CtGramsExpr =
+    copy(child = newChild)
+}
+
+private[ext] object CtLangExprs {
+  def grams(text: Column, nMax: Int): Column =
+    bridge.column(CtGramsExpr(bridge.expression(text), nMax))
+}

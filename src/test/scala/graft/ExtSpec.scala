@@ -637,4 +637,59 @@ class ExtSpec extends SparkTestBase {
       .as[(Long, Long)].collect()
     assert(r0.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
+
+  test("langIdCt: accented and short docs the stopword heuristic misses") {
+    import spark.implicits._
+    import graft.ext.LangId
+    // none of these sentences shares a single token with another
+    // language's seed stopwords; several are SHORT — the regime where
+    // marker-word counting returns all zeros and C-T rank-order still
+    // has hundreds of gram observations
+    val docs = Seq(
+      ("the weather should improve before the children come home", "en"),
+      ("l'été dernier nous étions à l'école près de la forêt", "fr"),
+      ("el niño pequeño está en la casa de su abuela", "es"),
+      ("über den wolken singen die mädchen wunderschön", "de"),
+      ("bonjour à tous mes amis", "fr"),
+      ("danke schön für alles", "de"),
+      ("buenos días señora", "es"),
+      ("good morning everyone", "en")
+    ).toDF("text", "want")
+    val got = docs.withColumn("pred", LangId.langIdCt(col("text")))
+      .select("text", "want", "pred").collect()
+    val wrong = got.filter(r => r.getString(1) != r.getString(2))
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
+    // the stopword heuristic CANNOT do this: the accented short docs
+    // score zero on every marker list (or collide), C-T separates them
+    assert(LangId.profiles.map(_._1) === Seq("de", "en", "es", "fr"))
+  }
+
+  test("langIdCt: null text is 'und'; distances are deterministic under codegen") {
+    import spark.implicits._
+    import graft.ext.LangId
+    val df = Seq(Some("le chat est sur le toit"), None).toDF("text")
+    val preds = df.withColumn("p", LangId.langIdCt(col("text")))
+      .select("p").collect().map(_.getString(0))
+    assert(preds.toSeq === Seq("fr", "und"))
+    // interpreted eval (nullSafeEval) ≡ codegen: same distances row
+    val d1 = df.filter(col("text").isNotNull)
+      .select(LangId.distances(lower(col("text"))).as("d")).head.getSeq[Long](0)
+    val d2 = df.filter(col("text").isNotNull).repartition(3)
+      .select(LangId.distances(lower(col("text"))).as("d")).head.getSeq[Long](0)
+    assert(d1 === d2 && d1.length === 4)
+  }
+
+  test("trainProfiles: distributed training equals the driver-side profileOf") {
+    import spark.implicits._
+    import graft.ext.LangId
+    val df = LangId.seeds.toSeq.flatMap { case (l, ts) => ts.map(t => (l, t)) }
+      .toDF("lang", "text")
+    val trained = LangId.trainProfiles(df, "lang", "text")
+    assert(trained.map(_._1) === Seq("de", "en", "es", "fr"))
+    trained.foreach { case (l, prof) =>
+      assert(prof === LangId.profileOf(LangId.seeds(l)),
+        s"distributed profile for $l diverges from driver-side ranking")
+    }
+  }
 }
