@@ -59,6 +59,105 @@ object Dedup {
         count(col("_rep")).as("n_repeated"))
   }
 
+  /** Variable-length duplicated-span detection — the ExactSubstr
+    * semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) re-expressed as
+    * SHINGLE-RUN GROWTH instead of a suffix array: any substring of ≥
+    * `minTokens` tokens appearing in ≥ `minDocs` documents makes every
+    * one of its word n-shingles cross-doc repeated, so the maximal run
+    * of consecutive repeated-shingle positions recovers the full span —
+    * including spans that straddle [[chunkDedup]]'s fixed window
+    * boundaries, which fixed-chunk hashing misses by construction.
+    * Recall is exact (a true duplicated span always surfaces, grown to
+    * its maximal extent); precision is approximate (adjacent spans
+    * duplicated against different partners merge into one run — the
+    * standard trade of the shingle relaxation vs. a suffix array).
+    *
+    * Returns one row per (doc, maximal run): (idCol, start_tok,
+    * end_tok, n_tokens), token positions 0-based inclusive.
+    *
+    * Scale shape: positions explode map-side off the fused shingle
+    * kernel; the df count shuffles (doc, shingle)-distinct rows on the
+    * 64-bit shingle hash with map-side partials; the semi join back is
+    * shingle-keyed; run growth is ONE doc-keyed window (per-doc state =
+    * its repeated positions). Nothing is all-pairs and no suffix
+    * structure is materialized — the exchanges are exactly
+    * [[repeatedShingleStats]]'s plus one window. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDocs: Int = 2, minTokens: Int = 20): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    val pos = docs.withColumn("_whs", wordHashes(col(textCol)))
+      .select(col(idCol),
+        posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
+      .withColumn("_p", col("_p").cast("long"))
+    val rep = pos.select(col(idCol), col("_sh")).distinct()
+      .groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_p"))
+    pos.join(rep.select(col("_sh")), Seq("_sh"), "left_semi")
+      .withColumn("_grp", col("_p") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_p")).as("start_tok"),
+        (max(col("_p")) + lit(n - 1).cast("long")).as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1L)
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("start_tok"), col("end_tok"), col("n_tokens"))
+  }
+
+  /** Remove duplicated spans, keeping one witness copy per span — the
+    * removal half of [[duplicatedSpans]]. Winner election is per
+    * SHINGLE: the minimum doc id containing it. A doc's position is cut
+    * when its shingle is cross-doc repeated AND the doc is not that
+    * shingle's winner, grown to maximal runs ≥ `minTokens` like the
+    * detector; the minimum doc of a duplicated region therefore keeps
+    * its text while every other holder drops the span. (When a region's
+    * shingles also occur in unrelated docs the winner can differ per
+    * shingle and both holders may keep fragments — the documented
+    * under-removal of the shingle relaxation; determinism is exact.)
+    *
+    * Returns the full input row set: (idCol, n_removed, text_kept) with
+    * text_kept null when everything was cut.
+    *
+    * Scale shape: [[duplicatedSpans]]'s exchanges plus ONE doc-keyed
+    * join of the (small) span list back to the text and a map-side
+    * indexed-filter rebuild; span lists per doc are bounded by doc
+    * length, never corpus size. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 5, minDocs: Int = 2, minTokens: Int = 20): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    val pos = docs.withColumn("_whs", wordHashes(col(textCol)))
+      .select(col(idCol),
+        posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
+      .withColumn("_p", col("_p").cast("long"))
+    val rep = pos.select(col(idCol), col("_sh")).distinct()
+      .groupBy(col("_sh"))
+      .agg(count(lit(1)).as("_df"), min(col(idCol)).as("_win"))
+      .filter(col("_df") >= minDocs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_p"))
+    val spans = pos.join(rep, Seq("_sh"))
+      .filter(col(idCol) =!= col("_win"))
+      .withColumn("_grp", col("_p") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_p")).as("_st"),
+        (max(col("_p")) + lit(n - 1).cast("long")).as("_en"))
+      .filter(col("_en") - col("_st") + 1L >= minTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_st"), col("_en"))).as("_rm"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (_, i) =>
+          !exists(col("_rm"), s =>
+            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
+      .select(col(idCol),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+  }
+
   /** Append a k-component MinHash signature column.
     *
     * PERFORMANCE INVARIANT (all builders here): token hashes are
