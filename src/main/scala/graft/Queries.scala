@@ -404,6 +404,28 @@ object Queries {
   private val duckWhs =
     s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
   private def duckRehash(i: Int): String = s"(x*${2 * i + 3}+${11 * i + 7})%$duckP"
+  /** 5-gram shingle roll over a word-hash list `h` at 0-based offset `i`
+    * (same arithmetic as q_crossdoc_ngram's inline form). */
+  private val duckSh5 =
+    s"((((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31" +
+      s" + h[CAST(i+3 AS INT)])%$duckP*31 + h[CAST(i+4 AS INT)])%$duckP*31" +
+      s" + h[CAST(i+5 AS INT)])%$duckP"
+  // ── planted fixture for the span-dedup oracle rows: a 25-token span
+  // at token offsets 7 and 12 (different residues mod 3 — invisible to
+  // fixed 3-token chunking, recovered in full by shingle-run growth) ───
+  private val spanOracleA =
+    ((1 to 7).map(i => s"fa$i") ++ (1 to 25).map(i => s"sp$i") ++
+      Seq("fa8", "fa9")).mkString(" ")
+  private val spanOracleB =
+    ((1 to 12).map(i => s"fb$i") ++ (1 to 25).map(i => s"sp$i") ++
+      Seq("fb13", "fb14")).mkString(" ")
+  /** documents ∪ the two planted span docs (ids beyond any fixture id). */
+  private def spanAug(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(
+        lit(9000001L).as("doc_id"), lit(spanOracleA).as("text")))
+      .unionByName(s.range(1).select(
+        lit(9000002L).as("doc_id"), lit(spanOracleB).as("text")))
   /** All-language stopword list as a DuckDB array literal (same set the
     * Spark kernel uses — generated from one constant to prevent drift). */
   private val duckStopAll = TextAnalysis.stopwords.values.flatten.toSeq.distinct
@@ -2676,6 +2698,89 @@ object Queries {
              |  ELSE CAST(floor(CAST(a.nr AS DOUBLE)/a.ns*10000.0 + 0.5) AS BIGINT)
              |  END AS rep_e4
              |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ── 77b. variable-span duplicate DETECTION (ExactSubstr semantics,
+    // Lee et al. 2022 via shingle-run growth): two synthetic docs plant a
+    // 25-token span at offsets 7 and 12 — different residues mod 3, so
+    // fixed 3-token chunking can never align them; the maximal run of
+    // cross-doc-repeated 5-shingles recovers the full span. The twin
+    // recomputes repeated shingles + gaps-and-islands from first
+    // principles (the q_transitive_cc pattern) ─────────────────────────
+    QueryDef(
+      "q_span_detect",
+      (s, d) =>
+        Dedup.duplicatedSpans(spanAug(s, d), "doc_id", "text",
+          n = 5, minDocs = 2, minTokens = 20)
+          .orderBy(col("doc_id"), col("start_tok")),
+      Some(s"""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 9000001, '$spanOracleA'
+             |  UNION ALL SELECT 9000002, '$spanOracleB'),
+             |w AS (SELECT doc_id, $duckWhs AS h FROM aug),
+             |sg AS (SELECT doc_id, CASE WHEN len(h) >= 5 THEN
+             |  list_transform(range(0, len(h)-4), i -> $duckSh5)
+             |  ELSE [] END AS gs FROM w),
+             |e AS (SELECT doc_id, unnest(gs) AS sh,
+             |  unnest(range(0, len(gs))) AS p FROM sg),
+             |rep AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM e)
+             |  GROUP BY sh HAVING count(*) >= 2),
+             |runs AS (SELECT doc_id, p,
+             |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+             |  FROM e WHERE sh IN (SELECT sh FROM rep)),
+             |sp AS (SELECT doc_id, min(p) AS st, max(p) + 4 AS en
+             |  FROM runs GROUP BY doc_id, grp)
+             |SELECT doc_id, CAST(st AS BIGINT) AS start_tok,
+             |  CAST(en AS BIGINT) AS end_tok,
+             |  CAST(en - st + 1 AS BIGINT) AS n_tokens
+             |FROM sp WHERE en - st + 1 >= 20
+             |ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // ── 77c. variable-span dedup REMOVAL: winner per shingle = minimum
+    // holder doc; a non-winner's repeated positions grow to maximal runs
+    // ≥ minTokens and are cut from its token stream, so exactly one copy
+    // of every duplicated region survives (under-removal when winners
+    // differ per shingle is the documented trade). The twin rebuilds
+    // text_kept by anti-joining cut positions token by token ───────────
+    QueryDef(
+      "q_span_dedup",
+      (s, d) =>
+        Dedup.spanDedup(spanAug(s, d), "doc_id", "text",
+          n = 5, minDocs = 2, minTokens = 20)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 9000001, '$spanOracleA'
+             |  UNION ALL SELECT 9000002, '$spanOracleB'),
+             |w AS (SELECT doc_id, $duckWhs AS h,
+             |  string_split(text, ' ') AS tk FROM aug),
+             |sg AS (SELECT doc_id, CASE WHEN len(h) >= 5 THEN
+             |  list_transform(range(0, len(h)-4), i -> $duckSh5)
+             |  ELSE [] END AS gs FROM w),
+             |e AS (SELECT doc_id, unnest(gs) AS sh,
+             |  unnest(range(0, len(gs))) AS p FROM sg),
+             |dfw AS (SELECT sh, CAST(count(*) AS BIGINT) AS df,
+             |    min(doc_id) AS win
+             |  FROM (SELECT DISTINCT doc_id, sh FROM e) GROUP BY sh),
+             |cut AS (SELECT e.doc_id, e.p,
+             |    e.p - row_number() OVER (PARTITION BY e.doc_id ORDER BY e.p) AS grp
+             |  FROM e JOIN dfw ON e.sh = dfw.sh
+             |    AND dfw.df >= 2 AND e.doc_id <> dfw.win),
+             |sp AS (SELECT doc_id, min(p) AS st, max(p) + 4 AS en
+             |  FROM cut GROUP BY doc_id, grp
+             |  HAVING max(p) + 4 - min(p) + 1 >= 20),
+             |tok AS (SELECT doc_id, unnest(tk) AS tkn,
+             |  unnest(range(0, len(tk))) AS i FROM w),
+             |cutpos AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+             |  JOIN sp ON t.doc_id = sp.doc_id AND t.i BETWEEN sp.st AND sp.en),
+             |kept AS (SELECT t.doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_tot,
+             |    CAST(count(*) FILTER (WHERE c.i IS NULL) AS BIGINT) AS n_kept,
+             |    string_agg(CASE WHEN c.i IS NULL THEN t.tkn END, ' '
+             |      ORDER BY t.i) AS txt
+             |  FROM tok t LEFT JOIN cutpos c
+             |    ON t.doc_id = c.doc_id AND t.i = c.i
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, CAST(n_tot - n_kept AS BIGINT) AS n_removed,
+             |  nullif(txt, '') AS text_kept
+             |FROM kept ORDER BY doc_id""".stripMargin)),
 
     // ── 78. inverted index build: term → df + sorted posting list (the
     // one term-keyed shuffle; postings joined to a string because the

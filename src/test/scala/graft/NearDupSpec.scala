@@ -258,6 +258,77 @@ class NearDupSpec extends SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
   }
 
+  // ── variable-span dedup (ExactSubstr semantics, Lee et al. 2022) ────
+  // Shared fixture: a 25-token span planted in two docs at offsets 7 and
+  // 12 — different residues mod 3, so NO 3-token chunk of the span is
+  // aligned the same way in both docs and chunkDedup(3) cannot see the
+  // duplication, while shingle-run growth recovers the full span.
+  private val span25 = (1 to 25).map(i => s"sp$i").mkString(" ")
+  private def straddleDocs = Seq(
+    (1L, (1 to 7).map(i => s"fa$i").mkString(" ") + " " + span25 + " fa8 fa9"),
+    (2L, (1 to 12).map(i => s"fb$i").mkString(" ") + " " + span25 + " fb13 fb14"),
+    (9L, (1 to 30).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+
+  test("duplicatedSpans catches a chunk-boundary-straddling span chunkDedup misses") {
+    val chunked = Dedup.chunkDedup(straddleDocs, "doc_id", "text", 3)
+      .select("doc_id", "n_dropped").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture sanity: fixed 3-token chunking sees NO duplication at all
+    assert(chunked.values.forall(_ === 0L), s"chunkDedup must miss it: $chunked")
+    val spans = Dedup.duplicatedSpans(straddleDocs, "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: span tokens 7..31; doc 2: tokens 12..36 — maximal extent, 25 tokens
+    assert(spans === Set((1L, 7L, 31L, 25L), (2L, 12L, 36L, 25L)))
+  }
+
+  test("spanDedup: minimum doc wins per shingle and keeps its text") {
+    val out = Dedup.spanDedup(straddleDocs, "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+      .sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === 0L, "winner doc must lose nothing")
+    assert(byId(1L)._3 === straddleDocs.filter(col("doc_id") === 1).head.getString(1))
+    assert(byId(2L)._2 === 25L, "loser drops exactly the span")
+    assert(byId(2L)._3 ===
+      ((1 to 12).map(i => s"fb$i") ++ Seq("fb13", "fb14")).mkString(" "))
+    assert(byId(9L)._2 === 0L)
+  }
+
+  test("duplicatedSpans: overlapping spans vs different partners merge into one run") {
+    // X holds a 20-token region; D shares its first 12 tokens, E its last
+    // 12 — the overlap makes X's repeated shingle positions contiguous,
+    // so X reports ONE 20-token span though no partner shares all 20 (the
+    // documented precision trade of the shingle relaxation).
+    val region = (1 to 20).map(i => s"r$i")
+    val docs = Seq(
+      (5L, (Seq("x1", "x2") ++ region ++ Seq("x3")).mkString(" ")),
+      (6L, (Seq("d1", "d2", "d3") ++ region.take(12) ++ Seq("d4", "d5")).mkString(" ")),
+      (7L, (Seq("e1", "e2", "e3") ++ region.drop(8) ++ Seq("e4", "e5")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set(
+      (5L, 2L, 21L, 20L),   // merged maximal run spanning BOTH partners
+      (6L, 3L, 14L, 12L),   // D's copy of the first 12 tokens
+      (7L, 3L, 14L, 12L)))  // E's copy of the last 12
+  }
+
+  test("duplicatedSpans minTokens boundary: exactly-minTokens kept, one-shorter dropped") {
+    def docsOf(k: Int) = {
+      val shared = (1 to k).map(i => s"s$i")
+      Seq((1L, (Seq("a1", "a2", "a3") ++ shared ++ Seq("a4")).mkString(" ")),
+        (2L, (Seq("b1") ++ shared ++ Seq("b2", "b3")).mkString(" "))).toDF("doc_id", "text")
+    }
+    val at = Dedup.duplicatedSpans(docsOf(20), "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 20).count()
+    val below = Dedup.duplicatedSpans(docsOf(19), "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 20).count()
+    assert(at === 2L && below === 0L)
+  }
+
   test("Ivf spreadInit: deterministic, seeds differ from lowest-id init") {
     val corpus = (1 to 120).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 29) % 19 - 9).toFloat)))
