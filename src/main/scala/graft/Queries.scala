@@ -51,8 +51,13 @@ object Queries {
     // session conf again at action time, so a restore-after-read would
     // break execution; scoping to nanos files keeps every other
     // session's parquet reads untouched.
+    // matches both the 4.x error class and the older releases' plain
+    // message ("Illegal Parquet type") so the fallback survives version
+    // drift in the error-class spelling
     def isNanosReject(t: Throwable): Boolean = t != null &&
-      ((t.getMessage != null && t.getMessage.contains("PARQUET_TYPE_ILLEGAL")) ||
+      ((t.getMessage != null &&
+        (t.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+          t.getMessage.contains("Illegal Parquet type"))) ||
         isNanosReject(t.getCause))
     val raw =
       try spark.read.parquet(path)
@@ -1348,8 +1353,12 @@ object Queries {
       (s, d) => {
         val langs = graft.ext.LangId.profiles.map(_._1)
         // materialize distances ONCE (the langScoresOf lesson), then
-        // argmin over the array slots
+        // argmin over the array slots. Null text filtered on BOTH sides:
+        // the twin's string_split(NULL) unnests to zero rows (dropping
+        // the doc) while Spark would emit pred='und' — excluded rather
+        // than reconciled
         val dists = t(s, d, "documents")
+          .filter(col("text").isNotNull)
           .withColumn("_d", graft.ext.LangId.distances(lower(col("text"))))
         val scored = langs.zipWithIndex.foldLeft(dists) { case (df, (l, i)) =>
           df.withColumn(s"_d_$l", element_at(col("_d"), i + 1))
@@ -1373,7 +1382,7 @@ object Queries {
            |toks AS (
            |  SELECT doc_id, lang, ' '||t||' ' AS tok
            |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text),' ')) AS t
-           |        FROM documents)),
+           |        FROM documents WHERE text IS NOT NULL)),
            |grams AS (
            |  SELECT doc_id, lang, unnest(
            |    list_transform(range(len(tok)),   i -> tok[i+1 : i+1]) ||

@@ -21,8 +21,11 @@ import org.apache.spark.sql.DataFrame
   *     store/…) checkpoint dir, so executor loss mid-iteration recomputes
   *     from the stored round instead of failing the job. This is the
   *     setting for preemptible/spot clusters at 100 TB; the extra cost
-  *     is one distributed write per round of a frame that is small by
-  *     construction (ranks/labels/frontiers, not the corpus).
+  *     is one distributed write per round. For rank/label/frontier
+  *     frames that write is small; operators that cut edge, adjacency,
+  *     or shingle frames (hits, kCore, labelPropagation, shingleDedup)
+  *     pay a corpus-scale write per round — weigh that against the
+  *     restart cost of the whole iteration before opting in there.
   *
   * The conf is read at each cut, so callers can flip it per-job. The
   * `SparkContext` checkpoint dir is installed on first reliable use
@@ -36,9 +39,12 @@ object Checkpoints {
   val DirConf = "spark.graft.checkpointDir"
 
   // raw conf value the context's checkpoint dir was installed from —
-  // setCheckpointDir appends a UUID subdir, so remember what we passed
+  // setCheckpointDir appends a UUID subdir, so remember what we passed.
+  // Keyed by applicationId (a short string), NOT the SparkContext
+  // itself: strong context keys would pin every stopped context in
+  // long-lived JVMs that restart sessions.
   private val installed =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cut lineage on `df`: reliable eager checkpoint when
     * [[DirConf]] is set, eager localCheckpoint otherwise. */
@@ -47,9 +53,9 @@ object Checkpoints {
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (installed.get(sc) != dir) {
+        if (installed.get(sc.applicationId) != dir) {
           sc.setCheckpointDir(dir)
-          installed.put(sc, dir)
+          installed.put(sc.applicationId, dir)
         }
         df.checkpoint(eager = true)
       case None =>

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.CutOps
 
 /** One-call training-data document preparation: the composed form of the
   * extension operators, in the order a real corpus pipeline runs them.
@@ -170,7 +171,7 @@ object DocPipeline {
     // anti-join's LEFT side still recomputes stages 1-4 once — that
     // pass produces the output rows themselves (text included), and a
     // map-only recompute is cheaper than materializing the corpus.
-    val hashed = exact.select(col(idCol), col("_whs")).localCheckpoint(true)
+    val hashed = exact.select(col(idCol), col("_whs")).cut
     val banded = Dedup.minhashBandsFromWhs(hashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
     val starCand = banded.join(bucketMin, "band_key")

@@ -151,9 +151,9 @@ object Graph {
     *
     * Scale shape: identical to [[pageRank]] — one src-keyed equi-join
     * + one dst-keyed integer sum per iteration, dangling pool as a
-    * 1-row broadcast, seed membership as a map-side literal
-    * (`isin` — seed sets are small by definition; pass ≤ a few
-    * thousand). */
+    * 1-row broadcast, seed membership as a map-side `isin` (a hashed
+    * `InSet` beyond the conversion threshold, so 10⁴⁺-seed sets cost
+    * one probe per row, not a linear scan). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            sources: Seq[Long], iters: Int,
                            dampingPct: Int = 85): DataFrame = {
@@ -182,12 +182,17 @@ object Graph {
         .select(col("node"), expr("rk div d").as("c"))
         .join(e, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      // seed membership via isin (compiles to a hashed InSet above the
+      // conversion threshold) — interpolating the seed list into a SQL
+      // string would inline a |S|-element IN list per iteration
       ranks = ranks.join(in, ranks("node") === in("dst"), "left")
         .crossJoin(broadcast(share))
+        .withColumn("_contrib",
+          coalesce(col("m"), lit(0L)) +
+            when(isSeed, col("_share")).otherwise(lit(0L)))
         .select(col("node"),
           (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
-            expr(s"(coalesce(m, 0L) + if(node in (${seeds.mkString(",")})," +
-              s" _share, 0L)) * $dampingPct div 100")).as("rk"))
+            expr(s"_contrib * $dampingPct div 100")).as("rk"))
         .cut
     }
     ranks

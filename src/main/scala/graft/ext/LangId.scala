@@ -52,7 +52,10 @@ object LangId {
     * the strongest signal — the reason C-T pads). */
   private[ext] def gramCounts(text: String, nMax: Int): java.util.HashMap[String, Long] = {
     val counts = new java.util.HashMap[String, Long]()
-    val toks = text.toLowerCase.split(" ", -1)
+    // Locale.ROOT: locale-independent like Spark's lower() and the
+    // DuckDB twin — a Turkish-default JVM would otherwise map 'I'→'ı'
+    // and diverge from trained profiles
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     var t = 0
     while (t < toks.length) {
       val padded = " " + toks(t) + " "

@@ -121,15 +121,21 @@ object AtomicCommit {
     val live: Set[Long] = retained.flatMap { v =>
       decodeOwners(readBody(spark, root, v)).values.toSeq :+ v // whole-version stores: just v
     }.toSet
-    val staleCommits = versions.dropRight(keepVersions).map { v =>
+    // commit files first (a crash between phases leaves data-only
+    // debris, which the next vacuum self-heals; the reverse order would
+    // leave commits pointing at missing data). Report only paths whose
+    // delete() actually succeeded — a permission failure must not be
+    // listed as removed.
+    val staleCommits = versions.dropRight(keepVersions).flatMap { v =>
       val p = new Path(commitsDir(root), v.toString)
-      f.delete(p, false); p.toString
+      if (f.delete(p, false)) Some(p.toString) else None
     }
     val deadDirs = f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .flatMap { s =>
         scala.util.Try(s.getPath.getName.stripPrefix("v=").toLong).toOption
-          .filterNot(live).map { _ => f.delete(s.getPath, true); s.getPath.toString }
+          .filterNot(live)
+          .filter(_ => f.delete(s.getPath, true)).map(_ => s.getPath.toString)
       }
     deadDirs ++ staleCommits
   }

@@ -518,6 +518,26 @@ class ExtSpec extends SparkTestBase {
     assert(r(2L) === 150000000L * 85L / 100L)
   }
 
+  test("personalizedPageRank: 10k-seed set runs and conserves rank on a cycle") {
+    import spark.implicits._
+    // a 200-node directed cycle with a 10,000-id seed set (most seeds
+    // are NOT graph nodes — only the 100 even ids under 200 match).
+    // Guards the isin/InSet seed handling: a seed set this size must
+    // neither blow up plan compilation nor change the semantics — on a
+    // cycle (no dangling) total rank is conserved every iteration.
+    val n = 200
+    val e = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("s", "t")
+    val seeds = (0 until 10000).map(i => i * 2L) // evens: 100 in-graph
+    val r = Graph.personalizedPageRank(e, "s", "t", seeds, 2)
+    assert(r.count() === n.toLong)
+    val total = r.agg(sum("rk")).head.getLong(0)
+    // initial mass = 1e9 per in-graph seed; div-rounding only loses
+    // sub-ppm dust per iteration
+    assert(total > 99_000_000_000L && total <= 100_000_000_000L, s"total=$total")
+    // seeds outside the node set contribute nothing
+    assert(r.filter(col("node") >= n).count() === 0)
+  }
+
   test("kCore: peel cascade removes the tail pendant chain round by round") {
     import spark.implicits._
     // triangle {1,2,3} (2-core) + chain 3-5-6 hanging off: k=2 peels
