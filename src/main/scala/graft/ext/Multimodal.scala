@@ -8,7 +8,11 @@ import org.apache.spark.sql.types._
   *
   * Media travels as an opaque `binary` column + typed metadata — the
   * Spark-side machinery (schema, batch iteration, partition sizing,
-  * frame slicing) is real and tested; the codec call itself is a STUB
+  * frame slicing) is real and tested. Feature-dependent operators
+  * (near-dup) take CALLER-SUPPLIED feature columns
+  * ([[nearDupPairsFromFeatures]]) — bring your own codec + perceptual
+  * model; nothing downstream of feature extraction depends on a codec.
+  * Only the optional codec-free smoke path uses a STUB extractor
   * (`decodeStub`): this container has no image/audio libraries, and a
   * real deployment replaces exactly that one function with JNI/javacv/
   * a codec of choice. Shapes and determinism are preserved so pipelines
@@ -125,20 +129,37 @@ object Multimodal {
       .as[(Long, Long)]
   }
 
-  /** Tier 2 — NEAR-dup media pairs: decode-stub features → the same
-    * LSH-bucketed embedding near-dup path the text corpus uses
-    * (`Dedup.embeddingNearDups`) — bucket keys shuffle as three scalars,
-    * cosine verifies only within-bucket candidates, nothing is
-    * all-pairs. A real deployment swaps `decodeStub` for a codec +
-    * perceptual-embedding model and this composition is unchanged —
-    * which is the point of keeping the plumbing real.
+  /** Tier 2 — NEAR-dup media pairs over CALLER-SUPPLIED perceptual
+    * features (the BYO-features contract, and the path real deployments
+    * use): `(idCol, featCol: array<float>)` from whatever
+    * codec + embedding model the caller runs — CLIP image vectors,
+    * audio fingerprints, video keyframe means. No decode happens here
+    * and no payload byte is touched or shuffled: features go through
+    * the same LSH-bucketed near-dup path the text corpus uses
+    * (`Dedup.embeddingNearDups`) — bucket keys shuffle as three
+    * scalars, cosine verifies only within-bucket candidates, nothing
+    * is all-pairs.
     *
-    * Empty/null payloads are excluded: a zero feature vector has no
-    * cosine (0/0) — byte-identical empties are already caught by tier-1
-    * [[exactDupPairs]]. */
+    * Null/empty/all-zero vectors are excluded: a zero vector has no
+    * cosine (0/0) — byte-identical payloads belong to tier-1
+    * [[exactDupPairs]], which needs no features. */
+  def nearDupPairsFromFeatures(features: org.apache.spark.sql.DataFrame,
+                               idCol: String, featCol: String, dim: Int,
+                               bits: Int = 6, bands: Int = 2,
+                               tau: Double = 0.95): org.apache.spark.sql.DataFrame =
+    Dedup.embeddingNearDups(
+      features.filter(col(featCol).isNotNull &&
+        exists(col(featCol), x => x =!= 0.0f)),
+      idCol, featCol, dim, bits, tau, bands)
+
+  /** [[nearDupPairsFromFeatures]] with the built-in [[decodeStub]] as
+    * the feature extractor — a codec-free smoke path for environments
+    * without media libraries. Production callers extract real
+    * perceptual features and call [[nearDupPairsFromFeatures]]; the
+    * composition downstream of feature extraction is identical. */
   def nearDupPairs(items: Dataset[MediaItem], dim: Int = 16,
                    bits: Int = 6, bands: Int = 2, tau: Double = 0.95): org.apache.spark.sql.DataFrame =
-    Dedup.embeddingNearDups(
+    nearDupPairsFromFeatures(
       extractFeatures(items, dim).toDF().filter(col("n_bytes") > 0),
-      "media_id", "features", dim, bits, tau, bands)
+      "media_id", "features", dim, bits, bands, tau)
 }

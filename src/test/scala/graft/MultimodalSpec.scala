@@ -57,6 +57,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(3).toSeq === (90 until 100).map(_.toByte))
   }
 
+  test("BYO-features near-dup: planted perceptual near-copies recovered without payloads") {
+    // Golden fixture simulating a caller's perceptual-embedding model:
+    // 30 distinct base vectors; ids 101/103/107 are tiny perturbations
+    // of ids 1/3/7 (cosine ≈ 1 — "the same image re-encoded"); id 200
+    // is null-featured, id 201 all-zero (no cosine). The frame has NO
+    // content column at all — the contract is that near-dup never needs
+    // payload bytes.
+    def base(i: Int) = Array.tabulate(8)(j => ((i * 131 + j * 47) % 23 - 11) / 3.0f)
+    val planted = Seq(1, 3, 7)
+    val rows = (1 to 30).map(i => (i.toLong, base(i))) ++
+      planted.map(i => (100L + i, base(i).zipWithIndex.map { case (v, j) =>
+        v + (if (j == 0) 0.001f else 0f) }))
+    val feats = rows.toDF("media_id", "perc_vec")
+      .unionByName(Seq((200L, null.asInstanceOf[Array[Float]]),
+        (201L, Array.fill(8)(0f))).toDF("media_id", "perc_vec"))
+    assert(!feats.columns.contains("content"))
+    val near = Multimodal.nearDupPairsFromFeatures(
+      feats, "media_id", "perc_vec", dim = 8, bits = 4, bands = 4, tau = 0.999)
+      .select("media_id", "dup_of").as[(Long, Long)].collect().toSet
+    planted.foreach { i =>
+      assert(near.contains((100L + i, i.toLong)), s"planted $i missed in $near")
+    }
+    // precision 1 by construction (cosine-verified): every emitted pair
+    // is ≥ tau under brute-force truth (the fixture also contains
+    // incidental true near-pairs — shifted bases and the mod-23 cycle)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) => (d + x * y, na + x * x, nb + y * y)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val vecs = rows.toMap
+    near.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.999, s"spurious pair ($a,$b)")
+    }
+    // degenerate vectors are excluded, not NaN-paired
+    assert(!near.exists(p => p._1 >= 200L || p._2 >= 200L))
+  }
+
   test("media dedup: exact pairs by digest, near-dups by feature LSH") {
     val base = (0 until 64).map(i => (i * 7 % 256).toByte).toArray
     val nearCopy = base.clone(); nearCopy(0) = (nearCopy(0) ^ 1).toByte
