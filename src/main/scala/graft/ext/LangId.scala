@@ -104,28 +104,70 @@ object LangId {
       "this is the house that we built together last summer near the river and the old bridge",
       "people often think that reading books is the best way to learn about the world around them",
       "there was nothing left to do but wait for the train and hope that it would not be late",
-      "it is on the roof and the cat is in the kitchen with the dog and the children"),
+      "it is on the roof and the cat is in the kitchen with the dog and the children",
+      "good morning everyone said the teacher as the students opened their books for the first lesson",
+      "every evening the family gathers around the table to share a meal and talk about the day"),
     "de" -> Seq(
       "der schnelle braune fuchs springt über den faulen hund während die kinder aus dem garten zuschauen",
       "sie sagte dass das wetter morgen besser werden würde und dass sie warten sollten",
       "das ist das haus das wir letzten sommer zusammen in der nähe des flusses gebaut haben",
       "viele menschen glauben dass bücher lesen der beste weg ist um die welt zu verstehen",
       "es gab nichts mehr zu tun außer auf den zug zu warten und zu hoffen dass er nicht zu spät kommt",
-      "die katze ist auf dem dach und der hund ist in der küche bei den kindern"),
+      "die katze ist auf dem dach und der hund ist in der küche bei den kindern",
+      "guten morgen alle zusammen sagte der lehrer während die schüler ihre bücher für die erste stunde öffnen",
+      "jeden abend versammelt sich die familie um den tisch um gemeinsam zu essen und über den tag zu sprechen",
+      "die freunde kamen zu spät weil auf der hauptstraße viel verkehr war"),
     "fr" -> Seq(
       "le rapide renard brun saute par dessus le chien paresseux pendant que les enfants regardent depuis le jardin",
       "elle a dit que le temps serait meilleur demain matin et qu'ils devraient attendre",
       "c'est la maison que nous avons construite ensemble l'été dernier près de la rivière et du vieux pont",
       "beaucoup de gens pensent que lire des livres est la meilleure façon de comprendre le monde",
       "il ne restait plus rien à faire sauf attendre le train et espérer qu'il ne soit pas en retard",
-      "le chat est sur le toit et le chien est dans la cuisine avec les enfants"),
+      "le chat est sur le toit et le chien est dans la cuisine avec les enfants",
+      "bonjour à tous dit le professeur pendant que les élèves ouvrent leurs livres pour la première leçon",
+      "chaque soir la famille se réunit autour de la table pour partager un repas et parler de la journée",
+      "les amis sont arrivés en retard parce qu'il y avait beaucoup de circulation sur la route principale"),
     "es" -> Seq(
       "el rápido zorro marrón salta sobre el perro perezoso mientras los niños miran desde el jardín",
       "ella dijo que el tiempo sería mejor por la mañana y que deberían esperar",
       "esta es la casa que construimos juntos el verano pasado cerca del río y del puente viejo",
       "mucha gente piensa que leer libros es la mejor manera de aprender sobre el mundo",
       "no quedaba nada más que hacer salvo esperar el tren y confiar en que no llegara tarde",
-      "el gato está en el tejado y el perro está en la cocina con los niños"))
+      "el gato está en el tejado y el perro está en la cocina con los niños",
+      "buenos días a todos dijo el profesor mientras los alumnos abren sus libros para la primera lección",
+      "cada noche la familia se reúne alrededor de la mesa para compartir la cena y hablar del día",
+      "los amigos llegaron tarde porque había mucho tráfico en la carretera principal"),
+    "it" -> Seq(
+      "la rapida volpe marrone salta sopra il cane pigro mentre i bambini guardano dal giardino",
+      "lei ha detto che il tempo sarebbe stato migliore domattina e che avrebbero dovuto aspettare",
+      "questa è la casa che abbiamo costruito insieme l'estate scorsa vicino al fiume e al vecchio ponte",
+      "molte persone pensano che leggere libri sia il modo migliore per conoscere il mondo",
+      "non restava altro da fare che aspettare il treno e sperare che non fosse in ritardo",
+      "il gatto è sul tetto e il cane è in cucina con i bambini",
+      "questo racconto parla della storia della nostra città e della gente che ci abita da sempre",
+      "ogni sera la famiglia si riunisce intorno alla tavola per mangiare insieme e parlare della giornata",
+      "gli amici sono arrivati in ritardo perché c'era molto traffico sulla strada principale",
+      "il professore spiega la lezione mentre gli studenti aprono i loro libri"),
+    "nl" -> Seq(
+      "de snelle bruine vos springt over de luie hond terwijl de kinderen vanuit de tuin toekijken",
+      "ze zei dat het weer morgenochtend beter zou worden en dat ze moesten wachten",
+      "dit is het huis dat we vorige zomer samen hebben gebouwd bij de rivier en de oude brug",
+      "veel mensen denken dat boeken lezen de beste manier is om de wereld te leren kennen",
+      "er was niets meer te doen dan op de trein te wachten en te hopen dat hij niet te laat zou zijn",
+      "de kat zit op het dak en de hond is in de keuken bij de kinderen",
+      "elke avond komt de familie samen rond de tafel om te eten en over de dag te praten",
+      "de vrienden kwamen te laat omdat er veel verkeer was op de grote weg",
+      "de leraar legt de les uit terwijl de studenten hun boeken openen"),
+    "pt" -> Seq(
+      "a rápida raposa marrom salta sobre o cão preguiçoso enquanto as crianças observam do jardim",
+      "ela disse que o tempo estaria melhor pela manhã e que eles deveriam esperar",
+      "esta é a casa que construímos juntos no verão passado perto do rio e da ponte velha",
+      "muitas pessoas acham que ler livros é a melhor maneira de aprender sobre o mundo",
+      "não restava mais nada a fazer senão esperar o trem e torcer para que não chegasse atrasado",
+      "o gato está no telhado e o cão está na cozinha com as crianças",
+      "todas as noites a família se reúne em volta da mesa para comer e conversar sobre o dia",
+      "os amigos chegaram atrasados porque havia muito trânsito na estrada principal",
+      "o professor explica a lição enquanto os alunos abrem os seus livros"))
 
   /** The stock profiles, (lang, ranked grams), sorted by language key —
     * the array order every distance/argmin consumer indexes by. */

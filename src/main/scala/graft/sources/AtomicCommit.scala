@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * claim is a best-effort guard, not a lock service. */
 object AtomicCommit {
 
-  private def fs(spark: SparkSession, root: String) =
+  private[sources] def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def versionDir(root: String, v: Long): String = s"$root/v=$v"

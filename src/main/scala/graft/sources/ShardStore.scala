@@ -38,9 +38,42 @@ object ShardStore {
     // fingerprint the files that LANDED, not the in-memory frame — the
     // manifest certifies bytes on disk (and costs a scan of compressed
     // parquet, not a second pass over the upstream pipeline)
-    val manifest = shardManifest(df.sparkSession.read.parquet(path), cols)
+    val onDisk = df.sparkSession.read.parquet(path)
+    val manifest = shardManifest(onDisk, cols)
     manifest.write.mode("overwrite").parquet(s"$path/_manifest")
+    // schema sidecar: the version's reader-visible schema as JSON, the
+    // authority schema evolution aligns old versions against (underscore
+    // prefix keeps it out of parquet directory scans)
+    writeSchemaSidecar(df.sparkSession, path, onDisk.schema)
     manifest
+  }
+
+  private def sidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_schema.json")
+
+  private def writeSchemaSidecar(spark: SparkSession, path: String,
+                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = AtomicCommit.fs(spark, path)
+    val out = f.create(sidecarPath(path), true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The reader-visible schema of a version directory: the sidecar when
+    * present, else the parquet footprint (stores written before the
+    * sidecar existed). */
+  private[sources] def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val f = AtomicCommit.fs(spark, path)
+    val p = sidecarPath(path)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val json =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    } else spark.read.parquet(path).schema
   }
 
   /** The shard → (n_rows, fingerprint) aggregation; `bit_xor` over
@@ -95,6 +128,27 @@ object ShardStore {
     * retention floor passes `v`). */
   def readShardsAt(spark: SparkSession, root: String, v: Long): DataFrame =
     spark.read.parquet(shardPathAt(spark, root, v))
+
+  /** Read committed version `v` ALIGNED TO the latest committed
+    * version's schema — the schema-evolution read: columns ADDED since
+    * `v` are null-filled at their current type (add-column-with-default
+    * semantics), columns DROPPED since `v` are omitted, and same-name
+    * columns are cast to the current type (no-op unless the type
+    * widened). Column order is the latest schema's, so unions across
+    * versions line up. Raw as-of bytes stay available via
+    * [[readShardsAt]]. Resolution is two sidecar reads — the data scan
+    * itself is unchanged (nulls come from the projection, not disk). */
+  def readShardsAtEvolved(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val (latestV, _) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed shard version under $root"))
+    val target = schemaOf(spark, AtomicCommit.versionDir(root, latestV))
+    val old = readShardsAt(spark, root, v)
+    val oldCols = old.columns.toSet
+    old.select(target.fields.toSeq.map { f =>
+      if (oldCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** [[validateShards]] against version `v`'s own manifest. */
   def validateShardsAt(spark: SparkSession, root: String, v: Long,

@@ -75,6 +75,39 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("block eviction: reliable cut survives total block loss, local cut fails") {
+    import spark.implicits._
+    // executor-loss simulation in local[*]: a lost executor drops its
+    // cached blocks; evicting EVERY persistent RDD's blocks reproduces
+    // the failure mode exactly — localCheckpoint severed the lineage,
+    // so with the blocks gone there is nothing left to recompute from
+    def evictAllBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    def rootMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val base = spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 2)
+
+    val local = Checkpoints.cut(base)
+    assert(local.count() === 10000L)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "local cut must hold blocks in the block manager")
+    evictAllBlocks()
+    val e = intercept[Exception] { local.agg(sum("v")).as[Long].head() }
+    assert(rootMsgs(e).contains("Checkpoint block"),
+      s"expected the lost-checkpoint-block failure, got: ${rootMsgs(e)}")
+
+    withReliable { dir =>
+      val reliable = Checkpoints.cut(base)
+      assert(reliable.count() === 10000L)
+      evictAllBlocks()
+      // the round state lives in the reliable store — block loss is a
+      // re-read, not a job failure
+      assert(reliable.agg(sum("v")).as[Long].head() === 9999L * 10000L)
+      assert(rddDirs(dir).nonEmpty)
+    }
+  }
+
   test("cut: reliable frame recomputes from the store after the cut") {
     import spark.implicits._
     withReliable { dir =>

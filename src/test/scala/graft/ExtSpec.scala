@@ -682,7 +682,33 @@ class ExtSpec extends SparkTestBase {
       s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
     // the stopword heuristic CANNOT do this: the accented short docs
     // score zero on every marker list (or collide), C-T separates them
-    assert(LangId.profiles.map(_._1) === Seq("de", "en", "es", "fr"))
+    assert(LangId.profiles.map(_._1) === Seq("de", "en", "es", "fr", "it", "nl", "pt"))
+  }
+
+  test("langIdCt: it/nl/pt stock profiles separate held-out sentences") {
+    import spark.implicits._
+    import graft.ext.LangId
+    // held-out sentences (none appears in the seed corpora), including
+    // the Romance-language near-collision zone (it vs es vs pt share
+    // many grams — rank order must still separate them)
+    val docs = Seq(
+      ("oggi andiamo al mercato per comprare del pane fresco e della frutta", "it"),
+      ("questo libro racconta una storia molto bella della nostra città", "it"),
+      ("vandaag gaan we naar de markt om vers brood en fruit te kopen", "nl"),
+      ("dit boek vertelt een heel mooi verhaal over onze stad", "nl"),
+      ("hoje vamos ao mercado comprar pão fresco e algumas frutas", "pt"),
+      ("este livro conta uma história muito bonita da nossa cidade", "pt"),
+      // the original four must STILL classify right with 7 profiles
+      ("the library opens early tomorrow morning", "en"),
+      ("das konzert beginnt heute abend um acht uhr", "de"),
+      ("la bibliothèque ouvre tôt demain matin", "fr"),
+      ("la biblioteca abre temprano mañana por la mañana", "es")
+    ).toDF("text", "want")
+    val got = docs.withColumn("pred", LangId.langIdCt(col("text")))
+      .select("text", "want", "pred").collect()
+    val wrong = got.filter(r => r.getString(1) != r.getString(2))
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
   }
 
   test("langIdCt: null text is 'und'; distances are deterministic under codegen") {
@@ -697,7 +723,7 @@ class ExtSpec extends SparkTestBase {
       .select(LangId.distances(lower(col("text"))).as("d")).head.getSeq[Long](0)
     val d2 = df.filter(col("text").isNotNull).repartition(3)
       .select(LangId.distances(lower(col("text"))).as("d")).head.getSeq[Long](0)
-    assert(d1 === d2 && d1.length === 4)
+    assert(d1 === d2 && d1.length === LangId.profiles.length)
   }
 
   test("trainProfiles: distributed training equals the driver-side profileOf") {
@@ -706,7 +732,7 @@ class ExtSpec extends SparkTestBase {
     val df = LangId.seeds.toSeq.flatMap { case (l, ts) => ts.map(t => (l, t)) }
       .toDF("lang", "text")
     val trained = LangId.trainProfiles(df, "lang", "text")
-    assert(trained.map(_._1) === Seq("de", "en", "es", "fr"))
+    assert(trained.map(_._1) === Seq("de", "en", "es", "fr", "it", "nl", "pt"))
     trained.foreach { case (l, prof) =>
       assert(prof === LangId.profileOf(LangId.seeds(l)),
         s"distributed profile for $l diverges from driver-side ranking")

@@ -152,6 +152,41 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("shard store schema evolution: evolved read aligns old versions to latest schema") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ShardStore
+    val root = java.nio.file.Files.createTempDirectory("aevo").resolve("corpus").toString
+    // v1: (doc_id, text); v2 ADDS a quality column
+    val v1df = docs.select(col("doc_id"), col("text"))
+    ShardStore.writeShardsAtomic(v1df, "doc_id", numShards = 2, root)
+    ShardStore.writeShardsAtomic(
+      docs.select(col("doc_id"), col("text"),
+        (col("n_chars") % 7).cast("double").as("quality")),
+      "doc_id", numShards = 2, root)
+    // raw as-of read keeps v1's own schema (reproducibility unchanged)
+    assert(ShardStore.readShardsAt(spark, root, 1L).columns.toSet ===
+      Set("doc_id", "text", "shard"))
+    // evolved read: v1 gains quality as all-null, order = latest schema,
+    // so cross-version unions line up
+    val ev1 = ShardStore.readShardsAtEvolved(spark, root, 1L)
+    val latest = ShardStore.readShardsLatest(spark, root)
+    assert(ev1.columns.toSeq === latest.columns.toSeq)
+    assert(ev1.schema("quality").dataType === latest.schema("quality").dataType)
+    assert(ev1.count() === v1df.count())
+    assert(ev1.filter(col("quality").isNotNull).count() === 0L)
+    assert(ev1.unionByName(latest).count() === ev1.count() + latest.count())
+    // v3 DROPS text: the evolved read of v1 omits it too
+    ShardStore.writeShardsAtomic(
+      docs.select(col("doc_id"), (col("n_chars") % 7).cast("double").as("quality")),
+      "doc_id", numShards = 2, root)
+    val ev1v3 = ShardStore.readShardsAtEvolved(spark, root, 1L)
+    assert(ev1v3.columns.toSet === Set("doc_id", "quality", "shard"))
+    // the evolved read of the latest version is the identity projection
+    val ev3 = ShardStore.readShardsAtEvolved(spark, root, 3L)
+    assert(ev3.columns.toSeq === ShardStore.readShardsLatest(spark, root).columns.toSeq)
+    assert(ev3.count() === docs.count())
+  }
+
   // ---- Queries.events timestamp-encoding normalization (VERDICT r9 #2) ----
 
   private def eventsDigest(df: org.apache.spark.sql.DataFrame) = {
