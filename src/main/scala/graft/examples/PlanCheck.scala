@@ -181,7 +181,14 @@ object PlanCheck {
       ("q_tpch_q21", "Q21: EXISTS semi + NOT-EXISTS anti on orderkey, no cartesian",
         p => p.contains("Semi") && p.contains("Anti") && !p.contains("Cartesian")),
       ("q_tpch_q22", "Q22: no-recent-orders as ANTI join, avg broadcast",
-        p => p.contains("Anti") && !p.contains("Cartesian"))
+        p => p.contains("Anti") && !p.contains("Cartesian")),
+      ("q_span_detect", "span detection: shingle-keyed SEMI join, one doc window, no cartesian",
+        p => (p.contains("LeftSemi") || p.contains("Semi")) &&
+          p.contains(") Window") && !p.contains("Cartesian") &&
+          !p.contains("BroadcastNestedLoop")),
+      ("q_span_dedup", "span removal: equi-joins only (shingle + doc keys), no cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop") &&
+          p.contains(") Window"))
     )
 
     var failed = 0

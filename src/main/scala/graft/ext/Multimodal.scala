@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   *
   * Media travels as an opaque `binary` column + typed metadata — the
   * Spark-side machinery (schema, batch iteration, partition sizing,
-  * frame slicing) is real and tested. Feature-dependent operators
-  * (near-dup) take CALLER-SUPPLIED feature columns
-  * ([[nearDupPairsFromFeatures]]) — bring your own codec + perceptual
-  * model; nothing downstream of feature extraction depends on a codec.
-  * Only the optional codec-free smoke path uses a STUB extractor
-  * (`decodeStub`): this container has no image/audio libraries, and a
-  * real deployment replaces exactly that one function with JNI/javacv/
-  * a codec of choice. Shapes and determinism are preserved so pipelines
-  * built on this run unchanged when the codec lands.
+  * frame slicing) is real and tested. IMAGES have a REAL codec path
+  * built on the JDK's bundled ImageIO (PNG/JPEG/BMP/GIF — java.desktop,
+  * no external libraries): [[imageFeatures]] extracts block-mean
+  * perceptual vectors and [[resize]] area-average downsamples +
+  * re-encodes. Payloads no JDK codec decodes (audio/video/unknown)
+  * fall back to deterministic byte-level stand-ins (`decodeStub` /
+  * `resizeStub`) so mixed corpora never throw; a real deployment adds
+  * codecs by replacing exactly those two functions. Feature-dependent
+  * operators (near-dup) also take CALLER-SUPPLIED feature columns
+  * ([[nearDupPairsFromFeatures]]) — bring your own embedding model;
+  * nothing downstream of feature extraction depends on any codec.
   *
   * Scale notes: decode is the classic CPU-heavy map stage — it runs in
   * `mapPartitions` (no shuffle), so parallelism = input splits;
@@ -39,11 +41,10 @@ object Multimodal {
     StructField("content", BinaryType, nullable = true),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
-  /** STUB — deterministic fake "decode → feature vector".
-    * Real implementation: decode `bytes` with an image/audio codec and
-    * run the feature extractor; everything around this call is the real
-    * distributed plumbing. The fake is a byte-histogram projection so
-    * tests get stable, content-sensitive vectors. */
+  /** Byte-histogram fallback feature projection for payloads no codec
+    * can decode (unknown formats, audio/video in this JDK-only build):
+    * deterministic and content-sensitive, so mixed corpora never throw
+    * and exact-duplicate payloads still collide. */
   private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0
@@ -54,12 +55,63 @@ object Multimodal {
     acc
   }
 
-  /** Decode + feature-extract each media item (batched per partition). */
+  /** Decode an image payload with the JDK's bundled ImageIO codecs
+    * (PNG/JPEG/BMP/GIF/WBMP — java.desktop, no external libraries).
+    * None for null/empty/undecodable bytes. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
+
+  /** REAL perceptual image features (aHash family — block-mean
+    * luminance, cf. Zauner 2010 "Implementation and Benchmarking of
+    * Perceptual Image Hash Functions"): decode, area-average the
+    * luminance onto a g×g grid (g = ⌊√dim⌋), flatten row-major,
+    * mean-center. Pixel-level arithmetic only — no AWT rendering
+    * pipeline — so the vector is bit-deterministic across JVMs. The
+    * SAME pixels re-encoded in another container (PNG vs BMP) map to
+    * the SAME vector; small perturbations move it slightly (cosine ≈
+    * 1) — exactly what the near-dup tier needs. Non-image payloads
+    * fall back to [[decodeStub]]. */
+  private[graft] def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case None => decodeStub(if (bytes == null) Array.emptyByteArray else bytes, dim)
+      case Some(img) =>
+        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sum = new Array[Double](g * g)
+        val cnt = new Array[Long](g * g)
+        var y = 0
+        while (y < h) {
+          val gy = y * g / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val c = gy * g + x * g / w
+            sum(c) += lum; cnt(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cells = Array.tabulate(g * g)(i => if (cnt(i) == 0) 0.0 else sum(i) / cnt(i))
+        val mean = cells.sum / cells.length
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < g * g) { out(i) = (cells(i) - mean).toFloat; i += 1 }
+        out
+    }
+
+  /** Decode + feature-extract each media item (batched per partition):
+    * real ImageIO decode for image payloads, byte-histogram fallback
+    * for everything else — one map stage, no shuffle. */
   def extractFeatures(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaFeatures] =
     items.mapPartitions { it =>
       it.map { m =>
         val bytes = if (m.content == null) Array.emptyByteArray else m.content
-        MediaFeatures(m.media_id, m.kind, bytes.length.toLong, decodeStub(bytes, dim))
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong, imageFeatures(bytes, dim))
       }
     }(Encoders.product[MediaFeatures])
 
@@ -70,11 +122,9 @@ object Multimodal {
     items.repartition(parts, col("media_id"))
   }
 
-  /** STUB — deterministic fake "resize": keep every `factor`-th byte of
-    * the payload. A real deployment replaces this one function with the
-    * codec's scaler (image resize / audio downsample); the surrounding
-    * plumbing — schema preservation, metadata stamping, partition-local
-    * execution — is the real contract. */
+  /** Byte-decimation fallback "resize" for undecodable payloads: keep
+    * every `factor`-th byte. Deterministic; preserves the pipeline
+    * shape for formats the JDK codecs don't cover. */
   private[graft] def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
     if (bytes.length == 0) return Array.emptyByteArray
     val out = new Array[Byte]((bytes.length + factor - 1) / factor)
@@ -83,18 +133,69 @@ object Multimodal {
     out
   }
 
+  /** REAL image resize: ImageIO decode → area-average downsample by
+    * `factor` (each target pixel = mean of its source cell — pure pixel
+    * arithmetic, no AWT rendering pipeline, deterministic) → PNG
+    * re-encode. None when the payload isn't a decodable image. */
+  private[graft] def resizeImage(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { img =>
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val w = math.max(1, sw / factor)
+      val h = math.max(1, sh / factor)
+      val sumR = new Array[Double](w * h)
+      val sumG = new Array[Double](w * h)
+      val sumB = new Array[Double](w * h)
+      val cnt = new Array[Long](w * h)
+      var y = 0
+      while (y < sh) {
+        val ty = math.min(h - 1, y * h / sh)
+        var x = 0
+        while (x < sw) {
+          val c = ty * w + math.min(w - 1, x * w / sw)
+          val rgb = img.getRGB(x, y)
+          sumR(c) += (rgb >> 16) & 0xff
+          sumG(c) += (rgb >> 8) & 0xff
+          sumB(c) += rgb & 0xff
+          cnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) {
+        val n = math.max(1L, cnt(i)).toDouble
+        out.setRGB(i % w, i / w,
+          (math.round(sumR(i) / n).toInt << 16) |
+            (math.round(sumG(i) / n).toInt << 8) |
+            math.round(sumB(i) / n).toInt)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
   /** Resize each media item by `factor` (partition-local map, no
-    * shuffle), stamping `meta("resize_factor")` so downstream stages and
-    * lineage audits see the transformation. Schema is unchanged — a
-    * resized corpus feeds every operator the original does. */
+    * shuffle): real ImageIO scale + PNG re-encode for image payloads,
+    * byte decimation otherwise; `meta("resize_factor")` and
+    * `meta("resize_codec")` ("imageio" | "bytes") record what ran so
+    * downstream stages and lineage audits see the transformation.
+    * Schema is unchanged — a resized corpus feeds every operator the
+    * original does. */
   def resize(items: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {
     require(factor >= 1, s"factor=$factor must be >= 1")
     items.mapPartitions { it =>
       it.map { m =>
         val bytes = if (m.content == null) Array.emptyByteArray else m.content
+        val (resized, codec) = resizeImage(bytes, factor) match {
+          case Some(img) => (img, "imageio")
+          case None => (resizeStub(bytes, factor), "bytes")
+        }
         val meta = (if (m.meta == null) Map.empty[String, String] else m.meta) +
-          ("resize_factor" -> factor.toString)
-        m.copy(content = resizeStub(bytes, factor), meta = meta)
+          ("resize_factor" -> factor.toString, "resize_codec" -> codec)
+        m.copy(content = resized, meta = meta)
       }
     }(Encoders.product[MediaItem])
   }

@@ -150,6 +150,38 @@ object ShardStore {
     }: _*)
   }
 
+  /** Content diff between two committed versions — the CDC read an
+    * incremental trainer runs ("give me the net-new documents since the
+    * version I last consumed"): one row per content change, `change` ∈
+    * ('insert', 'delete'). Identity is xxhash64 over `hashCols`
+    * (default: the columns the two versions share, minus `shard`), so
+    * the diff is a SET diff over content — within-version duplicates
+    * collapse, and a row counts as changed when any identity column
+    * changed. Schema evolution composes: only shared columns diff.
+    *
+    * Scale shape: two version scans, identity hash computed map-side,
+    * one hash-keyed dedup + anti join per direction — never a full-row
+    * comparison join, and only changed rows survive the exchanges. */
+  def diffVersions(spark: SparkSession, root: String, vOld: Long, vNew: Long,
+                   hashCols: Seq[String] = Nil): DataFrame = {
+    val old = readShardsAt(spark, root, vOld)
+    val neu = readShardsAt(spark, root, vNew)
+    val cols =
+      if (hashCols.nonEmpty) hashCols
+      else (old.columns.toSet.intersect(neu.columns.toSet) - "shard").toSeq.sorted
+    require(cols.nonEmpty,
+      s"versions $vOld and $vNew share no identity columns to diff on")
+    def keyed(df: DataFrame) =
+      df.select(cols.map(col) :+ xxhash64(cols.map(col): _*).as("_h"): _*)
+    def oneSide(keep: DataFrame, drop: DataFrame, tag: String) =
+      keep.dropDuplicates("_h")
+        .join(drop.select(col("_h")).distinct(), Seq("_h"), "left_anti")
+        .drop("_h")
+        .withColumn("change", lit(tag))
+    oneSide(keyed(neu), keyed(old), "insert")
+      .unionByName(oneSide(keyed(old), keyed(neu), "delete"))
+  }
+
   /** [[validateShards]] against version `v`'s own manifest. */
   def validateShardsAt(spark: SparkSession, root: String, v: Long,
                        hashCols: Seq[String] = Nil): DataFrame =

@@ -113,6 +113,28 @@ class EdgeCaseSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Kinship.grmTriangle(emptyGt, "gt"))
   }
 
+  test("span dedup on empty/degenerate corpora stays empty, never throws") {
+    import graft.ext.Dedup
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.spanDedup(emptyDocs, "doc_id", "text").count() === 0)
+    // single doc: nothing is cross-doc repeated, text passes through
+    val one = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(one, "doc_id", "text").count() === 0)
+    val kept = Dedup.spanDedup(one, "doc_id", "text").collect()
+    assert(kept.length === 1 && kept(0).getLong(1) === 0L)
+    // docs shorter than the shingle width surface with no spans but
+    // keep their rows in the removal output
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(short, "doc_id", "text", n = 5).count() === 0)
+    assert(Dedup.spanDedup(short, "doc_id", "text", n = 5).count() === 2)
+    // invalid parameters fail fast
+    intercept[IllegalArgumentException](
+      Dedup.duplicatedSpans(one, "doc_id", "text", minDocs = 1))
+    intercept[IllegalArgumentException](
+      Dedup.spanDedup(one, "doc_id", "text", n = 8, minTokens = 5))
+  }
+
   test("tajimaD on an all-missing cohort is undefined, not a throw") {
     val df = Seq((1L, Seq(Seq(-1, -1), Seq(-1, -1)))).toDF("vid", "gt")
     assert(Stats.tajimaD(df, "gt").isEmpty)

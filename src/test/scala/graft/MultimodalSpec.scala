@@ -57,6 +57,84 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(3).toSeq === (90 until 100).map(_.toByte))
   }
 
+  // ── real JDK-ImageIO codec path ─────────────────────────────────────
+  private def makeImage(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255 / math.max(1, w - 1) + seed * 37) % 256
+      val g = (y * 255 / math.max(1, h - 1) + seed * 91) % 256
+      val b = ((x + y) * 7 + seed * 13) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("imageFeatures: real decode — container-invariant, perturbation-tolerant") {
+    import graft.ext.Multimodal
+    val img = makeImage(32, 24, seed = 1)
+    val png = encode(img, "png")
+    val bmp = encode(img, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp), "containers must differ at byte level")
+    // SAME pixels, different container → IDENTICAL perceptual vector
+    // (byte histograms could never do this)
+    val fPng = Multimodal.imageFeatures(png, 16)
+    val fBmp = Multimodal.imageFeatures(bmp, 16)
+    assert(fPng.toSeq === fBmp.toSeq)
+    // one perturbed pixel → tiny move (cosine ≈ 1); different image → far
+    val near = makeImage(32, 24, seed = 1)
+    near.setRGB(0, 0, near.getRGB(0, 0) ^ 0x000008)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    assert(cos(fPng, Multimodal.imageFeatures(encode(near, "png"), 16)) > 0.9999)
+    assert(cos(fPng, Multimodal.imageFeatures(encode(makeImage(32, 24, 9), "png"), 16)) < 0.99)
+    // non-image payload falls back to the byte histogram, not a throw
+    assert(Multimodal.imageFeatures(Array[Byte](1, 2, 3), 4).toSeq ===
+      Multimodal.decodeStub(Array[Byte](1, 2, 3), 4).toSeq)
+  }
+
+  test("resize: real images downscale via ImageIO, non-images fall back to bytes") {
+    import graft.ext.Multimodal
+    val png = encode(makeImage(32, 24, seed = 2), "png")
+    val ds = Seq(
+      MediaItem(1L, "image", "image/png", png, Map.empty),
+      MediaItem(2L, "blob", "application/octet-stream", Array[Byte](10, 20, 30, 40, 50, 60, 70), Map.empty)
+    ).toDS()
+    val out = Multimodal.resize(ds, factor = 2).collect().map(m => m.media_id -> m).toMap
+    val resized = Multimodal.decodeImage(out(1L).content)
+    assert(resized.isDefined, "resized payload must re-decode")
+    assert(resized.get.getWidth === 16 && resized.get.getHeight === 12)
+    assert(out(1L).meta("resize_codec") === "imageio")
+    assert(out(2L).content.toSeq === Seq[Byte](10, 30, 50, 70))
+    assert(out(2L).meta("resize_codec") === "bytes")
+    // resized image's perceptual vector stays close to the original's
+    // (the downsample IS the block-mean the features compute)
+    val f0 = Multimodal.imageFeatures(png, 16)
+    val f1 = Multimodal.imageFeatures(out(1L).content, 16)
+    val cos = f0.zip(f1).map { case (x, y) => x.toDouble * y }.sum /
+      math.sqrt(f0.map(x => x.toDouble * x).sum * f1.map(x => x.toDouble * x).sum)
+    assert(cos > 0.999, s"cos=$cos")
+  }
+
+  test("near-dup end-to-end on real images: re-encode caught, distinct images kept apart") {
+    import graft.ext.Multimodal
+    val a = makeImage(40, 30, seed = 3)
+    val ds = Seq(
+      MediaItem(1L, "image", "image/png", encode(a, "png"), Map.empty),
+      MediaItem(2L, "image", "image/bmp", encode(a, "bmp"), Map.empty), // re-encoded copy
+      MediaItem(3L, "image", "image/png", encode(makeImage(40, 30, 8), "png"), Map.empty)
+    ).toDS()
+    val near = Multimodal.nearDupPairs(ds, dim = 16, bits = 4, bands = 4, tau = 0.9999)
+      .select("media_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(near === Set((2L, 1L)), s"got $near")
+  }
+
   test("BYO-features near-dup: planted perceptual near-copies recovered without payloads") {
     // Golden fixture simulating a caller's perceptual-embedding model:
     // 30 distinct base vectors; ids 101/103/107 are tiny perturbations

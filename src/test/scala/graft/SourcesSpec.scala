@@ -187,6 +187,34 @@ class SourcesSpec extends SparkTestBase {
     assert(ev3.count() === docs.count())
   }
 
+  test("shard store diffVersions: CDC set-diff between committed versions") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ShardStore
+    val root = java.nio.file.Files.createTempDirectory("adiff").resolve("corpus").toString
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 20)
+    ShardStore.writeShardsAtomic(base, "doc_id", numShards = 2, root)
+    // v2: drop ids < 3, modify id 5's text, add id 1000
+    val v2 = base.filter(col("doc_id") >= 3)
+      .withColumn("text", when(col("doc_id") === 5, lit("rewritten text")).otherwise(col("text")))
+      .unionByName(spark.range(1).select(lit(1000L).as("doc_id"), lit("brand new").as("text")))
+    ShardStore.writeShardsAtomic(v2, "doc_id", numShards = 2, root)
+    val diff = ShardStore.diffVersions(spark, root, 1L, 2L)
+      .select("doc_id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val dropped = base.filter(col("doc_id") < 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = dropped.map(_ -> "delete") ++
+      Set(5L -> "delete", 5L -> "insert", 1000L -> "insert")
+    assert(diff === want, s"got $diff")
+    // self-diff is empty; diff respects identity-column subsetting
+    assert(ShardStore.diffVersions(spark, root, 2L, 2L).count() === 0)
+    val idOnly = ShardStore.diffVersions(spark, root, 1L, 2L, hashCols = Seq("doc_id"))
+      .select("doc_id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // keyed by id alone, the modified row is unchanged — only adds/drops
+    assert(idOnly === dropped.map(_ -> "delete") + (1000L -> "insert"))
+  }
+
   // ---- Queries.events timestamp-encoding normalization (VERDICT r9 #2) ----
 
   private def eventsDigest(df: org.apache.spark.sql.DataFrame) = {
