@@ -2791,6 +2791,45 @@ object Queries {
              |  nullif(txt, '') AS text_kept
              |FROM kept ORDER BY doc_id""".stripMargin)),
 
+    // ── 77d. store version diff (CDC read): the Spark side exercises
+    // the REAL atomic shard store — writes v1 (docs < 20), then v2
+    // (every 3rd doc dropped, doc 5 rewritten, one novel row) to a
+    // fresh temp store and runs ShardStore.diffVersions; the twin
+    // recomputes the expected content set-diff relationally. A hash
+    // match proves write → commit → time-travel read → diff end to end ─
+    QueryDef(
+      "q_store_diff",
+      (s, d) => {
+        import graft.sources.ShardStore
+        val root = java.nio.file.Files.createTempDirectory("q-store-diff")
+          .resolve("store").toString
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 20)
+        ShardStore.writeShardsAtomic(base, "doc_id", numShards = 2, root)
+        val v2 = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .withColumn("text",
+            when(col("doc_id") === 5, lit("rewritten text")).otherwise(col("text")))
+          .unionByName(s.range(1).select(
+            lit(9000100L).as("doc_id"), lit("novel store row").as("text")))
+        ShardStore.writeShardsAtomic(v2, "doc_id", numShards = 2, root)
+        ShardStore.diffVersions(s, root, 1L, 2L)
+          .orderBy(col("doc_id"), col("change"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+             |v2 AS (SELECT doc_id,
+             |    CASE WHEN doc_id = 5 THEN 'rewritten text' ELSE text END AS text
+             |  FROM base WHERE doc_id % 3 <> 0
+             |  UNION ALL SELECT 9000100, 'novel store row'),
+             |ins AS (SELECT v2.doc_id, v2.text, 'insert' AS change FROM v2
+             |  LEFT JOIN base ON base.doc_id = v2.doc_id AND base.text = v2.text
+             |  WHERE base.doc_id IS NULL),
+             |del AS (SELECT base.doc_id, base.text, 'delete' AS change FROM base
+             |  LEFT JOIN v2 ON v2.doc_id = base.doc_id AND v2.text = base.text
+             |  WHERE v2.doc_id IS NULL)
+             |SELECT doc_id, text, change
+             |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+             |ORDER BY doc_id, change""".stripMargin)),
+
     // ── 78. inverted index build: term → df + sorted posting list (the
     // one term-keyed shuffle; postings joined to a string because the
     // compare harness can't diff array cells) ──────────────────────────

@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   *
   * Media travels as an opaque `binary` column + typed metadata — the
   * Spark-side machinery (schema, batch iteration, partition sizing,
-  * frame slicing) is real and tested. IMAGES have a REAL codec path
-  * built on the JDK's bundled ImageIO (PNG/JPEG/BMP/GIF — java.desktop,
+  * frame slicing) is real and tested. IMAGES and WAV AUDIO have REAL
+  * codec paths built on the JDK's bundled decoders (ImageIO for
+  * PNG/JPEG/BMP/GIF, javax.sound.sampled for PCM WAV — java.desktop,
   * no external libraries): [[imageFeatures]] extracts block-mean
-  * perceptual vectors and [[resize]] area-average downsamples +
-  * re-encodes. Payloads no JDK codec decodes (audio/video/unknown)
-  * fall back to deterministic byte-level stand-ins (`decodeStub` /
-  * `resizeStub`) so mixed corpora never throw; a real deployment adds
-  * codecs by replacing exactly those two functions. Feature-dependent
+  * perceptual vectors, [[audioFeatures]] RMS-energy envelopes, and
+  * [[resize]] area-average downsamples + re-encodes. Payloads no JDK
+  * codec decodes (video/compressed audio/unknown) fall back to
+  * deterministic byte-level stand-ins (`decodeStub` / `resizeStub`) so
+  * mixed corpora never throw; a real deployment adds codecs by
+  * replacing exactly those functions. Feature-dependent
   * operators (near-dup) also take CALLER-SUPPLIED feature columns
   * ([[nearDupPairsFromFeatures]]) — bring your own embedding model;
   * nothing downstream of feature extraction depends on any codec.
@@ -77,41 +79,134 @@ object Multimodal {
   private[graft] def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
     decodeImage(bytes) match {
       case None => decodeStub(if (bytes == null) Array.emptyByteArray else bytes, dim)
-      case Some(img) =>
-        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-        val (w, h) = (img.getWidth, img.getHeight)
-        val sum = new Array[Double](g * g)
-        val cnt = new Array[Long](g * g)
-        var y = 0
-        while (y < h) {
-          val gy = y * g / h
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            val c = gy * g + x * g / w
-            sum(c) += lum; cnt(c) += 1
-            x += 1
+      case Some(img) => imageFeaturesOf(img, dim)
+    }
+
+  private def imageFeaturesOf(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Double](g * g)
+    val cnt = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val gy = y * g / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = gy * g + x * g / w
+        sum(c) += lum; cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(g * g)(i => if (cnt(i) == 0) 0.0 else sum(i) / cnt(i))
+    val mean = cells.sum / cells.length
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < g * g) { out(i) = (cells(i) - mean).toFloat; i += 1 }
+    out
+  }
+
+  /** Decode a WAV payload with the JDK's bundled javax.sound.sampled
+    * codec (PCM WAV — java.desktop, no external libraries) to mono
+    * float samples in [-1, 1]. Channels are averaged; 8/16/24/32-bit
+    * signed PCM and 8-bit unsigned are handled. None for
+    * null/empty/undecodable bytes. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[Array[Float]] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val enc = f.getEncoding
+          val ok = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!ok || f.getSampleSizeInBits % 8 != 0) None
+          else {
+            val raw = ais.readAllBytes()
+            val bytesPer = f.getSampleSizeInBits / 8
+            val ch = f.getChannels
+            val frameBytes = bytesPer * ch
+            val n = raw.length / frameBytes
+            val out = new Array[Float](n)
+            val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val big = f.isBigEndian
+            val full = (1L << (f.getSampleSizeInBits - 1)).toFloat
+            var i = 0
+            while (i < n) {
+              var acc = 0.0f
+              var c = 0
+              while (c < ch) {
+                val off = i * frameBytes + c * bytesPer
+                var v = 0L
+                var b = 0
+                while (b < bytesPer) {
+                  val byt = raw(off + (if (big) b else bytesPer - 1 - b)) & 0xffL
+                  v = (v << 8) | byt
+                  b += 1
+                }
+                val s =
+                  if (signed) (v << (64 - f.getSampleSizeInBits)) >> (64 - f.getSampleSizeInBits)
+                  else v - (1L << (f.getSampleSizeInBits - 1))
+                acc += s / full
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some(out)
           }
-          y += 1
-        }
-        val cells = Array.tabulate(g * g)(i => if (cnt(i) == 0) 0.0 else sum(i) / cnt(i))
-        val mean = cells.sum / cells.length
-        val out = new Array[Float](dim)
+        } finally ais.close()
+      } catch { case _: Throwable => None }
+
+  /** REAL audio features: WAV decode → `dim`-window RMS energy
+    * envelope. Container details (bit depth, channel count, endianness)
+    * wash out — the same recording re-encoded maps to nearly the same
+    * vector, which is what the near-dup tier needs. */
+  private[graft] def audioFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeWav(bytes).map { samples =>
+      val out = new Array[Float](dim)
+      if (samples.nonEmpty) {
+        val sumSq = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
         var i = 0
-        while (i < g * g) { out(i) = (cells(i) - mean).toFloat; i += 1 }
-        out
+        while (i < samples.length) {
+          val w = math.min(dim - 1, (i.toLong * dim / samples.length).toInt)
+          sumSq(w) += samples(i).toDouble * samples(i)
+          cnt(w) += 1
+          i += 1
+        }
+        var w = 0
+        while (w < dim) {
+          if (cnt(w) > 0) out(w) = math.sqrt(sumSq(w) / cnt(w)).toFloat
+          w += 1
+        }
+      }
+      out
+    }
+
+  /** Feature dispatch: image codec → audio codec → byte-histogram
+    * fallback. One partition-local call per payload. */
+  private[graft] def mediaFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) => imageFeaturesOf(img, dim)
+      case None => audioFeatures(bytes, dim).getOrElse(
+        decodeStub(if (bytes == null) Array.emptyByteArray else bytes, dim))
     }
 
   /** Decode + feature-extract each media item (batched per partition):
-    * real ImageIO decode for image payloads, byte-histogram fallback
-    * for everything else — one map stage, no shuffle. */
+    * real ImageIO / WAV decode for image and audio payloads,
+    * byte-histogram fallback for everything else — one map stage, no
+    * shuffle. */
   def extractFeatures(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaFeatures] =
     items.mapPartitions { it =>
       it.map { m =>
         val bytes = if (m.content == null) Array.emptyByteArray else m.content
-        MediaFeatures(m.media_id, m.kind, bytes.length.toLong, imageFeatures(bytes, dim))
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong, mediaFeatures(bytes, dim))
       }
     }(Encoders.product[MediaFeatures])
 

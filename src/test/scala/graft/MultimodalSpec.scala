@@ -122,6 +122,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(cos > 0.999, s"cos=$cos")
   }
 
+  // amplitude-modulated sine, so the RMS envelope is distinctive per seed
+  private def makeWav(seed: Int, bits: Int = 16, channels: Int = 1,
+                      n: Int = 4000): Array[Byte] = {
+    val sr = 8000f
+    val bytesPer = bits / 8
+    val raw = new Array[Byte](n * bytesPer * channels)
+    for (i <- 0 until n) {
+      val env = 0.2 + 0.8 * math.abs(math.sin(math.Pi * i * (seed + 1) / n))
+      val s = env * math.sin(2 * math.Pi * 440 * i / sr)
+      val v = math.round(s * ((1L << (bits - 1)) - 1))
+      for (c <- 0 until channels; b <- 0 until bytesPer)
+        raw((i * channels + c) * bytesPer + b) = ((v >> (8 * b)) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, bits, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def cosF(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+  }
+
+  test("audioFeatures: real WAV decode — channel-layout-invariant envelopes") {
+    import graft.ext.Multimodal
+    val mono = makeWav(seed = 1)
+    val stereo = makeWav(seed = 1, channels = 2) // same signal in both channels
+    val fm = Multimodal.audioFeatures(mono, 16)
+    val fs = Multimodal.audioFeatures(stereo, 16)
+    assert(fm.isDefined && fs.isDefined)
+    // same recording, different channel layout → same envelope
+    assert(cosF(fm.get, fs.get) > 0.9999, s"cos=${cosF(fm.get, fs.get)}")
+    // different modulation → clearly different envelope
+    val other = Multimodal.audioFeatures(makeWav(seed = 5), 16).get
+    assert(cosF(fm.get, other) < 0.99, s"cos=${cosF(fm.get, other)}")
+    // non-audio bytes don't decode
+    assert(Multimodal.audioFeatures(Array[Byte](1, 2, 3, 4), 16).isEmpty)
+  }
+
+  test("mediaFeatures dispatch: image → audio → byte-histogram fallback") {
+    import graft.ext.Multimodal
+    val png = encode(makeImage(16, 16, seed = 4), "png")
+    val wav = makeWav(seed = 2)
+    val blob = Array[Byte](9, 8, 7, 6, 5)
+    assert(Multimodal.mediaFeatures(png, 16).toSeq ===
+      Multimodal.imageFeatures(png, 16).toSeq)
+    assert(Multimodal.mediaFeatures(wav, 16).toSeq ===
+      Multimodal.audioFeatures(wav, 16).get.toSeq)
+    assert(Multimodal.mediaFeatures(blob, 16).toSeq ===
+      Multimodal.decodeStub(blob, 16).toSeq)
+    // the Dataset op uses the same dispatch: a mixed corpus extracts
+    // without a throw and every vector is dim-sized
+    val ds = Seq(
+      MediaItem(1L, "image", "image/png", png, Map.empty),
+      MediaItem(2L, "audio", "audio/wav", wav, Map.empty),
+      MediaItem(3L, "blob", "application/octet-stream", blob, Map.empty)).toDS()
+    val feats = Multimodal.extractFeatures(ds, dim = 16).collect()
+    assert(feats.length === 3 && feats.forall(_.features.length === 16))
+  }
+
   test("near-dup end-to-end on real images: re-encode caught, distinct images kept apart") {
     import graft.ext.Multimodal
     val a = makeImage(40, 30, seed = 3)
