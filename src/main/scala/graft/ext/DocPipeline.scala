@@ -366,7 +366,7 @@ object DocPipeline {
           else signatures(b.limit(0), idCol, textCol, minhashK, bands)
         val accepted = prepareIncrementalWithHashes(
           b, store, idCol, textCol, minWords, minhashK, bands, tau)
-          .localCheckpoint(true) // materialize BEFORE the store append
+          .cut // materialize BEFORE the store append
         signaturesFromHashes(accepted, idCol, minhashK, bands)
           .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
         onBatch(accepted.drop("_fp", "_whs"), batchId)
@@ -419,7 +419,7 @@ object DocPipeline {
           .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
           .join(store.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
           .select(col("_h"), col("_w._wid").as(idCol), col("_w._wcid").as("_wcid"))
-          .localCheckpoint(true)
+          .cut
         val keptPerDoc = winners.groupBy(col(idCol))
           .agg(collect_set(col("_wcid")).as("_kept_ids"))
         val out = chunks.join(keptPerDoc, Seq(idCol), "left")
@@ -440,4 +440,89 @@ object DocPipeline {
         onBatch(out, batchId)
       }
       .start()
+
+  /** Streaming VARIABLE-SPAN dedup against a growing shingle store —
+    * the continuous-ingestion twin of `Dedup.spanDedup` (ExactSubstr
+    * semantics across batches): a token position in an arriving doc is
+    * duplicated when its word `n`-shingle was seen in ANY previously
+    * accepted batch (history is always the witness and always wins) or
+    * recurs across ≥2 docs of the current batch (minimum doc id wins,
+    * exactly the batch operator's election). Duplicated positions grow
+    * to maximal runs; runs ≥ `minTokens` are cut from the doc's token
+    * stream; `onBatch` receives (idCol, n_removed, text_kept).
+    *
+    * The store holds one 64-bit hash per DISTINCT shingle ever seen —
+    * it grows with distinct content, not traffic (the
+    * [[streamChunkDedup]] store argument, at shingle granularity).
+    * Scale shape per batch: map-side shingling, one shingle-keyed
+    * dedup + store anti/semi join pair, one doc-keyed window — the
+    * batch operator's exchanges plus the store join; the only
+    * checkpointed frame is the tiny new-shingle set. Same
+    * `foreachBatch` durability caveat as [[streamIncremental]]. */
+  def streamSpanDedup(
+      docs: DataFrame,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      minTokens: Int = 20)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        val storeExists = new java.io.File(storePath).exists()
+        val store =
+          if (storeExists) spark.read.parquet(storePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("sh",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+        val pos = b.withColumn("_whs", TextHash.wordHashes(col(textCol)))
+          .select(col(idCol),
+            posexplode(TextHash.shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
+          .withColumn("_p", col("_p").cast("long"))
+        // batch-internal repeats: ≥2 docs share the shingle, min doc wins
+        val batchRep = pos.select(col(idCol), col("_sh")).distinct()
+          .groupBy(col("_sh"))
+          .agg(count(lit(1)).as("_df"), min(col(idCol)).as("_win"))
+        val hist = store.select(col("sh").as("_sh")).distinct()
+        // a position is cut when history holds its shingle, or a
+        // batch-mate with a smaller id does
+        val cutPos = pos.join(batchRep, Seq("_sh"))
+          .join(hist.withColumn("_inHist", lit(true)), Seq("_sh"), "left")
+          .filter(coalesce(col("_inHist"), lit(false)) ||
+            (col("_df") >= 2 && col(idCol) =!= col("_win")))
+          .select(col(idCol), col("_p"))
+        val w = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+        val spans = cutPos
+          .withColumn("_grp", col("_p") - row_number().over(w))
+          .groupBy(col(idCol), col("_grp"))
+          .agg(min(col("_p")).as("_st"),
+            (max(col("_p")) + lit(n - 1).cast("long")).as("_en"))
+          .filter(col("_en") - col("_st") + 1L >= minTokens)
+          .groupBy(col(idCol))
+          .agg(collect_list(struct(col("_st"), col("_en"))).as("_rm"))
+        val out = b.join(spans, Seq(idCol), "left")
+          .withColumn("_toks", split(col(textCol), " "))
+          .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
+            filter(col("_toks"), (_, i) =>
+              !exists(col("_rm"), s =>
+                i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
+          .select(col(idCol),
+            (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+            nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+        // store grows by the batch's genuinely-new distinct shingles;
+        // checkpoint the tiny hash set so the append and any downstream
+        // reuse don't recompute the batch pipeline
+        val fresh = pos.select(col("_sh")).distinct()
+          .join(hist, Seq("_sh"), "left_anti")
+          .cut
+        fresh.select(col("_sh").as("sh"))
+          .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        onBatch(out, batchId)
+      }
+      .start()
+  }
 }

@@ -297,6 +297,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamSpanDedup cuts variable spans within and across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("spanstore").toFile
+    storeDir.delete()
+    val span = (1 to 25).map(i => s"sp$i").mkString(" ")
+    val doc1 = (1 to 7).map(i => s"fa$i").mkString(" ") + " " + span + " fa8 fa9"
+    val got = scala.collection.mutable.Map[Long, (Long, Option[String])]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ext.DocPipeline.streamSpanDedup(
+      input.toDF().toDF("doc_id", "text"), storeDir.getAbsolutePath,
+      n = 5, minTokens = 20) { (df, _) =>
+      df.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (r.getAs[Long]("n_removed"), Option(r.getAs[String]("text_kept"))))
+    }
+    try {
+      // within-batch: doc 2 shares the 25-token span at a different
+      // offset; min doc id 1 wins and keeps its text
+      input.addData(
+        (1L, doc1),
+        (2L, (1 to 12).map(i => s"fb$i").mkString(" ") + " " + span + " fb13 fb14"))
+      q.processAllAvailable()
+      assert(got(1L) === ((0L, Some(doc1))))
+      assert(got(2L) === ((25L,
+        Some(((1 to 12).map(i => s"fb$i") ++ Seq("fb13", "fb14")).mkString(" ")))))
+      // across batches: doc 3 carries the historical span (cut), doc 4
+      // is fresh (kept), doc 5 is a byte-exact replay of doc 1 (fully
+      // boilerplate now — history always wins)
+      input.addData(
+        (3L, "gc1 gc2 gc3 " + span + " gc4"),
+        (4L, (1 to 30).map(i => s"zz$i").mkString(" ")),
+        (5L, doc1))
+      q.processAllAvailable()
+      assert(got(3L) === ((25L, Some("gc1 gc2 gc3 gc4"))))
+      assert(got(4L)._1 === 0L)
+      assert(got(5L) === ((34L, None)))
+      // store holds each distinct shingle exactly once
+      val store = spark.read.parquet(storeDir.getAbsolutePath)
+      assert(store.count() === store.distinct().count())
+    } finally q.stop()
+  }
+
   test("streaming ewma ≡ batch ewma under per-key in-order delivery") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
