@@ -94,6 +94,18 @@ object CorpusScaleDemo {
           .select(col("doc_id"), lit("upd").as("lang"), lit(1L).as("v")),
         Seq("doc_id"), "v").count()
     }
+    // variable-span ExactSubstr pass: the 1k-word vocabulary makes
+    // 5-gram collisions organic, so the df table and the doc-keyed
+    // window both do real work (spans found, not a no-op scan)
+    ScaleDemo.time("duplicatedSpans n=5") {
+      graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text",
+        n = 5, minDocs = 2, minTokens = 20).count()
+    }
+    ScaleDemo.time("spanDedup n=5 (detect+rebuild)") {
+      graft.ext.Dedup.spanDedup(docs, "doc_id", "text",
+        n = 5, minDocs = 2, minTokens = 20)
+        .agg(sum("n_removed")).collect()
+    }
     spark.stop()
   }
 }

@@ -329,6 +329,48 @@ class NearDupSpec extends SparkTestBase {
     assert(at === 2L && below === 0L)
   }
 
+  test("spanDedup ≡ driver-side brute-force reference on random colliding corpora") {
+    // small token alphabet forces organic cross-doc shingle collisions;
+    // the reference recomputes winner election, run growth, and token
+    // removal from first principles on collected strings
+    val n = 4; val minTokens = 8; val minDocs = 2
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 12L).map { id =>
+        val len = 10 + rnd.nextInt(30)
+        (id, (0 until len).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      // reference: shingle strings (hash-free — collisions in the REAL
+      // kernel's 64-bit space are not expected at this size)
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      def shingles(id: Long): Seq[(Int, String)] = {
+        val tk = toks(id)
+        if (tk.length < n) Seq.empty
+        else (0 to tk.length - n).map(p => p -> tk.slice(p, p + n).mkString(" "))
+      }
+      val holders = corpus.flatMap { case (id, _) => shingles(id).map(_._2 -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val expect = corpus.map { case (id, _) =>
+        val cut = shingles(id).collect {
+          case (p, sh) if holders(sh).size >= minDocs && holders(sh).min != id => p
+        }.toSet
+        // gaps-and-islands over cut positions, extended by n-1
+        val runs = cut.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s, e) => (s, e + n - 1) }.filter { case (s, e) => e - s + 1 >= minTokens }
+        val removed = toks(id).indices.filter(i => runs.exists(r => i >= r._1 && i <= r._2))
+        val kept = toks(id).indices.filterNot(removed.contains).map(toks(id))
+        (id, removed.size.toLong,
+          if (kept.isEmpty) None else Some(kept.mkString(" ")))
+      }.toSet
+      val got = Dedup.spanDedup(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        n = n, minDocs = minDocs, minTokens = minTokens)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(got === expect, s"seed=$seed diff: ${(got -- expect) ++ (expect -- got)}")
+    }
+  }
+
   test("Ivf spreadInit: deterministic, seeds differ from lowest-id init") {
     val corpus = (1 to 120).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 29) % 19 - 9).toFloat)))
