@@ -227,6 +227,29 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a trained merge table as rank-ordered parquet — train
+    * once, tokenize in every later job. Columns (rank, left, right);
+    * rank is the merge priority [[loadMerges]] restores. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table written by [[saveMerges]], rank order restored
+    * (the order IS the tokenizer — a shuffled table is a different
+    * tokenizer). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+
   /** Subword count under `merges` (LongType — summable into budgets). */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     bridge.column(BpeCountExpr(bridge.expression(text), merges))

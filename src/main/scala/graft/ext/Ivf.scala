@@ -92,6 +92,58 @@ object Ivf {
     withCell(corpus, vecCol, centroids, cellCol)
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
+  /** Persist the trained centroids next to the index data (underscore
+    * dir — invisible to the partitioned scan), so a DIFFERENT job can
+    * probe a saved index without retraining: the centroid list is the
+    * quantizer, and until now it lived only in the building driver's
+    * memory. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[(Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Load the quantizer written by [[saveCentroids]], cell order
+    * restored. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** [[saveIndex]] under the [[graft.sources.AtomicCommit]] protocol:
+    * index data + centroid sidecar land in a fresh `v=<N>/` directory
+    * and publish with one atomic commit — a crash mid-rebuild leaves
+    * debris no reader sees, concurrent readers keep the previous index
+    * in full, and old versions stay probe-able (time travel) until
+    * vacuumed. Returns (version, index path). */
+  def saveIndexAtomic(corpus: DataFrame, idCol: String, vecCol: String,
+                      root: String, k: Int, iters: Int = 2,
+                      cellCol: String = "ivf_cell",
+                      spreadInit: Boolean = true): (Long, String) = {
+    import graft.sources.AtomicCommit
+    val spark = corpus.sparkSession
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    saveIndex(corpus, vecCol, centroids, dir, cellCol)
+    saveCentroids(spark, centroids, dir)
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    (v, dir)
+  }
+
+  /** Data directory of the latest committed index version. */
+  def latestIndexPath(spark: org.apache.spark.sql.SparkSession, root: String): String = {
+    import graft.sources.AtomicCommit
+    val (v, _) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed IVF index under $root"))
+    AtomicCommit.versionDir(root, v)
+  }
+
   /** The `nprobe` cells nearest to a probe vector (driver-side: centroid
     * list is tiny by construction). Ties break toward the lower cell id,
     * matching `nearest`. */

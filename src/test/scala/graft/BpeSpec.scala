@@ -218,4 +218,23 @@ class BpeSpec extends SparkTestBase {
     assert(got.exists { case (l, r) => (l + r) == "low" },
       s"'low' (freq 4 prefix + 2 in lower/lowest) should merge early: $got")
   }
+
+  test("merge table round-trips through parquet with rank order intact") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower lowest new newer newest"))
+      .toDF("doc_id", "text")
+    val trained = graft.ext.Bpe.train(docs, "text", 8)
+    assert(trained.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-merges").toString
+    graft.ext.Bpe.saveMerges(spark, trained, dir)
+    val loaded = graft.ext.Bpe.loadMerges(spark, dir)
+    // the order IS the tokenizer: exact sequence equality, not set
+    assert(loaded === trained)
+    // a tokenizer built from the loaded table is the same tokenizer
+    val a = docs.select(graft.ext.Bpe.tokens(col("text"), trained).as("t"))
+      .as[Seq[String]].head()
+    val b = docs.select(graft.ext.Bpe.tokens(col("text"), loaded).as("t"))
+      .as[Seq[String]].head()
+    assert(a === b)
+  }
 }

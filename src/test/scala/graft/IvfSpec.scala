@@ -86,6 +86,35 @@ class IvfSpec extends SparkTestBase {
     a.zip(b).foreach { case ((_, x), (_, y)) => assertNear(x, y) }
   }
 
+  test("atomic index: commit-gated rebuilds, centroid sidecar enables cross-job probing") {
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("ivfatomic").resolve("index").toString
+    val (v1, dir1) = Ivf.saveIndexAtomic(emb, "vec_id", "embedding", root, k = 8, iters = 2)
+    assert(v1 === 1L)
+    // a DIFFERENT job: no in-memory centroids — everything from disk
+    val path = Ivf.latestIndexPath(spark, root)
+    assert(path === dir1)
+    val loaded = Ivf.loadCentroids(spark, path)
+    val trained = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(loaded.map(_._1) === trained.map(_._1))
+    loaded.zip(trained).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    val probeVec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val got = Ivf.topKIndexed(spark.read.parquet(path), "embedding", loaded,
+      probeVec, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
+    val want = Ivf.topK(emb, "embedding", trained, probeVec, k = 5, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+    // crash debris (uncommitted v=2) is invisible; a real rebuild claims v=2
+    emb.limit(3).write.parquet(AtomicCommit.versionDir(root, 2L) + "/ivf_cell=0")
+    assert(Ivf.latestIndexPath(spark, root) === dir1)
+    val (v2, dir2) = Ivf.saveIndexAtomic(emb.limit(50), "vec_id", "embedding",
+      root, k = 4, iters = 1)
+    assert(v2 === 2L && Ivf.latestIndexPath(spark, root) === dir2)
+    // the old version stays probe-able until vacuumed (time travel)
+    assert(spark.read.parquet(dir1).count() === emb.count())
+  }
+
   test("topKJoin: many probes in one plan ≡ per-probe topKIndexed") {
     val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
     val corpus = emb.filter(col("vec_id") >= 10)
