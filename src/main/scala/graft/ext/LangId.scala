@@ -192,6 +192,32 @@ object LangId {
       .map { case (l, rows) => (l, rows.sortBy(_.getInt(3)).map(_.getString(1)).toSeq) }
   }
 
+  /** Persist trained profiles as parquet — train once on the big
+    * corpus ([[trainProfiles]]), classify in every later job. Columns
+    * (lang, rank, gram); rank is the C-T profile order the distance
+    * depends on. */
+  def saveProfiles(spark: org.apache.spark.sql.SparkSession,
+                   profs: Seq[(String, Seq[String])], path: String): Unit = {
+    import spark.implicits._
+    profs.flatMap { case (l, grams) =>
+      grams.zipWithIndex.map { case (g, r) => (l, r, g) }
+    }.toDF("lang", "rank", "gram")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load profiles written by [[saveProfiles]] — language order and
+    * within-profile rank restored (both are semantics: language order
+    * fixes the distance array slots, rank order the displacement). */
+  def loadProfiles(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[(String, Seq[String])] =
+    spark.read.parquet(path)
+      .select("lang", "rank", "gram")
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq)
+      }
+
   // ── classification ───────────────────────────────────────────────
 
   /** Out-of-place distances of `text` (pre-lowercased by the caller if

@@ -737,5 +737,20 @@ class ExtSpec extends SparkTestBase {
       assert(prof === LangId.profileOf(LangId.seeds(l)),
         s"distributed profile for $l diverges from driver-side ranking")
     }
+    // profiles round-trip through parquet: language order + rank order
+    // exact, and the loaded quantizer classifies identically
+    val dir = java.nio.file.Files.createTempDirectory("ct-profiles").toString
+    LangId.saveProfiles(spark, trained, dir)
+    val loaded = LangId.loadProfiles(spark, dir)
+    assert(loaded === trained)
+    val texts = Seq(
+      "the library opens early tomorrow and the children will be there",
+      "die kinder spielen im garten während die eltern das abendessen kochen")
+      .toDF("text")
+    val a = texts.select(LangId.langIdCt(col("text"), trained).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    val b = texts.select(LangId.langIdCt(col("text"), loaded).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(a === b && a === Seq("en", "de"))
   }
 }
