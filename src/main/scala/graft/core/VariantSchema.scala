@@ -54,6 +54,41 @@ object VariantSchema {
     (df, VariantsMetadata.load(spark, s"$path/_v6_metadata.json"))
   }
 
+  /** [[save]] under the [[graft.sources.AtomicCommit]] protocol: data +
+    * metadata sidecar land in a fresh `v=<N>/` directory and publish
+    * with one atomic commit — a crash mid-write leaves debris no reader
+    * sees, readers concurrent with a rewrite keep the previous cohort
+    * in full, and past versions stay loadable ([[loadAt]]) until
+    * vacuumed. Returns the committed version. */
+  def saveAtomic(df: DataFrame, meta: VariantsMetadata, root: String): Long = {
+    import graft.sources.AtomicCommit
+    val spark = df.sparkSession
+    val v = AtomicCommit.nextVersion(spark, root)
+    save(df, meta, AtomicCommit.versionDir(root, v))
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    v
+  }
+
+  /** Load the latest committed version of an atomic variant store. */
+  def loadLatest(spark: SparkSession, root: String): (DataFrame, VariantsMetadata) = {
+    import graft.sources.AtomicCommit
+    val (v, _) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed variant store under $root"))
+    load(spark, AtomicCommit.versionDir(root, v))
+  }
+
+  /** Load committed version `v` — the reproducibility primitive for
+    * cohort reanalysis (fails fast if `v` was never committed or has
+    * been vacuumed). */
+  def loadAt(spark: SparkSession, root: String, v: Long): (DataFrame, VariantsMetadata) = {
+    import graft.sources.AtomicCommit
+    require(AtomicCommit.at(spark, root, v).isDefined,
+      s"version $v is not committed under $root (never written, or vacuumed); " +
+        s"committed: ${AtomicCommit.committedVersions(spark, root).mkString(", ")}")
+    load(spark, AtomicCommit.versionDir(root, v))
+  }
+
   /** Approximate bytes of per-call array data in one wide row. */
   private def rowBytes(nSamples: Int, ploidy: Int): Long =
     nSamples.toLong * (4L * ploidy /*gt*/ + 4L /*dp*/ + 8L /*gq*/)

@@ -84,16 +84,21 @@ object Dedup {
     * structure is materialized — the exchanges are exactly
     * [[repeatedShingleStats]]'s plus one window. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 5, minDocs: Int = 2, minTokens: Int = 20): DataFrame = {
+                      n: Int = 5, minDocs: Int = 2, minTokens: Int = 20,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
     require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    require(maxDf >= minDocs, s"maxDf=$maxDf must be >= minDocs=$minDocs")
     val pos = docs.withColumn("_whs", wordHashes(col(textCol)))
       .select(col(idCol),
         posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
       .withColumn("_p", col("_p").cast("long"))
+    // maxDf: the web-corpus precision knob — shingles in more than
+    // maxDf docs (navigation chrome, license boilerplate) are treated
+    // as NOT repeated, so runs don't grow through ubiquitous text
     val rep = pos.select(col(idCol), col("_sh")).distinct()
       .groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocs)
+      .filter(col("_df") >= minDocs && col("_df") <= maxDf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_p"))
     pos.join(rep.select(col("_sh")), Seq("_sh"), "left_semi")
@@ -125,9 +130,11 @@ object Dedup {
     * indexed-filter rebuild; span lists per doc are bounded by doc
     * length, never corpus size. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
-                n: Int = 5, minDocs: Int = 2, minTokens: Int = 20): DataFrame = {
+                n: Int = 5, minDocs: Int = 2, minTokens: Int = 20,
+                maxDf: Long = Long.MaxValue): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
     require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    require(maxDf >= minDocs, s"maxDf=$maxDf must be >= minDocs=$minDocs")
     val pos = docs.withColumn("_whs", wordHashes(col(textCol)))
       .select(col(idCol),
         posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
@@ -135,7 +142,7 @@ object Dedup {
     val rep = pos.select(col(idCol), col("_sh")).distinct()
       .groupBy(col("_sh"))
       .agg(count(lit(1)).as("_df"), min(col(idCol)).as("_win"))
-      .filter(col("_df") >= minDocs)
+      .filter(col("_df") >= minDocs && col("_df") <= maxDf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_p"))
     val spans = pos.join(rep, Seq("_sh"))

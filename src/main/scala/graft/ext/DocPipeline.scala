@@ -342,9 +342,12 @@ object DocPipeline {
     * not transactional with the sink; on batch replay after a crash,
     * re-accepted rows anti-join against their own signatures and come
     * back empty — re-delivery to `onBatch` is therefore suppressed, but
-    * rows of a HALF-written store append could be dropped spuriously;
-    * production stores should write through an atomic-commit table
-    * format. Cross-boundary chain caveat as in [[prepareIncremental]].
+    * with the plain append store, rows of a HALF-written append could
+    * be dropped spuriously. `atomicStore = true` closes that hole: the
+    * store becomes an [[graft.sources.AppendStore]] (write-then-commit
+    * versions), so a crashed append is invisible debris and the replay
+    * reproduces it exactly. Cross-boundary chain caveat as in
+    * [[prepareIncremental]].
     *
     * Returns the started query (memory/console sinks stay testable). */
   def streamIncremental(
@@ -355,20 +358,24 @@ object DocPipeline {
       minWords: Long = 30,
       minhashK: Int = 8,
       bands: Int = 4,
-      tau: Double = 0.8)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      tau: Double = 0.8,
+      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands)
         val storeExists = new java.io.File(storePath).exists()
         val store =
-          if (storeExists) spark.read.parquet(storePath)
-          else signatures(b.limit(0), idCol, textCol, minhashK, bands)
+          if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
+          else if (storeExists) spark.read.parquet(storePath)
+          else empty
         val accepted = prepareIncrementalWithHashes(
           b, store, idCol, textCol, minWords, minhashK, bands, tau)
           .cut // materialize BEFORE the store append
-        signaturesFromHashes(accepted, idCol, minhashK, bands)
-          .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands)
+        if (atomicStore) graft.sources.AppendStore.append(sigs, storePath)
+        else sigs.write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
         onBatch(accepted.drop("_fp", "_whs"), batchId)
       }
       .start()
@@ -384,27 +391,30 @@ object DocPipeline {
     *
     * The store holds ONE 32-char hash per ever-accepted chunk — it
     * grows with distinct content, not with traffic. Same `foreachBatch`
-    * durability caveat as [[streamIncremental]] (store append is not
-    * atomic with sink commit; production wants an atomic-commit table
-    * format). */
+    * durability caveat as [[streamIncremental]]; `atomicStore = true`
+    * routes the store through [[graft.sources.AppendStore]]
+    * (write-then-commit) so a crashed append is invisible debris. */
   def streamChunkDedup(
       docs: DataFrame,
       storePath: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      chunkTokens: Int = 20)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      chunkTokens: Int = 20,
+      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        def empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.StringType, nullable = false))))
         val storeExists = new java.io.File(storePath).exists()
         val store =
-          if (storeExists) spark.read.parquet(storePath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("h",
-                org.apache.spark.sql.types.StringType, nullable = false))))
+          if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
+          else if (storeExists) spark.read.parquet(storePath)
+          else empty
         val chunks = Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
           .withColumn("_h", md5(col("chunk").cast("binary")))
         // winner decision mirrors Dedup.chunkDedup: partial+final
@@ -435,8 +445,10 @@ object DocPipeline {
             count(when(!col("_keep"), lit(1))).as("n_dropped"))
           .withColumn("text_kept", nullif(col("_txt"), lit("")))
           .drop("_txt")
-        winners.select(col("_h").as("h"))
-          .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        val newHashes = winners.select(col("_h").as("h"))
+        if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
+        else newHashes.write.mode(if (storeExists) "append" else "overwrite")
+          .parquet(storePath)
         onBatch(out, batchId)
       }
       .start()
@@ -458,27 +470,32 @@ object DocPipeline {
     * dedup + store anti/semi join pair, one doc-keyed window — the
     * batch operator's exchanges plus the store join; the only
     * checkpointed frame is the tiny new-shingle set. Same
-    * `foreachBatch` durability caveat as [[streamIncremental]]. */
+    * `foreachBatch` durability caveat as [[streamIncremental]];
+    * `atomicStore = true` routes the store through
+    * [[graft.sources.AppendStore]] (write-then-commit). */
   def streamSpanDedup(
       docs: DataFrame,
       storePath: String,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 5,
-      minTokens: Int = 20)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      minTokens: Int = 20,
+      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        def empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sh",
+              org.apache.spark.sql.types.LongType, nullable = false))))
         val storeExists = new java.io.File(storePath).exists()
         val store =
-          if (storeExists) spark.read.parquet(storePath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("sh",
-                org.apache.spark.sql.types.LongType, nullable = false))))
+          if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
+          else if (storeExists) spark.read.parquet(storePath)
+          else empty
         val pos = b.withColumn("_whs", TextHash.wordHashes(col(textCol)))
           .select(col(idCol),
             posexplode(TextHash.shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
@@ -519,8 +536,10 @@ object DocPipeline {
         val fresh = pos.select(col("_sh")).distinct()
           .join(hist, Seq("_sh"), "left_anti")
           .cut
-        fresh.select(col("_sh").as("sh"))
-          .write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        val newShingles = fresh.select(col("_sh").as("sh"))
+        if (atomicStore) graft.sources.AppendStore.append(newShingles, storePath)
+        else newShingles.write.mode(if (storeExists) "append" else "overwrite")
+          .parquet(storePath)
         onBatch(out, batchId)
       }
       .start()

@@ -271,6 +271,22 @@ object CtLangLoops {
     new GenericArrayData(out)
   }
 
+  /** Whole classification in one call: argmin over [[distances]] with
+    * first-index (= lexicographically-first language, profiles being
+    * lang-sorted) tie-break — the [[CtLangIdExpr]] kernel. */
+  def langId(text: UTF8String,
+             profMaps: Array[java.util.HashMap[String, Integer]],
+             langs: Array[UTF8String], nMax: Int, topK: Int): UTF8String = {
+    val d = distances(text, profMaps, nMax, topK)
+    var best = 0
+    var i = 1
+    while (i < d.numElements()) {
+      if (d.getLong(i) < d.getLong(best)) best = i
+      i += 1
+    }
+    langs(best)
+  }
+
   /** All padded n-grams of `text` WITH multiplicity — the training-side
     * explode feed ([[LangId.trainProfiles]]). */
   def grams(text: UTF8String, nMax: Int): GenericArrayData = {
@@ -323,6 +339,41 @@ case class CtLangDistExpr(child: Expression, profiles: IndexedSeq[(String, Seq[S
   }
 
   override protected def withNewChildInternal(newChild: Expression): CtLangDistExpr =
+    copy(child = newChild)
+}
+
+/** Whole Cavnar-Trenkle classification as ONE expression (distances +
+  * argmin, lexicographically-first tie-break): the SQL-name kernel
+  * behind `ct_lang_id`. Null input propagates null — the SQL builder
+  * wraps it in COALESCE(…, 'und') to match [[LangId.langIdCt]]. */
+case class CtLangIdExpr(child: Expression, profiles: IndexedSeq[(String, Seq[String])],
+                        nMax: Int, topK: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ct_lang_id"
+
+  @transient private lazy val profMaps: Array[java.util.HashMap[String, Integer]] =
+    profiles.map { case (_, grams) =>
+      val m = new java.util.HashMap[String, Integer]()
+      grams.zipWithIndex.foreach { case (g, r) => m.put(g, r) }
+      m
+    }.toArray
+  @transient private lazy val langsArr: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+
+  protected override def nullSafeEval(v: Any): Any =
+    CtLangLoops.langId(v.asInstanceOf[UTF8String], profMaps, langsArr, nMax, topK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapsRef = ctx.addReferenceObj("ctProfiles", profMaps, "java.util.HashMap[]")
+    val langsRef = ctx.addReferenceObj("ctLangs", langsArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ext.CtLangLoops.langId($c, $mapsRef, $langsRef, $nMax, $topK)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CtLangIdExpr =
     copy(child = newChild)
 }
 

@@ -101,6 +101,21 @@ object GraftExtensions {
     fn("term_freqs", "term_freqs(tokens) - (term, tf) pairs in one pass, " +
       "first-occurrence order") {
       a => graft.ext.TermFreqsExpr(a.head)
+    },
+    fn("ct_lang_dists", "ct_lang_dists(str) - Cavnar-Trenkle out-of-place " +
+      "distances to the stock profiles (array slots in lang-sorted order; " +
+      "the kernel lowercases internally)") {
+      a => graft.ext.CtLangDistExpr(a.head,
+        graft.ext.LangId.profiles.toIndexedSeq,
+        graft.ext.LangId.NMax, graft.ext.LangId.TopK)
+    },
+    fn("ct_lang_id", "ct_lang_id(str) - Cavnar-Trenkle language ID over the " +
+      "stock profiles ('und' for null)") {
+      a => org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        graft.ext.CtLangIdExpr(a.head,
+          graft.ext.LangId.profiles.toIndexedSeq,
+          graft.ext.LangId.NMax, graft.ext.LangId.TopK),
+        Literal.create("und", org.apache.spark.sql.types.StringType)))
     })
 
   /** Foldable `array<string>` of "left right" pairs → the merge table.

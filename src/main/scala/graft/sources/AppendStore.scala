@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Append-only ATOMIC set store: each append lands a fresh `v=<N>/`
+  * directory and publishes it with one [[AtomicCommit]] commit file;
+  * the live content is the UNION of all committed versions. The
+  * atomic-commit twin of the plain `mode("append")` parquet stores the
+  * streaming dedup operators grow — with plain append, a crash during
+  * the store write leaves a HALF-written file set that readers cannot
+  * tell from committed data (the documented exactly-once caveat);
+  * here a crash anywhere before the commit rename leaves an orphan
+  * directory no reader resolves, and the next attempt claims the same
+  * version number and clobbers the debris.
+  *
+  * Replay semantics for dedup stores: a batch replayed after a
+  * crash-before-commit finds the store exactly as it first saw it, so
+  * it reproduces the same output and the same append — the STORE is
+  * exactly-once. (Sink delivery retains foreachBatch's usual replay
+  * caveat; a batch replayed after a successful commit sees its own
+  * hashes as history.)
+  *
+  * Scale shape: reads list one small `_commits/` directory then scan
+  * the committed version dirs as one parquet load; appends are one
+  * distributed write + one rename. Version-dir proliferation under
+  * high batch counts is bounded by [[compact]], which folds every
+  * committed version into one new version and vacuums the rest. */
+object AppendStore {
+
+  /** The store's live content, or `empty` when nothing is committed
+    * (the caller owns the schema — an absent store has none). */
+  def readOr(spark: SparkSession, root: String, empty: => DataFrame): DataFrame = {
+    val versions = AtomicCommit.committedVersions(spark, root)
+    if (versions.isEmpty) empty
+    else spark.read.parquet(
+      versions.map(v => AtomicCommit.versionDir(root, v)): _*)
+  }
+
+  /** Append `df` as the next committed version; None when `df` is
+    * empty (nothing to commit — version numbers are not burned on
+    * empty batches). */
+  def append(df: DataFrame, root: String): Option[Long] = {
+    if (df.isEmpty) return None
+    val spark = df.sparkSession
+    val v = AtomicCommit.nextVersion(spark, root)
+    df.write.mode("overwrite") // clobbers only uncommitted crash debris
+      .parquet(AtomicCommit.versionDir(root, v))
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    Some(v)
+  }
+
+  /** Fold every committed version into ONE new version and vacuum the
+    * old ones — run periodically so long-lived streams don't accumulate
+    * thousands of tiny version dirs. */
+  def compact(spark: SparkSession, root: String): Option[Long] = {
+    val versions = AtomicCommit.committedVersions(spark, root)
+    if (versions.size < 2) return None
+    val all = spark.read.parquet(
+      versions.map(v => AtomicCommit.versionDir(root, v)): _*)
+    val v = append(all, root)
+    AtomicCommit.vacuum(spark, root, keepVersions = 1)
+    v
+  }
+}

@@ -329,6 +329,31 @@ class NearDupSpec extends SparkTestBase {
     assert(at === 2L && below === 0L)
   }
 
+  test("duplicatedSpans maxDf: ubiquitous boilerplate excluded, true pair kept") {
+    // a 25-token boilerplate block appears in TEN docs (site chrome);
+    // a genuine 25-token duplicate appears in two. maxDf=5 keeps the
+    // pair and drops the chrome; the default reports both.
+    val chrome = (1 to 25).map(i => s"nav$i")
+    val pair = (1 to 25).map(i => s"dup$i")
+    val docs = ((1 to 10).map { d =>
+      (d.toLong, (Seq(s"u${d}a", s"u${d}b") ++ chrome ++ Seq(s"u${d}c")).mkString(" "))
+    } ++ Seq(
+      (21L, (pair ++ Seq("x1", "x2")).mkString(" ")),
+      (22L, (Seq("y1") ++ pair).mkString(" ")))).toDF("doc_id", "text")
+    def spansAt(maxDf: Long) =
+      Dedup.duplicatedSpans(docs, "doc_id", "text",
+        n = 5, minDocs = 2, minTokens = 20, maxDf = maxDf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spansAt(Long.MaxValue) === (1L to 10L).toSet ++ Set(21L, 22L))
+    assert(spansAt(5L) === Set(21L, 22L))
+    // removal side honors the same cap: chrome survives, the dup is cut
+    val kept = Dedup.spanDedup(docs, "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 20, maxDf = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(d => assert(kept(d) === 0L, s"chrome doc $d lost tokens"))
+    assert(kept(21L) === 0L && kept(22L) === 25L)
+  }
+
   test("spanDedup ≡ driver-side brute-force reference on random colliding corpora") {
     // small token alphabet forces organic cross-doc shingle collisions;
     // the reference recomputes winner election, run growth, and token

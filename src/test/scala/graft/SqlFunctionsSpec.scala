@@ -98,4 +98,26 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_called") === 2L)
     assert(r.getAs[Seq[Long]]("counts") === Seq(1L, 3L))
   }
+
+  test("ct_lang_id / ct_lang_dists by SQL name ≡ Column API") {
+    Seq((1L, "the quick brown fox waits for the morning train"),
+      (2L, "der schnelle braune fuchs wartet auf den zug am morgen"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+      .createOrReplaceTempView("sqlfn_lang")
+    val viaSql = spark.sql(
+      "SELECT id, ct_lang_id(text) AS p, ct_lang_dists(text) AS d " +
+        "FROM sqlfn_lang ORDER BY id").collect()
+    val viaApi = spark.table("sqlfn_lang")
+      .select(col("id"), graft.ext.LangId.langIdCt(col("text")).as("p"),
+        graft.ext.LangId.distances(lower(col("text"))).as("d"))
+      .orderBy("id").collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getString(1) === a.getString(1))
+      assert(s.getSeq[Long](2) === a.getSeq[Long](2))
+    }
+    assert(viaSql(0).getString(1) === "en")
+    assert(viaSql(1).getString(1) === "de")
+    assert(viaSql(2).getString(1) === "und")
+    assert(viaSql(0).getSeq[Long](2).length === graft.ext.LangId.profiles.length)
+  }
 }

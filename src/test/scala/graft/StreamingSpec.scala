@@ -339,6 +339,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamSpanDedup atomicStore: same cuts, debris invisible, store compacts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{AppendStore, AtomicCommit}
+    val storeDir = java.nio.file.Files.createTempDirectory("spanatomic")
+      .resolve("store").toString
+    val span = (1 to 25).map(i => s"qp$i").mkString(" ")
+    val got = scala.collection.mutable.Map[Long, (Long, Option[String])]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ext.DocPipeline.streamSpanDedup(
+      input.toDF().toDF("doc_id", "text"), storeDir,
+      n = 5, minTokens = 20, atomicStore = true) { (df, _) =>
+      df.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (r.getAs[Long]("n_removed"), Option(r.getAs[String]("text_kept"))))
+    }
+    try {
+      input.addData((1L, "ka1 ka2 " + span + " ka3"))
+      q.processAllAvailable()
+      assert(got(1L)._1 === 0L)
+      // crash-debris simulation: an UNCOMMITTED version dir must be
+      // invisible to the store read (plain append would ingest it)
+      spark.range(1).selectExpr("CAST(99999 AS LONG) AS sh")
+        .write.parquet(AtomicCommit.versionDir(storeDir, 5L))
+      input.addData((2L, "kb1 kb2 kb3 " + span + " kb4"))
+      q.processAllAvailable()
+      // doc 2 still loses the span to HISTORY (v=1 committed), proving
+      // the committed store is read and the debris changed nothing
+      assert(got(2L) === ((25L, Some("kb1 kb2 kb3 kb4"))))
+      val committed = AtomicCommit.committedVersions(spark, storeDir)
+      assert(!committed.contains(5L), s"debris must stay uncommitted: $committed")
+      // compact folds versions into one; live content unchanged
+      val before = AppendStore.readOr(spark, storeDir,
+        spark.range(0).selectExpr("id AS sh")).count()
+      AppendStore.compact(spark, storeDir)
+      val after = AppendStore.readOr(spark, storeDir,
+        spark.range(0).selectExpr("id AS sh"))
+      assert(after.count() === before)
+      assert(AtomicCommit.committedVersions(spark, storeDir).size === 1)
+    } finally q.stop()
+  }
+
   test("streaming ewma ≡ batch ewma under per-key in-order delivery") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

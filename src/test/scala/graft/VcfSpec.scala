@@ -75,6 +75,31 @@ class VcfSpec extends SparkTestBase {
     assert(dirs.toSet === Set("chrom=chr1", "chrom=chr2"))
   }
 
+  test("atomic variant store: versioned cohorts, crash debris invisible, time travel") {
+    import graft.sources.AtomicCommit
+    val root = Files.createTempDirectory("v6atomic").resolve("store").toString
+    val (df, meta) = Vcf.read(spark, vcfPath)
+    val v1 = VariantSchema.saveAtomic(df, meta, root)
+    assert(v1 === 1L)
+    val (l1, m1) = VariantSchema.loadLatest(spark, root)
+    assert(l1.count() === 6 && m1 === meta)
+    // crash debris: a writer died before committing v=2
+    df.limit(1).write.parquet(AtomicCommit.versionDir(root, 2L) + "/chrom=chr1")
+    assert(VariantSchema.loadLatest(spark, root)._1.count() === 6)
+    // the next real write (a filtered reanalysis cohort) claims v=2
+    val v2 = VariantSchema.saveAtomic(df.filter(col("chrom") === "chr1"), meta, root)
+    assert(v2 === 2L)
+    assert(VariantSchema.loadLatest(spark, root)._1.count() ===
+      df.filter(col("chrom") === "chr1").count())
+    // reproducibility: the original cohort stays loadable as of v=1
+    val (at1, mAt1) = VariantSchema.loadAt(spark, root, 1L)
+    assert(at1.count() === 6 && mAt1 === meta)
+    // chrom pruning still works through the versioned path
+    val pruned = at1.filter(col("chrom") === "chr2" && col("pos") <= 150)
+    assert(pruned.select("id").collect().map(_.getString(0)).toSet === Set("v4", "v5"))
+    intercept[IllegalArgumentException](VariantSchema.loadAt(spark, root, 7L))
+  }
+
   test("malformed lines are dropped, not fatal (both readers)") {
     val dir = Files.createTempDirectory("v6bad")
     val p = dir.resolve("bad.vcf")
