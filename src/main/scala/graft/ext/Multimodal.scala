@@ -115,6 +115,9 @@ object Multimodal {
     * signed PCM and 8-bit unsigned are handled. None for
     * null/empty/undecodable bytes. */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeWavWithRate(bytes).map(_._1)
+
+  private[graft] def decodeWavWithRate(bytes: Array[Byte]): Option[(Array[Float], Float)] =
     if (bytes == null || bytes.length == 0) None
     else
       try {
@@ -158,10 +161,46 @@ object Multimodal {
               out(i) = acc / ch
               i += 1
             }
-            Some(out)
+            Some((out, f.getSampleRate))
           }
         } finally ais.close()
       } catch { case _: Throwable => None }
+
+  /** REAL audio downsample: decode to mono float samples, block-mean
+    * every `factor` samples (the mean is the cheap anti-alias, the
+    * audio twin of the image path's area average), re-encode as 16-bit
+    * PCM mono WAV at `rate / factor`. None for non-WAV payloads. */
+  private[graft] def resizeWav(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+    decodeWavWithRate(bytes).map { case (samples, rate) =>
+      val n = math.max(1, (samples.length + factor - 1) / factor)
+      val down = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0f
+        var c = 0
+        var j = i * factor
+        val end = math.min(samples.length, (i + 1) * factor)
+        while (j < end) { acc += samples(j); c += 1; j += 1 }
+        down(i) = if (c == 0) 0f else acc / c
+        i += 1
+      }
+      val raw = new Array[Byte](n * 2)
+      i = 0
+      while (i < n) {
+        val v = math.round(math.max(-1f, math.min(1f, down(i))) * 32767f)
+        raw(i * 2) = (v & 0xff).toByte
+        raw(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        math.max(1f, rate / factor), 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
 
   /** REAL audio features: WAV decode → `dim`-window RMS energy
     * envelope. Container details (bit depth, channel count, endianness)
@@ -274,11 +313,12 @@ object Multimodal {
 
   /** Resize each media item by `factor` (partition-local map, no
     * shuffle): real ImageIO scale + PNG re-encode for image payloads,
-    * byte decimation otherwise; `meta("resize_factor")` and
-    * `meta("resize_codec")` ("imageio" | "bytes") record what ran so
-    * downstream stages and lineage audits see the transformation.
-    * Schema is unchanged — a resized corpus feeds every operator the
-    * original does. */
+    * real WAV block-mean downsample for audio payloads, byte
+    * decimation otherwise; `meta("resize_factor")` and
+    * `meta("resize_codec")` ("imageio" | "wav" | "bytes") record what
+    * ran so downstream stages and lineage audits see the
+    * transformation. Schema is unchanged — a resized corpus feeds
+    * every operator the original does. */
   def resize(items: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {
     require(factor >= 1, s"factor=$factor must be >= 1")
     items.mapPartitions { it =>
@@ -286,7 +326,10 @@ object Multimodal {
         val bytes = if (m.content == null) Array.emptyByteArray else m.content
         val (resized, codec) = resizeImage(bytes, factor) match {
           case Some(img) => (img, "imageio")
-          case None => (resizeStub(bytes, factor), "bytes")
+          case None => resizeWav(bytes, factor) match {
+            case Some(wav) => (wav, "wav")
+            case None => (resizeStub(bytes, factor), "bytes")
+          }
         }
         val meta = (if (m.meta == null) Map.empty[String, String] else m.meta) +
           ("resize_factor" -> factor.toString, "resize_codec" -> codec)

@@ -186,6 +186,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.length === 3 && feats.forall(_.features.length === 16))
   }
 
+  test("resize on real audio: block-mean downsample, rate halves, envelope preserved") {
+    import graft.ext.Multimodal
+    val wav = makeWav(seed = 3, n = 4000)
+    val ds = Seq(MediaItem(1L, "audio", "audio/wav", wav, Map.empty)).toDS()
+    val out = Multimodal.resize(ds, factor = 2).collect().head
+    assert(out.meta("resize_codec") === "wav")
+    val (orig, origRate) = Multimodal.decodeWavWithRate(wav).get
+    val (down, downRate) = Multimodal.decodeWavWithRate(out.content).get
+    assert(downRate === origRate / 2)
+    assert(math.abs(down.length - orig.length / 2) <= 1)
+    // the RMS envelope survives the downsample: features of the
+    // resized audio stay close to the original's.  Block-meaning a
+    // 440 Hz carrier at 8 kHz attenuates amplitude uniformly (the mean
+    // of adjacent samples is a cosine factor), so compare SHAPE via
+    // cosine, not magnitude
+    val f0 = Multimodal.audioFeatures(wav, 16).get
+    val f1 = Multimodal.audioFeatures(out.content, 16).get
+    assert(cosF(f0, f1) > 0.99, s"cos=${cosF(f0, f1)}")
+  }
+
   test("near-dup end-to-end on real images: re-encode caught, distinct images kept apart") {
     import graft.ext.Multimodal
     val a = makeImage(40, 30, seed = 3)
