@@ -339,6 +339,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamSpanDedup single batch ≡ batch spanDedup (empty history)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // random colliding corpus (the NearDupSpec differential fixture):
+    // with no history, the stream's cut rule (df>=2 && doc != win) IS
+    // the batch operator's winner election — outputs must match row
+    // for row
+    val rnd = new scala.util.Random(23)
+    val corpus = (1L to 10L).map { id =>
+      (id, (0 until 12 + rnd.nextInt(25)).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+    }
+    val want = graft.ext.Dedup.spanDedup(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", n = 4, minDocs = 2, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    val storeDir = java.nio.file.Files.createTempDirectory("spanparity")
+      .resolve("store").toString
+    val got = scala.collection.mutable.Set[(Long, Long, Option[String])]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ext.DocPipeline.streamSpanDedup(
+      input.toDF().toDF("doc_id", "text"), storeDir,
+      n = 4, minTokens = 8) { (df, _) =>
+      df.collect().foreach(r =>
+        got += ((r.getLong(0), r.getLong(1), Option(r.getString(2)))))
+    }
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      assert(got.toSet === want, s"diff: ${(got.toSet -- want) ++ (want -- got.toSet)}")
+    } finally q.stop()
+  }
+
   test("streamSpanDedup atomicStore: same cuts, debris invisible, store compacts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
