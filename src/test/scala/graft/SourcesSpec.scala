@@ -187,6 +187,28 @@ class SourcesSpec extends SparkTestBase {
     assert(ev3.count() === docs.count())
   }
 
+  test("AppendStore: empty appends burn no version, compact no-ops below 2 versions") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{AppendStore, AtomicCommit}
+    val root = java.nio.file.Files.createTempDirectory("apstore").resolve("s").toString
+    def empty = spark.range(0).select(col("id").as("v"))
+    // absent store reads as the caller's empty frame
+    assert(AppendStore.readOr(spark, root, empty).count() === 0)
+    // empty append is a no-op (no version burned, no commit file)
+    assert(AppendStore.append(spark.range(0).toDF("v"), root).isEmpty)
+    assert(AtomicCommit.committedVersions(spark, root).isEmpty)
+    // single-version store: compact is a no-op
+    assert(AppendStore.append(spark.range(3).toDF("v"), root) === Some(1L))
+    assert(AppendStore.compact(spark, root).isEmpty)
+    assert(AppendStore.readOr(spark, root, empty).count() === 3)
+    // two versions → compact folds to one, content preserved
+    AppendStore.append(spark.range(3, 5).toDF("v"), root)
+    assert(AppendStore.compact(spark, root) === Some(3L))
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(3L))
+    assert(AppendStore.readOr(spark, root, empty)
+      .orderBy("v").collect().map(_.getLong(0)).toSeq === (0L until 5L))
+  }
+
   test("shard store diffVersions: CDC set-diff between committed versions") {
     import org.apache.spark.sql.functions._
     import graft.sources.ShardStore
