@@ -188,7 +188,10 @@ object PlanCheck {
           !p.contains("BroadcastNestedLoop")),
       ("q_span_dedup", "span removal: equi-joins only (shingle + doc keys), no cartesian",
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop") &&
-          p.contains(") Window"))
+          p.contains(") Window")),
+      ("q_store_diff", "CDC diff: hash-keyed ANTI joins per direction, no cartesian",
+        p => p.contains("Anti") && !p.contains("Cartesian") &&
+          !p.contains("BroadcastNestedLoop"))
     )
 
     var failed = 0
