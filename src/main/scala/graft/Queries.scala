@@ -2830,6 +2830,32 @@ object Queries {
              |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
              |ORDER BY doc_id, change""".stripMargin)),
 
+    // ── 77e. store schema evolution under the oracle gate: v1 writes
+    // (doc_id, text), v2 adds a quality column; the evolved read of v1
+    // aligns to v2's schema with quality null-filled. The twin just
+    // SELECTs v1's rows with a typed NULL — matching proves the sidecar
+    // resolution + projection end to end on a REAL committed store ────
+    QueryDef(
+      "q_store_evolve",
+      (s, d) => {
+        import graft.sources.ShardStore
+        val root = java.nio.file.Files.createTempDirectory("q-store-evolve")
+          .resolve("store").toString
+        val docs = t(s, d, "documents")
+        ShardStore.writeShardsAtomic(
+          docs.filter(col("doc_id") < 30).select(col("doc_id"), col("text")),
+          "doc_id", numShards = 2, root)
+        ShardStore.writeShardsAtomic(
+          docs.filter(col("doc_id") < 25).select(col("doc_id"), col("text"),
+            (col("n_chars") % 7).cast("double").as("quality")),
+          "doc_id", numShards = 2, root)
+        ShardStore.readShardsAtEvolved(s, root, 1L)
+          .select(col("doc_id"), col("text"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, CAST(NULL AS DOUBLE) AS quality
+             |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin)),
+
     // ── 78. inverted index build: term → df + sorted posting list (the
     // one term-keyed shuffle; postings joined to a string because the
     // compare harness can't diff array cells) ──────────────────────────
