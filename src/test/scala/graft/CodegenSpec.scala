@@ -104,4 +104,22 @@ class CodegenSpec extends SparkTestBase {
     assert(f2 === h2)
     assert(f2 === Seq((Some("a"), 2L), (None, 0L), (Some("b"), 1L)))
   }
+
+  test("Cavnar-Trenkle kernels compile (distances array + one-shot lang id)") {
+    import graft.ext.LangId
+    val docs = Seq((1L, "the cat sat on the old bridge"),
+      (2L, "der hund wartet in der küche")).toDF("doc_id", "text")
+    assertCompiles(docs.select(LangId.distances(lower(col("text"))).as("d")),
+      "ct-lang-dists")
+    val oneShot = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.bridge.column(
+        graft.ext.CtLangIdExpr(
+          org.apache.spark.sql.graft.bridge.expression(col("text")),
+          LangId.profiles.toIndexedSeq, LangId.NMax, LangId.TopK)).as("p"))
+    assertCompiles(oneShot, "ct-lang-id")
+    // the one-shot kernel agrees with the Column-API composition
+    val composed = docs.select(col("doc_id"), LangId.langIdCt(col("text")).as("p"))
+    assert(oneShot.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      composed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
 }
