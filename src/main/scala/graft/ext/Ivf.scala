@@ -144,6 +144,47 @@ object Ivf {
     AtomicCommit.versionDir(root, v)
   }
 
+  /** [[saveIndexQ]] (int8-quantized) under the atomic-commit protocol,
+    * centroid sidecar included — the quantized twin of
+    * [[saveIndexAtomic]]. Returns (version, index path). */
+  def saveIndexQAtomic(corpus: DataFrame, idCol: String, vecCol: String,
+                       root: String, k: Int, iters: Int = 2,
+                       cellCol: String = "ivf_cell",
+                       spreadInit: Boolean = true): (Long, String) = {
+    import graft.sources.AtomicCommit
+    val spark = corpus.sparkSession
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    saveIndexQ(corpus, idCol, vecCol, centroids, dir, cellCol)
+    saveCentroids(spark, centroids, dir)
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    (v, dir)
+  }
+
+  /** [[saveIndexPQ]] under the atomic-commit protocol, with BOTH
+    * sidecars (coarse centroids + PQ codebooks via
+    * [[Pq.saveCodebooks]]) — a different job loads everything it needs
+    * to probe from the committed directory. Returns (version, path). */
+  def saveIndexPQAtomic(corpus: DataFrame, idCol: String, vecCol: String,
+                        root: String, k: Int, m: Int, ksub: Int = 256,
+                        iters: Int = 2, cellCol: String = "ivf_cell",
+                        spreadInit: Boolean = true): (Long, String) = {
+    import graft.sources.AtomicCommit
+    val spark = corpus.sparkSession
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    val books = Pq.train(corpus, idCol, vecCol, m, ksub, iters, spreadInit)
+    saveIndexPQ(corpus, idCol, vecCol, centroids, books, dir, cellCol)
+    saveCentroids(spark, centroids, dir)
+    Pq.saveCodebooks(spark, books, s"$dir/_codebooks")
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    (v, dir)
+  }
+
   /** The `nprobe` cells nearest to a probe vector (driver-side: centroid
     * list is tiny by construction). Ties break toward the lower cell id,
     * matching `nearest`. */

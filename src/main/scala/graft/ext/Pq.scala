@@ -51,6 +51,30 @@ object Pq {
     Codebooks(m, dsub, books)
   }
 
+  /** Persist trained codebooks as (sub, cid, centroid) parquet — train
+    * once, encode/score in every later job (the codebooks ARE the
+    * coder; until now they lived only in the training driver's
+    * memory). */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    books: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until books.m; c <- 0 until books.ksub)
+      yield (s, c, books.centroids(s)(c).toSeq))
+      .toDF("sub", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks written by [[saveCodebooks]], subspace and code
+    * order restored (both are semantics — codes index into them). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "cid", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
+    Codebooks(bySub.length, bySub.head.head.length, bySub)
+  }
+
   private def dist2(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.bridge.column(graft.functions.Dist2Expr(
       org.apache.spark.sql.graft.bridge.expression(a),

@@ -115,6 +115,48 @@ class IvfSpec extends SparkTestBase {
     assert(spark.read.parquet(dir1).count() === emb.count())
   }
 
+  test("atomic quantized/PQ indexes: every sidecar loads, cross-job probe parity") {
+    import graft.ext.Pq
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    // int8 index: centroids from the sidecar ≡ retrained in memory
+    val rootQ = java.nio.file.Files.createTempDirectory("ivfq-atomic")
+      .resolve("idx").toString
+    val (_, dirQ) = Ivf.saveIndexQAtomic(emb, "vec_id", "embedding", rootQ, k = 8)
+    val centsQ = Ivf.loadCentroids(spark, dirQ)
+    val trained = Ivf.train(emb, "vec_id", "embedding", k = 8)
+    centsQ.zip(trained).foreach { case ((ci, a), (cj, b)) =>
+      assert(ci === cj && a.toSeq === b.toSeq)
+    }
+    val viaStore = Ivf.topKJoinQ(spark.read.parquet(dirQ), "vec_id", centsQ,
+      probes, "probe_id", "p_emb", k = 5, nprobe = 3,
+      rerank = Some((emb, "embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore.nonEmpty)
+    // PQ index: BOTH sidecars (centroids + codebooks) come off disk
+    val rootP = java.nio.file.Files.createTempDirectory("ivfpq-atomic")
+      .resolve("idx").toString
+    val (_, dirP) = Ivf.saveIndexPQAtomic(emb, "vec_id", "embedding", rootP,
+      k = 4, m = 8, ksub = 16)
+    val centsP = Ivf.loadCentroids(spark, dirP)
+    val books = Pq.loadCodebooks(spark, s"$dirP/_codebooks")
+    val viaPQ = Ivf.topKJoinPQ(spark.read.parquet(dirP), "vec_id", centsP, books,
+      probes, "probe_id", "p_emb", k = 5, nprobe = 2,
+      rerank = Some((emb, "embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // parity with the all-in-memory build of the same index
+    val booksMem = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val centsMem = Ivf.train(emb, "vec_id", "embedding", k = 4)
+    val memPath = java.nio.file.Files.createTempDirectory("ivfpq-mem")
+      .resolve("idx").toString
+    Ivf.saveIndexPQ(emb, "vec_id", "embedding", centsMem, booksMem, memPath)
+    val viaMem = Ivf.topKJoinPQ(spark.read.parquet(memPath), "vec_id", centsMem,
+      booksMem, probes, "probe_id", "p_emb", k = 5, nprobe = 2,
+      rerank = Some((emb, "embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPQ === viaMem)
+  }
+
   test("topKJoin: many probes in one plan ≡ per-probe topKIndexed") {
     val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
     val corpus = emb.filter(col("vec_id") >= 10)

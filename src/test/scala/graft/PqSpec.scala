@@ -30,6 +30,24 @@ class PqSpec extends SparkTestBase {
     assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
   }
 
+  test("codebooks round-trip through parquet: exact centroids, identical codes") {
+    val books = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq-books").toString
+    Pq.saveCodebooks(spark, books, dir)
+    val loaded = Pq.loadCodebooks(spark, dir)
+    assert(loaded.m === books.m && loaded.dsub === books.dsub &&
+      loaded.ksub === books.ksub)
+    loaded.centroids.zip(books.centroids).foreach { case (x, y) =>
+      x.zip(y).foreach { case (cx, cy) => assert(cx.toSeq === cy.toSeq) }
+    }
+    // a coder rebuilt from the loaded books encodes identically
+    val a = emb.select(Pq.encode(col("embedding"), books).as("c"))
+      .collect().map(_.getSeq[Byte](0).toSeq)
+    val b = emb.select(Pq.encode(col("embedding"), loaded).as("c"))
+      .collect().map(_.getSeq[Byte](0).toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ADC score ≡ dot(probe, decode(codes)); column form ≡ literal form") {
     val books = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val probe = emb.filter(col("vec_id") === 0).select("embedding")
