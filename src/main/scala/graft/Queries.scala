@@ -424,6 +424,16 @@ object Queries {
   private val spanOracleB =
     ((1 to 12).map(i => s"fb$i") ++ (1 to 25).map(i => s"sp$i") ++
       Seq("fb13", "fb14")).mkString(" ")
+  /** Planted scraped-page doc for the intra-doc dedup oracle: the same
+    * 25-token passage twice — the second copy must boil away. */
+  private val intraOracleDoc =
+    (Seq("ia1", "ia2") ++ (1 to 25).map(i => s"rp$i") ++ Seq("mid") ++
+      (1 to 25).map(i => s"rp$i") ++ Seq("iz1")).mkString(" ")
+  private def intraAug(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(
+        lit(9000201L).as("doc_id"), lit(intraOracleDoc).as("text")))
+
   /** documents ∪ the two planted span docs (ids beyond any fixture id). */
   private def spanAug(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -2855,6 +2865,52 @@ object Queries {
       },
       Some("""SELECT doc_id, text, CAST(NULL AS DOUBLE) AS quality
              |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin)),
+
+    // ── 77f. INTRA-document span dedup (keep-first removal of passages
+    // repeated within one page — the scraped-page failure mode the
+    // cross-doc operators never touch): a planted doc carries the same
+    // 25-token passage twice; the second copy boils away, the first
+    // survives verbatim. Twin recomputes first-occurrence election +
+    // gaps-and-islands + token rebuild from first principles ──────────
+    QueryDef(
+      "q_intradoc_dedup",
+      (s, d) =>
+        Dedup.intraDocDedup(intraAug(s, d), "doc_id", "text",
+          n = 5, minTokens = 20)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH aug AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 9000201, '$intraOracleDoc'),
+             |w AS (SELECT doc_id, $duckWhs AS h,
+             |  string_split(text, ' ') AS tk FROM aug),
+             |sg AS (SELECT doc_id, CASE WHEN len(h) >= 5 THEN
+             |  list_transform(range(0, len(h)-4), i -> $duckSh5)
+             |  ELSE [] END AS gs FROM w),
+             |e AS (SELECT doc_id, unnest(gs) AS sh,
+             |  unnest(range(0, len(gs))) AS p FROM sg),
+             |fst AS (SELECT doc_id, sh, min(p) AS fp
+             |  FROM e GROUP BY doc_id, sh),
+             |cut AS (SELECT e.doc_id, e.p,
+             |    e.p - row_number() OVER (PARTITION BY e.doc_id ORDER BY e.p) AS grp
+             |  FROM e JOIN fst ON e.doc_id = fst.doc_id AND e.sh = fst.sh
+             |    AND e.p > fst.fp),
+             |sp AS (SELECT doc_id, min(p) AS st, max(p) + 4 AS en
+             |  FROM cut GROUP BY doc_id, grp
+             |  HAVING max(p) + 4 - min(p) + 1 >= 20),
+             |tok AS (SELECT doc_id, unnest(tk) AS tkn,
+             |  unnest(range(0, len(tk))) AS i FROM w),
+             |cutpos AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+             |  JOIN sp ON t.doc_id = sp.doc_id AND t.i BETWEEN sp.st AND sp.en),
+             |kept AS (SELECT t.doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_tot,
+             |    CAST(count(*) FILTER (WHERE c.i IS NULL) AS BIGINT) AS n_kept,
+             |    string_agg(CASE WHEN c.i IS NULL THEN t.tkn END, ' '
+             |      ORDER BY t.i) AS txt
+             |  FROM tok t LEFT JOIN cutpos c
+             |    ON t.doc_id = c.doc_id AND t.i = c.i
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, CAST(n_tot - n_kept AS BIGINT) AS n_removed,
+             |  nullif(txt, '') AS text_kept
+             |FROM kept ORDER BY doc_id""".stripMargin)),
 
     // ── 78. inverted index build: term → df + sorted posting list (the
     // one term-keyed shuffle; postings joined to a string because the

@@ -165,6 +165,55 @@ object Dedup {
         nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
   }
 
+  /** INTRA-document span dedup — keep-first removal of passages
+    * repeated WITHIN one document (the scraped-page failure mode:
+    * the same paragraph pasted dozens of times), which the cross-doc
+    * operators above never touch (their df counts are per-corpus,
+    * `minDocs >= 2`). A token position is duplicated when its word
+    * `n`-shingle already occurred at an EARLIER position of the same
+    * document; duplicated positions grow to maximal runs and runs ≥
+    * `minTokens` are cut, so the FIRST occurrence of every repeated
+    * passage survives verbatim. Returns the full input row set:
+    * (idCol, n_removed, text_kept), text_kept null when everything
+    * after the first copy was boilerplate.
+    *
+    * Scale shape: shingles explode map-side; first-occurrence election
+    * is ONE (doc, shingle)-keyed aggregation joined back on the same
+    * key; run growth is one doc-keyed window; rebuild is the
+    * [[spanDedup]] map-side indexed filter. Never anything
+    * corpus-pairwise — in fact nothing here crosses documents at
+    * all, so the operator scales embarrassingly. */
+  def intraDocDedup(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, minTokens: Int = 20): DataFrame = {
+    require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    val pos = docs.withColumn("_whs", wordHashes(col(textCol)))
+      .select(col(idCol),
+        posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
+      .withColumn("_p", col("_p").cast("long"))
+    val first = pos.groupBy(col(idCol), col("_sh"))
+      .agg(min(col("_p")).as("_first"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_p"))
+    val spans = pos.join(first, Seq(idCol, "_sh"))
+      .filter(col("_p") > col("_first"))
+      .withColumn("_grp", col("_p") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_p")).as("_st"),
+        (max(col("_p")) + lit(n - 1).cast("long")).as("_en"))
+      .filter(col("_en") - col("_st") + 1L >= minTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_st"), col("_en"))).as("_rm"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (_, i) =>
+          !exists(col("_rm"), s =>
+            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
+      .select(col(idCol),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+  }
+
   /** Append a k-component MinHash signature column.
     *
     * PERFORMANCE INVARIANT (all builders here): token hashes are

@@ -354,6 +354,32 @@ class NearDupSpec extends SparkTestBase {
     assert(kept(21L) === 0L && kept(22L) === 25L)
   }
 
+  test("intraDocDedup: repeated in-page passage cut once, first copy verbatim") {
+    val p = (1 to 10).map(i => s"p$i")
+    val q = (1 to 5).map(i => s"q$i")
+    val docs = Seq(
+      // the scraped-page shape: same 10-token passage twice
+      (1L, (Seq("h1", "h2") ++ p ++ Seq("m1") ++ p ++ Seq("t1", "t2")).mkString(" ")),
+      (2L, (1 to 20).map(i => s"u$i").mkString(" ")),       // no repetition
+      // repeated but SHORT (5 tokens < minTokens=8): left alone
+      (3L, (q ++ Seq("x1") ++ q ++ Seq("x2")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs, "doc_id", "text", n = 4, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L)._1 === 10L, s"got ${out(1L)}")
+    assert(out(1L)._2 ===
+      (Seq("h1", "h2") ++ p ++ Seq("m1", "t1", "t2")).mkString(" "))
+    assert(out(2L)._1 === 0L)
+    assert(out(3L)._1 === 0L)
+    // cross-doc repetition alone is NOT intra-doc repetition: two docs
+    // sharing a passage lose nothing here
+    val cross = Seq(
+      (1L, ((1 to 25).map(i => s"s$i") ++ Seq("a1")).mkString(" ")),
+      (2L, (Seq("b1") ++ (1 to 25).map(i => s"s$i")).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.intraDocDedup(cross, "doc_id", "text", n = 5, minTokens = 20)
+      .filter(col("n_removed") > 0).count() === 0L)
+  }
+
   test("spanDedup ≡ driver-side brute-force reference on random colliding corpora") {
     // small token alphabet forces organic cross-doc shingle collisions;
     // the reference recomputes winner election, run growth, and token
