@@ -485,6 +485,59 @@ object Queries {
        |${duckLloydRound(1)},
        |${duckLloydRound(2)}""".stripMargin
 
+  /** DuckDB twin of q_quality_logreg: the 3 GD iterations unrolled as
+    * CTEs. Every arithmetic step mirrors LogReg.train's expression
+    * shape exactly (left-assoc z, ((g/scale)/n) update order, fast
+    * sigmoid), so the weights — and hence the e6 fixed points — are
+    * bit-identical, not merely close. */
+  private val duckLogregSql: String = {
+    val iters = 3
+    val d = 4
+    val xs = (0 until d).map(j => s"x$j")
+    def gradCte(k: Int): String = {
+      val sums = (0 until d).map { j =>
+        s"""sum(CAST(floor(((0.5 + z/(2.0*(1.0+abs(z)))) - y)*x$j*1000000000.0 + 0.5) AS BIGINT)) AS g$j"""
+      }.mkString(",\n   ")
+      val z = (0 until d).map(j => s"b$j*x$j").mkString(" + ")
+      s"""g$k AS (SELECT
+   $sums
+ FROM (SELECT y, ${xs.mkString(", ")}, ($z) AS z FROM f, w${k - 1}))"""
+    }
+    def weightCte(k: Int): String = {
+      val ws = (0 until d).map { j =>
+        s"b$j - 0.5*((CAST(g$j AS DOUBLE)/1000000000.0)/n) AS b$j"
+      }.mkString(",\n   ")
+      s"""w$k AS (SELECT
+   $ws
+ FROM g$k, w${k - 1}, n0)"""
+    }
+    val rounds =
+      (1 to iters).map(k => gradCte(k) + ",\n" + weightCte(k)).mkString(",\n")
+    val zFin = (0 until d).map(j => s"b$j*x$j").mkString(" + ")
+    val outNames = Seq("bias", "x1_tokens", "x2_avglen", "x3_efreq")
+    val unions = outNames.zipWithIndex.map { case (nm, j) =>
+      s"""SELECT '$nm' AS feature, CAST(floor(b$j*1000000.0 + 0.5) AS BIGINT) AS weight_e6 FROM w$iters"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH f AS (SELECT
+  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+  1.0 AS x0,
+  len(string_split(text, ' ')) / 100.0 AS x1,
+  length(text) / (10.0 * len(string_split(text, ' '))) AS x2,
+  (length(text) - length(replace(text, 'e', ''))) * 10.0
+    / (1.0 + length(text)) AS x3
+ FROM documents WHERE text IS NOT NULL),
+n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+w0 AS (SELECT ${(0 until d).map(j => s"0.0 AS b$j").mkString(", ")}),
+$rounds,
+acc AS (SELECT
+  CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  count(*) AS n_rows
+ FROM (SELECT y, ($zFin) AS z FROM f, w$iters))
+SELECT feature, weight_e6, n_correct, n_rows FROM (
+  $unions), acc
+ORDER BY feature"""
+  }
+
   val all: Vector[QueryDef] = Vector(
     // ── 1. scan + projection ────────────────────────────────────────────
     QueryDef(
@@ -3289,6 +3342,71 @@ object Queries {
              |SELECT doc_id, label AS best_label,
              |CAST(score AS BIGINT) AS score_e6, CAST(n_tok AS BIGINT) AS n_tok
              |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ── 87c. logistic-regression quality/language classifier (fastText-
+    // style corpus gate, Joulin 2016): full-batch GD with the fast
+    // sigmoid (arithmetic-only ⇒ IEEE-bit-identical cross-engine) and
+    // fixed-point long gradient sums (order-independent). The DuckDB
+    // twin unrolls the 3 iterations as CTEs and reproduces the weights
+    // BIT-FOR-BIT — an iterative ML training loop under the hash gate ──
+    QueryDef(
+      "q_quality_logreg",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val nt = size(split(col("text"), " ", -1))
+        val len = length(col("text"))
+        val eCnt = len - length(expr("replace(text, 'e', '')"))
+        val feats = Seq(
+          lit(1.0),
+          nt / lit(100.0),
+          len / (lit(10.0) * nt),
+          eCnt * lit(10.0) / (lit(1.0) + len))
+        val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val m = graft.ext.LogReg.train(docs, feats, label,
+          lr = 0.5, iters = 3, scale = 1e9)
+        val names = Seq("bias", "x1_tokens", "x2_avglen", "x3_efreq")
+        names.zip(m.weights.toSeq)
+          .map { case (nm, w) =>
+            (nm, math.floor(w * 1000000.0 + 0.5).toLong, m.nCorrect, m.n)
+          }
+          .toDF("feature", "weight_e6", "n_correct", "n_rows")
+          .orderBy(col("feature"))
+      },
+      Some(duckLogregSql)),
+
+    // ── 87d. exact ROC-AUC of a corpus scorer vs a binary label —
+    // Mann-Whitney U with midrank ties, integer rank-sums over per-score
+    // aggregates (the window sorts DISTINCT SCORES, not rows) ───────────
+    QueryDef(
+      "q_classifier_auc",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val len = length(col("text"))
+        val eCnt = len - length(expr("replace(text, 'e', '')"))
+        val score = eCnt / (lit(1.0) + len)
+        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        graft.ext.Eval.binaryAuc(docs, score, label)
+          .select(
+            when(col("auc").isNotNull,
+              floor(col("auc") * lit(1000000.0) + lit(0.5)).cast("long"))
+              .as("auc_e6"),
+            col("n_pos"), col("n_neg"))
+      },
+      Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |  (length(text) - length(replace(text, 'e', '')))
+             |    / (1.0 + length(text)) AS sc
+             |  FROM documents WHERE text IS NOT NULL),
+             |p AS (SELECT sc, count(*) AS ct, sum(y) AS cp FROM s GROUP BY sc),
+             |r AS (SELECT cp, ct, sum(ct) OVER (ORDER BY sc) AS cum FROM p),
+             |u AS (SELECT CAST(sum(cp*(2*cum - ct + 1)) AS BIGINT) AS sr2 FROM r),
+             |t AS (SELECT CAST(sum(y) AS BIGINT) AS np,
+             |  CAST(count(*) AS BIGINT) AS n FROM s)
+             |SELECT CASE WHEN np > 0 AND n - np > 0 THEN
+             |  CAST(floor(CAST(sr2 - np*(np+1) AS DOUBLE)
+             |    / (2.0*CAST(np AS DOUBLE)*CAST(n - np AS DOUBLE))
+             |    * 1000000.0 + 0.5) AS BIGINT) END AS auc_e6,
+             |np AS n_pos, n - np AS n_neg FROM u, t""".stripMargin)),
 
     // ── 88. Hardy–Weinberg chi-square + Wright's F_IS over the derived
     // gt matrix: REAL kernels (genotypeClassCounts/hweChi2/inbreedingF)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ANN quality evaluation — recall@k of an approximate result set
@@ -43,4 +43,49 @@ object Eval {
                     probeIdCol: String, idCol: String, k: Int): Double =
     recallAtK(approx, truth, probeIdCol, idCol, k)
       .agg(avg(col("recall"))).head().getDouble(0)
+
+  /** Exact ROC-AUC of a scorer against a binary label — the acceptance
+    * metric for any quality/language classifier gating a corpus
+    * ([[LogReg]], the NB classifier, perplexity filters). Computed via
+    * the Mann-Whitney U statistic with midrank tie handling:
+    *
+    *   AUC = (Σ_{positives} midrank − P(P+1)/2) / (P·N)
+    *
+    * Integer-exact until the final division: per distinct score value
+    * we aggregate (count, positives); 2·midrank = 2·cumcount − ct + 1
+    * is an integer, so the rank-sum is an exact long and the result is
+    * independent of partitioning and combine order.
+    *
+    * Scale shape: ONE groupBy on the score value (shuffles d+1 scalars
+    * per distinct score, never rows), then a window over the DISTINCT
+    * SCORES ONLY — the single-partition sort is over score cardinality,
+    * not corpus size. For continuous scores at extreme scale, quantize
+    * the score (e.g. `round(score, 6)`) to bound the distinct count;
+    * the spec pins tie semantics either way.
+    *
+    * Returns one row: `auc` (double, NULL when either class is absent),
+    * `n_pos`, `n_neg`. */
+  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(score.cast("double").as("_s"),
+      label.cast("long").as("_y"))
+    val per = s.groupBy(col("_s"))
+      .agg(count(lit(1L)).as("_ct"), sum(col("_y")).as("_cp"))
+    // inclusive running count in score order; frame = RANGE UNBOUNDED
+    // PRECEDING .. CURRENT ROW (default) over distinct scores
+    val cum = sum(col("_ct")).over(Window.orderBy(col("_s")))
+    val ranked = per.withColumn("_cum", cum)
+      // Σ over positives of 2·midrank, as an exact long
+      .select(sum(col("_cp") * (lit(2L) * col("_cum") - col("_ct") + lit(1L)))
+        .as("_sr2"))
+    val tot = s.agg(sum(col("_y")).as("_p"), count(lit(1L)).as("_n"))
+    ranked.crossJoin(tot).select(
+      when(col("_p") > 0L && col("_n") - col("_p") > 0L,
+        (col("_sr2") - col("_p") * (col("_p") + lit(1L))).cast("double") /
+          (lit(2.0) * col("_p").cast("double") *
+            (col("_n") - col("_p")).cast("double")))
+        .as("auc"),
+      col("_p").as("n_pos"),
+      (col("_n") - col("_p")).as("n_neg"))
+  }
 }

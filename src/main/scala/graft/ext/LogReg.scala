@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression trainer for corpus quality filtering
+  * — the fastText-style "train a small classifier, keep docs it scores
+  * high" step of LLM data pipelines (Joulin et al. 2016, "Bag of Tricks
+  * for Efficient Text Classification"; CCNet and LLaMA data curation
+  * both gate on a linear classifier over surface features).
+  *
+  * Full-batch gradient descent, engineered so that training is
+  * BIT-REPLICABLE across engines and across partitionings:
+  *
+  *  - the logistic link is the "fast sigmoid" σ(z) = 0.5 + z/(2(1+|z|)):
+  *    only +, −, ×, ÷, abs — each IEEE-754 correctly rounded, so the
+  *    value is bit-identical on any IEEE engine (an exp()-based link
+  *    would differ in the last ulp between libm implementations);
+  *  - per-row gradient contributions are rounded to fixed-point longs
+  *    (`floor(c·scale + 0.5)`) and summed as integers — the sum is
+  *    exact and associative, so the result is independent of partition
+  *    count and combine order (same trick as the PageRank/kinship
+  *    kernels);
+  *  - the weight update `w − lr·((g/scale)/n)` is a fixed sequence of
+  *    double ops on identical inputs.
+  *
+  * Scale shape: one narrow projection of the corpus (cached by the
+  * caller if iterating many times), then per-iteration ONE partial+final
+  * aggregate producing d+1 numbers — no shuffle of rows, no driver
+  * collect beyond the d-element gradient envelope. At 100 TB the cost
+  * is `iters` map-side passes; d and iters stay tiny.
+  *
+  * Overflow headroom: |per-row contribution| ≤ max|x|·scale. With the
+  * default scale=1e9 a corpus of 1e12 rows and |x| ≤ 100 keeps the
+  * long sum under 1e23 — too big. For trillion-row corpora pass
+  * scale=1e6 (still six decimal digits of gradient precision) or
+  * normalize features into [0,1]; the unit spec pins the envelope.
+  */
+object LogReg {
+
+  /** σ(z) = 0.5 + z/(2(1+|z|)) — monotone, (0,1), σ(0)=0.5, and the
+    * decision rule σ(z) ≥ 0.5 ⟺ z ≥ 0 is exact. */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Driver-side twin of [[fastSigmoid]] for reference/spec use. */
+  def fastSigmoidRef(z: Double): Double = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+
+  /** Trained model: weights (aligned with the `features` argument),
+    * corpus size, and training-set decision accuracy under the exact
+    * rule z ≥ 0. */
+  final case class Model(weights: Array[Double], n: Long,
+                         nCorrect: Long) {
+    def accuracy: Double = if (n == 0) 0.0 else nCorrect.toDouble / n
+  }
+
+  /** Linear predictor Σ wⱼ·xⱼ built LEFT-ASSOCIATIVELY — the oracle
+    * twin must parenthesize the same way for bit equality. */
+  private def zOf(weights: Array[Double], xs: Seq[Column]): Column =
+    weights.zip(xs).map { case (w, x) => lit(w) * x }.reduceLeft(_ + _)
+
+  /** Train on `features` (cast to double; include an explicit `lit(1.0)`
+    * bias term if wanted) against binary `label` (1.0 / 0.0). Weights
+    * start at zero. Each iteration runs one aggregate job over `df`;
+    * cache `df` upstream when `iters` is large. */
+  def train(df: DataFrame, features: Seq[Column], label: Column,
+            lr: Double = 0.5, iters: Int = 3,
+            scale: Double = 1e9): Model = {
+    require(features.nonEmpty, "at least one feature column")
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val d = features.size
+    val cols = features.zipWithIndex.map { case (f, j) =>
+      f.cast("double").as(s"_x$j")
+    } :+ label.cast("double").as("_y")
+    val feats = df.select(cols: _*)
+    val xs = (0 until d).map(j => col(s"_x$j"))
+
+    val w = Array.fill(d)(0.0)
+    var n = 0L
+    for (_ <- 1 to iters) {
+      val resid = fastSigmoid(zOf(w, xs)) - col("_y")
+      val gradAggs = (0 until d).map { j =>
+        sum(floor(resid * xs(j) * lit(scale) + lit(0.5)).cast("long"))
+          .as(s"_g$j")
+      }
+      val row = feats.agg(count(lit(1L)).as("_n"), gradAggs: _*).head()
+      n = row.getLong(0)
+      require(n > 0, "empty training frame")
+      var j = 0
+      while (j < d) {
+        val g = row.getLong(j + 1)
+        // exact op order mirrored by the SQL twin: w − lr·((g/scale)/n)
+        w(j) = w(j) - lr * ((g / scale) / n)
+        j += 1
+      }
+    }
+
+    val zFinal = zOf(w, xs)
+    val correct = (zFinal >= 0.0) === (col("_y") === 1.0)
+    val accRow = feats
+      .agg(sum(when(correct, 1L).otherwise(0L)).as("_c"),
+        count(lit(1L)).as("_n"))
+      .head()
+    Model(w, accRow.getLong(1), accRow.getLong(0))
+  }
+
+  /** Score `df` with a trained model: appends `prob` (fast-sigmoid
+    * probability) and `pred` (exact z ≥ 0 decision). Map-only. */
+  def score(df: DataFrame, features: Seq[Column], model: Model,
+            probCol: String = "prob", predCol: String = "pred"): DataFrame = {
+    require(features.size == model.weights.length,
+      s"${features.size} features vs ${model.weights.length} weights")
+    val z = zOf(model.weights, features.map(_.cast("double")))
+    df.withColumn(probCol, fastSigmoid(z))
+      .withColumn(predCol, (z >= 0.0).cast("int"))
+  }
+
+  /** Pure-Scala reference trainer (same arithmetic, driver-side) for
+    * differential testing: rows = (features, label). */
+  def trainRef(rows: Seq[(Array[Double], Double)], lr: Double = 0.5,
+               iters: Int = 3, scale: Double = 1e9): Array[Double] = {
+    require(rows.nonEmpty)
+    val d = rows.head._1.length
+    val w = Array.fill(d)(0.0)
+    for (_ <- 1 to iters) {
+      val g = Array.fill(d)(0L)
+      rows.foreach { case (x, y) =>
+        var z = 0.0
+        var j = 0
+        while (j < d) { z += w(j) * x(j); j += 1 }
+        val r = fastSigmoidRef(z) - y
+        j = 0
+        while (j < d) {
+          g(j) += math.floor(r * x(j) * scale + 0.5).toLong
+          j += 1
+        }
+      }
+      var j = 0
+      while (j < d) {
+        w(j) = w(j) - lr * ((g(j) / scale) / rows.size)
+        j += 1
+      }
+    }
+    w
+  }
+}

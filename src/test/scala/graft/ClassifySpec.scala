@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Eval, LogReg}
+
+/** LogReg (deterministic logistic-regression corpus gate) and
+  * Eval.binaryAuc (exact midrank ROC-AUC). */
+class ClassifySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ── fast sigmoid ────────────────────────────────────────────────────
+
+  test("fastSigmoid: σ(0)=0.5, bounds, monotone, decision rule z>=0") {
+    val zs = Seq(-1e9, -5.0, -1.0, -0.25, 0.0, 0.25, 1.0, 5.0, 1e9)
+    val vals = zs.map(LogReg.fastSigmoidRef)
+    assert(LogReg.fastSigmoidRef(0.0) == 0.5)
+    assert(vals.forall(v => v > 0.0 && v < 1.0))
+    assert(vals.sliding(2).forall { case Seq(a, b) => a < b })
+    zs.foreach { z =>
+      assert((LogReg.fastSigmoidRef(z) >= 0.5) == (z >= 0.0))
+    }
+    // Column kernel agrees with the driver twin bit-for-bit
+    val df = zs.toDF("z").select(LogReg.fastSigmoid(col("z")).as("s"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == vals)
+  }
+
+  // ── training ────────────────────────────────────────────────────────
+
+  private def sepData = Seq(
+    // y=1 cluster at x≈+2, y=0 cluster at x≈−2 (bias, x)
+    (1.0, 1.8, 1.0), (1.0, 2.0, 1.0), (1.0, 2.2, 1.0), (1.0, 2.4, 1.0),
+    (1.0, -1.8, 0.0), (1.0, -2.0, 0.0), (1.0, -2.2, 0.0), (1.0, -2.4, 0.0)
+  ).toDF("b", "x", "y")
+
+  test("train separates a linearly-separable toy set with full accuracy") {
+    val m = LogReg.train(sepData, Seq(col("b"), col("x")), col("y"),
+      lr = 1.0, iters = 10)
+    assert(m.weights(1) > 0.0, "slope must point toward the positive cluster")
+    assert(m.n == 8L)
+    assert(m.nCorrect == 8L, s"accuracy ${m.accuracy}")
+  }
+
+  test("train matches the pure-Scala reference bit-for-bit") {
+    // deterministic pseudo-random rows (LCG, no RNG APIs)
+    val rows = (0 until 400).map { i =>
+      val a = ((i * 2654435761L) % 1000) / 500.0 - 1.0
+      val b = ((i * 40503L + 7) % 1000) / 500.0 - 1.0
+      val y = if (a + 0.3 * b > 0.1) 1.0 else 0.0
+      (1.0, a, b, y)
+    }
+    val df = rows.toDF("b0", "a", "bb", "y").repartition(7)
+    val m = LogReg.train(df, Seq(col("b0"), col("a"), col("bb")), col("y"),
+      lr = 0.5, iters = 3)
+    val ref = LogReg.trainRef(
+      rows.map { case (b0, a, bb, y) => (Array(b0, a, bb), y) },
+      lr = 0.5, iters = 3)
+    assert(m.weights.toSeq == ref.toSeq,
+      s"spark=${m.weights.toSeq} ref=${ref.toSeq}")
+  }
+
+  test("training is partition-invariant (fixed-point gradient sums)") {
+    val base = (0 until 300).map { i =>
+      (1.0, (i % 17) / 8.0 - 1.0, if (i % 3 == 0) 1.0 else 0.0)
+    }
+    def wAt(parts: Int) = LogReg.train(
+      base.toDF("b", "x", "y").repartition(parts),
+      Seq(col("b"), col("x")), col("y"), lr = 0.5, iters = 3).weights.toSeq
+    assert(wAt(1) == wAt(13))
+  }
+
+  test("score appends prob/pred consistent with the decision rule") {
+    val m = LogReg.train(sepData, Seq(col("b"), col("x")), col("y"),
+      lr = 1.0, iters = 10)
+    val scored = LogReg.score(sepData, Seq(col("b"), col("x")), m)
+      .select(col("y"), col("prob"), col("pred")).collect()
+    scored.foreach { r =>
+      val (y, p, pred) = (r.getDouble(0), r.getDouble(1), r.getInt(2))
+      assert((p >= 0.5) == (pred == 1))
+      assert(pred.toDouble == y, s"misclassified y=$y prob=$p")
+    }
+  }
+
+  test("train rejects an empty frame") {
+    val e = intercept[IllegalArgumentException] {
+      LogReg.train(sepData.filter(col("y") > 5), Seq(col("x")), col("y"))
+    }
+    assert(e.getMessage.contains("empty training frame"))
+  }
+
+  // ── AUC ─────────────────────────────────────────────────────────────
+
+  private def auc(rows: Seq[(Double, Long)]): Option[Double] = {
+    val r = Eval.binaryAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("binaryAuc: perfect ranking = 1, inverted = 0, random-ish = 0.5") {
+    assert(auc(Seq((0.1, 0L), (0.2, 0L), (0.3, 1L), (0.4, 1L))).contains(1.0))
+    assert(auc(Seq((0.4, 0L), (0.3, 0L), (0.2, 1L), (0.1, 1L))).contains(0.0))
+    // fully tied scores → midranks → 0.5 regardless of labels
+    assert(auc(Seq((1.0, 0L), (1.0, 1L), (1.0, 0L), (1.0, 1L))).contains(0.5))
+  }
+
+  test("binaryAuc hand case with ties matches the midrank formula") {
+    // scores: 1,2,2,3 labels: 0,0,1,1
+    // midranks: 1, 2.5, 2.5, 4 → Σpos = 6.5; AUC = (6.5 − 3)/(2·2) = 0.875
+    assert(auc(Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L))).contains(0.875))
+  }
+
+  test("binaryAuc equals the O(P·N) pairwise definition on a mixed set") {
+    val rows = (0 until 60).map { i =>
+      val s = ((i * 7919) % 23).toDouble / 23.0
+      val y = if ((i * 104729) % 5 < 2) 1L else 0L
+      (s, y)
+    }
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val pairs = for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+    val expected = pairs.sum / (pos.size * neg.size)
+    assertNear(auc(rows).get, expected, 1e-12)
+  }
+
+  test("binaryAuc: single-class input yields NULL auc but real counts") {
+    val r = Eval.binaryAuc(Seq((0.3, 1L), (0.7, 1L)).toDF("s", "y"),
+      col("s"), col("y")).head()
+    assert(r.isNullAt(0) && r.getLong(1) == 2L && r.getLong(2) == 0L)
+  }
+
+  test("binaryAuc is partition-invariant") {
+    val rows = (0 until 200).map(i => (((i * 31) % 11).toDouble, (i % 2).toLong))
+    val a = Eval.binaryAuc(rows.toDF("s", "y").repartition(9), col("s"), col("y"))
+      .head().getDouble(0)
+    assert(auc(rows).contains(a))
+  }
+}
