@@ -385,6 +385,10 @@ object Queries {
   private def e4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)).cast("long")
 
+  /** e6 twin of [[e4]] for probability-scale outputs. */
+  private def e6d(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+
   // shared inputs for the set-operation queries (defined before `all` —
   // the oracle strings interpolate them at initialization time):
   // A = orderkeys of 'F'-status orders, B = orderkeys with any quantity>49 line
@@ -3407,6 +3411,77 @@ ORDER BY feature"""
              |    / (2.0*CAST(np AS DOUBLE)*CAST(n - np AS DOUBLE))
              |    * 1000000.0 + 0.5) AS BIGINT) END AS auc_e6,
              |np AS n_pos, n - np AS n_neg FROM u, t""".stripMargin)),
+
+    // ── 87e. precision/recall threshold sweep: every distinct score is
+    // a threshold; exact long counts from reverse-cumulative sums over
+    // per-score aggregates (window sorts distinct scores only) ─────────
+    QueryDef(
+      "q_pr_curve",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val len = length(col("text"))
+        val eCnt = len - length(expr("replace(text, 'e', '')"))
+        val score = eCnt / (lit(1.0) + len)
+        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        graft.ext.Eval.prCurve(docs, score, label)
+          .select(
+            e6d(col("threshold")).as("threshold_e6"),
+            col("tp"), col("fp"), col("fn"),
+            e6d(col("precision")).as("precision_e6"),
+            when(col("recall").isNotNull, e6d(col("recall")))
+              .as("recall_e6"))
+          .orderBy(col("threshold_e6"))
+      },
+      Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |  (length(text) - length(replace(text, 'e', '')))
+             |    / (1.0 + length(text)) AS sc
+             |  FROM documents WHERE text IS NOT NULL),
+             |p AS (SELECT sc, count(*) AS ct, sum(y) AS cp FROM s GROUP BY sc),
+             |r AS (SELECT sc, sum(cp) OVER (ORDER BY sc DESC) AS tp,
+             |  sum(ct - cp) OVER (ORDER BY sc DESC) AS fp FROM p),
+             |t AS (SELECT CAST(sum(y) AS BIGINT) AS pos FROM s)
+             |SELECT CAST(floor(sc*1000000.0 + 0.5) AS BIGINT) AS threshold_e6,
+             |CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |CAST(pos - tp AS BIGINT) AS fn,
+             |CAST(floor(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE)
+             |  *1000000.0 + 0.5) AS BIGINT) AS precision_e6,
+             |CASE WHEN pos > 0 THEN
+             |  CAST(floor(CAST(tp AS DOUBLE)/CAST(pos AS DOUBLE)
+             |    *1000000.0 + 0.5) AS BIGINT) END AS recall_e6
+             |FROM r, t ORDER BY threshold_e6""".stripMargin)),
+
+    // ── 87f. calibration reliability bins: fixed-point e9 probability
+    // sums make the per-bin mean prediction partition-order-independent
+    // and cross-engine exact; tiny key domain, map-side agg ────────────
+    QueryDef(
+      "q_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val len = length(col("text"))
+        val eCnt = len - length(expr("replace(text, 'e', '')"))
+        val score = eCnt / (lit(1.0) + len)
+        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        graft.ext.Eval.reliabilityBins(docs, score, label, bins = 10)
+          .select(col("bin"), col("n_rows"),
+            e6d(col("mean_pred")).as("mean_pred_e6"),
+            e6d(col("rate")).as("rate_e6"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |  (length(text) - length(replace(text, 'e', '')))
+             |    / (1.0 + length(text)) AS p
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT CAST(least(floor(p*10.0), 9.0) AS INT) AS bin,
+             |  p, y FROM s),
+             |g AS (SELECT bin, count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(p*1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sp9,
+             |  CAST(sum(y) AS BIGINT) AS np FROM b GROUP BY bin)
+             |SELECT bin, n_rows,
+             |CAST(floor(((sp9/1000000000.0)/n_rows)*1000000.0 + 0.5) AS BIGINT)
+             |  AS mean_pred_e6,
+             |CAST(floor((CAST(np AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000.0
+             |  + 0.5) AS BIGINT) AS rate_e6
+             |FROM g ORDER BY bin""".stripMargin)),
 
     // ── 88. Hardy–Weinberg chi-square + Wright's F_IS over the derived
     // gt matrix: REAL kernels (genotypeClassCounts/hweChi2/inbreedingF)

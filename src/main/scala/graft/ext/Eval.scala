@@ -88,4 +88,62 @@ object Eval {
       col("_p").as("n_pos"),
       (col("_n") - col("_p")).as("n_neg"))
   }
+
+  /** Precision/recall sweep: one row per DISTINCT score value s,
+    * treating s as the decision threshold (predict positive ⟺
+    * score ≥ s). Counts are exact longs from reverse-cumulative sums
+    * over per-score aggregates; precision/recall are derived doubles.
+    * `recall` is NULL when the frame has no positives.
+    *
+    * Same scale shape as [[binaryAuc]]: one groupBy on the score, one
+    * window over distinct scores only. The threshold grid IS the
+    * distinct-score set — quantize the score upstream to bound it. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(score.cast("double").as("_s"),
+      label.cast("long").as("_y"))
+    val per = s.groupBy(col("_s"))
+      .agg(count(lit(1L)).as("_ct"), sum(col("_y")).as("_cp"))
+    // RANGE UNBOUNDED PRECEDING..CURRENT over DESC = all rows with
+    // score >= this threshold
+    val w = Window.orderBy(col("_s").desc)
+    val cum = per.select(col("_s"),
+      sum(col("_cp")).over(w).as("_tp"),
+      sum(col("_ct") - col("_cp")).over(w).as("_fp"))
+    val tot = s.agg(sum(col("_y")).as("_pos"))
+    cum.crossJoin(tot).select(
+      col("_s").as("threshold"),
+      col("_tp").as("tp"), col("_fp").as("fp"),
+      (col("_pos") - col("_tp")).as("fn"),
+      (col("_tp").cast("double") /
+        (col("_tp") + col("_fp")).cast("double")).as("precision"),
+      when(col("_pos") > 0L,
+        col("_tp").cast("double") / col("_pos").cast("double"))
+        .as("recall"))
+  }
+
+  /** Calibration reliability bins: partition [0,1] probabilities into
+    * `bins` equal bins (the top edge closed), and per bin report count,
+    * mean predicted probability, and empirical positive rate. The mean
+    * prediction is computed from FIXED-POINT e9 long sums, so the
+    * result is partition-order-independent and cross-engine exact.
+    * Map-side agg on a tiny key domain — no row shuffle. */
+  def reliabilityBins(df: DataFrame, prob: Column, label: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins=$bins must be >= 1")
+    val s = df.select(prob.cast("double").as("_p"),
+      label.cast("long").as("_y"))
+    val bin = least(floor(col("_p") * lit(bins.toDouble)),
+      lit((bins - 1).toDouble)).cast("int")
+    s.groupBy(bin.as("bin"))
+      .agg(count(lit(1L)).as("n_rows"),
+        sum(floor(col("_p") * lit(1000000000.0) + lit(0.5)).cast("long"))
+          .as("_sp9"),
+        sum(col("_y")).as("_np"))
+      .select(col("bin"), col("n_rows"),
+        ((col("_sp9") / lit(1000000000.0)) / col("n_rows"))
+          .as("mean_pred"),
+        (col("_np").cast("double") / col("n_rows").cast("double"))
+          .as("rate"))
+  }
 }

@@ -133,4 +133,60 @@ class ClassifySpec extends SparkTestBase {
       .head().getDouble(0)
     assert(auc(rows).contains(a))
   }
+
+  // ── PR curve ────────────────────────────────────────────────────────
+
+  test("prCurve counts match the brute-force threshold definition") {
+    val rows = Seq((0.1, 0L), (0.2, 1L), (0.2, 0L), (0.5, 1L), (0.9, 1L))
+    val got = Eval.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .orderBy(col("threshold")).collect()
+    val thresholds = rows.map(_._1).distinct.sorted
+    assert(got.map(_.getDouble(0)).toSeq == thresholds)
+    got.foreach { r =>
+      val th = r.getDouble(0)
+      val tp = rows.count { case (s0, y0) => s0 >= th && y0 == 1L }.toLong
+      val fp = rows.count { case (s0, y0) => s0 >= th && y0 == 0L }.toLong
+      val pos = rows.count(_._2 == 1L).toLong
+      assert(r.getLong(1) == tp, s"tp at $th")
+      assert(r.getLong(2) == fp, s"fp at $th")
+      assert(r.getLong(3) == pos - tp, s"fn at $th")
+      assertNear(r.getDouble(4), tp.toDouble / (tp + fp), 1e-12)
+      assertNear(r.getDouble(5), tp.toDouble / pos, 1e-12)
+    }
+  }
+
+  test("prCurve: recall is NULL with no positives; precision still real") {
+    val r = Eval.prCurve(Seq((0.3, 0L), (0.7, 0L)).toDF("s", "y"),
+      col("s"), col("y")).orderBy(col("threshold")).collect()
+    assert(r.forall(_.isNullAt(5)))
+    assert(r.forall(_.getDouble(4) == 0.0))
+  }
+
+  // ── calibration bins ────────────────────────────────────────────────
+
+  test("reliabilityBins: bin edges, top bin closed, exact means/rates") {
+    val rows = Seq(
+      (0.05, 0L), (0.05, 1L),          // bin 0: mean .05, rate .5
+      (0.55, 1L),                      // bin 5
+      (0.95, 1L), (1.0, 1L), (0.99, 0L)) // bin 9 (1.0 clamps into 9)
+    val got = Eval.reliabilityBins(rows.toDF("p", "y"), col("p"), col("y"))
+      .orderBy(col("bin")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 5, 9))
+    val b0 = got(0); val b9 = got(2)
+    assert(b0.getLong(1) == 2L)
+    assertNear(b0.getDouble(2), 0.05, 1e-9)
+    assertNear(b0.getDouble(3), 0.5, 1e-12)
+    assert(b9.getLong(1) == 3L)
+    assertNear(b9.getDouble(2), (0.95 + 1.0 + 0.99) / 3, 1e-9)
+    assertNear(b9.getDouble(3), 2.0 / 3, 1e-12)
+  }
+
+  test("reliabilityBins mean_pred is partition-invariant (e9 fixed point)") {
+    val rows = (0 until 500).map(i => (((i * 37) % 100) / 100.0, (i % 3 == 0)))
+      .map { case (p, y) => (p, if (y) 1L else 0L) }
+    def at(parts: Int) = Eval.reliabilityBins(
+      rows.toDF("p", "y").repartition(parts), col("p"), col("y"))
+      .orderBy(col("bin")).collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    assert(at(1) == at(11))
+  }
 }
