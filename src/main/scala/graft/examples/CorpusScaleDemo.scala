@@ -106,6 +106,29 @@ object CorpusScaleDemo {
         n = 5, minDocs = 2, minTokens = 20)
         .agg(sum("n_removed")).collect()
     }
+    // classifier gate: 3-iteration logreg train = 3 map-side agg passes
+    // over the cached feature frame; AUC/PR = one groupBy on the score
+    // + a distinct-scores-only window (score here has ≤ ~30 distinct
+    // values, the realistic quantized-score regime)
+    val lbl = when(pmod(col("doc_id"), lit(20L)) === 0, 1.0).otherwise(0.0)
+    val featFrame = docs.select(
+      lit(1.0).as("b"),
+      (col("n_tok") / lit(50.0)).as("x1"),
+      (length(col("text")) / (lit(10.0) * col("n_tok"))).as("x2"),
+      lbl.as("y")).localCheckpoint()
+    ScaleDemo.time("logReg train 3 iters") {
+      graft.ext.LogReg.train(featFrame,
+        Seq(col("b"), col("x1"), col("x2")), col("y"), lr = 0.5, iters = 3)
+    }
+    ScaleDemo.time("binaryAuc + prCurve") {
+      graft.ext.Eval.binaryAuc(featFrame, col("x1"), col("y")).collect()
+      graft.ext.Eval.prCurve(featFrame, col("x1"), col("y")).count()
+    }
+    ScaleDemo.time("reliabilityBins 10") {
+      graft.ext.Eval.reliabilityBins(
+        featFrame.withColumn("p", col("x1") / (lit(1.0) + col("x1"))),
+        col("p"), col("y")).count()
+    }
     spark.stop()
   }
 }
