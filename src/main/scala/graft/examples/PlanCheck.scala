@@ -191,7 +191,20 @@ object PlanCheck {
           p.contains(") Window")),
       ("q_store_diff", "CDC diff: hash-keyed ANTI joins per direction, no cartesian",
         p => p.contains("Anti") && !p.contains("Cartesian") &&
-          !p.contains("BroadcastNestedLoop"))
+          !p.contains("BroadcastNestedLoop")),
+      // classifier-gate evaluation: rows reduce to per-score aggregates
+      // BEFORE any window/rank; the only non-broadcast exchanges key on
+      // the score scalar, and the 1-row totals ride a broadcast join
+      ("q_classifier_auc", "AUC: partial+final agg, totals broadcast, no row-level window",
+        p => p.split("HashAggregate").length >= 3 &&
+          (p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop")) &&
+          !p.contains("Cartesian")),
+      ("q_pr_curve", "PR sweep: per-score agg feeds the window, totals broadcast",
+        p => p.split("HashAggregate").length >= 3 && p.contains(") Window") &&
+          !p.contains("Cartesian")),
+      ("q_calibration", "calibration: ONE bin-keyed agg exchange, no window, no join",
+        p => p.split("HashAggregate").length >= 3 && !p.contains(") Window") &&
+          !p.contains("Join"))
     )
 
     var failed = 0
