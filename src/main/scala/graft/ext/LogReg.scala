@@ -115,6 +115,19 @@ object LogReg {
       .withColumn(predCol, (z >= 0.0).cast("int"))
   }
 
+  /** Quality gate: keep rows the model scores at or above `minProb`.
+    * Map-only — composes with [[DocPipeline.prepare]] as a pre- or
+    * post-filter (score the raw corpus, then run the dedup pipeline on
+    * survivors). Since the fast sigmoid is monotone, this compiles to
+    * a single arithmetic predicate, no probability column in flight. */
+  def gate(df: DataFrame, features: Seq[Column], model: Model,
+           minProb: Double): DataFrame = {
+    require(minProb > 0.0 && minProb < 1.0,
+      s"minProb=$minProb must be in (0, 1)")
+    val z = zOf(model.weights, features.map(_.cast("double")))
+    df.filter(fastSigmoid(z) >= minProb)
+  }
+
   /** Pure-Scala reference trainer (same arithmetic, driver-side) for
     * differential testing: rows = (features, label). */
   def trainRef(rows: Seq[(Array[Double], Double)], lr: Double = 0.5,

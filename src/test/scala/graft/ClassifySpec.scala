@@ -189,4 +189,66 @@ class ClassifySpec extends SparkTestBase {
       .orderBy(col("bin")).collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
     assert(at(1) == at(11))
   }
+
+  // ── gate ────────────────────────────────────────────────────────────
+
+  test("gate keeps exactly the rows scored >= minProb; rejects bad bounds") {
+    val m = LogReg.train(sepData, Seq(col("b"), col("x")), col("y"),
+      lr = 1.0, iters = 10)
+    val kept = LogReg.gate(sepData, Seq(col("b"), col("x")), m, 0.5)
+      .select(col("y")).collect().map(_.getDouble(0))
+    assert(kept.forall(_ == 1.0) && kept.length == 4)
+    intercept[IllegalArgumentException] {
+      LogReg.gate(sepData, Seq(col("b"), col("x")), m, 1.0)
+    }
+  }
+
+  // ── seeded-random differential properties (SURVEY §5.2(3) style) ────
+
+  test("property: train ≡ pure-Scala reference on random frames") {
+    val rnd = new scala.util.Random(0xC1A551F1)
+    for (trial <- 0 until 5) {
+      val d = 1 + rnd.nextInt(4)
+      val n = 20 + rnd.nextInt(180)
+      val iters = 1 + rnd.nextInt(4)
+      val lr = Seq(0.25, 0.5, 1.0)(rnd.nextInt(3))
+      val rows = (0 until n).map { _ =>
+        (Array.fill(d)(math.floor(rnd.nextDouble() * 200 - 100) / 10.0),
+          if (rnd.nextBoolean()) 1.0 else 0.0)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (x, y) =>
+            org.apache.spark.sql.Row.fromSeq(x.toSeq :+ y)
+          }, 1 + rnd.nextInt(7)),
+        org.apache.spark.sql.types.StructType(
+          (0 until d).map(j => org.apache.spark.sql.types.StructField(
+            s"x$j", org.apache.spark.sql.types.DoubleType)) :+
+            org.apache.spark.sql.types.StructField(
+              "y", org.apache.spark.sql.types.DoubleType)))
+      val got = LogReg.train(df, (0 until d).map(j => col(s"x$j")),
+        col("y"), lr = lr, iters = iters).weights.toSeq
+      val want = LogReg.trainRef(rows, lr = lr, iters = iters).toSeq
+      assert(got == want, s"trial $trial d=$d n=$n iters=$iters lr=$lr")
+    }
+  }
+
+  test("property: binaryAuc ≡ pairwise definition on random score/label sets") {
+    val rnd = new scala.util.Random(0xA0C0FFEE)
+    for (trial <- 0 until 5) {
+      // small score domain forces heavy ties
+      val rows = (0 until 30 + rnd.nextInt(120)).map { _ =>
+        (rnd.nextInt(6).toDouble / 3.0, rnd.nextInt(2).toLong)
+      }
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val got = auc(rows)
+      if (pos.isEmpty || neg.isEmpty) assert(got.isEmpty, s"trial $trial")
+      else {
+        val pairs = for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+        assertNear(got.get, pairs.sum / (pos.size * neg.size), 1e-12)
+      }
+    }
+  }
 }
