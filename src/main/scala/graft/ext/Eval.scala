@@ -122,6 +122,46 @@ object Eval {
         .as("recall"))
   }
 
+  /** Dedup-quality evaluation: precision/recall/F1 of a predicted
+    * duplicate-pair set against a ground-truth pair set — the tuning
+    * number for MinHash band counts, SimHash radii, or n-gram τ the
+    * same way [[recallAtK]] is for ANN (truth typically comes from a
+    * planted-duplicate harness or an exact pass over a sample).
+    *
+    * Pairs are UNDIRECTED: (a,b) and (b,a) are the same pair; self
+    * pairs are dropped; duplicates count once. Exact long counts via
+    * canonical (least, greatest) keys + one semi join; shuffles only
+    * id pairs. Returns one row: n_pred, n_truth, n_hit, precision,
+    * recall, f1 (NULLs where a denominator is empty). */
+  def pairPrecisionRecall(pred: DataFrame, truth: DataFrame,
+                          aCol: String, bCol: String): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .distinct()
+    val p = canon(pred)
+    val t = canon(truth)
+    val hit = p.join(t, Seq("_u", "_v"), "left_semi")
+      .agg(count(lit(1L)).as("n_hit"))
+    val np = p.agg(count(lit(1L)).as("n_pred"))
+    val nt = t.agg(count(lit(1L)).as("n_truth"))
+    np.crossJoin(nt).crossJoin(hit).select(
+      col("n_pred"), col("n_truth"), col("n_hit"),
+      when(col("n_pred") > 0L,
+        col("n_hit").cast("double") / col("n_pred").cast("double"))
+        .as("precision"),
+      when(col("n_truth") > 0L,
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+        .as("recall"),
+      when(col("n_pred") > 0L && col("n_truth") > 0L &&
+        col("n_hit") > 0L,
+        lit(2.0) * col("n_hit").cast("double") /
+          (col("n_pred") + col("n_truth")).cast("double"))
+        .otherwise(when(col("n_pred") > 0L && col("n_truth") > 0L, lit(0.0)))
+        .as("f1"))
+  }
+
   /** Calibration reliability bins: partition [0,1] probabilities into
     * `bins` equal bins (the top edge closed), and per bin report count,
     * mean predicted probability, and empirical positive rate. The mean

@@ -203,6 +203,52 @@ class ClassifySpec extends SparkTestBase {
     }
   }
 
+  // ── dedup-quality harness ───────────────────────────────────────────
+
+  test("pairPrecisionRecall: direction/self/duplicate pairs canonicalized") {
+    val pred = Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 5L), (4L, 5L))
+      .toDF("a", "b") // canonical: {1-2, 4-5}
+    val truth = Seq((2L, 1L), (5L, 6L)).toDF("a", "b") // {1-2, 5-6}
+    val r = Eval.pairPrecisionRecall(pred, truth, "a", "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assertNear(r.getDouble(3), 0.5, 1e-12)
+    assertNear(r.getDouble(4), 0.5, 1e-12)
+    assertNear(r.getDouble(5), 0.5, 1e-12) // 2·1/(2+2)
+  }
+
+  test("pairPrecisionRecall: empty prediction → NULL precision, 0 recall") {
+    val pred = Seq.empty[(Long, Long)].toDF("a", "b")
+    val truth = Seq((1L, 2L)).toDF("a", "b")
+    val r = Eval.pairPrecisionRecall(pred, truth, "a", "b").head()
+    assert(r.getLong(0) == 0L && r.isNullAt(3))
+    assertNear(r.getDouble(4), 0.0, 1e-12)
+  }
+
+  test("pairPrecisionRecall scores simhash candidates vs planted truth") {
+    // 3 identical docs {10,11,12} + 2 identical docs {20,21} + singles
+    val docs = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta", // planted triple
+      11L -> "alpha beta gamma delta epsilon zeta",
+      12L -> "alpha beta gamma delta epsilon zeta",
+      20L -> "one two three four five six seven",   // planted pair
+      21L -> "one two three four five six seven",
+      30L -> "completely different text right here",
+      31L -> "another unrelated document entirely"
+    ).toDF("doc_id", "text")
+    val pred = graft.ext.Dedup.simhashNearDups(docs, "doc_id", "text",
+      bits = 16, maxHamming = 0)
+    val truth = Seq((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val r = Eval.pairPrecisionRecall(
+      pred.select(col("doc_id").as("a"), col("dup_of").as("b")),
+      truth, "a", "b").head()
+    // identical texts ⇒ identical signatures ⇒ recall 1; at hamming 0
+    // on this tiny distinct corpus precision is 1 too
+    assert(r.getLong(1) == 4L)
+    assertNear(r.getDouble(4), 1.0, 1e-12)
+    assertNear(r.getDouble(3), 1.0, 1e-12)
+  }
+
   // ── seeded-random differential properties (SURVEY §5.2(3) style) ────
 
   test("property: train ≡ pure-Scala reference on random frames") {
