@@ -203,6 +203,33 @@ class ClassifySpec extends SparkTestBase {
     }
   }
 
+  test("gate composes with DocPipeline.prepare (train → gate → dedup)") {
+    // corpus: short junk docs (y=0) + long real docs (y=1), one near-dup
+    val mk = (id: Long, body: String) => (id, body)
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "alef bet gimel dalet he vav zayin het tet yod kaf"
+    val docs = Seq(
+      mk(1L, good), mk(2L, good), // exact dups — one must survive
+      mk(3L, "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+        "once doce trece catorce quince dieciseis diecisiete dieciocho " +
+        "diecinueve veinte veintiuno veintidos veintitres veinticuatro"),
+      mk(10L, "spam spam"), mk(11L, "buy now"), mk(12L, "x")
+    ).toDF("doc_id", "text")
+    val nt = size(split(col("text"), " ", -1))
+    val feats = Seq(lit(1.0), nt / lit(10.0))
+    val label = when(nt >= 20, 1.0).otherwise(0.0)
+    val m = LogReg.train(docs, feats, label, lr = 1.0, iters = 8)
+    val gated = LogReg.gate(docs, feats, m, minProb = 0.5)
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L), "gate keeps only the long docs")
+    val surviving = graft.ext.DocPipeline.prepare(
+      gated, minWords = 5, minhashK = 8, bands = 4, tau = 0.8)
+    val ids = surviving.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L))
+    assert((ids & Set(1L, 2L)).size == 1, "exact pair collapses to one")
+  }
+
   // ── dedup-quality harness ───────────────────────────────────────────
 
   test("pairPrecisionRecall: direction/self/duplicate pairs canonicalized") {
