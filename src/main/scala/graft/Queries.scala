@@ -3503,6 +3503,32 @@ ORDER BY feature"""
              |  + 0.5) AS BIGINT) AS rate_e6
              |FROM g ORDER BY bin""".stripMargin)),
 
+    // ── 87g. dedup-normalization (CCNet, Wenzek 2019 §3.1): lowercase →
+    // accent strip (codegen StripAccentsExpr over JDK NFD) → digits→0 →
+    // punctuation→space → space fold; n_dups counts docs that collide
+    // after normalization (what exact dedup would merge). Map-only plus
+    // one norm-keyed window ────────────────────────────────────────────
+    QueryDef(
+      "q_text_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        docs.select(col("doc_id"),
+            graft.ext.TextNorm.normalizeForDedup(col("text")).as("norm"))
+          .withColumn("n_dups",
+            count(lit(1L)).over(Window.partitionBy(col("norm"))))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH n AS (SELECT doc_id,
+             |trim(regexp_replace(regexp_replace(regexp_replace(
+             |  strip_accents(lower(text)),
+             |  '[0-9]', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g'))
+             |  AS norm
+             |FROM documents WHERE text IS NOT NULL)
+             |SELECT doc_id, norm,
+             |count(*) OVER (PARTITION BY norm) AS n_dups
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // ── 88. Hardy–Weinberg chi-square + Wright's F_IS over the derived
     // gt matrix: REAL kernels (genotypeClassCounts/hweChi2/inbreedingF)
     // vs first-principles SQL in a pinned evaluation order; undefined

@@ -61,8 +61,10 @@ object LogReg {
 
   /** Train on `features` (cast to double; include an explicit `lit(1.0)`
     * bias term if wanted) against binary `label` (1.0 / 0.0). Weights
-    * start at zero. Each iteration runs one aggregate job over `df`;
-    * cache `df` upstream when `iters` is large. */
+    * start at zero. Rows with a NULL feature or label are dropped up
+    * front — otherwise they would skip the gradient but still inflate
+    * the 1/n step size. Each iteration runs one aggregate job over
+    * `df`; cache `df` upstream when `iters` is large. */
   def train(df: DataFrame, features: Seq[Column], label: Column,
             lr: Double = 0.5, iters: Int = 3,
             scale: Double = 1e9): Model = {
@@ -72,7 +74,7 @@ object LogReg {
     val cols = features.zipWithIndex.map { case (f, j) =>
       f.cast("double").as(s"_x$j")
     } :+ label.cast("double").as("_y")
-    val feats = df.select(cols: _*)
+    val feats = df.select(cols: _*).na.drop()
     val xs = (0 until d).map(j => col(s"_x$j"))
 
     val w = Array.fill(d)(0.0)

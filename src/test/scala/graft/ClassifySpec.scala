@@ -80,6 +80,21 @@ class ClassifySpec extends SparkTestBase {
     }
   }
 
+  test("train drops null-feature rows entirely (n and gradients agree)") {
+    val withNulls = Seq(
+      (Some(1.0), Some(2.0), Some(1.0)),
+      (Some(1.0), Some(-2.0), Some(0.0)),
+      (None, Some(5.0), Some(1.0)),        // null feature
+      (Some(1.0), Some(5.0), None))        // null label
+      .toDF("b", "x", "y")
+    val m = LogReg.train(withNulls, Seq(col("b"), col("x")), col("y"),
+      lr = 0.5, iters = 2)
+    val clean = LogReg.train(withNulls.na.drop(),
+      Seq(col("b"), col("x")), col("y"), lr = 0.5, iters = 2)
+    assert(m.n == 2L)
+    assert(m.weights.toSeq == clean.weights.toSeq)
+  }
+
   test("train rejects an empty frame") {
     val e = intercept[IllegalArgumentException] {
       LogReg.train(sepData.filter(col("y") > 5), Seq(col("x")), col("y"))
