@@ -204,7 +204,10 @@ object PlanCheck {
           !p.contains("Cartesian")),
       ("q_calibration", "calibration: ONE bin-keyed agg exchange, no window, no join",
         p => p.split("HashAggregate").length >= 3 && !p.contains(") Window") &&
-          !p.contains("Join"))
+          !p.contains("Join")),
+      ("q_text_normalize", "normalization: map-only chain + one norm-keyed window, no join",
+        p => p.contains(") Window") && !p.contains("Join") &&
+          !p.contains("Cartesian"))
     )
 
     var failed = 0

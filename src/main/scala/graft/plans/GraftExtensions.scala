@@ -116,6 +116,10 @@ object GraftExtensions {
           graft.ext.LangId.profiles.toIndexedSeq,
           graft.ext.LangId.NMax, graft.ext.LangId.TopK),
         Literal.create("und", org.apache.spark.sql.types.StringType)))
+    },
+    fn("strip_accents", "strip_accents(str) - NFD-decompose and drop " +
+      "combining marks (é→e); DuckDB-compatible name") {
+      a => graft.ext.StripAccentsExpr(a.head)
     })
 
   /** Foldable `array<string>` of "left right" pairs → the merge table.

@@ -120,4 +120,18 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaSql(2).getString(1) === "und")
     assert(viaSql(0).getSeq[Long](2).length === graft.ext.LangId.profiles.length)
   }
+
+  test("strip_accents by SQL name ≡ Column API, null-safe") {
+    Seq((1L, "Crème Brûlée"), (2L, "ascii"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t").createOrReplaceTempView("sqlfn_norm")
+    val viaSql = spark.sql(
+      "SELECT id, strip_accents(t) AS s FROM sqlfn_norm ORDER BY id")
+      .collect().map(r => Option(r.getString(1))).toSeq
+    val viaApi = spark.table("sqlfn_norm")
+      .select(graft.ext.TextNorm.stripAccents(col("t")).as("s"))
+      .orderBy(col("s").asc_nulls_last).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(viaSql == Seq(Some("Creme Brulee"), Some("ascii"), None))
+    assert(viaApi.toSet == viaSql.toSet)
+  }
 }
