@@ -2159,6 +2159,50 @@ ORDER BY feature"""
              |CAST(sum(n_tok) AS BIGINT) AS sum_tok
              |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin)),
 
+    // ── 64b. packed-bin materialization: the training-shard last mile —
+    // one row per (lang, bin) with in-order doc ids, per-doc lengths
+    // (boundary mask = prefix sum), and the concatenated token stream;
+    // one (lang, bin)-keyed shuffle, groups bounded by the 512 budget ──
+    QueryDef(
+      "q_pack_emit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " ", -1))
+          .withColumn("n_tok", size(col("toks")))
+        val binned = ext.Corpus.packSequences(docs, "doc_id", "n_tok",
+          512, Seq("lang"))
+        // scalar projection for the oracle compare: stream + boundary
+        // digests instead of raw arrays (driver compare is scalar-typed)
+        ext.Corpus.materializePacked(binned, "doc_id", "toks",
+            "bin_id", Seq("lang"))
+          .select(col("lang"), col("bin_id"),
+            col("n_docs"), col("n_tokens"),
+            element_at(col("doc_ids"), 1).as("first_doc"),
+            element_at(col("doc_ids"), -1).as("last_doc"),
+            md5(array_join(col("tokens"), " ")).as("tokens_md5"),
+            md5(array_join(transform(col("doc_lens"), _.cast("string")), ","))
+              .as("lens_md5"))
+          .orderBy(col("lang"), col("bin_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT lang, doc_id, toks, n_tok,
+             |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+             |b AS (SELECT lang, doc_id, toks, n_tok,
+             |  CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin_id FROM c)
+             |SELECT lang, bin_id,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |md5(array_to_string(flatten(list(toks ORDER BY doc_id)), ' '))
+             |  AS tokens_md5,
+             |md5(array_to_string(list_transform(list(n_tok ORDER BY doc_id),
+             |  x -> CAST(x AS VARCHAR)), ',')) AS lens_md5
+             |FROM b GROUP BY lang, bin_id
+             |ORDER BY lang, bin_id""".stripMargin)),
+
     // ── 65. benchmark decontamination: max distinct 5-gram shingle
     // overlap of each training doc vs any single "benchmark" doc
     // (doc_id % 17 = 0 plays the held-out set); shuffle carries

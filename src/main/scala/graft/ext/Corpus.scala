@@ -197,6 +197,33 @@ object Corpus {
     }(Encoders.row(outSchema))
   }
 
+  /** Materialize packed bins ([[packSequences]] / [[packSequencesGreedy]]
+    * output) into training-ready rows: one row per (writer partition,
+    * bin) carrying the in-id-order doc ids, per-doc token counts (the
+    * attention/boundary mask is their prefix sum), and the concatenated
+    * token stream — the last step before writing training shards.
+    *
+    * ONE shuffle on the (partition, bin) key; each group's payload is
+    * bounded by the packing budget, so rows stay executor-sized at any
+    * corpus scale. Intra-bin order is deterministic: docs ride a
+    * `sort_array(collect_list(struct(id, …)))`, not the arrival order
+    * of `collect_list`. */
+  def materializePacked(df: DataFrame, idCol: String, tokensCol: String,
+                        binCol: String = "bin_id",
+                        partitionCols: Seq[String] = Nil): DataFrame = {
+    val keys = (partitionCols :+ binCol).map(col)
+    df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(col(idCol), col(tokensCol))))
+        .as("_docs"))
+      .select(keys ++ Seq(
+        transform(col("_docs"), d => d(idCol)).as("doc_ids"),
+        transform(col("_docs"), d => size(d(tokensCol)).cast("long"))
+          .as("doc_lens"),
+        flatten(transform(col("_docs"), d => d(tokensCol))).as("tokens")): _*)
+      .withColumn("n_docs", size(col("doc_ids")).cast("long"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Weighted (quality-proportional) sampling: keep a row with
     * probability `weightCol` (clamped to [0,1]) — but DETERMINISTICALLY,
     * by comparing the row's LCG order hash against the weight:

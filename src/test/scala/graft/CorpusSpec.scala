@@ -99,6 +99,29 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("materializePacked: stream order, lens, counts; reshuffle-stable") {
+    val d = Seq(
+      (1L, "ga", Seq("a", "b")), (2L, "ga", Seq("c")),
+      (3L, "ga", Seq("d", "e", "f")), (10L, "gb", Seq("x", "y"))
+    ).toDF("doc_id", "lang", "toks")
+      .withColumn("n_tok", size(col("toks")))
+    val binned = Corpus.packSequences(d, "doc_id", "n_tok", budget = 3, Seq("lang"))
+    def emit(parts: Int) = Corpus.materializePacked(
+      binned.repartition(parts), "doc_id", "toks", "bin_id", Seq("lang"))
+      .orderBy(col("lang"), col("bin_id"))
+      .select("lang", "bin_id", "doc_ids", "doc_lens", "tokens", "n_docs", "n_tokens")
+      .as[(String, Long, Seq[Long], Seq[Long], Seq[String], Long, Long)]
+      .collect().toSeq
+    val rows = emit(1)
+    // ga: docs 1(2)+2(1) fill bin 0 exactly; doc 3 starts bin 1
+    assert(rows.map(r => (r._1, r._2)) == Seq(("ga", 0L), ("ga", 1L), ("gb", 0L)))
+    val bin0 = rows.head
+    assert(bin0._3 == Seq(1L, 2L) && bin0._4 == Seq(2L, 1L))
+    assert(bin0._5 == Seq("a", "b", "c") && bin0._6 == 2L && bin0._7 == 3L)
+    assert(rows(1)._5 == Seq("d", "e", "f"))
+    assert(emit(7) == rows, "partition-layout independent")
+  }
+
   test("packSequencesGreedy: no bin over budget; oversized doc isolated; deterministic") {
     val d = docs(80).withColumn("n_tok", size(split(col("text"), " ")))
       .union(Seq((999L, "lang0", "src0", ("big " * 50).trim))
