@@ -5419,6 +5419,30 @@ ORDER BY feature"""
     // row_number ≤ k plans as WindowGroupLimit — map-side top-k per
     // host BEFORE the one host-keyed exchange ─────────────────────────
     QueryDef(
+      "q_url_blocklist",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("url", concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("deep.sub."))
+              .otherwise(lit("")),
+            lit("h"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".example"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(".org/p/"), col("doc_id").cast("string")))
+        graft.ext.Web.blockByDomain(docs, "url", "doc_id",
+            Seq("example0.org", "h3.example1.org"))
+          .select(col("doc_id"), graft.ext.Web.host(col("url")).as("host"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 7 = 0 THEN 'deep.sub.' ELSE '' END) ||
+             |  'h' || (doc_id % 5) || '.example' || (doc_id % 3) || '.org'
+             |  AS host FROM documents)
+             |SELECT doc_id, host FROM u
+             |WHERE NOT (host = 'example0.org' OR host LIKE '%.example0.org'
+             |  OR host = 'h3.example1.org' OR host LIKE '%.h3.example1.org')
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q_host_budget",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -88,4 +88,48 @@ object Web {
       .filter(col("_rn") <= maxPerHost)
       .drop("_rn")
   }
+
+  /** Every domain suffix of the URL's [[host]], most-specific first
+    * ("a.b.c" → ["a.b.c", "b.c", "c"]) — the blocklist match keys. */
+  def hostSuffixes(url: Column): Column = {
+    val labels = split(host(url), "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + lit(1)), "."))
+  }
+
+  /** Domain blocklist filter (crawl hygiene): drop rows whose URL host
+    * IS a blocked domain or is a SUBDOMAIN of one ("example.com" blocks
+    * "a.b.example.com" but not "notexample.com"). The standard list-
+    * based gate web-corpus recipes apply before content filters (C4
+    * used a public bad-words/domain list; RefinedWeb §3.2 a curated
+    * blocklist of ~4.6M domains).
+    *
+    * Scale shape: suffix keys are generated MAP-SIDE (bounded by the
+    * host's label count), then one equi semi join against the
+    * blocklist marks hit ids and one id-keyed anti join removes them —
+    * equi-joins only, so a 10⁶-domain blocklist works as a plain
+    * shuffle join; wrap small lists in `broadcast()` (the Seq overload
+    * does). Rows with no parseable host are kept. */
+  def blockByDomain(docs: org.apache.spark.sql.DataFrame, urlCol: String,
+                    idCol: String, blocklist: org.apache.spark.sql.DataFrame,
+                    domainCol: String): org.apache.spark.sql.DataFrame = {
+    val keys = blocklist.select(lower(col(domainCol)).as("_suf")).distinct()
+    val hit = docs
+      .select(col(idCol), explode(hostSuffixes(col(urlCol))).as("_suf"))
+      .join(keys, Seq("_suf"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** [[blockByDomain]] with an in-memory blocklist (broadcast). */
+  def blockByDomain(docs: org.apache.spark.sql.DataFrame, urlCol: String,
+                    idCol: String,
+                    blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to filter")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    blockByDomain(docs, urlCol, idCol,
+      org.apache.spark.sql.functions.broadcast(blocked.toDF("domain")),
+      "domain")
+  }
 }

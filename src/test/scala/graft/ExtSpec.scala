@@ -454,6 +454,28 @@ class ExtSpec extends SparkTestBase {
     assert(graft.ext.Web.hostBudget(small, "url", "doc_id", 5).count() === 2L)
   }
 
+  test("hostSuffixes + blockByDomain: subdomains blocked, lookalikes kept") {
+    import spark.implicits._
+    val sufs = Seq("https://a.b.example.com/x").toDF("u")
+      .select(graft.ext.Web.hostSuffixes(col("u"))).as[Seq[String]].head()
+    assert(sufs === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+    val docs = Seq(
+      (1L, "https://example.com/x"),        // exact → blocked
+      (2L, "https://a.b.example.com/x"),    // subdomain → blocked
+      (3L, "https://notexample.com/x"),     // lookalike → kept
+      (4L, "https://EXAMPLE.com/x"),        // case-folded → blocked
+      (5L, "https://ok.org/x"),             // clean → kept
+      (6L, "no-authority-here")             // hostless → kept
+    ).toDF("doc_id", "url")
+    val kept = graft.ext.Web.blockByDomain(docs, "url", "doc_id",
+      Seq("Example.COM")) // blocklist itself case-folds too
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 5L, 6L))
+    intercept[IllegalArgumentException] {
+      graft.ext.Web.blockByDomain(docs, "url", "doc_id", Seq.empty)
+    }
+  }
+
   test("pageRank: cycle is a fixpoint of the integer recurrence") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
