@@ -5545,6 +5545,44 @@ ORDER BY feature"""
     // by sentence-splitting the word soup at ' table ' (plus a
     // boilerplate line on %5 docs and a code brace on %13 docs): line
     // predicate and page gates replayed rule-for-rule in DuckDB ───────
+    // ── 104b. cross-corpus exact line dedup (C4 §2.1 at line
+    // granularity): boilerplate planted on every 5th doc survives only
+    // in the lowest doc; first-occurrence winner = min (doc, pos)
+    // struct, one md5-keyed shuffle + one doc-keyed reassembly ─────────
+    QueryDef(
+      "q_line_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("t2", concat(
+            regexp_replace(col("text"), " table ", "\n"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\nthis site uses cookies accept to continue"))
+              .otherwise(lit(""))))
+        graft.ext.Dedup.lineDedup(docs, "doc_id", "t2")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  string_split(regexp_replace(text, ' table ', chr(10), 'g')
+             |    || (CASE WHEN doc_id % 5 = 0
+             |        THEN chr(10) || 'this site uses cookies accept to continue'
+             |        ELSE '' END), chr(10)) AS ls FROM documents),
+             |l2 AS (SELECT doc_id,
+             |  CAST(unnest(range(0, len(ls))) AS INT) AS pos, ls FROM u),
+             |l3 AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM l2),
+             |dd AS (SELECT doc_id, pos,
+             |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+             |    AS rn FROM l3 WHERE length(line) >= 1),
+             |k AS (SELECT l3.doc_id, l3.pos, l3.line,
+             |  (length(l3.line) < 1 OR dd.rn = 1) AS kept
+             |  FROM l3 LEFT JOIN dd
+             |  ON dd.doc_id = l3.doc_id AND dd.pos = l3.pos)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             |  AS n_dropped,
+             |coalesce(string_agg(line, chr(10) ORDER BY pos)
+             |  FILTER (WHERE kept), '') AS text_kept
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef(
       "q_c4_lines",
       (s, d) => {

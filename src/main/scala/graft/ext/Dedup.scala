@@ -595,6 +595,51 @@ object Dedup {
     * all. `chunkDocs` is recomputed on the two branches; it is a
     * map-only split of the source — cheaper at 100 TB than
     * checkpointing every chunk's text to local disk. */
+  /** Cross-corpus exact LINE dedup (C4 §2.1, Raffel 2020: "we discard
+    * all but one of any three-sentence span occurring more than once"
+    * — here at line granularity, the common production simplification):
+    * every distinct line keeps its first occurrence (lowest (doc, pos))
+    * and later copies are cut from their documents' reassembled text.
+    * Boilerplate that plagues web corpora (cookie banners, nav text)
+    * disappears from all but one document. Lines shorter than
+    * `minChars` are always kept (blank separators are not content).
+    *
+    * Scale shape, mirroring [[chunkDedup]]: lines shuffle once keyed by
+    * their md5 (winner = min struct, a partial-aggregatable min), then
+    * winners ride a union back into ONE doc-keyed aggregation that
+    * rebuilds the text — no join of the corpus against itself, text
+    * crosses the wire once per stage. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minChars: Int = 1): DataFrame = {
+    require(minChars >= 1, s"minChars=$minChars must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val winners = lines.filter(length(col("line")) >= minChars)
+      .select(md5(col("line").cast("binary")).as("_h"),
+        struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))
+      .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
+      .select(col("_w._wid").as(idCol), col("_w._wpos").as("_wpos"))
+    val unioned = lines
+      .select(col(idCol), col("pos"), col("line"),
+        lit(null).cast("int").as("_wpos"))
+      .unionByName(winners.select(col(idCol),
+        lit(null).cast("int").as("pos"),
+        lit(null).cast("string").as("line"), col("_wpos")))
+    def keep(l: Column): Column =
+      length(l.getField("line")) < minChars ||
+        array_contains(col("_kept"), l.getField("pos"))
+    unioned.groupBy(col(idCol))
+      .agg(
+        collect_set(col("_wpos")).as("_kept"),
+        array_sort(collect_list(when(col("line").isNotNull,
+          struct(col("pos"), col("line"))))).as("_ls"))
+      .select(col(idCol),
+        size(col("_ls")).cast("long").as("n_lines"),
+        size(filter(col("_ls"), l => !keep(l))).cast("long").as("n_dropped"),
+        array_join(transform(filter(col("_ls"), keep(_)),
+          _.getField("line")), "\n").as("text_kept"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = Corpus.chunkDocs(df, idCol, textCol, chunkTokens)

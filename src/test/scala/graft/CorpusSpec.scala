@@ -306,6 +306,27 @@ class CorpusSpec extends SparkTestBase {
     assert(out.count(_._1 == 3L) === 1) // Spark split("") yields [""]
   }
 
+  test("lineDedup: first occurrence wins, blanks always kept, reassembly ordered") {
+    val d = Seq(
+      (1L, "alpha\nboiler\n\nbeta"),
+      (2L, "boiler\ngamma\nalpha"),   // both dup lines cut
+      (3L, "\n\n"),                   // blanks only — all kept
+      (4L, "boiler")                  // fully deduped → empty text
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.lineDedup(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, "alpha\nboiler\n\nbeta"),
+      (2L, 3L, 2L, "gamma"),
+      (3L, 3L, 0L, "\n\n"),
+      (4L, 1L, 1L, "")))
+    // partition-layout independent (winner is a struct min, not arrival order)
+    val re = graft.ext.Dedup.lineDedup(d.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(re == out)
+  }
+
   test("chunkDedup: corpus-wide first occurrence wins, docs reassemble in order") {
     val d = Seq(
       (1L, "a b c d x y"),     // chunks: "a b", "c d", "x y"
