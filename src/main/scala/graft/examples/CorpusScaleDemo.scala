@@ -129,6 +129,33 @@ object CorpusScaleDemo {
         featFrame.withColumn("p", col("x1") / (lit(1.0) + col("x1"))),
         col("p"), col("y")).count()
     }
+    // crawl hygiene + shard materialization at the full corpus
+    val withUrls = docs.withColumn("url",
+      concat(lit("https://h"), pmod(col("doc_id"), lit(1000L)),
+        lit(".site"), pmod(col("doc_id"), lit(97L)), lit(".example/p/"),
+        col("doc_id")))
+    ScaleDemo.time("blockByDomain 3 domains") {
+      graft.ext.Web.blockByDomain(withUrls, "url", "doc_id",
+        Seq("site13.example", "site31.example", "h7.site5.example")).count()
+    }
+    ScaleDemo.time("normalizeForDedup") {
+      docs.select(graft.ext.TextNorm.normalizeForDedup(col("text")).as("n"))
+        .select(sum(length(col("n")))).collect()
+    }
+    ScaleDemo.time("lineDedup (10-line docs)") {
+      graft.ext.Dedup.lineDedup(
+        docs.withColumn("t2", regexp_replace(col("text"), " w1", "\nw1")),
+        "doc_id", "t2")
+        .agg(sum("n_dropped")).collect()
+    }
+    ScaleDemo.time("materializePacked 8k bins") {
+      graft.ext.Corpus.materializePacked(
+        graft.ext.Corpus.packSequences(
+          docs.withColumn("toks", split(col("text"), " ")),
+          "doc_id", "n_tok", 8192, Seq("lang")),
+        "doc_id", "toks", "bin_id", Seq("lang"))
+        .agg(sum("n_tokens")).collect()
+    }
     spark.stop()
   }
 }

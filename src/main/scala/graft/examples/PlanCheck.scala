@@ -207,7 +207,16 @@ object PlanCheck {
           !p.contains("Join")),
       ("q_text_normalize", "normalization: map-only chain + one norm-keyed window, no join",
         p => p.contains(") Window") && !p.contains("Join") &&
-          !p.contains("Cartesian"))
+          !p.contains("Cartesian")),
+      ("q_pack_emit", "pack emit: bin-keyed aggs only, no join of the corpus",
+        p => p.split("HashAggregate").length >= 3 && !p.contains("Join") &&
+          !p.contains("Cartesian")),
+      ("q_url_blocklist", "blocklist: broadcast SEMI + ANTI equi-joins, no nested loop",
+        p => p.contains("Semi") && p.contains("Anti") &&
+          !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      ("q_line_dedup", "line dedup: union reassembly, winner via partial agg, no self-join",
+        p => !p.contains("Join") && !p.contains("Cartesian") &&
+          p.contains("Union"))
     )
 
     var failed = 0
