@@ -130,6 +130,15 @@ object LogReg {
     df.filter(fastSigmoid(z) >= minProb)
   }
 
+  /** Platt scaling (Platt 1999): calibrate a raw scorer into a
+    * probability by fitting the 2-parameter logistic p = σ(a·s + b) —
+    * exactly [[train]] on features (bias, score), sharing its
+    * bit-replicability. Feed the result to [[score]] /
+    * [[Eval.reliabilityBins]] to check the calibration it buys. */
+  def plattScale(df: DataFrame, scoreCol: Column, label: Column,
+                 lr: Double = 0.5, iters: Int = 3): Model =
+    train(df, Seq(lit(1.0), scoreCol), label, lr = lr, iters = iters)
+
   /** Pure-Scala reference trainer (same arithmetic, driver-side) for
     * differential testing: rows = (features, label). */
   def trainRef(rows: Seq[(Array[Double], Double)], lr: Double = 0.5,

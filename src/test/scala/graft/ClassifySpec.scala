@@ -291,6 +291,19 @@ class ClassifySpec extends SparkTestBase {
     assertNear(r.getDouble(3), 1.0, 1e-12)
   }
 
+  test("plattScale ≡ train on (bias, score); slope tracks the signal") {
+    val rows = (0 until 200).map { i =>
+      val s0 = (i % 40) / 20.0 - 1.0
+      (s0, if (s0 > 0.1) 1.0 else 0.0)
+    }
+    val df = rows.toDF("s", "y")
+    val m = LogReg.plattScale(df, col("s"), col("y"), lr = 1.0, iters = 5)
+    val direct = LogReg.train(df, Seq(lit(1.0), col("s")), col("y"),
+      lr = 1.0, iters = 5)
+    assert(m.weights.toSeq == direct.weights.toSeq)
+    assert(m.weights(1) > 0.0, "calibration slope must be positive")
+  }
+
   // ── seeded-random differential properties (SURVEY §5.2(3) style) ────
 
   test("property: train ≡ pure-Scala reference on random frames") {
