@@ -473,6 +473,80 @@ object DocPipeline {
     * `foreachBatch` durability caveat as [[streamIncremental]];
     * `atomicStore = true` routes the store through
     * [[graft.sources.AppendStore]] (write-then-commit). */
+  /** Streaming cross-corpus LINE dedup against a growing line-hash
+    * store — the continuous-ingestion twin of [[Dedup.lineDedup]] (C4
+    * line semantics across batches): a line is cut when it was
+    * accepted in ANY previous batch (history always wins) or recurs
+    * within the current batch (min (doc, pos) wins, exactly the batch
+    * operator's election). Lines shorter than `minChars` always pass.
+    * `onBatch` receives (idCol, n_lines, n_dropped, text_kept) —
+    * the batch operator's exact schema, and a single-batch run is
+    * value-identical to [[Dedup.lineDedup]] (spec-proven).
+    *
+    * The store holds one md5 per DISTINCT accepted line — it grows
+    * with distinct content, not traffic. Scale shape per batch:
+    * map-side line split, one line-keyed partial-min + store anti
+    * join, one doc-keyed reassembly; the only checkpointed frame is
+    * the tiny new-hash set. Same `foreachBatch` durability caveat as
+    * [[streamIncremental]]; `atomicStore = true` routes the store
+    * through [[graft.sources.AppendStore]] (write-then-commit). */
+  def streamLineDedup(
+      docs: DataFrame,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minChars: Int = 1,
+      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(minChars >= 1, s"minChars=$minChars must be >= 1")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        def empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+        val storeExists = new java.io.File(storePath).exists()
+        val store =
+          if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
+          else if (storeExists) spark.read.parquet(storePath)
+          else empty
+        val lines = b.select(col(idCol),
+          posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        // winner election mirrors Dedup.lineDedup (partial+final
+        // min(struct), text-free), then history wins via the store
+        // anti join; only the new-hash scalars checkpoint
+        val winners = lines.filter(length(col("line")) >= minChars)
+          .select(md5(col("line").cast("binary")).as("_h"),
+            struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))
+          .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
+          .join(store.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
+          .select(col("_h"), col("_w._wid").as(idCol), col("_w._wpos").as("_wpos"))
+          .cut
+        val keptPerDoc = winners.groupBy(col(idCol))
+          .agg(collect_set(col("_wpos")).as("_kept"))
+        val out = lines.join(keptPerDoc, Seq(idCol), "left")
+          .withColumn("_keep",
+            length(col("line")) < minChars ||
+              coalesce(array_contains(col("_kept"), col("pos")), lit(false)))
+          .groupBy(col(idCol))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            count(when(!col("_keep"), lit(1))).as("n_dropped"),
+            array_join(transform(
+              array_sort(collect_list(when(col("_keep"),
+                struct(col("pos"), col("line"))))),
+              c => c.getField("line")), "\n").as("text_kept"))
+        val newHashes = winners.select(col("_h").as("h"))
+        if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
+        else newHashes.write.mode(if (storeExists) "append" else "overwrite")
+          .parquet(storePath)
+        onBatch(out, batchId)
+      }
+      .start()
+  }
+
   def streamSpanDedup(
       docs: DataFrame,
       storePath: String,

@@ -297,6 +297,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamLineDedup: history wins across batches; single batch ≡ batch op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("linestore").toFile
+    storeDir.delete()
+    val got = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ext.DocPipeline.streamLineDedup(
+      input.toDF().toDF("doc_id", "text"), storeDir.getAbsolutePath) { (df, _) =>
+      df.collect().foreach(r => got(r.getAs[Long]("doc_id")) =
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("text_kept")))
+    }
+    try {
+      val batch1 = Seq((1L, "alpha\nboiler\n\nbeta"), (2L, "boiler\ngamma"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // single-batch result equals the batch operator bit-for-bit
+      val expect = graft.ext.Dedup.lineDedup(
+        batch1.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.toMap == expect)
+      assert(got(2L) == ((2L, 1L, "gamma")))
+      // across batches: "alpha" and "gamma" lost to the STORE; blank kept
+      input.addData((3L, "alpha\nfresh\n\ngamma"))
+      q.processAllAvailable()
+      assert(got(3L) == ((4L, 2L, "fresh\n")))
+      // store: one hash per accepted line (alpha, boiler, beta, gamma, fresh)
+      assert(spark.read.parquet(storeDir.getAbsolutePath).count() === 5L)
+    } finally {
+      q.stop()
+    }
+  }
+
   test("streamSpanDedup cuts variable spans within and across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
