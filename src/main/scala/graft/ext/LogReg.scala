@@ -67,9 +67,10 @@ object LogReg {
     * `df`; cache `df` upstream when `iters` is large. */
   def train(df: DataFrame, features: Seq[Column], label: Column,
             lr: Double = 0.5, iters: Int = 3,
-            scale: Double = 1e9): Model = {
+            scale: Double = 1e9, l2: Double = 0.0): Model = {
     require(features.nonEmpty, "at least one feature column")
     require(iters >= 1, s"iters=$iters must be >= 1")
+    require(l2 >= 0.0, s"l2=$l2 must be >= 0")
     val d = features.size
     val cols = features.zipWithIndex.map { case (f, j) =>
       f.cast("double").as(s"_x$j")
@@ -91,8 +92,11 @@ object LogReg {
       var j = 0
       while (j < d) {
         val g = row.getLong(j + 1)
-        // exact op order mirrored by the SQL twin: w − lr·((g/scale)/n)
-        w(j) = w(j) - lr * ((g / scale) / n)
+        // exact op order mirrored by the SQL twin: w − lr·((g/scale)/n),
+        // with optional decoupled weight decay (L2) applied first —
+        // also pure double arithmetic, so still bit-replicable
+        val wd = if (l2 == 0.0) w(j) else w(j) * (1.0 - lr * l2)
+        w(j) = wd - lr * ((g / scale) / n)
         j += 1
       }
     }
@@ -142,7 +146,8 @@ object LogReg {
   /** Pure-Scala reference trainer (same arithmetic, driver-side) for
     * differential testing: rows = (features, label). */
   def trainRef(rows: Seq[(Array[Double], Double)], lr: Double = 0.5,
-               iters: Int = 3, scale: Double = 1e9): Array[Double] = {
+               iters: Int = 3, scale: Double = 1e9,
+               l2: Double = 0.0): Array[Double] = {
     require(rows.nonEmpty)
     val d = rows.head._1.length
     val w = Array.fill(d)(0.0)
@@ -161,7 +166,8 @@ object LogReg {
       }
       var j = 0
       while (j < d) {
-        w(j) = w(j) - lr * ((g(j) / scale) / rows.size)
+        val wd = if (l2 == 0.0) w(j) else w(j) * (1.0 - lr * l2)
+        w(j) = wd - lr * ((g(j) / scale) / rows.size)
         j += 1
       }
     }

@@ -291,6 +291,21 @@ class ClassifySpec extends SparkTestBase {
     assertNear(r.getDouble(3), 1.0, 1e-12)
   }
 
+  test("L2 decay shrinks weights, stays bit-equal to the reference") {
+    val rows = (0 until 120).map { i =>
+      (Array(1.0, (i % 30) / 15.0 - 1.0), if (i % 30 > 16) 1.0 else 0.0)
+    }
+    val df = rows.map { case (x, y) => (x(0), x(1), y) }.toDF("b", "x", "y")
+    val plain = LogReg.train(df, Seq(col("b"), col("x")), col("y"),
+      lr = 0.5, iters = 4)
+    val decayed = LogReg.train(df, Seq(col("b"), col("x")), col("y"),
+      lr = 0.5, iters = 4, l2 = 0.2)
+    assert(math.abs(decayed.weights(1)) < math.abs(plain.weights(1)),
+      "decay must shrink the slope")
+    val ref = LogReg.trainRef(rows, lr = 0.5, iters = 4, l2 = 0.2)
+    assert(decayed.weights.toSeq == ref.toSeq)
+  }
+
   test("plattScale ≡ train on (bias, score); slope tracks the signal") {
     val rows = (0 until 200).map { i =>
       val s0 = (i % 40) / 20.0 - 1.0
