@@ -27,9 +27,17 @@ object Corpus {
     * arithmetic the LSH plane constants use (public-domain LCG
     * parameters), replicated verbatim in the DuckDB oracles. Maps id →
     * [0, 2^31) with no RNG so the sample is stable across engines,
-    * partitionings and reruns. */
+    * partitionings and reruns.
+    *
+    * The id is pre-reduced into [0, 2^31) BEFORE the multiply: for
+    * every id already in that range (all the oracle tables) the result
+    * is bit-identical to the plain `id·a + c mod 2^31` the DuckDB
+    * twins compute, and for 64-bit ids (xxhash64-derived keys,
+    * ShardStore pack keys) the multiply can no longer overflow ANSI
+    * arithmetic — max (2^31−1)·1103515245 ≈ 2.4e18 < Long.Max. */
   def orderHash(id: Column): Column =
-    pmod(id * 1103515245L + 12345L, lit(2147483648L))
+    pmod(pmod(id, lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
 
   /** Stratified sample: keep `ceil(frac · |stratum|)` rows per stratum,
     * chosen by deterministic hash order (tie-broken by id). Guarantees

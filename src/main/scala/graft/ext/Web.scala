@@ -80,8 +80,7 @@ object Web {
                  idCol: String, maxPerHost: Int): org.apache.spark.sql.DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
     import org.apache.spark.sql.expressions.Window
-    val rk = pmod(col(idCol).cast("long") * 1103515245L + 12345L,
-      lit(2147483648L))
+    val rk = graft.ext.Corpus.orderHash(col(idCol).cast("long"))
     docs.withColumn("host", host(col(urlCol)))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("host")).orderBy(rk, col(idCol))))

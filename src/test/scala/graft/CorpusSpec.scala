@@ -99,6 +99,24 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("orderHash: in-range ids keep the plain LCG value; 64-bit ids total") {
+    val ids = Seq(0L, 1L, 4999L, 2147483647L,           // oracle range
+      Long.MaxValue, Long.MinValue + 1, -12345L,        // would overflow raw
+      5951154127274131342L)                             // xxhash64-sized
+    val got = ids.toDF("id")
+      .select(Corpus.orderHash(col("id")).as("h")).as[Long].collect().toSeq
+    def plain(id: Long) = {
+      val m = ((id % 2147483648L) + 2147483648L) % 2147483648L
+      (((m * 1103515245L + 12345L) % 2147483648L) + 2147483648L) % 2147483648L
+    }
+    assert(got == ids.map(plain))
+    // in-range ids match the twin formula the DuckDB oracles compute
+    ids.filter(i => i >= 0 && i < 2147483648L).foreach { i =>
+      assert(plain(i) == (i * 1103515245L + 12345L) % 2147483648L)
+    }
+    assert(got.forall(h => h >= 0 && h < 2147483648L))
+  }
+
   test("materializePacked: stream order, lens, counts; reshuffle-stable") {
     val d = Seq(
       (1L, "ga", Seq("a", "b")), (2L, "ga", Seq("c")),
