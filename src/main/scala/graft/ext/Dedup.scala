@@ -613,7 +613,7 @@ object Dedup {
                 minChars: Int = 1): DataFrame = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
     val winners = lines.filter(length(col("line")) >= minChars)
       .select(md5(col("line").cast("binary")).as("_h"),
         struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))

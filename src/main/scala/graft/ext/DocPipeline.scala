@@ -513,7 +513,7 @@ object DocPipeline {
           else if (storeExists) spark.read.parquet(storePath)
           else empty
         val lines = b.select(col(idCol),
-          posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+          posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
         // winner election mirrors Dedup.lineDedup (partial+final
         // min(struct), text-free), then history wins via the store
         // anti join; only the new-hash scalars checkpoint

@@ -345,6 +345,16 @@ class CorpusSpec extends SparkTestBase {
     assert(re == out)
   }
 
+  test("lineDedup: CRLF line endings dedupe against LF lines") {
+    val d = Seq((1L, "alpha\nbeta"), (2L, "alpha\r\ngamma"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.lineDedup(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma")))
+  }
+
   test("chunkDedup: corpus-wide first occurrence wins, docs reassemble in order") {
     val d = Seq(
       (1L, "a b c d x y"),     // chunks: "a b", "c d", "x y"
