@@ -543,6 +543,48 @@ SELECT feature, weight_e6, n_correct, n_rows FROM (
 ORDER BY feature"""
   }
 
+  /** DuckDB twin of the unigram-LM Viterbi segmentation
+    * (ext.Unigram / q_unigram_score) — recomputed from FIRST PRINCIPLES
+    * as an unrolled shortest-path DP (the kCoreSql/labelPropSql
+    * convention): per distinct word (truncated to `maxW` chars on both
+    * engines), state s_i at prefix length i is the lexicographic-
+    * minimal (cost, count) encoded as ONE integer c16·64 + count —
+    * piece costs are integer sixteenths (Unigram.demoPieces invariant,
+    * pinned in UnigramSpec) and counts are < 64 at maxW = 12, so
+    * integer `least` IS the lexicographic compare, and the final
+    * cost-in-sixteenths / 16.0 reproduces Spark's exact doubles bit
+    * for bit. Unmatched single chars take the UNK cost (8.0 → 128);
+    * multi-char misses yield NULL arms, which DuckDB's least()
+    * skips. */
+  private def unigramSql: String = {
+    val maxW = 12
+    val maxK = ext.Unigram.demoPieces.map(_._1.length).max
+    val vals = ext.Unigram.demoPieces
+      .map { case (p, c) => s"('$p', ${(c * 16).round})" }.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH pc(piece, c16) AS (VALUES $vals),\n"
+    sb ++= "raw AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS w0 FROM documents),\n"
+    sb ++= s"wd AS (SELECT doc_id, substr(w0, 1, $maxW) AS w FROM raw WHERE len(w0) > 0),\n"
+    sb ++= "ww AS (SELECT DISTINCT w FROM wd),\n"
+    sb ++= "d0 AS (SELECT w, CAST(0 AS BIGINT) AS s0 FROM ww),\n"
+    for (i <- 1 to maxW) {
+      val arms = (1 to math.min(maxK, i)).map { k =>
+        val look = s"(SELECT c16 FROM pc WHERE piece = substr(w, ${i - k + 1}, $k))"
+        val pc16 = if (k == 1) s"coalesce($look, 128)" else look
+        s"s${i - k} + 64*$pc16 + 1"
+      }.mkString(", ")
+      sb ++= s"d$i AS (SELECT *, least($arms) AS s$i FROM d${i - 1}),\n"
+    }
+    val pick = (1 to maxW).map(i => s"WHEN $i THEN s$i").mkString(" ")
+    sb ++= s"dp AS (SELECT w, CASE len(w) $pick END AS s FROM d$maxW),\n"
+    sb ++= "agg AS (SELECT wd.doc_id, CAST(sum(dp.s // 64) AS DOUBLE) / 16.0 AS c, " +
+      "CAST(sum(dp.s % 64) AS BIGINT) AS n FROM wd JOIN dp USING (w) GROUP BY wd.doc_id)\n"
+    sb ++= "SELECT d.doc_id, coalesce(agg.c, 0.0) AS ug_cost, " +
+      "CAST(coalesce(agg.n, 0) AS BIGINT) AS n_pieces " +
+      "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"
+    sb.toString
+  }
+
   val all: Vector[QueryDef] = Vector(
     // ── 1. scan + projection ────────────────────────────────────────────
     QueryDef(
@@ -1574,6 +1616,26 @@ ORDER BY feature"""
              |  any_value(wc.n_words) AS n_words
              |FROM enc JOIN wc ON enc.doc_id = wc.doc_id
              |GROUP BY enc.doc_id ORDER BY enc.doc_id""".stripMargin)),
+
+    // ── 45c. Unigram-LM subword scoring (ext.Unigram Viterbi codegen
+    // kernel, SentencePiece unigram family): total −ln p and piece
+    // count per document under the demo piece table. Words truncated
+    // to 12 chars on BOTH engines so the twin's unrolled DP covers
+    // every position; costs are exact sixteenths, so the doubles
+    // compare bit-exactly (see unigramSql scaladoc). ──────────────────
+    QueryDef(
+      "q_unigram_score",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("_t", array_join(transform(
+            split(coalesce(col("text"), lit("")), "\\s+"),
+            w => substring(w, 1, 12)), " "))
+          .withColumn("_sc",
+            ext.Unigram.score(col("_t"), ext.Unigram.demoPieces))
+          .select(col("doc_id"), col("_sc.cost").as("ug_cost"),
+            col("_sc.n_pieces").as("n_pieces"))
+          .orderBy(col("doc_id")),
+      Some(unigramSql)),
 
     // ── 46. RANGE window frame (time-based: last-5-minutes running sum).
     // RANGE includes all peers of the current order value, so the result

@@ -1,0 +1,353 @@
+package graft.ext
+
+import graft.core.Checkpoints.CutOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM subword tokenization (the SentencePiece unigram model of
+  * Kudo 2018, "Subword Regularization", arXiv:1804.10959) — the second
+  * of the two public subword families ([[Bpe]] is the merge-based one).
+  * A tokenizer here is a PIECE TABLE: (piece → cost) with cost =
+  * −ln p(piece); tokenizing a word is Viterbi — the segmentation
+  * minimizing total cost, ties broken toward FEWER pieces, remaining
+  * ties toward shorter first piece (the ascending-k DP scan order) —
+  * fully deterministic for a fixed table.
+  *
+  * Scale shape mirrors [[Bpe]]: the piece table rides the expressions
+  * as literal reference state (one broadcast per stage via the task
+  * binary), the Viterbi DP is row-local O(|word|·maxPieceLen) with a
+  * HashMap probe per cell, and both expressions stay inside
+  * whole-stage codegen (`doGenCode` calls the static kernel). Training
+  * pre-aggregates the corpus ONCE into the (word, freq) vocabulary —
+  * corpus-size-independent state, the classic trick — then every
+  * hard-EM round is one piece-keyed partial+final sum over the vocab
+  * with a bounded (≤ seed size) driver collect, the [[Bpe.train]] /
+  * [[Ivf.train]] convention.
+  */
+object UnigramLoops {
+
+  /** Characters a piece table can't cover fall back to one
+    * single-character piece at this cost — segmentation never fails. */
+  val UnkCost: Double = 8.0
+
+  def buildCosts(pieces: Seq[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, c) =>
+      require(p.nonEmpty, "empty piece")
+      require(c >= 0.0 && !c.isNaN, s"piece '$p' has invalid cost $c (must be >= 0)")
+      m.put(p, c)
+    }
+    m
+  }
+
+  def maxPieceLen(costs: java.util.HashMap[String, java.lang.Double]): Int = {
+    var m = 1
+    val it = costs.keySet().iterator()
+    while (it.hasNext) m = math.max(m, it.next().length)
+    m
+  }
+
+  /** Viterbi DP over one word. Writes the best segmentation's pieces
+    * into `out` (when non-null) and returns cost*2^20 + count packed…
+    * no — returns the (cost, count) pair via the two-element buffer to
+    * keep one DP implementation for all three expressions. */
+  private def viterbi(w: String, costs: java.util.HashMap[String, java.lang.Double],
+                      maxLen: Int, out: java.util.ArrayList[UTF8String],
+                      cc: Array[Double]): Unit = {
+    val n = w.length
+    // cost[i], count[i], back[i] = best split for prefix of length i;
+    // ascending-k scan + strict-less update = deterministic tie-break
+    // (fewest pieces, then shortest first piece at each boundary)
+    val cost = new Array[Double](n + 1)
+    val cnt = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bestC = Double.PositiveInfinity
+      var bestN = Int.MaxValue
+      var bestK = 1
+      var k = 1
+      val kMax = math.min(maxLen, i)
+      while (k <= kMax) {
+        val piece = w.substring(i - k, i)
+        val pc0 = costs.get(piece)
+        val pc: Double =
+          if (pc0 != null) pc0.doubleValue()
+          else if (k == 1) UnkCost
+          else Double.NaN
+        if (!pc.isNaN) {
+          val c = cost(i - k) + pc
+          val m = cnt(i - k) + 1
+          if (c < bestC || (c == bestC && m < bestN)) { bestC = c; bestN = m; bestK = k }
+        }
+        k += 1
+      }
+      cost(i) = bestC; cnt(i) = bestN; back(i) = bestK
+      i += 1
+    }
+    cc(0) = cost(n); cc(1) = cnt(n).toDouble
+    if (out != null && n > 0) {
+      // backtrack (collect boundaries right-to-left, emit left-to-right)
+      val ks = new java.util.ArrayList[Integer]()
+      var j = n
+      while (j > 0) { ks.add(back(j)); j -= back(j) }
+      var idx = ks.size - 1
+      var s = 0
+      while (idx >= 0) {
+        val k = ks.get(idx)
+        out.add(UTF8String.fromString(w.substring(s, s + k)))
+        s += k
+        idx -= 1
+      }
+    }
+  }
+
+  private def eachWord(text: String)(f: String => Unit): Unit = {
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) f(text.substring(start, i))
+    }
+  }
+
+  /** (total Viterbi cost, total piece count) of a whitespace
+    * pre-tokenized text — the corpus-scoring / budget kernel. */
+  def score(text: String, costs: java.util.HashMap[String, java.lang.Double],
+            maxLen: Int): InternalRow = {
+    val cc = new Array[Double](2)
+    var totC = 0.0
+    var totN = 0L
+    eachWord(text) { w =>
+      viterbi(w, costs, maxLen, null, cc)
+      totC += cc(0); totN += cc(1).toLong
+    }
+    InternalRow(totC, totN)
+  }
+
+  /** All Viterbi pieces of a text, document order. */
+  def tokens(text: String, costs: java.util.HashMap[String, java.lang.Double],
+             maxLen: Int): GenericArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val cc = new Array[Double](2)
+    eachWord(text)(w => viterbi(w, costs, maxLen, out, cc))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Piece count only (LongType — summable into token budgets). */
+  def countTokens(text: String, costs: java.util.HashMap[String, java.lang.Double],
+                  maxLen: Int): Long = {
+    val cc = new Array[Double](2)
+    var n = 0L
+    eachWord(text) { w => viterbi(w, costs, maxLen, null, cc); n += cc(1).toLong }
+    n
+  }
+}
+
+/** struct<cost:double, n_pieces:bigint> — total Viterbi cost and piece
+  * count of a string under a fixed unigram piece table. */
+case class UnigramScoreExpr(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cost", DoubleType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false)))
+  override def prettyName: String = "unigram_score"
+
+  @transient private lazy val costs = UnigramLoops.buildCosts(pieces)
+  @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
+
+  protected override def nullSafeEval(v: Any): Any =
+    UnigramLoops.score(v.asInstanceOf[UTF8String].toString, costs, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugCosts", costs, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.score($c.toString(), $ref, $maxLen)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramScoreExpr =
+    copy(child = newChild)
+}
+
+/** All Viterbi pieces of a string under a fixed unigram piece table. */
+case class UnigramTokensExpr(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_tokens"
+
+  @transient private lazy val costs = UnigramLoops.buildCosts(pieces)
+  @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
+
+  protected override def nullSafeEval(v: Any): Any =
+    UnigramLoops.tokens(v.asInstanceOf[UTF8String].toString, costs, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugCosts", costs, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.tokens($c.toString(), $ref, $maxLen)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramTokensExpr =
+    copy(child = newChild)
+}
+
+/** Piece count of a string under a fixed unigram piece table. */
+case class UnigramCountExpr(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "unigram_count"
+
+  @transient private lazy val costs = UnigramLoops.buildCosts(pieces)
+  @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
+
+  protected override def nullSafeEval(v: Any): Any =
+    UnigramLoops.countTokens(v.asInstanceOf[UTF8String].toString, costs, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugCosts", costs, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.countTokens($c.toString(), $ref, $maxLen)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramCountExpr =
+    copy(child = newChild)
+}
+
+object Unigram {
+  import org.apache.spark.sql.functions._
+
+  /** Viterbi pieces (array<string>, document order). */
+  def tokens(text: Column, pieces: Seq[(String, Double)]): Column =
+    bridge.column(UnigramTokensExpr(bridge.expression(text), pieces))
+
+  /** Piece count (LongType — summable into budgets). */
+  def tokenCount(text: Column, pieces: Seq[(String, Double)]): Column =
+    bridge.column(UnigramCountExpr(bridge.expression(text), pieces))
+
+  /** struct<cost, n_pieces> — total −ln p and piece count; `cost`
+    * divided by `n_pieces` is the per-piece negative log-likelihood, a
+    * perplexity-style quality signal under the trained tokenizer. */
+  def score(text: Column, pieces: Seq[(String, Double)]): Column =
+    bridge.column(UnigramScoreExpr(bridge.expression(text), pieces))
+
+  /** Trains a unigram piece table by hard (Viterbi) EM — the public
+    * SentencePiece recipe (Kudo 2018 §3.2) with the E-step's
+    * forward-backward expectations replaced by Viterbi-best counts
+    * (the documented hard-EM approximation; deterministic, and exact
+    * integer count sums make training partitioning-independent):
+    *
+    *   1. corpus → (word, freq) vocabulary (the ONE corpus pass);
+    *   2. seed = the `seedSize` highest-frequency substrings of length
+    *      ≤ `maxPieceLen` (ties: lexicographic) ∪ all single
+    *      characters (coverage guarantee), cost = −ln(count/total);
+    *   3. `emIters`× : segment every vocab word under the current
+    *      table (freq-weighted piece counts; one piece-keyed sum over
+    *      the vocab), re-cost pieces as −ln(count/total) with
+    *      add-half smoothing on single characters (never dropped);
+    *   4. prune the lowest-count multi-char pieces by `pruneFrac` per
+    *      round (re-running one EM pass after each) until ≤
+    *      `vocabSize` pieces remain, then one final EM pass.
+    *
+    * Returns (piece, cost) sorted by (cost asc, piece asc). */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 4, seedSize: Int = 2000,
+            emIters: Int = 2, pruneFrac: Double = 0.25): Seq[(String, Double)] = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
+    require(maxPieceLen >= 1, s"maxPieceLen=$maxPieceLen must be >= 1")
+    require(seedSize >= vocabSize, s"seedSize=$seedSize must be >= vocabSize=$vocabSize")
+    require(pruneFrac > 0 && pruneFrac < 1, s"pruneFrac=$pruneFrac must be in (0,1)")
+    val words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
+      .cut
+    // seed candidates: every substring of length 1..maxPieceLen,
+    // freq-weighted — one explode over the vocab, piece-keyed sum
+    val subs = words.select(col("_f"), explode(flatten(transform(
+        sequence(lit(1), length(col("_w"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("_w")) - i + 1)),
+          l => substring(col("_w"), i, l)).cast("array<string>")))).as("_p"))
+      .groupBy(col("_p")).agg(sum(col("_f")).as("_c"))
+    val chars = subs.filter(length(col("_p")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multis = subs.filter(length(col("_p")) > 1)
+      .orderBy(desc("_c"), asc("_p")).limit(math.max(0, seedSize - chars.length))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def toCosts(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+      val total = counts.map(_._2).sum.toDouble
+      counts.map { case (p, c) => (p, -math.log(c / total)) }
+    }
+    var table = toCosts((chars ++ multis).toSeq)
+    val charSet = chars.map(_._1).toSet
+    // one hard-EM pass: freq-weighted Viterbi piece counts over the
+    // vocab, single chars kept alive with add-half smoothing
+    var emCounts: Map[String, Double] = Map.empty
+    def emPass(t: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val used = words
+        .select(col("_f"), explode(tokens(col("_w"), t)).as("_p"))
+        .groupBy(col("_p")).agg(sum(col("_f")).as("_c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val total = used.values.sum.toDouble + 0.5 * charSet.size
+      val kept = t.flatMap { case (p, _) =>
+        val c = used.getOrElse(p, 0L).toDouble + (if (p.length == 1) 0.5 else 0.0)
+        if (c > 0) Some((p, -math.log(c / total), c)) else None
+      }
+      emCounts = kept.map(k => (k._1, k._3)).toMap
+      kept.map(k => (k._1, k._2))
+    }
+    var iter = 0
+    while (iter < emIters) { table = emPass(table); iter += 1 }
+    // prune lowest-count multi-char pieces until the budget holds
+    // (single chars are never pruned — the alphabet can exceed a tiny
+    // vocabSize, in which case the alphabet IS the table)
+    while (table.length > vocabSize && table.exists(_._1.length > 1)) {
+      val multisNow = table.filter(_._1.length > 1)
+      val nDrop = math.max(1, math.min(
+        (multisNow.length * pruneFrac).toInt, table.length - vocabSize))
+      val drop = multisNow
+        .sortBy { case (p, _) => (emCounts.getOrElse(p, 0.0), p) }
+        .take(nDrop).map(_._1).toSet
+      table = emPass(table.filterNot(t => drop.contains(t._1)))
+    }
+    table.sortBy { case (p, c) => (c, p) }
+  }
+
+  /** Persist a trained piece table as parquet (piece, cost) — train
+    * once, tokenize in every later job ([[Bpe.saveMerges]] twin). */
+  def savePieces(spark: org.apache.spark.sql.SparkSession,
+                 pieces: Seq[(String, Double)], path: String): Unit = {
+    import spark.implicits._
+    pieces.toDF("piece", "cost").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a piece table written by [[savePieces]]. Order within the
+    * table is immaterial (Viterbi consults it as a map) — restored
+    * sorted (cost asc, piece asc) for determinism of any downstream
+    * driver-side iteration. */
+  def loadPieces(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, Double)] =
+    spark.read.parquet(path).select("piece", "cost")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (p, c) => (c, p) }.toSeq
+
+  /** Demo piece table for the cross-engine oracle row: costs are exact
+    * multiples of 1/16 (so ≤ a few hundred double additions stay
+    * bit-exact and the DuckDB twin's integer-scaled DP compares
+    * identically), pieces drawn from the synthetic corpus vocabulary.
+    * The UNK single-char fallback cost (8.0) is likewise exact. */
+  val demoPieces: Seq[(String, Double)] = Seq(
+    "the" -> 2.5, "th" -> 3.0, "he" -> 3.25, "in" -> 3.0, "ing" -> 2.75,
+    "er" -> 3.25, "at" -> 3.25, "ion" -> 2.75, "re" -> 3.25, "on" -> 3.25,
+    "an" -> 3.25, "en" -> 3.25, "es" -> 3.25, "st" -> 3.25, "or" -> 3.5,
+    "data" -> 2.25, "join" -> 2.25, "set" -> 2.75, "ta" -> 3.5
+  ) ++ "abcdefghijklmnopqrstuvwxyz".map(c => c.toString -> 4.0)
+}
