@@ -2799,6 +2799,38 @@ ORDER BY feature"""
              |  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ── 74b. Aho-Corasick phrase blocklist (ext.PhraseMatch, one-pass
+    // multi-pattern scan): per-phrase occurrence counts + the gate
+    // flag. The demo phrases are BORDER-FREE (no proper prefix equals
+    // a suffix), so occurrences can never self-overlap and the
+    // automaton's count-all equals the twin's non-overlapping
+    // replace() count; nesting/cross-phrase overlap is fine — both
+    // engines count each phrase independently on the original text. ───
+    QueryDef(
+      "q_phrase_block",
+      (s, d) => {
+        val phrases = Seq("the", "sort", "table scan", "order")
+        t(s, d, "documents")
+          .withColumn("_c", ext.PhraseMatch.counts(col("text"), phrases))
+          .select(col("doc_id"),
+            element_at(col("_c"), 1).as("n_the"),
+            element_at(col("_c"), 2).as("n_sort"),
+            element_at(col("_c"), 3).as("n_tscan"),
+            element_at(col("_c"), 4).as("n_order"),
+            ext.PhraseMatch.containsAny(col("text"), phrases).as("blocked"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |CAST((len(text) - len(replace(text, 'the', ''))) // 3 AS BIGINT) AS n_the,
+             |CAST((len(text) - len(replace(text, 'sort', ''))) // 4 AS BIGINT) AS n_sort,
+             |CAST((len(text) - len(replace(text, 'table scan', ''))) // 10 AS BIGINT) AS n_tscan,
+             |CAST((len(text) - len(replace(text, 'order', ''))) // 5 AS BIGINT) AS n_order,
+             |(len(text) - len(replace(text, 'the', ''))
+             | + len(text) - len(replace(text, 'sort', ''))
+             | + len(text) - len(replace(text, 'table scan', ''))
+             | + len(text) - len(replace(text, 'order', ''))) > 0 AS blocked
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── 75. fuzzy join: blocked edit-distance pairs over the DISTINCT
     // p_name vocabulary (block = noun, length-band prune, banded
     // Levenshtein) — entity resolution without all-pairs ────────────────
