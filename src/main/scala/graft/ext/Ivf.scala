@@ -144,6 +144,68 @@ object Ivf {
     AtomicCommit.versionDir(root, v)
   }
 
+  /** Segment data directories composing committed version `v` (oldest
+    * first): a full rebuild's manifest is empty — its own dir is the
+    * whole index; an [[appendToIndexAtomic]] manifest lists every
+    * composed version. */
+  def indexSegmentsAt(spark: org.apache.spark.sql.SparkSession,
+                      root: String, v: Long, body: String): Seq[String] = {
+    import graft.sources.AtomicCommit
+    AtomicCommit.decodeSegments(body)
+      .getOrElse(Seq(v))
+      .map(AtomicCommit.versionDir(root, _))
+  }
+
+  /** Segment dirs of the LATEST committed index version. */
+  def indexSegments(spark: org.apache.spark.sql.SparkSession,
+                    root: String): Seq[String] = {
+    import graft.sources.AtomicCommit
+    val (v, body) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed IVF index under $root"))
+    indexSegmentsAt(spark, root, v, body)
+  }
+
+  /** The latest committed index as ONE DataFrame — a union of the
+    * segment scans, each still pruned by cell-partition filters (the
+    * `isin(cells)` pushdown applies per segment scan, so a probe reads
+    * only the probed cells of every segment). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    indexSegments(spark, root).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  /** Append new vectors to the committed index WITHOUT retraining: the
+    * coarse quantizer stays FIXED (new vectors are assigned to the
+    * existing cells — the standard IVF maintenance contract: an index
+    * rebuild is a quantizer change, an append is not), only the new
+    * rows are written (a fresh `v=<N>/` holding just the appended
+    * cells), and the commit manifest lists every segment composing the
+    * index, so publish is still one atomic rename and time travel
+    * still resolves any prior composition. Vacuum keeps every segment
+    * a retained manifest references ([[graft.sources.AtomicCommit.vacuum]]).
+    *
+    * Distribution drift is the documented trade: a quantizer trained
+    * on the original corpus mis-bins vectors from a shifted
+    * distribution (skewing cells and hurting recall) — periodic
+    * [[saveIndexAtomic]] rebuilds re-train and reset the manifest to a
+    * single segment. Returns (version, segment dirs). */
+  def appendToIndexAtomic(newVecs: DataFrame, vecCol: String, root: String,
+                          cellCol: String = "ivf_cell"): (Long, Seq[String]) = {
+    import graft.sources.AtomicCommit
+    val spark = newVecs.sparkSession
+    val (pv, body) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed IVF index under $root to append to"))
+    val prevVersions = AtomicCommit.decodeSegments(body).getOrElse(Seq(pv))
+    val centroids = loadCentroids(
+      spark, AtomicCommit.versionDir(root, prevVersions.head))
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    saveIndex(newVecs, vecCol, centroids, dir, cellCol)
+    saveCentroids(spark, centroids, dir) // every segment carries the quantizer
+    require(AtomicCommit.commit(spark, root, v,
+      AtomicCommit.encodeSegments(prevVersions :+ v)),
+      s"version $v already committed under $root — concurrent writer?")
+    (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
+  }
+
   /** [[saveIndexQ]] (int8-quantized) under the atomic-commit protocol,
     * centroid sidecar included — the quantized twin of
     * [[saveIndexAtomic]]. Returns (version, index path). */

@@ -101,6 +101,21 @@ object AtomicCommit {
       b.toInt -> v.toLong
     }.toMap
 
+  /** Segment-list manifest codec for append-composed stores (the IVF
+    * index): the committed version's data is the UNION of the listed
+    * version directories, oldest first. Distinct prefix keeps it
+    * unambiguous next to the owners codec and the empty whole-version
+    * manifest. */
+  def encodeSegments(versions: Seq[Long]): String =
+    "segs:" + versions.mkString(",")
+
+  /** Some(segment versions) if `body` is a segment-list manifest. */
+  def decodeSegments(body: String): Option[Seq[Long]] =
+    if (body.startsWith("segs:"))
+      Some(body.stripPrefix("segs:").split(",").toSeq
+        .filter(_.nonEmpty).map(_.trim.toLong))
+    else None
+
   /** Delete uncommitted orphan `v=<N>` directories (crash debris) and
     * versions past the retention floor. `keepVersions` is the floor:
     * the newest N COMMITTED versions stay fully readable — their commit
@@ -119,7 +134,10 @@ object AtomicCommit {
     val versions = committedVersions(spark, root)
     val retained = versions.takeRight(keepVersions)
     val live: Set[Long] = retained.flatMap { v =>
-      decodeOwners(readBody(spark, root, v)).values.toSeq :+ v // whole-version stores: just v
+      val body = readBody(spark, root, v)
+      // segment manifests keep every listed dir alive; owner manifests
+      // keep every owning dir alive; whole-version stores: just v
+      decodeSegments(body).getOrElse(decodeOwners(body).values.toSeq) :+ v
     }.toSet
     // commit files first (a crash between phases leaves data-only
     // debris, which the next vacuum self-heals; the reverse order would

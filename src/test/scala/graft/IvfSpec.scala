@@ -278,4 +278,46 @@ class IvfSpec extends SparkTestBase {
     assertNear(Eval.meanRecallAtK(approx, truth, "probe_id", "vec_id", 3),
       (2.0 / 3.0 + 1.0 + 0.0) / 3.0)
   }
+
+  test("append to index: fixed quantizer, segment-union read, time travel, vacuum liveness") {
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("ivfappend")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 200)
+    val extra = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    val (v1, dir1) = Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 8, iters = 2)
+    val (v2, segs) = Ivf.appendToIndexAtomic(extra, "embedding", root)
+    assert(v1 === 1L && v2 === 2L)
+    assert(segs === Seq(dir1, AtomicCommit.versionDir(root, 2L)))
+    // the quantizer did NOT move: the appended segment carries the same centroids
+    val c1 = Ivf.loadCentroids(spark, dir1)
+    val c2 = Ivf.loadCentroids(spark, segs.last)
+    assert(c1.map(_._1) === c2.map(_._1))
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    // union read sees base + appended rows exactly once
+    val idx = Ivf.readIndex(spark, root)
+    assert(idx.count() === base.count() + extra.count())
+    // probing the composed index ≡ probing the combined corpus directly
+    val probeVec = extra.filter(col("vec_id") === 250).select("embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val got = Ivf.topKIndexed(idx, "embedding", c1, probeVec, k = 5, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    val want = Ivf.topK(base.unionByName(extra), "embedding", c1, probeVec, k = 5, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+    // time travel: the pre-append composition still reads only base rows
+    val (_, body1) = AtomicCommit.at(spark, root, v1).get
+    val segs1 = Ivf.indexSegmentsAt(spark, root, v1, body1)
+    assert(segs1 === Seq(dir1))
+    assert(spark.read.parquet(segs1.head).count() === base.count())
+    // second append, then vacuum to the newest version only: dir1 and
+    // v=2 stay ALIVE (the retained manifest references them) even
+    // though their commit files (time-travel tokens) are gone
+    val extra2 = emb.filter(col("vec_id") >= 260 && col("vec_id") < 290)
+    val (v3, _) = Ivf.appendToIndexAtomic(extra2, "embedding", root)
+    AtomicCommit.vacuum(spark, root, keepVersions = 1)
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(v3))
+    assert(Ivf.readIndex(spark, root).count() ===
+      base.count() + extra.count() + extra2.count())
+  }
 }
