@@ -120,7 +120,54 @@ object GraftExtensions {
     fn("strip_accents", "strip_accents(str) - NFD-decompose and drop " +
       "combining marks (é→e); DuckDB-compatible name") {
       a => graft.ext.StripAccentsExpr(a.head)
+    },
+    fn("unigram_count", "unigram_count(str, pieces) - unigram-LM subword count; " +
+      "pieces is a foldable array of 'piece cost' strings") {
+      a => graft.ext.UnigramCountExpr(a.head, piecesLit(a(1), "unigram_count"))
+    },
+    fn("unigram_tokens", "unigram_tokens(str, pieces) - Viterbi subword tokens; " +
+      "pieces as in unigram_count") {
+      a => graft.ext.UnigramTokensExpr(a.head, piecesLit(a(1), "unigram_tokens"))
+    },
+    fn("unigram_score", "unigram_score(str, pieces) - struct(cost, n_pieces) " +
+      "total Viterbi cost; pieces as in unigram_count") {
+      a => graft.ext.UnigramScoreExpr(a.head, piecesLit(a(1), "unigram_score"))
+    },
+    fn("phrase_counts", "phrase_counts(str, phrases) - per-phrase Aho-Corasick " +
+      "occurrence counts; phrases is a foldable array<string>") {
+      a => graft.ext.PhraseCountsExpr(a.head, stringsLit(a(1), "phrase_counts"))
+    },
+    fn("phrase_any", "phrase_any(str, phrases) - true if any phrase occurs " +
+      "(early-exit scan); phrases as in phrase_counts") {
+      a => graft.ext.PhraseAnyExpr(a.head, stringsLit(a(1), "phrase_any"))
+    },
+    fn("phrase_total", "phrase_total(str, phrases) - total occurrences across " +
+      "the dictionary; phrases as in phrase_counts") {
+      a => graft.ext.PhraseTotalExpr(a.head, stringsLit(a(1), "phrase_total"))
     })
+
+  /** Foldable `array<string>` → plain string list (phrase dictionaries —
+    * elements used verbatim, spaces included). */
+  private def stringsLit(e: Expression, fnName: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    require(e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }), s"$fnName: phrases must be a foldable array<string>, got $e")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  /** Foldable `array<string>` of "piece cost" entries → the unigram
+    * piece table; cost is parsed after the LAST space, so pieces
+    * containing spaces stay expressible. */
+  private def piecesLit(e: Expression, fnName: String): Seq[(String, Double)] =
+    stringsLit(e, fnName).map { s =>
+      val sp = s.lastIndexOf(' ')
+      require(sp > 0 && sp < s.length - 1,
+        s"$fnName: piece entry '$s' must be 'piece cost'")
+      (s.substring(0, sp), s.substring(sp + 1).toDouble)
+    }
 
   /** Foldable `array<string>` of "left right" pairs → the merge table.
     * Evaluated at resolution time (the table compiles into the plan,

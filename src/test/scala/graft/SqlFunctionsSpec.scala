@@ -134,4 +134,41 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaSql == Seq(Some("Creme Brulee"), Some("ascii"), None))
     assert(viaApi.toSet == viaSql.toSet)
   }
+
+  test("unigram kernels by SQL name ≡ Column API") {
+    Seq((1L, "the data join")).toDF("id", "text")
+      .createOrReplaceTempView("sqlfn_ug")
+    val pieces = graft.ext.Unigram.demoPieces
+    val piecesSql = pieces.map { case (p, c) => s"'$p $c'" }.mkString(", ")
+    val viaSql = spark.sql(
+      s"""SELECT unigram_count(text, array($piecesSql)) AS n,
+         |  unigram_tokens(text, array($piecesSql)) AS toks,
+         |  unigram_score(text, array($piecesSql)) AS sc
+         |FROM sqlfn_ug""".stripMargin).head()
+    val viaApi = spark.table("sqlfn_ug").select(
+      graft.ext.Unigram.tokenCount(col("text"), pieces).as("n"),
+      graft.ext.Unigram.tokens(col("text"), pieces).as("toks"),
+      graft.ext.Unigram.score(col("text"), pieces).as("sc")).head()
+    assert(viaSql === viaApi)
+    assert(viaSql.getSeq[String](1) === Seq("the", "data", "join"))
+  }
+
+  test("phrase kernels by SQL name ≡ Column API (multi-word phrases survive)") {
+    Seq((1L, "the table scan beats the index scan")).toDF("id", "text")
+      .createOrReplaceTempView("sqlfn_ph")
+    val phrases = Seq("the", "table scan", "scan")
+    val phSql = phrases.map(p => s"'$p'").mkString(", ")
+    val viaSql = spark.sql(
+      s"""SELECT phrase_counts(text, array($phSql)) AS c,
+         |  phrase_any(text, array($phSql)) AS a,
+         |  phrase_total(text, array($phSql)) AS t
+         |FROM sqlfn_ph""".stripMargin).head()
+    val viaApi = spark.table("sqlfn_ph").select(
+      graft.ext.PhraseMatch.counts(col("text"), phrases).as("c"),
+      graft.ext.PhraseMatch.containsAny(col("text"), phrases).as("a"),
+      graft.ext.PhraseMatch.totalCount(col("text"), phrases).as("t")).head()
+    assert(viaSql === viaApi)
+    assert(viaSql.getSeq[Long](0) === Seq(2L, 1L, 2L))
+    assert(viaSql.getBoolean(1) && viaSql.getLong(2) === 5L)
+  }
 }
