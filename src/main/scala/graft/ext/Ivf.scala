@@ -168,9 +168,14 @@ object Ivf {
   /** The latest committed index as ONE DataFrame — a union of the
     * segment scans, each still pruned by cell-partition filters (the
     * `isin(cells)` pushdown applies per segment scan, so a probe reads
-    * only the probed cells of every segment). */
+    * only the probed cells of every segment). Segments may carry
+    * different attribute columns (a full rebuild keeps the corpus's
+    * payload columns; an append ships whatever the new batch had) —
+    * the union aligns by name and null-fills the gaps, the
+    * [[graft.sources.ShardStore.readShardsAtEvolved]] convention. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    indexSegments(spark, root).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    indexSegments(spark, root).map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Append new vectors to the committed index WITHOUT retraining: the
     * coarse quantizer stays FIXED (new vectors are assigned to the
@@ -246,6 +251,30 @@ object Ivf {
       s"version $v already committed under $root — concurrent writer?")
     (v, dir)
   }
+
+  /** Streaming ANN ingestion: every non-empty micro-batch appends to
+    * the committed index via [[appendToIndexAtomic]] — quantizer fixed,
+    * one new segment + one atomic commit per batch, so a crash between
+    * batches leaves at worst uncommitted debris (invisible to readers)
+    * and concurrent probes always see a complete composition.
+    * Bootstrap the index first with [[saveIndexAtomic]] on a seed
+    * corpus; empty batches burn no version (the [[graft.sources.AppendStore]]
+    * convention). `onBatch` sees (committed version, segment count) —
+    * segment count growing past ~100s is the signal to schedule a
+    * compacting [[saveIndexAtomic]] rebuild. */
+  def streamAppend(vectors: DataFrame, root: String, vecCol: String,
+                   cellCol: String = "ivf_cell")
+                  (onBatch: (Long, Int) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val (v, segs) = appendToIndexAtomic(b, vecCol, root, cellCol)
+          onBatch(v, segs.size)
+        }
+      }
+      .start()
 
   /** The `nprobe` cells nearest to a probe vector (driver-side: centroid
     * list is tiny by construction). Ties break toward the lower cell id,

@@ -320,4 +320,43 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.readIndex(spark, root).count() ===
       base.count() + extra.count() + extra2.count())
   }
+
+  test("streamAppend: per-batch atomic segments, empty batches burn no version") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivfstream")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 150)
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 8, iters = 2)
+    val batch1 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batch2 = emb.filter(col("vec_id") >= 180 && col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = Ivf.streamAppend(
+      input.toDF().toDF("vec_id", "embedding"), root, "embedding") {
+      (v, n) => seen += ((v, n))
+    }
+    try {
+      input.addData(batch1.toSeq: _*); q.processAllAvailable()
+      input.addData(batch2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.toSeq === Seq((2L, 2), (3L, 3)))
+    import graft.sources.AtomicCommit
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(1L, 2L, 3L))
+    assert(Ivf.readIndex(spark, root).count() ===
+      base.count() + batch1.length + batch2.length)
+    // probing the streamed composition ≡ probing the full corpus directly
+    val cents = Ivf.loadCentroids(spark, Ivf.indexSegments(spark, root).head)
+    val pv = batch2.head._2.toArray.map(_.toDouble)
+    val got = Ivf.topKIndexed(Ivf.readIndex(spark, root), "embedding", cents,
+      pv, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
+    val want = Ivf.topK(emb.filter(col("vec_id") < 200), "embedding", cents,
+      pv, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+  }
 }
