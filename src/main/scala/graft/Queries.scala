@@ -5591,6 +5591,43 @@ ORDER BY feature"""
              |CAST(sum(lp6) AS BIGINT) AS lp_e6
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 102b2. Kneser-Ney bigram LM (TextAnalysis.bigramLogProbKN):
+    // absolute discounting + continuation-probability backoff, D=0.75.
+    // The twin recomputes h(prev)=Σc₂, the distinct-neighbor counts
+    // and the identical double expression tree from first principles;
+    // floor(·1e6) pins the sums to int64 (q_bigram_lm discipline) ─────
+    QueryDef(
+      "q_bigram_kn",
+      (s, d) =>
+        graft.ext.TextAnalysis.bigramLogProbKN(t(s, d, "documents"),
+            "doc_id", "text", discountPct = 75)
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS term,
+             |  generate_subscripts(toks, 1) AS pos FROM tk),
+             |pairs AS (SELECT w1.doc_id, w1.term AS prev, w2.term AS cur
+             |  FROM w w1 JOIN w w2
+             |    ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1),
+             |bi AS (SELECT prev, cur, count(*) AS c2 FROM pairs
+             |  GROUP BY prev, cur),
+             |hist AS (SELECT prev, sum(c2) AS h, count(*) AS n1fw
+             |  FROM bi GROUP BY prev),
+             |cont AS (SELECT cur, count(*) AS nc FROM bi GROUP BY cur),
+             |ty AS (SELECT count(*) AS nt FROM bi),
+             |sc AS (SELECT p.doc_id,
+             |  floor(ln((CAST(bi.c2 AS DOUBLE) - 0.75) / CAST(hist.h AS DOUBLE)
+             |    + ((0.75 * CAST(hist.n1fw AS DOUBLE) / CAST(hist.h AS DOUBLE))
+             |       * (CAST(cont.nc AS DOUBLE) / CAST(ty.nt AS DOUBLE))))
+             |    * 1000000.0 + 0.5) AS lp6
+             |  FROM pairs p
+             |  JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+             |  JOIN hist ON hist.prev = p.prev
+             |  JOIN cont ON cont.cur = p.cur, ty)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+             |CAST(sum(lp6) AS BIGINT) AS lp_e6
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── 102c. Gopher document-quality rules over docs salted with
     // hash-spam (%7) and ellipsis-spam (%11) tails: every ratio gate
     // decided by integer cross-multiplication — both engines compute

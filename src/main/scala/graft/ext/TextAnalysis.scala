@@ -342,6 +342,67 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigram"), sum(col("_lp6")).as("lp_e6"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score — the smoothing that wins
+    * every LM-quality shootout (Kneser & Ney 1995; the interpolated
+    * form and its empirical dominance: Chen & Goodman 1998, TR-10-98
+    * §2.7): absolute-discount the bigram estimate and back off to the
+    * CONTINUATION probability (how many distinct histories a word
+    * follows) instead of raw frequency — "Francisco" is frequent but
+    * follows only "San", so KN correctly refuses to predict it after
+    * novel histories where Jelinek-Mercer ([[bigramLogProb]])
+    * over-scores it:
+    *
+    *   p(cur | prev) = (c₂(prev,cur) − D)/h(prev)
+    *                   + (D·N₁₊(prev,•)/h(prev)) · N₁₊(•,cur)/N₁₊(•,•)
+    *
+    * with D = `discountPct`/100, h(prev) = Σ_w c₂(prev,w) (occurrences
+    * of prev as a history — NOT the raw unigram count, which
+    * over-counts document-final tokens), N₁₊ the distinct-neighbor
+    * counts. Self-scored: every scored bigram has c₂ ≥ 1 and D < 1,
+    * so p > 0 with no extra floor. Returns (doc_id, n_bigram, lp_e6),
+    * the [[bigramLogProb]] fixed-point discipline (identical integer
+    * counts through an identical double expression tree, floor-pinned
+    * to int64 — cross-engine bit parity).
+    *
+    * Scale shape mirrors [[bigramLogProb]]: map-only bigram
+    * extraction; the count tables are all derived from ONE
+    * bigram-keyed aggregation (h, N₁₊(prev,•) roll up by prev;
+    * N₁₊(•,cur) by cur; the type total is a 1-row broadcast); the
+    * vocab-sized tables broadcast back; corpus text never shuffles. */
+  def bigramLogProbKN(docs: DataFrame, idCol: String, textCol: String,
+                      discountPct: Int = 75,
+                      tokenizer: Column => Column = tokens): DataFrame = {
+    require(discountPct >= 1 && discountPct <= 99,
+      s"discountPct must be in [1, 99] (D ∈ (0,1) keeps every " +
+        s"discounted count and backoff mass positive), got $discountPct")
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokenizer(col(textCol)).as("_toks"))
+    val pairs = toked.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+          slice(col("_toks"), lit(2), greatest(size(col("_toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+    val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("_c2"))
+    val hist = bi.groupBy(col("prev"))
+      .agg(sum(col("_c2")).as("_h"), count(lit(1)).as("_n1fw"))
+    val cont = bi.groupBy(col("cur")).agg(count(lit(1)).as("_nc"))
+    val types = bi.agg(count(lit(1)).as("_ntypes"))
+    val d = discountPct.toDouble / 100.0
+    pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(broadcast(hist), Seq("prev"))
+      .join(broadcast(cont), Seq("cur"))
+      .crossJoin(broadcast(types))
+      .withColumn("_p",
+        (col("_c2").cast("double") - lit(d)) / col("_h").cast("double") +
+          (lit(d) * col("_n1fw").cast("double") / col("_h").cast("double")) *
+            (col("_nc").cast("double") / col("_ntypes").cast("double")))
+      .withColumn("_lp6", floor(log(col("_p")) * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigram"), sum(col("_lp6")).as("lp_e6"))
+  }
+
   // ── Quality buckets ────────────────────────────────────────────────
 
   /** CCNet-style quality bucketing (Wenzek 2020, "CCNet: Extracting

@@ -111,6 +111,38 @@ class SearchSpec extends SparkTestBase {
     assert(out(2L) === ((1L, lp6(pBA))))
   }
 
+  test("bigramLogProbKN: hand-computed corpus; continuation backoff beats raw frequency") {
+    // corpus: "a b a b" + "a b" → bigrams (a,b):3, (b,a):1;
+    // h(a)=3 n1fw(a)=1; h(b)=1 n1fw(b)=1; nc(a)=nc(b)=1; types=2; D=0.75
+    //   p(b|a) = (3−.75)/3 + (.75·1/3)·(1/2) = 0.875
+    //   p(a|b) = (1−.75)/1 + (.75·1/1)·(1/2) = 0.625
+    val corpus = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramLogProbKN(corpus, "doc_id", "text", 75)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def lp6(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val pBA = (3.0 - 0.75) / 3.0 + (0.75 * 1.0 / 3.0) * (1.0 / 2.0)
+    val pAB = (1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 2.0)
+    assert(out(1L) === ((3L, 2 * lp6(pBA) + lp6(pAB))))
+    assert(out(2L) === ((1L, lp6(pBA))))
+    // the Kneser-Ney signature: a token frequent behind ONE history
+    // ("francisco" after "san") gets LESS backoff mass than an
+    // equally-frequent token seen after MANY histories ("thing") —
+    // raw-frequency interpolation (JM) cannot make that distinction
+    val kn = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "one thing two thing six thing go"))
+      .toDF("doc_id", "text")
+    val toked = kn.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // p(francisco | one) ∝ backoff only — compute via the operator on a
+    // probe doc is awkward; assert the continuation counts directly:
+    // nc(francisco)=1 (only 'san'), nc(thing)=3 (one/two/six)
+    val pairs = toked.select(explode(expr(
+      "zip_with(slice(t, 1, greatest(size(t)-1, 0)), slice(t, 2, greatest(size(t)-1, 0)), (a, b) -> struct(a AS prev, b AS cur))")).as("bg"))
+      .select(col("bg.prev"), col("bg.cur")).distinct()
+    val nc = pairs.groupBy(col("cur")).count().as[(String, Long)].collect().toMap
+    assert(nc("francisco") === 1L && nc("thing") === 3L)
+  }
+
   test("gopherRules: each gate trips independently, integer cells exact") {
     val corpus = Seq(
       (1L, "the quick brown fox and the lazy dog trot"),   // clean → kept
