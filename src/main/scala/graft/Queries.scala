@@ -5628,6 +5628,31 @@ ORDER BY feature"""
              |CAST(sum(lp6) AS BIGINT) AS lp_e6
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── 102b3. Lexical-diversity profile (TextAnalysis.lexicalStats):
+    // tokens, types, hapax count, TTR, Shannon unigram entropy. TTR is
+    // one integer division; entropy is an int64 sum of per-term
+    // floor-pinned contributions — cross-engine bit parity ────────────
+    QueryDef(
+      "q_lexical_stats",
+      (s, d) =>
+        graft.ext.TextAnalysis.lexicalStats(t(s, d, "documents"),
+            "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS n FROM tk),
+             |tf AS (SELECT doc_id, term, any_value(n) AS n, count(*) AS c
+             |  FROM w GROUP BY doc_id, term)
+             |SELECT doc_id,
+             |CAST(any_value(n) AS BIGINT) AS n_tok,
+             |CAST(count(*) AS BIGINT) AS n_types,
+             |CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |CAST(count(*) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS ttr,
+             |CAST(sum(floor((0.0 - (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |  * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0 + 0.5))
+             |  AS BIGINT) AS entropy_e6
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── 102c. Gopher document-quality rules over docs salted with
     // hash-spam (%7) and ellipsis-spam (%11) tails: every ratio gate
     // decided by integer cross-multiplication — both engines compute

@@ -403,6 +403,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigram"), sum(col("_lp6")).as("lp_e6"))
   }
 
+  /** Lexical-diversity profile per document — the vocabulary-richness
+    * signals corpus audits chart next to length (low TTR/entropy =
+    * template or keyword-stuffed text; high hapax share = natural
+    * prose): token count, distinct-type count, hapax-legomenon count
+    * (types occurring once), type-token ratio, and Shannon unigram
+    * entropy in nats.
+    *
+    * Fixed-point discipline: `ttr` is one division of two identical
+    * integers (bit-identical cross-engine); entropy is the sum of
+    * PER-TERM floor-pinned contributions `floor(−(tf/n)·ln(tf/n)·10⁶
+    * + 0.5)` — an int64 sum, so the non-associativity of double
+    * addition can never flip a comparison ([[unigramLogProb]]'s lp_e6
+    * discipline). Returns (doc_id, n_tok, n_types, n_hapax, ttr,
+    * entropy_e6).
+    *
+    * Scale shape: term counting is MAP-ONLY ([[Search.termFreqs]]'s
+    * one-pass hash-map kernel — no (doc, term) shuffle); the explode
+    * feeds ONE doc-keyed aggregation with map-side partials. Corpus
+    * text never shuffles. */
+  def lexicalStats(docs: DataFrame, idCol: String, textCol: String,
+                   tokenizer: Column => Column = tokens): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokenizer(col(textCol)).as("_toks"))
+      .withColumn("_tf", Search.termFreqs(col("_toks")))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_nt", size(col("_tf")).cast("long"))
+      .select(col("doc_id"), col("_n"), col("_nt"),
+        explode(col("_tf")).as("_e"))
+      .withColumn("_c", col("_e.tf").cast("double") / col("_n").cast("double"))
+      .withColumn("_h6",
+        floor((lit(0.0) - col("_c") * log(col("_c"))) * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("_n")).as("n_tok"),
+        max(col("_nt")).as("n_types"),
+        sum(when(col("_e.tf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        (max(col("_nt")).cast("double") / max(col("_n")).cast("double")).as("ttr"),
+        sum(col("_h6")).as("entropy_e6"))
+
   // ── Quality buckets ────────────────────────────────────────────────
 
   /** CCNet-style quality bucketing (Wenzek 2020, "CCNet: Extracting

@@ -143,6 +143,21 @@ class SearchSpec extends SparkTestBase {
     assert(nc("francisco") === 1L && nc("thing") === 3L)
   }
 
+  test("lexicalStats: hand-computed diversity cells; empty and uniform docs") {
+    val corpus = Seq(
+      (1L, "a b a c"),        // n=4, types {a:2,b:1,c:1}, hapax=2
+      (2L, "x x x x"),        // uniform: 1 type, 0 hapax, entropy 0
+      (3L, "")                // split('') = [''] → 1 token, 1 type
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.lexicalStats(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    def h6(c: Double): Long = math.floor((0.0 - c * math.log(c)) * 1e6 + 0.5).toLong
+    assert(out(1L) === ((1L, 4L, 3L, 2L, 3.0 / 4.0, h6(0.5) + 2 * h6(0.25))))
+    assert(out(2L) === ((2L, 4L, 1L, 0L, 0.25, 0L)))
+    assert(out(3L) === ((3L, 1L, 1L, 1L, 1.0, 0L)))
+  }
+
   test("gopherRules: each gate trips independently, integer cells exact") {
     val corpus = Seq(
       (1L, "the quick brown fox and the lazy dog trot"),   // clean → kept
