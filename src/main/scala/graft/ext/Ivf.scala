@@ -252,6 +252,31 @@ object Ivf {
     (v, dir)
   }
 
+  /** Compact an append-fragmented index back to ONE segment WITHOUT
+    * retraining: rewrite the union of the current segments (cells
+    * preserved — assignment is never recomputed, so the result is
+    * bit-identical content in one directory), commit with a
+    * single-segment manifest. The cheap maintenance step between
+    * [[appendToIndexAtomic]] runs; a [[saveIndexAtomic]] rebuild is
+    * the expensive one that also re-trains the quantizer. Old
+    * compositions stay time-travelable until vacuumed. Returns
+    * (version, data dir). */
+  def compactIndexAtomic(spark: org.apache.spark.sql.SparkSession,
+                         root: String, cellCol: String = "ivf_cell"): (Long, String) = {
+    import graft.sources.AtomicCommit
+    val segs = indexSegments(spark, root)
+    val centroids = loadCentroids(spark, segs.head)
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    segs.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
+    saveCentroids(spark, centroids, dir)
+    require(AtomicCommit.commit(spark, root, v, ""),
+      s"version $v already committed under $root — concurrent writer?")
+    (v, dir)
+  }
+
   /** Streaming ANN ingestion: every non-empty micro-batch appends to
     * the committed index via [[appendToIndexAtomic]] — quantizer fixed,
     * one new segment + one atomic commit per batch, so a crash between

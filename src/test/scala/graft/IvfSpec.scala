@@ -358,5 +358,21 @@ class IvfSpec extends SparkTestBase {
     val want = Ivf.topK(emb.filter(col("vec_id") < 200), "embedding", cents,
       pv, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
     assert(got.toSeq === want.toSeq)
+    // compaction: one segment, same quantizer, same content, same probe
+    val before = Ivf.readIndex(spark, root)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val (v4, dir4) = Ivf.compactIndexAtomic(spark, root)
+    assert(v4 === 4L && Ivf.indexSegments(spark, root) === Seq(dir4))
+    val after = Ivf.readIndex(spark, root)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(after.toSeq === before.toSeq) // cells never recomputed
+    val cents4 = Ivf.loadCentroids(spark, dir4)
+    assert(cents4.map(_._1) === cents.map(_._1))
+    cents4.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    val got4 = Ivf.topKIndexed(Ivf.readIndex(spark, root), "embedding", cents4,
+      pv, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
+    assert(got4.toSeq === want.toSeq)
   }
 }
