@@ -216,7 +216,18 @@ object PlanCheck {
           !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
       ("q_line_dedup", "line dedup: union reassembly, winner via partial agg, no self-join",
         p => !p.contains("Join") && !p.contains("Cartesian") &&
-          p.contains("Union"))
+          p.contains("Union")),
+      ("q_unigram_score", "unigram Viterbi: map-only kernel, no shuffle but the final sort",
+        p => !p.contains("hashpartitioning") && !p.contains("Join")),
+      ("q_phrase_block", "Aho-Corasick gate: map-only scan, no shuffle but the final sort",
+        p => !p.contains("hashpartitioning") && !p.contains("Join")),
+      // the one BroadcastNestedLoopJoin is the 1-row type-total
+      // crossJoin — the repo-wide broadcast-scalar pattern
+      ("q_bigram_kn", "KN bigram LM: count tables broadcast back, no cartesian",
+        p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian") &&
+          p.split("BroadcastNestedLoopJoin Cross").length == 2),
+      ("q_lexical_stats", "lexical profile: ONE doc-keyed agg after map-side term_freqs",
+        p => p.split("hashpartitioning").length == 2 && !p.contains("Join"))
     )
 
     var failed = 0
