@@ -79,6 +79,11 @@ object DocPipeline {
     * duplicate fraction does; both are fused per-row kernels over the
     * stage-1 token column (no extra pass, no shuffle).
     *
+    * `blockPhrases` (default empty = off) adds a banned-phrase gate to
+    * stage 2: one Aho-Corasick pass over the raw text
+    * ([[PhraseMatch.containsAny]] — early exit on the first hit),
+    * dictionary size free, fused into the same map stage.
+    *
     * `transitive = true` additionally collapses CHAINS of near-dups:
     * plain bucket-min blocking drops docs similar to their bucket's
     * smallest id, so A~B~C survives as {A, C} when A and C never share a
@@ -96,9 +101,11 @@ object DocPipeline {
       tau: Double = 0.8,
       transitive: Boolean = false,
       maxTopTokenFrac: Double = 1.0,
-      maxDupBigramFrac: Double = 1.0): DataFrame =
+      maxDupBigramFrac: Double = 1.0,
+      blockPhrases: Seq[String] = Nil): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
-      transitive, maxTopTokenFrac, maxDupBigramFrac).drop("_fp", "_whs")
+      transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases)
+      .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
     * and `_whs` (word-hash array) columns on the surviving rows, so
@@ -114,13 +121,18 @@ object DocPipeline {
       tau: Double,
       transitive: Boolean,
       maxTopTokenFrac: Double = 1.0,
-      maxDupBigramFrac: Double = 1.0): DataFrame = {
+      maxDupBigramFrac: Double = 1.0,
+      blockPhrases: Seq[String] = Nil): DataFrame = {
 
     // 1-2: single tokenization + quality gate (length, plus optional
-    // Gopher-style repetition gates — both fused per-row kernels on the
-    // already-materialized token column, so extra gates cost no extra
-    // pass and no shuffle)
-    val lengthGated = docs
+    // Gopher-style repetition gates and the Aho-Corasick phrase
+    // blocklist — all fused per-row kernels in the same map stage, so
+    // extra gates cost no extra pass and no shuffle)
+    val phraseGated =
+      if (blockPhrases.isEmpty) docs
+      else docs.filter(!coalesce(
+        PhraseMatch.containsAny(col(textCol), blockPhrases), lit(false)))
+    val lengthGated = phraseGated
       .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("n_words", TextAnalysis.wordCountOf(col("_toks")))
       .filter(col("n_words") >= minWords)

@@ -146,6 +146,22 @@ class NearDupSpec extends SparkTestBase {
     assert(trans === Set(1L, 9L), s"trans=$trans")
   }
 
+  test("DocPipeline blockPhrases gate: banned docs drop in the same map stage") {
+    val filler = Array.tabulate(40)(i => s"w${i}x").mkString(" ")
+    val docs = Seq(
+      (1L, filler),
+      (2L, s"$filler click here to subscribe now"),
+      (3L, Array.tabulate(40)(i => s"q${i}y").mkString(" "))).toDF("doc_id", "text")
+    val kept = DocPipeline.prepare(docs, minWords = 10,
+        blockPhrases = Seq("click here to subscribe"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    // empty dictionary = gate off, pipeline unchanged
+    val all = DocPipeline.prepare(docs, minWords = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 3L))
+  }
+
   test("batch brute-force top-k join ≡ per-probe top-k; one plan serves 100 probes") {
     val corpus = (1 to 200).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
