@@ -2831,6 +2831,46 @@ ORDER BY feature"""
              | + len(text) - len(replace(text, 'order', ''))) > 0 AS blocked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── 74c. robots.txt crawl gate (ext.Robots, RFC 9309): per-host
+    // bodies parsed ONCE, broadcast back to the URL frame, longest-
+    // match decision per URL. The planted rules are plain prefixes
+    // (no wildcards — those live in RobotsSpec), so the twin decides
+    // with max(len·2 + allow): longest wins, Allow wins ties — the
+    // RFC tie rule encoded in one integer ─────────────────────────────
+    QueryDef(
+      "q_robots_gate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val path = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("/private/doc"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("/private/ok/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("/pub/"), col("doc_id")))
+          .otherwise(concat(lit("/tmp/x"), col("doc_id")))
+        val urls = docs.select(col("doc_id"),
+          concat(lit("https://h"), lower(col("source")), lit(".com"), path).as("url"),
+          path.as("path"))
+        val robots = docs.select(col("source")).distinct()
+          .select(concat(lit("h"), lower(col("source")), lit(".com")).as("host"),
+            lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /tmp/\n")
+              .as("body"))
+        graft.ext.Robots.gateUrls(urls, "url", robots, "host", "body")
+          .select(col("doc_id"), col("path"), col("crawl_allowed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || doc_id
+             |       WHEN doc_id % 4 = 1 THEN '/private/ok/' || doc_id
+             |       WHEN doc_id % 4 = 2 THEN '/pub/' || doc_id
+             |       ELSE '/tmp/x' || doc_id END AS path
+             |  FROM documents),
+             |r(pat, al) AS (VALUES ('/private/', 0), ('/private/ok', 1), ('/tmp/', 0)),
+             |m AS (SELECT doc_id, max(len(pat) * 2 + al) AS sc
+             |  FROM p JOIN r ON starts_with(p.path, r.pat) GROUP BY doc_id)
+             |SELECT p.doc_id, p.path, coalesce(m.sc % 2 = 1, TRUE) AS crawl_allowed
+             |FROM p LEFT JOIN m USING (doc_id) ORDER BY p.doc_id""".stripMargin)),
+
     // ── 75. fuzzy join: blocked edit-distance pairs over the DISTINCT
     // p_name vocabulary (block = noun, length-band prune, banded
     // Levenshtein) — entity resolution without all-pairs ────────────────
