@@ -2831,6 +2831,55 @@ ORDER BY feature"""
              | + len(text) - len(replace(text, 'order', ''))) > 0 AS blocked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── 74b2. HTML → prose (TextNorm.stripHtml): script/style/comment
+    // elements dropped, block tags → newline, tags stripped, entities
+    // decoded (&amp; last), whitespace folded. Pure codegen built-in
+    // chain with RE2-safe patterns — the twin replays every step
+    // verbatim on HTML derived identically from the corpus ────────────
+    QueryDef(
+      "q_html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+          lit("<style>p { color: red }</style></head><body><!-- c "),
+          col("doc_id"),
+          lit(" --><h1>Title &amp; More</h1><p>"),
+          col("text"),
+          lit("</p><div class=\"foo\">tail &lt;"), col("doc_id"),
+          lit("&gt;&nbsp;end</div></body></html>"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.ext.TextNorm.stripHtml(html).as("prose"))
+          .withColumn("n_prose", length(col("prose")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+             |  || '<style>p { color: red }</style></head><body><!-- c ' || doc_id
+             |  || ' --><h1>Title &amp; More</h1><p>' || text
+             |  || '</p><div class="foo">tail &lt;' || doc_id
+             |  || '&gt;&nbsp;end</div></body></html>' AS x
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(x,
+             |  '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS x FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(x,
+             |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>',
+             |  chr(10), 'g') AS x FROM s2),
+             |s4 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM s3),
+             |s5 AS (SELECT doc_id,
+             |  replace(replace(replace(replace(replace(replace(x,
+             |    '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+             |    '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS x FROM s4),
+             |s6 AS (SELECT doc_id, regexp_replace(x, '[ \t]+', ' ', 'g') AS x FROM s5),
+             |s7 AS (SELECT doc_id, regexp_replace(x, ' ?\n ?', chr(10), 'g') AS x FROM s6),
+             |s8 AS (SELECT doc_id, regexp_replace(
+             |    regexp_replace(x, '\n{2,}', chr(10), 'g'),
+             |    '^\s+|\s+$', '', 'g') AS prose
+             |  FROM s7)
+             |SELECT doc_id, prose, CAST(length(prose) AS BIGINT) AS n_prose
+             |FROM s8 ORDER BY doc_id""".stripMargin)),
+
     // ── 74c. robots.txt crawl gate (ext.Robots, RFC 9309): per-host
     // bodies parsed ONCE, broadcast back to the URL frame, longest-
     // match decision per URL. The planted rules are plain prefixes

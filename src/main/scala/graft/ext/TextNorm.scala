@@ -83,4 +83,38 @@ object TextNorm {
         regexp_replace(stripAccents(lower(c)), "[0-9]", "0"),
         "[^a-z0 ]+", " "),
       " +", " "))
+
+  /** Markup → prose: the first step of every web-corpus pipeline.
+    * Composed ENTIRELY from codegen built-ins (regexp_replace /
+    * replace — the "functions, not UDFs" rule), with every pattern
+    * RE2-safe (character classes, `(?s)`, non-greedy runs — no
+    * lookaround), so the DuckDB twin replays it verbatim. Steps:
+    *   1. drop `<script>`/`<style>` ELEMENTS wholesale (their text is
+    *      code, not prose; case-insensitive, attribute-tolerant);
+    *   2. drop comments `<!-- … -->`;
+    *   3. block-level closers/openers (`</p> <br> <div …` etc.) →
+    *      newline, so paragraph structure survives for line-level
+    *      gates ([[TextAnalysis.c4CleanLines]]);
+    *   4. every remaining tag → empty;
+    *   5. decode the common entities (&amp; last — it un-escapes the
+    *      escapes);
+    *   6. fold space/tab runs, trim line ends, fold blank-line runs.
+    * Map-only, one projection. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val entities = Seq(
+      ("&nbsp;", " "), ("&quot;", "\""), ("&#39;", "'"),
+      ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"))
+      .foldLeft(noTags) { case (col0, (e, ch)) => replace(col0, lit(e), lit(ch)) }
+    val spaces = regexp_replace(entities, "[ \\t]+", " ")
+    val trimmedLines = regexp_replace(spaces, " ?\\n ?", "\n")
+    // trim() strips spaces only — ends may hold newlines from step 3
+    regexp_replace(
+      regexp_replace(trimmedLines, "\\n{2,}", "\n"), "^\\s+|\\s+$", "")
+  }
 }

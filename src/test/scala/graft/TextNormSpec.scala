@@ -56,4 +56,22 @@ class TextNormSpec extends SparkTestBase {
       .select("first_doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L), s"got $kept")
   }
+
+  test("stripHtml: elements dropped, structure to newlines, entities decoded") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextNorm.stripHtml(col("t"))).head().getString(0)
+    assert(strip("<p>Hello <b>world</b></p>") === "Hello world")
+    // script/style content is NOT prose — dropped wholesale, any case
+    assert(strip("a<SCRIPT src='x'>var y = '<p>no</p>';</script>b") === "a b")
+    assert(strip("a<style>p { c: red }</style>b") === "a b")
+    assert(strip("a<!-- hidden <p>x</p> -->b") === "a b")
+    // block tags become line structure; inline tags vanish
+    assert(strip("<h1>Title</h1><p>One</p><p>Two <i>it</i></p>") ===
+      "Title\nOne\nTwo it")
+    // entity decode order: &amp; LAST, so double escapes stay escaped
+    assert(strip("x &lt;tag&gt; &quot;q&quot; &amp;amp; &nbsp;y") ===
+      "x <tag> \"q\" &amp; y")
+    // whitespace folding + trim
+    assert(strip("  <div>  a   b  </div>  <br>  <br> c ") === "a b\nc")
+  }
 }
