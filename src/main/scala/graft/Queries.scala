@@ -2831,6 +2831,37 @@ ORDER BY feature"""
              | + len(text) - len(replace(text, 'order', ''))) > 0 AS blocked
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── 74b1. sentence segmentation (TextAnalysis.sentences): the
+    // corpus text is terminator-free, so periods are planted by a
+    // deterministic replace on both engines; count, first sentence,
+    // and trimmed char mass per doc ───────────────────────────────────
+    QueryDef(
+      "q_sentence_split",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("_t2",
+            concat(replace(col("text"), lit(" the "), lit(". The ")), lit("!")))
+          .withColumn("_sents", graft.ext.TextAnalysis.sentences(col("_t2")))
+          .select(col("doc_id"),
+            size(col("_sents")).cast("long").as("n_sent"),
+            element_at(col("_sents"), 1).as("first_sent"),
+            aggregate(col("_sents"), lit(0L),
+              (acc, x) => acc + length(x).cast("long")).as("sent_chars"))
+          .orderBy(col("doc_id")),
+      Some("""WITH t2 AS (SELECT doc_id,
+             |  replace(text, ' the ', '. The ') || '!' AS x FROM documents),
+             |sp AS (SELECT doc_id,
+             |  list_filter(list_transform(
+             |    regexp_extract_all(x, '[^.!?]+[.!?]+|[^.!?]+'),
+             |    s -> trim(s)), s -> s <> '') AS sents
+             |  FROM t2)
+             |SELECT doc_id,
+             |CAST(len(sents) AS BIGINT) AS n_sent,
+             |sents[1] AS first_sent,
+             |CAST(list_sum(list_transform(sents, s -> length(s))) AS BIGINT)
+             |  AS sent_chars
+             |FROM sp ORDER BY doc_id""".stripMargin)),
+
     // ── 74b2. HTML → prose (TextNorm.stripHtml): script/style/comment
     // elements dropped, block tags → newline, tags stripped, entities
     // decoded (&amp; last), whitespace folded. Pure codegen built-in

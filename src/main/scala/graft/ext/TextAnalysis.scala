@@ -441,6 +441,23 @@ object TextAnalysis {
         (max(col("_nt")).cast("double") / max(col("_n")).cast("double")).as("ttr"),
         sum(col("_h6")).as("entropy_e6"))
 
+  /** Rule-based sentence segmentation — the unit for sentence-level
+    * dedup, chunk boundaries that respect meaning, and per-sentence
+    * quality gates. A sentence is a maximal run of non-terminator
+    * characters plus its trailing `[.!?]+` run (abbreviation dots
+    * split — the documented trade of the rule-based approach; a
+    * trailing fragment without a terminator is kept as a sentence).
+    * RE2-safe pattern (alternation of character-class runs, no
+    * lookbehind), so DuckDB twins replay it; whitespace-only fragments
+    * are dropped, sentences returned trimmed, document order.
+    * Map-only codegen chain. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
   // ── Quality buckets ────────────────────────────────────────────────
 
   /** CCNet-style quality bucketing (Wenzek 2020, "CCNet: Extracting

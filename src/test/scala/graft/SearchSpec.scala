@@ -143,6 +143,17 @@ class SearchSpec extends SparkTestBase {
     assert(nc("francisco") === 1L && nc("thing") === 3L)
   }
 
+  test("sentences: terminator runs attach, fragments kept, whitespace dropped") {
+    def sent(s: String): Seq[String] =
+      Seq(s).toDF("t")
+        .select(graft.ext.TextAnalysis.sentences(col("t"))).head().getSeq[String](0)
+    assert(sent("One. Two! Three?") === Seq("One.", "Two!", "Three?"))
+    assert(sent("Wait... what?! ok") === Seq("Wait...", "what?!", "ok"))
+    assert(sent("no terminator at all") === Seq("no terminator at all"))
+    assert(sent("") === Seq.empty)
+    assert(sent("a.   .b") === Seq("a.", ".", "b")) // bare terminator run survives as '.'
+  }
+
   test("lexicalStats: hand-computed diversity cells; empty and uniform docs") {
     val corpus = Seq(
       (1L, "a b a c"),        // n=4, types {a:2,b:1,c:1}, hapax=2
