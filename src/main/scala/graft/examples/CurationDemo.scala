@@ -2,14 +2,15 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.{Corpus, Dedup, DocPipeline, Eval, LogReg, TextNorm, Web}
+import graft.ext.{Corpus, Dedup, DocPipeline, Eval, LogReg, Robots, TextNorm, Web}
 
 /** End-to-end corpus curation over the real `documents` table — the
   * full pipeline a training-data engineer runs, each stage a library
   * operator, wall-timed per stage:
   *
-  *   read → URL blocklist → classifier gate (train + gate) → C4 line
-  *   dedup → normalize → exact + MinHash near-dup (DocPipeline) →
+  *   read → HTML strip → URL blocklist → robots.txt gate →
+  *   classifier gate (train + gate) → C4 line dedup → normalize →
+  *   phrase blocklist + exact + MinHash near-dup (DocPipeline) →
   *   bloom decontamination → train/val/test split → pack → materialize
   *   → atomic shard store write + manifest validation.
   *
@@ -28,9 +29,23 @@ object CurationDemo {
     spark.sparkContext.setLogLevel("WARN")
     def stage[T](what: String)(f: => T): T = ScaleDemo.time(what)(f)
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
       .localCheckpoint()
-    println(s"CURATE input docs = ${docs.count()}")
+    println(s"CURATE input docs = ${raw.count()}")
+
+    // 0. web pages in, prose out — the real entry point of a web
+    //    corpus is markup, so re-wrap the text as a page and strip it
+    val pages = raw.withColumn("html", concat(
+      lit("<html><head><script>var x = 1;</script></head><body><h1>Doc "),
+      col("doc_id"), lit("</h1><p>"), col("text"),
+      lit("</p></body></html>")))
+    val docs = stage("0 stripHtml") {
+      pages
+        .withColumn("text",
+          regexp_replace(TextNorm.stripHtml(col("html")), "\n", " "))
+        .drop("html").localCheckpoint()
+    }
+    println(s"CURATE after html strip = ${docs.count()}")
 
     // 1. crawl hygiene: synthesize per-doc URLs, drop blocked domains
     val withUrls = docs.withColumn("url",
@@ -43,6 +58,18 @@ object CurationDemo {
     }
     println(s"CURATE after blocklist = ${afterBlock.count()}")
 
+    // 1b. robots.txt compliance: every host serves the same policy
+    //     here — paths under /d/1 are off limits (ids 1, 1x, 1xx…)
+    val robotsFrame = afterBlock
+      .select(Web.host(col("url")).as("host")).distinct()
+      .withColumn("body", lit("User-agent: *\nDisallow: /d/1\n"))
+    val afterRobots = stage("1b robots gate") {
+      Robots.gateUrls(afterBlock, "url", robotsFrame, "host", "body")
+        .filter(col("crawl_allowed")).drop("crawl_allowed")
+        .localCheckpoint()
+    }
+    println(s"CURATE after robots = ${afterRobots.count()}")
+
     // 2. classifier gate: train on the 'mentions spark' signal, keep
     //    docs the model scores >= 0.5 (the fastText-style filter)
     val len = length(col("text"))
@@ -53,12 +80,12 @@ object CurationDemo {
       len - length(expr("replace(text, 'spark', '')")) > 0, 1.0)
       .otherwise(0.0)
     val (model, afterGate) = stage("2 train + gate") {
-      val m = LogReg.train(afterBlock, feats, label, lr = 0.5, iters = 5)
-      (m, LogReg.gate(afterBlock, feats, m, minProb = 0.5).localCheckpoint())
+      val m = LogReg.train(afterRobots, feats, label, lr = 0.5, iters = 5)
+      (m, LogReg.gate(afterRobots, feats, m, minProb = 0.5).localCheckpoint())
     }
     println(f"CURATE train acc = ${model.accuracy}%.3f; " +
       s"after gate = ${afterGate.count()}")
-    val aucRow = Eval.binaryAuc(afterBlock, nt.cast("double"), label).head()
+    val aucRow = Eval.binaryAuc(afterRobots, nt.cast("double"), label).head()
     println(f"CURATE gate signal AUC = ${aucRow.getDouble(0)}%.3f")
 
     // 3. C4 cross-corpus line dedup (line granularity boilerplate kill)
@@ -79,7 +106,8 @@ object CurationDemo {
     val prepared = stage("4 normalize + DocPipeline.prepare") {
       DocPipeline.prepare(
         afterLines.withColumn("text", TextNorm.normalizeForDedup(col("text"))),
-        minWords = 10, minhashK = 8, bands = 4, tau = 0.8)
+        minWords = 10, minhashK = 8, bands = 4, tau = 0.8,
+        blockPhrases = Seq("key order sort"))
         .localCheckpoint()
     }
     println(s"CURATE after near-dup = ${prepared.count()}")
