@@ -156,6 +156,34 @@ object CorpusScaleDemo {
         "doc_id", "toks", "bin_id", Seq("lang"))
         .agg(sum("n_tokens")).collect()
     }
+    // late-round-11 kernels at the same corpus size — all map-only
+    // except the KN LM (count tables broadcast back)
+    ScaleDemo.time("phraseCounts 5k-phrase Aho-Corasick") {
+      val dict = (0 until 5000).map(i =>
+        s"w${i % 1000} w${(i * 7 + i / 1000) % 1000}") // 5k distinct real pairs
+      docs.select(sum(graft.ext.PhraseMatch.totalCount(col("text"), dict)))
+        .collect()
+    }
+    ScaleDemo.time("unigramScore demo table") {
+      docs.select(sum(graft.ext.Unigram
+        .score(col("text"), graft.ext.Unigram.demoPieces).getField("cost")))
+        .collect()
+    }
+    ScaleDemo.time("stripHtml (wrapped corpus)") {
+      docs.select(sum(length(graft.ext.TextNorm.stripHtml(
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>var x;</script></body></html>")))))).collect()
+    }
+    ScaleDemo.time("sentences + lexicalStats") {
+      docs.select(sum(size(graft.ext.TextAnalysis.sentences(col("text")))))
+        .collect()
+      graft.ext.TextAnalysis.lexicalStats(docs, "doc_id", "text")
+        .agg(sum("entropy_e6")).collect()
+    }
+    ScaleDemo.time("bigramLogProbKN") {
+      graft.ext.TextAnalysis.bigramLogProbKN(docs, "doc_id", "text")
+        .agg(sum("lp_e6")).collect()
+    }
     spark.stop()
   }
 }
