@@ -108,6 +108,77 @@ object UnigramLoops {
     }
   }
 
+  /** Forward-backward EXPECTED piece counts over one word — the exact
+    * E-step of Kudo 2018 (vs [[viterbi]]'s hard assignment): with
+    * p(piece) = e^(−cost), α[i] = Σ_k α[i−k]·p(w[i−k..i]) sums every
+    * segmentation of the prefix, β mirrors it for suffixes, and the
+    * expected number of times a piece occurrence (i−k, i) is used is
+    * α[i−k]·p·β[i]/α[n]. Each expectation is FLOOR-PINNED to integer
+    * millionths per (word, occurrence-position) — corpus aggregation
+    * then sums freq-weighted INTEGERS, so distributed training stays
+    * partitioning-independent (the lp_e6 discipline applied to EM).
+    * Fixed iteration order makes the doubles per-row deterministic;
+    * 12-char words with costs ≤ 8 keep α ≥ e⁻⁹⁶ — no underflow. */
+  def expectedCounts(w: String, costs: java.util.HashMap[String, java.lang.Double],
+                     maxLen: Int,
+                     out: java.util.LinkedHashMap[String, java.lang.Long]): Unit = {
+    val n = w.length
+    if (n == 0) return
+    def pieceP(i: Int, k: Int): Double = {
+      val s = w.substring(i - k, i)
+      val c = costs.get(s)
+      if (c != null) math.exp(-c.doubleValue())
+      else if (k == 1) math.exp(-UnkCost)
+      else 0.0
+    }
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0; beta(n) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var k = 1
+      val kMax = math.min(maxLen, i)
+      while (k <= kMax) { s += alpha(i - k) * pieceP(i, k); k += 1 }
+      alpha(i) = s
+      i += 1
+    }
+    i = n - 1
+    while (i >= 0) {
+      var s = 0.0
+      var k = 1
+      val kMax = math.min(maxLen, n - i)
+      while (k <= kMax) {
+        // piece spanning (i, i+k): pieceP indexes by END position
+        s += pieceP(i + k, k) * beta(i + k)
+        k += 1
+      }
+      beta(i) = s
+      i -= 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0) return // unsegmentable (cannot happen with chars+unk)
+    i = 1
+    while (i <= n) {
+      var k = 1
+      val kMax = math.min(maxLen, i)
+      while (k <= kMax) {
+        val p = pieceP(i, k)
+        if (p > 0.0) {
+          val e = alpha(i - k) * p * beta(i) / z
+          val w6 = math.floor(e * 1000000.0 + 0.5).toLong
+          if (w6 > 0) {
+            val piece = w.substring(i - k, i)
+            val prev = out.get(piece)
+            out.put(piece, if (prev == null) w6 else prev.longValue() + w6)
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+  }
+
   private def eachWord(text: String)(f: String => Unit): Unit = {
     var i = 0
     val n = text.length
@@ -150,6 +221,41 @@ object UnigramLoops {
     eachWord(text) { w => viterbi(w, costs, maxLen, null, cc); n += cc(1).toLong }
     n
   }
+}
+
+/** array<struct<piece, w6>>: forward-backward expected piece counts of
+  * ONE WORD in integer millionths ([[UnigramLoops.expectedCounts]]) —
+  * the full-EM E-step kernel. Input is a single word (the trainer's
+  * vocabulary rows), not whitespace text. */
+case class UnigramExpCountsExpr(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("w6", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "unigram_exp_counts"
+
+  @transient private lazy val costs = UnigramLoops.buildCosts(pieces)
+  @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val out = new java.util.LinkedHashMap[String, java.lang.Long]()
+    UnigramLoops.expectedCounts(
+      v.asInstanceOf[UTF8String].toString, costs, maxLen, out)
+    val arr = new Array[Any](out.size)
+    val it = out.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue.longValue())
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramExpCountsExpr =
+    copy(child = newChild)
 }
 
 /** struct<cost:double, n_pieces:bigint> — total Viterbi cost and piece
@@ -259,7 +365,33 @@ object Unigram {
     * Returns (piece, cost) sorted by (cost asc, piece asc). */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
             maxPieceLen: Int = 4, seedSize: Int = 2000,
-            emIters: Int = 2, pruneFrac: Double = 0.25): Seq[(String, Double)] = {
+            emIters: Int = 2, pruneFrac: Double = 0.25): Seq[(String, Double)] =
+    trainLoop(docs, textCol, vocabSize, maxPieceLen, seedSize, emIters,
+      pruneFrac, fullEM = false)
+
+  /** [[train]] with the EXACT E-step — forward-backward expected counts
+    * over every segmentation (Kudo 2018's EM proper) instead of
+    * Viterbi-best hard counts. Expectations are floor-pinned to integer
+    * millionths per (word, occurrence) before the freq-weighted corpus
+    * sum ([[UnigramLoops.expectedCounts]]), so full-EM training is as
+    * partitioning-independent as the hard variant. Soft counts let
+    * plausible-but-not-best pieces retain mass through early rounds —
+    * the reason SentencePiece ships EM rather than hard-EM. */
+  def trainEM(docs: DataFrame, textCol: String, vocabSize: Int,
+              maxPieceLen: Int = 4, seedSize: Int = 2000,
+              emIters: Int = 2, pruneFrac: Double = 0.25): Seq[(String, Double)] =
+    trainLoop(docs, textCol, vocabSize, maxPieceLen, seedSize, emIters,
+      pruneFrac, fullEM = true)
+
+  /** Per-word expected piece counts (integer millionths) — the full-EM
+    * E-step column; input is ONE word, not whitespace text. */
+  def expCounts(word: Column, pieces: Seq[(String, Double)]): Column =
+    bridge.column(UnigramExpCountsExpr(bridge.expression(word), pieces))
+
+  private def trainLoop(docs: DataFrame, textCol: String, vocabSize: Int,
+                        maxPieceLen: Int, seedSize: Int,
+                        emIters: Int, pruneFrac: Double,
+                        fullEM: Boolean): Seq[(String, Double)] = {
     require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
     require(maxPieceLen >= 1, s"maxPieceLen=$maxPieceLen must be >= 1")
     require(seedSize >= vocabSize, s"seedSize=$seedSize must be >= vocabSize=$vocabSize")
@@ -288,17 +420,32 @@ object Unigram {
     }
     var table = toCosts((chars ++ multis).toSeq)
     val charSet = chars.map(_._1).toSet
-    // one hard-EM pass: freq-weighted Viterbi piece counts over the
-    // vocab, single chars kept alive with add-half smoothing
+    // one EM pass: freq-weighted piece counts over the vocab — hard
+    // (Viterbi tokens, integer counts) or full (forward-backward
+    // expectations, integer millionths); single chars kept alive with
+    // add-half smoothing in the matching unit
     var emCounts: Map[String, Double] = Map.empty
     def emPass(t: Seq[(String, Double)]): Seq[(String, Double)] = {
-      val used = words
-        .select(col("_f"), explode(tokens(col("_w"), t)).as("_p"))
-        .groupBy(col("_p")).agg(sum(col("_f")).as("_c"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-      val total = used.values.sum.toDouble + 0.5 * charSet.size
+      val (used, half) =
+        if (fullEM) {
+          val u = words
+            .select(col("_f"), explode(expCounts(col("_w"), t)).as("_e"))
+            .groupBy(col("_e.piece").as("_p"))
+            .agg(sum(col("_e.w6") * col("_f")).as("_c"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          (u, 1000000L) // half a count in the e6 unit, doubled below
+        } else {
+          val u = words
+            .select(col("_f"), explode(tokens(col("_w"), t)).as("_p"))
+            .groupBy(col("_p")).agg(sum(col("_f")).as("_c"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          (u, 1L) // add-half at integer-count granularity → use +1/2 via doubling
+        }
+      // work in doubled units so the half-smoothing stays integral
+      val total = 2.0 * used.values.sum.toDouble + half.toDouble * charSet.size
       val kept = t.flatMap { case (p, _) =>
-        val c = used.getOrElse(p, 0L).toDouble + (if (p.length == 1) 0.5 else 0.0)
+        val c = 2.0 * used.getOrElse(p, 0L).toDouble +
+          (if (p.length == 1) half.toDouble else 0.0)
         if (c > 0) Some((p, -math.log(c / total), c)) else None
       }
       emCounts = kept.map(k => (k._1, k._3)).toMap

@@ -155,6 +155,48 @@ class UnigramSpec extends SparkTestBase {
     assert(t1 === t2)
   }
 
+  test("expectedCounts: hand-computed forward-backward on 'ab'") {
+    // pieces: p(a)=p(b)=1/4, p(ab)=1/2 → segmentations [ab]: 1/2,
+    // [a,b]: 1/16; α₂ = 9/16, E(ab) = 8/9, E(a) = E(b) = 1/9
+    val t = Seq("a" -> -math.log(0.25), "b" -> -math.log(0.25),
+      "ab" -> -math.log(0.5))
+    val rows = spark.createDataset(Seq("ab"))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("w")
+      .select(explode(Unigram.expCounts(col("w"), t)).as("e"))
+      .select(col("e.piece"), col("e.w6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w6(e: Double): Long = math.floor(e * 1e6 + 0.5).toLong
+    assert(rows("ab") === w6(8.0 / 9.0))
+    assert(rows("a") === w6(1.0 / 9.0))
+    assert(rows("b") === w6(1.0 / 9.0))
+    // expectations of a word sum to (expected segmentation length)·1e6
+    // only approximately after flooring; exact per-piece values above
+  }
+
+  test("expectedCounts: unsegmentable chars fall back to UnkCost; Viterbi-consistent support") {
+    val t = Seq("a" -> 1.0)
+    val rows = spark.createDataset(Seq("a#"))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("w")
+      .select(explode(Unigram.expCounts(col("w"), t)).as("e"))
+      .select(col("e.piece"), col("e.w6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only one segmentation exists → both pieces have expectation 1.0
+    assert(rows === Map("a" -> 1000000L, "#" -> 1000000L))
+  }
+
+  test("trainEM: deterministic, partitioning-independent, learns multi-char pieces") {
+    val a = Unigram.trainEM(corpus, "text", vocabSize = 18, seedSize = 50, emIters = 2)
+    val b = Unigram.trainEM(corpus.repartition(7), "text", vocabSize = 18,
+      seedSize = 50, emIters = 2)
+    assert(a === b)
+    assert(a.exists(_._1.length > 1))
+    val chars = a.filter(_._1.length == 1)
+    def total(tab: Seq[(String, Double)]): Double =
+      corpus.select(sum(Unigram.score(col("text"), tab).getField("cost")))
+        .head().getDouble(0)
+    assert(total(a) <= total(chars) + 1e-9)
+  }
+
   test("random tables: kernel ≡ exhaustive reference (differential)") {
     val rng = new scala.util.Random(42)
     val alphabet = "abcd"
