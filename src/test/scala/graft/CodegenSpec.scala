@@ -122,4 +122,25 @@ class CodegenSpec extends SparkTestBase {
     assert(oneShot.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
       composed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
+
+  test("round-11 late-wave kernels compile (unigram, phrase, bpe, robots)") {
+    val docs = Seq((1L, "the data join table scan"),
+      (2L, "sort merge order by")).toDF("doc_id", "text")
+    val phrases = Seq("the", "table scan", "order")
+    val df = docs.select(
+      col("doc_id"),
+      graft.ext.Unigram.score(col("text"), graft.ext.Unigram.demoPieces).as("us"),
+      graft.ext.Unigram.tokenCount(col("text"), graft.ext.Unigram.demoPieces).as("uc"),
+      graft.ext.PhraseMatch.counts(col("text"), phrases).as("pc"),
+      graft.ext.PhraseMatch.containsAny(col("text"), phrases).as("pa"),
+      graft.ext.Bpe.tokenCount(col("text"), graft.ext.Bpe.demoMerges).as("bc"))
+    assertCompiles(df, "late-wave-kernels")
+    val robots = Seq(("h.com", "User-agent: *\nDisallow: /x/\n"))
+      .toDF("host", "body")
+    val rdf = robots.select(
+      graft.ext.Robots.rulesFor(col("body"), "*").as("r"))
+      .select(graft.ext.Robots.allowedBy(col("r"), lit("/x/page")).as("a"))
+    assertCompiles(rdf, "robots-kernels")
+    assert(rdf.head().getBoolean(0) === false)
+  }
 }
