@@ -5859,6 +5859,45 @@ ORDER BY feature"""
              |  FILTER (WHERE kept), '') AS text_kept
              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // sentence-granularity cross-corpus dedup (Dedup.sentenceDedup):
+    // periods planted by replace; a boilerplate sentence planted on %5
+    // docs dedups to its first holder; twin = the q_line_dedup
+    // first-occurrence SQL over the sentence segmentation ─────────────
+    QueryDef(
+      "q_sentence_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("t2", concat(
+            replace(col("text"), lit(" the "), lit(". The ")), lit("."),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit(" This site uses cookies.")).otherwise(lit(""))))
+        graft.ext.Dedup.sentenceDedup(docs, "doc_id", "t2")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  replace(text, ' the ', '. The ') || '.' ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN ' This site uses cookies.'
+             |        ELSE '' END) AS x FROM documents),
+             |sl AS (SELECT doc_id, list_filter(list_transform(
+             |  regexp_extract_all(x, '[^.!?]+[.!?]+|[^.!?]+'),
+             |  s -> trim(s)), s -> s <> '') AS ls FROM u),
+             |l2 AS (SELECT doc_id,
+             |  CAST(unnest(range(0, len(ls))) AS INT) AS pos, ls FROM sl),
+             |l3 AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM l2),
+             |dd AS (SELECT doc_id, pos,
+             |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+             |    AS rn FROM l3 WHERE length(line) >= 1),
+             |k AS (SELECT l3.doc_id, l3.pos, l3.line,
+             |  (length(l3.line) < 1 OR dd.rn = 1) AS kept
+             |  FROM l3 LEFT JOIN dd
+             |  ON dd.doc_id = l3.doc_id AND dd.pos = l3.pos)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+             |CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             |  AS n_dropped,
+             |coalesce(string_agg(line, ' ' ORDER BY pos)
+             |  FILTER (WHERE kept), '') AS text_kept
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef(
       "q_c4_lines",
       (s, d) => {

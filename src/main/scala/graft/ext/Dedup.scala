@@ -610,10 +610,36 @@ object Dedup {
     * rebuilds the text — no join of the corpus against itself, text
     * crosses the wire once per stage. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                minChars: Int = 1): DataFrame = {
+                minChars: Int = 1): DataFrame =
+    unitDedup(df, idCol, split(col(textCol), "\r?\n"), minChars,
+      joiner = "\n", countCol = "n_lines")
+
+  /** Cross-corpus SENTENCE dedup — [[lineDedup]] at sentence
+    * granularity: the corpus-wide first occurrence (min (doc,
+    * position)) of each distinct sentence survives, later copies are
+    * cut, documents reassembled space-joined. Catches boilerplate
+    * sentences web pages repeat WITHOUT newline structure (inline
+    * disclaimers, cookie prompts flowed into paragraphs), which
+    * line-granularity dedup never splits apart. Segmentation is
+    * [[TextAnalysis.sentences]]; returns (idCol, n_sents, n_dropped,
+    * text_kept). Same scale shape as [[lineDedup]]: one md5-keyed
+    * winner aggregation + one doc-keyed reassembly, text shuffled
+    * only as its sentence units. */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
+                    minChars: Int = 1): DataFrame =
+    unitDedup(df, idCol, TextAnalysis.sentences(col(textCol)), minChars,
+      joiner = " ", countCol = "n_sents")
+
+  /** Shared first-occurrence unit-dedup engine ([[lineDedup]] /
+    * [[sentenceDedup]]): winner per distinct unit = min (doc, pos);
+    * sub-`minChars` units are kept verbatim (too short to be
+    * meaningful boilerplate), never deduped. */
+  private def unitDedup(df: DataFrame, idCol: String, unitsCol: Column,
+                        minChars: Int, joiner: String,
+                        countCol: String): DataFrame = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
+      posexplode(unitsCol).as(Seq("pos", "line")))
     val winners = lines.filter(length(col("line")) >= minChars)
       .select(md5(col("line").cast("binary")).as("_h"),
         struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))
@@ -634,10 +660,10 @@ object Dedup {
         array_sort(collect_list(when(col("line").isNotNull,
           struct(col("pos"), col("line"))))).as("_ls"))
       .select(col(idCol),
-        size(col("_ls")).cast("long").as("n_lines"),
+        size(col("_ls")).cast("long").as(countCol),
         size(filter(col("_ls"), l => !keep(l))).cast("long").as("n_dropped"),
         array_join(transform(filter(col("_ls"), keep(_)),
-          _.getField("line")), "\n").as("text_kept"))
+          _.getField("line")), joiner).as("text_kept"))
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,

@@ -345,6 +345,23 @@ class CorpusSpec extends SparkTestBase {
     assert(re == out)
   }
 
+  test("sentenceDedup: first sentence occurrence wins across docs, space reassembly") {
+    val d = Seq(
+      (1L, "Alpha one. Boiler plate here! Beta two."),
+      (2L, "Boiler plate here! Gamma three. Alpha one."), // both dups cut
+      (3L, "Boiler plate here!")                          // fully deduped
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.sentenceDedup(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, "Alpha one. Boiler plate here! Beta two."),
+      (2L, 3L, 2L, "Gamma three."),
+      (3L, 1L, 1L, "")))
+    val re = graft.ext.Dedup.sentenceDedup(d.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(re == out)
+  }
+
   test("lineDedup: CRLF line endings dedupe against LF lines") {
     val d = Seq((1L, "alpha\nbeta"), (2L, "alpha\r\ngamma"))
       .toDF("doc_id", "text")
