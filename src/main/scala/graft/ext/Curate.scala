@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The standard curation recipe as ONE library call — the stage order
+  * the individual operators are designed to compose in (and the
+  * CurationDemo walks through), so a user gets the whole web-corpus
+  * funnel without re-deriving the sequencing:
+  *
+  *   1. HTML → prose ([[TextNorm.stripHtml]], when `htmlInput`)
+  *   2. domain blocklist ([[Web.blockByDomain]], when `urlCol` set)
+  *   3. robots.txt compliance ([[Robots.gateUrls]], when provided)
+  *   4. line and/or sentence boilerplate dedup ([[Dedup.lineDedup]] /
+  *      [[Dedup.sentenceDedup]] — first occurrence keeps its text)
+  *   5. quality gates + phrase blocklist + exact + verified MinHash
+  *      near-dup ([[DocPipeline.prepare]], one plan)
+  *   6. benchmark decontamination ([[Corpus.bloomDecontaminate]],
+  *      when a benchmark frame is provided)
+  *
+  * Every stage is the library operator documented at its own site —
+  * this object adds ORDER, not semantics. Scale shape is the sum of
+  * its parts: map-only gates, short-key shuffles, text shuffled only
+  * as dedup units. Returns the surviving rows with `n_words` and
+  * `lang_pred` appended (the [[DocPipeline.prepare]] contract). */
+object Curate {
+
+  /** Knobs for [[run]] — defaults give gate-light curation: no URL
+    * stages (no `urlCol`), no boilerplate dedup, near-dup on. */
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      htmlInput: Boolean = false,
+      urlCol: Option[String] = None,
+      blockedDomains: Seq[String] = Nil,
+      robots: Option[DataFrame] = None, // (host, body) frame
+      robotsAgent: String = "*",
+      lineDedup: Boolean = false,
+      sentenceDedup: Boolean = false,
+      minWords: Long = 30,
+      maxTopTokenFrac: Double = 1.0,
+      maxDupBigramFrac: Double = 1.0,
+      blockPhrases: Seq[String] = Nil,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8,
+      transitive: Boolean = false,
+      benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
+      decontaminateN: Int = 13)
+
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    require(cfg.blockedDomains.isEmpty || cfg.urlCol.nonEmpty,
+      "blockedDomains needs urlCol")
+    require(cfg.robots.isEmpty || cfg.urlCol.nonEmpty, "robots needs urlCol")
+    val id = cfg.idCol
+    val text = cfg.textCol
+
+    // 1. markup off first — every later gate sees prose
+    val prose =
+      if (!cfg.htmlInput) docs
+      else docs.withColumn(text,
+        regexp_replace(TextNorm.stripHtml(col(text)), "\n", " "))
+
+    // 2-3. URL hygiene
+    val afterDomains = cfg.urlCol match {
+      case Some(u) if cfg.blockedDomains.nonEmpty =>
+        Web.blockByDomain(prose, u, id, cfg.blockedDomains)
+      case _ => prose
+    }
+    val afterRobots = (cfg.urlCol, cfg.robots) match {
+      case (Some(u), Some(rb)) =>
+        Robots.gateUrls(afterDomains, u, rb, "host", "body", cfg.robotsAgent)
+          .filter(col("crawl_allowed")).drop("crawl_allowed")
+      case _ => afterDomains
+    }
+
+    // 4. boilerplate units: first occurrence keeps its text
+    def rejoin(df: DataFrame, deduped: DataFrame): DataFrame =
+      df.drop(text).join(
+        deduped.select(col(id), coalesce(col("text_kept"), lit("")).as(text)),
+        Seq(id))
+    val afterLines =
+      if (!cfg.lineDedup) afterRobots
+      else rejoin(afterRobots, Dedup.lineDedup(afterRobots, id, text))
+    val afterSents =
+      if (!cfg.sentenceDedup) afterLines
+      else rejoin(afterLines, Dedup.sentenceDedup(afterLines, id, text))
+
+    // 5. gates + exact + near-dup, one plan
+    val prepared = DocPipeline.prepare(afterSents, id, text,
+      minWords = cfg.minWords, minhashK = cfg.minhashK, bands = cfg.bands,
+      tau = cfg.tau, transitive = cfg.transitive,
+      maxTopTokenFrac = cfg.maxTopTokenFrac,
+      maxDupBigramFrac = cfg.maxDupBigramFrac,
+      blockPhrases = cfg.blockPhrases)
+
+    // 6. benchmark decontamination
+    cfg.benchmark match {
+      case Some(b) =>
+        Corpus.bloomDecontaminate(prepared, b, id, text, n = cfg.decontaminateN)
+      case None => prepared
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curate, Dedup}
+
+/** The one-call curation facade: each configured stage must observably
+  * act on a planted fixture, and the default config must reduce to the
+  * bare DocPipeline.prepare result. */
+class CurateSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def filler(tag: String) =
+    Array.tabulate(40)(i => s"$tag${i}x").mkString(" ")
+
+  test("default config ≡ DocPipeline.prepare") {
+    val docs = Seq(
+      (1L, filler("a")), (2L, filler("b")), (3L, filler("a"))).toDF("doc_id", "text")
+    val a = Curate.run(docs, Curate.Config(minWords = 10))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = graft.ext.DocPipeline.prepare(docs, minWords = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a === Seq(1L, 2L)) // exact dup 3 collapsed into 1
+  }
+
+  test("every stage acts: html, domains, robots, sentence dedup, phrases, decontamination") {
+    val base = (1L to 8L).map { i =>
+      val url = s"https://h${i % 2}.example/p/$i"
+      (i, url, s"<p>${filler(s"d$i")}</p>")
+    }.toDF("doc_id", "url", "html")
+      .withColumn("text", col("html"))
+    val robots = Seq(("h0.example", "User-agent: *\nDisallow: /p/4\n"))
+      .toDF("host", "body")
+    val bench = Seq((99L, filler("d7"))).toDF("doc_id", "text")
+    val cfg = Curate.Config(
+      htmlInput = true,
+      urlCol = Some("url"),
+      blockedDomains = Seq("h1.example"),      // drops odd ids (1,3,5,7)
+      robots = Some(robots),                   // drops id 4 (/p/4 on h0)
+      sentenceDedup = true,                    // no-op here (all distinct)
+      blockPhrases = Seq("d610x d611x"),       // two adjacent tokens of doc 6
+      minWords = 10,
+      benchmark = Some(bench))                 // would drop 7 — already domain-blocked
+    val kept = Curate.run(base, cfg).select("doc_id").as[Long].collect().sorted
+    // survivors: even ids minus robots-blocked 4 minus phrase-blocked 6
+    assert(kept.toSeq === Seq(2L, 8L))
+    // html actually stripped: surviving text carries no markup
+    val texts = Curate.run(base, cfg).select("text").as[String].collect()
+    assert(texts.forall(t => !t.contains("<p>") && !t.contains("</p>")))
+  }
+
+  test("sentence dedup stage feeds the pipeline: boilerplate cut before near-dup") {
+    val boiler = "This site uses cookies and trackers everywhere always."
+    val docs = Seq(
+      (1L, s"${filler("p")}. $boiler"),
+      (2L, s"${filler("q")}. $boiler"),
+      (3L, s"${filler("r")}. $boiler")).toDF("doc_id", "text")
+    val out = Curate.run(docs,
+      Curate.Config(sentenceDedup = true, minWords = 10))
+    val texts = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts.keySet === Set(1L, 2L, 3L))
+    assert(texts(1L).contains("cookies"))           // first holder keeps it
+    assert(!texts(2L).contains("cookies") && !texts(3L).contains("cookies"))
+    // parity with calling the operator directly then preparing
+    val manual = graft.ext.DocPipeline.prepare(
+      docs.drop("text").join(
+        Dedup.sentenceDedup(docs, "doc_id", "text")
+          .select(col("doc_id"), coalesce(col("text_kept"), lit("")).as("text")),
+        Seq("doc_id")),
+      minWords = 10)
+    assert(out.select("doc_id", "text").collect().toSet ===
+      manual.select("doc_id", "text").collect().toSet)
+  }
+}
