@@ -4967,6 +4967,34 @@ ORDER BY feature"""
              |FROM b WHERE hom = 1 GROUP BY s, brk HAVING count(*) >= 3
              |ORDER BY sample_idx, start_pos""".stripMargin)),
 
+    // Mendelian-error scan (Stats.mendelErrors) over four derived
+    // trios: per variant, fully-called trio count and impossible-
+    // transmission count. Twin rebuilds each sample's allele pair from
+    // the gt derivation arithmetic and replays the same unphased
+    // membership test ─────────────────────────────────────────────────
+    QueryDef(
+      "q_gt_mendel",
+      (s, d) =>
+        graft.operators.Stats.mendelErrors(gtTable(s, d), "gt", "vid",
+            Seq((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)))
+          .orderBy(col("vid")),
+      Some(s"""WITH g AS ($duckGt),
+             |t(c, f, m) AS (VALUES (0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)),
+             |e AS (SELECT vid, gt[c+1] AS ch, gt[f+1] AS fa, gt[m+1] AS mo
+             |  FROM g, t),
+             |x AS (SELECT vid,
+             |  CASE WHEN list_contains(ch, -1) OR list_contains(fa, -1)
+             |         OR list_contains(mo, -1) THEN 0 ELSE 1 END AS chk,
+             |  CASE WHEN list_contains(ch, -1) OR list_contains(fa, -1)
+             |         OR list_contains(mo, -1) THEN 0
+             |       WHEN (list_contains(fa, ch[1]) AND list_contains(mo, ch[2]))
+             |         OR (list_contains(fa, ch[2]) AND list_contains(mo, ch[1]))
+             |       THEN 0 ELSE 1 END AS err
+             |  FROM e)
+             |SELECT vid, CAST(sum(chk) AS BIGINT) AS n_checked,
+             |CAST(sum(err) AS BIGINT) AS n_errors
+             |FROM x GROUP BY vid ORDER BY vid""".stripMargin)),
+
     QueryDef(
       "q_gt_sfs",
       (s, d) => {

@@ -1093,6 +1093,39 @@ object Stats {
         col("n_sites"))
   }
 
+  /** Mendelian-error scan over family trios — the plink `--mendel`
+    * family QC: per variant, how many (child, father, mother) trios
+    * were fully called and how many of those are IMPOSSIBLE under
+    * Mendelian transmission (no assignment of one child allele to each
+    * parent's genotype exists — unphased diploid: {c₁,c₂} valid iff
+    * c₁∈F ∧ c₂∈M or c₂∈F ∧ c₁∈M, multiset membership). Excess errors
+    * flag genotyping artifacts or sample swaps; trios with any missing
+    * call are skipped, not counted.
+    *
+    * Scale shape: the trio list is study metadata (driver-side, tiny)
+    * compiled into the projection — per variant the check is map-only
+    * array arithmetic, no shuffle, no explode. Returns (vid, per-trio
+    * sums): (posCol, n_checked, n_errors). */
+  def mendelErrors(df: DataFrame, gtCol: String, posCol: String,
+                   trios: Seq[(Int, Int, Int)]): DataFrame = {
+    require(trios.nonEmpty, "empty trio list")
+    val cells = trios.map { case (c, f, m) =>
+      val ch = element_at(col(gtCol), c + 1)
+      val fa = element_at(col(gtCol), f + 1)
+      val mo = element_at(col(gtCol), m + 1)
+      val called = !(array_contains(ch, -1) || array_contains(fa, -1) ||
+        array_contains(mo, -1))
+      val c1 = element_at(ch, 1)
+      val c2 = element_at(ch, 2)
+      val ok = (array_contains(fa, c1) && array_contains(mo, c2)) ||
+        (array_contains(fa, c2) && array_contains(mo, c1))
+      (called.cast("long"), (called && !ok).cast("long"))
+    }
+    df.select(col(posCol),
+      cells.map(_._1).reduce(_ + _).as("n_checked"),
+      cells.map(_._2).reduce(_ + _).as("n_errors"))
+  }
+
   /** Composite per-sample QC report — the plink `--missing` +
     * `--het` + singleton-count sweep in ONE pass: per sample,
     * callability (n_called / n_sites), heterozygosity among called

@@ -200,6 +200,26 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.ldPairs(df, "gt", "pos", 5L).count() === 0L)
   }
 
+  test("mendelErrors: hand trios — consistent, impossible, and skipped-missing") {
+    import spark.implicits._
+    // samples: 0=child 1=father 2=mother
+    val df = Seq(
+      // child 0/1, father 0/0, mother 1/1 → consistent
+      (1L, Seq(Seq(0, 1), Seq(0, 0), Seq(1, 1))),
+      // child 1/1, father 0/0, mother 1/1 → father can't give a 1
+      (2L, Seq(Seq(1, 1), Seq(0, 0), Seq(1, 1))),
+      // child 0/0, father 1/1, mother 0/1 → error (father gives only 1)
+      (3L, Seq(Seq(0, 0), Seq(1, 1), Seq(0, 1))),
+      // father missing → skipped entirely
+      (4L, Seq(Seq(0, 1), Seq(-1, -1), Seq(1, 1))),
+      // hom child needs the allele from BOTH parents: 0/0 with 0/1 + 0/1 ok
+      (5L, Seq(Seq(0, 0), Seq(0, 1), Seq(0, 1)))).toDF("pos", "gt")
+    val out = Stats.mendelErrors(df, "gt", "pos", Seq((0, 1, 2)))
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 0L, 0L), (5L, 1L, 0L)))
+  }
+
   test("rohRuns: hand-planted runs break on het AND missing, minSites gates") {
     import spark.implicits._
     // sample 0 track over 8 sites: hom hom hom HET hom MISS hom hom
