@@ -614,6 +614,18 @@ object Dedup {
     unitDedup(df, idCol, split(col(textCol), "\r?\n"), minChars,
       joiner = "\n", countCol = "n_lines")
 
+  /** [[lineDedup]] with winner election SCOPED: a line is boilerplate
+    * only when repeated within the same `scopeCols` group (the
+    * per-SITE template-removal semantics of C4/CCNet — navigation
+    * chrome repeats within a host; the same sentence on two unrelated
+    * sites is coincidence, not boilerplate). The corpus-wide form is
+    * `scopeCols = Nil` ≡ [[lineDedup]]. Scale shape unchanged — the
+    * winner key becomes (scope, line-hash). */
+  def lineDedupScoped(df: DataFrame, idCol: String, textCol: String,
+                      scopeCols: Seq[String], minChars: Int = 1): DataFrame =
+    unitDedup(df, idCol, split(col(textCol), "\r?\n"), minChars,
+      joiner = "\n", countCol = "n_lines", scopeCols = scopeCols)
+
   /** Cross-corpus SENTENCE dedup — [[lineDedup]] at sentence
     * granularity: the corpus-wide first occurrence (min (doc,
     * position)) of each distinct sentence survives, later copies are
@@ -636,14 +648,17 @@ object Dedup {
     * meaningful boilerplate), never deduped. */
   private def unitDedup(df: DataFrame, idCol: String, unitsCol: Column,
                         minChars: Int, joiner: String,
-                        countCol: String): DataFrame = {
+                        countCol: String,
+                        scopeCols: Seq[String] = Nil): DataFrame = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
-    val lines = df.select(col(idCol),
-      posexplode(unitsCol).as(Seq("pos", "line")))
+    val lines = df.select(
+      (col(idCol) +: scopeCols.map(col)) :+
+        posexplode(unitsCol).as(Seq("pos", "line")): _*)
     val winners = lines.filter(length(col("line")) >= minChars)
-      .select(md5(col("line").cast("binary")).as("_h"),
-        struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))
-      .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
+      .select((md5(col("line").cast("binary")).as("_h") +:
+        scopeCols.map(col)) :+
+        struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"): _*)
+      .groupBy(col("_h") +: scopeCols.map(col): _*).agg(min(col("_w")).as("_w"))
       .select(col("_w._wid").as(idCol), col("_w._wpos").as("_wpos"))
     val unioned = lines
       .select(col(idCol), col("pos"), col("line"),

@@ -362,6 +362,26 @@ class CorpusSpec extends SparkTestBase {
     assert(re == out)
   }
 
+  test("lineDedupScoped: boilerplate cut within a host, kept across hosts") {
+    val d = Seq(
+      (1L, "hA", "nav menu\nalpha"),
+      (2L, "hA", "nav menu\nbeta"),   // same host → nav cut
+      (3L, "hB", "nav menu\ngamma")   // other host → its own first copy kept
+    ).toDF("doc_id", "host", "text")
+    val scoped = graft.ext.Dedup.lineDedupScoped(d, "doc_id", "text", Seq("host"))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(scoped == Seq(
+      (1L, 2L, 0L, "nav menu\nalpha"),
+      (2L, 2L, 1L, "beta"),
+      (3L, 2L, 0L, "nav menu\ngamma")))
+    // empty scope ≡ corpus-wide lineDedup
+    val global = graft.ext.Dedup.lineDedupScoped(d, "doc_id", "text", Nil)
+      .orderBy("doc_id").collect().toSeq
+    val plain = graft.ext.Dedup.lineDedup(d, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(global == plain)
+  }
+
   test("lineDedup: CRLF line endings dedupe against LF lines") {
     val d = Seq((1L, "alpha\nbeta"), (2L, "alpha\r\ngamma"))
       .toDF("doc_id", "text")
