@@ -4940,40 +4940,13 @@ ORDER BY feature"""
     // ── 95a3. folded site-frequency spectrum: variants per minor-allele
     // count — the classic pop-gen summary (selection/demography scans
     // read its shape); pure integer histogram, one agg ────────────────
-    // runs of homozygosity (Stats.rohRuns): per sample, maximal
-    // consecutive homozygous non-missing runs in vid order, broken by
-    // het/missing, kept at >= 3 sites. Twin recomputes the hom flag
-    // from the gt derivation arithmetic and replays the same running
-    // break-count gaps-and-islands ────────────────────────────────────
+    // per-VARIANT Mendelian-error view (site-level QC twin of the
+    // per-trio q_gt_mendel): fully-called trio count and impossible-
+    // transmission count per variant, via the ploidy-general unphased
+    // allele-membership test (vs the per-trio row's biallelic dosage
+    // range — equivalent on this fixture, different generality) ───────
     QueryDef(
-      "q_gt_roh",
-      (s, d) =>
-        graft.operators.Stats.rohRuns(gtTable(s, d), "gt", "vid", minSites = 3)
-          .orderBy(col("sample_idx"), col("start_pos")),
-      Some("""WITH v AS (SELECT o_orderkey AS vid FROM orders
-             |  ORDER BY vid LIMIT 100),
-             |h AS (SELECT s, vid,
-             |  CASE WHEN (vid*7919 + s*104729) % 1000 < 150 THEN 0
-             |       WHEN (vid*7919 + s*104729) % 1000 % 2 =
-             |            ((vid*7919 + s*104729) % 1000 // 3) % 2 THEN 1
-             |       ELSE 0 END AS hom
-             |  FROM (SELECT unnest(range(0, 12)) AS s, vid FROM v)),
-             |b AS (SELECT s, vid, hom,
-             |  sum(1 - hom) OVER (PARTITION BY s ORDER BY vid) AS brk FROM h)
-             |SELECT CAST(s AS INT) AS sample_idx,
-             |CAST(min(vid) AS BIGINT) AS start_pos,
-             |CAST(max(vid) AS BIGINT) AS end_pos,
-             |CAST(count(*) AS BIGINT) AS n_sites
-             |FROM b WHERE hom = 1 GROUP BY s, brk HAVING count(*) >= 3
-             |ORDER BY sample_idx, start_pos""".stripMargin)),
-
-    // Mendelian-error scan (Stats.mendelErrors) over four derived
-    // trios: per variant, fully-called trio count and impossible-
-    // transmission count. Twin rebuilds each sample's allele pair from
-    // the gt derivation arithmetic and replays the same unphased
-    // membership test ─────────────────────────────────────────────────
-    QueryDef(
-      "q_gt_mendel",
+      "q_gt_mendel_variant",
       (s, d) =>
         graft.operators.Stats.mendelErrors(gtTable(s, d), "gt", "vid",
             Seq((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)))

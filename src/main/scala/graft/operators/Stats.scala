@@ -1060,39 +1060,6 @@ object Stats {
       .drop("_grp")
   }
 
-  /** Runs of homozygosity (ROH) — the autozygosity scan (plink
-    * `--homozyg` family; McQuillan et al. 2008 for the F_ROH
-    * inbreeding use): per sample, maximal runs of CONSECUTIVE
-    * homozygous non-missing sites in position order, broken by any
-    * heterozygous or missing call, kept at `minSites` or longer.
-    * Homozygous = no missing allele and all alleles equal (ploidy
-    * agnostic). Returns (sample_idx, start_pos, end_pos, n_sites).
-    *
-    * Scale shape: the hom flag is map-only off the gt array; run
-    * assignment is ONE sample-keyed window (running count of
-    * run-breaking sites — gaps-and-islands without a global rank) +
-    * one (sample, run)-keyed agg. Call per chromosome like the other
-    * position-ordered scans (ldPrune, ibdSegments) so each window
-    * partition is one sample's one-chromosome track. */
-  def rohRuns(df: DataFrame, gtCol: String, posCol: String,
-              minSites: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(minSites >= 1, s"minSites=$minSites must be >= 1")
-    val w = Window.partitionBy(col("sample_idx")).orderBy(col("_pos"))
-    df.select(col(posCol).as("_pos"),
-        posexplode(transform(col(gtCol), s =>
-          (!exists(s, a => a === -1) && size(array_distinct(s)) === 1)
-            .cast("int"))).as(Seq("sample_idx", "_hom")))
-      .withColumn("_brk", sum(lit(1) - col("_hom")).over(w))
-      .filter(col("_hom") === 1)
-      .groupBy(col("sample_idx"), col("_brk"))
-      .agg(min(col("_pos")).as("start_pos"), max(col("_pos")).as("end_pos"),
-        count(lit(1)).as("n_sites"))
-      .filter(col("n_sites") >= minSites)
-      .select(col("sample_idx"), col("start_pos"), col("end_pos"),
-        col("n_sites"))
-  }
-
   /** Mendelian-error scan over family trios — the plink `--mendel`
     * family QC: per variant, how many (child, father, mother) trios
     * were fully called and how many of those are IMPOSSIBLE under

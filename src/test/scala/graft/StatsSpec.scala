@@ -220,7 +220,7 @@ class StatsSpec extends SparkTestBase {
       (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 0L, 0L), (5L, 1L, 0L)))
   }
 
-  test("rohRuns: hand-planted runs break on het AND missing, minSites gates") {
+  test("rohSegments: hand-planted runs break on het AND missing, minSites gates") {
     import spark.implicits._
     // sample 0 track over 8 sites: hom hom hom HET hom MISS hom hom
     //   → runs (1..3, 3 sites) and (7..8, 2 sites); the lone site 5 run
@@ -235,12 +235,12 @@ class StatsSpec extends SparkTestBase {
       (6L, Seq(Seq(-1, -1), Seq(0, 1))),
       (7L, Seq(Seq(0, 0), Seq(0, 1))),
       (8L, Seq(Seq(0, 0), Seq(1, 0)))).toDF("pos", "gt")
-    val out = Stats.rohRuns(df, "gt", "pos", minSites = 2)
+    val out = Stats.rohSegments(df, "gt", "pos", minSites = 2)
       .orderBy("sample_idx", "start_pos")
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(out === Seq((0, 1L, 3L, 3L), (0, 7L, 8L, 2L)))
     // minSites = 1 recovers the singleton run between het and missing
-    val all = Stats.rohRuns(df, "gt", "pos", minSites = 1)
+    val all = Stats.rohSegments(df, "gt", "pos", minSites = 1)
       .orderBy("sample_idx", "start_pos")
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(all === Seq((0, 1L, 3L, 3L), (0, 5L, 5L, 1L), (0, 7L, 8L, 2L)))
