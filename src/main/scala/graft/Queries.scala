@@ -6601,5 +6601,13 @@ ORDER BY feature"""
              |GROUP BY u, w ORDER BY aa_e6 DESC, u, w LIMIT 200""".stripMargin))
   )
 
+  // duplicate names would silently shadow earlier definitions in the
+  // map-based driver contract (it happened once: q_gt_roh/q_gt_mendel)
+  // — fail loudly at load instead
+  locally {
+    val dups = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

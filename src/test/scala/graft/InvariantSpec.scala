@@ -178,4 +178,12 @@ class InvariantSpec extends SparkTestBase {
     kept.foreach(v => assert(v >= lo && v <= hi))
     assert(w.forall(v => v >= lo - 1e-9 && v <= hi + 1e-9))
   }
+
+  test("declared query names are unique and every query has an oracle") {
+    val names = graft.Queries.all.map(_.name)
+    assert(names.distinct.size === names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n })
+    assert(graft.Queries.all.forall(_.oracle.nonEmpty))
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
 }
