@@ -301,6 +301,40 @@ object Ivf {
       }
       .start()
 
+  /** Streaming ANN serving: a STREAM of probe vectors answered per
+    * micro-batch against the committed index — the query-side twin of
+    * [[streamAppend]]. Each batch re-resolves the LATEST committed
+    * composition (one driver read of the commit log + centroid
+    * sidecar), so probes start seeing appended vectors at the batch
+    * after their commit, with snapshot isolation inside a batch. The
+    * per-batch plan is [[topKJoin]]: probes explode to their nprobe
+    * cells map-side, equi-join the cell-partitioned segment scans
+    * (pruned to probed cells), one window per probe — thousands of
+    * probes per batch cost one job. `onBatch` receives (results,
+    * batchId); empty batches skip the index read entirely. */
+  def streamTopKJoin(probes: DataFrame, root: String,
+                     probeIdCol: String, probeVecCol: String,
+                     k: Int, nprobe: Int = 2, vecCol: String = "embedding",
+                     cellCol: String = "ivf_cell",
+                     tieBreak: Seq[String] = Nil)
+                    (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          val segs = indexSegments(spark, root)
+          val centroids = loadCentroids(spark, segs.head)
+          val indexed = segs.map(spark.read.parquet(_))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          onBatch(topKJoin(indexed, vecCol, centroids, b,
+            probeIdCol, probeVecCol, k, nprobe, cellCol,
+            tieBreak = tieBreak), batchId)
+        }
+      }
+      .start()
+
   /** The `nprobe` cells nearest to a probe vector (driver-side: centroid
     * list is tiny by construction). Ties break toward the lower cell id,
     * matching `nearest`. */

@@ -358,12 +358,40 @@ class IvfSpec extends SparkTestBase {
     val want = Ivf.topK(emb.filter(col("vec_id") < 200), "embedding", cents,
       pv, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
     assert(got.toSeq === want.toSeq)
+    // streaming probes: batch 0 sees the pre-append composition; an
+    // append lands between batches; batch 1 serves the new rows
+    val probeStream = MemoryStream[(Long, Seq[Float])]
+    val answers = scala.collection.mutable.Map.empty[Long, Map[Long, Seq[Long]]]
+    val pq = Ivf.streamTopKJoin(
+      probeStream.toDF().toDF("probe_id", "p_emb"), root,
+      "probe_id", "p_emb", k = 5, nprobe = 3) { (res, bid) =>
+      answers(bid) = res.select("probe_id", "vec_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSeq }
+    }
+    val extra3 = emb.filter(col("vec_id") >= 290 && col("vec_id") < 320)
+    try {
+      val pv250 = batch2.head._2
+      probeStream.addData((1L, pv250)); pq.processAllAvailable()
+      Ivf.appendToIndexAtomic(extra3, "embedding", root)
+      probeStream.addData((2L, pv250)); pq.processAllAvailable()
+    } finally pq.stop()
+    assert(answers.keySet === Set(0L, 1L))
+    assert(!answers(0L)(1L).exists(_ >= 290)) // pre-append snapshot
+    // post-append batch ≡ batch topKJoin against the full composition
+    val want2 = Ivf.topKJoin(Ivf.readIndex(spark, root), "embedding", cents,
+      emb.filter(col("vec_id") === batch2.head._1)
+        .select(lit(2L).as("probe_id"), col("embedding").as("p_emb")),
+      "probe_id", "p_emb", k = 5, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(answers(1L)(2L) === want2)
+
     // compaction: one segment, same quantizer, same content, same probe
     val before = Ivf.readIndex(spark, root)
       .select("vec_id", "ivf_cell").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     val (v4, dir4) = Ivf.compactIndexAtomic(spark, root)
-    assert(v4 === 4L && Ivf.indexSegments(spark, root) === Seq(dir4))
+    assert(v4 === 5L && Ivf.indexSegments(spark, root) === Seq(dir4))
     val after = Ivf.readIndex(spark, root)
       .select("vec_id", "ivf_cell").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
@@ -373,6 +401,11 @@ class IvfSpec extends SparkTestBase {
     cents4.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
     val got4 = Ivf.topKIndexed(Ivf.readIndex(spark, root), "embedding", cents4,
       pv, k = 5, nprobe = 3).select("vec_id").collect().map(_.getLong(0))
-    assert(got4.toSeq === want.toSeq)
+    val want4 = Ivf.topK(
+      emb.filter(col("vec_id") < 200 ||
+        (col("vec_id") >= 290 && col("vec_id") < 320)),
+      "embedding", cents4, pv, k = 5, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got4.toSeq === want4.toSeq)
   }
 }
