@@ -4940,6 +4940,45 @@ ORDER BY feature"""
     // ── 95a3. folded site-frequency spectrum: variants per minor-allele
     // count — the classic pop-gen summary (selection/demography scans
     // read its shape); pure integer histogram, one agg ────────────────
+    // per-sample F_ROH summary (Stats.frohSummary): called-site count,
+    // ROH run count and in-run sites at minSites=3, froh = ratio of
+    // identical integers (exact double both engines). Twin rebuilds
+    // hom/called from the gt arithmetic and replays the same
+    // double-row_number islands ───────────────────────────────────────
+    QueryDef(
+      "q_gt_froh",
+      (s, d) =>
+        graft.operators.Stats.frohSummary(gtTable(s, d), "gt", "vid", minSites = 3)
+          .orderBy(col("sample_idx")),
+      Some("""WITH v AS (SELECT o_orderkey AS vid FROM orders
+             |  ORDER BY vid LIMIT 100),
+             |lv AS (SELECT s, vid,
+             |  CASE WHEN (vid*7919 + s*104729) % 1000 < 150 THEN 0 ELSE 1 END AS called,
+             |  CASE WHEN (vid*7919 + s*104729) % 1000 < 150 THEN 0
+             |       WHEN (vid*7919 + s*104729) % 1000 % 2 =
+             |            ((vid*7919 + s*104729) % 1000 // 3) % 2 THEN 1
+             |       ELSE 0 END AS hom
+             |  FROM (SELECT unnest(range(0, 12)) AS s, vid FROM v)),
+             |r1 AS (SELECT s, vid, hom,
+             |  row_number() OVER (PARTITION BY s ORDER BY vid) AS rn FROM lv),
+             |isl AS (SELECT s,
+             |  rn - row_number() OVER (PARTITION BY s ORDER BY vid) AS grp
+             |  FROM r1 WHERE hom = 1),
+             |runs AS (SELECT s, count(*) AS ns FROM isl GROUP BY s, grp
+             |  HAVING count(*) >= 3),
+             |agg AS (SELECT s, count(*) AS n_runs, sum(ns) AS roh_sites
+             |  FROM runs GROUP BY s),
+             |cal AS (SELECT s, sum(called) AS n_called FROM lv GROUP BY s)
+             |SELECT CAST(cal.s AS INT) AS sample_idx,
+             |CAST(n_called AS BIGINT) AS n_called,
+             |CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+             |CAST(coalesce(roh_sites, 0) AS BIGINT) AS roh_sites,
+             |CASE WHEN n_called = 0 THEN NULL
+             |  ELSE CAST(coalesce(roh_sites, 0) AS DOUBLE) / CAST(n_called AS DOUBLE)
+             |  END AS froh
+             |FROM cal LEFT JOIN agg ON agg.s = cal.s
+             |ORDER BY sample_idx""".stripMargin)),
+
     // per-VARIANT Mendelian-error view (site-level QC twin of the
     // per-trio q_gt_mendel): fully-called trio count and impossible-
     // transmission count per variant, via the ploidy-general unphased

@@ -415,6 +415,33 @@ object Stats {
       .drop("_grp")
   }
 
+  /** Per-sample F_ROH summary — the inbreeding coefficient estimate
+    * the ROH literature actually reports (McQuillan 2008): fraction of
+    * a sample's CALLED sites that sit inside a [[rohSegments]] run of
+    * ≥ `minSites`, plus the run count and in-run site total. Sites,
+    * not base pairs, because the fixture's positions are site indices
+    * — callers with physical coordinates can weight by span length
+    * downstream. One extra sample-keyed agg over the segments frame
+    * joined to per-sample called counts (both tiny relative to the
+    * matrix). */
+  def frohSummary(df: DataFrame, gtCol: String = "gt", posCol: String = "vid",
+                  minSites: Int = 3): DataFrame = {
+    val runs = rohSegments(df, gtCol, posCol, minSites)
+      .groupBy(col("sample_idx"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("n_sites")).as("roh_sites"))
+    val called = df
+      .select(posexplode(col(gtCol)).as(Seq("sample_idx", "_g")))
+      .groupBy(col("sample_idx"))
+      .agg(sum((!exists(col("_g"), a => a === -1)).cast("long")).as("n_called"))
+    called.join(runs, Seq("sample_idx"), "left")
+      .select(col("sample_idx"), col("n_called"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("roh_sites"), lit(0L)).as("roh_sites"),
+        when(col("n_called") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("roh_sites"), lit(0L)).cast("double") /
+            col("n_called").cast("double")).as("froh"))
+  }
+
   /** Per-variant Hudson F_ST between two sample groups of a biallelic
     * cohort (Bhatia/Patterson/Sankararaman/Price 2013, "Estimating and
     * interpreting FST", Genome Res 23:1514 — the estimator they

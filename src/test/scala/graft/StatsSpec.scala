@@ -220,6 +220,23 @@ class StatsSpec extends SparkTestBase {
       (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 0L, 0L), (5L, 1L, 0L)))
   }
 
+  test("frohSummary: ratio over CALLED sites; zero-run samples surface with froh 0") {
+    import spark.implicits._
+    // sample 0: 3-site run + lone hom among 5 called (site 6 missing)
+    // sample 1: never homozygous → 0 runs, froh 0
+    val df = Seq(
+      (1L, Seq(Seq(0, 0), Seq(0, 1))),
+      (2L, Seq(Seq(1, 1), Seq(0, 1))),
+      (3L, Seq(Seq(0, 0), Seq(1, 0))),
+      (4L, Seq(Seq(0, 1), Seq(0, 1))),
+      (5L, Seq(Seq(1, 1), Seq(0, 1))),
+      (6L, Seq(Seq(-1, -1), Seq(0, 1)))).toDF("pos", "gt")
+    val out = Stats.frohSummary(df, "gt", "pos", minSites = 3)
+      .orderBy("sample_idx")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((0, 5L, 1L, 3L, 3.0 / 5.0), (1, 6L, 0L, 0L, 0.0)))
+  }
+
   test("rohSegments: hand-planted runs break on het AND missing, minSites gates") {
     import spark.implicits._
     // sample 0 track over 8 sites: hom hom hom HET hom MISS hom hom
