@@ -1663,6 +1663,44 @@ ORDER BY feature"""
              |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)),
 
+    // ── 46b. Holt linear-trend smoothing (Fill.holtLinear) over per-
+    // type daily sums: exact-decimal day totals feed a fixed-op-order
+    // recurrence (α=.5, β=.25 — both engines derive the constants from
+    // the same integers), so levels/trends/forecasts are bit-identical;
+    // the twin replays the recurrence as a recursive CTE ──────────────
+    QueryDef(
+      "q_holt_trend",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("_day"))
+          .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("_day"))
+        graft.operators.Fill.holtLinear(daily,
+            Seq("event_type"), Seq("_day"), "y", alphaPct = 50, betaPct = 25)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select(col("event_type"), col("rn"), col("y"),
+            col("holt_level"), col("holt_trend"), col("holt_next"))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT event_type,
+             |  CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |  ORDER BY day) AS rn FROM d),
+             |rec AS (
+             |  SELECT event_type, rn, y, y AS l, CAST(0 AS DOUBLE) AS b
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.event_type, o.rn, o.y,
+             |    0.5*o.y + 0.5*(rec.l + rec.b) AS l,
+             |    0.25*((0.5*o.y + 0.5*(rec.l + rec.b)) - rec.l) + 0.75*rec.b AS b
+             |  FROM rec JOIN o ON o.event_type = rec.event_type
+             |    AND o.rn = rec.rn + 1)
+             |SELECT event_type, CAST(rn AS BIGINT) AS rn, y,
+             |l AS holt_level, b AS holt_trend, l + b AS holt_next
+             |FROM rec ORDER BY event_type, rn""".stripMargin)),
+
     // ── 47. map functions end-to-end: build a real MapType column (from
     // JSON + from scalars), then map_keys / map_values / transform_values
     // / map_filter / element_at consume it. The oracle verifies the same

@@ -134,4 +134,66 @@ object Fill {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Holt's linear (double exponential) smoothing — the trend-aware
+    * [[ewma]] (Holt 1957; Hyndman & Athanasopoulos, FPP §8.2 "Holt's
+    * linear trend method"): per key, in order,
+    *
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * initialized l₁ = y₁, b₁ = 0 at each key's first non-null
+    * observation; null values carry state (the ewma convention).
+    * Appends `level`, `trend` and the one-step-ahead forecast
+    * `level + trend`. α, β are integer PERCENTS so both engines
+    * derive identical double constants, and the recurrence is a fixed
+    * op sequence — bit-replicable wherever the inputs are (the
+    * exact-decimal daily-sum discipline upstream).
+    *
+    * Scale shape = [[ewma]]'s: one key repartition + in-partition
+    * sort, then a single ordered pass (mapPartitions — the documented
+    * sequential-recurrence escape hatch). */
+  def holtLinear(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+                 valueCol: String, alphaPct: Int, betaPct: Int,
+                 levelCol: String = "holt_level", trendCol: String = "holt_trend",
+                 forecastCol: String = "holt_next"): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 100, s"alphaPct=$alphaPct must be in [1,100]")
+    require(betaPct >= 0 && betaPct <= 100, s"betaPct=$betaPct must be in [0,100]")
+    require(partitionCols.nonEmpty, "holtLinear needs key columns (per-key series)")
+    Seq(levelCol, trendCol, forecastCol).foreach(c =>
+      require(!df.columns.contains(c), s"output column '$c' already exists"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.DoubleType
+    val alpha = alphaPct / 100.0
+    val beta = betaPct / 100.0
+    val parted = df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ orderCols).map(col): _*)
+    val outSchema = df.schema
+      .add(levelCol, DoubleType, nullable = true)
+      .add(trendCol, DoubleType, nullable = true)
+      .add(forecastCol, DoubleType, nullable = true)
+    val keyIdx = partitionCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var l: java.lang.Double = null
+      var b: java.lang.Double = null
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) { curKey = key; l = null; b = null }
+        val v = r.get(valIdx)
+        if (v != null) {
+          val y = v.asInstanceOf[Number].doubleValue()
+          if (l == null) { l = y; b = 0.0 }
+          else {
+            val lNew = alpha * y + (1.0 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1.0 - beta) * b
+            l = lNew
+          }
+        }
+        val f: java.lang.Double = if (l == null) null else l + b
+        Row.fromSeq(r.toSeq :+ l :+ b :+ f)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -107,4 +107,31 @@ class FillSpec extends SparkTestBase {
       .split("Exchange hashpartitioning").length - 1
     assert(exchanges === 1, s"expected one exchange, plan:\n${out.queryExecution.executedPlan}")
   }
+
+  test("holtLinear: hand-computed recurrence; null carry; per-key reset; reshuffle-stable") {
+    val d = Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, Some(12.0)), ("A", 3L, None: Option[Double]),
+      ("A", 4L, Some(14.0)),
+      ("B", 1L, Some(5.0))).toDF("k", "t", "y")
+    val out = Fill.holtLinear(d, Seq("k"), Seq("t"), "y", alphaPct = 50, betaPct = 25)
+      .orderBy("k", "t")
+      .select("k", "t", "holt_level", "holt_trend", "holt_next")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // A: l1=10 b1=0; l2=.5*12+.5*10=11, b2=.25; t=3 null carries state;
+    // l4=.5*14+.5*11.25=12.625, b4=.25*1.625+.75*.25=0.59375
+    assert(out(0) === (("A", 1L, Some(10.0), Some(0.0), Some(10.0))))
+    assert(out(1) === (("A", 2L, Some(11.0), Some(0.25), Some(11.25))))
+    assert(out(2) === (("A", 3L, Some(11.0), Some(0.25), Some(11.25))))
+    assert(out(3) === (("A", 4L, Some(12.625), Some(0.59375), Some(13.21875))))
+    // B resets: fresh level, zero trend
+    assert(out(4) === (("B", 1L, Some(5.0), Some(0.0), Some(5.0))))
+    // deterministic under input reshuffling
+    val re = Fill.holtLinear(d.repartition(7), Seq("k"), Seq("t"), "y", 50, 25)
+      .orderBy("k", "t")
+      .select("k", "t", "holt_level", "holt_trend", "holt_next")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(re === out)
+  }
 }
