@@ -502,6 +502,64 @@ object DocPipeline {
     * the tiny new-hash set. Same `foreachBatch` durability caveat as
     * [[streamIncremental]]; `atomicStore = true` routes the store
     * through [[graft.sources.AppendStore]] (write-then-commit). */
+  /** Streaming EMBEDDING near-dedup against a growing vector store —
+    * the vector twin of [[streamIncremental]]: each micro-batch drops
+    * (a) in-batch near-dups (min-id survivor per verified cosine pair,
+    * `Dedup.embeddingNearDups` — LSH-bucket blocking, never all-pairs)
+    * and (b) vectors within `tau` cosine of ANY previously accepted
+    * vector sharing an LSH bucket (history always wins), then appends
+    * the acceptees' (band, bucket, id, vec) rows to the store. The
+    * store grows with ACCEPTED vectors × bands — candidates are
+    * generated per bucket, so the history join shuffles only bucket
+    * keys plus the candidate vectors, not the store. Same foreachBatch
+    * durability caveat as [[streamIncremental]]; `atomicStore = true`
+    * routes appends through [[graft.sources.AppendStore]]. */
+  def streamEmbeddingDedup(
+      vecs: DataFrame,
+      storePath: String,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bits: Int = 8,
+      bands: Int = 2,
+      tau: Double = 0.9,
+      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def keysOf(df: DataFrame): DataFrame = df.select(
+        col(idCol), col(vecCol),
+        posexplode(array((0 until bands).map(bd =>
+          Similarity.lshBucket(col(vecCol), dim, bits, bd * bits)): _*))
+          .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"),
+        col(idCol).as("id"), col(vecCol).as("vec"))
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        def empty = keysOf(b.limit(0))
+        val storeExists = new java.io.File(storePath).exists()
+        val store =
+          if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
+          else if (storeExists) spark.read.parquet(storePath)
+          else empty
+        val inBatchDrop = Dedup.embeddingNearDups(b, idCol, vecCol, dim, bits, tau, bands)
+          .select(col(idCol)).distinct()
+        val survivors = b.join(inBatchDrop, Seq(idCol), "left_anti")
+        val histDrop = keysOf(survivors)
+          .join(store.select(col("band"), col("bucket"), col("vec").as("_sv")),
+            Seq("band", "bucket"))
+          .filter(Similarity.cosine(col("vec"), col("_sv")) >= tau)
+          .select(col("id").as(idCol)).distinct()
+        val accepted = survivors.join(histDrop, Seq(idCol), "left_anti")
+          .cut // materialize BEFORE the store append
+        val newKeys = keysOf(accepted)
+        if (atomicStore) graft.sources.AppendStore.append(newKeys, storePath)
+        else newKeys.write.mode(if (storeExists) "append" else "overwrite")
+          .parquet(storePath)
+        onBatch(accepted, batchId)
+      }
+      .start()
+  }
+
   def streamLineDedup(
       docs: DataFrame,
       storePath: String,

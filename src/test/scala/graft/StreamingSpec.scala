@@ -477,4 +477,34 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("streamEmbeddingDedup: in-batch pair collapses; history wins across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("vecstore").toFile
+    storeDir.delete()
+    def v(x: Double, y: Double, z: Double, w: Double) = Seq(x, y, z, w).map(_.toFloat)
+    val base = v(1, 0.2, -0.5, 0.7)
+    val near = v(1.001, 0.2, -0.5, 0.7)     // cosine ≈ 1 with base
+    val far = v(-0.9, 0.8, 0.3, -0.2)
+    val far2 = v(0.1, -0.7, 0.9, 0.4)
+    val accepted = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ext.DocPipeline.streamEmbeddingDedup(
+      input.toDF().toDF("vec_id", "embedding"), storeDir.getAbsolutePath,
+      dim = 4, bits = 6, bands = 2, tau = 0.98) { (df, bid) =>
+      accepted(bid) = df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    try {
+      // batch 0: base + its near-dup + one far vector → near-dup collapses
+      input.addData((1L, base), (2L, near), (3L, far)); q.processAllAvailable()
+      // batch 1: replay of base (historical dup) + a genuinely new vector
+      input.addData((4L, base), (5L, far2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted(0L) === Seq(1L, 3L)) // 2 dropped in-batch (min id wins)
+    assert(accepted(1L) === Seq(5L))     // 4 dropped against history
+    // the store holds only acceptees: 3 vectors x 2 bands
+    assert(spark.read.parquet(storeDir.getAbsolutePath)
+      .select("id").distinct().count() === 3L)
+  }
 }
