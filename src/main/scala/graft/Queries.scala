@@ -2900,6 +2900,50 @@ ORDER BY feature"""
              |  AS sent_chars
              |FROM sp ORDER BY doc_id""".stripMargin)),
 
+    // ── 74b1b. Unicode-script routing (TextAnalysis.scriptProfile):
+    // the pre-langid router. The corpus is Latin, so non-Latin
+    // snippets are planted by doc_id arithmetic onto a 6-char Latin
+    // stub — dominance genuinely flips per doc. Java \p{IsXxx} ≡ RE2
+    // \p{Xxx}; both engines count codepoints ──────────────────────────
+    QueryDef(
+      "q_script_route",
+      (s, d) => {
+        val t2 = concat(substring(col("text"), 1, 6),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" Привет мир всем"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" 世界和平永远"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" γειά σου κόσμε"))
+            .otherwise(lit("")))
+        graft.ext.TextAnalysis.scriptProfile(
+            t(s, d, "documents").withColumn("t2", t2), "doc_id", "t2")
+          .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+            col("n_greek"), col("n_han"), col("script"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id, substr(text, 1, 6)
+             |  || (CASE WHEN doc_id % 3 = 0 THEN ' Привет мир всем' ELSE '' END)
+             |  || (CASE WHEN doc_id % 5 = 0 THEN ' 世界和平永远' ELSE '' END)
+             |  || (CASE WHEN doc_id % 7 = 0 THEN ' γειά σου κόσμε' ELSE '' END)
+             |  AS t FROM documents),
+             |c AS (SELECT doc_id,
+             |  CAST(length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+             |  CAST(length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+             |  CAST(length(t) - length(regexp_replace(t, '\p{Greek}', '', 'g')) AS BIGINT) AS n_greek,
+             |  CAST(length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')) AS BIGINT) AS n_han
+             |  FROM u)
+             |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+             |CASE
+             |  WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_greek
+             |    AND n_latin >= n_han THEN 'latin'
+             |  WHEN n_cyrillic > 0 AND n_cyrillic >= n_latin AND n_cyrillic >= n_greek
+             |    AND n_cyrillic >= n_han THEN 'cyrillic'
+             |  WHEN n_greek > 0 AND n_greek >= n_latin AND n_greek >= n_cyrillic
+             |    AND n_greek >= n_han THEN 'greek'
+             |  WHEN n_han > 0 THEN 'han'
+             |  ELSE 'none' END AS script
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ── 74b2. HTML → prose (TextNorm.stripHtml): script/style/comment
     // elements dropped, block tags → newline, tags stripped, entities
     // decoded (&amp; last), whitespace folded. Pure codegen built-in

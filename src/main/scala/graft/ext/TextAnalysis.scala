@@ -458,6 +458,39 @@ object TextAnalysis {
         s => trim(s)),
       s => s =!= "")
 
+  /** Unicode-script profile — the ROUTER ahead of language ID (the
+    * Cavnar-Trenkle profiles are Latin-script; a Cyrillic or CJK page
+    * must be routed to its own model, and CommonCrawl pipelines key
+    * their language shards on exactly this signal): per document,
+    * character counts for the major scripts plus the dominant script
+    * label (most chars; ties broken by the fixed script order below,
+    * 'none' when every count is zero). Counts use Unicode script
+    * classes (`\\p{IsXxx}` in Java, `\\p{Xxx}` in RE2 — same classes,
+    * both engines) via the length-difference idiom — map-only, one
+    * projection, no UDF. */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scripts = Seq(
+      "latin" -> "\\p{IsLatin}", "cyrillic" -> "\\p{IsCyrillic}",
+      "greek" -> "\\p{IsGreek}", "arabic" -> "\\p{IsArabic}",
+      "hebrew" -> "\\p{IsHebrew}", "han" -> "\\p{IsHan}",
+      "hiragana" -> "\\p{IsHiragana}", "katakana" -> "\\p{IsKatakana}",
+      "hangul" -> "\\p{IsHangul}", "devanagari" -> "\\p{IsDevanagari}")
+    val withCounts = scripts.foldLeft(
+        docs.select(col(idCol), col(textCol).as("_t"))) { case (df, (name, cls)) =>
+      df.withColumn(s"n_$name",
+        (length(col("_t")) -
+          length(regexp_replace(col("_t"), cls, ""))).cast("long"))
+    }
+    val best = scripts.map(_._1).foldRight(lit("none"): Column) { (name, els) =>
+      // strictly-greater scan in fixed order = deterministic tie-break
+      when(col(s"n_$name") > lit(0L) &&
+        scripts.map(_._1).filter(_ != name)
+          .map(o => col(s"n_$name") >= col(s"n_$o")).reduce(_ && _),
+        lit(name)).otherwise(els)
+    }
+    withCounts.withColumn("script", best).drop("_t")
+  }
+
   // ── Quality buckets ────────────────────────────────────────────────
 
   /** CCNet-style quality bucketing (Wenzek 2020, "CCNet: Extracting

@@ -154,6 +154,27 @@ class SearchSpec extends SparkTestBase {
     assert(sent("a.   .b") === Seq("a.", ".", "b")) // bare terminator run survives as '.'
   }
 
+  test("scriptProfile: per-script codepoint counts, dominant label, ties and none") {
+    val docs = Seq(
+      (1L, "hello world"),                   // latin only
+      (2L, "Привет мир"),                    // cyrillic only
+      (3L, "ab Привет"),                     // cyrillic 6 > latin 2
+      (4L, "日本語 と ひらがな カタカナ"),      // han 3, hiragana 5(と+4), katakana 4
+      (5L, "123 !!!"),                       // no script chars at all
+      (6L, "abcd Прив")                      // tie 4-4 → fixed order: latin
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_han", "n_hiragana", "script")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._6 === "latin" && out(1L)._2 === 10L)
+    assert(out(2L)._6 === "cyrillic" && out(2L)._3 === 9L)
+    assert(out(3L)._6 === "cyrillic")
+    assert(out(4L)._6 === "hiragana" && out(4L)._4 === 3L && out(4L)._5 === 5L)
+    assert(out(5L)._6 === "none")
+    assert(out(6L)._6 === "latin") // equal counts resolve by fixed order
+  }
+
   test("lexicalStats: hand-computed diversity cells; empty and uniform docs") {
     val corpus = Seq(
       (1L, "a b a c"),        // n=4, types {a:2,b:1,c:1}, hapax=2
