@@ -2051,6 +2051,43 @@ ORDER BY feature"""
              |SELECT probe_id, vec_id, round(dot, 4) AS dot FROM r WHERE rn <= 3
              |ORDER BY probe_id, vec_id""".stripMargin)),
 
+    // ── 59a2. hard-negative mining (Similarity.mineHardNegatives, the
+    // DPR recipe): per query, top-k corpus candidates with planted
+    // positives removed and ranks reassigned. overFetch=5 ≥ positives
+    // per query, so retrieve-then-remove ≡ the twin's remove-then-rank ─
+    QueryDef(
+      "q_hard_negatives",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 10)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+        val positives = queries.select(col("qid"),
+          (col("qid") * 7 + 20).as("vec_id"))
+        Similarity.mineHardNegatives(corpus, "vec_id", "embedding",
+            queries, "qid", "q_emb", positives, k = 3, overFetch = 5)
+          .select(col("qid"), col("vec_id"),
+            round(col("score"), 4).as("dot"),
+            col("neg_rank").cast("long").as("neg_rank"))
+          .orderBy(col("qid"), col("neg_rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+             |  FROM embeddings WHERE vec_id < 5),
+             |pos AS (SELECT qid, qid*7 + 20 AS vec_id FROM q),
+             |j AS (SELECT q.qid, c.vec_id,
+             |  list_sum(list_transform(range(1, len(c.embedding)+1),
+             |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+             |    AS dot
+             |  FROM embeddings c, q WHERE c.vec_id >= 10),
+             |f AS (SELECT j.* FROM j LEFT JOIN pos
+             |  ON pos.qid = j.qid AND pos.vec_id = j.vec_id
+             |  WHERE pos.vec_id IS NULL),
+             |r AS (SELECT qid, vec_id, dot, row_number() OVER (
+             |  PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM f)
+             |SELECT qid, vec_id, round(dot, 4) AS dot,
+             |CAST(rn AS BIGINT) AS neg_rank
+             |FROM r WHERE rn <= 3 ORDER BY qid, neg_rank""".stripMargin)),
+
     // ── 59b. ANN recall@k evaluation, cross-engine: the LSH ANN result
     // (q_ann_join construction) scored by Eval.recallAtK against exact
     // brute-force truth — the evaluation operator itself proven against

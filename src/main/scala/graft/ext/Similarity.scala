@@ -161,6 +161,37 @@ object Similarity {
       .drop("_rn", probeVecCol)
   }
 
+  /** Hard-negative mining for retrieval/embedding training data (the
+    * standard DPR/contrastive recipe — Karpukhin et al. 2020 §3.2:
+    * negatives that the CURRENT embedder ranks highly are the ones
+    * worth training against): for each query, the top-`k` corpus
+    * candidates by dot product with every KNOWN POSITIVE removed, rank
+    * re-assigned after removal. Retrieval is [[bruteForceTopKJoin]]
+    * over-fetched by `overFetch` (positives knocked out of the top
+    * list must not leave holes — set it ≥ the max positives per
+    * query); swap in an IVF/LSH join upstream at index scale by
+    * passing its output through the same anti-join + re-rank.
+    *
+    * Returns (probeIdCol, corpus columns minus the vector, score,
+    * neg_rank 1..k). One broadcast of the query frame, one anti-join
+    * on the (tiny) positives frame, one per-query window. */
+  def mineHardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qidCol: String, qvecCol: String,
+                        positives: DataFrame, k: Int,
+                        overFetch: Int = 10,
+                        scoreCol: String = "score"): DataFrame = {
+    require(k >= 1 && overFetch >= 0, s"k=$k, overFetch=$overFetch")
+    val cands = bruteForceTopKJoin(corpus, vecCol, queries, qidCol, qvecCol,
+      k + overFetch, scoreCol)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    cands
+      .join(positives.select(col(qidCol), col(idCol)), Seq(qidCol, idCol),
+        "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+  }
+
   /** LSH batch top-k JOIN — the scale form of [[bruteForceTopKJoin]]:
     * bucket BOTH sides map-side, equi-join on the bucket id, score only
     * co-bucketed pairs, then the same per-probe WindowGroupLimit top-k.

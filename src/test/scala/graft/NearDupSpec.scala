@@ -146,6 +146,23 @@ class NearDupSpec extends SparkTestBase {
     assert(trans === Set(1L, 9L), s"trans=$trans")
   }
 
+  test("mineHardNegatives: positives removed, ranks reassigned, no holes") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0f)), (11L, Seq(0.9f, 0f)), (12L, Seq(0.8f, 0f)),
+      (13L, Seq(0.7f, 0f)), (14L, Seq(-1.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0f))).toDF("qid", "q_emb")
+    // the TOP candidate (10) is a known positive → 11,12,13 become the
+    // negatives with ranks 1..3, not 2..4
+    val positives = Seq((1L, 10L)).toDF("qid", "vec_id")
+    val out = graft.ext.Similarity.mineHardNegatives(
+        corpus, "vec_id", "embedding", queries, "qid", "q_emb",
+        positives, k = 3, overFetch = 2)
+      .select("qid", "vec_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(out === Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3)))
+  }
+
   test("DocPipeline blockPhrases gate: banned docs drop in the same map stage") {
     val filler = Array.tabulate(40)(i => s"w${i}x").mkString(" ")
     val docs = Seq(
