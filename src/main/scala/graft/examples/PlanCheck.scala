@@ -227,7 +227,12 @@ object PlanCheck {
         p => p.contains("BroadcastHashJoin") && !p.contains("Cartesian") &&
           p.split("BroadcastNestedLoopJoin Cross").length == 2),
       ("q_lexical_stats", "lexical profile: ONE doc-keyed agg after map-side term_freqs",
-        p => p.split("hashpartitioning").length == 2 && !p.contains("Join"))
+        p => p.split("hashpartitioning").length == 2 && !p.contains("Join")),
+      ("q_script_route", "script routing: map-only regex-class counts, no shuffle but the sort",
+        p => !p.contains("hashpartitioning") && !p.contains("Join")),
+      ("q_hard_negatives", "hard negatives: probes broadcast, partial+final WindowGroupLimit",
+        p => p.contains("BroadcastNestedLoopJoin") &&
+          p.split("WindowGroupLimit").length >= 3 && !p.contains("Cartesian"))
     )
 
     var failed = 0
