@@ -167,7 +167,27 @@ object LangId {
       "o gato está no telhado e o cão está na cozinha com as crianças",
       "todas as noites a família se reúne em volta da mesa para comer e conversar sobre o dia",
       "os amigos chegaram atrasados porque havia muito trânsito na estrada principal",
-      "o professor explica a lição enquanto os alunos abrem os seus livros"))
+      "o professor explica a lição enquanto os alunos abrem os seus livros"),
+    "ru" -> Seq(
+      "быстрая коричневая лиса прыгает через ленивую собаку пока дети смотрят из сада",
+      "она сказала что утром погода будет лучше и что им стоит подождать",
+      "это дом который мы построили вместе прошлым летом возле реки и старого моста",
+      "многие люди думают что чтение книг это лучший способ узнать мир вокруг нас",
+      "больше ничего не оставалось делать кроме как ждать поезд и надеяться что он не опоздает",
+      "кошка сидит на крыше а собака на кухне рядом с детьми",
+      "каждый вечер семья собирается за столом чтобы поужинать и поговорить о прошедшем дне",
+      "друзья опоздали потому что на главной дороге было много машин",
+      "учитель объясняет урок пока ученики открывают свои книги"),
+    "el" -> Seq(
+      "η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί ενώ τα παιδιά κοιτούν από τον κήπο",
+      "είπε ότι ο καιρός θα ήταν καλύτερος το πρωί και ότι έπρεπε να περιμένουν",
+      "αυτό είναι το σπίτι που χτίσαμε μαζί το περασμένο καλοκαίρι κοντά στο ποτάμι και στη γέφυρα",
+      "πολλοί άνθρωποι πιστεύουν ότι το διάβασμα βιβλίων είναι ο καλύτερος τρόπος να γνωρίσεις τον κόσμο",
+      "δεν έμενε τίποτα άλλο παρά να περιμένουν το τρένο και να ελπίζουν ότι δεν θα αργήσει",
+      "η γάτα είναι στη στέγη και ο σκύλος στην κουζίνα με τα παιδιά",
+      "κάθε βράδυ η οικογένεια μαζεύεται γύρω από το τραπέζι για να φάει και να μιλήσει για τη μέρα",
+      "οι φίλοι άργησαν γιατί είχε πολλή κίνηση στον κεντρικό δρόμο",
+      "ο δάσκαλος εξηγεί το μάθημα ενώ οι μαθητές ανοίγουν τα βιβλία τους"))
 
   /** The stock profiles, (lang, ranked grams), sorted by language key —
     * the array order every distance/argmin consumer indexes by. */

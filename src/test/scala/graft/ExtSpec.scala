@@ -704,7 +704,8 @@ class ExtSpec extends SparkTestBase {
       s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
     // the stopword heuristic CANNOT do this: the accented short docs
     // score zero on every marker list (or collide), C-T separates them
-    assert(LangId.profiles.map(_._1) === Seq("de", "en", "es", "fr", "it", "nl", "pt"))
+    assert(LangId.profiles.map(_._1) ===
+      Seq("de", "el", "en", "es", "fr", "it", "nl", "pt", "ru"))
   }
 
   test("langIdCt: it/nl/pt stock profiles separate held-out sentences") {
@@ -725,6 +726,25 @@ class ExtSpec extends SparkTestBase {
       ("das konzert beginnt heute abend um acht uhr", "de"),
       ("la bibliothèque ouvre tôt demain matin", "fr"),
       ("la biblioteca abre temprano mañana por la mañana", "es")
+    ).toDF("text", "want")
+    val got = docs.withColumn("pred", LangId.langIdCt(col("text")))
+      .select("text", "want", "pred").collect()
+    val wrong = got.filter(r => r.getString(1) != r.getString(2))
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
+  }
+
+  test("langIdCt: ru/el non-Latin profiles separate held-out sentences; Latin set unharmed") {
+    import spark.implicits._
+    import graft.ext.LangId
+    val docs = Seq(
+      ("сегодня мы идем на рынок чтобы купить свежий хлеб и фрукты", "ru"),
+      ("эта книга рассказывает очень красивую историю нашего города", "ru"),
+      ("σήμερα πηγαίνουμε στην αγορά για να αγοράσουμε φρέσκο ψωμί και φρούτα", "el"),
+      ("αυτό το βιβλίο λέει μια πολύ όμορφη ιστορία για την πόλη μας", "el"),
+      // Latin-script predictions must not shift with 9 profiles loaded
+      ("the library opens early tomorrow morning", "en"),
+      ("het concert begint vanavond om acht uur", "nl")
     ).toDF("text", "want")
     val got = docs.withColumn("pred", LangId.langIdCt(col("text")))
       .select("text", "want", "pred").collect()
@@ -754,7 +774,8 @@ class ExtSpec extends SparkTestBase {
     val df = LangId.seeds.toSeq.flatMap { case (l, ts) => ts.map(t => (l, t)) }
       .toDF("lang", "text")
     val trained = LangId.trainProfiles(df, "lang", "text")
-    assert(trained.map(_._1) === Seq("de", "en", "es", "fr", "it", "nl", "pt"))
+    assert(trained.map(_._1) ===
+      Seq("de", "el", "en", "es", "fr", "it", "nl", "pt", "ru"))
     trained.foreach { case (l, prof) =>
       assert(prof === LangId.profileOf(LangId.seeds(l)),
         s"distributed profile for $l diverges from driver-side ranking")
