@@ -288,18 +288,29 @@ object Ivf {
     * segment count growing past ~100s is the signal to schedule a
     * compacting [[saveIndexAtomic]] rebuild. */
   def streamAppend(vectors: DataFrame, root: String, vecCol: String,
-                   cellCol: String = "ivf_cell")
+                   cellCol: String = "ivf_cell", compactEvery: Int = 0)
                   (onBatch: (Long, Int) => Unit = (_, _) => ())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // compactEvery = N (0 = off) folds maintenance into the loop:
+    // whenever the composition reaches N segments the batch finishes
+    // with a compactIndexAtomic rewrite — safe because foreachBatch is
+    // the store's single writer, atomic because the compacted version
+    // publishes with one commit like any other
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery=$compactEvery must be 0 (off) or >= 2")
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           val (v, segs) = appendToIndexAtomic(b, vecCol, root, cellCol)
-          onBatch(v, segs.size)
+          if (compactEvery > 0 && segs.size >= compactEvery) {
+            val (cv, _) = compactIndexAtomic(b.sparkSession, root, cellCol)
+            onBatch(cv, 1)
+          } else onBatch(v, segs.size)
         }
       }
       .start()
+  }
 
   /** Streaming ANN serving: a STREAM of probe vectors answered per
     * micro-batch against the committed index — the query-side twin of

@@ -321,6 +321,35 @@ class IvfSpec extends SparkTestBase {
       base.count() + extra.count() + extra2.count())
   }
 
+  test("streamAppend compactEvery: composition folds back to one segment in-loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivfcomp")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 100)
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 4, iters = 1)
+    def batch(lo: Long, hi: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = Ivf.streamAppend(
+      input.toDF().toDF("vec_id", "embedding"), root, "embedding",
+      compactEvery = 3) { (v, n) => seen += ((v, n)) }
+    try {
+      input.addData(batch(100, 120).toSeq: _*); q.processAllAvailable()
+      input.addData(batch(120, 140).toSeq: _*); q.processAllAvailable()
+      input.addData(batch(140, 160).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1: 2 segments; batch 2: reaches 3 → compacts to v4/1 seg;
+    // batch 3: appends onto the compacted base → 2 segments
+    assert(seen.toSeq === Seq((2L, 2), (4L, 1), (5L, 2)))
+    assert(Ivf.indexSegments(spark, root).size === 2)
+    assert(Ivf.readIndex(spark, root).count() === base.count() + 60)
+  }
+
   test("streamAppend: per-batch atomic segments, empty batches burn no version") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
