@@ -2301,6 +2301,32 @@ ORDER BY feature"""
     // (boundary mask = prefix sum), and the concatenated token stream;
     // one (lang, bin)-keyed shuffle, groups bounded by the 512 budget ──
     QueryDef(
+      "q_unpack_roundtrip",
+      (s, d) => {
+        // pack → materialize → unpack must be the identity on
+        // (doc_id, tokens); the twin never sees the pack at all — it
+        // reads the same cells straight off the raw corpus
+        val docs = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " ", -1))
+          .withColumn("n_tok", size(col("toks")))
+        val packed = ext.Corpus.materializePacked(
+          ext.Corpus.packSequences(docs, "doc_id", "n_tok", 512, Seq("lang")),
+          "doc_id", "toks", "bin_id", Seq("lang"))
+        ext.Corpus.unpackShards(packed)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tok"),
+            element_at(col("tokens"), 1).as("first_tok"),
+            md5(array_join(col("tokens"), " ").cast("binary"))
+              .as("tokens_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |string_split(text, ' ')[1] AS first_tok,
+             |md5(text) AS tokens_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q_pack_emit",
       (s, d) => {
         val docs = t(s, d, "documents")

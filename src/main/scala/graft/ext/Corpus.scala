@@ -232,6 +232,31 @@ object Corpus {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** Inverse of [[materializePacked]] — the READ side of the training
+    * shard round trip: restore one (doc id, tokens) row per document
+    * from the packed bins by slicing each bin's concatenated stream at
+    * the recorded `doc_lens` boundaries. Documents come back EXACTLY
+    * (ids, order within bin, every token) — the round trip is the loss
+    * check, pinned by q_unpack_roundtrip and CorpusSpec.
+    *
+    * Scale shape: map-only — one posexplode over the per-bin doc list
+    * and an offset computed from the lens prefix (O(docs-per-bin²) per
+    * bin on arrays of ints; bins hold dozens of docs by construction).
+    * No shuffle, no join. */
+  def unpackShards(packed: DataFrame, binCol: String = "bin_id",
+                   idOut: String = "doc_id",
+                   tokensOut: String = "tokens"): DataFrame =
+    packed
+      .select(col(binCol), col("doc_lens"), col("tokens"),
+        posexplode(col("doc_ids")).as(Seq("_i", idOut)))
+      .withColumn("_off",
+        aggregate(slice(col("doc_lens"), lit(1), col("_i")),
+          lit(0L), (a, x) => a + x))
+      .select(col(idOut),
+        slice(col("tokens"), (col("_off") + 1L).cast("int"),
+          element_at(col("doc_lens"), col("_i") + 1).cast("int"))
+          .as(tokensOut))
+
   /** Weighted (quality-proportional) sampling: keep a row with
     * probability `weightCol` (clamped to [0,1]) — but DETERMINISTICALLY,
     * by comparing the row's LCG order hash against the weight:

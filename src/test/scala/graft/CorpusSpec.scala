@@ -409,4 +409,23 @@ class CorpusSpec extends SparkTestBase {
     assert(out(3L) === ((None, 0L, 2L)))
     assert(out(4L) === ((Some("r s"), 1L, 1L)))
   }
+
+  test("unpackShards: pack -> materialize -> unpack is the identity") {
+    val docs = Seq(
+      (1L, "a", Seq("x", "y", "z")),
+      (2L, "a", Seq("p", "q")),
+      (3L, "a", Seq("r")),
+      (4L, "b", Seq("long", "doc", "with", "more", "tokens")),
+      (5L, "b", Seq(""))) // empty-token doc survives the trip
+      .toDF("doc_id", "lang", "toks")
+      .withColumn("n_tok", size(col("toks")))
+    val packed = graft.ext.Corpus.materializePacked(
+      graft.ext.Corpus.packSequences(docs, "doc_id", "n_tok", 4, Seq("lang")),
+      "doc_id", "toks", "bin_id", Seq("lang"))
+    val back = graft.ext.Corpus.unpackShards(packed)
+      .as[(Long, Seq[String])].collect().toMap
+    val want = docs.select("doc_id", "toks").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(back === want)
+  }
 }
