@@ -585,6 +585,57 @@ ORDER BY feature"""
     sb.toString
   }
 
+  /** DuckDB twin of q_holt_winters: the additive Holt-Winters recurrence
+    * (Fill.holtWinters scaladoc) replayed as a recursive CTE carrying the
+    * seasonal history as a LIST (sbuf[i] = s_i, 1-based), then the
+    * residual-anomaly epilogue in exact decimals. α=.5/β=.25/γ=.5 and
+    * period=7 are spelled as the same binary-exact literals the Scala
+    * side derives from its integer percents; every arithmetic expression
+    * is written in the Scala op order, so doubles match bit for bit.
+    * The anomaly test is division-free — |resid| · n > 3 · Σ|resid| in
+    * DECIMAL(18,6) — so summation order cannot perturb it. */
+  private def holtWintersSql: String = {
+    val sprevO = "(CASE WHEN o.rn > 7 THEN rec.sbuf[CAST(o.rn - 7 AS INT)] ELSE CAST(0 AS DOUBLE) END)"
+    val lNew = s"0.5*(o.y - $sprevO) + 0.5*(rec.l + rec.b)"
+    val sNew = s"0.5*(o.y - rec.l - rec.b) + 0.5*$sprevO"
+    s"""WITH RECURSIVE d AS (SELECT event_type,
+       |  CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+       |  FROM events GROUP BY 1, 2),
+       |o AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |  ORDER BY day) AS rn FROM d),
+       |rec AS (
+       |  SELECT event_type, rn, y, y AS l, CAST(0 AS DOUBLE) AS b,
+       |    [CAST(0 AS DOUBLE)] AS sbuf
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.event_type, o.rn, o.y,
+       |    $lNew AS l,
+       |    0.25*(($lNew) - rec.l) + 0.75*rec.b AS b,
+       |    list_append(rec.sbuf, $sNew) AS sbuf
+       |  FROM rec JOIN o ON o.event_type = rec.event_type
+       |    AND o.rn = rec.rn + 1),
+       |hw AS (
+       |  SELECT event_type, rn, y, l AS hw_level, b AS hw_trend,
+       |    sbuf[CAST(rn AS INT)] AS hw_season,
+       |    l + b + (CASE WHEN rn + 1 > 7 THEN sbuf[CAST(rn + 1 - 7 AS INT)]
+       |             ELSE CAST(0 AS DOUBLE) END) AS hw_next
+       |  FROM rec),
+       |r2 AS (
+       |  SELECT *, CAST(round(y - lag(hw_next) OVER (PARTITION BY event_type
+       |    ORDER BY rn), 6) AS DECIMAL(18,6)) AS resid6
+       |  FROM hw)
+       |SELECT event_type, CAST(rn AS BIGINT) AS rn, y,
+       |  hw_level, hw_trend, hw_season, hw_next,
+       |  CAST(resid6 AS DOUBLE) AS resid,
+       |  CAST(CASE WHEN resid6 IS NOT NULL
+       |    AND abs(resid6) * (count(resid6) OVER k) > 3 * (sum(abs(resid6)) OVER k)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS anom
+       |FROM r2
+       |WINDOW k AS (PARTITION BY event_type)
+       |ORDER BY event_type, rn""".stripMargin
+  }
+
   val all: Vector[QueryDef] = Vector(
     // ── 1. scan + projection ────────────────────────────────────────────
     QueryDef(
@@ -1700,6 +1751,41 @@ ORDER BY feature"""
              |SELECT event_type, CAST(rn AS BIGINT) AS rn, y,
              |l AS holt_level, b AS holt_trend, l + b AS holt_next
              |FROM rec ORDER BY event_type, rn""".stripMargin)),
+
+    // ── 46c. Holt-Winters additive seasonal smoothing (Fill.holtWinters,
+    // period 7 over per-type daily sums — four full weekly cycles at
+    // sf0.01) plus residual anomaly flags: resid_t = y_t − forecast made
+    // at t−1; a day is anomalous when |resid| exceeds 3× the per-key mean
+    // absolute residual, tested division-free in exact DECIMAL(18,6) so
+    // both engines agree bit-for-bit. Twin: recursive CTE with the
+    // seasonal history as a LIST column (see holtWintersSql). ──────────
+    QueryDef(
+      "q_holt_winters",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("_day"))
+          .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("_day"))
+        val hw = graft.operators.Fill.holtWinters(daily,
+            Seq("event_type"), Seq("_day"), "y", period = 7,
+            alphaPct = 50, betaPct = 25, gammaPct = 50)
+          .withColumn("rn", row_number().over(w).cast("long"))
+        val wk = Window.partitionBy(col("event_type"))
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+        hw.withColumn("_resid6",
+            round(col("y") - lag(col("hw_next"), 1).over(wo), 6).cast("decimal(18,6)"))
+          .withColumn("_sumabs", sum(abs(col("_resid6"))).over(wk))
+          .withColumn("_cnt", count(col("_resid6")).over(wk))
+          .withColumn("anom",
+            when(col("_resid6").isNotNull &&
+                 abs(col("_resid6")) * col("_cnt") > lit(3) * col("_sumabs"), 1L)
+              .otherwise(0L))
+          .select(col("event_type"), col("rn"), col("y"),
+            col("hw_level"), col("hw_trend"), col("hw_season"), col("hw_next"),
+            col("_resid6").cast("double").as("resid"), col("anom"))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some(holtWintersSql)),
 
     // ── 47. map functions end-to-end: build a real MapType column (from
     // JSON + from scalars), then map_keys / map_values / transform_values

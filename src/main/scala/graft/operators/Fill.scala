@@ -196,4 +196,92 @@ object Fill {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Additive Holt-Winters (triple exponential) smoothing — [[holtLinear]]
+    * plus a period-`m` seasonal index (Winters 1960; Hyndman &
+    * Athanasopoulos, FPP §8.3 "Holt-Winters' seasonal method", additive
+    * form). Per key, at the t-th non-null observation,
+    *
+    *   l_t = α·(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − l_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+    *
+    * with the simple sequential initialization l₁ = y₁, b₁ = 0, s₁ = 0
+    * and s_{t−m} ≡ 0 while t ≤ m — the warm-up season behaves exactly
+    * like [[holtLinear]] and seasonality is learned from the second
+    * cycle on. (The classic first-season-mean initialization needs a
+    * look-ahead over the first m points; this form keeps the recurrence
+    * strictly one-pass and makes the DuckDB recursive-CTE twin a
+    * line-for-line replay.) Null values carry state without advancing
+    * the seasonal clock (t counts OBSERVATIONS, not rows — the ewma
+    * convention). Appends level, trend, the seasonal index s_t, and the
+    * one-step-ahead forecast l_t + b_t + s_{t+1−m}. α, β, γ are integer
+    * PERCENTS and the op order is fixed, so results are bit-replicable
+    * across engines.
+    *
+    * Scale shape = [[ewma]]'s: one key repartition + in-partition sort,
+    * then a single ordered pass with O(period) state per key (a ring
+    * buffer of seasonal values — never the series). */
+  def holtWinters(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+                  valueCol: String, period: Int,
+                  alphaPct: Int, betaPct: Int, gammaPct: Int,
+                  levelCol: String = "hw_level", trendCol: String = "hw_trend",
+                  seasonCol: String = "hw_season", forecastCol: String = "hw_next"): DataFrame = {
+    require(period >= 2, s"period=$period must be >= 2 (use holtLinear for no seasonality)")
+    require(alphaPct >= 1 && alphaPct <= 100, s"alphaPct=$alphaPct must be in [1,100]")
+    require(betaPct >= 0 && betaPct <= 100, s"betaPct=$betaPct must be in [0,100]")
+    require(gammaPct >= 0 && gammaPct <= 100, s"gammaPct=$gammaPct must be in [0,100]")
+    require(partitionCols.nonEmpty, "holtWinters needs key columns (per-key series)")
+    Seq(levelCol, trendCol, seasonCol, forecastCol).foreach(c =>
+      require(!df.columns.contains(c), s"output column '$c' already exists"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.DoubleType
+    val alpha = alphaPct / 100.0
+    val beta = betaPct / 100.0
+    val gamma = gammaPct / 100.0
+    val m = period
+    val parted = df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ orderCols).map(col): _*)
+    val outSchema = df.schema
+      .add(levelCol, DoubleType, nullable = true)
+      .add(trendCol, DoubleType, nullable = true)
+      .add(seasonCol, DoubleType, nullable = true)
+      .add(forecastCol, DoubleType, nullable = true)
+    val keyIdx = partitionCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var l: java.lang.Double = null
+      var b: java.lang.Double = null
+      var sLast: java.lang.Double = null
+      var t: Long = 0L
+      // ring(i) holds s_{t'} for the latest t' with (t'-1) % m == i;
+      // 0.0 = "no seasonal estimate yet" (the s_{t-m} ≡ 0 warm-up)
+      var ring: Array[Double] = null
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) {
+          curKey = key; l = null; b = null; sLast = null; t = 0L
+          ring = Array.fill(m)(0.0)
+        }
+        val v = r.get(valIdx)
+        if (v != null) {
+          val y = v.asInstanceOf[Number].doubleValue()
+          t += 1
+          val slot = ((t - 1) % m).toInt
+          if (l == null) { l = y; b = 0.0; sLast = 0.0; ring(slot) = 0.0 }
+          else {
+            val sPrev = ring(slot) // s_{t-m}, or 0.0 during warm-up
+            val lNew = alpha * (y - sPrev) + (1.0 - alpha) * (l + b)
+            val bNew = beta * (lNew - l) + (1.0 - beta) * b
+            val sNew = gamma * (y - l - b) + (1.0 - gamma) * sPrev
+            l = lNew; b = bNew; sLast = sNew; ring(slot) = sNew
+          }
+        }
+        val f: java.lang.Double =
+          if (l == null) null else l + b + ring((t % m).toInt)
+        Row.fromSeq(r.toSeq :+ l :+ b :+ sLast :+ f)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -134,4 +134,37 @@ class FillSpec extends SparkTestBase {
       .collect().toSeq
     assert(re === out)
   }
+
+  test("holtWinters: hand-computed m=2 recurrence; warm-up = Holt; null carry; reshuffle-stable") {
+    val d = Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, Some(12.0)), ("A", 3L, Some(14.0)),
+      ("A", 4L, Some(20.0)),
+      ("B", 1L, None: Option[Double]), ("B", 2L, Some(5.0))).toDF("k", "t", "y")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Fill.holtWinters(df, Seq("k"), Seq("t"), "y", period = 2,
+          alphaPct = 50, betaPct = 25, gammaPct = 50)
+        .orderBy("k", "t")
+        .select("k", "t", "hw_level", "hw_trend", "hw_season", "hw_next")
+        .as[(String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+        .collect().toSeq
+    val out = run(d)
+    // t=1: l=10 b=0 s=0, forecast 10 (s_{2-2} ≡ 0 in warm-up)
+    assert(out(0) === (("A", 1L, Some(10.0), Some(0.0), Some(0.0), Some(10.0))))
+    // t=2 (s_{0} ≡ 0): l=.5·12+.5·10=11, b=.25, s=.5·(12−10−0)=1;
+    // forecast uses s_1 = 0 → 11.25
+    assert(out(1) === (("A", 2L, Some(11.0), Some(0.25), Some(1.0), Some(11.25))))
+    // t=3 (s_1 ≡ 0): l=.5·14+.5·11.25=12.625, b=.25·1.625+.75·.25=.59375,
+    // s=.5·(14−11−.25)=1.375; forecast uses s_2 = 1 → 14.21875
+    assert(out(2) === (("A", 3L, Some(12.625), Some(0.59375), Some(1.375), Some(14.21875))))
+    // t=4, first seasonal hit (s_2 = 1):
+    // l=.5·(20−1)+.5·13.21875=16.109375,
+    // b=.25·3.484375+.75·.59375=1.31640625,
+    // s=.5·(20−12.625−.59375)+.5·1=3.890625; forecast uses s_3=1.375
+    assert(out(3) === (("A", 4L, Some(16.109375), Some(1.31640625),
+      Some(3.890625), Some(18.80078125))))
+    // B: leading null → null state; first obs seeds fresh level
+    assert(out(4) === (("B", 1L, None, None, None, None)))
+    assert(out(5) === (("B", 2L, Some(5.0), Some(0.0), Some(0.0), Some(5.0))))
+    assert(run(d.repartition(7)) === out)
+  }
 }
