@@ -90,13 +90,85 @@ object AtomicCommit {
     ok
   }
 
+  // ── Writer fencing (multi-writer safety under orchestration retries) ──
+
+  private def epochsDir(root: String) = new Path(root, "_epochs")
+
+  /** Highest claimed writer epoch; 0 for a store no writer has fenced. */
+  def maxEpoch(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val dir = epochsDir(root)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Claim the next writer epoch — the fencing token of Chandra et al.'s
+    * lease pattern, built on the same rename-no-overwrite primitive as
+    * [[commit]]: epoch `e` belongs to whoever renamed `_epochs/<e>` into
+    * place first; losers observe the collision and claim `e+1`. A new
+    * job attempt (an orchestration retry of a stalled writer) calls this
+    * once at startup and passes the token to every [[commitFenced]];
+    * from the moment the retry acquires its epoch, every later commit
+    * attempt by the older attempt is rejected. `holder` is a free-form
+    * audit tag stored in the epoch file body.
+    *
+    * Guarantee (filesystem-primitive honest): after epoch e+1 exists, no
+    * `commitFenced(..., epoch = e)` call that STARTS later can succeed.
+    * A commit already past its fencing check when the new epoch lands
+    * races on the version CAS instead — one of the two writers' renames
+    * fails cleanly; no torn state is possible either way. */
+  def acquireEpoch(spark: SparkSession, root: String, holder: String = ""): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(epochsDir(root))
+    var e = maxEpoch(spark, root) + 1
+    while (true) {
+      val dst = new Path(epochsDir(root), e.toString)
+      if (!f.exists(dst)) {
+        val tmp = new Path(root, s"_tmp-epoch-$e-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try out.write(holder.getBytes(UTF_8)) finally out.close()
+        if (f.rename(tmp, dst)) return e
+        f.delete(tmp, false)
+      }
+      e += 1
+    }
+    e // unreachable
+  }
+
+  /** [[commit]] guarded by a fencing token from [[acquireEpoch]]: the
+    * commit is rejected (false) when a newer epoch has been claimed —
+    * the caller is a zombie attempt whose retry already took over — or
+    * when the version CAS loses. The epoch is recorded as an
+    * `epoch:<e>` header line in the commit body (audit trail: which
+    * attempt produced each version); the manifest codecs strip it. */
+  def commitFenced(spark: SparkSession, root: String, v: Long,
+                   manifest: String, epoch: Long): Boolean = {
+    require(epoch >= 1, s"epoch=$epoch must come from acquireEpoch")
+    if (maxEpoch(spark, root) > epoch) false
+    else commit(spark, root, v, s"epoch:$epoch\n$manifest")
+  }
+
+  /** The fencing epoch recorded in a commit body, if any. */
+  def manifestEpoch(body: String): Option[Long] =
+    if (body.startsWith("epoch:"))
+      body.linesIterator.next().stripPrefix("epoch:").trim.toLongOption
+    else None
+
+  /** Commit body minus the optional `epoch:` header — what the manifest
+    * codecs below actually parse. */
+  private def stripEpochHeader(body: String): String =
+    if (body.startsWith("epoch:")) body.linesIterator.drop(1).mkString("\n")
+    else body
+
   /** Bucket-ownership manifest codec for the upsert store: one
     * `bucket,version` line per bucket. */
   def encodeOwners(owners: Map[Int, Long]): String =
     owners.toSeq.sorted.map { case (b, v) => s"$b,$v" }.mkString("\n")
 
   def decodeOwners(s: String): Map[Int, Long] =
-    s.linesIterator.filter(_.nonEmpty).map { line =>
+    stripEpochHeader(s).linesIterator.filter(_.nonEmpty).map { line =>
       val Array(b, v) = line.split(",", 2)
       b.toInt -> v.toLong
     }.toMap
@@ -109,12 +181,15 @@ object AtomicCommit {
   def encodeSegments(versions: Seq[Long]): String =
     "segs:" + versions.mkString(",")
 
-  /** Some(segment versions) if `body` is a segment-list manifest. */
-  def decodeSegments(body: String): Option[Seq[Long]] =
-    if (body.startsWith("segs:"))
-      Some(body.stripPrefix("segs:").split(",").toSeq
+  /** Some(segment versions) if `body` is a segment-list manifest
+    * (epoch header tolerated). */
+  def decodeSegments(body: String): Option[Seq[Long]] = {
+    val b = stripEpochHeader(body)
+    if (b.startsWith("segs:"))
+      Some(b.stripPrefix("segs:").split(",").toSeq
         .filter(_.nonEmpty).map(_.trim.toLong))
     else None
+  }
 
   /** Delete uncommitted orphan `v=<N>` directories (crash debris) and
     * versions past the retention floor. `keepVersions` is the floor:
@@ -155,6 +230,16 @@ object AtomicCommit {
           .filterNot(live)
           .filter(_ => f.delete(s.getPath, true)).map(_ => s.getPath.toString)
       }
-    deadDirs ++ staleCommits
+    // stale epoch files: everything below the current max is history
+    // (fencing only ever compares against the max, which must survive
+    // so zombie writers stay fenced after vacuum)
+    val eDir = epochsDir(root)
+    val staleEpochs = if (!f.exists(eDir)) Nil else {
+      val top = maxEpoch(spark, root)
+      f.listStatus(eDir).toSeq
+        .filter(s => scala.util.Try(s.getPath.getName.toLong).toOption.exists(_ < top))
+        .flatMap(s => if (f.delete(s.getPath, false)) Some(s.getPath.toString) else None)
+    }
+    deadDirs ++ staleCommits ++ staleEpochs
   }
 }

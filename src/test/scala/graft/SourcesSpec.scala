@@ -152,6 +152,48 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("writer fencing: a zombie attempt's commit is rejected after its retry acquires a newer epoch") {
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("afence").resolve("store").toString
+    // attempt 1 starts and commits v=1 under its epoch
+    val e1 = AtomicCommit.acquireEpoch(spark, root, holder = "attempt-1")
+    assert(e1 === 1L && AtomicCommit.maxEpoch(spark, root) === 1L)
+    assert(AtomicCommit.commitFenced(spark, root, 1L, "", e1))
+    // the orchestrator, believing attempt 1 dead, launches attempt 2
+    val e2 = AtomicCommit.acquireEpoch(spark, root, holder = "attempt-2")
+    assert(e2 === 2L)
+    // the stalled attempt 1 wakes and tries to publish v=2 → fenced out
+    assert(!AtomicCommit.commitFenced(spark, root, 2L, "", e1))
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(1L))
+    // attempt 2 publishes cleanly; its epoch is recorded in the body
+    assert(AtomicCommit.commitFenced(spark, root, 2L, "segs:1,2", e2))
+    val (v, body) = AtomicCommit.latest(spark, root).get
+    assert(v === 2L && AtomicCommit.manifestEpoch(body) === Some(2L))
+    // manifest codecs parse straight through the epoch header
+    assert(AtomicCommit.decodeSegments(body) === Some(Seq(1L, 2L)))
+    assert(AtomicCommit.decodeOwners("epoch:9\n0,3\n1,4") === Map(0 -> 3L, 1 -> 4L))
+    // unfenced bodies still parse (fencing is opt-in per store)
+    assert(AtomicCommit.manifestEpoch("segs:1") === None)
+    // same-version CAS still arbitrates two writers on the SAME epoch
+    assert(!AtomicCommit.commitFenced(spark, root, 2L, "", e2))
+  }
+
+  test("writer fencing: vacuum prunes epoch history but keeps zombies fenced") {
+    import graft.sources.{AtomicCommit, ShardStore}
+    val root = java.nio.file.Files.createTempDirectory("afencev").resolve("store").toString
+    ShardStore.writeShardsAtomic(docs, "doc_id", numShards = 2, root)
+    val e1 = AtomicCommit.acquireEpoch(spark, root)
+    val e2 = AtomicCommit.acquireEpoch(spark, root)
+    val e3 = AtomicCommit.acquireEpoch(spark, root)
+    assert(Seq(e1, e2, e3) === Seq(1L, 2L, 3L))
+    val removed = AtomicCommit.vacuum(spark, root)
+    // epochs 1 and 2 are history; 3 must survive so the fence holds
+    assert(removed.count(_.contains("_epochs/")) === 2, s"removed=$removed")
+    assert(AtomicCommit.maxEpoch(spark, root) === 3L)
+    assert(!AtomicCommit.commitFenced(spark, root, 99L, "", e2))
+    assert(AtomicCommit.commitFenced(spark, root, 2L, "", e3))
+  }
+
   test("shard store schema evolution: evolved read aligns old versions to latest schema") {
     import org.apache.spark.sql.functions._
     import graft.sources.ShardStore
