@@ -445,6 +445,65 @@ object Queries {
         lit(9000001L).as("doc_id"), lit(spanOracleA).as("text")))
       .unionByName(s.range(1).select(
         lit(9000002L).as("doc_id"), lit(spanOracleB).as("text")))
+  // ── extra planted docs for the EXACT-span oracle rows: X's 30-token
+  // region is stitched from a 17-token overlap with C and a 17-token
+  // overlap with D — the run relaxation reports a 30-token span in X,
+  // the exact diagonal test reports nothing (no partner shares 20) ─────
+  private val spanOracleX =
+    (Seq("xf1", "xf2") ++ (1 to 30).map(i => s"xs$i") ++ Seq("xf3")).mkString(" ")
+  private val spanOracleC =
+    (Seq("cf1", "cf2", "cf3") ++ (1 to 17).map(i => s"xs$i") ++ Seq("cf4")).mkString(" ")
+  private val spanOracleD =
+    (Seq("df1") ++ (14 to 30).map(i => s"xs$i") ++ Seq("df2")).mkString(" ")
+  private def spanExactAug(s: SparkSession, d: String): DataFrame =
+    spanAug(s, d)
+      .unionByName(s.range(1).select(
+        lit(9000003L).as("doc_id"), lit(spanOracleX).as("text")))
+      .unionByName(s.range(1).select(
+        lit(9000004L).as("doc_id"), lit(spanOracleC).as("text")))
+      .unionByName(s.range(1).select(
+        lit(9000005L).as("doc_id"), lit(spanOracleD).as("text")))
+  private val spanExactAugSql =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT 9000001, '$spanOracleA'
+       |  UNION ALL SELECT 9000002, '$spanOracleB'
+       |  UNION ALL SELECT 9000003, '$spanOracleX'
+       |  UNION ALL SELECT 9000004, '$spanOracleC'
+       |  UNION ALL SELECT 9000005, '$spanOracleD'""".stripMargin
+  /** Shared CTE prefix of the exact-span twins: maximal per-(pair,
+    * diagonal) shingle-match runs ≥ 20 tokens (`pairCond` restricts the
+    * grid: detection sees both orientations, removal losers only),
+    * then the per-doc interval union via gaps-and-islands. */
+  private def duckExactSpans(pairCond: String): String =
+    s"""w AS (SELECT doc_id, $duckWhs AS h,
+       |  string_split(text, ' ') AS tk FROM aug),
+       |sg AS (SELECT doc_id, CASE WHEN len(h) >= 5 THEN
+       |  list_transform(range(0, len(h)-4), i -> $duckSh5)
+       |  ELSE [] END AS gs FROM w),
+       |e AS (SELECT doc_id, unnest(gs) AS sh,
+       |  unnest(range(0, len(gs))) AS p FROM sg),
+       |rep AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM e)
+       |  GROUP BY sh HAVING count(*) >= 2),
+       |er AS (SELECT * FROM e WHERE sh IN (SELECT sh FROM rep)),
+       |m AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.p AS i,
+       |    a.p - b.p AS diag
+       |  FROM er a JOIN er b ON a.sh = b.sh AND $pairCond),
+       |runs AS (SELECT ida, idb, diag, i,
+       |    i - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY i) AS grp
+       |  FROM m),
+       |sp AS (SELECT ida AS doc_id, min(i) AS st, max(i) + 4 AS en
+       |  FROM runs GROUP BY ida, idb, diag, grp
+       |  HAVING max(i) + 4 - min(i) + 1 >= 20),
+       |ord2 AS (SELECT doc_id, st, en,
+       |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM sp),
+       |isl AS (SELECT doc_id, st, en,
+       |    sum(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY st, en) AS g
+       |  FROM ord2),
+       |cov AS (SELECT doc_id, min(st) AS st, max(en) AS en
+       |  FROM isl GROUP BY doc_id, g)""".stripMargin
   /** All-language stopword list as a DuckDB array literal (same set the
     * Spark kernel uses — generated from one constant to prevent drift). */
   private val duckStopAll = TextAnalysis.stopwords.values.flatten.toSeq.distinct
@@ -3336,6 +3395,53 @@ ORDER BY feature"""
              |  unnest(range(0, len(tk))) AS i FROM w),
              |cutpos AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
              |  JOIN sp ON t.doc_id = sp.doc_id AND t.i BETWEEN sp.st AND sp.en),
+             |kept AS (SELECT t.doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_tot,
+             |    CAST(count(*) FILTER (WHERE c.i IS NULL) AS BIGINT) AS n_kept,
+             |    string_agg(CASE WHEN c.i IS NULL THEN t.tkn END, ' '
+             |      ORDER BY t.i) AS txt
+             |  FROM tok t LEFT JOIN cutpos c
+             |    ON t.doc_id = c.doc_id AND t.i = c.i
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, CAST(n_tot - n_kept AS BIGINT) AS n_removed,
+             |  nullif(txt, '') AS text_kept
+             |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // ── 77b2. EXACT variable-span detection (true ExactSubstr): covered
+    // positions = union of TRUE ≥20-token substrings shared with some
+    // partner, recovered via diagonal runs in the shingle-match grid.
+    // The planted X/C/D triple proves the precision gap: the relaxation
+    // would report X's stitched 30-token region; the exact test reports
+    // nothing there while still catching A/B's straddling 25-token span ─
+    QueryDef(
+      "q_span_exact",
+      (s, d) =>
+        Dedup.duplicatedSpansExact(spanExactAug(s, d), "doc_id", "text",
+          n = 5, minTokens = 20)
+          .orderBy(col("doc_id"), col("start_tok")),
+      Some(s"""WITH aug AS ($spanExactAugSql),
+             |${duckExactSpans("a.doc_id <> b.doc_id")}
+             |SELECT doc_id, CAST(st AS BIGINT) AS start_tok,
+             |  CAST(en AS BIGINT) AS end_tok,
+             |  CAST(en - st + 1 AS BIGINT) AS n_tokens
+             |FROM cov ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // ── 77b3. EXACT variable-span removal: cut positions covered by a
+    // true shared substring with a LOWER-id doc — the minimum holder
+    // keeps text verbatim, no per-shingle winner fragmentation, no
+    // stitched-run over-removal (X/C/D all keep everything) ────────────
+    QueryDef(
+      "q_span_dedup_exact",
+      (s, d) =>
+        Dedup.spanDedupExact(spanExactAug(s, d), "doc_id", "text",
+          n = 5, minTokens = 20)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH aug AS ($spanExactAugSql),
+             |${duckExactSpans("a.doc_id > b.doc_id")},
+             |tok AS (SELECT doc_id, unnest(tk) AS tkn,
+             |  unnest(range(0, len(tk))) AS i FROM w),
+             |cutpos AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+             |  JOIN cov ON t.doc_id = cov.doc_id AND t.i BETWEEN cov.st AND cov.en),
              |kept AS (SELECT t.doc_id,
              |    CAST(count(*) AS BIGINT) AS n_tot,
              |    CAST(count(*) FILTER (WHERE c.i IS NULL) AS BIGINT) AS n_kept,

@@ -165,6 +165,115 @@ object Dedup {
         nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
   }
 
+  /** EXACT variable-span duplicate detection — true ExactSubstr
+    * semantics (Lee et al. 2022), closing the documented precision gap
+    * of [[duplicatedSpans]]'s shingle-run relaxation. A token position
+    * is duplicated iff some substring of ≥ `minTokens` tokens COVERING
+    * IT literally occurs in another document; [[duplicatedSpans]]
+    * over-reports when a run of repeated shingles is stitched from
+    * SHORT overlaps with different partners none of which reaches
+    * `minTokens` on its own. The exact test needs no suffix structure:
+    * a common substring of token length L between docs A and B is
+    * precisely a run of L−n+1 consecutive shingle matches along one
+    * DIAGONAL i−j of the (A-position i, B-position j) match grid — so
+    * gaps-and-islands per (A, B, diagonal) recovers every maximal
+    * common substring, the ≥ `minTokens` filter applies to TRUE shared
+    * substrings, and the per-doc union of surviving intervals (merged
+    * when overlapping or adjacent) is the exact covered-position set.
+    * Returns (idCol, start_tok, end_tok, n_tokens), positions 0-based
+    * inclusive, one row per maximal covered interval.
+    *
+    * Scale shape: candidate generation is the repeated-position
+    * self-join on the 64-bit shingle hash — Σ_sh df² rows, bounded by
+    * `maxDf`² per shingle (set `maxDf` on web corpora: boilerplate
+    * shingles are both the precision hazard and the quadratic hazard,
+    * one knob caps both); run growth is ONE (docA, docB,
+    * diagonal)-keyed window; the interval union is ONE doc-keyed
+    * window. Nothing is all-pairs over the corpus — only docs sharing
+    * a repeated shingle ever meet. */
+  def duplicatedSpansExact(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, minTokens: Int = 20,
+                           maxDf: Long = Long.MaxValue): DataFrame =
+    exactCoveredSpans(docs, idCol, textCol, n, minTokens, maxDf,
+        losersOnly = false)
+      .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1L)
+      .select(col(idCol), col("start_tok"), col("end_tok"), col("n_tokens"))
+
+  /** EXACT variable-span removal: cut every position of a doc covered
+    * by a ≥ `minTokens` substring shared with a LOWER-id doc, so the
+    * minimum holder of each duplicated region keeps its text verbatim
+    * and every other holder drops exactly the true shared extent —
+    * none of [[spanDedup]]'s per-shingle winner fragmentation and none
+    * of the run relaxation's over-removal. Same return shape as
+    * [[spanDedup]]: (idCol, n_removed, text_kept), text_kept null when
+    * everything was cut. Scale shape = [[duplicatedSpansExact]] plus
+    * the map-side indexed-filter rebuild. */
+  def spanDedupExact(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minTokens: Int = 20,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
+    val spans = exactCoveredSpans(docs, idCol, textCol, n, minTokens, maxDf,
+        losersOnly = true)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok").as("_st"),
+        col("end_tok").as("_en"))).as("_rm"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (_, i) =>
+          !exists(col("_rm"), s =>
+            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
+      .select(col(idCol),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+  }
+
+  /** Shared kernel of the exact-span operators: maximal per-doc covered
+    * intervals (merged across partners). `losersOnly` restricts the
+    * match grid to partners with a smaller id — the removal side's
+    * winner election. */
+  private def exactCoveredSpans(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, minTokens: Int, maxDf: Long,
+                                losersOnly: Boolean): DataFrame = {
+    require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2")
+    val pos = docs.withColumn("_whs", wordHashes(col(textCol)))
+      .select(col(idCol),
+        posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
+      .withColumn("_p", col("_p").cast("long"))
+    val rep = pos.select(col(idCol), col("_sh")).distinct()
+      .groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+    val posR = pos.join(rep.select(col("_sh")), Seq("_sh"), "left_semi")
+    val lhs = posR.select(col("_sh"), col(idCol).as("_ida"), col("_p").as("_i"))
+    val rhs = posR.select(col("_sh"), col(idCol).as("_idb"), col("_p").as("_j"))
+    val pairCond = if (losersOnly) col("_ida") > col("_idb")
+                   else col("_ida") =!= col("_idb")
+    val m = lhs.join(rhs, Seq("_sh")).filter(pairCond)
+      .select(col("_ida"), col("_idb"), col("_i"), (col("_i") - col("_j")).as("_d"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_ida"), col("_idb"), col("_d")).orderBy(col("_i"))
+    val runs = m.withColumn("_grp", col("_i") - row_number().over(wRun))
+      .groupBy(col("_ida"), col("_idb"), col("_d"), col("_grp"))
+      .agg(min(col("_i")).as("_st"),
+        (max(col("_i")) + lit(n - 1).cast("long")).as("_en"))
+      .filter(col("_en") - col("_st") + 1L >= minTokens)
+      .select(col("_ida").as(idCol), col("_st"), col("_en"))
+    // union of covered positions: islands over intervals sorted by
+    // start, split where a gap opens (adjacent intervals merge — their
+    // covered-position sets are contiguous)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_st"), col("_en"))
+    val wPrev = wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    runs
+      .withColumn("_pmax", max(col("_en")).over(wPrev))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("_st") > col("_pmax") + 1L, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wOrd))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_st")).as("start_tok"), max(col("_en")).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"))
+  }
+
   /** INTRA-document span dedup — keep-first removal of passages
     * repeated WITHIN one document (the scraped-page failure mode:
     * the same paragraph pasted dozens of times), which the cross-doc

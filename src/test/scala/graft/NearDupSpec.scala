@@ -349,6 +349,75 @@ class NearDupSpec extends SparkTestBase {
       (7L, 3L, 14L, 12L)))  // E's copy of the last 12
   }
 
+  test("duplicatedSpansExact: true straddling duplicate reported exactly like the relaxation") {
+    val spans = Dedup.duplicatedSpansExact(straddleDocs, "doc_id", "text",
+      n = 5, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((1L, 7L, 31L, 25L), (2L, 12L, 36L, 25L)))
+  }
+
+  test("duplicatedSpansExact rejects runs stitched from short overlaps with different partners") {
+    // the precision case duplicatedSpans documents as its trade: X's
+    // 20-token region is stitched from a 12-token overlap with D and a
+    // 12-token overlap with E; at minTokens=15 the relaxation reports a
+    // 20-token span in X though NO partner shares 15 consecutive tokens
+    // — the exact diagonal test reports nothing.
+    val region = (1 to 20).map(i => s"r$i")
+    val docs = Seq(
+      (8L, (Seq("x1", "x2") ++ region ++ Seq("x3")).mkString(" ")),
+      (6L, (Seq("d1", "d2", "d3") ++ region.take(12) ++ Seq("d4", "d5")).mkString(" ")),
+      (7L, (Seq("e1", "e2", "e3") ++ region.drop(8) ++ Seq("e4", "e5")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val relaxed = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(relaxed === Set((8L, 20L)), "fixture sanity: the relaxation over-reports here")
+    assert(Dedup.duplicatedSpansExact(docs, "doc_id", "text",
+      n = 5, minTokens = 15).count() === 0L)
+    // and the removal twin: spanDedup cuts X's stitched region (its
+    // shingles are won by the lower-id partners) — exact cuts nothing
+    val relaxedCut = Dedup.spanDedup(docs, "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaxedCut(8L) === 20L, "fixture sanity: relaxation over-removes here")
+    val exactCut = Dedup.spanDedupExact(docs, "doc_id", "text",
+      n = 5, minTokens = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exactCut === Map(8L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("duplicatedSpansExact: overlapping TRUE substrings union into one covered interval") {
+    // X shares its first 22 region-tokens with D and its last 22 with E;
+    // both pass minTokens=20 on their own, their covered positions
+    // overlap, and the union is one contiguous 30-token interval.
+    val region = (1 to 30).map(i => s"r$i")
+    val docs = Seq(
+      (5L, (Seq("x1", "x2") ++ region ++ Seq("x3")).mkString(" ")),
+      (6L, (Seq("d1", "d2", "d3") ++ region.take(22) ++ Seq("d4", "d5")).mkString(" ")),
+      (7L, (Seq("e1") ++ region.drop(8) ++ Seq("e2")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpansExact(docs, "doc_id", "text",
+      n = 5, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set(
+      (5L, 2L, 31L, 30L),   // merged union of [2,23] (vs D) and [10,31] (vs E)
+      (6L, 3L, 24L, 22L),
+      (7L, 1L, 22L, 22L)))
+  }
+
+  test("spanDedupExact: minimum holder keeps text; loser drops exactly the true extent") {
+    val out = Dedup.spanDedupExact(straddleDocs, "doc_id", "text",
+      n = 5, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === 0L)
+    assert(byId(1L)._3 === straddleDocs.filter(col("doc_id") === 1).head.getString(1))
+    assert(byId(2L)._2 === 25L)
+    assert(byId(2L)._3 ===
+      ((1 to 12).map(i => s"fb$i") ++ Seq("fb13", "fb14")).mkString(" "))
+    assert(byId(9L)._2 === 0L)
+  }
+
   test("duplicatedSpans minTokens boundary: exactly-minTokens kept, one-shorter dropped") {
     def docsOf(k: Int) = {
       val shared = (1 to k).map(i => s"s$i")
