@@ -187,7 +187,42 @@ object LangId {
       "η γάτα είναι στη στέγη και ο σκύλος στην κουζίνα με τα παιδιά",
       "κάθε βράδυ η οικογένεια μαζεύεται γύρω από το τραπέζι για να φάει και να μιλήσει για τη μέρα",
       "οι φίλοι άργησαν γιατί είχε πολλή κίνηση στον κεντρικό δρόμο",
-      "ο δάσκαλος εξηγεί το μάθημα ενώ οι μαθητές ανοίγουν τα βιβλία τους"))
+      "ο δάσκαλος εξηγεί το μάθημα ενώ οι μαθητές ανοίγουν τα βιβλία τους"),
+    // CJK: zh/ja carry no spaces, so each sentence is one padded
+    // "token" — the char-n-gram alphabet (Han for zh, Han+kana for ja,
+    // Hangul for ko) does all the work, which is exactly why C-T holds
+    // up where word heuristics cannot. scriptProfile routes first; these
+    // profiles settle the han/kana/hangul buckets.
+    "zh" -> Seq(
+      "敏捷的棕色狐狸跳过懒惰的狗孩子们在花园里看着",
+      "她说明天早上天气会更好他们应该再等一等",
+      "这是我们去年夏天在河边和老桥附近一起建造的房子",
+      "很多人认为读书是了解世界的最好方法",
+      "除了等火车并希望它不要晚点以外没有别的事可做",
+      "猫在屋顶上狗和孩子们在厨房里",
+      "每天晚上全家人围着桌子吃饭谈论一天的事情",
+      "朋友们迟到了因为大路上车很多",
+      "老师讲课的时候学生们打开他们的书"),
+    "ja" -> Seq(
+      "すばやい茶色のきつねはなまけものの犬をとびこえて子どもたちは庭から見ている",
+      "彼女は明日の朝は天気がよくなるから待つべきだと言った",
+      "これは去年の夏に川と古い橋の近くでみんなで建てた家です",
+      "多くの人は本を読むことが世界を知る一番よい方法だと思っている",
+      "電車を待って遅れないことを願うほかに何もすることがなかった",
+      "猫は屋根の上にいて犬は子どもたちと台所にいる",
+      "毎晩家族は食卓を囲んで食事をしながらその日のことを話す",
+      "大通りは車が多かったので友だちは遅れて来た",
+      "先生が授業を説明している間に生徒たちは本を開く"),
+    "ko" -> Seq(
+      "빠른 갈색 여우가 게으른 개를 뛰어넘고 아이들은 정원에서 지켜본다",
+      "그녀는 내일 아침에 날씨가 더 좋아질 테니 기다려야 한다고 말했다",
+      "이것은 우리가 지난 여름에 강과 오래된 다리 근처에 함께 지은 집이다",
+      "많은 사람들은 책을 읽는 것이 세상을 배우는 가장 좋은 방법이라고 생각한다",
+      "기차를 기다리며 늦지 않기를 바라는 것 말고는 할 일이 없었다",
+      "고양이는 지붕 위에 있고 개는 아이들과 함께 부엌에 있다",
+      "매일 저녁 가족은 식탁에 둘러앉아 저녁을 먹으며 하루 이야기를 나눈다",
+      "큰길에 차가 많아서 친구들이 늦게 도착했다",
+      "선생님이 수업을 설명하는 동안 학생들은 책을 편다"))
 
   /** The stock profiles, (lang, ranked grams), sorted by language key —
     * the array order every distance/argmin consumer indexes by. */

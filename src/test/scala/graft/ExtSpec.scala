@@ -705,7 +705,31 @@ class ExtSpec extends SparkTestBase {
     // the stopword heuristic CANNOT do this: the accented short docs
     // score zero on every marker list (or collide), C-T separates them
     assert(LangId.profiles.map(_._1) ===
-      Seq("de", "el", "en", "es", "fr", "it", "nl", "pt", "ru"))
+      Seq("de", "el", "en", "es", "fr", "it", "ja", "ko", "nl", "pt", "ru", "zh"))
+  }
+
+  test("langIdCt: zh/ja/ko profiles separate held-out CJK sentences; ja vs zh despite shared Han") {
+    import spark.implicits._
+    import graft.ext.LangId
+    val docs = Seq(
+      // held-out; zh and ja are unsegmented — the char-n-gram alphabet
+      // does all the work, and kana must pull ja away from zh even
+      // though both carry Han characters
+      ("今天我们去市场买新鲜的面包和一些水果", "zh"),
+      ("这本书讲述了我们城市的一个很美的故事", "zh"),
+      ("今日は市場へ行って新しいパンと果物を買います", "ja"),
+      ("この本は私たちの町のとても美しい物語を語っている", "ja"),
+      ("오늘 우리는 시장에 가서 신선한 빵과 과일을 산다", "ko"),
+      ("이 책은 우리 도시의 아주 아름다운 이야기를 들려준다", "ko"),
+      // Latin and Cyrillic predictions must not shift with 12 profiles
+      ("the library opens early tomorrow morning", "en"),
+      ("сегодня мы идем на рынок чтобы купить свежий хлеб", "ru")
+    ).toDF("text", "want")
+    val got = docs.withColumn("pred", LangId.langIdCt(col("text")))
+      .select("text", "want", "pred").collect()
+    val wrong = got.filter(r => r.getString(1) != r.getString(2))
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
   }
 
   test("langIdCt: it/nl/pt stock profiles separate held-out sentences") {
