@@ -615,22 +615,33 @@ ORDER BY feature"""
     * for bit. Unmatched single chars take the UNK cost (8.0 → 128);
     * multi-char misses yield NULL arms, which DuckDB's least()
     * skips. */
-  private def unigramSql: String = {
+  private def unigramSql: String = unigramSqlImpl("documents", bf = false)
+
+  /** Byte-fallback variant of the unigram DP twin: the k=1 arm pays
+    * 96/16 = 6.0 per UTF-8 byte and counts one piece per byte —
+    * 64·(96·olen) + olen = 6145·olen in the packed unit — exactly
+    * [[graft.ext.UnigramLoops.ByteCost]]'s arithmetic; substr counts
+    * code points in DuckDB and UTF-16 units in Spark, so the planted
+    * doc stays BMP (identical indices). */
+  private def unigramSqlImpl(fromRel: String, bf: Boolean): String = {
     val maxW = 12
     val maxK = ext.Unigram.demoPieces.map(_._1.length).max
     val vals = ext.Unigram.demoPieces
       .map { case (p, c) => s"('$p', ${(c * 16).round})" }.mkString(", ")
     val sb = new StringBuilder
-    sb ++= s"WITH pc(piece, c16) AS (VALUES $vals),\n"
-    sb ++= "raw AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS w0 FROM documents),\n"
+    sb ++= s"pc(piece, c16) AS (VALUES $vals),\n"
+    sb ++= s"raw AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS w0 FROM $fromRel),\n"
     sb ++= s"wd AS (SELECT doc_id, substr(w0, 1, $maxW) AS w FROM raw WHERE len(w0) > 0),\n"
     sb ++= "ww AS (SELECT DISTINCT w FROM wd),\n"
     sb ++= "d0 AS (SELECT w, CAST(0 AS BIGINT) AS s0 FROM ww),\n"
     for (i <- 1 to maxW) {
       val arms = (1 to math.min(maxK, i)).map { k =>
         val look = s"(SELECT c16 FROM pc WHERE piece = substr(w, ${i - k + 1}, $k))"
-        val pc16 = if (k == 1) s"coalesce($look, 128)" else look
-        s"s${i - k} + 64*$pc16 + 1"
+        if (k == 1 && bf)
+          s"s${i - 1} + CASE WHEN $look IS NOT NULL THEN 64*$look + 1 " +
+            s"ELSE 6145*octet_length(encode(substr(w, $i, 1))) END"
+        else if (k == 1) s"s${i - 1} + 64*coalesce($look, 128) + 1"
+        else s"s${i - k} + 64*$look + 1"
       }.mkString(", ")
       sb ++= s"d$i AS (SELECT *, least($arms) AS s$i FROM d${i - 1}),\n"
     }
@@ -638,11 +649,24 @@ ORDER BY feature"""
     sb ++= s"dp AS (SELECT w, CASE len(w) $pick END AS s FROM d$maxW),\n"
     sb ++= "agg AS (SELECT wd.doc_id, CAST(sum(dp.s // 64) AS DOUBLE) / 16.0 AS c, " +
       "CAST(sum(dp.s % 64) AS BIGINT) AS n FROM wd JOIN dp USING (w) GROUP BY wd.doc_id)\n"
-    sb ++= "SELECT d.doc_id, coalesce(agg.c, 0.0) AS ug_cost, " +
+    sb ++= s"SELECT d.doc_id, coalesce(agg.c, 0.0) AS ug_cost, " +
       "CAST(coalesce(agg.n, 0) AS BIGINT) AS n_pieces " +
-      "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"
-    sb.toString
+      s"FROM $fromRel d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"
+    "WITH " + sb.toString
   }
+
+  /** Planted multi-script doc for the byte-fallback oracle (BMP only —
+    * see [[unigramSqlImpl]]): accented Latin (2-byte chars), Han
+    * (3-byte), plus covered ascii words proving the fallback leaves
+    * in-table segmentation untouched. */
+  private val ugBfDoc = "café über niño straße 東京 data the station"
+  private def ugBfAug(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(
+        lit(9000301L).as("doc_id"), lit(ugBfDoc).as("text")))
+  private def unigramBfSql: String = unigramSqlImpl(
+    s"(SELECT doc_id, text FROM documents UNION ALL SELECT 9000301, '$ugBfDoc')",
+    bf = true)
 
   /** DuckDB twin of q_holt_winters: the additive Holt-Winters recurrence
     * (Fill.holtWinters scaladoc) replayed as a recursive CTE carrying the
@@ -1746,6 +1770,28 @@ ORDER BY feature"""
             col("_sc.n_pieces").as("n_pieces"))
           .orderBy(col("doc_id")),
       Some(unigramSql)),
+
+    // ── 45d. Unigram scoring with BYTE FALLBACK (SentencePiece
+    // --byte_fallback): uncovered chars pay 6.0 per UTF-8 byte and
+    // count one piece per byte, so scoring is total on any input; a
+    // planted multi-script doc (2-byte Latin accents, 3-byte Han)
+    // exercises the arm while the ascii corpus proves in-table
+    // segmentation is untouched. Twin: same unrolled DP with the k=1
+    // arm swapped to 6145·octet_length (see unigramSqlImpl) ───────────
+    QueryDef(
+      "q_unigram_bf",
+      (s, d) =>
+        ugBfAug(s, d)
+          .withColumn("_t", array_join(transform(
+            split(coalesce(col("text"), lit("")), "\\s+"),
+            w => substring(w, 1, 12)), " "))
+          .withColumn("_sc",
+            ext.Unigram.score(col("_t"), ext.Unigram.demoPieces,
+              byteFallback = true))
+          .select(col("doc_id"), col("_sc.cost").as("ug_cost"),
+            col("_sc.n_pieces").as("n_pieces"))
+          .orderBy(col("doc_id")),
+      Some(unigramBfSql)),
 
     // ── 46. RANGE window frame (time-based: last-5-minutes running sum).
     // RANGE includes all peers of the current order value, so the result

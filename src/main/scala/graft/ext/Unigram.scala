@@ -36,6 +36,23 @@ object UnigramLoops {
     * single-character piece at this cost — segmentation never fails. */
   val UnkCost: Double = 8.0
 
+  /** Per-byte cost of the byte-fallback pieces (the SentencePiece
+    * `--byte_fallback` semantics): with fallback enabled, an uncovered
+    * character is consumed as its UTF-8 bytes, each emitted as a
+    * `<0xNN>` piece at this cost — scoring is total on ANY input and
+    * nothing collapses to a flat UNK. Exact binary fraction (6.0) so
+    * cross-engine double sums stay bit-identical; deliberately above
+    * real piece costs (≈2–4) and calibrated so an unknown ASCII char
+    * (1 byte, 6.0) undercuts the UNK arm while multi-byte scripts pay
+    * proportionally — the paper's intent that fallback be a floor, not
+    * a competitor. */
+  val ByteCost: Double = 6.0
+
+  /** UTF-8 bytes of `s` as `<0xNN>` piece strings. */
+  def byteTokens(s: String): Array[String] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"<0x${b & 0xff}%02X>")
+
   def buildCosts(pieces: Seq[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
     val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
     pieces.foreach { case (p, c) =>
@@ -59,7 +76,7 @@ object UnigramLoops {
     * keep one DP implementation for all three expressions. */
   private def viterbi(w: String, costs: java.util.HashMap[String, java.lang.Double],
                       maxLen: Int, out: java.util.ArrayList[UTF8String],
-                      cc: Array[Double]): Unit = {
+                      cc: Array[Double], byteFallback: Boolean = false): Unit = {
     val n = w.length
     // cost[i], count[i], back[i] = best split for prefix of length i;
     // ascending-k scan + strict-less update = deterministic tie-break
@@ -77,13 +94,32 @@ object UnigramLoops {
       while (k <= kMax) {
         val piece = w.substring(i - k, i)
         val pc0 = costs.get(piece)
-        val pc: Double =
-          if (pc0 != null) pc0.doubleValue()
-          else if (k == 1) UnkCost
-          else Double.NaN
+        var pc: Double = Double.NaN
+        var inc = 1
+        if (pc0 != null) pc = pc0.doubleValue()
+        else if (k == 1) {
+          if (byteFallback) {
+            // a surrogate half inside a pair must not be consumed alone
+            // (the pair's 4-byte k=2 arm below is its only fallback) —
+            // otherwise two lone-'?' arms would undercut the real char
+            val ch = w.charAt(i - 1)
+            val pairedLow = Character.isLowSurrogate(ch) && i >= 2 &&
+              Character.isHighSurrogate(w.charAt(i - 2))
+            val pairedHigh = Character.isHighSurrogate(ch) && i < n &&
+              Character.isLowSurrogate(w.charAt(i))
+            if (!pairedLow && !pairedHigh) {
+              val nb = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              pc = ByteCost * nb; inc = nb
+            }
+          } else pc = UnkCost
+        } else if (k == 2 && byteFallback &&
+                   Character.isHighSurrogate(w.charAt(i - 2)) &&
+                   Character.isLowSurrogate(w.charAt(i - 1))) {
+          pc = ByteCost * 4; inc = 4
+        }
         if (!pc.isNaN) {
           val c = cost(i - k) + pc
-          val m = cnt(i - k) + 1
+          val m = cnt(i - k) + inc
           if (c < bestC || (c == bestC && m < bestN)) { bestC = c; bestN = m; bestK = k }
         }
         k += 1
@@ -101,7 +137,12 @@ object UnigramLoops {
       var s = 0
       while (idx >= 0) {
         val k = ks.get(idx)
-        out.add(UTF8String.fromString(w.substring(s, s + k)))
+        val piece = w.substring(s, s + k)
+        if (byteFallback && !costs.containsKey(piece)) {
+          val bs = byteTokens(piece)
+          var b = 0
+          while (b < bs.length) { out.add(UTF8String.fromString(bs(b))); b += 1 }
+        } else out.add(UTF8String.fromString(piece))
         s += k
         idx -= 1
       }
@@ -193,12 +234,12 @@ object UnigramLoops {
   /** (total Viterbi cost, total piece count) of a whitespace
     * pre-tokenized text — the corpus-scoring / budget kernel. */
   def score(text: String, costs: java.util.HashMap[String, java.lang.Double],
-            maxLen: Int): InternalRow = {
+            maxLen: Int, byteFallback: Boolean): InternalRow = {
     val cc = new Array[Double](2)
     var totC = 0.0
     var totN = 0L
     eachWord(text) { w =>
-      viterbi(w, costs, maxLen, null, cc)
+      viterbi(w, costs, maxLen, null, cc, byteFallback)
       totC += cc(0); totN += cc(1).toLong
     }
     InternalRow(totC, totN)
@@ -206,19 +247,19 @@ object UnigramLoops {
 
   /** All Viterbi pieces of a text, document order. */
   def tokens(text: String, costs: java.util.HashMap[String, java.lang.Double],
-             maxLen: Int): GenericArrayData = {
+             maxLen: Int, byteFallback: Boolean): GenericArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
     val cc = new Array[Double](2)
-    eachWord(text)(w => viterbi(w, costs, maxLen, out, cc))
+    eachWord(text)(w => viterbi(w, costs, maxLen, out, cc, byteFallback))
     new GenericArrayData(out.toArray)
   }
 
   /** Piece count only (LongType — summable into token budgets). */
   def countTokens(text: String, costs: java.util.HashMap[String, java.lang.Double],
-                  maxLen: Int): Long = {
+                  maxLen: Int, byteFallback: Boolean): Long = {
     val cc = new Array[Double](2)
     var n = 0L
-    eachWord(text) { w => viterbi(w, costs, maxLen, null, cc); n += cc(1).toLong }
+    eachWord(text) { w => viterbi(w, costs, maxLen, null, cc, byteFallback); n += cc(1).toLong }
     n
   }
 }
@@ -260,7 +301,8 @@ case class UnigramExpCountsExpr(child: Expression, pieces: Seq[(String, Double)]
 
 /** struct<cost:double, n_pieces:bigint> — total Viterbi cost and piece
   * count of a string under a fixed unigram piece table. */
-case class UnigramScoreExpr(child: Expression, pieces: Seq[(String, Double)])
+case class UnigramScoreExpr(child: Expression, pieces: Seq[(String, Double)],
+                            byteFallback: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -272,11 +314,11 @@ case class UnigramScoreExpr(child: Expression, pieces: Seq[(String, Double)])
   @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
 
   protected override def nullSafeEval(v: Any): Any =
-    UnigramLoops.score(v.asInstanceOf[UTF8String].toString, costs, maxLen)
+    UnigramLoops.score(v.asInstanceOf[UTF8String].toString, costs, maxLen, byteFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ugCosts", costs, "java.util.HashMap")
-    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.score($c.toString(), $ref, $maxLen)")
+    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.score($c.toString(), $ref, $maxLen, $byteFallback)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramScoreExpr =
@@ -284,7 +326,8 @@ case class UnigramScoreExpr(child: Expression, pieces: Seq[(String, Double)])
 }
 
 /** All Viterbi pieces of a string under a fixed unigram piece table. */
-case class UnigramTokensExpr(child: Expression, pieces: Seq[(String, Double)])
+case class UnigramTokensExpr(child: Expression, pieces: Seq[(String, Double)],
+                             byteFallback: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -294,11 +337,11 @@ case class UnigramTokensExpr(child: Expression, pieces: Seq[(String, Double)])
   @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
 
   protected override def nullSafeEval(v: Any): Any =
-    UnigramLoops.tokens(v.asInstanceOf[UTF8String].toString, costs, maxLen)
+    UnigramLoops.tokens(v.asInstanceOf[UTF8String].toString, costs, maxLen, byteFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ugCosts", costs, "java.util.HashMap")
-    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.tokens($c.toString(), $ref, $maxLen)")
+    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.tokens($c.toString(), $ref, $maxLen, $byteFallback)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramTokensExpr =
@@ -306,7 +349,8 @@ case class UnigramTokensExpr(child: Expression, pieces: Seq[(String, Double)])
 }
 
 /** Piece count of a string under a fixed unigram piece table. */
-case class UnigramCountExpr(child: Expression, pieces: Seq[(String, Double)])
+case class UnigramCountExpr(child: Expression, pieces: Seq[(String, Double)],
+                            byteFallback: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -316,11 +360,11 @@ case class UnigramCountExpr(child: Expression, pieces: Seq[(String, Double)])
   @transient private lazy val maxLen = UnigramLoops.maxPieceLen(costs)
 
   protected override def nullSafeEval(v: Any): Any =
-    UnigramLoops.countTokens(v.asInstanceOf[UTF8String].toString, costs, maxLen)
+    UnigramLoops.countTokens(v.asInstanceOf[UTF8String].toString, costs, maxLen, byteFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ugCosts", costs, "java.util.HashMap")
-    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.countTokens($c.toString(), $ref, $maxLen)")
+    defineCodeGen(ctx, ev, c => s"graft.ext.UnigramLoops.countTokens($c.toString(), $ref, $maxLen, $byteFallback)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramCountExpr =
@@ -330,19 +374,26 @@ case class UnigramCountExpr(child: Expression, pieces: Seq[(String, Double)])
 object Unigram {
   import org.apache.spark.sql.functions._
 
-  /** Viterbi pieces (array<string>, document order). */
-  def tokens(text: Column, pieces: Seq[(String, Double)]): Column =
-    bridge.column(UnigramTokensExpr(bridge.expression(text), pieces))
+  /** Viterbi pieces (array<string>, document order). `byteFallback`
+    * replaces the flat UNK arm with SentencePiece's --byte_fallback
+    * semantics: uncovered characters emit their UTF-8 bytes as <0xNN>
+    * pieces at [[UnigramLoops.ByteCost]] each, so tokenization is
+    * total on any input byte sequence. */
+  def tokens(text: Column, pieces: Seq[(String, Double)],
+             byteFallback: Boolean = false): Column =
+    bridge.column(UnigramTokensExpr(bridge.expression(text), pieces, byteFallback))
 
   /** Piece count (LongType — summable into budgets). */
-  def tokenCount(text: Column, pieces: Seq[(String, Double)]): Column =
-    bridge.column(UnigramCountExpr(bridge.expression(text), pieces))
+  def tokenCount(text: Column, pieces: Seq[(String, Double)],
+                 byteFallback: Boolean = false): Column =
+    bridge.column(UnigramCountExpr(bridge.expression(text), pieces, byteFallback))
 
   /** struct<cost, n_pieces> — total −ln p and piece count; `cost`
     * divided by `n_pieces` is the per-piece negative log-likelihood, a
     * perplexity-style quality signal under the trained tokenizer. */
-  def score(text: Column, pieces: Seq[(String, Double)]): Column =
-    bridge.column(UnigramScoreExpr(bridge.expression(text), pieces))
+  def score(text: Column, pieces: Seq[(String, Double)],
+            byteFallback: Boolean = false): Column =
+    bridge.column(UnigramScoreExpr(bridge.expression(text), pieces, byteFallback))
 
   /** Trains a unigram piece table by hard (Viterbi) EM — the public
     * SentencePiece recipe (Kudo 2018 §3.2) with the E-step's

@@ -197,6 +197,52 @@ class UnigramSpec extends SparkTestBase {
     assert(total(a) <= total(chars) + 1e-9)
   }
 
+  test("byte fallback: uncovered chars emit UTF-8 <0xNN> pieces; covered text unchanged") {
+    // 'é' (U+00E9) is absent from the demo table → 2 UTF-8 bytes at
+    // ByteCost each; '上' (U+4E0A) → 3 bytes; ascii words segment
+    // exactly as without fallback
+    val df = Seq("café 上 data").toDF("text")
+    val toks = df.select(Unigram.tokens(col("text"), Unigram.demoPieces,
+      byteFallback = true).as("t")).head().getSeq[String](0)
+    assert(toks === Seq("c", "a", "f", "<0xC3>", "<0xA9>",
+      "<0xE4>", "<0xB8>", "<0x8A>", "data"))
+    val s = df.select(Unigram.score(col("text"), Unigram.demoPieces,
+      byteFallback = true).as("s")).select(col("s.cost"), col("s.n_pieces")).head()
+    // c+a+f = 3·4.0, é = 2·6.0, 上 = 3·6.0, data = 2.25
+    assert(s.getDouble(0) === 12.0 + 12.0 + 18.0 + 2.25)
+    assert(s.getLong(1) === 3L + 2L + 3L + 1L)
+    assert(df.select(Unigram.tokenCount(col("text"), Unigram.demoPieces,
+      byteFallback = true)).head().getLong(0) === 9L)
+    // without fallback: UNK single-char pieces, raw chars retained
+    val unk = df.select(Unigram.tokens(col("text"), Unigram.demoPieces).as("t"))
+      .head().getSeq[String](0)
+    assert(unk === Seq("c", "a", "f", "é", "上", "data"))
+  }
+
+  test("byte fallback: astral chars consume as ONE 4-byte pair, never two lone surrogates") {
+    // U+1F600 (😀) is a surrogate pair in UTF-16; the pair arm must win
+    // (4 bytes, 24.0) — two lone-surrogate k=1 arms would yield '?'
+    // mojibake at a CHEAPER 12.0 if not suppressed
+    val df = Seq("😀").toDF("text")
+    val toks = df.select(Unigram.tokens(col("text"), Unigram.demoPieces,
+      byteFallback = true).as("t")).head().getSeq[String](0)
+    assert(toks === Seq("<0xF0>", "<0x9F>", "<0x98>", "<0x80>"))
+    val s = df.select(Unigram.score(col("text"), Unigram.demoPieces,
+      byteFallback = true).as("s")).select(col("s.cost"), col("s.n_pieces")).head()
+    assert(s.getDouble(0) === 24.0 && s.getLong(1) === 4L)
+  }
+
+  test("byte fallback: totality — arbitrary unicode scores finite, count = byte count for uncovered text") {
+    val weird = "Ωß中🎉ñ"
+    val s = Seq(weird).toDF("text")
+      .select(Unigram.score(col("text"), Unigram.demoPieces,
+        byteFallback = true).as("s"))
+      .select(col("s.cost"), col("s.n_pieces")).head()
+    val nBytes = weird.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(s.getLong(1) === nBytes.toLong)
+    assert(s.getDouble(0) === UnigramLoops.ByteCost * nBytes)
+  }
+
   test("random tables: kernel ≡ exhaustive reference (differential)") {
     val rng = new scala.util.Random(42)
     val alphabet = "abcd"
