@@ -232,7 +232,25 @@ object PlanCheck {
         p => !p.contains("hashpartitioning") && !p.contains("Join")),
       ("q_hard_negatives", "hard negatives: probes broadcast, partial+final WindowGroupLimit",
         p => p.contains("BroadcastNestedLoopJoin") &&
-          p.split("WindowGroupLimit").length >= 3 && !p.contains("Cartesian"))
+          p.split("WindowGroupLimit").length >= 3 && !p.contains("Cartesian")),
+      // exact spans: the match grid is a shingle-keyed EQUI self-join
+      // (bounded by maxDf² per shingle), then two keyed windows —
+      // diagonal run growth + per-doc interval union; never cartesian
+      ("q_span_exact", "exact spans: shingle-keyed equi self-join + two windows, no cartesian",
+        p => (p.contains("LeftSemi") || p.contains("Semi")) &&
+          p.split("\\) Window").length >= 3 && !p.contains("Cartesian") &&
+          !p.contains("BroadcastNestedLoop")),
+      ("q_span_dedup_exact", "exact removal: equi joins only, no cartesian",
+        p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop") &&
+          p.split("\\) Window").length >= 3),
+      // Holt-Winters: ONE key repartition feeds the sequential scan
+      // (mapPartitions — the documented recurrence escape hatch); the
+      // epilogue windows ride the same keying; no join anywhere
+      ("q_holt_winters", "Holt-Winters: keyed scan + windows, no join",
+        p => p.contains("MapPartitions") && !p.contains("Join") &&
+          !p.contains("Cartesian")),
+      ("q_unigram_bf", "unigram byte fallback: map-only kernel, no shuffle but the final sort",
+        p => !p.contains("hashpartitioning") && !p.contains("Join"))
     )
 
     var failed = 0

@@ -122,9 +122,15 @@ object Merge {
     * [[readUpsertStoreAtomic]] resolves the manifest; `AtomicCommit
     * .vacuum` clears crash debris. No eager checkpoint needed anymore:
     * the write never overwrites files its own plan reads. Single
-    * writer per store (foreachBatch guarantees it). */
+    * writer per store (foreachBatch guarantees it) — and under
+    * orchestration retries, pass `fenceEpoch` from
+    * `AtomicCommit.acquireEpoch` so a stalled previous attempt can
+    * never publish after this one takes over: its next commit is
+    * rejected at the fence and its query fails fast instead of
+    * silently corrupting ownership. */
   def streamUpsertAtomic(changes: DataFrame, storeRoot: String, keys: Seq[String],
-                         versionCol: String, nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+                         versionCol: String, nBuckets: Int = 64,
+                         fenceEpoch: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
     import graft.sources.AtomicCommit
     changes.writeStream
@@ -155,8 +161,18 @@ object Merge {
             .partitionBy("_bucket").parquet(AtomicCommit.versionDir(storeRoot, newV))
           val manifest = AtomicCommit.encodeOwners(
             owners ++ touched.map(_ -> newV))
-          require(AtomicCommit.commit(spark, storeRoot, newV, manifest),
-            s"version $newV already committed under $storeRoot — concurrent writer?")
+          val ok = fenceEpoch match {
+            case Some(e) => AtomicCommit.commitFenced(spark, storeRoot, newV, manifest, e)
+            case None    => AtomicCommit.commit(spark, storeRoot, newV, manifest)
+          }
+          require(ok, fenceEpoch match {
+            case Some(e) if AtomicCommit.maxEpoch(spark, storeRoot) > e =>
+              s"writer fenced: epoch $e superseded by " +
+                s"${AtomicCommit.maxEpoch(spark, storeRoot)} under $storeRoot — " +
+                "a newer attempt owns this store; this writer must stop"
+            case _ =>
+              s"version $newV already committed under $storeRoot — concurrent writer?"
+          })
         }
       }
       .start()

@@ -799,7 +799,7 @@ class ExtSpec extends SparkTestBase {
       .toDF("lang", "text")
     val trained = LangId.trainProfiles(df, "lang", "text")
     assert(trained.map(_._1) ===
-      Seq("de", "el", "en", "es", "fr", "it", "nl", "pt", "ru"))
+      Seq("de", "el", "en", "es", "fr", "it", "ja", "ko", "nl", "pt", "ru", "zh"))
     trained.foreach { case (l, prof) =>
       assert(prof === LangId.profileOf(LangId.seeds(l)),
         s"distributed profile for $l diverges from driver-side ranking")

@@ -123,6 +123,50 @@ class MergeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamUpsertAtomic fencing: a superseded attempt fails fast, the retry owns the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("graft-fence").toString + "/store"
+    implicit val sq = spark.sqlContext
+    // attempt 1 starts with its fencing token and lands one batch
+    val e1 = AtomicCommit.acquireEpoch(spark, root, holder = "attempt-1")
+    val in1 = MemoryStream[(Long, String, Long, Boolean)]
+    val q1 = Merge.streamUpsertAtomic(
+      in1.toDF().toDF("k", "val", "v", "del"), root, Seq("k"), "v",
+      nBuckets = 4, fenceEpoch = Some(e1))
+    try {
+      in1.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false))
+      q1.processAllAvailable()
+      assert(Merge.readUpsertStoreAtomic(spark, root, Some("del")).count() === 2L)
+      // the orchestrator retries: attempt 2 claims a newer epoch
+      val e2 = AtomicCommit.acquireEpoch(spark, root, holder = "attempt-2")
+      assert(e2 > e1)
+      // the stalled attempt 1 wakes with another batch → its commit is
+      // fenced and the query dies instead of publishing
+      in1.addData((1L, "stale", 9L, false))
+      val err = intercept[Exception](q1.processAllAvailable())
+      assert(err.getMessage.contains("fenced") ||
+        Option(err.getCause).exists(_.getMessage.contains("fenced")),
+        s"expected fencing failure, got: ${err.getMessage}")
+      // store is untouched by the zombie batch
+      val live = Merge.readUpsertStoreAtomic(spark, root, Some("del"))
+        .select("k", "val").as[(Long, String)].collect().toMap
+      assert(live === Map(1L -> "a1", 2L -> "b1"))
+      // attempt 2 proceeds under its own token
+      val in2 = MemoryStream[(Long, String, Long, Boolean)]
+      val q2 = Merge.streamUpsertAtomic(
+        in2.toDF().toDF("k", "val", "v", "del"), root, Seq("k"), "v",
+        nBuckets = 4, fenceEpoch = Some(e2))
+      try {
+        in2.addData((1L, "a2", 2L, false))
+        q2.processAllAvailable()
+        val after = Merge.readUpsertStoreAtomic(spark, root, Some("del"))
+          .select("k", "val").as[(Long, String)].collect().toMap
+        assert(after === Map(1L -> "a2", 2L -> "b1"))
+      } finally q2.stop()
+    } finally q1.stop()
+  }
+
   test("upsert store time travel: readUpsertStoreAt resolves each commit's manifest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.AtomicCommit
