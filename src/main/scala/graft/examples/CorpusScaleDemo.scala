@@ -106,6 +106,47 @@ object CorpusScaleDemo {
         n = 5, minDocs = 2, minTokens = 20)
         .agg(sum("n_removed")).collect()
     }
+    // TRUE ExactSubstr (diagonal match grid): the self-join is Σ df²
+    // per shingle, so maxDf is load-bearing — THIS corpus is the
+    // degenerate case that proves it: its organic shingles have df ∈
+    // {1} ∪ [65+] (measured: uncapped grid = 2.5e9 rows at just 50k
+    // docs, i.e. boilerplate squared), so maxDf=64 excludes all of it
+    // and the planted passages below are the entire capped workload —
+    // exactly the cap's job on a template-heavy web crawl. Plant: 1 in
+    // 50 docs carries a 25-token passage shared by its group — group
+    // count scales with the corpus so df ≈ 8 at ANY size (64 grid
+    // rows per passage shingle, mid-df, inside the cap).
+    val nGroups = math.max(1L, nDocs / 400L)
+    val spanCorpus = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(50L)) === 0,
+        concat(col("text"), lit(" "), array_join(transform(
+          sequence(lit(1), lit(25)),
+          j => concat(lit("p"), pmod(col("doc_id") / 50L, lit(nGroups)).cast("long"),
+            lit("x"), j)), " ")))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint()
+    ScaleDemo.time("exact-span df histogram (cap context)") {
+      import graft.ext.{TextHash => TH}
+      val d = spanCorpus
+        .select(col("doc_id"),
+          explode(TH.shingleHashes(TH.wordHashes(col("text")), 5)).as("sh"))
+        .distinct()
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+      d.select(
+        sum(when(col("df").between(2, 64), col("df") * col("df"))).as("grid_rows_capped"),
+        sum(when(col("df") >= 2, col("df") * col("df"))).as("grid_rows_uncapped"),
+        max(col("df")).as("max_df")).collect()
+        .foreach(r => println(s"  [exact-span] capped/uncapped/maxdf = $r"))
+    }
+    ScaleDemo.time("duplicatedSpansExact n=5 maxDf=64") {
+      graft.ext.Dedup.duplicatedSpansExact(spanCorpus, "doc_id", "text",
+        n = 5, minTokens = 20, maxDf = 64).count()
+    }
+    ScaleDemo.time("spanDedupExact n=5 maxDf=64 (grid+rebuild)") {
+      graft.ext.Dedup.spanDedupExact(spanCorpus, "doc_id", "text",
+        n = 5, minTokens = 20, maxDf = 64)
+        .agg(sum("n_removed")).collect()
+    }
     // classifier gate: 3-iteration logreg train = 3 map-side agg passes
     // over the cached feature frame; AUC/PR = one groupBy on the score
     // + a distinct-scores-only window (score here has ≤ ~30 distinct
