@@ -147,6 +147,36 @@ object CorpusScaleDemo {
         n = 5, minTokens = 20, maxDf = 64)
         .agg(sum("n_removed")).collect()
     }
+    // langid profile training at corpus scale (the production path:
+    // train on the big labeled corpus, not the stock seeds): the seed
+    // sentences replicate to nDocs/20 labeled docs via an executor-side
+    // join — corpus touched once, one gram explode → (lang, gram) sum →
+    // per-lang top-K window; only K·nLangs rows reach the driver.
+    // (locally: a bare block here would parse as .apply on the
+    // preceding expression's Array[Row] result)
+    locally {
+      import graft.ext.LangId
+      val seedRows = LangId.seeds.toSeq.flatMap { case (l, ts) =>
+        ts.zipWithIndex.map { case (t, j) => (l, j.toLong, t) }
+      }
+      val nSent = seedRows.groupBy(_._1).map(_._2.size).min.toLong
+      val seedsDf = spark.createDataFrame(seedRows).toDF("lang", "j", "seed_text")
+      val langsArr = LangId.seeds.keys.toSeq.sorted
+      val nLangs = langsArr.length
+      val feed = spark.range(nDocs / 20)
+        .select(col("id"),
+          element_at(
+            array(langsArr.map(lit): _*),
+            (pmod(col("id"), lit(nLangs.toLong)) + 1).cast("int")).as("lang"),
+          pmod(floor(col("id") / nLangs).cast("long"), lit(nSent)).as("j"))
+        .join(seedsDf, Seq("lang", "j"))
+        .select(col("lang"), col("seed_text").as("text"))
+      ScaleDemo.time(s"langid trainProfiles $nLangs langs × ${nDocs / 20 / 1000}k docs") {
+        val trained = LangId.trainProfiles(feed, "lang", "text")
+        require(trained.length == nLangs, s"trained ${trained.length} profiles")
+        trained.length
+      }
+    }
     // classifier gate: 3-iteration logreg train = 3 map-side agg passes
     // over the cached feature frame; AUC/PR = one groupBy on the score
     // + a distinct-scores-only window (score here has ≤ ~30 distinct

@@ -234,10 +234,12 @@ object PlanCheck {
         p => p.contains("BroadcastNestedLoopJoin") &&
           p.split("WindowGroupLimit").length >= 3 && !p.contains("Cartesian")),
       // exact spans: the match grid is a shingle-keyed EQUI self-join
-      // (bounded by maxDf² per shingle), then two keyed windows —
-      // diagonal run growth + per-doc interval union; never cartesian
-      ("q_span_exact", "exact spans: shingle-keyed equi self-join + two windows, no cartesian",
-        p => (p.contains("LeftSemi") || p.contains("Semi")) &&
+      // (bounded by maxDf² per shingle) over the CUT repeated-position
+      // frame (the semi-join candidate generation runs once, behind the
+      // checkpoint), then keyed windows — diagonal run growth + per-doc
+      // interval union; never cartesian
+      ("q_span_exact", "exact spans: hash-keyed equi self-join + keyed windows, no cartesian",
+        p => p.contains("HashJoin") &&
           p.split("\\) Window").length >= 3 && !p.contains("Cartesian") &&
           !p.contains("BroadcastNestedLoop")),
       ("q_span_dedup_exact", "exact removal: equi joins only, no cartesian",
