@@ -193,7 +193,8 @@ object Ivf {
     * [[saveIndexAtomic]] rebuilds re-train and reset the manifest to a
     * single segment. Returns (version, segment dirs). */
   def appendToIndexAtomic(newVecs: DataFrame, vecCol: String, root: String,
-                          cellCol: String = "ivf_cell"): (Long, Seq[String]) = {
+                          cellCol: String = "ivf_cell",
+                          fenceEpoch: Option[Long] = None): (Long, Seq[String]) = {
     import graft.sources.AtomicCommit
     val spark = newVecs.sparkSession
     val (pv, body) = AtomicCommit.latest(spark, root)
@@ -205,9 +206,8 @@ object Ivf {
     val dir = AtomicCommit.versionDir(root, v)
     saveIndex(newVecs, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir) // every segment carries the quantizer
-    require(AtomicCommit.commit(spark, root, v,
-      AtomicCommit.encodeSegments(prevVersions :+ v)),
-      s"version $v already committed under $root — concurrent writer?")
+    AtomicCommit.commitOrFail(spark, root, v,
+      AtomicCommit.encodeSegments(prevVersions :+ v), fenceEpoch)
     (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
   }
 
@@ -262,7 +262,8 @@ object Ivf {
     * compositions stay time-travelable until vacuumed. Returns
     * (version, data dir). */
   def compactIndexAtomic(spark: org.apache.spark.sql.SparkSession,
-                         root: String, cellCol: String = "ivf_cell"): (Long, String) = {
+                         root: String, cellCol: String = "ivf_cell",
+                         fenceEpoch: Option[Long] = None): (Long, String) = {
     import graft.sources.AtomicCommit
     val segs = indexSegments(spark, root)
     val centroids = loadCentroids(spark, segs.head)
@@ -272,8 +273,7 @@ object Ivf {
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
     saveCentroids(spark, centroids, dir)
-    require(AtomicCommit.commit(spark, root, v, ""),
-      s"version $v already committed under $root — concurrent writer?")
+    AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
     (v, dir)
   }
 
@@ -288,7 +288,8 @@ object Ivf {
     * segment count growing past ~100s is the signal to schedule a
     * compacting [[saveIndexAtomic]] rebuild. */
   def streamAppend(vectors: DataFrame, root: String, vecCol: String,
-                   cellCol: String = "ivf_cell", compactEvery: Int = 0)
+                   cellCol: String = "ivf_cell", compactEvery: Int = 0,
+                   fenceEpoch: Option[Long] = None)
                   (onBatch: (Long, Int) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // compactEvery = N (0 = off) folds maintenance into the loop:
@@ -302,9 +303,9 @@ object Ivf {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
-          val (v, segs) = appendToIndexAtomic(b, vecCol, root, cellCol)
+          val (v, segs) = appendToIndexAtomic(b, vecCol, root, cellCol, fenceEpoch)
           if (compactEvery > 0 && segs.size >= compactEvery) {
-            val (cv, _) = compactIndexAtomic(b.sparkSession, root, cellCol)
+            val (cv, _) = compactIndexAtomic(b.sparkSession, root, cellCol, fenceEpoch)
             onBatch(cv, 1)
           } else onBatch(v, segs.size)
         }

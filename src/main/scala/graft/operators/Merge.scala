@@ -161,18 +161,7 @@ object Merge {
             .partitionBy("_bucket").parquet(AtomicCommit.versionDir(storeRoot, newV))
           val manifest = AtomicCommit.encodeOwners(
             owners ++ touched.map(_ -> newV))
-          val ok = fenceEpoch match {
-            case Some(e) => AtomicCommit.commitFenced(spark, storeRoot, newV, manifest, e)
-            case None    => AtomicCommit.commit(spark, storeRoot, newV, manifest)
-          }
-          require(ok, fenceEpoch match {
-            case Some(e) if AtomicCommit.maxEpoch(spark, storeRoot) > e =>
-              s"writer fenced: epoch $e superseded by " +
-                s"${AtomicCommit.maxEpoch(spark, storeRoot)} under $storeRoot — " +
-                "a newer attempt owns this store; this writer must stop"
-            case _ =>
-              s"version $newV already committed under $storeRoot — concurrent writer?"
-          })
+          AtomicCommit.commitOrFail(spark, storeRoot, newV, manifest, fenceEpoch)
         }
       }
       .start()

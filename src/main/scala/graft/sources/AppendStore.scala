@@ -38,27 +38,30 @@ object AppendStore {
 
   /** Append `df` as the next committed version; None when `df` is
     * empty (nothing to commit — version numbers are not burned on
-    * empty batches). */
-  def append(df: DataFrame, root: String): Option[Long] = {
+    * empty batches). `fenceEpoch` (from `AtomicCommit.acquireEpoch`)
+    * opts into writer fencing: a stalled attempt cannot append after
+    * its retry claims a newer epoch. */
+  def append(df: DataFrame, root: String,
+             fenceEpoch: Option[Long] = None): Option[Long] = {
     if (df.isEmpty) return None
     val spark = df.sparkSession
     val v = AtomicCommit.nextVersion(spark, root)
     df.write.mode("overwrite") // clobbers only uncommitted crash debris
       .parquet(AtomicCommit.versionDir(root, v))
-    require(AtomicCommit.commit(spark, root, v, ""),
-      s"version $v already committed under $root — concurrent writer?")
+    AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
     Some(v)
   }
 
   /** Fold every committed version into ONE new version and vacuum the
     * old ones — run periodically so long-lived streams don't accumulate
     * thousands of tiny version dirs. */
-  def compact(spark: SparkSession, root: String): Option[Long] = {
+  def compact(spark: SparkSession, root: String,
+              fenceEpoch: Option[Long] = None): Option[Long] = {
     val versions = AtomicCommit.committedVersions(spark, root)
     if (versions.size < 2) return None
     val all = spark.read.parquet(
       versions.map(v => AtomicCommit.versionDir(root, v)): _*)
-    val v = append(all, root)
+    val v = append(all, root, fenceEpoch)
     AtomicCommit.vacuum(spark, root, keepVersions = 1)
     v
   }

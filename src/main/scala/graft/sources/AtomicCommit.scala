@@ -150,6 +150,25 @@ object AtomicCommit {
     else commit(spark, root, v, s"epoch:$epoch\n$manifest")
   }
 
+  /** Publish `v` under the writer-loop convention: fenced when the
+    * caller holds an epoch, plain CAS otherwise, failing with a
+    * cause-specific message — shared by every store writer that takes
+    * an opt-in `fenceEpoch`. */
+  def commitOrFail(spark: SparkSession, root: String, v: Long,
+                   manifest: String, epoch: Option[Long]): Unit = {
+    val ok = epoch match {
+      case Some(e) => commitFenced(spark, root, v, manifest, e)
+      case None    => commit(spark, root, v, manifest)
+    }
+    require(ok, epoch match {
+      case Some(e) if maxEpoch(spark, root) > e =>
+        s"writer fenced: epoch $e superseded by ${maxEpoch(spark, root)} " +
+          s"under $root — a newer attempt owns this store; this writer must stop"
+      case _ =>
+        s"version $v already committed under $root — concurrent writer?"
+    })
+  }
+
   /** The fencing epoch recorded in a commit body, if any. */
   def manifestEpoch(body: String): Option[Long] =
     if (body.startsWith("epoch:"))

@@ -350,6 +350,46 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.readIndex(spark, root).count() === base.count() + 60)
   }
 
+  test("streamAppend fencing: a superseded ingest attempt cannot append; the retry can") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.AtomicCommit
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivffence")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 100)
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 4, iters = 1)
+    def batch(lo: Long, hi: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val e1 = AtomicCommit.acquireEpoch(spark, root, "ingest-1")
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = Ivf.streamAppend(
+      in1.toDF().toDF("vec_id", "embedding"), root, "embedding",
+      fenceEpoch = Some(e1))()
+    try {
+      in1.addData(batch(100, 120): _*); q1.processAllAvailable()
+      assert(Ivf.readIndex(spark, root).count() === base.count() + 20)
+      // the retry takes over; the stalled ingest's next batch dies fenced
+      val e2 = AtomicCommit.acquireEpoch(spark, root, "ingest-2")
+      in1.addData(batch(120, 140): _*)
+      val err = intercept[Exception](q1.processAllAvailable())
+      assert(err.getMessage.contains("fenced") ||
+        Option(err.getCause).exists(_.getMessage.contains("fenced")))
+      assert(Ivf.readIndex(spark, root).count() === base.count() + 20)
+      // the retry appends under its own token
+      val in2 = MemoryStream[(Long, Seq[Float])]
+      val q2 = Ivf.streamAppend(
+        in2.toDF().toDF("vec_id", "embedding"), root, "embedding",
+        fenceEpoch = Some(e2))()
+      try {
+        in2.addData(batch(120, 140): _*); q2.processAllAvailable()
+        assert(Ivf.readIndex(spark, root).count() === base.count() + 40)
+      } finally q2.stop()
+    } finally q1.stop()
+  }
+
   test("streamAppend: per-batch atomic segments, empty batches burn no version") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -178,6 +178,23 @@ class SourcesSpec extends SparkTestBase {
     assert(!AtomicCommit.commitFenced(spark, root, 2L, "", e2))
   }
 
+  test("writer fencing: AppendStore.append honors the epoch (zombie append rejected)") {
+    import graft.sources.{AppendStore, AtomicCommit}
+    val root = java.nio.file.Files.createTempDirectory("afenceap").resolve("store").toString
+    val e1 = AtomicCommit.acquireEpoch(spark, root)
+    assert(AppendStore.append(docs.limit(3), root, Some(e1)) === Some(1L))
+    val e2 = AtomicCommit.acquireEpoch(spark, root)
+    val err = intercept[IllegalArgumentException] {
+      AppendStore.append(docs.limit(2), root, Some(e1))
+    }
+    assert(err.getMessage.contains("fenced"))
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(1L))
+    // the zombie's rejected attempt burned no version; the retry claims
+    // v=2 and clobbers the uncommitted debris
+    assert(AppendStore.append(docs.limit(2), root, Some(e2)) === Some(2L))
+    assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 5L)
+  }
+
   test("writer fencing: vacuum prunes epoch history but keeps zombies fenced") {
     import graft.sources.{AtomicCommit, ShardStore}
     val root = java.nio.file.Files.createTempDirectory("afencev").resolve("store").toString
