@@ -719,6 +719,43 @@ ORDER BY feature"""
        |ORDER BY event_type, rn""".stripMargin
   }
 
+  /** DuckDB twin of q_detect_period — the division-free exact-decimal
+    * autocovariance of Fill.detectPeriod replayed lag by lag (same
+    * casts, same common support window, same n·Σyy − Σy·Σyl form; see
+    * the operator scaladoc for why every intermediate is exact). */
+  private def detectPeriodSql: String = {
+    val lags = 2 to 10
+    val lagSel = lags.map(k => s"lag(y4, $k) OVER w AS l$k").mkString(", ")
+    // one operand of every product is widened past 18 digits so DuckDB
+    // takes the int128 multiplication path — its int64 fast path
+    // overflows at sf0.1 magnitudes (the values themselves are exact
+    // either way; Spark's JVM decimals never had the issue)
+    val aggSel = lags.map(k =>
+      s"CAST(sum(y4*CAST(l$k AS DECIMAL(19,4))) AS DECIMAL(26,8)) AS syy$k, " +
+        s"CAST(sum(l$k) AS DECIMAL(16,4)) AS sl$k").mkString(", ")
+    val unions = lags.map(k =>
+      s"SELECT event_type, $k AS lg, n*syy$k - sy*sl$k AS c FROM a")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT event_type,
+       |  CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(14,4)) AS y4
+       |  FROM events GROUP BY 1, 2),
+       |o AS (SELECT event_type, y4,
+       |  row_number() OVER w AS rn, $lagSel
+       |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |f AS (SELECT * FROM o WHERE rn > 10),
+       |a AS (SELECT event_type, CAST(count(*) AS DECIMAL(6,0)) AS n,
+       |  CAST(sum(y4) AS DECIMAL(19,4)) AS sy, $aggSel
+       |  FROM f GROUP BY event_type),
+       |u AS ($unions),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |  ORDER BY c DESC, lg) AS rk FROM u)
+       |SELECT event_type, CAST(lg AS BIGINT) AS lag,
+       |  CAST(c AS DOUBLE) AS acov,
+       |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+       |FROM r ORDER BY event_type, lag""".stripMargin
+  }
+
   val all: Vector[QueryDef] = Vector(
     // ── 1. scan + projection ────────────────────────────────────────────
     QueryDef(
@@ -1891,6 +1928,25 @@ ORDER BY feature"""
           .orderBy(col("event_type"), col("rn"))
       },
       Some(holtWintersSql)),
+
+    // ── 46d. Seasonality-period detection (Fill.detectPeriod) — the
+    // companion of q_holt_winters' period parameter: division-free
+    // exact-decimal autocovariance per lag over one shared support
+    // window, argmax flagged (ties to the smallest lag). Both engines
+    // compute identical DECIMALs, so even the tie-break agrees. ───────
+    QueryDef(
+      "q_detect_period",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("_day"))
+          .agg(sum(col("value").cast("decimal(18,6)")).as("y"))
+        graft.operators.Fill.detectPeriod(daily,
+            Seq("event_type"), Seq("_day"), "y", minLag = 2, maxLag = 10)
+          .select(col("event_type"), col("lag").cast("long").as("lag"),
+            col("acov").cast("double").as("acov"), col("is_best"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some(detectPeriodSql)),
 
     // ── 47. map functions end-to-end: build a real MapType column (from
     // JSON + from scalars), then map_keys / map_values / transform_values

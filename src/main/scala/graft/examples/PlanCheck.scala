@@ -252,7 +252,13 @@ object PlanCheck {
         p => p.contains("MapPartitions") && !p.contains("Join") &&
           !p.contains("Cartesian")),
       ("q_unigram_bf", "unigram byte fallback: map-only kernel, no shuffle but the final sort",
-        p => !p.contains("hashpartitioning") && !p.contains("Join"))
+        p => !p.contains("hashpartitioning") && !p.contains("Join")),
+      // period detection: lag columns ride ONE keyed sort window, one
+      // keyed aggregation, stack (no shuffle), tiny ranking window —
+      // the series is never joined against itself
+      ("q_detect_period", "period detection: keyed windows + one agg, no join",
+        p => !p.contains("Join") && !p.contains("Cartesian") &&
+          p.split("\\) Window").length >= 3)
     )
 
     var failed = 0

@@ -284,4 +284,62 @@ object Fill {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Seasonality-period detection — the companion of [[holtWinters]]'s
+    * `period` parameter: per key, the mean-corrected autocovariance at
+    * every lag in [minLag, maxLag], with the argmax flagged. Two
+    * choices make it EXACT (bit-identical across engines, independent
+    * of partitioning):
+    *
+    *   - all lags share ONE support window (rows with row_number >
+    *     maxLag), so every lag sums the same n' terms and scores
+    *     compare directly — no per-lag normalization, no division;
+    *   - the mean correction is the division-free form
+    *     C_k = n'·Σ(y_t·y_{t−k}) − (Σy_t)·(Σy_{t−k}), computed in
+    *     DECIMAL end to end (values pinned to DECIMAL(14,4); every
+    *     intermediate stays within 38 digits, so no precision loss).
+    *
+    * Bounds contract: |value| < 10^10 and n' ≤ 10^6 per key keep all
+    * intermediates exact. Returns one row per (key, lag):
+    * partitionCols + (lagCol int, scoreCol decimal, bestCol 1/0 — ties
+    * resolve to the smallest lag).
+    *
+    * Scale shape: maxLag lag-columns over ONE keyed sort window, one
+    * keyed aggregation, a stack (no shuffle), one tiny ranking window
+    * over maxLag−minLag+1 rows per key. The series is never collected
+    * and never joined against itself. */
+  def detectPeriod(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+                   valueCol: String, minLag: Int = 2, maxLag: Int = 14,
+                   lagCol: String = "lag", scoreCol: String = "acov",
+                   bestCol: String = "is_best"): DataFrame = {
+    require(minLag >= 1, s"minLag=$minLag must be >= 1")
+    require(maxLag > minLag, s"maxLag=$maxLag must be > minLag=$minLag")
+    require(partitionCols.nonEmpty, "detectPeriod needs key columns (per-key series)")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val lags = (minLag to maxLag).toSeq
+    val y = col("_y4")
+    val wide = df.withColumn("_y4", col(valueCol).cast("decimal(14,4)"))
+      .withColumn("_rn", row_number().over(w))
+      .select((partitionCols.map(col) :+ y :+ col("_rn")) ++
+        lags.map(k => lag(y, k).over(w).as(s"_l$k")): _*)
+      .filter(col("_rn") > maxLag)
+    val aggs = Seq(
+      count(lit(1)).cast("decimal(6,0)").as("_n"),
+      sum(y).cast("decimal(16,4)").as("_sy")) ++
+      lags.flatMap(k => Seq(
+        sum(y * col(s"_l$k")).cast("decimal(26,8)").as(s"_syy$k"),
+        sum(col(s"_l$k")).cast("decimal(16,4)").as(s"_sl$k")))
+    val a = wide.groupBy(partitionCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val withC = lags.foldLeft(a) { (d, k) =>
+      d.withColumn(s"_c$k",
+        col("_n") * col(s"_syy$k") - col("_sy") * col(s"_sl$k"))
+    }
+    val stackExpr = s"stack(${lags.length}, " +
+      lags.map(k => s"$k, _c$k").mkString(", ") + s") as ($lagCol, $scoreCol)"
+    val long = withC.select(partitionCols.map(col) :+ expr(stackExpr): _*)
+    val wr = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(lagCol).asc)
+    long.withColumn(bestCol, when(row_number().over(wr) === 1, 1L).otherwise(0L))
+  }
 }

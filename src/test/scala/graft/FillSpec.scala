@@ -167,4 +167,43 @@ class FillSpec extends SparkTestBase {
     assert(out(5) === (("B", 2L, Some(5.0), Some(0.0), Some(0.0), Some(5.0))))
     assert(run(d.repartition(7)) === out)
   }
+
+  test("detectPeriod: planted period-3 series argmaxes at lag 3; scores match a driver reference; reshuffle-stable") {
+    // A: strict period-3 impulse train; B: strictly increasing (no
+    // seasonality — reference decides the argmax, we just agree)
+    val a = (1 to 18).map(t => ("A", t.toLong, if (t % 3 == 0) 10.0 else 0.0))
+    val b = (1 to 18).map(t => ("B", t.toLong, t * 1.0))
+    val d = (a ++ b).toDF("k", "t", "y")
+    val (minLag, maxLag) = (2, 5)
+    def ref(ys: Seq[Double]): Map[Int, BigDecimal] = {
+      // the operator's exact formula, in BigDecimal, from scratch
+      val y4 = ys.map(v => BigDecimal(v).setScale(4))
+      val rows = (maxLag until y4.length).map(i =>
+        (y4(i), (minLag to maxLag).map(k => y4(i - k))))
+      val n = BigDecimal(rows.length)
+      val sy = rows.map(_._1).sum
+      (minLag to maxLag).map { k =>
+        val syy = rows.map { case (v, ls) => v * ls(k - minLag) }.sum
+        val sl = rows.map(_._2(k - minLag)).sum
+        k -> (n * syy - sy * sl)
+      }.toMap
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Fill.detectPeriod(df, Seq("k"), Seq("t"), "y", minLag, maxLag)
+        .orderBy("k", "lag").collect()
+        .map(r => (r.getString(0), r.getInt(1), BigDecimal(r.getDecimal(2)), r.getLong(3)))
+        .toSeq
+    val out = run(d)
+    val refA = ref(a.map(_._3))
+    val refB = ref(b.map(_._3))
+    out.foreach { case (k, lagK, c, _) =>
+      val want = if (k == "A") refA(lagK) else refB(lagK)
+      assert(c === want, s"score mismatch at ($k, $lagK)")
+    }
+    // the impulse train's best lag is its true period
+    assert(out.filter(r => r._1 == "A" && r._4 == 1L).map(_._2) === Seq(3))
+    // exactly one best per key; deterministic under reshuffling
+    assert(out.count(_._4 == 1L) === 2)
+    assert(run(d.repartition(7)) === out)
+  }
 }
