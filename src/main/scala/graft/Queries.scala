@@ -676,7 +676,8 @@ ORDER BY feature"""
     * side derives from its integer percents; every arithmetic expression
     * is written in the Scala op order, so doubles match bit for bit.
     * The anomaly test is division-free — |resid| · n > 3 · Σ|resid| in
-    * DECIMAL(18,6) — so summation order cannot perturb it. */
+    * floor-pinned integer micro-units — so neither summation order nor
+    * cross-engine double rounding can perturb it. */
   private def holtWintersSql: String = {
     val sprevO = "(CASE WHEN o.rn > 7 THEN rec.sbuf[CAST(o.rn - 7 AS INT)] ELSE CAST(0 AS DOUBLE) END)"
     val lNew = s"0.5*(o.y - $sprevO) + 0.5*(rec.l + rec.b)"
@@ -705,12 +706,12 @@ ORDER BY feature"""
        |             ELSE CAST(0 AS DOUBLE) END) AS hw_next
        |  FROM rec),
        |r2 AS (
-       |  SELECT *, CAST(round(y - lag(hw_next) OVER (PARTITION BY event_type
-       |    ORDER BY rn), 6) AS DECIMAL(18,6)) AS resid6
+       |  SELECT *, CAST(floor((y - lag(hw_next) OVER (PARTITION BY event_type
+       |    ORDER BY rn)) * 1000000.0 + 0.5) AS BIGINT) AS resid6
        |  FROM hw)
        |SELECT event_type, CAST(rn AS BIGINT) AS rn, y,
        |  hw_level, hw_trend, hw_season, hw_next,
-       |  CAST(resid6 AS DOUBLE) AS resid,
+       |  resid6 AS resid_e6,
        |  CAST(CASE WHEN resid6 IS NOT NULL
        |    AND abs(resid6) * (count(resid6) OVER k) > 3 * (sum(abs(resid6)) OVER k)
        |    THEN 1 ELSE 0 END AS BIGINT) AS anom
@@ -1898,9 +1899,9 @@ ORDER BY feature"""
     // period 7 over per-type daily sums — four full weekly cycles at
     // sf0.01) plus residual anomaly flags: resid_t = y_t − forecast made
     // at t−1; a day is anomalous when |resid| exceeds 3× the per-key mean
-    // absolute residual, tested division-free in exact DECIMAL(18,6) so
-    // both engines agree bit-for-bit. Twin: recursive CTE with the
-    // seasonal history as a LIST column (see holtWintersSql). ──────────
+    // absolute residual, tested division-free in floor-pinned integer
+    // micro-units so both engines agree bit-for-bit. Twin: recursive CTE
+    // with the seasonal history as a LIST column (see holtWintersSql). ──
     QueryDef(
       "q_holt_winters",
       (s, d) => {
@@ -1914,8 +1915,14 @@ ORDER BY feature"""
           .withColumn("rn", row_number().over(w).cast("long"))
         val wk = Window.partitionBy(col("event_type"))
         val wo = Window.partitionBy(col("event_type")).orderBy(col("rn"))
+        // residuals floor-pinned to integer MICRO-units (floor(x*1e6+.5)
+        // is the same IEEE ops on the same doubles in both engines —
+        // unlike round(double, 6), whose shortest-repr HALF_UP in Spark
+        // can disagree with DuckDB's exact-binary rounding at .5
+        // boundaries); the anomaly test then runs in exact integers
         hw.withColumn("_resid6",
-            round(col("y") - lag(col("hw_next"), 1).over(wo), 6).cast("decimal(18,6)"))
+            floor((col("y") - lag(col("hw_next"), 1).over(wo)) * 1000000.0 + 0.5)
+              .cast("long"))
           .withColumn("_sumabs", sum(abs(col("_resid6"))).over(wk))
           .withColumn("_cnt", count(col("_resid6")).over(wk))
           .withColumn("anom",
@@ -1924,7 +1931,7 @@ ORDER BY feature"""
               .otherwise(0L))
           .select(col("event_type"), col("rn"), col("y"),
             col("hw_level"), col("hw_trend"), col("hw_season"), col("hw_next"),
-            col("_resid6").cast("double").as("resid"), col("anom"))
+            col("_resid6").as("resid_e6"), col("anom"))
           .orderBy(col("event_type"), col("rn"))
       },
       Some(holtWintersSql)),

@@ -190,7 +190,16 @@ object Dedup {
     * one knob caps both); run growth is ONE (docA, docB,
     * diagonal)-keyed window; the interval union is ONE doc-keyed
     * window. Nothing is all-pairs over the corpus — only docs sharing
-    * a repeated shingle ever meet. */
+    * a repeated shingle ever meet.
+    *
+    * `maxDf` recall caveat: the cap drops shingles GLOBALLY, so an
+    * over-cap shingle INSIDE a true duplicated passage punches a hole
+    * in its diagonal run — if the surviving fragments each fall below
+    * `minTokens`, that real duplicate is missed entirely. "Exact" is
+    * therefore exact AMONG the shingles the cap admits: at the default
+    * (no cap) recall is exact outright; with a cap, set it above the
+    * df of template text you still want caught, or run a second pass
+    * at a higher cap over suspect hosts. */
   def duplicatedSpansExact(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 5, minTokens: Int = 20,
                            maxDf: Long = Long.MaxValue): DataFrame =

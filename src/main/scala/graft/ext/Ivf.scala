@@ -197,6 +197,7 @@ object Ivf {
                           fenceEpoch: Option[Long] = None): (Long, Seq[String]) = {
     import graft.sources.AtomicCommit
     val spark = newVecs.sparkSession
+    fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the data write
     val (pv, body) = AtomicCommit.latest(spark, root)
       .getOrElse(sys.error(s"no committed IVF index under $root to append to"))
     val prevVersions = AtomicCommit.decodeSegments(body).getOrElse(Seq(pv))
@@ -265,6 +266,7 @@ object Ivf {
                          root: String, cellCol: String = "ivf_cell",
                          fenceEpoch: Option[Long] = None): (Long, String) = {
     import graft.sources.AtomicCommit
+    fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the data write
     val segs = indexSegments(spark, root)
     val centroids = loadCentroids(spark, segs.head)
     val v = AtomicCommit.nextVersion(spark, root)

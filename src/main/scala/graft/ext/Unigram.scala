@@ -90,7 +90,10 @@ object UnigramLoops {
       var bestN = Int.MaxValue
       var bestK = 1
       var k = 1
-      val kMax = math.min(maxLen, i)
+      // byteFallback keeps k=2 reachable even for a 1-char-only piece
+      // table — otherwise a surrogate pair (whose lone-half k=1 arms
+      // are suppressed) would have NO arm and totality would break
+      val kMax = math.min(if (byteFallback) math.max(maxLen, 2) else maxLen, i)
       while (k <= kMax) {
         val piece = w.substring(i - k, i)
         val pc0 = costs.get(piece)

@@ -299,10 +299,18 @@ object Fill {
     *     DECIMAL end to end (values pinned to DECIMAL(14,4); every
     *     intermediate stays within 38 digits, so no precision loss).
     *
-    * Bounds contract: |value| < 10^10 and n' ≤ 10^6 per key keep all
-    * intermediates exact. Returns one row per (key, lag):
-    * partitionCols + (lagCol int, scoreCol decimal, bestCol 1/0 — ties
-    * resolve to the smallest lag).
+    * Bounds contract (enforced, not just documented): the fixed
+    * decimal widths hold exactly when |Σy| < 10^12 and
+    * n'·max(y)² < 10^18 per key — e.g. n' ≤ 10^6 with |value| ≤ 10^5,
+    * or n' ≤ 10^4 with |value| ≤ 10^7. A value unrepresentable in
+    * DECIMAL(14,4) or a sum overflowing its cast RAISES (the DuckDB
+    * twin errors loudly on the same overflow) — never a silent null
+    * score electing an arbitrary best lag. Null observations are
+    * DROPPED before ranking (fill them first — ffill/interpolate are
+    * this module; a null would otherwise shrink each lag's sum over a
+    * different term set and make scores incomparable). Returns one row
+    * per (key, lag): partitionCols + (lagCol int, scoreCol decimal,
+    * bestCol 1/0 — ties resolve to the smallest lag).
     *
     * Scale shape: maxLag lag-columns over ONE keyed sort window, one
     * keyed aggregation, a stack (no shuffle), one tiny ranking window
@@ -319,7 +327,12 @@ object Fill {
       .orderBy(orderCols.map(col): _*)
     val lags = (minLag to maxLag).toSeq
     val y = col("_y4")
-    val wide = df.withColumn("_y4", col(valueCol).cast("decimal(14,4)"))
+    val wide = df.filter(col(valueCol).isNotNull)
+      .withColumn("_y4",
+        when(col(valueCol).cast("decimal(14,4)").isNull,
+          raise_error(lit(s"detectPeriod: '$valueCol' value exceeds DECIMAL(14,4) " +
+            "— outside the exactness bounds (see scaladoc)")))
+          .otherwise(col(valueCol).cast("decimal(14,4)")))
       .withColumn("_rn", row_number().over(w))
       .select((partitionCols.map(col) :+ y :+ col("_rn")) ++
         lags.map(k => lag(y, k).over(w).as(s"_l$k")): _*)
@@ -331,9 +344,15 @@ object Fill {
         sum(y * col(s"_l$k")).cast("decimal(26,8)").as(s"_syy$k"),
         sum(col(s"_l$k")).cast("decimal(16,4)").as(s"_sl$k")))
     val a = wide.groupBy(partitionCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // a null score here means a sum overflowed its cast (the bounds
+    // contract was violated) — raise instead of letting row_number
+    // elect an arbitrary best lag over nulls
     val withC = lags.foldLeft(a) { (d, k) =>
+      val c = col("_n") * col(s"_syy$k") - col("_sy") * col(s"_sl$k")
       d.withColumn(s"_c$k",
-        col("_n") * col(s"_syy$k") - col("_sy") * col(s"_sl$k"))
+        when(c.isNull, raise_error(lit(
+          s"detectPeriod: decimal overflow at lag $k — per-key sums exceed " +
+            "the exactness bounds (see scaladoc)"))).otherwise(c))
     }
     val stackExpr = s"stack(${lags.length}, " +
       lags.map(k => s"$k, _c$k").mkString(", ") + s") as ($lagCol, $scoreCol)"

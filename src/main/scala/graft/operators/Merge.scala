@@ -137,6 +137,7 @@ object Merge {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         val spark = b.sparkSession
+        fenceEpoch.foreach(AtomicCommit.checkFence(spark, storeRoot, _)) // before the data write
         val batch = b.withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
         val touched = batch.select(col("_bucket")).distinct()
           .collect().map(_.getInt(0)).sorted // ≤ nBuckets values by construction

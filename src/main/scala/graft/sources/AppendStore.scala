@@ -45,6 +45,7 @@ object AppendStore {
              fenceEpoch: Option[Long] = None): Option[Long] = {
     if (df.isEmpty) return None
     val spark = df.sparkSession
+    fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the data write
     val v = AtomicCommit.nextVersion(spark, root)
     df.write.mode("overwrite") // clobbers only uncommitted crash debris
       .parquet(AtomicCommit.versionDir(root, v))

@@ -115,10 +115,13 @@ object AtomicCommit {
     * audit tag stored in the epoch file body.
     *
     * Guarantee (filesystem-primitive honest): after epoch e+1 exists, no
-    * `commitFenced(..., epoch = e)` call that STARTS later can succeed.
-    * A commit already past its fencing check when the new epoch lands
-    * races on the version CAS instead — one of the two writers' renames
-    * fails cleanly; no torn state is possible either way. */
+    * `commitFenced(..., epoch = e)` call that STARTS later can succeed,
+    * and no fenced BATCH that starts later writes data ([[checkFence]]
+    * runs before the data write in every fenced writer). A commit
+    * already past its fencing check when the new epoch lands races on
+    * the version CAS — one rename fails cleanly. The one residual
+    * window is a zombie mid-DATA-write at takeover: see [[checkFence]]
+    * for its shape and the operational close. */
   def acquireEpoch(spark: SparkSession, root: String, holder: String = ""): Long = {
     val f = fs(spark, root)
     f.mkdirs(epochsDir(root))
@@ -148,6 +151,24 @@ object AtomicCommit {
     require(epoch >= 1, s"epoch=$epoch must come from acquireEpoch")
     if (maxEpoch(spark, root) > epoch) false
     else commit(spark, root, v, s"epoch:$epoch\n$manifest")
+  }
+
+  /** Fail fast when a newer epoch has been claimed. Fenced writers
+    * call this at the START of every batch — BEFORE the versioned data
+    * write — so a zombie batch dies before it can touch a `v=<N>`
+    * directory the retry may be about to write. Residual window (the
+    * filesystem-primitive limit): a zombie already past this check and
+    * mid-data-write when the retry acquires its epoch can interleave
+    * files with the retry's first write of the SAME version; its
+    * commit is still rejected, but the retry's commit would publish
+    * the mixed directory. Orchestrators close it by acquiring the
+    * epoch and waiting out one in-flight batch interval before the
+    * first write. */
+  def checkFence(spark: SparkSession, root: String, epoch: Long): Unit = {
+    val top = maxEpoch(spark, root)
+    require(top <= epoch,
+      s"writer fenced: epoch $epoch superseded by $top under $root — " +
+        "a newer attempt owns this store; this writer must stop")
   }
 
   /** Publish `v` under the writer-loop convention: fenced when the

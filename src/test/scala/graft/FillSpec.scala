@@ -206,4 +206,32 @@ class FillSpec extends SparkTestBase {
     assert(out.count(_._4 == 1L) === 2)
     assert(run(d.repartition(7)) === out)
   }
+
+  test("detectPeriod: null observations drop (series compacts); out-of-bounds values raise, never null-score") {
+    val a = (1 to 18).map(t => ("A", t.toLong, Some(if (t % 3 == 0) 10.0 else 0.0)))
+    val withNulls = ((a.take(6) :+ (("A", 6L + 1, None: Option[Double]))) ++
+      a.drop(6).map { case (k, t, v) => (k, t + 2, v) })
+      .toDF("k", "t", "y")
+    val clean = a.toDF("k", "t", "y")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Fill.detectPeriod(df, Seq("k"), Seq("t"), "y", 2, 5)
+        .orderBy("k", "lag").collect()
+        .map(r => (r.getInt(1), BigDecimal(r.getDecimal(2)), r.getLong(3))).toSeq
+    // a null row contributes nothing — scores equal the compacted series
+    assert(run(withNulls) === run(clean))
+    // a value DECIMAL(14,4) cannot hold fails loudly (no silent null
+    // score electing an arbitrary best)
+    val big = (1 to 18).map(t => ("A", t.toLong, 2.0e10)).toDF("k", "t", "y")
+    val e = intercept[Exception] {
+      Fill.detectPeriod(big, Seq("k"), Seq("t"), "y", 2, 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI sessions (the Spark 4 default) throw at the cast itself;
+    // non-ANSI sessions reach the operator's raise_error guard — both
+    // are loud, which is the contract under test
+    assert(msgs(e).exists(m => m.contains("exceeds DECIMAL(14,4)") ||
+      m.contains("cannot be represented") ||
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE")), msgs(e).mkString(" | "))
+  }
 }

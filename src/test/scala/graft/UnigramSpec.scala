@@ -232,6 +232,20 @@ class UnigramSpec extends SparkTestBase {
     assert(s.getDouble(0) === 24.0 && s.getLong(1) === 4L)
   }
 
+  test("byte fallback: total even under a 1-char-only piece table (surrogate k=2 arm stays reachable)") {
+    // maxPieceLen = 1 would normally cap the DP at k=1, making the
+    // surrogate-pair arm unreachable and totality fail with Infinity —
+    // byteFallback must extend the scan to k=2
+    val charsOnly: Seq[(String, Double)] = "ab".map(c => c.toString -> 4.0)
+    val df = Seq("a😀b").toDF("text")
+    val toks = df.select(Unigram.tokens(col("text"), charsOnly,
+      byteFallback = true).as("t")).head().getSeq[String](0)
+    assert(toks === Seq("a", "<0xF0>", "<0x9F>", "<0x98>", "<0x80>", "b"))
+    val s = df.select(Unigram.score(col("text"), charsOnly,
+      byteFallback = true).as("s")).select(col("s.cost"), col("s.n_pieces")).head()
+    assert(s.getDouble(0) === 4.0 + 24.0 + 4.0 && s.getLong(1) === 6L)
+  }
+
   test("byte fallback: totality — arbitrary unicode scores finite, count = byte count for uncovered text") {
     val weird = "Ωß中🎉ñ"
     val s = Seq(weird).toDF("text")
