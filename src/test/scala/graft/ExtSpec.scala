@@ -820,4 +820,42 @@ class ExtSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(a === b && a === Seq("en", "de"))
   }
+
+  test("trainProfiles: a genuinely NEW language (pl) trains, persists and classifies — stock set unharmed") {
+    import spark.implicits._
+    import graft.ext.LangId
+    // Polish training sentences — NOT in LangId.seeds; the production
+    // path for any language the stock profiles lack: label a corpus,
+    // train, save, classify with the custom profile set
+    val plTrain = Seq(
+      "szybki brązowy lis skacze nad leniwym psem podczas gdy dzieci patrzą z ogrodu",
+      "powiedziała że rano pogoda będzie lepsza i że powinni poczekać",
+      "to jest dom który zbudowaliśmy razem zeszłego lata nad rzeką przy starym moście",
+      "wielu ludzi uważa że czytanie książek to najlepszy sposób na poznanie świata",
+      "nie pozostało nic innego jak czekać na pociąg i mieć nadzieję że się nie spóźni",
+      "kot jest na dachu a pies w kuchni z dziećmi",
+      "każdego wieczoru rodzina zbiera się przy stole żeby zjeść kolację i porozmawiać o minionym dniu",
+      "przyjaciele spóźnili się bo na głównej drodze było dużo samochodów")
+    val corpus = (LangId.seeds.toSeq.flatMap { case (l, ts) => ts.map(t => (l, t)) } ++
+      plTrain.map(("pl", _))).toDF("lang", "text")
+    val trained = LangId.trainProfiles(corpus, "lang", "text")
+    assert(trained.map(_._1).contains("pl") && trained.length === 13)
+    val dir = java.nio.file.Files.createTempDirectory("ct-pl").toString
+    LangId.saveProfiles(spark, trained, dir)
+    val profs = LangId.loadProfiles(spark, dir)
+    // held-out sentences: pl classifies as pl, and the stock languages
+    // keep classifying correctly with 13 profiles loaded
+    val docs = Seq(
+      ("dzisiaj idziemy na targ żeby kupić świeży chleb i trochę owoców", "pl"),
+      ("ta książka opowiada bardzo piękną historię naszego miasta", "pl"),
+      ("the library opens early tomorrow morning", "en"),
+      ("сегодня мы идем на рынок чтобы купить свежий хлеб", "ru"),
+      ("das konzert beginnt heute abend um acht uhr", "de")
+    ).toDF("text", "want")
+    val got = docs.withColumn("pred", LangId.langIdCt(col("text"), profs))
+      .select("text", "want", "pred").collect()
+    val wrong = got.filter(r => r.getString(1) != r.getString(2))
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"'${r.getString(0)}' want=${r.getString(1)} got=${r.getString(2)}").mkString("; "))
+  }
 }

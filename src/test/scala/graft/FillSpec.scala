@@ -234,4 +234,30 @@ class FillSpec extends SparkTestBase {
       m.contains("cannot be represented") ||
       m.contains("NUMERIC_VALUE_OUT_OF_RANGE")), msgs(e).mkString(" | "))
   }
+
+  test("detectPeriod: random series ≡ BigDecimal reference (differential)") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 15 + rng.nextInt(10)
+      val (minLag, maxLag) = (2, 2 + rng.nextInt(4) + 1)
+      // 4-decimal-exact random values inside the bounds contract (one
+      // int division — a further subtraction would reintroduce binary
+      // error past 4 decimals)
+      val ys = (1 to n).map(_ => (rng.nextInt(2000000) - 1000000) / 100.0)
+      val d = ys.zipWithIndex.map { case (v, i) => ("K", i.toLong, v) }
+        .toDF("k", "t", "y")
+      val y4 = ys.map(v => BigDecimal(v).setScale(4))
+      val rows = (maxLag until n).map(i => (y4(i), (minLag to maxLag).map(k => y4(i - k))))
+      val want = (minLag to maxLag).map { k =>
+        val syy = rows.map { case (v, ls) => v * ls(k - minLag) }.sum
+        val sl = rows.map(_._2(k - minLag)).sum
+        k -> (BigDecimal(rows.length) * syy - rows.map(_._1).sum * sl)
+      }.toMap
+      val got = Fill.detectPeriod(d, Seq("k"), Seq("t"), "y", minLag, maxLag)
+        .collect().map(r => r.getInt(1) -> BigDecimal(r.getDecimal(2))).toMap
+      (minLag to maxLag).foreach { k =>
+        assert(got(k) === want(k), s"trial $trial lag $k (n=$n maxLag=$maxLag)")
+      }
+    }
+  }
 }
