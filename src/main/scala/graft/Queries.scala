@@ -3238,28 +3238,33 @@ ORDER BY feature"""
             col("n_greek"), col("n_han"), col("script"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH u AS (SELECT doc_id, substr(text, 1, 6)
-             |  || (CASE WHEN doc_id % 3 = 0 THEN ' Привет мир всем' ELSE '' END)
-             |  || (CASE WHEN doc_id % 5 = 0 THEN ' 世界和平永远' ELSE '' END)
-             |  || (CASE WHEN doc_id % 7 = 0 THEN ' γειά σου κόσμε' ELSE '' END)
-             |  AS t FROM documents),
-             |c AS (SELECT doc_id,
-             |  CAST(length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
-             |  CAST(length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
-             |  CAST(length(t) - length(regexp_replace(t, '\p{Greek}', '', 'g')) AS BIGINT) AS n_greek,
-             |  CAST(length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')) AS BIGINT) AS n_han
-             |  FROM u)
-             |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
-             |CASE
-             |  WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_greek
-             |    AND n_latin >= n_han THEN 'latin'
-             |  WHEN n_cyrillic > 0 AND n_cyrillic >= n_latin AND n_cyrillic >= n_greek
-             |    AND n_cyrillic >= n_han THEN 'cyrillic'
-             |  WHEN n_greek > 0 AND n_greek >= n_latin AND n_greek >= n_cyrillic
-             |    AND n_greek >= n_han THEN 'greek'
-             |  WHEN n_han > 0 THEN 'han'
-             |  ELSE 'none' END AS script
-             |FROM c ORDER BY doc_id""".stripMargin)),
+      Some {
+        // the twin mirrors the kernel's FULL 10-script dominance scan
+        // (a 4-script CASE would silently diverge the moment the
+        // fixture gains arabic/kana/hangul/devanagari text)
+        val scripts = Seq("latin" -> "Latin", "cyrillic" -> "Cyrillic",
+          "greek" -> "Greek", "arabic" -> "Arabic", "hebrew" -> "Hebrew",
+          "han" -> "Han", "hiragana" -> "Hiragana", "katakana" -> "Katakana",
+          "hangul" -> "Hangul", "devanagari" -> "Devanagari")
+        val bs = "\\"
+        val cnt = scripts.map { case (n, c) =>
+          s"CAST(length(t) - length(regexp_replace(t, '${bs}p{$c}', '', 'g')) AS BIGINT) AS n_$n"
+        }.mkString(", ")
+        val arms = scripts.map { case (n, _) =>
+          val others = scripts.map(_._1).filterNot(_ == n)
+            .map(o => s"n_$n >= n_$o").mkString(" AND ")
+          s"WHEN n_$n > 0 AND $others THEN '$n'"
+        }.mkString(" ")
+        s"""WITH u AS (SELECT doc_id, substr(text, 1, 6)
+           |  || (CASE WHEN doc_id % 3 = 0 THEN ' Привет мир всем' ELSE '' END)
+           |  || (CASE WHEN doc_id % 5 = 0 THEN ' 世界和平永远' ELSE '' END)
+           |  || (CASE WHEN doc_id % 7 = 0 THEN ' γειά σου κόσμε' ELSE '' END)
+           |  AS t FROM documents),
+           |c AS (SELECT doc_id, $cnt FROM u)
+           |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+           |CASE $arms ELSE 'none' END AS script
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
 
     // ── 74b2. HTML → prose (TextNorm.stripHtml): script/style/comment
     // elements dropped, block tags → newline, tags stripped, entities

@@ -55,11 +55,14 @@ object Curate {
     val id = cfg.idCol
     val text = cfg.textCol
 
-    // 1. markup off first — every later gate sees prose
+    // 1. markup off first — every later gate sees prose. Newlines are
+    // KEPT here: stripHtml's block-tag newlines are exactly the line
+    // structure lineDedup needs (folding them first would degenerate
+    // line-level boilerplate removal to whole-document dedup); they
+    // fold to spaces after the unit-dedup stages below
     val prose =
       if (!cfg.htmlInput) docs
-      else docs.withColumn(text,
-        regexp_replace(TextNorm.stripHtml(col(text)), "\n", " "))
+      else docs.withColumn(text, TextNorm.stripHtml(col(text)))
 
     // 2-3. URL hygiene
     val afterDomains = cfg.urlCol match {
@@ -85,9 +88,13 @@ object Curate {
     val afterSents =
       if (!cfg.sentenceDedup) afterLines
       else rejoin(afterLines, Dedup.sentenceDedup(afterLines, id, text))
+    // line structure has served its purpose — flatten for the gates
+    val flattened =
+      if (!cfg.htmlInput) afterSents
+      else afterSents.withColumn(text, regexp_replace(col(text), "\n", " "))
 
     // 5. gates + exact + near-dup, one plan
-    val prepared = DocPipeline.prepare(afterSents, id, text,
+    val prepared = DocPipeline.prepare(flattened, id, text,
       minWords = cfg.minWords, minhashK = cfg.minhashK, bands = cfg.bands,
       tau = cfg.tau, transitive = cfg.transitive,
       maxTopTokenFrac = cfg.maxTopTokenFrac,

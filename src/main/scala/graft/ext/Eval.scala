@@ -74,12 +74,15 @@ object Eval {
     // inclusive running count in score order; frame = RANGE UNBOUNDED
     // PRECEDING .. CURRENT ROW (default) over distinct scores
     val cum = sum(col("_ct")).over(Window.orderBy(col("_s")))
+    // totals derive from the SAME per-score aggregate (one corpus
+    // scan total — a second s.agg would re-scan the row-level frame)
     val ranked = per.withColumn("_cum", cum)
-      // Σ over positives of 2·midrank, as an exact long
-      .select(sum(col("_cp") * (lit(2L) * col("_cum") - col("_ct") + lit(1L)))
-        .as("_sr2"))
-    val tot = s.agg(sum(col("_y")).as("_p"), count(lit(1L)).as("_n"))
-    ranked.crossJoin(tot).select(
+      .select(
+        // Σ over positives of 2·midrank, as an exact long
+        sum(col("_cp") * (lit(2L) * col("_cum") - col("_ct") + lit(1L)))
+          .as("_sr2"),
+        sum(col("_cp")).as("_p"), sum(col("_ct")).as("_n"))
+    ranked.select(
       when(col("_p") > 0L && col("_n") - col("_p") > 0L,
         (col("_sr2") - col("_p") * (col("_p") + lit(1L))).cast("double") /
           (lit(2.0) * col("_p").cast("double") *
@@ -107,10 +110,12 @@ object Eval {
     // RANGE UNBOUNDED PRECEDING..CURRENT over DESC = all rows with
     // score >= this threshold
     val w = Window.orderBy(col("_s").desc)
+    // total positives from the same per-score aggregate (one scan);
+    // the 1-row total broadcasts back over the distinct-score frame
     val cum = per.select(col("_s"),
       sum(col("_cp")).over(w).as("_tp"),
       sum(col("_ct") - col("_cp")).over(w).as("_fp"))
-    val tot = s.agg(sum(col("_y")).as("_pos"))
+    val tot = per.agg(sum(col("_cp")).as("_pos"))
     cum.crossJoin(tot).select(
       col("_s").as("threshold"),
       col("_tp").as("tp"), col("_fp").as("fp"),
@@ -142,11 +147,13 @@ object Eval {
       .distinct()
     val p = canon(pred)
     val t = canon(truth)
-    val hit = p.join(t, Seq("_u", "_v"), "left_semi")
-      .agg(count(lit(1L)).as("n_hit"))
-    val np = p.agg(count(lit(1L)).as("n_pred"))
+    // n_pred and n_hit from ONE pass over the predicted pairs (a
+    // left-semi + separate count would scan the canonicalized pred
+    // set twice); n_truth from one pass over truth
+    val withHit = p.join(t.withColumn("_hit", lit(1)), Seq("_u", "_v"), "left")
+      .agg(count(lit(1L)).as("n_pred"), count(col("_hit")).as("n_hit"))
     val nt = t.agg(count(lit(1L)).as("n_truth"))
-    np.crossJoin(nt).crossJoin(hit).select(
+    withHit.crossJoin(nt).select(
       col("n_pred"), col("n_truth"), col("n_hit"),
       when(col("n_pred") > 0L,
         col("n_hit").cast("double") / col("n_pred").cast("double"))

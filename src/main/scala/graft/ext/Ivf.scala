@@ -174,7 +174,14 @@ object Ivf {
     * the union aligns by name and null-fills the gaps, the
     * [[graft.sources.ShardStore.readShardsAtEvolved]] convention. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    indexSegments(spark, root).map(spark.read.parquet(_))
+    readSegments(spark, indexSegments(spark, root))
+
+  /** Union the given segment dirs as one frame — THE segment-resolution
+    * primitive (readIndex/compactIndexAtomic/streamTopKJoin all resolve
+    * through here so schema-alignment semantics cannot drift). */
+  private def readSegments(spark: org.apache.spark.sql.SparkSession,
+                           segs: Seq[String]): DataFrame =
+    segs.map(spark.read.parquet(_))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Append new vectors to the committed index WITHOUT retraining: the
@@ -271,8 +278,7 @@ object Ivf {
     val centroids = loadCentroids(spark, segs.head)
     val v = AtomicCommit.nextVersion(spark, root)
     val dir = AtomicCommit.versionDir(root, v)
-    segs.map(spark.read.parquet(_))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    readSegments(spark, segs)
       .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
     saveCentroids(spark, centroids, dir)
     AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
@@ -340,8 +346,7 @@ object Ivf {
           val spark = b.sparkSession
           val segs = indexSegments(spark, root)
           val centroids = loadCentroids(spark, segs.head)
-          val indexed = segs.map(spark.read.parquet(_))
-            .reduce(_.unionByName(_, allowMissingColumns = true))
+          val indexed = readSegments(spark, segs)
           onBatch(topKJoin(indexed, vecCol, centroids, b,
             probeIdCol, probeVecCol, k, nprobe, cellCol,
             tieBreak = tieBreak), batchId)

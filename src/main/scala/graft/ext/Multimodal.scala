@@ -64,7 +64,7 @@ object Multimodal {
     if (bytes == null || bytes.length == 0) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None } // fatal errors (OOM, interrupts) must propagate, not degrade to byte features
 
   /** REAL perceptual image features (aHash family — block-mean
     * luminance, cf. Zauner 2010 "Implementation and Benchmarking of
@@ -164,7 +164,7 @@ object Multimodal {
             Some((out, f.getSampleRate))
           }
         } finally ais.close()
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None } // fatal errors (OOM, interrupts) must propagate, not degrade to byte features
 
   /** REAL audio downsample: decode to mono float samples, block-mean
     * every `factor` samples (the mean is the cheap anti-alias, the

@@ -1107,8 +1107,15 @@ object Stats {
       val ch = element_at(col(gtCol), c + 1)
       val fa = element_at(col(gtCol), f + 1)
       val mo = element_at(col(gtCol), m + 1)
-      val called = !(array_contains(ch, -1) || array_contains(fa, -1) ||
-        array_contains(mo, -1))
+      // the c1-from-one-parent / c2-from-the-other rule needs a DIPLOID
+      // child call; a haploid child (chrY, male X) is skipped like a
+      // missing call — the size guard also short-circuits the
+      // element_at(ch, 2) below, which would throw under ANSI mode on
+      // a 1-allele array (parents stay ploidy-general: membership via
+      // array_contains works at any parent ploidy)
+      val called = size(ch) === 2 &&
+        !(array_contains(ch, -1) || array_contains(fa, -1) ||
+          array_contains(mo, -1))
       val c1 = element_at(ch, 1)
       val c2 = element_at(ch, 2)
       val ok = (array_contains(fa, c1) && array_contains(mo, c2)) ||

@@ -28,11 +28,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AppendStore {
 
   /** The store's live content, or `empty` when nothing is committed
-    * (the caller owns the schema — an absent store has none). */
+    * (the caller owns the schema — an absent store has none). Fails
+    * fast when `root` holds a PLAIN parquet store (data files but no
+    * commit log) — flipping a stream from `atomicStore = false` to
+    * `true` over the same path would otherwise silently read an empty
+    * history, forget every accepted hash, and re-admit old duplicates
+    * while writing `v=` dirs into the mixed layout. */
   def readOr(spark: SparkSession, root: String, empty: => DataFrame): DataFrame = {
     val versions = AtomicCommit.committedVersions(spark, root)
-    if (versions.isEmpty) empty
-    else spark.read.parquet(
+    if (versions.isEmpty) {
+      val f = AtomicCommit.fs(spark, root)
+      val p = new org.apache.hadoop.fs.Path(root)
+      val plainData = f.exists(p) && f.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith("v=") && !n.startsWith(".")
+      }
+      require(!plainData,
+        s"$root holds a non-atomic parquet store (data files, no _commits/) — " +
+          "it cannot be read as an atomic AppendStore; migrate it first " +
+          "(read the plain store, append it as v=1, commit) or keep " +
+          "atomicStore = false for this path")
+      empty
+    } else spark.read.parquet(
       versions.map(v => AtomicCommit.versionDir(root, v)): _*)
   }
 

@@ -50,6 +50,27 @@ class CurateSpec extends SparkTestBase {
     assert(texts.forall(t => !t.contains("<p>") && !t.contains("</p>")))
   }
 
+  test("htmlInput preserves stripHtml's line structure for lineDedup: nav boilerplate cut per line, docs survive") {
+    // the regression: folding stripHtml's newlines to spaces BEFORE
+    // lineDedup left one line per doc, degenerating the configured
+    // line-level boilerplate removal to whole-document dedup — the
+    // repeated nav banner would have survived inside every page
+    val nav = "Home About Products Contact Login Cookie notice accepted here"
+    val docs = (1L to 3L).map { i =>
+      (i, s"<div>$nav</div><p>${filler(s"u$i")}</p>")
+    }.toDF("doc_id", "text")
+    val out = Curate.run(docs,
+        Curate.Config(htmlInput = true, lineDedup = true, minWords = 10))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L), s"all pages distinct: ${out.keySet}")
+    // first holder keeps the banner, every later page drops ONLY it
+    assert(out(1L).contains("Cookie notice"))
+    assert(!out(2L).contains("Cookie notice") && out(2L).contains("u21x"))
+    assert(!out(3L).contains("Cookie notice") && out(3L).contains("u31x"))
+    // and the gates downstream saw flattened prose (no newlines leak)
+    assert(out.values.forall(t => !t.contains("\n")))
+  }
+
   test("sentence dedup stage feeds the pipeline: boilerplate cut before near-dup") {
     val boiler = "This site uses cookies and trackers everywhere always."
     val docs = Seq(

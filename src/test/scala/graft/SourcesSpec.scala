@@ -178,6 +178,22 @@ class SourcesSpec extends SparkTestBase {
     assert(!AtomicCommit.commitFenced(spark, root, 2L, "", e2))
   }
 
+  test("AppendStore.readOr fails fast on a plain-parquet store (atomicStore flip cannot silently drop history)") {
+    import graft.sources.AppendStore
+    val root = java.nio.file.Files.createTempDirectory("aplain").resolve("store").toString
+    // a stream previously ran with atomicStore=false: plain part-files
+    docs.limit(3).write.parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      AppendStore.readOr(spark, root, docs.limit(0))
+    }
+    assert(e.getMessage.contains("non-atomic"), e.getMessage)
+    // an absent path and a genuine (empty) atomic store still read fine
+    val fresh = java.nio.file.Files.createTempDirectory("aplain2").resolve("s").toString
+    assert(AppendStore.readOr(spark, fresh, docs.limit(0)).count() === 0L)
+    AppendStore.append(docs.limit(2), fresh)
+    assert(AppendStore.readOr(spark, fresh, docs.limit(0)).count() === 2L)
+  }
+
   test("writer fencing: AppendStore.append honors the epoch (zombie append rejected)") {
     import graft.sources.{AppendStore, AtomicCommit}
     val root = java.nio.file.Files.createTempDirectory("afenceap").resolve("store").toString

@@ -220,6 +220,21 @@ class StatsSpec extends SparkTestBase {
       (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 0L, 0L), (5L, 1L, 0L)))
   }
 
+  test("mendelErrors: haploid child (chrY/male-X) skips like a missing call — no NULL poisoning, no ANSI throw") {
+    import spark.implicits._
+    val df = Seq(
+      // haploid child call → trio skipped at this variant (the c1/c2
+      // rule needs a diploid child); the row must still count the
+      // OTHER diploid trio, not go null
+      (1L, Seq(Seq(0), Seq(0, 0), Seq(1, 1), Seq(1, 1), Seq(0, 0), Seq(1, 1))),
+      // both trios diploid: trio 1 consistent, trio 2 errors
+      (2L, Seq(Seq(0, 1), Seq(0, 0), Seq(1, 1), Seq(1, 1), Seq(0, 0), Seq(0, 0)))
+    ).toDF("pos", "gt")
+    val out = Stats.mendelErrors(df, "gt", "pos", Seq((0, 1, 2), (3, 4, 5)))
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
   test("frohSummary: ratio over CALLED sites; zero-run samples surface with froh 0") {
     import spark.implicits._
     // sample 0: 3-site run + lone hom among 5 called (site 6 missing)
