@@ -59,6 +59,26 @@ object Dedup {
         count(col("_rep")).as("n_repeated"))
   }
 
+  /** Map-side token rebuild shared by EVERY span-removal operator
+    * (spanDedup / spanDedupExact / intraDocDedup / the streaming
+    * twin): `spans` carries one row per doc with `_rm` =
+    * array<struct<_st, _en>> of 0-based inclusive token intervals to
+    * cut; returns (idCol, n_removed, text_kept), text_kept null when
+    * everything was cut. One primitive so the tokenizer and the
+    * indexed-filter semantics cannot drift between the batch and
+    * streaming variants. */
+  private[ext] def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                               spans: DataFrame): DataFrame =
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (_, i) =>
+          !exists(col("_rm"), s =>
+            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
+      .select(col(idCol),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+
   /** Variable-length duplicated-span detection — the ExactSubstr
     * semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499) re-expressed as
@@ -154,15 +174,7 @@ object Dedup {
       .filter(col("_en") - col("_st") + 1L >= minTokens)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("_st"), col("_en"))).as("_rm"))
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn("_toks", split(col(textCol), " "))
-      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
-        filter(col("_toks"), (_, i) =>
-          !exists(col("_rm"), s =>
-            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
-      .select(col(idCol),
-        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
-        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+    removeSpans(docs, idCol, textCol, spans)
   }
 
   /** EXACT variable-span duplicate detection — true ExactSubstr
@@ -225,15 +237,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("start_tok").as("_st"),
         col("end_tok").as("_en"))).as("_rm"))
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn("_toks", split(col(textCol), " "))
-      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
-        filter(col("_toks"), (_, i) =>
-          !exists(col("_rm"), s =>
-            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
-      .select(col(idCol),
-        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
-        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+    removeSpans(docs, idCol, textCol, spans)
   }
 
   /** Shared kernel of the exact-span operators: maximal per-doc covered
@@ -327,15 +331,7 @@ object Dedup {
       .filter(col("_en") - col("_st") + 1L >= minTokens)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("_st"), col("_en"))).as("_rm"))
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn("_toks", split(col(textCol), " "))
-      .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
-        filter(col("_toks"), (_, i) =>
-          !exists(col("_rm"), s =>
-            i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
-      .select(col(idCol),
-        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
-        nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+    removeSpans(docs, idCol, textCol, spans)
   }
 
   /** Append a k-component MinHash signature column.

@@ -145,7 +145,11 @@ object DocPipeline {
       if (maxDupBigramFrac >= 1.0) afterTop
       else afterTop
         .withColumn("_b2", TextHash.shingleHashes(TextHash.wordHashes(col(textCol)), 2))
-        .filter(
+        // zero-bigram docs (single word) trivially satisfy the gate —
+        // without the guard the fraction is 0.0/0 = NaN and NaN <= x
+        // is false, silently deleting exactly the docs that cannot
+        // contain repetition
+        .filter(size(col("_b2")) === 0 ||
           lit(1.0) - size(array_distinct(col("_b2"))).cast("double") / size(col("_b2"))
             <= maxDupBigramFrac)
         .drop("_b2")
@@ -377,7 +381,7 @@ object DocPipeline {
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
         def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands)
-        val storeExists = new java.io.File(storePath).exists()
+        val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
@@ -422,7 +426,7 @@ object DocPipeline {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("h",
               org.apache.spark.sql.types.StringType, nullable = false))))
-        val storeExists = new java.io.File(storePath).exists()
+        val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
@@ -536,7 +540,7 @@ object DocPipeline {
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
         def empty = keysOf(b.limit(0))
-        val storeExists = new java.io.File(storePath).exists()
+        val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
@@ -577,7 +581,7 @@ object DocPipeline {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("h",
               org.apache.spark.sql.types.StringType, nullable = false))))
-        val storeExists = new java.io.File(storePath).exists()
+        val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
@@ -635,7 +639,7 @@ object DocPipeline {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("sh",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        val storeExists = new java.io.File(storePath).exists()
+        val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
@@ -665,15 +669,13 @@ object DocPipeline {
           .filter(col("_en") - col("_st") + 1L >= minTokens)
           .groupBy(col(idCol))
           .agg(collect_list(struct(col("_st"), col("_en"))).as("_rm"))
-        val out = b.join(spans, Seq(idCol), "left")
-          .withColumn("_toks", split(col(textCol), " "))
-          .withColumn("_kept", when(col("_rm").isNull, col("_toks")).otherwise(
-            filter(col("_toks"), (_, i) =>
-              !exists(col("_rm"), s =>
-                i.cast("long") >= s.getField("_st") && i.cast("long") <= s.getField("_en")))))
-          .select(col(idCol),
-            (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
-            nullif(array_join(col("_kept"), " "), lit("")).as("text_kept"))
+        // the batch kernel's rebuild, shared (Dedup.removeSpans) —
+        // materialized (cut) BEFORE the store append below: out's plan
+        // reads the store, and the sibling ops' invariant is that
+        // nothing downstream re-reads it after this batch's shingles
+        // landed (also saves onBatch a full pipeline re-execution)
+        val out = Dedup.removeSpans(b, idCol, textCol, spans)
+          .cut
         // store grows by the batch's genuinely-new distinct shingles;
         // checkpoint the tiny hash set so the append and any downstream
         // reuse don't recompute the batch pipeline

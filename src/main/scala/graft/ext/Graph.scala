@@ -139,15 +139,20 @@ object Graph {
     * workhorse — rank mass restarts at the `sources` set instead of
     * uniformly, so scores measure proximity to the seeds):
     *
-    *   rank⁰(u)   = 10⁹·[u ∈ S]
-    *   share      = (Σ_{outdeg=0} rank) div |S|      dangling → seeds
+    *   rank⁰(u)   = 10⁹·[u ∈ S∩V]
+    *   share      = (Σ_{outdeg=0} rank) div |S∩V|    dangling → seeds
     *   in(v)      = Σ_in contrib + [v ∈ S]·share
     *   rankᵏ⁺¹(v) = [v ∈ S]·(100−d)·10⁷ + (in·d) div 100
     *
     * i.e. [[pageRank]]'s recurrence with teleport AND dangling mass
     * restricted to the seed set (per-seed constants identical to the
     * uniform case — total teleport stays (100−d)% of initial mass).
-    * Nodes unreachable from S hold rank 0 exactly.
+    * Nodes unreachable from S hold rank 0 exactly. The node universe V
+    * is the EDGE LIST: a seed appearing in no edge gets no rank row
+    * and takes no part in the recurrence (every Σ and divisor uses
+    * S∩V, so absent seeds change nothing — their PPR would be pure
+    * teleport mass); when no seed is in the graph the call fails
+    * loudly instead of returning an all-zero frame.
     *
     * Scale shape: identical to [[pageRank]] — one src-keyed equi-join
     * + one dst-keyed integer sum per iteration, dangling pool as a
@@ -171,13 +176,24 @@ object Graph {
       .cut
     val teleport = (100L - dampingPct) * 10000000L
     val isSeed = col("node").isin(seeds: _*)
+    // the node UNIVERSE is the edge list: a seed appearing in no edge
+    // gets no rank row (its PPR would be pure teleport mass — compute
+    // it trivially if needed). The dangling redistribution must
+    // therefore divide by the IN-GRAPH seed count — dividing by the
+    // full seed count would permanently leak the absent seeds' share
+    // of every iteration's dangling mass. Fail loudly when NO seed is
+    // in the graph rather than return an all-zero frame.
+    val nSeedsIn = nodes.filter(isSeed).count()
+    require(nSeedsIn > 0,
+      "personalizedPageRank: no seed appears in the edge list (the node " +
+        "universe is the edge list; isolated seeds receive no rank rows)")
     var ranks = nodes
       .withColumn("rk", when(isSeed, lit(1000000000L)).otherwise(lit(0L)))
       .cut
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
       val share = withDeg.filter(col("d").isNull)
-        .agg(expr(s"coalesce(sum(rk), 0L) div ${seeds.size}L").as("_share"))
+        .agg(expr(s"coalesce(sum(rk), 0L) div ${nSeedsIn}L").as("_share"))
       val in = withDeg.filter(col("d").isNotNull)
         .select(col("node"), expr("rk div d").as("c"))
         .join(e, col("node") === col("src"))
@@ -359,12 +375,17 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+    val eAll = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
+    val e0 = eAll.filter(col("a") =!= col("b"))
     val adj = e0.union(e0.select(col("b"), col("a")))
       .distinct().cut // (node, nbr) both directions
-    val nodes = adj.select(col("a").as("node")).distinct()
+    // node set from the edge list BEFORE self-loops drop: a node whose
+    // only edges are self-loops still appears in the input and must
+    // come back labeled with itself (self-loop EDGES are excluded from
+    // voting, the node is not excluded from the graph)
+    val nodes = eAll.select(col("a").as("node"))
+      .union(eAll.select(col("b").as("node"))).distinct()
       .cut
     var labels = nodes.withColumn("lbl", col("node")).cut
     for (_ <- 1 to rounds) {

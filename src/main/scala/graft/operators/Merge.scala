@@ -91,7 +91,7 @@ object Merge {
         val touched = batch.select(col("_bucket")).distinct()
           .collect().map(_.getInt(0)) // ≤ nBuckets values by construction
         if (touched.nonEmpty) {
-          val storeExists = new java.io.File(storePath).exists()
+          val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
           val existing =
             if (storeExists)
               spark.read.parquet(storePath)

@@ -186,7 +186,12 @@ object Stats {
     * sums are exact, so results are bit-stable under any
     * partitioning. */
   def ibsPairs(df: DataFrame, gtCol: String = "gt"): DataFrame = {
-    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
+    // variants with < 2 samples have no pairs — and MUST be dropped
+    // before the nested sequence(): sequence(0, nS-2) counts DOWN for
+    // nS <= 1 (Spark defaults the step to -1 when start > stop),
+    // emitting a bogus self-pair and an index-0 element_at that throws
+    val dosed = df.filter(size(col(gtCol)) >= 2)
+      .withColumn("_dos", transform(col(gtCol), s =>
       when(exists(s, a => a === -1), lit(-1))
         .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
     val nS = size(col("_dos"))
@@ -291,9 +296,12 @@ object Stats {
     * (identical integers, one pass, no explode). Integer sums → exact,
     * partition-order-proof. */
   def kingPairs(df: DataFrame, gtCol: String = "gt"): DataFrame = {
-    val dosed = df.withColumn("_dos", transform(col(gtCol), s =>
-      when(exists(s, a => a === -1), lit(-1))
-        .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
+    // < 2 samples: no pairs — and sequence(0, nS-2) counts DOWN for
+    // nS <= 1 (see ibsPairs)
+    val dosed = df.filter(size(col(gtCol)) >= 2)
+      .withColumn("_dos", transform(col(gtCol), s =>
+        when(exists(s, a => a === -1), lit(-1))
+          .otherwise(aggregate(s, lit(0), (acc, a) => acc + a))))
     val nS = size(col("_dos"))
     val pairTerms = flatten(transform(sequence(lit(0), nS - 2), i =>
       transform(sequence(i + 1, nS - 1), j => {
@@ -514,7 +522,14 @@ object Stats {
       val dc = element_at(col("_dos"), c + 1)
       val dF = element_at(col("_dos"), f + 1)
       val dM = element_at(col("_dos"), m + 1)
-      val allCalled = dc >= 0 && dF >= 0 && dM >= 0
+      // the dosage-range rule is inherently DIPLOID (dos in 0..2 with
+      // dF===2 meaning hom-alt): haploid calls (chrY, male X) would
+      // read as het and flag legitimate transmissions as errors — skip
+      // them like missing calls (the per-variant overload's guard)
+      val allCalled = size(element_at(col(gtCol), c + 1)) === 2 &&
+        size(element_at(col(gtCol), f + 1)) === 2 &&
+        size(element_at(col(gtCol), m + 1)) === 2 &&
+        dc >= 0 && dF >= 0 && dM >= 0
       val minP = when(dF === 2, 1).otherwise(0) + when(dM === 2, 1).otherwise(0)
       val maxP = when(dF >= 1, 1).otherwise(0) + when(dM >= 1, 1).otherwise(0)
       struct(lit(ti).as("trio_idx"), lit(c).as("child_idx"),

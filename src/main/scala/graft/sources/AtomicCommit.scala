@@ -27,8 +27,16 @@ import org.apache.spark.sql.SparkSession
   * claim is a best-effort guard, not a lock service. */
 object AtomicCommit {
 
-  private[sources] def fs(spark: SparkSession, root: String) =
+  private[graft] def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Filesystem-correct existence check for store paths — unlike
+    * java.io.File, this resolves hdfs://, s3a://, etc. through the
+    * Hadoop FileSystem (a File check is silently ALWAYS false for
+    * non-local URIs, which for a non-atomic streaming store means
+    * "no history" plus an overwrite of everything accepted so far). */
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
 
   def versionDir(root: String, v: Long): String = s"$root/v=$v"
 

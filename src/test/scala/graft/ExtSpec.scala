@@ -346,6 +346,13 @@ class ExtSpec extends SparkTestBase {
       maxTopTokenFrac = 0.3, maxDupBigramFrac = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(gated === Set(1L), s"got $gated")
+    // a single-word doc has ZERO bigrams and trivially satisfies the
+    // gate — the NaN (0.0/0) comparison must not silently delete it
+    val tiny = Seq((9L, "solo"), (10L, distinct40)).toDF("doc_id", "text")
+    val tinyGated = DocPipeline.prepare(tiny, minWords = 1,
+      maxDupBigramFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tinyGated === Set(9L, 10L), s"got $tinyGated")
   }
 
   test("exact dedup keeps deterministic representative") {
@@ -558,6 +565,32 @@ class ExtSpec extends SparkTestBase {
     assert(total > 99_000_000_000L && total <= 100_000_000_000L, s"total=$total")
     // seeds outside the node set contribute nothing
     assert(r.filter(col("node") >= n).count() === 0)
+  }
+
+  test("personalizedPageRank: seeds absent from the edge list change nothing; all-absent fails loudly") {
+    import spark.implicits._
+    // divisors and sums use S∩V — an out-of-graph seed must not siphon
+    // a share of the dangling mass (the old |S| divisor leaked it)
+    val e = Seq((1L, 2L)).toDF("s", "t")
+    def runSeeds(ss: Seq[Long]) =
+      Graph.personalizedPageRank(e, "s", "t", ss, 2).orderBy("node")
+        .as[(Long, Long)].collect().toSeq
+    assert(runSeeds(Seq(1L, 99L)) === runSeeds(Seq(1L)))
+    val err = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "s", "t", Seq(98L, 99L), 1)
+    }
+    assert(err.getMessage.contains("no seed appears"))
+  }
+
+  test("labelPropagation: a node whose only edges are self-loops stays in the output, labeled itself") {
+    import spark.implicits._
+    // self-loop EDGES are excluded from voting; the NODE must not
+    // vanish from the returned labels frame
+    val e = Seq((5L, 5L), (1L, 2L)).toDF("s", "t")
+    val labels = Graph.labelPropagation(e, "s", "t", rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(labels.map(_._1) === Seq(1L, 2L, 5L))
+    assert(labels.find(_._1 == 5L).map(_._2) === Some(5L))
   }
 
   test("kCore: peel cascade removes the tail pendant chain round by round") {

@@ -235,6 +235,34 @@ class StatsSpec extends SparkTestBase {
     assert(out === Seq((1L, 1L, 1L), (2L, 2L, 1L)))
   }
 
+  test("ibsPairs/kingPairs: 0/1-sample cohorts yield zero pair rows (sequence would count DOWN)") {
+    import spark.implicits._
+    // one sample → sequence(0, -1) = [0,-1] without the guard: a bogus
+    // self-pair plus an index-0 element_at that throws
+    val one = Seq((1L, Seq(Seq(0, 1)))).toDF("pos", "gt")
+    assert(Stats.ibsPairs(one).count() === 0L)
+    assert(Stats.kingPairs(one).count() === 0L)
+    // mixed widths: the 1-sample variant contributes nothing, the
+    // 3-sample variant still produces its 3 pairs
+    val mixed = Seq(
+      (1L, Seq(Seq(0, 1))),
+      (2L, Seq(Seq(0, 1), Seq(1, 1), Seq(0, 0)))).toDF("pos", "gt")
+    assert(Stats.ibsPairs(mixed).count() === 3L)
+  }
+
+  test("mendelErrors (per-trio dosage): haploid calls skip like missing — no spurious male-X errors") {
+    import spark.implicits._
+    // haploid son [0] with hom-alt mother: the legitimate male-X
+    // transmission the diploid dosage rule would flag as an error
+    val df = Seq(
+      (1L, Seq(Seq(0), Seq(1), Seq(1, 1))),
+      // diploid variant: consistent
+      (2L, Seq(Seq(0, 1), Seq(0, 0), Seq(1, 1)))).toDF("pos", "gt")
+    val out = Stats.mendelErrors(df, "gt", Seq((0, 1, 2)))
+      .select("n_tested", "n_errors").as[(Long, Long)].head()
+    assert(out === ((1L, 0L)), s"haploid variant must be skipped, got $out")
+  }
+
   test("frohSummary: ratio over CALLED sites; zero-run samples surface with froh 0") {
     import spark.implicits._
     // sample 0: 3-site run + lone hom among 5 called (site 6 missing)
