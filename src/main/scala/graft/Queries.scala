@@ -6322,8 +6322,9 @@ ORDER BY feature"""
              |    AS n_ellipsis,
              |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
              |    AS BIGINT) AS n_alpha_words,
-             |  CAST(len(list_filter(toks, w -> w IN ('the','be','to','of',
-             |    'and','that','have','with'))) AS BIGINT) AS n_stop
+             |  CAST(len(list_filter(['the','be','to','of','and','that',
+             |    'have','with'], sw -> list_contains(toks, sw))) AS BIGINT)
+             |    AS n_stop
              |  FROM c)
              |SELECT doc_id, n_words, n_chars, n_hash, n_ellipsis,
              |n_alpha_words, n_stop,

@@ -197,7 +197,13 @@ object Corpus {
       it.map { r =>
         val key = keyIdx.map(r.get)
         if (key != curKey) { curKey = key; bin = 0L; fill = 0L }
-        val tok = r.getAs[Number](tokIdx).longValue()
+        val tokRaw = r.getAs[Number](tokIdx)
+        // fail with the column named — a bare NPE deep in a task names
+        // neither the row nor the offending field
+        require(tokRaw != null,
+          s"packSequencesGreedy: null $nTokCol at ${keyIdx.map(r.get).mkString(",")} " +
+            "(token counts must be non-null — filter or fill upstream)")
+        val tok = tokRaw.longValue()
         if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0L }
         fill += tok
         Row.fromSeq(r.toSeq :+ bin)
@@ -334,18 +340,33 @@ object Corpus {
   }
 
   /** Deterministic corpus shuffle for training-order randomization:
-    * globally sort by the LCG order hash (tie-break id). The range
-    * exchange samples hash boundaries, so output shards are balanced
-    * regardless of input order, and the resulting order is decorrelated
-    * from every natural key (source, time, id locality) yet fully
-    * reproducible — write the result and shard N is always the same
-    * documents in the same order. */
+    * globally sort by the LCG order hash (tie-break id), sharded by
+    * FIXED hash ranges — shard = floor(h·numShards / 2³¹), an identity
+    * RDD partitioner mapping shard i to partition i. This is the one
+    * place the operator must NOT use repartitionByRange: its
+    * RangePartitioner SAMPLES boundaries (seeded by rdd id and input
+    * layout), so shard membership would shift across reruns and break
+    * the training-order lineage contract — the whole point of the
+    * operator. Fixed ranges of a uniform hash keep shards balanced;
+    * concatenating shards in index order is the global hash order;
+    * rerunning on the same ids reproduces shard N byte-for-byte. */
   def shuffleDeterministic(df: DataFrame, idCol: String,
-                           numShards: Int): DataFrame =
-    df.withColumn("_h", orderHash(col(idCol)))
-      .repartitionByRange(numShards, col("_h"), col(idCol))
+                           numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val spark = df.sparkSession
+    val withH = df.withColumn("_h", orderHash(col(idCol)))
+      .withColumn("_shard",
+        floor(col("_h") * numShards.toLong / 2147483648L).cast("int"))
+    val schema = withH.schema
+    val parted = withH.rdd.map(r => (r.getAs[Int]("_shard"), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }).map(_._2)
+    spark.createDataFrame(parted, schema)
       .sortWithinPartitions(col("_h"), col(idCol))
-      .drop("_h")
+      .drop("_h", "_shard")
+  }
 
   /** Context-window chunking: split each document's token stream into
     * windows of `maxTokens` tokens with `overlap` tokens carried over
@@ -366,7 +387,10 @@ object Corpus {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap=$overlap must be in [0, maxTokens)")
     val stride = maxTokens - overlap
-    df.withColumn("_toks", split(col(textCol), " "))
+    // length > 0 first: split("", " ") is [""], a phantom 1-token
+    // chunk the documented "empty documents yield none" forbids
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("_toks", split(col(textCol), " "))
       .withColumn("_ntok", size(col("_toks")))
       .filter(col("_ntok") > 0)
       .withColumn("_nch",
@@ -405,7 +429,9 @@ object Corpus {
                       budget: Long,
                       wordCost: Column => Column = _ => lit(1L)): DataFrame = {
     require(budget >= 1, s"budget=$budget must be >= 1")
-    df.withColumn("_toks", split(col(textCol), " "))
+    // length > 0: split("", " ") is [""] — see chunkDocs
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("_toks", split(col(textCol), " "))
       .withColumn("_ntok", size(col("_toks")))
       .filter(col("_ntok") > 0)
       .withColumn("_costs", transform(col("_toks"), w => wordCost(w).cast("long")))
@@ -502,17 +528,27 @@ object Corpus {
                          idCol: String, textCol: String,
                          n: Int = 13, minShared: Long = 1,
                          fpp: Double = 0.001): DataFrame = {
+    // persisted: count() and bloomFilter() are two ACTIONS over the
+    // same tokenize→shingle→distinct lineage — unpersisted, the large
+    // benchmark suite would be scanned and distinct-shuffled twice
     val benchShingles = bench
       .withColumn("_whs", TextHash.wordHashes(col(textCol)))
       .select(explode(array_distinct(TextHash.shingleHashes(col("_whs"), n))).as("_sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(benchShingles.count(), 1L)
     val bf = benchShingles.stat.bloomFilter("_sh", expected, fpp)
+    benchShingles.unpersist()
     val bcast = train.sparkSession.sparkContext.broadcast(bf)
     val hits = udf { shingles: Seq[Long] =>
-      var c = 0L
-      shingles.foreach(h => if (bcast.value.mightContainLong(h)) c += 1)
-      c
+      // null text → null shingle array → 0 hits (kept) — the exact
+      // twin's behavior (explode of null emits no rows)
+      if (shingles == null) 0L
+      else {
+        var c = 0L
+        shingles.foreach(h => if (bcast.value.mightContainLong(h)) c += 1)
+        c
+      }
     }
     train
       .withColumn("_whs", TextHash.wordHashes(col(textCol)))

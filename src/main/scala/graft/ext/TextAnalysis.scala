@@ -229,9 +229,13 @@ object TextAnalysis {
           length(regexp_replace(col("_text"), "\\.\\.\\.", ""))) / 3).cast("long"))
       .withColumn("n_alpha_words",
         size(filter(col("_toks"), w => w.rlike("[a-zA-Z]"))).cast("long"))
+      // DISTINCT required stopwords present (Gopher A1.1: "at least
+      // two OF THE FOLLOWING words" — counting occurrences would let
+      // spam repeating one stopword through): count list members that
+      // appear in the doc, not doc tokens that appear in the list
       .withColumn("n_stop",
-        size(filter(col("_toks"),
-          w => w.isin(requiredStopwords: _*))).cast("long"))
+        size(filter(array(requiredStopwords.map(lit): _*),
+          sw => array_contains(col("_toks"), sw))).cast("long"))
       .withColumn("kept",
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           lit(3L) * col("n_words") <= col("n_chars") &&

@@ -60,7 +60,10 @@ object Kinship {
     * aggregation — the shuffle moves O(S²) rows total, not
     * O(variants·S²). Same small-cohort contract as `Stats.ibsPairs`. */
   def grmPairs(df: DataFrame, gtCol: String = "gt"): DataFrame = {
-    val dosed = withDosStats(df, gtCol)
+    // empty gt arrays: sequence(0, -1) counts DOWN (step defaults to
+    // -1 when start > stop) and element_at(_, 0) throws — no samples,
+    // no pair terms (the Stats.ibsPairs guard)
+    val dosed = withDosStats(df.filter(size(col(gtCol)) > 0), gtCol)
       .withColumn("_u", transform(col("_dos"), d =>
         when(d >= 0, col("_n") * d - col("_t")).otherwise(lit(0L))))
     val nS = size(col("_u"))
@@ -176,10 +179,13 @@ object Kinship {
   def pcaLoadings(df: DataFrame, idCol: String, gtCol: String = "gt",
                   k: Int = 10): (Array[Double], DataFrame) = {
     val tri@(s, _, den) = grmTriangle(df, gtCol)
-    val (eigenvalues, _) = pcaFromTriangle(df.sparkSession, tri, k)
+    // ONE eigendecomposition serves both the eigenvalues and the
+    // eigenvectors (pcaFromTriangle would run eigSym a second time on
+    // the same matrix — minutes of duplicated driver CPU at S ~ 10^4)
     val es = eigSym(triToMatrix(tri))
     val top = math.min(k, s)
     val order = (s - 1) to (s - top) by -1
+    val eigenvalues = order.map(c => es.eigenvalues(c)).toArray
     // scaled eigenvector columns: u_c / (den·√λ_c), one literal array per PC
     val uScaled: Seq[Seq[Double]] = order.zipWithIndex.map { case (c, ci) =>
       val lam = math.max(eigenvalues(ci), 0.0)
@@ -218,8 +224,12 @@ object Kinship {
 
   /** Cohort width (samples per gt row) from one row — the auto-switch
     * predicate for the driver-cap escalations below. */
-  private def cohortWidth(df: DataFrame, gtCol: String): Int =
-    df.select(size(col(gtCol)).as("_s")).head().getInt(0)
+  private def cohortWidth(df: DataFrame, gtCol: String): Int = {
+    val rows = df.select(size(col(gtCol)).as("_s")).head(1)
+    require(rows.nonEmpty,
+      "no variants in the input frame (cohort width is undefined)")
+    rows(0).getInt(0)
+  }
 
   /** Deterministic seeded S×m matrix with orthonormalized columns —
     * the subspace-iteration start. Gaussian-ish entries via a seeded
@@ -350,7 +360,10 @@ object Kinship {
     cd.select(col("_w") +: blockCols: _*).write.mode("overwrite")
       .parquet(s"$outPath/z")
     val z = spark.read.parquet(s"$outPath/z")
-    val den = z.agg(sum(col("_w"))).head().getDouble(0)
+    val denRow = z.agg(sum(col("_w"))).head()
+    require(!denRow.isNullAt(0),
+      "no variants with called genotypes (GRM denominator is empty)")
+    val den = denRow.getDouble(0)
     val blockSchema = StructType(Seq(
       StructField("bi", IntegerType, nullable = false),
       StructField("bj", IntegerType, nullable = false),

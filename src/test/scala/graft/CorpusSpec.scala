@@ -259,7 +259,24 @@ class CorpusSpec extends SparkTestBase {
     assert(!got.take(100).sameElements(want.sorted.take(100))) // decorrelated from id
     val sizes = shuffled.groupBy(spark_partition_id()).count()
       .as[(Int, Long)].collect().map(_._2)
-    assert(sizes.length === 8 && sizes.max < sizes.min * 3) // range sampler balance
+    assert(sizes.length === 8 && sizes.max < sizes.min * 3) // fixed-range balance
+  }
+
+  test("shuffleDeterministic: shard membership is reproducible across reruns AND input layouts") {
+    // the lineage contract: shard N is always the same docs in the
+    // same order — a sampling range partitioner (seeded by rdd id /
+    // input layout) would break this; the fixed hash-range partitioner
+    // must not
+    val d = docs(1000)
+    def shardMap(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Long]] =
+      Corpus.shuffleDeterministic(df, "doc_id", 8)
+        .select(spark_partition_id().as("p"), col("doc_id"))
+        .as[(Int, Long)].collect().groupBy(_._1)
+        .map { case (p, rs) => p -> rs.map(_._2).toSeq }
+    val a = shardMap(d)
+    val b = shardMap(d.repartition(13).sortWithinPartitions("doc_id"))
+    val c = shardMap(d.orderBy(desc("doc_id")))
+    assert(a === b && a === c)
   }
 
   test("zvalue interleaves bits: known points and monotone locality") {
@@ -321,7 +338,10 @@ class CorpusSpec extends SparkTestBase {
     }
     assert(rebuilt.sameElements(toks))
     assert(out.filter(_._1 == 2L).map(_._3) === Seq("a b c"))
-    assert(out.count(_._1 == 3L) === 1) // Spark split("") yields [""]
+    // the documented contract: empty documents yield NO chunks (the
+    // split("") = [""] quirk used to leak a phantom 1-token chunk into
+    // packSequences budgets)
+    assert(out.count(_._1 == 3L) === 0)
   }
 
   test("lineDedup: first occurrence wins, blanks always kept, reassembly ordered") {

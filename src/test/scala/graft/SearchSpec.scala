@@ -216,6 +216,18 @@ class SearchSpec extends SparkTestBase {
         minWords = 5L)
       .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
     assert(d7._5 === 18L && d7._8 === false)
+    // Gopher A1.1 counts DISTINCT required stopwords: one stopword
+    // repeated twice is still n_stop = 1 and must NOT pass the gate
+    val stuffed = Seq(
+      (8L, "the the quick brown fox jumps lazy dog trot here"),
+      (9L, "the and quick brown fox jumps lazy dog trot here")
+    ).toDF("doc_id", "text")
+    val s89 = graft.ext.TextAnalysis.gopherRules(stuffed, "doc_id", "text",
+        minWords = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(s89(8L)._7 === 1L && s89(8L)._8 === false)
+    assert(s89(9L)._7 === 2L && s89(9L)._8 === true)
   }
 
   test("c4CleanLines: line predicate + page gates, hand document") {
