@@ -80,12 +80,26 @@ object Similarity {
 
   /** Tie-break order for the top-k APIs: equal scores would otherwise
     * make the k-th row partition-order-dependent (shuffled input could
-    * return a different, equally-scored row). Default = every corpus
-    * column except the vector itself, ascending — a total order whenever
-    * the corpus rows are distinct. */
+    * return a different, equally-scored row). Default = every ORDERABLE
+    * corpus column except the vector itself, ascending — a total order
+    * whenever those columns distinguish the rows. Unorderable columns
+    * (maps) are skipped rather than thrown at (Spark rejects maps as
+    * sort keys), and arrays/structs of the payload still sort if the
+    * atomic columns tie — pass an explicit `tieBreak` to bound the
+    * comparator on wide payloads. */
   private def tieBreakCols(corpus: DataFrame, vecCol: String, tieBreak: Seq[String]): Seq[Column] =
     (if (tieBreak.nonEmpty) tieBreak
-     else corpus.columns.toSeq.filterNot(_ == vecCol)).map(col(_).asc)
+     else corpus.schema.fields.toSeq
+       .filterNot(_.name == vecCol)
+       .filterNot(f => hasMapType(f.dataType))
+       .map(_.name)).map(col(_).asc)
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasMapType(f.dataType))
+    case _ => false
+  }
 
   /** Brute-force top-k by dot product against one probe row.
     * `probe` must be a 1-row DataFrame with column `probeCol`.
@@ -93,12 +107,25 @@ object Similarity {
     * corpus columns except the vector). */
   def bruteForceTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
                      k: Int, scoreCol: String = "score",
-                     tieBreak: Seq[String] = Nil): DataFrame =
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    requireOneProbe(probe)
     corpus.crossJoin(broadcast(probe))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol)
       .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
       .limit(k)
+  }
+
+  /** A multi-row probe frame silently pools a GLOBAL top-k across all
+    * probes — indistinguishable from a valid answer once the vector
+    * column is dropped. Surface the misuse; bruteForceTopKJoin is the
+    * per-probe API. */
+  private def requireOneProbe(probe: DataFrame): Unit = {
+    val n = probe.limit(2).count()
+    require(n == 1,
+      s"probe frame has $n rows — the single-probe top-k APIs take exactly " +
+        "one row; use bruteForceTopKJoin/lshTopKJoin for per-probe results")
+  }
 
   /** LSH-bucketed top-k: score only the probe's bucket. Same contract as
     * bruteForceTopK; `dim` is the embedding dimensionality. Approximate:
@@ -108,6 +135,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
               dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score",
               tieBreak: Seq[String] = Nil): DataFrame = {
+    requireOneProbe(probe)
     val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
     val p = probe.withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
     bucketed.join(broadcast(p), col("_bucket") === col("_pbucket"))
@@ -190,6 +218,10 @@ object Similarity {
         "left_anti")
       .withColumn("neg_rank", row_number().over(w))
       .filter(col("neg_rank") <= k)
+      // the documented contract: corpus columns MINUS the vector —
+      // without the drop every mined negative hauls a dim-wide float
+      // array through the anti-join, window and training-data output
+      .drop(vecCol)
   }
 
   /** LSH batch top-k JOIN — the scale form of [[bruteForceTopKJoin]]:

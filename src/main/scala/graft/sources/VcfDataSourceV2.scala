@@ -35,8 +35,18 @@ class VcfDataSource extends TableProvider with org.apache.spark.sql.sources.Data
   override def shortName(): String = "vcf"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = VariantSchema.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new VcfTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    // load(p1, p2) stores a JSON array under "paths", not "path" —
+    // fail HERE with the real reason instead of a null-Path error at
+    // job planning (single-path glob patterns cover the common case)
+    val path = properties.get("path")
+    if (path == null && properties.get("paths") != null)
+      throw new UnsupportedOperationException(
+        "format(\"vcf\") supports ONE path per load() — pass a glob " +
+          "(load(\"dir/*.vcf\")) or union multiple single-path loads")
+    require(path != null, "format(\"vcf\") needs a path: load(<path>)")
+    new VcfTable(path)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -85,19 +95,9 @@ class VcfScan(path: String, filters: Array[Filter]) extends Scan with Batch {
   private def sessionConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(sessionConf())
-    val statuses: Array[FileStatus] =
-      if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile)
-      else fs.globStatus(p) match {
-        case null => Array(fs.getFileStatus(p))
-        case g => g.filter(_.isFile)
-      }
-    statuses
-      .filterNot(s => s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_"))
-      .map(s => VcfInputPartition(s.getPath.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    VcfListing.visibleFiles(path, sessionConf(), missingOk = false)
+      .map(p => VcfInputPartition(p.toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(filters, org.apache.spark.sql.graft.bridge.serializableConf(sessionConf()))
@@ -117,23 +117,35 @@ class VcfScan(path: String, filters: Array[Filter]) extends Scan with Batch {
   * the slice (the cost of a metadata-log-free offset; Spark's own file
   * source carries a checkpoint log to lift this).
   */
-class VcfMicroBatchStream(path: String, filters: Array[Filter], conf: Configuration)
-    extends streaming.MicroBatchStream {
-
-  private def listFiles(): Array[String] = {
+/** ONE file-listing rule for the batch scan and the micro-batch
+  * stream (they drifted: the stream re-derived file names by string
+  * splitting and silently returned empty for a missing path): visible
+  * = regular files whose NAME does not start with '.' or '_'
+  * (part-file marker convention). `missingOk` is the one legitimate
+  * difference — a stream polls a directory that may not exist yet; a
+  * batch read of a missing path is an error. */
+private[sources] object VcfListing {
+  def visibleFiles(path: String, conf: Configuration,
+                   missingOk: Boolean): Array[Path] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val statuses: Array[FileStatus] =
       if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile)
       else fs.globStatus(p) match {
-        case null => Array.empty
+        case null if missingOk => Array.empty
+        case null => Array(fs.getFileStatus(p))
         case g => g.filter(_.isFile)
       }
-    statuses
-      .map(_.getPath.toString)
-      .filterNot(f => f.split("/").last.startsWith(".") || f.split("/").last.startsWith("_"))
-      .sorted
+    statuses.map(_.getPath)
+      .filterNot(q => q.getName.startsWith(".") || q.getName.startsWith("_"))
   }
+}
+
+class VcfMicroBatchStream(path: String, filters: Array[Filter], conf: Configuration)
+    extends streaming.MicroBatchStream {
+
+  private def listFiles(): Array[String] =
+    VcfListing.visibleFiles(path, conf, missingOk = true).map(_.toString).sorted
 
   override def initialOffset(): streaming.Offset = VcfStreamOffset(0)
   override def latestOffset(): streaming.Offset = VcfStreamOffset(listFiles().length)
@@ -171,13 +183,26 @@ class VcfReaderFactory(
 class VcfPartitionReader(file: String, filters: Array[Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val stream = {
+  // PERMISSIVE applies to the FILE too, not just its lines: a
+  // zero-byte or truncated .gz (a partially-uploaded drop) must read
+  // as empty, not crash the task forever (GZIPInputStream's
+  // constructor throws EOFException on an empty stream) — and the raw
+  // handle must not leak when the codec constructor fails
+  private val lines: java.io.BufferedReader = {
     val p = new Path(file)
     val raw = p.getFileSystem(conf).open(p)
-    if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
+    val stream =
+      if (file.endsWith(".gz")) {
+        try new java.util.zip.GZIPInputStream(raw, 1 << 16)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            raw.close()
+            new java.io.ByteArrayInputStream(Array.emptyByteArray)
+        }
+      } else raw
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(stream, "UTF-8"), 1 << 16)
   }
-  private val lines = new java.io.BufferedReader(
-    new java.io.InputStreamReader(stream, "UTF-8"), 1 << 16)
 
   private var current: InternalRow = _
 

@@ -135,7 +135,14 @@ object Streams {
   /** Streaming twin of `operators/Funnel.funnelTimes`: per-user funnel
     * progress maintained incrementally, one Update-mode row per touched
     * user per micro-batch. State per key is ≤ |stages| epoch longs —
-    * O(active users), never O(events).
+    * but WITHOUT `idleTimeoutMs` the key set itself is unbounded: every
+    * user ever seen keeps a state row forever (anonymous-session-id
+    * churn grows the state store without limit). Pass `idleTimeoutMs`
+    * to evict keys idle for that long in EVENT TIME (the sessionize
+    * machinery: a watermark on `ts` + event-time timeout — evictions
+    * are deterministic and replayable, unlike a wall-clock timeout);
+    * an evicted user's next event restarts the funnel from stage 0 —
+    * the same answer a batch recompute over the retained window gives.
     *
     * Correctness contract: requires PER-USER IN-ORDER delivery (e.g. a
     * user-keyed, time-ordered log). Under it, the first arriving valid
@@ -148,26 +155,41 @@ object Streams {
     * rejects any in-order candidate past `t_k + gap`; later candidates
     * are further past it, so rejection is final — matching batch. */
   def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
-                   maxGapMs: Option[Long] = None): Dataset[FunnelProgress] = {
+                   maxGapMs: Option[Long] = None,
+                   idleTimeoutMs: Option[Long] = None,
+                   watermarkDelay: String = "10 minutes"): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import events.sparkSession.implicits._
 
     def fn(userId: Long, batch: Iterator[TypedEvent],
            state: GroupState[Seq[Long]]): Iterator[FunnelProgress] = {
-      var times = state.getOption.getOrElse(Seq.empty)
-      for (e <- batch.toSeq.sortBy(_.ts.getTime) if times.length < stages.length) {
-        val t = e.ts.getTime
-        if (e.eventType == stages(times.length) &&
-            (times.isEmpty ||
-              (t > times.last && maxGapMs.forall(g => t <= times.last + g))))
-          times = times :+ t
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val evs = batch.toSeq.sortBy(_.ts.getTime)
+        var times = state.getOption.getOrElse(Seq.empty)
+        for (e <- evs if times.length < stages.length) {
+          val t = e.ts.getTime
+          if (e.eventType == stages(times.length) &&
+              (times.isEmpty ||
+                (t > times.last && maxGapMs.forall(g => t <= times.last + g))))
+            times = times :+ t
+        }
+        if (times.nonEmpty) state.update(times)
+        if (state.exists)
+          idleTimeoutMs.foreach(ms =>
+            state.setTimeoutTimestamp(evs.last.ts.getTime + ms))
+        Iterator.single(FunnelProgress(userId, times.length, times.map(new Timestamp(_))))
       }
-      if (times.nonEmpty) state.update(times)
-      Iterator.single(FunnelProgress(userId, times.length, times.map(new Timestamp(_))))
     }
 
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+    val src = if (idleTimeoutMs.isDefined)
+      events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update,
+        if (idleTimeoutMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
   }
 
   // ── streaming EWMA (flatMapGroupsWithState) ───────────────────────────
@@ -178,33 +200,53 @@ object Streams {
     * per-key smoothed value maintained across micro-batches, one output
     * row PER EVENT (Append; each event's smoothed value is final the
     * moment it is computed — the recurrence never revises the past).
-    * State per key is ONE double — O(active keys), never O(events).
+    * State per key is ONE double — but the key SET is unbounded
+    * without `idleTimeoutMs` (every key ever seen is retained); pass
+    * it to evict keys idle for that long in EVENT TIME (watermark +
+    * event-time timeout, deterministic like sessionize); an evicted
+    * key's next event re-seeds the recurrence from its own value (the
+    * adjust=False cold start).
     *
     * Same in-order contract as [[funnelStream]]: per-key ordered
     * delivery makes the stream equal the batch operator exactly
     * (StreamingSpec asserts parity); out-of-order arrival would blend
     * in the wrong order — batch recompute is the recovery path. */
-  def ewmaStream(events: Dataset[Event], alpha: Double): Dataset[EwmaPoint] = {
+  def ewmaStream(events: Dataset[Event], alpha: Double,
+                 idleTimeoutMs: Option[Long] = None,
+                 watermarkDelay: String = "10 minutes"): Dataset[EwmaPoint] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
     import events.sparkSession.implicits._
 
     def fn(userId: Long, batch: Iterator[Event],
            state: GroupState[Double]): Iterator[EwmaPoint] = {
-      val out = Vector.newBuilder[EwmaPoint]
-      var cur = state.getOption
-      for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
-        val y = cur match {
-          case Some(prev) => (1.0 - alpha) * prev + alpha * e.value
-          case None => e.value
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val out = Vector.newBuilder[EwmaPoint]
+        val evs = batch.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        for (e <- evs) {
+          val y = cur match {
+            case Some(prev) => (1.0 - alpha) * prev + alpha * e.value
+            case None => e.value
+          }
+          cur = Some(y)
+          out += EwmaPoint(userId, e.ts, e.value, y)
         }
-        cur = Some(y)
-        out += EwmaPoint(userId, e.ts, e.value, y)
+        cur.foreach(state.update)
+        if (state.exists)
+          idleTimeoutMs.foreach(ms =>
+            state.setTimeoutTimestamp(evs.last.ts.getTime + ms))
+        out.result().iterator
       }
-      cur.foreach(state.update)
-      out.result().iterator
     }
 
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val src = if (idleTimeoutMs.isDefined)
+      events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTimeoutMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
   }
 }

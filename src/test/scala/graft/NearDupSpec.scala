@@ -146,6 +146,31 @@ class NearDupSpec extends SparkTestBase {
     assert(trans === Set(1L, 9L), s"trans=$trans")
   }
 
+  test("top-k guards: multi-row probe rejected; map-typed corpus columns skip the tie-break; negatives carry no vector") {
+    import graft.ext.Similarity
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("id", "embedding")
+      .withColumn("meta", map(lit("k"), lit("v")))
+    val oneProbe = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("p")
+    // a map column in the corpus must not break the default tie-break
+    val top = Similarity.bruteForceTopK(corpus, "embedding", oneProbe, "p", 2)
+    assert(top.count() === 2L)
+    // a multi-row probe would silently pool a global top-k — reject it
+    val twoProbes = Seq(Tuple1(Seq(1.0f, 0.0f)), Tuple1(Seq(0.0f, 1.0f))).toDF("p")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, "embedding", twoProbes, "p", 2)
+    }
+    assert(e.getMessage.contains("one row"))
+    // mined negatives honor the documented contract: no vector column
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val pos = Seq((100L, 1L)).toDF("qid", "id")
+    val negs = Similarity.mineHardNegatives(
+      corpus.drop("meta"), "id", "embedding", queries, "qid", "qvec", pos, k = 2)
+    assert(!negs.columns.contains("embedding"), negs.columns.mkString(","))
+    assert(negs.count() === 2L)
+  }
+
   test("mineHardNegatives: positives removed, ranks reassigned, no holes") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0f)), (11L, Seq(0.9f, 0f)), (12L, Seq(0.8f, 0f)),

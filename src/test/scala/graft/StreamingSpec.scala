@@ -264,6 +264,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("funnelStream idleTimeoutMs evicts idle keys: the next event restarts from stage 0") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stages = Seq("a", "b")
+    val input = MemoryStream[Streams.TypedEvent]
+    val q = Streams.funnelStream(input.toDS(), stages,
+        idleTimeoutMs = Some(1000L), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_idle").outputMode("update").start()
+    try {
+      // event-time eviction — fully deterministic, no wall clock:
+      // user 7 last active at t=1000 with a 1 s idle timeout; an
+      // unrelated user's events advance the watermark far past
+      // t=2000 (one batch to observe the max ts, one for the new
+      // watermark to fire the timeout)
+      input.addData(Streams.TypedEvent(7L, new Timestamp(1000L), "a"))
+      q.processAllAvailable()
+      input.addData(Streams.TypedEvent(8L, new Timestamp(100000L), "a"))
+      q.processAllAvailable()
+      input.addData(Streams.TypedEvent(8L, new Timestamp(100001L), "x"))
+      q.processAllAvailable()
+      // user 7's stage-b event now finds NO state: the funnel
+      // restarted, so 'b' without a fresh 'a' reports reached = 0
+      input.addData(Streams.TypedEvent(7L, new Timestamp(200000L), "b"))
+      q.processAllAvailable()
+      val reached = spark.table("funnel_idle")
+        .filter(org.apache.spark.sql.functions.col("userId") === 7L)
+        .select("reached").as[Int].collect().toSeq
+      assert(reached.contains(1), "pre-eviction progress must have been emitted")
+      // without eviction the 'b' would complete the funnel (reached 2);
+      // with eviction it finds no state and reports 0
+      assert(!reached.contains(2), s"state survived the timeout: $reached")
+      assert(reached.contains(0), s"expected a post-eviction restart row: $reached")
+    } finally q.stop()
+  }
+
   test("streamChunkDedup drops spans within AND across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -53,4 +53,25 @@ class VcfV2Spec extends SparkTestBase {
     assert(plan.contains("pushed=") && plan.contains("chrom"), plan.take(600))
     assert(df.select("id").collect().map(_.getString(0)).toSet === Set("v4", "v5"))
   }
+
+  test("PERMISSIVE covers the file: a zero-byte .vcf.gz reads as empty, not a fatal EOF") {
+    val d = Files.createTempDirectory("vcfv2-empty")
+    Files.writeString(d.resolve("good.vcf"), vcfText)
+    Files.write(d.resolve("broken.vcf.gz"), Array.emptyByteArray)
+    // the truncated drop contributes zero rows; the good file still reads
+    val out = spark.read.format("vcf").load(d.toString)
+    assert(out.count() === 6)
+  }
+
+  test("multi-path load fails with a clear message, not a null-Path error") {
+    val e = intercept[Exception] {
+      spark.read.format("vcf")
+        .load(dir.resolve("fixture.vcf").toString,
+          dir.resolve("fixture2.vcf.gz").toString)
+        .count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("ONE path"), msgs(e))
+  }
 }
