@@ -62,6 +62,12 @@ case class OuterSumAgg(
     if (x.isEmpty) return y
     if (y.isEmpty) return x
     require(x.length == y.length, s"outer_sum: buffer ${y.length} != ${x.length}")
+    // total length alone admits TRANSPOSED shapes (2x3 and 3x2 both
+    // carry 8 doubles) — merging them element-wise would silently
+    // corrupt the block; the [nl, nr] header must match too
+    require(x(0) == y(0) && x(1) == y(1),
+      s"outer_sum: block shape (${y(0).toInt},${y(1).toInt}) != " +
+        s"established (${x(0).toInt},${x(1).toInt})")
     blas.daxpy(x.length - 2, 1.0, y, 2, 1, x, 2, 1)
     x
   }

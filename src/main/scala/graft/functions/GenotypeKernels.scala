@@ -180,8 +180,14 @@ object GenotypeKernels {
     * relationally the row's stat is just null). */
   def majorAlleleFreqByDepth(ao: Column, ro: Column, nAlt: Column): Column = {
     val refTotal = aggregate(ro, lit(0L), (acc, r) => acc + greatest(r.cast("long"), lit(0L)))
+    // monomorphic guard: sequence(1, 0) counts DOWN (Spark defaults the
+    // step to -1 when start > stop) and element_at(_, 0) throws — with
+    // no alts the index list is simply empty (freq = ref share,
+    // greatest() ignores array_max's null)
+    val altIdx = when(nAlt >= 1, sequence(lit(1), nAlt))
+      .otherwise(array().cast("array<int>"))
     val altTotals = transform(
-      sequence(lit(1), nAlt),
+      altIdx,
       j => aggregate(ao, lit(0L), (acc, s) => acc + greatest(element_at(s, j).cast("long"), lit(0L))))
     val altSum = aggregate(altTotals, lit(0L), (acc, c) => acc + c)
     val total = refTotal + altSum

@@ -49,21 +49,32 @@ case class GtStats(gt: Expression, nAlleles: Expression)
     val n = arr.numElements()
     var si = 0
     while (si < n) {
-      val s = arr.getArray(si)
-      val p = s.numElements()
-      var miss = false
-      var isHet = false
-      val first = if (p > 0) s.getInt(0) else -1
-      var j = 0
-      while (j < p) {
-        val a = s.getInt(j)
-        if (a == -1) miss = true
-        else if (a >= 0 && a < na) counts(a) += 1
-        if (a != first) isHet = true
-        j += 1
+      // null sample array / null allele entry = no call (the
+      // CenteredDosages convention; the declared input type admits
+      // containsNull at both levels) — getInt on a null slot would
+      // silently read 0 (a ref allele) and corrupt every stat
+      if (arr.isNullAt(si)) { si += 1 }
+      else {
+        val s = arr.getArray(si)
+        val p = s.numElements()
+        var miss = false
+        var isHet = false
+        val first =
+          if (p > 0 && !s.isNullAt(0)) s.getInt(0) else -1
+        var j = 0
+        while (j < p) {
+          if (s.isNullAt(j)) miss = true
+          else {
+            val a = s.getInt(j)
+            if (a == -1) miss = true
+            else if (a >= 0 && a < na) counts(a) += 1
+            if (a != first) isHet = true
+          }
+          j += 1
+        }
+        if (!miss) { called += 1; if (isHet) het += 1 }
+        si += 1
       }
-      if (!miss) { called += 1; if (isHet) het += 1 }
-      si += 1
     }
     new GenericInternalRow(Array[Any](n, called, het, new GenericArrayData(counts)))
   }
@@ -88,12 +99,14 @@ case class GtStats(gt: Expression, nAlleles: Expression)
          |long $het = 0L;
          |final int $n = $arrTerm.numElements();
          |for (int $si = 0; $si < $n; $si++) {
+         |  if ($arrTerm.isNullAt($si)) { continue; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $s = $arrTerm.getArray($si);
          |  final int $p = $s.numElements();
          |  boolean $miss = false;
          |  boolean $isHet = false;
-         |  final int $first = $p > 0 ? $s.getInt(0) : -1;
+         |  final int $first = ($p > 0 && !$s.isNullAt(0)) ? $s.getInt(0) : -1;
          |  for (int $j = 0; $j < $p; $j++) {
+         |    if ($s.isNullAt($j)) { $miss = true; continue; }
          |    final int $a = $s.getInt($j);
          |    if ($a == -1) { $miss = true; }
          |    else if ($a >= 0 && $a < $naTerm) { $counts[$a]++; }

@@ -34,6 +34,20 @@ case class MaskGt(gt: Expression, metric: Expression, threshold: Double)
       case _ => ArrayType(IntegerType)
     })
 
+  // echoing the metric's own type back in inputTypes admits ANY element
+  // type — but the kernel reads int or double slots only, and a float/
+  // long metric would be read with the wrong width (garbage masking,
+  // no error). Enforce the documented contract here.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    metric.dataType match {
+      case ArrayType(IntegerType, _) | ArrayType(DoubleType, _) =>
+        super.checkInputDataTypes()
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mask_gt metric must be array<int> (DP) or array<double> (GQ), got ${other.sql}")
+    }
+  }
+
   override def dataType: DataType = gt.dataType
   override def prettyName: String = "mask_gt"
 
@@ -44,12 +58,17 @@ case class MaskGt(gt: Expression, metric: Expression, threshold: Double)
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val s = g.getArray(i)
-      val masked = i >= m.numElements() || m.isNullAt(i) ||
-        (if (metricIsInt) m.getInt(i) < threshold else m.getDouble(i) < threshold)
-      out(i) =
-        if (!masked) s
-        else new GenericArrayData(Array.fill[Any](s.numElements())(-1))
+      // a null sample stays null (the zip_with HOF twin's behavior) —
+      // numElements() on the null array would NPE in the masked branch
+      if (g.isNullAt(i)) out(i) = null
+      else {
+        val s = g.getArray(i)
+        val masked = i >= m.numElements() || m.isNullAt(i) ||
+          (if (metricIsInt) m.getInt(i) < threshold else m.getDouble(i) < threshold)
+        out(i) =
+          if (!masked) s
+          else new GenericArrayData(Array.fill[Any](s.numElements())(-1))
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -74,6 +93,7 @@ case class MaskGt(gt: Expression, metric: Expression, threshold: Double)
          |final int $n = $gTerm.numElements();
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($gTerm.isNullAt($i)) { $out[$i] = null; continue; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $s = $gTerm.getArray($i);
          |  boolean $masked = $i >= $mTerm.numElements() || $mTerm.isNullAt($i) ||
          |  $getter < $thresholdLit;

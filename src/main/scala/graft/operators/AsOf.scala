@@ -73,7 +73,7 @@ object AsOf {
     val joined = r.unionByName(l)
       .withColumn(outCol, last(col(rtsC), ignoreNulls = true).over(w))
       .filter(col(sideC) === 1)
-      .select(leftCols.map(c => col(s"$lpayC.$c")) :+ col(outCol): _*)
+      .select(leftCols.map(c => col(lpayC).getField(c).as(c)) :+ col(outCol): _*)
     maxGap.fold(joined)(g =>
       joined.withColumn(outCol, when(col(leftTs) <= col(outCol) + g, col(outCol))))
   }

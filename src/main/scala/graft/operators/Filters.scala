@@ -74,9 +74,12 @@ object Filters {
     * pos predicates reach parquet row-group pruning, chrom predicates the
     * partition pruning (our analog of the reference's sorted-pos slicing). */
   def inRegions(regions: Seq[(String, Long, Long)]): Column =
+    // an empty region list matches NOTHING (lit(false)) — reduceLeft on
+    // empty would throw an opaque UnsupportedOperationException when an
+    // upstream interval query comes back empty
     regions.map { case (c, s, e) =>
       col("chrom") === c && col("pos") > s && col("pos") <= e
-    }.reduceLeft(_ || _)
+    }.foldLeft(lit(false))(_ || _)
 
   def outRegions(regions: Seq[(String, Long, Long)]): Column = !inRegions(regions)
 
@@ -169,6 +172,18 @@ final class VariantPipeline private (
       stats: Seq[(String, Filters.FilterStats)],
       nInput: Long)
 
+  /** Collision-free per-stage predicate column names (the AsOf fresh()
+    * convention): a user frame already carrying "_p0" would otherwise
+    * be silently overwritten and then dropped. */
+  private def freshPredCols(d: DataFrame): Seq[String] = {
+    val taken = d.columns.toSet
+    stages.indices.map { i =>
+      Iterator.from(0)
+        .map(r => if (r == 0) s"_p$i" else s"_p${i}_$r")
+        .filterNot(taken).next()
+    }
+  }
+
   /** One aggregation job computes every stage's kept-count; the returned
     * DataFrame stays lazy.
     *
@@ -179,7 +194,7 @@ final class VariantPipeline private (
     * measured 4× slowdown at 200k×50 with 2 filter stages). */
   def run(): PipelineResult = {
     if (stages.isEmpty) return PipelineResult(df, Nil, -1L)
-    val predCols = stages.indices.map(i => s"_p$i")
+    val predCols = freshPredCols(df)
     val withPreds = stages.zipWithIndex.foldLeft(df) { case (d, ((_, p), i)) =>
       d.withColumn(predCols(i), p)
     }
@@ -206,7 +221,7 @@ final class VariantPipeline private (
     * action; `k{i} − k{i+1}` is stage i+1's N_FILTERED_OUT. */
   def runObserved(name: String = "flt_stats"): (DataFrame, org.apache.spark.sql.Observation) = {
     require(stages.nonEmpty, "runObserved needs at least one stage")
-    val predCols = stages.indices.map(i => s"_p$i")
+    val predCols = freshPredCols(df)
     val withPreds = stages.zipWithIndex.foldLeft(df) { case (d, ((_, p), i)) =>
       d.withColumn(predCols(i), p)
     }

@@ -30,14 +30,21 @@ object RangeJoin {
       endCol: String = "end",
       binSize: Long = 1000000L): DataFrame = {
     require(binSize > 0)
-    val p = points.withColumn("_bin", floor(col(posCol) / binSize))
+    // collision-free bin column (the AsOf fresh() convention): a user
+    // "_bin" column on either side would be overwritten and dropped
+    val bin = freshName("_bin", points.columns.toSet ++ intervals.columns)
+    val p = points.withColumn(bin, floor(col(posCol) / binSize))
     val iv = intervals
-      .withColumn("_bin", explode(sequence(
+      .withColumn(bin, explode(sequence(
         floor((col(startCol) + 1) / binSize), floor(col(endCol) / binSize))))
-    p.join(iv, Seq(chromCol, "_bin"))
+    p.join(iv, Seq(chromCol, bin))
       .filter(col(posCol) > col(startCol) && col(posCol) <= col(endCol))
-      .drop("_bin")
+      .drop(bin)
   }
+
+  private def freshName(base: String, taken: Set[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .filterNot(taken).next()
 
   /** Keep variants falling inside ANY interval (the scalable form of
     * Filters.inRegions when the region list is a table, not a literal):
@@ -46,13 +53,14 @@ object RangeJoin {
       variants: DataFrame,
       regions: DataFrame,
       binSize: Long = 1000000L): DataFrame = {
-    val iv = regions.withColumn("_bin", explode(sequence(
+    val bin = freshName("_bin", variants.columns.toSet ++ regions.columns)
+    val iv = regions.withColumn(bin, explode(sequence(
       floor((col("start") + 1) / binSize), floor(col("end") / binSize))))
-    val v = variants.withColumn("_bin", floor(col("pos") / binSize))
+    val v = variants.withColumn(bin, floor(col("pos") / binSize))
     v.join(iv,
-        v("chrom") === iv("chrom") && v("_bin") === iv("_bin") &&
+        v("chrom") === iv("chrom") && v(bin) === iv(bin) &&
           v("pos") > iv("start") && v("pos") <= iv("end"),
         "left_semi")
-      .drop("_bin")
+      .drop(bin)
   }
 }

@@ -101,6 +101,68 @@ class GtStatsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("null tolerance: null sample arrays / null allele entries count as no-call, never as ref") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GtStats, MaskGt}
+    // SQL-built gt columns carry containsNull=true at both levels; a
+    // null slot read as getInt would silently count allele 0
+    val df = spark.sql(
+      """SELECT 1L AS pos, array(array(0, 1), CAST(null AS array<int>),
+        |  array(0, CAST(null AS int)), array(1, 1)) AS gt,
+        |  array(10, 10, 10, 10) AS dp""".stripMargin)
+    val r = df.select(GtStats.of(col("gt"), lit(2)).as("s")).head().getStruct(0)
+    // called: samples 0 and 3 only (null array and null allele skip)
+    assert(r.getLong(1) === 2L, s"called=${r.getLong(1)}")
+    assert(r.getLong(2) === 1L)                         // het: sample 0
+    // allele counts include PARTIAL calls' observed alleles (the
+    // established -1 semantics): sample 2's observed 0 counts even
+    // though its null slot marks the call missing
+    assert(r.getSeq[Long](3) === Seq(2L, 3L))
+    // MaskGt: null sample stays null (the zip_with twin), masked sibling -1s
+    val m = df.select(MaskGt.of(col("gt"), col("dp"), 50.0).as("m"))
+      .head().getSeq[scala.collection.Seq[Int]](0)
+    assert(m(1) == null)
+    assert(m(0).toSeq === Seq(-1, -1))
+  }
+
+  test("MaskGt rejects a float metric at analysis time instead of reading garbage widths") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MaskGt
+    val df = spark.sql(
+      "SELECT array(array(0, 1)) AS gt, array(CAST(1.5 AS FLOAT)) AS gq")
+    val e = intercept[Exception] {
+      df.select(MaskGt.of(col("gt"), col("gq"), 30.0)).collect()
+    }
+    assert(e.getMessage.contains("array<int>") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+
+  test("majorAlleleFreqByDepth: monomorphic variant (no alts) reads freq 1.0, not an index crash") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GenotypeKernels
+    val df = spark.sql(
+      "SELECT array(array(4), array(6)) AS ao0, array(8, 2) AS ro, 0 AS n_alt")
+    val f = df.select(GenotypeKernels.majorAlleleFreqByDepth(
+      col("ao0"), col("ro"), col("n_alt")).as("f")).head().getDouble(0)
+    assert(f === 1.0)
+  }
+
+  test("OuterSumAgg merge rejects transposed block shapes (same length, different [nl,nr])") {
+    import graft.functions.OuterSumAgg
+    val a = Array(2.0, 3.0) ++ Array.fill(6)(1.0)
+    val b = Array(3.0, 2.0) ++ Array.fill(6)(1.0)
+    val agg = OuterSumAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(1))
+    val e = intercept[IllegalArgumentException] {
+      agg.merge(a.clone(), b.clone())
+    }
+    assert(e.getMessage.contains("shape"), e.getMessage)
+    // matching shapes merge fine
+    val ok = agg.merge(a.clone(), a.clone())
+    assert(ok.drop(2).forall(_ === 2.0))
+  }
+
   test("invariant: filter stats partition the input (N_KEPT + N_OUT = N)") {
     for (seed <- 30 to 34) {
       val rnd = new Random(seed)
