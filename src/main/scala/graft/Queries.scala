@@ -5904,11 +5904,11 @@ ORDER BY feature"""
           .orderBy(col("l_returnflag")),
       Some("""WITH s AS (SELECT l_returnflag,
              |  CAST(count(*) AS DOUBLE) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
-             |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
-             |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-             |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))*CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))*CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))*CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
              |  FROM lineitem GROUP BY l_returnflag),
              |f AS (SELECT l_returnflag, n, sx, sy,
              |  CASE WHEN n*sxx - sx*sx > 0

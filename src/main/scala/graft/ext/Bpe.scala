@@ -51,8 +51,17 @@ object BpeLoops {
   /** Greedy min-rank BPE over one word's characters. */
   def encodeWord(w: String, ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     val toks = new java.util.ArrayList[String](w.length)
+    // seed by CODE POINTS, not UTF-16 units: train's Spark split("")
+    // emits per-code-point symbols (SPARK-40194), so a charAt seed
+    // would split astral chars into lone surrogates whose pair keys
+    // never match any learned merge (and whose output bytes mangle)
     var i = 0
-    while (i < w.length) { toks.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      toks.add(w.substring(i, i + n))
+      i += n
+    }
     var done = toks.size < 2
     while (!done) {
       // find the lowest-ranked adjacent pair present

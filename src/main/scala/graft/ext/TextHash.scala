@@ -31,8 +31,9 @@ object TextHash {
   def wordHashes(text: Column): Column = TextHashExprs.wordHashes(text)
 
   /** HOF spec form of charHash (differential-testing reference).
-    * Spark's split keeps a trailing "" (Java split limit -1) — filtered
-    * out so the roll matches engines whose char-split doesn't. */
+    * Spark 4's empty-pattern split is per code point with no trailing
+    * "" (SPARK-40194) — the filter stays as cross-engine armor for
+    * engines whose char-split does emit one. */
   def charHashHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
@@ -57,9 +58,13 @@ object TextHash {
   def minhashSignature(whs: Column, k: Int): Column =
     TextHashExprs.minhashSignature(whs, k)
 
-  /** HOF spec form of minhashSignature (differential reference). */
+  /** HOF spec form of minhashSignature (differential reference) —
+    * null-in/null-out like the fused kernel (a bare array() of
+    * coalesced components would turn a null input into a sentinel
+    * signature and diverge from the UnaryExpression's null handling). */
   def minhashSignatureHof(whs: Column, k: Int): Column =
-    array((0 until k).map(i => minhash(whs, i)): _*)
+    when(whs.isNull, lit(null))
+      .otherwise(array((0 until k).map(i => minhash(whs, i)): _*))
 
   /** SimHash over token hashes, low `bits` bits (default 16): per bit,
     * tokens vote ±1; the bit is set when the vote is positive. Fused

@@ -223,7 +223,14 @@ object JaccardLoops {
       if (seenB.add(k)) { if (sa.contains(k)) inter += 1 else onlyB += 1 }
       i += 1
       val unionMin = sa.size + onlyB
-      if (unionMin > 0 && (inter + (nb - i)).toDouble < tau * unionMin) return false
+      // the bound must use the SAME division the final check uses:
+      // tau*unionMin (a multiplication) rounds differently and was
+      // measured to reject pairs sitting EXACTLY at tau (e.g. tau=.28,
+      // 7/25). IEEE division is correctly rounded hence monotone in
+      // both operands, so finalRatio <= (inter+rem)/unionMin and the
+      // early false is sound.
+      if (unionMin > 0 &&
+          (inter + (nb - i)).toDouble / unionMin.toDouble < tau) return false
     }
     val union = sa.size + onlyB
     if (union == 0) true else inter.toDouble / union.toDouble >= tau
@@ -393,10 +400,16 @@ object TopCountLoops {
     var best = 0
     var i = 0
     while (i < n) {
+      // null elements skip — representation-independent (an unsafe row
+      // reads a null slot as "", a generic one as a null key; counting
+      // either would make the mode depend on the physical layout)
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val k = arr.getUTF8String(i)
       val c = counts.merge(k, 1, (a, b) => a + b)
       if (c > best) best = c
       i += 1
+      }
     }
     best
   }
@@ -435,7 +448,10 @@ object TermFreqLoops {
     * CenteredDosagesExpr lesson). */
   def freqs(toks: ArrayData): GenericArrayData = {
     val n = toks.numElements()
-    val m = new java.util.LinkedHashMap[UTF8String, Long](Math.max(16, n * 2))
+    // java.lang.Long: a scala.Long value type would unbox a missing
+    // key's null to 0 and make the `prev == null` guard dead (correct
+    // only by coincidence)
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](Math.max(16, n * 2))
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) {
@@ -443,7 +459,7 @@ object TermFreqLoops {
       } else {
         val t = toks.getUTF8String(i)
         val prev = m.get(t)
-        m.put(t, if (prev == null) 1L else prev + 1L)
+        m.put(t, if (prev == null) 1L else prev.longValue() + 1L)
       }
       i += 1
     }
@@ -510,8 +526,13 @@ case class JaccardGteExpr(left: Expression, right: Expression, tau: Double)
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], tau)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.JaccardLoops.jaccardGte($a, $b, $tau)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // bit-pattern literal: a raw interpolation renders +/-Infinity as
+    // `Infinity` — not a Java literal — and the Janino failure silently
+    // degrades the whole stage to interpreted eval (the MaskGt lesson)
+    val tauLit = s"Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(tau)}L)"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.JaccardLoops.jaccardGte($a, $b, $tauLit)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardGteExpr =

@@ -62,20 +62,6 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Touch attribution: each `convType` event is credited to the
-    * nearest `touchTypes` event STRICTLY before it in the same user's
-    * stream (`model = "last"`, the default last-touch rule) or to the
-    * user's earliest preceding touch (`model = "first"`). Conversions
-    * with no preceding touch get a null channel (direct conversions —
-    * callers decide whether to keep or drop them). Output: the
-    * conversion rows with a `channel` column.
-    *
-    * Both models are ONE user-keyed window over the time-sorted
-    * stream — last/first(IGNORE NULLS) over a (unbounded, 1 PRECEDING)
-    * frame is O(1) running state per row, so the whole attribution is
-    * a single shuffle on the user key no matter how long the streams
-    * are. Ordering ties on `tsCol` are broken by `idCol` so credit is
-    * partition-order-independent. */
   /** MULTI-touch (linear) attribution: every touch strictly before a
     * conversion shares its credit equally — the complement of
     * [[attribution]]'s winner-take-all models. Output: one row per
@@ -107,6 +93,20 @@ object Events {
         (lit(1.0) / col("n_touches")).as("weight"))
   }
 
+  /** Touch attribution: each `convType` event is credited to the
+    * nearest `touchTypes` event STRICTLY before it in the same user's
+    * stream (`model = "last"`, the default last-touch rule) or to the
+    * user's earliest preceding touch (`model = "first"`). Conversions
+    * with no preceding touch get a null channel (direct conversions —
+    * callers decide whether to keep or drop them). Output: the
+    * conversion rows with a `channel` column.
+    *
+    * Both models are ONE user-keyed window over the time-sorted
+    * stream — last/first(IGNORE NULLS) over a (unbounded, 1 PRECEDING)
+    * frame is O(1) running state per row, so the whole attribution is
+    * a single shuffle on the user key no matter how long the streams
+    * are. Ordering ties on `tsCol` are broken by `idCol` so credit is
+    * partition-order-independent. */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
                   idCol: String, typeCol: String, touchTypes: Seq[String],
                   convType: String, model: String = "last"): DataFrame = {

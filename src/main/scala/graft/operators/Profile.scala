@@ -67,10 +67,22 @@ object Profile {
     * shuffle (same two-scan shape as temperatureSample; at 100 TB
     * persist the fence row and reuse it across batches instead of
     * recomputing). */
-  def filterOutliers(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame =
-    df.crossJoin(broadcast(iqrBounds(df, valueCol, k).select(col("lo"), col("hi"))))
-      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
-      .drop("lo", "hi")
+  def filterOutliers(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame = {
+    val (lo, hi) = fenceNames(df)
+    df.crossJoin(broadcast(
+        iqrBounds(df, valueCol, k).select(col("lo").as(lo), col("hi").as(hi))))
+      .filter(col(valueCol) >= col(lo) && col(valueCol) <= col(hi))
+      .drop(lo, hi)
+  }
+
+  /** Collision-free fence column names — an unprefixed lo/hi would be
+    * ambiguous (or dropped) on a frame that already carries them. */
+  private def fenceNames(df: DataFrame): (String, String) = {
+    val taken = df.columns.toSet
+    def fresh(base: String) = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i").filterNot(taken).next()
+    (fresh("_iqr_lo"), fresh("_iqr_hi"))
+  }
 
   /** Per-group ordinary-least-squares line y = intercept + slope·x,
     * with r² — the "does this metric trend with that one, per segment"
@@ -93,12 +105,18 @@ object Profile {
   def linearFit(df: DataFrame, groupCol: String, xCol: String, yCol: String,
                 scale: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def dsum(c: Column) = sum(c.cast(DecimalType(38, scale))).cast("double")
+    // operands pin to `scale` decimals FIRST, products keep the full
+    // 2*scale-digit precision (exact in decimal(37, 2s)) — casting the
+    // double PRODUCT to scale decimals would quantize x*y itself and
+    // wreck slope/r2 for small-magnitude data (rates ~1e-3 round to 0)
+    def d(c: Column) = c.cast(DecimalType(18, scale))
+    def dsum(c: Column) = sum(d(c)).cast("double")
+    def dsumProd(a: Column, b: Column) = sum(d(a) * d(b)).cast("double")
     val x = col(xCol); val y = col(yCol)
     val agged = df.groupBy(col(groupCol)).agg(
       count(lit(1)).cast("double").as("_n"),
       dsum(x).as("_sx"), dsum(y).as("_sy"),
-      dsum(x * y).as("_sxy"), dsum(x * x).as("_sxx"), dsum(y * y).as("_syy"))
+      dsumProd(x, y).as("_sxy"), dsumProd(x, x).as("_sxx"), dsumProd(y, y).as("_syy"))
     val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
     val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
     val cxy = col("_n") * col("_sxy") - col("_sx") * col("_sy")
@@ -116,8 +134,16 @@ object Profile {
     * (per-group token budgets, paired observations). Same broadcast
     * shape as [[filterOutliers]]; nulls pass through as null. */
   def winsorize(df: DataFrame, valueCol: String, k: Double = 1.5,
-                outCol: String = "winsorized"): DataFrame =
-    df.crossJoin(broadcast(iqrBounds(df, valueCol, k).select(col("lo"), col("hi"))))
-      .withColumn(outCol, least(greatest(col(valueCol), col("lo")), col("hi")))
-      .drop("lo", "hi")
+                outCol: String = "winsorized"): DataFrame = {
+    val (lo, hi) = fenceNames(df)
+    df.crossJoin(broadcast(
+        iqrBounds(df, valueCol, k).select(col("lo").as(lo), col("hi").as(hi))))
+      // nulls pass through as documented — greatest/least SKIP nulls,
+      // so an unguarded clamp would fabricate the lower fence for
+      // every null observation
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol), col(lo)), col(hi))))
+      .drop(lo, hi)
+  }
 }

@@ -237,4 +237,23 @@ class BpeSpec extends SparkTestBase {
       .as[Seq[String]].head()
     assert(a === b)
   }
+
+  test("astral characters tokenize as code points, never lone surrogates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train on a corpus containing a non-BMP char; the learned merges
+    // must APPLY at encode time (UTF-16-seeded pairs never matched the
+    // code-point-seeded training keys) and output must re-concatenate
+    val astral = "\uD835\uDCB3a" // U+1D4B3 + 'a'
+    val corpus = Seq.fill(6)(s"$astral body text here").toDF("text")
+    val merges = Bpe.train(corpus, "text", nMerges = 10)
+    val toks = corpus.limit(1)
+      .select(Bpe.tokens(col("text"), merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks.mkString === s"$astral body text here".replace(" ", ""))
+    assert(toks.forall(t => !t.exists(c =>
+      Character.isSurrogate(c) && t.length == 1)), toks.mkString("|"))
+    // the astral word merges to a single token (its pair was learnable)
+    assert(toks.contains(astral), toks.mkString("|"))
+  }
 }

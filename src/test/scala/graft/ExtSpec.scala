@@ -120,6 +120,32 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardGte: pairs sitting EXACTLY at tau are kept (division-form early exit)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.ext.JaccardLoops
+    // the multiplication-form bound rejected inter/union == tau:
+    // tau=.28 with 7/25 → 7.0 < .28*25 = 7.000000000000001
+    val a25 = new GenericArrayData((1L to 25L).toArray)
+    val b7 = new GenericArrayData((1L to 7L).toArray) // union = 25, inter = 7
+    assert(JaccardLoops.jaccardGte(a25, b7, 0.28))
+    assert(JaccardLoops.jaccardGte(b7, a25, 0.28))
+    assert(!JaccardLoops.jaccardGte(a25, b7, 0.2800000001))
+    // and the fused kernel still agrees with the plain division
+    assert(JaccardLoops.jaccardGte(a25, b7, 7.0 / 25.0))
+  }
+
+  test("topTokenCount skips null elements; minhashSignatureHof is null-in/null-out like the kernel") {
+    val df = spark.sql(
+      "SELECT array('a', CAST(null AS string), CAST(null AS string), 'a', 'b') AS t")
+    val n = df.select(TextAnalysis.topTokenCountOf(col("t")).as("n")).head().getInt(0)
+    assert(n === 2) // 'a' twice; the two nulls are not a mode of their own
+    val nd = spark.sql("SELECT CAST(null AS array<bigint>) AS whs")
+    val r = nd.select(
+      TextHash.minhashSignature(col("whs"), 4).as("k"),
+      TextHash.minhashSignatureHof(col("whs"), 4).as("h")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("JaccardPredicateRule rewrites >= tau to the early-exit predicate") {
     // parquet-backed input: a LocalRelation would be folded through the
     // filter by ConvertToLocalRelation before the plan can be inspected

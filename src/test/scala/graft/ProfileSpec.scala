@@ -61,4 +61,25 @@ class ProfileSpec extends SparkTestBase {
     assertNear(r.getAs[Double]("slope"), -1.5)
     assert(r.getAs[Double]("r2") < 1.0 && r.getAs[Double]("r2") > 0.9)
   }
+
+  test("winsorize: nulls pass through; user lo/hi columns survive; small-magnitude fits stay exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq(Some(1.0), Some(2.0), Some(100.0), None)
+      .toDF("v").withColumn("lo", lit("user")).withColumn("hi", lit("keep"))
+    val w = Profile.winsorize(d, "v").collect()
+    // a null observation must NOT become the lower fence
+    assert(w.count(_.isNullAt(0)) === 1)
+    // the user's own lo/hi columns are untouched (collision-free fences)
+    assert(w.forall(r => r.getString(1) == "user" && r.getString(2) == "keep"))
+    val f = Profile.filterOutliers(d.na.drop(Seq("v")), "v")
+    assert(f.columns.contains("lo") && f.columns.contains("hi"))
+    // small-magnitude regression: products quantized at scale-4 used to
+    // zero out Sxy entirely for rates ~1e-2 (slope garbage); operand
+    // pinning keeps the full 2*scale product precision
+    val rates = (1 to 50).map(i => ("g", i * 0.001, i * 0.002)).toDF("g", "x", "y")
+    val fit = Profile.linearFit(rates, "g", "x", "y").head()
+    assert(math.abs(fit.getAs[Double]("slope") - 2.0) < 1e-9,
+      s"slope=${fit.getAs[Double]("slope")}")
+  }
 }
