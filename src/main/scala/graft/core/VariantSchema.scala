@@ -50,7 +50,12 @@ object VariantSchema {
   }
 
   def load(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
-    val df = spark.read.parquet(path)
+    // explicit schema: without it, partition-column type inference
+    // reads numeric chromosome names ('1'..'22', Ensembl style) back
+    // as IntegerType — string predicates silently match nothing and
+    // unions with chr-prefixed stores fail — and moves chrom to the
+    // last column; the declared schema pins both type and order
+    val df = spark.read.schema(schema).parquet(path)
     (df, VariantsMetadata.load(spark, s"$path/_v6_metadata.json"))
   }
 
@@ -108,7 +113,12 @@ object VariantSchema {
   }
 
   /** Load a wide store, sizing the vectorized-reader batch to the cohort
-    * width from the metadata sidecar (session conf — set once per width). */
+    * width from the metadata sidecar. SESSION-WIDE BY DESIGN: parquet
+    * batch size has no per-read option and the conf must still be in
+    * force when the ACTION runs (plans are lazy — restoring it after
+    * this call could re-expose the wide-row OOM this guards against).
+    * Narrow reads in the same session pay smaller batches; use a
+    * separate session for mixed wide/narrow workloads. */
   def loadWide(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
     val meta = VariantsMetadata.load(spark, s"$path/_v6_metadata.json")
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",

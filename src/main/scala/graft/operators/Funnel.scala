@@ -68,8 +68,11 @@ object Funnel {
                  typeCol: String, stages: Seq[String],
                  maxGapSeconds: Option[Long] = None): DataFrame = {
     val times = funnelTimes(events, userCol, tsCol, typeCol, stages, maxGapSeconds)
+    // coalesce: over an EMPTY events frame sum() returns null and
+    // every stage's n_users would read null instead of 0
     val counts = stages.indices.map(i =>
-      sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"_c$i"))
+      coalesce(sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"_c$i"))
     val wide = times.agg(counts.head, counts.tail: _*)
     // Column API, not interpolated selectExpr: a stage name containing
     // a quote must arrive as a literal, never as SQL text

@@ -23,8 +23,16 @@ object Skew {
     * (the SPARK-23207 round-robin class of bug). Hashing the row content
     * is retry-stable; duplicate rows sharing a shard only dulls the
     * spread slightly, it never breaks correctness. */
+  // content hash + a per-partition row counter: content alone makes
+  // the salt a NO-OP when a hot key's rows are exact duplicates (all
+  // land in one shard — exactly the skew this operator exists to
+  // break). monotonically_increasing_id is deterministic per input
+  // partition, and for the two-phase AGGREGATES here the salt only
+  // decides partial grouping — any assignment yields the same final
+  // result, so retry-layout sensitivity cannot change answers.
   private def shard(df: DataFrame, salt: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong))
+    pmod(abs(xxhash64(df.columns.map(col): _*) + monotonically_increasing_id()),
+      lit(salt.toLong))
 
   /** Salted two-phase aggregation. Result ≡ `df.groupBy(keys).agg(count,
     * sum(valueCol), min, max)` but with bounded per-task key volume.

@@ -32,7 +32,15 @@ object ShardStore {
                   hashCols: Seq[String] = Nil): DataFrame = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
     val cols = if (hashCols.nonEmpty) hashCols else df.columns.toSeq
-    df.withColumn("shard", pmod(Corpus.orderHash(col(idCol)), lit(numShards.toLong)))
+    // numeric ids take the documented LCG directly; any other type
+    // hashes to a long first — the raw form would ANSI-throw on string
+    // ids ('doc-00042', URLs, UUIDs) or round-trip numeric STRINGS
+    // through doubles past 2^53 precision
+    val idNum = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol)
+      case _ => xxhash64(col(idCol))
+    }
+    df.withColumn("shard", pmod(Corpus.orderHash(idNum), lit(numShards.toLong)))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     // fingerprint the files that LANDED, not the in-memory frame — the
@@ -173,11 +181,18 @@ object ShardStore {
       s"versions $vOld and $vNew share no identity columns to diff on")
     def keyed(df: DataFrame) =
       df.select(cols.map(col) :+ xxhash64(cols.map(col): _*).as("_h"): _*)
-    def oneSide(keep: DataFrame, drop: DataFrame, tag: String) =
-      keep.dropDuplicates("_h")
-        .join(drop.select(col("_h")).distinct(), Seq("_h"), "left_anti")
+    // the hash BUCKETS the join; identity is decided on the columns
+    // themselves (null-safe) — keying the set-diff purely on 64 bits
+    // would silently drop a real insert/delete on a birthday collision
+    // (near-certain at the 10^10-row scale this store targets)
+    def oneSide(keep: DataFrame, drop: DataFrame, tag: String) = {
+      val d = drop.dropDuplicates(cols)
+      val joinCond = (keep("_h") === d("_h")) +: cols.map(c => keep(c) <=> d(c))
+      keep.dropDuplicates(cols)
+        .join(d, joinCond.reduce(_ && _), "left_anti")
         .drop("_h")
         .withColumn("change", lit(tag))
+    }
     oneSide(keyed(neu), keyed(old), "insert")
       .unionByName(oneSide(keyed(old), keyed(neu), "delete"))
   }

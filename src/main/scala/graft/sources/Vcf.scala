@@ -63,53 +63,67 @@ object Vcf {
       when(g.isNull, array(lit(-1), lit(-1)))
         .otherwise(transform(
           split(g, "[/|]"),
-          a => when(a === "." || a === "", lit(-1)).otherwise(a.cast("int"))))
+          a => when(a === "." || a === "", lit(-1))
+            .otherwise(coalesce(a.try_cast("int"), lit(-1)))))
     })
     val dpCol = transform(sampleStrs, s => {
       val d = sampleField(s, dpIdx)
-      when(d.isNull || d === ".", lit(-1)).otherwise(d.cast("int"))
+      when(d.isNull || d === ".", lit(-1))
+        .otherwise(coalesce(d.try_cast("int"), lit(-1)))
     })
     val gqCol = transform(sampleStrs, s => {
       val q = sampleField(s, gqIdx)
-      when(q.isNull || q === ".", lit(Double.NaN)).otherwise(q.cast("double"))
+      when(q.isNull || q === ".", lit(Double.NaN))
+        .otherwise(coalesce(q.try_cast("double"), lit(Double.NaN)))
     })
     val aoCol = when(aoIdx === 0, lit(null).cast(ArrayType(ArrayType(IntegerType))))
       .otherwise(transform(sampleStrs, s => {
         val a = sampleField(s, aoIdx)
         when(a.isNull || a === ".", lit(null).cast(ArrayType(IntegerType)))
-          .otherwise(transform(split(a, ","), x => x.cast("int")))
+          .otherwise(transform(split(a, ","), x => coalesce(x.try_cast("int"), lit(-1))))
       }))
     val roCol = when(roIdx === 0, lit(null).cast(ArrayType(IntegerType)))
       .otherwise(transform(sampleStrs, s => {
         val r = sampleField(s, roIdx)
-        when(r.isNull || r === ".", lit(-1)).otherwise(r.cast("int"))
+        when(r.isNull || r === ".", lit(-1))
+          .otherwise(coalesce(r.try_cast("int"), lit(-1)))
       }))
 
     linesDf
       .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
-      // malformed-line tolerance (PERMISSIVE-style drop): a data line must
-      // carry ≥ 10 tab-separated fields with an integer POS — under ANSI
-      // mode a stray header/garbage line would otherwise fail the cast
-      // and kill the whole ingest
-      .filter(size(split(col("value"), "\t")) >= 10 &&
+      // malformed-line tolerance (PERMISSIVE-style drop): a data line
+      // must carry the FULL 9 + nSamples tab-separated fields (a
+      // truncated line would yield ragged per-call arrays that
+      // mis-index every kernel) with an integer POS; per-field casts
+      // are try_cast so garbage in QUAL/GT/DP/GQ degrades that FIELD
+      // (null/missing sentinel), never the job — under ANSI mode a
+      // plain cast would kill the whole ingest
+      .filter(size(split(col("value"), "\t")) >= 9 + n &&
         col("value").rlike("^[^\t]+\t[0-9]+\t"))
       .select(
         f(1).as("chrom"),
-        f(2).cast("long").as("pos"),
+        f(2).try_cast("long").as("pos"),
         when(f(3) === ".", lit(null).cast("string")).otherwise(f(3)).as("id"),
         f(4).as("ref"),
         when(f(5) === ".", array().cast(ArrayType(StringType)))
           .otherwise(split(f(5), ",")).as("alt"),
-        when(f(6) === ".", lit(null).cast("double")).otherwise(f(6).cast("double")).as("qual"),
+        when(f(6) === ".", lit(null).cast("double"))
+          .otherwise(f(6).try_cast("double")).as("qual"),
         gtCol.as("gt"), dpCol.as("dp"), gqCol.as("gq"), aoCol.as("ao"), roCol.as("ro"))
+      // a POS too large for long (try_cast null) is a malformed line
+      .filter(col("pos").isNotNull)
   }
 
   def read(spark: SparkSession, path: String): (DataFrame, VariantsMetadata) = {
     val samples = readSamples(spark, path)
     val df = parseLines(spark.read.text(path), samples.size)
+    // probe MAX ploidy across the samples of the first rows — the
+    // first cell alone reads 1 for a bare '.' missing call (one
+    // sentinel allele) and would stamp a diploid cohort haploid
     val ploidy =
-      df.select(size(element_at(col("gt"), 1))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(2)
+      df.limit(100)
+        .select(max(array_max(transform(col("gt"), g => size(g)))).as("_p"))
+        .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(2)
     (df, VariantsMetadata(samples, ploidy))
   }
 
@@ -138,13 +152,20 @@ object Vcf {
     val callStr = transform(
       sequence(lit(1), lit(meta.nSamples)),
       i => concat_ws(":",
-        element_at(gtStr, i),
-        when(element_at(col("dp"), i) === -1, lit(".")).otherwise(element_at(col("dp"), i).cast("string")),
-        when(isnan(element_at(col("gq"), i)), lit(".")).otherwise(element_at(col("gq"), i).cast("string"))))
+        coalesce(element_at(gtStr, i), lit(".")),
+        coalesce(when(element_at(col("dp"), i) === -1, lit("."))
+          .otherwise(element_at(col("dp"), i).cast("string")), lit(".")),
+        coalesce(when(isnan(element_at(col("gq"), i)), lit("."))
+          .otherwise(element_at(col("gq"), i).cast("string")), lit("."))))
+    // every field coalesces to '.': concat_ws SKIPS nulls, so one
+    // null ref/alt/gt cell would shift every later column and emit a
+    // silently corrupt VCF line
     val line = concat_ws("\t",
       col("chrom"), col("pos").cast("string"), coalesce(col("id"), lit(".")),
-      col("ref"),
-      when(size(col("alt")) === 0, lit(".")).otherwise(array_join(col("alt"), ",")),
+      coalesce(col("ref"), lit(".")),
+      coalesce(
+        when(size(col("alt")) === 0, lit(".")).otherwise(array_join(col("alt"), ",")),
+        lit(".")),
       coalesce(col("qual").cast("string"), lit(".")), lit("."), lit("."),
       lit("GT:DP:GQ"), array_join(callStr, "\t"))
 

@@ -25,6 +25,18 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted === direct)
   }
 
+  test("salted aggregation spreads a hot key of IDENTICAL rows (content hash alone would not)") {
+    // every hot row identical → a pure content-hash salt puts all of
+    // them in ONE shard and the salting is a no-op
+    val dupes = (1 to 2000).map(_ => ("hot", 1.0)).toDF("key", "v")
+    val direct = dupes.groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum"), min($"v").as("min"), max($"v").as("max"))
+      .head()
+    val salted = Skew.saltedAgg(dupes, Seq("key"), "v", salt = 8).head()
+    assert(salted.getLong(1) === direct.getLong(1) &&
+      salted.getDouble(2) === direct.getDouble(2))
+  }
+
   test("salted join ≡ direct join") {
     val dim = Seq(("hot", "H"), ("k0", "A"), ("k3", "B")).toDF("key", "label")
     val direct = skewed.join(dim, "key").groupBy("label").count()

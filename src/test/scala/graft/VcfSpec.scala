@@ -110,6 +110,39 @@ class VcfSpec extends SparkTestBase {
     assert(v2.count() === 6)
   }
 
+  test("field-level garbage degrades the field, truncated lines drop — never the job (ANSI)") {
+    val dir = Files.createTempDirectory("v6field")
+    val p = dir.resolve("field.vcf")
+    // line 1: QUAL 'LOW', GT token '0/x', DP 'NA' — parses with
+    // null/missing sentinels; line 2: truncated to 2 of 4 samples —
+    // ragged arrays would mis-index every kernel, so it drops whole
+    Files.writeString(p, vcfText +
+      "\nchr3\t10\tvq\tA\tT\tLOW\tPASS\t.\tGT:DP:GQ\t0/x:NA:7\t0/0:5:8\t0/1:6:9\t1/1:7:9" +
+      "\nchr3\t20\tvt\tA\tT\t5\tPASS\t.\tGT:DP:GQ\t0/0:1:2\t0/1:3:4\n")
+    val (df, _) = Vcf.read(spark, p.toString)
+    assert(df.count() === 7)
+    val r = df.filter(col("id") === "vq").head()
+    assert(r.isNullAt(r.fieldIndex("qual")))                 // LOW → null
+    assert(r.getSeq[scala.collection.Seq[Int]](r.fieldIndex("gt"))(0).toSeq
+      === Seq(0, -1))                                        // 0/x → allele missing
+    assert(r.getSeq[Int](r.fieldIndex("dp"))(0) === -1)      // NA → sentinel
+    assert(df.filter(col("id") === "vt").count() === 0)      // truncated dropped
+  }
+
+  test("ploidy probe: a missing first call does not stamp a diploid cohort haploid") {
+    val dir = Files.createTempDirectory("v6ploidy")
+    val p = dir.resolve("p.vcf")
+    // the FIRST sample of the FIRST row is a bare '.' (one sentinel
+    // allele) — the old first-cell probe read ploidy 1
+    Files.writeString(p, Seq(
+      "##fileformat=VCFv4.3",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\ts1",
+      "chr1\t5\tv1\tA\tT\t9\tPASS\t.\tGT\t.\t0/1",
+      "chr1\t6\tv2\tA\tT\t9\tPASS\t.\tGT\t0/0\t1/1").mkString("\n"))
+    val (_, meta) = Vcf.read(spark, p.toString)
+    assert(meta.ploidy === 2)
+  }
+
   test("streaming VCF ingest: files arriving across batches land in the store") {
     val watchDir = Files.createTempDirectory("vcfstream")
     val outDir = Files.createTempDirectory("vcfstream-out")
