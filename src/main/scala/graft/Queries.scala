@@ -3205,11 +3205,15 @@ ORDER BY feature"""
           .orderBy(col("doc_id")),
       Some("""WITH t2 AS (SELECT doc_id,
              |  replace(text, ' the ', '. The ') || '!' AS x FROM documents),
+             |g AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+             |    '\b([ei])\.([ge])\.', '\1' || chr(1) || '\2' || chr(1), 'g'),
+             |    '\b(Dr|Mrs|Mr|Ms|Prof|St|Jr|Sr|vs|etc)\.',
+             |    '\1' || chr(1), 'g') AS x FROM t2),
              |sp AS (SELECT doc_id,
              |  list_filter(list_transform(
              |    regexp_extract_all(x, '[^.!?]+[.!?]+|[^.!?]+'),
-             |    s -> trim(s)), s -> s <> '') AS sents
-             |  FROM t2)
+             |    s -> replace(trim(s), chr(1), '.')), s -> s <> '') AS sents
+             |  FROM g)
              |SELECT doc_id,
              |CAST(len(sents) AS BIGINT) AS n_sent,
              |sents[1] AS first_sent,
@@ -6397,9 +6401,13 @@ ORDER BY feature"""
              |  replace(text, ' the ', '. The ') || '.' ||
              |  (CASE WHEN doc_id % 5 = 0 THEN ' This site uses cookies.'
              |        ELSE '' END) AS x FROM documents),
+             |gu AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+             |  '\b([ei])\.([ge])\.', '\1' || chr(1) || '\2' || chr(1), 'g'),
+             |  '\b(Dr|Mrs|Mr|Ms|Prof|St|Jr|Sr|vs|etc)\.',
+             |  '\1' || chr(1), 'g') AS x FROM u),
              |sl AS (SELECT doc_id, list_filter(list_transform(
              |  regexp_extract_all(x, '[^.!?]+[.!?]+|[^.!?]+'),
-             |  s -> trim(s)), s -> s <> '') AS ls FROM u),
+             |  s -> replace(trim(s), chr(1), '.')), s -> s <> '') AS ls FROM gu),
              |l2 AS (SELECT doc_id,
              |  CAST(unnest(range(0, len(ls))) AS INT) AS pos, ls FROM sl),
              |l3 AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM l2),

@@ -195,12 +195,15 @@ object PlanCheck {
       // classifier-gate evaluation: rows reduce to per-score aggregates
       // BEFORE any window/rank; the only non-broadcast exchanges key on
       // the score scalar, and the 1-row totals ride a broadcast join
-      ("q_classifier_auc", "AUC: partial+final agg, totals broadcast, no row-level window",
-        p => p.split("HashAggregate").length >= 3 &&
-          (p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop")) &&
-          !p.contains("Cartesian")),
+      // totals derive from the SAME per-score aggregate (r11 refactor):
+      // the plan has NO join at all — one score-keyed partial+final agg,
+      // one window over distinct scores, one final single-row agg
+      ("q_classifier_auc", "AUC: per-score agg feeds the distinct-score window, no join at all",
+        p => p.split("HashAggregate").length >= 3 && p.contains(") Window") &&
+          !p.contains("Join") && !p.contains("Cartesian")),
       ("q_pr_curve", "PR sweep: per-score agg feeds the window, totals broadcast",
         p => p.split("HashAggregate").length >= 3 && p.contains(") Window") &&
+          (p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop")) &&
           !p.contains("Cartesian")),
       ("q_calibration", "calibration: ONE bin-keyed agg exchange, no window, no join",
         p => p.split("HashAggregate").length >= 3 && !p.contains(") Window") &&

@@ -208,13 +208,21 @@ object Dedup {
     * over-cap shingle INSIDE a true duplicated passage punches a hole
     * in its diagonal run — if the surviving fragments each fall below
     * `minTokens`, that real duplicate is missed entirely. "Exact" is
-    * therefore exact AMONG the shingles the cap admits: at the default
-    * (no cap) recall is exact outright; with a cap, set it above the
-    * df of template text you still want caught, or run a second pass
-    * at a higher cap over suspect hosts. */
+    * therefore exact AMONG the shingles the cap admits: pass
+    * `maxDf = Long.MaxValue` to opt into the uncapped exact-outright
+    * mode (safe on bounded corpora; at web scale the default cap is
+    * what keeps candidate generation sub-quadratic — df² pair rows at
+    * df = corpus size IS the all-pairs explosion); with a cap, set it
+    * above the df of template text you still want caught, or run a
+    * second pass at a higher cap over suspect hosts. The cap is never
+    * silent: every capped run carries a `span_exact_df_cap*` observed
+    * metric (CollectMetrics, the [[graft.operators.Filters.applyObserved]]
+    * convention — zero extra scan) with `n_shingles_dropped` and
+    * `max_df_dropped`, readable from a QueryExecutionListener on the
+    * caller's own action. */
   def duplicatedSpansExact(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 5, minTokens: Int = 20,
-                           maxDf: Long = Long.MaxValue): DataFrame =
+                           maxDf: Long = DefaultExactMaxDf): DataFrame =
     exactCoveredSpans(docs, idCol, textCol, n, minTokens, maxDf,
         losersOnly = false)
       .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1L)
@@ -231,7 +239,7 @@ object Dedup {
     * the map-side indexed-filter rebuild. */
   def spanDedupExact(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 5, minTokens: Int = 20,
-                     maxDf: Long = Long.MaxValue): DataFrame = {
+                     maxDf: Long = DefaultExactMaxDf): DataFrame = {
     val spans = exactCoveredSpans(docs, idCol, textCol, n, minTokens, maxDf,
         losersOnly = true)
       .groupBy(col(idCol))
@@ -244,6 +252,16 @@ object Dedup {
     * intervals (merged across partners). `losersOnly` restricts the
     * match grid to partners with a smaller id — the removal side's
     * winner election. */
+  /** Default df cap for the exact-span operators: candidate pairs are
+    * Σ df² per shingle, so an UNCAPPED default single-shingles at web
+    * scale (a boilerplate shingle in 10⁸ docs → 10¹⁶ pair rows).
+    * 5000 sits in the verdict's 10³–10⁴ band: far above the df of any
+    * passage worth catching pairwise, far below the quadratic hazard.
+    * Uncapped is an explicit `maxDf = Long.MaxValue` opt-in. */
+  val DefaultExactMaxDf: Long = 5000L
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def exactCoveredSpans(docs: DataFrame, idCol: String, textCol: String,
                                 n: Int, minTokens: Int, maxDf: Long,
                                 losersOnly: Boolean): DataFrame = {
@@ -253,9 +271,18 @@ object Dedup {
       .select(col(idCol),
         posexplode(shingleHashes(col("_whs"), n)).as(Seq("_p", "_sh")))
       .withColumn("_p", col("_p").cast("long"))
-    val rep = pos.select(col(idCol), col("_sh")).distinct()
+    val repAll = pos.select(col(idCol), col("_sh")).distinct()
       .groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .filter(col("_df") >= 2)
+    // no silent caps: when the cap can drop shingles, ride the drop
+    // count on the caller's action as observed metrics (names are
+    // unique per plan — Spark rejects duplicate CollectMetrics names
+    // inside one query when the exact operators appear twice)
+    val repObs = if (maxDf == Long.MaxValue) repAll
+      else repAll.observe(s"span_exact_df_cap_${obsSeq.incrementAndGet()}",
+        sum(when(col("_df") > maxDf, 1L).otherwise(0L)).as("n_shingles_dropped"),
+        max(when(col("_df") > maxDf, col("_df"))).as("max_df_dropped"))
+    val rep = repObs.filter(col("_df") <= maxDf)
     // cut: both sides of the self-join read the SAME repeated-position
     // frame — without the barrier each side re-runs the scan + shingle
     // explode + df semi join (measured 3x wall on the 2M rehearsal);

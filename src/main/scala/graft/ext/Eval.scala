@@ -44,6 +44,26 @@ object Eval {
     recallAtK(approx, truth, probeIdCol, idCol, k)
       .agg(avg(col("recall"))).head().getDouble(0)
 
+  /** Shared (score, label) projection of the ranking metrics, with the
+    * cardinality-bounding quantizer. `floor(s·10^dp + 0.5)/10^dp` is
+    * monotone non-decreasing (order-preserving; only sub-resolution
+    * ties merge), a fixed point on inputs already at ≤ dp decimals, and
+    * replays bit-identically in the DuckDB twins (floor, ×, ÷ by a
+    * power of ten — all correctly-rounded IEEE ops). */
+  private def scorePrep(df: DataFrame, score: Column, label: Column,
+                        quantizeDp: Option[Int]): DataFrame = {
+    val raw = df.select(score.cast("double").as("_s"),
+      label.cast("long").as("_y"))
+    quantizeDp match {
+      case None => raw
+      case Some(dp) =>
+        require(dp >= 0 && dp <= 15, s"quantizeDp=$dp must be in [0, 15]")
+        val f = math.pow(10.0, dp)
+        raw.select((floor(col("_s") * lit(f) + lit(0.5)) / lit(f)).as("_s"),
+          col("_y"))
+    }
+  }
+
   /** Exact ROC-AUC of a scorer against a binary label — the acceptance
     * metric for any quality/language classifier gating a corpus
     * ([[LogReg]], the NB classifier, perplexity filters). Computed via
@@ -59,16 +79,25 @@ object Eval {
     * Scale shape: ONE groupBy on the score value (shuffles d+1 scalars
     * per distinct score, never rows), then a window over the DISTINCT
     * SCORES ONLY — the single-partition sort is over score cardinality,
-    * not corpus size. For continuous scores at extreme scale, quantize
-    * the score (e.g. `round(score, 6)`) to bound the distinct count;
-    * the spec pins tie semantics either way.
+    * not corpus size. That cardinality is BOUNDED BY CONSTRUCTION: by
+    * default the score is quantized to `quantizeDp` = 6 decimal places
+    * (`floor(s·10⁶ + 0.5)/10⁶` — the repo's fixed-point convention,
+    * bit-replicable cross-engine, monotone so the ranking order is
+    * preserved and only sub-resolution ties merge), capping the window
+    * at range·10⁶ rows no matter how continuous the scorer is — the
+    * LogReg sigmoid in [0,1] sorts ≤ 1e6+1 rows at ANY corpus size.
+    * Scores already at ≤ 6 dp (integer counts, quantized probabilities)
+    * pass through EXACTLY (they are fixed points of the quantizer).
+    * Pass `quantizeDp = None` for raw unbounded-cardinality scores
+    * (exact on arbitrary doubles; single-partitions the distinct set —
+    * opt-in only). Requires |score|·10^dp < 2^53 for exactness.
     *
     * Returns one row: `auc` (double, NULL when either class is absent),
     * `n_pos`, `n_neg`. */
-  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+  def binaryAuc(df: DataFrame, score: Column, label: Column,
+                quantizeDp: Option[Int] = Some(6)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = df.select(score.cast("double").as("_s"),
-      label.cast("long").as("_y"))
+    val s = scorePrep(df, score, label, quantizeDp)
     val per = s.groupBy(col("_s"))
       .agg(count(lit(1L)).as("_ct"), sum(col("_y")).as("_cp"))
     // inclusive running count in score order; frame = RANGE UNBOUNDED
@@ -98,13 +127,15 @@ object Eval {
     * over per-score aggregates; precision/recall are derived doubles.
     * `recall` is NULL when the frame has no positives.
     *
-    * Same scale shape as [[binaryAuc]]: one groupBy on the score, one
-    * window over distinct scores only. The threshold grid IS the
-    * distinct-score set — quantize the score upstream to bound it. */
-  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    * Same scale shape as [[binaryAuc]], including the default
+    * `quantizeDp = 6` quantization that bounds the distinct-score
+    * window by construction — the threshold grid IS the (quantized)
+    * distinct-score set. Thresholds are reported at the quantized
+    * value; `None` opts into the raw unbounded grid. */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              quantizeDp: Option[Int] = Some(6)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = df.select(score.cast("double").as("_s"),
-      label.cast("long").as("_y"))
+    val s = scorePrep(df, score, label, quantizeDp)
     val per = s.groupBy(col("_s"))
       .agg(count(lit(1L)).as("_ct"), sum(col("_y")).as("_cp"))
     // RANGE UNBOUNDED PRECEDING..CURRENT over DESC = all rows with
@@ -116,7 +147,7 @@ object Eval {
       sum(col("_cp")).over(w).as("_tp"),
       sum(col("_ct") - col("_cp")).over(w).as("_fp"))
     val tot = per.agg(sum(col("_cp")).as("_pos"))
-    cum.crossJoin(tot).select(
+    cum.crossJoin(broadcast(tot)).select(
       col("_s").as("threshold"),
       col("_tp").as("tp"), col("_fp").as("fp"),
       (col("_pos") - col("_tp")).as("fn"),
@@ -153,7 +184,7 @@ object Eval {
     val withHit = p.join(t.withColumn("_hit", lit(1)), Seq("_u", "_v"), "left")
       .agg(count(lit(1L)).as("n_pred"), count(col("_hit")).as("n_hit"))
     val nt = t.agg(count(lit(1L)).as("n_truth"))
-    withHit.crossJoin(nt).select(
+    withHit.crossJoin(broadcast(nt)).select(
       col("n_pred"), col("n_truth"), col("n_hit"),
       when(col("n_pred") > 0L,
         col("n_hit").cast("double") / col("n_pred").cast("double"))

@@ -108,8 +108,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
                      k: Int, scoreCol: String = "score",
                      tieBreak: Seq[String] = Nil): DataFrame = {
-    requireOneProbe(probe)
-    corpus.crossJoin(broadcast(probe))
+    val one = requireOneProbe(probe)
+    corpus.crossJoin(broadcast(one))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol)
       .orderBy(col(scoreCol).desc +: tieBreakCols(corpus, vecCol, tieBreak): _*)
@@ -119,12 +119,21 @@ object Similarity {
   /** A multi-row probe frame silently pools a GLOBAL top-k across all
     * probes — indistinguishable from a valid answer once the vector
     * column is dropped. Surface the misuse; bruteForceTopKJoin is the
-    * per-probe API. */
-  private def requireOneProbe(probe: DataFrame): Unit = {
-    val n = probe.limit(2).count()
-    require(n == 1,
-      s"probe frame has $n rows — the single-probe top-k APIs take exactly " +
-        "one row; use bruteForceTopKJoin/lshTopKJoin for per-probe results")
+    * per-probe API.
+    *
+    * This is an EAGER action (the one in these otherwise-lazy builders),
+    * but the probe plan is computed exactly ONCE: the collected row is
+    * re-wrapped as a local relation and REUSED as the broadcast side,
+    * so an expensive upstream probe plan is not re-executed when the
+    * returned frame runs. limit(2) bounds the job to the first
+    * partitions that yield two rows. */
+  private def requireOneProbe(probe: DataFrame): DataFrame = {
+    val rows = probe.limit(2).collect()
+    require(rows.length == 1,
+      s"probe frame has ${rows.length} rows — the single-probe top-k APIs take " +
+        "exactly one row; use bruteForceTopKJoin/lshTopKJoin for per-probe results")
+    probe.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows(0)), probe.schema)
   }
 
   /** LSH-bucketed top-k: score only the probe's bucket. Same contract as
@@ -135,9 +144,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
               dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score",
               tieBreak: Seq[String] = Nil): DataFrame = {
-    requireOneProbe(probe)
+    val one = requireOneProbe(probe)
     val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
-    val p = probe.withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
+    val p = one.withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
     bucketed.join(broadcast(p), col("_bucket") === col("_pbucket"))
       .withColumn(scoreCol, dot(col(vecCol), col(probeCol)))
       .drop(probeCol, "_bucket", "_pbucket")
@@ -155,8 +164,9 @@ object Similarity {
   def lshTopKMultiProbe(corpus: DataFrame, vecCol: String, probe: DataFrame, probeCol: String,
                         dim: Int, k: Int, bits: Int = 4, scoreCol: String = "score",
                         tieBreak: Seq[String] = Nil): DataFrame = {
+    val one = requireOneProbe(probe)
     val bucketed = corpus.withColumn("_bucket", lshBucket(col(vecCol), dim, bits))
-    val p = probe
+    val p = one
       .withColumn("_pbucket", lshBucket(col(probeCol), dim, bits))
       .withColumn("_pb", explode(array(
         col("_pbucket") +: (0 until bits).map(j => col("_pbucket").bitwiseXOR(lit(1L << j))): _*)))

@@ -448,19 +448,30 @@ object TextAnalysis {
   /** Rule-based sentence segmentation — the unit for sentence-level
     * dedup, chunk boundaries that respect meaning, and per-sentence
     * quality gates. A sentence is a maximal run of non-terminator
-    * characters plus its trailing `[.!?]+` run (abbreviation dots
-    * split — the documented trade of the rule-based approach; a
-    * trailing fragment without a terminator is kept as a sentence).
-    * RE2-safe pattern (alternation of character-class runs, no
-    * lookbehind), so DuckDB twins replay it; whitespace-only fragments
+    * characters plus its trailing `[.!?]+` run; a trailing fragment
+    * without a terminator is kept as a sentence. Dots after a small
+    * fixed list of English abbreviations (Dr. Mr. Mrs. Ms. Prof. St.
+    * Jr. Sr. vs. etc. e.g. i.e.) do NOT terminate — implemented
+    * RE2-safely (no lookbehind, so DuckDB twins replay it) by
+    * rewriting those dots to the U+0001 sentinel before the split and
+    * restoring them after; input text containing U+0001 (a control
+    * character absent from sane text) would be corrupted. Documented
+    * trade: an abbreviation that genuinely ENDS a sentence ("…, etc.
+    * Next point.") no longer splits there. Whitespace-only fragments
     * are dropped, sentences returned trimmed, document order.
     * Map-only codegen chain. */
-  def sentences(text: Column): Column =
+  def sentences(text: Column): Column = {
+    // e.g. / i.e. first (two dots each), then the single-dot list;
+    // \x01 is the sentinel the final transform restores to '.'
+    val guarded = regexp_replace(
+      regexp_replace(text, "\\b([ei])\\.([ge])\\.", "$1\u0001$2\u0001"),
+      "\\b(Dr|Mrs|Mr|Ms|Prof|St|Jr|Sr|vs|etc)\\.", "$1\u0001")
     filter(
       transform(
-        regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0)),
-        s => trim(s)),
+        regexp_extract_all(guarded, lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0)),
+        s => replace(trim(s), lit("\u0001"), lit("."))),
       s => s =!= "")
+  }
 
   /** Unicode-script profile — the ROUTER ahead of language ID (the
     * Cavnar-Trenkle profiles are Latin-script; a Cyrillic or CJK page

@@ -108,8 +108,14 @@ object Profile {
     // operands pin to `scale` decimals FIRST, products keep the full
     // 2*scale-digit precision (exact in decimal(37, 2s)) — casting the
     // double PRODUCT to scale decimals would quantize x*y itself and
-    // wreck slope/r2 for small-magnitude data (rates ~1e-3 round to 0)
-    def d(c: Column) = c.cast(DecimalType(18, scale))
+    // wreck slope/r2 for small-magnitude data (rates ~1e-3 round to 0).
+    // Under non-ANSI mode a |value| >= 10^(18-scale) cast overflows to
+    // NULL and would be SILENTLY dropped from every sum while count()
+    // still counts the row — raise instead (the detectPeriod guard).
+    def d(c: Column) = when(c.isNotNull && c.cast(DecimalType(18, scale)).isNull,
+        raise_error(lit(s"linearFit: value exceeds DECIMAL(18,$scale) — " +
+          s"|x|,|y| must be < 1e${18 - scale} (see scaladoc)")))
+      .otherwise(c.cast(DecimalType(18, scale)))
     def dsum(c: Column) = sum(d(c)).cast("double")
     def dsumProd(a: Column, b: Column) = sum(d(a) * d(b)).cast("double")
     val x = col(xCol); val y = col(yCol)

@@ -18,21 +18,26 @@ object Skew {
   /** Deterministic shard key: a content hash of the whole row, NOT
     * spark_partition_id/monotonically_increasing_id. Those are
     * recompute-unstable — after a fetch failure partially re-runs a map
-    * stage, re-executed rows would land in different (key, _salt)
-    * shuffle partitions and reducers could double-count or drop rows
-    * (the SPARK-23207 round-robin class of bug). Hashing the row content
-    * is retry-stable; duplicate rows sharing a shard only dulls the
-    * spread slightly, it never breaks correctness. */
-  // content hash + a per-partition row counter: content alone makes
-  // the salt a NO-OP when a hot key's rows are exact duplicates (all
-  // land in one shard — exactly the skew this operator exists to
-  // break). monotonically_increasing_id is deterministic per input
-  // partition, and for the two-phase AGGREGATES here the salt only
-  // decides partial grouping — any assignment yields the same final
-  // result, so retry-layout sensitivity cannot change answers.
+    * stage, re-executed rows land in different (key, _salt) shuffle
+    * partitions, and reducers that already fetched the old output can
+    * double-count or drop rows (the SPARK-23207/SPARK-38388 class of
+    * bug). Hashing row content is retry-stable: a re-executed map task
+    * reproduces byte-identical shard assignments.
+    *
+    * Known limit, accepted on purpose: EXACT-duplicate rows co-shard
+    * (identical content ⇒ identical hash). No retry-stable expression
+    * can split them — any disambiguator that differs between identical
+    * rows is, by definition, derived from physical position, which is
+    * what breaks under partial stage retry. In practice this rarely
+    * matters for [[saltedAgg]]: Spark's partial (map-side) hash
+    * aggregate collapses duplicates of a (key, _salt) group within
+    * each map partition before the shuffle, so reduce-side volume per
+    * shard is bounded by the map-task count, not the duplicate count.
+    * Callers whose hot rows are exact duplicates AND carry a stable
+    * unique column (doc id, line id) should include it in the frame —
+    * it feeds the hash and restores full spread. */
   private def shard(df: DataFrame, salt: Int): Column =
-    pmod(abs(xxhash64(df.columns.map(col): _*) + monotonically_increasing_id()),
-      lit(salt.toLong))
+    pmod(abs(xxhash64(df.columns.map(col): _*)), lit(salt.toLong))
 
   /** Salted two-phase aggregation. Result ≡ `df.groupBy(keys).agg(count,
     * sum(valueCol), min, max)` but with bounded per-task key volume.

@@ -134,6 +134,12 @@ object AtomicCommit {
     val f = fs(spark, root)
     f.mkdirs(epochsDir(root))
     var e = maxEpoch(spark, root) + 1
+    // a rename can fail for two reasons: the epoch slot was claimed by a
+    // racing writer (dst exists — advance and retry), or the filesystem
+    // itself failed (permissions, transient error — dst still absent).
+    // Only collisions justify retrying; anything else must surface, not
+    // burn epoch numbers in an unbounded loop.
+    var nonCollisionFailures = 0
     while (true) {
       val dst = new Path(epochsDir(root), e.toString)
       if (!f.exists(dst)) {
@@ -142,8 +148,16 @@ object AtomicCommit {
         try out.write(holder.getBytes(UTF_8)) finally out.close()
         if (f.rename(tmp, dst)) return e
         f.delete(tmp, false)
-      }
-      e += 1
+        if (!f.exists(dst)) {
+          // rename failed but nobody claimed the slot: a real FS failure
+          nonCollisionFailures += 1
+          if (nonCollisionFailures >= 3)
+            throw new java.io.IOException(
+              s"acquireEpoch: rename into $dst failed $nonCollisionFailures " +
+                "times with no competing claim — filesystem error, not a " +
+                "collision; aborting instead of burning epoch numbers")
+        } else e += 1 // lost the race: someone else owns e now
+      } else e += 1
     }
     e // unreachable
   }

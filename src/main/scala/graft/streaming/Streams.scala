@@ -159,6 +159,7 @@ object Streams {
                    idleTimeoutMs: Option[Long] = None,
                    watermarkDelay: String = "10 minutes"): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    requireIdleTimeout(idleTimeoutMs)
     import events.sparkSession.implicits._
 
     def fn(userId: Long, batch: Iterator[TypedEvent],
@@ -192,6 +193,14 @@ object Streams {
         else GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** A zero/negative idle timeout sets a timeout timestamp <= the
+    * current event-time watermark — Spark throws at RUNTIME and fails
+    * the whole streaming query; reject at API entry instead. */
+  private def requireIdleTimeout(idleTimeoutMs: Option[Long]): Unit =
+    require(idleTimeoutMs.forall(_ > 0L),
+      s"idleTimeoutMs=${idleTimeoutMs.get} must be > 0 (a timeout at or " +
+        "before the event-time watermark fails the streaming query)")
+
   // ── streaming EWMA (flatMapGroupsWithState) ───────────────────────────
 
   final case class EwmaPoint(userId: Long, ts: Timestamp, value: Double, ewma: Double)
@@ -215,6 +224,7 @@ object Streams {
                  idleTimeoutMs: Option[Long] = None,
                  watermarkDelay: String = "10 minutes"): Dataset[EwmaPoint] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    requireIdleTimeout(idleTimeoutMs)
     import events.sparkSession.implicits._
 
     def fn(userId: Long, batch: Iterator[Event],

@@ -149,6 +149,46 @@ class ClassifySpec extends SparkTestBase {
     assert(auc(rows).contains(a))
   }
 
+  test("binaryAuc quantization: identity on ≤6dp scores, bounds distinct " +
+      "cardinality on continuous scores (VERDICT r11 #1)") {
+    // parity on the existing tie fixture: quantized (default) ≡ raw
+    val tied = Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L))
+    val qv = Eval.binaryAuc(tied.toDF("s", "y"), col("s"), col("y"))
+      .head().getDouble(0)
+    val raw = Eval.binaryAuc(tied.toDF("s", "y"), col("s"), col("y"),
+      quantizeDp = None).head().getDouble(0)
+    assert(qv == raw && qv == 0.875)
+    // continuous sigmoid-style scores: raw keeps every distinct double,
+    // the default quantizer collapses sub-1e-6 differences — the
+    // distinct-score window is bounded by construction
+    val cont = (0 until 500).map(i =>
+      (0.5 + (i % 7) * 1e-9, (i % 2).toLong)) // 7 raw values inside one 1e-6 cell
+    val df = cont.toDF("s", "y")
+    val nRaw = df.select(col("s")).distinct().count()
+    assert(nRaw == 7L)
+    val nQ = df.select((floor(col("s") * 1e6 + 0.5) / 1e6).as("q"))
+      .distinct().count()
+    assert(nQ == 1L, "one quantization cell must remain")
+    // all-tied after quantization → midrank AUC exactly 0.5
+    assert(Eval.binaryAuc(df, col("s"), col("y")).head().getDouble(0) == 0.5)
+  }
+
+  test("prCurve quantization parity and quantized threshold grid") {
+    val rows = Seq((0.1, 0L), (0.2, 1L), (0.2, 0L), (0.5, 1L), (0.9, 1L))
+    val q = Eval.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .orderBy(col("threshold")).collect()
+    val r = Eval.prCurve(rows.toDF("s", "y"), col("s"), col("y"),
+      quantizeDp = None).orderBy(col("threshold")).collect()
+    assert(q.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq,
+      "≤6dp scores are fixed points: quantized ≡ raw row-for-row")
+    // sub-resolution scores merge into one threshold row
+    val fine = Seq((0.5000001234, 1L), (0.5000004321, 0L))
+    val merged = Eval.prCurve(fine.toDF("s", "y"), col("s"), col("y"))
+      .collect()
+    assert(merged.length == 1 && merged(0).getDouble(0) == 0.5)
+    assert(merged(0).getLong(1) == 1L && merged(0).getLong(2) == 1L)
+  }
+
   // ── PR curve ────────────────────────────────────────────────────────
 
   test("prCurve counts match the brute-force threshold definition") {
@@ -304,6 +344,30 @@ class ClassifySpec extends SparkTestBase {
       "decay must shrink the slope")
     val ref = LogReg.trainRef(rows, lr = 0.5, iters = 4, l2 = 0.2)
     assert(decayed.weights.toSeq == ref.toSeq)
+  }
+
+  test("L2 bounds weights on a SEPARABLE corpus; plain GD keeps growing " +
+      "(VERDICT r11 #4 stability case)") {
+    // perfectly separable with margin: the plain-GD residual never
+    // reaches zero, so |w| grows with every iteration, without bound;
+    // decoupled decay has a fixed point (lr·l2·w* balances the shrinking
+    // gradient) so the decayed weights converge
+    val rows = (0 until 60).map { i =>
+      val x = if (i % 2 == 0) 1.0 else -1.0
+      (Array(x), if (x > 0) 1.0 else 0.0)
+    }
+    def slope(iters: Int, l2: Double) =
+      LogReg.trainRef(rows, lr = 1.0, iters = iters, l2 = l2)(0)
+    assert(slope(48, 0.0) > slope(24, 0.0) + 1.0,
+      "plain GD must keep growing the separating weight")
+    val d24 = slope(24, 0.1); val d48 = slope(48, 0.1)
+    assert(math.abs(d48 - d24) < 0.05,
+      s"decayed weight must converge (got $d24 -> $d48)")
+    // and the distributed trainer reproduces the stable reference weight
+    val df = rows.map { case (x, y) => (x(0), y) }.toDF("x", "y")
+    val m = LogReg.train(df, Seq(col("x")), col("y"),
+      lr = 1.0, iters = 24, l2 = 0.1)
+    assert(m.weights(0) === d24)
   }
 
   test("plattScale ≡ train on (bias, score); slope tracks the signal") {

@@ -481,6 +481,51 @@ class NearDupSpec extends SparkTestBase {
     assert(kept(21L) === 0L && kept(22L) === 25L)
   }
 
+  test("exact-span default maxDf is finite; the cap drops boilerplate and the " +
+      "drop is OBSERVED, never silent (VERDICT r11 #2)") {
+    assert(Dedup.DefaultExactMaxDf === 5000L)
+    val chrome = (1 to 25).map(i => s"nav$i")
+    val pair = (1 to 25).map(i => s"dup$i")
+    val docs = ((1 to 10).map { d =>
+      (d.toLong, (Seq(s"u${d}a", s"u${d}b") ++ chrome ++ Seq(s"u${d}c")).mkString(" "))
+    } ++ Seq(
+      (21L, (pair ++ Seq("x1", "x2")).mkString(" ")),
+      (22L, (Seq("y1") ++ pair).mkString(" ")))).toDF("doc_id", "text")
+    def docsAt(maxDf: Long) =
+      Dedup.duplicatedSpansExact(docs, "doc_id", "text",
+        n = 5, minTokens = 20, maxDf = maxDf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the finite default sits far above the fixture's dfs: everything found
+    assert(docsAt(Dedup.DefaultExactMaxDf) === (1L to 10L).toSet ++ Set(21L, 22L))
+    // cap 5: chrome (df=10) dropped, the df=2 true pair kept; the 21
+    // chrome-interior shingles ride the action as an observed metric
+    @volatile var seen = Option.empty[(Long, Long)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.collectFirst {
+          case (k, row) if k.startsWith("span_exact_df_cap_") =>
+            (row.getAs[Long]("n_shingles_dropped"),
+              row.getAs[Long]("max_df_dropped"))
+        }.foreach(v => seen = Some(v))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(docsAt(5L) === Set(21L, 22L))
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    assert(seen.contains((21L, 10L)),
+      s"expected 21 dropped shingles at max df 10, got $seen")
+    // explicit opt-in to uncapped: no CollectMetrics node in the plan
+    val uncapped = Dedup.duplicatedSpansExact(docs, "doc_id", "text",
+      n = 5, minTokens = 20, maxDf = Long.MaxValue)
+    assert(!uncapped.queryExecution.analyzed.toString.contains("CollectMetrics"))
+  }
+
   test("intraDocDedup: repeated in-page passage cut once, first copy verbatim") {
     val p = (1 to 10).map(i => s"p$i")
     val q = (1 to 5).map(i => s"q$i")

@@ -154,6 +154,24 @@ class SearchSpec extends SparkTestBase {
     assert(sent("a.   .b") === Seq("a.", ".", "b")) // bare terminator run survives as '.'
   }
 
+  test("sentences: abbreviation dots do not terminate (VERDICT r11 #3)") {
+    def sent(s: String): Seq[String] =
+      Seq(s).toDF("t")
+        .select(graft.ext.TextAnalysis.sentences(col("t"))).head().getSeq[String](0)
+    assert(sent("Dr. Smith arrived.") === Seq("Dr. Smith arrived."))
+    assert(sent("He met Mr. Jones, e.g. at noon. The end") ===
+      Seq("He met Mr. Jones, e.g. at noon.", "The end"))
+    assert(sent("Costs rose, i.e. doubled. Prof. Lee vs. Ms. Chen agreed.") ===
+      Seq("Costs rose, i.e. doubled.", "Prof. Lee vs. Ms. Chen agreed."))
+    // documented trade: an abbreviation that ENDS a sentence no longer splits
+    assert(sent("Apples, pears, etc. Next point here.") ===
+      Seq("Apples, pears, etc. Next point here."))
+    // mid-word 'Dr' is not an abbreviation (word boundary respected)
+    assert(sent("The cadr. of a list.") === Seq("The cadr.", "of a list."))
+    // abbreviations restore verbatim inside a kept trailing fragment
+    assert(sent("ask Mrs. Doe") === Seq("ask Mrs. Doe"))
+  }
+
   test("scriptProfile: per-script codepoint counts, dominant label, ties and none") {
     val docs = Seq(
       (1L, "hello world"),                   // latin only
