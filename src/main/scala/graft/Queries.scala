@@ -2025,6 +2025,38 @@ ORDER BY feature"""
              |  WHERE af.cell IN (SELECT cid FROM pc))
              |ORDER BY dot DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // ── 48b. IVF tombstone delete under the oracle gate: a REAL
+    // committed index built in-query, ids masked by a tombstone
+    // segment (anti-join at read), one id resurrected by a later
+    // append (LSM ordering), then compaction drops masked rows
+    // physically — both phases must equal the plain SQL id list ──────
+    QueryDef(
+      "q_ivf_delete",
+      (s, d) => {
+        import graft.ext.Ivf
+        val root = java.nio.file.Files.createTempDirectory("q-ivf-delete")
+          .resolve("index").toString
+        val base = t(s, d, "embeddings").filter(col("vec_id") < 120)
+        Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 4, iters = 1)
+        Ivf.deleteFromIndexAtomic(
+          base.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"), root)
+        Ivf.appendToIndexAtomic(base.filter(col("vec_id") === 14), "embedding", root)
+        val masked = Ivf.readIndex(s, root)
+          .select(col("vec_id"), lit("masked").as("phase"))
+        Ivf.compactIndexAtomic(s, root)
+        // masked's plan resolved the PRE-compact segment dirs eagerly;
+        // they survive compaction (only vacuum destroys them), so both
+        // phases evaluate correctly from the one returned frame
+        val compacted = Ivf.readIndex(s, root)
+          .select(col("vec_id"), lit("compacted").as("phase"))
+        masked.unionByName(compacted).orderBy(col("phase"), col("vec_id"))
+      },
+      Some("""WITH ids AS (SELECT vec_id FROM embeddings
+             |  WHERE vec_id < 120 AND (vec_id % 7 <> 0 OR vec_id = 14))
+             |SELECT vec_id, phase
+             |FROM ids CROSS JOIN (VALUES ('masked'), ('compacted')) p(phase)
+             |ORDER BY phase, vec_id""".stripMargin)),
+
     // ── 49. full outer join (group-level, sparse sides at small SF) ────
     QueryDef(
       "q_join_outer",

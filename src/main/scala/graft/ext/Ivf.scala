@@ -176,13 +176,99 @@ object Ivf {
   def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     readSegments(spark, indexSegments(spark, root))
 
-  /** Union the given segment dirs as one frame — THE segment-resolution
-    * primitive (readIndex/compactIndexAtomic/streamTopKJoin all resolve
-    * through here so schema-alignment semantics cannot drift). */
+  /** Union the given segment dirs as one frame, tombstones applied —
+    * THE segment-resolution primitive (readIndex/compactIndexAtomic/
+    * streamTopKJoin all resolve through here so schema-alignment and
+    * delete semantics cannot drift). Segments are oldest-first; a
+    * [[deleteFromIndexAtomic]] tombstone segment masks ids only in
+    * EARLIER segments (LSM ordering — a later append resurrects the
+    * id), via broadcast anti-joins on the tombstone's id column:
+    * map-side, no extra shuffle, tombstone sets stay driver-small by
+    * the GDPR-removal use case (compaction is the pressure valve when
+    * they grow). */
   private def readSegments(spark: org.apache.spark.sql.SparkSession,
-                           segs: Seq[String]): DataFrame =
-    segs.map(spark.read.parquet(_))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+                           segs: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def tombPath(dir: String) = new Path(s"$dir/$TombstoneDir")
+    def hasTombs(dir: String) = {
+      val p = tombPath(dir); p.getFileSystem(conf).exists(p)
+    }
+    // a data segment has at least one non-hidden entry (partition dirs
+    // or part files); a tombstone-only segment has just _tombstones +
+    // _centroids and contributes no rows
+    def hasData(dir: String) = {
+      val p = new Path(dir)
+      val f = p.getFileSystem(conf)
+      f.exists(p) && f.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val parts = segs.zipWithIndex
+    val masked = parts.collect { case (dir, i) if hasData(dir) =>
+      val later = parts.collect {
+        case (d, j) if j > i && hasTombs(d) =>
+          spark.read.parquet(s"$d/$TombstoneDir")
+      }
+      val df = spark.read.parquet(dir)
+      if (later.isEmpty) df
+      else {
+        val t = later.reduce(_.unionByName(_)).distinct()
+        val key = t.schema.fields.head.name
+        df.join(org.apache.spark.sql.functions.broadcast(t), Seq(key), "left_anti")
+      }
+    }
+    require(masked.nonEmpty, s"no data segments among ${segs.mkString(",")}")
+    masked.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private val TombstoneDir = "_tombstones"
+
+  /** Tombstone-delete ids from the committed index WITHOUT retraining
+    * or rewriting any data — the GDPR-removal path for the ANN tier.
+    * `ids` is a ONE-column frame whose column name is the index's id
+    * column; its values are written as a `_tombstones` sidecar in a
+    * fresh data-less `v=<N>/` segment, and the commit manifest appends
+    * that segment to the composition, so publish is still one atomic
+    * rename, concurrent probes keep seeing a complete index, and old
+    * compositions stay time-travelable (pre-delete versions still
+    * resolve the row — vacuum is the actual erasure deadline; run
+    * [[compactIndexAtomic]] + [[graft.sources.AtomicCommit.vacuum]] to
+    * destroy the bytes).
+    *
+    * Read-side semantics (enforced in readSegments, shared by every
+    * reader): a tombstone masks the id in segments committed BEFORE
+    * it; appending the id again later resurrects it — the LSM delete
+    * contract. [[compactIndexAtomic]] resolves tombstones physically:
+    * the rewrite excludes masked rows and commits a single-segment,
+    * tombstone-free manifest, after which results are identical to an
+    * index rebuilt from scratch without the deleted ids (IvfSpec pins
+    * this equivalence). Returns (version, segment dirs). */
+  def deleteFromIndexAtomic(ids: DataFrame, root: String,
+                            fenceEpoch: Option[Long] = None): (Long, Seq[String]) = {
+    import graft.sources.AtomicCommit
+    val spark = ids.sparkSession
+    require(ids.schema.fields.length == 1,
+      s"ids frame must carry exactly the id column, got ${ids.columns.mkString(",")}")
+    fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the write
+    val (pv, body) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed IVF index under $root to delete from"))
+    val prevVersions = AtomicCommit.decodeSegments(body).getOrElse(Seq(pv))
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    ids.distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$TombstoneDir")
+    // every segment carries the quantizer (the segs.head invariant
+    // holds regardless — deletes append at the tail — but uniformity
+    // costs one tiny sidecar and keeps dir shapes self-describing)
+    val centroids = loadCentroids(
+      spark, AtomicCommit.versionDir(root, prevVersions.head))
+    saveCentroids(spark, centroids, dir)
+    AtomicCommit.commitOrFail(spark, root, v,
+      AtomicCommit.encodeSegments(prevVersions :+ v), fenceEpoch)
+    (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
+  }
 
   /** Append new vectors to the committed index WITHOUT retraining: the
     * coarse quantizer stays FIXED (new vectors are assigned to the
