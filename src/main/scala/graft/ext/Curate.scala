@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * this object adds ORDER, not semantics. Scale shape is the sum of
   * its parts: map-only gates, short-key shuffles, text shuffled only
   * as dedup units. Returns the surviving rows with `n_words` and
-  * `lang_pred` appended (the [[DocPipeline.prepare]] contract). */
+  * `lang_pred` appended (the [[DocPipeline.prepare]] contract).
+  *
+  * The unit-dedup-before-near-dup ORDER is load-bearing, not
+  * cosmetic (CurateScaleDemo, 1M-doc rehearsal): corpus-wide
+  * boilerplate lines left in place saturate the MinHash signatures,
+  * collapse the LSH buckets into hubs, and crater near-dup recall
+  * (DocPipeline.scala stage-5a hazard note); enabling `lineDedup` /
+  * `sentenceDedup` strips those units first, restoring the banding.
+  * On boilerplate-heavy corpora where the unit-dedup stages are OFF,
+  * set `transitive = true` as the fallback. */
 object Curate {
 
   /** Knobs for [[run]] — defaults give gate-light curation: no URL

@@ -178,6 +178,18 @@ object DocPipeline {
     // also collides in another band; full within-bucket recall needs
     // all-pairs edges (what embeddingCandidatePairs emits) at O(b²)
     // per bucket instead of O(b).
+    // BOILERPLATE HAZARD (CurateScaleDemo, measured at 1M docs): when
+    // universal tokens (shared footers/headers) own the smallest word
+    // hashes, every doc's minhash components equal the boilerplate's
+    // hash values, band buckets collapse into corpus-sized hubs, and
+    // star-only candidates all point at one unrelated hub min — true
+    // near-dup pairs verify-fail and recall craters (2/20 planted
+    // pairs caught vs 20/20 on the same corpus without the footer).
+    // Mitigations, both measured effective: strip boilerplate units
+    // BEFORE near-dup (Curate's lineDedup/sentenceDedup stages run
+    // upstream for exactly this reason) or pass transitive = true
+    // (path edges connect id-adjacent bucket members regardless of
+    // the hub).
     // (id, word-hashes) is referenced by THREE subtrees — banding, the
     // _sa shingle join, the _sb shingle join — and each reference would
     // re-run stages 1-4 (tokenize + gates + langid + the _fp window)

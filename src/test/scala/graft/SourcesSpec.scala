@@ -152,6 +152,26 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("acquireEpoch: a non-collision rename failure aborts bounded instead of " +
+      "burning epoch numbers forever (ADVICE r11)") {
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("aepochfail")
+      .resolve("store").toString
+    // plant a FILE where the _epochs directory must go: the local FS
+    // raises from mkdirs (fail-fast — the acceptable outcome); the
+    // in-loop bounded counter covers FS impls whose rename returns
+    // false instead of raising (HDFS/S3A semantics). Either way the
+    // observable contract holds: a non-collision failure SURFACES as
+    // an exception instead of looping forever burning epoch numbers.
+    new java.io.File(root).mkdirs()
+    val f = new java.io.File(root, "_epochs")
+    assert(f.createNewFile())
+    val e = intercept[java.io.IOException] {
+      AtomicCommit.acquireEpoch(spark, root, holder = "doomed")
+    }
+    assert(e.getMessage.contains("_epochs"))
+  }
+
   test("writer fencing: a zombie attempt's commit is rejected after its retry acquires a newer epoch") {
     import graft.sources.AtomicCommit
     val root = java.nio.file.Files.createTempDirectory("afence").resolve("store").toString
