@@ -412,7 +412,8 @@ object Queries {
       s"c -> CAST(unicode(c) AS BIGINT))), (a,b) -> (a*31+b)%$duckP)"
   private val duckWhs =
     s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
-  private def duckRehash(i: Int): String = s"(x*${2 * i + 3}+${11 * i + 7})%$duckP"
+  private def duckRehash(i: Int): String =
+    s"(x*${(2654435761L * (i + 1)) % 1000000007L}+${(40503L * (i + 1) + 7L) % 1000000007L})%$duckP"
   /** 5-gram shingle roll over a word-hash list `h` at 0-based offset `i`
     * (same arithmetic as q_crossdoc_ngram's inline form). */
   private val duckSh5 =
@@ -1458,7 +1459,8 @@ ORDER BY feature"""
           .orderBy(col("band_key")),
       Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
              |sig AS (SELECT doc_id, list_transform(range(0,8),
-             |  i -> list_min(list_transform(h, x -> (x*(2*i+3)+(11*i+7))%$duckP))) AS s FROM w),
+             |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
              |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
              |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
              |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig)
@@ -2247,7 +2249,8 @@ ORDER BY feature"""
            |    ORDER BY doc_id) AS rn FROM p) WHERE rn = 1),
            |w AS (SELECT doc_id, $duckWhs AS h FROM ex),
            |sig AS (SELECT doc_id, list_transform(range(0,8),
-           |  i -> list_min(list_transform(h, x -> (x*(2*i+3)+(11*i+7))%$duckP))) AS s FROM w),
+           |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
            |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
            |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
            |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),

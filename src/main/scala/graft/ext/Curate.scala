@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * (DocPipeline.scala stage-5a hazard note); enabling `lineDedup` /
   * `sentenceDedup` strips those units first, restoring the banding.
   * On boilerplate-heavy corpora where the unit-dedup stages are OFF,
-  * set `transitive = true` as the fallback. */
+  * set `maxSignatureDf` (drops corpus-hot tokens from the banding
+  * signature) or `transitive = true` as the fallback. */
 object Curate {
 
   /** Knobs for [[run]] — defaults give gate-light curation: no URL
@@ -54,6 +55,7 @@ object Curate {
       bands: Int = 4,
       tau: Double = 0.8,
       transitive: Boolean = false,
+      maxSignatureDf: Long = Long.MaxValue,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13)
 
@@ -108,7 +110,8 @@ object Curate {
       tau = cfg.tau, transitive = cfg.transitive,
       maxTopTokenFrac = cfg.maxTopTokenFrac,
       maxDupBigramFrac = cfg.maxDupBigramFrac,
-      blockPhrases = cfg.blockPhrases)
+      blockPhrases = cfg.blockPhrases,
+      maxSignatureDf = cfg.maxSignatureDf)
 
     // 6. benchmark decontamination
     cfg.benchmark match {

@@ -90,7 +90,18 @@ object DocPipeline {
     * bucket; with the flag on, the verified pair set becomes an edge
     * list, connected components are computed by iterated hash-min
     * ([[Dedup.transitiveClusters]] — the edge set is tiny post-banding),
-    * and only each component's smallest id survives. */
+    * and only each component's smallest id survives.
+    *
+    * `maxSignatureDf` (default off) excludes tokens whose document
+    * frequency exceeds it from the MinHash BANDING signature — the
+    * boilerplate guard: universal tokens (shared footers/headers)
+    * otherwise own the smallest hashes, collapse the LSH buckets into
+    * hubs, and crater star-blocking recall (the measured stage-5a
+    * hazard). Verification still uses the full shingle sets, so τ
+    * keeps its meaning; costs one token-keyed count + a driver bloom
+    * per call. Prefer upstream unit dedup (Curate lineDedup) when
+    * available; this knob is for corpora where boilerplate is not
+    * line-structured. */
   def prepare(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -102,9 +113,11 @@ object DocPipeline {
       transitive: Boolean = false,
       maxTopTokenFrac: Double = 1.0,
       maxDupBigramFrac: Double = 1.0,
-      blockPhrases: Seq[String] = Nil): DataFrame =
+      blockPhrases: Seq[String] = Nil,
+      maxSignatureDf: Long = Long.MaxValue): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
-      transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases)
+      transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases,
+      maxSignatureDf)
       .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
@@ -122,7 +135,8 @@ object DocPipeline {
       transitive: Boolean,
       maxTopTokenFrac: Double = 1.0,
       maxDupBigramFrac: Double = 1.0,
-      blockPhrases: Seq[String] = Nil): DataFrame = {
+      blockPhrases: Seq[String] = Nil,
+      maxSignatureDf: Long = Long.MaxValue): DataFrame = {
 
     // 1-2: single tokenization + quality gate (length, plus optional
     // Gopher-style repetition gates and the Aho-Corasick phrase
@@ -185,11 +199,12 @@ object DocPipeline {
     // star-only candidates all point at one unrelated hub min — true
     // near-dup pairs verify-fail and recall craters (2/20 planted
     // pairs caught vs 20/20 on the same corpus without the footer).
-    // Mitigations, both measured effective: strip boilerplate units
+    // Mitigations, all measured effective: strip boilerplate units
     // BEFORE near-dup (Curate's lineDedup/sentenceDedup stages run
-    // upstream for exactly this reason) or pass transitive = true
+    // upstream for exactly this reason), pass transitive = true
     // (path edges connect id-adjacent bucket members regardless of
-    // the hub).
+    // the hub), or set `maxSignatureDf` (below) to exclude corpus-hot
+    // tokens from the banding signature directly.
     // (id, word-hashes) is referenced by THREE subtrees — banding, the
     // _sa shingle join, the _sb shingle join — and each reference would
     // re-run stages 1-4 (tokenize + gates + langid + the _fp window)
@@ -200,7 +215,38 @@ object DocPipeline {
     // pass produces the output rows themselves (text included), and a
     // map-only recompute is cheaper than materializing the corpus.
     val hashed = exact.select(col(idCol), col("_whs")).cut
-    val banded = Dedup.minhashBandsFromWhs(hashed, idCol, "_whs", minhashK, bands)
+    // opt-in boilerplate guard (`maxSignatureDf`, default off): drop
+    // tokens appearing in more than that many docs from the BANDING
+    // signature only — the direct mitigation for the stage-5a hazard
+    // above that needs no upstream unit-dedup stage. Verification is
+    // untouched (shingles still come from the full `hashed` column),
+    // so τ keeps its meaning; only the blocking keys change. Hot-token
+    // discovery is one (token)-keyed count over the checkpointed hash
+    // frame + a driver bloom (the bloomDecontaminate convention —
+    // ~0.1% false positives drop an innocent token from a signature,
+    // which banding tolerates); the two extra ACTIONS (count + bloom
+    // build) run once per prepare call.
+    val sigHashed =
+      if (maxSignatureDf == Long.MaxValue) hashed
+      else {
+        require(maxSignatureDf >= 1, s"maxSignatureDf=$maxSignatureDf must be >= 1")
+        val hot = hashed
+          .select(explode(array_distinct(col("_whs"))).as("_h"))
+          .groupBy(col("_h")).agg(count(lit(1)).as("_hdf"))
+          .filter(col("_hdf") > maxSignatureDf)
+          .select(col("_h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nHot = math.max(hot.count(), 1L)
+        val bf = hot.stat.bloomFilter("_h", nHot, 0.001)
+        hot.unpersist()
+        val bcast = docs.sparkSession.sparkContext.broadcast(bf)
+        val keepCold = udf { hs: Seq[Long] =>
+          if (hs == null) hs
+          else hs.filterNot(h => bcast.value.mightContainLong(h))
+        }
+        hashed.select(col(idCol), keepCold(col("_whs")).as("_whs"))
+      }
+    val banded = Dedup.minhashBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
     val starCand = banded.join(bucketMin, "band_key")
       .filter(col(idCol) > col("_min_id"))

@@ -300,10 +300,23 @@ object MinHashLoops {
   /** All k MinHash components in one pass over the token hashes —
     * replaces one interpreted transform+array_min HOF pass PER
     * component. Same universal-family arithmetic as TextHash.rehash:
-    * component i = min over w of (w·(2i+3) + (11i+7)) mod P; empty
-    * input yields P per component (the HOF's coalesce sentinel). */
+    * component i = min over w of (w·aᵢ + bᵢ) mod P with the large
+    * mixing multipliers aᵢ = (2654435761·(i+1)) mod P (see the
+    * TextHash.rehash scaladoc for why small multipliers collapsed
+    * banding); empty input yields P per component (the HOF's coalesce
+    * sentinel). */
+  // (aᵢ, bᵢ) per k, computed once per JVM instead of per row — the
+  // signature loop runs once per document
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(k, k2 => (
+      Array.tabulate(k2)(j => (2654435761L * (j + 1)) % TextHashLoops.P),
+      Array.tabulate(k2)(j => (40503L * (j + 1) + 7L) % TextHashLoops.P)))
+
   def signature(whs: ArrayData, k: Int): GenericArrayData = {
     val P = TextHashLoops.P
+    val (as, bs) = coefs(k)
     val out = Array.fill(k)(P)
     val n = whs.numElements()
     var i = 0
@@ -311,7 +324,7 @@ object MinHashLoops {
       val w = whs.getLong(i)
       var j = 0
       while (j < k) {
-        val h = (w * (2L * j + 3L) + (11L * j + 7L)) % P
+        val h = (w * as(j) + bs(j)) % P
         if (h < out(j)) out(j) = h
         j += 1
       }

@@ -182,10 +182,11 @@ class ExtSpec extends SparkTestBase {
   test("wordHashes + minhash: min of rehashed token hashes") {
     val whs = TextHash.wordHashes(lit("abc abc"))
     assert(one(whs) === Seq(96354L, 96354L))
-    // i=0 rehash: (96354*3+7) % P = 289069
-    assert(one(TextHash.minhash(whs, 0)) === 289069L)
+    // i=0 rehash: a0 = 2654435761 % P = 654435747, b0 = 40510;
+    // (96354*654435747 + 40510) % P = 501565549
+    assert(one(TextHash.minhash(whs, 0)) === 501565549L)
     // empty text splits to [""] (hash 0) in Spark AND DuckDB → rehash of 0
-    assert(one(TextHash.minhash(TextHash.wordHashes(lit("")), 0)) === 7L)
+    assert(one(TextHash.minhash(TextHash.wordHashes(lit("")), 0)) === 40510L)
   }
 
   test("simhash of a single word = its low 16 bits") {

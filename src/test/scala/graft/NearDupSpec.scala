@@ -189,10 +189,17 @@ class NearDupSpec extends SparkTestBase {
   }
 
   test("DocPipeline blockPhrases gate: banned docs drop in the same map stage") {
+    // doc 2's base text must be DISTINCT from doc 1's: filler + 4 words
+    // is a genuine near-dup (shingle jaccard ≈ 0.86 ≥ τ) that the
+    // gate-off control run correctly removes. (The original shared-
+    // filler fixture only survived under the pre-fix correlated rehash
+    // family, where the small hash of "now" hijacked doc 2's whole
+    // signature and banding missed the pair.)
     val filler = Array.tabulate(40)(i => s"w${i}x").mkString(" ")
     val docs = Seq(
       (1L, filler),
-      (2L, s"$filler click here to subscribe now"),
+      (2L, Array.tabulate(40)(i => s"z${i}k").mkString(" ") +
+        " click here to subscribe now"),
       (3L, Array.tabulate(40)(i => s"q${i}y").mkString(" "))).toDF("doc_id", "text")
     val kept = DocPipeline.prepare(docs, minWords = 10,
         blockPhrases = Seq("click here to subscribe"))
@@ -479,6 +486,40 @@ class NearDupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 10L).foreach(d => assert(kept(d) === 0L, s"chrome doc $d lost tokens"))
     assert(kept(21L) === 0L && kept(22L) === 25L)
+  }
+
+  test("maxSignatureDf: boilerplate-saturated minhash buckets miss true " +
+      "near-dups; df-capping the banding signature restores them") {
+    // the CurateScaleDemo hazard at spec scale: a 40-token footer on
+    // every doc owns the minhash minima, so all docs share band
+    // buckets, star candidates all point at the global-min doc, and
+    // the true pair (template, template+1-token) fails verification
+    // against that unrelated hub. All hashes deterministic (xxhash64
+    // of fixed words) — the outcome is pinned, not probabilistic.
+    val footer = (1 to 40).map(i => s"footer$i").mkString(" ")
+    def uniq(d: Int) = (1 to 12).map(j => s"u${d}x$j").mkString(" ")
+    val docs = ((0 until 30).map { d =>
+      val body = if (d % 3 == 1) uniq(d - 1) + " zz" else uniq(d)
+      (d.toLong, s"$body $footer")
+    }).toDF("doc_id", "text")
+    def survivors(maxSigDf: Long) =
+      graft.ext.DocPipeline.prepare(docs, minWords = 10, minhashK = 8,
+        bands = 4, tau = 0.7, maxSignatureDf = maxSigDf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plants = (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet
+    val default = survivors(Long.MaxValue)
+    val capped = survivors(20L) // footer df=30 > 20; unique tokens df<=2
+    // capped banding catches every planted near-dup pair
+    assert(plants.forall(p => !capped.contains(p)),
+      s"capped run must drop all plants; kept ${plants.intersect(capped)}")
+    assert(capped.size === 20)
+    // and the uncapped run demonstrably misses some of them (the
+    // hazard); if this ever starts passing, the fixture no longer
+    // saturates and should be re-planted
+    assert(plants.exists(default.contains),
+      "uncapped run unexpectedly caught every plant — hazard fixture stale")
+    // non-plant docs are never dropped by the cap (verify untouched)
+    assert((0 until 30).filter(_ % 3 != 1).map(_.toLong).toSet.subsetOf(capped))
   }
 
   test("exact-span default maxDf is finite; the cap drops boilerplate and the " +
