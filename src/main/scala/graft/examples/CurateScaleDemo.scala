@@ -151,6 +151,28 @@ object CurateScaleDemo {
     val totW = rows.asScala.map(_.writeMb).sum
     val totR = rows.asScala.map(_.readMb).sum
     println(f"CURATE-SCALE cumulative shuffle write = $totW%.1f MB, read = $totR%.1f MB, spark stages = ${rows.size}")
+
+    // near-dup recall probe — the r11 BOILERPLATE HAZARD re-measured
+    // after the rehash-family fix (TextHash.rehash scaladoc): the
+    // floor config leaves the corpus-wide footer line in every
+    // signature (no lineDedup upstream). r11 measured 2/20 planted
+    // pairs caught under the correlated a_i=2i+3 family; the fixed
+    // family should not let any single hot token own all components,
+    // and maxSignatureDf drops the footer tokens from banding
+    // entirely. Plants: role==1 docs (one-token near-dups of their
+    // group template, shingle jaccard ≈ 0.73 ≥ τ=0.7).
+    val plantIds = spark.range(nDocs).select(i.as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(50L)) === 1)
+      .localCheckpoint()
+    val nPlants = plantIds.count()
+    val floorCfg = prefixes.head._2
+    Seq("fixed hashes only" -> floorCfg,
+        "fixed hashes + maxSignatureDf=100k" ->
+          floorCfg.copy(maxSignatureDf = 100000L)).foreach { case (label, cfg) =>
+      val surv = Curate.run(docs, cfg).select("doc_id")
+      val caught = plantIds.join(surv, Seq("doc_id"), "left_anti").count()
+      println(f"CURATE-SCALE near-dup recall [$label]: $caught/$nPlants plants caught (footer IN signatures)")
+    }
     spark.stop()
   }
 }
