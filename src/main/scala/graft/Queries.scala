@@ -1467,6 +1467,37 @@ ORDER BY feature"""
              |SELECT band_key, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
              |FROM bands GROUP BY band_key HAVING count(*) > 1 ORDER BY band_key""".stripMargin)),
 
+    // ── 38b. one-permutation densified MinHash signature (OPH) ────────
+    // Li/Owen/Zhang 2012 + Shrivastava & Li 2014 rotation densification:
+    // ONE rehash per token into k bins (h mod k), empty bins borrow the
+    // nearest non-empty bin rightward with a P·distance offset —
+    // O(tokens+k) per doc vs classic MinHash's O(tokens·k). The twin
+    // replays bin mins + densification with nested captured lambdas.
+    QueryDef(
+      "q_oph_sig",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("_whs", TextHash.wordHashes(col("text")))
+          .select(col("doc_id"),
+            array_join(TextHash.ophSignature(col("_whs"), 8), "_").as("sig"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |rh AS (SELECT doc_id, list_transform(h, x -> ${duckRehash(0)}) AS r FROM w),
+             |bm AS (SELECT doc_id, list_transform(range(0,8),
+             |  j -> list_min(list_filter(r, x -> x%8=j))) AS m FROM rh),
+             |dens AS (SELECT doc_id, list_transform(range(0,8), j ->
+             |  coalesce(
+             |    m[CAST((j + list_min(list_filter(list_transform(range(0,8),
+             |        d -> CASE WHEN m[CAST((j+d)%8 AS INT)+1] IS NOT NULL THEN d END),
+             |        v -> v IS NOT NULL)))%8 AS INT)+1]
+             |    + $duckP*list_min(list_filter(list_transform(range(0,8),
+             |        d -> CASE WHEN m[CAST((j+d)%8 AS INT)+1] IS NOT NULL THEN d END),
+             |        v -> v IS NOT NULL)),
+             |    $duckP)) AS s FROM bm)
+             |SELECT doc_id, array_to_string(s, '_') AS sig FROM dens
+             |ORDER BY doc_id LIMIT 200""".stripMargin)),
+
     // ── 39. simhash (16-bit) ───────────────────────────────────────────
     QueryDef(
       "q_dedup_simhash",

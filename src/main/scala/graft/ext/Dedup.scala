@@ -389,10 +389,33 @@ object Dedup {
     * use when the caller also needs the hashes for another stage
     * (DocPipeline shares one pass between banding and shingles). */
   def minhashBandsFromWhs(df: DataFrame, idCol: String, whsCol: String,
-                          k: Int = 8, bands: Int = 4): DataFrame = {
+                          k: Int = 8, bands: Int = 4): DataFrame =
+    bandsFromSig(df.withColumn("_sig", minhashSignature(col(whsCol), k)),
+      idCol, k, bands)
+
+  /** [[minhashBands]] on the ONE-PERMUTATION densified signature
+    * ([[TextHash.ophSignature]]) — identical banding/bucket semantics,
+    * O(tokens+k) signature cost instead of O(tokens·k); prefer at
+    * large k (e.g. k=64+, where the classic kernel's per-token inner
+    * loop dominates the near-dup map stage). */
+  def ophBands(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, bands: Int = 4): DataFrame =
+    ophBandsFromWhs(
+      df.withColumn("_whs", wordHashes(col(textCol))), idCol, "_whs", k, bands)
+
+  /** [[ophBands]] over an already-materialized word-hash column. */
+  def ophBandsFromWhs(df: DataFrame, idCol: String, whsCol: String,
+                      k: Int = 8, bands: Int = 4): DataFrame =
+    bandsFromSig(df.withColumn("_sig", TextHash.ophSignature(col(whsCol), k)),
+      idCol, k, bands)
+
+  /** Shared LSH band-key construction over a `_sig` column: one row
+    * per (doc, band); `band_key` = band index + its signature slice. */
+  private def bandsFromSig(sigged: DataFrame, idCol: String,
+                           k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible into $bands bands")
     val rowsPerBand = k / bands
-    df.withColumn("_sig", minhashSignature(col(whsCol), k))
+    sigged
       .select(col(idCol), posexplode(array((0 until bands).map { b =>
         array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_")
       }: _*)).as(Seq("band", "band_hash")))

@@ -74,6 +74,38 @@ object TextHash {
     when(whs.isNull, lit(null))
       .otherwise(array((0 until k).map(i => minhash(whs, i)): _*))
 
+  /** One-permutation MinHash signature with rotation densification
+    * (Li/Owen/Zhang 2012; Shrivastava & Li 2014): a single rehash per
+    * token routed into `k` bins by `h mod k`, each component = its
+    * bin's min, empty bins borrowing the nearest non-empty bin to the
+    * right (cyclically) offset by P·distance. O(tokens+k) per doc vs
+    * the classic [[minhashSignature]]'s O(tokens·k) — use for large k.
+    * Collision probability per component ≈ Jaccard, same banding
+    * downstream ([[Dedup.ophBands]]). Fused codegen kernel;
+    * [[ophSignatureHof]] is the spec it must equal. */
+  def ophSignature(whs: Column, k: Int): Column =
+    TextHashExprs.ophSignature(whs, k)
+
+  /** HOF spec form of [[ophSignature]] (differential reference).
+    * Bin mins are null for empty bins; densification picks the
+    * smallest rotation distance whose bin is non-null (array_min
+    * skips nulls). Null-in/null-out; all-empty input (no tokens at
+    * all) yields the P sentinel per component. */
+  def ophSignatureHof(whs: Column, k: Int): Column = {
+    val rh = transform(whs, w => rehash(w, 0))
+    val binMins = transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(filter(rh, x => pmod(x, lit(k.toLong)) === j.cast("long"))))
+    val comps = transform(sequence(lit(0), lit(k - 1)), j => {
+      val d0 = array_min(transform(sequence(lit(0), lit(k - 1)), d =>
+        when(element_at(binMins, (pmod(j + d, lit(k)) + 1).cast("int")).isNotNull, d)))
+      coalesce(
+        element_at(binMins, (pmod(j + d0, lit(k)) + 1).cast("int"))
+          + d0.cast("long") * lit(P),
+        lit(P))
+    })
+    when(whs.isNull, lit(null).cast("array<bigint>")).otherwise(comps)
+  }
+
   /** SimHash over token hashes, low `bits` bits (default 16): per bit,
     * tokens vote ±1; the bit is set when the vote is positive. Fused
     * one-pass codegen kernel (`simhashHof` is the per-bit aggregate-HOF

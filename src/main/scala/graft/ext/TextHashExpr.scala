@@ -332,6 +332,44 @@ object MinHashLoops {
     }
     new GenericArrayData(out)
   }
+
+  /** One-permutation MinHash signature (Li/Owen/Zhang 2012) with
+    * rotation densification (Shrivastava & Li 2014): ONE rehash per
+    * token routed into `k` bins by `h mod k`, tracking each bin's min;
+    * an empty bin then borrows the nearest non-empty bin to its RIGHT
+    * (cyclically), offset by P·distance so borrowed values collide only
+    * with equal-distance borrows of the same source. Cost per doc is
+    * O(tokens + k) vs the classic signature's O(tokens·k) — the scale
+    * path for large k. Empty input yields P per component (the classic
+    * kernel's sentinel); `TextHash.ophSignatureHof` is the HOF spec
+    * this must equal. */
+  def ophSignature(whs: ArrayData, k: Int): GenericArrayData = {
+    val P = TextHashLoops.P
+    val (as, bs) = coefs(1)
+    val a0 = as(0); val b0 = bs(0)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = whs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = (whs.getLong(i) * a0 + b0) % P
+      val bin = (h % k).toInt
+      if (h < mins(bin)) mins(bin) = h
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (mins(j) != Long.MaxValue) out(j) = mins(j)
+      else {
+        // nearest non-empty bin to the right, cyclically
+        var d = 1
+        while (d < k && mins((j + d) % k) == Long.MaxValue) d += 1
+        out(j) = if (d == k) P else mins((j + d) % k) + P.toLong * d
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class MinHashSigExpr(child: Expression, k: Int)
@@ -349,6 +387,26 @@ case class MinHashSigExpr(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.ext.MinHashLoops.signature($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** One-permutation densified MinHash signature — see
+  * [[MinHashLoops.ophSignature]]. */
+case class OphSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "oph_signature"
+
+  protected override def nullSafeEval(v: Any): Any =
+    MinHashLoops.ophSignature(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.MinHashLoops.ophSignature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): OphSigExpr =
     copy(child = newChild)
 }
 
@@ -567,6 +625,8 @@ object TextHashExprs {
     bridge.column(SimHashExpr(bridge.expression(whs), bits))
   def minhashSignature(whs: Column, k: Int): Column =
     bridge.column(MinHashSigExpr(bridge.expression(whs), k))
+  def ophSignature(whs: Column, k: Int): Column =
+    bridge.column(OphSigExpr(bridge.expression(whs), k))
   def termFreqs(toks: Column): Column =
     bridge.column(TermFreqsExpr(bridge.expression(toks)))
 }

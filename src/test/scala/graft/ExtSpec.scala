@@ -58,6 +58,57 @@ class ExtSpec extends SparkTestBase {
     assert(e === Seq.fill(4)(TextHash.P))
   }
 
+  test("fused OPH signature ≡ HOF spec; densification offsets; collision rate tracks jaccard") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "", "q7",
+      "lm", "zz", "pp0", "jk")
+    val texts = (1 to 60).map(_ =>
+      Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("t").withColumn("_whs", TextHash.wordHashes(col("t")))
+    df.select(
+      TextHash.ophSignature(col("_whs"), 8).as("cg"),
+      TextHash.ophSignatureHof(col("_whs"), 8).as("hof")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // structural invariants: direct components < P, borrowed components
+    // carry the P·distance offset, empty input → all-P sentinel
+    val sig = Seq("a b c").toDF("t")
+      .select(TextHash.ophSignature(TextHash.wordHashes(col("t")), 8))
+      .head().getSeq[Long](0)
+    assert(sig.count(_ < TextHash.P) === 3) // 3 distinct tokens, 3 occupied bins
+    assert(sig.count(_ >= TextHash.P) === 5) // 5 empty bins all densified
+    val e = Seq(Seq.empty[Long]).toDF("w")
+      .select(TextHash.ophSignature(col("w"), 4)).head().getSeq[Long](0)
+    assert(e === Seq.fill(4)(TextHash.P))
+    val nd = spark.sql("SELECT CAST(null AS array<bigint>) AS whs")
+      .select(TextHash.ophSignature(col("whs"), 4).as("k"),
+        TextHash.ophSignatureHof(col("whs"), 4).as("h")).head()
+    assert(nd.isNullAt(0) && nd.isNullAt(1))
+    // collision fidelity at k=64: a one-token-in-30 near-dup pair agrees
+    // on most components; two unrelated docs agree on almost none
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")
+    val pair = Seq(
+      (1L, w), (2L, w + " extra"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("id", "t")
+      .withColumn("sig", TextHash.ophSignature(TextHash.wordHashes(col("t")), 64))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(pair(1L), pair(2L)) >= 48, "near-dup pair must agree on >= 75% of components")
+    assert(agree(pair(1L), pair(3L)) <= 8, "unrelated docs must agree on <= 12% of components")
+  }
+
+  test("ophBands: planted near-dup pair shares a band bucket; banding semantics match minhashBands") {
+    val w = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, w), (2L, w + " tail"),
+      (3L, (1 to 40).map(i => s"oth$i").mkString(" "))).toDF("doc_id", "text")
+    val groups = Dedup.ophBands(docs, "doc_id", "text", k = 16, bands = 8)
+      .groupBy("band_key").agg(collect_set("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(groups === Set(1L, 2L), s"pair (1,2) must collide, 3 must not; got $groups")
+  }
+
   test("fused simhash ≡ per-bit aggregate-HOF spec") {
     val rnd = new scala.util.Random(43)
     val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "far", "x1", "z9")
