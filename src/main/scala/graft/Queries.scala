@@ -414,6 +414,29 @@ object Queries {
     s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
   private def duckRehash(i: Int): String =
     s"(x*${(2654435761L * (i + 1)) % 1000000007L}+${(40503L * (i + 1) + 7L) % 1000000007L})%$duckP"
+  /** DSIR shared CTE chain (q_dsir_score / q_dsir_resample): hashed
+    * unigram+bigram buckets (m=64), smoothed lp6 tables for target
+    * (doc_id%7=0) vs raw (all docs), per-doc integer weight sums —
+    * the relational replay of Dsir.trainWeights + scoreDocs. */
+  private val duckDsirCte =
+    s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+       |f AS (SELECT doc_id, list_transform(h || list_transform(range(1, len(h)),
+       |        i -> (h[CAST(i AS INT)]*31 + h[CAST(i AS INT)+1]) % $duckP),
+       |        x -> x % 64) AS b FROM w),
+       |ex AS (SELECT doc_id, unnest(b) AS bucket FROM f),
+       |tc AS (SELECT bucket, count(*) AS c FROM ex WHERE doc_id % 7 = 0 GROUP BY bucket),
+       |rc AS (SELECT bucket, count(*) AS c FROM ex GROUP BY bucket),
+       |tn AS (SELECT count(*) AS n FROM ex WHERE doc_id % 7 = 0),
+       |rn AS (SELECT count(*) AS n FROM ex),
+       |spine AS (SELECT unnest(range(0,64)) AS bucket),
+       |wt AS (SELECT s.bucket,
+       |    CAST(floor(ln((coalesce(tc.c,0)+1) / CAST(tn.n+64 AS DOUBLE))*1000000.0+0.5) AS BIGINT)
+       |  - CAST(floor(ln((coalesce(rc.c,0)+1) / CAST(rn.n+64 AS DOUBLE))*1000000.0+0.5) AS BIGINT) AS lr6
+       |  FROM spine s LEFT JOIN tc ON s.bucket = tc.bucket
+       |               LEFT JOIN rc ON s.bucket = rc.bucket, tn, rn),
+       |sc AS (SELECT e.doc_id, CAST(sum(wt.lr6) AS BIGINT) AS dsir_lw6
+       |       FROM ex e JOIN wt ON e.bucket = wt.bucket GROUP BY e.doc_id)""".stripMargin
+
   /** 5-gram shingle roll over a word-hash list `h` at 0-based offset `i`
     * (same arithmetic as q_crossdoc_ngram's inline form). */
   private val duckSh5 =
@@ -3142,6 +3165,45 @@ ORDER BY feature"""
              |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
              |WHERE (d.doc_id*1103515245 + 12345) % 2147483648 < rate * 2147483648.0
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ── 72b. DSIR importance scoring (Xie et al. 2023): hashed
+    // unigram+bigram features (m=64), add-one-smoothed lp6 tables for
+    // target (doc_id%7=0) vs raw (all), per-doc INTEGER weight sum.
+    // Spark scores map-side against the collected m-entry literal
+    // table; the twin replays the whole thing relationally ────────────
+    QueryDef(
+      "q_dsir_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = ext.Dsir.trainWeights(
+          docs.filter(col("doc_id") % 7 === 0), docs, "text", 64)
+        ext.Dsir.scoreDocs(docs, "text", w)
+          .select(col("doc_id"), col("dsir_lw6"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some(s"""$duckDsirCte
+             |SELECT doc_id, dsir_lw6 FROM sc ORDER BY doc_id LIMIT 200""".stripMargin)),
+
+    // ── 72c. DSIR Gumbel top-k resample: key = lw6 + g6, g6 the
+    // deterministic Gumbel from the LCG order hash (exact binary
+    // fraction u, ln on identical doubles) — rows come back in key
+    // order, twin replays it ───────────────────────────────────────────
+    QueryDef(
+      "q_dsir_resample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = ext.Dsir.trainWeights(
+          docs.filter(col("doc_id") % 7 === 0), docs, "text", 64)
+        ext.Dsir.resample(docs, "doc_id", "text", w, 40)
+          .select(col("doc_id"), col("dsir_lw6"))
+      },
+      Some(s"""$duckDsirCte
+             |SELECT doc_id, dsir_lw6 FROM sc
+             |ORDER BY dsir_lw6 + CAST(floor(-ln(-ln(
+             |    (((doc_id % 2147483648)*1103515245 + 12345) % 2147483648 + 0.5)
+             |    / 2147483648.0))*1000000.0+0.5) AS BIGINT) DESC, doc_id
+             |LIMIT 40""".stripMargin)),
 
     // ── 73. token-budget selection: best-quality-first (n_chars here)
     // per-language take until 2000 tokens are drawn; the kept set is a
