@@ -56,6 +56,7 @@ object Curate {
       tau: Double = 0.8,
       transitive: Boolean = false,
       maxSignatureDf: Long = Long.MaxValue,
+      oph: Boolean = false,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13)
 
@@ -111,7 +112,8 @@ object Curate {
       maxTopTokenFrac = cfg.maxTopTokenFrac,
       maxDupBigramFrac = cfg.maxDupBigramFrac,
       blockPhrases = cfg.blockPhrases,
-      maxSignatureDf = cfg.maxSignatureDf)
+      maxSignatureDf = cfg.maxSignatureDf,
+      oph = cfg.oph)
 
     // 6. benchmark decontamination
     cfg.benchmark match {

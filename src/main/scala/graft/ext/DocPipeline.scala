@@ -101,7 +101,13 @@ object DocPipeline {
     * keeps its meaning; costs one token-keyed count + a driver bloom
     * per call. Prefer upstream unit dedup (Curate lineDedup) when
     * available; this knob is for corpora where boilerplate is not
-    * line-structured. */
+    * line-structured.
+    *
+    * `oph` switches banding to the one-permutation densified signature
+    * ([[TextHash.ophSignature]], O(tokens+k) per doc vs O(tokens·k))
+    * — same bucket semantics, prefer at large `minhashK` (k ≥ ~32)
+    * where the classic kernel's per-token inner loop dominates the
+    * near-dup map stage. */
   def prepare(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -114,10 +120,11 @@ object DocPipeline {
       maxTopTokenFrac: Double = 1.0,
       maxDupBigramFrac: Double = 1.0,
       blockPhrases: Seq[String] = Nil,
-      maxSignatureDf: Long = Long.MaxValue): DataFrame =
+      maxSignatureDf: Long = Long.MaxValue,
+      oph: Boolean = false): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
       transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases,
-      maxSignatureDf)
+      maxSignatureDf, oph)
       .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
@@ -136,7 +143,8 @@ object DocPipeline {
       maxTopTokenFrac: Double = 1.0,
       maxDupBigramFrac: Double = 1.0,
       blockPhrases: Seq[String] = Nil,
-      maxSignatureDf: Long = Long.MaxValue): DataFrame = {
+      maxSignatureDf: Long = Long.MaxValue,
+      oph: Boolean = false): DataFrame = {
 
     // 1-2: single tokenization + quality gate (length, plus optional
     // Gopher-style repetition gates and the Aho-Corasick phrase
@@ -246,7 +254,9 @@ object DocPipeline {
         }
         hashed.select(col(idCol), keepCold(col("_whs")).as("_whs"))
       }
-    val banded = Dedup.minhashBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)
+    val banded =
+      if (oph) Dedup.ophBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)
+      else Dedup.minhashBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)
     val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
     val starCand = banded.join(bucketMin, "band_key")
       .filter(col(idCol) > col("_min_id"))

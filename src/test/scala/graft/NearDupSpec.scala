@@ -522,6 +522,17 @@ class NearDupSpec extends SparkTestBase {
     assert((0 until 30).filter(_ % 3 != 1).map(_.toLong).toSet.subsetOf(capped))
   }
 
+  test("prepare(oph = true): large-k one-permutation banding catches the planted " +
+      "near-dup and keeps unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " tail"),
+      (3L, (1 to 40).map(i => s"oth$i").mkString(" "))).toDF("doc_id", "text")
+    val kept = DocPipeline.prepare(docs, minWords = 10,
+        minhashK = 32, bands = 16, tau = 0.8, oph = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"2 is a near-dup of 1, 3 unrelated; got $kept")
+  }
+
   test("exact-span default maxDf is finite; the cap drops boilerplate and the " +
       "drop is OBSERVED, never silent (VERDICT r11 #2)") {
     assert(Dedup.DefaultExactMaxDf === 5000L)
