@@ -4226,6 +4226,52 @@ ORDER BY feature"""
       },
       Some(duckLogregSql)),
 
+    // ── 87c2. SPARSE hashed-feature logistic regression (the actual
+    // fastText shape, Joulin 2016): unigram+bigram hashes mod 16,
+    // per-doc z = left-fold over the bucket array vs the weight
+    // literal, per-iteration gradient = ONE explode+groupBy(bucket)
+    // pass with a −1 sentinel bucket carrying bias gradient + n. Twin
+    // unrolls both iterations; list_reduce replays the fold order, so
+    // trained weights are bit-identical (e6 fixed-pointed for output) ──
+    QueryDef(
+      "q_logreg_hashed",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val m = graft.ext.LogReg.trainHashed(docs, "text",
+          (col("lang") === "en").cast("double"), m = 16, lr = 0.5, iters = 2)
+        ((-1L, m.bias) +: m.weights.zipWithIndex.toSeq
+          .map { case (w, i) => (i.toLong, w) })
+          .map { case (b, w) => (b, math.floor(w * 1000000.0 + 0.5).toLong) }
+          .toDF("bucket", "weight_e6")
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h,
+             |           CASE WHEN lang='en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+             |f AS (SELECT doc_id, y, list_transform(h || list_transform(range(1, len(h)),
+             |        i -> (h[CAST(i AS INT)]*31 + h[CAST(i AS INT)+1]) % $duckP),
+             |        x -> x % 16) AS b FROM w),
+             |n0 AS (SELECT count(*) AS n FROM f),
+             |ex1 AS (SELECT y, unnest(b || [CAST(-1 AS BIGINT)]) AS bucket FROM f),
+             |g1 AS (SELECT bucket, sum(CAST(floor((0.5 - y)*1000000000.0 + 0.5) AS BIGINT)) AS g
+             |       FROM ex1 GROUP BY bucket),
+             |spine AS (SELECT unnest([CAST(-1 AS BIGINT)] || range(0,16)) AS bucket),
+             |w1 AS (SELECT s.bucket, 0.0 - 0.5*((coalesce(g1.g,0)/1000000000.0)/n0.n) AS wt
+             |       FROM spine s LEFT JOIN g1 USING(bucket), n0),
+             |wl1 AS (SELECT list(wt ORDER BY bucket) AS wl FROM w1 WHERE bucket >= 0),
+             |b1 AS (SELECT wt FROM w1 WHERE bucket = -1),
+             |z2 AS (SELECT f.doc_id, f.y, f.b,
+             |       list_reduce(list_prepend(b1.wt, list_transform(f.b,
+             |         x -> wl1.wl[CAST(x AS INT)+1])), (a,c) -> a+c) AS z
+             |       FROM f, wl1, b1),
+             |ex2 AS (SELECT CAST(floor((0.5 + z/(2.0*(1.0+abs(z))) - y)*1000000000.0 + 0.5) AS BIGINT) AS q,
+             |        unnest(b || [CAST(-1 AS BIGINT)]) AS bucket FROM z2),
+             |g2 AS (SELECT bucket, sum(q) AS g FROM ex2 GROUP BY bucket),
+             |w2 AS (SELECT w1.bucket, w1.wt - 0.5*((coalesce(g2.g,0)/1000000000.0)/n0.n) AS weight
+             |       FROM w1 LEFT JOIN g2 USING(bucket), n0)
+             |SELECT bucket, CAST(floor(weight*1000000.0 + 0.5) AS BIGINT) AS weight_e6
+             |FROM w2 ORDER BY bucket""".stripMargin)),
+
     // ── 87d. exact ROC-AUC of a corpus scorer vs a binary label —
     // Mann-Whitney U with midrank ties, integer rank-sums over per-score
     // aggregates (the window sorts DISTINCT SCORES, not rows). Token

@@ -143,6 +143,115 @@ object LogReg {
                  lr: Double = 0.5, iters: Int = 3): Model =
     train(df, Seq(lit(1.0), scoreCol), label, lr = lr, iters = iters)
 
+  /** Trained hashed-feature model: `bias` plus one weight per feature
+    * bucket (aligned with [[Dsir.buckets]] ids 0..m−1). */
+  final case class HashedModel(bias: Double, weights: Array[Double], n: Long)
+
+  /** Sparse logistic regression over HASHED n-gram features — the
+    * actual fastText shape (Joulin et al. 2016: bag of hashed
+    * unigrams+bigrams → linear classifier), where [[train]]'s dense
+    * `Seq[Column]` API stops scaling: features here are
+    * [[Dsir.buckets]] ids (m buckets, e.g. 10k), the per-doc linear
+    * predictor is a LEFT-FOLD over the doc's bucket array against the
+    * weight vector as a codegen array literal (map-only, no join), and
+    * the per-iteration gradient is ONE explode + groupBy(bucket) pass
+    * whose shuffle key is the bucket id — the m+1-row result (a
+    * sentinel bucket −1 carries the bias gradient and the row count in
+    * the same pass) is a bounded driver envelope.
+    *
+    * Bit-replicability inherits [[train]]'s design: fast sigmoid,
+    * per-occurrence fixed-point gradient quantization summed as
+    * integers (partition-order independent), identical double update
+    * sequence; the fold adds weights in bucket-ARRAY order, which the
+    * oracle twin replays with list_reduce. Decoupled L2 decay applies
+    * to every weight including the bias (same rule as [[train]] when a
+    * bias column is passed). Tokenization reruns per iteration — cache
+    * or checkpoint `docs` upstream when `iters` is large. */
+  def trainHashed(docs: DataFrame, textCol: String, label: Column, m: Int,
+                  lr: Double = 0.5, iters: Int = 3, scale: Double = 1e9,
+                  l2: Double = 0.0): HashedModel = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(l2 >= 0.0, s"l2=$l2 must be >= 0")
+    val feats = docs.select(
+      Dsir.buckets(TextHash.wordHashes(col(textCol)), m).as("_b"),
+      label.cast("double").as("_y")).na.drop(Seq("_y"))
+    var bias = 0.0
+    val w = Array.fill(m)(0.0)
+    var n = 0L
+    for (_ <- 1 to iters) {
+      val resid = fastSigmoid(zHashed(bias, w, col("_b"))) - col("_y")
+      val g = feats
+        .select(resid.as("_r"),
+          explode(concat(col("_b"), array(lit(-1L)))).as("_bkt"))
+        .groupBy(col("_bkt"))
+        .agg(sum(floor(col("_r") * lit(scale) + lit(0.5)).cast("long")).as("_g"),
+          count(lit(1)).as("_c"))
+        .collect()
+      val byBucket = g.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      n = byBucket.get(-1L).map(_._2).getOrElse(0L)
+      require(n > 0, "empty training frame")
+      // same update sequence as train(): decay first, then the step —
+      // buckets with no occurrences decay but get zero gradient
+      def step(cur: Double, grad: Long): Double = {
+        val wd = if (l2 == 0.0) cur else cur * (1.0 - lr * l2)
+        wd - lr * ((grad / scale) / n)
+      }
+      bias = step(bias, byBucket(-1L)._1)
+      var j = 0
+      while (j < m) {
+        w(j) = step(w(j), byBucket.get(j.toLong).map(_._1).getOrElse(0L))
+        j += 1
+      }
+    }
+    HashedModel(bias, w, n)
+  }
+
+  /** Per-doc linear predictor for hashed models: bias + left-fold of
+    * bucket weights in bucket-array order (the twin's list_reduce). */
+  private def zHashed(bias: Double, w: Array[Double], buckets: Column): Column =
+    aggregate(buckets, lit(bias),
+      (acc, b) => acc + element_at(typedlit(w.toSeq), b.cast("int") + 1))
+
+  /** [[score]] for hashed models: appends `prob` and `pred`, map-only
+    * against the weight literal (no join, no shuffle). */
+  def scoreHashed(docs: DataFrame, textCol: String, model: HashedModel,
+                  probCol: String = "prob", predCol: String = "pred"): DataFrame = {
+    val z = zHashed(model.bias, model.weights,
+      Dsir.buckets(TextHash.wordHashes(col(textCol)), model.weights.length))
+    docs.withColumn(probCol, fastSigmoid(z))
+      .withColumn(predCol, (z >= 0.0).cast("int"))
+  }
+
+  /** Driver-side reference of [[trainHashed]] (same arithmetic) for
+    * differential testing: rows = (bucket ids, label). */
+  def trainHashedRef(rows: Seq[(Seq[Long], Double)], m: Int,
+                     lr: Double = 0.5, iters: Int = 3, scale: Double = 1e9,
+                     l2: Double = 0.0): (Double, Array[Double]) = {
+    require(rows.nonEmpty)
+    var bias = 0.0
+    val w = Array.fill(m)(0.0)
+    for (_ <- 1 to iters) {
+      var gb = 0L
+      val g = Array.fill(m)(0L)
+      rows.foreach { case (bs, y) =>
+        var z = bias
+        bs.foreach(b => z += w(b.toInt))
+        val r = fastSigmoidRef(z) - y
+        val q = math.floor(r * scale + 0.5).toLong
+        bs.foreach(b => g(b.toInt) += q)
+        gb += q
+      }
+      def step(cur: Double, grad: Long): Double = {
+        val wd = if (l2 == 0.0) cur else cur * (1.0 - lr * l2)
+        wd - lr * ((grad / scale) / rows.size)
+      }
+      bias = step(bias, gb)
+      var j = 0
+      while (j < m) { w(j) = step(w(j), g(j)); j += 1 }
+    }
+    (bias, w)
+  }
+
   /** Pure-Scala reference trainer (same arithmetic, driver-side) for
     * differential testing: rows = (features, label). */
   def trainRef(rows: Seq[(Array[Double], Double)], lr: Double = 0.5,

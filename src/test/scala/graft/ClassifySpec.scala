@@ -58,6 +58,45 @@ class ClassifySpec extends SparkTestBase {
       s"spark=${m.weights.toSeq} ref=${ref.toSeq}")
   }
 
+  test("trainHashed matches the driver reference bit-for-bit; scoreHashed " +
+      "separates topics map-only") {
+    // driver replica of Dsir.buckets: char-hash unigrams + bigram
+    // shingles, mod m, unigrams first
+    def chash(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % ext.TextHash.P)
+    def bkts(text: String, m: Int): Seq[Long] = {
+      val hs = text.split(" ", -1).map(chash).toSeq
+      val bi = hs.zip(hs.drop(1)).map { case (a, b) => (a * 31 + b) % ext.TextHash.P }
+      (hs ++ bi).map(_ % m)
+    }
+    val rows = (0 until 120).map { i =>
+      if (i % 2 == 0) (s"good quality prose piece v$i", 1.0)
+      else (s"spam click buy now v$i", 0.0)
+    }
+    val df = rows.toDF("text", "y").repartition(5)
+    val m = LogReg.trainHashed(df, "text", col("y"), m = 32, lr = 0.5, iters = 3)
+    val (refBias, refW) = LogReg.trainHashedRef(
+      rows.map { case (t, y) => (bkts(t, 32), y) }, m = 32, lr = 0.5, iters = 3)
+    assert(m.bias === refBias)
+    assert(m.weights.toSeq === refW.toSeq)
+    assert(m.n === 120L)
+    // partition-invariance: same weights from a different layout
+    val m2 = LogReg.trainHashed(rows.toDF("text", "y").repartition(13),
+      "text", col("y"), m = 32, lr = 0.5, iters = 3)
+    assert(m2.weights.toSeq === m.weights.toSeq && m2.bias === m.bias)
+    // scoring separates the classes and is map-only over parquet
+    val scored = LogReg.scoreHashed(
+      Seq(("good quality prose piece v998", -1), ("spam click buy now v999", -1))
+        .toDF("text", "tag"), "text", m)
+    val preds = scored.select("text", "pred").collect()
+      .map(r => r.getString(0).startsWith("good") -> r.getInt(1)).toMap
+    assert(preds(true) === 1 && preds(false) === 0, s"got $preds")
+    val dir = java.nio.file.Files.createTempDirectory("lrh").toString
+    rows.toDF("text", "y").write.mode("overwrite").parquet(dir)
+    val plan = LogReg.scoreHashed(spark.read.parquet(dir), "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoreHashed must be map-only:\n$plan")
+  }
+
   test("training is partition-invariant (fixed-point gradient sums)") {
     val base = (0 until 300).map { i =>
       (1.0, (i % 17) / 8.0 - 1.0, if (i % 3 == 0) 1.0 else 0.0)
