@@ -3538,6 +3538,48 @@ ORDER BY feature"""
              |WHERE vec_id NOT IN (SELECT vid FROM dup)
              |ORDER BY vec_id""".stripMargin)),
 
+    // ── 76b. D4 (Tirumala et al. 2023): SemDeDup then prototypicality
+    // pruning — after cosine dedup, each k-means cell drops the
+    // floor(0.25·|cell|) rows CLOSEST to its centroid (the SSL-
+    // prototypes rule: cluster cores are redundant, the diverse shell
+    // informs). Shares the k-means twin; ranking rides bit-identical
+    // squared-L2 doubles (same sequential sum both engines) ────────────
+    QueryDef(
+      "q_d4_prune",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.ext.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2,
+          spreadInit = false)
+        graft.ext.Dedup.d4(e, "vec_id", "embedding", cents,
+          tau = 0.35, dropFrac = 0.25)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $duckKmeans4x2,
+             |afd AS (SELECT vec_id, cell, d2 FROM (
+             |  SELECT v.vec_id, c.cid AS cell,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2,
+             |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), c.cid) AS rn
+             |  FROM emb v CROSS JOIN c2 c) WHERE rn = 1),
+             |dup AS (
+             |  SELECT b.vec_id AS vid
+             |  FROM afd a JOIN afd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  JOIN emb va ON va.vec_id = a.vec_id
+             |  JOIN emb vb ON vb.vec_id = b.vec_id
+             |  WHERE list_sum(list_transform(range(1, 65), i -> vb.e[i] * va.e[i]))
+             |    / (sqrt(list_sum(list_transform(range(1, 65), i -> vb.e[i] * vb.e[i])))
+             |     * sqrt(list_sum(list_transform(range(1, 65), i -> va.e[i] * va.e[i]))))
+             |    >= 0.35),
+             |surv AS (SELECT * FROM afd WHERE vec_id NOT IN (SELECT vid FROM dup)),
+             |rk AS (SELECT vec_id,
+             |    row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rn,
+             |    count(*) OVER (PARTITION BY cell) AS cnt FROM surv)
+             |SELECT vec_id FROM rk WHERE rn > floor(cnt * 0.25)
+             |ORDER BY vec_id""".stripMargin)),
+
     // ── 77. cross-document repeated n-grams (Lee et al. substring-level
     // dedup signal): per doc, distinct 5-gram shingles and how many
     // recur in ≥2 docs; rep_e4 = the templated fraction. Shuffles key

@@ -669,6 +669,47 @@ object Dedup {
     corpus.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al. 2023,
+    * arXiv:2308.12284 "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification"): within each k-means cell,
+    * drop the `dropFrac` fraction of rows CLOSEST to the cell centroid
+    * — the SSL-prototypes rule (Sorscher et al. 2022): cluster cores
+    * are semantically redundant with each other, the diverse shell
+    * carries the marginal information. Composes after
+    * [[semanticDedup]] — dedup removes near-copies, pruning then thins
+    * the surviving dense cores; [[d4]] runs both in the paper's order.
+    *
+    * Per cell, `floor(dropFrac·|cell|)` rows are dropped in
+    * (distance², id) order — deterministic, and a singleton cell is
+    * never emptied. One window per cell: cells are O(100) rows under
+    * the IVF `k` sizing discipline ([[semanticCandidatePairs]] scale
+    * note), so no window partition is corpus-sized; the assignment
+    * itself is map-side against centroid literals. */
+  def prototypicalityPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                           centroids: Seq[(Int, Array[Double])],
+                           dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac=$dropFrac outside [0, 1)")
+    val w = org.apache.spark.sql.expressions.Window
+    val celled = Ivf.withCellDist(corpus, vecCol, centroids, "_cell", "_d2")
+    val cell = w.partitionBy(col("_cell"))
+    val proto = w.partitionBy(col("_cell")).orderBy(col("_d2"), col(idCol))
+    celled.withColumn("_rn", row_number().over(proto))
+      .withColumn("_cnt", count(lit(1)).over(cell))
+      .filter(col("_rn") > floor(col("_cnt") * lit(dropFrac)))
+      .drop("_cell", "_d2", "_rn", "_cnt")
+  }
+
+  /** The full D4 recipe: [[semanticDedup]] then
+    * [[prototypicalityPrune]] on the survivors, sharing one trained
+    * quantizer. */
+  def d4(corpus: DataFrame, idCol: String, vecCol: String,
+         centroids: Seq[(Int, Array[Double])], tau: Double = 0.9,
+         dropFrac: Double = 0.1, transitive: Boolean = false): DataFrame =
+    prototypicalityPrune(
+      semanticDedup(corpus, idCol, vecCol, centroids, tau, transitive),
+      idCol, vecCol, centroids, dropFrac)
+
   /** Connected components over an undirected near-dup edge set by
     * iterated hash-min label propagation: every vertex starts as its own
     * component; each round, a vertex's label drops to the minimum label

@@ -82,6 +82,23 @@ object Ivf {
   def withCell(corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])], cellCol: String = "ivf_cell"): DataFrame =
     corpus.withColumn(cellCol, nearest(col(vecCol), centroids))
 
+  /** [[withCell]] additionally emitting the squared-L2 distance to the
+    * owning centroid — the prototypicality measure D4-style pruning
+    * ranks on ([[Dedup.prototypicalityPrune]]). Same argmin tie rule
+    * as [[withCell]] (struct min: distance, then cell id). */
+  def withCellDist(corpus: DataFrame, vecCol: String,
+                   centroids: Seq[(Int, Array[Double])],
+                   cellCol: String = "ivf_cell",
+                   distCol: String = "ivf_dist2"): DataFrame = {
+    val ds = centroids.map { case (cid, c) =>
+      struct(dist2(col(vecCol), lit(c)).as("d"), lit(cid).as("cid"))
+    }
+    corpus.withColumn("_mind", array_min(array(ds: _*)))
+      .withColumn(cellCol, col("_mind").getField("cid"))
+      .withColumn(distCol, col("_mind").getField("d"))
+      .drop("_mind")
+  }
+
   /** Persist the corpus as an IVF index: the cell id becomes a PARTITION
     * column, so a probe's `isin(cells)` filter prunes whole cells at the
     * parquet scan (IvfSpec asserts the pruned file count). Build once,

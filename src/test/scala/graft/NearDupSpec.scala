@@ -664,6 +664,39 @@ class NearDupSpec extends SparkTestBase {
     assert(cells.subsetOf((0 until 4).toSet) && cells.nonEmpty)
   }
 
+  test("prototypicalityPrune drops the cell cores; d4 composes dedup then prune") {
+    // two fixed centroids; cluster A has 4 points at increasing distance
+    // from its centroid in DISTINCT directions (colinear points would
+    // all be cosine-1 "semantic duplicates" and the d4 stage below
+    // would collapse them before the prune), cluster B is a singleton
+    // (never emptied)
+    val cents = Seq(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 10.0))
+    val corpus = Seq( // angles 0, 45, 90, 135 deg — pairwise cos <= 0.71
+      (1L, Array(0.1f, 0.0f)), (2L, Array(0.14f, 0.14f)),
+      (3L, Array(0.0f, 0.72f)), (4L, Array(-0.64f, 0.64f)),
+      (5L, Array(10.0f, 10.0f))).toDF("vec_id", "embedding")
+    val kept = Dedup.prototypicalityPrune(corpus, "vec_id", "embedding",
+        cents, dropFrac = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // cell A: floor(4·0.5)=2 closest (ids 1,2) dropped; singleton kept
+    assert(kept === Set(3L, 4L, 5L))
+    // dropFrac 0 is the identity; floor semantics never empty a cell
+    assert(Dedup.prototypicalityPrune(corpus, "vec_id", "embedding", cents, 0.0)
+      .count() === 5L)
+    val tiny = Dedup.prototypicalityPrune(
+      Seq((9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", cents, 0.9)
+    assert(tiny.count() === 1L)
+    // d4: near-identical pair (6 ≈ 1 in ANGLE, cosine ≈ 0.99995)
+    // dedups to min id FIRST, then the prune ranks the survivors —
+    // with 6 gone, cluster A still drops its 2 closest survivors
+    val withDup = corpus.union(Seq((6L, Array(0.2f, 0.002f))).toDF("a", "b"))
+    val d4kept = Dedup.d4(withDup, "vec_id", "embedding", cents,
+        tau = 0.99, dropFrac = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(d4kept === Set(3L, 4L, 5L), s"got $d4kept")
+  }
+
   test("Ivf spreadInit is the default and beats id-order seeding on a topic-sorted corpus") {
     // the common real layout: embeddings appended topic by topic, so ids
     // are CORRELATED with cluster. 4 well-separated clusters of 40, ids
