@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-import graft.ext.{CharHashExpr, JaccardExpr, JaccardGteExpr, MinHashSigExpr, ShingleHashesExpr, SimHashExpr, WordHashesExpr}
+import graft.ext.{CharHashExpr, JaccardExpr, JaccardGteExpr, MinHashSigExpr, OphSigExpr, ShingleHashesExpr, SimHashExpr, WordHashesExpr}
 import graft.functions.{DotExpr, GramianAgg, GtStats, HeavyHittersAgg}
 
 /** Catalyst citizenship: the engine's optimizer rules, injected through
@@ -67,6 +67,10 @@ object GraftExtensions {
     },
     fn("minhash_sig", "minhash_sig(word_hashes, k) - k-permutation MinHash signature") {
       a => MinHashSigExpr(a.head, intLit(a(1), "minhash_sig"))
+    },
+    fn("oph_sig", "oph_sig(word_hashes, k) - one-permutation densified " +
+      "MinHash signature (O(tokens+k))") {
+      a => OphSigExpr(a.head, intLit(a(1), "oph_sig"))
     },
     fn("simhash", "simhash(word_hashes, bits) - SimHash of the hash multiset") {
       a => SimHashExpr(a.head, intLit(a(1), "simhash"))

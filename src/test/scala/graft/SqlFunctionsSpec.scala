@@ -19,6 +19,7 @@ class SqlFunctionsSpec extends SparkTestBase {
       """SELECT char_hash(text) AS ch, word_hashes(text) AS wh,
         |  shingle_hashes(word_hashes(text), 3) AS sh,
         |  minhash_sig(word_hashes(text), 4) AS mh,
+        |  oph_sig(word_hashes(text), 8) AS oph,
         |  simhash(word_hashes(text), 16) AS sim
         |FROM sqlfn_docs""".stripMargin).head()
     val viaApi = df.select(
@@ -26,6 +27,7 @@ class SqlFunctionsSpec extends SparkTestBase {
       TextHash.wordHashes(col("text")).as("wh"),
       TextHash.shingleHashes(TextHash.wordHashes(col("text")), 3).as("sh"),
       TextHash.minhashSignature(TextHash.wordHashes(col("text")), 4).as("mh"),
+      TextHash.ophSignature(TextHash.wordHashes(col("text")), 8).as("oph"),
       TextHash.simhash(TextHash.wordHashes(col("text")), 16).as("sim")).head()
     assert(viaSql === viaApi)
   }
