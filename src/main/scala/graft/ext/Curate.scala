@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *      near-dup ([[DocPipeline.prepare]], one plan)
   *   6. benchmark decontamination ([[Corpus.bloomDecontaminate]],
   *      when a benchmark frame is provided)
+  *   7. DSIR target-distribution selection ([[Dsir.trainWeights]] +
+  *      [[Dsir.resample]], when a target frame and budget are given) —
+  *      the raw side of the importance ratio is the post-cleaning
+  *      survivor pool itself (the Xie et al. 2023 setup: select from
+  *      the cleaned raw corpus toward the target's n-gram profile)
   *
   * Every stage is the library operator documented at its own site —
   * this object adds ORDER, not semantics. Scale shape is the sum of
@@ -58,7 +63,10 @@ object Curate {
       maxSignatureDf: Long = Long.MaxValue,
       oph: Boolean = false,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
-      decontaminateN: Int = 13)
+      decontaminateN: Int = 13,
+      dsirTarget: Option[DataFrame] = None, // (textCol) target corpus
+      dsirKeep: Int = 0,
+      dsirBuckets: Int = 10000)
 
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     require(cfg.blockedDomains.isEmpty || cfg.urlCol.nonEmpty,
@@ -116,10 +124,22 @@ object Curate {
       oph = cfg.oph)
 
     // 6. benchmark decontamination
-    cfg.benchmark match {
+    val decon = cfg.benchmark match {
       case Some(b) =>
         Corpus.bloomDecontaminate(prepared, b, id, text, n = cfg.decontaminateN)
       case None => prepared
+    }
+
+    // 7. DSIR selection toward the target distribution. Training runs
+    // two bucket-keyed aggregation ACTIONS here (the m-row weight
+    // envelope), like the bloom build in stage 6; the surviving rows
+    // keep their importance log-weight (`dsir_lw6`) for inspection.
+    cfg.dsirTarget match {
+      case Some(tgt) =>
+        require(cfg.dsirKeep > 0, "dsirTarget needs dsirKeep > 0")
+        val w = Dsir.trainWeights(tgt, decon, text, cfg.dsirBuckets)
+        Dsir.resample(decon, id, text, w, cfg.dsirKeep)
+      case None => decon
     }
   }
 }

@@ -50,6 +50,33 @@ class CurateSpec extends SparkTestBase {
     assert(texts.forall(t => !t.contains("<p>") && !t.contains("</p>")))
   }
 
+  test("dsirTarget stage: selection keeps the target-like survivors, budget honored") {
+    // 10 on-topic docs + 30 off-topic docs. Each doc is 2/3 UNIQUE
+    // filler (so the funnel's near-dup stage keeps them all — a
+    // shared-vocab fixture collapses to one survivor per class) and
+    // 1/3 class vocabulary (concentrated: topical "scienceN" vs junk
+    // "junkN"); target = pure topical prose. DSIR must pick exactly
+    // the on-topic docs for a budget of 10.
+    def mixed(i: Long, cls: Int => String) =
+      (1 to 30).map(j =>
+        if (j % 3 == 0) cls((i.toInt * 7 + j) % 12) else s"u${i}x$j").mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, mixed(i, n => s"science$n"))) ++
+      (11L to 40L).map(i => (i, mixed(i, n => s"junk${n % 9}"))))
+      .toDF("doc_id", "text")
+    val target = (100L to 140L).map(i =>
+      (1 to 30).map(j => s"science${(i * 7 + j) % 12}").mkString(" ")).toDF("text")
+    val out = Curate.run(docs, Curate.Config(minWords = 10,
+      dsirTarget = Some(target), dsirKeep = 10, dsirBuckets = 512))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === (1L to 10L).toSet, s"got $kept")
+    // importance log-weight rides along for inspection
+    assert(out.columns.contains("dsir_lw6"))
+    // config guard: target without a budget is an error
+    assertThrows[IllegalArgumentException] {
+      Curate.run(docs, Curate.Config(minWords = 10, dsirTarget = Some(target)))
+    }
+  }
+
   test("htmlInput preserves stripHtml's line structure for lineDedup: nav boilerplate cut per line, docs survive") {
     // the regression: folding stripHtml's newlines to spaces BEFORE
     // lineDedup left one line per doc, degenerating the configured

@@ -138,6 +138,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DSIR + hashed-classifier scoring gate a stream (map-only columns are streaming-safe)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // train both models in BATCH (the serve-time pattern: weights are
+    // plain literals, so the streaming plan stays stateless map-only)
+    val target = ((0 until 40).map(i => s"alpha beta gamma v$i")).toDF("text")
+    val pool = ((0 until 40).map(i => (i.toLong, s"alpha beta gamma v$i", 1.0)) ++
+      (40 until 80).map(i => (i.toLong, s"spam click buy v$i", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val w = graft.ext.Dsir.trainWeights(target, pool, "text", 128)
+    val lrm = graft.ext.LogReg.trainHashed(pool, "text", org.apache.spark.sql.functions.col("y"), m = 128,
+      lr = 0.5, iters = 3)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ext.LogReg.scoreHashed(
+      graft.ext.Dsir.scoreDocs(
+        input.toDF().toDF("doc_id", "text"), "text", w),
+      "text", lrm).filter(org.apache.spark.sql.functions.col("pred") === 1)
+    val q = scored.writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta gamma fresh"), (2L, "spam click buy fresh"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha beta gamma more"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, dsir_lw6 FROM dsir_gate").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.keySet === Set(1L, 3L), s"classifier gate must drop spam: $rows")
+      // streamed DSIR weights equal the batch computation on the same text
+      val batch = graft.ext.Dsir.scoreDocs(
+        Seq((1L, "alpha beta gamma fresh")).toDF("doc_id", "text"), "text", w)
+        .select("dsir_lw6").head().getLong(0)
+      assert(rows(1L) === batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: click matches impression only within the bound") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
