@@ -6556,6 +6556,108 @@ ORDER BY feature"""
              |  AND n_stop >= 2) AS kept
              |FROM m ORDER BY doc_id""").stripMargin)),
 
+    // ── 102c2. Gopher repetition signals (Rae et al. 2021 §A1.1, the
+    // repetition half of MassiveText filtering) over docs re-lined at
+    // ' table ', with a duplicated cookie line planted on %5 docs and a
+    // 4×-repeated phrase tail on %7 docs: dup-unit counts/chars, top
+    // 2/3/4-gram char mass, dup 5/10-gram char mass — every integer
+    // cell replayed gram-for-gram in DuckDB ───────────────────────────
+    QueryDef(
+      "q_repetition",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("t2", concat(
+            regexp_replace(col("text"), " table ", "\n"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\nthis site uses cookies\nthis site uses cookies"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" click here click here click here click here"))
+              .otherwise(lit(""))))
+        graft.ext.TextAnalysis.repetitionSignals(docs, "doc_id", "t2")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  regexp_replace(text, ' table ', chr(10), 'g')
+             |  || (CASE WHEN doc_id % 5 = 0
+             |      THEN chr(10) || 'this site uses cookies'
+             |        || chr(10) || 'this site uses cookies' ELSE '' END)
+             |  || (CASE WHEN doc_id % 7 = 0
+             |      THEN ' click here click here click here click here'
+             |      ELSE '' END) AS t FROM documents),
+             |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM d),
+             |u AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS unit
+             |  FROM d),
+             |uf AS (SELECT doc_id, unit, count(*) AS c FROM u
+             |  WHERE length(unit) >= 1 GROUP BY doc_id, unit),
+             |ua AS (SELECT doc_id, sum(c) AS n_units, sum(c-1) AS dup_units,
+             |  sum(c*length(unit)) AS unit_chars,
+             |  sum((c-1)*length(unit)) AS dup_unit_chars
+             |  FROM uf GROUP BY doc_id),
+             |gi2 AS (SELECT doc_id, toks,
+             |  CAST(unnest(range(1, len(toks))) AS INT) AS i FROM tk),
+             |f2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+             |  count(*) AS c FROM gi2 GROUP BY doc_id, gram),
+             |m2 AS (SELECT doc_id, max(c) AS topc FROM f2 GROUP BY doc_id),
+             |t2 AS (SELECT f2.doc_id, any_value(m2.topc) AS top_cnt,
+             |  max(c*length(gram)) AS top_chars
+             |  FROM f2 JOIN m2 ON f2.doc_id = m2.doc_id AND f2.c = m2.topc
+             |  GROUP BY f2.doc_id),
+             |gi3 AS (SELECT doc_id, toks,
+             |  CAST(unnest(range(1, len(toks)-1)) AS INT) AS i FROM tk),
+             |f3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram,
+             |  count(*) AS c FROM gi3 GROUP BY doc_id, gram),
+             |m3 AS (SELECT doc_id, max(c) AS topc FROM f3 GROUP BY doc_id),
+             |t3 AS (SELECT f3.doc_id, any_value(m3.topc) AS top_cnt,
+             |  max(c*length(gram)) AS top_chars
+             |  FROM f3 JOIN m3 ON f3.doc_id = m3.doc_id AND f3.c = m3.topc
+             |  GROUP BY f3.doc_id),
+             |gi4 AS (SELECT doc_id, toks,
+             |  CAST(unnest(range(1, len(toks)-2)) AS INT) AS i FROM tk),
+             |f4 AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram,
+             |  count(*) AS c FROM gi4 GROUP BY doc_id, gram),
+             |m4 AS (SELECT doc_id, max(c) AS topc FROM f4 GROUP BY doc_id),
+             |t4 AS (SELECT f4.doc_id, any_value(m4.topc) AS top_cnt,
+             |  max(c*length(gram)) AS top_chars
+             |  FROM f4 JOIN m4 ON f4.doc_id = m4.doc_id AND f4.c = m4.topc
+             |  GROUP BY f4.doc_id),
+             |gi5 AS (SELECT doc_id, toks,
+             |  CAST(unnest(range(1, len(toks)-3)) AS INT) AS i FROM tk),
+             |f5 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram,
+             |  count(*) AS c FROM gi5 GROUP BY doc_id, gram),
+             |d5 AS (SELECT doc_id, sum(CASE WHEN c >= 2
+             |  THEN c*length(gram) ELSE 0 END) AS dchars
+             |  FROM f5 GROUP BY doc_id),
+             |gi10 AS (SELECT doc_id, toks,
+             |  CAST(unnest(range(1, len(toks)-8)) AS INT) AS i FROM tk),
+             |f10 AS (SELECT doc_id, array_to_string(toks[i:i+9], ' ') AS gram,
+             |  count(*) AS c FROM gi10 GROUP BY doc_id, gram),
+             |d10 AS (SELECT doc_id, sum(CASE WHEN c >= 2
+             |  THEN c*length(gram) ELSE 0 END) AS dchars
+             |  FROM f10 GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |CAST(length(d.t) AS BIGINT) AS n_chars,
+             |CAST(coalesce(ua.n_units, 0) AS BIGINT) AS n_units,
+             |CAST(coalesce(ua.dup_units, 0) AS BIGINT) AS dup_units,
+             |CAST(coalesce(ua.unit_chars, 0) AS BIGINT) AS unit_chars,
+             |CAST(coalesce(ua.dup_unit_chars, 0) AS BIGINT) AS dup_unit_chars,
+             |CAST(coalesce(t2.top_cnt, 0) AS BIGINT) AS top2_cnt,
+             |CAST(coalesce(t2.top_chars, 0) AS BIGINT) AS top2_chars,
+             |CAST(coalesce(t3.top_cnt, 0) AS BIGINT) AS top3_cnt,
+             |CAST(coalesce(t3.top_chars, 0) AS BIGINT) AS top3_chars,
+             |CAST(coalesce(t4.top_cnt, 0) AS BIGINT) AS top4_cnt,
+             |CAST(coalesce(t4.top_chars, 0) AS BIGINT) AS top4_chars,
+             |CAST(coalesce(d5.dchars, 0) AS BIGINT) AS dup5_chars,
+             |CAST(coalesce(d10.dchars, 0) AS BIGINT) AS dup10_chars
+             |FROM d
+             |LEFT JOIN ua ON ua.doc_id = d.doc_id
+             |LEFT JOIN t2 ON t2.doc_id = d.doc_id
+             |LEFT JOIN t3 ON t3.doc_id = d.doc_id
+             |LEFT JOIN t4 ON t4.doc_id = d.doc_id
+             |LEFT JOIN d5 ON d5.doc_id = d.doc_id
+             |LEFT JOIN d10 ON d10.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ── 102d. C4 line-level cleaning over multi-line docs synthesized
     // by sentence-splitting the word soup at ' table ' (plus a
     // boilerplate line on %5 docs and a code brace on %13 docs): line

@@ -248,6 +248,87 @@ object TextAnalysis {
         col("n_ellipsis"), col("n_alpha_words"), col("n_stop"), col("kept"))
   }
 
+  /** Gopher REPETITION signals (Rae et al. 2021 §A1.1, the repetition
+    * half of the MassiveText filter — applied alongside the quality
+    * gates in [[gopherRules]]): per document, INTEGER sufficient cells
+    * for every repetition fraction in the paper's table A1:
+    *
+    *   - `n_units`, `dup_units` — units (lines by default, paragraphs
+    *     via `unitSep`) and occurrences BEYOND THE FIRST of each
+    *     distinct unit; `dup_units / n_units` = duplicate-line fraction
+    *   - `unit_chars`, `dup_unit_chars` — same, weighted by unit length
+    *     → duplicate-line CHARACTER fraction
+    *   - `top{n}_cnt`, `top{n}_chars` for n ∈ `topNs` — occurrence
+    *     count of the most frequent word n-gram and its character mass
+    *     (count × joined length); `top{n}_chars / n_chars` = the
+    *     top-n-gram character fraction
+    *   - `dup{n}_chars` for n ∈ `dupNs` — Σ over n-grams occurring ≥ 2
+    *     times of (occurrences × joined length) → duplicate-n-gram
+    *     character fraction
+    *
+    * Conventions pinned for cross-engine determinism (the paper leaves
+    * both open and public implementations differ): (1) n-gram character
+    * mass counts every OCCURRENCE of a duplicated gram at its joined
+    * single-space length — overlapping occurrences are NOT de-overlapped
+    * (the occurrence-sum convention); (2) when several grams tie on max
+    * count, `top{n}_chars` is the max of count × length over the tied
+    * set — order-independent, no lexicographic tie-break needed. Empty
+    * units (consecutive separators) are dropped before counting.
+    *
+    * Scale shape: map-only — unit and n-gram term frequencies come from
+    * the one-pass [[TextHashExprs.termFreqs]] kernel per row, aggregated
+    * by HOFs; no explode, zero shuffle at any corpus size. Callers
+    * compare the integer cells against thresholds by cross-
+    * multiplication, the [[gopherRules]] convention. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupNs: Seq[Int] = Seq(5, 10),
+                        unitSep: String = "\n"): DataFrame = {
+    require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be >= 1")
+    val text = col("_t")
+    val unitTf = TextHashExprs.termFreqs(
+      filter(split(text, java.util.regex.Pattern.quote(unitSep)),
+        u => length(u) >= 1))
+    def tfSum(tf: Column, f: (Column, Column) => Column): Column =
+      aggregate(tf, lit(0L),
+        (acc, x) => acc + f(x.getField("tf"), length(x.getField("term")).cast("long")))
+    def gramTf(n: Int): Column = {
+      val toks = col("_toks")
+      val grams =
+        if (n == 1) toks
+        else when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      TextHashExprs.termFreqs(grams)
+    }
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_utf", unitTf)
+    val withUnits = base.select(
+      col("doc_id"), col("_t"), col("_toks"),
+      length(col("_t")).cast("long").as("n_chars"),
+      tfSum(col("_utf"), (tf, _) => tf).as("n_units"),
+      tfSum(col("_utf"), (tf, _) => tf - 1L).as("dup_units"),
+      tfSum(col("_utf"), (tf, len) => tf * len).as("unit_chars"),
+      tfSum(col("_utf"), (tf, len) => (tf - 1L) * len).as("dup_unit_chars"))
+    val withTop = topNs.foldLeft(withUnits) { (df, n) =>
+      df.withColumn(s"_tf$n", gramTf(n))
+        .withColumn(s"top${n}_cnt",
+          coalesce(array_max(transform(col(s"_tf$n"), x => x.getField("tf"))), lit(0L)))
+        .withColumn(s"top${n}_chars",
+          coalesce(array_max(transform(
+            filter(col(s"_tf$n"), x => x.getField("tf") === col(s"top${n}_cnt")),
+            x => x.getField("tf") * length(x.getField("term")).cast("long"))), lit(0L)))
+        .drop(s"_tf$n")
+    }
+    val withDup = dupNs.foldLeft(withTop) { (df, n) =>
+      df.withColumn(s"dup${n}_chars",
+        tfSum(gramTf(n), (tf, len) => when(tf >= 2L, tf * len).otherwise(0L)))
+    }
+    withDup.drop("_t", "_toks")
+  }
+
   /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the limits
     * of transfer learning with a unified text-to-text transformer"
     * §2.2 — the rule set behind the C4 corpus, applied line-by-line

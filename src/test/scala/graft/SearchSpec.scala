@@ -248,6 +248,42 @@ class SearchSpec extends SparkTestBase {
     assert(s89(9L)._7 === 2L && s89(9L)._8 === true)
   }
 
+  test("repetitionSignals: hand-computed cells for units, top n-grams, dup n-grams") {
+    val corpus = Seq(
+      (1L, "a b\nc d\na b\nx"),                      // dup line "a b"
+      (2L, "a b c d e a b c d e a b c d e"),         // period-5 repetition
+      (3L, ""),                                      // empty text
+      (4L, "x\n\nx")                                 // empty unit dropped
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.repetitionSignals(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def cell(id: Long, name: String): Long =
+      out(id).getAs[Long](name)
+    // doc 1: units [a b, c d, a b, x]; "a b" ×2 → one dup occurrence
+    assert(cell(1L, "n_units") === 4L && cell(1L, "dup_units") === 1L)
+    assert(cell(1L, "unit_chars") === 10L && cell(1L, "dup_unit_chars") === 3L)
+    assert(cell(1L, "n_chars") === 13L)
+    // doc 1 tokens split on ' ' keep newlines inside: [a, b\nc, d\na, b\nx]
+    // → all 2-grams distinct; top2_chars = longest of the tf=1 grams (7)
+    assert(cell(1L, "top2_cnt") === 1L && cell(1L, "top2_chars") === 7L)
+    assert(cell(1L, "dup5_chars") === 0L) // only 4 tokens, no 5-gram
+    // doc 2: "a b c d e" ×3 → top2/3/4 cnt 3 with char masses 9/15/21;
+    // dup5 = 3·9 + 4·(2·9) = 99; dup10: the pos-0 10-gram repeats at
+    // pos 5 (2·19 = 38), the rest are singles
+    assert(cell(2L, "n_chars") === 29L && cell(2L, "n_units") === 1L)
+    assert(cell(2L, "top2_cnt") === 3L && cell(2L, "top2_chars") === 9L)
+    assert(cell(2L, "top3_cnt") === 3L && cell(2L, "top3_chars") === 15L)
+    assert(cell(2L, "top4_cnt") === 3L && cell(2L, "top4_chars") === 21L)
+    assert(cell(2L, "dup5_chars") === 99L)
+    assert(cell(2L, "dup10_chars") === 38L)
+    // doc 3: all-zero row, not a null/missing row
+    assert(cell(3L, "n_chars") === 0L && cell(3L, "n_units") === 0L &&
+      cell(3L, "top2_cnt") === 0L && cell(3L, "dup5_chars") === 0L)
+    // doc 4: consecutive separators yield an empty unit — dropped, so
+    // the two "x" lines still register as a duplicate
+    assert(cell(4L, "n_units") === 2L && cell(4L, "dup_units") === 1L)
+  }
+
   test("c4CleanLines: line predicate + page gates, hand document") {
     val text = "This is a good sentence.\nshort.\nno terminal punctuation here\n" +
       "Please enable JavaScript to continue.\nAnother keeper line!\n" +
