@@ -51,10 +51,13 @@ object Bench {
     }
     // Full precision goes to a file (and stdout, first): the driver's
     // 2000-char stdout tail cannot hold ~80 queries at full precision.
+    // Only an UNFILTERED run may replace the round artifact — a
+    // BENCH_ONLY spot-check would otherwise clobber the full medians.
     val full = line(results, _.toString)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(full)
     // Compact line LAST so it lands fully inside the driver's tail
     // window (json.loads-able). 2-decimal values; if the query count

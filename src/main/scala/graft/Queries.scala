@@ -3205,6 +3205,31 @@ ORDER BY feature"""
              |    / 2147483648.0))*1000000.0+0.5) AS BIGINT) DESC, doc_id
              |LIMIT 40""".stripMargin)),
 
+    // ── 72d. DSIR resample via distributed radix selection
+    // (Dsir.resampleAt / operators.Selection): the SAME top-40 set as
+    // q_dsir_resample, but found by 16-bit histogram descent + a
+    // threshold filter instead of a sorted limit — the corpus-budget
+    // path where TakeOrderedAndProject's n·partitions driver merge
+    // would OOM. Twin: identical Gumbel-key top-k, re-sorted by id ────
+    QueryDef(
+      "q_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = ext.Dsir.trainWeights(
+          docs.filter(col("doc_id") % 7 === 0), docs, "text", 64)
+        ext.Dsir.resampleAt(docs, "doc_id", "text", w, 40L)
+          .select(col("doc_id"), col("dsir_lw6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$duckDsirCte
+             |SELECT doc_id, dsir_lw6 FROM (
+             |  SELECT doc_id, dsir_lw6 FROM sc
+             |  ORDER BY dsir_lw6 + CAST(floor(-ln(-ln(
+             |      (((doc_id % 2147483648)*1103515245 + 12345) % 2147483648 + 0.5)
+             |      / 2147483648.0))*1000000.0+0.5) AS BIGINT) DESC, doc_id
+             |  LIMIT 40)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── 73. token-budget selection: best-quality-first (n_chars here)
     // per-language take until 2000 tokens are drawn; the kept set is a
     // window cumsum filter, spillover convention as q_pack ─────────────
@@ -3224,6 +3249,28 @@ ORDER BY feature"""
              |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
              |SELECT doc_id, lang, n_tok FROM c
              |WHERE cum - n_tok < 2000 ORDER BY doc_id""".stripMargin)),
+
+    // ── 73b. token-budget selection via weighted radix descent
+    // (Corpus.selectByBudgetAt / Selection.budgetThreshold*): the
+    // GLOBAL-budget variant where the window form would single-partition
+    // the corpus — same crossing-document semantics, cut point found by
+    // bounded histogram envelopes; twin replays the window rule ────────
+    QueryDef(
+      "q_token_budget_at",
+      (s, d) =>
+        ext.Corpus.selectByBudgetAt(
+          t(s, d, "documents").withColumn(
+            "n_tok", TextAnalysis.wordCountOf(TextAnalysis.tokens(col("text")))),
+          "n_tok", "n_chars", 5000L, "doc_id")
+          .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |  sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+             |SELECT doc_id, n_tok FROM c
+             |WHERE cum - n_tok < 5000 ORDER BY doc_id""".stripMargin)),
 
     // ── 74. PII redaction: email/IPv4/phone spans → typed placeholders
     // + per-category counts. The corpus text is digit-free, so PII is

@@ -66,6 +66,17 @@ object DsirScaleDemo {
       f"on-topic in selection: $onTopicPicked/$nPicked " +
       f"(base rate would be ${nPicked / 20L})")
 
+    // the corpus-budget path: radix selection + threshold filter must
+    // pick the IDENTICAL set with no TakeOrdered driver merge
+    t0 = System.nanoTime()
+    val viaSel = Dsir.resampleAt(docs, "doc_id", "text", w, n.toLong)
+      .select(col("doc_id")).localCheckpoint()
+    val selSec = (System.nanoTime() - t0) / 1e9
+    val diff = viaSel.union(picked).groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count()
+    println(f"DSIR-SCALE resampleAt($n) = $selSec%.1f s; " +
+      f"set difference vs sorted-limit path: $diff (must be 0)")
+
     // signature kernel shootout at k=64: word hashes MATERIALIZED first
     // so the timing isolates the signature loop (tokenization dominates
     // otherwise and hides the O(n·k) vs O(n+k) difference)

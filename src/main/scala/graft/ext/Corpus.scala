@@ -339,6 +339,39 @@ object Corpus {
       .drop("_cum")
   }
 
+  /** [[selectByBudget]] for ONE corpus-sized stratum (or an unstratified
+    * corpus): the identical kept set — best-quality-first in
+    * (quality DESC, id) order until the crossing document — but the cut
+    * point is found by weighted radix descent
+    * ([[graft.operators.Selection.budgetThresholdDesc]]) instead of a
+    * window cumsum. The window form partitions by the group columns, so
+    * a hot stratum ("en" at web scale) or an empty `groupCols` becomes
+    * ONE sort partition — this path never sorts: ~8 histogram scans of
+    * a slim (id, quality, weight) checkpoint, each collecting ≤ 65,536
+    * rows, then a map-only threshold filter over the original frame.
+    * Callers with several hot strata filter each and union the results;
+    * small strata stay on the window form.
+    *
+    * `qualityCol` must be an integral column (the radix domain —
+    * fractional quality scores should be fixed-pointed upstream, the
+    * repo-wide e6 convention); `nTokCol` must be non-negative. */
+  def selectByBudgetAt(df: DataFrame, nTokCol: String, qualityCol: String,
+                       budget: Long, idCol: String): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val qt = df.schema(qualityCol).dataType
+    require(Seq("long", "int", "short", "byte").contains(qt.typeName),
+      s"qualityCol must be integral for radix selection, got $qt")
+    import graft.core.Checkpoints.CutOps
+    val q = col(qualityCol).cast("long")
+    val slim = df.select(col(idCol), q.as("_q"), col(nTokCol).cast("long").as("_w")).cut
+    val total = slim.agg(sum(col("_w"))).head()
+    if (total.isNullAt(0) || total.getLong(0) < budget) return df
+    val (t, r) = graft.operators.Selection.budgetThresholdDesc(slim, "_q", "_w", budget)
+    val (idCut, _) = graft.operators.Selection.budgetThresholdAsc(
+      slim.filter(col("_q") === t), idCol, "_w", r)
+    df.filter(q > t || (q === t && col(idCol) <= idCut))
+  }
+
   /** Deterministic corpus shuffle for training-order randomization:
     * globally sort by the LCG order hash (tie-break id), sharded by
     * FIXED hash ranges — shard = floor(h·numShards / 2³¹), an identity

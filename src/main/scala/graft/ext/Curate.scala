@@ -138,7 +138,13 @@ object Curate {
       case Some(tgt) =>
         require(cfg.dsirKeep > 0, "dsirTarget needs dsirKeep > 0")
         val w = Dsir.trainWeights(tgt, decon, text, cfg.dsirBuckets)
-        Dsir.resample(decon, id, text, w, cfg.dsirKeep)
+        // corpus-sized budgets switch to the radix-selection path: the
+        // sorted limit merges n·partitions rows on the driver, so past
+        // the histogram-envelope bound the threshold form is the only
+        // shape that survives (identical selected set, spec'd)
+        if (cfg.dsirKeep > 65536)
+          Dsir.resampleAt(decon, id, text, w, cfg.dsirKeep.toLong)
+        else Dsir.resample(decon, id, text, w, cfg.dsirKeep)
       case None => decon
     }
   }

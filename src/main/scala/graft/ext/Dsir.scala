@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * envelope; scoring is MAP-ONLY against the table as a codegen array
   * literal (the langid literal-state convention — no join, no
   * shuffle); training is two explode+groupBy passes whose shuffle keys
-  * are the m buckets; the resample is a TakeOrdered top-n (per-
-  * partition top-n, driver merges n·partitions keys — n is the sample
-  * budget, bounded by design).
+  * are the m buckets; the resample is a TakeOrdered top-n for bounded
+  * budgets ([[resample]]) and radix-selection + threshold filter for
+  * corpus-sized ones ([[resampleAt]] — the TakeOrdered driver merge of
+  * n·partitions rows does not survive n ~ 10⁹).
   */
 object Dsir {
 
@@ -83,9 +84,20 @@ object Dsir {
 
   /** Per-doc DSIR importance log-weight: INTEGER sum of `lr6` over the
     * doc's feature buckets, computed map-side against the weight table
-    * as a codegen array literal — no join, no shuffle, one pass. */
+    * riding the codegen kernel ([[BucketExprs.sumLong]]) — no join, no
+    * shuffle, one tight loop per document. [[scoreDocsHof]] is the
+    * readable spec this must equal (lambda HOFs evaluate interpreted —
+    * not the shape for the map stage every document crosses). */
   def scoreDocs(docs: DataFrame, textCol: String, weights: Array[Long],
-                outCol: String = "dsir_lw6"): DataFrame = {
+                outCol: String = "dsir_lw6"): DataFrame =
+    docs.withColumn(outCol,
+      BucketExprs.sumLong(
+        buckets(TextHash.wordHashes(col(textCol)), weights.length), weights))
+
+  /** HOF spec form of [[scoreDocs]] (differential reference only). */
+  private[graft] def scoreDocsHof(docs: DataFrame, textCol: String,
+                                weights: Array[Long],
+                                outCol: String = "dsir_lw6"): DataFrame = {
     val wlit = typedlit(weights.toSeq)
     docs.withColumn(outCol,
       aggregate(buckets(TextHash.wordHashes(col(textCol)), weights.length),
@@ -105,12 +117,49 @@ object Dsir {
   def resample(docs: DataFrame, idCol: String, textCol: String,
                weights: Array[Long], n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
-    val u = (Corpus.orderHash(col(idCol)).cast("double") + 0.5) / 2147483648.0
-    val g6 = floor(-log(-log(u)) * 1000000.0 + 0.5).cast("long")
     scoreDocs(docs, textCol, weights)
-      .withColumn("_gumbel_key", col("dsir_lw6") + g6)
+      .withColumn("_gumbel_key", gumbelKey(idCol))
       .orderBy(col("_gumbel_key").desc, col(idCol))
       .limit(n)
+      .drop("_gumbel_key")
+  }
+
+  private def gumbelKey(idCol: String): org.apache.spark.sql.Column = {
+    val u = (Corpus.orderHash(col(idCol)).cast("double") + 0.5) / 2147483648.0
+    val g6 = floor(-log(-log(u)) * 1000000.0 + 0.5).cast("long")
+    col("dsir_lw6") + g6
+  }
+
+  /** [[resample]] for corpus-sized budgets: the SAME selected set (ties
+    * on the Gumbel key broken toward smaller ids, exactly the
+    * `orderBy(key desc, id)` rule), but the top-n is found by
+    * distributed radix selection ([[graft.operators.Selection]])
+    * instead of a sorted limit — `orderBy.limit(n)` plans as
+    * TakeOrderedAndProject, whose driver merge of n·partitions rows is
+    * an OOM at n ~ 10⁹ (the keep budget this operator exists for).
+    *
+    * Cost shape: ONE text-scoring pass materialized as a slim
+    * (id, key) checkpoint — 16 bytes/doc, the only thing the ~8
+    * histogram scans touch — one more text pass for the final
+    * emit, and zero joins (the survivor predicate is a key/id
+    * threshold filter, map-only). Selection histograms are ≤ 65,536
+    * rows each — bounded driver envelopes, never n rows. */
+  def resampleAt(docs: DataFrame, idCol: String, textCol: String,
+                 weights: Array[Long], n: Long): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    import graft.core.Checkpoints.CutOps
+    val scored = scoreDocs(docs, textCol, weights)
+      .withColumn("_gumbel_key", gumbelKey(idCol))
+    val slim = scored.select(col(idCol), col("_gumbel_key")).cut
+    if (slim.count() <= n) return scored.drop("_gumbel_key")
+    val (t, r) = graft.operators.Selection.nthLargest(slim, "_gumbel_key", n)
+    // r tie slots go to the SMALLEST ids among key == t (ids are unique,
+    // so the r-th smallest id is a clean cut with no residual tie)
+    val (idCut, _) = graft.operators.Selection.nthSmallest(
+      slim.filter(col("_gumbel_key") === t), idCol, r)
+    scored
+      .filter(col("_gumbel_key") > t ||
+        (col("_gumbel_key") === t && col(idCol) <= idCut))
       .drop("_gumbel_key")
   }
 }

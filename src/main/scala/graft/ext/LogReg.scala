@@ -180,9 +180,15 @@ object LogReg {
     var n = 0L
     for (_ <- 1 to iters) {
       val resid = fastSigmoid(zHashed(bias, w, col("_b"))) - col("_y")
+      // TWO-STEP shape on purpose: `select(resid, explode(…))` would
+      // plan the residual in the Project ABOVE the Generate — Spark
+      // evaluates generator-sibling expressions once per EXPLODED row,
+      // multiplying the whole sigmoid fold by tokens/doc (measured 4×
+      // at sf0.1; unbounded on long documents). withColumn first keeps
+      // `_r` in the Project below the Generate: once per document.
       val g = feats
-        .select(resid.as("_r"),
-          explode(concat(col("_b"), array(lit(-1L)))).as("_bkt"))
+        .withColumn("_r", resid)
+        .select(col("_r"), explode(concat(col("_b"), array(lit(-1L)))).as("_bkt"))
         .groupBy(col("_bkt"))
         .agg(sum(floor(col("_r") * lit(scale) + lit(0.5)).cast("long")).as("_g"),
           count(lit(1)).as("_c"))
@@ -207,19 +213,31 @@ object LogReg {
   }
 
   /** Per-doc linear predictor for hashed models: bias + left-fold of
-    * bucket weights in bucket-array order (the twin's list_reduce). */
+    * bucket weights in bucket-array order (the twin's list_reduce).
+    * Codegen kernel ([[BucketExprs.dotDouble]]) — identical addition
+    * sequence to [[zHashedHof]], which remains the differential spec
+    * (lambda HOFs evaluate interpreted, a per-token megamorphic chain
+    * on the map stage every document crosses). */
   private def zHashed(bias: Double, w: Array[Double], buckets: Column): Column =
+    BucketExprs.dotDouble(buckets, w, bias)
+
+  /** HOF spec form of [[zHashed]] (differential reference only). */
+  private[graft] def zHashedHof(bias: Double, w: Array[Double], buckets: Column): Column =
     aggregate(buckets, lit(bias),
       (acc, b) => acc + element_at(typedlit(w.toSeq), b.cast("int") + 1))
 
   /** [[score]] for hashed models: appends `prob` and `pred`, map-only
-    * against the weight literal (no join, no shuffle). */
+    * against the weight table (no join, no shuffle). The predictor is
+    * computed ONCE into a temp column — referencing `z` from both
+    * output columns would tokenize and fold twice per document. */
   def scoreHashed(docs: DataFrame, textCol: String, model: HashedModel,
                   probCol: String = "prob", predCol: String = "pred"): DataFrame = {
     val z = zHashed(model.bias, model.weights,
       Dsir.buckets(TextHash.wordHashes(col(textCol)), model.weights.length))
-    docs.withColumn(probCol, fastSigmoid(z))
-      .withColumn(predCol, (z >= 0.0).cast("int"))
+    docs.withColumn("_z_lrh", z)
+      .withColumn(probCol, fastSigmoid(col("_z_lrh")))
+      .withColumn(predCol, (col("_z_lrh") >= 0.0).cast("int"))
+      .drop("_z_lrh")
   }
 
   /** Driver-side reference of [[trainHashed]] (same arithmetic) for

@@ -275,20 +275,42 @@ object TextAnalysis {
     * set — order-independent, no lexicographic tie-break needed. Empty
     * units (consecutive separators) are dropped before counting.
     *
-    * Scale shape: map-only — unit and n-gram term frequencies come from
-    * the one-pass [[TextHashExprs.termFreqs]] kernel per row, aggregated
-    * by HOFs; no explode, zero shuffle at any corpus size. Callers
-    * compare the integer cells against thresholds by cross-
-    * multiplication, the [[gopherRules]] convention. */
+    * Scale shape: map-only — unit term frequencies come from the
+    * one-pass [[TextHashExprs.termFreqs]] kernel per row, and every
+    * n-gram cell from the fused [[TextHashExprs.ngramRepStats]] codegen
+    * kernel (one hash-map pass per gram width — the HOF chain it
+    * replaces, kept as [[repetitionSignalsHof]], walks five interpreted
+    * lambda layers per width); no explode, zero shuffle at any corpus
+    * size. Callers compare the integer cells against thresholds by
+    * cross-multiplication, the [[gopherRules]] convention. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
                         topNs: Seq[Int] = Seq(2, 3, 4),
                         dupNs: Seq[Int] = Seq(5, 10),
                         unitSep: String = "\n"): DataFrame = {
     require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be >= 1")
-    val text = col("_t")
-    val unitTf = TextHashExprs.termFreqs(
-      filter(split(text, java.util.regex.Pattern.quote(unitSep)),
-        u => length(u) >= 1))
+    val withUnits = repetitionUnits(docs, idCol, textCol, unitSep)
+    val withTop = topNs.foldLeft(withUnits) { (df, n) =>
+      df.withColumn(s"_st$n", TextHashExprs.ngramRepStats(col("_toks"), n))
+        .withColumn(s"top${n}_cnt", col(s"_st$n").getField("top_cnt"))
+        .withColumn(s"top${n}_chars", col(s"_st$n").getField("top_chars"))
+        .drop(s"_st$n")
+    }
+    val withDup = dupNs.foldLeft(withTop) { (df, n) =>
+      df.withColumn(s"dup${n}_chars",
+        TextHashExprs.ngramRepStats(col("_toks"), n).getField("dup_chars"))
+    }
+    withDup.drop("_t", "_toks")
+  }
+
+  /** HOF spec form of [[repetitionSignals]] (differential reference
+    * only): the same cells from termFreqs + aggregate/filter/transform
+    * lambda chains. */
+  private[graft] def repetitionSignalsHof(docs: DataFrame, idCol: String,
+                                          textCol: String,
+                                          topNs: Seq[Int] = Seq(2, 3, 4),
+                                          dupNs: Seq[Int] = Seq(5, 10),
+                                          unitSep: String = "\n"): DataFrame = {
+    require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be >= 1")
     def tfSum(tf: Column, f: (Column, Column) => Column): Column =
       aggregate(tf, lit(0L),
         (acc, x) => acc + f(x.getField("tf"), length(x.getField("term")).cast("long")))
@@ -302,16 +324,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))
       TextHashExprs.termFreqs(grams)
     }
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
-        tokens(col(textCol)).as("_toks"))
-      .withColumn("_utf", unitTf)
-    val withUnits = base.select(
-      col("doc_id"), col("_t"), col("_toks"),
-      length(col("_t")).cast("long").as("n_chars"),
-      tfSum(col("_utf"), (tf, _) => tf).as("n_units"),
-      tfSum(col("_utf"), (tf, _) => tf - 1L).as("dup_units"),
-      tfSum(col("_utf"), (tf, len) => tf * len).as("unit_chars"),
-      tfSum(col("_utf"), (tf, len) => (tf - 1L) * len).as("dup_unit_chars"))
+    val withUnits = repetitionUnits(docs, idCol, textCol, unitSep)
     val withTop = topNs.foldLeft(withUnits) { (df, n) =>
       df.withColumn(s"_tf$n", gramTf(n))
         .withColumn(s"top${n}_cnt",
@@ -327,6 +340,29 @@ object TextAnalysis {
         tfSum(gramTf(n), (tf, len) => when(tf >= 2L, tf * len).otherwise(0L)))
     }
     withDup.drop("_t", "_toks")
+  }
+
+  /** Shared unit-level (line/paragraph) cells of the repetition pair:
+    * (doc_id, _t, _toks, n_chars, n_units, dup_units, unit_chars,
+    * dup_unit_chars). */
+  private def repetitionUnits(docs: DataFrame, idCol: String,
+                              textCol: String, unitSep: String): DataFrame = {
+    val unitTf = TextHashExprs.termFreqs(
+      filter(split(col("_t"), java.util.regex.Pattern.quote(unitSep)),
+        u => length(u) >= 1))
+    def tfSum(tf: Column, f: (Column, Column) => Column): Column =
+      aggregate(tf, lit(0L),
+        (acc, x) => acc + f(x.getField("tf"), length(x.getField("term")).cast("long")))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_utf", unitTf)
+      .select(
+        col("doc_id"), col("_t"), col("_toks"),
+        length(col("_t")).cast("long").as("n_chars"),
+        tfSum(col("_utf"), (tf, _) => tf).as("n_units"),
+        tfSum(col("_utf"), (tf, _) => tf - 1L).as("dup_units"),
+        tfSum(col("_utf"), (tf, len) => tf * len).as("unit_chars"),
+        tfSum(col("_utf"), (tf, len) => (tf - 1L) * len).as("dup_unit_chars"))
   }
 
   /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the limits

@@ -546,6 +546,99 @@ object TermFreqLoops {
   }
 }
 
+object NgramRepLoops {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Per-row n-gram repetition cells in ONE pass — the fused kernel
+    * behind [[graft.ext.TextAnalysis.repetitionSignals]]. Returns
+    * (top_cnt, top_chars, dup_chars):
+    *
+    *   top_cnt   = max occurrence count over the row's word n-grams
+    *   top_chars = max of count × numChars(gram) over grams tied at
+    *               top_cnt (order-independent tie rule)
+    *   dup_chars = Σ over grams occurring ≥ 2× of count × numChars
+    *
+    * Exact parity with the HOF spec (`repetitionSignalsHof`): grams
+    * are the concat_ws(" ", slice(toks, i+1, n)) strings — null
+    * elements SKIPPED by concat_ws, windows shorter than n never
+    * emitted, n = 1 degenerates to the tokens themselves with
+    * termFreqs' null handling (a null token counts nothing). The HOF
+    * chain walks the token array once per gram width with five
+    * interpreted lambda layers; this loop builds each gram's bytes
+    * once and counts into one hash map. */
+  def stats(toks: ArrayData, n: Int): GenericInternalRow = {
+    val len = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    if (n == 1) {
+      var i = 0
+      while (i < len) {
+        if (!toks.isNullAt(i)) {
+          val t = toks.getUTF8String(i)
+          val prev = counts.get(t)
+          counts.put(t, if (prev == null) 1L else prev.longValue() + 1L)
+        }
+        i += 1
+      }
+    } else if (len >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= len - n) {
+        sb.setLength(0)
+        var j = i
+        var first = true
+        while (j < i + n) {
+          if (!toks.isNullAt(j)) {
+            if (!first) sb.append(' ')
+            sb.append(toks.getUTF8String(j).toString)
+            first = false
+          }
+          j += 1
+        }
+        val g = UTF8String.fromString(sb.toString)
+        val prev = counts.get(g)
+        counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+        i += 1
+      }
+    }
+    var top = 0L
+    var topChars = 0L
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      val mass = c * e.getKey.numChars()
+      if (c > top) { top = c; topChars = mass }
+      else if (c == top && mass > topChars) topChars = mass
+      if (c >= 2L) dup += mass
+    }
+    new GenericInternalRow(Array[Any](top, topChars, dup))
+  }
+}
+
+/** Fused per-row n-gram repetition cells — see [[NgramRepLoops.stats]]. */
+case class NgramRepExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n=$n must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+  override def prettyName: String = "ngram_rep"
+
+  protected override def nullSafeEval(v: Any): Any =
+    NgramRepLoops.stats(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.NgramRepLoops.stats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepExpr =
+    copy(child = newChild)
+}
+
 case class TermFreqsExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
@@ -629,4 +722,6 @@ object TextHashExprs {
     bridge.column(OphSigExpr(bridge.expression(whs), k))
   def termFreqs(toks: Column): Column =
     bridge.column(TermFreqsExpr(bridge.expression(toks)))
+  def ngramRepStats(toks: Column, n: Int): Column =
+    bridge.column(NgramRepExpr(bridge.expression(toks), n))
 }

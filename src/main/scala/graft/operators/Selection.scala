@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics for LONG keys — the scale-safe
+  * replacement for `orderBy(key).limit(n)` when `n` is corpus-sized.
+  *
+  * Spark plans a sorted limit as TakeOrderedAndProject: every partition
+  * keeps its local top-n, and the DRIVER merge-sorts `n · partitions`
+  * rows. At a training-data keep budget (n ~ 10⁹ of 10¹⁰ docs) that is
+  * a driver OOM by construction — the same failure class as the
+  * global-window AUC this repo already bounded. Selection replaces it
+  * with 16-bit-radix histogram descent: four filtered scans, each
+  * aggregating into at most 65,536 buckets (a bounded driver envelope,
+  * the repo's envelope rule), no sort, no shuffle wider than the
+  * 65,536-row histogram.
+  *
+  * Round r buckets keys by bits [63−16r, 48−16r): round 0 uses the
+  * ARITHMETIC shift `key >> 48`, so bucket order equals signed key
+  * order; later rounds mask 16 unsigned bits within the already-pinned
+  * prefix. Deterministic and retry-stable (buckets derive from key
+  * content only). */
+object Selection {
+
+  /** The n-th largest value of `keyCol` (1-based, duplicates counted),
+    * plus how many of the n top slots fall on keys EQUAL to that
+    * value. A caller keeping exactly n rows takes everything strictly
+    * above the threshold and breaks the tie among equal-key rows with
+    * a second criterion (ids — see [[graft.ext.Dsir.resampleAt]]).
+    *
+    * Null keys are ignored (SQL ordering semantics for a DESC NULLS
+    * LAST top-n). Throws when n exceeds the non-null row count —
+    * silently returning "everything" would hide a budget bug. */
+  def nthLargest(df: DataFrame, keyCol: String, n: Long): (Long, Long) =
+    descend(df, keyCol, lit(1L), n, largest = true)
+
+  /** [[nthLargest]] mirrored: the n-th SMALLEST value and the tie-slot
+    * count — the same histogram descent walked in ascending bucket
+    * order (no sign-flip trick, so Long.MinValue keys are ordinary
+    * values, not a corrupting edge case). */
+  def nthSmallest(df: DataFrame, keyCol: String, n: Long): (Long, Long) =
+    descend(df, keyCol, lit(1L), n, largest = false)
+
+  /** Weighted generalization — the budget-selection primitive: walking
+    * rows in `keyCol`-descending order, the key at which the running
+    * `weightCol` total first REACHES `budget`, plus the budget still
+    * unfilled when entering that key's tie group. A caller keeping the
+    * minimal best-first prefix of ≥ `budget` total weight takes every
+    * row above the threshold and resolves the tie group with a second
+    * ascending descent over ids (see `Corpus.selectByBudgetAt`).
+    * [[nthLargest]] is exactly this with weight 1. Weights must be
+    * non-negative; rows with null keys are ignored. */
+  def budgetThresholdDesc(df: DataFrame, keyCol: String, weightCol: String,
+                          budget: Long): (Long, Long) =
+    descend(df, keyCol, col(weightCol), budget, largest = true)
+
+  /** [[budgetThresholdDesc]] walked in ascending key order. */
+  def budgetThresholdAsc(df: DataFrame, keyCol: String, weightCol: String,
+                         budget: Long): (Long, Long) =
+    descend(df, keyCol, col(weightCol), budget, largest = false)
+
+  private def descend(df: DataFrame, keyCol: String, weight: Column,
+                      budget: Long, largest: Boolean): (Long, Long) = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val key = col(keyCol)
+    var remaining = budget
+    var kept: Column = key.isNotNull
+    var acc = 0L
+    for (r <- 0 until 4) {
+      val shift = 48 - 16 * r
+      val bucket =
+        if (r == 0) shiftright(key, 48)
+        else shiftright(key, shift).bitwiseAND(lit(0xFFFFL))
+      val counts = df.filter(kept)
+        .groupBy(bucket.as("_b")).agg(sum(weight).as("_c"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1))
+        .sortBy(b => if (largest) -b._1 else b._1)
+      var i = 0
+      var found = false
+      var chosen = 0L
+      while (i < counts.length && !found) {
+        val (b, c) = counts(i)
+        if (c >= remaining) { chosen = b; found = true } else remaining -= c
+        i += 1
+      }
+      if (!found)
+        throw new IllegalArgumentException(
+          s"Selection: budget=$budget exceeds the total weight over $keyCol")
+      acc |= (if (r == 0) chosen << 48 else chosen << shift)
+      kept = kept &&
+        (if (r == 0) shiftright(key, 48) === chosen
+         else shiftright(key, shift).bitwiseAND(lit(0xFFFFL)) === chosen)
+    }
+    (acc, remaining)
+  }
+}

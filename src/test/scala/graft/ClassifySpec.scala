@@ -97,6 +97,28 @@ class ClassifySpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"scoreHashed must be map-only:\n$plan")
   }
 
+  test("bucket-dot codegen kernel ≡ HOF fold bit-for-bit (incl. ANSI out-of-range raise)") {
+    val w = Array.tabulate(8)(i => (i * 37 % 11) / 7.0 - 0.6)
+    val rows = Seq(
+      Seq(0L, 3L, 3L, 7L), Seq(5L), Seq.empty[Long], Seq(2L, 2L, 2L, 2L, 1L))
+    val df = rows.map(Tuple1(_)).toDF("b")
+    val kernel = df.select(graft.ext.BucketExprs.dotDouble(col("b"), w, 0.125).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val hof = df.select(LogReg.zHashedHof(0.125, w, col("b")).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(kernel.toSeq === hof.toSeq)
+    // identical left-fold SEQUENCE, not just identical sum
+    assert(kernel(0) === Some(((0.125 + w(0)) + w(3)) + w(3) + w(7)))
+    // an out-of-range bucket RAISES in both forms (ANSI element_at)
+    val oob = Seq(Tuple1(Seq(1L, 99L))).toDF("b")
+    assertThrows[Exception] {
+      oob.select(graft.ext.BucketExprs.dotDouble(col("b"), w, 0.0)).collect()
+    }
+    assertThrows[Exception] {
+      oob.select(LogReg.zHashedHof(0.0, w, col("b"))).collect()
+    }
+  }
+
   test("training is partition-invariant (fixed-point gradient sums)") {
     val base = (0 until 300).map { i =>
       (1.0, (i % 17) / 8.0 - 1.0, if (i % 3 == 0) 1.0 else 0.0)

@@ -86,6 +86,42 @@ class DsirSpec extends SparkTestBase {
     assert(pick.columns.toSeq === Seq("doc_id", "text", "dsir_lw6"))
   }
 
+  test("scoreDocs codegen kernel ≡ HOF spec on mixed docs") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "x"),
+      (4L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val w = Array.tabulate(32)(i => (i * 13 % 7).toLong - 3L)
+    val kernel = Dsir.scoreDocs(docs, "text", w)
+      .select("doc_id", "dsir_lw6").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val hof = Dsir.scoreDocsHof(docs, "text", w)
+      .select("doc_id", "dsir_lw6").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(kernel.toSeq === hof.toSeq)
+  }
+
+  test("resampleAt ≡ resample set-for-set; plan has no driver-merged sorted limit") {
+    val target = ((0 until 50).map(_ => "alpha beta gamma")
+      ++ (0 until 50).map(_ => "beta gamma delta")).toDF("text")
+    val docs = (0 until 200).map { i =>
+      if (i % 10 == 0) (i.toLong, "alpha beta gamma delta")
+      else (i.toLong, s"spam${i % 8} junk${(i + 1) % 8} filler${(i + 2) % 8} pad${(i + 3) % 8}")
+    }.toDF("doc_id", "text")
+    val w = Dsir.trainWeights(target, docs, "text", 256)
+    for (n <- Seq(1, 20, 37, 199, 200)) {
+      val viaLimit = Dsir.resample(docs, "doc_id", "text", w, n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val viaSel = Dsir.resampleAt(docs, "doc_id", "text", w, n.toLong)
+      assert(viaSel.select("doc_id").collect().map(_.getLong(0)).toSet
+        === viaLimit, s"n=$n")
+      // the scale path must not plan TakeOrderedAndProject — that is
+      // the n·partitions driver merge resampleAt exists to avoid
+      assert(!viaSel.queryExecution.executedPlan.toString
+        .contains("TakeOrdered"), s"n=$n planned a sorted limit")
+    }
+    // budget past the corpus: everything survives, score column intact
+    val all = Dsir.resampleAt(docs, "doc_id", "text", w, 1000L)
+    assert(all.count() === 200L &&
+      all.columns.toSeq === Seq("doc_id", "text", "dsir_lw6"))
+  }
+
   test("gumbel noise arithmetic: exact binary-fraction u, bounded g6") {
     val g6 = (0L until 50L).map { id =>
       val oh = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L

@@ -284,6 +284,29 @@ class SearchSpec extends SparkTestBase {
     assert(cell(4L, "n_units") === 2L && cell(4L, "dup_units") === 1L)
   }
 
+  test("repetitionSignals kernel ≡ HOF spec, including unicode chars and empty tokens") {
+    // multi-space text yields EMPTY tokens (split semantics); CJK and
+    // astral chars pin numChars ≡ length(); n=1 exercises the
+    // degenerate gram width
+    val corpus = Seq(
+      (1L, "a b\nc d\na b\nx"),
+      (2L, "a b c d e a b c d e a b c d e"),
+      (3L, ""),
+      (4L, "x  y  x  y"),
+      (5L, "你好 世界 你好 世界 你好 𝔘𝔫𝔦"),
+      (6L, "p q p q p q r\np q p q p q r")
+    ).toDF("doc_id", "text")
+    val ns = Seq(1, 2, 3, 5)
+    val fast = graft.ext.TextAnalysis.repetitionSignals(
+      corpus, "doc_id", "text", topNs = ns, dupNs = ns)
+    val spec = graft.ext.TextAnalysis.repetitionSignalsHof(
+      corpus, "doc_id", "text", topNs = ns, dupNs = ns)
+    assert(fast.columns.toSeq === spec.columns.toSeq)
+    val f = fast.orderBy("doc_id").collect().map(_.toSeq)
+    val h = spec.orderBy("doc_id").collect().map(_.toSeq)
+    assert(f.toSeq === h.toSeq)
+  }
+
   test("c4CleanLines: line predicate + page gates, hand document") {
     val text = "This is a good sentence.\nshort.\nno terminal punctuation here\n" +
       "Please enable JavaScript to continue.\nAnother keeper line!\n" +
