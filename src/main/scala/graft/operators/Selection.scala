@@ -72,9 +72,18 @@ object Selection {
       val bucket =
         if (r == 0) shiftright(key, 48)
         else shiftright(key, shift).bitwiseAND(lit(0xFFFFL))
-      val counts = df.filter(kept)
-        .groupBy(bucket.as("_b")).agg(sum(weight).as("_c"))
-        .collect().map(row => row.getLong(0) -> row.getLong(1))
+      // min(weight) rides the same aggregation — a negative weight
+      // would silently corrupt the cumulative walk, so it must raise,
+      // and checking here costs no extra scan
+      val rows = df.filter(kept)
+        .groupBy(bucket.as("_b")).agg(sum(weight).as("_c"), min(weight).as("_m"))
+        .collect()
+      rows.foreach { row =>
+        if (!row.isNullAt(2) && row.getLong(2) < 0L)
+          throw new IllegalArgumentException(
+            s"Selection: negative weight ${row.getLong(2)} — weights must be non-negative")
+      }
+      val counts = rows.map(row => row.getLong(0) -> row.getLong(1))
         .sortBy(b => if (largest) -b._1 else b._1)
       var i = 0
       var found = false

@@ -59,6 +59,12 @@ class SelectionSpec extends SparkTestBase {
       Corpus.selectByBudgetAt(df.withColumn("q", col("q") / 2.0),
         "n_tok", "q", 5L, "doc_id")
     }
+    // a negative weight would silently corrupt the cumulative walk —
+    // the descent's ride-along min(weight) guard must raise instead
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Selection.budgetThresholdDesc(
+        Seq((1L, 4L), (2L, -1L)).toDF("k", "w"), "k", "w", 3L)
+    }
   }
 
   test("differential vs driver sort on pseudo-random longs, all n") {
