@@ -217,9 +217,14 @@ object PlanCheck {
       ("q_url_blocklist", "blocklist: broadcast SEMI + ANTI equi-joins, no nested loop",
         p => p.contains("Semi") && p.contains("Anti") &&
           !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
-      ("q_line_dedup", "line dedup: union reassembly, winner via partial agg, no self-join",
-        p => !p.contains("Join") && !p.contains("Cartesian") &&
-          p.contains("Union")),
+      // slim reassembly (r13): winner election + drop detection move
+      // scalars through equi-joins; text is rebuilt map-side, so the
+      // old union-into-doc-keyed-collect_list reassembly is GONE — no
+      // collect_list of unit text anywhere in the plan
+      ("q_line_dedup", "line dedup: scalar equi-joins, map-side text rebuild, no collect_list",
+        p => p.contains("Join") && !p.contains("Cartesian") &&
+          !p.contains("BroadcastNestedLoop") && !p.contains("collect_list") &&
+          !p.contains("Union")),
       ("q_unigram_score", "unigram Viterbi: map-only kernel, no shuffle but the final sort",
         p => !p.contains("hashpartitioning") && !p.contains("Join")),
       ("q_phrase_block", "Aho-Corasick gate: map-only scan, no shuffle but the final sort",

@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   * collapse the LSH buckets into hubs, and crater near-dup recall
   * (DocPipeline.scala stage-5a hazard note); enabling `lineDedup` /
   * `sentenceDedup` strips those units first, restoring the banding.
-  * On boilerplate-heavy corpora where the unit-dedup stages are OFF,
-  * set `maxSignatureDf` (drops corpus-hot tokens from the banding
-  * signature) or `transitive = true` as the fallback. */
+  * As defense-in-depth when the unit-dedup stages are off, this
+  * facade defaults `maxSignatureDf` to a finite cap (drops corpus-hot
+  * tokens from the banding signature; see [[Config]]);
+  * `transitive = true` is the further fallback. */
 object Curate {
 
   /** Knobs for [[run]] — defaults give gate-light curation: no URL
@@ -60,7 +61,14 @@ object Curate {
       bands: Int = 4,
       tau: Double = 0.8,
       transitive: Boolean = false,
-      maxSignatureDf: Long = Long.MaxValue,
+      // finite by default at THIS facade (DocPipeline's low-level
+      // default stays uncapped): the 1M-doc rehearsal measured the
+      // banding df-guard at 85.0% → 94.9% planted-pair recall when the
+      // unit-dedup stages are off (CurateScaleDemo, SURVEY §7.3), and
+      // a token present in >100k web documents is boilerplate-class at
+      // any corpus scale — it carries no blocking signal. Uncapped is
+      // the explicit opt-out (`maxSignatureDf = Long.MaxValue`).
+      maxSignatureDf: Long = 100000L,
       oph: Boolean = false,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13,

@@ -815,11 +815,11 @@ object Dedup {
     * disappears from all but one document. Lines shorter than
     * `minChars` are always kept (blank separators are not content).
     *
-    * Scale shape, mirroring [[chunkDedup]]: lines shuffle once keyed by
-    * their md5 (winner = min struct, a partial-aggregatable min), then
-    * winners ride a union back into ONE doc-keyed aggregation that
-    * rebuilds the text — no join of the corpus against itself, text
-    * crosses the wire once per stage. */
+    * Scale shape (see [[unitDedup]]): winner election and drop
+    * detection move only (md5, doc, pos) scalars; the kept text is
+    * rebuilt MAP-SIDE by re-splitting the original column against a
+    * slim per-doc dropped-position array — line text never rides a
+    * shuffle. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minChars: Int = 1): DataFrame =
     unitDedup(df, idCol, split(col(textCol), "\r?\n"), minChars,
@@ -845,9 +845,9 @@ object Dedup {
     * disclaimers, cookie prompts flowed into paragraphs), which
     * line-granularity dedup never splits apart. Segmentation is
     * [[TextAnalysis.sentences]]; returns (idCol, n_sents, n_dropped,
-    * text_kept). Same scale shape as [[lineDedup]]: one md5-keyed
-    * winner aggregation + one doc-keyed reassembly, text shuffled
-    * only as its sentence units. */
+    * text_kept). Same scale shape as [[lineDedup]]: scalar winner
+    * election + slim drop arrays, text rebuilt map-side by
+    * re-segmenting — sentence text never rides a shuffle. */
   def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
                     minChars: Int = 1): DataFrame =
     unitDedup(df, idCol, TextAnalysis.sentences(col(textCol)), minChars,
@@ -856,40 +856,64 @@ object Dedup {
   /** Shared first-occurrence unit-dedup engine ([[lineDedup]] /
     * [[sentenceDedup]]): winner per distinct unit = min (doc, pos);
     * sub-`minChars` units are kept verbatim (too short to be
-    * meaningful boilerplate), never deduped. */
+    * meaningful boilerplate), never deduped.
+    *
+    * Scale shape — SLIM REASSEMBLY (unit text never rides a shuffle):
+    *   1. Winner election: a text-free (md5, scope, doc, pos)
+    *      projection aggregates `min(struct(doc, pos))` per distinct
+    *      unit — partial+final agg, so a boilerplate unit repeated 10⁹
+    *      times collapses to one candidate per map task before the
+    *      exchange. Only 16-byte hashes + scalars move.
+    *   2. Drop detection: the same scalar projection joins the winner
+    *      table on (md5, scope); occurrences ≠ winner are DROPPED
+    *      (id, pos) pairs. The winner side keeps the groupBy's hash
+    *      partitioning, so only the probe side exchanges — scalars
+    *      again. The hot boilerplate key is 10⁹ probe rows against ONE
+    *      build row (streams through SMJ/AQE skew split; nothing
+    *      collects).
+    *   3. Per-doc drop arrays: dropped pairs aggregate to
+    *      (id, array<int>) — only docs that actually lose a unit
+    *      appear, so this frame is far smaller than the corpus on
+    *      clean data.
+    *   4. Map-side rebuild: the ORIGINAL doc rows left-join the slim
+    *      drop arrays and the kept text is rebuilt in place by
+    *      re-splitting `unitsCol` and filtering positions — re-running
+    *      the split is map-only CPU, far cheaper at 100 TB than
+    *      shuffling the corpus as exploded (pos, line) structs through
+    *      an ObjectHashAggregate (the previous plan's 2.3 GB/1M-doc
+    *      hot spot, SURVEY §7.3). Doc text touches at most this one
+    *      row-level join exchange, and zero exchanges when AQE
+    *      broadcasts the (usually small) drop-array side. */
   private def unitDedup(df: DataFrame, idCol: String, unitsCol: Column,
                         minChars: Int, joiner: String,
                         countCol: String,
                         scopeCols: Seq[String] = Nil): DataFrame = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
-    val lines = df.select(
-      (col(idCol) +: scopeCols.map(col)) :+
-        posexplode(unitsCol).as(Seq("pos", "line")): _*)
-    val winners = lines.filter(length(col("line")) >= minChars)
-      .select((md5(col("line").cast("binary")).as("_h") +:
-        scopeCols.map(col)) :+
-        struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"): _*)
-      .groupBy(col("_h") +: scopeCols.map(col): _*).agg(min(col("_w")).as("_w"))
-      .select(col("_w._wid").as(idCol), col("_w._wpos").as("_wpos"))
-    val unioned = lines
-      .select(col(idCol), col("pos"), col("line"),
-        lit(null).cast("int").as("_wpos"))
-      .unionByName(winners.select(col(idCol),
-        lit(null).cast("int").as("pos"),
-        lit(null).cast("string").as("line"), col("_wpos")))
-    def keep(l: Column): Column =
-      length(l.getField("line")) < minChars ||
-        array_contains(col("_kept"), l.getField("pos"))
-    unioned.groupBy(col(idCol))
-      .agg(
-        collect_set(col("_wpos")).as("_kept"),
-        array_sort(collect_list(when(col("line").isNotNull,
-          struct(col("pos"), col("line"))))).as("_ls"))
+    val scoped = scopeCols.map(col)
+    // docs with a null/empty unit array produce no rows (posexplode
+    // semantics of the previous plan, kept as the documented contract)
+    val docs = df.filter(size(unitsCol) >= 1)
+    val candidates = docs.select(
+      (col(idCol) +: scoped) :+ posexplode(unitsCol).as(Seq("pos", "line")): _*)
+      .filter(length(col("line")) >= minChars)
+      .select((md5(col("line").cast("binary")).as("_h") +: scoped) :+
+        col(idCol) :+ col("pos"): _*)
+    val winners = candidates
+      .groupBy(col("_h") +: scoped: _*)
+      .agg(min(struct(col(idCol).as("_wid"), col("pos").as("_wpos"))).as("_w"))
+    val dropAgg = candidates
+      .join(winners, "_h" +: scopeCols)
+      .filter(!(col(idCol) === col("_w._wid") && col("pos") === col("_w._wpos")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("_drop"), count(lit(1)).as("_nd"))
+    val keepUnit: (Column, Column) => Column = (u, i) =>
+      length(u) < minChars ||
+        coalesce(!array_contains(col("_drop"), i), lit(true))
+    docs.join(dropAgg, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("_ls")).cast("long").as(countCol),
-        size(filter(col("_ls"), l => !keep(l))).cast("long").as("n_dropped"),
-        array_join(transform(filter(col("_ls"), keep(_)),
-          _.getField("line")), joiner).as("text_kept"))
+        size(unitsCol).cast("long").as(countCol),
+        coalesce(col("_nd"), lit(0L)).as("n_dropped"),
+        array_join(filter(unitsCol, keepUnit), joiner).as("text_kept"))
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,

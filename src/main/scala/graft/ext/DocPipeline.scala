@@ -244,15 +244,30 @@ object DocPipeline {
           .filter(col("_hdf") > maxSignatureDf)
           .select(col("_h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nHot = math.max(hot.count(), 1L)
-        val bf = hot.stat.bloomFilter("_h", nHot, 0.001)
-        hot.unpersist()
-        val bcast = docs.sparkSession.sparkContext.broadcast(bf)
-        val keepCold = udf { hs: Seq[Long] =>
-          if (hs == null) hs
-          else hs.filterNot(h => bcast.value.mightContainLong(h))
+        val nHot = hot.count()
+        // no corpus-hot tokens → the guard is a no-op; skip the bloom
+        // build (stat.bloomFilter NPEs on an empty frame) and the
+        // per-doc filter pass entirely
+        if (nHot == 0L) { hot.unpersist(); hashed }
+        else {
+          val bf = hot.stat.bloomFilter("_h", nHot, 0.001)
+          hot.unpersist()
+          val bcast = docs.sparkSession.sparkContext.broadcast(bf)
+          val keepCold = udf { hs: Seq[Long] =>
+            if (hs == null) hs
+            else hs.filterNot(h => bcast.value.mightContainLong(h))
+          }
+          // a doc whose tokens are ALL hot would filter to an empty
+          // array, and every such doc's signature would be the all-P
+          // sentinel — identical band keys re-forming exactly the
+          // corpus-sized hub bucket this knob exists to prevent. Drop
+          // them from BANDING (they survive near-dup; byte-identical
+          // all-boilerplate copies are already caught by the upstream
+          // `_fp` exact pass, and the unit-dedup stages are the tool
+          // that actually strips pure boilerplate).
+          hashed.select(col(idCol), keepCold(col("_whs")).as("_whs"))
+            .filter(size(col("_whs")) >= 1)
         }
-        hashed.select(col(idCol), keepCold(col("_whs")).as("_whs"))
       }
     val banded =
       if (oph) Dedup.ophBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints
+
 /** Distributed logistic-regression trainer for corpus quality filtering
   * — the fastText-style "train a small classifier, keep docs it scores
   * high" step of LLM data pipelines (Joulin et al. 2016, "Bag of Tricks
@@ -165,16 +167,19 @@ object LogReg {
     * sequence; the fold adds weights in bucket-ARRAY order, which the
     * oracle twin replays with list_reduce. Decoupled L2 decay applies
     * to every weight including the bias (same rule as [[train]] when a
-    * bias column is passed). Tokenization reruns per iteration — cache
-    * or checkpoint `docs` upstream when `iters` is large. */
+    * bias column is passed). The (buckets, label) projection is
+    * materialized ONCE before the loop ([[Checkpoints.cut]] — the
+    * [[Dsir.resampleAt]] slim-checkpoint pattern): each gradient pass
+    * re-reads slim int arrays from checkpoint storage instead of
+    * re-tokenizing the corpus `iters` times. */
   def trainHashed(docs: DataFrame, textCol: String, label: Column, m: Int,
                   lr: Double = 0.5, iters: Int = 3, scale: Double = 1e9,
                   l2: Double = 0.0): HashedModel = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(l2 >= 0.0, s"l2=$l2 must be >= 0")
-    val feats = docs.select(
+    val feats = Checkpoints.cut(docs.select(
       Dsir.buckets(TextHash.wordHashes(col(textCol)), m).as("_b"),
-      label.cast("double").as("_y")).na.drop(Seq("_y"))
+      label.cast("double").as("_y")).na.drop(Seq("_y")))
     var bias = 0.0
     val w = Array.fill(m)(0.0)
     var n = 0L

@@ -120,4 +120,51 @@ class CurateSpec extends SparkTestBase {
     assert(out.select("doc_id", "text").collect().toSet ===
       manual.select("doc_id", "text").collect().toSet)
   }
+
+  test("banding df-guard is ON by default at the facade and wires through " +
+      "to DocPipeline (boilerplate-saturated plants recovered)") {
+    // the facade is the web-corpus entry point: its default must be a
+    // finite cap (uncapped is the explicit opt-out)
+    assert(Curate.Config().maxSignatureDf === 100000L)
+    // NearDupSpec's saturation fixture at facade level: a 40-token
+    // footer on every doc hubs the banding; a finite cap (here scaled
+    // to the fixture's 30 docs) restores every planted pair
+    val footer = (1 to 40).map(i => s"footer$i").mkString(" ")
+    def uniq(d: Int) = (1 to 12).map(j => s"u${d}x$j").mkString(" ")
+    val docs = ((0 until 30).map { d =>
+      val body = if (d % 3 == 1) uniq(d - 1) + " zz" else uniq(d)
+      (d.toLong, s"$body $footer")
+    }).toDF("doc_id", "text")
+    val plants = (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet
+    val kept = Curate.run(docs,
+        Curate.Config(minWords = 10, tau = 0.7, maxSignatureDf = 20L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(plants.forall(p => !kept.contains(p)))
+    assert(kept.size === 20)
+  }
+
+  test("all-hot docs (empty capped signature) never form a hub bucket and " +
+      "survive near-dup; true plants still collapse") {
+    // five docs that are PURE footer (every token hot under the cap)
+    // plus a planted near-dup pair with cold unique tokens. The all-hot
+    // docs must drop out of banding (no shared sentinel bucket, no
+    // star candidates against them) yet survive the funnel; each pure
+    // copy is a distinct ROTATION of the footer so the exact `_fp`
+    // pass keeps all five while their token (and hence capped
+    // signature) sets are identical-and-all-hot.
+    val toks = (1 to 40).map(i => s"footer$i")
+    val footer = toks.mkString(" ")
+    val pure = (100L to 104L).map { i =>
+      val r = (i - 99).toInt
+      (i, (toks.drop(r) ++ toks.take(r)).mkString(" "))
+    }
+    val pair = Seq(
+      (1L, (1 to 12).map(j => s"ux$j").mkString(" ") + s" $footer"),
+      (2L, (1 to 12).map(j => s"ux$j").mkString(" ") + s" zz $footer"))
+    val docs = (pair ++ pure).toDF("doc_id", "text")
+    val kept = graft.ext.DocPipeline.prepare(docs, minWords = 10,
+        minhashK = 8, bands = 4, tau = 0.7, maxSignatureDf = 6L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 100L, 101L, 102L, 103L, 104L))
+  }
 }
