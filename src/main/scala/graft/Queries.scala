@@ -3380,8 +3380,9 @@ ORDER BY feature"""
           .orderBy(col("doc_id")),
       Some("""WITH t2 AS (SELECT doc_id,
              |  replace(text, ' the ', '. The ') || '!' AS x FROM documents),
-             |g AS (SELECT doc_id, regexp_replace(regexp_replace(x,
-             |    '\b([ei])\.([ge])\.', '\1' || chr(1) || '\2' || chr(1), 'g'),
+             |g AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x,
+             |    '\be\.g\.', 'e' || chr(1) || 'g' || chr(1), 'g'),
+             |    '\bi\.e\.', 'i' || chr(1) || 'e' || chr(1), 'g'),
              |    '\b(Dr|Mrs|Mr|Ms|Prof|St|Jr|Sr|vs|etc)\.',
              |    '\1' || chr(1), 'g') AS x FROM t2),
              |sp AS (SELECT doc_id,
@@ -6766,8 +6767,9 @@ ORDER BY feature"""
              |  replace(text, ' the ', '. The ') || '.' ||
              |  (CASE WHEN doc_id % 5 = 0 THEN ' This site uses cookies.'
              |        ELSE '' END) AS x FROM documents),
-             |gu AS (SELECT doc_id, regexp_replace(regexp_replace(x,
-             |  '\b([ei])\.([ge])\.', '\1' || chr(1) || '\2' || chr(1), 'g'),
+             |gu AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x,
+             |  '\be\.g\.', 'e' || chr(1) || 'g' || chr(1), 'g'),
+             |  '\bi\.e\.', 'i' || chr(1) || 'e' || chr(1), 'g'),
              |  '\b(Dr|Mrs|Mr|Ms|Prof|St|Jr|Sr|vs|etc)\.',
              |  '\1' || chr(1), 'g') AS x FROM u),
              |sl AS (SELECT doc_id, list_filter(list_transform(

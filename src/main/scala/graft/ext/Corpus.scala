@@ -354,7 +354,12 @@ object Corpus {
     *
     * `qualityCol` must be an integral column (the radix domain —
     * fractional quality scores should be fixed-pointed upstream, the
-    * repo-wide e6 convention); `nTokCol` must be non-negative. */
+    * repo-wide e6 convention) and NON-NULL (enforced: the window form's
+    * DESC ordering puts nulls LAST, where they can still land inside
+    * the budget, while the radix descent ignores null keys entirely —
+    * rather than silently diverge from the documented identical-kept-
+    * set contract, a null quality raises; coalesce a sentinel upstream
+    * if nulls are meaningful); `nTokCol` must be non-negative. */
   def selectByBudgetAt(df: DataFrame, nTokCol: String, qualityCol: String,
                        budget: Long, idCol: String): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
@@ -364,7 +369,12 @@ object Corpus {
     import graft.core.Checkpoints.CutOps
     val q = col(qualityCol).cast("long")
     val slim = df.select(col(idCol), q.as("_q"), col(nTokCol).cast("long").as("_w")).cut
-    val total = slim.agg(sum(col("_w"))).head()
+    // null-quality check rides the existing total-weight action
+    val total = slim.agg(sum(col("_w")), sum(col("_q").isNull.cast("long"))).head()
+    if (!total.isNullAt(1) && total.getLong(1) > 0L)
+      throw new IllegalArgumentException(
+        s"selectByBudgetAt: ${total.getLong(1)} null value(s) in $qualityCol — " +
+        "null quality has no radix order; coalesce to a sentinel upstream")
     if (total.isNullAt(0) || total.getLong(0) < budget) return df
     val (t, r) = graft.operators.Selection.budgetThresholdDesc(slim, "_q", "_w", budget)
     val (idCut, _) = graft.operators.Selection.budgetThresholdAsc(

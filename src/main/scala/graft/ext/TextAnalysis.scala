@@ -578,10 +578,14 @@ object TextAnalysis {
     * are dropped, sentences returned trimmed, document order.
     * Map-only codegen chain. */
   def sentences(text: Column): Column = {
-    // e.g. / i.e. first (two dots each), then the single-dot list;
+    // e.g. / i.e. first (two dots each; EXACT literals, not [ei].[ge]
+    // character classes, which would also silently guard the
+    // non-abbreviations "i.g." and "e.e."), then the single-dot list;
     // \x01 is the sentinel the final transform restores to '.'
     val guarded = regexp_replace(
-      regexp_replace(text, "\\b([ei])\\.([ge])\\.", "$1\u0001$2\u0001"),
+      regexp_replace(
+        regexp_replace(text, "\\be\\.g\\.", "e\u0001g\u0001"),
+        "\\bi\\.e\\.", "i\u0001e\u0001"),
       "\\b(Dr|Mrs|Mr|Ms|Prof|St|Jr|Sr|vs|etc)\\.", "$1\u0001")
     filter(
       transform(

@@ -559,11 +559,18 @@ object NgramRepLoops {
     *               top_cnt (order-independent tie rule)
     *   dup_chars = Σ over grams occurring ≥ 2× of count × numChars
     *
-    * Exact parity with the HOF spec (`repetitionSignalsHof`): grams
-    * are the concat_ws(" ", slice(toks, i+1, n)) strings — null
-    * elements SKIPPED by concat_ws, windows shorter than n never
-    * emitted, n = 1 degenerates to the tokens themselves with
-    * termFreqs' null handling (a null token counts nothing). The HOF
+    * Exact parity with the HOF spec (`repetitionSignalsHof`) on every
+    * NON-NULL token array: grams are the concat_ws(" ", slice(toks,
+    * i+1, n)) strings — null elements SKIPPED by concat_ws, windows
+    * shorter than n never emitted, n = 1 degenerates to the tokens
+    * themselves with termFreqs' null handling (a null token counts
+    * nothing). A null INPUT array is the one divergence: the kernel
+    * null-propagates (nullSafeEval → null struct) while the HOF's
+    * `when(size(toks) >= n, …).otherwise(array())` lands in the
+    * otherwise branch (size(null) is null) and yields all-zero cells —
+    * immaterial in practice because `repetitionUnits` tokenizes with
+    * a total function, but stated so the parity claim is honest. The
+    * differential specs therefore compare on non-null inputs. The HOF
     * chain walks the token array once per gram width with five
     * interpreted lambda layers; this loop builds each gram's bytes
     * once and counts into one hash map. */

@@ -50,7 +50,8 @@ object Selection {
     * row above the threshold and resolves the tie group with a second
     * ascending descent over ids (see `Corpus.selectByBudgetAt`).
     * [[nthLargest]] is exactly this with weight 1. Weights must be
-    * non-negative; rows with null keys are ignored. */
+    * non-negative and non-null (both enforced); rows with null KEYS
+    * are ignored. */
   def budgetThresholdDesc(df: DataFrame, keyCol: String, weightCol: String,
                           budget: Long): (Long, Long) =
     descend(df, keyCol, col(weightCol), budget, largest = true)
@@ -60,9 +61,13 @@ object Selection {
                          budget: Long): (Long, Long) =
     descend(df, keyCol, col(weightCol), budget, largest = false)
 
-  private def descend(df: DataFrame, keyCol: String, weight: Column,
+  private def descend(df: DataFrame, keyCol: String, weightIn: Column,
                       budget: Long, largest: Boolean): (Long, Long) = {
     require(budget >= 1, s"budget=$budget must be >= 1")
+    // integral weights of any width are welcome (the getLong reads
+    // below need LongType, not IntegerType); the cast also normalizes
+    // an integer-typed key-companion column a caller passes verbatim
+    val weight = weightIn.cast("long")
     val key = col(keyCol)
     var remaining = budget
     var kept: Column = key.isNotNull
@@ -72,16 +77,31 @@ object Selection {
       val bucket =
         if (r == 0) shiftright(key, 48)
         else shiftright(key, shift).bitwiseAND(lit(0xFFFFL))
-      // min(weight) rides the same aggregation — a negative weight
-      // would silently corrupt the cumulative walk, so it must raise,
+      // min(weight) and the null-weight count ride the same
+      // aggregation — a negative weight would silently corrupt the
+      // cumulative walk and a null one would silently vanish from it
+      // (only null KEYS are defined as ignored), so both must raise,
       // and checking here costs no extra scan
       val rows = df.filter(kept)
-        .groupBy(bucket.as("_b")).agg(sum(weight).as("_c"), min(weight).as("_m"))
+        .groupBy(bucket.as("_b")).agg(sum(weight).as("_c"), min(weight).as("_m"),
+          sum(weight.isNull.cast("long")).as("_nn"))
         .collect()
       rows.foreach { row =>
         if (!row.isNullAt(2) && row.getLong(2) < 0L)
           throw new IllegalArgumentException(
             s"Selection: negative weight ${row.getLong(2)} — weights must be non-negative")
+        if (row.getLong(3) > 0L)
+          throw new IllegalArgumentException(
+            s"Selection: ${row.getLong(3)} null weight(s) — weights must be non-null " +
+            "(null keys are the only rows this operator ignores)")
+        // sum() wraps silently outside ANSI mode; with non-negative
+        // weights a negative per-bucket total can only be 2⁶³ overflow
+        // — the 10¹⁰-row × large-weight regime must fail loudly, not
+        // walk a corrupted histogram
+        if (!row.isNullAt(1) && row.getLong(1) < 0L)
+          throw new ArithmeticException(
+            s"Selection: per-bucket weighted sum overflowed Long (bucket ${row.getLong(0)}) " +
+            "— rescale weights below 2^63 / rows")
       }
       val counts = rows.map(row => row.getLong(0) -> row.getLong(1))
         .sortBy(b => if (largest) -b._1 else b._1)

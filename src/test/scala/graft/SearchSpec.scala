@@ -170,6 +170,13 @@ class SearchSpec extends SparkTestBase {
     assert(sent("The cadr. of a list.") === Seq("The cadr.", "of a list."))
     // abbreviations restore verbatim inside a kept trailing fragment
     assert(sent("ask Mrs. Doe") === Seq("ask Mrs. Doe"))
+    // the guard is the exact pair e.g./i.e. — the cross-product
+    // non-abbreviations "i.g." and "e.e." are NOT guarded, so their
+    // dots terminate like any other (ADVICE r12)
+    assert(sent("wrote i.g. then left. Done") ===
+      Seq("wrote i.", "g.", "then left.", "Done"))
+    assert(sent("sang e.e. cummings. Done") ===
+      Seq("sang e.", "e.", "cummings.", "Done"))
   }
 
   test("scriptProfile: per-script codepoint counts, dominant label, ties and none") {

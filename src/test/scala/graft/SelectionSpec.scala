@@ -67,6 +67,25 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("weight hygiene: int-typed weights work, null weights raise, " +
+      "per-bucket Long overflow raises instead of walking a wrapped histogram") {
+    // IntegerType weight column: descend must cast, not ClassCastException
+    val intW = Seq((10L, 3), (9L, 2), (8L, 1)).toDF("k", "w")
+    assert(Selection.budgetThresholdDesc(intW, "k", "w", 4L) === (9L, 1L))
+    // null weight is a caller bug (only null KEYS are ignored)
+    assertThrows[IllegalArgumentException] {
+      Selection.budgetThresholdDesc(
+        Seq((1L, Some(4L)), (2L, None)).toDF("k", "w"), "k", "w", 3L)
+    }
+    // two Long.MaxValue weights on keys sharing every radix bucket:
+    // their sum wraps negative outside ANSI mode — must fail loudly
+    assertThrows[ArithmeticException] {
+      Selection.budgetThresholdDesc(
+        Seq((5L, Long.MaxValue), (5L, Long.MaxValue)).toDF("k", "w"),
+        "k", "w", 3L)
+    }
+  }
+
   test("differential vs driver sort on pseudo-random longs, all n") {
     // deterministic LCG mix, spanning positives/negatives and shared
     // values (mod squeezes collisions into every radix round)
