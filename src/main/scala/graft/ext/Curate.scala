@@ -69,7 +69,9 @@ object Curate {
       // any corpus scale — it carries no blocking signal. Uncapped is
       // the explicit opt-out (`maxSignatureDf = Long.MaxValue`).
       maxSignatureDf: Long = 100000L,
-      oph: Boolean = false,
+      // None follows DocPipeline.prepare's measured default: OPH
+      // banding from k = OphDefaultMinK up, classic below; Some pins
+      oph: Option[Boolean] = None,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13,
       dsirTarget: Option[DataFrame] = None, // (textCol) target corpus

