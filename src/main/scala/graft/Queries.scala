@@ -2113,6 +2113,44 @@ ORDER BY feature"""
              |FROM ids CROSS JOIN (VALUES ('masked'), ('compacted')) p(phase)
              |ORDER BY phase, vec_id""".stripMargin)),
 
+    // ── 48c. IVF quantizer refresh from the committed segments
+    // (Ivf.retrainAtomic): build → delete → resurrect-append → retrain
+    // in-query; the emitted (vec_id, cell) assignment must equal the
+    // DuckDB twin's kmeans run from scratch over the SURVIVING ids
+    // (id-order seeding, two Lloyd rounds) — proving the refresh is
+    // exactly a rebuild on the resolved rows, tombstones excluded,
+    // without re-reading any source corpus ─────────────────────────────
+    QueryDef(
+      "q_ivf_retrain",
+      (s, d) => {
+        import graft.ext.Ivf
+        val root = java.nio.file.Files.createTempDirectory("q-ivf-retrain")
+          .resolve("index").toString
+        val base = t(s, d, "embeddings").filter(col("vec_id") < 120)
+        Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 4, iters = 1,
+          spreadInit = false)
+        Ivf.deleteFromIndexAtomic(
+          base.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"), root)
+        Ivf.appendToIndexAtomic(base.filter(col("vec_id") === 14), "embedding", root)
+        val (_, dir) = Ivf.retrainAtomic(s, root, "vec_id", "embedding",
+          k = 4, iters = 2, spreadInit = false)
+        s.read.parquet(dir)
+          .select(col("vec_id"), col("ivf_cell").cast("int").as("cell"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings
+             |  WHERE vec_id < 120 AND (vec_id % 7 <> 0 OR vec_id = 14)),
+             |c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, e
+             |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+             |${duckLloydRound(1)},
+             |${duckLloydRound(2)},
+             |af AS (
+             |  ${duckAssign("emb", "c2")})
+             |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin)),
+
     // ── 49. full outer join (group-level, sparse sides at small SF) ────
     QueryDef(
       "q_join_outer",

@@ -388,6 +388,44 @@ object Ivf {
     (v, dir)
   }
 
+  /** Re-train the coarse quantizer FROM THE COMMITTED SEGMENTS and
+    * republish — the drift repair after months of appends, without
+    * re-embedding anything: the vectors already live in the index, so
+    * the refresh is read-union → [[train]] on the surviving rows
+    * (tombstones applied — deleted vectors must not pull centroids) →
+    * re-assign every row to the new cells → one fenced atomic commit
+    * of a single-segment, tombstone-free manifest. Concurrent probes
+    * keep the previous composition until the rename lands; old
+    * compositions stay time-travelable until vacuumed.
+    *
+    * This completes the index lifecycle: [[appendToIndexAtomic]] grows
+    * it under a FIXED quantizer (documented drift trade),
+    * [[compactIndexAtomic]] defragments without touching assignment,
+    * and retrain is the one that moves the cells — equivalent to
+    * [[saveIndexAtomic]] on the resolved corpus, minus re-reading the
+    * source-of-truth corpus store. `idCol` seeds the deterministic
+    * spread init exactly as a from-scratch build would, so refresh vs
+    * rebuild parity holds row-for-row (IvfSpec pins it). Returns
+    * (version, data dir). */
+  def retrainAtomic(spark: org.apache.spark.sql.SparkSession,
+                    root: String, idCol: String, vecCol: String, k: Int,
+                    iters: Int = 2, cellCol: String = "ivf_cell",
+                    spreadInit: Boolean = true,
+                    fenceEpoch: Option[Long] = None): (Long, String) = {
+    import graft.sources.AtomicCommit
+    fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the write
+    val segs = indexSegments(spark, root)
+    // drop the stale assignment — the whole point is that it moves
+    val corpus = readSegments(spark, segs).drop(cellCol)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    val v = AtomicCommit.nextVersion(spark, root)
+    val dir = AtomicCommit.versionDir(root, v)
+    saveIndex(corpus, vecCol, centroids, dir, cellCol)
+    saveCentroids(spark, centroids, dir)
+    AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
+    (v, dir)
+  }
+
   /** Streaming ANN ingestion: every non-empty micro-batch appends to
     * the committed index via [[appendToIndexAtomic]] — quantizer fixed,
     * one new segment + one atomic commit per batch, so a crash between

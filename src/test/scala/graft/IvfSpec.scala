@@ -529,4 +529,80 @@ class IvfSpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0))
     assert(got4.toSeq === want4.toSeq)
   }
+
+  test("retrainAtomic: quantizer refreshed from committed segments only — " +
+      "parity with a from-scratch rebuild, recall no worse on a drifted corpus") {
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("ivfretrain")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 200)
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 8, iters = 2)
+    // months of drift: appended vectors form SIX tight clusters in
+    // regions the original quantizer never saw (coordinate spikes in
+    // six different directions; members = spike + 5% of a real
+    // embedding, so intra-cluster distance << inter-cluster), plus
+    // ordinary deletes
+    val drifted = emb.filter(col("vec_id") >= 200 && col("vec_id") < 320)
+      .withColumn("_j", (col("vec_id") % 6).cast("int"))
+      .withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => x * lit(0.05f) +
+            when(i === col("_j"), lit(8.0f)).otherwise(lit(0.0f))))
+      .drop("_j")
+      .localCheckpoint(true)
+    Ivf.appendToIndexAtomic(drifted, "embedding", root)
+    Ivf.deleteFromIndexAtomic(
+      base.filter(col("vec_id") % 13 === 0).select("vec_id"), root)
+    val oldC = Ivf.loadCentroids(spark, Ivf.indexSegments(spark, root).head)
+    val resolved = Ivf.readIndex(spark, root).localCheckpoint(true)
+    val nResolved = resolved.count()
+
+    val (vr, rdir) = Ivf.retrainAtomic(
+      spark, root, "vec_id", "embedding", k = 8, iters = 2)
+    // single-segment, tombstone-free manifest; every surviving row kept
+    assert(Ivf.indexSegments(spark, root) ===
+      Seq(AtomicCommit.versionDir(root, vr)))
+    val retrained = spark.read.parquet(rdir)
+    assert(retrained.count() === nResolved)
+    assert(retrained.filter(col("vec_id") % 13 === 0 && col("vec_id") < 200)
+      .count() === 0L)
+    val newC = Ivf.loadCentroids(spark, rdir)
+
+    // parity: ≡ a from-scratch build on the surviving rows (same
+    // deterministic spread init, same Lloyd rounds)
+    val root2 = java.nio.file.Files.createTempDirectory("ivfretrain2")
+      .resolve("index").toString
+    val (_, dir2) = Ivf.saveIndexAtomic(
+      resolved.drop("ivf_cell"), "vec_id", "embedding", root2, k = 8, iters = 2)
+    val scratchC = Ivf.loadCentroids(spark, dir2)
+    assert(newC.map(_._1) === scratchC.map(_._1))
+    newC.zip(scratchC).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    assert(retrained.select("vec_id", "ivf_cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ===
+      spark.read.parquet(dir2).select("vec_id", "ivf_cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+    // the refreshed quantizer actually moved (a pure no-op refresh
+    // would mean the drift fixture is broken)
+    assert(newC.map(_._2.toSeq) != oldC.map(_._2.toSeq))
+
+    // recall at tight nprobe on drifted probes: refreshed >= stale
+    val probes = drifted.filter(col("vec_id") % 40 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def overlap(idx: org.apache.spark.sql.DataFrame,
+                cents: Seq[(Int, Array[Double])]): Int =
+      probes.map { case (pid, pv) =>
+        val truth = Similarity.bruteForceTopK(
+            resolved.filter(col("vec_id") =!= pid), "embedding",
+            spark.range(1).select(lit(pv.map(_.toFloat)).as("p")), "p", k = 5)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = Ivf.topKIndexed(idx.filter(col("vec_id") =!= pid),
+            "embedding", cents, pv, k = 5, nprobe = 1)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (truth & got).size
+      }.sum
+    val stale = overlap(resolved, oldC)
+    val fresh = overlap(retrained, newC)
+    assert(fresh >= stale, s"refresh degraded recall: $fresh < $stale")
+  }
 }
