@@ -165,10 +165,13 @@ object CurateScaleDemo {
       .filter(pmod(col("doc_id"), lit(50L)) === 1)
       .localCheckpoint()
     val nPlants = plantIds.count()
+    // the facade now defaults maxSignatureDf = 100k (r13) — the
+    // unguarded row must opt out explicitly to measure the raw hazard
     val floorCfg = prefixes.head._2
-    Seq("fixed hashes only" -> floorCfg,
-        "fixed hashes + maxSignatureDf=100k" ->
-          floorCfg.copy(maxSignatureDf = 100000L)).foreach { case (label, cfg) =>
+    Seq("fixed hashes, guard OFF" ->
+          floorCfg.copy(maxSignatureDf = Long.MaxValue),
+        "fixed hashes + default maxSignatureDf=100k" ->
+          floorCfg).foreach { case (label, cfg) =>
       val surv = Curate.run(docs, cfg).select("doc_id")
       val caught = plantIds.join(surv, Seq("doc_id"), "left_anti").count()
       println(f"CURATE-SCALE near-dup recall [$label]: $caught/$nPlants plants caught (footer IN signatures)")

@@ -890,14 +890,24 @@ object Dedup {
                         scopeCols: Seq[String] = Nil): DataFrame = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
     val scoped = scopeCols.map(col)
-    // docs with a null/empty unit array produce no rows (posexplode
-    // semantics of the previous plan, kept as the documented contract)
-    val docs = df.filter(size(unitsCol) >= 1)
+    // unit segmentation is the expensive per-row step (regex sentence
+    // split / line split): materialize it ONCE as a column (SURVEY
+    // §7.1 inlining trap — three bare references in the final Project
+    // would re-segment three times), and docs with a null/empty unit
+    // array produce no rows (posexplode semantics of the previous
+    // plan, kept as the documented contract)
+    val docs = df.withColumn("_units", unitsCol)
+      .filter(size(col("_units")) >= 1)
+    // text-free candidate scalars (md5, scope, doc, pos) checkpointed
+    // ONCE: winner election and drop detection both read this frame,
+    // so segmentation runs once for the whole election phase (the
+    // DocPipeline `hashed.cut` convention — scalar rows, never text)
     val candidates = docs.select(
-      (col(idCol) +: scoped) :+ posexplode(unitsCol).as(Seq("pos", "line")): _*)
+      (col(idCol) +: scoped) :+ posexplode(col("_units")).as(Seq("pos", "line")): _*)
       .filter(length(col("line")) >= minChars)
       .select((md5(col("line").cast("binary")).as("_h") +: scoped) :+
         col(idCol) :+ col("pos"): _*)
+      .cut
     val winners = candidates
       .groupBy(col("_h") +: scoped: _*)
       .agg(min(struct(col(idCol).as("_wid"), col("pos").as("_wpos"))).as("_w"))
@@ -911,9 +921,9 @@ object Dedup {
         coalesce(!array_contains(col("_drop"), i), lit(true))
     docs.join(dropAgg, Seq(idCol), "left")
       .select(col(idCol),
-        size(unitsCol).cast("long").as(countCol),
+        size(col("_units")).cast("long").as(countCol),
         coalesce(col("_nd"), lit(0L)).as("n_dropped"),
-        array_join(filter(unitsCol, keepUnit), joiner).as("text_kept"))
+        array_join(filter(col("_units"), keepUnit), joiner).as("text_kept"))
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
