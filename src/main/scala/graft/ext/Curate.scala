@@ -147,14 +147,24 @@ object Curate {
     cfg.dsirTarget match {
       case Some(tgt) =>
         require(cfg.dsirKeep > 0, "dsirTarget needs dsirKeep > 0")
-        val w = Dsir.trainWeights(tgt, decon, text, cfg.dsirBuckets)
+        // stage 7 references the survivor pool THREE times (raw-side
+        // bucket counts, the slim Gumbel-key checkpoint, the final
+        // threshold emit), and each bare reference would re-run the
+        // ENTIRE funnel above — the 10M rehearsal measured the DSIR
+        // stage at ~50 GB marginal shuffle, ≈ 3 funnel re-executions
+        // (§7.4). Materialize the survivors once: strictly cheaper
+        // than re-running a multi-join pipeline per reference, and
+        // `spark.graft.checkpointDir` upgrades it to a reliable
+        // checkpoint on real clusters.
+        val pool = graft.core.Checkpoints.cut(decon)
+        val w = Dsir.trainWeights(tgt, pool, text, cfg.dsirBuckets)
         // corpus-sized budgets switch to the radix-selection path: the
         // sorted limit merges n·partitions rows on the driver, so past
         // the histogram-envelope bound the threshold form is the only
         // shape that survives (identical selected set, spec'd)
         if (cfg.dsirKeep > 65536)
-          Dsir.resampleAt(decon, id, text, w, cfg.dsirKeep.toLong)
-        else Dsir.resample(decon, id, text, w, cfg.dsirKeep)
+          Dsir.resampleAt(pool, id, text, w, cfg.dsirKeep.toLong)
+        else Dsir.resample(pool, id, text, w, cfg.dsirKeep)
       case None => decon
     }
   }

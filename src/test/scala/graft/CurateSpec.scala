@@ -143,6 +143,53 @@ class CurateSpec extends SparkTestBase {
     assert(kept.size === 20)
   }
 
+  test("sentence dedup upstream of near-dup CONSUMES shared content: the " +
+      "near-dup survives as its unique residual (10M-rehearsal ordering finding)") {
+    // template (10) and near-dup (11) share three 8-token sentences;
+    // the near-dup's last sentence differs by one token. Without
+    // sentence dedup the near-dup stage drops doc 11 (shingle jaccard
+    // ≥ τ); with sentence dedup ON, the shared sentences are CUT from
+    // doc 11 first, near-dup sees only the unique remnant, and doc 11
+    // correctly survives — span-level removal has already done the
+    // deduplication. Both outcomes are designed; the order chooses
+    // between document-level and span-level dedup semantics.
+    def sent(tag: String, n: Int) =
+      (1 to 8).map(j => s"${tag}$j").mkString(" ") + "."
+    val shared = (1 to 3).map(k => sent(s"s${k}x", 8)).mkString(" ")
+    val docs = Seq(
+      (10L, s"$shared ${sent("tailA", 8)}"),
+      (11L, s"$shared ${sent("tailA", 8).replace("tailA8", "zz")}"),
+      (20L, (1 to 32).map(j => s"u$j").mkString(" "))).toDF("doc_id", "text")
+    val noSent = Curate.run(docs,
+        Curate.Config(minWords = 5, tau = 0.6))
+      .select("doc_id").as[Long].collect().toSet
+    assert(noSent === Set(10L, 20L), s"near-dup must drop 11: $noSent")
+    val withSent = Curate.run(docs,
+        Curate.Config(minWords = 5, tau = 0.6, sentenceDedup = true))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(withSent.keySet === Set(10L, 11L, 20L))
+    // doc 11 kept exactly its unique residual sentence
+    assert(!withSent(11L).contains("s1x1") && withSent(11L).contains("zz"))
+  }
+
+  test("DSIR stage materializes the survivor pool once (no funnel re-execution)") {
+    // three references (train raw side, slim key checkpoint, final
+    // emit) must read the checkpointed pool: assert the returned
+    // plan's scan is a checkpoint RDD scan, not the full funnel
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 20).map(j => s"d${i}w$j").mkString(" ") +
+        (if (i % 3 == 0) " science physics theory" else " junk spam noise")))
+      .toDF("doc_id", "text")
+    val target = Seq((1L, "science physics theory experiment method"))
+      .toDF("doc_id", "text")
+    val out = Curate.run(docs, Curate.Config(minWords = 5,
+      dsirTarget = Some(target), dsirKeep = 10))
+    assert(out.count() === 10L)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"DSIR emit must scan the checkpointed pool, got:\n$plan")
+  }
+
   test("all-hot docs (empty capped signature) never form a hub bucket and " +
       "survive near-dup; true plants still collapse") {
     // five docs that are PURE footer (every token hot under the cap)
