@@ -192,16 +192,24 @@ object Bpe {
     * is a 1-row driver action per round (the [[Ivf]] k-means training
     * convention). 50k-merge production runs batch fine — each round's
     * shuffle is |vocab| rows of a few dozen bytes. */
-  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
-            nMerges: Int): Seq[(String, String)] = {
+  /** The shared training pre-aggregation: (word → character symbols,
+    * frequency). ONE corpus pass; the result is corpus-size-independent
+    * training state (bounded by vocabulary size). */
+  private def wordVocab(docs: org.apache.spark.sql.DataFrame,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    require(nMerges >= 0, s"nMerges=$nMerges must be >= 0")
-    var vocab = docs
+    docs
       .select(explode(split(col(textCol), "\\s+")).as("_w"))
       .filter(length(col("_w")) > 0)
       .groupBy(col("_w")).agg(count(lit(1)).as("_f"))
       .select(split(col("_w"), "").as("_syms"), col("_f"))
-      .cut
+  }
+
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+            nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    require(nMerges >= 0, s"nMerges=$nMerges must be >= 0")
+    var vocab = wordVocab(docs, textCol).cut
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
@@ -231,6 +239,139 @@ object Bpe {
                 array(concat(element_at(acc, -1), s))))
               .otherwise(concat(acc, array(s)))))
           .cut
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]]'s merge loop run DRIVER-SIDE over the collected
+    * vocabulary, with incrementally maintained pair counts — identical
+    * merges (BpeSpec pins the differential), orders of magnitude
+    * faster when the vocabulary fits one machine, which it essentially
+    * always does: the training state after [[wordVocab]]'s corpus pass
+    * is the (word, freq) table, and even web-scale corpora hold a few
+    * million distinct whitespace words. The distributed loop pays one
+    * Spark round PER MERGE (a 50k-merge run is 50k scheduler
+    * round-trips on state that never leaves a few MB); here each merge
+    * touches only the words actually containing the chosen pair (an
+    * inverted pair→words index), with a lazily-invalidated heap for
+    * the argmax — the classic single-node BPE trainer (Sennrich 2016
+    * §3.2) bolted onto the same distributed pre-aggregation.
+    *
+    * Parity notes, both pinned by spec: (a) ties break exactly like
+    * the distributed `orderBy(desc(c), asc(l), asc(r))` — counts desc,
+    * then UTF8 BYTE order on left/right ([[UTF8String.compareTo]], the
+    * comparison Spark's string sort uses — NOT Java's UTF-16
+    * `String.compareTo`, which disagrees beyond the BMP); (b) the
+    * symbol arrays come from the SAME Spark expression ([[wordVocab]]),
+    * so splitting semantics cannot drift between the twins.
+    *
+    * `maxVocab` bounds the driver envelope (the [[Ivf.train]]
+    * centroid-collect convention): the collect aborts past the cap
+    * rather than silently materializing an unbounded frame — fall back
+    * to [[train]] (or let [[trainAuto]] choose) for vocabularies that
+    * genuinely exceed one machine. */
+  def trainLocal(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 nMerges: Int, maxVocab: Int = 5000000): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges=$nMerges must be >= 0")
+    require(maxVocab >= 1, s"maxVocab=$maxVocab must be >= 1")
+    val probe = wordVocab(docs, textCol).limit(maxVocab + 1).collect()
+    require(probe.length <= maxVocab,
+      s"trainLocal: vocabulary exceeds maxVocab=$maxVocab distinct words — " +
+        "raise the cap or use the distributed train/trainAuto")
+    trainFromVocab(
+      probe.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), nMerges)
+  }
+
+  /** One training entry point that picks the engine by measured
+    * vocabulary size: driver-side incremental ([[trainLocal]]) when the
+    * distinct-word count fits `localVocabCap`, distributed rounds
+    * ([[train]]) past it. The sizing pass reuses the pre-aggregation
+    * both engines need anyway. */
+  def trainAuto(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                nMerges: Int, localVocabCap: Int = 5000000): Seq[(String, String)] =
+    if (wordVocab(docs, textCol).limit(localVocabCap + 1).count() <= localVocabCap)
+      trainLocal(docs, textCol, nMerges, localVocabCap)
+    else train(docs, textCol, nMerges)
+
+  /** The incremental merge loop over an in-memory vocabulary —
+    * [[trainLocal]]'s core, separated for direct spec access. */
+  private[ext] def trainFromVocab(vocab: Array[(Array[String], Long)],
+                                  nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words = vocab.map(_._1.clone())
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val holders = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    def scanPairs(syms: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    // heap entries are (count-at-push, pair) — lazily invalidated: an
+    // entry is live iff the pair's CURRENT count equals its stamp, and
+    // every count change pushes a fresh entry, so the first live pop is
+    // the true argmax under the distributed tie order
+    final case class Cand(c: Long, l: String, r: String,
+                          ul: UTF8String, ur: UTF8String)
+    val heap = new java.util.PriorityQueue[Cand](64,
+      new java.util.Comparator[Cand] {
+        override def compare(a: Cand, b: Cand): Int = {
+          if (a.c != b.c) return if (a.c > b.c) -1 else 1
+          val cl = a.ul.compareTo(b.ul)
+          if (cl != 0) cl else a.ur.compareTo(b.ur)
+        }
+      })
+    def push(p: (String, String), c: Long): Unit =
+      heap.add(Cand(c, p._1, p._2,
+        UTF8String.fromString(p._1), UTF8String.fromString(p._2)))
+
+    var w = 0
+    while (w < words.length) {
+      val fw = freqs(w); val idx = w
+      scanPairs(words(w)) { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + fw)
+        holders.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+      }
+      w += 1
+    }
+    counts.foreach { case (p, c) => push(p, c) }
+
+    def rewrite(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2 // leftmost-first non-overlapping
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < nMerges && !heap.isEmpty) {
+      val top = heap.poll()
+      val pair = (top.l, top.r)
+      if (counts.getOrElse(pair, 0L) == top.c) { // live entry
+        merges += pair
+        val affected = holders.getOrElse(pair, mutable.BitSet.empty).toArray
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { wi =>
+          val fw = freqs(wi)
+          scanPairs(words(wi)) { p =>
+            val nc = counts(p) - fw
+            if (nc == 0L) counts.remove(p) else counts.update(p, nc)
+            holders(p) -= wi
+            changed += p
+          }
+          words(wi) = rewrite(words(wi), top.l, top.r)
+          scanPairs(words(wi)) { p =>
+            counts.update(p, counts.getOrElse(p, 0L) + fw)
+            holders.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+            changed += p
+          }
+        }
+        changed.foreach { p => counts.get(p).foreach(push(p, _)) }
       }
     }
     merges.toSeq

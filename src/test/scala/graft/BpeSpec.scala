@@ -238,6 +238,54 @@ class BpeSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("trainLocal ≡ distributed train: identical merges on ties, chains, exhaustion") {
+    import spark.implicits._
+    val corpora = Seq(
+      // the classic Sennrich fixture
+      Seq("low low low low lower lower lowest",
+          "new new newer newer newer newest widest wide"),
+      // pure ties everywhere: tie order (count desc, l asc, r asc) is
+      // the only thing separating the candidates
+      Seq("ab ab cd cd ef ef", "ba ba dc dc fe fe"),
+      // single-letter runs: overlapping-pair counting + non-overlapping
+      // replacement is where incremental maintenance usually breaks
+      Seq("aaa aaaa aaaaa bbb abab aabb", "aa aa aa bbbb baba"),
+      // astral char: code-point symbols survive the driver round-trip
+      Seq.fill(4)("𝒳a body text here"))
+    corpora.zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (k <- Seq(0, 3, 12, 60)) { // 60 → exhaustion on every fixture
+        val dist = Bpe.train(docs, "text", k)
+        val local = Bpe.trainLocal(docs, "text", k)
+        assert(local === dist, s"corpus #$ci, nMerges=$k")
+      }
+    }
+  }
+
+  test("trainLocal ≡ distributed train on a pseudo-random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val words = Seq.fill(300)(
+      (0 until (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val docs = words.grouped(20).map(_.mkString(" ")).zipWithIndex.toSeq
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(Bpe.trainLocal(docs, "text", 20) === Bpe.train(docs, "text", 20))
+  }
+
+  test("trainLocal maxVocab envelope aborts; trainAuto routes past the cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, "text", 5, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+    // trainAuto with the same tiny cap falls back to the distributed
+    // loop and still learns the same table as an uncapped local run
+    assert(Bpe.trainAuto(docs, "text", 5, localVocabCap = 3)
+      === Bpe.trainLocal(docs, "text", 5))
+  }
+
   test("astral characters tokenize as code points, never lone surrogates") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
