@@ -2151,6 +2151,64 @@ ORDER BY feature"""
              |  ${duckAssign("emb", "c2")})
              |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin)),
 
+    // ── 48d. IVF budget probing (Ivf.topKJoinBudget): probe cells
+    // nearest-first until the rows they hold reach a SCAN budget (40%
+    // of the corpus here), then dot-product top-5 — per-probe cost a
+    // constant under cell skew instead of a fixed nprobe. The DuckDB
+    // twin recomputes the census and the exclusive running-count
+    // prefix with a window over the same (distance, cid) order ───────────
+    QueryDef(
+      "q_ivf_budget",
+      (s, d) => {
+        import graft.ext.Ivf
+        val e = t(s, d, "embeddings")
+        val centroids = Ivf.train(e, "vec_id", "embedding", k = 4, iters = 2,
+          spreadInit = false)
+        val probes = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val corpus = Ivf.withCell(e.filter(col("vec_id") >= 3), "embedding", centroids)
+        val counts = Ivf.cellCounts(corpus)
+        val budget = (counts.values.sum * 2) / 5
+        Ivf.topKJoinBudget(corpus, "embedding", centroids, counts,
+            probes, "probe_id", "p_emb", k = 5, maxScanRows = budget,
+            tieBreak = Seq("vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("probe_id"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""WITH $duckKmeans4x2,
+             |af AS (
+             |  ${duckAssign("(SELECT * FROM emb WHERE vec_id >= 3)", "c2")}),
+             |cc AS (SELECT cell, count(*) AS n FROM af GROUP BY cell),
+             |b AS (SELECT CAST(sum(n) * 2 // 5 AS BIGINT) AS budget FROM cc),
+             |p AS (SELECT vec_id AS probe_id, e FROM emb WHERE vec_id < 3),
+             |pd AS (
+             |  SELECT p.probe_id, c.cid,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> (c.e[i] - p.e[i]) * (c.e[i] - p.e[i]))) AS d,
+             |    COALESCE(cc.n, 0) AS n
+             |  FROM p CROSS JOIN c2 c LEFT JOIN cc ON cc.cell = c.cid),
+             |pc AS (
+             |  SELECT probe_id, cid FROM (
+             |    SELECT probe_id, cid,
+             |      COALESCE(sum(n) OVER (PARTITION BY probe_id ORDER BY d, cid
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+             |    FROM pd)
+             |  WHERE bf < (SELECT budget FROM b))
+             |SELECT probe_id, vec_id, round(dot, 4) AS score FROM (
+             |  SELECT probe_id, vec_id, dot,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY dot DESC, vec_id) AS rn
+             |  FROM (
+             |    SELECT pc.probe_id, v.vec_id,
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> v.e[i] * p.e[i])) AS dot
+             |    FROM af JOIN pc ON af.cell = pc.cid
+             |    JOIN emb v USING (vec_id)
+             |    JOIN p ON p.probe_id = pc.probe_id))
+             |WHERE rn <= 5
+             |ORDER BY probe_id, score DESC, vec_id""".stripMargin)),
+
     // ── 49. full outer join (group-level, sparse sides at small SF) ────
     QueryDef(
       "q_join_outer",

@@ -34,6 +34,13 @@ object IvfLifecycleDemo {
   private val K = 128 // coarse cells
   private val NProbe = 8
   private val TopK = 10
+  // fixed row-scan budget for [[Ivf.topKJoinBudget]] — ~5.8% of the
+  // final 6.86M corpus, the work nprobe=8/128 implies under UNIFORM
+  // cells. Fixed-nprobe recall conflates quality with scanned rows
+  // when the quantizer is stale (drift probes hit giant frontier
+  // cells); the budget column holds cost constant so recall across
+  // quantizer generations is comparable.
+  private val ScanBudget = 400000L
 
   /** Deterministic clustered vector: center drawn from [c0, c0+nC),
     * coordinates pure hashes (the [[AnnScaleDemo.synthVecs]] shape). */
@@ -92,7 +99,7 @@ object IvfLifecycleDemo {
       val cents = Ivf.loadCentroids(spark, segs.head)
       val cellSizes = idx.groupBy(col("ivf_cell")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ K rows
-      def rowsPerProbe(probes: DataFrame): Double = {
+      def rowsPerProbe(probes: DataFrame): (Double, Double) = {
         val ps = probes.select("p_emb").collect() // 100-row panel
           .map(_.getSeq[Float](0).map(_.toDouble).toArray)
         val scanned = ps.map { p =>
@@ -102,19 +109,40 @@ object IvfLifecycleDemo {
             (d, cid)
           }.sortBy(_._1).take(NProbe).map(x => cellSizes.getOrElse(x._2, 0L)).sum
         }
-        scanned.sum.toDouble / scanned.length
+        // budget probing scans the nearest-first cell prefix whose
+        // exclusive running count is < ScanBudget (Ivf.budgetCellsExpr)
+        val scannedB = ps.map { p =>
+          val order = Ivf.probeCells(cents, p, cents.size)
+          var s = 0L
+          val it = order.iterator
+          while (it.hasNext && s < ScanBudget) s += cellSizes.getOrElse(it.next(), 0L)
+          s
+        }
+        (scanned.sum.toDouble / scanned.length,
+         scannedB.sum.toDouble / scannedB.length)
       }
-      def recall(probes: DataFrame): Double = {
+      /** (recall at fixed nprobe, recall at fixed row budget) vs ONE
+        * brute-force truth pass. */
+      def recalls(probes: DataFrame): (Double, Double) = {
         val truth = Similarity.bruteForceTopKJoin(idx, "embedding", probes,
-          "probe_id", "p_emb", k = TopK, tieBreak = Seq("vec_id"))
-        val got = Ivf.topKJoin(idx, "embedding", cents, probes,
+          "probe_id", "p_emb", k = TopK, tieBreak = Seq("vec_id")).localCheckpoint()
+        val gotN = Ivf.topKJoin(idx, "embedding", cents, probes,
           "probe_id", "p_emb", k = TopK, nprobe = NProbe, tieBreak = Seq("vec_id"))
-        Eval.meanRecallAtK(got, truth, "probe_id", "vec_id", TopK)
+        val gotB = Ivf.topKJoinBudget(idx, "embedding", cents, cellSizes, probes,
+          "probe_id", "p_emb", k = TopK, maxScanRows = ScanBudget,
+          tieBreak = Seq("vec_id"))
+        (Eval.meanRecallAtK(gotN, truth, "probe_id", "vec_id", TopK),
+         Eval.meanRecallAtK(gotB, truth, "probe_id", "vec_id", TopK))
       }
       val maxShare = if (n == 0) 0.0 else cellSizes.values.max.toDouble / n
+      val (rb, rbB) = recalls(probesBase)
+      val (rd, rdB) = recalls(probesDrift)
+      val (rpp, rppB) = rowsPerProbe(probesDrift)
       println(f"$label%-34s rows=$n%9d segs=${segs.size}%2d " +
-        f"recall[base]=${recall(probesBase)}%.3f recall[drift]=${recall(probesDrift)}%.3f " +
-        f"maxCell=${maxShare * 100}%.1f%% rows/probe=${rowsPerProbe(probesDrift)}%,.0f")
+        f"recall[base]=$rb%.3f recall[drift]=$rd%.3f " +
+        f"maxCell=${maxShare * 100}%.1f%% rows/probe=$rpp%,.0f | " +
+        f"@${ScanBudget / 1000}k-budget recall[base]=$rbB%.3f " +
+        f"recall[drift]=$rdB%.3f rows/probe=$rppB%,.0f")
     }
 
     ScaleDemo.time(s"saveIndexAtomic (k=$K, 2 Lloyd rounds)") {

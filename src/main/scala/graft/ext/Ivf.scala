@@ -558,6 +558,78 @@ object Ivf {
       .drop("_rn", cellCol, probeVecCol)
   }
 
+  /** Per-cell row counts of an assigned corpus — the ≤k-row bounded
+    * envelope [[topKJoinBudget]] plans with (k coarse cells by
+    * construction; the same driver-side convention as [[train]]'s
+    * centroid collect). */
+  def cellCounts(indexed: DataFrame, cellCol: String = "ivf_cell"): Map[Int, Long] =
+    indexed.groupBy(col(cellCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Cells to probe under a ROW-SCAN BUDGET, nearest-first: keep cell c
+    * iff the total row count of strictly-nearer cells is < `maxScanRows`
+    * (so the nearest cell is always probed, and the kept prefix is the
+    * shortest one whose scan reaches the budget). Same (distance, cid)
+    * order and tie-break as [[nearestCellsExpr]]; one O(k) fold per
+    * probe over the sorted k-cell array, map-side. */
+  private def budgetCellsExpr(vec: Column, centroids: Seq[(Int, Array[Double])],
+                              counts: Map[Int, Long], maxScanRows: Long): Column = {
+    val cells = array_sort(array(centroids.map { case (cid, c) =>
+      struct(dist2(vec, lit(c)).as("d"), lit(cid).as("cid"),
+        lit(counts.getOrElse(cid, 0L)).as("n"))
+    }: _*))
+    aggregate(
+      cells,
+      struct(lit(0L).as("s"), array().cast("array<int>").as("keep")),
+      (acc, x) => struct(
+        (acc.getField("s") + x.getField("n")).as("s"),
+        when(acc.getField("s") < maxScanRows,
+          concat(acc.getField("keep"), array(x.getField("cid"))))
+          .otherwise(acc.getField("keep")).as("keep")),
+      acc => acc.getField("keep"))
+  }
+
+  /** [[topKJoin]] with the probe width set by a ROW budget instead of a
+    * cell count: each probe explodes to its nearest cells until the
+    * rows those cells hold reach `maxScanRows`, then joins and ranks
+    * exactly as [[topKJoin]].
+    *
+    * Why this exists: under a STALE or skewed quantizer a fixed
+    * `nprobe` conflates recall with work — probes whose region drifted
+    * land on a few giant frontier cells and quietly scan 10–100× the
+    * rows of a probe in a well-split region (the IvfLifecycleDemo
+    * measured exactly this: after `retrainAtomic`, recall at nprobe=8
+    * LOOKED worse on drifted probes only because the stale index had
+    * been buying recall with 1.6× the scanned rows). Budget probing
+    * makes per-probe cost a constant and recall the free variable, so
+    * quantizer generations are comparable and tail latency is bounded —
+    * the per-query cost model FAISS's IVF literature assumes
+    * (nprobe/k of the corpus) made true under skew.
+    *
+    * `counts` is the plan-time per-cell census ([[cellCounts]] — one
+    * ≤k-row collect); the budget is enforced against it, not re-counted
+    * at runtime. Cells absent from `counts` weigh 0 (probing them is
+    * free by the census). `maxScanRows >= 1`; the nearest cell is
+    * always probed even when it alone exceeds the budget. */
+  def topKJoinBudget(indexed: DataFrame, vecCol: String,
+                     centroids: Seq[(Int, Array[Double])], counts: Map[Int, Long],
+                     probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                     k: Int, maxScanRows: Long, cellCol: String = "ivf_cell",
+                     scoreCol: String = "score", tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxScanRows >= 1, s"maxScanRows=$maxScanRows must be >= 1")
+    val pcells = probes.select(col(probeIdCol), col(probeVecCol),
+      explode(budgetCellsExpr(col(probeVecCol).cast("array<double>"), centroids,
+        counts, maxScanRows)).as(cellCol))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col(scoreCol).desc +: tieBreak.map(col): _*)
+    indexed.join(broadcast(pcells), Seq(cellCol))
+      .withColumn(scoreCol, Similarity.dot(col(vecCol), col(probeVecCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn", cellCol, probeVecCol)
+  }
+
   /** Persist the QUANTIZED IVF index: (idCol, scale, q8, cell) with the
     * int8 codes stored as `array<tinyint>` — the index artifact is ~4×
     * smaller than the float32 corpus (the binding constraint at 100 TB

@@ -605,4 +605,51 @@ class IvfSpec extends SparkTestBase {
     val fresh = overlap(retrained, newC)
     assert(fresh >= stale, s"refresh degraded recall: $fresh < $stale")
   }
+
+  test("topKJoinBudget: per-probe nearest-first cell prefix by row census; " +
+      "extremes ≡ nprobe=1 and brute force") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val corpus = Ivf.withCell(emb.filter(col("vec_id") >= 5), "embedding", centroids)
+    val counts = Ivf.cellCounts(corpus)
+    val total = counts.values.sum
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("embedding").as("p"))
+
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[(Long, Double)]] =
+      df.select("pid", "vec_id", "score").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+
+    // mid budget: every probe's result must equal topKJoin run at the
+    // nprobe its census prefix implies (exclusive running count < budget)
+    val budget = math.max(1L, total / 3)
+    val got = asMap(Ivf.topKJoinBudget(corpus, "embedding", centroids, counts,
+      probes, "pid", "p", k = 10, maxScanRows = budget, tieBreak = Seq("vec_id")))
+    probes.collect().foreach { pr =>
+      val pid = pr.getLong(0)
+      val pv = pr.getSeq[Float](1).map(_.toDouble).toArray
+      var s = 0L
+      val kept = Ivf.probeCells(centroids, pv, centroids.size)
+        .takeWhile { cid => val ok = s < budget; s += counts.getOrElse(cid, 0L); ok }
+      assert(kept.nonEmpty, "nearest cell must always be probed")
+      val one = probes.filter(col("pid") === pid)
+      val expect = asMap(Ivf.topKJoin(corpus, "embedding", centroids, one,
+        "pid", "p", k = 10, nprobe = kept.size, tieBreak = Seq("vec_id")))
+      assert(got(pid) === expect(pid), s"probe $pid: prefix of ${kept.size} cells")
+    }
+
+    // budget ≥ corpus: probes every cell ⇒ exactly brute force
+    val full = asMap(Ivf.topKJoinBudget(corpus, "embedding", centroids, counts,
+      probes, "pid", "p", k = 10, maxScanRows = total, tieBreak = Seq("vec_id")))
+    val bf = asMap(Similarity.bruteForceTopKJoin(corpus, "embedding", probes,
+      "pid", "p", k = 10, tieBreak = Seq("vec_id")))
+    assert(full === bf)
+
+    // budget = 1: the nearest cell alone, even though it exceeds the budget
+    val tight = asMap(Ivf.topKJoinBudget(corpus, "embedding", centroids, counts,
+      probes, "pid", "p", k = 10, maxScanRows = 1L, tieBreak = Seq("vec_id")))
+    val np1 = asMap(Ivf.topKJoin(corpus, "embedding", centroids, probes,
+      "pid", "p", k = 10, nprobe = 1, tieBreak = Seq("vec_id")))
+    assert(tight === np1)
+  }
 }
