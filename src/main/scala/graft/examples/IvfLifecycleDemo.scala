@@ -180,6 +180,15 @@ object IvfLifecycleDemo {
     }
     stageReport("after quantizer retrain")
 
+    // the 100 TB shape: Lloyd over a 512-points-per-centroid radix
+    // subsample instead of the full corpus; the only full passes left
+    // are the final re-assign + write that any retrain pays
+    ScaleDemo.time(s"retrainAtomic sampled (${512 * K} train rows)") {
+      Ivf.retrainAtomic(spark, root, "vec_id", "embedding", K, iters = 2,
+        maxTrainRows = Some(512L * K))
+    }
+    stageReport("after sampled retrain")
+
     // lifecycle invariants, asserted not eyeballed
     val finalIdx = Ivf.readIndex(spark, root)
     val expected = nTotal - doomed.count()

@@ -53,18 +53,45 @@ object Ivf {
     * cells coarse. `spreadInit = false` seeds from the k lowest ids
     * instead — kept for replicating fixed published seedings (and the
     * declared-query DuckDB twins, which express id-order seeding as
-    * plain `ORDER BY id LIMIT k` SQL). */
+    * plain `ORDER BY id LIMIT k` SQL).
+    *
+    * `maxTrainRows`: when set, the Lloyd iterations (and the seed
+    * scan) run over a DETERMINISTIC uniform subsample — the ~m rows
+    * with the smallest `xxhash64(id)` (hash ties at the threshold
+    * included), found by radix descent
+    * ([[graft.operators.Selection.nthSmallest]]: four ≤65,536-row
+    * histogram envelopes, no sort, no sampler RNG state) and kept by a
+    * map-only filter. A coarse quantizer needs a few hundred points
+    * per centroid, not the corpus (FAISS's training convention), so at
+    * index scale this turns each Lloyd round from a full-corpus pass
+    * into a sample pass; the one full pass that remains is the final
+    * assignment the caller does anyway. Training on the subsample ≡
+    * training on `corpus.filter(xxhash64(id) <= t)` exactly, and
+    * reproduces across runs and partitionings (pure id-hash
+    * membership, same reasoning as the spread init). */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2,
-            spreadInit: Boolean = true): Seq[(Int, Array[Double])] = {
+            spreadInit: Boolean = true,
+            maxTrainRows: Option[Long] = None): Seq[(Int, Array[Double])] = {
+    val trainSet = maxTrainRows match {
+      case Some(m) =>
+        require(m >= k, s"maxTrainRows=$m must be >= k=$k")
+        if (corpus.count() <= m) corpus
+        else {
+          val (t, _) = graft.operators.Selection.nthSmallest(
+            corpus.select(xxhash64(col(idCol)).as("_th")), "_th", m)
+          corpus.filter(xxhash64(col(idCol)) <= t)
+        }
+      case None => corpus
+    }
     val seedOrder = if (spreadInit) xxhash64(col(idCol)) else col(idCol)
-    val init = corpus.orderBy(seedOrder, col(idCol)).limit(k)
+    val init = trainSet.orderBy(seedOrder, col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
 
     (0 until iters).foldLeft(init) { (centroids, _) =>
       val agg = udaf(VecMeanAgg)
-      val updated = corpus
+      val updated = trainSet
         .withColumn("_cell", nearest(col(vecCol), centroids))
         .groupBy("_cell")
         .agg(agg(col(vecCol).cast("array<double>")).as("m"))
@@ -140,12 +167,13 @@ object Ivf {
   def saveIndexAtomic(corpus: DataFrame, idCol: String, vecCol: String,
                       root: String, k: Int, iters: Int = 2,
                       cellCol: String = "ivf_cell",
-                      spreadInit: Boolean = true): (Long, String) = {
+                      spreadInit: Boolean = true,
+                      maxTrainRows: Option[Long] = None): (Long, String) = {
     import graft.sources.AtomicCommit
     val spark = corpus.sparkSession
     val v = AtomicCommit.nextVersion(spark, root)
     val dir = AtomicCommit.versionDir(root, v)
-    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     saveIndex(corpus, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
     require(AtomicCommit.commit(spark, root, v, ""),
@@ -328,12 +356,13 @@ object Ivf {
   def saveIndexQAtomic(corpus: DataFrame, idCol: String, vecCol: String,
                        root: String, k: Int, iters: Int = 2,
                        cellCol: String = "ivf_cell",
-                       spreadInit: Boolean = true): (Long, String) = {
+                       spreadInit: Boolean = true,
+                       maxTrainRows: Option[Long] = None): (Long, String) = {
     import graft.sources.AtomicCommit
     val spark = corpus.sparkSession
     val v = AtomicCommit.nextVersion(spark, root)
     val dir = AtomicCommit.versionDir(root, v)
-    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     saveIndexQ(corpus, idCol, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
     require(AtomicCommit.commit(spark, root, v, ""),
@@ -348,13 +377,14 @@ object Ivf {
   def saveIndexPQAtomic(corpus: DataFrame, idCol: String, vecCol: String,
                         root: String, k: Int, m: Int, ksub: Int = 256,
                         iters: Int = 2, cellCol: String = "ivf_cell",
-                        spreadInit: Boolean = true): (Long, String) = {
+                        spreadInit: Boolean = true,
+                        maxTrainRows: Option[Long] = None): (Long, String) = {
     import graft.sources.AtomicCommit
     val spark = corpus.sparkSession
     val v = AtomicCommit.nextVersion(spark, root)
     val dir = AtomicCommit.versionDir(root, v)
-    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
-    val books = Pq.train(corpus, idCol, vecCol, m, ksub, iters, spreadInit)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
+    val books = Pq.train(corpus, idCol, vecCol, m, ksub, iters, spreadInit, maxTrainRows)
     saveIndexPQ(corpus, idCol, vecCol, centroids, books, dir, cellCol)
     saveCentroids(spark, centroids, dir)
     Pq.saveCodebooks(spark, books, s"$dir/_codebooks")
@@ -411,13 +441,14 @@ object Ivf {
                     root: String, idCol: String, vecCol: String, k: Int,
                     iters: Int = 2, cellCol: String = "ivf_cell",
                     spreadInit: Boolean = true,
-                    fenceEpoch: Option[Long] = None): (Long, String) = {
+                    fenceEpoch: Option[Long] = None,
+                    maxTrainRows: Option[Long] = None): (Long, String) = {
     import graft.sources.AtomicCommit
     fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the write
     val segs = indexSegments(spark, root)
     // drop the stale assignment — the whole point is that it moves
     val corpus = readSegments(spark, segs).drop(cellCol)
-    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit)
+    val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     val v = AtomicCommit.nextVersion(spark, root)
     val dir = AtomicCommit.versionDir(root, v)
     saveIndex(corpus, vecCol, centroids, dir, cellCol)
@@ -658,21 +689,35 @@ object Ivf {
     * relative). Output: (probeIdCol, idCol, scoreCol).
     *
     * Ties break toward lower idCol at both stages — deterministic for
-    * any partitioning. */
+    * any partitioning.
+    *
+    * `scanBudget = Some((census, maxScanRows))` replaces the fixed
+    * `nprobe` with row-budget probing ([[topKJoinBudget]] semantics on
+    * the quantized tier — the one that actually serves at index
+    * scale): cells probe nearest-first until their census rows reach
+    * the budget; `nprobe` is then ignored. */
   def topKJoinQ(indexedQ: DataFrame, idCol: String,
                 centroids: Seq[(Int, Array[Double])],
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
                 k: Int, nprobe: Int = 2,
                 rerank: Option[(DataFrame, String)] = None, rerankFactor: Int = 4,
-                cellCol: String = "ivf_cell", scoreCol: String = "score"): DataFrame = {
+                cellCol: String = "ivf_cell", scoreCol: String = "score",
+                scanBudget: Option[(Map[Int, Long], Long)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerankFactor >= 1, s"rerankFactor=$rerankFactor must be >= 1")
     val pq = Quantize.quantizeInt8(
       probes.select(col(probeIdCol), col(probeVecCol)), probeVecCol, "_pq")
+    val cellsOf = scanBudget match {
+      case Some((census, budget)) =>
+        require(budget >= 1, s"maxScanRows=$budget must be >= 1")
+        budgetCellsExpr(col(probeVecCol).cast("array<double>"), centroids,
+          census, budget)
+      case None =>
+        nearestCellsExpr(col(probeVecCol).cast("array<double>"), centroids, nprobe)
+    }
     val pcells = pq.select(col(probeIdCol), col(probeVecCol),
       col("_pq.scale").as("_pscale"), col("_pq.q").as("_pq8"),
-      explode(nearestCellsExpr(col(probeVecCol).cast("array<double>"), centroids, nprobe))
-        .as(cellCol))
+      explode(cellsOf).as(cellCol))
     val wq = Window.partitionBy(col(probeIdCol))
       .orderBy(col("_qscore").desc, col(idCol))
     val kq = if (rerank.isDefined) k * rerankFactor else k

@@ -34,10 +34,15 @@ object Pq {
 
   /** Train m codebooks over `corpus.vecCol` (dim must be divisible by
     * m). Each subspace trains independently on its slice via the
-    * deterministic [[Ivf.train]] coarse k-means. */
+    * deterministic [[Ivf.train]] coarse k-means. `maxTrainRows` bounds
+    * each subspace's Lloyd passes to a deterministic radix subsample
+    * (the [[Ivf.train]] contract) — with m subspaces each paying
+    * `iters` corpus passes, sampling matters m× more here than for the
+    * coarse quantizer. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int = 256, iters: Int = 2,
-            spreadInit: Boolean = true): Codebooks = {
+            spreadInit: Boolean = true,
+            maxTrainRows: Option[Long] = None): Codebooks = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -45,7 +50,7 @@ object Pq {
       Ivf.train(
         corpus.select(col(idCol),
           slice(col(vecCol), s * dsub + 1, dsub).cast("array<float>").as("_sub")),
-        idCol, "_sub", ksub, iters, spreadInit)
+        idCol, "_sub", ksub, iters, spreadInit, maxTrainRows)
         .sortBy(_._1).map(_._2)
     }
     Codebooks(m, dsub, books)

@@ -239,6 +239,36 @@ class IvfSpec extends SparkTestBase {
     assert(rq >= 0.3, s"nprobe=3/8 mean recall@5 $rq suspiciously low")
   }
 
+  test("topKJoinQ scanBudget: budget ≥ corpus ≡ nprobe=k; budget=1 ≡ nprobe=1") {
+    val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val path = java.nio.file.Files.createTempDirectory("ivfqb").resolve("index").toString
+    Ivf.saveIndexQ(corpus, "vec_id", "embedding", centroids, path)
+    val indexedQ = spark.read.parquet(path)
+    val census = Ivf.cellCounts(indexedQ)
+    val total = census.values.sum
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val allBudget = ids(Ivf.topKJoinQ(indexedQ, "vec_id", centroids, probes,
+      "probe_id", "p_emb", k = 5, rerank = Some((corpus, "embedding")),
+      scanBudget = Some((census, total))))
+    val allProbe = ids(Ivf.topKJoinQ(indexedQ, "vec_id", centroids, probes,
+      "probe_id", "p_emb", k = 5, nprobe = 8, rerank = Some((corpus, "embedding"))))
+    assert(allBudget === allProbe)
+
+    val oneBudget = ids(Ivf.topKJoinQ(indexedQ, "vec_id", centroids, probes,
+      "probe_id", "p_emb", k = 5, rerank = Some((corpus, "embedding")),
+      scanBudget = Some((census, 1L))))
+    val oneProbe = ids(Ivf.topKJoinQ(indexedQ, "vec_id", centroids, probes,
+      "probe_id", "p_emb", k = 5, nprobe = 1, rerank = Some((corpus, "embedding"))))
+    assert(oneBudget === oneProbe)
+  }
+
   test("quantized-only scores carry bounded error; without re-rank ids may reorder") {
     val centroids = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
     val corpus = emb.filter(col("vec_id") >= 10)
@@ -604,6 +634,45 @@ class IvfSpec extends SparkTestBase {
     val stale = overlap(resolved, oldC)
     val fresh = overlap(retrained, newC)
     assert(fresh >= stale, s"refresh degraded recall: $fresh < $stale")
+  }
+
+  test("train maxTrainRows: cap ≥ corpus ≡ unsampled bit-identical; " +
+      "sampled ≡ explicit hash-prefix train; deterministic across runs") {
+    val full = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val uncapped = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2,
+      maxTrainRows = Some(Long.MaxValue))
+    full.zip(uncapped).foreach { case ((i, a), (j, b)) =>
+      assert(i === j); assert(a.toSeq === b.toSeq)
+    }
+
+    val m = emb.count() / 3
+    val s1 = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2,
+      maxTrainRows = Some(m))
+    val s2 = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2,
+      maxTrainRows = Some(m))
+    s1.zip(s2).foreach { case ((i, a), (j, b)) =>
+      assert(i === j); assert(a.toSeq === b.toSeq)
+    }
+
+    // the subsample IS the ~m smallest id-hashes: training on that
+    // frame explicitly must reproduce the centroids exactly
+    val (t, _) = graft.operators.Selection.nthSmallest(
+      emb.select(xxhash64(col("vec_id")).as("_th")), "_th", m)
+    val explicit = Ivf.train(emb.filter(xxhash64(col("vec_id")) <= t),
+      "vec_id", "embedding", k = 4, iters = 2)
+    s1.zip(explicit).foreach { case ((i, a), (j, b)) =>
+      assert(i === j); assert(a.toSeq === b.toSeq)
+    }
+
+    // sampled centroids still partition the FULL corpus into valid cells
+    val cells = Ivf.withCell(emb, "embedding", s1)
+      .groupBy("ivf_cell").count().collect()
+    assert(cells.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
+    assert(cells.map(_.getLong(1)).sum === emb.count())
+
+    intercept[IllegalArgumentException] {
+      Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1, maxTrainRows = Some(3L))
+    }
   }
 
   test("topKJoinBudget: per-probe nearest-first cell prefix by row census; " +

@@ -30,6 +30,28 @@ class PqSpec extends SparkTestBase {
     assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
   }
 
+  test("train maxTrainRows: cap ≥ corpus ≡ unsampled; sampled codebooks " +
+      "≡ per-subspace sampled Ivf.train (pass-through)") {
+    val full = Pq.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val uncapped = Pq.train(emb, "vec_id", "embedding", m = 4, ksub = 8,
+      maxTrainRows = Some(Long.MaxValue))
+    full.centroids.zip(uncapped.centroids).foreach { case (x, y) =>
+      x.zip(y).foreach { case (cx, cy) => assert(cx.toSeq === cy.toSeq) }
+    }
+    val m = emb.count() / 3
+    val sampled = Pq.train(emb, "vec_id", "embedding", m = 4, ksub = 8,
+      maxTrainRows = Some(m))
+    val bySub = (0 until 4).map { s =>
+      Ivf.train(emb.select(col("vec_id"),
+          slice(col("embedding"), s * 16 + 1, 16).cast("array<float>").as("_sub")),
+        "vec_id", "_sub", k = 8, iters = 2, maxTrainRows = Some(m))
+        .sortBy(_._1).map(_._2)
+    }
+    sampled.centroids.zip(bySub).foreach { case (x, y) =>
+      x.zip(y).foreach { case (cx, cy) => assert(cx.toSeq === cy.toSeq) }
+    }
+  }
+
   test("codebooks round-trip through parquet: exact centroids, identical codes") {
     val books = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val dir = java.nio.file.Files.createTempDirectory("pq-books").toString
