@@ -79,7 +79,11 @@ object Ivf {
         else {
           val (t, _) = graft.operators.Selection.nthSmallest(
             corpus.select(xxhash64(col(idCol)).as("_th")), "_th", m)
-          corpus.filter(xxhash64(col(idCol)) <= t)
+          // materialize the ~m-row sample ONCE: without the cut every
+          // Lloyd round (and the seed scan) would re-read the full
+          // corpus just to re-apply this map-side filter
+          import graft.core.Checkpoints.CutOps
+          corpus.filter(xxhash64(col(idCol)) <= t).cut
         }
       case None => corpus
     }
