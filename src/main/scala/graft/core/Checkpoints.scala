@@ -47,10 +47,19 @@ object Checkpoints {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cut lineage on `df`: reliable eager checkpoint when
-    * [[DirConf]] is set, eager localCheckpoint otherwise. */
+    * [[DirConf]] is set, eager localCheckpoint otherwise.
+    *
+    * The inherited plan statistics are clamped to Long.MaxValue
+    * ([[org.apache.spark.sql.graft.bridge.clampCheckpointStats]]):
+    * checkpoints preserve the origin's ESTIMATED stats, and an
+    * iterative operator that joins cut frames on both sides compounds
+    * the estimate multiplicatively per round — doubly exponential in
+    * rounds, overflowing BigInteger in the driver's stats visitor near
+    * round 15 (the CcScaleDemo 1M-diameter find). Clamped stats still
+    * say "too big to broadcast"; small frames keep their real sizes. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
+    val cp = spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
         if (installed.get(sc.applicationId) != dir) {
@@ -61,6 +70,7 @@ object Checkpoints {
       case None =>
         df.localCheckpoint(true)
     }
+    org.apache.spark.sql.graft.bridge.clampCheckpointStats(cp)
   }
 
   /** `.cut` suffix syntax so iterative pipelines read like the

@@ -710,71 +710,108 @@ object Dedup {
       semanticDedup(corpus, idCol, vecCol, centroids, tau, transitive),
       idCol, vecCol, centroids, dropFrac)
 
-  /** Connected components over an undirected near-dup edge set by
-    * iterated hash-min label propagation: every vertex starts as its own
-    * component; each round, a vertex's label drops to the minimum label
-    * among itself and its neighbors; at fixpoint the label IS the
-    * component's smallest vertex id — so chains A~B~C collapse to A even
-    * when A and C never shared a bucket.
+  /** Connected components over an undirected near-dup edge set by the
+    * ALTERNATING star algorithm (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond" — large-star/small-star): the
+    * edge set itself is rewritten toward a disjoint union of stars,
+    * each rooted at its component's minimum id. Per round:
     *
-    * Scale notes: the input is the VERIFIED candidate edge set, which is
-    * tiny relative to the corpus (post-banding, post-threshold) — each
-    * round is one small join+groupBy shuffle, and [[graft.core.Checkpoints.cut]]
-    * truncates the lineage so plans don't grow with iteration count.
-    * Each round combines edge relaxation (min over neighbor labels) with
-    * POINTER DOUBLING (min over the label's own label, comp[comp]), so
-    * convergence is O(log diameter) rounds, not O(diameter) — a
-    * 1M-vertex path component converges in ~20 rounds instead of 1M.
-    * The loop exits as soon as no label changes; if `maxIter` is hit
-    * first the result would be silently wrong (multiple survivors per
-    * component), so it THROWS instead.
+    *   - large-star: every vertex u points each LARGER neighbor at
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star: every vertex u points its smaller-or-equal
+    *     neighborhood (and itself) at that minimum.
     *
-    * Returns one row per vertex appearing in `edges`: (id, comp). */
+    * Both steps preserve connectivity and never increase the edge
+    * count beyond |E| + |V|; the fixpoint is exactly the star forest,
+    * and the round bound is O(log² n) worst-case, O(log n) in practice
+    * — INDEPENDENT of component diameter. That independence is the
+    * point: this library's first implementation (hash-min relaxation
+    * with pointer chases through the pre-round labels) claimed
+    * O(log d) but measures LINEAR, ~d/3 rounds, on paths with PERMUTED
+    * ids (CcProbe: 330 rounds at diameter 1,000; the claimed doubling
+    * never happens because label chains terminate at local minima,
+    * whose own label is themselves — no new reach). Long chains are a
+    * real near-dup shape (revision histories, template drift), so the
+    * diameter-free algorithm is the only one that survives corpus
+    * scale. Chains A~B~C still collapse to A even when A and C never
+    * shared a bucket.
+    *
+    * Scale notes: the input is the VERIFIED candidate edge set — tiny
+    * relative to the corpus (post-banding, post-threshold). Each round
+    * is two groupBy+join passes over the current edge set plus an
+    * exact fixpoint check (`except` on the canonical frame), and
+    * [[graft.core.Checkpoints.cut]] truncates lineage per round. If
+    * `maxIter` is hit before the fixpoint the result would be silently
+    * wrong (non-star edges left), so it THROWS instead.
+    *
+    * `onConverge` fires once with the round count on success —
+    * observability for sizing `maxIter` (rehearsals assert on it).
+    *
+    * Returns one row per vertex appearing in `edges`: (id, comp),
+    * comp = the component's smallest vertex id. */
   def transitiveClusters(edges: DataFrame, srcCol: String, dstCol: String,
-                         maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
-      .union(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+                         maxIter: Int = 50,
+                         onConverge: Int => Unit = _ => ()): DataFrame = {
+    // canonical undirected edges: u > v, no self-loops, distinct
+    var e = edges.select(col(srcCol).as("_eu"), col(dstCol).as("_ev"))
+      .filter(col("_eu") =!= col("_ev"))
+      .select(greatest(col("_eu"), col("_ev")).as("u"),
+        least(col("_eu"), col("_ev")).as("v"))
       .distinct().cut
-    var labels = sym.select(col("_a").as("id")).distinct()
-      .withColumn("comp", col("id")).cut
+    // vertex universe from the ORIGINAL edge set — labels are emitted
+    // for every vertex even if rewiring leaves it only on the v side
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct().cut
+    val isolated = edges.select(col(srcCol).as("_eu"), col(dstCol).as("_ev"))
+      .filter(col("_eu") === col("_ev"))
+      .select(col("_eu").as("id")).distinct()
+
+    // large-star: each undirected edge, seen from its SMALLER endpoint
+    // x (y > x), is rewired to (y, min(Γ(x) ∪ {x})) — m ≤ x < y keeps
+    // the canonical orientation for free
+    def largeStar(frame: DataFrame): DataFrame = {
+      val sym = frame.select(col("u").as("x"), col("v").as("y"))
+        .union(frame.select(col("v").as("x"), col("u").as("y")))
+      val m = sym.groupBy("x").agg(min(col("y")).as("_my"))
+        .select(col("x"), least(col("_my"), col("x")).as("m"))
+      sym.join(m, Seq("x")).filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: each vertex u rewires its ≤-neighborhood (with the
+    // canonical frame that is ALL of u's v-side partners, plus u
+    // itself) onto its minimum
+    def smallStar(frame: DataFrame): DataFrame = {
+      val m = frame.groupBy("u").agg(min(col("v")).as("m"))
+      frame.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
     var it = 0
-    var done = false
+    var done = e.isEmpty // an edge set of pure self-loops is already converged
+    var eCount = if (done) 0L else e.count()
     while (!done && it < maxIter) {
-      val nbrMin = sym.join(labels.select(col("id").as("_b"), col("comp").as("_nc")), Seq("_b"))
-        .groupBy(col("_a")).agg(min(col("_nc")).as("_nmin"))
-      // carry the pre-round label as _prev so the convergence check is a
-      // filter on the checkpointed frame, not another join per round
-      // (inputs renamed FIRST — aliasing "comp" in the same select that
-      // still reads the old comp trips Spark 4 lateral-alias resolution)
-      val relaxed = labels.select(col("id"), col("comp").as("_prev"))
-        .join(nbrMin.select(col("_a").as("id"), col("_nmin")), Seq("id"), "left")
-        .select(col("id"), col("_prev"),
-          least(col("_prev"), coalesce(col("_nmin"), col("_prev"))).as("comp"))
-      // pointer doubling: chase TWO hops up the label forest through the
-      // CHECKPOINTED pre-round labels. A self-join on `relaxed` (the
-      // obvious comp[comp] on fresh labels) would recompute the whole
-      // neighbor-min join+groupBy subtree a second time per round —
-      // differently-projected exchanges don't reuse; two chases through
-      // comp_t instead give at least the same per-round reach (covered
-      // distance ≥ 3d+1 vs the self-join's 2d+2) while every hop side
-      // is a cheap scan of already-materialized partitions
-      val hop = labels.select(col("id").as("_cid"), col("comp").as("_cc"))
-      def chase(frame: DataFrame): DataFrame = frame
-        .join(hop, col("comp") === col("_cid"), "left")
-        .select(col("id"), col("_prev"),
-          least(col("comp"), coalesce(col("_cc"), col("comp"))).as("comp"))
-      val next = chase(chase(relaxed)).cut
-      // labels only ever decrease: any strict drop means another round
-      done = next.filter(col("comp") < col("_prev")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+      val next = smallStar(largeStar(e)).cut
+      val nextCount = next.count()
+      // both frames are canonical + distinct: equal counts and an empty
+      // one-way except ⟺ identical edge sets (exact fixpoint test)
+      done = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
       it += 1
     }
     if (!done)
       throw new IllegalStateException(
         s"transitiveClusters did not converge within maxIter=$maxIter rounds; " +
-        "labels are not a fixpoint (a component wider than 2^maxIter hops exists " +
-        "or the edge set is pathological) — raise maxIter")
-    labels
+        "the edge set is not yet a star forest — raise maxIter " +
+        "(the alternating algorithm's bound is O(log^2 n) rounds)")
+    onConverge(it)
+    // fixpoint edges are (leaf, root) stars; roots label themselves
+    verts.unionByName(isolated).distinct()
+      .join(e.select(col("u").as("id"), col("v").as("_root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_root"), col("id")).as("comp"))
   }
 
   /** Intra-corpus SPAN dedup (the MassiveText/Gopher "remove repeated

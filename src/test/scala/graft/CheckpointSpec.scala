@@ -30,6 +30,33 @@ class CheckpointSpec extends SparkTestBase {
     finally spark.conf.unset(Checkpoints.DirConf)
   }
 
+  test("clampCheckpointStats: inherited estimates above Long.MaxValue are " +
+      "capped (no execution); sane estimates pass through untouched") {
+    import org.apache.spark.sql.graft.bridge
+    // a plan whose ESTIMATED size is astronomically large but which is
+    // never executed: three cross-joined 10^6 ranges → ~10^18 rows ×
+    // row width ≫ 2^63. A LAZY localCheckpoint wraps it in LogicalRDD
+    // with the inherited estimate; the clamp must rewrite the stats
+    // without triggering the (impossible) materialization.
+    val a = spark.range(1000000L)
+    val monster = a.crossJoin(a.select(col("id").as("j")))
+      .crossJoin(a.select(col("id").as("k")))
+      .localCheckpoint(false)
+    val inherited = monster.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(inherited > BigInt(Long.MaxValue), s"fixture too small: $inherited")
+    val clamped = bridge.clampCheckpointStats(monster.toDF())
+    val st = clamped.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes === BigInt(Long.MaxValue))
+    assert(st.rowCount.forall(_ <= BigInt(Long.MaxValue)))
+
+    // sane stats: same Dataset back (no-op branch), estimate preserved
+    val small = Checkpoints.cut(spark.range(10).toDF())
+    val smallSize = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(smallSize > 0 && smallSize < BigInt(1000000L),
+      s"small frame lost its real size estimate: $smallSize")
+    assert(small.count() === 10L)
+  }
+
   test("cut: conf unset keeps the local default; set routes to the reliable dir") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
