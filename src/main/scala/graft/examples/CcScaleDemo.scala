@@ -60,7 +60,17 @@ object CcScaleDemo {
       .select((lit(S) + floor(col("id") / 40) * 64 + lit(40L)).as("a"),
         (lit(S) + floor(col("id") / 40) * 64 + pmod(col("id"), lit(40L))).as("b"))
 
-    val edges = pathEdges.unionByName(starEdges).localCheckpoint()
+    // one 2M-degree HUB (a boilerplate near-dup cluster): the known
+    // skew shape for star algorithms — large-star processes the hub's
+    // whole neighborhood in one group/join partition, so this pins
+    // that a single hot key degrades gracefully instead of OOMing.
+    // Hub center H sits BELOW its leaves, so it is also the label.
+    val H = 4000000000L
+    val hubEdges = spark.range(2000000L)
+      .select(lit(H).as("a"), (lit(H) + 1L + col("id")).as("b"))
+
+    val edges = pathEdges.unionByName(starEdges).unionByName(hubEdges)
+      .localCheckpoint()
     ScaleDemo.time(s"materialize ${edges.count() / 1000000}M edges")(())
 
     var rounds = 0
@@ -72,7 +82,12 @@ object CcScaleDemo {
     require(rounds <= 25, s"pointer doubling degraded: $rounds rounds for 1M diameter")
 
     val nComp = comps.agg(countDistinct("comp")).head().getLong(0)
-    require(nComp == nStars + 1, s"components $nComp != ${nStars + 1}")
+    require(nComp == nStars + 2, s"components $nComp != ${nStars + 2}")
+
+    val hubRows = comps.filter(col("id") >= H)
+    val hubStats = hubRows.agg(count(lit(1)), countDistinct("comp"), min("comp")).head()
+    require(hubStats.getLong(0) == 2000001L && hubStats.getLong(1) == 1L &&
+      hubStats.getLong(2) == H, s"hub component broken: $hubStats")
 
     val pathRows = comps.filter(col("id") < S)
     val pathComps = pathRows.agg(countDistinct("comp"), min("comp"), count(lit(1))).head()
@@ -82,12 +97,12 @@ object CcScaleDemo {
       s"path label ${pathComps.getLong(1)} != true min $pathMin")
     require(pathComps.getLong(2) == nPath, s"path vertex count ${pathComps.getLong(2)}")
 
-    val starBad = comps.filter(col("id") >= S)
+    val starBad = comps.filter(col("id") >= S && col("id") < H)
       .filter(col("comp") =!= (lit(S) + floor((col("id") - S) / 64) * 64)).count()
     require(starBad == 0L, s"$starBad star vertices mislabeled")
 
-    println(s"CC-SCALE invariants hold: ${nStars + 1} components in $rounds rounds, " +
-      s"path min $pathMin reached across 1M hops, " +
+    println(s"CC-SCALE invariants hold: ${nStars + 2} components in $rounds rounds, " +
+      s"path min $pathMin reached across 1M hops, 2M-degree hub intact, " +
       s"${comps.count()} labeled vertices")
     spark.stop()
   }
