@@ -512,7 +512,8 @@ object Ivf {
                      probeIdCol: String, probeVecCol: String,
                      k: Int, nprobe: Int = 2, vecCol: String = "embedding",
                      cellCol: String = "ivf_cell",
-                     tieBreak: Seq[String] = Nil)
+                     tieBreak: Seq[String] = Nil,
+                     scanBudget: Option[Long] = None)
                     (onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     probes.writeStream
@@ -523,9 +524,22 @@ object Ivf {
           val segs = indexSegments(spark, root)
           val centroids = loadCentroids(spark, segs.head)
           val indexed = readSegments(spark, segs)
-          onBatch(topKJoin(indexed, vecCol, centroids, b,
-            probeIdCol, probeVecCol, k, nprobe, cellCol,
-            tieBreak = tieBreak), batchId)
+          // scanBudget: the [[topKJoinBudget]] constant-cost guarantee
+          // on the serving tier — the census is re-derived per batch
+          // against the CURRENT composition (one ≤k-row agg, the same
+          // snapshot the centroids come from), so appends landing
+          // between batches re-weigh the probe prefix next batch
+          val result = scanBudget match {
+            case Some(budget) =>
+              topKJoinBudget(indexed, vecCol, centroids,
+                cellCounts(indexed, cellCol), b, probeIdCol, probeVecCol,
+                k, budget, cellCol, tieBreak = tieBreak)
+            case None =>
+              topKJoin(indexed, vecCol, centroids, b,
+                probeIdCol, probeVecCol, k, nprobe, cellCol,
+                tieBreak = tieBreak)
+          }
+          onBatch(result, batchId)
         }
       }
       .start()

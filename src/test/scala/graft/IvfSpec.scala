@@ -560,6 +560,42 @@ class IvfSpec extends SparkTestBase {
     assert(got4.toSeq === want4.toSeq)
   }
 
+  test("streamTopKJoin scanBudget: per-batch results ≡ batch topKJoinBudget " +
+      "against the live composition") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivfstreambudget")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 150)
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 8, iters = 2)
+    val cents = Ivf.loadCentroids(spark, Ivf.indexSegments(spark, root).head)
+    val idx = Ivf.readIndex(spark, root)
+    val counts = Ivf.cellCounts(idx)
+    val budget = counts.values.sum / 3
+
+    val pv = emb.filter(col("vec_id") === 160).select("embedding")
+      .head().getSeq[Float](0)
+    val probeStream = MemoryStream[(Long, Seq[Float])]
+    val answers = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long)]]
+    val q = Ivf.streamTopKJoin(
+      probeStream.toDF().toDF("probe_id", "p_emb"), root,
+      "probe_id", "p_emb", k = 5, tieBreak = Seq("vec_id"),
+      scanBudget = Some(budget)) { (res, bid) =>
+      answers(bid) = res.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    try {
+      probeStream.addData((1L, pv)); q.processAllAvailable()
+    } finally q.stop()
+    val want = Ivf.topKJoinBudget(idx, "embedding", cents, counts,
+        spark.range(1).select(lit(1L).as("probe_id"), lit(pv.toArray).as("p_emb")),
+        "probe_id", "p_emb", k = 5, maxScanRows = budget, tieBreak = Seq("vec_id"))
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(answers(0L) === want)
+  }
+
   test("retrainAtomic: quantizer refreshed from committed segments only — " +
       "parity with a from-scratch rebuild, recall no worse on a drifted corpus") {
     import graft.sources.AtomicCommit
