@@ -4,35 +4,41 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ext.Dedup
 
-/** Pointer-doubling connected-components rehearsal — the scale proof
-  * for [[Dedup.transitiveClusters]]' O(log diameter) claim, which the
-  * corpus demo only exercises at diameter 32. Two regimes in ONE call
-  * (a mixed edge set, the way a real post-verification near-dup graph
-  * mixes shapes):
+/** Connected-components rehearsal — the scale proof for
+  * [[Dedup.transitiveClusters]]' diameter-free round bound (the
+  * alternating star algorithm; this demo's predecessor falsified the
+  * old hash-min loop's O(log d) claim, see §7.4). Three regimes in ONE
+  * call (a mixed edge set, the way a real post-verification near-dup
+  * graph mixes shapes):
   *
   *   - one PATH of 1,000,000 vertices over multiplicatively permuted
-  *     ids (the component minimum sits at a random interior position,
-  *     so hash-min must actually travel) — the adversarial diameter
-  *     case: naive label propagation needs ~10⁶ rounds; the
-  *     relax+double loop must converge inside `maxIter = 20`
-  *     (per-round covered distance ≥ 3d+1 ⇒ ~13 rounds), and the
-  *     operator THROWS on non-convergence, so finishing at all IS the
-  *     log-diameter proof;
-  *   - 500,000 STARS of 40 leaves each (20M edges) with the center id
-  *     ABOVE its leaves, so the component label must flow leaf → center
-  *     — the realistic throughput shape (dup clusters are shallow and
-  *     wide).
+  *     ids (the component minimum sits at an arbitrary position, so
+  *     min labels must actually travel 10⁶ hops) — the adversarial
+  *     diameter case: naive label propagation needs ~10⁶ rounds, the
+  *     old relax+chase loop needed ~d/3, the alternating algorithm
+  *     must finish inside 25 (measured: 17), and the operator THROWS
+  *     on non-convergence, so finishing at all IS the proof;
+  *   - 500k·scale STARS of 40 leaves with the center id ABOVE its
+  *     leaves (the label must flow leaf → center) — the realistic
+  *     throughput shape (dup clusters are shallow and wide);
+  *   - one 2M·scale-degree HUB — the boilerplate-cluster skew shape:
+  *     large-star funnels the hub's whole neighborhood through one
+  *     group/join partition, so this pins graceful degradation.
   *
-  * Asserted, not eyeballed: total distinct components = 500,001; the
-  * path collapses to ONE component labeled by its true minimum id
-  * (computed independently by an aggregation over the generator); every
-  * star vertex's component equals its block base (0 mismatches across
-  * 20.5M vertices).
+  * Asserted, not eyeballed: total distinct components; the path
+  * collapses to ONE component labeled by its true minimum (computed
+  * independently by an aggregation over the generator); every star
+  * vertex's component equals its block base; the hub component is
+  * whole and labeled by the hub.
   *
-  * Run: SPARK_DRIVER_MEM=32g sbt "runMain graft.examples.CcScaleDemo"
+  * Run: SPARK_DRIVER_MEM=48g sbt "runMain graft.examples.CcScaleDemo [scale]"
   */
 object CcScaleDemo {
   def main(args: Array[String]): Unit = {
+    // scale multiplies the star count and the hub degree (the path
+    // stays at 1M — diameter is the adversarial axis, not volume):
+    // 1 → 22M edges / 2M-degree hub; 5 → 111M edges / 10M-degree hub
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .appName("cc-scale-demo")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -55,7 +61,7 @@ object CcScaleDemo {
     // 500k stars: block j owns ids S + 64j .. S + 64j + 40; leaves at
     // +0..+39, center at +40 (center ABOVE leaves: the min is a leaf)
     val S = 2000000000L
-    val nStars = 500000L
+    val nStars = 500000L * scale
     val starEdges = spark.range(nStars * 40)
       .select((lit(S) + floor(col("id") / 40) * 64 + lit(40L)).as("a"),
         (lit(S) + floor(col("id") / 40) * 64 + pmod(col("id"), lit(40L))).as("b"))
@@ -66,7 +72,7 @@ object CcScaleDemo {
     // that a single hot key degrades gracefully instead of OOMing.
     // Hub center H sits BELOW its leaves, so it is also the label.
     val H = 4000000000L
-    val hubEdges = spark.range(2000000L)
+    val hubEdges = spark.range(2000000L * scale)
       .select(lit(H).as("a"), (lit(H) + 1L + col("id")).as("b"))
 
     val edges = pathEdges.unionByName(starEdges).unionByName(hubEdges)
@@ -79,14 +85,14 @@ object CcScaleDemo {
         onConverge = rounds = _).localCheckpoint()
       c.count(); c
     }
-    require(rounds <= 25, s"pointer doubling degraded: $rounds rounds for 1M diameter")
+    require(rounds <= 25, s"round bound degraded: $rounds rounds for 1M diameter")
 
     val nComp = comps.agg(countDistinct("comp")).head().getLong(0)
     require(nComp == nStars + 2, s"components $nComp != ${nStars + 2}")
 
     val hubRows = comps.filter(col("id") >= H)
     val hubStats = hubRows.agg(count(lit(1)), countDistinct("comp"), min("comp")).head()
-    require(hubStats.getLong(0) == 2000001L && hubStats.getLong(1) == 1L &&
+    require(hubStats.getLong(0) == 2000000L * scale + 1 && hubStats.getLong(1) == 1L &&
       hubStats.getLong(2) == H, s"hub component broken: $hubStats")
 
     val pathRows = comps.filter(col("id") < S)
