@@ -225,6 +225,15 @@ object PlanCheck {
         p => p.contains("Join") && !p.contains("Cartesian") &&
           !p.contains("BroadcastNestedLoop") && !p.contains("collect_list") &&
           !p.contains("Union")),
+      // slim reassembly (r14): same pattern at chunk granularity —
+      // winner election + drop detection move (md5, doc, chunk_id)
+      // scalars; text is rebuilt map-side by re-chunking, so no
+      // collect_list carries chunk text (the one collect_set left
+      // aggregates dropped chunk-id ints)
+      ("q_chunk_dedup", "chunk dedup: scalar equi-joins, map-side re-chunk, no collect_list",
+        p => p.contains("Join") && !p.contains("Cartesian") &&
+          !p.contains("BroadcastNestedLoop") && !p.contains("collect_list") &&
+          !p.contains("Union")),
       ("q_unigram_score", "unigram Viterbi: map-only kernel, no shuffle but the final sort",
         p => !p.contains("hashpartitioning") && !p.contains("Join")),
       ("q_phrase_block", "Aho-Corasick gate: map-only scan, no shuffle but the final sort",

@@ -429,23 +429,33 @@ object Corpus {
     require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap=$overlap must be in [0, maxTokens)")
-    val stride = maxTokens - overlap
     // length > 0 first: split("", " ") is [""], a phantom 1-token
     // chunk the documented "empty documents yield none" forbids
     df.filter(length(col(textCol)) > 0)
       .withColumn("_toks", split(col(textCol), " "))
-      .withColumn("_ntok", size(col("_toks")))
-      .filter(col("_ntok") > 0)
-      .withColumn("_nch",
-        greatest(lit(1L),
-          (floor((col("_ntok") - lit(overlap + 1)) / lit(stride)) + 1).cast("long")))
+      .filter(size(col("_toks")) > 0)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0L), col("_nch") - 1), k =>
-          slice(col("_toks"), k.cast("int") * stride + 1, lit(maxTokens))))
+        posexplode(chunkSlices(col("_toks"), maxTokens, overlap))
           .as(Seq("chunk_id", "_ctoks")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         array_join(col("_ctoks"), " ").as("chunk"),
         size(col("_ctoks")).cast("long").as("n_tok"))
+  }
+
+  /** The chunk-window expression [[chunkDocs]] explodes: given a
+    * non-empty token-array column, the array of `maxTokens`-token
+    * slices at stride `maxTokens − overlap` (index = chunk_id). Shared
+    * with [[Dedup.chunkDedup]]'s map-side reassembly so the rebuilt
+    * chunking is BY CONSTRUCTION the chunking the winner election saw
+    * — the slim-rebuild pattern only works when both sides split
+    * identically. */
+  private[graft] def chunkSlices(toks: Column, maxTokens: Int,
+                                 overlap: Int): Column = {
+    val stride = maxTokens - overlap
+    val nch = greatest(lit(1L),
+      (floor((size(toks) - lit(overlap + 1)) / lit(stride)) + 1).cast("long"))
+    transform(sequence(lit(0L), nch - 1), k =>
+      slice(toks, k.cast("int") * stride + 1, lit(maxTokens)))
   }
 
   /** [[chunkDocs]] with a PER-WORD COST function — the subword-budget

@@ -827,22 +827,27 @@ object Dedup {
     * the document was seen earlier elsewhere (a fully-boilerplate doc —
     * callers typically drop those rows).
     *
-    * Scale shape: the first-occurrence decision is a partial+final
-    * `min(struct(doc, chunk_id))` AGGREGATION over a TEXT-FREE
-    * projection — map-side combine collapses a boilerplate chunk
-    * repeated 10⁹ times to one candidate per map task BEFORE the
-    * exchange, so the hot key this operator exists for never lands on
-    * a single reducer (a window would give it no partial aggregation),
-    * and the winner shuffle carries only (md5, doc, chunk_id) scalars
-    * (md5 collisions are 2⁻¹²⁸ — accepted and documented). Winners are
-    * then UNIONED (as text-free scalar rows) into the doc-keyed
-    * reassembly aggregation rather than joined back: one ObjectHash
-    * aggregate builds both the kept-positions set and the ordered
-    * chunk list, so chunk text rides exactly one doc-keyed shuffle
-    * (unavoidable: reassembly needs it) and the plan has no join at
-    * all. `chunkDocs` is recomputed on the two branches; it is a
-    * map-only split of the source — cheaper at 100 TB than
-    * checkpointing every chunk's text to local disk. */
+    * Scale shape — SLIM REASSEMBLY, the [[unitDedup]] pattern at chunk
+    * granularity (chunk text never rides a shuffle): the
+    * first-occurrence decision is a partial+final `min(struct(doc,
+    * chunk_id))` AGGREGATION over a TEXT-FREE (md5, doc, chunk_id)
+    * projection checkpointed once — map-side combine collapses a
+    * boilerplate chunk repeated 10⁹ times to one candidate per map
+    * task BEFORE the exchange, so the hot key this operator exists for
+    * never lands on a single reducer, and only 16-byte hashes +
+    * scalars move (md5 collisions are 2⁻¹²⁸ — accepted and
+    * documented). Losing occurrences join the winner table on the
+    * hash (the winner side keeps the groupBy's partitioning, so only
+    * the probe side exchanges — scalars again) and aggregate to slim
+    * per-doc DROPPED-chunk-id arrays, a frame far smaller than the
+    * corpus on clean data. The kept text is then rebuilt MAP-SIDE: the
+    * original doc rows left-join the drop arrays and re-chunk the
+    * source column via the SAME `Corpus.chunkSlices` expression the
+    * election saw — re-running the split is map-only CPU, far cheaper
+    * at 100 TB than shuffling every chunk's text through the doc-keyed
+    * ObjectHashAggregate the previous plan used. Doc text touches at
+    * most the one row-level join exchange, and zero exchanges when AQE
+    * broadcasts the (usually small) drop-array side. */
   /** Cross-corpus exact LINE dedup (C4 §2.1, Raffel 2020: "we discard
     * all but one of any three-sentence span occurring more than once"
     * — here at line granularity, the common production simplification):
@@ -965,30 +970,42 @@ object Dedup {
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
-    val chunks = Corpus.chunkDocs(df, idCol, textCol, chunkTokens)
-    val winners = chunks
+    // text-free candidate scalars (md5, doc, chunk_id) checkpointed
+    // ONCE: winner election and drop detection both read this frame,
+    // so chunking + hashing run once for the whole election phase
+    val candidates = Corpus.chunkDocs(df, idCol, textCol, chunkTokens)
       .select(md5(col("chunk").cast("binary")).as("_h"),
-        struct(col(idCol).as("_wid"), col("chunk_id").as("_wcid")).as("_w"))
-      .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
-      .select(col("_w._wid").as(idCol), col("_w._wcid").as("_wcid"))
-    val unioned = chunks
-      .select(col(idCol), col("chunk_id"), col("chunk"),
-        lit(null).cast("long").as("_wcid"))
-      .unionByName(winners.select(col(idCol),
-        lit(null).cast("long").as("chunk_id"),
-        lit(null).cast("string").as("chunk"), col("_wcid")))
-    unioned.groupBy(col(idCol))
-      .agg(
-        collect_set(col("_wcid")).as("_kept"),
-        array_sort(collect_list(when(col("chunk").isNotNull,
-          struct(col("chunk_id"), col("chunk"))))).as("_cs"),
-        count(col("chunk")).as("_n"))
+        col(idCol), col("chunk_id"))
+      .cut
+    val winners = candidates
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol).as("_wid"),
+        col("chunk_id").as("_wcid"))).as("_w"))
+    val dropAgg = candidates
+      .join(winners, Seq("_h"))
+      .filter(!(col(idCol) === col("_w._wid") &&
+        col("chunk_id") === col("_w._wcid")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("chunk_id")).as("_drop"),
+        count(lit(1)).as("_nd"))
+    // map-side rebuild: re-chunk the ORIGINAL column with the exact
+    // expression chunkDocs exploded (row filter replicated too — docs
+    // with no chunks yield no row) and cut dropped positions in place
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("_toks", split(col(textCol), " "))
+      .filter(size(col("_toks")) > 0)
+      .join(dropAgg, Seq(idCol), "left")
+      .withColumn("_chunks",
+        transform(Corpus.chunkSlices(col("_toks"), chunkTokens, 0),
+          s => array_join(s, " ")))
       .select(col(idCol),
-        size(col("_kept")).cast("long").as("n_kept"),
-        (col("_n") - size(col("_kept"))).as("n_dropped"),
-        nullif(array_join(transform(
-          filter(col("_cs"), c =>
-            array_contains(col("_kept"), c.getField("chunk_id"))),
-          c => c.getField("chunk")), " "), lit("")).as("text_kept"))
+        (size(col("_chunks")).cast("long") -
+          coalesce(col("_nd"), lit(0L))).as("n_kept"),
+        coalesce(col("_nd"), lit(0L)).as("n_dropped"),
+        nullif(array_join(
+          filter(col("_chunks"), (_, i) =>
+            coalesce(!array_contains(col("_drop"), i.cast("long")),
+              lit(true))),
+          " "), lit("")).as("text_kept"))
   }
 }

@@ -528,16 +528,13 @@ object DocPipeline {
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
           else empty
-        val chunks = Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
-          .withColumn("_h", md5(col("chunk").cast("binary")))
         // winner decision mirrors Dedup.chunkDedup: partial+final
-        // min(struct) over a text-free projection (skew-safe — a hot
-        // chunk collapses map-side), then anti-join the persisted set;
-        // the checkpoint materializes the TINY winner frame (scalars),
-        // not the chunk text, before it feeds both store append and
-        // the doc-keyed join-back
-        val winners = chunks
-          .select(col("_h"),
+        // min(struct) over a text-free (md5, doc, chunk_id) projection
+        // (skew-safe — a hot chunk collapses map-side), then anti-join
+        // the persisted set; the checkpoint materializes the TINY
+        // winner frame (scalars), not the chunk text
+        val winners = Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
+          .select(md5(col("chunk").cast("binary")).as("_h"),
             struct(col(idCol).as("_wid"), col("chunk_id").as("_wcid")).as("_w"))
           .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
           .join(store.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
@@ -545,19 +542,29 @@ object DocPipeline {
           .cut
         val keptPerDoc = winners.groupBy(col(idCol))
           .agg(collect_set(col("_wcid")).as("_kept_ids"))
-        val out = chunks.join(keptPerDoc, Seq(idCol), "left")
-          .withColumn("_keep",
-            coalesce(array_contains(col("_kept_ids"), col("chunk_id")), lit(false)))
-          .groupBy(col(idCol))
-          .agg(
-            array_join(transform(
-              array_sort(collect_list(when(col("_keep"),
-                struct(col("chunk_id"), col("chunk"))))),
-              c => c.getField("chunk")), " ").as("_txt"),
-            count(when(col("_keep"), lit(1))).as("n_kept"),
-            count(when(!col("_keep"), lit(1))).as("n_dropped"))
-          .withColumn("text_kept", nullif(col("_txt"), lit("")))
-          .drop("_txt")
+        // slim map-side reassembly (the Dedup.chunkDedup pattern):
+        // re-chunk the original column against the per-doc kept-id
+        // arrays — chunk text never rides a shuffle; here the KEPT set
+        // is the slim side (store-known chunks are never winners, so
+        // drop arrays would grow with boilerplate, kept arrays don't)
+        val out = b.filter(length(col(textCol)) > 0)
+          .withColumn("_toks", split(col(textCol), " "))
+          .filter(size(col("_toks")) > 0)
+          .join(keptPerDoc, Seq(idCol), "left")
+          .withColumn("_chunks",
+            transform(Corpus.chunkSlices(col("_toks"), chunkTokens, 0),
+              s => array_join(s, " ")))
+          .withColumn("_nk",
+            when(col("_kept_ids").isNull, lit(0L))
+              .otherwise(size(col("_kept_ids")).cast("long")))
+          .select(col(idCol),
+            col("_nk").as("n_kept"),
+            (size(col("_chunks")).cast("long") - col("_nk")).as("n_dropped"),
+            nullif(array_join(
+              filter(col("_chunks"), (_, i) =>
+                coalesce(array_contains(col("_kept_ids"), i.cast("long")),
+                  lit(false))),
+              " "), lit("")).as("text_kept"))
         val newHashes = winners.select(col("_h").as("h"))
         if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
         else newHashes.write.mode(if (storeExists) "append" else "overwrite")
