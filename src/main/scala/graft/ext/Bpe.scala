@@ -206,10 +206,18 @@ object Bpe {
   }
 
   def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
-            nMerges: Int): Seq[(String, String)] = {
+            nMerges: Int): Seq[(String, String)] =
+    trainVocab(wordVocab(docs, textCol).cut, nMerges)
+
+  /** The distributed merge loop over an already-materialized (cut)
+    * vocabulary frame — [[train]]'s core, shared with [[trainAuto]] so
+    * the auto path's sizing probe and its chosen engine read ONE
+    * corpus pre-aggregation instead of re-running it. */
+  private def trainVocab(vocabIn: org.apache.spark.sql.DataFrame,
+                         nMerges: Int): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
     require(nMerges >= 0, s"nMerges=$nMerges must be >= 0")
-    var vocab = wordVocab(docs, textCol).cut
+    var vocab = vocabIn
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
@@ -284,15 +292,22 @@ object Bpe {
   }
 
   /** One training entry point that picks the engine by measured
-    * vocabulary size: driver-side incremental ([[trainLocal]]) when the
-    * distinct-word count fits `localVocabCap`, distributed rounds
-    * ([[train]]) past it. The sizing pass reuses the pre-aggregation
-    * both engines need anyway. */
+    * vocabulary size: driver-side incremental ([[trainFromVocab]])
+    * when the distinct-word count fits `localVocabCap`, distributed
+    * rounds ([[trainVocab]]) past it. The pre-aggregation both engines
+    * need runs ONCE — cut, probed for size, then fed to whichever
+    * engine wins (the probe rows ARE the local engine's input; the
+    * distributed loop reads the same checkpointed frame). */
   def trainAuto(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                nMerges: Int, localVocabCap: Int = 5000000): Seq[(String, String)] =
-    if (wordVocab(docs, textCol).limit(localVocabCap + 1).count() <= localVocabCap)
-      trainLocal(docs, textCol, nMerges, localVocabCap)
-    else train(docs, textCol, nMerges)
+                nMerges: Int, localVocabCap: Int = 5000000): Seq[(String, String)] = {
+    require(localVocabCap >= 1, s"localVocabCap=$localVocabCap must be >= 1")
+    val vocab = wordVocab(docs, textCol).cut
+    val probe = vocab.limit(localVocabCap + 1).collect()
+    if (probe.length <= localVocabCap)
+      trainFromVocab(
+        probe.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), nMerges)
+    else trainVocab(vocab, nMerges)
+  }
 
   /** The incremental merge loop over an in-memory vocabulary —
     * [[trainLocal]]'s core, separated for direct spec access. */

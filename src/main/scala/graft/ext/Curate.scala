@@ -68,6 +68,10 @@ object Curate {
       // a token present in >100k web documents is boilerplate-class at
       // any corpus scale — it carries no blocking signal. Uncapped is
       // the explicit opt-out (`maxSignatureDf = Long.MaxValue`).
+      // BEHAVIOR CHANGE (r13, see CHANGELOG.md): this default and the
+      // oph default below alter band keys vs earlier releases — pin
+      // maxSignatureDf = Long.MaxValue and oph = Some(false) to
+      // reproduce pre-r13 survivor sets bit-stably.
       maxSignatureDf: Long = 100000L,
       // None follows DocPipeline.prepare's measured default: OPH
       // banding from k = OphDefaultMinK up, classic below; Some pins

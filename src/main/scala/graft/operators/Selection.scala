@@ -82,10 +82,18 @@ object Selection {
       // cumulative walk and a null one would silently vanish from it
       // (only null KEYS are defined as ignored), so both must raise,
       // and checking here costs no extra scan
+      // the per-bucket total sums as decimal(38,0): Long sum() wraps
+      // silently outside ANSI mode, and with ≥3 huge weights it can
+      // wrap past 2⁶⁴ back into POSITIVE range, so a sign check is
+      // parity-dependent — the decimal total makes overflow detection
+      // exact (the 10¹⁰-row × large-weight regime must fail loudly,
+      // not walk a corrupted histogram)
       val rows = df.filter(kept)
-        .groupBy(bucket.as("_b")).agg(sum(weight).as("_c"), min(weight).as("_m"),
+        .groupBy(bucket.as("_b")).agg(
+          sum(weight.cast("decimal(38,0)")).as("_c"), min(weight).as("_m"),
           sum(weight.isNull.cast("long")).as("_nn"))
         .collect()
+      val maxLong = new java.math.BigDecimal(Long.MaxValue)
       rows.foreach { row =>
         if (!row.isNullAt(2) && row.getLong(2) < 0L)
           throw new IllegalArgumentException(
@@ -94,16 +102,13 @@ object Selection {
           throw new IllegalArgumentException(
             s"Selection: ${row.getLong(3)} null weight(s) — weights must be non-null " +
             "(null keys are the only rows this operator ignores)")
-        // sum() wraps silently outside ANSI mode; with non-negative
-        // weights a negative per-bucket total can only be 2⁶³ overflow
-        // — the 10¹⁰-row × large-weight regime must fail loudly, not
-        // walk a corrupted histogram
-        if (!row.isNullAt(1) && row.getLong(1) < 0L)
+        if (!row.isNullAt(1) && row.getDecimal(1).compareTo(maxLong) > 0)
           throw new ArithmeticException(
-            s"Selection: per-bucket weighted sum overflowed Long (bucket ${row.getLong(0)}) " +
-            "— rescale weights below 2^63 / rows")
+            s"Selection: per-bucket weighted sum ${row.getDecimal(1)} exceeds Long range " +
+            s"(bucket ${row.getLong(0)}) — rescale weights below 2^63 / rows")
       }
-      val counts = rows.map(row => row.getLong(0) -> row.getLong(1))
+      val counts = rows.map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) 0L else row.getDecimal(1).longValueExact()))
         .sortBy(b => if (largest) -b._1 else b._1)
       var i = 0
       var found = false

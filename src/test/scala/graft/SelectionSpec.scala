@@ -84,6 +84,15 @@ class SelectionSpec extends SparkTestBase {
         Seq((5L, Long.MaxValue), (5L, Long.MaxValue)).toDF("k", "w"),
         "k", "w", 3L)
     }
+    // THREE huge weights wrap a raw Long sum past 2^64 back into
+    // POSITIVE range (3 × 6.3e18 ≈ 1.89e19 ≡ +4.4e17 mod 2^64) — a
+    // sign check is blind here; the decimal total must still raise
+    assertThrows[ArithmeticException] {
+      Selection.budgetThresholdDesc(
+        Seq((5L, 6300000000000000000L), (5L, 6300000000000000000L),
+          (5L, 6300000000000000000L)).toDF("k", "w"),
+        "k", "w", 3L)
+    }
   }
 
   test("differential vs driver sort on pseudo-random longs, all n") {
