@@ -189,6 +189,17 @@ object IvfLifecycleDemo {
     }
     stageReport("after sampled retrain")
 
+    // census sidecar vs scan (r14): the serve path's per-cell census is
+    // a manifest sum of per-segment sidecars — time both against the
+    // final composition and assert the sum IS the scan
+    val sideCensus = ScaleDemo.time("census from _census sidecars") {
+      Ivf.indexCellCounts(spark, root)
+    }
+    val scanCensus = ScaleDemo.time("census from full-index scan") {
+      Ivf.cellCounts(Ivf.readIndex(spark, root))
+    }
+    require(sideCensus == scanCensus, "census sidecar sum != index scan")
+
     // lifecycle invariants, asserted not eyeballed
     val finalIdx = Ivf.readIndex(spark, root)
     val expected = nTotal - doomed.count()

@@ -180,6 +180,7 @@ object Ivf {
     val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     saveIndex(corpus, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
+    writeCensusOfDir(spark, dir, cellCol)
     require(AtomicCommit.commit(spark, root, v, ""),
       s"version $v already committed under $root — concurrent writer?")
     (v, dir)
@@ -295,7 +296,8 @@ object Ivf {
     * index rebuilt from scratch without the deleted ids (IvfSpec pins
     * this equivalence). Returns (version, segment dirs). */
   def deleteFromIndexAtomic(ids: DataFrame, root: String,
-                            fenceEpoch: Option[Long] = None): (Long, Seq[String]) = {
+                            fenceEpoch: Option[Long] = None,
+                            cellCol: String = "ivf_cell"): (Long, Seq[String]) = {
     import graft.sources.AtomicCommit
     val spark = ids.sparkSession
     require(ids.schema.fields.length == 1,
@@ -314,6 +316,19 @@ object Ivf {
     val centroids = loadCentroids(
       spark, AtomicCommit.versionDir(root, prevVersions.head))
     saveCentroids(spark, centroids, dir)
+    // NEGATIVE census for the rows this delete NEWLY masks: the prior
+    // composition is resolved THROUGH readSegments, so earlier
+    // tombstones already hide their rows and a re-deleted id never
+    // double-subtracts. This one semi-join scan prices the rare
+    // GDPR-delete path so every serve-path census read stays a
+    // manifest sum (no index scan).
+    val key = ids.columns.head
+    val maskedCounts = readSegments(
+        spark, prevVersions.map(AtomicCommit.versionDir(root, _)))
+      .join(broadcast(ids.distinct()), Seq(key), "left_semi")
+      .groupBy(col(cellCol)).count()
+      .collect().map(r => r.getInt(0) -> -r.getLong(1)).toSeq
+    writeCensus(spark, dir, maskedCounts)
     AtomicCommit.commitOrFail(spark, root, v,
       AtomicCommit.encodeSegments(prevVersions :+ v), fenceEpoch)
     (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
@@ -349,6 +364,7 @@ object Ivf {
     val dir = AtomicCommit.versionDir(root, v)
     saveIndex(newVecs, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir) // every segment carries the quantizer
+    writeCensusOfDir(spark, dir, cellCol)
     AtomicCommit.commitOrFail(spark, root, v,
       AtomicCommit.encodeSegments(prevVersions :+ v), fenceEpoch)
     (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
@@ -369,6 +385,7 @@ object Ivf {
     val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     saveIndexQ(corpus, idCol, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
+    writeCensusOfDir(spark, dir, cellCol)
     require(AtomicCommit.commit(spark, root, v, ""),
       s"version $v already committed under $root — concurrent writer?")
     (v, dir)
@@ -391,6 +408,7 @@ object Ivf {
     val books = Pq.train(corpus, idCol, vecCol, m, ksub, iters, spreadInit, maxTrainRows)
     saveIndexPQ(corpus, idCol, vecCol, centroids, books, dir, cellCol)
     saveCentroids(spark, centroids, dir)
+    writeCensusOfDir(spark, dir, cellCol)
     Pq.saveCodebooks(spark, books, s"$dir/_codebooks")
     require(AtomicCommit.commit(spark, root, v, ""),
       s"version $v already committed under $root — concurrent writer?")
@@ -418,6 +436,7 @@ object Ivf {
     readSegments(spark, segs)
       .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
     saveCentroids(spark, centroids, dir)
+    writeCensusOfDir(spark, dir, cellCol)
     AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
     (v, dir)
   }
@@ -457,6 +476,7 @@ object Ivf {
     val dir = AtomicCommit.versionDir(root, v)
     saveIndex(corpus, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
+    writeCensusOfDir(spark, dir, cellCol)
     AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
     (v, dir)
   }
@@ -515,24 +535,36 @@ object Ivf {
                      tieBreak: Seq[String] = Nil,
                      scanBudget: Option[Long] = None)
                     (onBatch: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // scanBudget census, CACHED BY COMMITTED VERSION: the budget path
+    // needs per-cell counts for the same snapshot the centroids come
+    // from — they come from the per-segment `_census` sidecars (a
+    // manifest sum, never an index scan) and are re-read only when the
+    // committed version moved between batches, so steady-state serving
+    // adds zero census work per batch while appends landing between
+    // batches still re-weigh the probe prefix the batch after commit
+    var censusCache: Option[(Long, Map[Int, Long])] = None
     probes.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           val spark = b.sparkSession
-          val segs = indexSegments(spark, root)
+          val (v, body) = graft.sources.AtomicCommit.latest(spark, root)
+            .getOrElse(sys.error(s"no committed IVF index under $root"))
+          val segs = indexSegmentsAt(spark, root, v, body)
           val centroids = loadCentroids(spark, segs.head)
           val indexed = readSegments(spark, segs)
-          // scanBudget: the [[topKJoinBudget]] constant-cost guarantee
-          // on the serving tier — the census is re-derived per batch
-          // against the CURRENT composition (one ≤k-row agg, the same
-          // snapshot the centroids come from), so appends landing
-          // between batches re-weigh the probe prefix next batch
           val result = scanBudget match {
             case Some(budget) =>
-              topKJoinBudget(indexed, vecCol, centroids,
-                cellCounts(indexed, cellCol), b, probeIdCol, probeVecCol,
+              val counts = censusCache match {
+                case Some((cv, m)) if cv == v => m
+                case _ =>
+                  val m = censusOfSegments(spark, segs, cellCol)
+                  censusCache = Some((v, m))
+                  m
+              }
+              topKJoinBudget(indexed, vecCol, centroids, counts,
+                b, probeIdCol, probeVecCol,
                 k, budget, cellCol, tieBreak = tieBreak)
             case None =>
               topKJoin(indexed, vecCol, centroids, b,
@@ -543,6 +575,7 @@ object Ivf {
         }
       }
       .start()
+  }
 
   /** The `nprobe` cells nearest to a probe vector (driver-side: centroid
     * list is tiny by construction). Ties break toward the lower cell id,
@@ -614,6 +647,66 @@ object Ivf {
   def cellCounts(indexed: DataFrame, cellCol: String = "ivf_cell"): Map[Int, Long] =
     indexed.groupBy(col(cellCol)).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  private val CensusDir = "_census"
+
+  /** Write a segment's per-cell census sidecar — (cid, n) rows, one
+    * underscore dir like `_centroids` (invisible to the partitioned
+    * scan, vacuumed with its version dir). Data segments write the
+    * counts of their OWN rows; [[deleteFromIndexAtomic]] segments write
+    * NEGATIVE counts for the rows their tombstones newly mask, so the
+    * committed composition's census is always the plain SUM of its
+    * segments' sidecars — no index scan at read time. */
+  private def writeCensus(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, counts: Seq[(Int, Long)]): Unit = {
+    import spark.implicits._
+    counts.toDF("cid", "n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$CensusDir")
+  }
+
+  /** Census sidecar written after a data segment lands: counting the
+    * just-written segment groups by its PARTITION column, so the scan
+    * reads footers and directory names, not vector data — and only the
+    * new segment, never the composition. */
+  private def writeCensusOfDir(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, cellCol: String): Unit =
+    writeCensus(spark, dir,
+      cellCounts(spark.read.parquet(dir).select(cellCol), cellCol).toSeq)
+
+  private def readCensus(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Option[Seq[(Int, Long)]] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/$CensusDir")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(spark.read.parquet(s"$dir/$CensusDir")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+  }
+
+  /** Per-cell census of the LATEST committed composition WITHOUT
+    * scanning the index: sum the per-segment `_census` sidecars every
+    * atomic writer maintains (delete segments contribute negative
+    * counts for newly-masked rows, so the sum equals a fresh
+    * [[cellCounts]] scan even mid-LSM — IvfSpec pins the parity across
+    * build/append/delete/compact/retrain). Falls back to the one
+    * column-pruned scan only when a segment predates the sidecar
+    * (a pre-r14 index). At 100 TB this is the difference between a
+    * per-serve-setup index aggregation and a few k-row manifest
+    * reads. */
+  def indexCellCounts(spark: org.apache.spark.sql.SparkSession,
+                      root: String,
+                      cellCol: String = "ivf_cell"): Map[Int, Long] =
+    censusOfSegments(spark, indexSegments(spark, root), cellCol)
+
+  private def censusOfSegments(spark: org.apache.spark.sql.SparkSession,
+                               segs: Seq[String],
+                               cellCol: String): Map[Int, Long] = {
+    val per = segs.map(readCensus(spark, _))
+    if (per.forall(_.isDefined))
+      per.flatMap(_.get)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+        .filter(_._2 > 0L)
+    else cellCounts(readSegments(spark, segs), cellCol)
+  }
 
   /** Cells to probe under a ROW-SCAN BUDGET, nearest-first: keep cell c
     * iff the total row count of strictly-nearer cells is < `maxScanRows`

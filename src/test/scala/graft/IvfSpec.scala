@@ -403,6 +403,54 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.readIndex(spark, root).count() === base.count() - nDead + 1)
   }
 
+  test("census sidecar: manifest sum ≡ fresh scan through the whole lifecycle " +
+      "(build/append/delete/re-delete/resurrect/compact/retrain); scan fallback") {
+    val root = java.nio.file.Files.createTempDirectory("ivfcensus")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 200)
+    def scanCensus(): Map[Int, Long] =
+      Ivf.cellCounts(Ivf.readIndex(spark, root))
+    def assertParity(stage: String): Unit =
+      assert(Ivf.indexCellCounts(spark, root) === scanCensus(), stage)
+
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 8, iters = 2)
+    assertParity("build")
+    Ivf.appendToIndexAtomic(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 260), "embedding", root)
+    assertParity("append")
+    // delete masks rows across BOTH earlier segments
+    Ivf.deleteFromIndexAtomic(
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"), root)
+    assertParity("delete")
+    // overlapping re-delete: already-masked ids must NOT subtract twice
+    Ivf.deleteFromIndexAtomic(
+      emb.filter(col("vec_id") % 14 === 0).select("vec_id"), root)
+    assertParity("re-delete overlap")
+    // resurrection: the append's positive census restores the row
+    Ivf.appendToIndexAtomic(base.filter(col("vec_id") === 14), "embedding", root)
+    assertParity("resurrect")
+    // deleting the resurrected id again subtracts ONLY the live copy
+    Ivf.deleteFromIndexAtomic(
+      base.filter(col("vec_id") === 14).select("vec_id"), root)
+    assertParity("delete resurrected")
+    Ivf.compactIndexAtomic(spark, root)
+    assertParity("compact")
+    Ivf.retrainAtomic(spark, root, "vec_id", "embedding", k = 8, iters = 2)
+    assertParity("retrain")
+    // fallback: a segment without the sidecar (pre-r14 index) degrades
+    // to the one column-pruned scan, same answer
+    val seg = Ivf.indexSegments(spark, root).head
+    val censusPath = java.nio.file.Paths.get(seg, "_census")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+    rmTree(censusPath)
+    assertParity("fallback after sidecar removal")
+  }
+
   test("streamAppend compactEvery: composition folds back to one segment in-loop") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
