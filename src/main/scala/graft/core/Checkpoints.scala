@@ -38,6 +38,21 @@ object Checkpoints {
     * iterative lineage cut a reliable checkpoint. */
   val DirConf = "spark.graft.checkpointDir"
 
+  /** Session conf key: storage level for LOCAL cuts (ignored when
+    * [[DirConf]] routes cuts to reliable checkpoints). Any
+    * [[org.apache.spark.storage.StorageLevel]] name parses —
+    * `MEMORY_AND_DISK_SER` keeps round state serialized in memory
+    * (~3–5× smaller for edge/row frames at the cost of per-access
+    * deserialization), `DISK_ONLY` takes round state off the heap
+    * entirely. The knob exists for iterative operators whose ROUND
+    * STATE, not round count, is the binding constraint — the 111M-edge
+    * CC rehearsal converges in 17 rounds but holds ~220M symmetric
+    * edge rows of round state per cut, OOMing a 48 g single-box heap
+    * that the serialized level fits (SURVEY §7.4). Default (unset):
+    * Spark's own localCheckpoint default (MEMORY_AND_DISK,
+    * deserialized) — fastest when state fits. */
+  val LocalLevelConf = "spark.graft.cutStorageLevel"
+
   // raw conf value the context's checkpoint dir was installed from —
   // setCheckpointDir appends a UUID subdir, so remember what we passed.
   // Keyed by applicationId (a short string), NOT the SparkContext
@@ -68,7 +83,12 @@ object Checkpoints {
         }
         df.checkpoint(eager = true)
       case None =>
-        df.localCheckpoint(true)
+        spark.conf.getOption(LocalLevelConf).filter(_.nonEmpty) match {
+          case Some(level) =>
+            df.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.fromString(level))
+          case None => df.localCheckpoint(true)
+        }
     }
     org.apache.spark.sql.graft.bridge.clampCheckpointStats(cp)
   }

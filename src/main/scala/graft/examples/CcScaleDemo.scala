@@ -39,6 +39,11 @@ object CcScaleDemo {
     // stays at 1M — diameter is the adversarial axis, not volume):
     // 1 → 22M edges / 2M-degree hub; 5 → 111M edges / 10M-degree hub
     val scale = args.headOption.map(_.toInt).getOrElse(1)
+    // optional arg 2: storage level for the per-round cuts (the
+    // spark.graft.cutStorageLevel knob — MEMORY_AND_DISK_SER /
+    // DISK_ONLY shrink the round-state heap envelope; §7.4 measures
+    // the trade at 111M edges)
+    val cutLevel = args.lift(1)
     val spark = SparkSession.builder()
       .appName("cc-scale-demo")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -46,6 +51,26 @@ object CcScaleDemo {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    cutLevel.foreach { l =>
+      spark.conf.set(graft.core.Checkpoints.LocalLevelConf, l)
+      println(s"cut storage level: $l")
+    }
+
+    // per-stage task-time capture — the hub-salting decision gate
+    // (§7.5): salting the large-star group key is justified only if a
+    // single hot task dominates, so record max vs median task time per
+    // stage and report the worst ratios after the run
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null && t.taskInfo.successful)
+            stageTasks.computeIfAbsent(t.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+              .add(t.taskInfo.duration)
+      })
 
     // path over permuted ids: v(i) = (i·2654435761) mod 1000000007 — a
     // bijection on [0, p), so the 1M vertex ids are distinct and the
@@ -110,6 +135,26 @@ object CcScaleDemo {
     println(s"CC-SCALE invariants hold: ${nStars + 2} components in $rounds rounds, " +
       s"path min $pathMin reached across 1M hops, 2M-degree hub intact, " +
       s"${comps.count()} labeled vertices")
+
+    // task-skew report: the top stages by max/median task time among
+    // stages with enough tasks for a median to mean anything — the
+    // row that decides whether the hub needs large-star salting
+    import scala.jdk.CollectionConverters._
+    val skews = stageTasks.asScala.toSeq.flatMap { case (sid, q) =>
+      val ds = q.asScala.toArray.sorted
+      if (ds.length < 8) None
+      else {
+        val med = ds(ds.length / 2).max(1L)
+        Some((sid, ds.length, med, ds.last, ds.last.toDouble / med))
+      }
+    }.sortBy(-_._5).take(10)
+    println("stage task-skew (top-10 by max/median):")
+    skews.foreach { case (sid, n, med, mx, r) =>
+      println(f"  stage=$sid%5d tasks=$n%4d medianMs=$med%7d maxMs=$mx%8d ratio=$r%6.1f")
+    }
+    val worst = skews.headOption.map(_._5).getOrElse(0.0)
+    println(f"CC-SKEW worst max/median task ratio: $worst%.1f " +
+      s"(salting gate: act only if a single hot task dominates rounds)")
     spark.stop()
   }
 }

@@ -73,6 +73,35 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("cut: cutStorageLevel knob persists local cuts at the named level, " +
+      "values unchanged; bogus level fails loudly; reliable dir ignores it") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    def persistedLevels(): Set[org.apache.spark.storage.StorageLevel] =
+      spark.sparkContext.getPersistentRDDs.values
+        .map(_.getStorageLevel).toSet
+    try {
+      spark.conf.set(Checkpoints.LocalLevelConf, "DISK_ONLY")
+      val cutDf = Checkpoints.cut(df)
+      assert(cutDf.orderBy("id").as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(persistedLevels().contains(
+        org.apache.spark.storage.StorageLevel.DISK_ONLY),
+        s"no DISK_ONLY block among ${persistedLevels()}")
+      // a typo'd level is a config bug — must raise, not silently
+      // fall back to the default
+      spark.conf.set(Checkpoints.LocalLevelConf, "MOSTLY_RAM")
+      assertThrows[IllegalArgumentException] { Checkpoints.cut(df) }
+      // reliable routing wins over the local level knob
+      spark.conf.set(Checkpoints.LocalLevelConf, "DISK_ONLY")
+      withReliable { dir =>
+        val reliable = Checkpoints.cut(df)
+        assert(reliable.count() === 3L)
+        assert(rddDirs(dir).nonEmpty)
+      }
+    } finally spark.conf.unset(Checkpoints.LocalLevelConf)
+  }
+
   test("pageRank: reliable rounds persist per-iteration state, same ranks") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L)).toDF("s", "t")
