@@ -49,14 +49,24 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // Full precision goes to a file (and stdout, first): the driver's
-    // 2000-char stdout tail cannot hold ~80 queries at full precision.
-    // Only an UNFILTERED run may replace the round artifact — a
-    // BENCH_ONLY spot-check would otherwise clobber the full medians.
+    // Full precision goes to files (and stdout, first): the driver's
+    // 2000-char stdout tail cannot hold 230 queries at any precision,
+    // so BENCH_r*.json's parsed block is inherently partial — the
+    // complete per-query medians live in bench_full.json (latest run)
+    // and BENCH_HISTORY.jsonl (one appended line per full run, so
+    // round-over-round per-query diffs read ONE file). Only an
+    // UNFILTERED run may write the artifacts — a BENCH_ONLY
+    // spot-check would otherwise clobber/pollute the full medians.
     val full = line(results, _.toString)
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        (full + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+          (full + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+          (full + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(full)
     // Compact line LAST so it lands fully inside the driver's tail

@@ -1,0 +1,269 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curate, DocPipeline, Eval, Ivf, Similarity}
+import graft.sources.AtomicCommit
+
+/** Month-of-operations rehearsal — COMPOSITION OVER TIME, not more
+  * rows: every scale hazard this repo found (O(d) CC rounds, the
+  * checkpoint-stats blowup, the DSIR funnel re-execution, the
+  * fixed-nprobe recall mirage) was surfaced by the next-order
+  * rehearsal, and the next order after volume is many operational
+  * cycles interleaving the stores. One long-lived streaming ingest
+  * (incremental near-dup dedup against a growing signature store)
+  * feeds an IVF index through appends, GDPR delete waves, compactions
+  * and a mid-month quantizer retrain, with a periodic Curate batch on
+  * the side — and the invariants a production owner would page on are
+  * ASSERTED after every cycle:
+  *
+  *   - store versions strictly monotone across every commit kind;
+  *   - deletes stay dead: no tombstoned id is ever served again;
+  *   - the dedup store grows with CONTENT, not traffic (re-crawled
+  *     exact dups and banded near-dups are rejected before the store);
+  *   - the index holds exactly the accepted-minus-deleted rows;
+  *   - the census sidecar stays ≡ a fresh scan (r14 manifest sum);
+  *   - recall AT A FIXED SCAN FRACTION (a 2-cells'-worth row budget,
+  *     re-derived from the live census each cycle) on a pinned probe
+  *     panel stays stable — across appends, drift (cycles 6+ draw
+  *     from new centers), deletes, compaction and the retrain. The
+  *     budget form makes recall-per-scanned-row the metric, so
+  *     quantizer generations are comparable (SURVEY §7.4's
+  *     fixed-nprobe mirage fix); a fixed ABSOLUTE budget would
+  *     instead measure corpus growth.
+  *
+  * Run: sbt "runMain graft.examples.OpsMonthDemo [cycles] [docsPerCycle]"
+  */
+object OpsMonthDemo {
+  private val Dim = 16
+  private val K = 16          // coarse cells
+  private val TopK = 10
+
+  /** Deterministic embedding for a doc id: centers c0..c0+nC-1 plus
+    * id-hash noise (the IvfLifecycleDemo family shape). */
+  private def vecExpr(id: org.apache.spark.sql.Column, c0: Int, nC: Int) = {
+    val c = pmod(xxhash64(id), lit(nC.toLong)) + lit(c0.toLong)
+    transform(sequence(lit(1), lit(Dim)), i => {
+      val center = (pmod(c * 7919L + i * 104729L, lit(2000L)) - 1000L)
+        .cast("double") / 1000.0
+      val noise = (pmod(xxhash64(id, i), lit(600L)) - 300L)
+        .cast("double") / 1000.0
+      (center + noise).cast("float")
+    })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cycles = args.headOption.map(_.toInt).getOrElse(12)
+    val perCycle = args.lift(1).map(_.toLong).getOrElse(20000L)
+    val spark = SparkSession.builder()
+      .appName("ops-month-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("opsmonth")
+    val sigStore = tmp.resolve("sigstore").toString
+    val ivfRoot = tmp.resolve("ivf").toString
+
+    // ── ingest synthesis ─────────────────────────────────────────────
+    // cycle c ships perCycle docs: 60% new content, 25% exact
+    // re-crawls of earlier content (same TEXT, fresh doc_id — the web
+    // shape), 15% near-dups (earlier text + a suffix token). Doc ids
+    // are globally unique; CONTENT keys (what dedup must collapse) are
+    // the new 60%. Cycles ≥ 6 drift: new docs use a shifted word base
+    // AND their vectors draw from shifted centers.
+    def docText(contentId: org.apache.spark.sql.Column, drifted: Boolean) = {
+      // word ids drawn from a 1M space keyed by (content, position):
+      // unrelated contents share ~0% vocabulary, so banding rejects
+      // only the PLANTED dups/near-dups, never fresh content
+      val base = if (drifted) 1000000L else 0L
+      array_join(transform(
+        sequence(lit(0), pmod(contentId, lit(20L)).cast("int") + 14),
+        w => concat(lit("w"),
+          pmod(xxhash64(contentId, w), lit(1000000L)) + lit(base))), " ")
+    }
+    def mkBatch(c: Int): Seq[(Long, String)] = {
+      val lo = c.toLong * perCycle
+      val nNew = (perCycle * 60 / 100).toInt
+      val nDup = (perCycle * 25 / 100).toInt
+      val nNear = perCycle.toInt - nNew - nDup
+      val drifted = c >= 6
+      val newDocs = spark.range(lo, lo + nNew)
+        .select(col("id").as("doc_id"), docText(col("id"), drifted).as("text"))
+      // exact re-crawls: content of a UNIFORM earlier new doc (or of
+      // this cycle when c=0 — in-batch dups, the minimum-wins path)
+      val seenHi = lo + nNew // new-content ids so far all < seenHi…
+      val dupDocs = spark.range(lo + nNew, lo + nNew + nDup)
+        .select(col("id").as("doc_id"),
+          docText(pmod(xxhash64(col("id")), lit(seenHi)), false).as("text"))
+      val nearDocs = spark.range(lo + nNew + nDup, lo + perCycle)
+        .select(col("id").as("doc_id"),
+          concat(docText(pmod(xxhash64(col("id"), lit(7)), lit(seenHi)), false),
+            lit(" zz"), (col("id") % 3).cast("string")).as("text"))
+      newDocs.unionByName(dupDocs).unionByName(nearDocs)
+        .as[(Long, String)].collect().toSeq
+    }
+
+    // ── the long-lived ingest stream ─────────────────────────────────
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // per-batch results land here (driver-small: ids only of the
+    // ACCEPTED docs, which this demo then embeds + appends to the IVF)
+    @volatile var lastAccepted: Array[Long] = Array.empty
+    val stream = DocPipeline.streamIncremental(
+      input.toDF().toDF("doc_id", "text"), sigStore,
+      minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
+      atomicStore = true) { (accepted, _) =>
+      lastAccepted = accepted.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // ── operational state the invariants audit ───────────────────────
+    var traffic = 0L
+    var acceptedTotal = 0L
+    var dead = Set.empty[Long]          // tombstoned, never re-appended
+    var lastVersion = 0L                // ivf store commit monotonicity
+    var panel: DataFrame = null         // pinned probes (cycle-0 docs)
+    var recallFloorSeen = Double.MaxValue
+    val recallLog = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+
+    def ivfVersion(): Long =
+      AtomicCommit.latest(spark, ivfRoot).map(_._1).getOrElse(0L)
+    def assertMonotone(stage: String): Unit = {
+      val v = ivfVersion()
+      require(v > lastVersion, s"cycle $stage: version $v !> $lastVersion")
+      lastVersion = v
+    }
+
+    (0 until cycles).foreach { c =>
+      // 1. streaming ingest: one micro-batch of mixed traffic
+      input.addData(mkBatch(c))
+      stream.processAllAvailable()
+      traffic += perCycle
+      val accepted = lastAccepted
+      acceptedTotal += accepted.length
+
+      // dedup store grows with content, not traffic: every accepted
+      // doc contributes its signature rows, nothing else does
+      val storeDocs = graft.sources.AppendStore
+        .readOr(spark, sigStore, sys.error("sig store missing"))
+        .select("doc_id").distinct().count()
+      require(storeDocs == acceptedTotal,
+        s"cycle $c: store holds $storeDocs docs != accepted $acceptedTotal")
+      // acceptance must track the planted mix: ~60% new content (the
+      // dups/near-dups reject; banding must not eat fresh content)
+      require(acceptedTotal > traffic * 50 / 100 && acceptedTotal < traffic * 75 / 100,
+        s"cycle $c: accepted $acceptedTotal of $traffic outside the planted 60% band")
+
+      // 2. embed accepted docs, append to (or bootstrap) the index
+      require(accepted.nonEmpty, s"cycle $c: dedup rejected an entire batch")
+      val ids = spark.createDataset(accepted).select(col("value").as("vec_id"))
+      val vecs = ids.select(col("vec_id"),
+        vecExpr(col("vec_id"), if (c >= 6) 8 else 0, 8).as("embedding"))
+      if (c == 0) {
+        Ivf.saveIndexAtomic(vecs, "vec_id", "embedding", ivfRoot, K, iters = 2)
+        lastVersion = ivfVersion()
+        panel = vecs.filter(col("vec_id") < 60)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+          .localCheckpoint()
+      } else {
+        Ivf.appendToIndexAtomic(vecs, "embedding", ivfRoot)
+        assertMonotone(s"$c append")
+      }
+
+      // 3. GDPR wave every 3rd cycle: 1% of live non-panel ids
+      if (c % 3 == 2) {
+        val doomed = Ivf.readIndex(spark, ivfRoot)
+          .filter(pmod(col("vec_id"), lit(100L)) === 97 && col("vec_id") >= 60)
+          .select("vec_id")
+        val ds = doomed.collect().map(_.getLong(0)).toSet
+        if (ds.nonEmpty) {
+          Ivf.deleteFromIndexAtomic(doomed, ivfRoot)
+          assertMonotone(s"$c delete")
+          dead ++= ds
+        }
+      }
+
+      // 4. maintenance: compact when fragmented; retrain at cycle 8
+      // (two cycles into the drift — the production repair point)
+      if (Ivf.indexSegments(spark, ivfRoot).size >= 6) {
+        Ivf.compactIndexAtomic(spark, ivfRoot)
+        assertMonotone(s"$c compact")
+      }
+      if (c == 8) {
+        Ivf.retrainAtomic(spark, ivfRoot, "vec_id", "embedding", K, iters = 2)
+        assertMonotone(s"$c retrain")
+      }
+
+      // 5. periodic Curate batch over the cycle's RAW traffic — the
+      // offline pipeline sharing the box with the serving tier
+      if (c % 4 == 3) {
+        val raw = spark.createDataset(mkBatch(c)).toDF("doc_id", "text")
+        val kept = Curate.run(raw, Curate.Config(minWords = 5))
+        val nKept = kept.count()
+        require(nKept > 0 && nKept < perCycle,
+          s"cycle $c: curate kept $nKept of $perCycle (expected strict subset)")
+      }
+
+      // ── per-cycle invariants ───────────────────────────────────────
+      val idx = Ivf.readIndex(spark, ivfRoot)
+      val live = idx.count()
+      require(live == acceptedTotal - dead.size,
+        s"cycle $c: index rows $live != accepted $acceptedTotal - dead ${dead.size}")
+      if (dead.nonEmpty) {
+        val resurrected = idx.join(
+          spark.createDataset(dead.toSeq).select(col("value").as("vec_id")),
+          Seq("vec_id"), "left_semi").count()
+        require(resurrected == 0L, s"cycle $c: $resurrected deleted ids served")
+      }
+      val census = Ivf.indexCellCounts(spark, ivfRoot)
+      require(census == Ivf.cellCounts(idx),
+        s"cycle $c: census sidecar diverged from scan")
+
+      // recall at the FIXED row budget on the pinned panel
+      val cents = Ivf.loadCentroids(spark,
+        Ivf.indexSegments(spark, ivfRoot).head)
+      val scanBudget = math.max(1000L, live * 2 / K) // ≈ 2 cells' worth
+      val truth = Similarity.bruteForceTopKJoin(idx, "embedding", panel,
+        "probe_id", "p_emb", k = TopK, tieBreak = Seq("vec_id"))
+      val got = Ivf.topKJoinBudget(idx, "embedding", cents, census, panel,
+        "probe_id", "p_emb", k = TopK, maxScanRows = scanBudget,
+        tieBreak = Seq("vec_id"))
+      val recall = Eval.meanRecallAtK(got, truth, "probe_id", "vec_id", TopK)
+      recallLog += ((c, recall))
+      recallFloorSeen = math.min(recallFloorSeen, recall)
+      println(f"cycle $c%2d: traffic=$traffic%7d accepted=$acceptedTotal%7d " +
+        f"live=$live%7d dead=${dead.size}%5d segs=${Ivf.indexSegments(spark, ivfRoot).size}%2d " +
+        f"v=$lastVersion%3d recall@${100.0 * scanBudget / math.max(1L, live)}%.0f%%=$recall%.3f")
+    }
+    stream.stop()
+
+    // ── month-end audit ──────────────────────────────────────────────
+    // recall at the fixed scan FRACTION must never have collapsed —
+    // the panel sits in the base region, the budget tracks 2 cells'
+    // worth of the live corpus, and the retrain must RESTORE any
+    // drift-era dip, not deepen it
+    val lastRecall = recallLog.last._2
+    require(recallFloorSeen >= 0.55,
+      s"recall@fraction collapsed to $recallFloorSeen during the month")
+    require(lastRecall >= recallLog.head._2 - 0.15,
+      s"month-end recall $lastRecall fell >0.15 from day-0 ${recallLog.head._2}")
+    // vacuum: retire superseded compositions, keep the serving one;
+    // time travel to the retained version still resolves
+    val removed = AtomicCommit.vacuum(spark, ivfRoot, keepVersions = 2)
+    val after = Ivf.readIndex(spark, ivfRoot).count()
+    require(after == acceptedTotal - dead.size,
+      s"post-vacuum rows $after != ${acceptedTotal - dead.size}")
+    println(s"OPS-MONTH invariants hold: $cycles cycles, " +
+      s"traffic=$traffic accepted=$acceptedTotal (dedup rejected " +
+      f"${(traffic - acceptedTotal) * 100.0 / traffic}%.1f%%), " +
+      s"dead=${dead.size} stayed dead, versions monotone to $lastVersion, " +
+      s"vacuum removed ${removed.size} paths, " +
+      f"recall@fraction floor=$recallFloorSeen%.3f end=$lastRecall%.3f")
+    spark.stop()
+  }
+}

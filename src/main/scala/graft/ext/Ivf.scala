@@ -667,11 +667,22 @@ object Ivf {
   /** Census sidecar written after a data segment lands: counting the
     * just-written segment groups by its PARTITION column, so the scan
     * reads footers and directory names, not vector data — and only the
-    * new segment, never the composition. */
+    * new segment, never the composition. A data-less segment (an
+    * append of an empty frame leaves only sidecars) gets an empty
+    * census, not a schema-inference error. */
   private def writeCensusOfDir(spark: org.apache.spark.sql.SparkSession,
-                               dir: String, cellCol: String): Unit =
+                               dir: String, cellCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     writeCensus(spark, dir,
-      cellCounts(spark.read.parquet(dir).select(cellCol), cellCol).toSeq)
+      if (!hasData) Seq.empty
+      else cellCounts(spark.read.parquet(dir).select(cellCol), cellCol).toSeq)
+  }
 
   private def readCensus(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Option[Seq[(Int, Long)]] = {
