@@ -27,6 +27,26 @@ object CorpusScaleDemo {
         w => concat(lit("w"), pmod(i * 131L + w * 97L, lit(1000L)))), " ").as("text"))
   }
 
+  /** Dedup-measurement corpus: per-doc DISTINCT body text (xxhash
+    * words over a 10^8 space — [[synthDocs]]'s periodic generator has
+    * only ~3,000 distinct texts corpus-wide, which collapses any
+    * dedup map-side and lets text compress ~15x through a shuffle),
+    * with one of 40 shared 24-token boilerplate chunks planted at the
+    * head of every 4th doc — the template traffic chunk dedup exists
+    * to cut. */
+  def dedupDocs(spark: SparkSession, nDocs: Long,
+                bodyWords: Int = 27): DataFrame =
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(
+        when(pmod(col("id"), lit(4L)) === 0,
+          concat(array_join(transform(sequence(lit(1), lit(24)),
+            j => concat(lit("bp"), pmod(col("id"), lit(40L)), lit("x"), j)),
+            " "), lit(" "))).otherwise(lit("")),
+        array_join(transform(
+          sequence(lit(0), pmod(col("id"), lit(20L)).cast("int") + (bodyWords - 1)),
+          w => concat(lit("w"), pmod(xxhash64(col("id"), w), lit(100000000L)))),
+          " ")).as("text"))
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val spark = SparkSession.builder()
@@ -78,6 +98,28 @@ object CorpusScaleDemo {
     ScaleDemo.time("chunkDocs 24/4 (map-only)") {
       Corpus.chunkDocs(docs, "doc_id", "text", maxTokens = 24, overlap = 4).count()
     }
+    // marginal shuffle of the slim chunk-dedup reassembly (r14): the
+    // election/drop traffic is 16-byte-md5 + scalar rows only — chunk
+    // TEXT must never cross an exchange (the r13 unitDedup pattern).
+    // Measured on the DISTINCT-text corpus ([[dedupDocs]]) — the
+    // periodic synthDocs fixture understates the win by construction
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    val chunkCorpus = dedupDocs(spark, nDocs).localCheckpoint()
+    chunkCorpus.count()
+    val chunkShuffle0 = shuffleBytes.get()
+    ScaleDemo.time("chunkDedup 24-token (slim rebuild)") {
+      graft.ext.Dedup.chunkDedup(chunkCorpus, "doc_id", "text", 24)
+        .agg(sum("n_dropped")).collect()
+    }
+    Thread.sleep(3000) // listener bus drains async
+    println(f"  chunkDedup marginal shuffle ${(shuffleBytes.get() - chunkShuffle0) / 1e6}%.0f MB")
     ScaleDemo.time("bm25 3-term query") {
       graft.ext.Search.bm25(docs, "doc_id", "text", Seq("w1", "w500", "w999")).count()
     }

@@ -932,22 +932,20 @@ object Dedup {
                         scopeCols: Seq[String] = Nil): DataFrame = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
     val scoped = scopeCols.map(col)
-    // unit segmentation is the expensive per-row step (regex sentence
-    // split / line split): materialize it ONCE as a column (SURVEY
-    // §7.1 inlining trap — three bare references in the final Project
-    // would re-segment three times), and docs with a null/empty unit
-    // array produce no rows (posexplode semantics of the previous
-    // plan, kept as the documented contract)
-    val docs = df.withColumn("_units", unitsCol)
-      .filter(size(col("_units")) >= 1)
+    // docs with a null/empty unit array produce no rows (posexplode
+    // semantics of the pre-r13 plan, kept as the documented contract);
+    // the filter evaluates the segmentation map-side and does NOT
+    // retain the array — each consuming branch recomputes it where it
+    // runs, so the rebuild-join exchange below carries text only
+    val eligible = df.filter(size(unitsCol) >= 1)
     // text-free candidate scalars (md5, scope, doc, pos) checkpointed
     // ONCE: winner election and drop detection both read this frame,
     // so segmentation runs once for the whole election phase (the
     // DocPipeline `hashed.cut` convention — scalar rows, never text)
-    val candidates = docs.select(
-      (col(idCol) +: scoped) :+ posexplode(col("_units")).as(Seq("pos", "line")): _*)
+    val candidates = eligible.select(
+      (col(idCol) +: scoped) :+ posexplode(unitsCol).as(Seq("pos", "line")): _*)
       .filter(length(col("line")) >= minChars)
-      .select((md5(col("line").cast("binary")).as("_h") +: scoped) :+
+      .select((unhex(md5(col("line").cast("binary"))).as("_h") +: scoped) :+
         col(idCol) :+ col("pos"): _*)
       .cut
     val winners = candidates
@@ -961,7 +959,15 @@ object Dedup {
     val keepUnit: (Column, Column) => Column = (u, i) =>
       length(u) < minChars ||
         coalesce(!array_contains(col("_drop"), i), lit(true))
-    docs.join(dropAgg, Seq(idCol), "left")
+    // segmentation re-materializes AFTER the join — as its own Project
+    // attribute (SURVEY §7.1 inlining trap: three bare unitsCol
+    // references in the final select would re-segment three times;
+    // CollapseProject keeps multi-referenced non-cheap aliases apart)
+    // — so the doc-keyed exchange ships (id, text), not text PLUS its
+    // exploded array twin (which halves the one text-carrying
+    // exchange whenever the drop side is too big to broadcast)
+    eligible.join(dropAgg, Seq(idCol), "left")
+      .withColumn("_units", unitsCol)
       .select(col(idCol),
         size(col("_units")).cast("long").as(countCol),
         coalesce(col("_nd"), lit(0L)).as("n_dropped"),
@@ -973,9 +979,12 @@ object Dedup {
     // text-free candidate scalars (md5, doc, chunk_id) checkpointed
     // ONCE: winner election and drop detection both read this frame,
     // so chunking + hashing run once for the whole election phase
+    // chunk_id rides as INT: a document physically cannot hold 2^31
+    // 1+-token chunks, and the narrower key cuts both scalar exchanges
+    // and the drop arrays by a third
     val candidates = Corpus.chunkDocs(df, idCol, textCol, chunkTokens)
-      .select(md5(col("chunk").cast("binary")).as("_h"),
-        col(idCol), col("chunk_id"))
+      .select(unhex(md5(col("chunk").cast("binary"))).as("_h"),
+        col(idCol), col("chunk_id").cast("int").as("chunk_id"))
       .cut
     val winners = candidates
       .groupBy(col("_h"))
@@ -990,11 +999,13 @@ object Dedup {
         count(lit(1)).as("_nd"))
     // map-side rebuild: re-chunk the ORIGINAL column with the exact
     // expression chunkDocs exploded (row filter replicated too — docs
-    // with no chunks yield no row) and cut dropped positions in place
-    df.filter(length(col(textCol)) > 0)
-      .withColumn("_toks", split(col(textCol), " "))
-      .filter(size(col("_toks")) > 0)
+    // with no chunks yield no row) and cut dropped positions in place.
+    // Token/chunk arrays materialize AFTER the join so the doc-keyed
+    // exchange (paid only when the drop side is too big to broadcast)
+    // ships (id, text), not text plus its tokenized twin
+    df.filter(length(col(textCol)) > 0 && size(split(col(textCol), " ")) > 0)
       .join(dropAgg, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
       .withColumn("_chunks",
         transform(Corpus.chunkSlices(col("_toks"), chunkTokens, 0),
           s => array_join(s, " ")))
@@ -1004,8 +1015,7 @@ object Dedup {
         coalesce(col("_nd"), lit(0L)).as("n_dropped"),
         nullif(array_join(
           filter(col("_chunks"), (_, i) =>
-            coalesce(!array_contains(col("_drop"), i.cast("long")),
-              lit(true))),
+            coalesce(!array_contains(col("_drop"), i), lit(true))),
           " "), lit("")).as("text_kept"))
   }
 }
