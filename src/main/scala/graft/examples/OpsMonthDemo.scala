@@ -25,6 +25,9 @@ import graft.sources.AtomicCommit
   *     exact dups and banded near-dups are rejected before the store);
   *   - the index holds exactly the accepted-minus-deleted rows;
   *   - the census sidecar stays ≡ a fresh scan (r14 manifest sum);
+  *   - a mid-month ingest-job restart changes nothing: dedup state
+  *     lives in the store, not the job (cycle-6 redeploy, planted
+  *     pre-restart re-crawls keep rejecting);
   *   - recall AT A FIXED SCAN FRACTION (a 2-cells'-worth row budget,
   *     re-derived from the live census each cycle) on a pinned probe
   *     panel stays stable — across appends, drift (cycles 6+ draw
@@ -110,17 +113,25 @@ object OpsMonthDemo {
     }
 
     // ── the long-lived ingest stream ─────────────────────────────────
+    // restartable: the SIGNATURE STORE carries all dedup state, the
+    // job carries none — a redeploy mid-month (cycle 6 below) must
+    // change nothing about acceptance
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(Long, String)]
     // per-batch results land here (driver-small: ids only of the
     // ACCEPTED docs, which this demo then embeds + appends to the IVF)
     @volatile var lastAccepted: Array[Long] = Array.empty
-    val stream = DocPipeline.streamIncremental(
-      input.toDF().toDF("doc_id", "text"), sigStore,
-      minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
-      atomicStore = true) { (accepted, _) =>
-      lastAccepted = accepted.select("doc_id").collect().map(_.getLong(0))
+    def startIngest(): (MemoryStream[(Long, String)],
+        org.apache.spark.sql.streaming.StreamingQuery) = {
+      val in = MemoryStream[(Long, String)]
+      val q = DocPipeline.streamIncremental(
+        in.toDF().toDF("doc_id", "text"), sigStore,
+        minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
+        atomicStore = true) { (accepted, _) =>
+        lastAccepted = accepted.select("doc_id").collect().map(_.getLong(0))
+      }
+      (in, q)
     }
+    var (input, stream) = startIngest()
 
     // ── operational state the invariants audit ───────────────────────
     var traffic = 0L
@@ -140,6 +151,16 @@ object OpsMonthDemo {
     }
 
     (0 until cycles).foreach { c =>
+      // mid-month redeploy: kill the ingest job, start a fresh one
+      // against the same store — history must still win (the planted
+      // re-crawls of pre-restart content keep rejecting, enforced by
+      // the acceptance-band and store-growth asserts below)
+      if (c == 6) {
+        stream.stop()
+        val restarted = startIngest()
+        input = restarted._1
+        stream = restarted._2
+      }
       // 1. streaming ingest: one micro-batch of mixed traffic
       input.addData(mkBatch(c))
       stream.processAllAvailable()
