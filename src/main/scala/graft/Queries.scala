@@ -2151,6 +2151,42 @@ ORDER BY feature"""
              |  ${duckAssign("emb", "c2")})
              |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin)),
 
+    // ── 48d'. IVF census sidecar (Ivf.indexCellCounts): per-cell row
+    // counts of a LIVE committed composition — build, tombstone-delete,
+    // resurrect-append — read as the SUM of per-segment _census
+    // sidecars (the delete segment contributes negative counts), never
+    // scanning the index. The DuckDB twin replays the same quantizer
+    // (1 Lloyd round on the FULL base — the delete doesn't retrain)
+    // and counts the surviving rows per assigned cell ─────────────────
+    QueryDef(
+      "q_ivf_census",
+      (s, d) => {
+        import graft.ext.Ivf
+        val root = java.nio.file.Files.createTempDirectory("q-ivf-census")
+          .resolve("index").toString
+        val base = t(s, d, "embeddings").filter(col("vec_id") < 120)
+        Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 4, iters = 1,
+          spreadInit = false)
+        Ivf.deleteFromIndexAtomic(
+          base.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"), root)
+        Ivf.appendToIndexAtomic(base.filter(col("vec_id") === 14), "embedding", root)
+        import s.implicits._
+        Ivf.indexCellCounts(s, root).toSeq.toDF("cell", "n")
+          .select(col("cell"), col("n"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings WHERE vec_id < 120),
+             |c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, e
+             |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+             |${duckLloydRound(1)},
+             |af AS (
+             |  ${duckAssign("(SELECT * FROM emb WHERE vec_id % 7 <> 0 OR vec_id = 14)", "c1")})
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n
+             |FROM af GROUP BY cell ORDER BY cell""".stripMargin)),
+
     // ── 48d. IVF budget probing (Ivf.topKJoinBudget): probe cells
     // nearest-first until the rows they hold reach a SCAN budget (40%
     // of the corpus here), then dot-product top-5 — per-probe cost a

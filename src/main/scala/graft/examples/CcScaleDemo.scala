@@ -100,8 +100,11 @@ object CcScaleDemo {
     val hubEdges = spark.range(2000000L * scale)
       .select(lit(H).as("a"), (lit(H) + 1L + col("id")).as("b"))
 
-    val edges = pathEdges.unionByName(starEdges).unionByName(hubEdges)
-      .localCheckpoint()
+    // input materialization goes through the library cut so the
+    // storage-level knob governs the WHOLE demo's block envelope, not
+    // just the per-round state
+    val edges = graft.core.Checkpoints.cut(
+      pathEdges.unionByName(starEdges).unionByName(hubEdges))
     ScaleDemo.time(s"materialize ${edges.count() / 1000000}M edges")(())
 
     var rounds = 0
