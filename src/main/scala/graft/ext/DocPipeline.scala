@@ -384,7 +384,25 @@ object DocPipeline {
     * survivors of earlier batches. To collapse cross-batch components
     * exactly, feed the verified (new, stored) edges plus the store's
     * historical edges to [[Dedup.transitiveClusters]] in a periodic
-    * batch compaction, the same escape hatch [[prepareStream]] uses. */
+    * batch compaction, the same escape hatch [[prepareStream]] uses.
+    *
+    * `maxStoreBandDf` — the READ-SIDE hub-key guard (the incremental
+    * twin of the banding df-guard, applied where this path can afford
+    * it): the in-batch 5a stage is star-bounded (≤ 2 edges per
+    * (doc, band)), but the store join above is NEW × STORED per band
+    * key, so one boilerplate-owned key that accumulates in the store
+    * makes every future batch's candidate volume proportional to the
+    * WHOLE store — quadratic over the deployment's lifetime. Band keys
+    * held by more than `maxStoreBandDf` stored docs are excluded from
+    * candidate generation (they carry no discrimination signal — the
+    * same argument as `maxSignatureDf`, at bucket granularity). This
+    * is read-side only: PERSISTED band keys never change, so existing
+    * stores stay valid and the knob can be turned on (or tuned) at any
+    * batch. Recall trade: a true near-dup pair colliding ONLY in hub
+    * keys is missed; with k/bands rows per band, true pairs almost
+    * always share a discriminative band too (NearDupSpec pins both
+    * sides). Default off — the operational entry points
+    * ([[streamIncremental]]) thread it through. */
   def prepareIncremental(
       newDocs: DataFrame,
       store: DataFrame,
@@ -393,9 +411,10 @@ object DocPipeline {
       minWords: Long = 30,
       minhashK: Int = 8,
       bands: Int = 4,
-      tau: Double = 0.8): DataFrame =
+      tau: Double = 0.8,
+      maxStoreBandDf: Long = Long.MaxValue): DataFrame =
     prepareIncrementalWithHashes(newDocs, store, idCol, textCol, minWords,
-      minhashK, bands, tau).drop("_fp", "_whs")
+      minhashK, bands, tau, maxStoreBandDf).drop("_fp", "_whs")
 
   /** [[prepareIncremental]] retaining `_fp`/`_whs` on the accepted rows
     * (so [[streamIncremental]] derives the store-absorption signatures
@@ -408,7 +427,9 @@ object DocPipeline {
       minWords: Long,
       minhashK: Int,
       bands: Int,
-      tau: Double): DataFrame = {
+      tau: Double,
+      maxStoreBandDf: Long = Long.MaxValue): DataFrame = {
+    require(maxStoreBandDf >= 1, s"maxStoreBandDf=$maxStoreBandDf must be >= 1")
     // _fp/_whs ride along from prepare's pass — signatures of the
     // accepted batch are derived from them, not re-tokenized
     val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
@@ -418,9 +439,22 @@ object DocPipeline {
     // exact: new fingerprints never seen before
     val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
 
-    // near-dup: band-key candidates vs the store, shingle-verified
+    // near-dup: band-key candidates vs the store, shingle-verified.
+    // The hub-key guard (scaladoc) caps the store side: keys held by
+    // more than maxStoreBandDf stored docs leave candidate generation
+    // — one agg over the already-scanned store keys, no text
+    val storeKeysAll = store.select(col(idCol).as("_sid"),
+      explode(col("band_keys")).as("band_key"))
+    val storeKeys =
+      if (maxStoreBandDf == Long.MaxValue) storeKeysAll
+      else {
+        val hot = storeKeysAll.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxStoreBandDf)
+          .select(col("band_key"))
+        storeKeysAll.join(hot, Seq("band_key"), "left_anti")
+      }
     val newKeys = fresh.select(col(idCol), explode(col("band_keys")).as("band_key"))
-    val storeKeys = store.select(col(idCol).as("_sid"), explode(col("band_keys")).as("band_key"))
     val cand = newKeys.join(storeKeys, Seq("band_key"))
       .select(col(idCol), col("_sid")).distinct()
     val dropIds = cand
@@ -472,7 +506,8 @@ object DocPipeline {
       minhashK: Int = 8,
       bands: Int = 4,
       tau: Double = 0.8,
-      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      atomicStore: Boolean = false,
+      maxStoreBandDf: Long = Long.MaxValue)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -484,7 +519,8 @@ object DocPipeline {
           else if (storeExists) spark.read.parquet(storePath)
           else empty
         val accepted = prepareIncrementalWithHashes(
-          b, store, idCol, textCol, minWords, minhashK, bands, tau)
+          b, store, idCol, textCol, minWords, minhashK, bands, tau,
+          maxStoreBandDf)
           .cut // materialize BEFORE the store append
         val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands)
         if (atomicStore) graft.sources.AppendStore.append(sigs, storePath)

@@ -309,6 +309,50 @@ class NearDupSpec extends SparkTestBase {
     assert(replay.isEmpty)
   }
 
+  test("maxStoreBandDf: hub band keys leave store candidate generation; " +
+      "true near-dups still drop via their discriminative bands; " +
+      "clean-corpus results identical with the guard on") {
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
+    // store: 6 docs sharing heavy boilerplate (their band keys collapse
+    // into hub keys held by all 6) plus one distinctive doc
+    val bp = Array.tabulate(30)(i => s"cookie$i").mkString(" ")
+    val stored = (1L to 6L).map(i => (i, s"$bp ${long(s"s$i")}")) :+
+      (7L, long("target"))
+    val store = DocPipeline.signatures(
+      DocPipeline.prepare(stored.toDF("doc_id", "text"), minWords = 10))
+    // every hub key is held by ≥ 2 stored docs; doc 7's keys by exactly 1
+    val batch = Seq(
+      (20L, long("target")),                       // exact dup of 7
+      (21L, (long("target").split(" ").dropRight(1) :+ "changed")
+        .mkString(" ")),                           // near dup of 7
+      (22L, s"$bp ${long("fresh")}")               // boilerplate + new body
+    ).toDF("doc_id", "text")
+    // guard at 1: any key held by >1 stored doc (all the boilerplate
+    // hubs) leaves candidate generation; doc 7's single-holder keys stay
+    val out = DocPipeline.prepareIncremental(batch, store, minWords = 10,
+      maxStoreBandDf = 1L)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 20 drops at the fp stage (guard-independent), 21 drops via 7's
+    // non-hub band keys, 22 survives (its only shared keys are hubs and
+    // it is NOT a true near-dup of any stored doc)
+    assert(ids === Set(22L), s"got $ids")
+    // clean corpus (no hub keys): guard on ≡ guard off, row for row
+    val cleanStore = DocPipeline.signatures(
+      DocPipeline.prepare(
+        Seq((1L, long("aaa")), (2L, long("bbb"))).toDF("doc_id", "text"),
+        minWords = 10))
+    val cleanBatch = Seq(
+      (10L, long("aaa")),
+      (11L, (long("bbb").split(" ").dropRight(1) :+ "x").mkString(" ")),
+      (12L, long("qqq"))).toDF("doc_id", "text")
+    val off = DocPipeline.prepareIncremental(cleanBatch, cleanStore, minWords = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val on = DocPipeline.prepareIncremental(cleanBatch, cleanStore, minWords = 10,
+      maxStoreBandDf = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(off === on && off === Set(12L), s"off=$off on=$on")
+  }
+
   test("signature store round-trips through parquet (no text retained)") {
     val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
     val docs = Seq((1L, long("aaa")), (2L, long("bbb"))).toDF("doc_id", "text")
