@@ -657,7 +657,26 @@ object DocPipeline {
     * generated per bucket, so the history join shuffles only bucket
     * keys plus the candidate vectors, not the store. Same foreachBatch
     * durability caveat as [[streamIncremental]]; `atomicStore = true`
-    * routes appends through [[graft.sources.AppendStore]]. */
+    * routes appends through [[graft.sources.AppendStore]].
+    *
+    * Geometry is PERSISTED: the first batch writes an `_emb_meta`
+    * sidecar (dim, bits, bands) next to the store, and every later
+    * batch — of this stream or any restart — validates its parameters
+    * against it, failing LOUDLY on mismatch. Without the check, a
+    * redeploy with different bits/bands would compute different bucket
+    * keys, silently miss every cross-run near-dup, and poison the
+    * store with mixed-geometry rows.
+    *
+    * Occupancy scaling: with fixed `bits`, a band has 2^bits buckets,
+    * so per-bucket occupancy — and the per-batch history-join
+    * candidate volume — grows LINEARLY with the accepted store
+    * (~n/2^bits candidates per new vector per band). The maintenance
+    * valve is [[rebucketEmbeddingStore]]: the store carries the
+    * vectors, so it can be re-keyed at higher bits (and more bands to
+    * recover per-band recall) in one pass, without re-embedding
+    * anything. Rebucket when occupancy-per-bucket outgrows the
+    * verification budget, then restart the stream with the new
+    * geometry (the meta check makes a forgotten restart loud). */
   def streamEmbeddingDedup(
       vecs: DataFrame,
       storePath: String,
@@ -668,17 +687,13 @@ object DocPipeline {
       bands: Int = 2,
       tau: Double = 0.9,
       atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    def keysOf(df: DataFrame): DataFrame = df.select(
-        col(idCol), col(vecCol),
-        posexplode(array((0 until bands).map(bd =>
-          Similarity.lshBucket(col(vecCol), dim, bits, bd * bits)): _*))
-          .as(Seq("band", "bucket")))
-      .select(col("band"), col("bucket"),
-        col(idCol).as("id"), col(vecCol).as("vec"))
+    def keysOf(df: DataFrame): DataFrame =
+      embStoreKeys(df, idCol, vecCol, dim, bits, bands)
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        checkOrWriteEmbMeta(spark, storePath, dim, bits, bands)
         def empty = keysOf(b.limit(0))
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
@@ -702,6 +717,89 @@ object DocPipeline {
         onBatch(accepted, batchId)
       }
       .start()
+  }
+
+  /** The embedding store's row shape: one (band, bucket, id, vec) per
+    * band per vector — shared by the stream and [[rebucketEmbeddingStore]]
+    * so geometry cannot drift between writer and maintenance. */
+  private def embStoreKeys(df: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, bits: Int, bands: Int): DataFrame =
+    df.select(
+        col(idCol), col(vecCol),
+        posexplode(array((0 until bands).map(bd =>
+          Similarity.lshBucket(col(vecCol), dim, bits, bd * bits)): _*))
+          .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"),
+        col(idCol).as("id"), col(vecCol).as("vec"))
+
+  // sibling of the data path, NOT inside it: creating the sidecar must
+  // not make an empty store directory spring into existence (the plain
+  // path's batch-0 "store exists yet?" probe keys on the data dir)
+  private def embMetaDir(storePath: String) =
+    s"${storePath.stripSuffix("/")}_emb_meta"
+
+  /** Validate (or, on first contact, persist) the store's bucket
+    * geometry. Bucket keys are a pure function of (dim, bits, bands) —
+    * rows written under different parameters are mutually invisible at
+    * lookup time, so a mismatch must fail loudly, not dedup nothing. */
+  private def checkOrWriteEmbMeta(spark: org.apache.spark.sql.SparkSession,
+                                  storePath: String,
+                                  dim: Int, bits: Int, bands: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val p = new Path(embMetaDir(storePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val r = spark.read.parquet(embMetaDir(storePath)).head()
+      val (d, bi, ba) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(d == dim && bi == bits && ba == bands,
+        s"embedding store $storePath was built at (dim=$d, bits=$bi, bands=$ba) " +
+          s"but this stream uses (dim=$dim, bits=$bits, bands=$bands) — " +
+          "bucket keys would not match and every cross-run near-dup would be " +
+          "silently missed; restart with the stored geometry or rebucket " +
+          "the store (rebucketEmbeddingStore)")
+    } else {
+      Seq((dim, bits, bands)).toDF("dim", "bits", "bands").coalesce(1)
+        .write.mode("overwrite").parquet(embMetaDir(storePath))
+    }
+  }
+
+  /** Re-key the persisted embedding-dedup store at a new bucket
+    * geometry — the occupancy maintenance valve for
+    * [[streamEmbeddingDedup]] (scaladoc there): with fixed bits,
+    * per-bucket occupancy grows linearly with the accepted corpus, so
+    * as the store ages, raise `bits` (and usually `bands`, to recover
+    * per-band recall). The store carries the vectors, so the rewrite
+    * is ONE pass over distinct (id, vec) — nothing is re-embedded and
+    * dedup history is fully preserved.
+    *
+    * Run it while the ingest stream is STOPPED (foreachBatch is the
+    * store's single writer; this op takes that seat). Atomic stores
+    * replace content via one committed append + vacuum — a crash
+    * leaves either the old or the new geometry, never a mix; plain
+    * stores rewrite in place after an eager materialization. The
+    * `_emb_meta` sidecar is updated last, so a restarted stream at the
+    * NEW geometry passes the check only once the rows are in place. */
+  def rebucketEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+                             storePath: String, dim: Int,
+                             bits: Int, bands: Int,
+                             atomicStore: Boolean = false): Unit = {
+    import spark.implicits._
+    import graft.core.Checkpoints.CutOps
+    val existing =
+      if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath,
+        sys.error(s"no embedding store at $storePath"))
+      else spark.read.parquet(storePath)
+    val vecs = existing.select(col("id"), col("vec")).distinct()
+    val rekeyed = embStoreKeys(vecs, "id", "vec", dim, bits, bands).cut
+    if (atomicStore) {
+      graft.sources.AppendStore.append(rekeyed, storePath)
+      graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
+    } else {
+      rekeyed.write.mode("overwrite").parquet(storePath)
+    }
+    Seq((dim, bits, bands)).toDF("dim", "bits", "bands").coalesce(1)
+      .write.mode("overwrite").parquet(embMetaDir(storePath))
   }
 
   def streamLineDedup(

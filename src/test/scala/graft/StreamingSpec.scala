@@ -576,5 +576,41 @@ class StreamingSpec extends SparkTestBase {
     // the store holds only acceptees: 3 vectors x 2 bands
     assert(spark.read.parquet(storeDir.getAbsolutePath)
       .select("id").distinct().count() === 3L)
+
+    // geometry is persisted: a restart with DIFFERENT (bits, bands)
+    // would compute mismatched bucket keys and silently miss every
+    // cross-run near-dup — it must die loudly instead
+    val wrong = MemoryStream[(Long, Seq[Float])]
+    val qw = graft.ext.DocPipeline.streamEmbeddingDedup(
+      wrong.toDF().toDF("vec_id", "embedding"), storeDir.getAbsolutePath,
+      dim = 4, bits = 8, bands = 2, tau = 0.98) { (_, _) => () }
+    try {
+      wrong.addData((6L, far2))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qw.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("bits=6") || ex.getCause != null)
+    } finally qw.stop()
+
+    // rebucket: re-key the SAME history at a new geometry in one pass
+    // (vectors ride in the store — nothing re-embedded), then a
+    // restart at the new geometry still rejects historical dups
+    graft.ext.DocPipeline.rebucketEmbeddingStore(
+      spark, storeDir.getAbsolutePath, dim = 4, bits = 8, bands = 3)
+    assert(spark.read.parquet(storeDir.getAbsolutePath)
+      .select("id").distinct().count() === 3L) // history preserved
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val accepted2 = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val q2 = graft.ext.DocPipeline.streamEmbeddingDedup(
+      input2.toDF().toDF("vec_id", "embedding"), storeDir.getAbsolutePath,
+      dim = 4, bits = 8, bands = 3, tau = 0.98) { (df, bid) =>
+      accepted2(bid) = df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    try {
+      input2.addData((7L, near), (8L, v(0.4, 0.9, -0.1, -0.6)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(accepted2(0L) === Seq(8L),
+      s"historical near-dup must still reject after rebucket: ${accepted2(0L)}")
   }
 }
