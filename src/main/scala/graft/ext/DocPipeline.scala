@@ -512,6 +512,17 @@ object DocPipeline {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        // persisted band keys are a pure function of (minhashK, bands):
+        // a restart at different values must die loudly, not silently
+        // miss every cross-run near-dup (no rebucket exists here — the
+        // store keeps shingle/band hashes, not the word hashes they
+        // derive from; changing geometry means rebuilding the store
+        // from the corpus)
+        checkOrWriteStoreMeta(spark,
+          s"${storePath.stripSuffix("/")}_sig_meta", storePath,
+          "restart with the stored geometry or rebuild the store from " +
+            "the corpus (signatures + saveSignatureStore)",
+          Seq("minhashK" -> minhashK, "bands" -> bands))
         def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands)
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
@@ -554,6 +565,14 @@ object DocPipeline {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        // the stored md5s hash WHOLE chunks: a restart at a different
+        // chunkTokens re-chunks on different boundaries and no stored
+        // hash ever matches again — die loudly (rebuild the store from
+        // the corpus to change the width)
+        checkOrWriteStoreMeta(spark,
+          s"${storePath.stripSuffix("/")}_chunk_meta", storePath,
+          "restart with the stored chunk width or rebuild the store",
+          Seq("chunkTokens" -> chunkTokens))
         def empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
@@ -738,31 +757,47 @@ object DocPipeline {
   private def embMetaDir(storePath: String) =
     s"${storePath.stripSuffix("/")}_emb_meta"
 
-  /** Validate (or, on first contact, persist) the store's bucket
-    * geometry. Bucket keys are a pure function of (dim, bits, bands) —
-    * rows written under different parameters are mutually invisible at
-    * lookup time, so a mismatch must fail loudly, not dedup nothing. */
-  private def checkOrWriteEmbMeta(spark: org.apache.spark.sql.SparkSession,
-                                  storePath: String,
-                                  dim: Int, bits: Int, bands: Int): Unit = {
+  /** Validate (or, on first contact, persist) a dedup store's KEY
+    * GEOMETRY — the parameters its persisted keys are a pure function
+    * of (band count + minhash k for signature stores, chunk width for
+    * chunk stores, shingle width for span stores, (dim, bits, bands)
+    * for embedding stores). Rows written under different parameters
+    * are mutually invisible at lookup time, so a restart with the
+    * wrong geometry would silently dedup NOTHING across runs — it must
+    * fail loudly instead. The sidecar lives at a SIBLING path
+    * (`<store>_meta`-style): creating it must not make an empty data
+    * dir spring into existence (the plain store's batch-0 "exists
+    * yet?" probe keys on the data dir). */
+  private def checkOrWriteStoreMeta(spark: org.apache.spark.sql.SparkSession,
+                                    metaDir: String, storePath: String,
+                                    fix: String,
+                                    params: Seq[(String, Int)]): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val p = new Path(embMetaDir(storePath))
+    val p = new Path(metaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val r = spark.read.parquet(embMetaDir(storePath)).head()
-      val (d, bi, ba) = (r.getInt(0), r.getInt(1), r.getInt(2))
-      require(d == dim && bi == bits && ba == bands,
-        s"embedding store $storePath was built at (dim=$d, bits=$bi, bands=$ba) " +
-          s"but this stream uses (dim=$dim, bits=$bits, bands=$bands) — " +
-          "bucket keys would not match and every cross-run near-dup would be " +
-          "silently missed; restart with the stored geometry or rebucket " +
-          "the store (rebucketEmbeddingStore)")
+      val stored = spark.read.parquet(metaDir).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val mismatches = params.filter { case (k, v) => stored.get(k) != Some(v) }
+      require(mismatches.isEmpty,
+        s"store $storePath was built at ${stored.toSeq.sorted.mkString(", ")} " +
+          s"but this run uses ${params.mkString(", ")} — persisted keys would " +
+          s"not match and every cross-run duplicate would be silently " +
+          s"missed; $fix")
     } else {
-      Seq((dim, bits, bands)).toDF("dim", "bits", "bands").coalesce(1)
-        .write.mode("overwrite").parquet(embMetaDir(storePath))
+      params.toDF("param", "value").coalesce(1)
+        .write.mode("overwrite").parquet(metaDir)
     }
   }
+
+  private def checkOrWriteEmbMeta(spark: org.apache.spark.sql.SparkSession,
+                                  storePath: String,
+                                  dim: Int, bits: Int, bands: Int): Unit =
+    checkOrWriteStoreMeta(spark, embMetaDir(storePath), storePath,
+      "restart with the stored geometry or rebucket the store " +
+        "(rebucketEmbeddingStore)",
+      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands))
 
   /** Re-key the persisted embedding-dedup store at a new bucket
     * geometry — the occupancy maintenance valve for
@@ -798,7 +833,8 @@ object DocPipeline {
     } else {
       rekeyed.write.mode("overwrite").parquet(storePath)
     }
-    Seq((dim, bits, bands)).toDF("dim", "bits", "bands").coalesce(1)
+    Seq(("dim", dim), ("bits", bits), ("bands", bands))
+      .toDF("param", "value").coalesce(1)
       .write.mode("overwrite").parquet(embMetaDir(storePath))
   }
 
@@ -872,6 +908,14 @@ object DocPipeline {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
+        // the stored hashes are width-n word shingles: a restart at a
+        // different n hashes different windows and history never
+        // matches again — die loudly (minTokens only thresholds run
+        // length and may change freely)
+        checkOrWriteStoreMeta(spark,
+          s"${storePath.stripSuffix("/")}_span_meta", storePath,
+          "restart with the stored shingle width or rebuild the store",
+          Seq("n" -> n))
         def empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(

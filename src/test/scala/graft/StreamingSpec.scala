@@ -334,6 +334,69 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("store-geometry guards: a restart at mismatched key parameters dies " +
+      "loudly (chunk width; signature k/bands) instead of silently missing " +
+      "every cross-run duplicate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def expectGeometryDeath(q: org.apache.spark.sql.streaming.StreamingQuery,
+                            feed: => Unit): Unit =
+      try {
+        feed
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+    // chunk store built at width 2 …
+    val chunkStore = java.nio.file.Files.createTempDirectory("geomchunk").toFile
+    chunkStore.delete()
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.ext.DocPipeline.streamChunkDedup(
+      in1.toDF().toDF("doc_id", "text"), chunkStore.getAbsolutePath,
+      chunkTokens = 2) { (_, _) => () }
+    try { in1.addData((1L, "a b c d")); q1.processAllAvailable() }
+    finally q1.stop()
+    // … restarted at width 3: different chunk boundaries, loud failure
+    val in2 = MemoryStream[(Long, String)]
+    expectGeometryDeath(
+      graft.ext.DocPipeline.streamChunkDedup(
+        in2.toDF().toDF("doc_id", "text"), chunkStore.getAbsolutePath,
+        chunkTokens = 3) { (_, _) => () },
+      in2.addData((2L, "a b c d")))
+
+    // signature store built at (k=8, bands=4) …
+    val sigStore = java.nio.file.Files.createTempDirectory("geomsig").toFile
+    sigStore.delete()
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = graft.ext.DocPipeline.streamIncremental(
+      in3.toDF().toDF("doc_id", "text"), sigStore.getAbsolutePath,
+      minWords = 10, minhashK = 8, bands = 4) { (_, _) => () }
+    try { in3.addData((1L, long("aaa"))); q3.processAllAvailable() }
+    finally q3.stop()
+    // … restarted at bands = 2: band keys never match, loud failure
+    val in4 = MemoryStream[(Long, String)]
+    expectGeometryDeath(
+      graft.ext.DocPipeline.streamIncremental(
+        in4.toDF().toDF("doc_id", "text"), sigStore.getAbsolutePath,
+        minWords = 10, minhashK = 8, bands = 2) { (_, _) => () },
+      in4.addData((2L, long("bbb"))))
+    // same geometry restarts fine (meta adopted, history intact)
+    val in5 = MemoryStream[(Long, String)]
+    var ok = Seq.empty[Long]
+    val q5 = graft.ext.DocPipeline.streamIncremental(
+      in5.toDF().toDF("doc_id", "text"), sigStore.getAbsolutePath,
+      minWords = 10, minhashK = 8, bands = 4) { (df, _) =>
+      ok = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    try {
+      in5.addData((3L, long("aaa")), (4L, long("ccc")))
+      q5.processAllAvailable()
+    } finally q5.stop()
+    assert(ok === Seq(4L), s"history must win across the restart: $ok")
+  }
+
   test("streamChunkDedup drops spans within AND across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
