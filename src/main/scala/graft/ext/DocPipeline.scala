@@ -810,11 +810,17 @@ object DocPipeline {
     *
     * Run it while the ingest stream is STOPPED (foreachBatch is the
     * store's single writer; this op takes that seat). Atomic stores
-    * replace content via one committed append + vacuum — a crash
-    * leaves either the old or the new geometry, never a mix; plain
-    * stores rewrite in place after an eager materialization. The
-    * `_emb_meta` sidecar is updated last, so a restarted stream at the
-    * NEW geometry passes the check only once the rows are in place. */
+    * replace content via one committed append + vacuum. Crash
+    * semantics: a crash BEFORE the append-commit leaves the old store
+    * untouched; a crash BETWEEN commit and vacuum leaves BOTH
+    * geometries' rows live and the meta at the OLD geometry — safe
+    * but heavier: mixed-geometry rows only ever ADD candidates (every
+    * drop still passes the cosine ≥ tau verification, so no false
+    * drops), and re-running the rebucket self-heals (the rekey reads
+    * distinct (id, vec), collapsing the duplicates). Plain stores
+    * rewrite in place after an eager materialization. The `_emb_meta`
+    * sidecar is updated last, so a restarted stream at the NEW
+    * geometry passes the check only once the rows are in place. */
   def rebucketEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
                              storePath: String, dim: Int,
                              bits: Int, bands: Int,
