@@ -410,6 +410,17 @@ object Queries {
   private def duckCharHash(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e,''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a,b) -> (a*31+b)%$duckP)"
+  /** 64-bit fingerprint twin: the Spark kernel rolls with natural Long
+    * wrap-around (mod 2^64); DuckDB replays it in HUGEINT and folds the
+    * unsigned residue back into the signed BIGINT range. */
+  private def duckCharHash64(e: String): String = {
+    val m = "CAST(18446744073709551616 AS HUGEINT)"
+    val r = s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(string_split($e,''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(a,b) -> (a*31+b) % $m)"
+    s"CAST(CASE WHEN ($r) >= CAST(9223372036854775808 AS HUGEINT) " +
+      s"THEN ($r) - $m ELSE ($r) END AS BIGINT)"
+  }
   private val duckWhs =
     s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
   private def duckRehash(i: Int): String =
@@ -1330,7 +1341,7 @@ ORDER BY feature"""
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4)
              |    AS avg_tokens,
-             |  CAST(count(DISTINCT ${duckCharHash("text")}) AS BIGINT)
+             |  CAST(count(DISTINCT ${duckCharHash64("text")}) AS BIGINT)
              |    AS n_distinct_fp
              |FROM documents GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
@@ -1457,7 +1468,7 @@ ORDER BY feature"""
           .select(col("doc_id"), TextHash.fingerprint(col("text")).as("fp"))
           .orderBy(col("doc_id"))
           .limit(200),
-      Some(s"""SELECT doc_id, ${duckCharHash("text")} AS fp
+      Some(s"""SELECT doc_id, ${duckCharHash64("text")} AS fp
              |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)),
 
     // ── 37. minhash signature (4 components) ───────────────────────────
@@ -2431,7 +2442,7 @@ ORDER BY feature"""
            |      CASE $cases ELSE 'und' END AS lang_pred
            |      FROM (SELECT *, $best AS best FROM sc)),
            |ex AS (SELECT doc_id, text, n_words, lang_pred FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY ${duckCharHash("text")}
+           |  SELECT *, row_number() OVER (PARTITION BY ${duckCharHash64("text")}
            |    ORDER BY doc_id) AS rn FROM p) WHERE rn = 1),
            |w AS (SELECT doc_id, $duckWhs AS h FROM ex),
            |sig AS (SELECT doc_id, list_transform(range(0,8),

@@ -80,33 +80,46 @@ object OpsMonthDemo {
     // are globally unique; CONTENT keys (what dedup must collapse) are
     // the new 60%. Cycles ≥ 6 drift: new docs use a shifted word base
     // AND their vectors draw from shifted centers.
-    def docText(contentId: org.apache.spark.sql.Column, drifted: Boolean) = {
+    def docText(contentId: org.apache.spark.sql.Column) = {
       // word ids drawn from a 1M space keyed by (content, position):
       // unrelated contents share ~0% vocabulary, so banding rejects
-      // only the PLANTED dups/near-dups, never fresh content
-      val base = if (drifted) 1000000L else 0L
+      // only the PLANTED dups/near-dups, never fresh content. The
+      // drift-era word base follows the CONTENT's own cycle, not the
+      // emitting cycle — the first 24-cycle run failed its acceptance
+      // band at cycle 13 because re-crawls of drift-era content were
+      // synthesized with PRE-drift words, silently turning planted
+      // dups into fresh content as the drift era aged
+      val base = when(floor(contentId / lit(perCycle)) >= 6, lit(1000000L))
+        .otherwise(lit(0L))
       array_join(transform(
         sequence(lit(0), pmod(contentId, lit(20L)).cast("int") + 14),
         w => concat(lit("w"),
-          pmod(xxhash64(contentId, w), lit(1000000L)) + lit(base))), " ")
+          pmod(xxhash64(contentId, w), lit(1000000L)) + base)), " ")
     }
     def mkBatch(c: Int): Seq[(Long, String)] = {
       val lo = c.toLong * perCycle
       val nNew = (perCycle * 60 / 100).toInt
       val nDup = (perCycle * 25 / 100).toInt
       val nNear = perCycle.toInt - nNew - nDup
-      val drifted = c >= 6
       val newDocs = spark.range(lo, lo + nNew)
-        .select(col("id").as("doc_id"), docText(col("id"), drifted).as("text"))
-      // exact re-crawls: content of a UNIFORM earlier new doc (or of
-      // this cycle when c=0 — in-batch dups, the minimum-wins path)
-      val seenHi = lo + nNew // new-content ids so far all < seenHi…
+        .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+      // exact re-crawls target a UNIFORM earlier (or this cycle's —
+      // the in-batch minimum-wins path) NEW-CONTENT id: new-doc ids
+      // occupy [cycle·P, cycle·P + nNew) per cycle, so a uniform draw
+      // over [0, (c+1)·nNew) maps through (cycle, offset). The first
+      // 24-cycle run drew over ALL prior ids — hitting dup/near ids
+      // whose synthesized body never actually shipped, i.e. accidental
+      // fresh content — and its acceptance fraction crept out of band
+      val totalNew = (c + 1).toLong * nNew
+      def target(seed: Int) = {
+        val u = pmod(xxhash64(col("id"), lit(seed)), lit(totalNew))
+        floor(u / nNew) * perCycle + pmod(u, lit(nNew.toLong))
+      }
       val dupDocs = spark.range(lo + nNew, lo + nNew + nDup)
-        .select(col("id").as("doc_id"),
-          docText(pmod(xxhash64(col("id")), lit(seenHi)), false).as("text"))
+        .select(col("id").as("doc_id"), docText(target(1)).as("text"))
       val nearDocs = spark.range(lo + nNew + nDup, lo + perCycle)
         .select(col("id").as("doc_id"),
-          concat(docText(pmod(xxhash64(col("id"), lit(7)), lit(seenHi)), false),
+          concat(docText(target(7)),
             lit(" zz"), (col("id") % 3).cast("string")).as("text"))
       newDocs.unionByName(dupDocs).unionByName(nearDocs)
         .as[(Long, String)].collect().toSeq
@@ -167,6 +180,15 @@ object OpsMonthDemo {
       traffic += perCycle
       val accepted = lastAccepted
       acceptedTotal += accepted.length
+      if (sys.env.contains("SPARK_OPS_DEBUG")) {
+        val lo2 = c.toLong * perCycle
+        val nNew2 = (perCycle * 60 / 100).toInt
+        val nDup2 = (perCycle * 25 / 100).toInt
+        val nn = accepted.count(id => id >= lo2 && id < lo2 + nNew2)
+        val nd = accepted.count(id => id >= lo2 + nNew2 && id < lo2 + nNew2 + nDup2)
+        val nr = accepted.count(_ >= lo2 + nNew2 + nDup2)
+        println(s"  DEBUG cycle $c: newAcc=$nn/${nNew2} dupAcc=$nd nearAcc=$nr")
+      }
 
       // dedup store grows with content, not traffic: every accepted
       // doc contributes its signature rows, nothing else does
@@ -175,10 +197,16 @@ object OpsMonthDemo {
         .select("doc_id").distinct().count()
       require(storeDocs == acceptedTotal,
         s"cycle $c: store holds $storeDocs docs != accepted $acceptedTotal")
-      // acceptance must track the planted mix: ~60% new content (the
-      // dups/near-dups reject; banding must not eat fresh content)
-      require(acceptedTotal > traffic * 50 / 100 && acceptedTotal < traffic * 75 / 100,
-        s"cycle $c: accepted $acceptedTotal of $traffic outside the planted 60% band")
+      // acceptance must track the planted mix EXACTLY from below:
+      // every one of the 60% new-content docs must be accepted (the
+      // first 24-cycle run failed here — the mod-P fingerprint's 2^30
+      // space false-collided new docs against the store, r14's
+      // corpus-eating find), while the planted dups/near-dups reject
+      // modulo a small decaying banding leak (strictly above 60%,
+      // bounded well under 62%)
+      require(acceptedTotal >= traffic * 60 / 100 && acceptedTotal < traffic * 62 / 100,
+        s"cycle $c: accepted $acceptedTotal of $traffic outside the planted band " +
+          "(below 60% = fresh content eaten; above = planted dups leaking)")
 
       // 2. embed accepted docs, append to (or bootstrap) the index
       require(accepted.nonEmpty, s"cycle $c: dedup rejected an entire batch")

@@ -518,11 +518,17 @@ object DocPipeline {
         // store keeps shingle/band hashes, not the word hashes they
         // derive from; changing geometry means rebuilding the store
         // from the corpus)
+        // fpv versions the FINGERPRINT algorithm (2 = the 64-bit
+        // wrap-around roll; 1 was the mod-P roll whose 2^30 space
+        // false-collided at corpus scale — r14). A pre-upgrade store
+        // degrades gracefully even though its fps never match again:
+        // an exact dup is also a J=1.0 near-dup, so the banding path
+        // still rejects re-crawls of old content.
         checkOrWriteStoreMeta(spark,
           s"${storePath.stripSuffix("/")}_sig_meta", storePath,
           "restart with the stored geometry or rebuild the store from " +
             "the corpus (signatures + saveSignatureStore)",
-          Seq("minhashK" -> minhashK, "bands" -> bands))
+          Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2))
         def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands)
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =

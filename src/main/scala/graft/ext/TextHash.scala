@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Deterministic text-hashing kernels for the dedup / fingerprinting
   * operators (BASELINE.json:6 "LLM-data-pipeline" extension surface).
   *
-  * All hashes are plain 31-base polynomial rolls mod P = 1e9+7 built from
-  * Catalyst higher-order functions — NOT murmur/xxhash — deliberately:
-  * the same arithmetic is expressible in any ANSI-ish SQL engine
-  * (the DuckDB oracle replicates them with list_reduce/list_transform),
-  * so every dedup operator stays differential-testable cross-engine.
-  * Values stay < 2^30, so double-based bit extraction is exact and the
-  * kernels survive engines without 64-bit bitwise ops.
+  * Word/shingle/signature hashes are plain 31-base polynomial rolls mod
+  * P = 1e9+7 built from Catalyst higher-order functions — NOT
+  * murmur/xxhash — deliberately: the same arithmetic is expressible in
+  * any ANSI-ish SQL engine (the DuckDB oracle replicates them with
+  * list_reduce/list_transform), so every dedup operator stays
+  * differential-testable cross-engine. Their values stay < 2^30, so
+  * double-based bit extraction is exact and the kernels survive engines
+  * without 64-bit bitwise ops. The one deliberate exception is the
+  * whole-document [[fingerprint]] (64-bit wrap-around roll; DuckDB
+  * replays it in HUGEINT): an exact-dup key must not live in a 2^30
+  * space — see [[fingerprint]].
   *
   * Scale: every kernel is map-side (per-row arrays), shuffle-free;
   * the dedup operators built on them shuffle only on the short
@@ -166,7 +170,14 @@ object TextHash {
       .otherwise(size(array_intersect(da, array_distinct(b))).cast("double") / size(da))
   }
 
-  /** Whole-document fingerprint: char-level rolling hash (the rolling-
-    * hash document-fingerprinting operator; exact-dup detection key). */
-  def fingerprint(text: Column): Column = charHash(text)
+  /** Whole-document fingerprint: char-level rolling hash with a 64-BIT
+    * wrap-around space (the rolling-hash document-fingerprinting
+    * operator; exact-dup detection key). NOT the mod-P [[charHash]]:
+    * a whole-corpus exact-dup key in a 2^30 space false-collides at a
+    * rate linear in the accepted store — the r14 ops-month rehearsal
+    * measured exact dedup eating 5–11 genuinely-new docs per 24k batch
+    * at just 500k stored docs, and at 10^9 docs ~63% of new content
+    * would be rejected. The DuckDB twin replays the wrap with HUGEINT
+    * arithmetic, so the value is still cross-engine exact. */
+  def fingerprint(text: Column): Column = TextHashExprs.charHash64(text)
 }

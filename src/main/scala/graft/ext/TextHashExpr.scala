@@ -29,6 +29,21 @@ object TextHashLoops {
     acc
   }
 
+  /** 64-bit document fingerprint: base-31 roll with natural Long
+    * wrap-around (mod 2^64) instead of mod P. The mod-P form above is
+    * the WORD/SHINGLE hash (the universal rehash family needs mod-P
+    * arithmetic); a whole-DOCUMENT exact-dup key must not live in a
+    * 2^30 space — at 10^9 accepted docs a mod-P fingerprint collides
+    * for ~63% of new documents and exact dedup silently eats fresh
+    * content (found by the r14 ops-month rehearsal at 500k docs:
+    * 5–11 false rejects per 24k batch, growing with the store). */
+  def charHash64(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = acc * 31L + s.charAt(i); i += 1 }
+    acc
+  }
+
   def wordHashes(s: String): Array[Long] = {
     var nTokens = 1
     var i = 0
@@ -60,6 +75,21 @@ case class CharHashExpr(child: Expression) extends UnaryExpression with ExpectsI
     defineCodeGen(ctx, ev, c => s"graft.ext.TextHashLoops.charHash($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): CharHashExpr =
+    copy(child = newChild)
+}
+
+case class CharHash64Expr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_hash64"
+
+  protected override def nullSafeEval(v: Any): Any =
+    TextHashLoops.charHash64(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHashLoops.charHash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): CharHash64Expr =
     copy(child = newChild)
 }
 
@@ -712,6 +742,7 @@ case class JaccardGteExpr(left: Expression, right: Expression, tau: Double)
 
 object TextHashExprs {
   def charHash(c: Column): Column = bridge.column(CharHashExpr(bridge.expression(c)))
+  def charHash64(c: Column): Column = bridge.column(CharHash64Expr(bridge.expression(c)))
   def wordHashes(c: Column): Column = bridge.column(WordHashesExpr(bridge.expression(c)))
   def shingleHashes(c: Column, n: Int): Column =
     bridge.column(ShingleHashesExpr(bridge.expression(c), n))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-import graft.ext.{CharHashExpr, JaccardExpr, JaccardGteExpr, MinHashSigExpr, OphSigExpr, ShingleHashesExpr, SimHashExpr, WordHashesExpr}
+import graft.ext.{CharHash64Expr, CharHashExpr, JaccardExpr, JaccardGteExpr, MinHashSigExpr, OphSigExpr, ShingleHashesExpr, SimHashExpr, WordHashesExpr}
 import graft.functions.{DotExpr, GramianAgg, GtStats, HeavyHittersAgg}
 
 /** Catalyst citizenship: the engine's optimizer rules, injected through
@@ -56,8 +56,11 @@ object GraftExtensions {
       builder)
 
   private[graft] val sqlFunctions = Seq(
-    fn("char_hash", "char_hash(str) - rolling character hash (fingerprint key)") {
+    fn("char_hash", "char_hash(str) - rolling character hash mod P (word-hash arithmetic)") {
       a => CharHashExpr(a.head)
+    },
+    fn("char_hash64", "char_hash64(str) - 64-bit rolling character hash (document fingerprint key)") {
+      a => CharHash64Expr(a.head)
     },
     fn("word_hashes", "word_hashes(str) - array of per-word rolling hashes") {
       a => WordHashesExpr(a.head)

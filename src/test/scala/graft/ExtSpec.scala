@@ -20,6 +20,29 @@ class ExtSpec extends SparkTestBase {
     assert(one(TextHash.charHash(lit(""))) === 0L)
   }
 
+  test("fingerprint: 64-bit wrap-around roll, kernel ≡ driver reference, " +
+      "no mod-P truncation (the r14 false-collision repair)") {
+    // short strings: same value as an unreduced roll
+    assert(one(TextHash.fingerprint(lit("abc"))) === 96354L)
+    assert(one(TextHash.fingerprint(lit(""))) === 0L)
+    // long strings overflow Long many times over — the kernel must
+    // match a driver-side wrapping loop exactly, and must NOT live in
+    // the 2^30 mod-P space (fingerprint("…") ≥ P for this input)
+    val rnd = new scala.util.Random(11)
+    val texts = (1 to 60).map(_ =>
+      Seq.fill(5 + rnd.nextInt(40))("w" + rnd.nextInt(1000000)).mkString(" "))
+    val got = spark.createDataFrame(texts.map(Tuple1(_))).toDF("t")
+      .select(col("t"), TextHash.fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (t, fp) =>
+      var acc = 0L
+      t.foreach(ch => acc = acc * 31L + ch)
+      assert(fp === acc, s"kernel diverged from the wrapping roll on '$t'")
+    }
+    assert(got.exists { case (_, fp) => fp < 0L || fp >= TextHash.P },
+      "every fingerprint landed inside [0, P) — the 64-bit space is not in use")
+  }
+
   test("codegen char/word hashes ≡ HOF spec forms on random word soups") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("the", "cat", "sat", "a", "", "zz", "longerword", "12", "x!y")

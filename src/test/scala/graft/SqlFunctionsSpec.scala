@@ -20,15 +20,17 @@ class SqlFunctionsSpec extends SparkTestBase {
         |  shingle_hashes(word_hashes(text), 3) AS sh,
         |  minhash_sig(word_hashes(text), 4) AS mh,
         |  oph_sig(word_hashes(text), 8) AS oph,
-        |  simhash(word_hashes(text), 16) AS sim
+        |  simhash(word_hashes(text), 16) AS sim,
+        |  char_hash64(text) AS fp
         |FROM sqlfn_docs""".stripMargin).head()
     val viaApi = df.select(
-      TextHash.fingerprint(col("text")).as("ch"),
+      TextHash.charHash(col("text")).as("ch"),
       TextHash.wordHashes(col("text")).as("wh"),
       TextHash.shingleHashes(TextHash.wordHashes(col("text")), 3).as("sh"),
       TextHash.minhashSignature(TextHash.wordHashes(col("text")), 4).as("mh"),
       TextHash.ophSignature(TextHash.wordHashes(col("text")), 8).as("oph"),
-      TextHash.simhash(TextHash.wordHashes(col("text")), 16).as("sim")).head()
+      TextHash.simhash(TextHash.wordHashes(col("text")), 16).as("sim"),
+      TextHash.fingerprint(col("text")).as("fp")).head()
     assert(viaSql === viaApi)
   }
 
