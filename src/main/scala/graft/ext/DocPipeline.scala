@@ -29,6 +29,18 @@ import graft.core.Checkpoints.CutOps
   */
 object DocPipeline {
 
+  /** Wire a durable checkpoint into a streaming writer when the caller
+    * provides one. Production streams should ALWAYS pass it: without a
+    * checkpoint, a crashed driver loses its source offsets and the
+    * restarted query re-reads from the source's current position —
+    * the dedup STORES stay correct either way (their replay semantics
+    * are store-side, see each operator's caveat), but unprocessed
+    * input between crash and restart is silently skipped. */
+  private def withCheckpoint(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      loc: Option[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    loc.fold(w)(l => w.option("checkpointLocation", l))
+
   /** Append `lang_pred` scored from an existing token-array column —
     * ONE fused pass scores every profile (LangScoresExpr; the per-lang
     * filter-HOF form it replaces ran one interpreted pass per profile),
@@ -507,8 +519,9 @@ object DocPipeline {
       bands: Int = 4,
       tau: Double = 0.8,
       atomicStore: Boolean = false,
-      maxStoreBandDf: Long = Long.MaxValue)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      maxStoreBandDf: Long = Long.MaxValue,
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
@@ -566,8 +579,9 @@ object DocPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       chunkTokens: Int = 20,
-      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      atomicStore: Boolean = false,
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
@@ -711,10 +725,11 @@ object DocPipeline {
       bits: Int = 8,
       bands: Int = 2,
       tau: Double = 0.9,
-      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      atomicStore: Boolean = false,
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     def keysOf(df: DataFrame): DataFrame =
       embStoreKeys(df, idCol, vecCol, dim, bits, bands)
-    vecs.writeStream
+    withCheckpoint(vecs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
@@ -856,9 +871,10 @@ object DocPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minChars: Int = 1,
-      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      atomicStore: Boolean = false,
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
-    docs.writeStream
+    withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
@@ -914,9 +930,10 @@ object DocPipeline {
       textCol: String = "text",
       n: Int = 5,
       minTokens: Int = 20,
-      atomicStore: Boolean = false)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      atomicStore: Boolean = false,
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
-    docs.writeStream
+    withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession

@@ -493,7 +493,8 @@ object Ivf {
     * compacting [[saveIndexAtomic]] rebuild. */
   def streamAppend(vectors: DataFrame, root: String, vecCol: String,
                    cellCol: String = "ivf_cell", compactEvery: Int = 0,
-                   fenceEpoch: Option[Long] = None)
+                   fenceEpoch: Option[Long] = None,
+                   checkpointLocation: Option[String] = None)
                   (onBatch: (Long, Int) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // compactEvery = N (0 = off) folds maintenance into the loop:
@@ -503,7 +504,8 @@ object Ivf {
     // publishes with one commit like any other
     require(compactEvery == 0 || compactEvery >= 2,
       s"compactEvery=$compactEvery must be 0 (off) or >= 2")
-    vectors.writeStream
+    checkpointLocation.fold(vectors.writeStream)(l =>
+        vectors.writeStream.option("checkpointLocation", l))
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
@@ -533,7 +535,8 @@ object Ivf {
                      k: Int, nprobe: Int = 2, vecCol: String = "embedding",
                      cellCol: String = "ivf_cell",
                      tieBreak: Seq[String] = Nil,
-                     scanBudget: Option[Long] = None)
+                     scanBudget: Option[Long] = None,
+                     checkpointLocation: Option[String] = None)
                     (onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // scanBudget census, CACHED BY COMMITTED VERSION: the budget path
@@ -544,7 +547,8 @@ object Ivf {
     // adds zero census work per batch while appends landing between
     // batches still re-weigh the probe prefix the batch after commit
     var censusCache: Option[(Long, Map[Int, Long])] = None
-    probes.writeStream
+    checkpointLocation.fold(probes.writeStream)(l =>
+        probes.writeStream.option("checkpointLocation", l))
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {

@@ -397,6 +397,81 @@ class StreamingSpec extends SparkTestBase {
     assert(ok === Seq(4L), s"history must win across the restart: $ok")
   }
 
+  test("crash-replay exactly-once: a replayed batch re-accepts nothing, " +
+      "the atomic store stays single-copy, and fresh batches resume") {
+    import org.apache.spark.sql.types._
+    // file source + durable checkpoint: the replay path MemoryStream
+    // cannot exercise (its offsets die with the query)
+    val srcDir = java.nio.file.Files.createTempDirectory("replaysrc")
+    val ckpt = java.nio.file.Files.createTempDirectory("replayckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("replaystore").toFile
+    store.delete()
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
+    def writeBatchFile(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(srcDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def source = spark.readStream.schema(schema).json(srcDir.toString)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.ext.DocPipeline.streamIncremental(
+        source, store.getAbsolutePath, minWords = 10,
+        atomicStore = true, checkpointLocation = Some(ckpt)) { (df, bid) =>
+        seen += ((bid, df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted))
+      }
+
+    def stopAndRelease(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.stop(); q.awaitTermination()
+      // the active-query registry frees the checkpoint path async —
+      // wait until NO query is active before restarting on the same
+      // checkpoint (same-id restarts trip the concurrent-use guard)
+      var i = 0
+      while (spark.streams.active.nonEmpty && i < 200) {
+        Thread.sleep(50); i += 1
+      }
+      spark.streams.resetTerminated()
+      Thread.sleep(200)
+    }
+    writeBatchFile("b0.json", Seq((1L, long("aaa")), (2L, long("bbb"))))
+    val q1 = run()
+    try q1.processAllAvailable() finally stopAndRelease(q1)
+    assert(seen.toSeq === Seq((0L, Seq(1L, 2L))))
+    val sigCount = graft.sources.AppendStore
+      .readOr(spark, store.getAbsolutePath, sys.error("missing")).count()
+
+    // simulate a crash AFTER the store append but BEFORE the offset
+    // commit: delete the checkpoint's batch-0 commit so the restarted
+    // query REPLAYS batch 0 against a store that already absorbed it
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0), s"no commit at $commit0")
+    // the local checksum FS keeps a .0.crc sidecar — leaving it behind
+    // makes the rewrite collide (FileAlreadyExistsException → Spark's
+    // concurrent-use guard); a real crash loses both together
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    seen.clear()
+    val q2 = run()
+    try q2.processAllAvailable() finally stopAndRelease(q2)
+    // the documented semantics: replayed rows anti-join their own
+    // signatures → nothing re-accepted, nothing re-appended
+    assert(seen.toSeq === Seq((0L, Seq.empty[Long])),
+      s"replayed batch must re-accept nothing: $seen")
+    assert(graft.sources.AppendStore
+      .readOr(spark, store.getAbsolutePath, sys.error("missing"))
+      .count() === sigCount, "replay grew the store")
+
+    // and the stream is healthy: a fresh batch processes normally,
+    // history (incl. the pre-crash batch) still wins
+    writeBatchFile("b1.json", Seq((3L, long("aaa")), (4L, long("qqq"))))
+    seen.clear()
+    val q3 = run()
+    try q3.processAllAvailable() finally stopAndRelease(q3)
+    assert(seen.map(_._2).flatten.toSeq === Seq(4L),
+      s"post-replay batch wrong: $seen")
+  }
+
   test("streamChunkDedup drops spans within AND across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
