@@ -926,6 +926,32 @@ object Dedup {
     *      hot spot, SURVEY §7.3). Doc text touches at most this one
     *      row-level join exchange, and zero exchanges when AQE
     *      broadcasts the (usually small) drop-array side. */
+  /** Broadcast a CUT (materialized) drop-array frame when its MEASURED
+    * size fits the session broadcast threshold — the rebuild joins in
+    * [[unitDedup]]/[[chunkDedup]] ship corpus text through their one
+    * doc-keyed exchange exactly when the drop side does NOT broadcast,
+    * and AQE plans that join from the checkpoint's inherited ESTIMATE,
+    * which declined an ~8 MB drop frame at the 1M-doc measurement
+    * (§7.6). The frame is already materialized, so the measurement is
+    * one cheap aggregate: rows + total dropped positions → bytes
+    * (8 B/position + 32 B/row envelope, ~2× the raw payload). Above
+    * the threshold the plain frame returns and the documented
+    * at-most-one text exchange stands. */
+  private def maybeBroadcastDrops(dropCut: DataFrame,
+                                  dropCol: String): DataFrame = {
+    val spark = dropCut.sparkSession
+    val threshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(10L * 1024 * 1024)
+    if (threshold <= 0) dropCut // broadcast disabled for the session
+    else {
+      val r = dropCut.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col(dropCol))), lit(0L)).as("p")).head()
+      val bytes = r.getLong(0) * 32L + r.getLong(1) * 8L
+      if (bytes <= threshold) broadcast(dropCut) else dropCut
+    }
+  }
+
   private def unitDedup(df: DataFrame, idCol: String, unitsCol: Column,
                         minChars: Int, joiner: String,
                         countCol: String,
@@ -951,11 +977,12 @@ object Dedup {
     val winners = candidates
       .groupBy(col("_h") +: scoped: _*)
       .agg(min(struct(col(idCol).as("_wid"), col("pos").as("_wpos"))).as("_w"))
-    val dropAgg = candidates
+    val dropAgg = maybeBroadcastDrops(candidates
       .join(winners, "_h" +: scopeCols)
       .filter(!(col(idCol) === col("_w._wid") && col("pos") === col("_w._wpos")))
       .groupBy(col(idCol))
       .agg(collect_set(col("pos")).as("_drop"), count(lit(1)).as("_nd"))
+      .cut, "_drop")
     val keepUnit: (Column, Column) => Column = (u, i) =>
       length(u) < minChars ||
         coalesce(!array_contains(col("_drop"), i), lit(true))
@@ -990,13 +1017,14 @@ object Dedup {
       .groupBy(col("_h"))
       .agg(min(struct(col(idCol).as("_wid"),
         col("chunk_id").as("_wcid"))).as("_w"))
-    val dropAgg = candidates
+    val dropAgg = maybeBroadcastDrops(candidates
       .join(winners, Seq("_h"))
       .filter(!(col(idCol) === col("_w._wid") &&
         col("chunk_id") === col("_w._wcid")))
       .groupBy(col(idCol))
       .agg(collect_set(col("chunk_id")).as("_drop"),
         count(lit(1)).as("_nd"))
+      .cut, "_drop")
     // map-side rebuild: re-chunk the ORIGINAL column with the exact
     // expression chunkDocs exploded (row filter replicated too — docs
     // with no chunks yield no row) and cut dropped positions in place.
