@@ -559,6 +559,41 @@ object DocPipeline {
       }
       .start()
 
+  /** Rebuild the signature store from the ACCEPTED corpus at a
+    * (possibly new) geometry — the actionable answer to the loud
+    * `_sig_meta` mismatch: unlike [[rebucketEmbeddingStore]], the
+    * signature store keeps DERIVED hashes only (band keys, shingle
+    * hashes, fingerprints — not the word hashes they come from), so a
+    * geometry change cannot re-key history in place; the primary
+    * store of accepted documents is the source of truth and this is
+    * its one-pass replay. Run while the ingest stream is STOPPED,
+    * then restart it at the new geometry (the meta sidecar is updated
+    * last, so a premature restart at the new parameters fails the
+    * check until the rows are in place).
+    *
+    * `docs` must be the accepted corpus (the dedup survivors the old
+    * store described) — passing raw traffic would poison the store
+    * with signatures of documents that were never accepted. Atomic
+    * stores replace content via one committed append + vacuum (same
+    * crash semantics as [[rebucketEmbeddingStore]]: the
+    * commit-to-vacuum window leaves duplicate rows, which only add
+    * candidate cost and vanish on the next rebuild). */
+  def rebuildSignatureStore(docs: DataFrame, storePath: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            minhashK: Int = 8, bands: Int = 4,
+                            atomicStore: Boolean = false): Unit = {
+    import graft.core.Checkpoints.CutOps
+    val spark = docs.sparkSession
+    val sigs = signatures(docs, idCol, textCol, minhashK, bands).cut
+    if (atomicStore) {
+      graft.sources.AppendStore.append(sigs, storePath)
+      graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
+    } else sigs.write.mode("overwrite").parquet(storePath)
+    writeStoreMeta(spark, s"${storePath.stripSuffix("/")}_sig_meta",
+      Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2))
+  }
+
   /** Streaming SPAN dedup against a growing chunk-hash store — the
     * continuous-ingestion twin of `Dedup.chunkDedup`: each micro-batch
     * splits its documents into `chunkTokens`-token chunks, keeps only
@@ -806,10 +841,15 @@ object DocPipeline {
           s"but this run uses ${params.mkString(", ")} — persisted keys would " +
           s"not match and every cross-run duplicate would be silently " +
           s"missed; $fix")
-    } else {
-      params.toDF("param", "value").coalesce(1)
-        .write.mode("overwrite").parquet(metaDir)
-    }
+    } else writeStoreMeta(spark, metaDir, params)
+  }
+
+  private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
+                             metaDir: String,
+                             params: Seq[(String, Int)]): Unit = {
+    import spark.implicits._
+    params.toDF("param", "value").coalesce(1)
+      .write.mode("overwrite").parquet(metaDir)
   }
 
   private def checkOrWriteEmbMeta(spark: org.apache.spark.sql.SparkSession,

@@ -395,6 +395,28 @@ class StreamingSpec extends SparkTestBase {
       q5.processAllAvailable()
     } finally q5.stop()
     assert(ok === Seq(4L), s"history must win across the restart: $ok")
+
+    // rebuild at a NEW geometry from the accepted corpus: the meta
+    // updates, a restart at (8, 2) now passes, and history still wins
+    val acceptedCorpus = Seq((1L, long("aaa")), (4L, long("ccc")))
+      .toDF("doc_id", "text")
+    graft.ext.DocPipeline.rebuildSignatureStore(
+      acceptedCorpus, sigStore.getAbsolutePath, minhashK = 8, bands = 2)
+    val in6 = MemoryStream[(Long, String)]
+    var ok6 = Seq.empty[Long]
+    val q6 = graft.ext.DocPipeline.streamIncremental(
+      in6.toDF().toDF("doc_id", "text"), sigStore.getAbsolutePath,
+      minWords = 10, minhashK = 8, bands = 2) { (df, _) =>
+      ok6 = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    try {
+      in6.addData(
+        (5L, long("aaa")),                                        // exact dup of rebuilt history
+        (6L, (long("ccc").split(" ").dropRight(1) :+ "x").mkString(" ")), // near dup
+        (7L, long("zzz")))                                        // fresh
+      q6.processAllAvailable()
+    } finally q6.stop()
+    assert(ok6 === Seq(7L), s"rebuilt store must keep rejecting history: $ok6")
   }
 
   test("crash-replay exactly-once: a replayed batch re-accepts nothing, " +
