@@ -2452,8 +2452,14 @@ ORDER BY feature"""
            |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
            |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
            |bmin AS (SELECT band_key, min(doc_id) AS min_id FROM bands GROUP BY band_key),
-           |cand AS (SELECT DISTINCT b.doc_id, min_id FROM bands b
-           |  JOIN bmin USING (band_key) WHERE b.doc_id > min_id),
+           |cand AS (SELECT DISTINCT doc_id, min_id FROM (
+           |  SELECT b.doc_id, min_id FROM bands b
+           |    JOIN bmin USING (band_key) WHERE b.doc_id > min_id
+           |  UNION ALL
+           |  SELECT doc_id, prev AS min_id FROM (
+           |    SELECT doc_id, lag(doc_id) OVER (
+           |      PARTITION BY band_key ORDER BY doc_id) AS prev FROM bands)
+           |  WHERE prev IS NOT NULL)),
            |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
            |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
            |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w),
@@ -2466,6 +2472,60 @@ ORDER BY feature"""
            |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
       }),
+
+    // ── 57b. capped signature-store verification (r15): bottom-16
+    // shingle sketches (the KMV / bottom-k MinHash sketch of the
+    // shingle SET — the O(m) store payload replacing the O(doc tokens)
+    // full set) + the KMV Jaccard ESTIMATE |X∩A∩B|/|X| over star
+    // candidates — sketch construction, banding and the estimator all
+    // proven cross-engine. m=16 < most docs' shingle count at this sf,
+    // so the cap (m_a ≤ 16) and the estimate-vs-exact distinction are
+    // genuinely exercised ──────────────────────────────────────────────
+    QueryDef(
+      "q_sig_sketch",
+      (s, d) => {
+        val sigs = graft.ext.DocPipeline.signatures(
+          t(s, d, "documents"), "doc_id", "text", minhashK = 8, bands = 4,
+          maxShingles = 16)
+        val banded = sigs.select(col("doc_id"), explode(col("band_keys")).as("band_key"))
+        val bmin = banded.groupBy(col("band_key")).agg(min(col("doc_id")).as("dup_of"))
+        val cand = banded.join(bmin, "band_key")
+          .filter(col("doc_id") > col("dup_of"))
+          .select(col("doc_id"), col("dup_of")).distinct()
+        val sk = sigs.select(col("doc_id"), col("shingles"))
+        cand
+          .join(sk.select(col("doc_id"), col("shingles").as("_a")), Seq("doc_id"))
+          .join(sk.select(col("doc_id").as("dup_of"), col("shingles").as("_b")),
+            Seq("dup_of"))
+          .select(col("doc_id"), col("dup_of"),
+            e4(TextHash.jaccardKmv(col("_a"), col("_b"), 16)).as("j_e4"),
+            size(col("_a")).cast("long").as("m_a"))
+          .orderBy(col("doc_id"), col("dup_of"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sig AS (SELECT doc_id, list_transform(range(0,8),
+             |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
+             |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
+             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
+             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+             |bmin AS (SELECT band_key, min(doc_id) AS dup_of FROM bands GROUP BY band_key),
+             |cand AS (SELECT DISTINCT b.doc_id, dup_of FROM bands b
+             |  JOIN bmin USING (band_key) WHERE b.doc_id > dup_of),
+             |sk AS (SELECT doc_id, list_slice(list_sort(list_distinct(
+             |  list_transform(range(0, len(h)-2),
+             |    i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+             |          + h[CAST(i+3 AS INT)])%$duckP))), 1, 16) AS sk FROM w),
+             |est AS (SELECT c.doc_id, c.dup_of,
+             |  list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))), 1, 16) AS x,
+             |  a.sk AS ska, b.sk AS skb, len(a.sk) AS m_a
+             |  FROM cand c JOIN sk a ON a.doc_id = c.doc_id
+             |              JOIN sk b ON b.doc_id = c.dup_of)
+             |SELECT doc_id, dup_of,
+             |CAST(floor(len(list_intersect(x, list_intersect(ska, skb))) * 1.0
+             |  / len(x) * 10000.0 + 0.5) AS BIGINT) AS j_e4,
+             |CAST(m_a AS BIGINT) AS m_a
+             |FROM est ORDER BY doc_id, dup_of""".stripMargin)),
 
     // ── 58. corpus-wide embedding near-dup candidates: LSH-bucket
     // SELF-join blocking (bucket-min) + cosine verify — the missing

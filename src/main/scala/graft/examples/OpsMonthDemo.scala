@@ -133,13 +133,20 @@ object OpsMonthDemo {
     // per-batch results land here (driver-small: ids only of the
     // ACCEPTED docs, which this demo then embeds + appends to the IVF)
     @volatile var lastAccepted: Array[Long] = Array.empty
-    def startIngest(): (MemoryStream[(Long, String)],
+    // the store runs CAPPED all month (r15): bottom-64 shingle sketches
+    // as the verification payload — for this traffic's short docs the
+    // sketch is the full set (≤ 33 shingles), so the acceptance band
+    // must stay EXACTLY where the uncapped store held it, proving the
+    // capped code path (meta, store schema, KMV verify) is a drop-in
+    def startIngest(maxStoreBandDf: Long = Long.MaxValue):
+        (MemoryStream[(Long, String)],
         org.apache.spark.sql.streaming.StreamingQuery) = {
       val in = MemoryStream[(Long, String)]
       val q = DocPipeline.streamIncremental(
         in.toDF().toDF("doc_id", "text"), sigStore,
         minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
-        atomicStore = true) { (accepted, _) =>
+        atomicStore = true, maxStoreBandDf = maxStoreBandDf,
+        maxShingles = 64) { (accepted, _) =>
         lastAccepted = accepted.select("doc_id").collect().map(_.getLong(0))
       }
       (in, q)
@@ -154,6 +161,7 @@ object OpsMonthDemo {
     var panel: DataFrame = null         // pinned probes (cycle-0 docs)
     var recallFloorSeen = Double.MaxValue
     val recallLog = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val nearLeakLog = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
 
     def ivfVersion(): Long =
       AtomicCommit.latest(spark, ivfRoot).map(_._1).getOrElse(0L)
@@ -180,15 +188,28 @@ object OpsMonthDemo {
       traffic += perCycle
       val accepted = lastAccepted
       acceptedTotal += accepted.length
-      if (sys.env.contains("SPARK_OPS_DEBUG")) {
-        val lo2 = c.toLong * perCycle
-        val nNew2 = (perCycle * 60 / 100).toInt
-        val nDup2 = (perCycle * 25 / 100).toInt
-        val nn = accepted.count(id => id >= lo2 && id < lo2 + nNew2)
-        val nd = accepted.count(id => id >= lo2 + nNew2 && id < lo2 + nNew2 + nDup2)
-        val nr = accepted.count(_ >= lo2 + nNew2 + nDup2)
-        println(s"  DEBUG cycle $c: newAcc=$nn/${nNew2} dupAcc=$nd nearAcc=$nr")
-      }
+      // first-class leak accounting (r15 — was a debug print): doc-id
+      // ranges encode the planted mix, so acceptance per class is
+      // driver-cheap arithmetic on the accepted ids
+      val lo2 = c.toLong * perCycle
+      val nNew2 = (perCycle * 60 / 100).toInt
+      val nDup2 = (perCycle * 25 / 100).toInt
+      val newAcc = accepted.count(id => id >= lo2 && id < lo2 + nNew2)
+      val dupLeak = accepted.count(id => id >= lo2 + nNew2 && id < lo2 + nNew2 + nDup2)
+      val nearLeak = accepted.count(_ >= lo2 + nNew2 + nDup2)
+      // every genuinely-new doc accepted (the r14 64-bit-fp guarantee),
+      // no exact re-crawl ever leaks (fp equality is exact)
+      require(newAcc == nNew2, s"cycle $c: $newAcc of $nNew2 new docs accepted")
+      require(dupLeak == 0, s"cycle $c: $dupLeak exact re-crawls leaked")
+      // near-dup leak ≈ 0 since the r15 path-edge default: the decaying
+      // 35→3/cycle star-blocking artifact (same-batch pairs whose
+      // bucket min is an unrelated doc) is closed by the path edges;
+      // the residual is non-adjacent same-batch pairs missing every
+      // discriminative band, bounded tightly
+      nearLeakLog += ((c, nearLeak))
+      require(nearLeak <= 5,
+        s"cycle $c: $nearLeak planted near-dups leaked (star-blocking " +
+          "regression? path edges should hold this at ~0)")
 
       // dedup store grows with content, not traffic: every accepted
       // doc contributes its signature rows, nothing else does
@@ -291,6 +312,76 @@ object OpsMonthDemo {
     }
     stream.stop()
 
+    // ── boilerplate-hub day (r15) ────────────────────────────────────
+    // One day of shared-boilerplate traffic with the READ-SIDE hub-key
+    // guard ON and a candidate-volume counter: the main loop's planted
+    // traffic has no hub keys, so the NEW×STORED quadratic the guard
+    // exists for was spec-verified but never exercised operationally.
+    // A 30-token footer on every doc makes the footer-owned band keys
+    // accumulate thousands of holders in the store; without the guard,
+    // every future batch's candidate volume is proportional to the
+    // WHOLE hub — with it, candidates come only from the body-keyed
+    // (discriminative) bands. The guard is read-side, so turning it on
+    // mid-deployment (this restart) needs no store change.
+    val hubBase = 10000000L
+    val hubFooter = (1 to 30).map(i => s"bp$i").mkString(" ")
+    def hubText(contentId: org.apache.spark.sql.Column) = concat(
+      array_join(transform(
+        sequence(lit(0), pmod(contentId, lit(20L)).cast("int") + 14),
+        w => concat(lit("h"), pmod(xxhash64(contentId, w), lit(1000000L)))), " "),
+      lit(" " + hubFooter))
+    val hubGuard = 1000L
+    val restartedHub = startIngest(maxStoreBandDf = hubGuard)
+    input = restartedHub._1
+    stream = restartedHub._2
+    // day batch 1: 20k unique-body hub docs — ALL fresh content; the
+    // guard must not eat any of it
+    val h1 = spark.range(hubBase, hubBase + 20000L)
+      .select(col("id").as("doc_id"), hubText(col("id")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    input.addData(h1)
+    stream.processAllAvailable()
+    require(lastAccepted.length == 20000,
+      s"hub day: guard ate fresh content (${lastAccepted.length} of 20000)")
+    // day batch 2: 1k fresh hub docs + 200 near-dups of batch-1 content
+    val h2fresh = spark.range(hubBase + 20000L, hubBase + 21000L)
+      .select(col("id").as("doc_id"), hubText(col("id")).as("text"))
+    val h2near = spark.range(hubBase + 21000L, hubBase + 21200L)
+      .select(col("id").as("doc_id"),
+        concat(hubText(pmod(xxhash64(col("id")), lit(20000L)) + hubBase),
+          lit(" zz"), (col("id") % 3).cast("string")).as("text"))
+    val h2 = h2fresh.unionByName(h2near)
+    // the candidate-volume counter, guard off vs on, against the live
+    // store — the operational measurement the r14 verdict asked for
+    val sigStoreDf = graft.sources.AppendStore
+      .readOr(spark, sigStore, sys.error("sig store missing"))
+    def vol(guard: Long): Long = DocPipeline.incrementalCandidateVolume(
+      h2, sigStoreDf, minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
+      maxStoreBandDf = guard)
+    val volOff = vol(Long.MaxValue)
+    val volOn = vol(hubGuard)
+    require(volOn * 20 <= volOff,
+      s"hub-day guard suppression too weak: off=$volOff on=$volOn")
+    // ingest batch 2 with the guard on: fresh content accepted, the
+    // planted near-dups still rejected through their body-keyed
+    // (discriminative) bands — recall survives the guard. The small
+    // tolerance is the all-footer-signature tail (a doc whose every
+    // minhash component is footer-owned has no discriminative band;
+    // the in-batch df-guard/unit-dedup stages are the tool for those)
+    input.addData(h2.as[(Long, String)].collect().toSeq)
+    stream.processAllAvailable()
+    val h2acc = lastAccepted
+    val hubFreshAcc = h2acc.count(_ < hubBase + 21000L)
+    val hubNearLeak = h2acc.count(_ >= hubBase + 21000L)
+    require(hubFreshAcc == 1000,
+      s"hub day batch 2: $hubFreshAcc of 1000 fresh docs accepted")
+    require(hubNearLeak <= 20,
+      s"hub day: $hubNearLeak of 200 planted near-dups leaked past the guard")
+    stream.stop()
+    println(f"HUB-DAY: store-candidates guard-off=$volOff%,d guard-on=$volOn%,d " +
+      f"(${volOff.toDouble / math.max(1L, volOn)}%.0f× suppressed), " +
+      s"fresh 21000/21000 accepted, near-dup leak $hubNearLeak/200")
+
     // ── month-end audit ──────────────────────────────────────────────
     // recall at the fixed scan FRACTION must never have collapsed —
     // the panel sits in the base region, the budget tracks 2 cells'
@@ -310,6 +401,8 @@ object OpsMonthDemo {
     println(s"OPS-MONTH invariants hold: $cycles cycles, " +
       s"traffic=$traffic accepted=$acceptedTotal (dedup rejected " +
       f"${(traffic - acceptedTotal) * 100.0 / traffic}%.1f%%), " +
+      s"near-dup leak/cycle=${nearLeakLog.map(_._2).mkString(",")} " +
+      s"(total ${nearLeakLog.map(_._2).sum}), " +
       s"dead=${dead.size} stayed dead, versions monotone to $lastVersion, " +
       s"vacuum removed ${removed.size} paths, " +
       f"recall@fraction floor=$recallFloorSeen%.3f end=$lastRecall%.3f")

@@ -1,0 +1,171 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.DocPipeline
+
+/** Geometry-migration rehearsal at corpus scale (VERDICT r14 #5) — the
+  * store-maintenance valves were spec-verified at fixture size only:
+  *
+  *   1. SIG-WEIGHT: the r15 capped verification payload, measured — a
+  *      100k × 600-token corpus written as an exact signature store vs
+  *      the bottom-64 sketch store; the claim is ~10× smaller rows for
+  *      long documents (the O(corpus tokens) → O(m) trade).
+  *   2. SIG-MIGRATE: 1M-doc signature store rebuilt from the accepted
+  *      corpus at a NEW geometry, (8, 4, exact) → (16, 8, m = 64) —
+  *      wall, bytes, and POST-MIGRATION REJECTION PARITY on a probe
+  *      batch (exact re-crawls must reject identically through the
+  *      fp path; near-dups must keep rejecting through the rebuilt
+  *      banding; fresh content must keep flowing).
+  *   3. EMB-REBUCKET: 1M-vector embedding store re-keyed
+  *      (bits 8, bands 2) → (10, 4) in one pass — the occupancy valve
+  *      — wall, bytes, and the same parity probe on vector dedup.
+  *
+  * Run: sbt "runMain graft.examples.StoreMigrationDemo [docs]"
+  */
+object StoreMigrationDemo {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .appName("store-migration-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("storemig")
+    def bytesOf(p: String): Long =
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(p))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // scrambled 3M-word vocabulary: natural-vocabulary hash scatter
+    // (sequential names would cluster the poly-roll — TextHash caveat)
+    def docText(id: org.apache.spark.sql.Column, words: org.apache.spark.sql.Column) =
+      array_join(transform(sequence(lit(1), words),
+        w => concat(lit("t"), pmod(xxhash64(id, w), lit(3000000L)))), " ")
+
+    // ── 1. SIG-WEIGHT: exact vs bottom-64 store bytes on LONG docs ────
+    val longDocs = spark.range(100000L)
+      .select(col("id").as("doc_id"), docText(col("id"), lit(600)).as("text"))
+      .localCheckpoint()
+    val exactPath = tmp.resolve("sig_exact").toString
+    val sketchPath = tmp.resolve("sig_sketch").toString
+    val (_, wExact) = timed {
+      DocPipeline.rebuildSignatureStore(longDocs, exactPath, minhashK = 8, bands = 4)
+    }
+    val (_, wSketch) = timed {
+      DocPipeline.rebuildSignatureStore(longDocs, sketchPath,
+        minhashK = 8, bands = 4, maxShingles = 64)
+    }
+    val (bE, bS) = (bytesOf(exactPath), bytesOf(sketchPath))
+    require(bE > bS * 5,
+      s"sketch store only ${bE.toDouble / bS}x smaller — cap not landing?")
+    println(f"SIG-WEIGHT: 100k docs x 600 tokens — exact ${bE / 1048576.0}%.1f MB " +
+      f"(${wExact}%.1f s) vs m=64 sketch ${bS / 1048576.0}%.1f MB (${wSketch}%.1f s): " +
+      f"${bE.toDouble / bS}%.1f x smaller")
+
+    // ── 2. SIG-MIGRATE: 1M docs, (8,4,exact) → (16,8,m=64) ───────────
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        docText(col("id"), (pmod(col("id"), lit(20L)) + 40L).cast("int")).as("text"))
+      .localCheckpoint()
+    val oldSig = tmp.resolve("sig_old").toString
+    val newSig = tmp.resolve("sig_new").toString
+    val (_, wOld) = timed {
+      DocPipeline.rebuildSignatureStore(corpus, oldSig, minhashK = 8, bands = 4)
+    }
+    val (_, wNew) = timed {
+      DocPipeline.rebuildSignatureStore(corpus, newSig,
+        minhashK = 16, bands = 8, maxShingles = 64)
+    }
+    println(f"SIG-MIGRATE: $nDocs docs — old (8,4,exact) ${bytesOf(oldSig) / 1048576.0}%.1f MB " +
+      f"in $wOld%.1f s; rebuilt (16,8,m=64) ${bytesOf(newSig) / 1048576.0}%.1f MB in $wNew%.1f s")
+    // post-migration rejection parity: 1k exact re-crawls, 1k near-dups
+    // (accepted text + suffix), 1k fresh — judged against old and new
+    val probeBase = 20000000L
+    val reCrawl = spark.range(probeBase, probeBase + 1000L)
+      .select(col("id").as("doc_id"),
+        docText(pmod(xxhash64(col("id")), lit(nDocs)),
+          (pmod(pmod(xxhash64(col("id")), lit(nDocs)), lit(20L)) + 40L).cast("int")).as("text"))
+    val nearDup = spark.range(probeBase + 1000L, probeBase + 2000L)
+      .select(col("id").as("doc_id"),
+        concat(docText(pmod(xxhash64(col("id")), lit(nDocs)),
+          (pmod(pmod(xxhash64(col("id")), lit(nDocs)), lit(20L)) + 40L).cast("int")),
+          lit(" zz"), (col("id") % 3).cast("string")).as("text"))
+    val fresh = spark.range(probeBase + 2000L, probeBase + 3000L)
+      .select(col("id").as("doc_id"), docText(col("id") + 5000000L, lit(45)).as("text"))
+    val probe = reCrawl.unionByName(nearDup).unionByName(fresh).localCheckpoint()
+    def acceptedIds(storePath: String, k: Int, bands: Int, m: Int): Set[Long] = {
+      val store = spark.read.parquet(storePath)
+      DocPipeline.prepareIncremental(probe, store, minWords = 10,
+        minhashK = k, bands = bands, tau = 0.8, maxShingles = m)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val (accOld, wPOld) = timed(acceptedIds(oldSig, 8, 4, 0))
+    val (accNew, wPNew) = timed(acceptedIds(newSig, 16, 8, 64))
+    def split(s: Set[Long]) = (
+      s.count(_ < probeBase + 1000L),          // exact re-crawls accepted (want 0)
+      s.count(id => id >= probeBase + 1000L && id < probeBase + 2000L), // near leaks
+      s.count(_ >= probeBase + 2000L))          // fresh accepted (want 1000)
+    val (exOld, nearOld, frOld) = split(accOld)
+    val (exNew, nearNew, frNew) = split(accNew)
+    require(exOld == 0 && exNew == 0, s"exact re-crawls leaked: old=$exOld new=$exNew")
+    require(frOld == 1000 && frNew == 1000, s"fresh eaten: old=$frOld new=$frNew")
+    // the rebuilt geometry has MORE bands at the same rows/band — its
+    // near-dup recall must not regress vs the old store
+    require(nearNew <= nearOld + 5,
+      s"rebuilt store leaks more near-dups: old=$nearOld new=$nearNew")
+    println(f"SIG-MIGRATE parity: re-crawls 0/1000 leaked (both), near-dup leaks " +
+      s"old=$nearOld/1000 new=$nearNew/1000, fresh 1000/1000 (both); " +
+      f"probe wall old=$wPOld%.1f s new=$wPNew%.1f s")
+
+    // ── 3. EMB-REBUCKET: 1M vectors, (bits 8, bands 2) → (10, 4) ─────
+    val dim = 16
+    def vecOf(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(dim)), i =>
+        ((pmod(xxhash64(id, i), lit(2000L)) - 1000L).cast("double") / 1000.0)
+          .cast("float"))
+    val vecs = spark.range(nDocs)
+      .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
+    val embStore = tmp.resolve("emb").toString
+    val (_, wBuild) = timed {
+      DocPipeline.rebuildEmbeddingStore(vecs, embStore, dim, bits = 8, bands = 2)
+    }
+    val b0 = bytesOf(embStore)
+    val (_, wRekey) = timed {
+      DocPipeline.rebucketEmbeddingStore(spark, embStore, dim, bits = 10, bands = 4)
+    }
+    val b1 = bytesOf(embStore)
+    // parity probe: re-submitted vectors are exact (cos = 1) dups of
+    // history — every one must reject at the NEW geometry; fresh
+    // vectors (different seed space) must flow
+    val reVecs = spark.range(probeBase, probeBase + 2000L)
+      .select(col("id").as("vec_id"), vecOf(pmod(xxhash64(col("id")), lit(nDocs))).as("embedding"))
+    val freshVecs = spark.range(probeBase + 2000L, probeBase + 3000L)
+      .select(col("id").as("vec_id"),
+        vecOf(col("id") + 7000000L).as("embedding"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val probeVecs = reVecs.unionByName(freshVecs).as[(Long, Seq[Float])].collect().toSeq
+    @volatile var accepted: Set[Long] = Set.empty
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = DocPipeline.streamEmbeddingDedup(
+      in.toDF().toDF("vec_id", "embedding"), embStore, dim,
+      bits = 10, bands = 4, tau = 0.999) { (df, _) =>
+      accepted = df.select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    try { in.addData(probeVecs); q.processAllAvailable() } finally q.stop()
+    val reLeak = accepted.count(_ < probeBase + 2000L)
+    val frAcc = accepted.count(_ >= probeBase + 2000L)
+    require(reLeak == 0, s"$reLeak re-submitted vectors leaked past the rebucketed store")
+    require(frAcc >= 990, s"rebucketed store ate fresh vectors: $frAcc of 1000")
+    println(f"EMB-REBUCKET: $nDocs vectors — build (8,2) ${b0 / 1048576.0}%.1f MB " +
+      f"in $wBuild%.1f s; rekey (10,4) ${b1 / 1048576.0}%.1f MB in $wRekey%.1f s; " +
+      s"parity: re-submits 0/2000 leaked, fresh $frAcc/1000 accepted")
+    println("STORE-MIGRATION rehearsal passed")
+    spark.stop()
+  }
+}

@@ -76,6 +76,10 @@ object Curate {
       // None follows DocPipeline.prepare's measured default: OPH
       // banding from k = OphDefaultMinK up, classic below; Some pins
       oph: Option[Boolean] = None,
+      // same-batch path-edge candidates (r15 default-ON — closes the
+      // in-batch star-blocking recall leak; false restores the
+      // pre-r15 star-only candidate set, see CHANGELOG pin recipe)
+      pathEdges: Boolean = true,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13,
       dsirTarget: Option[DataFrame] = None, // (textCol) target corpus
@@ -135,7 +139,8 @@ object Curate {
       maxDupBigramFrac = cfg.maxDupBigramFrac,
       blockPhrases = cfg.blockPhrases,
       maxSignatureDf = cfg.maxSignatureDf,
-      oph = cfg.oph)
+      oph = cfg.oph,
+      pathEdges = cfg.pathEdges)
 
     // 6. benchmark decontamination
     val decon = cfg.benchmark match {

@@ -104,6 +104,15 @@ object DocPipeline {
     * ([[Dedup.transitiveClusters]] — the edge set is tiny post-banding),
     * and only each component's smallest id survives.
     *
+    * `pathEdges` (default true since r15) adds each bucket's
+    * consecutive-by-id PATH edges to the candidate set even when
+    * `transitive` is off: star-only blocking verifies a pair only
+    * against its bucket MINIMUM, so a true near-dup pair whose bucket
+    * min is an unrelated doc is silently missed — the measured cause
+    * of the ops-month rehearsal's residual in-batch leak. Cost bound is
+    * unchanged (≤ 2 candidate edges per (doc, band)); `false` restores
+    * the pre-r15 star-only candidates bit-stably (CHANGELOG).
+    *
     * `maxSignatureDf` (default off) excludes tokens whose document
     * frequency exceeds it from the MinHash BANDING signature — the
     * boilerplate guard: universal tokens (shared footers/headers)
@@ -147,10 +156,11 @@ object DocPipeline {
       maxDupBigramFrac: Double = 1.0,
       blockPhrases: Seq[String] = Nil,
       maxSignatureDf: Long = Long.MaxValue,
-      oph: Option[Boolean] = None): DataFrame =
+      oph: Option[Boolean] = None,
+      pathEdges: Boolean = true): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
       transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases,
-      maxSignatureDf, oph.getOrElse(minhashK >= OphDefaultMinK))
+      maxSignatureDf, oph.getOrElse(minhashK >= OphDefaultMinK), pathEdges)
       .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
@@ -170,7 +180,8 @@ object DocPipeline {
       maxDupBigramFrac: Double = 1.0,
       blockPhrases: Seq[String] = Nil,
       maxSignatureDf: Long = Long.MaxValue,
-      oph: Boolean = false): DataFrame = {
+      oph: Boolean = false,
+      pathEdges: Boolean = true): DataFrame = {
 
     // 1-2: single tokenization + quality gate (length, plus optional
     // Gopher-style repetition gates and the Aho-Corasick phrase
@@ -218,14 +229,15 @@ object DocPipeline {
     // 5a: candidates — ids sharing a band bucket with a smaller id
     // (bucket shuffle key is (band, band-hash), never text). Word hashes
     // are materialized ONCE and shared with the shingle verify stage.
-    // Transitive mode widens the star (id, bucket-min) edge set with the
-    // consecutive-by-id PATH edges of each bucket — still ≤ 2 edges per
-    // (doc, band). Recall caveat: path edges connect ADJACENT bucket
-    // members only, so a true pair of non-min members separated by an
-    // unrelated id in the same bucket is still missed unless the pair
-    // also collides in another band; full within-bucket recall needs
-    // all-pairs edges (what embeddingCandidatePairs emits) at O(b²)
-    // per bucket instead of O(b).
+    // The candidate edge set is the star (id, bucket-min) edges PLUS the
+    // consecutive-by-id PATH edges of each bucket (default, see `cand`
+    // below) — ≤ 2 edges per (doc, band). Recall caveat: path edges
+    // connect ADJACENT bucket members only, so a true pair of non-min
+    // members separated by an unrelated id in the same bucket is still
+    // missed unless the pair also collides in another band; full
+    // within-bucket recall needs all-pairs edges (what
+    // embeddingCandidatePairs emits) at O(b²) per bucket instead of
+    // O(b).
     // BOILERPLATE HAZARD (CurateScaleDemo, measured at 1M docs): when
     // universal tokens (shared footers/headers) own the smallest word
     // hashes, every doc's minhash components equal the boilerplate's
@@ -302,8 +314,18 @@ object DocPipeline {
     val starCand = banded.join(bucketMin, "band_key")
       .filter(col(idCol) > col("_min_id"))
       .select(col(idCol), col("_min_id"))
+    // Path edges DEFAULT ON (r15): star-only blocking misses any
+    // same-batch pair whose bucket minimum is an UNRELATED doc — the
+    // pinned cause of the ops-month rehearsal's decaying 35→3/cycle
+    // near-dup leak (BandingLeakSweep r14 exonerated the vs-store
+    // banding path: ~0 leaks at every sane geometry, so the residual
+    // was exactly this in-batch artifact). The union adds ≤ 1 edge per
+    // (doc, band) — the same O(b) bound as the star set — and one lag
+    // window over the already-shuffled band frame. `pathEdges = false`
+    // restores the pre-r15 star-only candidate set bit-stably
+    // (CHANGELOG pin recipe).
     val cand =
-      (if (!transitive) starCand
+      (if (!transitive && !pathEdges) starCand
        else {
          val byBucket = Window.partitionBy(col("band_key")).orderBy(col(idCol))
          val pathCand = banded
@@ -333,26 +355,47 @@ object DocPipeline {
   /** Compact per-doc signature row — the unit an incremental-dedup store
     * persists instead of the corpus itself: the 64-bit text fingerprint
     * (exact dup key), the LSH band keys (near-dup blocking keys, same
-    * format as Dedup.minhashBandsFromWhs), and the distinct shingle-hash
-    * set (near-dup verification payload). One tokenization pass feeds
-    * all three, and nothing here retains the text. */
+    * format as Dedup.minhashBandsFromWhs), and the shingle-hash
+    * verification payload. One tokenization pass feeds all three, and
+    * nothing here retains the text.
+    *
+    * `maxShingles` caps the verification payload (r15): 0 (default)
+    * persists the FULL distinct shingle set — exact Jaccard at
+    * verification, but the store row is O(doc tokens), so at corpus
+    * scale the store is a significant fraction of the corpus itself;
+    * m ≥ 1 persists the bottom-m sketch ([[TextHash.bottomSketch]])
+    * instead — O(m) per row (~10× smaller for long documents) with
+    * verification via the KMV ESTIMATE ([[TextHash.jaccardKmv]],
+    * std error ≈ √(τ(1−τ)/m) at the decision boundary; exact for docs
+    * with ≤ m shingles). The cap is store GEOMETRY: sketches at
+    * different m are not comparable, so it rides the `_sig_meta`
+    * sidecar and a mismatched restart dies loudly
+    * ([[streamIncremental]]); [[rebuildSignatureStore]] migrates an
+    * existing store. */
   def signatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       minhashK: Int = 8,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4,
+      maxShingles: Int = 0): DataFrame =
     docs
       .withColumn("_whs", TextHash.wordHashes(col(textCol)))
       .withColumn("_fp", TextHash.fingerprint(col(textCol)))
-      .transform(signaturesFromHashes(_, idCol, minhashK, bands))
+      .transform(signaturesFromHashes(_, idCol, minhashK, bands, maxShingles))
 
   /** Signature rows from ALREADY-MATERIALIZED `_fp`/`_whs` columns (the
     * [[prepareWithHashes]] output) — no re-tokenization. */
   private def signaturesFromHashes(
-      hashed: DataFrame, idCol: String, minhashK: Int, bands: Int): DataFrame = {
+      hashed: DataFrame, idCol: String, minhashK: Int, bands: Int,
+      maxShingles: Int = 0): DataFrame = {
     require(minhashK % bands == 0, s"k=$minhashK not divisible into $bands bands")
+    require(maxShingles >= 0, s"maxShingles=$maxShingles must be >= 0 (0 = exact)")
     val rowsPerBand = minhashK / bands
+    val allShingles = TextHash.shingleHashes(col("_whs"))
+    val payload =
+      if (maxShingles == 0) array_distinct(allShingles)
+      else TextHash.bottomSketch(allShingles, maxShingles)
     // _sig materialized via withColumn: slice() references it once per
     // band and an inline HOF expression would be re-evaluated `bands`×
     hashed
@@ -364,7 +407,7 @@ object DocPipeline {
           concat_ws(":", lit(b),
             array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_"))
         }: _*).as("band_keys"),
-        array_distinct(TextHash.shingleHashes(col("_whs"))).as("shingles"))
+        payload.as("shingles"))
   }
 
   /** Persist a signature store bucketed on the fingerprint so repeated
@@ -424,37 +467,21 @@ object DocPipeline {
       minhashK: Int = 8,
       bands: Int = 4,
       tau: Double = 0.8,
-      maxStoreBandDf: Long = Long.MaxValue): DataFrame =
+      maxStoreBandDf: Long = Long.MaxValue,
+      maxShingles: Int = 0): DataFrame =
     prepareIncrementalWithHashes(newDocs, store, idCol, textCol, minWords,
-      minhashK, bands, tau, maxStoreBandDf).drop("_fp", "_whs")
+      minhashK, bands, tau, maxStoreBandDf, maxShingles).drop("_fp", "_whs")
 
-  /** [[prepareIncremental]] retaining `_fp`/`_whs` on the accepted rows
-    * (so [[streamIncremental]] derives the store-absorption signatures
-    * without a third tokenization pass). */
-  private[ext] def prepareIncrementalWithHashes(
-      newDocs: DataFrame,
-      store: DataFrame,
-      idCol: String,
-      textCol: String,
-      minWords: Long,
-      minhashK: Int,
-      bands: Int,
-      tau: Double,
-      maxStoreBandDf: Long = Long.MaxValue): DataFrame = {
-    require(maxStoreBandDf >= 1, s"maxStoreBandDf=$maxStoreBandDf must be >= 1")
-    // _fp/_whs ride along from prepare's pass — signatures of the
-    // accepted batch are derived from them, not re-tokenized
-    val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
-      minhashK, bands, tau, transitive = false)
-    val sigs = signaturesFromHashes(batch, idCol, minhashK, bands)
-
-    // exact: new fingerprints never seen before
-    val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
-
-    // near-dup: band-key candidates vs the store, shingle-verified.
-    // The hub-key guard (scaladoc) caps the store side: keys held by
-    // more than maxStoreBandDf stored docs leave candidate generation
-    // — one agg over the already-scanned store keys, no text
+  /** The NEW×STORED per-band-key candidate stage, shared by
+    * [[prepareIncrementalWithHashes]] and the hub-day measurement probe
+    * ([[incrementalCandidateVolume]]) so the guard the rehearsal
+    * measures is the guard production runs: `fresh` is the batch's
+    * signature rows surviving the exact anti-join, and band keys held
+    * by more than `maxStoreBandDf` STORED docs leave candidate
+    * generation (they carry no discrimination signal — one agg over
+    * the already-scanned store keys, no text). */
+  private def storeCandidates(fresh: DataFrame, store: DataFrame,
+                              idCol: String, maxStoreBandDf: Long): DataFrame = {
     val storeKeysAll = store.select(col(idCol).as("_sid"),
       explode(col("band_keys")).as("band_key"))
     val storeKeys =
@@ -467,12 +494,76 @@ object DocPipeline {
         storeKeysAll.join(hot, Seq("band_key"), "left_anti")
       }
     val newKeys = fresh.select(col(idCol), explode(col("band_keys")).as("band_key"))
-    val cand = newKeys.join(storeKeys, Seq("band_key"))
+    newKeys.join(storeKeys, Seq("band_key"))
       .select(col(idCol), col("_sid")).distinct()
+  }
+
+  /** Measurement probe for the hub-key guard: the candidate-pair VOLUME
+    * the store join would feed verification for this batch, at the
+    * given `maxStoreBandDf` — exactly [[prepareIncremental]]'s candidate
+    * stage (shared code), counted instead of verified. Used by the
+    * ops-month rehearsal's boilerplate-hub day to show the read-side
+    * quadratic suppressed operationally (guard-on vs guard-off counts);
+    * diagnostic only, not a pipeline stage. */
+  private[graft] def incrementalCandidateVolume(
+      newDocs: DataFrame,
+      store: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8,
+      maxStoreBandDf: Long = Long.MaxValue): Long = {
+    val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
+      minhashK, bands, tau, transitive = false)
+    val sigs = signaturesFromHashes(batch, idCol, minhashK, bands)
+    val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
+    storeCandidates(fresh, store, idCol, maxStoreBandDf).count()
+  }
+
+  /** [[prepareIncremental]] retaining `_fp`/`_whs` on the accepted rows
+    * (so [[streamIncremental]] derives the store-absorption signatures
+    * without a third tokenization pass).
+    *
+    * `maxShingles` (0 = exact, the [[signatures]] cap): when the store
+    * persists bottom-m sketches, the batch side derives the SAME
+    * sketch and verification switches to the KMV estimate
+    * ([[TextHash.jaccardKmv]]) — both sides must be sketched at the
+    * same m for the estimator to be valid, which the `_sig_meta`
+    * geometry check enforces across restarts. */
+  private[ext] def prepareIncrementalWithHashes(
+      newDocs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long,
+      minhashK: Int,
+      bands: Int,
+      tau: Double,
+      maxStoreBandDf: Long = Long.MaxValue,
+      maxShingles: Int = 0): DataFrame = {
+    require(maxStoreBandDf >= 1, s"maxStoreBandDf=$maxStoreBandDf must be >= 1")
+    // _fp/_whs ride along from prepare's pass — signatures of the
+    // accepted batch are derived from them, not re-tokenized
+    val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
+      minhashK, bands, tau, transitive = false)
+    val sigs = signaturesFromHashes(batch, idCol, minhashK, bands, maxShingles)
+
+    // exact: new fingerprints never seen before
+    val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
+
+    // near-dup: band-key candidates vs the store ([[storeCandidates]] —
+    // hub-key guard applied there), then shingle-verified: exact
+    // Jaccard on full sets, KMV estimate on bottom-m sketches
+    val cand = storeCandidates(fresh, store, idCol, maxStoreBandDf)
+    def verify(a: Column, b: Column): Column =
+      if (maxShingles == 0) TextHash.jaccard(a, b)
+      else TextHash.jaccardKmv(a, b, maxShingles)
     val dropIds = cand
       .join(fresh.select(col(idCol), col("shingles").as("_na")), Seq(idCol))
       .join(store.select(col(idCol).as("_sid"), col("shingles").as("_sa")), Seq("_sid"))
-      .filter(TextHash.jaccard(col("_na"), col("_sa")) >= tau)
+      .filter(verify(col("_na"), col("_sa")) >= tau)
       .select(col(idCol)).distinct()
 
     batch
@@ -519,7 +610,20 @@ object DocPipeline {
       bands: Int = 4,
       tau: Double = 0.8,
       atomicStore: Boolean = false,
-      maxStoreBandDf: Long = Long.MaxValue,
+      // finite by default at THIS operational entry (r15; the
+      // low-level prepareIncremental stays uncapped, the Curate
+      // maxSignatureDf precedent): the ops-month hub day measured the
+      // read-side guard suppressing the NEW×STORED candidate volume
+      // 23,331× (14.98M → 642 pairs on a 20k-doc boilerplate hub)
+      // with zero fresh content eaten; a band key held by >100k
+      // stored docs is boilerplate-class at any corpus scale and
+      // carries no blocking signal. Recall trade (measured, hub day):
+      // only docs whose EVERY band key is hub-owned lose their
+      // candidates — the in-batch df-guard/unit-dedup stages are the
+      // tool for those. BEHAVIOR CHANGE (CHANGELOG): pin
+      // maxStoreBandDf = Long.MaxValue to reproduce pre-r15 drops.
+      maxStoreBandDf: Long = 100000L,
+      maxShingles: Int = 0,
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
@@ -537,12 +641,20 @@ object DocPipeline {
         // degrades gracefully even though its fps never match again:
         // an exact dup is also a J=1.0 near-dup, so the banding path
         // still rejects re-crawls of old content.
+        // m versions the VERIFICATION payload (0 = full shingle sets,
+        // m ≥ 1 = bottom-m sketches): sketches at different m are not
+        // comparable, so a mismatched restart dies loudly; sidecars
+        // written before the cap existed describe exact stores
+        // (legacy default 0).
         checkOrWriteStoreMeta(spark,
           s"${storePath.stripSuffix("/")}_sig_meta", storePath,
           "restart with the stored geometry or rebuild the store from " +
-            "the corpus (signatures + saveSignatureStore)",
-          Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2))
-        def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands)
+            "the corpus (rebuildSignatureStore)",
+          Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2,
+            "m" -> maxShingles),
+          legacyDefaults = Map("m" -> 0))
+        def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands,
+          maxShingles)
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
@@ -550,9 +662,10 @@ object DocPipeline {
           else empty
         val accepted = prepareIncrementalWithHashes(
           b, store, idCol, textCol, minWords, minhashK, bands, tau,
-          maxStoreBandDf)
+          maxStoreBandDf, maxShingles)
           .cut // materialize BEFORE the store append
-        val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands)
+        val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands,
+          maxShingles)
         if (atomicStore) graft.sources.AppendStore.append(sigs, storePath)
         else sigs.write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
         onBatch(accepted.drop("_fp", "_whs"), batchId)
@@ -582,16 +695,18 @@ object DocPipeline {
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             minhashK: Int = 8, bands: Int = 4,
+                            maxShingles: Int = 0,
                             atomicStore: Boolean = false): Unit = {
     import graft.core.Checkpoints.CutOps
     val spark = docs.sparkSession
-    val sigs = signatures(docs, idCol, textCol, minhashK, bands).cut
+    val sigs = signatures(docs, idCol, textCol, minhashK, bands, maxShingles).cut
     if (atomicStore) {
       graft.sources.AppendStore.append(sigs, storePath)
       graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
     } else sigs.write.mode("overwrite").parquet(storePath)
     writeStoreMeta(spark, s"${storePath.stripSuffix("/")}_sig_meta",
-      Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2))
+      Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2,
+        "m" -> maxShingles))
   }
 
   /** Streaming SPAN dedup against a growing chunk-hash store — the
@@ -827,7 +942,8 @@ object DocPipeline {
   private def checkOrWriteStoreMeta(spark: org.apache.spark.sql.SparkSession,
                                     metaDir: String, storePath: String,
                                     fix: String,
-                                    params: Seq[(String, Int)]): Unit = {
+                                    params: Seq[(String, Int)],
+                                    legacyDefaults: Map[String, Int] = Map.empty): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val p = new Path(metaDir)
@@ -835,7 +951,13 @@ object DocPipeline {
     if (fs.exists(p)) {
       val stored = spark.read.parquet(metaDir).collect()
         .map(r => r.getString(0) -> r.getInt(1)).toMap
-      val mismatches = params.filter { case (k, v) => stored.get(k) != Some(v) }
+      // a parameter ADDED after a store was built is absent from its
+      // sidecar; `legacyDefaults` names the value such a store was
+      // implicitly built at (e.g. m = 0: pre-cap stores are exact), so
+      // old stores keep working at the old behavior and only a real
+      // geometry change dies
+      val mismatches = params.filter { case (k, v) =>
+        stored.get(k).orElse(legacyDefaults.get(k)) != Some(v) }
       require(mismatches.isEmpty,
         s"store $storePath was built at ${stored.toSeq.sorted.mkString(", ")} " +
           s"but this run uses ${params.mkString(", ")} — persisted keys would " +
@@ -882,6 +1004,35 @@ object DocPipeline {
     * rewrite in place after an eager materialization. The `_emb_meta`
     * sidecar is updated last, so a restarted stream at the NEW
     * geometry passes the check only once the rows are in place. */
+  /** Build (or rebuild) the embedding-dedup store from an ACCEPTED
+    * vector corpus — the embedding twin of [[rebuildSignatureStore]]:
+    * one pass over (id, vec) emits the per-band bucket rows at the
+    * given geometry, and the `_emb_meta` sidecar is written LAST (a
+    * premature stream start at the new parameters fails the check
+    * until the rows are in place). Use to bootstrap a store for an
+    * existing corpus before starting [[streamEmbeddingDedup]], or to
+    * replace one whose vectors live authoritatively elsewhere.
+    * `vecs` must be the accepted corpus; run while any ingest stream
+    * is STOPPED. Atomic stores replace content via one committed
+    * append + vacuum (crash semantics as [[rebucketEmbeddingStore]]). */
+  def rebuildEmbeddingStore(vecs: DataFrame, storePath: String, dim: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            bits: Int = 8, bands: Int = 2,
+                            atomicStore: Boolean = false): Unit = {
+    import graft.core.Checkpoints.CutOps
+    val spark = vecs.sparkSession
+    val rekeyed = embStoreKeys(vecs, idCol, vecCol, dim, bits, bands).cut
+    if (atomicStore) {
+      graft.sources.AppendStore.append(rekeyed, storePath)
+      graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
+    } else rekeyed.write.mode("overwrite").parquet(storePath)
+    import spark.implicits._
+    Seq(("dim", dim), ("bits", bits), ("bands", bands))
+      .toDF("param", "value").coalesce(1)
+      .write.mode("overwrite").parquet(embMetaDir(storePath))
+  }
+
   def rebucketEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
                              storePath: String, dim: Int,
                              bits: Int, bands: Int,

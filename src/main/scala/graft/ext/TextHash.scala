@@ -157,6 +157,43 @@ object TextHash {
     when(union === 0, lit(Double.NaN)).otherwise(inter / union)
   }
 
+  /** Bottom-m sketch of a shingle-hash set: the `m` smallest distinct
+    * values (ascending). The capped verification payload for signature
+    * stores — a MinHash sketch of the shingle SET in the k-minimum-
+    * values form (Broder 1997; Bar-Yossef et al. 2002), so a store row
+    * costs O(m) instead of O(doc tokens). For docs with ≤ m shingles
+    * the sketch IS the full set and [[jaccardKmv]] degenerates to the
+    * exact Jaccard. */
+  def bottomSketch(shingles: Column, m: Int): Column = {
+    require(m >= 1, s"bottom-sketch size m=$m must be >= 1")
+    slice(array_sort(array_distinct(shingles)), 1, m)
+  }
+
+  /** KMV Jaccard ESTIMATE from two [[bottomSketch]] arrays: with
+    * X = the m smallest of A ∪ B, Ĵ = |X ∩ A ∩ B| / |X| — the
+    * k-minimum-values estimator (std error ≈ √(J(1−J)/m), so m=64
+    * gives ±0.05 at J=0.8; exact whenever |A ∪ B| ≤ m). Both inputs
+    * MUST be bottom-m sketches of their sets at the SAME m (a full
+    * set on one side biases the union's bottom-m). NaN when both
+    * empty. HOF form only — like [[containment]], it runs on
+    * CANDIDATE pairs post-blocking, never in a corpus-scan hot
+    * path, so the fused-kernel escalation [[jaccard]] needed does
+    * not pay for itself here.
+    *
+    * Validity caveat (NearDupSpec panel): the error bound assumes the
+    * hash ORDER is uniform over the shingle set — true for natural
+    * vocabularies under the poly-roll, but sequential synthetic token
+    * names ("t1" "t2" …) roll to CLUSTERED hashes and bias the
+    * bottom-m sample (the spec fixture scrambles its names for
+    * exactly this reason). */
+  def jaccardKmv(a: Column, b: Column, m: Int): Column = {
+    require(m >= 1, s"bottom-sketch size m=$m must be >= 1")
+    val x = slice(array_sort(array_distinct(concat(a, b))), 1, m)
+    when(size(x) === 0, lit(Double.NaN))
+      .otherwise(size(array_intersect(x, array_intersect(a, b))).cast("double")
+        / size(x).cast("double"))
+  }
+
   /** Asymmetric containment of shingle set `a` in `b`:
     * `|distinct(a) ∩ distinct(b)| / |distinct(a)|` — 1.0 when `a` is a
     * subset (a quoted/embedded passage), where Jaccard would dilute by

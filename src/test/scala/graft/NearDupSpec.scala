@@ -124,8 +124,10 @@ class NearDupSpec extends SparkTestBase {
     // 36/40 = .9); J(A,C) spans both edits (3 trigrams → 35/41 ≈ .854).
     // At tau = 0.88: A~B and B~C are dups, A~C is not. Neither edited
     // word is a minhash argmin, so A, B, C share every band bucket with
-    // min A — the flat star verifies only (B,A) and (C,A), so C slips
-    // through; the transitive path edge (C,B) catches the chain.
+    // min A — STAR-ONLY blocking (pathEdges = false, the pre-r15
+    // default) verifies only (B,A) and (C,A), so C slips through; the
+    // path edge (C,B) catches the chain, which is exactly why path
+    // edges are the r15 default even without transitive mode.
     val words = Array.tabulate(40)(i => s"w${i}x")
     val aTxt = words.mkString(" ")
     val bTxt = (words.dropRight(1) :+ "endB").mkString(" ")
@@ -135,13 +137,20 @@ class NearDupSpec extends SparkTestBase {
       (1L, aTxt), (2L, bTxt), (3L, cTxt),
       (9L, Array.tabulate(40)(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
 
-    val flat = DocPipeline.prepare(docs, minWords = 10, tau = 0.88)
+    val starOnly = DocPipeline.prepare(docs, minWords = 10, tau = 0.88,
+      pathEdges = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val default = DocPipeline.prepare(docs, minWords = 10, tau = 0.88)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val trans = DocPipeline.prepare(docs, minWords = 10, tau = 0.88, transitive = true)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // sanity on the fixture: flat mode drops B (dup of bucket-min A) but
-    // keeps C (only Jaccard-similar to the already-dropped B)
-    assert(flat === Set(1L, 3L, 9L), s"fixture drifted: flat=$flat")
+    // sanity on the fixture: star-only mode drops B (dup of bucket-min
+    // A) but keeps C (only Jaccard-similar to the already-dropped B) —
+    // the in-batch recall leak the ops rehearsal measured
+    assert(starOnly === Set(1L, 3L, 9L), s"fixture drifted: starOnly=$starOnly")
+    // the r15 default (path edges, no transitive collapse) verifies the
+    // (C,B) path edge and drops C too
+    assert(default === Set(1L, 9L), s"default=$default")
     // transitive mode follows the A-B-C chain and keeps one survivor
     assert(trans === Set(1L, 9L), s"trans=$trans")
   }
@@ -367,6 +376,101 @@ class NearDupSpec extends SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
   }
 
+  test("jaccardKmv panel at the tau boundary: estimate error bounded, " +
+      "decisions flip only near tau, exact degeneration below m") {
+    import graft.ext.TextHash
+    val m = 64
+    val tau = 0.8
+    // 51 pairs with controlled overlap: pair i shares o = 150+i of 200
+    // tokens, sweeping exact trigram-Jaccard through ≈[0.6, 1.0] — the
+    // decision boundary sits mid-sweep. Token names are pair-specific
+    // (no cross-pair collisions); everything is deterministic.
+    // token names are SCRAMBLED (multiplicative hash of the index), not
+    // sequential: consecutive names ("t1" "t2" …) roll to clustered
+    // poly-hashes, which biases any bottom-m sample — the estimator
+    // assumes the hash ORDER is uniform over the set, true for natural
+    // vocabularies and deliberately violated by sequential synthetic
+    // names (a fixture property, not an operator bug)
+    def tok(p: String, i: Int, j: Int) =
+      s"$p${(j * 2654435761L + i * 7919L) % 1000003L}"
+    val pairs = (0 until 51).map { i =>
+      val o = 150 + i
+      val shared = (1 to o).map(j => tok("s", i, j))
+      val a = (shared ++ (1 to (200 - o)).map(j => tok("a", i, j))).mkString(" ")
+      val b = (shared ++ (1 to (200 - o)).map(j => tok("b", i, j))).mkString(" ")
+      (i.toLong, a, b)
+    }.toDF("pid", "ta", "tb")
+    val sh = (c: org.apache.spark.sql.Column) =>
+      array_distinct(TextHash.shingleHashes(TextHash.wordHashes(c)))
+    val scored = pairs
+      .withColumn("_sa", sh(col("ta")))
+      .withColumn("_sb", sh(col("tb")))
+      .select(col("pid"),
+        TextHash.jaccard(col("_sa"), col("_sb")).as("exact"),
+        TextHash.jaccardKmv(
+          TextHash.bottomSketch(col("_sa"), m),
+          TextHash.bottomSketch(col("_sb"), m), m).as("est"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // the sweep genuinely spans the boundary
+    assert(scored.exists(_._2 < tau - 0.1) && scored.exists(_._2 > tau + 0.1))
+    val errs = scored.map { case (_, ex, es) => math.abs(es - ex) }
+    // KMV std error at J≈0.8, m=64 is √(J(1−J)/m) ≈ 0.05: bound the
+    // panel at 3σ worst-case and well under 1σ on average
+    assert(errs.max <= 0.15, s"max |est-exact| = ${errs.max}")
+    assert(errs.sum / errs.length <= 0.04,
+      s"mean |est-exact| = ${errs.sum / errs.length}")
+    // every decision flip (false drop or miss at tau) sits NEAR the
+    // boundary — far-from-tau pairs never flip
+    scored.foreach { case (pid, ex, es) =>
+      if ((ex >= tau) != (es >= tau))
+        assert(math.abs(ex - tau) <= 0.12,
+          s"pair $pid flipped far from tau: exact=$ex est=$es")
+    }
+    // short docs (≤ m shingles): the sketch IS the set, estimate exact
+    val shortPairs = Seq(
+      (0L, (1 to 30).map(j => s"p$j").mkString(" "),
+        ((1 to 25).map(j => s"p$j") ++ (1 to 5).map(j => s"q$j")).mkString(" ")))
+      .toDF("pid", "ta", "tb")
+      .withColumn("_sa", sh(col("ta")))
+      .withColumn("_sb", sh(col("tb")))
+      .select(
+        TextHash.jaccard(col("_sa"), col("_sb")).as("exact"),
+        TextHash.jaccardKmv(
+          TextHash.bottomSketch(col("_sa"), m),
+          TextHash.bottomSketch(col("_sb"), m), m).as("est"))
+      .collect().head
+    assert(shortPairs.getDouble(0) === shortPairs.getDouble(1),
+      "estimate must degenerate to the exact Jaccard below m")
+  }
+
+  test("sketched signature store (maxShingles): rejection parity with the " +
+      "exact store away from the boundary; store rows carry at most m hashes") {
+    val long = (w: String) => Array.tabulate(120)(i => s"$w$i").mkString(" ")
+    val m = 32
+    val batch1 = Seq((1L, long("aaa")), (2L, long("bbb"))).toDF("doc_id", "text")
+    val accepted1 = DocPipeline.prepare(batch1, minWords = 10)
+    val exactStore = DocPipeline.signatures(accepted1)
+    val sketchStore = DocPipeline.signatures(accepted1, maxShingles = m)
+    // the cap holds: 120-token docs have 118 distinct shingles, the
+    // sketched store persists exactly m of them (ascending bottom-m)
+    val rows = sketchStore.select(size(col("shingles"))).collect().map(_.getInt(0))
+    assert(rows.forall(_ === m), s"sketch sizes: ${rows.toSeq}")
+    assert(exactStore.select(size(col("shingles"))).collect()
+      .map(_.getInt(0)).forall(_ > m))
+    val batch2 = Seq(
+      (10L, long("aaa")),  // exact dup → fp anti-join (cap-independent)
+      (11L, (long("aaa").split(" ").dropRight(1) :+ "x").mkString(" ")), // J≈0.98
+      (12L, long("qqq"))   // unrelated (J≈0)
+    ).toDF("doc_id", "text")
+    val viaExact = DocPipeline.prepareIncremental(batch2, exactStore, minWords = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSketch = DocPipeline.prepareIncremental(batch2, sketchStore,
+      minWords = 10, maxShingles = m)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaExact === Set(12L) && viaSketch === Set(12L),
+      s"exact=$viaExact sketch=$viaSketch")
+  }
+
   // ── variable-span dedup (ExactSubstr semantics, Lee et al. 2022) ────
   // Shared fixture: a 25-token span planted in two docs at offsets 7 and
   // 12 — different residues mod 3, so NO 3-token chunk of the span is
@@ -537,33 +641,48 @@ class NearDupSpec extends SparkTestBase {
     // the CurateScaleDemo hazard at spec scale: a 40-token footer on
     // every doc owns the minhash minima, so all docs share band
     // buckets, star candidates all point at the global-min doc, and
-    // the true pair (template, template+1-token) fails verification
-    // against that unrelated hub. All hashes deterministic (xxhash64
-    // of fixed words) — the outcome is pinned, not probabilistic.
+    // the true pair fails verification against that unrelated hub.
+    // The pair (d-2, d) is SEPARATED by the unrelated d-1 in every hub
+    // bucket, so the r15 path-edge default does not rescue it either —
+    // path edges connect ADJACENT bucket members only; the df-cap
+    // remains the real hub mitigation. All hashes deterministic
+    // (xxhash64 of fixed words) — the outcome is pinned, not
+    // probabilistic.
     val footer = (1 to 40).map(i => s"footer$i").mkString(" ")
     def uniq(d: Int) = (1 to 12).map(j => s"u${d}x$j").mkString(" ")
     val docs = ((0 until 30).map { d =>
-      val body = if (d % 3 == 1) uniq(d - 1) + " zz" else uniq(d)
+      val body = if (d % 3 == 2) uniq(d - 2) + " zz" else uniq(d)
       (d.toLong, s"$body $footer")
     }).toDF("doc_id", "text")
-    def survivors(maxSigDf: Long) =
+    def survivors(maxSigDf: Long, pathEdges: Boolean = true) =
       graft.ext.DocPipeline.prepare(docs, minWords = 10, minhashK = 8,
-        bands = 4, tau = 0.7, maxSignatureDf = maxSigDf)
+        bands = 4, tau = 0.7, maxSignatureDf = maxSigDf,
+        pathEdges = pathEdges)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-    val plants = (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet
+    val plants = (0 until 30).filter(_ % 3 == 2).map(_.toLong).toSet
+    val starOnly = survivors(Long.MaxValue, pathEdges = false)
     val default = survivors(Long.MaxValue)
     val capped = survivors(20L) // footer df=30 > 20; unique tokens df<=2
     // capped banding catches every planted near-dup pair
     assert(plants.forall(p => !capped.contains(p)),
       s"capped run must drop all plants; kept ${plants.intersect(capped)}")
     assert(capped.size === 20)
-    // and the uncapped run demonstrably misses some of them (the
+    // the uncapped star-only run demonstrably misses some plants (the
     // hazard); if this ever starts passing, the fixture no longer
     // saturates and should be re-planted
-    assert(plants.exists(default.contains),
-      "uncapped run unexpectedly caught every plant — hazard fixture stale")
+    assert(plants.exists(starOnly.contains),
+      "uncapped star-only run caught every plant — hazard fixture stale")
+    // path edges only ever ADD candidate edges, so the default's missed
+    // set is a subset of star-only's (here the pairs' shared body
+    // tokens fragment some buckets into pair-private ones where the
+    // partners sit adjacent, so path edges recover most plants — but
+    // that is fixture luck, not a guarantee: the df-cap remains the
+    // deterministic hub mitigation and the facade keeps it finite)
+    assert(plants.intersect(default).subsetOf(plants.intersect(starOnly)),
+      s"path edges must not lose drops: default misses " +
+        s"${plants.intersect(default)}, star-only ${plants.intersect(starOnly)}")
     // non-plant docs are never dropped by the cap (verify untouched)
-    assert((0 until 30).filter(_ % 3 != 1).map(_.toLong).toSet.subsetOf(capped))
+    assert((0 until 30).filter(_ % 3 != 2).map(_.toLong).toSet.subsetOf(capped))
   }
 
   test("prepare(oph = true): large-k one-permutation banding catches the planted " +

@@ -419,6 +419,84 @@ class StreamingSpec extends SparkTestBase {
     assert(ok6 === Seq(7L), s"rebuilt store must keep rejecting history: $ok6")
   }
 
+  test("signature-store shingle cap is geometry: sketched store rejects " +
+      "history, mismatched-m restart dies loudly, pre-cap sidecars read " +
+      "as exact (legacy m = 0)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val long = (w: String) => Array.tabulate(120)(i => s"$w$i").mkString(" ")
+    // store built SKETCHED (m = 32; 120-token docs carry 118 shingles)
+    val store = java.nio.file.Files.createTempDirectory("sketchsig").toFile
+    store.delete()
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.ext.DocPipeline.streamIncremental(
+      in1.toDF().toDF("doc_id", "text"), store.getAbsolutePath,
+      minWords = 10, maxShingles = 32) { (_, _) => () }
+    try { in1.addData((1L, long("aaa"))); q1.processAllAvailable() }
+    finally q1.stop()
+    val storedSizes = spark.read.parquet(store.getAbsolutePath)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("shingles")))
+      .collect().map(_.getInt(0))
+    assert(storedSizes.forall(_ === 32), s"store not sketched: ${storedSizes.toSeq}")
+    // same m: history wins across the restart (exact re-crawl AND a
+    // near-dup both reject through the sketched verify path)
+    val in2 = MemoryStream[(Long, String)]
+    var ok = Seq.empty[Long]
+    val q2 = graft.ext.DocPipeline.streamIncremental(
+      in2.toDF().toDF("doc_id", "text"), store.getAbsolutePath,
+      minWords = 10, maxShingles = 32) { (df, _) =>
+      ok = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    try {
+      in2.addData(
+        (2L, long("aaa")),
+        (3L, (long("aaa").split(" ").dropRight(1) :+ "x").mkString(" ")),
+        (4L, long("zzz")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ok === Seq(4L), s"sketched history must win: $ok")
+    // mismatched m (0 = exact) would compare a full set against
+    // sketches — the KMV estimator's precondition breaks, so it must
+    // die loudly like any other geometry change
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = graft.ext.DocPipeline.streamIncremental(
+      in3.toDF().toDF("doc_id", "text"), store.getAbsolutePath,
+      minWords = 10) { (_, _) => () }
+    try {
+      in3.addData((5L, long("bbb")))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
+    // a PRE-CAP sidecar (no "m" row — what every r14 store has on
+    // disk) reads as exact: m = 0 restarts fine, m = 32 dies
+    val legacyMeta = s"${store.getAbsolutePath}_sig_meta"
+    Seq(("minhashK", 8), ("bands", 4), ("fpv", 2)).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(legacyMeta)
+    val in4 = MemoryStream[(Long, String)]
+    val q4 = graft.ext.DocPipeline.streamIncremental(
+      in4.toDF().toDF("doc_id", "text"), store.getAbsolutePath,
+      minWords = 10, maxShingles = 32) { (_, _) => () }
+    try {
+      in4.addData((6L, long("ccc")))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q4.processAllAvailable()
+      }
+    } finally q4.stop()
+    val in5 = MemoryStream[(Long, String)]
+    var ok5 = Seq.empty[Long]
+    val q5 = graft.ext.DocPipeline.streamIncremental(
+      in5.toDF().toDF("doc_id", "text"), store.getAbsolutePath,
+      minWords = 10) { (df, _) =>
+      ok5 = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    try { in5.addData((7L, long("ddd"))); q5.processAllAvailable() }
+    finally q5.stop()
+    assert(ok5 === Seq(7L), s"legacy sidecar must admit m=0 restarts: $ok5")
+    org.apache.commons.io.FileUtils.deleteQuietly(store)
+  }
+
   test("crash-replay exactly-once: a replayed batch re-accepts nothing, " +
       "the atomic store stays single-copy, and fresh batches resume") {
     import org.apache.spark.sql.types._
