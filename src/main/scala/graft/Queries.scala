@@ -2162,13 +2162,14 @@ ORDER BY feature"""
              |  ${duckAssign("emb", "c2")})
              |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin)),
 
-    // ── 48d'. IVF census sidecar (Ivf.indexCellCounts): per-cell row
-    // counts of a LIVE committed composition — build, tombstone-delete,
-    // resurrect-append — read as the SUM of per-segment _census
-    // sidecars (the delete segment contributes negative counts), never
-    // scanning the index. The DuckDB twin replays the same quantizer
-    // (1 Lloyd round on the FULL base — the delete doesn't retrain)
-    // and counts the surviving rows per assigned cell ─────────────────
+    // ── 48d'. IVF census (Ivf.indexCellCounts): per-cell row counts of
+    // a LIVE committed composition — build, tombstone-delete,
+    // resurrect-append — read from the commit MANIFEST's census line
+    // (r15: writers fold the running total, delete segments contribute
+    // negative deltas; pre-r15 fallback sums the _census sidecars),
+    // never scanning the index. The DuckDB twin replays the same
+    // quantizer (1 Lloyd round on the FULL base — the delete doesn't
+    // retrain) and counts the surviving rows per assigned cell ────────
     QueryDef(
       "q_ivf_census",
       (s, d) => {

