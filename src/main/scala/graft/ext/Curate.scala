@@ -80,6 +80,11 @@ object Curate {
       // in-batch star-blocking recall leak; false restores the
       // pre-r15 star-only candidate set, see CHANGELOG pin recipe)
       pathEdges: Boolean = true,
+      // stage-5b verification payload cap (0 = exact): bottom-m
+      // shingle sketches + the KMV Jaccard estimate instead of full
+      // O(doc tokens) sets on the candidate-verify exchange — the
+      // long-document scale knob (DocPipeline.prepare scaladoc)
+      maxShingles: Int = 0,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13,
       dsirTarget: Option[DataFrame] = None, // (textCol) target corpus
@@ -140,7 +145,8 @@ object Curate {
       blockPhrases = cfg.blockPhrases,
       maxSignatureDf = cfg.maxSignatureDf,
       oph = cfg.oph,
-      pathEdges = cfg.pathEdges)
+      pathEdges = cfg.pathEdges,
+      maxShingles = cfg.maxShingles)
 
     // 6. benchmark decontamination
     val decon = cfg.benchmark match {

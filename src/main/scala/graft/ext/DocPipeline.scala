@@ -113,6 +113,15 @@ object DocPipeline {
     * unchanged (≤ 2 candidate edges per (doc, band)); `false` restores
     * the pre-r15 star-only candidates bit-stably (CHANGELOG).
     *
+    * `maxShingles` (default 0 = exact) caps the stage-5b VERIFICATION
+    * payload at the bottom-m shingle sketch and scores candidates with
+    * the KMV Jaccard estimate ([[TextHash.jaccardKmv]]) — the in-batch
+    * twin of the signature-store cap: the verify join otherwise ships
+    * O(doc tokens) hashes per CANDIDATE pair over the exchange, which
+    * for long documents dominates stage 5b's shuffle. Exact for docs
+    * with ≤ m shingles; estimator error √(τ(1−τ)/m) at the decision
+    * boundary (the NearDupSpec panel).
+    *
     * `maxSignatureDf` (default off) excludes tokens whose document
     * frequency exceeds it from the MinHash BANDING signature — the
     * boilerplate guard: universal tokens (shared footers/headers)
@@ -157,10 +166,12 @@ object DocPipeline {
       blockPhrases: Seq[String] = Nil,
       maxSignatureDf: Long = Long.MaxValue,
       oph: Option[Boolean] = None,
-      pathEdges: Boolean = true): DataFrame =
+      pathEdges: Boolean = true,
+      maxShingles: Int = 0): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
       transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases,
-      maxSignatureDf, oph.getOrElse(minhashK >= OphDefaultMinK), pathEdges)
+      maxSignatureDf, oph.getOrElse(minhashK >= OphDefaultMinK), pathEdges,
+      maxShingles)
       .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
@@ -181,7 +192,9 @@ object DocPipeline {
       blockPhrases: Seq[String] = Nil,
       maxSignatureDf: Long = Long.MaxValue,
       oph: Boolean = false,
-      pathEdges: Boolean = true): DataFrame = {
+      pathEdges: Boolean = true,
+      maxShingles: Int = 0): DataFrame = {
+    require(maxShingles >= 0, s"maxShingles=$maxShingles must be >= 0 (0 = exact)")
 
     // 1-2: single tokenization + quality gate (length, plus optional
     // Gopher-style repetition gates and the Aho-Corasick phrase
@@ -336,13 +349,22 @@ object DocPipeline {
        }).distinct()
 
     // 5b: verify — shingle sets from the same hash pass, joined to the
-    // candidate pairs; drop only above the Jaccard threshold
-    val shingled = hashed
-      .select(col(idCol), array_distinct(TextHash.shingleHashes(col("_whs"))).as("_sh"))
+    // candidate pairs; drop only above the Jaccard threshold. With
+    // maxShingles set, bottom-m sketches ride the join instead of the
+    // full sets (O(m) per candidate pair over the exchange, not
+    // O(doc tokens)) and the score is the KMV estimate.
+    val allSh = TextHash.shingleHashes(col("_whs"))
+    val payload =
+      if (maxShingles == 0) array_distinct(allSh)
+      else TextHash.bottomSketch(allSh, maxShingles)
+    def score(a: Column, b: Column): Column =
+      if (maxShingles == 0) TextHash.jaccard(a, b)
+      else TextHash.jaccardKmv(a, b, maxShingles)
+    val shingled = hashed.select(col(idCol), payload.as("_sh"))
     val verified = cand
       .join(shingled.select(col(idCol), col("_sh").as("_sa")), Seq(idCol))
       .join(shingled.select(col(idCol).as("_min_id"), col("_sh").as("_sb")), Seq("_min_id"))
-      .filter(TextHash.jaccard(col("_sa"), col("_sb")) >= tau)
+      .filter(score(col("_sa"), col("_sb")) >= tau)
       .select(col(idCol), col("_min_id"))
     val dropIds =
       if (!transitive) verified.select(col(idCol)).distinct()
@@ -531,7 +553,10 @@ object DocPipeline {
     * sketch and verification switches to the KMV estimate
     * ([[TextHash.jaccardKmv]]) — both sides must be sketched at the
     * same m for the estimator to be valid, which the `_sig_meta`
-    * geometry check enforces across restarts. */
+    * geometry check enforces across restarts. The cap is ONE
+    * verification discipline end to end: it also governs the in-batch
+    * stage-5b verify (the [[prepare]] cap), so a capped deployment
+    * ships sketches on every exchange, not just the store's. */
   private[ext] def prepareIncrementalWithHashes(
       newDocs: DataFrame,
       store: DataFrame,
@@ -547,7 +572,7 @@ object DocPipeline {
     // _fp/_whs ride along from prepare's pass — signatures of the
     // accepted batch are derived from them, not re-tokenized
     val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
-      minhashK, bands, tau, transitive = false)
+      minhashK, bands, tau, transitive = false, maxShingles = maxShingles)
     val sigs = signaturesFromHashes(batch, idCol, minhashK, bands, maxShingles)
 
     // exact: new fingerprints never seen before

@@ -469,6 +469,19 @@ class NearDupSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaExact === Set(12L) && viaSketch === Set(12L),
       s"exact=$viaExact sketch=$viaSketch")
+    // the cap is one discipline end to end: the IN-BATCH stage-5b
+    // verify sketches too — far from the boundary it drops exactly
+    // what exact verification drops (here: in-batch near pair 20~21)
+    val inBatch = Seq(
+      (20L, long("mmm")),
+      (21L, (long("mmm").split(" ").dropRight(1) :+ "x").mkString(" ")),
+      (22L, long("nnn"))).toDF("doc_id", "text")
+    val ibExact = DocPipeline.prepare(inBatch, minWords = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ibCapped = DocPipeline.prepare(inBatch, minWords = 10, maxShingles = m)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ibExact === Set(20L, 22L) && ibCapped === Set(20L, 22L),
+      s"in-batch: exact=$ibExact capped=$ibCapped")
   }
 
   // ── variable-span dedup (ExactSubstr semantics, Lee et al. 2022) ────
