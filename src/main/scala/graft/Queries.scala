@@ -2528,6 +2528,67 @@ ORDER BY feature"""
              |CAST(m_a AS BIGINT) AS m_a
              |FROM est ORDER BY doc_id, dup_of""".stripMargin)),
 
+    // ── 57b2. all-pairs candidate completion (r15,
+    // prepare(allPairsMaxBucket)): star ∪ path ∪ every in-bucket pair
+    // of buckets with 3..8 members — the bounded O(b²) escape hatch
+    // for true pairs sitting NON-ADJACENT in every shared bucket
+    // (§7.8's measured ~2.8% adjacency leak). The emitted candidate
+    // set (not the funnel) is compared, so blocking itself is proven
+    // cross-engine ──────────────────────────────────────────────────
+    QueryDef(
+      "q_allpairs_cand",
+      (s, d) => {
+        val sigs = graft.ext.DocPipeline.signatures(
+          t(s, d, "documents"), "doc_id", "text", minhashK = 8, bands = 4)
+        val banded = sigs.select(col("doc_id"), explode(col("band_keys")).as("band_key"))
+        val bmin = banded.groupBy(col("band_key")).agg(min(col("doc_id")).as("dup_of"))
+        val star = banded.join(bmin, "band_key")
+          .filter(col("doc_id") > col("dup_of"))
+          .select(col("doc_id"), col("dup_of"))
+        val byB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_key")).orderBy(col("doc_id"))
+        val path = banded.withColumn("_p", lag(col("doc_id"), 1).over(byB))
+          .filter(col("_p").isNotNull)
+          .select(col("doc_id"), col("_p").as("dup_of"))
+        val sizes = banded.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > 2 && col("_bn") <= 8)
+          .select(col("band_key"))
+        val small = banded.join(sizes, Seq("band_key"))
+        val ap = small
+          .join(small.select(col("band_key"), col("doc_id").as("dup_of")),
+            Seq("band_key"))
+          .filter(col("doc_id") > col("dup_of"))
+          .select(col("doc_id"), col("dup_of"))
+        star.union(path).union(ap).distinct()
+          .orderBy(col("doc_id"), col("dup_of"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sig AS (SELECT doc_id, list_transform(range(0,8),
+             |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
+             |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
+             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
+             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+             |bmin AS (SELECT band_key, min(doc_id) AS m FROM bands GROUP BY band_key),
+             |star AS (SELECT b.doc_id, m AS dup_of FROM bands b
+             |  JOIN bmin USING (band_key) WHERE b.doc_id > m),
+             |pth AS (SELECT doc_id, p AS dup_of FROM (
+             |  SELECT doc_id, lag(doc_id) OVER (
+             |    PARTITION BY band_key ORDER BY doc_id) AS p FROM bands)
+             |  WHERE p IS NOT NULL),
+             |sizes AS (SELECT band_key FROM (
+             |  SELECT band_key, count(*) AS n FROM bands GROUP BY band_key)
+             |  WHERE n > 2 AND n <= 8),
+             |small AS (SELECT b.* FROM bands b JOIN sizes USING (band_key)),
+             |ap AS (SELECT a.doc_id, b.doc_id AS dup_of
+             |  FROM small a JOIN small b USING (band_key)
+             |  WHERE a.doc_id > b.doc_id)
+             |SELECT DISTINCT doc_id, dup_of FROM (
+             |  SELECT * FROM star UNION ALL SELECT * FROM pth
+             |  UNION ALL SELECT * FROM ap)
+             |ORDER BY doc_id, dup_of""".stripMargin)),
+
     // ── 57c. capped-verification doc pipeline (r15): the full prepare
     // funnel with maxShingles = 16 — stage-5b ships bottom-16 sketches
     // instead of full shingle sets and drops on the KMV estimate; the

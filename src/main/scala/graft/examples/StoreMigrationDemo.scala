@@ -100,6 +100,40 @@ object StoreMigrationDemo {
       f"exact $wVe%.1f s vs m=64 $wVc%.1f s; identical survivor sets " +
       f"(${nExact - 100000L} banding-puncture leaks, equal in both modes)")
 
+    // ── 1c. ADJACENCY-LEAK closure: the SHARED-vocab corpus (3M words,
+    // each low-hash word in ~20 docs → buckets hold a few docs beyond
+    // the true pair) with far-apart pair ids leaks ~2.8% through
+    // star∪path (intervening bucket-mates break adjacency, §7.8);
+    // all-pairs completion within small buckets closes it at bounded
+    // O(b²) ────────────────────────────────────────────────────────────
+    val sharedNears = longDocs.unionByName(
+      spark.range(100000L, 125000L).select(col("id").as("doc_id"),
+        concat(docText(col("id") - 100000L, lit(600)),
+          lit(" zz"), (col("id") % 3).cast("string")).as("text")))
+      .localCheckpoint()
+    // cap choice from the measured bucket anatomy (Scratch probe, one
+    // run): every planted pair shares SOME bucket; 23,861 of 25,000
+    // have a pair-private one (≤2 members — star/path decisive), 511
+    // bottom out at 3–16, 628 at 17–64, none beyond (largest bucket in
+    // the corpus: 54). Cap 64 therefore covers every pair at a sum-b²
+    // cost bounded by 54² per bucket — negligible next to stage 5b.
+    withNears.unpersist(blocking = true) // free section 1b's checkpoint
+    val (spLeak, wSp) = timed(
+      DocPipeline.prepare(sharedNears, minWords = 10, maxShingles = 64)
+        .count() - 100000L)
+    val (apLeak, wAp) = timed(
+      DocPipeline.prepare(sharedNears, minWords = 10, maxShingles = 64,
+        allPairsMaxBucket = 64).count() - 100000L)
+    require(apLeak * 20 <= spLeak,
+      s"all-pairs completion failed to close the adjacency leak: " +
+        s"star∪path=$spLeak allPairs=$apLeak")
+    println(f"ADJACENCY-LEAK: shared-vocab 125k docs — star∪path leaks $spLeak%,d " +
+      f"of 25,000 plants ($wSp%.1f s); allPairsMaxBucket=64 leaks $apLeak%,d " +
+      f"($wAp%.1f s)")
+
+    longDocs.unpersist(blocking = true)
+    sharedNears.unpersist(blocking = true)
+
     // ── 2. SIG-MIGRATE: 1M docs, (8,4,exact) → (16,8,m=64) ───────────
     val corpus = spark.range(nDocs)
       .select(col("id").as("doc_id"),

@@ -85,6 +85,11 @@ object Curate {
       // O(doc tokens) sets on the candidate-verify exchange — the
       // long-document scale knob (DocPipeline.prepare scaladoc)
       maxShingles: Int = 0,
+      // all-pairs candidate completion within buckets ≤ the cap
+      // (0 = off): closes the non-adjacent-pair blocking miss at
+      // bounded O(b²) — turn on when ingest order scatters re-crawls
+      // far from their originals (DocPipeline.prepare scaladoc)
+      allPairsMaxBucket: Int = 0,
       benchmark: Option[DataFrame] = None, // (idCol, textCol) frame
       decontaminateN: Int = 13,
       dsirTarget: Option[DataFrame] = None, // (textCol) target corpus
@@ -146,7 +151,8 @@ object Curate {
       maxSignatureDf = cfg.maxSignatureDf,
       oph = cfg.oph,
       pathEdges = cfg.pathEdges,
-      maxShingles = cfg.maxShingles)
+      maxShingles = cfg.maxShingles,
+      allPairsMaxBucket = cfg.allPairsMaxBucket)
 
     // 6. benchmark decontamination
     val decon = cfg.benchmark match {

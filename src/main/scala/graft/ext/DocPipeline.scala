@@ -122,6 +122,15 @@ object DocPipeline {
     * with ≤ m shingles; estimator error √(τ(1−τ)/m) at the decision
     * boundary (the NearDupSpec panel).
     *
+    * `allPairsMaxBucket` (default 0 = off) completes the candidate set
+    * within SMALL buckets: star∪path still misses a true pair sitting
+    * non-adjacent in every shared bucket (unrelated ids between them —
+    * measured ~2.8% on a shared-vocabulary long-doc corpus whose pair
+    * ids are far apart, §7.8). Buckets of ≤ the cap emit every
+    * in-bucket pair (O(b²) bounded by the cap, ≤ cap−1 edges per
+    * (doc, band)); larger buckets keep star∪path. Worth turning on
+    * when ingest order scatters re-crawls far from their originals.
+    *
     * `maxSignatureDf` (default off) excludes tokens whose document
     * frequency exceeds it from the MinHash BANDING signature — the
     * boilerplate guard: universal tokens (shared footers/headers)
@@ -167,11 +176,12 @@ object DocPipeline {
       maxSignatureDf: Long = Long.MaxValue,
       oph: Option[Boolean] = None,
       pathEdges: Boolean = true,
-      maxShingles: Int = 0): DataFrame =
+      maxShingles: Int = 0,
+      allPairsMaxBucket: Int = 0): DataFrame =
     prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands, tau,
       transitive, maxTopTokenFrac, maxDupBigramFrac, blockPhrases,
       maxSignatureDf, oph.getOrElse(minhashK >= OphDefaultMinK), pathEdges,
-      maxShingles)
+      maxShingles, allPairsMaxBucket)
       .drop("_fp", "_whs")
 
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
@@ -193,7 +203,8 @@ object DocPipeline {
       maxSignatureDf: Long = Long.MaxValue,
       oph: Boolean = false,
       pathEdges: Boolean = true,
-      maxShingles: Int = 0): DataFrame = {
+      maxShingles: Int = 0,
+      allPairsMaxBucket: Int = 0): DataFrame = {
     require(maxShingles >= 0, s"maxShingles=$maxShingles must be >= 0 (0 = exact)")
 
     // 1-2: single tokenization + quality gate (length, plus optional
@@ -337,15 +348,41 @@ object DocPipeline {
     // window over the already-shuffled band frame. `pathEdges = false`
     // restores the pre-r15 star-only candidate set bit-stably
     // (CHANGELOG pin recipe).
+    val starPath =
+      if (!transitive && !pathEdges) starCand
+      else {
+        val byBucket = Window.partitionBy(col("band_key")).orderBy(col(idCol))
+        val pathCand = banded
+          .withColumn("_prev", lag(col(idCol), 1).over(byBucket))
+          .filter(col("_prev").isNotNull)
+          .select(col(idCol), col("_prev").as("_min_id"))
+        starCand.union(pathCand)
+      }
+    // opt-in all-pairs completion for SMALL buckets (r15,
+    // `allPairsMaxBucket` — 0 = off): star∪path still misses a true
+    // pair whose members sit NON-ADJACENT in every shared bucket (an
+    // unrelated id between them; measured at ~2.8% on a shared-vocab
+    // long-doc corpus with far-apart pair ids, §7.8). Within buckets
+    // of ≤ the cap, emit EVERY (larger, smaller) pair — bounded O(b²)
+    // per bucket with b ≤ cap, so the per-(doc, band) edge count is
+    // ≤ cap−1 by construction; bigger buckets (hubs — no
+    // discrimination signal anyway) keep the O(b) star∪path set. The
+    // text twin of what embeddingCandidatePairs does per vector
+    // bucket.
     val cand =
-      (if (!transitive && !pathEdges) starCand
+      (if (allPairsMaxBucket <= 0) starPath
        else {
-         val byBucket = Window.partitionBy(col("band_key")).orderBy(col(idCol))
-         val pathCand = banded
-           .withColumn("_prev", lag(col(idCol), 1).over(byBucket))
-           .filter(col("_prev").isNotNull)
-           .select(col(idCol), col("_prev").as("_min_id"))
-         starCand.union(pathCand)
+         val sizes = banded.groupBy(col("band_key"))
+           .agg(count(lit(1)).as("_bn"))
+           .filter(col("_bn") > 2 && col("_bn") <= allPairsMaxBucket)
+           .select(col("band_key"))
+         val small = banded.join(sizes, Seq("band_key"))
+         val allPairs = small
+           .join(small.select(col("band_key"), col(idCol).as("_min_id")),
+             Seq("band_key"))
+           .filter(col(idCol) > col("_min_id"))
+           .select(col(idCol), col("_min_id"))
+         starPath.union(allPairs)
        }).distinct()
 
     // 5b: verify — shingle sets from the same hash pass, joined to the

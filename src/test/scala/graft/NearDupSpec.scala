@@ -667,10 +667,11 @@ class NearDupSpec extends SparkTestBase {
       val body = if (d % 3 == 2) uniq(d - 2) + " zz" else uniq(d)
       (d.toLong, s"$body $footer")
     }).toDF("doc_id", "text")
-    def survivors(maxSigDf: Long, pathEdges: Boolean = true) =
+    def survivors(maxSigDf: Long, pathEdges: Boolean = true,
+                  allPairs: Int = 0) =
       graft.ext.DocPipeline.prepare(docs, minWords = 10, minhashK = 8,
         bands = 4, tau = 0.7, maxSignatureDf = maxSigDf,
-        pathEdges = pathEdges)
+        pathEdges = pathEdges, allPairsMaxBucket = allPairs)
         .select("doc_id").collect().map(_.getLong(0)).toSet
     val plants = (0 until 30).filter(_ % 3 == 2).map(_.toLong).toSet
     val starOnly = survivors(Long.MaxValue, pathEdges = false)
@@ -696,6 +697,14 @@ class NearDupSpec extends SparkTestBase {
         s"${plants.intersect(default)}, star-only ${plants.intersect(starOnly)}")
     // non-plant docs are never dropped by the cap (verify untouched)
     assert((0 until 30).filter(_ % 3 != 2).map(_.toLong).toSet.subsetOf(capped))
+    // the other escape hatch: ALL-PAIRS completion within small
+    // buckets — the 30-doc hub bucket sits under the cap, so every
+    // separated pair gets its candidate edge and every plant drops
+    // even UNCAPPED (at bounded O(b²): b ≤ 40 here)
+    val allPairs = survivors(Long.MaxValue, allPairs = 40)
+    assert(plants.forall(p => !allPairs.contains(p)),
+      s"all-pairs run must drop all plants; kept ${plants.intersect(allPairs)}")
+    assert((0 until 30).filter(_ % 3 != 2).map(_.toLong).toSet.subsetOf(allPairs))
   }
 
   test("prepare(oph = true): large-k one-permutation banding catches the planted " +
