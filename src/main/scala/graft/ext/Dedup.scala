@@ -936,7 +936,14 @@ object Dedup {
     * one cheap aggregate: rows + total dropped positions → bytes
     * (8 B/position + 32 B/row envelope, ~2× the raw payload). Above
     * the threshold the plain frame returns and the documented
-    * at-most-one text exchange stands. */
+    * at-most-one text exchange stands.
+    *
+    * Cost note (r14 verdict): the measurement is one EAGER driver
+    * action (`.head()` on the already-materialized drop frame) per
+    * unitDedup/chunkDedup invocation — a small serialized job, the
+    * right trade vs AQE's broken inherited estimate, but a pipeline
+    * chaining DOZENS of dedup calls pays it each time; disable
+    * broadcasts for the session (threshold ≤ 0) to skip it. */
   private def maybeBroadcastDrops(dropCut: DataFrame,
                                   dropCol: String): DataFrame = {
     val spark = dropCut.sparkSession
