@@ -947,9 +947,7 @@ object Dedup {
   private def maybeBroadcastDrops(dropCut: DataFrame,
                                   dropCol: String): DataFrame = {
     val spark = dropCut.sparkSession
-    val threshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
-      .getOrElse(10L * 1024 * 1024)
+    val threshold = graft.core.Joins.broadcastThresholdBytes(spark)
     if (threshold <= 0) dropCut // broadcast disabled for the session
     else {
       val r = dropCut.agg(count(lit(1)).as("n"),

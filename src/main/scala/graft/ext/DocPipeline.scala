@@ -481,12 +481,17 @@ object DocPipeline {
     * duplicate the existing corpus — judged entirely from the corpus's
     * signature STORE ([[signatures]] rows), never by rescanning its text.
     *
-    *   - exact: anti-join the new fingerprints against the stored set
-    *     (one equi-key shuffle; exchange-free on a bucketed store);
+    *   - exact: anti-join the new fingerprints against the stored set;
     *   - near-dup: explode band keys on both sides, equi-join on the
     *     short band key → candidate (new, stored) pairs, verify with
     *     shingle Jaccard ≥ `tau` — candidates only, the same blocking
     *     discipline as the in-batch pipeline.
+    *
+    * All three store reads are semi-filtered by broadcast batch keys
+    * when a MEASURED size check passes, so the store is scanned but
+    * never shuffled per call — see [[prepareIncrementalWithHashes]]
+    * for the full exchange discipline (a bucketed store additionally
+    * makes the fallback fp anti-join exchange-free on the store side).
     *
     * Returns the accepted new rows (prepare's output schema). Append
     * `signatures(accepted)` to the store to absorb the batch.
@@ -538,21 +543,45 @@ object DocPipeline {
     * signature rows surviving the exact anti-join, and band keys held
     * by more than `maxStoreBandDf` STORED docs leave candidate
     * generation (they carry no discrimination signal — one agg over
-    * the already-scanned store keys, no text). */
+    * the already-scanned store keys, no text).
+    *
+    * `batchKeys` (when given) is a broadcast-wrapped SUPERSET of the
+    * batch's band keys: the store side is semi-filtered by it BEFORE
+    * anything else, so the whole store path is map-side — scan,
+    * broadcast-semi, broadcast-anti — and the store never enters an
+    * exchange (see [[prepareIncrementalWithHashes]] for the 100 TB
+    * argument and the measured gate). The hub-key guard's per-key df
+    * is computed AFTER the semi-filter, which cannot change it: a
+    * key's stored-doc count is unaffected by dropping rows of OTHER
+    * keys, and keys absent from the batch generate no candidates
+    * either way. With the guard finite, the semi-filtered subtree is
+    * referenced twice (the df agg and the candidate rows), costing a
+    * second column-pruned store scan — both map-only. */
   private def storeCandidates(fresh: DataFrame, store: DataFrame,
-                              idCol: String, maxStoreBandDf: Long): DataFrame = {
+                              idCol: String, maxStoreBandDf: Long,
+                              batchKeys: Option[DataFrame] = None): DataFrame = {
     val storeKeysAll = store.select(col(idCol).as("_sid"),
       explode(col("band_keys")).as("band_key"))
+    val storeKeysIn = batchKeys match {
+      case Some(bk) => storeKeysAll.join(bk, Seq("band_key"), "left_semi")
+      case None => storeKeysAll
+    }
     val storeKeys =
-      if (maxStoreBandDf == Long.MaxValue) storeKeysAll
+      if (maxStoreBandDf == Long.MaxValue) storeKeysIn
       else {
-        val hot = storeKeysAll.groupBy(col("band_key"))
+        val hot = storeKeysIn.groupBy(col("band_key"))
           .agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxStoreBandDf)
           .select(col("band_key"))
-        storeKeysAll.join(hot, Seq("band_key"), "left_anti")
+        storeKeysIn.join(hot, Seq("band_key"), "left_anti")
       }
-    val newKeys = fresh.select(col(idCol), explode(col("band_keys")).as("band_key"))
+    val newKeys0 = fresh.select(col(idCol), explode(col("band_keys")).as("band_key"))
+    // the same measurement that priced `batchKeys` bounds this frame
+    // (same exploded rows + one id column), so when the semi-filter is
+    // on, the candidate join broadcasts the batch side too — without
+    // the hint, the cut batch frame's clamped stats make AQE SMJ this
+    // join and the semi-filtered STORE rows ride the exchange after all
+    val newKeys = if (batchKeys.isDefined) broadcast(newKeys0) else newKeys0
     newKeys.join(storeKeys, Seq("band_key"))
       .select(col(idCol), col("_sid")).distinct()
   }
@@ -593,7 +622,43 @@ object DocPipeline {
     * geometry check enforces across restarts. The cap is ONE
     * verification discipline end to end: it also governs the in-batch
     * stage-5b verify (the [[prepare]] cap), so a capped deployment
-    * ships sketches on every exchange, not just the store's. */
+    * ships sketches on every exchange, not just the store's.
+    *
+    * STORE-SIDE EXCHANGE DISCIPLINE (r15). The batch is small and the
+    * store grows without bound, so any plan that shuffles the store is
+    * an O(store) cost paid EVERY batch — at a 10⁹-doc store that is
+    * the deployment's dominant steady-state cost, and the legacy plan
+    * paid it three times over (the fp anti-join, the band-key
+    * candidate join, and the `_sid` verify join carrying the heavy
+    * shingle column all SMJ'd the store). Instead, each store read is
+    * semi-filtered by a broadcast SUPERSET of the batch's keys before
+    * it can reach an exchange:
+    *
+    *   - fp anti-join: `store ⋉ broadcast(batch fps)` (map-side BHJ),
+    *     then batch ANTI the hits — equivalent because a batch row's
+    *     fp is in the store iff it is in the hits (its own fp is in
+    *     the filter set by construction);
+    *   - band-key candidates: `store keys ⋉ broadcast(batch band
+    *     keys)` ([[storeCandidates]] — the hub-guard df is computed
+    *     after the filter, which provably cannot change it);
+    *   - verify join: the (candidate, batch-shingles) side is
+    *     broadcast, so the store's shingle rows stream map-side.
+    *
+    * Every decision is MEASURED against the session broadcast
+    * threshold ([[Dedup.maybeBroadcastDrops]] discipline — checkpoint
+    * stats are clamped, so AQE cannot make these calls): the batch's
+    * signature rows are cut (slim scalars + hash arrays, never text —
+    * which also pins the batch pipeline to ONE evaluation where the
+    * legacy plan re-ran it per reference) and one aggregate per frame
+    * prices the broadcast. Oversized sides fall back to the legacy
+    * shuffle plan per-site; `autoBroadcastJoinThreshold ≤ 0`
+    * reproduces the legacy JOIN SHAPES exactly and skips the
+    * measurement actions (the slim cuts stay — they are a win under
+    * either shape). The store is still SCANNED per batch — column-pruned
+    * to the columns each join needs — but never sorted, shuffled, or
+    * aggregated; at 100 TB that is the difference between a
+    * micro-batch costing O(batch + store-scan) and one costing
+    * O(store log store) in exchange traffic. */
   private[ext] def prepareIncrementalWithHashes(
       newDocs: DataFrame,
       store: DataFrame,
@@ -611,20 +676,69 @@ object DocPipeline {
     val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
       minhashK, bands, tau, transitive = false, maxShingles = maxShingles)
     val sigs = signaturesFromHashes(batch, idCol, minhashK, bands, maxShingles)
+      .cut
+    val thr = graft.core.Joins.broadcastThresholdBytes(newDocs.sparkSession)
+    // one aggregate over the cut signatures prices BOTH broadcast
+    // sides: fp rows (8 B long + row envelope) and exploded band keys
+    // (string chars + envelope per (doc, band) row)
+    val (fpBytes, keyBytes) =
+      if (thr <= 0) (Long.MaxValue, Long.MaxValue)
+      else {
+        val r = sigs.agg(count(lit(1)).as("n"),
+          coalesce(sum(aggregate(transform(col("band_keys"),
+            k => length(k).cast("long")), lit(0L), _ + _)), lit(0L)).as("kc")).head()
+        val n = r.getLong(0)
+        (n * 40L, r.getLong(1) * 2L + n * bands * 48L)
+      }
 
     // exact: new fingerprints never seen before
-    val fresh = sigs.join(store.select(col("fp")), Seq("fp"), "left_anti")
+    val storeFps = store.select(col("fp"))
+    val storeFpSide =
+      if (fpBytes <= thr)
+        storeFps.join(broadcast(sigs.select(col("fp"))), Seq("fp"), "left_semi")
+      else storeFps
+    val fresh = sigs.join(storeFpSide, Seq("fp"), "left_anti").cut
 
     // near-dup: band-key candidates vs the store ([[storeCandidates]] —
     // hub-key guard applied there), then shingle-verified: exact
     // Jaccard on full sets, KMV estimate on bottom-m sketches
-    val cand = storeCandidates(fresh, store, idCol, maxStoreBandDf)
+    val batchKeys =
+      if (keyBytes <= thr)
+        Some(broadcast(sigs.select(explode(col("band_keys")).as("band_key"))))
+      else None
+    val cand = storeCandidates(fresh, store, idCol, maxStoreBandDf, batchKeys)
     def verify(a: Column, b: Column): Column =
       if (maxShingles == 0) TextHash.jaccard(a, b)
       else TextHash.jaccardKmv(a, b, maxShingles)
-    val dropIds = cand
+    val candNa = cand
       .join(fresh.select(col(idCol), col("shingles").as("_na")), Seq(idCol))
-      .join(store.select(col(idCol).as("_sid"), col("shingles").as("_sa")), Seq("_sid"))
+      .cut
+    // two independent gates from one aggregate: `sidBytes` prices the
+    // candidate ID column alone (what the store's shingle scan is
+    // semi-filtered by — tiny even when the payload frame is not),
+    // `naBytes` prices the full (ids + batch-shingle) frame. Keeping
+    // them separate matters: a candidate-heavy batch can overflow the
+    // payload broadcast while its ID set still fits, and without the
+    // ID semi-filter the fallback SMJ re-shuffles the ENTIRE store's
+    // shingle column — the single heaviest store column — per batch
+    // (measured: 450 MB of the legacy plan's traffic at a 1M-doc
+    // store, from exactly this join).
+    val (sidBytes, naBytes) =
+      if (thr <= 0) (Long.MaxValue, Long.MaxValue)
+      else {
+        val r = candNa.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("_na"))), lit(0L)).as("s")).head()
+        (r.getLong(0) * 48L, r.getLong(0) * 48L + r.getLong(1) * 8L)
+      }
+    val storeSh0 = store.select(col(idCol).as("_sid"), col("shingles").as("_sa"))
+    val storeSh =
+      if (sidBytes <= thr)
+        storeSh0.join(broadcast(candNa.select(col("_sid"))), Seq("_sid"), "left_semi")
+      else storeSh0
+    val verifyJoin =
+      if (naBytes <= thr) storeSh.join(broadcast(candNa), Seq("_sid"))
+      else candNa.join(storeSh, Seq("_sid"))
+    val dropIds = verifyJoin
       .filter(verify(col("_na"), col("_sa")) >= tau)
       .select(col(idCol)).distinct()
 
@@ -815,6 +929,31 @@ object DocPipeline {
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
           else empty
+        // store-side exchange discipline (the
+        // prepareIncrementalWithHashes argument): the store grows with
+        // distinct corpus content while the batch stays small, so the
+        // legacy `store.distinct()` + SMJ anti shuffled AND aggregated
+        // the whole store every batch. One map-only aggregate over the
+        // batch prices its chunk-hash set; when it fits the broadcast
+        // threshold, the store's hash column is semi-filtered map-side
+        // (scan only, no exchange) and the distinct is dropped — anti
+        // joins are set-semantics over the right side, so the rare
+        // crash-window duplicate rows change nothing. Oversized
+        // batches (or threshold ≤ 0) keep the legacy plan.
+        val thr = graft.core.Joins.broadcastThresholdBytes(spark)
+        val nChunks =
+          if (thr <= 0) Long.MaxValue
+          else b.agg(coalesce(sum(ceil(size(split(col(textCol), " "))
+            .cast("double") / chunkTokens).cast("long")), lit(0L)))
+            .head().getLong(0)
+        val storeH = store.select(col("h").as("_h"))
+        val storeSide =
+          if (nChunks <= thr / 112) // 32-char md5 string + row envelope
+            storeH.join(broadcast(
+              Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
+                .select(md5(col("chunk").cast("binary")).as("_h"))),
+              Seq("_h"), "left_semi")
+          else storeH.distinct()
         // winner decision mirrors Dedup.chunkDedup: partial+final
         // min(struct) over a text-free (md5, doc, chunk_id) projection
         // (skew-safe — a hot chunk collapses map-side), then anti-join
@@ -824,7 +963,7 @@ object DocPipeline {
           .select(md5(col("chunk").cast("binary")).as("_h"),
             struct(col(idCol).as("_wid"), col("chunk_id").as("_wcid")).as("_w"))
           .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
-          .join(store.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
+          .join(storeSide, Seq("_h"), "left_anti")
           .select(col("_h"), col("_w._wid").as(idCol), col("_w._wcid").as("_wcid"))
           .cut
         val keptPerDoc = winners.groupBy(col(idCol))
@@ -905,8 +1044,15 @@ object DocPipeline {
     * vector sharing an LSH bucket (history always wins), then appends
     * the acceptees' (band, bucket, id, vec) rows to the store. The
     * store grows with ACCEPTED vectors × bands — candidates are
-    * generated per bucket, so the history join shuffles only bucket
-    * keys plus the candidate vectors, not the store. Same foreachBatch
+    * generated per bucket, and the store side is semi-filtered by a
+    * broadcast of the BATCH's bucket keys (a map-only superset: keys
+    * of the raw batch, computed before the in-batch dedup) whenever
+    * the measured batch size fits the session broadcast threshold, so
+    * the history join streams the store's vectors map-side — the
+    * store is scanned per batch but never shuffled
+    * ([[prepareIncrementalWithHashes]]'s exchange discipline; an
+    * oversized batch or threshold ≤ 0 falls back to the plain
+    * bucket-keyed join, which shuffles the store). Same foreachBatch
     * durability caveat as [[streamIncremental]]; `atomicStore = true`
     * routes appends through [[graft.sources.AppendStore]].
     *
@@ -955,9 +1101,21 @@ object DocPipeline {
         val inBatchDrop = Dedup.embeddingNearDups(b, idCol, vecCol, dim, bits, tau, bands)
           .select(col(idCol)).distinct()
         val survivors = b.join(inBatchDrop, Seq(idCol), "left_anti")
+        // store-side semi-filter (the scaladoc's exchange discipline):
+        // keysOf(b) — not keysOf(survivors) — keeps the broadcast side
+        // map-only from the raw batch (no in-batch-dedup subtree runs
+        // twice); it is a superset of the survivors' keys, and extra
+        // keys only retain store rows the inner join below discards
+        val thr = graft.core.Joins.broadcastThresholdBytes(spark)
+        val nVecs = if (thr <= 0) Long.MaxValue else b.count()
+        val storeVecs = store.select(col("band"), col("bucket"), col("vec").as("_sv"))
+        val storeSide =
+          if (nVecs <= thr / (bands * 48L)) // 2 ints + row envelope per key
+            storeVecs.join(broadcast(keysOf(b).select(col("band"), col("bucket"))),
+              Seq("band", "bucket"), "left_semi")
+          else storeVecs
         val histDrop = keysOf(survivors)
-          .join(store.select(col("band"), col("bucket"), col("vec").as("_sv")),
-            Seq("band", "bucket"))
+          .join(storeSide, Seq("band", "bucket"))
           .filter(Similarity.cosine(col("vec"), col("_sv")) >= tau)
           .select(col("id").as(idCol)).distinct()
         val accepted = survivors.join(histDrop, Seq(idCol), "left_anti")
@@ -1143,6 +1301,23 @@ object DocPipeline {
           else empty
         val lines = b.select(col(idCol),
           posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
+        // store-side semi-filter (streamChunkDedup's discipline): the
+        // broadcast side is the batch's line hashes — a map-only
+        // superset projection (no minChars filter: extra hashes only
+        // widen the filter) — so the store's hash column is scanned
+        // but never shuffled or distinct-aggregated per batch
+        val thr = graft.core.Joins.broadcastThresholdBytes(spark)
+        val nLines =
+          if (thr <= 0) Long.MaxValue
+          else b.agg(coalesce(sum(size(split(col(textCol), "\r?\n"))
+            .cast("long")), lit(0L))).head().getLong(0)
+        val storeH = store.select(col("h").as("_h"))
+        val storeSide =
+          if (nLines <= thr / 112) // 32-char md5 string + row envelope
+            storeH.join(broadcast(
+              lines.select(md5(col("line").cast("binary")).as("_h"))),
+              Seq("_h"), "left_semi")
+          else storeH.distinct()
         // winner election mirrors Dedup.lineDedup (partial+final
         // min(struct), text-free), then history wins via the store
         // anti join; only the new-hash scalars checkpoint
@@ -1150,7 +1325,7 @@ object DocPipeline {
           .select(md5(col("line").cast("binary")).as("_h"),
             struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))
           .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
-          .join(store.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
+          .join(storeSide, Seq("_h"), "left_anti")
           .select(col("_h"), col("_w._wid").as(idCol), col("_w._wpos").as("_wpos"))
           .cut
         val keptPerDoc = winners.groupBy(col(idCol))
@@ -1216,7 +1391,28 @@ object DocPipeline {
         val batchRep = pos.select(col(idCol), col("_sh")).distinct()
           .groupBy(col("_sh"))
           .agg(count(lit(1)).as("_df"), min(col(idCol)).as("_win"))
-        val hist = store.select(col("sh").as("_sh")).distinct()
+        // store-side semi-filter (streamChunkDedup's discipline): the
+        // span store is the heaviest of the hash stores — one row per
+        // distinct n-gram EVER accepted — and `hist` is referenced by
+        // both the cut-position join and the fresh-shingle anti-join,
+        // so the legacy full-store distinct ran twice per batch. The
+        // broadcast side is the batch's shingle hashes (map-only from
+        // `pos`); the gate estimate is token-count-based (one cheap
+        // agg — tokenization differences only move the gate, never
+        // correctness). distinct STAYS — `hist` feeds a left join
+        // where duplicate rows would multiply matches — but after the
+        // filter it aggregates only the batch's matching shingles.
+        val thr = graft.core.Joins.broadcastThresholdBytes(spark)
+        val nSh =
+          if (thr <= 0) Long.MaxValue
+          else b.agg(coalesce(sum(greatest(
+            size(split(col(textCol), " ")) - (n - 1), lit(0))
+            .cast("long")), lit(0L))).head().getLong(0)
+        val hist0 = store.select(col("sh").as("_sh"))
+        val hist =
+          (if (nSh <= thr / 40) // 8 B long + row envelope
+            hist0.join(broadcast(pos.select(col("_sh"))), Seq("_sh"), "left_semi")
+          else hist0).distinct()
         // a position is cut when history holds its shingle, or a
         // batch-mate with a smaller id does
         val cutPos = pos.join(batchRep, Seq("_sh"))
