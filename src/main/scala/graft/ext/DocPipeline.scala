@@ -843,7 +843,7 @@ object DocPipeline {
         val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands,
           maxShingles)
         if (atomicStore) graft.sources.AppendStore.append(sigs, storePath)
-        else sigs.write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        else graft.sources.AppendStore.sized(sigs).write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
         onBatch(accepted.drop("_fp", "_whs"), batchId)
       }
       .start()
@@ -993,7 +993,7 @@ object DocPipeline {
               " "), lit("")).as("text_kept"))
         val newHashes = winners.select(col("_h").as("h"))
         if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
-        else newHashes.write.mode(if (storeExists) "append" else "overwrite")
+        else graft.sources.AppendStore.sized(newHashes).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(out, batchId)
       }
@@ -1122,7 +1122,7 @@ object DocPipeline {
           .cut // materialize BEFORE the store append
         val newKeys = keysOf(accepted)
         if (atomicStore) graft.sources.AppendStore.append(newKeys, storePath)
-        else newKeys.write.mode(if (storeExists) "append" else "overwrite")
+        else graft.sources.AppendStore.sized(newKeys).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(accepted, batchId)
       }
@@ -1344,7 +1344,7 @@ object DocPipeline {
               c => c.getField("line")), "\n").as("text_kept"))
         val newHashes = winners.select(col("_h").as("h"))
         if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
-        else newHashes.write.mode(if (storeExists) "append" else "overwrite")
+        else graft.sources.AppendStore.sized(newHashes).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(out, batchId)
       }
@@ -1444,7 +1444,7 @@ object DocPipeline {
           .cut
         val newShingles = fresh.select(col("_sh").as("sh"))
         if (atomicStore) graft.sources.AppendStore.append(newShingles, storePath)
-        else newShingles.write.mode(if (storeExists) "append" else "overwrite")
+        else graft.sources.AppendStore.sized(newShingles).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(out, batchId)
       }

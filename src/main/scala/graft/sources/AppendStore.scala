@@ -57,29 +57,75 @@ object AppendStore {
     * empty (nothing to commit — version numbers are not burned on
     * empty batches). `fenceEpoch` (from `AtomicCommit.acquireEpoch`)
     * opts into writer fencing: a stalled attempt cannot append after
-    * its retry claims a newer epoch. */
+    * its retry claims a newer epoch.
+    *
+    * FILE-COUNT DISCIPLINE (r15): the append is sized from a measured
+    * row count — `coalesce(max(1, ceil(rows / rowsPerFile)))`, a
+    * narrow (no-shuffle) collapse that never RAISES parallelism — so a
+    * micro-batch-sized append lands ONE part file instead of one per
+    * upstream shuffle partition. Without it, a streaming dedup store
+    * accrues `shuffle.partitions` near-empty files per batch (32 ×
+    * 10⁵ batches ≈ 3M files for a year of 5-minute batches): at that
+    * point every store READ pays file-listing + parquet-footer
+    * metadata per file, which dwarfs the data cost long before data
+    * volume matters — the small-files problem, manufactured
+    * in-house. The count is one extra cheap action per append
+    * (replacing the previous `isEmpty` probe, so the marginal cost is
+    * evaluating the remaining partitions of an already-materialized
+    * frame); `rowsPerFile` trades file size for write parallelism —
+    * the default (512k rows ≈ tens-to-hundreds of MB for dedup-store
+    * row shapes) keeps big backfill appends parallel while collapsing
+    * steady-state batches. Caveat: `coalesce` merges WITHIN the final
+    * stage, so a collapsed append also narrows any un-materialized
+    * upstream maps in that stage — the store-append frames all derive
+    * from already-cut batch frames (map-only recompute), which is why
+    * this is safe here; callers appending an expensive uncut pipeline
+    * at low row counts should cut it first. */
   def append(df: DataFrame, root: String,
-             fenceEpoch: Option[Long] = None): Option[Long] = {
-    if (df.isEmpty) return None
+             fenceEpoch: Option[Long] = None,
+             rowsPerFile: Long = 512L * 1024): Option[Long] = {
+    require(rowsPerFile >= 1, s"rowsPerFile=$rowsPerFile must be >= 1")
+    val rows = df.count()
+    if (rows == 0) return None
     val spark = df.sparkSession
     fenceEpoch.foreach(AtomicCommit.checkFence(spark, root, _)) // before the data write
     val v = AtomicCommit.nextVersion(spark, root)
-    df.write.mode("overwrite") // clobbers only uncommitted crash debris
+    // coalesce never raises partition counts, so oversized `files`
+    // just keeps the frame's own parallelism
+    val files = math.min(math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile),
+      Int.MaxValue.toLong).toInt
+    df.coalesce(files).write.mode("overwrite") // clobbers only uncommitted crash debris
       .parquet(AtomicCommit.versionDir(root, v))
     AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
     Some(v)
   }
 
+  /** The [[append]] file-count discipline for PLAIN (non-atomic)
+    * parquet appends: measure the rows, coalesce to
+    * `ceil(rows / rowsPerFile)` part files (≥ 1 — `mode("append")`
+    * still needs a writable frame when empty). Same upstream-
+    * parallelism caveat as [[append]]. */
+  def sized(df: DataFrame, rowsPerFile: Long = 512L * 1024): DataFrame = {
+    require(rowsPerFile >= 1, s"rowsPerFile=$rowsPerFile must be >= 1")
+    val files = math.min(
+      math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile),
+      Int.MaxValue.toLong).toInt
+    df.coalesce(files)
+  }
+
   /** Fold every committed version into ONE new version and vacuum the
     * old ones — run periodically so long-lived streams don't accumulate
-    * thousands of tiny version dirs. */
+    * thousands of tiny version dirs. `rowsPerFile` sizes the folded
+    * output ([[append]]'s discipline; lower it for wide rows —
+    * embedding stores — where 512k rows overshoot a sane file size). */
   def compact(spark: SparkSession, root: String,
-              fenceEpoch: Option[Long] = None): Option[Long] = {
+              fenceEpoch: Option[Long] = None,
+              rowsPerFile: Long = 512L * 1024): Option[Long] = {
     val versions = AtomicCommit.committedVersions(spark, root)
     if (versions.size < 2) return None
     val all = spark.read.parquet(
       versions.map(v => AtomicCommit.versionDir(root, v)): _*)
-    val v = append(all, root, fenceEpoch)
+    val v = append(all, root, fenceEpoch, rowsPerFile)
     AtomicCommit.vacuum(spark, root, keepVersions = 1)
     v
   }

@@ -304,6 +304,40 @@ class SourcesSpec extends SparkTestBase {
       .orderBy("v").collect().map(_.getLong(0)).toSeq === (0L until 5L))
   }
 
+  test("AppendStore: appends are file-count sized — batch-scale appends land " +
+      "one part file, rowsPerFile splits big ones, plain sized() matches") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{AppendStore, AtomicCommit}
+    val root = java.nio.file.Files.createTempDirectory("apsized").resolve("s").toString
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles((_, n) => n.endsWith(".parquet")).length
+    // a many-partition micro-batch frame collapses to ONE part file
+    // (previously: one near-empty file per upstream partition — the
+    // small-files growth path for long-lived streams)
+    val batch = spark.range(1000).repartition(16).select(col("id").as("v"))
+    assert(batch.rdd.getNumPartitions === 16)
+    assert(AppendStore.append(batch, root) === Some(1L))
+    assert(partFiles(AtomicCommit.versionDir(root, 1L)) === 1)
+    // rowsPerFile splits a bigger append; coalesce never raises
+    // parallelism, so the count caps at the frame's own partitions
+    assert(AppendStore.append(spark.range(1000).repartition(16).toDF("v"),
+      root, rowsPerFile = 300L) === Some(2L))
+    assert(partFiles(AtomicCommit.versionDir(root, 2L)) === 4) // ceil(1000/300)
+    assert(AppendStore.append(spark.range(1000).repartition(2).toDF("v"),
+      root, rowsPerFile = 300L) === Some(3L))
+    assert(partFiles(AtomicCommit.versionDir(root, 3L)) === 2) // capped by frame
+    // compact folds the three versions into one sized version
+    assert(AppendStore.compact(spark, root) === Some(4L))
+    assert(partFiles(AtomicCommit.versionDir(root, 4L)) === 1)
+    assert(AppendStore.readOr(spark, root,
+      spark.range(0).toDF("v")).count() === 3000L)
+    // plain-path twin: sized() collapses the same way
+    val plainDir = java.nio.file.Files.createTempDirectory("plsized")
+      .resolve("p").toString
+    AppendStore.sized(batch).write.parquet(plainDir)
+    assert(partFiles(plainDir) === 1)
+  }
+
   test("shard store diffVersions: CDC set-diff between committed versions") {
     import org.apache.spark.sql.functions._
     import graft.sources.ShardStore
