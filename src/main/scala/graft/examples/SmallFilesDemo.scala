@@ -78,6 +78,41 @@ object SmallFilesDemo {
 
     drive("LEGACY shape (rowsPerFile=1: per-partition files)", 1L)
     drive("SIZED (r15 default)", 512L * 1024)
+
+    // the IVF twin: partitionBy(cell) multiplies the hazard — every
+    // writer task opens a file in every cell dir it sees rows for, so
+    // file count ≈ upstream partitions × cells; the rebalance-by-cell
+    // write (Ivf.byCell) clusters rows first
+    import graft.ext.Ivf
+    val nVec = 200000
+    val dim = 16
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(1000L)) / lit(1000.0))
+          .cast("float")): _*)
+        .as("embedding")).repartition(32).localCheckpoint()
+    val centroids = Ivf.train(vecs, "vec_id", "embedding", k = 256, iters = 2)
+    val legacyDir = java.nio.file.Files.createTempDirectory("ivf-legacy")
+      .resolve("index").toString
+    val sizedDir = java.nio.file.Files.createTempDirectory("ivf-sized")
+      .resolve("index").toString
+    ScaleDemo.time(s"IVF LEGACY layout (32 partitions x 256 cells)") {
+      Ivf.withCell(vecs, "embedding", centroids)
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(legacyDir)
+    }
+    println(s"  part files: ${countFiles(legacyDir)}")
+    ScaleDemo.time(s"IVF SIZED layout (rebalance-by-cell saveIndex)") {
+      Ivf.saveIndex(vecs, "embedding", centroids, sizedDir)
+    }
+    println(s"  part files: ${countFiles(sizedDir)}")
+    val probe = Array.tabulate(dim)(j => (j % 7).toDouble / 7)
+    for ((label, dir) <- Seq("legacy" -> legacyDir, "sized" -> sizedDir)) {
+      ScaleDemo.time(s"IVF probe topK over $label layout (nprobe=8)") {
+        val idx = spark.read.parquet(dir)
+        println("  rows: " + Ivf.topKIndexed(idx, "embedding", centroids,
+          probe, k = 10, nprobe = 8).count())
+      }
+    }
     spark.stop()
   }
 }

@@ -130,6 +130,26 @@ object Ivf {
       .drop("_mind")
   }
 
+  /** Cluster an index frame by its cell column before a
+    * `partitionBy(cellCol)` write. Without it, every writer task opens
+    * a file in every cell directory it sees rows for — file count ≈
+    * upstream partitions × cells (a 32-partition build over 1,024
+    * cells lands ~32k near-empty files), and every later read pays
+    * per-file listing + footer metadata (the [[graft.sources
+    * .AppendStore]] small-files argument, amplified by the partition
+    * column). The AQE REBALANCE hint is the idiomatic fix: one shuffle
+    * on the cell id whose output partitions AQE sizes to the advisory
+    * target — small cells coalesce into shared writer tasks (one file
+    * per cell either way; each file holds ONE cell's rows because the
+    * rows are hash-clustered by cell), a skewed hot cell SPLITS across
+    * tasks instead of bottlenecking one writer. Write-path cost (one
+    * extra exchange per index build/append/compact/retrain) paying
+    * for every read — the index trade this store makes everywhere.
+    * Without AQE the hint degrades to a plain hash repartition by
+    * cell: same file counts, no skew split. */
+  private def byCell(df: DataFrame, cellCol: String): DataFrame =
+    df.hint("rebalance", col(cellCol))
+
   /** Persist the corpus as an IVF index: the cell id becomes a PARTITION
     * column, so a probe's `isin(cells)` filter prunes whole cells at the
     * parquet scan (IvfSpec asserts the pruned file count). Build once,
@@ -137,7 +157,7 @@ object Ivf {
   def saveIndex(
       corpus: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
       path: String, cellCol: String = "ivf_cell"): Unit =
-    withCell(corpus, vecCol, centroids, cellCol)
+    byCell(withCell(corpus, vecCol, centroids, cellCol), cellCol)
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
   /** Persist the trained centroids next to the index data (underscore
@@ -440,7 +460,7 @@ object Ivf {
     val centroids = loadCentroids(spark, segs.head)
     val v = AtomicCommit.nextVersion(spark, root)
     val dir = AtomicCommit.versionDir(root, v)
-    readSegments(spark, segs)
+    byCell(readSegments(spark, segs), cellCol)
       .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
     saveCentroids(spark, centroids, dir)
     val census = writeCensusOfDir(spark, dir, cellCol)
@@ -834,9 +854,9 @@ object Ivf {
   def saveIndexQ(corpus: DataFrame, idCol: String, vecCol: String,
                  centroids: Seq[(Int, Array[Double])], path: String,
                  cellCol: String = "ivf_cell"): Unit =
-    Quantize.quantizeInt8(withCell(corpus, vecCol, centroids, cellCol), vecCol, "_q")
+    byCell(Quantize.quantizeInt8(withCell(corpus, vecCol, centroids, cellCol), vecCol, "_q")
       .select(col(idCol), col("_q.scale").as("scale"),
-        transform(col("_q.q"), x => x.cast("byte")).as("q8"), col(cellCol))
+        transform(col("_q.q"), x => x.cast("byte")).as("q8"), col(cellCol)), cellCol)
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
   /** Batch ANN join over a [[saveIndexQ]] store: candidate scoring runs
@@ -911,8 +931,8 @@ object Ivf {
   def saveIndexPQ(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: Seq[(Int, Array[Double])], books: Pq.Codebooks,
                   path: String, cellCol: String = "ivf_cell"): Unit =
-    withCell(corpus, vecCol, centroids, cellCol)
-      .select(col(idCol), Pq.encode(col(vecCol), books).as("codes"), col(cellCol))
+    byCell(withCell(corpus, vecCol, centroids, cellCol)
+      .select(col(idCol), Pq.encode(col(vecCol), books).as("codes"), col(cellCol)), cellCol)
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
   /** Batch ANN join over a [[saveIndexPQ]] store: candidates score by

@@ -101,7 +101,12 @@ object Merge {
             .cut // materialize BEFORE overwriting inputs
           val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try merged.write.mode("overwrite").partitionBy("_bucket").parquet(storePath)
+          // rebalance clusters rows by bucket before the partitioned
+          // write (Ivf.byCell's argument): without it every writer
+          // task opens a file in every touched bucket dir — file count
+          // grows with traffic, reads pay per-file metadata forever
+          try merged.hint("rebalance", col("_bucket"))
+            .write.mode("overwrite").partitionBy("_bucket").parquet(storePath)
           finally mode match {
             case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
             case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

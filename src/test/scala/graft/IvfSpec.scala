@@ -55,7 +55,19 @@ class IvfSpec extends SparkTestBase {
     val corpus = emb.filter(col("vec_id") =!= 0)
 
     val path = java.nio.file.Files.createTempDirectory("ivfidx").resolve("index").toString
-    Ivf.saveIndex(corpus, "embedding", centroids, path)
+    // a deliberately many-partition build: the pre-r15 writer landed one
+    // file per (upstream partition × cell); the rebalance-by-cell write
+    // clusters rows so the file count is cell-bounded
+    Ivf.saveIndex(corpus.repartition(16), "embedding", centroids, path)
+    val nCells = Ivf.withCell(corpus, "embedding", centroids)
+      .select("ivf_cell").distinct().count()
+    val nFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(nFiles <= nCells + 2,
+      s"$nFiles part files for $nCells cells — per-partition file explosion is back")
 
     val indexed = spark.read.parquet(path)
     val nprobe = 3
