@@ -141,4 +141,74 @@ class StoreShuffleSpec extends SparkTestBase {
     // cross-batch under BOTH plans
     assert(semiOut.find(_._1 == 3L).get._2 === "p q r s")
   }
+
+  test("streamSpanDedup: semi-filtered and legacy store plans agree — the " +
+      "post-filter distinct still guards the history left join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val doc = (w: String) => Array.tabulate(30)(i => s"$w$i").mkString(" ")
+    def runMode(thr: String): Seq[(Long, String)] =
+      withThreshold(thr) {
+        val dir = java.nio.file.Files.createTempDirectory("spanstore").toFile
+        dir.delete()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val q = DocPipeline.streamSpanDedup(
+          input.toDF().toDF("doc_id", "text"), dir.getAbsolutePath,
+          n = 5, minTokens = 20) { (df, _) =>
+          out ++= df.select("doc_id", "text_kept").collect()
+            .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+        }
+        try {
+          input.addData((1L, doc("a")), (2L, s"${doc("a")} tail piece"))
+          q.processAllAvailable()
+          input.addData((3L, s"prefix bit ${doc("a")}"), (4L, doc("z")))
+          q.processAllAvailable()
+          out.sortBy(_._1).toSeq
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        }
+      }
+    val semi = runMode("10MB")
+    val legacy = runMode("-1")
+    assert(semi === legacy)
+    // doc 3's copied 30-token span is cut against batch-1 history under
+    // both plans; its fresh prefix survives
+    assert(semi.find(_._1 == 3L).get._2 === "prefix bit")
+  }
+
+  test("streamEmbeddingDedup: semi-filtered and legacy store plans accept " +
+      "identical vector sets") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(j => ((seed * 31 + j * 7) % 13).toFloat + 1f)
+    def runMode(thr: String): Seq[Long] =
+      withThreshold(thr) {
+        val dir = java.nio.file.Files.createTempDirectory("embstore").toFile
+        dir.delete()
+        val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+        val q = DocPipeline.streamEmbeddingDedup(
+          input.toDF().toDF("vec_id", "embedding"), dir.getAbsolutePath,
+          dim = 8, idCol = "vec_id", vecCol = "embedding", tau = 0.999) { (df, _) =>
+          accepted ++= df.select("vec_id").as[Long].collect()
+        }
+        try {
+          input.addData((1L, vec(1)), (2L, vec(2)))
+          q.processAllAvailable()
+          // 3 = exact re-submit of 1 (cosine 1.0 vs history), 4 fresh
+          input.addData((3L, vec(1)), (4L, vec(9)))
+          q.processAllAvailable()
+          accepted.sorted.toSeq
+        } finally {
+          q.stop()
+          org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        }
+      }
+    val semi = runMode("10MB")
+    val legacy = runMode("-1")
+    assert(semi === legacy)
+    assert(semi === Seq(1L, 2L, 4L))
+  }
 }
