@@ -2653,6 +2653,89 @@ ORDER BY feature"""
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
       }),
 
+    // ── 57d. incremental dedup vs a persisted signature store (r15):
+    // the store is built from half the corpus (prepare → signatures on
+    // even doc_ids), the other half arrives as a batch through
+    // prepareIncremental — exact fp anti-join, NEW×STORED band-key
+    // candidates, shingle-Jaccard verify. The DuckDB twin replays BOTH
+    // funnels and the cross-store stages, so the entire incremental
+    // path — the one the r15 store-side exchange discipline rewired —
+    // is proven cross-engine, not just spec-covered ───────────────────
+    QueryDef(
+      "q_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val store = graft.ext.DocPipeline.signatures(
+          graft.ext.DocPipeline.prepare(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0), minWords = 30))
+        graft.ext.DocPipeline.prepareIncremental(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1), store, minWords = 30)
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+          .orderBy(col("lang_pred"))
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val scores = langs.map(l =>
+          s"len(list_filter(string_split(text,' '), w -> list_contains(${duckStop(l)}, w))) AS s_$l")
+          .mkString(",\n")
+        val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        // one prepare funnel (gates → langid → exact dedup → star∪path
+        // near-dup), parameterized by side: _s = store half, _b = batch
+        def funnel(sfx: String, pred: String): String =
+          s"""base$sfx AS (
+             |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+             |  FROM documents WHERE ($pred) AND len(string_split(text,' ')) >= 30),
+             |sc$sfx AS (SELECT doc_id, text, n_words, $scores FROM base$sfx),
+             |p$sfx AS (SELECT doc_id, text, n_words, ${duckCharHash64("text")} AS fp,
+             |      CASE $cases ELSE 'und' END AS lang_pred
+             |      FROM (SELECT *, $best AS best FROM sc$sfx)),
+             |ex$sfx AS (SELECT doc_id, text, n_words, lang_pred, fp FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |  FROM p$sfx) WHERE rn = 1),
+             |w$sfx AS (SELECT doc_id, $duckWhs AS h FROM ex$sfx),
+             |sig$sfx AS (SELECT doc_id, list_transform(range(0,8),
+             |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w$sfx),
+             |bands$sfx AS (SELECT doc_id, unnest(list_transform(range(0,4),
+             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
+             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig$sfx),
+             |bmin$sfx AS (SELECT band_key, min(doc_id) AS min_id FROM bands$sfx GROUP BY band_key),
+             |cand$sfx AS (SELECT DISTINCT doc_id, min_id FROM (
+             |  SELECT b.doc_id, min_id FROM bands$sfx b
+             |    JOIN bmin$sfx USING (band_key) WHERE b.doc_id > min_id
+             |  UNION ALL
+             |  SELECT doc_id, prev AS min_id FROM (
+             |    SELECT doc_id, lag(doc_id) OVER (
+             |      PARTITION BY band_key ORDER BY doc_id) AS prev FROM bands$sfx)
+             |  WHERE prev IS NOT NULL)),
+             |sh$sfx AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
+             |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+             |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w$sfx),
+             |drops$sfx AS (SELECT DISTINCT c.doc_id FROM cand$sfx c
+             |  JOIN sh$sfx a ON a.doc_id = c.doc_id JOIN sh$sfx b ON b.doc_id = c.min_id
+             |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+             |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+             |acc$sfx AS (SELECT * FROM ex$sfx
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM drops$sfx))"""
+        s"""WITH ${funnel("_s", "doc_id % 2 = 0")},
+           |${funnel("_b", "doc_id % 2 = 1")},
+           |fresh AS (SELECT * FROM acc_b WHERE fp NOT IN (SELECT fp FROM acc_s)),
+           |xcand AS (SELECT DISTINCT f.doc_id AS bid, s.doc_id AS sid
+           |  FROM bands_b f JOIN bands_s s USING (band_key)
+           |  WHERE f.doc_id IN (SELECT doc_id FROM fresh)
+           |    AND s.doc_id IN (SELECT doc_id FROM acc_s)),
+           |xdrops AS (SELECT DISTINCT x.bid AS doc_id FROM xcand x
+           |  JOIN sh_b a ON a.doc_id = x.bid JOIN sh_s b ON b.doc_id = x.sid
+           |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+           |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |CAST(sum(n_words) AS BIGINT) AS sum_words
+           |FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM xdrops)
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
     // ── 58. corpus-wide embedding near-dup candidates: LSH-bucket
     // SELF-join blocking (bucket-min) + cosine verify — the missing
     // operator round 2 flagged; the unfiltered pair set is emitted so
