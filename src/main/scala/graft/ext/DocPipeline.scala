@@ -591,9 +591,12 @@ object DocPipeline {
     * given `maxStoreBandDf` — exactly [[prepareIncremental]]'s candidate
     * stage (shared code), counted instead of verified. Used by the
     * ops-month rehearsal's boilerplate-hub day to show the read-side
-    * quadratic suppressed operationally (guard-on vs guard-off counts);
-    * diagnostic only, not a pipeline stage. */
-  private[graft] def incrementalCandidateVolume(
+    * quadratic suppressed operationally (guard-on vs guard-off counts),
+    * and the deployment-side occupancy probe ([[streamIncremental]]'s
+    * scaling note): when candidates-per-batch outgrows the verify
+    * budget, migrate the store to sharper keys. Diagnostic only, not a
+    * pipeline stage. */
+  def incrementalCandidateVolume(
       newDocs: DataFrame,
       store: DataFrame,
       idCol: String = "doc_id",
@@ -774,6 +777,21 @@ object DocPipeline {
     * versions), so a crashed append is invisible debris and the replay
     * reproduces it exactly. Cross-boundary chain caveat as in
     * [[prepareIncremental]].
+    *
+    * Occupancy scaling — the signature twin of
+    * [[streamEmbeddingDedup]]'s valve: with fixed (minhashK, bands),
+    * per-band-key store df grows with the accepted corpus (shared
+    * vocabulary concentrates minhash minima), so per-batch CANDIDATE
+    * volume — and with it the verify stage's cost — grows linearly
+    * even though the r15 semi-filtered joins keep the store itself out
+    * of every exchange (measured: 139k → 547k candidate pairs for the
+    * same 30k batch as the store grew 1M → 4M, §7.8). `maxStoreBandDf`
+    * clips the boilerplate tail; the structural fix is key
+    * SPECIFICITY — rebuild at more rows per band
+    * ([[rebuildSignatureStore]] at higher minhashK/bands, the
+    * (8,4) → (16,8) migration StoreMigrationDemo rehearses) when
+    * [[incrementalCandidateVolume]] says candidates-per-batch has
+    * outgrown the verification budget.
     *
     * Returns the started query (memory/console sinks stay testable). */
   def streamIncremental(

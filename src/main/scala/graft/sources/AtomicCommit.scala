@@ -34,7 +34,19 @@ import org.apache.spark.sql.SparkSession
   * that state requires two unfenced writers committing the same
   * version at the same instant — a double contract violation; use
   * [[acquireEpoch]]/[[commitFenced]] wherever two attempts can
-  * overlap. */
+  * overlap.
+  *
+  * Object stores: ABFS and GCS rename single files atomically, so the
+  * protocol holds as on HDFS. Raw S3 has NO rename (S3A emulates it
+  * as copy+delete, neither atomic nor no-overwrite) — there, only the
+  * tiny `_commits/<N>` publication needs a real primitive (the data
+  * directories are write-once and never renamed): back it with S3
+  * conditional PUT (If-None-Match, supported by S3 since 2024 and
+  * surfaced by recent S3A) or an external fencing service, exactly
+  * the choice every S3 table format makes (Delta's LogStore,
+  * Iceberg's catalog swap). The protocol's shape — one small
+  * publication point, everything else immutable — is what makes that
+  * substitution local. */
 object AtomicCommit {
 
   private[graft] def fs(spark: SparkSession, root: String) =

@@ -34,16 +34,38 @@ object Compact {
     total
   }
 
-  /** @return the number of output files written */
+  /** @return the number of output files written (0 = AQE-sized: with
+    * partition columns the file count is decided at runtime, see below)
+    *
+    * Partitioned output is REBALANCED on the partition columns, not
+    * round-robined: `repartition(n)` scatters every partition value
+    * across all n tasks, so `partitionBy` would re-explode the output
+    * into n × values files — compaction that manufactures the very
+    * small files it exists to remove (the Ivf.byCell argument). The
+    * rebalance clusters rows by partition value while AQE sizes the
+    * shuffle output to `targetBytes` (scoped advisory), splitting
+    * skewed values instead of bottlenecking one writer. */
   def compactTo(spark: SparkSession, inPath: String, outPath: String,
                 targetBytes: Long = 128L << 20,
                 partitionCols: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
-    val n = math.max(1, math.ceil(dataBytes(spark, inPath).toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)
-    val writer = df.repartition(n).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(outPath)
-    n
+    if (partitionCols.isEmpty) {
+      val n = math.max(1, math.ceil(dataBytes(spark, inPath).toDouble / targetBytes).toInt)
+      df.repartition(n).write.mode("overwrite").parquet(outPath)
+      n
+    } else {
+      import org.apache.spark.sql.functions.col
+      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, targetBytes.toString)
+      try df.hint("rebalance", partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      0
+    }
   }
 }

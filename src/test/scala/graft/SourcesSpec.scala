@@ -59,6 +59,32 @@ class SourcesSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("compactTo with partition columns: rebalance-by-key output, not " +
+      "n x values re-explosion") {
+    import graft.sources.Compact
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    // 16 upstream partitions x 5 key values: the naive round-robin +
+    // partitionBy write produces ~n x 5 files; the rebalanced one lands
+    // at most a handful per key value at this tiny size
+    spark.range(5000).selectExpr("id", "CAST(id % 5 AS INT) AS k")
+      .repartition(16).write.partitionBy("k").parquet(in)
+    def parts(p: String): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    assert(parts(in) >= 40, s"fixture too small: ${parts(in)} files")
+    Compact.compactTo(spark, in, out, partitionCols = Seq("k"))
+    assert(parts(out) <= 7, s"${parts(out)} files for 5 key values")
+    val a = spark.read.parquet(in).selectExpr("sum(id)", "count(*)").head()
+    val b = spark.read.parquet(out).selectExpr("sum(id)", "count(*)").head()
+    assert(a === b)
+    // partition layout preserved (k= dirs exist and prune)
+    assert(spark.read.parquet(out).filter(col("k") === 3).count() === 1000)
+  }
+
   test("shard store: deterministic shards, manifest validates, loss detected") {
     import graft.sources.ShardStore
     val dir = java.nio.file.Files.createTempDirectory("shards").resolve("corpus").toString
