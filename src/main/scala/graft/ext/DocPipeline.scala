@@ -29,6 +29,23 @@ import graft.core.Checkpoints.CutOps
   */
 object DocPipeline {
 
+  /** Writer fence for an ATOMIC streaming store (r15): each stream
+    * (re)start claims the next epoch at `storePath`, and every append
+    * the stream makes carries it — so when a SECOND stream is pointed
+    * at the same store (a deploy mistake the single-writer contract
+    * forbids but nothing previously detected), the later start fences
+    * the earlier one and the earlier stream's next append dies LOUDLY
+    * at the fence, before any data write, instead of the two silently
+    * interleaving appends that each other's batches never dedup
+    * against. A restart after a crash claims a higher epoch and fences
+    * any zombie of itself — strictly safer. Plain (non-atomic) stores
+    * have no commit protocol to fence; they keep the documented
+    * single-writer-by-construction contract. */
+  private def streamFence(df: DataFrame, storePath: String,
+                          atomicStore: Boolean, op: String): Option[Long] =
+    if (!atomicStore) None
+    else Some(graft.sources.AtomicCommit.acquireEpoch(df.sparkSession, storePath, op))
+
   /** Wire a durable checkpoint into a streaming writer when the caller
     * provides one. Production streams should ALWAYS pass it: without a
     * checkpoint, a crashed driver loses its source offsets and the
@@ -775,7 +792,11 @@ object DocPipeline {
     * be dropped spuriously. `atomicStore = true` closes that hole: the
     * store becomes an [[graft.sources.AppendStore]] (write-then-commit
     * versions), so a crashed append is invisible debris and the replay
-    * reproduces it exactly. Cross-boundary chain caveat as in
+    * reproduces it exactly — and the stream claims a WRITER EPOCH at
+    * start (r15, all five store streams): a second stream pointed at
+    * the same store path fences this one, whose next append dies
+    * loudly before any data write instead of the two interleaving
+    * (see [[streamFence]]). Cross-boundary chain caveat as in
     * [[prepareIncremental]].
     *
     * Occupancy scaling — the signature twin of
@@ -818,7 +839,8 @@ object DocPipeline {
       // maxStoreBandDf = Long.MaxValue to reproduce pre-r15 drops.
       maxStoreBandDf: Long = 100000L,
       maxShingles: Int = 0,
-      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fence = streamFence(docs, storePath, atomicStore, "streamIncremental")
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -860,11 +882,12 @@ object DocPipeline {
           .cut // materialize BEFORE the store append
         val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands,
           maxShingles)
-        if (atomicStore) graft.sources.AppendStore.append(sigs, storePath)
+        if (atomicStore) graft.sources.AppendStore.append(sigs, storePath, fence)
         else graft.sources.AppendStore.sized(sigs).write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
         onBatch(accepted.drop("_fp", "_whs"), batchId)
       }
       .start()
+  }
 
   /** Rebuild the signature store from the ACCEPTED corpus at a
     * (possibly new) geometry — the actionable answer to the loud
@@ -924,7 +947,8 @@ object DocPipeline {
       textCol: String = "text",
       chunkTokens: Int = 20,
       atomicStore: Boolean = false,
-      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fence = streamFence(docs, storePath, atomicStore, "streamChunkDedup")
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -1010,12 +1034,13 @@ object DocPipeline {
                   lit(false))),
               " "), lit("")).as("text_kept"))
         val newHashes = winners.select(col("_h").as("h"))
-        if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
+        if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath, fence)
         else graft.sources.AppendStore.sized(newHashes).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(out, batchId)
       }
       .start()
+  }
 
   /** Streaming VARIABLE-SPAN dedup against a growing shingle store —
     * the continuous-ingestion twin of `Dedup.spanDedup` (ExactSubstr
@@ -1105,6 +1130,7 @@ object DocPipeline {
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     def keysOf(df: DataFrame): DataFrame =
       embStoreKeys(df, idCol, vecCol, dim, bits, bands)
+    val fence = streamFence(vecs, storePath, atomicStore, "streamEmbeddingDedup")
     withCheckpoint(vecs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -1139,7 +1165,7 @@ object DocPipeline {
         val accepted = survivors.join(histDrop, Seq(idCol), "left_anti")
           .cut // materialize BEFORE the store append
         val newKeys = keysOf(accepted)
-        if (atomicStore) graft.sources.AppendStore.append(newKeys, storePath)
+        if (atomicStore) graft.sources.AppendStore.append(newKeys, storePath, fence)
         else graft.sources.AppendStore.sized(newKeys).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(accepted, batchId)
@@ -1303,6 +1329,7 @@ object DocPipeline {
       atomicStore: Boolean = false,
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(minChars >= 1, s"minChars=$minChars must be >= 1")
+    val fence = streamFence(docs, storePath, atomicStore, "streamLineDedup")
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -1361,7 +1388,7 @@ object DocPipeline {
                 struct(col("pos"), col("line"))))),
               c => c.getField("line")), "\n").as("text_kept"))
         val newHashes = winners.select(col("_h").as("h"))
-        if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath)
+        if (atomicStore) graft.sources.AppendStore.append(newHashes, storePath, fence)
         else graft.sources.AppendStore.sized(newHashes).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(out, batchId)
@@ -1379,6 +1406,7 @@ object DocPipeline {
       atomicStore: Boolean = false,
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(minTokens >= n, s"minTokens=$minTokens must be >= n=$n")
+    val fence = streamFence(docs, storePath, atomicStore, "streamSpanDedup")
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -1461,7 +1489,7 @@ object DocPipeline {
           .join(hist, Seq("_sh"), "left_anti")
           .cut
         val newShingles = fresh.select(col("_sh").as("sh"))
-        if (atomicStore) graft.sources.AppendStore.append(newShingles, storePath)
+        if (atomicStore) graft.sources.AppendStore.append(newShingles, storePath, fence)
         else graft.sources.AppendStore.sized(newShingles).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
         onBatch(out, batchId)

@@ -177,6 +177,65 @@ class StoreShuffleSpec extends SparkTestBase {
     assert(semi.find(_._1 == 3L).get._2 === "prefix bit")
   }
 
+  test("two atomic streams on one store path: the second fences the first — " +
+      "its next append dies loudly before any data write") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fencedstream").toFile
+    dir.delete()
+    val long = (w: String) => Array.tabulate(12)(i => s"$w$i").mkString(" ")
+    val acc1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val acc2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q1 = DocPipeline.streamIncremental(
+      in1.toDF().toDF("doc_id", "text"), dir.getAbsolutePath,
+      minWords = 4, atomicStore = true) { (df, _) =>
+      acc1 ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      in1.addData((1L, long("a")), (2L, long("b")))
+      q1.processAllAvailable()
+      assert(acc1.sorted.toSeq === Seq(1L, 2L))
+      // deploy mistake: a second stream pointed at the SAME store —
+      // it claims a higher epoch at start and takes over
+      val q2 = DocPipeline.streamIncremental(
+        in2.toDF().toDF("doc_id", "text"), dir.getAbsolutePath,
+        minWords = 4, atomicStore = true) { (df, _) =>
+        acc2 ++= df.select("doc_id").as[Long].collect()
+      }
+      try {
+        in2.addData((10L, long("c")), (11L, long("a"))) // 11 dups stored 1
+        q2.processAllAvailable()
+        assert(acc2.sorted.toSeq === Seq(10L))
+        // the fenced stream's next batch dies at the fence: no sink
+        // delivery, no data written
+        in1.addData((20L, long("z")))
+        val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+        def causes(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(e => Option(e.getMessage).getOrElse("")).toSeq
+        assert(causes(err).exists(_.contains("writer fenced")),
+          causes(err).mkString(" | "))
+        assert(!acc1.contains(20L))
+        // the store holds exactly the committed accepts, single copy
+        val stored = graft.sources.AppendStore.readOr(spark,
+          dir.getAbsolutePath, spark.range(0).toDF("x"))
+          .select("doc_id").as[Long].collect().sorted
+        assert(stored.toSeq === Seq(1L, 2L, 10L))
+        // and the surviving stream keeps working
+        in2.addData((12L, long("q")))
+        q2.processAllAvailable()
+        assert(acc2.sorted.toSeq === Seq(10L, 12L))
+      } finally q2.stop()
+    } finally {
+      q1.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
   test("streamEmbeddingDedup: semi-filtered and legacy store plans accept " +
       "identical vector sets") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -9,8 +9,11 @@ per-query MEDIANS across the recorded runs and flags only queries whose
 LATEST run exceeds median * threshold — signal, not noise.
 
 Usage: python3 tools/bench_medians.py [history.jsonl] [threshold]
+       python3 tools/bench_medians.py --table [N] [history.jsonl]
   history.jsonl  default BENCH_HISTORY.jsonl
   threshold      default 1.81 (the measured same-code spread floor)
+  --table N      emit a markdown medians table (top-N by median,
+                 default 15) for pasting into round logs (§7.9 #7)
 
 Exit code 0 always (informational — regressions need a human read);
 prints a summary table sorted by latest/median ratio.
@@ -59,6 +62,35 @@ def main(path="BENCH_HISTORY.jsonl", threshold=1.81):
         print(f"  {q:32s} median {med:7.3f}  latest {cur:7.3f}  {ratio:5.2f}x  (n={n})")
 
 
+def table(n=15, path="BENCH_HISTORY.jsonl"):
+    """Markdown medians table for round logs — top-n queries by median,
+    plus the totals row, computed over every recorded run."""
+    runs = [json.loads(l) for l in open(path) if l.strip()]
+    runs = [r for r in runs if "queries" in r]
+    hist = {}
+    for r in runs:
+        for q, s in r["queries"].items():
+            hist.setdefault(q, []).append(s)
+    latest = runs[-1]["queries"]
+    totals = [r["value"] for r in runs if r.get("metric") == "total"]
+    print(f"| query | median s (n={len(runs)} runs) | latest s | ratio |")
+    print("|---|---|---|---|")
+    print(f"| TOTAL ({len(latest)} queries) | "
+          f"{statistics.median(totals):.2f} | {totals[-1]:.2f} | "
+          f"{totals[-1] / statistics.median(totals):.2f}x |")
+    rows = sorted(((q, statistics.median(s)) for q, s in hist.items()),
+                  key=lambda r: -r[1])[:n]
+    for q, med in rows:
+        cur = latest.get(q)
+        cell = f"{cur:.2f}" if cur is not None else "—"
+        ratio = f"{cur / med:.2f}x" if cur is not None and med > 0 else "—"
+        print(f"| {q} | {med:.2f} | {cell} | {ratio} |")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_HISTORY.jsonl",
-         float(sys.argv[2]) if len(sys.argv) > 2 else 1.81)
+    if len(sys.argv) > 1 and sys.argv[1] == "--table":
+        table(int(sys.argv[2]) if len(sys.argv) > 2 else 15,
+              sys.argv[3] if len(sys.argv) > 3 else "BENCH_HISTORY.jsonl")
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_HISTORY.jsonl",
+             float(sys.argv[2]) if len(sys.argv) > 2 else 1.81)
