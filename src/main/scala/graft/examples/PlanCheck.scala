@@ -58,6 +58,14 @@ object PlanCheck {
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
       ("q_neardup_simhash", "flip-key blocking: equi-join on keys, no cartesian",
         p => !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop")),
+      // r15 store-side exchange discipline: the store's shingle read is
+      // semi-filtered by broadcast candidate ids and the verify join
+      // broadcasts the candidate payload — the store side of the final
+      // plan is map-side (the fp/band-key semis run inside the eager
+      // cuts, asserted by StoreShuffleSpec's shuffle-byte envelope)
+      ("q_incremental_dedup", "store shingle read broadcast-semi-filtered, no cartesian",
+        p => p.contains("LeftSemi") && p.contains("BroadcastHashJoin") &&
+          !p.contains("Cartesian")),
       ("q_merge_upsert", "upsert rank-1: partial+final WindowGroupLimit (losers dropped map-side)",
         p => p.split("WindowGroupLimit").length >= 3),
       ("q_inverted_index", "index build pays exactly ONE term-keyed shuffle",
