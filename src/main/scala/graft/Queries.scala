@@ -2657,19 +2657,32 @@ ORDER BY feature"""
     // the store is built from half the corpus (prepare → signatures on
     // even doc_ids), the other half arrives as a batch through
     // prepareIncremental — exact fp anti-join, NEW×STORED band-key
-    // candidates, shingle-Jaccard verify. The DuckDB twin replays BOTH
-    // funnels and the cross-store stages, so the entire incremental
-    // path — the one the r15 store-side exchange discipline rewired —
-    // is proven cross-engine, not just spec-covered ───────────────────
+    // candidates UNDER THE HUB-KEY GUARD, shingle-Jaccard verify. The
+    // DuckDB twin replays BOTH funnels and the cross-store stages, so
+    // the entire incremental path — the one the r15 store-side exchange
+    // discipline rewired — is proven cross-engine, not just
+    // spec-covered. maxStoreBandDf = 100 is load-bearing here, and its
+    // SQL replication makes this the guard's first cross-engine proof:
+    // the synthetic corpus's shared vocabulary collapses four band keys
+    // into store-sized hubs (df ≈ 1,500 of ~2,400 stored docs), and the
+    // unguarded NEW×STORED join feeds 3.64M candidate pairs to
+    // verification where the guard leaves 10,494 (347×) — the hub-day
+    // phenomenon (§7.8 #3) reproduced organically at sf0.1 ────────────
     QueryDef(
       "q_incremental_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val store = graft.ext.DocPipeline.signatures(
+        // materialize the store once, as production does (a persisted
+        // store is a parquet scan per reference; an UNCUT derived frame
+        // would re-run the whole store-side funnel at each of the
+        // incremental path's store reads — measured 14.1 s vs 3-4 s at
+        // sf0.1)
+        val store = graft.core.Checkpoints.cut(graft.ext.DocPipeline.signatures(
           graft.ext.DocPipeline.prepare(
-            docs.filter(pmod(col("doc_id"), lit(2L)) === 0), minWords = 30))
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0), minWords = 30)))
         graft.ext.DocPipeline.prepareIncremental(
-          docs.filter(pmod(col("doc_id"), lit(2L)) === 1), store, minWords = 30)
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1), store, minWords = 30,
+          maxStoreBandDf = 100L)
           .groupBy(col("lang_pred"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
           .orderBy(col("lang_pred"))
@@ -2722,10 +2735,15 @@ ORDER BY feature"""
         s"""WITH ${funnel("_s", "doc_id % 2 = 0")},
            |${funnel("_b", "doc_id % 2 = 1")},
            |fresh AS (SELECT * FROM acc_b WHERE fp NOT IN (SELECT fp FROM acc_s)),
+           |hot AS (SELECT band_key FROM (
+           |    SELECT band_key, count(*) AS df FROM bands_s
+           |    WHERE doc_id IN (SELECT doc_id FROM acc_s) GROUP BY band_key)
+           |  WHERE df > 100),
            |xcand AS (SELECT DISTINCT f.doc_id AS bid, s.doc_id AS sid
            |  FROM bands_b f JOIN bands_s s USING (band_key)
            |  WHERE f.doc_id IN (SELECT doc_id FROM fresh)
-           |    AND s.doc_id IN (SELECT doc_id FROM acc_s)),
+           |    AND s.doc_id IN (SELECT doc_id FROM acc_s)
+           |    AND band_key NOT IN (SELECT band_key FROM hot)),
            |xdrops AS (SELECT DISTINCT x.bid AS doc_id FROM xcand x
            |  JOIN sh_b a ON a.doc_id = x.bid JOIN sh_s b ON b.doc_id = x.sid
            |  WHERE len(list_intersect(a.s, b.s)) * 1.0
