@@ -421,6 +421,27 @@ object Queries {
     s"CAST(CASE WHEN ($r) >= CAST(9223372036854775808 AS HUGEINT) " +
       s"THEN ($r) - $m ELSE ($r) END AS BIGINT)"
   }
+  /** Packed-64-bit LSH band-key twin (TextHash.bandKeys64, bkv=2): for
+    * band b over a signature list `s` with 2 rows/band, fold
+    * ((b·M + s[2b+1])·M + s[2b+2]) with M the FNV-64 prime in HUGEINT
+    * mod 2^64, then fold the unsigned residue back into signed BIGINT —
+    * the same replay discipline as [[duckCharHash64]]. Emitted as the
+    * body of a `list_transform(range(0,4), b -> ...)`. */
+  private def duckBandKey64(h1: String, h2: String, b: String = "b"): String = {
+    val m64 = "CAST(1099511628211 AS HUGEINT)"
+    val mod = "CAST(18446744073709551616 AS HUGEINT)"
+    val r = s"((CAST($b AS HUGEINT)*$m64 + CAST($h1 AS HUGEINT))*$m64 + " +
+      s"CAST($h2 AS HUGEINT)) % $mod"
+    s"CAST(CASE WHEN ($r) >= CAST(9223372036854775808 AS HUGEINT) " +
+      s"THEN ($r) - $mod ELSE ($r) END AS BIGINT)"
+  }
+  /** The full 4-band unnest body over a signature column `s` at the
+    * contract geometry (k=8, bands=4, 2 rows/band). */
+  private val duckBandKeys: String =
+    s"unnest(list_transform(range(0,4), b -> " +
+      duckBandKey64("s[CAST(2*b+1 AS INT)]", "s[CAST(2*b+2 AS INT)]") +
+      ")) AS band_key"
+
   private val duckWhs =
     s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
   private def duckRehash(i: Int): String =
@@ -1495,11 +1516,36 @@ ORDER BY feature"""
              |sig AS (SELECT doc_id, list_transform(range(0,8),
              |  i -> list_min(list_transform(h,
              |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
-             |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
-             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
-             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig)
+             |bands AS (SELECT doc_id, $duckBandKeys FROM sig)
              |SELECT band_key, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
              |FROM bands GROUP BY band_key HAVING count(*) > 1 ORDER BY band_key""".stripMargin)),
+
+    // ── 38a. packed 64-bit band keys, the kernel alone (r15 bkv=2) ────
+    // One row per (doc, band): BandKeys64Expr's wrap-around fold
+    // (acc = acc·M + h seeded with the band index, M the FNV-64 prime)
+    // against DuckDB's HUGEINT-mod-2^64 replay — the direct proof that
+    // every banding/candidate/store stage's key arithmetic matches the
+    // oracle BEFORE any grouping hides single-key divergences.
+    QueryDef(
+      "q_band_pack",
+      (s, d) => {
+        val sig = t(s, d, "documents")
+          .withColumn("_whs", TextHash.wordHashes(col("text")))
+          .withColumn("_sig", TextHash.minhashSignature(col("_whs"), 8))
+        sig.select(col("doc_id"),
+            posexplode(TextHash.bandKeys64(col("_sig"), 4)).as(Seq("band", "band_key")))
+          .withColumn("band", col("band").cast("int"))
+          .orderBy(col("doc_id"), col("band")).limit(2000)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWhs AS h FROM documents),
+             |sig AS (SELECT doc_id, list_transform(range(0,8),
+             |  i -> list_min(list_transform(h,
+             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
+             |bands AS (SELECT doc_id, CAST(b AS INT) AS band,
+             |  ${duckBandKey64("s[CAST(2*b+1 AS INT)]", "s[CAST(2*b+2 AS INT)]")} AS band_key
+             |FROM sig, range(0,4) t(b))
+             |SELECT doc_id, band, band_key FROM bands
+             |ORDER BY doc_id, band LIMIT 2000""".stripMargin)),
 
     // ── 38b. one-permutation densified MinHash signature (OPH) ────────
     // Li/Owen/Zhang 2012 + Shrivastava & Li 2014 rotation densification:
@@ -2449,9 +2495,7 @@ ORDER BY feature"""
            |sig AS (SELECT doc_id, list_transform(range(0,8),
            |  i -> list_min(list_transform(h,
              |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
-           |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
-           |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
-           |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+           |bands AS (SELECT doc_id, $duckBandKeys FROM sig),
            |bmin AS (SELECT band_key, min(doc_id) AS min_id FROM bands GROUP BY band_key),
            |cand AS (SELECT DISTINCT doc_id, min_id FROM (
            |  SELECT b.doc_id, min_id FROM bands b
@@ -2507,9 +2551,7 @@ ORDER BY feature"""
              |sig AS (SELECT doc_id, list_transform(range(0,8),
              |  i -> list_min(list_transform(h,
              |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
-             |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
-             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
-             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+             |bands AS (SELECT doc_id, $duckBandKeys FROM sig),
              |bmin AS (SELECT band_key, min(doc_id) AS dup_of FROM bands GROUP BY band_key),
              |cand AS (SELECT DISTINCT b.doc_id, dup_of FROM bands b
              |  JOIN bmin USING (band_key) WHERE b.doc_id > dup_of),
@@ -2567,9 +2609,7 @@ ORDER BY feature"""
              |sig AS (SELECT doc_id, list_transform(range(0,8),
              |  i -> list_min(list_transform(h,
              |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
-             |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
-             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
-             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+             |bands AS (SELECT doc_id, $duckBandKeys FROM sig),
              |bmin AS (SELECT band_key, min(doc_id) AS m FROM bands GROUP BY band_key),
              |star AS (SELECT b.doc_id, m AS dup_of FROM bands b
              |  JOIN bmin USING (band_key) WHERE b.doc_id > m),
@@ -2624,9 +2664,7 @@ ORDER BY feature"""
            |sig AS (SELECT doc_id, list_transform(range(0,8),
            |  i -> list_min(list_transform(h,
              |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w),
-           |bands AS (SELECT doc_id, unnest(list_transform(range(0,4),
-           |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
-           |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig),
+           |bands AS (SELECT doc_id, $duckBandKeys FROM sig),
            |bmin AS (SELECT band_key, min(doc_id) AS min_id FROM bands GROUP BY band_key),
            |cand AS (SELECT DISTINCT doc_id, min_id FROM (
            |  SELECT b.doc_id, min_id FROM bands b
@@ -2711,9 +2749,7 @@ ORDER BY feature"""
              |sig$sfx AS (SELECT doc_id, list_transform(range(0,8),
              |  i -> list_min(list_transform(h,
              |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w$sfx),
-             |bands$sfx AS (SELECT doc_id, unnest(list_transform(range(0,4),
-             |  b -> CAST(b AS VARCHAR) || ':' || CAST(s[CAST(2*b+1 AS INT)] AS VARCHAR)
-             |       || '_' || CAST(s[CAST(2*b+2 AS INT)] AS VARCHAR))) AS band_key FROM sig$sfx),
+             |bands$sfx AS (SELECT doc_id, $duckBandKeys FROM sig$sfx),
              |bmin$sfx AS (SELECT band_key, min(doc_id) AS min_id FROM bands$sfx GROUP BY band_key),
              |cand$sfx AS (SELECT DISTINCT doc_id, min_id FROM (
              |  SELECT b.doc_id, min_id FROM bands$sfx b

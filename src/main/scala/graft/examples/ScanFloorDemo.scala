@@ -1,0 +1,90 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.DocPipeline
+
+/** Measures the LAST store-proportional per-batch term left after the
+  * r15 exchange discipline: the store COLUMN SCAN. Every incremental
+  * batch scans the store's fp column (exact anti-join), its band_keys
+  * column — twice when the hub guard is finite — and (candidates only)
+  * its shingles column. The store rides no exchange, but scan I/O is
+  * O(store) per batch, so at a fixed batch size the per-batch wall
+  * grows linearly with the store; this probe measures that slope in
+  * isolation and answers §7.9 #2's gate: at what store/batch ratio
+  * does scan I/O dominate the batch pipeline on this box?
+  *
+  * Isolation discipline: the corpus vocabulary is PER-DOC-UNIQUE
+  * (full-width xxhash64 token names), so band buckets are pair-private
+  * and the batch shares no fp, band key, or shingle with the store —
+  * candidate volume is ~0 at every store size and the measured slope
+  * is pure scan + semi-filter cost, not candidate growth (the
+  * shared-vocab confound StoreStreamShapeDemo documents). The batch is
+  * also ALL-FRESH, which is exactly the traffic class a per-version
+  * fp/band bloom sidecar could fast-path — the slope here is the
+  * ceiling such a sidecar could reclaim.
+  *
+  * Run: sbt "runMain graft.examples.ScanFloorDemo [batchDocs] [maxStoreM]".
+  */
+object ScanFloorDemo {
+
+  def main(args: Array[String]): Unit = {
+    val batchDocs = args.headOption.map(_.toLong).getOrElse(30000L)
+    val maxStoreM = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .appName("scan-floor-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = java.nio.file.Files.createTempDirectory("scanfloor")
+    def timed[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // per-doc-unique vocabulary: xxhash64(id, position) token names —
+    // no cross-doc token collisions, so blocking is pair-private
+    def docText(id: org.apache.spark.sql.Column) =
+      array_join(transform(sequence(lit(1), lit(50)),
+        w => concat(lit("u"), xxhash64(id, w))), " ")
+
+    val batch = spark.range(900000000L, 900000000L + batchDocs)
+      .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+      .localCheckpoint()
+    // batch-only floor: the same pipeline against an empty store
+    val emptyStore = DocPipeline.signatures(batch.limit(0))
+    val batchOnly = (1 to 3).map(_ => timed(
+      DocPipeline.prepareIncremental(batch, emptyStore, minWords = 10,
+        maxStoreBandDf = 100000L).count())).min
+
+    println(f"SCAN-FLOOR: batch $batchDocs%,d docs, batch-only pipeline $batchOnly%.2f s")
+    var storeM = 1
+    while (storeM <= maxStoreM) {
+      val n = storeM * 1000000L
+      val path = tmp.resolve(s"store_$storeM").toString
+      val docs = spark.range(n)
+        .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+      val wBuild = timed(
+        graft.sources.AppendStore.sized(DocPipeline.signatures(docs))
+          .write.parquet(path))
+      val store = spark.read.parquet(path)
+      // one unmeasured warmup: page cache + parquet footers — the
+      // steady state a long-running deployment's executors sit in
+      // (slower storage makes the COLD slope strictly worse)
+      DocPipeline.prepareIncremental(batch, store, minWords = 10,
+        maxStoreBandDf = 100000L).count()
+      val walls = (1 to 3).map(_ => timed(
+        DocPipeline.prepareIncremental(batch, store, minWords = 10,
+          maxStoreBandDf = 100000L).count()))
+      val w = walls.min
+      val scanShare = 100.0 * (w - batchOnly) / w
+      println(f"SCAN-FLOOR: store ${storeM}M (build $wBuild%.1f s) — per-batch wall " +
+        f"$w%.2f s (min of ${walls.map(x => f"$x%.2f").mkString("/")}); " +
+        f"store-proportional share ≈ $scanShare%.0f%%")
+      storeM *= 2
+    }
+    spark.stop()
+  }
+}

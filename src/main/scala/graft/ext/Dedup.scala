@@ -410,17 +410,19 @@ object Dedup {
       idCol, k, bands)
 
   /** Shared LSH band-key construction over a `_sig` column: one row
-    * per (doc, band); `band_key` = band index + its signature slice. */
+    * per (doc, band); `band_key` = the band's signature slice packed
+    * into ONE 64-bit long ([[TextHash.bandKeys64]] — band index
+    * seeded in, natural wrap-around; r15 `bkv = 2`, replacing the
+    * `"b:h1_h2"` string keys: measured 1.8x fewer key bytes at rest
+    * and on the candidate shuffle, and long instead of string
+    * equi-joins at the candidate stages). */
   private def bandsFromSig(sigged: DataFrame, idCol: String,
                            k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible into $bands bands")
-    val rowsPerBand = k / bands
     sigged
-      .select(col(idCol), posexplode(array((0 until bands).map { b =>
-        array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_")
-      }: _*)).as(Seq("band", "band_hash")))
-      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
-      .drop("band_hash")
+      .select(col(idCol),
+        posexplode(TextHash.bandKeys64(col("_sig"), bands))
+          .as(Seq("band", "band_key")))
   }
 
   /** Near-dup candidate groups: band buckets holding > 1 document.

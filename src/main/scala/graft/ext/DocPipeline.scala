@@ -467,22 +467,20 @@ object DocPipeline {
       maxShingles: Int = 0): DataFrame = {
     require(minhashK % bands == 0, s"k=$minhashK not divisible into $bands bands")
     require(maxShingles >= 0, s"maxShingles=$maxShingles must be >= 0 (0 = exact)")
-    val rowsPerBand = minhashK / bands
     val allShingles = TextHash.shingleHashes(col("_whs"))
     val payload =
       if (maxShingles == 0) array_distinct(allShingles)
       else TextHash.bottomSketch(allShingles, maxShingles)
-    // _sig materialized via withColumn: slice() references it once per
-    // band and an inline HOF expression would be re-evaluated `bands`×
+    // band_keys = the SAME packed-64-bit fold the in-batch banding
+    // uses (TextHash.bandKeys64 / Dedup.bandsFromSig) — the incremental
+    // candidate join equi-joins batch keys against these persisted
+    // keys, so the two sites must stay value-identical (bkv = 2)
     hashed
-      .withColumn("_sig", TextHash.minhashSignature(col("_whs"), minhashK))
       .select(
         col(idCol),
         col("_fp").as("fp"),
-        array((0 until bands).map { b =>
-          concat_ws(":", lit(b),
-            array_join(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand), "_"))
-        }: _*).as("band_keys"),
+        TextHash.bandKeys64(
+          TextHash.minhashSignature(col("_whs"), minhashK), bands).as("band_keys"),
         payload.as("shingles"))
   }
 
@@ -699,16 +697,14 @@ object DocPipeline {
       .cut
     val thr = graft.core.Joins.broadcastThresholdBytes(newDocs.sparkSession)
     // one aggregate over the cut signatures prices BOTH broadcast
-    // sides: fp rows (8 B long + row envelope) and exploded band keys
-    // (string chars + envelope per (doc, band) row)
+    // sides: fp rows and exploded band-key rows are each one 8 B long
+    // plus a row envelope now that band keys are packed longs (bkv=2 —
+    // the pre-r15 string keys needed a per-row length() sum here)
     val (fpBytes, keyBytes) =
       if (thr <= 0) (Long.MaxValue, Long.MaxValue)
       else {
-        val r = sigs.agg(count(lit(1)).as("n"),
-          coalesce(sum(aggregate(transform(col("band_keys"),
-            k => length(k).cast("long")), lit(0L), _ + _)), lit(0L)).as("kc")).head()
-        val n = r.getLong(0)
-        (n * 40L, r.getLong(1) * 2L + n * bands * 48L)
+        val n = sigs.agg(count(lit(1)).as("n")).head().getLong(0)
+        (n * 40L, n * bands * 40L)
       }
 
     // exact: new fingerprints never seen before
@@ -862,13 +858,19 @@ object DocPipeline {
         // comparable, so a mismatched restart dies loudly; sidecars
         // written before the cap existed describe exact stores
         // (legacy default 0).
+        // bkv versions the BAND-KEY format (2 = packed 64-bit longs,
+        // r15; 1 = the "b:h1_h2" strings). Unlike fpv there is no
+        // graceful degradation: a bkv=1 store's band_keys column is
+        // array<string> and the candidate equi-join would type-clash
+        // (or silently never match) — the restart must die loudly and
+        // the store be rebuilt from the corpus.
         checkOrWriteStoreMeta(spark,
           s"${storePath.stripSuffix("/")}_sig_meta", storePath,
           "restart with the stored geometry or rebuild the store from " +
             "the corpus (rebuildSignatureStore)",
           Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2,
-            "m" -> maxShingles),
-          legacyDefaults = Map("m" -> 0))
+            "m" -> maxShingles, "bkv" -> 2),
+          legacyDefaults = Map("m" -> 0, "bkv" -> 1))
         def empty = signatures(b.limit(0), idCol, textCol, minhashK, bands,
           maxShingles)
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
@@ -923,7 +925,7 @@ object DocPipeline {
     } else sigs.write.mode("overwrite").parquet(storePath)
     writeStoreMeta(spark, s"${storePath.stripSuffix("/")}_sig_meta",
       Seq("minhashK" -> minhashK, "bands" -> bands, "fpv" -> 2,
-        "m" -> maxShingles))
+        "m" -> maxShingles, "bkv" -> 2))
   }
 
   /** Streaming SPAN dedup against a growing chunk-hash store — the

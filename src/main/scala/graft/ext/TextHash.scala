@@ -78,6 +78,22 @@ object TextHash {
     when(whs.isNull, lit(null))
       .otherwise(array((0 until k).map(i => minhash(whs, i)): _*))
 
+  /** Pack a k-component signature into `bands` 64-bit LSH band keys
+    * (k/bands components each, band index folded in as the seed):
+    * acc = acc·M + h with natural Long wrap-around, M the FNV-64
+    * prime. The ONE band-key form every banding/candidate/store stage
+    * shares (r15, `bkv = 2` — pre-r15 stores persisted `"b:h1_h2"`
+    * strings: measured 1.8x the bytes at rest and on the candidate
+    * shuffle, and string equi-joins on every candidate exchange;
+    * rebuild via DocPipeline.rebuildSignatureStore). A
+    * packed collision between unrelated slices only creates a
+    * spurious CANDIDATE pair that verification rejects, so the wrap
+    * is recall-neutral by construction. Codegen kernel; the DuckDB
+    * oracle replays the fold in HUGEINT (q_minhash_groups,
+    * q_near_dup_*, q_incremental_dedup all hash-match through it). */
+  def bandKeys64(sig: Column, bands: Int): Column =
+    TextHashExprs.bandKeys64(sig, bands)
+
   /** One-permutation MinHash signature with rotation densification
     * (Li/Owen/Zhang 2012; Shrivastava & Li 2014): a single rehash per
     * token routed into `k` bins by `h mod k`, each component = its

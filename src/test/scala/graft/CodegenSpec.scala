@@ -48,7 +48,9 @@ class CodegenSpec extends SparkTestBase {
       .select(
         col("doc_id"),
         TextHash.fingerprint(col("text")).as("fp"),
-        TextHash.shingleHashes(col("whs")).as("sh"))
+        TextHash.shingleHashes(col("whs")).as("sh"),
+        TextHash.bandKeys64(
+          TextHash.minhashSignature(col("whs"), 8), 4).as("bk"))
     assertCompiles(df, "text-hash")
   }
 

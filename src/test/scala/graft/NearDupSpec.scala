@@ -950,4 +950,46 @@ class NearDupSpec extends SparkTestBase {
     assert(clustersCovered(spread) > clustersCovered(low),
       s"spread covered ${clustersCovered(spread)} clusters, id-order ${clustersCovered(low)}")
   }
+
+  test("packed 64-bit band keys (bkv=2): kernel matches a driver-side " +
+      "reference fold, banding and store sites value-identical, band seed " +
+      "separates identical slices") {
+    import graft.ext.TextHash
+    val docs = Seq(
+      (1L, Array.tabulate(40)(i => s"w${(i * 2654435761L) % 99991L}").mkString(" ")),
+      (2L, Array.tabulate(35)(i => s"v${(i * 40503L + 7) % 99991L}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = docs.withColumn("_whs", TextHash.wordHashes(col("text")))
+      .withColumn("_sig", TextHash.minhashSignature(col("_whs"), 8))
+    val sigRows = sig.select("doc_id", "_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference fold: acc = acc*M + h with natural wrap, seeded b
+    val M = 1099511628211L
+    def ref(s: Seq[Long], bands: Int): Seq[Long] = {
+      val rpb = s.length / bands
+      (0 until bands).map(b =>
+        s.slice(b * rpb, (b + 1) * rpb).foldLeft(b.toLong)((acc, h) => acc * M + h))
+    }
+    val fromKernel = sig
+      .select(col("doc_id"), TextHash.bandKeys64(col("_sig"), 4).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, s) <- sigRows)
+      assert(fromKernel(id) === ref(s, 4), s"kernel vs reference at doc $id")
+    // the two production sites must stay value-identical: the
+    // incremental candidate stage equi-joins in-batch keys
+    // (Dedup.bandsFromSig) against persisted keys (signatures)
+    val banded = Dedup.minhashBands(docs, "doc_id", "text", k = 8, bands = 4)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val stored = DocPipeline.signatures(docs).select("doc_id", "band_keys")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, keys) <- stored; b <- keys.indices)
+      assert(banded((id, b)) === keys(b), s"site divergence at doc $id band $b")
+    // identical slices in different bands must NOT share a key (the
+    // band-index seed) — otherwise a constant-signature doc would
+    // self-collide into one hub bucket
+    val flat = Seq((9L, Seq.fill(8)(12345L))).toDF("doc_id", "_sig")
+    val keys = flat.select(TextHash.bandKeys64(col("_sig"), 4)).head().getSeq[Long](0)
+    assert(keys.distinct.size === 4, s"identical slices collided: $keys")
+  }
 }

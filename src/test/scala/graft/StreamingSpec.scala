@@ -420,8 +420,8 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("signature-store shingle cap is geometry: sketched store rejects " +
-      "history, mismatched-m restart dies loudly, pre-cap sidecars read " +
-      "as exact (legacy m = 0)") {
+      "history, mismatched-m restart dies loudly, pre-bkv sidecars die " +
+      "(string keys), absent params read at legacy defaults") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val long = (w: String) => Array.tabulate(120)(i => s"$w$i").mkString(" ")
@@ -469,8 +469,10 @@ class StreamingSpec extends SparkTestBase {
         q3.processAllAvailable()
       }
     } finally q3.stop()
-    // a PRE-CAP sidecar (no "m" row — what every r14 store has on
-    // disk) reads as exact: m = 0 restarts fine, m = 32 dies
+    // a PRE-BKV sidecar (no "bkv" row — what every r14 store has on
+    // disk) describes a store whose band_keys are "b:h1_h2" STRINGS:
+    // any restart of current code must die with the rebuild recipe,
+    // even at otherwise-matching geometry (r15 pack migration)
     val legacyMeta = s"${store.getAbsolutePath}_sig_meta"
     Seq(("minhashK", 8), ("bands", 4), ("fpv", 2)).toDF("param", "value")
       .coalesce(1).write.mode("overwrite").parquet(legacyMeta)
@@ -484,6 +486,14 @@ class StreamingSpec extends SparkTestBase {
         q4.processAllAvailable()
       }
     } finally q4.stop()
+    // the legacy-default MECHANISM stays pinned: a sidecar missing a
+    // later-added param reads at that param's legacy value — here a
+    // bkv=2 sidecar with no "m" row admits m = 0 (exact) and refuses
+    // m = 32 (the m-grace path itself; no real store writes this
+    // sidecar anymore, both params land together since r15)
+    Seq(("minhashK", 8), ("bands", 4), ("fpv", 2), ("bkv", 2))
+      .toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(legacyMeta)
     val in5 = MemoryStream[(Long, String)]
     var ok5 = Seq.empty[Long]
     val q5 = graft.ext.DocPipeline.streamIncremental(
@@ -493,7 +503,17 @@ class StreamingSpec extends SparkTestBase {
     }
     try { in5.addData((7L, long("ddd"))); q5.processAllAvailable() }
     finally q5.stop()
-    assert(ok5 === Seq(7L), s"legacy sidecar must admit m=0 restarts: $ok5")
+    assert(ok5 === Seq(7L), s"bkv-only sidecar must admit m=0 restarts: $ok5")
+    val in6 = MemoryStream[(Long, String)]
+    val q6b = graft.ext.DocPipeline.streamIncremental(
+      in6.toDF().toDF("doc_id", "text"), store.getAbsolutePath,
+      minWords = 10, maxShingles = 32) { (_, _) => () }
+    try {
+      in6.addData((8L, long("eee")))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q6b.processAllAvailable()
+      }
+    } finally q6b.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(store)
   }
 
