@@ -80,9 +80,22 @@ object ScanFloorDemo {
           maxStoreBandDf = 100000L).count()))
       val w = walls.min
       val scanShare = 100.0 * (w - batchOnly) / w
+      // the bloom fast path (r15): driver-held store blooms prove this
+      // all-fresh batch can't match, so every store scan is skipped —
+      // the per-batch wall should flatten to ~batch-only at EVERY
+      // store size (the build is once per stream start / capacity
+      // doubling, amortized across all batches in between)
+      val wBloom0 = System.nanoTime()
+      val gate = graft.sources.StoreBloom.fromStore(store, bands = 4)
+      val wBloomBuild = (System.nanoTime() - wBloom0) / 1e9
+      val bWalls = (1 to 3).map(_ => timed(
+        DocPipeline.prepareIncrementalWithHashes(batch, store, "doc_id", "text",
+          minWords = 10, minhashK = 8, bands = 4, tau = 0.8,
+          maxStoreBandDf = 100000L, bloomGate = Some(gate)).count()))
       println(f"SCAN-FLOOR: store ${storeM}M (build $wBuild%.1f s) — per-batch wall " +
         f"$w%.2f s (min of ${walls.map(x => f"$x%.2f").mkString("/")}); " +
-        f"store-proportional share ≈ $scanShare%.0f%%")
+        f"store-proportional share ≈ $scanShare%.0f%%; bloom fast path " +
+        f"${bWalls.min}%.2f s (bloom build $wBloomBuild%.1f s, once per start)")
       storeM *= 2
     }
     spark.stop()

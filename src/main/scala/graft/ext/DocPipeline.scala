@@ -677,7 +677,7 @@ object DocPipeline {
     * aggregated; at 100 TB that is the difference between a
     * micro-batch costing O(batch + store-scan) and one costing
     * O(store log store) in exchange traffic. */
-  private[ext] def prepareIncrementalWithHashes(
+  private[graft] def prepareIncrementalWithHashes(
       newDocs: DataFrame,
       store: DataFrame,
       idCol: String,
@@ -687,8 +687,11 @@ object DocPipeline {
       bands: Int,
       tau: Double,
       maxStoreBandDf: Long = Long.MaxValue,
-      maxShingles: Int = 0): DataFrame = {
+      maxShingles: Int = 0,
+      bloomGate: Option[graft.sources.StoreBloom.SigBlooms] = None): DataFrame = {
     require(maxStoreBandDf >= 1, s"maxStoreBandDf=$maxStoreBandDf must be >= 1")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
     // _fp/_whs ride along from prepare's pass — signatures of the
     // accepted batch are derived from them, not re-tokenized
     val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
@@ -696,32 +699,70 @@ object DocPipeline {
     val sigs = signaturesFromHashes(batch, idCol, minhashK, bands, maxShingles)
       .cut
     val thr = graft.core.Joins.broadcastThresholdBytes(newDocs.sparkSession)
+    // bloom gate (r15, [[graft.sources.StoreBloom]]): test the batch's
+    // keys against the driver-held store blooms — keys the store
+    // provably lacks never reach a store read, and an all-miss batch
+    // skips the O(store) column scans entirely (ScanFloorDemo: that
+    // scan is the last store-proportional per-batch term). The batch
+    // side collects to the driver (5 longs/doc — micro-batches are
+    // bounded by the streaming contract); only HIT subsets broadcast.
+    // thr <= 0 pins the legacy join shapes, so it disables this too.
+    val hits: Option[(Array[Long], Array[Long])] =
+      bloomGate.filter(_ => thr > 0).map { g =>
+        val rows = sigs.select(col("fp"), col("band_keys")).collect()
+        val fps = rows.map(_.getLong(0))
+        val keys = rows.flatMap(_.getSeq[Long](1)).distinct
+        (fps.filter(g.fp.mightContainLong), keys.filter(g.band.mightContainLong))
+      }
     // one aggregate over the cut signatures prices BOTH broadcast
     // sides: fp rows and exploded band-key rows are each one 8 B long
     // plus a row envelope now that band keys are packed longs (bkv=2 —
-    // the pre-r15 string keys needed a per-row length() sum here)
-    val (fpBytes, keyBytes) =
-      if (thr <= 0) (Long.MaxValue, Long.MaxValue)
-      else {
-        val n = sigs.agg(count(lit(1)).as("n")).head().getLong(0)
-        (n * 40L, n * bands * 40L)
-      }
+    // the pre-r15 string keys needed a per-row length() sum here);
+    // with the bloom gate the hit-set sizes are already known exactly
+    val (fpBytes, keyBytes) = hits match {
+      case Some((f, k)) => (f.length * 40L, k.length * 40L)
+      case None =>
+        if (thr <= 0) (Long.MaxValue, Long.MaxValue)
+        else {
+          val n = sigs.agg(count(lit(1)).as("n")).head().getLong(0)
+          (n * 40L, n * bands * 40L)
+        }
+    }
 
-    // exact: new fingerprints never seen before
+    // exact: new fingerprints never seen before. A bloom all-miss
+    // PROVES no batch fp is stored — fresh = the whole batch, no scan.
     val storeFps = store.select(col("fp"))
-    val storeFpSide =
-      if (fpBytes <= thr)
-        storeFps.join(broadcast(sigs.select(col("fp"))), Seq("fp"), "left_semi")
-      else storeFps
-    val fresh = sigs.join(storeFpSide, Seq("fp"), "left_anti").cut
+    val fresh = hits match {
+      case Some((fpHits, _)) if fpHits.isEmpty => sigs
+      case Some((fpHits, _)) if fpBytes <= thr =>
+        val hitSet = broadcast(fpHits.toSeq.toDF("fp"))
+        sigs.join(storeFps.join(hitSet, Seq("fp"), "left_semi"),
+          Seq("fp"), "left_anti").cut
+      case _ =>
+        val storeFpSide =
+          if (fpBytes <= thr)
+            storeFps.join(broadcast(sigs.select(col("fp"))), Seq("fp"), "left_semi")
+          else storeFps
+        sigs.join(storeFpSide, Seq("fp"), "left_anti").cut
+    }
 
     // near-dup: band-key candidates vs the store ([[storeCandidates]] —
     // hub-key guard applied there), then shingle-verified: exact
-    // Jaccard on full sets, KMV estimate on bottom-m sketches
-    val batchKeys =
-      if (keyBytes <= thr)
-        Some(broadcast(sigs.select(explode(col("band_keys")).as("band_key"))))
-      else None
+    // Jaccard on full sets, KMV estimate on bottom-m sketches. A bloom
+    // all-miss on band keys proves no stored doc shares ANY band with
+    // the batch — zero candidates, the band/shingle scans are skipped.
+    val skipCandidates = hits.exists(_._2.isEmpty)
+    if (skipCandidates) {
+      return batch.join(fresh.select(col(idCol)), Seq(idCol))
+    }
+    val batchKeys = hits match {
+      case Some((_, bandHits)) if keyBytes <= thr =>
+        Some(broadcast(bandHits.toSeq.toDF("band_key")))
+      case _ =>
+        if (keyBytes <= thr)
+          Some(broadcast(sigs.select(explode(col("band_keys")).as("band_key"))))
+        else None
+    }
     val cand = storeCandidates(fresh, store, idCol, maxStoreBandDf, batchKeys)
     def verify(a: Column, b: Column): Column =
       if (maxShingles == 0) TextHash.jaccard(a, b)
@@ -729,6 +770,18 @@ object DocPipeline {
     val candNa = cand
       .join(fresh.select(col(idCol), col("shingles").as("_na")), Seq(idCol))
       .cut
+    // zero candidates → the verify stage has nothing to do, and
+    // running it anyway would SCAN the store's shingle column — the
+    // heaviest store column (the broadcast semi keeps that scan
+    // exchange-free but cannot keep it unread: ~50 longs/doc, ~5-10x
+    // the fp+band columns together). candNa is already materialized
+    // (the cut above), so this gate is one cheap limit-1 probe; it
+    // fires for every disjoint batch — bloom-gated or not, since
+    // candidate keys absent from the store produce no join rows
+    // (ScanFloorDemo: this is most of the store-proportional term)
+    if (candNa.isEmpty) {
+      return batch.join(fresh.select(col(idCol)), Seq(idCol))
+    }
     // two independent gates from one aggregate: `sidBytes` prices the
     // candidate ID column alone (what the store's shingle scan is
     // semi-filtered by — tiny even when the payload frame is not),
@@ -835,8 +888,32 @@ object DocPipeline {
       // maxStoreBandDf = Long.MaxValue to reproduce pre-r15 drops.
       maxStoreBandDf: Long = 100000L,
       maxShingles: Int = 0,
+      // r15 store-bloom gate ([[graft.sources.StoreBloom]]):
+      // driver-held blooms over the store's fps and band keys replace
+      // the batch-side broadcast sets with the (usually far smaller)
+      // bloom-HIT subsets, and a provably-all-miss batch skips the
+      // store reads entirely. Honest sizing: at the default 1% fpp a
+      // 30k-doc batch virtually never all-misses (false positives),
+      // so the big win for disjoint traffic is the zero-candidate
+      // gate in [[prepareIncrementalWithHashes]] (false-positive keys
+      // are absent from the store, so the candidate join comes back
+      // EMPTY and the shingle-column scan — the heaviest — is
+      // skipped); the bloom trims the fp/band stages on top
+      // (ScanFloorDemo: both measured). Results are bit-identical
+      // either way (a bloom HIT only routes to the full path; the
+      // write protocol — bloom persisted BEFORE the append it
+      // covers — means a crash can only over-represent, never skip a
+      // needed check; the 12x5k ops rehearsal bit-reproduces with
+      // this on). Cost: driver heap ~1.2 GB per 10^9 stored docs at
+      // the default fpp, one bounded batch-key collect per batch, one
+      // store scan to (re)build at stream start when the sidecar is
+      // absent or stale. false restores the r14 behavior exactly.
+      bloom: Boolean = true,
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val fence = streamFence(docs, storePath, atomicStore, "streamIncremental")
+    // per-stream driver state; loaded/validated lazily at first batch
+    val bloomState = new java.util.concurrent.atomic.AtomicReference[
+      graft.sources.StoreBloom.SigBlooms](null)
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -878,14 +955,50 @@ object DocPipeline {
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
           else empty
+        // bloom lifecycle: load the sidecar at first batch; a missing,
+        // unreadable, or UNDER-covering sidecar (rows < store rows —
+        // someone appended outside the protocol, or the store was
+        // rebuilt) triggers one rebuild scan. Over-coverage is the
+        // normal crash/replay state and is safe by construction.
+        if (bloom && bloomState.get() == null) {
+          val loaded = graft.sources.StoreBloom.load(spark, storePath)
+          val valid = loaded.filter(_.rows >= (if (storeExists) store.count() else 0L))
+          bloomState.set(valid.getOrElse {
+            if (storeExists) graft.sources.StoreBloom.fromStore(store, bands)
+            else graft.sources.StoreBloom.create(4L << 20, bands)
+          })
+        }
+        val gate = if (bloom) Option(bloomState.get()) else None
         val accepted = prepareIncrementalWithHashes(
           b, store, idCol, textCol, minWords, minhashK, bands, tau,
-          maxStoreBandDf, maxShingles)
+          maxStoreBandDf, maxShingles, gate)
           .cut // materialize BEFORE the store append
         val sigs = signaturesFromHashes(accepted, idCol, minhashK, bands,
           maxShingles)
+        // merge the ACCEPTED rows (exactly what the append persists)
+        // and save the sidecar BEFORE the append — the crash window
+        // between the two leaves a bloom that over-represents, which
+        // costs one spurious full-path batch, never a missed duplicate
+        gate.foreach { g =>
+          val rows = sigs.select(col("fp"), col("band_keys")).collect()
+          if (rows.nonEmpty) {
+            graft.sources.StoreBloom.addBatch(g,
+              rows.map(_.getLong(0)), rows.flatMap(_.getSeq[Long](1)))
+            graft.sources.StoreBloom.save(spark, storePath, g)
+          }
+        }
         if (atomicStore) graft.sources.AppendStore.append(sigs, storePath, fence)
         else graft.sources.AppendStore.sized(sigs).write.mode(if (storeExists) "append" else "overwrite").parquet(storePath)
+        // outgrown capacity degrades fpp (more spurious full-path
+        // batches, never a miss): rebuild AFTER the append at 4x, so
+        // growth costs O(1) amortized rebuild scans per doubling
+        gate.filter(_.outgrown(bands)).foreach { _ =>
+          val grown = graft.sources.StoreBloom.fromStore(
+            if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
+            else spark.read.parquet(storePath), bands)
+          graft.sources.StoreBloom.save(spark, storePath, grown)
+          bloomState.set(grown)
+        }
         onBatch(accepted.drop("_fp", "_whs"), batchId)
       }
       .start()
@@ -918,6 +1031,10 @@ object DocPipeline {
                             atomicStore: Boolean = false): Unit = {
     import graft.core.Checkpoints.CutOps
     val spark = docs.sparkSession
+    // the bloom sidecar's coverage is void once content is re-keyed;
+    // dropping it FIRST means any crash below leaves a missing sidecar
+    // (next stream start rebuilds — safe), never a stale one
+    graft.sources.StoreBloom.invalidate(spark, storePath)
     val sigs = signatures(docs, idCol, textCol, minhashK, bands, maxShingles).cut
     if (atomicStore) {
       graft.sources.AppendStore.append(sigs, storePath)
