@@ -138,16 +138,25 @@ object OpsMonthDemo {
     // sketch is the full set (≤ 33 shingles), so the acceptance band
     // must stay EXACTLY where the uncapped store held it, proving the
     // capped code path (meta, store schema, KMV verify) is a drop-in
-    def startIngest(maxStoreBandDf: Long = Long.MaxValue):
+    // the ACCEPTED CORPUS rides a side parquet — production keeps the
+    // corpus the signature store describes, and the geometry migration
+    // below replays exactly this (rebuildSignatureStore's documented
+    // contract: docs must be the accepted corpus, not raw traffic)
+    val corpusDir = tmp.resolve("corpus").toString
+    def startIngest(maxStoreBandDf: Long = Long.MaxValue,
+                    minhashK: Int = 8, bands: Int = 4):
         (MemoryStream[(Long, String)],
         org.apache.spark.sql.streaming.StreamingQuery) = {
       val in = MemoryStream[(Long, String)]
       val q = DocPipeline.streamIncremental(
         in.toDF().toDF("doc_id", "text"), sigStore,
-        minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
+        minWords = 5, minhashK = minhashK, bands = bands, tau = 0.8,
         atomicStore = true, maxStoreBandDf = maxStoreBandDf,
         maxShingles = 64) { (accepted, _) =>
-        lastAccepted = accepted.select("doc_id").collect().map(_.getLong(0))
+        val rows = accepted.select(col("doc_id"), col("text")).localCheckpoint()
+        graft.sources.AppendStore.sized(rows)
+          .write.mode("append").parquet(corpusDir)
+        lastAccepted = rows.select("doc_id").collect().map(_.getLong(0))
       }
       (in, q)
     }
@@ -386,6 +395,152 @@ object OpsMonthDemo {
     println(f"HUB-DAY: store-candidates guard-off=$volOff%,d guard-on=$volOn%,d " +
       f"(${volOff.toDouble / math.max(1L, volOn)}%.0f× suppressed), " +
       s"fresh 21000/21000 accepted, near-dup leak $hubNearLeak/200")
+
+    // ── migration day (r15, §7.9 #3): the occupancy rule DECIDES and
+    // the deployment ACTS — stop, rebuild at sharper keys, restart
+    // under traffic. A new tenant ships SHARED-VOCABULARY traffic
+    // (400-word vocabulary — every pair of docs overlaps, and the
+    // lowest-rehash tokens organically own band minima, concentrating
+    // band buckets the way q_incremental_dedup's sf0.1 corpus does),
+    // the axis the
+    // hub-key df guard cannot cap: no single band key is hub-owned,
+    // the whole vocabulary is just small, so candidate volume explodes
+    // pairwise. Day 1 ingests fine (the store holds nothing sharing
+    // this vocabulary); the day-2 PROBE fires the rule, the store is
+    // rebuilt from the accepted corpus at (16,4) — 4 signature rows
+    // per band instead of 2, squaring each band's collision exponent —
+    // and the same probe goes quiet. Recall survives: true near-dups
+    // (J ≈ 1) still collide in a 4-row band. Fixture calibration
+    // (examples/SvProbe, the reproduction script): vocab 400 reads
+    // 36.2 candidates/doc at (8,4) → 8.6 at (16,4); a 200-word vocab
+    // instead FLOORS at ~26/doc even at (32,4) — genuinely
+    // high-overlap pairs that verification must price, which no
+    // geometry removes (the rule correctly keeps firing there); and
+    // (16,8) RAISES volume everywhere — more bands of the same 2-row
+    // sharpness buys recall, not suppression: sharper means more rows
+    // per band.
+    val svBase = 20000000L
+    def svText(contentId: org.apache.spark.sql.Column) =
+      array_join(transform(
+        sequence(lit(0), pmod(contentId, lit(20L)).cast("int") + 14),
+        w => concat(lit("sv"), pmod(xxhash64(contentId, w), lit(400L)))), " ")
+    val sv1 = spark.range(svBase, svBase + 2000L)
+      .select(col("id").as("doc_id"), svText(col("id")).as("text"))
+    val restartedSv = startIngest()
+    input = restartedSv._1
+    stream = restartedSv._2
+    input.addData(sv1.as[(Long, String)].collect().toSeq)
+    stream.processAllAvailable()
+    require(lastAccepted.length == 2000,
+      s"sv day 1: ${lastAccepted.length} of 2000 fresh docs accepted")
+    val sv2fresh = spark.range(svBase + 2000L, svBase + 3000L)
+      .select(col("id").as("doc_id"), svText(col("id")).as("text"))
+    val sv2near = spark.range(svBase + 3000L, svBase + 3200L)
+      .select(col("id").as("doc_id"),
+        concat(svText(pmod(xxhash64(col("id")), lit(2000L)) + svBase),
+          lit(" zz"), (col("id") % 3).cast("string")).as("text"))
+    val sv2 = sv2fresh.unionByName(sv2near)
+    val storeNow = graft.sources.AppendStore
+      .readOr(spark, sigStore, sys.error("sig store missing"))
+    val before = DocPipeline.adviseGeometryMigration(sv2, storeNow,
+      minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
+      maxCandidatesPerDoc = 10.0)
+    require(before.migrate,
+      s"migration rule must fire on shared-vocab occupancy: $before")
+    // the rule stays QUIET on the healthy main-month traffic shape —
+    // a rule that always fires is not a decision
+    val healthy = DocPipeline.adviseGeometryMigration(
+      spark.createDataset(mkBatch(cycles)).toDF("doc_id", "text"), storeNow,
+      minWords = 5, minhashK = 8, bands = 4, tau = 0.8,
+      maxCandidatesPerDoc = 10.0)
+    require(!healthy.migrate,
+      s"migration rule fired on healthy traffic: $healthy")
+    // ACT: stop → rebuild from the accepted corpus at (16,4) → restart
+    stream.stop()
+    DocPipeline.rebuildSignatureStore(spark.read.parquet(corpusDir),
+      sigStore, minhashK = 16, bands = 4, maxShingles = 64,
+      atomicStore = true)
+    val storeMigrated = graft.sources.AppendStore
+      .readOr(spark, sigStore, sys.error("sig store missing"))
+    val after16 = DocPipeline.adviseGeometryMigration(sv2, storeMigrated,
+      minWords = 5, minhashK = 16, bands = 4, tau = 0.8,
+      maxCandidatesPerDoc = 10.0)
+    require(!after16.migrate,
+      s"sharper keys must settle the occupancy rule: $after16")
+    val restartedMig = startIngest(minhashK = 16, bands = 4)
+    input = restartedMig._1
+    stream = restartedMig._2
+    input.addData(sv2.as[(Long, String)].collect().toSeq)
+    stream.processAllAvailable()
+    val svAcc = lastAccepted
+    val svFreshAcc = svAcc.count(_ < svBase + 3000L)
+    val svNearLeak = svAcc.count(_ >= svBase + 3000L)
+    require(svFreshAcc == 1000,
+      s"post-migration: $svFreshAcc of 1000 fresh sv docs accepted")
+    require(svNearLeak <= 5,
+      s"post-migration: $svNearLeak of 200 planted near-dups leaked")
+    stream.stop()
+    println(f"MIGRATION-DAY: shared-vocab probe at (8,4) " +
+      f"${before.candidates}%,d candidates (${before.candidatesPerDoc}%.0f/doc, " +
+      f"rule FIRES; healthy traffic ${healthy.candidatesPerDoc}%.2f/doc stays " +
+      f"quiet) -> rebuilt (16,4) -> ${after16.candidates}%,d " +
+      f"(${after16.candidatesPerDoc}%.2f/doc, quiet); fresh 1000/1000 " +
+      s"accepted, near-dup leak $svNearLeak/200")
+
+    // ── crash drill (r15, §7.9 #6): the durable-checkpoint restart
+    // INSIDE the month-old composition — kill after the store append
+    // but before the offset commit, restart, and the replayed batch
+    // must re-accept nothing against the store it already fed
+    // (StreamingSpec pins this on a fixture store; here it runs
+    // against the real month: migrated geometry, hub history, 147k
+    // accepted docs)
+    val drillSrc = tmp.resolve("drillsrc")
+    java.nio.file.Files.createDirectories(drillSrc)
+    val drillCkpt = tmp.resolve("drillckpt").toString
+    val drillSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drillRun(): org.apache.spark.sql.streaming.StreamingQuery =
+      DocPipeline.streamIncremental(
+        spark.readStream.schema(drillSchema).json(drillSrc.toString),
+        sigStore, minWords = 5, minhashK = 16, bands = 4, tau = 0.8,
+        atomicStore = true, maxShingles = 64,
+        checkpointLocation = Some(drillCkpt)) { (accepted, _) =>
+        lastAccepted = accepted.select("doc_id").collect().map(_.getLong(0))
+      }
+    def drillStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.stop(); q.awaitTermination()
+      var i = 0
+      while (spark.streams.active.nonEmpty && i < 200) { Thread.sleep(50); i += 1 }
+      spark.streams.resetTerminated()
+    }
+    val drillBase = 30000000L
+    java.nio.file.Files.writeString(drillSrc.resolve("d0.json"),
+      (0 until 500).map(i => s"""{"doc_id":${drillBase + i},"text":"${
+        (1 to 12).map(w => s"dr${(i.toLong * 131 + w) % 100000}").mkString(" ")
+      }"}""").mkString("\n"))
+    val dq1 = drillRun()
+    try dq1.processAllAvailable() finally drillStop(dq1)
+    require(lastAccepted.length == 500,
+      s"crash drill batch 0: ${lastAccepted.length} of 500 accepted")
+    val storeCountPre = graft.sources.AppendStore
+      .readOr(spark, sigStore, sys.error("missing")).count()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(drillCkpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(drillCkpt, "commits", ".0.crc"))
+    val dq2 = drillRun()
+    try dq2.processAllAvailable() finally drillStop(dq2)
+    require(lastAccepted.isEmpty,
+      s"crash drill replay re-accepted ${lastAccepted.length} docs")
+    val storeCountPost = graft.sources.AppendStore
+      .readOr(spark, sigStore, sys.error("missing")).count()
+    require(storeCountPost == storeCountPre,
+      s"crash drill replay grew the store: $storeCountPre -> $storeCountPost")
+    println(s"CRASH-DRILL: mid-composition replay re-accepted 0/500, " +
+      s"store single-copy at $storeCountPost signature rows")
 
     // ── month-end audit ──────────────────────────────────────────────
     // recall at the fixed scan FRACTION must never have collapsed —

@@ -628,6 +628,49 @@ object DocPipeline {
     storeCandidates(fresh, store, idCol, maxStoreBandDf).count()
   }
 
+  /** The geometry-migration DECISION the occupancy probe feeds —
+    * rehearsed, not just documented (r15; OpsMonthDemo MIGRATION-DAY):
+    * candidate volume per batch grows with per-band-key store df even
+    * though the store rides no exchange (measured 139k → 547k pairs as
+    * a shared-vocab store grew 1M → 4M at fixed (8,4)), and the
+    * structural fix is KEY SPECIFICITY — rebuild the store with more
+    * signature rows per band (e.g. (8,4) 2 rows/band → (16,4) 4
+    * rows/band), which multiplies per-band collision exponents
+    * (band-match probability J^rows) and collapses accidental-overlap
+    * candidates while true near-dups (J ≈ 1) still collide.
+    *
+    * The rule: migrate when verification work per batch doc exceeds
+    * `maxCandidatesPerDoc` — candidates are what the verify stage must
+    * Jaccard, so this is a direct budget on the one stage whose cost
+    * the deployment cannot cap any other way (the hub-key df guard
+    * bounds BOILERPLATE-owned keys; this bounds the long tail of
+    * merely-overlapping vocabulary that no df cutoff catches).
+    * Returns the measured volume so the caller logs the before/after.
+    * Act on `migrate` with [[rebuildSignatureStore]] at the sharper
+    * geometry while the stream is stopped, then restart at the new
+    * parameters (the `_sig_meta` check makes a premature restart die
+    * loudly). Probe with REPRESENTATIVE next-batch traffic: the rule
+    * measures occupancy against this batch's vocabulary overlap. */
+  final case class MigrationAdvice(candidates: Long, batchDocs: Long,
+                                   candidatesPerDoc: Double, migrate: Boolean)
+  def adviseGeometryMigration(
+      newDocs: DataFrame,
+      store: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8,
+      maxStoreBandDf: Long = Long.MaxValue,
+      maxCandidatesPerDoc: Double = 10.0): MigrationAdvice = {
+    val docs = newDocs.count()
+    val cand = incrementalCandidateVolume(newDocs, store, idCol, textCol,
+      minWords, minhashK, bands, tau, maxStoreBandDf)
+    val perDoc = if (docs == 0) 0.0 else cand.toDouble / docs
+    MigrationAdvice(cand, docs, perDoc, perDoc > maxCandidatesPerDoc)
+  }
+
   /** [[prepareIncremental]] retaining `_fp`/`_whs` on the accepted rows
     * (so [[streamIncremental]] derives the store-absorption signatures
     * without a third tokenization pass).

@@ -951,6 +951,37 @@ class NearDupSpec extends SparkTestBase {
       s"spread covered ${clustersCovered(spread)} clusters, id-order ${clustersCovered(low)}")
   }
 
+  test("adviseGeometryMigration: fires on shared-vocab occupancy, stays " +
+      "quiet on disjoint traffic, and settles at more rows per band") {
+    def svDoc(i: Long, vocab: Long, p: String) =
+      Array.tabulate(16) { w =>
+        val x = i * 1099511628211L + (w + 1) * 2654435761L * (i + 7)
+        s"$p${java.lang.Long.remainderUnsigned(x ^ (x >>> 13), vocab)}"
+      }.mkString(" ")
+    val store = DocPipeline.signatures(
+      (0L until 400L).map(i => (i, svDoc(i, 60, "s"))).toDF("doc_id", "text"))
+      .cache()
+    val sv = (1000L until 1100L).map(i => (i, svDoc(i, 60, "s")))
+      .toDF("doc_id", "text")
+    val disjoint = (2000L until 2100L).map(i => (i, svDoc(i, 100000, "u")))
+      .toDF("doc_id", "text")
+    val fire = DocPipeline.adviseGeometryMigration(sv, store, minWords = 5)
+    assert(fire.migrate && fire.candidatesPerDoc > 10.0, fire.toString)
+    val quiet = DocPipeline.adviseGeometryMigration(disjoint, store, minWords = 5)
+    assert(!quiet.migrate && quiet.candidates === 0, quiet.toString)
+    // rebuilt at 4 rows/band, the same probe volume drops (the knob's
+    // whole point); the shared-vocab floor may legitimately still
+    // exceed the default budget at this extreme 60-word vocabulary
+    val store16 = DocPipeline.signatures(
+      (0L until 400L).map(i => (i, svDoc(i, 60, "s"))).toDF("doc_id", "text"),
+      minhashK = 16, bands = 4)
+    val sharper = DocPipeline.adviseGeometryMigration(sv, store16,
+      minWords = 5, minhashK = 16, bands = 4)
+    assert(sharper.candidates < fire.candidates / 2,
+      s"sharper keys did not suppress: $fire -> $sharper")
+    store.unpersist()
+  }
+
   test("packed 64-bit band keys (bkv=2): kernel matches a driver-side " +
       "reference fold, banding and store sites value-identical, band seed " +
       "separates identical slices") {
