@@ -46,7 +46,11 @@ import org.apache.spark.sql.SparkSession
   * the choice every S3 table format makes (Delta's LogStore,
   * Iceberg's catalog swap). The protocol's shape — one small
   * publication point, everything else immutable — is what makes that
-  * substitution local. */
+  * substitution local, and [[CasPublisher]] makes it EXECUTABLE: both
+  * CAS points (version commits, epoch claims) route through one
+  * pluggable primitive selected by `spark.graft.casPublisher`
+  * (`rename` default; `create` = the exclusive-create /
+  * conditional-PUT shape, raced in ContentionSpec). */
 object AtomicCommit {
 
   private[graft] def fs(spark: SparkSession, root: String) =
@@ -124,6 +128,91 @@ object AtomicCommit {
   def nextVersion(spark: SparkSession, root: String): Long =
     latest(spark, root).map(_._1 + 1).getOrElse(1L)
 
+  /** The ONE primitive an object-store port must supply (scaladoc
+    * above: data directories are write-once, only the tiny CAS
+    * publications need atomicity): put `bytes` at `dst` iff nothing is
+    * there, atomically. true = this caller won the slot; false = the
+    * slot was already taken. Implementations must never leave a
+    * partial object visible at `dst`. */
+  trait CasPublisher {
+    def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, root: Path,
+                        dst: Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** write-tmp + rename-no-overwrite — exactly-once on HDFS-class
+    * filesystems and ABFS/GCS (atomic single-file rename); on
+    * LocalFileSystem rename is check-then-rename, with the documented
+    * torn-manifest recovery in [[readBody]]. The default. */
+  object RenamePublisher extends CasPublisher {
+    def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, root: Path,
+                        dst: Path, bytes: Array[Byte]): Boolean = {
+      if (f.exists(dst)) return false
+      val tmp = new Path(root,
+        s"_tmp-cas-${dst.getName}-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val ok = f.rename(tmp, dst)
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
+  }
+
+  /** conditional-create — the S3 `If-None-Match` conditional-PUT shape
+    * (one exclusive create, no temporary object, no rename): correct
+    * wherever create-no-overwrite is atomic, which is every Hadoop
+    * filesystem AND an S3 client with conditional writes. Selecting it
+    * (`spark.graft.casPublisher = create`) makes the scaladoc's "only
+    * the publication point needs a primitive" claim executable: no
+    * other part of the protocol changes, and the LocalFileSystem
+    * torn-manifest window (a rename racing a checksum sidecar) cannot
+    * occur — the loser's create throws before a byte lands. */
+  object ExclusiveCreatePublisher extends CasPublisher {
+    def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, root: Path,
+                        dst: Path, bytes: Array[Byte]): Boolean = {
+      val scheme = Option(dst.toUri.getScheme)
+        .getOrElse(f.getUri.getScheme)
+      if (scheme == "file") {
+        // Hadoop's LocalFileSystem create(path, overwrite=false) is
+        // check-then-create — NOT atomic (measured: a 4-thread barrier
+        // race produced 4 "winners"). POSIX O_CREAT|O_EXCL via NIO is
+        // the real local primitive; the file lands without a .crc
+        // sidecar, which ChecksumFileSystem treats as checksum-skipped.
+        val p = java.nio.file.Paths.get(dst.toUri.getPath)
+        try {
+          java.nio.file.Files.write(p, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else
+        try {
+          // overwrite = false: atomic create-no-overwrite on HDFS-class
+          // filesystems; the conditional-PUT call on S3-class clients
+          val out = f.create(dst, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            false
+        }
+    }
+  }
+
+  /** Publisher selection: `spark.graft.casPublisher` = `rename`
+    * (default) | `create`. One knob for both CAS points (version
+    * commits and epoch claims) — an S3-class deployment flips it once. */
+  private[graft] def publisher(spark: SparkSession): CasPublisher =
+    spark.conf.getOption("spark.graft.casPublisher").getOrElse("rename") match {
+      case "rename" => RenamePublisher
+      case "create" => ExclusiveCreatePublisher
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.casPublisher=$other (want rename | create)")
+    }
+
   /** Publish version `v` with `manifest` as the commit body. Returns
     * false if `v` was already committed (lost a race — the store is
     * single-writer, so treat as an error upstream). */
@@ -132,12 +221,8 @@ object AtomicCommit {
     f.mkdirs(commitsDir(root))
     val dst = new Path(commitsDir(root), v.toString)
     if (f.exists(dst)) return false
-    val tmp = new Path(root, s"_tmp-commit-$v-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(manifest.getBytes(UTF_8)) finally out.close()
-    val ok = f.rename(tmp, dst)
-    if (!ok) f.delete(tmp, false)
-    ok
+    publisher(spark).publishIfAbsent(f, new Path(root), dst,
+      manifest.getBytes(UTF_8))
   }
 
   // ── Writer fencing (multi-writer safety under orchestration retries) ──
@@ -175,27 +260,25 @@ object AtomicCommit {
   def acquireEpoch(spark: SparkSession, root: String, holder: String = ""): Long = {
     val f = fs(spark, root)
     f.mkdirs(epochsDir(root))
+    val pub = publisher(spark)
     var e = maxEpoch(spark, root) + 1
-    // a rename can fail for two reasons: the epoch slot was claimed by a
-    // racing writer (dst exists — advance and retry), or the filesystem
-    // itself failed (permissions, transient error — dst still absent).
-    // Only collisions justify retrying; anything else must surface, not
-    // burn epoch numbers in an unbounded loop.
+    // a publication can fail for two reasons: the epoch slot was claimed
+    // by a racing writer (dst exists — advance and retry), or the
+    // filesystem itself failed (permissions, transient error — dst still
+    // absent). Only collisions justify retrying; anything else must
+    // surface, not burn epoch numbers in an unbounded loop.
     var nonCollisionFailures = 0
     while (true) {
       val dst = new Path(epochsDir(root), e.toString)
       if (!f.exists(dst)) {
-        val tmp = new Path(root, s"_tmp-epoch-$e-${java.util.UUID.randomUUID()}")
-        val out = f.create(tmp, true)
-        try out.write(holder.getBytes(UTF_8)) finally out.close()
-        if (f.rename(tmp, dst)) return e
-        f.delete(tmp, false)
+        if (pub.publishIfAbsent(f, new Path(root), dst, holder.getBytes(UTF_8)))
+          return e
         if (!f.exists(dst)) {
-          // rename failed but nobody claimed the slot: a real FS failure
+          // publication failed but nobody claimed the slot: a real FS failure
           nonCollisionFailures += 1
           if (nonCollisionFailures >= 3)
             throw new java.io.IOException(
-              s"acquireEpoch: rename into $dst failed $nonCollisionFailures " +
+              s"acquireEpoch: publication into $dst failed $nonCollisionFailures " +
                 "times with no competing claim — filesystem error, not a " +
                 "collision; aborting instead of burning epoch numbers")
         } else e += 1 // lost the race: someone else owns e now
