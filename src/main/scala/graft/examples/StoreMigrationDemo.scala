@@ -285,6 +285,38 @@ object StoreMigrationDemo {
     println(f"EMB-REBUCKET: $nDocs vectors — build (8,2) ${b0 / 1048576.0}%.1f MB " +
       f"in $wBuild%.1f s; rekey (10,4) ${b1 / 1048576.0}%.1f MB in $wRekey%.1f s; " +
       s"parity: re-submits 0/2000 leaked, fresh $frAcc/1000 accepted")
+    // ── 1d. HASH-BYTES: chunk/line-store keys as binary(16) unhex(md5)
+    // (r15) vs the retired 32-char hex strings — at-rest parquet bytes
+    // and a store-side anti-join pass at 2M stored hashes. md5s are
+    // unique, so parquet's dictionary can't fold the hex form; the
+    // binary form is both half the raw width and the representation
+    // the in-batch operators already shuffle.
+    val hashSrc = spark.range(2000000L)
+      .select(md5(col("id").cast("string")).as("hs"))
+    val hexPath = tmp.resolve("h_hex").toString
+    val binPath = tmp.resolve("h_bin").toString
+    hashSrc.select(col("hs").as("h")).write.parquet(hexPath)
+    hashSrc.select(unhex(col("hs")).as("h")).write.parquet(binPath)
+    val (hbHex, hbBin) = (bytesOf(hexPath), bytesOf(binPath))
+    def antiWall(path: String, probe: org.apache.spark.sql.DataFrame): Double = {
+      val (_, w) = timed {
+        probe.join(spark.read.parquet(path), Seq("h"), "left_anti").count()
+      }
+      w
+    }
+    val probeHex = spark.range(3000000L, 3030000L)
+      .select(md5(col("id").cast("string")).as("h"))
+    val probeBin = probeHex.select(unhex(col("h")).as("h"))
+    antiWall(hexPath, probeHex); antiWall(binPath, probeBin) // warm
+    val wHex = antiWall(hexPath, probeHex)
+    val wBin = antiWall(binPath, probeBin)
+    require(hbHex > hbBin * 3 / 2,
+      s"binary hash keys not smaller at rest: ${hbHex.toDouble / hbBin}x")
+    println(f"HASH-BYTES: 2M stored hashes — at rest hex ${hbHex / 1048576.0}%.1f MB " +
+      f"vs binary ${hbBin / 1048576.0}%.1f MB (${hbHex.toDouble / hbBin}%.1f x); " +
+      f"30k-probe anti-join $wHex%.2f s vs $wBin%.2f s")
+
+
     println("STORE-MIGRATION rehearsal passed")
     spark.stop()
   }

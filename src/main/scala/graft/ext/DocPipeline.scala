@@ -1102,6 +1102,20 @@ object DocPipeline {
     * durability caveat as [[streamIncremental]]; `atomicStore = true`
     * routes the store through [[graft.sources.AppendStore]]
     * (write-then-commit) so a crashed append is invisible debris. */
+  /** The persisted hash column IS its own format version: r15 stores
+    * keep `h` as binary(16) (`unhex(md5(...))` — the in-batch
+    * operators' representation, half the bytes of the old 32-char hex
+    * string at rest and on every broadcast). A pre-r15 string-keyed
+    * store must die loudly — Spark would happily cast the join and
+    * silently never match, re-accepting every duplicate forever. */
+  private def requireBinaryHashStore(store: DataFrame, storePath: String,
+                                     what: String): Unit =
+    require(store.schema("h").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"$what store $storePath persists ${store.schema("h").dataType} hash " +
+        "keys (pre-r15 hex format) — current code keys on binary(16) " +
+        "unhex(md5); rebuild the store from the corpus")
+
   def streamChunkDedup(
       docs: DataFrame,
       storePath: String,
@@ -1127,12 +1141,13 @@ object DocPipeline {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("h",
-              org.apache.spark.sql.types.StringType, nullable = false))))
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
           else empty
+        requireBinaryHashStore(store, storePath, "chunk-hash")
         // store-side exchange discipline (the
         // prepareIncrementalWithHashes argument): the store grows with
         // distinct corpus content while the batch stays small, so the
@@ -1152,10 +1167,10 @@ object DocPipeline {
             .head().getLong(0)
         val storeH = store.select(col("h").as("_h"))
         val storeSide =
-          if (nChunks <= thr / 112) // 32-char md5 string + row envelope
+          if (nChunks <= thr / 48) // 16 B binary md5 + row envelope (r15 hv=binary)
             storeH.join(broadcast(
               Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
-                .select(md5(col("chunk").cast("binary")).as("_h"))),
+                .select(unhex(md5(col("chunk").cast("binary"))).as("_h"))),
               Seq("_h"), "left_semi")
           else storeH.distinct()
         // winner decision mirrors Dedup.chunkDedup: partial+final
@@ -1164,7 +1179,7 @@ object DocPipeline {
         // the persisted set; the checkpoint materializes the TINY
         // winner frame (scalars), not the chunk text
         val winners = Corpus.chunkDocs(b, idCol, textCol, chunkTokens)
-          .select(md5(col("chunk").cast("binary")).as("_h"),
+          .select(unhex(md5(col("chunk").cast("binary"))).as("_h"),
             struct(col(idCol).as("_wid"), col("chunk_id").as("_wcid")).as("_w"))
           .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
           .join(storeSide, Seq("_h"), "left_anti")
@@ -1500,12 +1515,13 @@ object DocPipeline {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("h",
-              org.apache.spark.sql.types.StringType, nullable = false))))
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
         val storeExists = graft.sources.AtomicCommit.pathExists(spark, storePath)
         val store =
           if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath, empty)
           else if (storeExists) spark.read.parquet(storePath)
           else empty
+        requireBinaryHashStore(store, storePath, "line-hash")
         val lines = b.select(col(idCol),
           posexplode(split(col(textCol), "\r?\n")).as(Seq("pos", "line")))
         // store-side semi-filter (streamChunkDedup's discipline): the
@@ -1520,16 +1536,16 @@ object DocPipeline {
             .cast("long")), lit(0L))).head().getLong(0)
         val storeH = store.select(col("h").as("_h"))
         val storeSide =
-          if (nLines <= thr / 112) // 32-char md5 string + row envelope
+          if (nLines <= thr / 48) // 16 B binary md5 + row envelope (r15 hv=binary)
             storeH.join(broadcast(
-              lines.select(md5(col("line").cast("binary")).as("_h"))),
+              lines.select(unhex(md5(col("line").cast("binary"))).as("_h"))),
               Seq("_h"), "left_semi")
           else storeH.distinct()
         // winner election mirrors Dedup.lineDedup (partial+final
         // min(struct), text-free), then history wins via the store
         // anti join; only the new-hash scalars checkpoint
         val winners = lines.filter(length(col("line")) >= minChars)
-          .select(md5(col("line").cast("binary")).as("_h"),
+          .select(unhex(md5(col("line").cast("binary"))).as("_h"),
             struct(col(idCol).as("_wid"), col("pos").as("_wpos")).as("_w"))
           .groupBy(col("_h")).agg(min(col("_w")).as("_w"))
           .join(storeSide, Seq("_h"), "left_anti")

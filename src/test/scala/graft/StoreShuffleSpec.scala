@@ -126,7 +126,7 @@ class StoreShuffleSpec extends SparkTestBase {
           input.addData((3L, "e f g h p q r s"), (4L, "n o t h i n g new"))
           q.processAllAvailable()
           val hashes = spark.read.parquet(dir.getAbsolutePath)
-            .select("h").collect().map(_.getString(0)).toSet
+            .select(hex(col("h")).as("h")).collect().map(_.getString(0)).toSet
           (out.sortBy(_._1).toSeq, hashes)
         } finally {
           q.stop()

@@ -625,6 +625,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("pre-r15 hex-keyed hash stores die loudly (the h column's TYPE is " +
+      "its format version): a string-keyed store would silently never " +
+      "match binary keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("hexstore").toFile
+    // a pre-r15 store: 32-char hex md5 strings in `h`
+    Seq("0" * 32, "1" * 32).toDF("h")
+      .write.mode("overwrite").parquet(storeDir.getAbsolutePath)
+    for ((name, start) <- Seq[(String,
+        () => org.apache.spark.sql.streaming.StreamingQuery)](
+      ("chunk", () => {
+        val in = MemoryStream[(Long, String)]
+        val q = graft.ext.DocPipeline.streamChunkDedup(
+          in.toDF().toDF("doc_id", "text"), storeDir.getAbsolutePath,
+          chunkTokens = 2) { (_, _) => () }
+        in.addData((1L, "a b c d")); q
+      }),
+      ("line", () => {
+        val in = MemoryStream[(Long, String)]
+        val q = graft.ext.DocPipeline.streamLineDedup(
+          in.toDF().toDF("doc_id", "text"), storeDir.getAbsolutePath) {
+          (_, _) => () }
+        in.addData((1L, "aaa\nbbb")); q
+      }))) {
+      val q = start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("pre-r15 hex format"),
+          s"$name store: wrong death: ${e.getMessage.take(200)}")
+      } finally q.stop()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
+  }
+
   test("streamLineDedup: history wins across batches; single batch ≡ batch op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
