@@ -295,6 +295,47 @@ object PlanCheck {
       println(f"${if (res) "PASS" else "FAIL"}  $q%-22s $what")
       if (!res) { failed += 1; println(p.linesIterator.take(40).mkString("\n")) }
     }
+    // r15 zero-candidate verify gate: a disjoint batch's incremental
+    // plan must not touch the store's SHINGLE column at all (the
+    // verify stage — and its scan of the store's heaviest column — is
+    // skipped when the materialized candidate frame is empty). The
+    // plan is runtime-dependent (the gate is a driver-side probe), so
+    // this is a constructed scenario, not a declared query.
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def uniqText(id: org.apache.spark.sql.Column, p: String) =
+        array_join(transform(sequence(lit(1), lit(30)),
+          w => concat(lit(p), xxhash64(id, w))), " ")
+      val storeDir = java.nio.file.Files.createTempDirectory("plangate")
+        .resolve("sig").toString
+      graft.ext.DocPipeline.signatures(
+        spark.range(500L).select(col("id").as("doc_id"),
+          uniqText(col("id"), "s").as("text")))
+        .write.parquet(storeDir)
+      val store = spark.read.parquet(storeDir)
+      val disjoint = spark.range(9000L, 9040L).select(col("id").as("doc_id"),
+        uniqText(col("id"), "u").as("text"))
+      val out = graft.ext.DocPipeline.prepareIncrementalWithHashes(
+        disjoint, store, "doc_id", "text", minWords = 5,
+        minhashK = 8, bands = 4, tau = 0.8)
+      val p = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the store's fp/band reads execute inside the call's eager cuts;
+      // with zero candidates the verify stage is skipped, so the
+      // RETURNED plan must not reference the store AT ALL — no parquet
+      // scan anywhere (the in-batch pipeline reads Range + checkpoints;
+      // its own stage-5b jaccard is legitimate and stays)
+      val res = !p.contains("Scan parquet")
+      println(f"${if (res) "PASS" else "FAIL"}  ${"zero-cand gate"}%-22s " +
+        "disjoint batch: returned plan store-free (verify + shingle scan skipped)")
+      if (!res) {
+        failed += 1
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/zerocand_plan.txt"), p)
+        println(p.linesIterator.take(40).mkString("\n"))
+      }
+    }
     // full plan dump for eyeballing when args request it
     if (args.length > 1) args.drop(1).foreach(q => println(s"\n=== $q ===\n${plan(q)}"))
     println(s"PLANCHECK failed=$failed")

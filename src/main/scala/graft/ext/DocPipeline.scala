@@ -507,6 +507,11 @@ object DocPipeline {
     * never shuffled per call — see [[prepareIncrementalWithHashes]]
     * for the full exchange discipline (a bucketed store additionally
     * makes the fallback fp anti-join exchange-free on the store side).
+    * When the candidate set comes back EMPTY the verify stage is
+    * skipped outright — the store's shingle column (its heaviest) is
+    * never read for a batch with nothing to verify (r15; most of the
+    * measured per-batch scan slope, ScanFloorDemo). [[streamIncremental]]
+    * adds the store-bloom gate on top for its long-lived store.
     *
     * Returns the accepted new rows (prepare's output schema). Append
     * `signatures(accepted)` to the store to absorb the batch.
