@@ -655,7 +655,11 @@ object DocPipeline {
     * geometry while the stream is stopped, then restart at the new
     * parameters (the `_sig_meta` check makes a premature restart die
     * loudly). Probe with REPRESENTATIVE next-batch traffic: the rule
-    * measures occupancy against this batch's vocabulary overlap. */
+    * measures occupancy against this batch's vocabulary overlap, and
+    * healthy-traffic ratios GROW with store occupancy (the ops-month
+    * rehearsal read 0.45/doc at 60k stored docs and 2.0/doc at 600k,
+    * same traffic shape) — the budget is a per-deployment verify-cost
+    * ceiling, not a universal constant. */
   final case class MigrationAdvice(candidates: Long, batchDocs: Long,
                                    candidatesPerDoc: Double, migrate: Boolean)
   def adviseGeometryMigration(
