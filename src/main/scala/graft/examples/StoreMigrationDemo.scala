@@ -256,10 +256,31 @@ object StoreMigrationDemo {
       DocPipeline.rebuildEmbeddingStore(vecs, embStore, dim, bits = 8, bands = 2)
     }
     val b0 = bytesOf(embStore)
+    // the DECISION the rekey answers (r16: adviseEmbeddingMigration —
+    // the embedding twin of the signature store's advise): probe the
+    // history-join candidate volume for representative fresh traffic
+    // at the CURRENT geometry vs a verify budget. At (8,2) a 1M store
+    // holds ~n/2^8 ≈ 3.9k vectors per bucket per band → the probe
+    // fires; the (10,4) rekey quarters per-bucket occupancy and the
+    // same probe reads under budget.
+    val adviseProbe = spark.range(probeBase + 5000L, probeBase + 5200L)
+      .select(col("id").as("vec_id"), vecOf(col("id") + 9000000L).as("embedding"))
+    val adv0 = DocPipeline.adviseEmbeddingMigration(
+      adviseProbe, spark.read.parquet(embStore), dim,
+      bits = 8, bands = 2, maxCandidatesPerVec = 5000.0)
     val (_, wRekey) = timed {
       DocPipeline.rebucketEmbeddingStore(spark, embStore, dim, bits = 10, bands = 4)
     }
     val b1 = bytesOf(embStore)
+    val adv1 = DocPipeline.adviseEmbeddingMigration(
+      adviseProbe, spark.read.parquet(embStore), dim,
+      bits = 10, bands = 4, maxCandidatesPerVec = 5000.0)
+    require(adv0.migrate && !adv1.migrate,
+      s"advise decision wrong: before=$adv0 after=$adv1")
+    require(adv1.candidatesPerDoc < adv0.candidatesPerDoc,
+      s"rekey did not reduce occupancy: $adv0 -> $adv1")
+    println(f"EMB-ADVISE: (8,2) ${adv0.candidatesPerDoc}%.0f cand/vec (budget " +
+      f"5000 -> migrate) -> (10,4) ${adv1.candidatesPerDoc}%.0f cand/vec (quiet)")
     // parity probe: re-submitted vectors are exact (cos = 1) dups of
     // history — every one must reject at the NEW geometry; fresh
     // vectors (different seed space) must flow

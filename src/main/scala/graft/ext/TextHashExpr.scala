@@ -155,6 +155,13 @@ object TextHashLoopsBand {
     * instead of string equi-joins on every candidate stage. */
   def bandKeys64(sig: org.apache.spark.sql.catalyst.util.ArrayData, bands: Int): Array[Long] = {
     val k = sig.numElements()
+    // same contract Dedup.bandsFromSig enforces — an indivisible
+    // geometry would silently floor rows-per-band and key over a
+    // TRUNCATED signature (trailing components never banded), quietly
+    // weakening band specificity for direct callers of this kernel
+    if (k % bands != 0) throw new IllegalArgumentException(
+      s"bandKeys64: signature length $k not divisible by bands=$bands " +
+        s"— ${k % bands} trailing component(s) would be silently dropped")
     val rpb = k / bands
     val out = new Array[Long](bands)
     var b = 0

@@ -158,38 +158,67 @@ object AtomicCommit {
   }
 
   /** conditional-create — the S3 `If-None-Match` conditional-PUT shape
-    * (one exclusive create, no temporary object, no rename): correct
-    * wherever create-no-overwrite is atomic, which is every Hadoop
-    * filesystem AND an S3 client with conditional writes. Selecting it
-    * (`spark.graft.casPublisher = create`) makes the scaladoc's "only
-    * the publication point needs a primitive" claim executable: no
-    * other part of the protocol changes, and the LocalFileSystem
-    * torn-manifest window (a rename racing a checksum sidecar) cannot
-    * occur — the loser's create throws before a byte lands. */
+    * (one exclusive create, no temporary object, no rename). The
+    * primitive this publisher needs is PUBLICATION-atomicity, not mere
+    * existence-atomicity: the destination must become visible with its
+    * FULL content or not at all. That holds on object-store connectors
+    * (s3a/gs/abfs conditional writes upload the object at close — no
+    * byte is visible before the single conditional PUT) and on the
+    * local scheme via the hard-link publication below. It does NOT
+    * hold on HDFS-class filesystems, where `create(dst, false)` makes
+    * `dst` namespace-visible at ZERO length before any byte is
+    * written — a crash or a concurrent `latest()` in that window would
+    * observe a committed version with an empty/partial manifest, a
+    * state the rename publisher can never produce. This publisher
+    * therefore REFUSES hdfs:// destinations loudly (use the default
+    * `rename` publisher there — HDFS rename is atomic). Selecting it
+    * (`spark.graft.casPublisher = create`) changes no other part of
+    * the protocol, and the LocalFileSystem torn-manifest window (a
+    * rename racing a checksum sidecar) cannot occur — the loser's
+    * link/PUT fails before its content is ever visible at `dst`. */
   object ExclusiveCreatePublisher extends CasPublisher {
     def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, root: Path,
                         dst: Path, bytes: Array[Byte]): Boolean = {
       val scheme = Option(dst.toUri.getScheme)
         .getOrElse(f.getUri.getScheme)
+      require(scheme != "hdfs",
+        s"casPublisher=create on $dst: HDFS create(dst, overwrite=false) " +
+          "publishes a zero-length file into the namespace BEFORE the " +
+          "manifest bytes land — existence is atomic but publication is " +
+          "not, so a crash/reader in the window sees a committed version " +
+          "with an empty manifest. Use spark.graft.casPublisher=rename " +
+          "on HDFS (its single-file rename is atomic with full content).")
       if (scheme == "file") {
         // Hadoop's LocalFileSystem create(path, overwrite=false) is
         // check-then-create — NOT atomic (measured: a 4-thread barrier
-        // race produced 4 "winners"). POSIX O_CREAT|O_EXCL via NIO is
-        // the real local primitive; the file lands without a .crc
-        // sidecar, which ChecksumFileSystem treats as checksum-skipped.
+        // race produced 4 "winners"), and even POSIX O_CREAT|O_EXCL
+        // publishes an EMPTY file before the write syscall lands. The
+        // real local primitive for atomic-with-content is link(2):
+        // write the bytes to a tmp file first, then hard-link it to
+        // `dst` — link fails with EEXIST if dst exists and otherwise
+        // makes dst visible with the tmp file's full content in one
+        // syscall. The linked file has no .crc sidecar, which
+        // ChecksumFileSystem treats as checksum-skipped.
         val p = java.nio.file.Paths.get(dst.toUri.getPath)
+        val tmp = p.resolveSibling(
+          s"_tmp-cas-${p.getFileName}-${java.util.UUID.randomUUID()}")
         try {
-          java.nio.file.Files.write(p, bytes,
+          java.nio.file.Files.write(tmp, bytes,
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
+          java.nio.file.Files.createLink(p, tmp)
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+        } finally {
+          java.nio.file.Files.deleteIfExists(tmp)
         }
       } else
         try {
-          // overwrite = false: atomic create-no-overwrite on HDFS-class
-          // filesystems; the conditional-PUT call on S3-class clients
+          // object-store connectors (s3a conditional PUT, gs, abfs):
+          // the object is uploaded in the close() call as one
+          // conditional write — nothing is visible at dst before the
+          // full content is; overwrite=false is the If-None-Match
           val out = f.create(dst, false)
           try out.write(bytes) finally out.close()
           true

@@ -80,27 +80,67 @@ object StoreBloom {
       BloomFilter.create(expectedDocs * bands, fpp),
       rows = 0L, fpCap = expectedDocs, bandCap = expectedDocs * bands)
 
-  /** Rebuild from the store itself — one column-pruned scan, collected
-    * per partition through toLocalIterator-free aggregation: the fp
-    * and exploded band-key columns stream through the driver once.
-    * Sized at max(4x store rows, `minDocs`) so steady growth amortizes
-    * to O(1) rebuilds per doubling. */
+  /** Rebuild from the store itself — one column-pruned scan. Sized at
+    * max(4x store rows, `minDocs`) so steady growth amortizes to O(1)
+    * rebuilds per doubling.
+    *
+    * Two execution shapes, picked by PARTIAL-FILTER size (bloom merge
+    * requires identically-sized partials, so every task must allocate
+    * the FULL-capacity pair — per-task memory scales with the store,
+    * not the partition):
+    *
+    *   - distributed (the default up to `maxPartialBytes` ≈ caps for
+    *     ~100M docs): mapPartitions builds a partial pair per
+    *     partition, hashing runs on the executors in parallel, and
+    *     treeReduce ORs the fixed-size bitmaps executor-side so the
+    *     driver receives ~one pair, not #partitions of them;
+    *   - driver-serial fallback (huge caps): one streaming fold over
+    *     toLocalIterator — one partition's Spark job at a time, rows
+    *     batched to the driver, exactly ONE filter pair allocated.
+    *     Slower (serial hashing) but memory-honest: a 10^9-doc cap is
+    *     a ~1.2 GB fp bitmap per TASK on the distributed path, which
+    *     an executor running several tasks cannot afford. */
   def fromStore(store: DataFrame, bands: Int, minDocs: Long = 4L << 20,
-                fpp: Double = DefaultFpp): SigBlooms = {
+                fpp: Double = DefaultFpp,
+                maxPartialBytes: Long = 256L << 20): SigBlooms = {
     import org.apache.spark.sql.functions._
     val n = store.count()
-    val blooms = create(math.max(n * 4, minDocs), bands, fpp)
-    // one job, two columns; rows stream driver-side batch by batch
-    val it = store.select(col("fp"), col("band_keys")).toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      blooms.fp.putLong(r.getLong(0))
-      val ks = r.getSeq[Long](1)
-      var i = 0
-      while (i < ks.length) { blooms.band.putLong(ks(i)); i += 1 }
+    val fpCap = math.max(n * 4, minDocs)
+    val bandCap = fpCap * bands
+    if (n == 0) return create(fpCap, bands, fpp)
+    // optimal bloom sizing ≈ -ln(fpp)/ln(2)^2 bits per expected key:
+    // the bytes one task's partial pair pins for the whole scan
+    val bitsPerKey = -math.log(fpp) / (math.log(2) * math.log(2))
+    val pairBytes = ((fpCap + bandCap) * bitsPerKey / 8).toLong
+    val keyed = store.select(col("fp"), col("band_keys"))
+    if (pairBytes <= maxPartialBytes) {
+      val (fpF, bandF) = keyed.rdd.mapPartitions { it =>
+        val fp = BloomFilter.create(fpCap, fpp)
+        val band = BloomFilter.create(bandCap, fpp)
+        it.foreach { r =>
+          fp.putLong(r.getLong(0))
+          val ks = r.getSeq[Long](1)
+          var i = 0
+          while (i < ks.length) { band.putLong(ks(i)); i += 1 }
+        }
+        Iterator((fp, band))
+      }.treeReduce({ (a, b) =>
+        a._1.mergeInPlace(b._1); a._2.mergeInPlace(b._2); a
+      }, depth = 2)
+      SigBlooms(fpF, bandF, n, fpCap, bandCap)
+    } else {
+      val blooms = create(fpCap, bands, fpp)
+      val it = keyed.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        blooms.fp.putLong(r.getLong(0))
+        val ks = r.getSeq[Long](1)
+        var i = 0
+        while (i < ks.length) { blooms.band.putLong(ks(i)); i += 1 }
+      }
+      blooms.rows = n
+      blooms
     }
-    blooms.rows = n
-    blooms
   }
 
   /** Merge one batch's collected keys (driver-side putLong). */

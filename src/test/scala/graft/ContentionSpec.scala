@@ -234,6 +234,45 @@ class ContentionSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.casPublisher")
   }
 
+  test("exclusive-create publication is atomic WITH content: local wins " +
+      "ride a hard link (no empty-file window, no tmp debris) and " +
+      "hdfs:// destinations are refused loudly") {
+    // ADVICE r15: existence-atomicity is not publication-atomicity — a
+    // create that claims the namespace before the bytes land can expose
+    // a committed version with an empty manifest. Locally the fix is
+    // link(2): dst appears with the tmp file's FULL content in one
+    // syscall; on HDFS no such primitive backs create(dst,false), so
+    // the publisher must refuse rather than publish a torn state.
+    val dir = java.nio.file.Files.createTempDirectory("contlink")
+    val rootPath = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir.toString, "42")
+    val pub = AtomicCommit.ExclusiveCreatePublisher
+    assert(pub.publishIfAbsent(fs, rootPath, dst, "full-manifest".getBytes("UTF-8")))
+    val nio = java.nio.file.Paths.get(dir.toString, "42")
+    assert(new String(java.nio.file.Files.readAllBytes(nio), "UTF-8") === "full-manifest")
+    // loser fails cleanly and leaves the winner's bytes untouched
+    assert(!pub.publishIfAbsent(fs, rootPath, dst, "loser".getBytes("UTF-8")))
+    assert(new String(java.nio.file.Files.readAllBytes(nio), "UTF-8") === "full-manifest")
+    // no _tmp-cas debris from either attempt
+    val names = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        val it = s.iterator(); val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.toSeq
+      } finally s.close()
+    }
+    assert(names === Seq("42"), s"debris: $names")
+    val e = intercept[IllegalArgumentException] {
+      pub.publishIfAbsent(fs, rootPath,
+        new org.apache.hadoop.fs.Path("hdfs://nn:8020/store/_commits/1"),
+        "x".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("casPublisher=rename") ||
+      e.getMessage.contains("spark.graft.casPublisher=rename"))
+  }
+
   test("fenced zombie mid-flight: the retry's takeover makes the zombie's " +
       "next append fail, its debris stays invisible, vacuum clears it") {
     val root = java.nio.file.Files.createTempDirectory("contfence")

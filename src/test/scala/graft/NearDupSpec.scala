@@ -982,6 +982,37 @@ class NearDupSpec extends SparkTestBase {
     store.unpersist()
   }
 
+  test("adviseEmbeddingMigration: fires on a coarse-geometry store, quiet " +
+      "on a healthy one, and rebucketing at sharper bits calms the probe") {
+    // VERDICT r15 what's-missing #3: spread vectors jammed into 2^2=4
+    // buckets per band are occupancy-crowded by GEOMETRY (the case a
+    // rebucket fixes — identical-vector crowds are the SvProbe-class
+    // floor no geometry fixes, deliberately not planted here)
+    def vec(i: Int) = Array.tabulate(16) { j =>
+      val x = (i.toLong * 2654435761L + (j + 1) * 40503L)
+      val m = (x ^ (x >>> 13)) * 1099511628211L
+      (java.lang.Long.remainderUnsigned(m, 2001L) - 1000L) / 1000.0f
+    }
+    val corpus = (1 to 256).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val batch = (9001 to 9020).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("embadvise").toString + "/store"
+    DocPipeline.rebuildEmbeddingStore(corpus, dir, dim = 16, bits = 2, bands = 2)
+    val fire = DocPipeline.adviseEmbeddingMigration(
+      batch, spark.read.parquet(dir), dim = 16, bits = 2, bands = 2,
+      maxCandidatesPerVec = 16.0)
+    assert(fire.migrate && fire.candidatesPerDoc > 16.0, fire.toString)
+    assert(fire.batchDocs === 20)
+    // same store re-keyed at bits = 8 (2^8 buckets/band): the same
+    // probe traffic reads far under budget — the decision's point
+    DocPipeline.rebucketEmbeddingStore(spark, dir, dim = 16, bits = 8, bands = 2)
+    val quiet = DocPipeline.adviseEmbeddingMigration(
+      batch, spark.read.parquet(dir), dim = 16, bits = 8, bands = 2,
+      maxCandidatesPerVec = 16.0)
+    assert(!quiet.migrate, quiet.toString)
+    assert(quiet.candidates < fire.candidates / 2,
+      s"sharper buckets did not suppress: $fire -> $quiet")
+  }
+
   test("packed 64-bit band keys (bkv=2): kernel matches a driver-side " +
       "reference fold, banding and store sites value-identical, band seed " +
       "separates identical slices") {
@@ -1022,5 +1053,53 @@ class NearDupSpec extends SparkTestBase {
     val flat = Seq((9L, Seq.fill(8)(12345L))).toDF("doc_id", "_sig")
     val keys = flat.select(TextHash.bandKeys64(col("_sig"), 4)).head().getSeq[Long](0)
     assert(keys.distinct.size === 4, s"identical slices collided: $keys")
+  }
+
+  test("bandKeys64 refuses an indivisible geometry: k % bands != 0 throws " +
+      "instead of silently keying over a truncated signature") {
+    // Dedup.bandsFromSig/signaturesFromHashes already require k % bands
+    // == 0; the public kernel/expression must match (ADVICE r15) — an
+    // integer-floor rpb would drop trailing components with no error
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.TextHashLoopsBand.bandKeys64(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.fill(7)(42L)), 4)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    // the Column route surfaces the same error through execution
+    import graft.ext.TextHash
+    val bad = Seq((1L, Seq.fill(7)(42L))).toDF("doc_id", "_sig")
+    val eq = intercept[Throwable] {
+      bad.select(TextHash.bandKeys64(col("_sig"), 4)).collect()
+    }
+    val chain = Iterator.iterate(eq)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain.exists(t => t.getMessage != null &&
+      t.getMessage.contains("not divisible")), s"got: $eq")
+  }
+
+  test("pre-r15 (bkv=1) string band_keys stores die loudly on the BATCH " +
+      "APIs too, with the rebuild recipe (ADVICE r15: the equi-join " +
+      "would silently cast string keys to null and match nothing)") {
+    val long = (w: String) => Array.tabulate(40)(i => s"$w$i").mkString(" ")
+    val batch = Seq((1L, long("aaa"))).toDF("doc_id", "text")
+    val good = DocPipeline.signatures(DocPipeline.prepare(batch, minWords = 10))
+    // forge the pre-r15 shape: band_keys re-typed array<string>
+    val legacy = good.withColumn("band_keys",
+      expr("transform(band_keys, k -> concat('0:', cast(k as string)))"))
+    val e1 = intercept[IllegalArgumentException] {
+      DocPipeline.prepareIncremental(batch, legacy, minWords = 10)
+    }
+    assert(e1.getMessage.contains("bkv=1") &&
+      e1.getMessage.contains("rebuildSignatureStore"))
+    val e2 = intercept[IllegalArgumentException] {
+      DocPipeline.incrementalCandidateVolume(batch, legacy, minWords = 10)
+    }
+    assert(e2.getMessage.contains("band_keys"))
+    val e3 = intercept[IllegalArgumentException] {
+      DocPipeline.adviseGeometryMigration(batch, legacy, minWords = 10)
+    }
+    assert(e3.getMessage.contains("rebuildSignatureStore"))
+    // the packed store passes the same gate untouched
+    assert(DocPipeline.prepareIncremental(batch, good, minWords = 10).isEmpty)
   }
 }

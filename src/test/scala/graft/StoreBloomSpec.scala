@@ -52,6 +52,33 @@ class StoreBloomSpec extends SparkTestBase {
     assert(b.rows === 3)
   }
 
+  test("fromStore distributed rebuild (per-partition partials + treeReduce) " +
+      "and the driver-serial fallback cover identically") {
+    // ADVICE r15: the rebuild now genuinely aggregates per partition
+    // (executor-parallel hashing, bitmap OR executor-side); the serial
+    // toLocalIterator fold remains the memory-honest path for caps
+    // whose full-size partial pair no task could hold. Same coverage
+    // contract either way: every stored key present, same sizing.
+    val store = mkStore("ddd", "eee", "fff").repartition(3)
+    val dist = StoreBloom.fromStore(store, bands = 4, minDocs = 16)
+    val serial = StoreBloom.fromStore(store, bands = 4, minDocs = 16,
+      maxPartialBytes = 0L)
+    val rows = store.select(col("fp"), col("band_keys")).collect()
+    rows.foreach { r =>
+      assert(dist.fp.mightContainLong(r.getLong(0)))
+      assert(serial.fp.mightContainLong(r.getLong(0)))
+      r.getSeq[Long](1).foreach { k =>
+        assert(dist.band.mightContainLong(k))
+        assert(serial.band.mightContainLong(k))
+      }
+    }
+    assert(dist.rows === 3 && serial.rows === 3)
+    assert(dist.fpCap === serial.fpCap && dist.bandCap === serial.bandCap)
+    // an empty store still yields a correctly-sized (empty) pair
+    val empty = StoreBloom.fromStore(mkStore().limit(0), bands = 4, minDocs = 16)
+    assert(empty.rows === 0 && empty.fpCap === 16)
+  }
+
   test("prepareIncremental accepted sets are bit-identical gate on/off: " +
       "mixed batch (exact dup, near dup, fresh) and all-fresh batch") {
     val store = mkStore("aaa", "bbb").cache()
