@@ -442,6 +442,18 @@ object Queries {
       duckBandKey64("s[CAST(2*b+1 AS INT)]", "s[CAST(2*b+2 AS INT)]") +
       ")) AS band_key"
 
+  /** LSH plane component at flat index `k` — the pv=2 MIXED family
+    * (multiply → xor-shift → multiply → xor-shift), every intermediate
+    * < 2^62 so plain BIGINT arithmetic is exact on both engines; the
+    * replay of VectorLoops.planeComponent. */
+  private def duckPlane(k: String): String = {
+    val t1 = s"((($k)*2654435761)%2147483648)"
+    val t2 = s"xor($t1, $t1 >> 15)"
+    val t3 = s"((($t2)*1103515245+12345)%2147483648)"
+    val t4 = s"xor($t3, $t3 >> 13)"
+    s"(($t4)/2147483648.0 - 0.5)"
+  }
+
   private val duckWhs =
     s"list_transform(string_split(text,' '), w -> ${duckCharHash("w")})"
   private def duckRehash(i: Int): String =
@@ -468,6 +480,77 @@ object Queries {
        |               LEFT JOIN rc ON s.bucket = rc.bucket, tn, rn),
        |sc AS (SELECT e.doc_id, CAST(sum(wt.lr6) AS BIGINT) AS dsir_lw6
        |       FROM ex e JOIN wt ON e.bucket = wt.bucket GROUP BY e.doc_id)""".stripMargin
+
+  /** DuckDB replay of the whole prepare funnel (gates → langid → exact
+    * dedup → star∪path near-dup) for one document subset, CTEs suffixed
+    * `sfx` — shared by the incremental (q_incremental_dedup) and
+    * sharded (q_sharded_dedup) oracles, which replay the funnel once
+    * per (side, shard) partition of the corpus. */
+  private def duckPrepFunnel(sfx: String, pred: String): String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scores = langs.map(l =>
+      s"len(list_filter(string_split(text,' '), w -> list_contains(${duckStop(l)}, w))) AS s_$l")
+      .mkString(",\n")
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+    s"""base$sfx AS (
+       |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+       |  FROM documents WHERE ($pred) AND len(string_split(text,' ')) >= 30),
+       |sc$sfx AS (SELECT doc_id, text, n_words, $scores FROM base$sfx),
+       |p$sfx AS (SELECT doc_id, text, n_words, ${duckCharHash64("text")} AS fp,
+       |      CASE $cases ELSE 'und' END AS lang_pred
+       |      FROM (SELECT *, $best AS best FROM sc$sfx)),
+       |ex$sfx AS (SELECT doc_id, text, n_words, lang_pred, fp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM p$sfx) WHERE rn = 1),
+       |w$sfx AS (SELECT doc_id, $duckWhs AS h FROM ex$sfx),
+       |sig$sfx AS (SELECT doc_id, list_transform(range(0,8),
+       |  i -> list_min(list_transform(h,
+       |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w$sfx),
+       |bands$sfx AS (SELECT doc_id, $duckBandKeys FROM sig$sfx),
+       |bmin$sfx AS (SELECT band_key, min(doc_id) AS min_id FROM bands$sfx GROUP BY band_key),
+       |cand$sfx AS (SELECT DISTINCT doc_id, min_id FROM (
+       |  SELECT b.doc_id, min_id FROM bands$sfx b
+       |    JOIN bmin$sfx USING (band_key) WHERE b.doc_id > min_id
+       |  UNION ALL
+       |  SELECT doc_id, prev AS min_id FROM (
+       |    SELECT doc_id, lag(doc_id) OVER (
+       |      PARTITION BY band_key ORDER BY doc_id) AS prev FROM bands$sfx)
+       |  WHERE prev IS NOT NULL)),
+       |sh$sfx AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
+       |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
+       |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w$sfx),
+       |drops$sfx AS (SELECT DISTINCT c.doc_id FROM cand$sfx c
+       |  JOIN sh$sfx a ON a.doc_id = c.doc_id JOIN sh$sfx b ON b.doc_id = c.min_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       |acc$sfx AS (SELECT * FROM ex$sfx
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops$sfx))"""
+  }
+
+  /** The NEW×STORED incremental stage over two [[duckPrepFunnel]]
+    * replays (`sSfx` = store side, `bSfx` = batch side): exact fp
+    * anti-join, hub-key guard at store df > `maxDf`, band-key
+    * candidates, shingle-Jaccard verify. Emits `inc$sfx` — the
+    * accepted batch rows. */
+  private def duckIncrStage(sfx: String, sSfx: String, bSfx: String,
+                            maxDf: Long): String =
+    s"""fresh$sfx AS (SELECT * FROM acc$bSfx WHERE fp NOT IN (SELECT fp FROM acc$sSfx)),
+       |hot$sfx AS (SELECT band_key FROM (
+       |    SELECT band_key, count(*) AS df FROM bands$sSfx
+       |    WHERE doc_id IN (SELECT doc_id FROM acc$sSfx) GROUP BY band_key)
+       |  WHERE df > $maxDf),
+       |xcand$sfx AS (SELECT DISTINCT f.doc_id AS bid, s.doc_id AS sid
+       |  FROM bands$bSfx f JOIN bands$sSfx s USING (band_key)
+       |  WHERE f.doc_id IN (SELECT doc_id FROM fresh$sfx)
+       |    AND s.doc_id IN (SELECT doc_id FROM acc$sSfx)
+       |    AND band_key NOT IN (SELECT band_key FROM hot$sfx)),
+       |xdrops$sfx AS (SELECT DISTINCT x.bid AS doc_id FROM xcand$sfx x
+       |  JOIN sh$bSfx a ON a.doc_id = x.bid JOIN sh$sSfx b ON b.doc_id = x.sid
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       |inc$sfx AS (SELECT * FROM fresh$sfx
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM xdrops$sfx))"""
 
   /** 5-gram shingle roll over a word-hash list `h` at 0-based offset `i`
     * (same arithmetic as q_crossdoc_ngram's inline form). */
@@ -1655,11 +1738,11 @@ ORDER BY feature"""
           .orderBy(col("dot").desc, col("vec_id"))
           .limit(5)
       },
-      Some("""WITH b AS (SELECT vec_id, embedding,
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
              |  CAST(list_sum(list_transform(range(0,4), j ->
              |    CASE WHEN list_sum(list_transform(range(0,64), i ->
              |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
-             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |      ${duckPlane("j*64+i+1")})) > 0
              |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
              |  FROM embeddings),
              |p AS (SELECT embedding AS pe, bucket AS pb FROM b WHERE vec_id = 0)
@@ -2726,69 +2809,59 @@ ORDER BY feature"""
           .orderBy(col("lang_pred"))
       },
       Some {
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        val scores = langs.map(l =>
-          s"len(list_filter(string_split(text,' '), w -> list_contains(${duckStop(l)}, w))) AS s_$l")
-          .mkString(",\n")
-        val best = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
-        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
-        // one prepare funnel (gates → langid → exact dedup → star∪path
-        // near-dup), parameterized by side: _s = store half, _b = batch
-        def funnel(sfx: String, pred: String): String =
-          s"""base$sfx AS (
-             |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
-             |  FROM documents WHERE ($pred) AND len(string_split(text,' ')) >= 30),
-             |sc$sfx AS (SELECT doc_id, text, n_words, $scores FROM base$sfx),
-             |p$sfx AS (SELECT doc_id, text, n_words, ${duckCharHash64("text")} AS fp,
-             |      CASE $cases ELSE 'und' END AS lang_pred
-             |      FROM (SELECT *, $best AS best FROM sc$sfx)),
-             |ex$sfx AS (SELECT doc_id, text, n_words, lang_pred, fp FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-             |  FROM p$sfx) WHERE rn = 1),
-             |w$sfx AS (SELECT doc_id, $duckWhs AS h FROM ex$sfx),
-             |sig$sfx AS (SELECT doc_id, list_transform(range(0,8),
-             |  i -> list_min(list_transform(h,
-             |    x -> (x*((2654435761*(i+1))%$duckP)+(40503*(i+1)+7))%$duckP))) AS s FROM w$sfx),
-             |bands$sfx AS (SELECT doc_id, $duckBandKeys FROM sig$sfx),
-             |bmin$sfx AS (SELECT band_key, min(doc_id) AS min_id FROM bands$sfx GROUP BY band_key),
-             |cand$sfx AS (SELECT DISTINCT doc_id, min_id FROM (
-             |  SELECT b.doc_id, min_id FROM bands$sfx b
-             |    JOIN bmin$sfx USING (band_key) WHERE b.doc_id > min_id
-             |  UNION ALL
-             |  SELECT doc_id, prev AS min_id FROM (
-             |    SELECT doc_id, lag(doc_id) OVER (
-             |      PARTITION BY band_key ORDER BY doc_id) AS prev FROM bands$sfx)
-             |  WHERE prev IS NOT NULL)),
-             |sh$sfx AS (SELECT doc_id, list_distinct(list_transform(range(0, len(h)-2),
-             |  i -> ((h[CAST(i+1 AS INT)]*31 + h[CAST(i+2 AS INT)])%$duckP*31
-             |        + h[CAST(i+3 AS INT)])%$duckP)) AS s FROM w$sfx),
-             |drops$sfx AS (SELECT DISTINCT c.doc_id FROM cand$sfx c
-             |  JOIN sh$sfx a ON a.doc_id = c.doc_id JOIN sh$sfx b ON b.doc_id = c.min_id
-             |  WHERE len(list_intersect(a.s, b.s)) * 1.0
-             |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-             |acc$sfx AS (SELECT * FROM ex$sfx
-             |  WHERE doc_id NOT IN (SELECT doc_id FROM drops$sfx))"""
-        s"""WITH ${funnel("_s", "doc_id % 2 = 0")},
-           |${funnel("_b", "doc_id % 2 = 1")},
-           |fresh AS (SELECT * FROM acc_b WHERE fp NOT IN (SELECT fp FROM acc_s)),
-           |hot AS (SELECT band_key FROM (
-           |    SELECT band_key, count(*) AS df FROM bands_s
-           |    WHERE doc_id IN (SELECT doc_id FROM acc_s) GROUP BY band_key)
-           |  WHERE df > 100),
-           |xcand AS (SELECT DISTINCT f.doc_id AS bid, s.doc_id AS sid
-           |  FROM bands_b f JOIN bands_s s USING (band_key)
-           |  WHERE f.doc_id IN (SELECT doc_id FROM fresh)
-           |    AND s.doc_id IN (SELECT doc_id FROM acc_s)
-           |    AND band_key NOT IN (SELECT band_key FROM hot)),
-           |xdrops AS (SELECT DISTINCT x.bid AS doc_id FROM xcand x
-           |  JOIN sh_b a ON a.doc_id = x.bid JOIN sh_s b ON b.doc_id = x.sid
-           |  WHERE len(list_intersect(a.s, b.s)) * 1.0
-           |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        // funnel + incremental stage now live in [[duckPrepFunnel]] /
+        // [[duckIncrStage]] (shared with q_sharded_dedup): _s = store
+        // half, _b = batch half, inc = the accepted batch rows
+        s"""WITH ${duckPrepFunnel("_s", "doc_id % 2 = 0")},
+           |${duckPrepFunnel("_b", "doc_id % 2 = 1")},
+           |${duckIncrStage("", "_s", "_b", 100)}
            |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
            |CAST(sum(n_words) AS BIGINT) AS sum_words
-           |FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM xdrops)
+           |FROM inc
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
       }),
+
+    // ── 57b. SHARDED incremental dedup (r16): the store split into
+    // independent per-shard dedup domains routed by a pure key
+    // function — the contract query for streamIncrementalSharded.
+    // shard = (doc_id // 2) % 2 (store/batch split stays doc_id % 2),
+    // so copies of a text in different shards are NOT deduped against
+    // each other: the oracle replays the full funnel + incremental
+    // stage once per shard and unions — proving both the per-shard
+    // semantics and, by construction, the cross-shard independence. ───
+    QueryDef(
+      "q_sharded_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val isBatch = pmod(col("doc_id"), lit(2L)) === 1
+        def shardIs(sh: Long) =
+          pmod(floor(col("doc_id") / lit(2)).cast("long"), lit(2L)) === sh
+        (0L to 1L).map { sh =>
+          val store = graft.core.Checkpoints.cut(
+            graft.ext.DocPipeline.signatures(graft.ext.DocPipeline.prepare(
+              docs.filter(!isBatch && shardIs(sh)), minWords = 30)))
+          graft.ext.DocPipeline.prepareIncremental(
+            docs.filter(isBatch && shardIs(sh)), store, minWords = 30,
+            maxStoreBandDf = 100L)
+            .withColumn("shard", lit(sh))
+        }.reduce(_ unionByName _)
+          .groupBy(col("shard"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+          .orderBy(col("shard"), col("lang_pred"))
+      },
+      Some(
+        s"""WITH ${duckPrepFunnel("_s0", "doc_id % 2 = 0 AND (doc_id // 2) % 2 = 0")},
+           |${duckPrepFunnel("_b0", "doc_id % 2 = 1 AND (doc_id // 2) % 2 = 0")},
+           |${duckPrepFunnel("_s1", "doc_id % 2 = 0 AND (doc_id // 2) % 2 = 1")},
+           |${duckPrepFunnel("_b1", "doc_id % 2 = 1 AND (doc_id // 2) % 2 = 1")},
+           |${duckIncrStage("_x0", "_s0", "_b0", 100)},
+           |${duckIncrStage("_x1", "_s1", "_b1", 100)}
+           |SELECT shard, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |CAST(sum(n_words) AS BIGINT) AS sum_words FROM (
+           |  SELECT CAST(0 AS BIGINT) AS shard, lang_pred, n_words FROM inc_x0
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT) AS shard, lang_pred, n_words FROM inc_x1)
+           |GROUP BY shard, lang_pred ORDER BY shard, lang_pred""".stripMargin)),
 
     // ── 58. corpus-wide embedding near-dup candidates: LSH-bucket
     // SELF-join blocking (bucket-min) + cosine verify — the missing
@@ -2806,11 +2879,11 @@ ORDER BY feature"""
           t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, bits = 4)
           .select(col("vec_id"), col("dup_of"), e4(col("cos")).as("cos_e4"))
           .orderBy(col("vec_id"), col("dup_of")),
-      Some("""WITH b AS (SELECT vec_id, embedding,
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
              |  CAST(list_sum(list_transform(range(0,4), j ->
              |    CASE WHEN list_sum(list_transform(range(0,64), i ->
              |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
-             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |      ${duckPlane("j*64+i+1")})) > 0
              |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
              |  FROM embeddings),
              |cand AS (SELECT DISTINCT l.vec_id AS lo, h.vec_id AS hi FROM b l
@@ -2842,11 +2915,11 @@ ORDER BY feature"""
           .select(col("probe_id"), col("vec_id"), round(col("score"), 4).as("dot"))
           .orderBy(col("probe_id"), col("vec_id"))
       },
-      Some("""WITH b AS (SELECT vec_id, embedding,
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
              |  CAST(list_sum(list_transform(range(0,4), j ->
              |    CASE WHEN list_sum(list_transform(range(0,64), i ->
              |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
-             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |      ${duckPlane("j*64+i+1")})) > 0
              |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
              |  FROM embeddings),
              |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
@@ -2918,11 +2991,11 @@ ORDER BY feature"""
           .select(col("probe_id"), round(col("recall"), 4).as("recall"))
           .orderBy(col("probe_id"))
       },
-      Some("""WITH b AS (SELECT vec_id, embedding,
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
              |  CAST(list_sum(list_transform(range(0,4), j ->
              |    CASE WHEN list_sum(list_transform(range(0,64), i ->
              |      CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) *
-             |      (((1103515245*(j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5))) > 0
+             |      ${duckPlane("j*64+i+1")})) > 0
              |    THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
              |  FROM embeddings),
              |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
@@ -4603,7 +4676,7 @@ ORDER BY feature"""
              |${(0 until 4).map(j =>
                  s"CAST(floor(list_sum(list_transform(range(0,64), i -> " +
                  s"CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * " +
-                 s"(((1103515245*($j*64+i+1)+12345)%2147483648)/2147483648.0 - 0.5)))" +
+                 s"${duckPlane(s"$j*64+i+1")}))" +
                  s"*10000.0 + 0.5) AS BIGINT) AS p${j}_e4").mkString(",\n")}
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 

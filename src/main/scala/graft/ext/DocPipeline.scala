@@ -1608,13 +1608,21 @@ object DocPipeline {
       .write.mode("overwrite").parquet(metaDir)
   }
 
+  // pv versions the PLANE FAMILY the bucket keys are a pure function
+  // of (2 = the r16 mixed multiply/xor-shift family; 1 = the linear
+  // LCG whose sequential-index planes were near-shifted copies —
+  // bits beyond ~6 bought no bucket discrimination, measured 1.24×
+  // suppression from +6 bits at 1M vectors). pv=1 keys never match
+  // pv=2 lookups, so a pre-r16 store must die loudly and be re-keyed
+  // (rebucketEmbeddingStore — one pass, vectors are in the store).
   private def checkOrWriteEmbMeta(spark: org.apache.spark.sql.SparkSession,
                                   storePath: String,
                                   dim: Int, bits: Int, bands: Int): Unit =
     checkOrWriteStoreMeta(spark, embMetaDir(storePath), storePath,
       "restart with the stored geometry or rebucket the store " +
         "(rebucketEmbeddingStore)",
-      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands))
+      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2),
+      legacyDefaults = Map("pv" -> 1))
 
   /** Re-key the persisted embedding-dedup store at a new bucket
     * geometry — the occupancy maintenance valve for
@@ -1661,10 +1669,8 @@ object DocPipeline {
       graft.sources.AppendStore.append(rekeyed, storePath)
       graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
     } else rekeyed.write.mode("overwrite").parquet(storePath)
-    import spark.implicits._
-    Seq(("dim", dim), ("bits", bits), ("bands", bands))
-      .toDF("param", "value").coalesce(1)
-      .write.mode("overwrite").parquet(embMetaDir(storePath))
+    writeStoreMeta(spark, embMetaDir(storePath),
+      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
   }
 
   def rebucketEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
@@ -1685,9 +1691,8 @@ object DocPipeline {
     } else {
       rekeyed.write.mode("overwrite").parquet(storePath)
     }
-    Seq(("dim", dim), ("bits", bits), ("bands", bands))
-      .toDF("param", "value").coalesce(1)
-      .write.mode("overwrite").parquet(embMetaDir(storePath))
+    writeStoreMeta(spark, embMetaDir(storePath),
+      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
   }
 
   /** The embedding-store twin of [[adviseGeometryMigration]] (VERDICT
@@ -1705,12 +1710,20 @@ object DocPipeline {
     * not from here. With fixed bits, per-bucket occupancy grows
     * linearly in the accepted corpus (~n/2^bits per band), so a fired
     * probe is the expected aging signal, not an anomaly. Act on
-    * `migrate` with [[rebucketEmbeddingStore]] at sharper bits (and
-    * usually more bands, to recover per-band recall) while the stream
-    * is STOPPED, then restart — the `_emb_meta` check makes a
-    * premature restart die loudly. Probe with representative
-    * next-batch traffic (the [[MigrationAdvice]] caveat: the measure
-    * is occupancy against THIS batch's bucket overlap). */
+    * `migrate` with [[rebucketEmbeddingStore]] at MORE BITS at fixed
+    * bands — the measured boundary (StoreMigrationDemo EMB-ADVISE,
+    * 1M vectors, pv=2 planes): candidate volume is the UNION over
+    * bands, so adding bands raises it linearly — bands buy per-band
+    * recall at linear candidate cost, bits buy occupancy ((8,2) read
+    * 13,583 cand/vec; the (14,2) bits rekey read 867 — 15.7×; the
+    * (10,4) recall rekey read 9,886). This probe is also what CAUGHT
+    * the pv=1 linear-LCG plane family (bits bought almost nothing —
+    * see [[graft.functions.VectorLoops.planeComponent]]). Run the
+    * rekey while the stream is STOPPED, then restart — the
+    * `_emb_meta` check makes a premature restart die loudly. Probe
+    * with representative next-batch traffic (the [[MigrationAdvice]]
+    * caveat: the measure is occupancy against THIS batch's bucket
+    * overlap). */
   def adviseEmbeddingMigration(
       newVecs: DataFrame,
       store: DataFrame,

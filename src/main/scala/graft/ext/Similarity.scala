@@ -35,11 +35,20 @@ object Similarity {
   /** Cosine similarity; NaN when either norm is 0. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    * LCG over the flat index plane*dim + i (i is the 1-based dim index). */
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5)
+    * over the flat index plane*dim + i (i is the 1-based dim index) —
+    * pv=2, the MIXED family (multiply → xor-shift → multiply →
+    * xor-shift; see VectorLoops.planeComponent for the measured reason
+    * the pv=1 linear LCG had to go: sequential indices made the planes
+    * near-shifted copies and bits beyond ~6 bought no discrimination).
+    * Every intermediate < 2^62 — exact in Long AND in the DuckDB
+    * BIGINT replay (xor(x, x >> s) both engines). */
   private def planeComponent(plane: Int, dim: Int, i: Column): Column = {
-    val t = (lit(1103515245L) * (lit(plane.toLong * dim) + i) + lit(12345L)) % 2147483648L
-    t.cast("double") / 2147483648.0 - 0.5
+    val t1 = (lit(2654435761L) * (lit(plane.toLong * dim) + i)) % 2147483648L
+    val t2 = t1.bitwiseXOR(shiftright(t1, 15))
+    val t3 = (t2 * lit(1103515245L) + lit(12345L)) % 2147483648L
+    val t4 = t3.bitwiseXOR(shiftright(t3, 13))
+    t4.cast("double") / 2147483648.0 - 0.5
   }
 
   /** Signed projection of `vec` onto hyperplane `plane`. */

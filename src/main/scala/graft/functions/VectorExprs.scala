@@ -44,11 +44,31 @@ object VectorLoops {
     acc
   }
 
+  /** Plane component for flat index `k` = plane·dim + i (1-based i) —
+    * pv=2, the MIXED family (r16): multiply → xor-shift → multiply →
+    * xor-shift, every intermediate < 2^62 so the arithmetic is exact
+    * in 64-bit integers AND in the DuckDB replay. The pv=1 family was
+    * `(a·k + b) mod 2^31` — a LINEAR function of k, so sequential
+    * plane indices produced near-shifted copies of one plane and bits
+    * beyond ~6 added almost no bucket discrimination (measured at 1M
+    * vectors: (8,2) → (14,2) cut candidates/vec only 1.24×, vs the
+    * ~64× six honest bits should buy; bucket concentration ran 4.6×
+    * above uniform). The xor-shifts break the linearity; occupancy
+    * now tracks 2^bits as the LSH cost model assumes. */
+  @inline def planeComponent(k: Long): Double = {
+    val t1 = (k * 2654435761L) % 2147483648L
+    val t2 = t1 ^ (t1 >> 15)
+    val t3 = (t2 * 1103515245L + 12345L) % 2147483648L
+    val t4 = t3 ^ (t3 >> 13)
+    t4.toDouble / 2147483648.0 - 0.5
+  }
+
   /** All `bits` hyperplane sign tests in ONE pass per row; replicates
-    * Similarity.planeComponent's LCG exactly (same 1-based flat index,
-    * same mod-2^31 scaling). `planeOffset` selects an independent plane
-    * family (band b uses planes b*bits .. b*bits+bits-1) so multi-band
-    * embedding LSH needs no second hash scheme. */
+    * Similarity.planeComponent's mixed family exactly (same 1-based
+    * flat index, same mod-2^31 scaling). `planeOffset` selects an
+    * independent plane family (band b uses planes b*bits ..
+    * b*bits+bits-1) so multi-band embedding LSH needs no second hash
+    * scheme. */
   def lshBucket(a: ArrayData, aD: Boolean, dim: Int, bits: Int, planeOffset: Int): Long = {
     var bucket = 0L
     var j = 0
@@ -57,8 +77,7 @@ object VectorLoops {
       val base = (planeOffset + j).toLong * dim
       var i = 1
       while (i <= dim) {
-        val t = (1103515245L * (base + i) + 12345L) % 2147483648L
-        acc += get(a, aD, i - 1) * (t.toDouble / 2147483648.0 - 0.5)
+        acc += get(a, aD, i - 1) * planeComponent(base + i)
         i += 1
       }
       if (acc > 0) bucket += (1L << j)
