@@ -35,28 +35,19 @@ object Similarity {
   /** Cosine similarity; NaN when either norm is 0. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5)
-    * over the flat index plane*dim + i (i is the 1-based dim index) —
-    * pv=2, the MIXED family (multiply → xor-shift → multiply →
-    * xor-shift; see VectorLoops.planeComponent for the measured reason
-    * the pv=1 linear LCG had to go: sequential indices made the planes
-    * near-shifted copies and bits beyond ~6 bought no discrimination).
-    * Every intermediate < 2^62 — exact in Long AND in the DuckDB
-    * BIGINT replay (xor(x, x >> s) both engines). */
-  private def planeComponent(plane: Int, dim: Int, i: Column): Column = {
-    val t1 = (lit(2654435761L) * (lit(plane.toLong * dim) + i)) % 2147483648L
-    val t2 = t1.bitwiseXOR(shiftright(t1, 15))
-    val t3 = (t2 * lit(1103515245L) + lit(12345L)) % 2147483648L
-    val t4 = t3.bitwiseXOR(shiftright(t3, 13))
-    t4.cast("double") / 2147483648.0 - 0.5
-  }
-
-  /** Signed projection of `vec` onto hyperplane `plane`. */
-  def hyperplaneDot(vec: Column, plane: Int, dim: Int): Column =
+  /** Signed projection of `vec` onto hyperplane `plane`. The plane
+    * components are pure functions of constants (pv=2 mixed family —
+    * [[graft.functions.VectorLoops.planeComponent]], the ONE owner of
+    * the arithmetic), so they fold driver-side into a single array
+    * LITERAL: per-row cost is a dot against a constant vector, and
+    * the mixing chain costs nothing at execution. */
+  def hyperplaneDot(vec: Column, plane: Int, dim: Int): Column = {
+    val comps = Array.tabulate(dim)(i =>
+      graft.functions.VectorLoops.planeComponent(plane.toLong * dim + (i + 1)))
     aggregate(
-      sequence(lit(1), lit(dim)),
-      lit(0.0),
-      (acc, i) => acc + element_at(vec, i).cast("double") * planeComponent(plane, dim, i))
+      zip_with(vec, lit(comps), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
+  }
 
   /** LSH bucket id: `bits` sign bits packed into a long — codegen'd,
     * all planes in one pass per row (VectorLoops.lshBucket replicates

@@ -63,21 +63,36 @@ object VectorLoops {
     t4.toDouble / 2147483648.0 - 0.5
   }
 
-  /** All `bits` hyperplane sign tests in ONE pass per row; replicates
-    * Similarity.planeComponent's mixed family exactly (same 1-based
-    * flat index, same mod-2^31 scaling). `planeOffset` selects an
-    * independent plane family (band b uses planes b*bits ..
+  // plane VECTORS memoized per (dim, bits, planeOffset): the mixing
+  // chain runs once per geometry per executor, not once per row per
+  // component — the hot loop is a plain dot against a cached array
+  // (cheaper than the retired pv=1 family, which recomputed its LCG
+  // per row). Deterministic values, so a static cache is safe.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def planesFor(dim: Int, bits: Int, planeOffset: Int): Array[Double] =
+    planeCache.computeIfAbsent((dim, bits, planeOffset), _ =>
+      Array.tabulate(bits * dim) { idx =>
+        val j = idx / dim; val i = idx % dim + 1
+        planeComponent((planeOffset + j).toLong * dim + i)
+      })
+
+  /** All `bits` hyperplane sign tests in ONE pass per row; same
+    * arithmetic as Similarity.hyperplaneDot (both read
+    * [[planeComponent]] — one owner, no drift). `planeOffset` selects
+    * an independent plane family (band b uses planes b*bits ..
     * b*bits+bits-1) so multi-band embedding LSH needs no second hash
     * scheme. */
   def lshBucket(a: ArrayData, aD: Boolean, dim: Int, bits: Int, planeOffset: Int): Long = {
+    val planes = planesFor(dim, bits, planeOffset)
     var bucket = 0L
     var j = 0
     while (j < bits) {
       var acc = 0.0
-      val base = (planeOffset + j).toLong * dim
-      var i = 1
-      while (i <= dim) {
-        acc += get(a, aD, i - 1) * planeComponent(base + i)
+      var i = 0
+      val off = j * dim
+      while (i < dim) {
+        acc += get(a, aD, i) * planes(off + i)
         i += 1
       }
       if (acc > 0) bucket += (1L << j)

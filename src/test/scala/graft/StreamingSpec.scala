@@ -347,6 +347,63 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamIncrementalSharded atomic stores: per-shard bloom sidecars " +
+      "land, and a second sharded stream on the same root FENCES the " +
+      "first at the shard it touches (multi-writer deploy mistake dies " +
+      "loudly, per shard)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("shardfence").toFile
+    root.delete()
+    val route = Seq("t0", "t1", "t2", "t3", "t4", "t5").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val in1 = MemoryStream[(Long, String, String)]
+    val q1 = graft.ext.DocPipeline.streamIncrementalSharded(
+      in1.toDF().toDF("doc_id", "tenant", "text"),
+      root.getAbsolutePath, col("tenant"), numShards = 2,
+      minWords = 4, tau = 0.7, atomicStore = true) { (_, _) => () }
+    try {
+      in1.addData((1L, kA, t1), (2L, kB, "cat dog bird fish mouse horse"))
+      q1.processAllAvailable()
+      // each touched shard carries its own bloom sidecar
+      Seq(kA, kB).foreach { k =>
+        val sp = graft.ext.DocPipeline.shardPath(root.getAbsolutePath, route(k))
+        assert(new java.io.File(graft.sources.StoreBloom.bloomDir(sp)).exists(),
+          s"missing bloom sidecar for shard of $k")
+      }
+      // a second stream pointed at the same root (the deploy mistake the
+      // single-writer contract forbids) claims a higher epoch at the
+      // shard it touches...
+      val in2 = MemoryStream[(Long, String, String)]
+      val q2 = graft.ext.DocPipeline.streamIncrementalSharded(
+        in2.toDF().toDF("doc_id", "tenant", "text"),
+        root.getAbsolutePath, col("tenant"), numShards = 2,
+        minWords = 4, tau = 0.7, atomicStore = true) { (_, _) => () }
+      try {
+        in2.addData((10L, kA, "one two three four five six seven"))
+        q2.processAllAvailable()
+        // ...so the FIRST stream's next append to that shard dies at the
+        // fence, before any data write
+        in1.addData((3L, kA, "red green blue yellow purple orange"))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+        val chain = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).toSeq
+        assert(chain.exists(t => t.getMessage != null &&
+          t.getMessage.toLowerCase.contains("fenc")), s"got: $e")
+      } finally q2.stop()
+    } finally {
+      q1.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
+  }
+
   test("maxBatchDocs envelope: an oversized micro-batch dies loudly with " +
       "the batch-path recipe instead of collecting its keys to the driver") {
     // VERDICT r15 what's-wrong #2: the bloom gate/merge collect ~5
