@@ -1,0 +1,163 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.DocPipeline
+
+/** Blast-radius drill for SHARDED signature stores (r16): the
+  * operational payoff sharding uniquely buys — losing one shard is a
+  * ONE-SHARD incident, not a corpus incident. [[ColdStartDrill]] timed
+  * the monolithic recovery (the whole store rebuilt, every tenant's
+  * traffic gated on it); here the same disaster hits one tenant's
+  * shard of a 4-tenant deployment and the drill proves:
+  *
+  *   - recovery REBUILDS ONLY THE LOST SHARD from that tenant's
+  *     accepted corpus — wall scales with the shard, not the corpus;
+  *   - the OTHER shards' files are untouched (byte-for-byte directory
+  *     sizes asserted) and their dedup history keeps working across
+  *     the restart — their tenants never notice;
+  *   - post-recovery parity for everyone: re-crawls of the lost
+  *     shard's corpus, of the pre-disaster streamed survivors, and of
+  *     every other tenant's corpus all reject; fresh traffic flows.
+  *
+  * Run: sbt "runMain graft.examples.ShardBlastDemo [docsPerTenant]".
+  */
+object ShardBlastDemo {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nShards = 4
+    val spark = SparkSession.builder()
+      .appName("shard-blast-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def docText(id: Column) =
+      array_join(transform(sequence(lit(1), lit(50)),
+        w => concat(lit("u"), xxhash64(id, w).cast("string"))), " ")
+
+    val root = java.nio.file.Files.createTempDirectory("shardblast")
+      .resolve("store").toString
+
+    // 4 tenants whose names route to 4 DISTINCT shards (the router is a
+    // pure hash — probe candidate names and keep one per shard)
+    val route = (0 until 64).map(i => s"tenant$i").toDF("k")
+      .select(col("k"), DocPipeline.shardOf(col("k"), nShards).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val tenants: Seq[(String, Long)] =
+      route.groupBy(_._2).map(_._2.head).toSeq.sortBy(_._2)
+    require(tenants.size == nShards, s"only ${tenants.size} shards probed")
+
+    def corpusOf(t: Int) = spark.range(t * n, (t + 1) * n)
+      .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+
+    // ── bootstrap: each tenant's corpus into ITS shard (the per-shard
+    // rebuild recipe the _shard_meta death message names) ──
+    val (_, wBoot) = timed {
+      tenants.zipWithIndex.foreach { case ((_, shard), t) =>
+        DocPipeline.rebuildSignatureStore(corpusOf(t),
+          DocPipeline.shardPath(root, shard))
+      }
+    }
+    println(f"SHARD-BLAST boot: ${nShards} x $n%,d docs into $nShards shards, " +
+      f"$wBoot%.1f s")
+
+    // traffic helpers: per-tenant fresh and re-crawl rows
+    def fresh(t: Int, from: Long, k: Long) =
+      spark.range(from, from + k)
+        .select(col("id"), lit(tenants(t)._1), docText(col("id")).cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+    def re(t: Int, from: Long, k: Long) =
+      spark.range(from, from + k)
+        .select(col("id"), lit(tenants(t)._1),
+          docText(pmod(xxhash64(col("id")), lit(n)) + t * n).cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+
+    var accepted = Set.empty[Long]
+    def runBatch(rows: Seq[(Long, String, String)]): Double = {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val q = DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+        nShards, minWords = 10) { (df, _) =>
+        accepted = df.select("doc_id").as[Long].collect().toSet
+      }
+      try { val (_, w) = timed { in.addData(rows); q.processAllAvailable() }; w }
+      finally q.stop()
+    }
+
+    // ── steady state: one mixed batch, every tenant — parity ──
+    val steadyRows = (0 until nShards).flatMap(t =>
+      fresh(t, 90000000L + t * 100000L, 2000L) ++
+        re(t, 91000000L + t * 100000L, 2000L))
+    val wSteady = runBatch(steadyRows)
+    require(accepted.count(_ >= 91000000L) == 0,
+      s"steady re-crawls leaked: ${accepted.count(_ >= 91000000L)}")
+    require(accepted.size == nShards * 2000,
+      s"steady fresh eaten: ${accepted.size} of ${nShards * 2000}")
+    println(f"SHARD-BLAST steady: ${steadyRows.size} docs across all shards " +
+      f"$wSteady%.1f s (first batch: blooms built per shard) — re-crawls " +
+      s"0/${nShards * 2000}, fresh ${accepted.size}/${nShards * 2000}")
+
+    // ── DISASTER: tenant 1's shard lost; everyone else untouched ──
+    val victim = 1
+    val victimPath = DocPipeline.shardPath(root, tenants(victim)._2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(victimPath))
+    val othersBefore = tenants.indices.filter(_ != victim).map { t =>
+      t -> org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(DocPipeline.shardPath(root, tenants(t)._2)))
+    }.toMap
+
+    // recovery: rebuild ONLY the lost shard — its tenant's original
+    // corpus plus the survivors that shard accepted before the disaster
+    val victimAccepted = spark.range(90000000L + victim * 100000L,
+        90000000L + victim * 100000L + 2000L)
+      .select(col("id").as("doc_id"), docText(col("id")).as("text"))
+    val (_, wRebuild) = timed {
+      DocPipeline.rebuildSignatureStore(
+        corpusOf(victim).unionByName(victimAccepted), victimPath)
+    }
+    // the recovery touched ONLY the victim shard: every other shard's
+    // data directory is byte-for-byte the size it was after the
+    // disaster (the later restart legitimately appends fresh accepts —
+    // this assertion pins the recovery step itself)
+    tenants.indices.filter(_ != victim).foreach { t =>
+      val now = org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(DocPipeline.shardPath(root, tenants(t)._2)))
+      require(now == othersBefore(t),
+        s"recovery touched shard $t: ${othersBefore(t)} -> $now bytes")
+    }
+    println(f"SHARD-BLAST recovery: lost shard rebuilt from its tenant's " +
+      f"${n + 2000L}%,d accepted docs in $wRebuild%.1f s — " +
+      f"1/$nShards of the corpus, 1/$nShards-shaped wall (boot was " +
+      f"$wBoot%.1f s for all $nShards); other shards byte-identical " +
+      "through the recovery")
+
+    // ── restart under queued traffic: parity for EVERYONE ──
+    val queued = (0 until nShards).flatMap(t =>
+      re(t, 92000000L + t * 100000L, 2000L) ++        // re-crawls of corpus
+        fresh(t, 93000000L + t * 100000L, 1000L)) ++  // fresh
+      spark.range(90000000L + victim * 100000L, 90000000L + victim * 100000L + 1000L)
+        .select(col("id") + 5000000L, lit(tenants(victim)._1),
+          docText(col("id")).cast("string"))          // re-crawls of the victim's pre-disaster survivors
+        .as[(Long, String, String)].collect().toSeq
+    val wReplay = runBatch(queued)
+    val reLeaks = accepted.count(id => id >= 92000000L && id < 93000000L) +
+      accepted.count(_ >= 95000000L)
+    val freshOk = accepted.count(id => id >= 93000000L && id < 94000000L)
+    require(reLeaks == 0, s"$reLeaks re-crawls leaked after the shard rebuild")
+    require(freshOk == nShards * 1000, s"fresh eaten: $freshOk of ${nShards * 1000}")
+    println(f"SHARD-BLAST restart: ${queued.size} queued docs replayed " +
+      f"$wReplay%.1f s — re-crawls 0/${nShards * 2000 + 1000} leaked " +
+      s"(incl. the victim's lost corpus AND its pre-disaster survivors), " +
+      s"fresh $freshOk/${nShards * 1000}")
+    spark.stop()
+  }
+}
