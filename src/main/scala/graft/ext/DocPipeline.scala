@@ -1128,8 +1128,13 @@ object DocPipeline {
     * Each shard is a complete store: its own `_sig_meta` geometry
     * sidecar, bloom sidecar, and (for atomic stores) its own epoch
     * fence, claimed lazily at the stream's first touch of that shard.
-    * `onBatch` receives the union of accepted rows with a `shard`
-    * column appended. */
+    * Because fences are per shard, MULTIPLE sharded streams with
+    * DISJOINT tenant traffic legitimately coexist on one root (the
+    * parallel-ingest deployment shape — StreamingSpec pins it): each
+    * fences only the shards it touches, and two streams accidentally
+    * fed the SAME tenant fence each other there and die loudly, per
+    * shard. `onBatch` receives the union of accepted rows with a
+    * `shard` column appended. */
   def streamIncrementalSharded(
       docs: DataFrame,
       rootPath: String,

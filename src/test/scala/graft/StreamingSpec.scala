@@ -404,6 +404,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamIncrementalSharded atomic stores: two streams with DISJOINT " +
+      "tenant traffic coexist on one root — per-shard fences don't cross, " +
+      "both keep deduping, both die only at their own shards") {
+    // the legitimate multi-tenant concurrency shape: ingest parallelized
+    // by tenant family, one sharded root. Fences are claimed per shard
+    // at first touch, so streams that never touch each other's shards
+    // never fence each other; the root _shard_meta is shared (first
+    // writer creates it, the second validates numShards).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("shardcoex").toFile
+    root.delete()
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "cat dog bird fish mouse horse cow sheep"
+    val accA = scala.collection.mutable.ArrayBuffer[Long]()
+    val accB = scala.collection.mutable.ArrayBuffer[Long]()
+    val inA = MemoryStream[(Long, String, String)]
+    val inB = MemoryStream[(Long, String, String)]
+    def start(in: MemoryStream[(Long, String, String)],
+              acc: scala.collection.mutable.ArrayBuffer[Long]) =
+      graft.ext.DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"),
+        root.getAbsolutePath, col("tenant"), numShards = 2,
+        minWords = 4, tau = 0.7, atomicStore = true) { (df, _) =>
+        acc ++= df.select("doc_id").as[Long].collect()
+      }
+    val qA = start(inA, accA)
+    val qB = start(inB, accB)
+    try {
+      inA.addData((1L, kA, textA)); qA.processAllAvailable()
+      inB.addData((2L, kB, textB)); qB.processAllAvailable()
+      // both streams keep working across further batches — neither was
+      // fenced, and each deduplicates against its own shard's history
+      inA.addData((3L, kA, textA), (4L, kA, "red green blue yellow purple"))
+      qA.processAllAvailable()
+      inB.addData((5L, kB, textB), (6L, kB, "one two three four five"))
+      qB.processAllAvailable()
+      assert(accA.sorted.toSeq === Seq(1L, 4L), s"stream A: $accA")
+      assert(accB.sorted.toSeq === Seq(2L, 6L), s"stream B: $accB")
+    } finally {
+      qA.stop(); qB.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
+  }
+
   test("maxBatchDocs envelope: an oversized micro-batch dies loudly with " +
       "the batch-path recipe instead of collecting its keys to the driver") {
     // VERDICT r15 what's-wrong #2: the bloom gate/merge collect ~5
