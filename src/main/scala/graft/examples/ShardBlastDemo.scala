@@ -158,6 +158,59 @@ object ShardBlastDemo {
       f"$wReplay%.1f s — re-crawls 0/${nShards * 2000 + 1000} leaked " +
       s"(incl. the victim's lost corpus AND its pre-disaster survivors), " +
       s"fresh $freshOk/${nShards * 1000}")
+
+    // ── RESHARD-DAY (r16): the shard-count advise fires at a tighter
+    // per-shard budget, the reshard rebuilds SIDE-BY-SIDE into a fresh
+    // root (two-phase sentinel meta — a premature stream start against
+    // the half-built root dies loudly), and the repointed stream keeps
+    // the full dedup history at the new count. ──
+    val adv = DocPipeline.adviseShardCount(spark, root, nShards,
+      budgetDocs = 600000L)
+    require(adv.reshard && adv.recommendedShards > nShards, adv.toString)
+    // the accepted corpus, tenant key intact: original corpora + every
+    // fresh doc the streams accepted above
+    val acceptedCorpus = (0 until nShards).map { t =>
+      corpusOf(t)
+        .unionByName(spark.range(90000000L + t * 100000L,
+            90000000L + t * 100000L + 2000L)
+          .select(col("id").as("doc_id"), docText(col("id")).as("text")))
+        .unionByName(spark.range(93000000L + t * 100000L,
+            93000000L + t * 100000L + 1000L)
+          .select(col("id").as("doc_id"), docText(col("id")).as("text")))
+        .withColumn("tenant", lit(tenants(t)._1))
+    }.reduce(_ unionByName _)
+    val newRoot = java.nio.file.Files.createTempDirectory("shardblast2")
+      .resolve("store").toString
+    val (_, wReshard) = timed {
+      DocPipeline.reshardSignatureStores(acceptedCorpus, newRoot,
+        col("tenant"), adv.recommendedShards)
+    }
+    // repointed stream: re-crawls of every tenant's corpus AND of the
+    // streamed survivors reject at the new count; fresh flows
+    val newShards = adv.recommendedShards
+    val accepted2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q2 = DocPipeline.streamIncrementalSharded(
+      in2.toDF().toDF("doc_id", "tenant", "text"), newRoot, col("tenant"),
+      newShards, minWords = 10) { (df, _) =>
+      accepted2 ++= df.select("doc_id").as[Long].collect()
+    }
+    val post = (0 until nShards).flatMap(t =>
+      re(t, 96000000L + t * 100000L, 1000L) ++
+        fresh(t, 97000000L + t * 100000L, 500L))
+    val (_, wPost) = timed { in2.addData(post); q2.processAllAvailable() }
+    q2.stop()
+    val postReLeak = accepted2.count(id => id >= 96000000L && id < 97000000L)
+    val postFresh = accepted2.count(_ >= 97000000L)
+    require(postReLeak == 0, s"$postReLeak re-crawls leaked after the reshard")
+    require(postFresh == nShards * 500,
+      s"fresh eaten after reshard: $postFresh of ${nShards * 500}")
+    println(f"SHARD-BLAST reshard: advise fired at a 600k/shard budget " +
+      f"(hot shard ${adv.maxShardDocs}%,d docs) -> $nShards -> $newShards " +
+      f"shards rebuilt side-by-side in $wReshard%.1f s " +
+      f"(${acceptedCorpus.count()}%,d accepted docs); repointed stream: " +
+      f"re-crawls 0/${nShards * 1000} leaked, fresh $postFresh/" +
+      f"${nShards * 500} accepted in $wPost%.1f s")
     spark.stop()
   }
 }

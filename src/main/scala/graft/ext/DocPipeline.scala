@@ -1116,14 +1116,17 @@ object DocPipeline {
     * host — keys a re-crawl or a copy shares. Keys that spread copies
     * (random ids, timestamps) turn sharding into recall loss.
     *
-    * Routing is GEOMETRY: `numShards` is pinned by a `_shard_meta`
-    * sidecar at the root (a restart at a different count would re-route
-    * keys to different shards and silently stop deduping across runs —
-    * it dies loudly instead; re-shard by rebuilding every shard from
-    * the accepted corpus). The shard KEY COLUMN is part of the same
-    * contract but is a caller-side expression the sidecar cannot
-    * inspect — changing it between runs is the same silent re-routing,
-    * documented here because it cannot be checked there.
+    * Routing is GEOMETRY: `numShards` AND the shard KEY are pinned by
+    * a `_shard_meta` sidecar at the root — a restart at a different
+    * count or a different key expression would re-route keys to
+    * different shards and silently stop deduping across runs; both die
+    * loudly instead (re-shard by rebuilding every shard from the
+    * accepted corpus). The key is pinned as a hash of `shardTag`,
+    * which defaults to the Column's own expression string (so
+    * `col("tenant")` → `col("host")` drift is caught with no caller
+    * effort); pass an explicit `shardTag` when the expression TEXT
+    * changes but the routing function genuinely does not (a refactor),
+    * keeping the tag constant across the rewrite.
     *
     * Each shard is a complete store: its own `_sig_meta` geometry
     * sidecar, bloom sidecar, and (for atomic stores) its own epoch
@@ -1150,8 +1153,10 @@ object DocPipeline {
       maxStoreBandDf: Long = 100000L,
       maxShingles: Int = 0,
       bloom: Boolean = true,
+      shardTag: String = "",
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
     // per-shard driver state, created at the stream's first touch of
     // each shard: epoch fences (atomic stores) and bloom pairs
     val fences = new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
@@ -1163,10 +1168,13 @@ object DocPipeline {
         val spark = b.sparkSession
         checkOrWriteStoreMeta(spark,
           s"${rootPath.stripSuffix("/")}_shard_meta", rootPath,
-          "restart with the stored shard count or re-shard by rebuilding " +
+          "restart with the stored shard count AND key (the key is " +
+            s"pinned as hash('$keyTag') — pass shardTag to keep a " +
+            "renamed-but-identical expression) or re-shard by rebuilding " +
             "every shard from the accepted corpus (rebuildSignatureStore " +
             "per shard)",
-          Seq("numShards" -> numShards))
+          Seq("numShards" -> numShards,
+            "shardKeyHash" -> (keyTag.hashCode & 0x7fffffff)))
         val withShard = b.withColumn("_gshard", shardOf(shardKey, numShards)).cut
         // ≤ numShards rows — the routing census, not a data collect
         val present = withShard.select(col("_gshard")).distinct()
@@ -1503,12 +1511,28 @@ object DocPipeline {
       tau: Double = 0.9,
       atomicStore: Boolean = false,
       checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    def keysOf(df: DataFrame): DataFrame =
-      embStoreKeys(df, idCol, vecCol, dim, bits, bands)
     val fence = streamFence(vecs, storePath, atomicStore, "streamEmbeddingDedup")
     withCheckpoint(vecs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        onBatch(embeddingStoreStep(b, storePath, dim, idCol, vecCol, bits,
+          bands, tau, atomicStore, fence), batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of embedding dedup against ONE store — the shared
+    * per-store step behind [[streamEmbeddingDedup]] and
+    * [[streamEmbeddingDedupSharded]] (the [[incrementalStoreStep]]
+    * pattern for the vector family): geometry sidecar check, in-batch
+    * near-dup collapse, the exchange-free history join, sized appends.
+    * Returns the accepted rows. */
+  private def embeddingStoreStep(
+      b: DataFrame, storePath: String, dim: Int,
+      idCol: String, vecCol: String, bits: Int, bands: Int, tau: Double,
+      atomicStore: Boolean, fence: Option[Long]): DataFrame = {
+    def keysOf(df: DataFrame): DataFrame =
+      embStoreKeys(df, idCol, vecCol, dim, bits, bands)
         val spark = b.sparkSession
         checkOrWriteEmbMeta(spark, storePath, dim, bits, bands)
         def empty = keysOf(b.limit(0))
@@ -1543,7 +1567,159 @@ object DocPipeline {
         if (atomicStore) graft.sources.AppendStore.append(newKeys, storePath, fence)
         else graft.sources.AppendStore.sized(newKeys).write.mode(if (storeExists) "append" else "overwrite")
           .parquet(storePath)
-        onBatch(accepted, batchId)
+        accepted
+  }
+
+  /** The shard-axis advise (the [[adviseGeometryMigration]] /
+    * [[adviseEmbeddingMigration]] pattern for shard COUNT): per-shard
+    * doc counts from one column-pruned count per shard dir, `reshard`
+    * fired when the HOTTEST shard exceeds `budgetDocs` — the per-shard
+    * budget that bounds both the per-batch fp/band scan seconds and
+    * the per-shard driver bloom (~1.2 GB / 10⁹ docs at 1% fpp).
+    * `recommendedShards` scales the current count by the hot shard's
+    * overload (splitting k× shrinks a shard's tenant GROUP ~k×) —
+    * honest caveat: a single tenant is ATOMIC under the router, so a
+    * monster tenant bounds the hot shard from below at its own size
+    * no matter the count; that tenant needs its own root, not more
+    * shards. Act on `reshard` with [[reshardSignatureStores]] into a
+    * fresh root, then repoint the stream. */
+  final case class ShardCountAdvice(shardDocs: Map[Long, Long],
+                                    totalDocs: Long, maxShardDocs: Long,
+                                    budgetDocs: Long, recommendedShards: Int,
+                                    reshard: Boolean)
+
+  def adviseShardCount(spark: org.apache.spark.sql.SparkSession,
+                       rootPath: String, numShards: Int,
+                       budgetDocs: Long = 8000000L): ShardCountAdvice = {
+    require(numShards >= 1 && budgetDocs >= 1)
+    val counts = (0L until numShards.toLong).flatMap { s =>
+      val sp = shardPath(rootPath, s)
+      if (graft.sources.AtomicCommit.pathExists(spark, sp))
+        Some(s -> spark.read.parquet(sp).select(col("doc_id")).count())
+      else None
+    }.toMap
+    val total = counts.values.sum
+    val hot = if (counts.isEmpty) 0L else counts.values.max
+    val factor = math.max(1L, (hot + budgetDocs - 1) / budgetDocs)
+    ShardCountAdvice(counts, total, hot, budgetDocs,
+      (numShards.toLong * factor).min(Int.MaxValue).toInt,
+      hot > budgetDocs)
+  }
+
+  /** Build a complete sharded signature-store layout from the ACCEPTED
+    * corpus at a (possibly new) shard count — the re-shard path the
+    * `_shard_meta` mismatch recipe names, and the shard twin of
+    * [[rebuildSignatureStore]]. Side-by-side discipline: REFUSES a
+    * root that already carries a shard layout — reshard into a FRESH
+    * root while the old layout keeps serving, then stop the stream and
+    * repoint it (routing is a pure function, so the swap needs no
+    * catch-up pass beyond normal queued traffic).
+    *
+    * Crash safety is a two-phase sentinel: the `_shard_meta` is first
+    * written with `numShards = 0` ("reshard in progress") and
+    * finalized with the real count only after EVERY shard's rows are
+    * in place — a stream prematurely pointed at a half-built root dies
+    * loudly at the meta check (numShards 0 matches nothing) instead of
+    * bootstrapping the missing shards empty and silently re-accepting
+    * their history. On a crashed reshard: delete the partial root and
+    * rerun. `docs` must be the accepted corpus, with the shard key
+    * column intact. */
+  def reshardSignatureStores(docs: DataFrame, rootPath: String,
+                             shardKey: Column, numShards: Int,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             minhashK: Int = 8, bands: Int = 4,
+                             maxShingles: Int = 0,
+                             shardTag: String = ""): Unit = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val spark = docs.sparkSession
+    val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
+    val keyHash = keyTag.hashCode & 0x7fffffff
+    val metaDir = s"${rootPath.stripSuffix("/")}_shard_meta"
+    require(!graft.sources.AtomicCommit.pathExists(spark, metaDir),
+      s"$rootPath already carries a shard layout — reshard into a FRESH " +
+        "root (side-by-side: the old layout keeps serving until the " +
+        "stream is repointed)")
+    writeStoreMeta(spark, metaDir,
+      Seq("numShards" -> 0, "shardKeyHash" -> keyHash))
+    val routed = docs.withColumn("_gshard", shardOf(shardKey, numShards)).cut
+    val present = routed.select(col("_gshard")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    present.foreach { s =>
+      rebuildSignatureStore(
+        routed.filter(col("_gshard") === s).drop("_gshard"),
+        shardPath(rootPath, s), idCol, textCol, minhashK, bands, maxShingles)
+    }
+    writeStoreMeta(spark, metaDir,
+      Seq("numShards" -> numShards, "shardKeyHash" -> keyHash))
+  }
+
+  /** SHARDED embedding dedup stream — [[streamIncrementalSharded]]'s
+    * contract transplanted to the vector family via the same
+    * extracted-step pattern: per-shard embedding stores under
+    * `rootPath/shard=N` routed by [[shardOf]]`(shardKey, numShards)`,
+    * every micro-batch runs [[embeddingStoreStep]] once per touched
+    * shard. Same contracts, same reasons: per-shard history joins and
+    * occupancy (the store grows per TENANT, not per corpus — and so
+    * does the [[adviseEmbeddingMigration]] probe, runnable per shard);
+    * cross-shard duplicate vectors are NOT caught (choose keys copies
+    * share); `numShards` + the shard key pinned by the root
+    * `_shard_meta` (loud death on drift; `shardTag` overrides the
+    * Column-string auto-tag); each shard carries its own `_emb_meta`
+    * geometry and (atomic stores) its own lazily-claimed fence, so
+    * disjoint-tenant streams coexist on one root and same-tenant
+    * double-writers fence per shard. `onBatch` receives the accepted
+    * union with a `shard` column. */
+  def streamEmbeddingDedupSharded(
+      vecs: DataFrame,
+      rootPath: String,
+      shardKey: Column,
+      numShards: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bits: Int = 8,
+      bands: Int = 2,
+      tau: Double = 0.9,
+      atomicStore: Boolean = false,
+      shardTag: String = "",
+      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
+    val fences = new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
+    withCheckpoint(vecs.writeStream, checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        checkOrWriteStoreMeta(spark,
+          s"${rootPath.stripSuffix("/")}_shard_meta", rootPath,
+          "restart with the stored shard count AND key (the key is " +
+            s"pinned as hash('$keyTag') — pass shardTag to keep a " +
+            "renamed-but-identical expression) or re-shard by rebuilding " +
+            "every shard from the accepted vectors (rebuildEmbeddingStore " +
+            "per shard)",
+          Seq("numShards" -> numShards,
+            "shardKeyHash" -> (keyTag.hashCode & 0x7fffffff)))
+        val withShard = b.withColumn("_gshard", shardOf(shardKey, numShards)).cut
+        val present = withShard.select(col("_gshard")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (present.isEmpty) {
+          onBatch(b.withColumn("shard", lit(0L)).limit(0), batchId)
+        } else {
+          val parts = present.map { s =>
+            val sp = shardPath(rootPath, s)
+            val fence = fences.computeIfAbsent(s, _ =>
+              if (atomicStore)
+                Some(graft.sources.AtomicCommit.acquireEpoch(spark, sp,
+                  "streamEmbeddingDedupSharded"))
+              else None)
+            embeddingStoreStep(
+              withShard.filter(col("_gshard") === s).drop("_gshard"), sp,
+              dim, idCol, vecCol, bits, bands, tau, atomicStore, fence)
+              .withColumn("shard", lit(s))
+          }
+          onBatch(parts.reduce(_ unionByName _), batchId)
+        }
       }
       .start()
   }

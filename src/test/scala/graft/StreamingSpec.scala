@@ -329,6 +329,39 @@ class StreamingSpec extends SparkTestBase {
       assert(chain.exists(t => t.getMessage != null &&
         t.getMessage.contains("numShards")), s"got: $e")
     } finally q2.stop()
+    // restart at the right count but a DIFFERENT key column: the key is
+    // pinned via its expression-string hash in _shard_meta — loud death
+    // (r16: the sidecar can now see key drift, not just count drift)
+    val in2b = MemoryStream[(Long, String, String)]
+    val q2b = graft.ext.DocPipeline.streamIncrementalSharded(
+      in2b.toDF().toDF("doc_id", "tenant", "text"),
+      root.getAbsolutePath, col("text"), numShards = 2,
+      minWords = 4, tau = 0.7) { (_, _) => () }
+    try {
+      in2b.addData((11L, kA, fresh))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2b.processAllAvailable()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t => t.getMessage != null &&
+        t.getMessage.contains("shardKeyHash")), s"got: $e")
+    } finally q2b.stop()
+    // ...while an explicit shardTag matching the original expression
+    // string keeps a REWRITTEN-but-identical key working
+    val in2c = MemoryStream[(Long, String, String)]
+    val acc2c = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2c = graft.ext.DocPipeline.streamIncrementalSharded(
+      in2c.toDF().toDF("doc_id", "tenant", "text"),
+      root.getAbsolutePath, col("tenant"), numShards = 2,
+      minWords = 4, tau = 0.7, shardTag = col("tenant").toString()) { (df, _) =>
+      acc2c ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      in2c.addData((12L, kA, t1)) // still a dup of shard kA's history
+      q2c.processAllAvailable()
+      assert(acc2c.isEmpty, s"tagged restart lost history: $acc2c")
+    } finally q2c.stop()
     // restart at the right shard count but different band geometry:
     // the touched SHARD's own _sig_meta dies (each shard is a full store)
     val in3 = MemoryStream[(Long, String, String)]
@@ -1065,6 +1098,157 @@ class StreamingSpec extends SparkTestBase {
         assert(math.abs(v - batch(k)) < 1e-12, s"parity failed at $k: $v vs ${batch(k)}")
       }
     } finally q.stop()
+  }
+
+  test("reshardSignatureStores + adviseShardCount: resharded layouts are " +
+      "stream-compatible (identical routing + meta), the advise fires on " +
+      "a hot shard, an existing root is refused, and a half-built root's " +
+      "sentinel meta dies loudly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "cat dog bird fish mouse horse cow sheep"
+    val corpus = Seq((1L, kA, t1), (2L, kB, t2), (3L, kA, t2))
+      .toDF("doc_id", "tenant", "text")
+    val root = java.nio.file.Files.createTempDirectory("reshard").toFile
+    root.delete()
+    graft.ext.DocPipeline.reshardSignatureStores(
+      corpus, root.getAbsolutePath, col("tenant"), numShards = 2)
+    // the rebuilt layout serves the stream directly: same router, same
+    // meta — a re-crawl of resharded history drops, fresh flows
+    val acc = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ext.DocPipeline.streamIncrementalSharded(
+      in.toDF().toDF("doc_id", "tenant", "text"),
+      root.getAbsolutePath, col("tenant"), numShards = 2,
+      minWords = 4, tau = 0.7) { (df, _) =>
+      acc ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      in.addData((10L, kA, t1), (11L, kA, "red green blue yellow purple"))
+      q.processAllAvailable()
+      assert(acc.sorted.toSeq === Seq(11L), s"got $acc")
+    } finally q.stop()
+    // advise: a 1-doc budget makes the 2-doc hot shard fire and the
+    // recommendation scale by its overload; a loose budget stays quiet
+    val fire = graft.ext.DocPipeline.adviseShardCount(
+      spark, root.getAbsolutePath, numShards = 2, budgetDocs = 1L)
+    assert(fire.reshard && fire.recommendedShards >= 4 &&
+      fire.totalDocs === 4 && fire.maxShardDocs >= 2, fire.toString)
+    val quiet = graft.ext.DocPipeline.adviseShardCount(
+      spark, root.getAbsolutePath, numShards = 2, budgetDocs = 1000L)
+    assert(!quiet.reshard && quiet.recommendedShards === 2, quiet.toString)
+    // an existing layout is refused — reshard side-by-side
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.DocPipeline.reshardSignatureStores(
+        corpus, root.getAbsolutePath, col("tenant"), numShards = 4)
+    }
+    assert(e.getMessage.contains("FRESH"))
+    // half-built reshard: the sentinel meta (numShards = 0) makes a
+    // premature stream start die instead of bootstrapping empty shards
+    val root2 = java.nio.file.Files.createTempDirectory("reshard2").toFile
+    Seq(("numShards", 0), ("shardKeyHash", 1)).toDF("param", "value")
+      .write.mode("overwrite").parquet(root2.getAbsolutePath + "_shard_meta")
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = graft.ext.DocPipeline.streamIncrementalSharded(
+      in2.toDF().toDF("doc_id", "tenant", "text"),
+      root2.getAbsolutePath, col("tenant"), numShards = 2,
+      minWords = 4, tau = 0.7) { (_, _) => () }
+    try {
+      in2.addData((20L, kA, t2))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t => t.getMessage != null &&
+        t.getMessage.contains("(numShards,0)")), s"got: $ex")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(root2)
+    }
+  }
+
+  test("streamEmbeddingDedupSharded: within-shard vector dups drop across " +
+      "batches, cross-shard copies are independent domains, shard layout " +
+      "and key pinning mirror the signature-store contract") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("vecshard").toFile
+    root.delete()
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    def v(x: Double, y: Double, z: Double, w: Double) = Seq(x, y, z, w).map(_.toFloat)
+    val base = v(1, 0.2, -0.5, 0.7)
+    val far = v(-0.9, 0.8, 0.3, -0.2)
+    val far2 = v(0.1, -0.7, 0.9, 0.4)
+    val accepted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.ext.DocPipeline.streamEmbeddingDedupSharded(
+      in.toDF().toDF("vec_id", "tenant", "embedding"),
+      root.getAbsolutePath, col("tenant"), numShards = 2,
+      dim = 4, bits = 6, bands = 2, tau = 0.98) { (df, _) =>
+      accepted ++= df.select(col("vec_id"), col("shard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      in.addData((1L, kA, base), (2L, kB, far))
+      q.processAllAvailable()
+      // batch 2: 3 re-sends base under kA (same shard → history drop);
+      // 4 sends base under kB (OTHER shard → accepted: independent
+      // domains); 5 fresh under kA
+      in.addData((3L, kA, base), (4L, kB, base), (5L, kA, far2))
+      q.processAllAvailable()
+      assert(accepted.map(_._1).sorted.toSeq === Seq(1L, 2L, 4L, 5L),
+        s"got $accepted")
+      val byVec = accepted.toMap
+      assert(byVec(1L) === route(kA) && byVec(4L) === route(kB))
+      assert(new java.io.File(root, s"shard=${route(kA)}").isDirectory)
+      assert(new java.io.File(root, s"shard=${route(kB)}").isDirectory)
+    } finally q.stop()
+    // restarts at a different shard count or key die at _shard_meta
+    val in2 = MemoryStream[(Long, String, Seq[Float])]
+    val q2 = graft.ext.DocPipeline.streamEmbeddingDedupSharded(
+      in2.toDF().toDF("vec_id", "tenant", "embedding"),
+      root.getAbsolutePath, col("tenant"), numShards = 4,
+      dim = 4, bits = 6, bands = 2, tau = 0.98) { (_, _) => () }
+    try {
+      in2.addData((9L, kA, far2))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t => t.getMessage != null &&
+        t.getMessage.contains("numShards")), s"got: $e")
+    } finally q2.stop()
+    // per-shard geometry: a right-count restart at different bits dies
+    // at the touched shard's own _emb_meta
+    val in3 = MemoryStream[(Long, String, Seq[Float])]
+    val q3 = graft.ext.DocPipeline.streamEmbeddingDedupSharded(
+      in3.toDF().toDF("vec_id", "tenant", "embedding"),
+      root.getAbsolutePath, col("tenant"), numShards = 2,
+      dim = 4, bits = 8, bands = 2, tau = 0.98) { (_, _) => () }
+    try {
+      in3.addData((10L, kA, far2))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+    } finally {
+      q3.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
   }
 
   test("streamEmbeddingDedup: in-batch pair collapses; history wins across batches") {
