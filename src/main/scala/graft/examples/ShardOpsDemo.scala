@@ -1,0 +1,224 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.DocPipeline
+
+/** SHARDED ops composition (§7.11 #7 — the OpsMonthDemo discipline
+  * applied to the r16 surface): a multi-cycle deployment of
+  * [[DocPipeline.streamIncrementalSharded]] over 4 tenants / 4 atomic
+  * per-shard stores, per-cycle invariants asserted the whole way, and
+  * the round's operational events dropped INSIDE the composition:
+  *
+  *   - every cycle, per tenant: 1,200 fresh docs (ALL accepted), 500
+  *     exact re-crawls of that tenant's history (ALL reject), 200
+  *     near-dups (leak bounded by the banding-puncture model), and
+  *     100 CROSS-TENANT copies — exact texts lifted from another
+  *     tenant's history, asserted ACCEPTED: the independence contract
+  *     as a per-cycle invariant, not a sentence;
+  *   - per-shard store growth == that tenant's accepted docs, every
+  *     cycle (stores grow with content, not traffic);
+  *   - the accepted corpus rides to a side parquet per batch — the
+  *     deployment's actual product, and the source of truth every
+  *     rebuild below replays (the rebuildSignatureStore contract);
+  *   - BLAST DAY after cycle 2: one shard deleted mid-month, rebuilt
+  *     from the side corpus (tenant-filtered), stream restarted —
+  *     later cycles assert every tenant unaffected;
+  *   - MAINTENANCE DAY after cycle 4: every shard compacted and
+  *     vacuumed (per-shard stores are full atomic stores);
+  *   - RESHARD FINALE: adviseShardCount fires on a tightened budget →
+  *     side-by-side reshard into a fresh root at the recommended
+  *     count → one more full cycle there, all invariants intact.
+  *
+  * Run: sbt "runMain graft.examples.ShardOpsDemo [cycles]". */
+object ShardOpsDemo {
+
+  def main(args: Array[String]): Unit = {
+    val cycles = args.headOption.map(_.toInt).getOrElse(6)
+    require(cycles >= 6, "composition needs >= 6 cycles for its event days")
+    val nShards = 4
+    val nFresh = 1200; val nRe = 500; val nNear = 200; val nCross = 100
+    val spark = SparkSession.builder()
+      .appName("shard-ops-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val route = (0 until 64).map(i => s"tenant$i").toDF("k")
+      .select(col("k"), DocPipeline.shardOf(col("k"), nShards).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val tenants = route.groupBy(_._2).map(_._2.head).toSeq.sortBy(_._2)
+    require(tenants.size == nShards)
+
+    // 40-word unique text per CONTENT id; near-dups share all but the
+    // last word (3-shingle J ≈ 35/41 ≈ 0.85 — above tau 0.8; the
+    // (8,4) banding-puncture rate is (1−J²)⁴ ≈ 0.5% per plant)
+    def wordsOf(cid: Column, n: Int) = transform(sequence(lit(1), lit(n)),
+      w => concat(lit("u"), xxhash64(cid, w).cast("string")))
+    def docText(cid: Column) = array_join(wordsOf(cid, 40), " ")
+    def nearText(cid: Column, salt: Column) = array_join(
+      concat(wordsOf(cid, 39), array(concat(lit("n"), salt.cast("string")))), " ")
+
+    def base(c: Int, t: Int): Long = (c.toLong * nShards + t) * 1000000L
+    def batchRows(c: Int, t: Int): Seq[(Long, String, String)] = {
+      val ten = tenants(t)._1
+      val fresh = spark.range(base(c, t), base(c, t) + nFresh)
+        .select(col("id"), lit(ten), docText(col("id")).cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+      if (c == 0) return fresh
+      // a fresh content id of an earlier cycle of tenant `srcT`
+      def srcOf(id: Column, srcT: Int) =
+        lit(base(0, srcT)) +
+          pmod(xxhash64(id), lit(c.toLong)) * lit(nShards.toLong * 1000000L) +
+          pmod(xxhash64(id, lit(7)), lit(nFresh.toLong))
+      val re = spark.range(base(c, t) + 10000L, base(c, t) + 10000L + nRe)
+        .select(col("id"), lit(ten), docText(srcOf(col("id"), t)).cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+      val near = spark.range(base(c, t) + 20000L, base(c, t) + 20000L + nNear)
+        .select(col("id"), lit(ten),
+          nearText(srcOf(col("id"), t), col("id")).cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+      // cross sources must be INJECTIVE across the whole composition: a
+      // repeated pick would be an exact dup of the earlier accepted
+      // copy and reject correctly — breaking the "all cross copies
+      // accepted" assertion for the wrong reason. Same-index picks
+      // from the PREVIOUS cycle of the source tenant are unique per
+      // (cycle, j) and never repeat.
+      val crossSrc0 = base(c - 1, (t + 1) % nShards)
+      val cross = spark.range(base(c, t) + 30000L, base(c, t) + 30000L + nCross)
+        .select(col("id"), lit(ten),
+          docText(lit(crossSrc0) + pmod(col("id"), lit(nCross.toLong)))
+            .cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+      fresh ++ re ++ near ++ cross
+    }
+
+    val tmp = java.nio.file.Files.createTempDirectory("shardops")
+    var root = tmp.resolve("store").toString
+    val corpusLog = tmp.resolve("accepted").toString // the side product
+    var shards = nShards
+    var lastAccepted = Set.empty[Long]
+    val perTenantAccepted = Array.fill(nShards)(0L)
+
+    type In = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    def startStream(): (In, org.apache.spark.sql.streaming.StreamingQuery) = {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val q = DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+        shards, minWords = 10, atomicStore = true,
+        shardTag = "tenant") { (df, _) =>
+        val slim = df.select(col("doc_id"), col("tenant"), col("text")).cache()
+        slim.write.mode("append").parquet(corpusLog)
+        lastAccepted = slim.select("doc_id").as[Long].collect().toSet
+        slim.unpersist()
+      }
+      (in, q)
+    }
+
+    val leakLog = scala.collection.mutable.ArrayBuffer[Int]()
+    def runAndAssert(in: In, q: org.apache.spark.sql.streaming.StreamingQuery,
+                     c: Int): Unit = {
+      in.addData((0 until nShards).flatMap(t => batchRows(c, t)))
+      q.processAllAvailable()
+      var cycleLeak = 0
+      (0 until nShards).foreach { t =>
+        val b = base(c, t)
+        val fresh = lastAccepted.count(id => id >= b && id < b + nFresh)
+        val reLeak = lastAccepted.count(id => id >= b + 10000L && id < b + 10000L + nRe)
+        val nearLeak = lastAccepted.count(id => id >= b + 20000L && id < b + 20000L + nNear)
+        val crossAcc = lastAccepted.count(id => id >= b + 30000L && id < b + 30000L + nCross)
+        require(fresh == nFresh, s"cycle $c tenant $t: $fresh of $nFresh fresh accepted")
+        if (c > 0) {
+          require(reLeak == 0, s"cycle $c tenant $t: $reLeak exact re-crawls leaked")
+          require(nearLeak <= 8,
+            s"cycle $c tenant $t: $nearLeak of $nNear near-dups leaked " +
+              "(puncture bound 8 — expected ~1 at the (8,4) miss rate)")
+          require(crossAcc == nCross,
+            s"cycle $c tenant $t: only $crossAcc of $nCross cross-tenant copies " +
+              "accepted — the independence contract broke")
+          cycleLeak += nearLeak
+          perTenantAccepted(t) += nFresh + nearLeak + nCross
+        } else perTenantAccepted(t) += nFresh
+        if (shards == nShards) { // pre-reshard roots: shard == tenant
+          val storeDocs = graft.sources.AppendStore.readOr(spark,
+              DocPipeline.shardPath(root, tenants(t)._2), sys.error("missing shard"))
+            .select("doc_id").distinct().count()
+          require(storeDocs == perTenantAccepted(t),
+            s"cycle $c tenant $t: store $storeDocs != accepted ${perTenantAccepted(t)}")
+        }
+      }
+      leakLog += cycleLeak
+    }
+
+    // ── cycles 0..2 ──
+    var (in, q) = startStream()
+    (0 to 2).foreach(c => runAndAssert(in, q, c))
+
+    // ── BLAST DAY: tenant 1's shard lost mid-month ──
+    q.stop()
+    val victim = 1
+    val victimPath = DocPipeline.shardPath(root, tenants(victim)._2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(victimPath))
+    val (_, wBlast) = timed {
+      DocPipeline.rebuildSignatureStore(
+        spark.read.parquet(corpusLog)
+          .filter(col("tenant") === tenants(victim)._1)
+          .select(col("doc_id"), col("text")), victimPath,
+        atomicStore = true)
+    }
+    println(f"SHARD-OPS blast day: shard lost after cycle 2, rebuilt from " +
+      f"the side corpus in $wBlast%.1f s; composition continues")
+
+    // ── cycles 3..4 on a restarted stream ──
+    val s2 = startStream(); in = s2._1; q = s2._2
+    (3 to 4).foreach(c => runAndAssert(in, q, c))
+
+    // ── MAINTENANCE DAY: per-shard compact + vacuum under the month ──
+    q.stop()
+    val (_, wMaint) = timed {
+      tenants.foreach { case (_, s) =>
+        graft.sources.AppendStore.compact(spark, DocPipeline.shardPath(root, s))
+        graft.sources.AtomicCommit.vacuum(spark, DocPipeline.shardPath(root, s),
+          keepVersions = 1)
+      }
+    }
+    println(f"SHARD-OPS maintenance day: 4 shards compacted+vacuumed in " +
+      f"$wMaint%.1f s after cycle 4")
+    val s3 = startStream(); in = s3._1; q = s3._2
+    (5 until cycles).foreach(c => runAndAssert(in, q, c))
+    q.stop()
+
+    // ── RESHARD FINALE ──
+    val adv = DocPipeline.adviseShardCount(spark, root, nShards,
+      budgetDocs = perTenantAccepted.max / 2)
+    require(adv.reshard && adv.recommendedShards > nShards, adv.toString)
+    val newRoot = tmp.resolve("store2").toString
+    val (_, wReshard) = timed {
+      DocPipeline.reshardSignatureStores(
+        spark.read.parquet(corpusLog).select(col("doc_id"), col("tenant"), col("text")),
+        newRoot, col("tenant"), adv.recommendedShards,
+        atomicStore = true, shardTag = "tenant")
+    }
+    root = newRoot; shards = adv.recommendedShards
+    val s4 = startStream(); in = s4._1; q = s4._2
+    runAndAssert(in, q, cycles)
+    q.stop()
+    println(f"SHARD-OPS reshard finale: advise fired (hot shard " +
+      f"${adv.maxShardDocs}%,d docs vs budget ${adv.budgetDocs}%,d) -> " +
+      f"$nShards -> $shards shards in $wReshard%.1f s; final cycle's " +
+      "invariants held at the new count")
+    println(s"SHARD-OPS invariants hold: ${cycles + 1} cycles x 4 tenants, " +
+      s"per-cycle near-dup leaks=${leakLog.mkString(",")} " +
+      s"(cross-tenant copies accepted ${nCross}x4 EVERY cycle by contract), " +
+      s"accepted per tenant=${perTenantAccepted.mkString("/")}")
+    spark.stop()
+  }
+}

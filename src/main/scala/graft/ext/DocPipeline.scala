@@ -1630,6 +1630,7 @@ object DocPipeline {
                              textCol: String = "text",
                              minhashK: Int = 8, bands: Int = 4,
                              maxShingles: Int = 0,
+                             atomicStore: Boolean = false,
                              shardTag: String = ""): Unit = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
     val spark = docs.sparkSession
@@ -1648,7 +1649,8 @@ object DocPipeline {
     present.foreach { s =>
       rebuildSignatureStore(
         routed.filter(col("_gshard") === s).drop("_gshard"),
-        shardPath(rootPath, s), idCol, textCol, minhashK, bands, maxShingles)
+        shardPath(rootPath, s), idCol, textCol, minhashK, bands, maxShingles,
+        atomicStore)
     }
     writeStoreMeta(spark, metaDir,
       Seq("numShards" -> numShards, "shardKeyHash" -> keyHash))
