@@ -994,6 +994,26 @@ object DocPipeline {
       bloomState: java.util.concurrent.atomic.AtomicReference[
         graft.sources.StoreBloom.SigBlooms]): DataFrame = {
         val spark = b.sparkSession
+        // fenced writers must die BEFORE touching any store-adjacent
+        // state, not merely before the data write: the bloom sidecar
+        // is saved ahead of the append (the crash ordering), so
+        // without this check a zombie killed at the APPEND's fence
+        // still clobbers its successor's sidecar with a bloom missing
+        // the successor's rows — an UNDER-representing bloom, the one
+        // state the design forbids (a bloom miss is a proof of
+        // absence). Found by the failover-chain spec: A's doomed
+        // batch overwrote B's sidecar, and C — whose validity check
+        // (rows >= store rows) the zombie sidecar passed by
+        // coincidence — silently re-accepted B's content. The
+        // residual window (zombie already past THIS check when the
+        // takeover lands) is the same sub-batch envelope checkFence
+        // documents for data writes; a sidecar clobbered in that race
+        // is caught at the next STREAM START whose validity check
+        // reads rows < store rows (the store outgrows the stale
+        // sidecar within a few appends) and costs spurious accepts
+        // only until then — over-representation never, misses bounded.
+        fence.foreach(e =>
+          graft.sources.AtomicCommit.checkFence(spark, storePath, e))
         // persisted band keys are a pure function of (minhashK, bands):
         // a restart at different values must die loudly, not silently
         // miss every cross-run near-dup (no rebucket exists here — the

@@ -488,6 +488,86 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sharded atomic stores under a sustained FAILOVER CHAIN: A fenced " +
+      "by B fenced by C on the same shard across multiple batches each — " +
+      "every zombie dies loudly at its shard fence, every successor keeps " +
+      "the full dedup history, the store ends single-copy") {
+    // §7.11 #8: the single-batch fencing specs, run at composition
+    // length — the orchestration-retry chain (each restart claims a
+    // higher epoch, fences its predecessor, and serves from the same
+    // per-shard history)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("shardchain").toFile
+    root.delete()
+    val kA = "t0"
+    val shard = spark.range(1)
+      .select(graft.ext.DocPipeline.shardOf(org.apache.spark.sql.functions.lit(kA), 2))
+      .head().getLong(0)
+    def text(n: Int) = s"w${n}a w${n}b w${n}c w${n}d w${n}e w${n}f"
+    def start(acc: scala.collection.mutable.ArrayBuffer[Long]) = {
+      val in = MemoryStream[(Long, String, String)]
+      val q = graft.ext.DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"),
+        root.getAbsolutePath, col("tenant"), numShards = 2,
+        minWords = 4, tau = 0.7, atomicStore = true) { (df, _) =>
+        acc ++= df.select("doc_id").as[Long].collect()
+      }
+      (in, q)
+    }
+    def expectFencedDeath(q: org.apache.spark.sql.streaming.StreamingQuery,
+                          feed: => Unit): Unit = {
+      feed
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t => t.getMessage != null &&
+        t.getMessage.contains("fenced")), s"got: $e")
+    }
+    val accA = scala.collection.mutable.ArrayBuffer[Long]()
+    val accB = scala.collection.mutable.ArrayBuffer[Long]()
+    val accC = scala.collection.mutable.ArrayBuffer[Long]()
+    val (inA, qA) = start(accA)
+    try {
+      inA.addData((1L, kA, text(1)), (2L, kA, text(2)))
+      qA.processAllAvailable()
+      inA.addData((3L, kA, text(1)), (4L, kA, text(4))) // 3 = re-crawl of 1
+      qA.processAllAvailable()
+      assert(accA.sorted.toSeq === Seq(1L, 2L, 4L), s"A: $accA")
+      // B takes over (the retry): fences A's shard at first touch,
+      // serves the SAME history
+      val (inB, qB) = start(accB)
+      try {
+        inB.addData((5L, kA, text(5)), (6L, kA, text(4))) // 6 = re-crawl
+        qB.processAllAvailable()
+        assert(accB.sorted.toSeq === Seq(5L), s"B: $accB")
+        // the zombie A's next batch dies AT THE FENCE, nothing written
+        expectFencedDeath(qA, inA.addData((7L, kA, text(7))))
+        // C takes over from B the same way
+        val (inC, qC) = start(accC)
+        try {
+          inC.addData((8L, kA, text(5)), (9L, kA, text(9))) // 8 = re-crawl of B's accept
+          qC.processAllAvailable()
+          assert(accC.sorted.toSeq === Seq(9L), s"C: $accC")
+          expectFencedDeath(qB, inB.addData((10L, kA, text(10))))
+          inC.addData((11L, kA, text(9)), (12L, kA, text(12))) // 11 = re-crawl
+          qC.processAllAvailable()
+          assert(accC.sorted.toSeq === Seq(9L, 12L), s"C: $accC")
+        } finally qC.stop()
+      } finally qB.stop()
+    } finally qA.stop()
+    // the shard's store holds exactly the chain's accepts, single-copy
+    val stored = graft.sources.AppendStore.readOr(spark,
+        graft.ext.DocPipeline.shardPath(root.getAbsolutePath, shard),
+        sys.error("missing shard"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(stored === Seq(1L, 2L, 4L, 5L, 9L, 12L), s"store: $stored")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("maxBatchDocs envelope: an oversized micro-batch dies loudly with " +
       "the batch-path recipe instead of collecting its keys to the driver") {
     // VERDICT r15 what's-wrong #2: the bloom gate/merge collect ~5
