@@ -29,6 +29,28 @@ object Bench {
     // shares load (±50% run-to-run, SURVEY §7.1 #7), so a single sample
     // is noise — medians make round-over-round deltas signal
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // regime sentinel (VERDICT r16 #4): a fixed trivial scan+agg timed
+    // exactly like a query, before AND after the suite — its time moves
+    // with the box regime (112–167 s same-code total swings) and with
+    // nothing we ship, so bench_medians.py divides per-query times by
+    // it to separate code regressions from regime. Recorded per line
+    // alongside the 1-min load average.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity)", "sum(l_extendedprice)")
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case _: Throwable =>
+          spark.range(100000000L).selectExpr("sum(id * 3)")
+            .write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelMedian(): Double = {
+      val s = (1 to 3).map(_ => sentinelOnce()).sorted; s(1)
+    }
+    val sentPre = sentinelMedian()
     // local A/B iteration only (driver never sets it): comma-separated
     // query names to bench instead of the full contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -44,10 +66,22 @@ object Bench {
       name -> times(times.length / 2)
     }
     val total = results.map(_._2).sum
+    // the regime can shift MID-run: sample the sentinel again after the
+    // suite and record the mean of the two medians (plus load average,
+    // so quiet-window adjudication reads off the history line itself)
+    val sentPost = sentinelMedian()
+    val sentinel = (sentPre + sentPost) / 2
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def line(rs: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""sentinel":${"%.3f".format(sentinel)},""" +
+        s""""sentinel_pre":${"%.3f".format(sentPre)},""" +
+        s""""sentinel_post":${"%.3f".format(sentPost)},""" +
+        s""""load":${"%.2f".format(load)},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full precision goes to files (and stdout, first): the driver's
     // 2000-char stdout tail cannot hold 230 queries at any precision,

@@ -196,6 +196,45 @@ object ShardOpsDemo {
     (5 until cycles).foreach(c => runAndAssert(in, q, c))
     q.stop()
 
+    // ── CROSS-SHARD DUP AUDIT (r17): price the honest caveat ──
+    // The composition's cross-tenant copies are accepted BY CONTRACT —
+    // so the shard stores genuinely hold cross-shard duplicate
+    // fingerprints, with a KNOWN truth: each cycle c>0 plants nCross
+    // copies in tenant t from tenant (t+1)%4's previous cycle, so each
+    // adjacent shard pair shares exactly (cycles-1)*nCross fps and the
+    // diagonal pairs share none. The audit must measure that without
+    // any cross-shard store join.
+    val truthPerPair = (cycles - 1).toLong * nCross
+    val (exactAudit, wAuditX) = timed {
+      DocPipeline.auditCrossShardDups(spark, root, nShards, sampleK = 65536)
+    }
+    val (estAudit, wAuditE) = timed {
+      DocPipeline.auditCrossShardDups(spark, root, nShards, sampleK = 2048)
+    }
+    def pairKey(p: DocPipeline.ShardPairDups) = (p.shardA, p.shardB)
+    val adjacent = tenants.indices.map { t =>
+      val (a, b) = (tenants(t)._2, tenants((t + 1) % nShards)._2)
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    exactAudit.pairs.foreach { p =>
+      require(p.exact, s"audit at k=65536 must be exact: $p")
+      if (adjacent(pairKey(p)))
+        require(p.estSharedDocs == truthPerPair,
+          s"adjacent pair truth $truthPerPair, audit says $p")
+      else require(p.estSharedDocs == 0L, s"diagonal pair must share 0: $p")
+    }
+    estAudit.pairs.filter(p => adjacent(pairKey(p))).foreach { p =>
+      require(!p.exact && p.estSharedDocs >= truthPerPair / 2 &&
+        p.estSharedDocs <= truthPerPair * 2,
+        s"KMV estimate off by >2x vs truth $truthPerPair: $p")
+    }
+    println(f"SHARD-OPS cross-shard audit: exact pass (k=64k) found " +
+      f"$truthPerPair%,d shared fps on each adjacent pair and 0 on " +
+      f"diagonals in $wAuditX%.1f s; KMV pass (k=2048) estimated " +
+      f"${estAudit.pairs.filter(p => adjacent(pairKey(p)))
+        .map(_.estSharedDocs).mkString("/")} in $wAuditE%.1f s — " +
+      "the sharding caveat is now a number, not a sentence")
+
     // ── RESHARD FINALE ──
     val adv = DocPipeline.adviseShardCount(spark, root, nShards,
       budgetDocs = perTenantAccepted.max / 2)

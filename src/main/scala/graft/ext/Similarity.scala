@@ -44,8 +44,13 @@ object Similarity {
   def hyperplaneDot(vec: Column, plane: Int, dim: Int): Column = {
     val comps = Array.tabulate(dim)(i =>
       graft.functions.VectorLoops.planeComponent(plane.toLong * dim + (i + 1)))
+    // slice to dim first (ADVICE r16): zip_with pads the SHORTER side
+    // with nulls, so an over-length vector used to null-poison the
+    // aggregate — whereas the codegen kernel (VectorLoops.lshBucket)
+    // reads exactly the first dim components. Slicing keeps the two
+    // declared-identical paths identical on malformed input too.
     aggregate(
-      zip_with(vec, lit(comps), (x, p) => x.cast("double") * p),
+      zip_with(slice(vec, 1, dim), lit(comps), (x, p) => x.cast("double") * p),
       lit(0.0), (acc, v) => acc + v)
   }
 

@@ -96,8 +96,29 @@ object AppendStore {
       Int.MaxValue.toLong).toInt
     df.coalesce(files).write.mode("overwrite") // clobbers only uncommitted crash debris
       .parquet(AtomicCommit.versionDir(root, v))
-    AtomicCommit.commitOrFail(spark, root, v, "", fenceEpoch)
+    // the manifest carries the (already-measured) row count, so store
+    // sizing reads come from _commits/ alone — see [[manifestRows]]
+    AtomicCommit.commitOrFail(spark, root, v,
+      AtomicCommit.encodeRowsLine(rows), fenceEpoch)
     Some(v)
+  }
+
+  /** Total live rows priced from commit manifests ALONE — a driver-side
+    * read of the tiny `_commits/` files, zero Spark jobs (VERDICT r16
+    * #6: at 64 shards the per-shard parquet `count()` jobs dominated
+    * `adviseShardCount`; the IVF census line is the precedent). Live
+    * content is the union of committed versions, so the total is the
+    * sum of their `rows:` lines — exact across [[compact]] (the folded
+    * version records its own count and vacuum removes the old
+    * commits). None when the root holds no commit log at all (a PLAIN
+    * parquet store — a zero here would be a lie) or when any committed
+    * version predates the rows line (pre-r17 store) — callers fall
+    * back to a parquet count. */
+  def manifestRows(spark: SparkSession, root: String): Option[Long] = {
+    val versions = AtomicCommit.committedVersions(spark, root)
+    if (versions.isEmpty) return None
+    val counts = versions.map(v => AtomicCommit.rowsOf(spark, root, v))
+    if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
   }
 
   /** The [[append]] file-count discipline for PLAIN (non-atomic)

@@ -161,33 +161,45 @@ object AtomicCommit {
     * (one exclusive create, no temporary object, no rename). The
     * primitive this publisher needs is PUBLICATION-atomicity, not mere
     * existence-atomicity: the destination must become visible with its
-    * FULL content or not at all. That holds on object-store connectors
-    * (s3a/gs/abfs conditional writes upload the object at close — no
-    * byte is visible before the single conditional PUT) and on the
-    * local scheme via the hard-link publication below. It does NOT
-    * hold on HDFS-class filesystems, where `create(dst, false)` makes
-    * `dst` namespace-visible at ZERO length before any byte is
-    * written — a crash or a concurrent `latest()` in that window would
+    * FULL content or not at all. That holds only where VERIFIED, so
+    * the scheme check is an ALLOWLIST (ADVICE r16 — the old
+    * `scheme != "hdfs"` denylist let every other create-then-flush
+    * filesystem through the generic branch): `s3a`/`s3`/`gs` upload
+    * the whole object in the single conditional PUT that `close()`
+    * issues — no byte is visible at `dst` before the full content is —
+    * and the local scheme publishes via the hard-link path below.
+    * Everything else is REFUSED loudly: HDFS `create(dst, false)`
+    * makes `dst` namespace-visible at ZERO length before any byte is
+    * written; ABFS likewise creates the blob path entry at `create()`
+    * and lands data only at flush/close; `viewfs://`/`webhdfs://`
+    * route to HDFS semantics under different scheme strings. A
+    * crash or a concurrent `latest()` in any such window would
     * observe a committed version with an empty/partial manifest, a
-    * state the rename publisher can never produce. This publisher
-    * therefore REFUSES hdfs:// destinations loudly (use the default
-    * `rename` publisher there — HDFS rename is atomic). Selecting it
-    * (`spark.graft.casPublisher = create`) changes no other part of
-    * the protocol, and the LocalFileSystem torn-manifest window (a
-    * rename racing a checksum sidecar) cannot occur — the loser's
-    * link/PUT fails before its content is ever visible at `dst`. */
+    * state the rename publisher can never produce — use the default
+    * `rename` publisher there (HDFS-family rename is atomic).
+    * Selecting it (`spark.graft.casPublisher = create`) changes no
+    * other part of the protocol, and the LocalFileSystem
+    * torn-manifest window (a rename racing a checksum sidecar) cannot
+    * occur — the loser's link/PUT fails before its content is ever
+    * visible at `dst`. */
   object ExclusiveCreatePublisher extends CasPublisher {
+    /** Schemes with verified publish-at-close conditional-create
+      * semantics (plus "file", which takes the link(2) path). */
+    private val publishAtClose = Set("s3a", "s3", "gs")
     def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, root: Path,
                         dst: Path, bytes: Array[Byte]): Boolean = {
       val scheme = Option(dst.toUri.getScheme)
         .getOrElse(f.getUri.getScheme)
-      require(scheme != "hdfs",
-        s"casPublisher=create on $dst: HDFS create(dst, overwrite=false) " +
-          "publishes a zero-length file into the namespace BEFORE the " +
-          "manifest bytes land — existence is atomic but publication is " +
-          "not, so a crash/reader in the window sees a committed version " +
-          "with an empty manifest. Use spark.graft.casPublisher=rename " +
-          "on HDFS (its single-file rename is atomic with full content).")
+      require(scheme == "file" || publishAtClose(scheme),
+        s"casPublisher=create on $dst: scheme '$scheme' is not on the " +
+          "verified publish-at-close allowlist (s3a, s3, gs, file). On " +
+          "HDFS-class filesystems (hdfs, viewfs, webhdfs) and ABFS, " +
+          "create(dst, overwrite=false) publishes a zero-length entry " +
+          "into the namespace BEFORE the manifest bytes land — existence " +
+          "is atomic but publication is not, so a crash/reader in the " +
+          "window sees a committed version with an empty manifest. Use " +
+          "spark.graft.casPublisher=rename there (single-file rename is " +
+          "atomic with full content).")
       if (scheme == "file") {
         // Hadoop's LocalFileSystem create(path, overwrite=false) is
         // check-then-create — NOT atomic (measured: a 4-thread barrier
@@ -215,8 +227,8 @@ object AtomicCommit {
         }
       } else
         try {
-          // object-store connectors (s3a conditional PUT, gs, abfs):
-          // the object is uploaded in the close() call as one
+          // allowlisted object-store connectors (s3a/s3 conditional
+          // PUT, gs): the object is uploaded in the close() call as one
           // conditional write — nothing is visible at dst before the
           // full content is; overwrite=false is the If-None-Match
           val out = f.create(dst, false)
@@ -420,6 +432,22 @@ object AtomicCommit {
   def encodeCensusLine(counts: Seq[(Int, Long)]): String =
     "census:" + counts.sorted.map { case (c, n) => s"$c=$n" }.mkString(",")
 
+  /** Row-count manifest line (VERDICT r16 #6, the census precedent):
+    * the number of rows in THIS version's data directory, folded into
+    * the commit body. [[graft.sources.AppendStore.append]] already
+    * counts the frame for its file-count discipline, so recording it
+    * is free — and census-style consumers ([[graft.ext.DocPipeline]]'s
+    * `adviseShardCount`) then price a store from the tiny `_commits/`
+    * files alone: zero Spark jobs, zero parquet footer reads. */
+  def encodeRowsLine(rows: Long): String = s"rows:$rows"
+
+  /** Some(version row count) if `v`'s manifest carries a rows line
+    * (post-r17 appends); None for older or foreign manifests. */
+  def rowsOf(spark: SparkSession, root: String, v: Long): Option[Long] =
+    stripEpochHeader(readBody(spark, root, v)).linesIterator
+      .find(_.startsWith("rows:"))
+      .flatMap(s => scala.util.Try(s.stripPrefix("rows:").trim.toLong).toOption)
+
   /** Some(per-cell totals) if `body` carries a census line (epoch
     * header tolerated). May include zero/negative cells mid-LSM —
     * readers filter to positive. */
@@ -480,6 +508,20 @@ object AtomicCommit {
         .filter(s => scala.util.Try(s.getPath.getName.toLong).toOption.exists(_ < top))
         .flatMap(s => if (f.delete(s.getPath, false)) Some(s.getPath.toString) else None)
     }
-    deadDirs ++ staleCommits ++ staleEpochs
+    // crash debris from the publishers (ADVICE r16): a process killed
+    // between the tmp write and its cleanup orphans `_tmp-cas-*` files
+    // in the root, _commits, or _epochs. Listings skip non-numeric
+    // names so correctness never depended on this, but the debris
+    // accumulated unboundedly across crashes. Sweeping here is safe
+    // from the single writer's seat: a swept tmp can only belong to a
+    // dead attempt or to a concurrent claimer mid-publish, and in the
+    // latter case that publish fails LOUDLY (rename/link of a missing
+    // tmp) and retries — never a torn or silently-lost commit.
+    val tmpDebris = Seq(rootPath, commitsDir(root), eDir)
+      .filter(f.exists)
+      .flatMap(d => f.listStatus(d).toSeq)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_tmp-cas-"))
+      .flatMap(s => if (f.delete(s.getPath, false)) Some(s.getPath.toString) else None)
+    deadDirs ++ staleCommits ++ staleEpochs ++ tmpDebris
   }
 }

@@ -271,6 +271,20 @@ class ContentionSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("casPublisher=rename") ||
       e.getMessage.contains("spark.graft.casPublisher=rename"))
+    // ADVICE r16: the scheme check is an ALLOWLIST — every
+    // create-then-flush filesystem is refused, not just the literal
+    // "hdfs": abfs creates the blob path entry at create() with data
+    // landing only at flush/close, and viewfs/webhdfs route to HDFS
+    // semantics under different scheme strings
+    Seq("viewfs://cluster/store/_commits/1",
+        "webhdfs://nn:50070/store/_commits/1",
+        "abfs://c@acct.dfs.core.windows.net/store/_commits/1").foreach { u =>
+      val ex = intercept[IllegalArgumentException] {
+        pub.publishIfAbsent(fs, rootPath,
+          new org.apache.hadoop.fs.Path(u), "x".getBytes("UTF-8"))
+      }
+      assert(ex.getMessage.contains("allowlist"), s"$u: ${ex.getMessage}")
+    }
   }
 
   test("fenced zombie mid-flight: the retry's takeover makes the zombie's " +

@@ -36,6 +36,18 @@ class NearDupSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     // different plane families must not be the same hash function
     assert(rows.exists(r => r.getLong(0) !== r.getLong(2)))
+    // ADVICE r16: over-length input — the kernel reads exactly the
+    // first dim components; the HOF path must too (zip_with used to
+    // pad the PLANE side with nulls and poison the aggregate to null)
+    val over = df.select(col("id"),
+      concat(col("v"), array(lit(99.0f), lit(-99.0f))).as("v"))
+    val orows = over.select(
+      Similarity.lshBucket(col("v"), dim = 16, bits = 4).as("cg"),
+      Similarity.lshBucketHof(col("v"), dim = 16, bits = 4).as("hof")).collect()
+    orows.foreach { r =>
+      assert(!r.isNullAt(1), "HOF path nulled on over-length input")
+      assert(r.getLong(0) === r.getLong(1))
+    }
   }
 
   test("embeddingCandidatePairs = exactly the distinct within-bucket pairs") {
@@ -1101,5 +1113,54 @@ class NearDupSpec extends SparkTestBase {
     assert(e3.getMessage.contains("rebuildSignatureStore"))
     // the packed store passes the same gate untouched
     assert(DocPipeline.prepareIncremental(batch, good, minWords = 10).isEmpty)
+  }
+
+  test("auditCrossShardDups: a planted cross-shard copy is measured exactly " +
+      "on small shards; the KMV path estimates the planted rate") {
+    import org.apache.spark.sql.functions.col
+    // two tenants proven to land on different shards of a 2-way layout
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"w${(i * 131 + j * 47) % 97}x$j").mkString(" ")
+    // 60 docs per tenant; ids 10..19 of tenant B carry EXACT copies of
+    // tenant A's texts 10..19 — the uncaught cross-shard class
+    val planted = (10 until 20).toSet
+    val rows =
+      (0 until 60).map(i => (i.toLong, kA, text(i))) ++
+      (0 until 60).map(i => (1000L + i, kB,
+        if (planted(i)) text(i)
+        else Array.tabulate(12)(j => s"b${i}f$j").mkString(" ")))
+    val corpus = rows.toDF("doc_id", "tenant", "text")
+    val root = java.nio.file.Files.createTempDirectory("xaudit").toFile
+    root.delete()
+    DocPipeline.reshardSignatureStores(
+      corpus, root.getAbsolutePath, col("tenant"), numShards = 2)
+    try {
+      // shards are far below sampleK: the audit is EXACT
+      val audit = DocPipeline.auditCrossShardDups(
+        spark, root.getAbsolutePath, numShards = 2)
+      assert(audit.pairs.size === 1, audit.pairs.toString)
+      val p = audit.pairs.head
+      assert(p.exact && p.sampleShared === 10L && p.estSharedDocs === 10L, p.toString)
+      assert(audit.estTotalCrossShardDups === 10L)
+      assert(audit.shardDistinctEst.values.toSeq.sorted === Seq(60L, 60L))
+      // force the sampled path (sampleK below shard size): the KMV
+      // estimate must see the planted overlap and land in a sane band
+      // (deterministic — fps are content hashes of fixed texts)
+      val est = DocPipeline.auditCrossShardDups(
+        spark, root.getAbsolutePath, numShards = 2, sampleK = 32)
+      val q = est.pairs.head
+      assert(!q.exact)
+      assert(q.sampleShared >= 1, q.toString)
+      assert(q.estSharedDocs >= 2 && q.estSharedDocs <= 50, q.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.getAbsolutePath + "_shard_meta"))
+    }
   }
 }

@@ -138,14 +138,26 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.read.parquet(AtomicCommit.versionDir(root, 1L)).count() === docs.count())
   }
 
-  test("atomic commit: vacuum removes orphans, never the committed version") {
+  test("atomic commit: vacuum removes orphans and _tmp-cas debris, never " +
+      "the committed version") {
     import graft.sources.{AtomicCommit, ShardStore}
     val root = java.nio.file.Files.createTempDirectory("avac").resolve("corpus").toString
     ShardStore.writeShardsAtomic(docs, "doc_id", numShards = 2, root)
     // orphan debris from a crashed writer
     docs.limit(1).write.parquet(AtomicCommit.versionDir(root, 7L))
+    // ADVICE r16: publisher tmp files orphaned by a kill between the
+    // tmp write and its cleanup — in the root (rename publisher) and
+    // in _commits/_epochs (create publisher) — must be swept too;
+    // listings already skip them, so this is debris, not correctness
+    val nio = java.nio.file.Paths.get(root)
+    java.nio.file.Files.write(nio.resolve("_tmp-cas-9-dead"), "x".getBytes)
+    java.nio.file.Files.write(nio.resolve("_commits").resolve("_tmp-cas-9-dead"), "x".getBytes)
+    java.nio.file.Files.createDirectories(nio.resolve("_epochs"))
+    java.nio.file.Files.write(nio.resolve("_epochs").resolve("_tmp-cas-1-dead"), "x".getBytes)
     val removed = AtomicCommit.vacuum(spark, root)
-    assert(removed.exists(_.endsWith("v=7")) && removed.length === 1)
+    assert(removed.exists(_.endsWith("v=7")), removed.toString)
+    assert(removed.count(_.contains("_tmp-cas-")) === 3, removed.toString)
+    assert(removed.length === 4, removed.toString)
     assert(ShardStore.readShardsLatest(spark, root).count() === docs.count())
   }
 
@@ -238,6 +250,32 @@ class SourcesSpec extends SparkTestBase {
     assert(AppendStore.readOr(spark, fresh, docs.limit(0)).count() === 0L)
     AppendStore.append(docs.limit(2), fresh)
     assert(AppendStore.readOr(spark, fresh, docs.limit(0)).count() === 2L)
+  }
+
+  test("AppendStore.manifestRows: priced from commit manifests alone — " +
+      "exact across appends and compact; plain and pre-rows stores decline") {
+    import graft.sources.{AppendStore, AtomicCommit}
+    val root = java.nio.file.Files.createTempDirectory("amrows").resolve("s").toString
+    assert(AppendStore.manifestRows(spark, root) === None) // absent: not a store
+    AppendStore.append(docs.limit(3), root)
+    AppendStore.append(docs.limit(2), root)
+    assert(AppendStore.manifestRows(spark, root) === Some(5L))
+    // the count comes from _commits alone — corrupt a version dir to
+    // prove no parquet read happens (a scan-backed count would throw)
+    AppendStore.compact(spark, root)
+    assert(AppendStore.manifestRows(spark, root) === Some(5L))
+    assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 5L)
+    // a pre-r17 commit (no rows line) makes the WHOLE store decline —
+    // a partial sum would understate silently
+    val legacy = java.nio.file.Files.createTempDirectory("amrows2").resolve("s").toString
+    docs.limit(2).write.parquet(AtomicCommit.versionDir(legacy, 1L))
+    assert(AtomicCommit.commit(spark, legacy, 1L, ""))
+    AppendStore.append(docs.limit(3), legacy)
+    assert(AppendStore.manifestRows(spark, legacy) === None)
+    // a plain parquet store has no commit log: decline, never Some(0)
+    val plain = java.nio.file.Files.createTempDirectory("amrows3").resolve("s").toString
+    docs.limit(3).write.parquet(plain)
+    assert(AppendStore.manifestRows(spark, plain) === None)
   }
 
   test("writer fencing: AppendStore.append honors the epoch (zombie append rejected)") {

@@ -1249,10 +1249,40 @@ class StreamingSpec extends SparkTestBase {
         .takeWhile(_ != null).toSeq
       assert(chain.exists(t => t.getMessage != null &&
         t.getMessage.contains("(numShards,0)")), s"got: $ex")
+      // ADVICE r16: the stranded numShards=0 sentinel is PROOF the
+      // prior reshard crashed before finalizing (the sentinel is a
+      // SIBLING of the root, so "delete the partial root and rerun"
+      // leaves it behind) — the rerun overwrites it and finalizes
+      // instead of dying at the layout refusal
+      graft.ext.DocPipeline.reshardSignatureStores(
+        corpus, root2.getAbsolutePath, col("tenant"), numShards = 2,
+        atomicStore = true)
+      val meta2 = spark.read.parquet(root2.getAbsolutePath + "_shard_meta")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(meta2("numShards") === 2, meta2.toString)
+      // atomic shards price the advise from commit manifests (r17):
+      // same totals as the plain-layout count path, zero parquet jobs
+      val advAtomic = graft.ext.DocPipeline.adviseShardCount(
+        spark, root2.getAbsolutePath, numShards = 2, budgetDocs = 1000L)
+      assert(advAtomic.totalDocs === 3 && !advAtomic.reshard,
+        advAtomic.toString)
+      (0L until 2L).foreach { s =>
+        val sp = graft.ext.DocPipeline.shardPath(root2.getAbsolutePath, s)
+        assert(graft.sources.AppendStore.manifestRows(spark, sp) ===
+          Some(advAtomic.shardDocs(s)), s"shard $s")
+      }
+      // ...and a FINALIZED layout still refuses
+      val e2 = intercept[IllegalArgumentException] {
+        graft.ext.DocPipeline.reshardSignatureStores(
+          corpus, root2.getAbsolutePath, col("tenant"), numShards = 4)
+      }
+      assert(e2.getMessage.contains("FINALIZED"), e2.getMessage)
     } finally {
       q2.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(root)
       org.apache.commons.io.FileUtils.deleteQuietly(root2)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root2.getAbsolutePath + "_shard_meta"))
     }
   }
 

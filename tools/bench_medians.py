@@ -8,6 +8,17 @@ run-over-run comparison is noise below that floor. This tool computes
 per-query MEDIANS across the recorded runs and flags only queries whose
 LATEST run exceeds median * threshold — signal, not noise.
 
+r17 (VERDICT r16 #4): flags are REGIME-NORMALIZED — each run's median
+relative speed (median over queries of time/cross-run-median) estimates
+the box regime it ran under, and the latest run's per-query ratios are
+divided by it before flagging. A slow box inflates every query together
+and lands in the regime factor, not in 237 spurious flags; a genuine
+code regression moves one query against the run's own regime and still
+fires. Raw-flagged-but-regime-explained queries print separately (the
+recurring "quiet-box letter" class, closed). Bench also records a
+trivial-scan sentinel + 1-min load average per history line for
+adjudication.
+
 Usage: python3 tools/bench_medians.py [history.jsonl] [threshold]
        python3 tools/bench_medians.py --table [N] [history.jsonl]
   history.jsonl  default BENCH_HISTORY.jsonl
@@ -39,27 +50,62 @@ def main(path="BENCH_HISTORY.jsonl", threshold=1.81):
     for r in runs:
         for q, s in r["queries"].items():
             hist.setdefault(q, []).append(s)
+    med_of = {q: statistics.median(s) for q, s in hist.items()}
+    # regime factor per run (VERDICT r16 #4): the box regime moves EVERY
+    # query together (112–167 s same-code totals), so a run's median
+    # relative speed — median over queries of time/median-across-runs —
+    # estimates its regime, and dividing it out leaves only per-query
+    # code movement (median polish). Runs that recorded the Bench
+    # sentinel scan also report it (and load avg) for adjudication, but
+    # the factor uses all queries: it exists for every historical line
+    # and has ~200x the sample size of one sentinel.
+    def regime(r):
+        rel = [t / med_of[q] for q, t in r["queries"].items()
+               if med_of.get(q, 0) > 0]
+        return statistics.median(rel) if rel else 1.0
+    reg_latest = regime(runs[-1])
     rows = []
     for q, secs in sorted(hist.items()):
         med = statistics.median(secs)
         cur = latest.get(q)
         ratio = (cur / med) if (cur is not None and med > 0) else None
-        rows.append((q, med, cur, ratio, len(secs)))
+        norm = (ratio / reg_latest) if ratio is not None else None
+        rows.append((q, med, cur, ratio, len(secs), norm))
     totals = [r["value"] for r in runs if r.get("metric") == "total"]
+    sent = runs[-1].get("sentinel")
+    load = runs[-1].get("load")
+    extra = ""
+    if sent is not None:
+        extra += f"; sentinel {sent:.2f} s"
+    if load is not None:
+        extra += f", load {load:.1f}"
     print(f"{len(runs)} runs; total median {statistics.median(totals):.2f} s, "
-          f"latest {totals[-1]:.2f} s; flag threshold {threshold}x over median")
-    flagged = [r for r in rows if r[3] is not None and r[3] > threshold]
+          f"latest {totals[-1]:.2f} s; latest regime {reg_latest:.2f}x"
+          f"{extra}; flag threshold {threshold}x over median "
+          f"(regime-normalized)")
+    flagged = [r for r in rows if r[5] is not None and r[5] > threshold]
+    raw_only = [r for r in rows
+                if r[3] is not None and r[3] > threshold and r[5] <= threshold]
     missing = [r for r in rows if r[2] is None]
-    print(f"\n== flagged (> {threshold}x median): {len(flagged)} ==")
-    for q, med, cur, ratio, n in sorted(flagged, key=lambda r: -r[3]):
-        print(f"  {q:32s} median {med:7.3f}  latest {cur:7.3f}  {ratio:5.2f}x  (n={n})")
+    print(f"\n== flagged (> {threshold}x median after regime "
+          f"normalization): {len(flagged)} ==")
+    for q, med, cur, ratio, n, norm in sorted(flagged, key=lambda r: -r[5]):
+        print(f"  {q:32s} median {med:7.3f}  latest {cur:7.3f}  "
+              f"raw {ratio:5.2f}x  norm {norm:5.2f}x  (n={n})")
+    if raw_only:
+        print(f"\n== raw-flagged but regime-explained (the quiet-box "
+              f"letter class): {len(raw_only)} ==")
+        for q, med, cur, ratio, n, norm in sorted(raw_only, key=lambda r: -r[3]):
+            print(f"  {q:32s} median {med:7.3f}  latest {cur:7.3f}  "
+                  f"raw {ratio:5.2f}x  norm {norm:5.2f}x  (n={n})")
     if missing:
         print(f"\n== in history but not in latest run: "
               f"{', '.join(q for q, *_ in missing)} ==")
     top = sorted((r for r in rows if r[3] is not None), key=lambda r: -r[1])[:10]
     print("\n== slowest by median ==")
-    for q, med, cur, ratio, n in top:
-        print(f"  {q:32s} median {med:7.3f}  latest {cur:7.3f}  {ratio:5.2f}x  (n={n})")
+    for q, med, cur, ratio, n, norm in top:
+        print(f"  {q:32s} median {med:7.3f}  latest {cur:7.3f}  "
+              f"raw {ratio:5.2f}x  norm {norm:5.2f}x  (n={n})")
 
 
 def table(n=15, path="BENCH_HISTORY.jsonl"):
