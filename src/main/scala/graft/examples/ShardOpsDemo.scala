@@ -27,6 +27,12 @@ import graft.ext.DocPipeline
   *     later cycles assert every tenant unaffected;
   *   - MAINTENANCE DAY after cycle 4: every shard compacted and
   *     vacuumed (per-shard stores are full atomic stores);
+  *   - CROSS-SHARD DUP AUDIT (r17): the accepted cross-tenant copies
+  *     give the audit a KNOWN truth — the exact pass must recover it
+  *     per pair, the KMV pass must land within 2x;
+  *   - MONSTER DAY (r17): one tenant promoted to its own root via the
+  *     outlierRoots routing table, a full cycle's invariants held
+  *     through it, the old hash shard frozen;
   *   - RESHARD FINALE: adviseShardCount fires on a tightened budget →
   *     side-by-side reshard into a fresh root at the recommended
   *     count → one more full cycle there, all invariants intact.
@@ -109,12 +115,14 @@ object ShardOpsDemo {
     val perTenantAccepted = Array.fill(nShards)(0L)
 
     type In = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    var outliers = Map.empty[String, String] // the monster-day routing table
+    var monsterIdx: Option[Int] = None
     def startStream(): (In, org.apache.spark.sql.streaming.StreamingQuery) = {
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
       val q = DocPipeline.streamIncrementalSharded(
         in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
         shards, minWords = 10, atomicStore = true,
-        shardTag = "tenant") { (df, _) =>
+        shardTag = "tenant", outlierRoots = outliers) { (df, _) =>
         val slim = df.select(col("doc_id"), col("tenant"), col("text")).cache()
         slim.write.mode("append").parquet(corpusLog)
         lastAccepted = slim.select("doc_id").as[Long].collect().toSet
@@ -148,8 +156,13 @@ object ShardOpsDemo {
           perTenantAccepted(t) += nFresh + nearLeak + nCross
         } else perTenantAccepted(t) += nFresh
         if (shards == nShards) { // pre-reshard roots: shard == tenant
+          // a promoted monster's history lives at its dedicated root;
+          // everyone else stays at their hash shard
+          val path =
+            if (monsterIdx.contains(t)) outliers(tenants(t)._1)
+            else DocPipeline.shardPath(root, tenants(t)._2)
           val storeDocs = graft.sources.AppendStore.readOr(spark,
-              DocPipeline.shardPath(root, tenants(t)._2), sys.error("missing shard"))
+              path, sys.error("missing shard"))
             .select("doc_id").distinct().count()
           require(storeDocs == perTenantAccepted(t),
             s"cycle $c tenant $t: store $storeDocs != accepted ${perTenantAccepted(t)}")
@@ -235,6 +248,39 @@ object ShardOpsDemo {
         .map(_.estSharedDocs).mkString("/")} in $wAuditE%.1f s — " +
       "the sharding caveat is now a number, not a sentence")
 
+    // ── MONSTER DAY (r17, VERDICT r16 #3): one tenant outgrows the
+    // hash router. adviseShardCount's honest caveat — a tenant is
+    // ATOMIC under the router, so the hot shard is bounded below by
+    // its own size no matter the count — gets its operational answer:
+    // promote the tenant to its OWN root (the routing table above the
+    // router), rebuilt from the accepted corpus so no history is lost.
+    val monster = 2
+    val monsterKey = tenants(monster)._1
+    val monsterShardPath = DocPipeline.shardPath(root, tenants(monster)._2)
+    val advM = DocPipeline.adviseShardCount(spark, root, nShards,
+      budgetDocs = perTenantAccepted(monster) - 1)
+    require(advM.reshard, advM.toString) // fires — but splitting cannot help
+    val monsterRoot = tmp.resolve("monster").toString
+    val (_, wPromote) = timed {
+      DocPipeline.promoteTenants(
+        spark.read.parquet(corpusLog).select(col("doc_id"), col("tenant"), col("text")),
+        root, "tenant", Map(monsterKey -> monsterRoot), atomicStore = true)
+    }
+    outliers = Map(monsterKey -> monsterRoot); monsterIdx = Some(monster)
+    val frozenShardDocs = graft.sources.AppendStore.readOr(spark,
+      monsterShardPath, sys.error("missing")).select("doc_id").distinct().count()
+    val s35 = startStream(); in = s35._1; q = s35._2
+    runAndAssert(in, q, cycles) // a full cycle through the routing table
+    q.stop()
+    require(graft.sources.AppendStore.readOr(spark, monsterShardPath,
+      sys.error("missing")).select("doc_id").distinct().count() == frozenShardDocs,
+      "monster's old hash shard must freeze after promotion")
+    println(f"SHARD-OPS monster day: tenant $monsterKey promoted to its own " +
+      f"root in $wPromote%.1f s (advise fired at budget ${advM.budgetDocs}%,d; " +
+      "the tenant is atomic under the router, so splitting could not have " +
+      f"helped); cycle $cycles%d's invariants held through the routing " +
+      "table, the old hash shard froze, pre-promotion re-crawls still reject")
+
     // ── RESHARD FINALE ──
     val adv = DocPipeline.adviseShardCount(spark, root, nShards,
       budgetDocs = perTenantAccepted.max / 2)
@@ -247,14 +293,15 @@ object ShardOpsDemo {
         atomicStore = true, shardTag = "tenant")
     }
     root = newRoot; shards = adv.recommendedShards
+    outliers = Map.empty; monsterIdx = None // the reshard re-homes everyone
     val s4 = startStream(); in = s4._1; q = s4._2
-    runAndAssert(in, q, cycles)
+    runAndAssert(in, q, cycles + 1)
     q.stop()
     println(f"SHARD-OPS reshard finale: advise fired (hot shard " +
       f"${adv.maxShardDocs}%,d docs vs budget ${adv.budgetDocs}%,d) -> " +
       f"$nShards -> $shards shards in $wReshard%.1f s; final cycle's " +
       "invariants held at the new count")
-    println(s"SHARD-OPS invariants hold: ${cycles + 1} cycles x 4 tenants, " +
+    println(s"SHARD-OPS invariants hold: ${cycles + 2} cycles x 4 tenants, " +
       s"per-cycle near-dup leaks=${leakLog.mkString(",")} " +
       s"(cross-tenant copies accepted ${nCross}x4 EVERY cycle by contract), " +
       s"accepted per tenant=${perTenantAccepted.mkString("/")}")

@@ -1161,7 +1161,37 @@ object DocPipeline {
     * fences only the shards it touches, and two streams accidentally
     * fed the SAME tenant fence each other there and die loudly, per
     * shard. `onBatch` receives the union of accepted rows with a
-    * `shard` column appended. */
+    * `shard` column appended.
+    *
+    * MONSTER-TENANT ESCAPE HATCH (`outlierRoots`, r17 — VERDICT r16
+    * #3): a single tenant is ATOMIC under the hash router, so one
+    * outlier tenant bounds the hot shard from below at its own size no
+    * matter `numShards` — [[adviseShardCount]] names exactly this
+    * caveat. `outlierRoots` is a routing table ABOVE the router: rows
+    * whose shard key (as string) matches an entry skip the hash and
+    * run the same incremental step against that tenant's OWN dedicated
+    * store root — its per-batch scans and its bloom are bounded by its
+    * own history, and the hash shards shrink by its absence. Choose
+    * this shape when the skew is tenant-IDENTITY (a few stable monster
+    * tenants); when one tenant is internally divisible and its
+    * duplicates are prefix-local, prefer a composite `shardKey`
+    * (e.g. `struct(col("tenant"), col("url_prefix"))`) instead — that
+    * trades recall ACROSS the tenant's sub-shards, a loss
+    * [[auditCrossShardDups]] can price on real data.
+    *
+    * The outlier table is routing GEOMETRY like the count and the key:
+    * it is pinned in `_shard_meta` (hash of the sorted key→root
+    * table) — a restart that silently dropped or redirected an entry
+    * would hash the monster tenant back into a shard that never saw
+    * its post-promotion history and re-accept its whole catalog, so
+    * drift dies loudly instead. Promote (or demote/repoint) tenants
+    * with [[promoteTenants]] while the stream is stopped: it rebuilds
+    * each tenant's dedicated store from the accepted corpus and
+    * re-pins the table LAST. The tenant's pre-promotion rows remain in
+    * its old hash shard — dead weight, never wrong (the tenant no
+    * longer routes there); rebuild that shard from the corpus for
+    * hygiene if its size matters. `onBatch` rows routed via the table
+    * carry `shard = -1` (their tenant column still identifies them). */
   def streamIncrementalSharded(
       docs: DataFrame,
       rootPath: String,
@@ -1178,14 +1208,26 @@ object DocPipeline {
       maxShingles: Int = 0,
       bloom: Boolean = true,
       shardTag: String = "",
-      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      outlierRoots: Map[String, String] = Map.empty)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
     val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
-    // per-shard driver state, created at the stream's first touch of
-    // each shard: epoch fences (atomic stores) and bloom pairs
-    val fences = new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
-    val blooms = new java.util.concurrent.ConcurrentHashMap[Long,
+    val outKeys = outlierRoots.keys.toSeq.sorted
+    // per-store driver state, created at the stream's first touch of
+    // each store (hash shards AND outlier roots): epoch fences (atomic
+    // stores) and bloom pairs — keyed by store path
+    val fences = new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+    val blooms = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicReference[graft.sources.StoreBloom.SigBlooms]]()
+    def stateFor(spark: org.apache.spark.sql.SparkSession, sp: String) = (
+      fences.computeIfAbsent(sp, _ =>
+        if (atomicStore)
+          Some(graft.sources.AtomicCommit.acquireEpoch(spark, sp,
+            "streamIncrementalSharded"))
+        else None),
+      blooms.computeIfAbsent(sp, _ =>
+        new java.util.concurrent.atomic.AtomicReference[
+          graft.sources.StoreBloom.SigBlooms](null)))
     withCheckpoint(docs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -1194,40 +1236,109 @@ object DocPipeline {
           s"${rootPath.stripSuffix("/")}_shard_meta", rootPath,
           "restart with the stored shard count AND key (the key is " +
             s"pinned as hash('$keyTag') — pass shardTag to keep a " +
-            "renamed-but-identical expression) or re-shard by rebuilding " +
+            "renamed-but-identical expression) AND outlier table " +
+            "(amend it with promoteTenants) or re-shard by rebuilding " +
             "every shard from the accepted corpus (rebuildSignatureStore " +
             "per shard)",
           Seq("numShards" -> numShards,
-            "shardKeyHash" -> (keyTag.hashCode & 0x7fffffff)))
-        val withShard = b.withColumn("_gshard", shardOf(shardKey, numShards)).cut
-        // ≤ numShards rows — the routing census, not a data collect
-        val present = withShard.select(col("_gshard")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        if (present.isEmpty) {
+            "shardKeyHash" -> (keyTag.hashCode & 0x7fffffff),
+            "outlierHash" -> outlierTableHash(outlierRoots)),
+          legacyDefaults = Map("outlierHash" -> 0))
+        val keyStr = shardKey.cast("string")
+        val withShard = (
+          if (outKeys.isEmpty) b.withColumn("_okey", lit(null).cast("string"))
+          else b.withColumn("_okey",
+            when(keyStr.isin(outKeys: _*), keyStr)
+              .otherwise(lit(null).cast("string"))))
+          .withColumn("_gshard",
+            when(col("_okey").isNotNull, lit(-1L))
+              .otherwise(shardOf(shardKey, numShards)))
+          .cut
+        // ≤ numShards + outliers rows — the routing census, not a data
+        // collect
+        val census = withShard.select(col("_gshard"), col("_okey"))
+          .distinct().collect()
+        val present = census.filter(_.isNullAt(1)).map(_.getLong(0)).sorted
+        val outPresent = census.filterNot(_.isNullAt(1)).map(_.getString(1)).sorted
+        if (present.isEmpty && outPresent.isEmpty) {
           onBatch(prepareWithHashes(b, idCol, textCol, minWords, minhashK,
             bands, tau, transitive = false, maxShingles = maxShingles)
             .drop("_fp", "_whs").withColumn("shard", lit(0L)).limit(0), batchId)
         } else {
+          val outParts = outPresent.map { k =>
+            val sp = outlierRoots(k)
+            val (fence, st) = stateFor(spark, sp)
+            incrementalStoreStep(
+              withShard.filter(col("_okey") === k).drop("_gshard", "_okey"),
+              sp, idCol, textCol, minWords, minhashK, bands, tau,
+              atomicStore, maxStoreBandDf, maxShingles, bloom, fence, st)
+              .withColumn("shard", lit(-1L))
+          }
           val parts = present.map { s =>
             val sp = shardPath(rootPath, s)
-            val fence = fences.computeIfAbsent(s, _ =>
-              if (atomicStore)
-                Some(graft.sources.AtomicCommit.acquireEpoch(spark, sp,
-                  "streamIncrementalSharded"))
-              else None)
-            val st = blooms.computeIfAbsent(s, _ =>
-              new java.util.concurrent.atomic.AtomicReference[
-                graft.sources.StoreBloom.SigBlooms](null))
+            val (fence, st) = stateFor(spark, sp)
             incrementalStoreStep(
-              withShard.filter(col("_gshard") === s).drop("_gshard"), sp,
-              idCol, textCol, minWords, minhashK, bands, tau, atomicStore,
+              withShard.filter(col("_gshard") === s).drop("_gshard", "_okey"),
+              sp, idCol, textCol, minWords, minhashK, bands, tau, atomicStore,
               maxStoreBandDf, maxShingles, bloom, fence, st)
               .withColumn("shard", lit(s))
           }
-          onBatch(parts.reduce(_ unionByName _), batchId)
+          onBatch((outParts ++ parts).reduce(_ unionByName _), batchId)
         }
       }
       .start()
+  }
+
+  /** Pin-hash of an outlier routing table: a pure function of the
+    * sorted key→root entries (0 = no table, the pre-r17 default every
+    * legacy `_shard_meta` implicitly carries). */
+  private def outlierTableHash(outlierRoots: Map[String, String]): Int =
+    if (outlierRoots.isEmpty) 0
+    else math.max(1, outlierRoots.toSeq.sorted
+      .map { case (k, v) => s"$k->$v" }.mkString(";").hashCode & 0x7fffffff)
+
+  /** Promote (or repoint/demote) outlier tenants on a sharded layout —
+    * the maintenance valve behind [[streamIncrementalSharded]]'s
+    * `outlierRoots` (scaladoc there for when and why). Run while the
+    * ingest stream is STOPPED. For each entry, the tenant's dedicated
+    * store is rebuilt from the ACCEPTED corpus (so its post-promotion
+    * history starts complete — a fresh empty root would re-accept the
+    * tenant's entire catalog on the next crawl), then the root's
+    * `_shard_meta` is re-pinned with the new table hash LAST: a crash
+    * anywhere before that leaves the OLD pin, and a prematurely
+    * restarted stream with the new table dies loudly at the meta check
+    * instead of serving an unpinned (and possibly half-built) routing.
+    * `docs` must be the accepted corpus with the key column intact;
+    * `outlierRoots` is the COMPLETE new table (promotion is idempotent
+    * — rebuilding an existing outlier store replays the same corpus).
+    * Demote a tenant by passing a table without it AFTER rebuilding
+    * its hash shard from the corpus (its dedicated history does not
+    * follow it back). */
+  def promoteTenants(docs: DataFrame, rootPath: String, keyCol: String,
+                     outlierRoots: Map[String, String],
+                     idCol: String = "doc_id", textCol: String = "text",
+                     minhashK: Int = 8, bands: Int = 4,
+                     maxShingles: Int = 0,
+                     atomicStore: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val metaDir = s"${rootPath.stripSuffix("/")}_shard_meta"
+    require(graft.sources.AtomicCommit.pathExists(spark, metaDir),
+      s"$rootPath carries no shard layout — promotion amends an existing " +
+        "sharded deployment (build one with reshardSignatureStores or by " +
+        "starting streamIncrementalSharded)")
+    val stored = spark.read.parquet(metaDir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    require(stored.get("numShards").exists(_ > 0),
+      s"$rootPath shard layout is not finalized (meta: $stored) — finish " +
+        "or rerun the reshard first")
+    outlierRoots.toSeq.sortBy(_._1).foreach { case (k, dst) =>
+      rebuildSignatureStore(
+        docs.filter(col(keyCol).cast("string") === k), dst,
+        idCol, textCol, minhashK, bands, maxShingles, atomicStore)
+    }
+    writeStoreMeta(spark, metaDir,
+      (stored - "outlierHash").toSeq.sortBy(_._1) :+
+        ("outlierHash" -> outlierTableHash(outlierRoots)))
   }
 
   /** Rebuild the signature store from the ACCEPTED corpus at a

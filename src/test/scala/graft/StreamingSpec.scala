@@ -929,6 +929,133 @@ class StreamingSpec extends SparkTestBase {
       s"post-replay batch wrong: $seen")
   }
 
+  test("checkpointed failover chain (VERDICT r16 #2): A crashes MID-BATCH " +
+      "after the store append, B resumes from A's checkpoint with a newer " +
+      "fence and re-accepts nothing, B crashes the same way, C converges — " +
+      "offsets, store, bloom, and fences all land on the successor") {
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("chainsrc")
+    val ckpt = java.nio.file.Files.createTempDirectory("chainckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("chainstore").toFile
+    store.delete()
+    val sp = store.getAbsolutePath
+    def text(i: Int) = Array.tabulate(40)(j => s"c${i}w$j").mkString(" ")
+    def writeBatchFile(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(srcDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // crash injection: onBatch throws AFTER incrementalStoreStep ran —
+    // the store appended and the bloom sidecar saved, the checkpoint
+    // commit and the sink delivery both lost. The worst window.
+    @volatile var crashNext = false
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.ext.DocPipeline.streamIncremental(
+        spark.readStream.schema(schema).json(srcDir.toString), sp,
+        minWords = 10, atomicStore = true,
+        checkpointLocation = Some(ckpt)) { (df, _) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0))
+        if (crashNext && ids.nonEmpty) {
+          crashNext = false
+          throw new RuntimeException("injected driver crash")
+        }
+        delivered ++= ids
+      }
+    def stopAndRelease(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.stop() catch { case _: Throwable => () }
+      var i = 0
+      while (spark.streams.active.nonEmpty && i < 200) { Thread.sleep(50); i += 1 }
+      spark.streams.resetTerminated(); Thread.sleep(200)
+    }
+    def storeRows() = graft.sources.AppendStore
+      .readOr(spark, sp, sys.error("missing store")).count()
+
+    // ── driver A: healthy batch, then a mid-batch crash ──
+    writeBatchFile("f0.json", Seq((1L, text(1)), (2L, text(2))))
+    val a = run()
+    try a.processAllAvailable() finally {}
+    assert(delivered.sorted.toSeq === Seq(1L, 2L))
+    assert(graft.sources.AtomicCommit.maxEpoch(spark, sp) === 1L) // A's fence
+    val rowsAfterF0 = storeRows()
+    writeBatchFile("f1.json", Seq((3L, text(3)), (10L, text(1)))) // fresh + re-crawl
+    crashNext = true
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      a.processAllAvailable()
+    }
+    stopAndRelease(a)
+    // the crash window is real: doc 3's signatures are IN the store,
+    // its delivery and the checkpoint commit are NOT
+    assert(storeRows() > rowsAfterF0, "crash landed before the append?")
+    assert(delivered.sorted.toSeq === Seq(1L, 2L))
+
+    // ── driver B: resumes from A's checkpoint, claims a newer fence ──
+    delivered.clear()
+    val b = run()
+    try {
+      b.processAllAvailable() // replays f1
+      // no re-accepts: the replayed batch anti-joins its own signatures
+      assert(delivered.isEmpty, s"replay re-accepted: $delivered")
+      assert(graft.sources.AtomicCommit.maxEpoch(spark, sp) === 2L)
+      // zombie A's residual append dies at B's fence, store untouched
+      val before = storeRows()
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.AppendStore.append(
+          graft.sources.AppendStore.readOr(spark, sp, sys.error("missing"))
+            .limit(1), sp, fenceEpoch = Some(1L))
+      }
+      assert(e.getMessage.contains("fenced"), e.getMessage)
+      assert(storeRows() === before)
+      // healthy traffic flows on B: fresh accepts, history (incl. the
+      // crash-batch doc 3) rejects
+      writeBatchFile("f2.json", Seq((4L, text(4)), (11L, text(3))))
+      b.processAllAvailable()
+      assert(delivered.sorted.toSeq === Seq(4L), delivered.toString)
+      // ── B crashes the same way on f3 ──
+      writeBatchFile("f3.json", Seq((5L, text(5))))
+      crashNext = true
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        b.processAllAvailable()
+      }
+    } finally stopAndRelease(b)
+
+    // ── driver C: the chain's third link converges ──
+    delivered.clear()
+    val c = run()
+    try {
+      c.processAllAvailable() // replays f3 → nothing
+      assert(delivered.isEmpty, s"replay re-accepted: $delivered")
+      assert(graft.sources.AtomicCommit.maxEpoch(spark, sp) === 3L)
+      // every doc the chain ever absorbed — including BOTH crash
+      // batches' — is history now; only genuinely fresh input lands
+      writeBatchFile("f4.json",
+        Seq((6L, text(6)), (12L, text(5)), (13L, text(2))))
+      c.processAllAvailable()
+      assert(delivered.sorted.toSeq === Seq(6L), delivered.toString)
+    } finally stopAndRelease(c)
+
+    // ── convergence audit ──
+    // store: exactly one signature row per unique accepted doc (1..6)
+    val sigs = graft.sources.AppendStore.readOr(spark, sp, sys.error("missing"))
+    assert(sigs.count() === 6L, s"store rows: ${sigs.count()}")
+    assert(sigs.select("fp").distinct().count() === 6L, "duplicate fps in store")
+    // bloom sidecar covers the store (over-coverage from the crash
+    // windows is the safe direction; under-coverage never happens)
+    val bloom = graft.sources.StoreBloom.load(spark, sp)
+    assert(bloom.exists(_.rows >= 6L), s"bloom: ${bloom.map(_.rows)}")
+    // fences: zombie epochs 1 and 2 both refused after the chain
+    for (z <- Seq(1L, 2L)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.AppendStore.append(sigs.limit(1), sp, fenceEpoch = Some(z))
+      }
+      assert(e.getMessage.contains("fenced"), s"epoch $z: ${e.getMessage}")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(srcDir.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(store)
+  }
+
   test("streamChunkDedup drops spans within AND across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -1284,6 +1411,84 @@ class StreamingSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(root2.getAbsolutePath + "_shard_meta"))
     }
+  }
+
+  test("outlierRoots: a monster tenant routes to its own root, promotion " +
+      "preserves its dedup history, and the pinned table catches drift") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1 // the monster
+    val kB = route.find(_._2 != route(kA)).get._1
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"m${i}w${j}q${(i * 31 + j) % 89}").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("outlier")
+    val root = tmp.resolve("store").toString
+    val monsterRoot = tmp.resolve("monster").toString
+    val accepted = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (doc, shard)
+    def start(outliers: Map[String, String]) = {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val q = graft.ext.DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+        numShards = 2, minWords = 4, shardTag = "tenant",
+        outlierRoots = outliers) { (df, _) =>
+        accepted ++= df.select("doc_id", "shard").as[(Long, Long)].collect()
+      }
+      (in, q)
+    }
+    // phase 1: no table — monster hash-routes like everyone
+    val (in1, q1) = start(Map.empty)
+    in1.addData((1L, kA, text(1)), (2L, kA, text(2)), (3L, kB, text(3)))
+    q1.processAllAvailable(); q1.stop()
+    assert(accepted.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(accepted.forall(_._2 >= 0L), accepted.toString)
+
+    // PROMOTE kA: rebuild its dedicated store from the accepted corpus,
+    // re-pin the table — stream stopped, one call
+    val corpus = Seq((1L, kA, text(1)), (2L, kA, text(2)), (3L, kB, text(3)))
+      .toDF("doc_id", "tenant", "text")
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> monsterRoot))
+    val monsterRows0 = spark.read.parquet(monsterRoot).count()
+    assert(monsterRows0 === 2L, s"monster store bootstraps its history: $monsterRows0")
+
+    // phase 2: with the table — re-crawls of PRE-promotion history
+    // reject (the rebuild carried it over), fresh accepts at shard=-1
+    accepted.clear()
+    val (in2, q2) = start(Map(kA -> monsterRoot))
+    in2.addData(
+      (10L, kA, text(1)), // re-crawl of pre-promotion doc 1 → reject
+      (11L, kA, text(11)), // fresh monster doc → accept, shard=-1
+      (12L, kB, text(3)), // re-crawl of kB history → reject (hash path intact)
+      (13L, kB, text(13))) // fresh → accept on its hash shard
+    q2.processAllAvailable(); q2.stop()
+    assert(accepted.sortBy(_._1).toSeq === Seq((11L, -1L), (13L, route(kB))),
+      accepted.toString)
+    assert(spark.read.parquet(monsterRoot).count() === 3L)
+    // the monster's old hash-shard rows are dead weight, not deleted
+    assert(spark.read.parquet(
+      graft.ext.DocPipeline.shardPath(root, route(kA))).count() >= 2L)
+
+    // phase 3: drift dies loudly — dropping the table (the monster
+    // would hash back to a shard missing its post-promotion history)
+    // and repointing its root both mismatch the pin
+    for (bad <- Seq(Map.empty[String, String],
+                    Map(kA -> tmp.resolve("elsewhere").toString))) {
+      val (in3, q3) = start(bad)
+      in3.addData((20L, kA, text(20)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      q3.stop()
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t => t.getMessage != null &&
+        t.getMessage.contains("promoteTenants")), s"got: $e")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   test("streamEmbeddingDedupSharded: within-shard vector dups drop across " +
