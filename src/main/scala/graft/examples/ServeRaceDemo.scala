@@ -1,0 +1,332 @@
+package graft.examples
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints.CutOps
+import graft.ext.{DocPipeline, Eval, Ivf}
+import graft.sources.{AppendStore, AtomicCommit}
+
+/** READER-FACING SERVING UNDER MAINTENANCE (VERDICT r16 #1 — the
+  * rehearsal one step past where both r16 bugs were found): sustained
+  * query streams race every maintenance verb the stores own, asserting
+  * on EVERY read that the result is a complete committed snapshot and
+  * that recall never dips below a pre-priced floor.
+  *
+  * Three concurrent races, each reader on its own thread against a
+  * maintenance loop at composition length:
+  *
+  *   1. IVF ANN serve ([[Ivf.topKJoinBudget]] at a fixed row budget)
+  *      vs append / GDPR-delete / compact / vacuum / retrain. The
+  *      reader resolves each query through [[Ivf.indexSnapshot]] —
+  *      DESIGNING this race found that the piecewise public read path
+  *      (readIndex + loadCentroids + indexCellCounts = three
+  *      independent `latest()` fetches) straddles a racing retrain and
+  *      pairs old centroids with new cell assignments: recall
+  *      collapses SILENTLY. The snapshot API (one manifest fetch for
+  *      version + segments + centroids + census) is the fix; this demo
+  *      is its regression rehearsal. Mutating traffic lives strictly
+  *      in the NEGATIVE orthant (anti-aligned with every probe), so
+  *      ground truth is FIXED all race long and every read must clear
+  *      the same recall floor, no matter which committed version it
+  *      lands on.
+  *   2. Incremental-dedup batch reads ([[DocPipeline.prepareIncremental]]
+  *      against a sharded signature store) vs per-shard append /
+  *      compact / vacuum, then a side-by-side reshard and a reader
+  *      repoint. Every read must accept the fresh probe and reject the
+  *      planted re-crawl — a torn store that lost the planted signature
+  *      would accept the re-crawl and fail loudly here. RUNNING this
+  *      race found the third r17 bug-class: compact hard-coded
+  *      vacuum(keep=1), so continuous folds tore nearly every in-flight
+  *      read (26 retries vs 14 reads — clean, but a retry storm). The
+  *      fix is fold SUPERSESSION (`folds:` manifest line) + a
+  *      keepVersions grace knob on compact: new reads resolve only the
+  *      fold, old files survive one cycle for reads in flight.
+  *   3. Embedding dup-probes ([[DocPipeline.embeddingDupProbe]]) vs a
+  *      rebucket storm (bits flapping 6↔8). DESIGNING this race found
+  *      the second r17 bug: rebucket's old order (append → vacuum →
+  *      meta) exposed a window where the store held only new-geometry
+  *      rows under the OLD meta — a meta-keyed reader matched nothing
+  *      and MISSED a real duplicate. The fix (meta between append and
+  *      vacuum, plus the probe's meta-stable seqlock re-check) is what
+  *      this phase hammers: the planted near-dup must be found on
+  *      every successful read through every geometry flip.
+  *
+  * Reader failure contract everywhere: a read either returns a
+  * complete committed snapshot (asserted) or fails LOUDLY on a
+  * vacuumed listing (FileNotFound-class — counted as a clean retry,
+  * bounded); any other exception, a partial result, or a floor breach
+  * fails the demo.
+  *
+  * Run: sbt "runMain graft.examples.ServeRaceDemo [rounds]". */
+object ServeRaceDemo {
+
+  private def tornRead(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(14).exists {
+      case _: java.io.FileNotFoundException => true
+      case t => t.getMessage != null &&
+        (t.getMessage.contains("PATH_NOT_FOUND") ||
+          t.getMessage.contains("does not exist") ||
+          t.getMessage.contains("FILE_NOT_EXIST") ||
+          // a meta sidecar mid-overwrite lists as an empty dir
+          t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
+    }
+
+  /** One racing reader: runs `read` until `done`, counting successful
+    * reads and clean (torn-listing) retries; the first non-torn
+    * failure is fatal and recorded. */
+  private final class Reader(name: String, done: AtomicBoolean)(read: () => Unit)
+      extends Thread(name) {
+    val reads = new AtomicInteger(0)
+    val retries = new AtomicInteger(0)
+    val fatal = new AtomicReference[Throwable](null)
+    override def run(): Unit =
+      while (!done.get() && fatal.get() == null) {
+        try { read(); reads.incrementAndGet() }
+        catch {
+          case e: Throwable if tornRead(e) => retries.incrementAndGet()
+          case e: Throwable => fatal.set(e)
+        }
+      }
+    def finish(minReads: Int): Unit = {
+      join(300000)
+      if (fatal.get() != null) throw fatal.get()
+      require(reads.get() >= minReads,
+        s"$name: only ${reads.get()} successful reads — not a sustained stream")
+      require(retries.get() <= reads.get(),
+        s"$name: ${retries.get()} torn retries vs ${reads.get()} reads — " +
+          "retry storm, the clean-failure contract is not holding")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rounds = args.headOption.map(_.toInt).getOrElse(6)
+    require(rounds >= 4, "composition needs >= 4 maintenance rounds")
+    val spark = SparkSession.builder()
+      .appName("serve-race-demo")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("serverace")
+
+    // ════ phase 1: IVF ANN serve vs the full maintenance verb set ════
+    val dim = 16; val kCells = 16; val topK = 8; val nRes = 20000
+    // residents: strictly positive components → every probe·resident
+    // dot is positive; mutating traffic is their NEGATION → strictly
+    // negative dots, so it can NEVER enter a probe's top-k and the
+    // ground truth is a race-long constant
+    def vecOf(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(dim)), j =>
+        (((pmod(xxhash64(id, j), lit(900L)) + 100L).cast("double") / 1000.0)
+          .cast("float")))
+    val residents = spark.range(nRes)
+      .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding")).cut
+    def farBatch(r: Int, n: Int) =
+      spark.range(1000000L + r * 100000L, 1000000L + r * 100000L + n)
+        .select(col("id").as("vec_id"),
+          transform(vecOf(col("id")), x => (-x).cast("float")).as("embedding"))
+    val panel = spark.range(48)
+      .select((col("id") * 379L).as("probe_id"),
+        transform(vecOf(col("id") * 379L), x => (x + 0.01f).cast("float"))
+          .as("p_emb")).cut
+    val ivfRoot = tmp.resolve("ivf").toString
+    Ivf.saveIndexAtomic(residents, "vec_id", "embedding", ivfRoot,
+      k = kCells, iters = 2)
+    val truth = graft.ext.Similarity.bruteForceTopKJoin(residents, "embedding",
+      panel, "probe_id", "p_emb", k = topK, tieBreak = Seq("vec_id")).cut
+    val budget = 30000L // 1.5x the resident rows: far-cell inflation bounded
+    def serveOnce(): Double = {
+      val snap = Ivf.indexSnapshot(spark, ivfRoot)
+      val got = Ivf.topKJoinBudget(snap.index, "embedding", snap.centroids,
+        snap.census, panel, "probe_id", "p_emb", k = topK,
+        maxScanRows = budget, tieBreak = Seq("vec_id")).cut
+      // complete committed snapshot: every probe got its full k
+      val shape = got.groupBy("probe_id").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("mn"), count(lit(1)).as("p")).head()
+      require(shape.getLong(0) == topK && shape.getLong(1) == 48L,
+        s"incomplete serve result: min rows ${shape.getLong(0)}, " +
+          s"probes ${shape.getLong(1)} (version ${snap.version})")
+      Eval.meanRecallAtK(got, truth, "probe_id", "vec_id", topK)
+    }
+    val baseline = serveOnce()
+    val floor = baseline - 0.2 // retrain may move cell geometry; budget
+                               // probing trades recall, never crashes
+    require(baseline >= 0.8, f"baseline recall $baseline%.3f too low to race")
+    val done1 = new AtomicBoolean(false)
+    var minRecall = 1.0
+    val ivfReader = new Reader("ivf-serve", done1)(() => {
+      val r = serveOnce()
+      minRecall = math.min(minRecall, r)
+      require(r >= floor, f"recall $r%.3f dipped below floor $floor%.3f mid-maintenance")
+    })
+    ivfReader.start()
+    var deleted = Set.empty[Long]
+    val t1 = System.nanoTime()
+    (0 until rounds).foreach { r =>
+      Ivf.appendToIndexAtomic(farBatch(r, 1500).cut, "embedding", ivfRoot)
+      if (r > 0) {
+        val dead = spark.range(1000000L + (r - 1) * 100000L,
+          1000000L + (r - 1) * 100000L + 1500).filter(col("id") % 2 === 0)
+          .select(col("id").as("vec_id"))
+        Ivf.deleteFromIndexAtomic(dead.cut, ivfRoot)
+        deleted ++= dead.as[Long].collect()
+      }
+      if (r % 2 == 1) Ivf.compactIndexAtomic(spark, ivfRoot)
+      AtomicCommit.vacuum(spark, ivfRoot, keepVersions = 1)
+      if (r == rounds / 2)
+        Ivf.retrainAtomic(spark, ivfRoot, "vec_id", "embedding", k = kCells)
+    }
+    done1.set(true)
+    ivfReader.finish(minReads = 10)
+    val w1 = (System.nanoTime() - t1) / 1e9
+    // post-race audit: deletes held through every compact/retrain
+    val finalIdx = Ivf.readIndex(spark, ivfRoot)
+    require(finalIdx.join(deleted.toSeq.toDF("vec_id"), Seq("vec_id"),
+      "left_semi").count() == 0L, "deleted ids served after the race")
+    println(f"SERVE-RACE ivf: ${ivfReader.reads.get()} committed-snapshot " +
+      f"reads (${ivfReader.retries.get()} clean retries) raced $rounds " +
+      f"rounds of append+delete+compact+vacuum+retrain over $w1%.1f s; " +
+      f"recall floor $floor%.3f (baseline $baseline%.3f), min seen " +
+      f"$minRecall%.3f; deletes never resurfaced")
+
+    // ════ phase 2: dedup batch reads vs shard maintenance + reshard ════
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tenant = route.head._1
+    def docText(i: Long) =
+      Array.tabulate(14)(j => s"d${i}w${j}x${(i * 37 + j) % 101}").mkString(" ")
+    val corpus = (0L until 4000L).map(i => (i, tenant, docText(i)))
+      .toDF("doc_id", "tenant", "text")
+    val sigRoot = tmp.resolve("sig").toString
+    DocPipeline.reshardSignatureStores(corpus, sigRoot, col("tenant"),
+      numShards = 2, atomicStore = true, shardTag = "tenant")
+    @volatile var readRoot = DocPipeline.shardPath(sigRoot, route(tenant))
+    val freshSeq = new AtomicInteger(0)
+    val done2 = new AtomicBoolean(false)
+    val dedupReader = new Reader("dedup-read", done2)(() => {
+      val n = freshSeq.incrementAndGet()
+      val batch = Seq(
+        (50000L + n, docText(7L)),              // planted re-crawl → reject
+        (60000L + n, docText(900000L + n)))     // fresh → accept
+        .toDF("doc_id", "text")
+      val store = AppendStore.readOr(spark, readRoot, sys.error("missing store"))
+      val out = DocPipeline.prepareIncremental(batch, store, minWords = 4)
+        .select("doc_id").as[Long].collect().toSet
+      require(out.contains(60000L + n) && !out.contains(50000L + n),
+        s"torn dedup read: accepted $out (a lost planted signature would " +
+          "re-accept the re-crawl)")
+    })
+    dedupReader.start()
+    val t2 = System.nanoTime()
+    // reader-driven duration: keep the maintenance churn going until
+    // the reader has sustained >= `rounds * 2` committed reads UNDER
+    // it (a fixed round count races for a box-dependent sliver of
+    // wall-clock; this holds the race open by construction)
+    var slabs = 0
+    val deadline2 = System.nanoTime() + 240L * 1000000000L
+    while (dedupReader.reads.get() < rounds * 2 &&
+        dedupReader.fatal.get() == null && System.nanoTime() < deadline2) {
+      // the store's writer seat: append a fresh slab, then fold + sweep
+      val slab = (10000L + slabs * 1000L until 10000L + slabs * 1000L + 500L)
+        .map(i => (i, tenant, docText(i))).toDF("doc_id", "tenant", "text")
+      (0L until 2L).foreach { s =>
+        val sp = DocPipeline.shardPath(sigRoot, s)
+        val part = slab.filter(DocPipeline.shardOf(col("tenant"), 2) === s)
+        val sigs = DocPipeline.signatures(part, "doc_id", "text").cut
+        if (slabs < 30 && sigs.count() > 0) AppendStore.append(sigs, sp)
+        // fold on version-count pressure (the documented periodic
+        // cadence), with keepVersions=2 — the reader-grace knob this
+        // rehearsal forced into compact (r17): the fold supersedes old
+        // versions in the manifest (new reads never double-count) but
+        // their FILES survive until the next fold, so in-flight reads
+        // complete. Back-to-back keep=1 folds measured 26 torn retries
+        // against 14 reads here — every read spanning a fold died; with
+        // supersession + pressure-cadence folds the storm collapses to
+        // a tail.
+        if (AtomicCommit.committedVersions(spark, sp).size >= 4)
+          AppendStore.compact(spark, sp, keepVersions = 2)
+      }
+      if (slabs < 30) slabs += 1
+    }
+    // side-by-side reshard to 4 shards: readers of the old root are
+    // untouched by construction; then repoint them mid-stream
+    val sigRoot2 = tmp.resolve("sig2").toString
+    val full = corpus.unionByName(
+      (0 until slabs).flatMap(r =>
+        (10000L + r * 1000L until 10000L + r * 1000L + 500L)
+          .map(i => (i, tenant, docText(i)))).toDF("doc_id", "tenant", "text"))
+    DocPipeline.reshardSignatureStores(full, sigRoot2, col("tenant"),
+      numShards = 4, atomicStore = true, shardTag = "tenant")
+    val preRepoint = dedupReader.reads.get()
+    readRoot = DocPipeline.shardPath(sigRoot2,
+      full.select(DocPipeline.shardOf(col("tenant"), 4)).head().getLong(0))
+    // deterministic repoint crossing: wait for a read to land on the
+    // new root (not a fixed sleep — read latency varies with the box)
+    val repointDeadline = System.nanoTime() + 60L * 1000000000L
+    while (dedupReader.reads.get() <= preRepoint &&
+        dedupReader.fatal.get() == null &&
+        System.nanoTime() < repointDeadline) Thread.sleep(100)
+    done2.set(true)
+    dedupReader.finish(minReads = 8)
+    val w2 = (System.nanoTime() - t2) / 1e9
+    require(dedupReader.reads.get() > preRepoint,
+      "no reads landed after the reshard repoint")
+    println(f"SERVE-RACE dedup: ${dedupReader.reads.get()} reads " +
+      f"(${dedupReader.retries.get()} clean retries) raced $slabs rounds " +
+      f"of shard append+compact+vacuum and a 2->4 side-by-side reshard " +
+      f"over $w2%.1f s; every read accepted the fresh doc and rejected " +
+      "the planted re-crawl, before AND after the repoint")
+
+    // ════ phase 3: embedding dup-probes vs a rebucket storm ════
+    val embRoot = tmp.resolve("emb").toString
+    val vecs = spark.range(10000L)
+      .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding")).cut
+    DocPipeline.rebuildEmbeddingStore(vecs, embRoot, dim,
+      bits = 6, bands = 2, atomicStore = true)
+    val probeVec = residents.filter(col("vec_id") === 7L)
+      .select(lit(777777L).as("vec_id"),
+        transform(col("embedding"), x => (x + 0.001f).cast("float"))
+          .as("embedding"))
+      .unionByName(farBatch(99, 1).select(col("vec_id"), col("embedding")))
+      .cut
+    val done3 = new AtomicBoolean(false)
+    val embReader = new Reader("emb-probe", done3)(() => {
+      val got = DocPipeline.embeddingDupProbe(probeVec, embRoot,
+        tau = 0.999, atomicStore = true)
+        .select("vec_id", "match_id").as[(Long, Long)].collect()
+      require(got.exists { case (p, m) => p == 777777L && m == 7L },
+        s"planted near-dup MISSED mid-rebucket: got ${got.toSeq} — the " +
+          "meta/rows pairing tore (the pre-r17 vacuum-before-meta window)")
+      require(!got.exists(_._1 != 777777L),
+        s"anti-aligned probe matched: ${got.toSeq}")
+    })
+    embReader.start()
+    val t3 = System.nanoTime()
+    // reader-driven again: flip geometry until the probes have
+    // sustained >= rounds*2 committed reads under the storm
+    var flips = 0
+    val deadline3 = System.nanoTime() + 240L * 1000000000L
+    while (embReader.reads.get() < rounds * 2 &&
+        embReader.fatal.get() == null && System.nanoTime() < deadline3) {
+      DocPipeline.rebucketEmbeddingStore(spark, embRoot, dim,
+        bits = if (flips % 2 == 0) 8 else 6, bands = 2, atomicStore = true)
+      flips += 1
+    }
+    done3.set(true)
+    embReader.finish(minReads = 8)
+    val w3 = (System.nanoTime() - t3) / 1e9
+    println(f"SERVE-RACE rebucket: ${embReader.reads.get()} dup-probes " +
+      f"(${embReader.retries.get()} clean retries) raced $flips geometry " +
+      f"flips (bits 6<->8) over $w3%.1f s; the planted near-dup was found " +
+      "on every read and the anti-aligned probe never matched")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    spark.stop()
+  }
+}

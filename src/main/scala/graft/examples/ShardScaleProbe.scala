@@ -68,7 +68,7 @@ object ShardScaleProbe {
     val (cf, wCountJobs) = timed {
       adv.shardDocs.keys.toSeq.sorted.map { s =>
         val sp = DocPipeline.shardPath(root64, s)
-        val vs = graft.sources.AtomicCommit.committedVersions(spark, sp)
+        val vs = graft.sources.AppendStore.liveVersions(spark, sp)
         spark.read.parquet(vs.map(v =>
           graft.sources.AtomicCommit.versionDir(sp, v)): _*).count()
       }.sum

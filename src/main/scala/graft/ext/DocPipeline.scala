@@ -1707,6 +1707,90 @@ object DocPipeline {
         accepted
   }
 
+  /** READER-facing batch duplicate probe against a persisted
+    * embedding-dedup store — the serve-path twin of
+    * [[streamEmbeddingDedup]]'s history join (VERDICT r16 #1: the
+    * store had writers, rehearsals, and migration valves; READERS had
+    * no supported surface and a hand-rolled one was one rebucket away
+    * from a silent miss). Keys the probe vectors at the geometry the
+    * store's `_emb_meta` sidecar pins — the reader must never guess:
+    * racing [[rebucketEmbeddingStore]], the meta is the only truth
+    * about which keys the live rows carry — joins the committed rows
+    * on (band, bucket), cosine-verifies at `tau`, and returns DISTINCT
+    * (idCol, match_id, cos) pairs, MATERIALIZED (a probe vector
+    * already stored matches itself; filter `idCol =!= match_id` for
+    * strict neighbors).
+    *
+    * Concurrency contract (a seqlock read): the join is computed
+    * eagerly between two reads of the tiny meta sidecar and retried
+    * until both agree. Combined with the writer's append → meta →
+    * vacuum ordering (r17), a stable meta proves the rows the join saw
+    * carried the meta's geometry: meta still OLD at the re-check → the
+    * rebucket's vacuum (which follows its meta write) had not yet run,
+    * so old-geometry rows were still live at the join; meta already
+    * NEW at the first read → the append (which precedes the meta
+    * write) had landed. Mixed-geometry rows in either window only ADD
+    * candidates (the cosine verify keeps matches honest). A vacuum
+    * racing the file listing itself fails LOUDLY (missing files) and
+    * retries against the next committed snapshot; `maxAttempts` bounds
+    * both retry classes against a pathological rebucket storm. */
+  def embeddingDupProbe(vecs: DataFrame, storePath: String,
+                        tau: Double = 0.9,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        atomicStore: Boolean = false,
+                        maxAttempts: Int = 8): DataFrame = {
+    import graft.core.Checkpoints.CutOps
+    require(maxAttempts >= 1, s"maxAttempts=$maxAttempts must be >= 1")
+    val spark = vecs.sparkSession
+    def readMeta(): Map[String, Int] =
+      spark.read.parquet(embMetaDir(storePath)).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+    def tornRead(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12).exists {
+        case _: java.io.FileNotFoundException => true
+        case t => t.getMessage != null &&
+          (t.getMessage.contains("PATH_NOT_FOUND") ||
+            t.getMessage.contains("does not exist") ||
+            // a meta sidecar mid-overwrite lists as an empty dir
+            t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
+      }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // the WHOLE attempt retries on a torn listing — the meta sidecar
+      // itself can be mid-overwrite (empty dir) at either read
+      try {
+        val m1 = readMeta()
+        require(m1.getOrElse("pv", 1) == 2,
+          s"embedding store $storePath carries pv=1 (pre-r16 linear plane " +
+            "family) keys — rebucket it first (rebucketEmbeddingStore)")
+        val (dim, bits, bands) = (m1("dim"), m1("bits"), m1("bands"))
+        val store =
+          if (atomicStore) graft.sources.AppendStore.readOr(spark, storePath,
+            sys.error(s"no committed embedding store at $storePath"))
+          else spark.read.parquet(storePath)
+        val df = embStoreKeys(vecs, idCol, vecCol, dim, bits, bands)
+          .join(store.select(col("band"), col("bucket"),
+            col("id").as("match_id"), col("vec").as("_sv")),
+            Seq("band", "bucket"))
+          .filter(Similarity.cosine(col("vec"), col("_sv")) >= tau)
+          .select(col("id").as(idCol), col("match_id"),
+            Similarity.cosine(col("vec"), col("_sv")).as("cos"))
+          .distinct().cut
+        if (readMeta() == m1) return df
+        require(attempt < maxAttempts,
+          s"embeddingDupProbe: $storePath geometry moved mid-read " +
+            s"$attempt times — a rebucket storm; quiesce maintenance " +
+            "or raise maxAttempts")
+      } catch {
+        case e: Throwable if attempt < maxAttempts && tornRead(e) => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"embeddingDupProbe: no stable committed snapshot of $storePath " +
+        s"in $maxAttempts attempts")
+  }
+
   /** The shard-axis advise (the [[adviseGeometryMigration]] /
     * [[adviseEmbeddingMigration]] pattern for shard COUNT): per-shard
     * doc counts from one column-pruned count per shard dir, `reshard`
@@ -1740,7 +1824,7 @@ object DocPipeline {
         // (reading the shard root raw would partition-discover v= dirs
         // and sweep uncommitted crash debris into the count); a plain
         // store counts its parquet directly.
-        val versions = graft.sources.AtomicCommit.committedVersions(spark, sp)
+        val versions = graft.sources.AppendStore.liveVersions(spark, sp)
         if (versions.nonEmpty)
           spark.read.parquet(versions.map(v =>
             graft.sources.AtomicCommit.versionDir(sp, v)): _*).count()
@@ -1804,7 +1888,9 @@ object DocPipeline {
       val sp = shardPath(rootPath, s)
       if (!graft.sources.AtomicCommit.pathExists(spark, sp)) None
       else {
-        val versions = graft.sources.AtomicCommit.committedVersions(spark, sp)
+        // LIVE versions, not committed: a grace-retained pre-fold
+        // version would double-count every fp in the audit
+        val versions = graft.sources.AppendStore.liveVersions(spark, sp)
         val df =
           if (versions.nonEmpty) spark.read.parquet(versions.map(v =>
             graft.sources.AtomicCommit.versionDir(sp, v)): _*)
@@ -2109,17 +2195,28 @@ object DocPipeline {
     *
     * Run it while the ingest stream is STOPPED (foreachBatch is the
     * store's single writer; this op takes that seat). Atomic stores
-    * replace content via one committed append + vacuum. Crash
-    * semantics: a crash BEFORE the append-commit leaves the old store
-    * untouched; a crash BETWEEN commit and vacuum leaves BOTH
-    * geometries' rows live and the meta at the OLD geometry — safe
-    * but heavier: mixed-geometry rows only ever ADD candidates (every
-    * drop still passes the cosine ≥ tau verification, so no false
-    * drops), and re-running the rebucket self-heals (the rekey reads
-    * distinct (id, vec), collapsing the duplicates). Plain stores
-    * rewrite in place after an eager materialization. The `_emb_meta`
-    * sidecar is updated last, so a restarted stream at the NEW
-    * geometry passes the check only once the rows are in place. */
+    * replace content via one committed append, then the meta, then the
+    * vacuum — the meta lands BETWEEN the two (r17, found by the
+    * ServeRace rehearsal): the old order (append → vacuum → meta) had
+    * a window where the store held ONLY new-geometry rows while the
+    * meta still pinned the old geometry, so a concurrent
+    * [[embeddingDupProbe]] reader keying off the meta silently matched
+    * NOTHING — a missed duplicate, the one forbidden state. With the
+    * meta in the middle, every (meta, rows) combination a reader can
+    * observe keys at a geometry some live rows carry; readers close
+    * the remaining torn-pair window with the meta-stable re-check
+    * documented at [[embeddingDupProbe]]. Crash semantics: a crash
+    * BEFORE the append-commit leaves the old store untouched; between
+    * commit and meta — both geometries' rows live, meta OLD (safe but
+    * heavier: mixed-geometry rows only ever ADD candidates, every drop
+    * still passes the cosine ≥ tau verification, and re-running the
+    * rebucket self-heals — the rekey reads distinct (id, vec),
+    * collapsing duplicates); between meta and vacuum — both
+    * geometries' rows live, meta NEW (same safety, old rows are dead
+    * weight until the rerun or the next rebucket). Plain stores
+    * rewrite in place after an eager materialization. A restarted
+    * stream at the NEW geometry passes the meta check only once the
+    * rows are in place (the append precedes the meta). */
   /** Build (or rebuild) the embedding-dedup store from an ACCEPTED
     * vector corpus — the embedding twin of [[rebuildSignatureStore]]:
     * one pass over (id, vec) emits the per-band bucket rows at the
@@ -2141,10 +2238,16 @@ object DocPipeline {
     val rekeyed = embStoreKeys(vecs, idCol, vecCol, dim, bits, bands).cut
     if (atomicStore) {
       graft.sources.AppendStore.append(rekeyed, storePath)
+      // meta BEFORE vacuum (r17 — see the rebucket scaladoc): a reader
+      // must never observe new-geometry-only rows under an old meta
+      writeStoreMeta(spark, embMetaDir(storePath),
+        Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
       graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
-    } else rekeyed.write.mode("overwrite").parquet(storePath)
-    writeStoreMeta(spark, embMetaDir(storePath),
-      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
+    } else {
+      rekeyed.write.mode("overwrite").parquet(storePath)
+      writeStoreMeta(spark, embMetaDir(storePath),
+        Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
+    }
   }
 
   def rebucketEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
@@ -2161,12 +2264,17 @@ object DocPipeline {
     val rekeyed = embStoreKeys(vecs, "id", "vec", dim, bits, bands).cut
     if (atomicStore) {
       graft.sources.AppendStore.append(rekeyed, storePath)
+      // meta BEFORE vacuum (r17 — scaladoc above): the old order had a
+      // window (new rows only, old meta) where a meta-keyed reader
+      // silently matched nothing — a missed duplicate
+      writeStoreMeta(spark, embMetaDir(storePath),
+        Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
       graft.sources.AtomicCommit.vacuum(spark, storePath, keepVersions = 1)
     } else {
       rekeyed.write.mode("overwrite").parquet(storePath)
+      writeStoreMeta(spark, embMetaDir(storePath),
+        Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
     }
-    writeStoreMeta(spark, embMetaDir(storePath),
-      Seq("dim" -> dim, "bits" -> bits, "bands" -> bands, "pv" -> 2))
   }
 
   /** The embedding-store twin of [[adviseGeometryMigration]] (VERDICT

@@ -247,6 +247,37 @@ object Ivf {
   def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     readSegments(spark, indexSegments(spark, root))
 
+  /** One committed serving view: version, segment dirs, index frame,
+    * centroids, and census — ALL derived from ONE `latest()` manifest
+    * fetch. */
+  final case class IndexSnapshot(version: Long, segments: Seq[String],
+                                 index: DataFrame,
+                                 centroids: Seq[(Int, Array[Double])],
+                                 census: Map[Int, Long])
+
+  /** Resolve the latest committed index ONCE and hand back everything
+    * a serve path needs (r17 — the ServeRace rehearsal): a reader that
+    * assembles the pieces itself ([[readIndex]] + [[loadCentroids]] +
+    * [[indexCellCounts]] is THREE independent `latest()` resolutions)
+    * can straddle a racing [[retrainAtomic]] commit and pair OLD
+    * centroids with NEW cell assignments — probes then explode to
+    * cells the rows were not bucketed by, the budget join matches
+    * little or nothing, and recall collapses SILENTLY (no error, just
+    * wrong emptiness). Resolving every piece from one manifest makes a
+    * serve read a committed snapshot by construction; a vacuum racing
+    * the lazy segment scan still fails LOUDLY (missing files — retry
+    * and resolve the next snapshot), never silently. */
+  def indexSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                    cellCol: String = "ivf_cell"): IndexSnapshot = {
+    import graft.sources.AtomicCommit
+    val (v, body) = AtomicCommit.latest(spark, root)
+      .getOrElse(sys.error(s"no committed IVF index under $root"))
+    val segs = indexSegmentsAt(spark, root, v, body)
+    IndexSnapshot(v, segs, readSegments(spark, segs),
+      loadCentroids(spark, segs.head),
+      bodyCensus(spark, root, v, body, cellCol).filter(_._2 > 0L))
+  }
+
   /** Union the given segment dirs as one frame, tombstones applied —
     * THE segment-resolution primitive (readIndex/compactIndexAtomic/
     * streamTopKJoin all resolve through here so schema-alignment and

@@ -34,8 +34,23 @@ object AppendStore {
     * `true` over the same path would otherwise silently read an empty
     * history, forget every accepted hash, and re-admit old duplicates
     * while writing `v=` dirs into the mixed layout. */
-  def readOr(spark: SparkSession, root: String, empty: => DataFrame): DataFrame = {
+  /** The committed versions a reader must union — committedVersions
+    * minus everything a fold supersedes (r17: `folds:` manifest lines,
+    * [[AtomicCommit.encodeFoldsLine]]). A store that never compacted
+    * with reader grace has no fold lines and every committed version is
+    * live (one tiny body read per version prices this; version counts
+    * are bounded by compaction cadence). */
+  def liveVersions(spark: SparkSession, root: String): Seq[Long] = {
     val versions = AtomicCommit.committedVersions(spark, root)
+    if (versions.isEmpty) return versions
+    val boundary = versions
+      .flatMap(v => AtomicCommit.foldsOf(spark, root, v))
+      .foldLeft(0L)(math.max)
+    versions.filter(_ > boundary)
+  }
+
+  def readOr(spark: SparkSession, root: String, empty: => DataFrame): DataFrame = {
+    val versions = liveVersions(spark, root)
     if (versions.isEmpty) {
       val f = AtomicCommit.fs(spark, root)
       val p = new org.apache.hadoop.fs.Path(root)
@@ -83,7 +98,8 @@ object AppendStore {
     * at low row counts should cut it first. */
   def append(df: DataFrame, root: String,
              fenceEpoch: Option[Long] = None,
-             rowsPerFile: Long = 512L * 1024): Option[Long] = {
+             rowsPerFile: Long = 512L * 1024,
+             manifestLines: Seq[String] = Nil): Option[Long] = {
     require(rowsPerFile >= 1, s"rowsPerFile=$rowsPerFile must be >= 1")
     val rows = df.count()
     if (rows == 0) return None
@@ -97,9 +113,11 @@ object AppendStore {
     df.coalesce(files).write.mode("overwrite") // clobbers only uncommitted crash debris
       .parquet(AtomicCommit.versionDir(root, v))
     // the manifest carries the (already-measured) row count, so store
-    // sizing reads come from _commits/ alone — see [[manifestRows]]
+    // sizing reads come from _commits/ alone — see [[manifestRows]];
+    // extra lines ([[compact]]'s folds marker) ride the same body
     AtomicCommit.commitOrFail(spark, root, v,
-      AtomicCommit.encodeRowsLine(rows), fenceEpoch)
+      (AtomicCommit.encodeRowsLine(rows) +: manifestLines).mkString("\n"),
+      fenceEpoch)
     Some(v)
   }
 
@@ -113,11 +131,12 @@ object AppendStore {
     * commits). None when the root holds no commit log at all (a PLAIN
     * parquet store — a zero here would be a lie) or when any committed
     * version predates the rows line (pre-r17 store) — callers fall
-    * back to a parquet count. */
+    * back to a parquet count. Superseded (folded-but-retained)
+    * versions are excluded, mirroring [[readOr]]. */
   def manifestRows(spark: SparkSession, root: String): Option[Long] = {
-    val versions = AtomicCommit.committedVersions(spark, root)
-    if (versions.isEmpty) return None
-    val counts = versions.map(v => AtomicCommit.rowsOf(spark, root, v))
+    if (AtomicCommit.committedVersions(spark, root).isEmpty) return None
+    val counts = liveVersions(spark, root)
+      .map(v => AtomicCommit.rowsOf(spark, root, v))
     if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
   }
 
@@ -138,16 +157,40 @@ object AppendStore {
     * old ones — run periodically so long-lived streams don't accumulate
     * thousands of tiny version dirs. `rowsPerFile` sizes the folded
     * output ([[append]]'s discipline; lower it for wide rows —
-    * embedding stores — where 512k rows overshoot a sane file size). */
+    * embedding stores — where 512k rows overshoot a sane file size).
+    *
+    * `keepVersions` is READER GRACE (r17 — the ServeRace rehearsal
+    * measured a 26-retry-storm against 14 successful reads under
+    * continuous keep=1 folds): with 1, the fold sweeps every pre-fold
+    * version immediately, so any read that resolved the old manifest
+    * mid-fold dies on missing files (cleanly — it retries — but at
+    * compaction cadence that is a retry storm, not a tail). Serving
+    * deployments pass 2: the fold commits with a `folds:` supersession
+    * line, so NEW reads resolve only the fold (no double counting,
+    * [[liveVersions]]) while the pre-fold versions' files survive one
+    * more cycle for reads already in flight; the next compact sweeps
+    * them. Store footprint stays bounded at ~2x content. */
   def compact(spark: SparkSession, root: String,
               fenceEpoch: Option[Long] = None,
-              rowsPerFile: Long = 512L * 1024): Option[Long] = {
-    val versions = AtomicCommit.committedVersions(spark, root)
-    if (versions.size < 2) return None
+              rowsPerFile: Long = 512L * 1024,
+              keepVersions: Int = 1): Option[Long] = {
+    require(keepVersions >= 1, s"keepVersions=$keepVersions must be >= 1")
+    val committed = AtomicCommit.committedVersions(spark, root)
+    val live = liveVersions(spark, root)
+    if (live.size < 2) {
+      // nothing to fold, but grace-retained stragglers from a previous
+      // fold may be due their sweep
+      if (committed.size > live.size)
+        AtomicCommit.vacuum(spark, root, keepVersions)
+      return None
+    }
     val all = spark.read.parquet(
-      versions.map(v => AtomicCommit.versionDir(root, v)): _*)
-    val v = append(all, root, fenceEpoch, rowsPerFile)
-    AtomicCommit.vacuum(spark, root, keepVersions = 1)
+      live.map(v => AtomicCommit.versionDir(root, v)): _*)
+    // the fold supersedes EVERY version committed before it — including
+    // already-superseded stragglers retained for reader grace
+    val v = append(all, root, fenceEpoch, rowsPerFile,
+      manifestLines = Seq(AtomicCommit.encodeFoldsLine(committed.max)))
+    AtomicCommit.vacuum(spark, root, keepVersions = keepVersions)
     v
   }
 }

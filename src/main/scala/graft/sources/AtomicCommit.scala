@@ -448,6 +448,22 @@ object AtomicCommit {
       .find(_.startsWith("rows:"))
       .flatMap(s => scala.util.Try(s.stripPrefix("rows:").trim.toLong).toOption)
 
+  /** Fold-supersession manifest line (r17 — reader grace for
+    * [[graft.sources.AppendStore.compact]]): a compacted version's body
+    * carries `folds:<N>`, declaring it REPLACES every committed version
+    * ≤ N in the union-of-versions read. This is what lets vacuum
+    * RETAIN a pre-fold version's files for in-flight readers (they
+    * resolved the old manifest and must finish against real files)
+    * without new readers double-counting its rows — retention without
+    * supersession would re-union the folded content. */
+  def encodeFoldsLine(maxFolded: Long): String = s"folds:$maxFolded"
+
+  /** Some(max version this commit supersedes) if `v` is a fold. */
+  def foldsOf(spark: SparkSession, root: String, v: Long): Option[Long] =
+    stripEpochHeader(readBody(spark, root, v)).linesIterator
+      .find(_.startsWith("folds:"))
+      .flatMap(s => scala.util.Try(s.stripPrefix("folds:").trim.toLong).toOption)
+
   /** Some(per-cell totals) if `body` carries a census line (epoch
     * header tolerated). May include zero/negative cells mid-LSM —
     * readers filter to positive. */

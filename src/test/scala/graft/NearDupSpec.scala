@@ -1115,6 +1115,36 @@ class NearDupSpec extends SparkTestBase {
     assert(DocPipeline.prepareIncremental(batch, good, minWords = 10).isEmpty)
   }
 
+  test("embeddingDupProbe: meta-keyed matches survive a rebucket, the " +
+      "self-match is included, and a pv=1 store dies loudly") {
+    val corpus = plantedCorpus(40, Seq(7)) // ids 1..40 + 1007 ≈ 7
+    val tmp = java.nio.file.Files.createTempDirectory("embprobe")
+    val root = tmp.resolve("store").toString
+    DocPipeline.rebuildEmbeddingStore(corpus, root, dim = 16,
+      bits = 4, bands = 2, atomicStore = true)
+    val probe = corpus.filter(col("vec_id") === 1007L)
+    def matches() = DocPipeline.embeddingDupProbe(
+      probe, root, tau = 0.95, atomicStore = true)
+      .select("vec_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 30 is a genuine exact dup of 7 in this corpus (mod-23 grid)
+    assert(matches() === Set((1007L, 7L), (1007L, 30L), (1007L, 1007L)))
+    // rebucket to more bits: the probe keys off the NEW meta and the
+    // matches are unchanged (the reader never guesses geometry)
+    DocPipeline.rebucketEmbeddingStore(spark, root, dim = 16,
+      bits = 6, bands = 2, atomicStore = true)
+    assert(matches() === Set((1007L, 7L), (1007L, 30L), (1007L, 1007L)))
+    // a pv=1 (pre-r16 plane family) store must die with the recipe,
+    // never silently mismatch keys
+    import spark.implicits._
+    Seq(("dim", 16), ("bits", 6), ("bands", 2), ("pv", 1))
+      .toDF("param", "value").coalesce(1)
+      .write.mode("overwrite").parquet(root + "_emb_meta")
+    val e = intercept[IllegalArgumentException](matches())
+    assert(e.getMessage.contains("rebucketEmbeddingStore"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("auditCrossShardDups: a planted cross-shard copy is measured exactly " +
       "on small shards; the KMV path estimates the planted rate") {
     import org.apache.spark.sql.functions.col

@@ -278,6 +278,38 @@ class SourcesSpec extends SparkTestBase {
     assert(AppendStore.manifestRows(spark, plain) === None)
   }
 
+  test("AppendStore.compact reader grace: keepVersions=2 supersedes old " +
+      "versions (no double counting) while their files survive one cycle") {
+    import graft.sources.{AppendStore, AtomicCommit}
+    val root = java.nio.file.Files.createTempDirectory("agrace").resolve("s").toString
+    AppendStore.append(docs.limit(3), root)
+    AppendStore.append(docs.limit(2), root)
+    // grace fold: v3 = fold(v1,v2), commits carry folds:2; v1 swept by
+    // the retention floor, v2 RETAINED for in-flight readers
+    AppendStore.compact(spark, root, keepVersions = 2)
+    val committed = AtomicCommit.committedVersions(spark, root)
+    assert(committed === Seq(2L, 3L), committed.toString)
+    assert(AppendStore.liveVersions(spark, root) === Seq(3L))
+    // new reads resolve ONLY the fold — retained v2 must not re-union
+    assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 5L)
+    assert(AppendStore.manifestRows(spark, root) === Some(5L))
+    // the retained version's files are really there (an in-flight read
+    // that resolved the pre-fold manifest completes against them)
+    assert(spark.read.parquet(AtomicCommit.versionDir(root, 2L)).count() === 2L)
+    // an append then the next grace fold: v2 finally ages out
+    AppendStore.append(docs.limit(4), root)
+    AppendStore.compact(spark, root, keepVersions = 2)
+    assert(AppendStore.liveVersions(spark, root).size === 1)
+    assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 9L)
+    assert(AppendStore.manifestRows(spark, root) === Some(9L))
+    val f = AtomicCommit.fs(spark, root)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(AtomicCommit.versionDir(root, 2L))),
+      "v2 should age out on the second grace cycle")
+    // a compact with nothing to fold still sweeps due stragglers
+    AppendStore.compact(spark, root, keepVersions = 1)
+    assert(AtomicCommit.committedVersions(spark, root).size === 1)
+  }
+
   test("writer fencing: AppendStore.append honors the epoch (zombie append rejected)") {
     import graft.sources.{AppendStore, AtomicCommit}
     val root = java.nio.file.Files.createTempDirectory("afenceap").resolve("store").toString
