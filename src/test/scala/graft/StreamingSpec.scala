@@ -488,6 +488,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamEmbeddingDedupSharded atomic stores: two concurrent writers " +
+      "with disjoint tenant traffic coexist on one root (the vector-family " +
+      "twin of the fleet shape)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("embcoex").toFile
+    root.delete()
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    def vec(seed: Int) =
+      Array.tabulate(16)(j => ((seed * 131 + j * 47) % 23 - 11) / 3.0f)
+    val accA = scala.collection.mutable.ArrayBuffer[Long]()
+    val accB = scala.collection.mutable.ArrayBuffer[Long]()
+    val inA = MemoryStream[(Long, String, Array[Float])]
+    val inB = MemoryStream[(Long, String, Array[Float])]
+    def start(in: MemoryStream[(Long, String, Array[Float])],
+              acc: scala.collection.mutable.ArrayBuffer[Long]) =
+      graft.ext.DocPipeline.streamEmbeddingDedupSharded(
+        in.toDF().toDF("vec_id", "tenant", "embedding"),
+        root.getAbsolutePath, col("tenant"), numShards = 2, dim = 16,
+        bits = 4, tau = 0.99, atomicStore = true) { (df, _) =>
+        acc ++= df.select("vec_id").as[Long].collect()
+      }
+    val qA = start(inA, accA)
+    val qB = start(inB, accB)
+    try {
+      inA.addData((1L, kA, vec(1))); qA.processAllAvailable()
+      inB.addData((2L, kB, vec(2))); qB.processAllAvailable()
+      // neither writer fenced the other; each dedupes against ITS
+      // shard's vector history across later batches
+      inA.addData((3L, kA, vec(1)), (4L, kA, vec(4)))
+      qA.processAllAvailable()
+      inB.addData((5L, kB, vec(2)), (6L, kB, vec(6)))
+      qB.processAllAvailable()
+      assert(accA.sorted.toSeq === Seq(1L, 4L), s"writer A: $accA")
+      assert(accB.sorted.toSeq === Seq(2L, 6L), s"writer B: $accB")
+      // and the reader surface works per shard mid-fleet: a probe of
+      // tenant A's vector finds its match in shard A's store
+      val probe = Seq((100L, vec(1))).toDF("vec_id", "embedding")
+      val got = graft.ext.DocPipeline.embeddingDupProbe(
+        probe, graft.ext.DocPipeline.shardPath(root.getAbsolutePath, route(kA)),
+        tau = 0.99, atomicStore = true)
+        .select("match_id").as[Long].collect().toSet
+      assert(got === Set(1L), s"probe: $got")
+    } finally {
+      qA.stop(); qB.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
+  }
+
   test("sharded atomic stores under a sustained FAILOVER CHAIN: A fenced " +
       "by B fenced by C on the same shard across multiple batches each — " +
       "every zombie dies loudly at its shard fence, every successor keeps " +
@@ -1488,6 +1542,29 @@ class StreamingSpec extends SparkTestBase {
       assert(chain.exists(t => t.getMessage != null &&
         t.getMessage.contains("promoteTenants")), s"got: $e")
     }
+
+    // phase 4: DEMOTION — the scaladoc's recipe, drilled: rebuild the
+    // tenant's hash shard from its FULL accepted corpus (including the
+    // doc accepted while promoted — its dedicated history must not be
+    // lost on the way back), then re-pin an empty table
+    val corpusAfter = Seq(
+      (1L, kA, text(1)), (2L, kA, text(2)), (11L, kA, text(11)),
+      (3L, kB, text(3)), (13L, kB, text(13)))
+      .toDF("doc_id", "tenant", "text")
+    graft.ext.DocPipeline.rebuildSignatureStore(
+      corpusAfter.filter(col("tenant") === kA).select("doc_id", "text"),
+      graft.ext.DocPipeline.shardPath(root, route(kA)))
+    graft.ext.DocPipeline.promoteTenants(
+      corpusAfter, root, "tenant", Map.empty)
+    accepted.clear()
+    val (in4, q4) = start(Map.empty)
+    in4.addData(
+      (30L, kA, text(1)),  // pre-promotion history → reject on hash path
+      (31L, kA, text(11)), // PROMOTED-ERA history → reject (carried back)
+      (32L, kA, text(32))) // fresh → accept on the hash shard again
+    q4.processAllAvailable(); q4.stop()
+    assert(accepted.sortBy(_._1).toSeq === Seq((32L, route(kA))),
+      s"demotion lost history or froze the tenant: $accepted")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
