@@ -1733,7 +1733,14 @@ object DocPipeline {
     * candidates (the cosine verify keeps matches honest). A vacuum
     * racing the file listing itself fails LOUDLY (missing files) and
     * retries against the next committed snapshot; `maxAttempts` bounds
-    * both retry classes against a pathological rebucket storm. */
+    * both retry classes against a pathological rebucket storm.
+    *
+    * The concurrency contract holds for ATOMIC stores only: a PLAIN
+    * store's rebucket rewrites files in place, and a reader listing
+    * the directory mid-rewrite can see a PARTIAL new-geometry file set
+    * — a silent subset, which no seqlock can detect. Probe plain
+    * stores only with maintenance quiesced, or use atomicStore=true
+    * (the serving deployment shape). */
   def embeddingDupProbe(vecs: DataFrame, storePath: String,
                         tau: Double = 0.9,
                         idCol: String = "vec_id", vecCol: String = "embedding",

@@ -40,13 +40,31 @@ object AppendStore {
     * with reader grace has no fold lines and every committed version is
     * live (one tiny body read per version prices this; version counts
     * are bounded by compaction cadence). */
-  def liveVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val versions = AtomicCommit.committedVersions(spark, root)
-    if (versions.isEmpty) return versions
-    val boundary = versions
-      .flatMap(v => AtomicCommit.foldsOf(spark, root, v))
-      .foldLeft(0L)(math.max)
-    versions.filter(_ > boundary)
+  def liveVersions(spark: SparkSession, root: String): Seq[Long] =
+    listingRetry {
+      val versions = AtomicCommit.committedVersions(spark, root)
+      if (versions.isEmpty) versions
+      else {
+        val boundary = versions
+          .flatMap(v => AtomicCommit.foldsOf(spark, root, v))
+          .foldLeft(0L)(math.max)
+        versions.filter(_ > boundary)
+      }
+    }
+
+  /** List-then-read-bodies races a concurrent vacuum: a commit listed
+    * at t0 can be swept before its body read — re-resolve from a fresh
+    * listing (bounded; the sweeper converges, so a second listing no
+    * longer names the dead commit). Genuine corruption still throws. */
+  private def listingRetry[T](f: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      attempt += 1
+      try out = Some(f)
+      catch { case _: java.io.FileNotFoundException if attempt < 3 => () }
+    }
+    out.get
   }
 
   def readOr(spark: SparkSession, root: String, empty: => DataFrame): DataFrame = {
@@ -133,12 +151,16 @@ object AppendStore {
     * version predates the rows line (pre-r17 store) — callers fall
     * back to a parquet count. Superseded (folded-but-retained)
     * versions are excluded, mirroring [[readOr]]. */
-  def manifestRows(spark: SparkSession, root: String): Option[Long] = {
-    if (AtomicCommit.committedVersions(spark, root).isEmpty) return None
-    val counts = liveVersions(spark, root)
-      .map(v => AtomicCommit.rowsOf(spark, root, v))
-    if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
-  }
+  def manifestRows(spark: SparkSession, root: String): Option[Long] =
+    listingRetry {
+      if (AtomicCommit.committedVersions(spark, root).isEmpty) None
+      else {
+        val counts = liveVersions(spark, root)
+          .map(v => AtomicCommit.rowsOf(spark, root, v))
+        if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum)
+        else None
+      }
+    }
 
   /** The [[append]] file-count discipline for PLAIN (non-atomic)
     * parquet appends: measure the rows, coalesce to

@@ -442,7 +442,15 @@ object AtomicCommit {
   def encodeRowsLine(rows: Long): String = s"rows:$rows"
 
   /** Some(version row count) if `v`'s manifest carries a rows line
-    * (post-r17 appends); None for older or foreign manifests. */
+    * (post-r17 appends); None for older or foreign manifests.
+    *
+    * Deliberately UNCACHED (as is [[foldsOf]]): commit bodies look
+    * immutable, but a store wiped and rebuilt at the same path (the
+    * cold-start disaster recipe) REUSES (root, version) keys — a
+    * session-lifetime memo would then serve the dead store's rows/
+    * folds lines, mispricing advise and, worse, mis-resolving
+    * liveVersions. The per-call cost is one tiny file read per
+    * version, and version counts are bounded by compaction cadence. */
   def rowsOf(spark: SparkSession, root: String, v: Long): Option[Long] =
     stripEpochHeader(readBody(spark, root, v)).linesIterator
       .find(_.startsWith("rows:"))
@@ -458,7 +466,8 @@ object AtomicCommit {
     * supersession would re-union the folded content. */
   def encodeFoldsLine(maxFolded: Long): String = s"folds:$maxFolded"
 
-  /** Some(max version this commit supersedes) if `v` is a fold. */
+  /** Some(max version this commit supersedes) if `v` is a fold.
+    * Uncached — see [[rowsOf]]. */
   def foldsOf(spark: SparkSession, root: String, v: Long): Option[Long] =
     stripEpochHeader(readBody(spark, root, v)).linesIterator
       .find(_.startsWith("folds:"))

@@ -656,6 +656,45 @@ class IvfSpec extends SparkTestBase {
     assert(answers(0L) === want)
   }
 
+  test("indexSnapshot: one-fetch serving view is internally consistent " +
+      "through append/delete/retrain — centroids, census, and rows all " +
+      "from the SAME committed version") {
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("ivfsnap")
+      .resolve("index").toString
+    Ivf.saveIndexAtomic(emb.filter(col("vec_id") < 200), "vec_id",
+      "embedding", root, k = 8, iters = 2)
+    def check(): Unit = {
+      val snap = Ivf.indexSnapshot(spark, root)
+      // the snapshot's pieces must be one generation: census totals ==
+      // the snapshot frame's own rows, census keys ⊆ its centroid ids,
+      // and the version is the latest commit it resolved
+      assert(snap.centroids.size === 8)
+      val cids = snap.centroids.map(_._1).toSet
+      assert(snap.census.keySet.subsetOf(cids), s"census keys ${snap.census.keySet}")
+      assert(snap.census.values.sum === snap.index.count())
+      assert(snap.version === AtomicCommit.latest(spark, root).get._1)
+      // serving through the snapshot is self-consistent: a probe built
+      // from the SNAPSHOT's own centroids finds its cell populated
+      assert(Ivf.topKJoinBudget(snap.index, "embedding", snap.centroids,
+        snap.census, emb.filter(col("vec_id") === 7L)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
+        "probe_id", "p_emb", k = 3, maxScanRows = 1000L,
+        tieBreak = Seq("vec_id")).count() === 3L)
+    }
+    check()
+    Ivf.appendToIndexAtomic(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 260), "embedding", root)
+    check()
+    Ivf.deleteFromIndexAtomic(
+      emb.filter(col("vec_id") % 17 === 0).select("vec_id"), root)
+    check()
+    // retrain CHANGES the quantizer generation — the snapshot must hand
+    // back the new centroids with the new census, never a mix
+    Ivf.retrainAtomic(spark, root, "vec_id", "embedding", k = 8, iters = 2)
+    check()
+  }
+
   test("retrainAtomic: quantizer refreshed from committed segments only — " +
       "parity with a from-scratch rebuild, recall no worse on a drifted corpus") {
     import graft.sources.AtomicCommit
