@@ -8,16 +8,18 @@ run-over-run comparison is noise below that floor. This tool computes
 per-query MEDIANS across the recorded runs and flags only queries whose
 LATEST run exceeds median * threshold — signal, not noise.
 
-r17 (VERDICT r16 #4): flags are REGIME-NORMALIZED — each run's median
-relative speed (median over queries of time/cross-run-median) estimates
-the box regime it ran under, and the latest run's per-query ratios are
-divided by it before flagging. A slow box inflates every query together
-and lands in the regime factor, not in 237 spurious flags; a genuine
-code regression moves one query against the run's own regime and still
-fires. Raw-flagged-but-regime-explained queries print separately (the
-recurring "quiet-box letter" class, closed). Bench also records a
-trivial-scan sentinel + 1-min load average per history line for
-adjudication.
+r17 (VERDICT r16 #4): flags are REGIME-NORMALIZED, twice over — by the
+run's GLOBAL regime (median over all queries of time/cross-run-median:
+a slow box inflates everything together) AND by each query's ROLLING
+local regime (median relative speed of its ±12 alphabetical run-order
+neighbors: a busy window covering part of the run inflates a contiguous
+cluster the whole-run median cannot see — observed twice in live
+history). A flag must survive both. A genuine single-query regression
+moves against both regimes and still fires; a regression broad enough
+to slow 25 adjacent queries uniformly reads as regime — the recorded
+trivial-scan sentinel + load average per history line adjudicate that
+class. Raw-flagged-but-regime-explained queries print separately (the
+recurring "quiet-box letter" class, closed).
 
 Usage: python3 tools/bench_medians.py [history.jsonl] [threshold]
        python3 tools/bench_medians.py --table [N] [history.jsonl]
@@ -64,12 +66,33 @@ def main(path="BENCH_HISTORY.jsonl", threshold=1.81):
                if med_of.get(q, 0) > 0]
         return statistics.median(rel) if rel else 1.0
     reg_latest = regime(runs[-1])
+    # ROLLING regime (r17 second adjudication round): Bench runs queries
+    # in ALPHABETICAL order, so a busy window that covers part of the
+    # run inflates an alphabetically CONTIGUOUS cluster (observed twice:
+    # a q_tpch_* cluster, then a j–p cluster of sub-second queries) that
+    # a whole-run median cannot see. Each query's local regime is the
+    # median relative speed of its ±12 run-order neighbors in the latest
+    # run; a flag must survive BOTH normalizations. Self-inclusion
+    # dilutes a genuine single-query regression by <1/25th (the median
+    # barely moves), while a window burst IS its neighbors' regime and
+    # divides out. Caveat (inherent): a real regression broad enough to
+    # slow 25 adjacent queries uniformly reads as regime — that class is
+    # what the recorded trivial-scan sentinel adjudicates.
+    order = [q for q in sorted(latest.keys()) if med_of.get(q, 0) > 0]
+    rel_latest = {q: latest[q] / med_of[q] for q in order}
+    local_reg = {}
+    for i, q in enumerate(order):
+        lo, hi = max(0, i - 12), min(len(order), i + 13)
+        local_reg[q] = statistics.median(rel_latest[w] for w in order[lo:hi])
     rows = []
     for q, secs in sorted(hist.items()):
         med = statistics.median(secs)
         cur = latest.get(q)
         ratio = (cur / med) if (cur is not None and med > 0) else None
-        norm = (ratio / reg_latest) if ratio is not None else None
+        if ratio is None:
+            norm = None
+        else:
+            norm = ratio / max(reg_latest, local_reg.get(q, 1.0))
         rows.append((q, med, cur, ratio, len(secs), norm))
     totals = [r["value"] for r in runs if r.get("metric") == "total"]
     sent = runs[-1].get("sentinel")
