@@ -1291,11 +1291,24 @@ object DocPipeline {
 
   /** Pin-hash of an outlier routing table: a pure function of the
     * sorted key→root entries (0 = no table, the pre-r17 default every
-    * legacy `_shard_meta` implicitly carries). */
+    * legacy `_shard_meta` implicitly carries). SHA-256 truncated to 31
+    * bits (ADVICE r17: `String.hashCode` is a weak 31-bit mix — two
+    * different tables can collide STRUCTURALLY, letting a silently
+    * amended table pass the pin check, the exact drift class the pin
+    * exists to make loud; a cryptographic digest leaves only the
+    * irreducible 2^-31 truncation chance, with no engineerable
+    * collisions). The 0→1 remap preserves the no-table sentinel. */
   private def outlierTableHash(outlierRoots: Map[String, String]): Int =
     if (outlierRoots.isEmpty) 0
-    else math.max(1, outlierRoots.toSeq.sorted
-      .map { case (k, v) => s"$k->$v" }.mkString(";").hashCode & 0x7fffffff)
+    else {
+      val body = outlierRoots.toSeq.sorted
+        .map { case (k, v) => s"$k->$v" }.mkString(";")
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0x7f) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      math.max(1, h)
+    }
 
   /** Promote (or repoint/demote) outlier tenants on a sharded layout —
     * the maintenance valve behind [[streamIncrementalSharded]]'s
@@ -1738,13 +1751,15 @@ object DocPipeline {
     * The concurrency contract holds for ATOMIC stores only: a PLAIN
     * store's rebucket rewrites files in place, and a reader listing
     * the directory mid-rewrite can see a PARTIAL new-geometry file set
-    * — a silent subset, which no seqlock can detect. Probe plain
-    * stores only with maintenance quiesced, or use atomicStore=true
-    * (the serving deployment shape). */
+    * — a silent subset, which no seqlock can detect. `atomicStore`
+    * therefore DEFAULTS to true (VERDICT r17: this is a reader surface
+    * built specifically for racing maintenance — the documented-safe
+    * contract must be the cheap path); pass false only for a plain
+    * store WITH maintenance quiesced. */
   def embeddingDupProbe(vecs: DataFrame, storePath: String,
                         tau: Double = 0.9,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        atomicStore: Boolean = false,
+                        atomicStore: Boolean = true,
                         maxAttempts: Int = 8): DataFrame = {
     import graft.core.Checkpoints.CutOps
     require(maxAttempts >= 1, s"maxAttempts=$maxAttempts must be >= 1")
@@ -1762,6 +1777,7 @@ object DocPipeline {
             t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
       }
     var attempt = 0
+    var lastTorn: Throwable = null
     while (attempt < maxAttempts) {
       attempt += 1
       // the WHOLE attempt retries on a torn listing — the meta sidecar
@@ -1790,12 +1806,17 @@ object DocPipeline {
             s"$attempt times — a rebucket storm; quiesce maintenance " +
             "or raise maxAttempts")
       } catch {
-        case e: Throwable if attempt < maxAttempts && tornRead(e) => ()
+        // a torn read on the FINAL attempt falls through to the curated
+        // exhaustion message below instead of propagating the raw
+        // FileNotFound/inference error (VERDICT r17 #1) — the raw cause
+        // rides along for forensics
+        case e: Throwable if tornRead(e) => lastTorn = e
       }
     }
     throw new IllegalStateException(
       s"embeddingDupProbe: no stable committed snapshot of $storePath " +
-        s"in $maxAttempts attempts")
+        s"in $maxAttempts attempts — quiesce maintenance or raise " +
+        "maxAttempts", lastTorn)
   }
 
   /** The shard-axis advise (the [[adviseGeometryMigration]] /
@@ -2032,9 +2053,21 @@ object DocPipeline {
             maxShingles, atomicStore)
         }
       }
-      scala.concurrent.Await.result(
+      try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(builds),
         scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable =>
+        // ADVICE r17: Future.sequence rethrows on the FIRST failure
+        // while sibling builds keep running; an in-process rerun with a
+        // corrected corpus could then race a surviving straggler whose
+        // mode=overwrite lands in a shard dir AFTER the rerun rebuilt
+        // it — a silently stale shard inside a finalized layout. Cancel
+        // and JOIN the stragglers before propagating, so no attempt-1
+        // build can write after this method exits.
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e
+      }
     } finally pool.shutdown()
     writeStoreMeta(spark, metaDir,
       Seq("numShards" -> numShards, "shardKeyHash" -> keyHash))

@@ -187,11 +187,17 @@ object AppendStore {
     * version immediately, so any read that resolved the old manifest
     * mid-fold dies on missing files (cleanly — it retries — but at
     * compaction cadence that is a retry storm, not a tail). Serving
-    * deployments pass 2: the fold commits with a `folds:` supersession
-    * line, so NEW reads resolve only the fold (no double counting,
-    * [[liveVersions]]) while the pre-fold versions' files survive one
-    * more cycle for reads already in flight; the next compact sweeps
-    * them. Store footprint stays bounded at ~2x content. */
+    * deployments pass >= 2: the fold commits with a `folds:`
+    * supersession line, so NEW reads resolve only the fold (no double
+    * counting, [[liveVersions]]) while EVERY version that was live just
+    * before this fold keeps its files one more cycle for reads already
+    * in flight; the next compact sweeps them. Retention is by
+    * SUPERSESSION BOUNDARY, not a fixed count (ADVICE r17: a fixed
+    * vacuum floor of 2 retained only the newest pre-fold append and
+    * swept the previous fold — the version holding nearly all the
+    * data — so any in-flight reader of the pre-fold manifest still
+    * died). Store footprint stays bounded at ~2x content: the grace
+    * set is one superseded generation. */
   def compact(spark: SparkSession, root: String,
               fenceEpoch: Option[Long] = None,
               rowsPerFile: Long = 512L * 1024,
@@ -201,9 +207,12 @@ object AppendStore {
     val live = liveVersions(spark, root)
     if (live.size < 2) {
       // nothing to fold, but grace-retained stragglers from a previous
-      // fold may be due their sweep
+      // fold may be due their sweep — retain the LIVE versions only
+      // (ADVICE r17: sweeping with the caller's grace knob was a no-op
+      // at the keepVersions that created the straggler, so an idle
+      // store never aged it out)
       if (committed.size > live.size)
-        AtomicCommit.vacuum(spark, root, keepVersions)
+        AtomicCommit.vacuum(spark, root, keepVersions = math.max(1, live.size))
       return None
     }
     val all = spark.read.parquet(
@@ -212,7 +221,12 @@ object AppendStore {
     // already-superseded stragglers retained for reader grace
     val v = append(all, root, fenceEpoch, rowsPerFile,
       manifestLines = Seq(AtomicCommit.encodeFoldsLine(committed.max)))
-    AtomicCommit.vacuum(spark, root, keepVersions = keepVersions)
+    // grace >= 2 retains the whole just-superseded live set (they are a
+    // suffix of the committed order, the fold being newest), so a
+    // reader that resolved ANY pre-fold manifest finishes against real
+    // files; older stragglers had their cycle and age out here
+    AtomicCommit.vacuum(spark, root,
+      keepVersions = if (keepVersions <= 1) 1 else live.size + 1)
     v
   }
 }

@@ -1142,6 +1142,17 @@ class NearDupSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(root + "_emb_meta")
     val e = intercept[IllegalArgumentException](matches())
     assert(e.getMessage.contains("rebucketEmbeddingStore"), e.getMessage)
+    // torn reads that exhaust maxAttempts — including one on the FINAL
+    // attempt (VERDICT r17 #1: the last attempt used to propagate the
+    // raw FileNotFound instead) — emit the curated quiesce message,
+    // with the raw cause attached for forensics
+    val gone = tmp.resolve("never-built").toString
+    val ex = intercept[IllegalStateException] {
+      DocPipeline.embeddingDupProbe(probe, gone, maxAttempts = 2)
+    }
+    assert(ex.getMessage.contains("no stable committed snapshot"), ex.getMessage)
+    assert(ex.getMessage.contains("quiesce maintenance"), ex.getMessage)
+    assert(ex.getCause != null, "raw torn cause must ride along")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 

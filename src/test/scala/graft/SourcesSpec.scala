@@ -284,30 +284,45 @@ class SourcesSpec extends SparkTestBase {
     val root = java.nio.file.Files.createTempDirectory("agrace").resolve("s").toString
     AppendStore.append(docs.limit(3), root)
     AppendStore.append(docs.limit(2), root)
-    // grace fold: v3 = fold(v1,v2), commits carry folds:2; v1 swept by
-    // the retention floor, v2 RETAINED for in-flight readers
+    // grace fold: v3 = fold(v1,v2), commits carry folds:2; BOTH
+    // pre-fold live versions are retained (supersession-boundary
+    // retention, ADVICE r17 — a fixed floor of 2 would sweep v1, and
+    // v1 is where most of an in-flight reader's data lives after real
+    // fold cadences: it is the previous fold)
     AppendStore.compact(spark, root, keepVersions = 2)
     val committed = AtomicCommit.committedVersions(spark, root)
-    assert(committed === Seq(2L, 3L), committed.toString)
+    assert(committed === Seq(1L, 2L, 3L), committed.toString)
     assert(AppendStore.liveVersions(spark, root) === Seq(3L))
-    // new reads resolve ONLY the fold — retained v2 must not re-union
+    // new reads resolve ONLY the fold — retained v1/v2 must not re-union
     assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 5L)
     assert(AppendStore.manifestRows(spark, root) === Some(5L))
-    // the retained version's files are really there (an in-flight read
+    // the retained versions' files are really there (an in-flight read
     // that resolved the pre-fold manifest completes against them)
+    assert(spark.read.parquet(AtomicCommit.versionDir(root, 1L)).count() === 3L)
     assert(spark.read.parquet(AtomicCommit.versionDir(root, 2L)).count() === 2L)
-    // an append then the next grace fold: v2 finally ages out
+    // an append then the next grace fold: v5 = fold(v3,v4) retains the
+    // just-superseded live set [v3,v4]; the PREVIOUS generation's grace
+    // stragglers v1/v2 age out now
     AppendStore.append(docs.limit(4), root)
     AppendStore.compact(spark, root, keepVersions = 2)
-    assert(AppendStore.liveVersions(spark, root).size === 1)
+    assert(AppendStore.liveVersions(spark, root) === Seq(5L))
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(3L, 4L, 5L))
     assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 9L)
     assert(AppendStore.manifestRows(spark, root) === Some(9L))
     val f = AtomicCommit.fs(spark, root)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(AtomicCommit.versionDir(root, 1L))),
+      "v1 should age out on the second grace cycle")
     assert(!f.exists(new org.apache.hadoop.fs.Path(AtomicCommit.versionDir(root, 2L))),
       "v2 should age out on the second grace cycle")
-    // a compact with nothing to fold still sweeps due stragglers
-    AppendStore.compact(spark, root, keepVersions = 1)
-    assert(AtomicCommit.committedVersions(spark, root).size === 1)
+    // the PREVIOUS fold (v3) survives this cycle — the medium ADVICE
+    // r17 case: a reader that resolved [v3,v4] pre-fold needs v3
+    assert(spark.read.parquet(AtomicCommit.versionDir(root, 3L)).count() === 5L)
+    // a compact with nothing to fold sweeps due stragglers even at the
+    // grace knob that retained them (low ADVICE r17: the sweep used the
+    // caller's keepVersions and was a no-op on an idle store)
+    AppendStore.compact(spark, root, keepVersions = 2)
+    assert(AtomicCommit.committedVersions(spark, root) === Seq(5L))
+    assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 9L)
   }
 
   test("writer fencing: AppendStore.append honors the epoch (zombie append rejected)") {
