@@ -73,7 +73,8 @@ object Bench {
     val sentinel = (sentPre + sentPost) / 2
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def line(rs: Seq[(String, Double)], fmt: Double => String): String = {
+    def line(rs: Seq[(String, Double)], fmt: Double => String,
+             note: String = ""): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
@@ -81,6 +82,7 @@ object Bench {
         s""""sentinel_pre":${"%.3f".format(sentPre)},""" +
         s""""sentinel_post":${"%.3f".format(sentPost)},""" +
         s""""load":${"%.2f".format(load)},""" +
+        (if (note.isEmpty) "" else s""""note":"$note",""") +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full precision goes to files (and stdout, first): the driver's
@@ -110,11 +112,16 @@ object Bench {
     // room for sbt's trailing "[success] Total time: ..." line.
     val budget = 1700
     def fmt2(v: Double): String = "%.2f".format(v)
+    // VERDICT r17 #4: the truncated dict read as "these are all the
+    // queries" — say what it is, right in the artifact
+    def noteFor(n: Int): String =
+      if (n == results.size) ""
+      else s"slowest $n of ${results.size}; full dict in BENCH_HISTORY.jsonl"
     var kept = results.sortBy(-_._2)
-    var compact = line(kept.sortBy(_._1), fmt2)
+    var compact = line(kept.sortBy(_._1), fmt2, noteFor(kept.size))
     while (compact.length > budget && kept.nonEmpty) {
       kept = kept.dropRight(math.max(1, kept.length / 10))
-      compact = line(kept.sortBy(_._1), fmt2)
+      compact = line(kept.sortBy(_._1), fmt2, noteFor(kept.size))
     }
     println(compact)
     spark.stop()
