@@ -695,6 +695,58 @@ class IvfSpec extends SparkTestBase {
     check()
   }
 
+  test("IVF serve grace: vacuum keepVersions=2 keeps a held snapshot " +
+      "readable across ONE maintenance cycle (keep=1 tears it; grace is " +
+      "exactly one generation)") {
+    // VERDICT r17 #2: the signature stores earned fold supersession +
+    // keepVersions grace from a measured retry storm; the IVF segment
+    // store needs NO new mechanism — the generic vacuum already keeps
+    // every data dir a retained manifest references, so keepVersions=2
+    // IS one-generation reader grace for the composition. This pins
+    // that contract; IvfServeGraceProbe measures it at load.
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("ivfgrace")
+      .resolve("index").toString
+    val base = emb.filter(col("vec_id") < 200)
+    val nBase = base.count()
+    Ivf.saveIndexAtomic(base, "vec_id", "embedding", root, k = 8, iters = 2)
+    // a reader resolves a snapshot and HOLDS it (the in-flight slow
+    // scan); a graceless maintenance cycle lands under it
+    val held1 = Ivf.indexSnapshot(spark, root)
+    Ivf.appendToIndexAtomic(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 260), "embedding", root)
+    Ivf.compactIndexAtomic(spark, root)
+    AtomicCommit.vacuum(spark, root, keepVersions = 1)
+    // completing the held scan dies LOUDLY (missing files) — never a
+    // silent subset
+    intercept[Exception](held1.index.count())
+    // same hold with grace: the cycle's vacuum keeps the superseded
+    // generation's dirs because the retained previous MANIFEST still
+    // references them
+    val held2 = Ivf.indexSnapshot(spark, root) // v3: compact of base+60
+    Ivf.appendToIndexAtomic(
+      emb.filter(col("vec_id") >= 260 && col("vec_id") < 290), "embedding", root)
+    Ivf.compactIndexAtomic(spark, root)
+    AtomicCommit.vacuum(spark, root, keepVersions = 2)
+    assert(held2.index.count() === nBase + 60L,
+      "held snapshot must finish against its own committed generation")
+    // and it still SERVES: a budget probe through the held pieces
+    // returns its full k
+    assert(Ivf.topKJoinBudget(held2.index, "embedding", held2.centroids,
+      held2.census, emb.filter(col("vec_id") === 7L)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
+      "probe_id", "p_emb", k = 3, maxScanRows = 1000L,
+      tieBreak = Seq("vec_id")).count() === 3L)
+    // grace is exactly ONE generation: the next cycle sweeps it
+    Ivf.appendToIndexAtomic(
+      emb.filter(col("vec_id") >= 290 && col("vec_id") < 300), "embedding", root)
+    Ivf.compactIndexAtomic(spark, root)
+    AtomicCommit.vacuum(spark, root, keepVersions = 2)
+    intercept[Exception](held2.index.count())
+    // the current snapshot always serves the full content
+    assert(Ivf.indexSnapshot(spark, root).index.count() === nBase + 100L)
+  }
+
   test("retrainAtomic: quantizer refreshed from committed segments only — " +
       "parity with a from-scratch rebuild, recall no worse on a drifted corpus") {
     import graft.sources.AtomicCommit
