@@ -1180,18 +1180,35 @@ object DocPipeline {
     * [[auditCrossShardDups]] can price on real data.
     *
     * The outlier table is routing GEOMETRY like the count and the key:
-    * it is pinned in `_shard_meta` (hash of the sorted key→root
-    * table) — a restart that silently dropped or redirected an entry
-    * would hash the monster tenant back into a shard that never saw
-    * its post-promotion history and re-accept its whole catalog, so
-    * drift dies loudly instead. Promote (or demote/repoint) tenants
-    * with [[promoteTenants]] while the stream is stopped: it rebuilds
-    * each tenant's dedicated store from the accepted corpus and
-    * re-pins the table LAST. The tenant's pre-promotion rows remain in
-    * its old hash shard — dead weight, never wrong (the tenant no
-    * longer routes there); rebuild that shard from the corpus for
-    * hygiene if its size matters. `onBatch` rows routed via the table
-    * carry `shard = -1` (their tenant column still identifies them). */
+    * it is pinned in `_shard_meta` (global table hash + one
+    * `out:<tenant>` row per entry) — a restart that silently dropped
+    * or redirected an entry would hash the monster tenant back into a
+    * shard that never saw its post-promotion history and re-accept its
+    * whole catalog, so drift dies loudly instead. Promote (or
+    * demote/repoint) tenants with [[promoteTenants]]: it rebuilds each
+    * tenant's dedicated store from the accepted corpus and re-pins the
+    * table LAST. The tenant's pre-promotion rows remain in its old
+    * hash shard — dead weight, never wrong (the tenant no longer
+    * routes there); rebuild that shard from the corpus for hygiene if
+    * its size matters. `onBatch` rows routed via the table carry
+    * `shard = -1` (their tenant column still identifies them).
+    *
+    * SCOPED WRITERS AND ROLLING PROMOTION (`tenantScope`, r18 —
+    * VERDICT r17 #4): an UNSCOPED writer pins the WHOLE table, so any
+    * promotion forces every writer on the root to restart with the new
+    * table — a fleet-wide pause for a one-tenant change. A writer that
+    * declares `tenantScope` (the complete set of shard-key values its
+    * feed may carry; every batch is asserted against it, loud death on
+    * a rogue key) checks only its scope's slice of the per-entry pins,
+    * and its `outlierRoots` is that slice. Promotion then rolls: stop
+    * ONE writer (the promoted tenant's owner — [[promoteTenants]]
+    * needs its stream quiesced), promote, restart it with the new
+    * slice — every writer whose scope excludes the tenant keeps
+    * running through the re-pin, checks green, because nothing in ITS
+    * slice moved. The scope assert is what makes this sound: the
+    * stale-writer disaster the global pin guards against (routing a
+    * promoted tenant back to its hash shard) requires ROUTING that
+    * tenant, which a scoped writer provably cannot do. */
   def streamIncrementalSharded(
       docs: DataFrame,
       rootPath: String,
@@ -1209,8 +1226,14 @@ object DocPipeline {
       bloom: Boolean = true,
       shardTag: String = "",
       checkpointLocation: Option[String] = None,
-      outlierRoots: Map[String, String] = Map.empty)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      outlierRoots: Map[String, String] = Map.empty,
+      tenantScope: Seq[String] = Nil)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    require(tenantScope.isEmpty || outlierRoots.keySet.subsetOf(tenantScope.toSet),
+      s"outlierRoots entries ${outlierRoots.keySet -- tenantScope.toSet} lie " +
+        "outside tenantScope — a scoped writer's table is its scope's slice " +
+        "of the fleet table; an out-of-scope entry is unroutable dead config " +
+        "or a scope violation waiting")
     val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
     val outKeys = outlierRoots.keys.toSeq.sorted
     // per-store driver state, created at the stream's first touch of
@@ -1232,19 +1255,29 @@ object DocPipeline {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
-        checkOrWriteStoreMeta(spark,
+        ensureShardedStreamMeta(spark,
           s"${rootPath.stripSuffix("/")}_shard_meta", rootPath,
           "restart with the stored shard count AND key (the key is " +
             s"pinned as hash('$keyTag') — pass shardTag to keep a " +
-            "renamed-but-identical expression) AND outlier table " +
-            "(amend it with promoteTenants) or re-shard by rebuilding " +
+            "renamed-but-identical expression) or re-shard by rebuilding " +
             "every shard from the accepted corpus (rebuildSignatureStore " +
             "per shard)",
-          Seq("numShards" -> numShards,
-            "shardKeyHash" -> (keyTag.hashCode & 0x7fffffff),
-            "outlierHash" -> outlierTableHash(outlierRoots)),
-          legacyDefaults = Map("outlierHash" -> 0))
+          numShards, keyTag.hashCode & 0x7fffffff, outlierRoots, tenantScope)
         val keyStr = shardKey.cast("string")
+        if (tenantScope.nonEmpty) {
+          // the assert that makes the SCOPED meta check safe: a writer
+          // that cannot route an undeclared tenant cannot be the stale
+          // writer the global pin existed to stop. Null keys count as
+          // rogue (they would route by hash to a shard no scope names).
+          val rogue = b.filter(keyStr.isNull || !keyStr.isin(tenantScope: _*))
+            .select(keyStr.as("k")).distinct().limit(5)
+            .collect().map(r => String.valueOf(r.get(0)))
+          require(rogue.isEmpty,
+            s"batch $batchId carries shard keys outside this writer's " +
+              s"declared tenantScope: ${rogue.mkString(", ")} — scoped " +
+              "meta checks are only safe when the writer cannot route " +
+              "undeclared tenants; widen the scope or fix the feed")
+        }
         val withShard = (
           if (outKeys.isEmpty) b.withColumn("_okey", lit(null).cast("string"))
           else b.withColumn("_okey",
@@ -1300,20 +1333,35 @@ object DocPipeline {
     * collisions). The 0→1 remap preserves the no-table sentinel. */
   private def outlierTableHash(outlierRoots: Map[String, String]): Int =
     if (outlierRoots.isEmpty) 0
-    else {
-      val body = outlierRoots.toSeq.sorted
-        .map { case (k, v) => s"$k->$v" }.mkString(";")
-      val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = ((d(0) & 0x7f) << 24) | ((d(1) & 0xff) << 16) |
-        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
-      math.max(1, h)
-    }
+    else math.max(1, digest31(outlierRoots.toSeq.sorted
+      .map { case (k, v) => s"$k->$v" }.mkString(";")))
+
+  /** 31-bit SHA-256 truncation — the pin digest for meta sidecars. */
+  private def digest31(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0x7f) << 24) | ((d(1) & 0xff) << 16) |
+      ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+  }
+
+  /** The outlier table's meta rows: the GLOBAL pin (`outlierHash`, the
+    * unscoped writers' check) plus one `out:<tenant>` row per entry
+    * (r18 — what scoped writers check, and what makes a ROLLING
+    * promotion legal: re-pinning tenant X's entry changes nothing
+    * inside any scope that excludes X). */
+  private def outlierMetaRows(outlierRoots: Map[String, String]): Seq[(String, Int)] =
+    ("outlierHash" -> outlierTableHash(outlierRoots)) +:
+      outlierRoots.toSeq.sorted.map { case (k, r) =>
+        s"out:$k" -> math.max(1, digest31(r)) }
 
   /** Promote (or repoint/demote) outlier tenants on a sharded layout —
     * the maintenance valve behind [[streamIncrementalSharded]]'s
-    * `outlierRoots` (scaladoc there for when and why). Run while the
-    * ingest stream is STOPPED. For each entry, the tenant's dedicated
+    * `outlierRoots` (scaladoc there for when and why). Run while every
+    * stream whose scope COVERS an amended tenant is stopped — with
+    * scoped writers that is just the affected tenants' owners (the r18
+    * rolling promotion); an unscoped fleet must stop everything
+    * because every unscoped writer pins the whole table. For each
+    * entry, the tenant's dedicated
     * store is rebuilt from the ACCEPTED corpus (so its post-promotion
     * history starts complete — a fresh empty root would re-accept the
     * tenant's entire catalog on the next crawl), then the root's
@@ -1349,9 +1397,13 @@ object DocPipeline {
         docs.filter(col(keyCol).cast("string") === k), dst,
         idCol, textCol, minhashK, bands, maxShingles, atomicStore)
     }
+    // re-pin LAST: the global hash for unscoped writers plus one
+    // `out:<tenant>` row per entry (r18) — the per-entry rows are what
+    // scoped writers check, so re-pinning tenant X disturbs no writer
+    // whose scope excludes X (the rolling-promotion contract)
     writeStoreMeta(spark, metaDir,
-      (stored - "outlierHash").toSeq.sortBy(_._1) :+
-        ("outlierHash" -> outlierTableHash(outlierRoots)))
+      stored.view.filterKeys(k => k != "outlierHash" && !k.startsWith("out:"))
+        .toSeq.sortBy(_._1) ++ outlierMetaRows(outlierRoots))
   }
 
   /** Rebuild the signature store from the ACCEPTED corpus at a
@@ -2173,6 +2225,87 @@ object DocPipeline {
     * (`<store>_meta`-style): creating it must not make an empty data
     * dir spring into existence (the plain store's batch-0 "exists
     * yet?" probe keys on the data dir). */
+  /** `_shard_meta` pin for [[streamIncrementalSharded]]: numShards +
+    * shardKeyHash exact-match (the r16 contract), plus the outlier
+    * routing table — checked GLOBALLY (one table hash) for unscoped
+    * writers, PER ENTRY for writers that declared a `tenantScope`. The
+    * scoped check compares only the `out:<tenant>` rows inside the
+    * scope, which is safe because the per-batch scope assert proves
+    * the writer cannot route any undeclared tenant — and it is what
+    * lets [[promoteTenants]] re-pin ONE tenant's entry while every
+    * writer whose scope excludes it keeps running (the r18 rolling
+    * promotion). The meta read retries torn listings: promotion
+    * overwrites the sidecar while live writers read it, and a reader
+    * landing in the overwrite window must re-read, not die. */
+  private def ensureShardedStreamMeta(spark: org.apache.spark.sql.SparkSession,
+                                      metaDir: String, rootPath: String,
+                                      fix: String,
+                                      numShards: Int, keyHash: Int,
+                                      outlierRoots: Map[String, String],
+                                      tenantScope: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(metaDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Seq("numShards" -> numShards, "shardKeyHash" -> keyHash)
+    if (!fs.exists(p)) {
+      writeStoreMeta(spark, metaDir, base ++ outlierMetaRows(outlierRoots))
+      return
+    }
+    val stored = {
+      var out: Option[Map[String, Int]] = None
+      var attempt = 0
+      while (out.isEmpty) {
+        attempt += 1
+        try out = Some(spark.read.parquet(metaDir).collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap)
+        catch {
+          case e: Throwable if attempt < 8 &&
+              (e.isInstanceOf[java.io.FileNotFoundException] ||
+                (e.getMessage != null &&
+                  (e.getMessage.contains("PATH_NOT_FOUND") ||
+                    e.getMessage.contains("does not exist") ||
+                    e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
+            Thread.sleep(100)
+        }
+      }
+      out.get
+    }
+    val baseMis = base.filter { case (k, v) => !stored.get(k).contains(v) }
+    require(baseMis.isEmpty,
+      s"store $rootPath was built at ${stored.toSeq.sorted.mkString(", ")} " +
+        s"but this run uses ${base.mkString(", ")} — persisted keys would " +
+        s"not match and every cross-run duplicate would be silently " +
+        s"missed; $fix")
+    val storedEntries = stored.collect {
+      case (k, v) if k.startsWith("out:") => k.stripPrefix("out:") -> v }
+    val mine = outlierRoots.map { case (k, r) => k -> math.max(1, digest31(r)) }
+    if (tenantScope.isEmpty)
+      require(stored.getOrElse("outlierHash", 0) == outlierTableHash(outlierRoots),
+        s"store $rootPath pins a different outlier routing table " +
+          s"(stored hash ${stored.getOrElse("outlierHash", 0)}, this run " +
+          s"${outlierTableHash(outlierRoots)}) — a dropped or redirected " +
+          s"entry would hash its tenant back into a shard that never saw " +
+          s"its post-promotion history; amend the table with " +
+          s"promoteTenants and restart with it, or $fix")
+    else if (storedEntries.isEmpty && stored.getOrElse("outlierHash", 0) != 0)
+      // a pre-r18 pin: global hash only, no per-entry rows — the scoped
+      // comparison has nothing to compare against, so hold the strict
+      // global contract until a promoteTenants re-pin writes the rows
+      require(stored("outlierHash") == outlierTableHash(outlierRoots),
+        s"store $rootPath carries a legacy global-only outlier pin that " +
+          s"does not match this writer's table — re-pin with " +
+          s"promoteTenants (which writes per-entry rows and enables the " +
+          s"scoped check) or restart with the pinned table; $fix")
+    else tenantScope.foreach { t =>
+      require(storedEntries.get(t) == mine.get(t),
+        s"outlier routing for tenant '$t' drifted: store pins " +
+          s"${storedEntries.get(t)}, this writer carries ${mine.get(t)} — " +
+          s"a stale writer would route the tenant to a store that never " +
+          s"saw its history; promote/demote with promoteTenants and " +
+          s"restart THIS writer with the current table; $fix")
+    }
+  }
+
   private def checkOrWriteStoreMeta(spark: org.apache.spark.sql.SparkSession,
                                     metaDir: String, storePath: String,
                                     fix: String,

@@ -1568,6 +1568,112 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("scoped writers (r18): a ROLLING promotion re-pins one tenant's " +
+      "entry while a live writer whose scope excludes it keeps running; " +
+      "rogue keys, stale scoped tables, and unscoped writers die loudly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1 // the monster, writer 1's scope
+    val kB = route.find(_._2 != route(kA)).get._1 // writer 2's scope
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"r${i}w${j}z${(i * 43 + j) % 83}").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("scopedroll")
+    val root = tmp.resolve("store").toString
+    val monsterRoot = tmp.resolve("monster").toString
+    def start(scope: Seq[String], outliers: Map[String, String],
+              sink: scala.collection.mutable.ArrayBuffer[(Long, Long)]) = {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val q = graft.ext.DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+        numShards = 2, minWords = 4, shardTag = "tenant",
+        outlierRoots = outliers, tenantScope = scope) { (df, _) =>
+        sink ++= df.select("doc_id", "shard").as[(Long, Long)].collect()
+      }
+      (in, q)
+    }
+    // a scoped writer's table must be its scope's slice — checked at start
+    val bad = intercept[IllegalArgumentException] {
+      start(Seq(kB), Map(kA -> monsterRoot),
+        scala.collection.mutable.ArrayBuffer.empty)
+    }
+    assert(bad.getMessage.contains("tenantScope"), bad.getMessage)
+
+    val acc1 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val acc2 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val (in1, q1) = start(Seq(kA), Map.empty, acc1)
+    val (in2, q2) = start(Seq(kB), Map.empty, acc2)
+    // bootstrap: one writer's first batch creates the meta before the
+    // other races it (the FleetMonthDemo contract — concurrent meta
+    // CREATION is not the supported bootstrap path)
+    in1.addData((1L, kA, text(1)), (2L, kA, text(2)))
+    q1.processAllAvailable()
+    in2.addData((3L, kB, text(3)))
+    q2.processAllAvailable()
+    assert(acc1.map(_._1).sorted.toSeq === Seq(1L, 2L))
+    assert(acc2.map(_._1).sorted.toSeq === Seq(3L))
+
+    // ── ROLLING PROMOTION: stop ONLY kA's owner; kB's writer never
+    // pauses and never restarts ──
+    q1.stop()
+    val corpus = Seq((1L, kA, text(1)), (2L, kA, text(2)), (3L, kB, text(3)))
+      .toDF("doc_id", "tenant", "text")
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> monsterRoot))
+    // the untouched writer's NEXT batch re-checks the re-pinned meta —
+    // nothing in ITS slice moved, so it keeps running
+    acc2.clear()
+    in2.addData((10L, kB, text(3)), (11L, kB, text(11)))
+    q2.processAllAvailable()
+    assert(acc2.sortBy(_._1).toSeq === Seq((11L, route(kB))),
+      s"writer 2 through the re-pin: $acc2")
+    // the owner restarts on its new slice: pre-promotion history
+    // rejects (the rebuild carried it), fresh routes to the table
+    acc1.clear()
+    val (in1b, q1b) = start(Seq(kA), Map(kA -> monsterRoot), acc1)
+    in1b.addData((20L, kA, text(1)), (21L, kA, text(21)))
+    q1b.processAllAvailable(); q1b.stop()
+    assert(acc1.sortBy(_._1).toSeq === Seq((21L, -1L)), acc1.toString)
+
+    // ── the loud paths ──
+    // an UNSCOPED writer with no table still dies on the global pin
+    val (in3, q3) = start(Nil, Map.empty,
+      scala.collection.mutable.ArrayBuffer.empty)
+    in3.addData((30L, kB, text(30)))
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(Iterator.iterate(e3: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("outlier routing table")), s"got: $e3")
+    // a SCOPED writer whose slice went stale (owner forgot the table)
+    val (in4, q4) = start(Seq(kA), Map.empty,
+      scala.collection.mutable.ArrayBuffer.empty)
+    in4.addData((40L, kA, text(40)))
+    val e4 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    assert(Iterator.iterate(e4: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("drifted")),
+      s"got: $e4")
+    // a rogue key outside the declared scope dies loudly — the assert
+    // that makes the scoped check safe
+    in2.addData((50L, kA, text(50)))
+    val e5 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(Iterator.iterate(e5: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("tenantScope")),
+      s"got: $e5")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("streamEmbeddingDedupSharded: within-shard vector dups drop across " +
       "batches, cross-shard copies are independent domains, shard layout " +
       "and key pinning mirror the signature-store contract") {
