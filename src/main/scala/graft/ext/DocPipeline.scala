@@ -1109,6 +1109,27 @@ object DocPipeline {
   def shardOf(key: Column, numShards: Int): Column =
     pmod(xxhash64(key), lit(numShards.toLong))
 
+  /** Composite shard key for an INTERNALLY-DIVISIBLE monster tenant
+    * (r18 — the second mitigation the monster-tenant scaladoc gates,
+    * now measured): `(tenant, subKey)` → one string the router hashes,
+    * so a single tenant's corpus spreads across sub-shards keyed by a
+    * caller-chosen attribute (crawl host, language, url prefix) and
+    * its per-batch scans/blooms are bounded by the sub-shard, not the
+    * tenant. THE TRADE, priced by ShardOpsDemo's composite day on
+    * planted mirrors: duplicates repeating ACROSS sub-keys (mirrored
+    * hosts, cross-host re-crawls) land in different sub-shards and are
+    * NOT caught — [[auditCrossShardDups]] recovers them pair-exactly —
+    * while within-sub-key duplicates co-route and reject exactly as
+    * before. Choose composite keys when sub-keys are genuine dedup
+    * domains (mirrors are rare or handled upstream); choose
+    * [[streamIncrementalSharded]]'s `outlierRoots` when cross-sub-key
+    * duplicates matter — full recall at single-store cost. The u0001
+    * separator keeps `("a","bc")` distinct from `("ab","c")`; a null
+    * subKey routes like the bare tenant string (concat_ws drops
+    * nulls), deterministically. */
+  def compositeKey(tenant: Column, subKey: Column): Column =
+    concat_ws("\u0001", tenant.cast("string"), subKey.cast("string"))
+
   def shardPath(rootPath: String, shard: Long): String =
     s"${rootPath.stripSuffix("/")}/shard=$shard"
 
@@ -1174,10 +1195,14 @@ object DocPipeline {
     * own history, and the hash shards shrink by its absence. Choose
     * this shape when the skew is tenant-IDENTITY (a few stable monster
     * tenants); when one tenant is internally divisible and its
-    * duplicates are prefix-local, prefer a composite `shardKey`
-    * (e.g. `struct(col("tenant"), col("url_prefix"))`) instead — that
-    * trades recall ACROSS the tenant's sub-shards, a loss
-    * [[auditCrossShardDups]] can price on real data.
+    * duplicates are sub-key-local, prefer a composite shard key
+    * ([[compositeKey]]`(col("tenant"), col("host"))`) instead — that
+    * trades recall ACROSS the tenant's sub-shards, a MEASURED loss
+    * (r18, ShardOpsDemo composite day: planted cross-host mirrors on
+    * split sub-shards are all missed, within-host re-crawls all still
+    * reject, and [[auditCrossShardDups]] recovers the missed mirrors
+    * pair-exactly — the trade is a number you can re-price on live
+    * shards any day).
     *
     * The outlier table is routing GEOMETRY like the count and the key:
     * it is pinned in `_shard_meta` (global table hash + one
