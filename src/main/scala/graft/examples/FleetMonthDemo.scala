@@ -225,12 +225,13 @@ object FleetMonthDemo {
                             q: org.apache.spark.sql.streaming.StreamingQuery,
                             accepted: AtomicReference[Set[Long]])
     def startWriter(id: Int, tenantIdx: Seq[Int],
-                    outliers: Map[String, String] = Map.empty): Writer = {
+                    outliers: Map[String, String] = Map.empty,
+                    rootPath: String = root, shards: Int = nShards): Writer = {
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
       val acc = new AtomicReference[Set[Long]](Set.empty)
       val q = DocPipeline.streamIncrementalSharded(
-        in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
-        nShards, minWords = 10, atomicStore = true,
+        in.toDF().toDF("doc_id", "tenant", "text"), rootPath, col("tenant"),
+        shards, minWords = 10, atomicStore = true,
         shardTag = "tenant", outlierRoots = outliers,
         tenantScope = tenantIdx.map(tenants(_)._1)) { (df, _) =>
         acc.set(df.select("doc_id").as[Long].collect().toSet)
@@ -448,7 +449,144 @@ object FleetMonthDemo {
       f"writers drained cycle ${cycles - 1}; the dedup reader repointed " +
       "mid-stream and held its accept/reject contract on the new root")
 
-    // ── month close: stop writers, final audits ──
+    // ── MIGRATION-COMPLETION DAY (r18): the canary deferred the
+    // writers' repoint to "their next maintenance window" — this is
+    // that window. Stop all four writers, CATCH-UP the canary root
+    // with the post-snapshot delta (cycle 7's accepts, regenerated —
+    // the canary snapshot was through cycle 6), restart every writer
+    // on the 16-shard root, and run one FULL cycle there. The
+    // migration implicitly DEMOTES the outlier tenant: the 16-shard
+    // rebuild re-homed its full history into hash shards, so the new
+    // root runs with an empty table (the promoteTenants demotion
+    // recipe, executed by the reshard itself). ──
+    writers.foreach(_.q.stop())
+    val migCycle = cycles // one past the month's last old-root cycle
+    val (deltaRows, wCatchup) = timed {
+      val delta = (0 until nShards).map(t =>
+        freshFrame(cycles - 1, t).unionByName(crossFrame(cycles - 1, t)))
+        .reduce(_ unionByName _).cut
+      var n = 0L
+      (0L until canaryShards.toLong).foreach { s =>
+        val part = delta.filter(
+          DocPipeline.shardOf(col("tenant"), canaryShards) === s)
+        val sigs = DocPipeline.signatures(part, "doc_id", "text").cut
+        val c = sigs.count()
+        if (c > 0) {
+          AppendStore.append(sigs, DocPipeline.shardPath(canaryRoot, s))
+          n += c
+        }
+      }
+      n
+    }
+    require(deltaRows == nShards.toLong * (freshK + crossK),
+      s"catch-up delta rows $deltaRows")
+    val shard16 = tenants.indices.map(t => t ->
+      spark.range(1).select(DocPipeline.shardOf(lit(tenants(t)._1),
+        canaryShards)).head().getLong(0)).toMap
+    // the migration RE-PARTITIONS the tenant→writer assignment to the
+    // NEW route map: fences are per SHARD, so two writers feeding
+    // tenants that now co-locate on one 16-shard would fence each
+    // other and die loudly (the r16 double-writer contract, working as
+    // designed). Writer assignment follows routing: tenants grouped by
+    // their new shard, groups packed across the 4 writer seats —
+    // disjoint shard ownership by construction.
+    val assignment: Seq[Seq[Int]] = {
+      val groups = tenants.indices.groupBy(shard16).values.toSeq
+        .sortBy(g => (-g.size, g.head))
+      val buckets = Array.fill(nStreams)(Vector.empty[Int])
+      groups.foreach { g =>
+        val i = buckets.zipWithIndex.minBy { case (b, bi) => (b.size, bi) }._2
+        buckets(i) = buckets(i) ++ g
+      }
+      buckets.toSeq.map(_.sorted)
+    }
+    require(assignment.flatten.sorted == tenants.indices.toList)
+    writers = assignment.zipWithIndex.filter(_._1.nonEmpty).map {
+      case (ts, w) =>
+        startWriter(w, ts, rootPath = canaryRoot, shards = canaryShards)
+    }.toIndexedSeq
+    // one full cycle on the new root: fresh accepted; boot re-crawls
+    // AND post-snapshot (cycle-7) re-crawls ALL rejected — the proof
+    // no accepted history was lost across the migration; cross-stream
+    // copies accepted EXCEPT ring pairs the denser layout now
+    // CO-LOCATES (the reshard changed dedup domains — asserted from
+    // the live route map, not assumed)
+    val migBatches = writers.map { w =>
+      w -> w.tenantIdx.flatMap { t =>
+        val ten = tenants(t)._1
+        val b = base(migCycle, t)
+        val fresh = freshFrame(migCycle, t)
+          .as[(Long, String, String)].collect().toSeq
+        val reBoot = spark.range(b + 5000000L, b + 5000000L + reK)
+          .select(col("id"), lit(ten),
+            docText(lit(bootBase(t)) + pmod(xxhash64(col("id")), lit(bootN)))
+              .cast("string"))
+          .as[(Long, String, String)].collect().toSeq
+        val rePost = spark.range(b + 6000000L, b + 6000000L + reK)
+          .select(col("id"), lit(ten),
+            docText(lit(base(cycles - 1, t)) +
+              pmod(xxhash64(col("id")), lit(freshK))).cast("string"))
+          .as[(Long, String, String)].collect().toSeq
+        val cross = crossFrame(migCycle, t)
+          .as[(Long, String, String)].collect().toSeq
+        fresh ++ reBoot ++ rePost ++ cross
+      }
+    }
+    val (_, wMig) = timed {
+      migBatches.foreach { case (w, rows) => w.in.addData(rows) }
+      writers.foreach(_.q.processAllAvailable())
+    }
+    val migAccepted = Array.fill(nShards)(0L)
+    writers.foreach { w =>
+      val acc = w.accepted.get()
+      w.tenantIdx.foreach { t =>
+        val b = base(migCycle, t)
+        val fresh = acc.count(id => id >= b && id < b + freshK)
+        val reBootLeak = acc.count(id => id >= b + 5000000L && id < b + 5000000L + reK)
+        val rePostLeak = acc.count(id => id >= b + 6000000L && id < b + 6000000L + reK)
+        val crossAcc = acc.count(id => id >= b + 7000000L && id < b + 7000000L + crossK)
+        require(fresh == freshK, s"migration cycle tenant $t: $fresh fresh")
+        require(reBootLeak == 0,
+          s"migration cycle tenant $t: $reBootLeak BOOT re-crawls leaked " +
+            "on the new root — the reshard lost pre-snapshot history")
+        require(rePostLeak == 0,
+          s"migration cycle tenant $t: $rePostLeak POST-SNAPSHOT re-crawls " +
+            "leaked — the catch-up delta is incomplete")
+        val coLocated = shard16(t) == shard16((t + 1) % nShards)
+        val wantCross = if (coLocated) 0L else crossK
+        require(crossAcc == wantCross,
+          s"migration cycle tenant $t: cross $crossAcc != $wantCross " +
+            s"(ring pair ${if (coLocated) "CO-LOCATED" else "split"} at 16 shards)")
+        migAccepted(t) = freshK + crossAcc
+      }
+    }
+    // per-16-shard manifest pricing on the migrated root: rows == the
+    // sum over its tenants of boot + month accepts + catch-up + the
+    // migration cycle — zero Spark jobs
+    (0L until canaryShards.toLong).foreach { s =>
+      val want = tenants.indices.filter(t => shard16(t) == s)
+        .map(t => bootN + perTenantAccepted(t) + migAccepted(t)).sum
+      if (want > 0) {
+        val got = AppendStore.manifestRows(spark,
+          DocPipeline.shardPath(canaryRoot, s))
+        require(got.contains(want), s"migrated shard $s: rows $got != $want")
+      }
+    }
+    dedupReader.check(); adviseReader.check(); serveReader.check()
+    println(f"FLEET migration-completion day: catch-up delta " +
+      f"$deltaRows%,d rows into the 16-shard root in $wCatchup%.1f s, " +
+      f"${writers.size} writer seats re-partitioned to the new route map " +
+      f"(fences are per shard: assignment follows routing), and a full " +
+      f"cycle ran there in $wMig%.1f s — " +
+      f"boot AND post-snapshot re-crawls 0 leaked (no accepted history " +
+      f"lost across the migration), cross copies honored the NEW route " +
+      f"map (${tenants.indices.count(t => shard16(t) == shard16((t + 1) % nShards))} " +
+      "ring pairs co-located at 16 shards now reject), per-shard rows " +
+      "manifest-priced exactly; the outlier tenant demoted by the " +
+      "rebuild itself")
+
+    // ── month close: stop writers, final audits (old root: frozen at
+    // cycle 7's state by the migration) ──
     writers.foreach(_.q.stop())
     done.set(true)
     dedupReader.join(60000); adviseReader.join(60000); serveReader.join(300000)
