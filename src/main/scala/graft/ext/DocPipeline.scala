@@ -2272,7 +2272,18 @@ object DocPipeline {
     val p = new Path(metaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Seq("numShards" -> numShards, "shardKeyHash" -> keyHash)
-    if (!fs.exists(p)) {
+    // BOOTSTRAP is legal only when the ROOT itself is fresh: an absent
+    // sidecar over an EXISTING store is either the transient window of
+    // a promotion's sidecar overwrite (retry below resolves it) or a
+    // lost sidecar (a loud death — silently re-pinning the writer's
+    // CURRENT params over shards built at different routing would
+    // silently stop deduping across runs, the exact drift class the
+    // pin exists to stop; rebuild the layout or restore the sidecar)
+    def rootHasContent(): Boolean = {
+      val r = new Path(rootPath)
+      fs.exists(r) && fs.listStatus(r).nonEmpty
+    }
+    if (!fs.exists(p) && !rootHasContent()) {
       writeStoreMeta(spark, metaDir, base ++ outlierMetaRows(outlierRoots))
       return
     }
@@ -2291,6 +2302,18 @@ object DocPipeline {
                     e.getMessage.contains("does not exist") ||
                     e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
             Thread.sleep(100)
+          case e: Throwable if attempt >= 8 &&
+              (e.isInstanceOf[java.io.FileNotFoundException] ||
+                (e.getMessage != null &&
+                  (e.getMessage.contains("PATH_NOT_FOUND") ||
+                    e.getMessage.contains("does not exist") ||
+                    e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
+            throw new IllegalStateException(
+              s"$rootPath holds shard data but its _shard_meta sidecar is " +
+                "missing or unreadable after 8 attempts — a lost sidecar " +
+                "must be restored or the layout rebuilt (re-shard from the " +
+                "accepted corpus); re-pinning this writer's current params " +
+                "over it would silently re-route keys", e)
         }
       }
       out.get

@@ -1674,6 +1674,37 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("a lost _shard_meta sidecar over an existing layout dies loudly — " +
+      "bootstrap is legal only on a fresh root (silently re-pinning the " +
+      "writer's current params would silently re-route keys)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("lostmeta")
+    val root = tmp.resolve("store").toString
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"g${i}w${j}v${(i * 29 + j) % 71}").mkString(" ")
+    val corpus = (0 until 16).map(i => (i.toLong, s"t$i", text(i)))
+      .toDF("doc_id", "tenant", "text")
+    graft.ext.DocPipeline.reshardSignatureStores(corpus, root, col("tenant"),
+      numShards = 2, atomicStore = true, shardTag = "tenant")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root.stripSuffix("/") + "_shard_meta"))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = graft.ext.DocPipeline.streamIncrementalSharded(
+      in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+      numShards = 2, minWords = 4, shardTag = "tenant") { (_, _) => () }
+    in.addData((100L, "t0", text(100)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("silently re-route")), s"got: $e")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("streamEmbeddingDedupSharded: within-shard vector dups drop across " +
       "batches, cross-shard copies are independent domains, shard layout " +
       "and key pinning mirror the signature-store contract") {
