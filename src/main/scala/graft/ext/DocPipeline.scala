@@ -1294,6 +1294,11 @@ object DocPipeline {
           // that cannot route an undeclared tenant cannot be the stale
           // writer the global pin existed to stop. Null keys count as
           // rogue (they would route by hash to a shard no scope names).
+          // Deliberately its own filter+limit(5) job rather than a
+          // key-level census merge: a misconfigured feed can carry
+          // MILLIONS of distinct rogue keys, and this probe's collect
+          // stays 5 rows no matter what — a distinct-keys census would
+          // flood the driver exactly when the check matters most.
           val rogue = b.filter(keyStr.isNull || !keyStr.isin(tenantScope: _*))
             .select(keyStr.as("k")).distinct().limit(5)
             .collect().map(r => String.valueOf(r.get(0)))
@@ -2003,6 +2008,48 @@ object DocPipeline {
         Some(df.select(lit(s).as("_shard"), col("fp")))
       }
     }
+    kmvCrossShardAudit(sampleK, frames)
+  }
+
+  /** Vector-family twin of [[auditCrossShardDups]] (r18 — the same
+    * honest caveat, priced for the embedding stores):
+    * [[streamEmbeddingDedupSharded]] states cross-shard duplicate
+    * VECTORS are uncaught; this probe measures that on EXACT copies —
+    * per shard, the distinct `xxhash64` of each stored vector's
+    * canonical string form is bottom-k sampled and shard-pair
+    * intersections are estimated (or exact below k) by the same KMV
+    * machinery. A vector stored under `bands` keys contributes ONE
+    * distinct hash (the sampler distincts per shard). Near-duplicates
+    * (cosine-close, not byte-equal) are NOT counted — they are the
+    * probe family's job ([[embeddingDupProbe]] within a shard); this
+    * prices the exact-copy class a poor shard-key choice leaks. Same
+    * scale shape: one pass over the shards' vec columns, ≤ k rows
+    * shuffled per shard-task, numShards × k longs on the driver. */
+  def auditCrossShardEmbDups(spark: org.apache.spark.sql.SparkSession,
+                             rootPath: String, numShards: Int,
+                             sampleK: Int = 4096): CrossShardDupAudit = {
+    require(numShards >= 2, s"numShards=$numShards: need >= 2 to cross")
+    require(sampleK >= 2, s"sampleK=$sampleK must be >= 2")
+    val frames = (0L until numShards.toLong).flatMap { s =>
+      val sp = shardPath(rootPath, s)
+      if (!graft.sources.AtomicCommit.pathExists(spark, sp)) None
+      else {
+        val versions = graft.sources.AppendStore.liveVersions(spark, sp)
+        val df =
+          if (versions.nonEmpty) spark.read.parquet(versions.map(v =>
+            graft.sources.AtomicCommit.versionDir(sp, v)): _*)
+          else spark.read.parquet(sp)
+        Some(df.select(lit(s).as("_shard"),
+          xxhash64(col("vec").cast("string")).as("fp")))
+      }
+    }
+    kmvCrossShardAudit(sampleK, frames)
+  }
+
+  /** The shared KMV cross-shard estimator: `frames` carry (_shard, fp)
+    * with fp uniform over the signed-long range. */
+  private def kmvCrossShardAudit(sampleK: Int,
+                                 frames: Seq[DataFrame]): CrossShardDupAudit = {
     if (frames.size < 2)
       return CrossShardDupAudit(sampleK, Map.empty, Nil, 0L)
     val w = Window.partitionBy(col("_shard")).orderBy(col("fp"))

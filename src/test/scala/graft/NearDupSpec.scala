@@ -1156,6 +1156,44 @@ class NearDupSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("auditCrossShardEmbDups: planted cross-shard VECTOR copies measured " +
+      "exactly on small shards; the KMV path estimates the rate; banded " +
+      "storage contributes one hash per vector") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("embaudit")
+    val root = tmp.resolve("store").toString
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(16)(j => (i * 16 + j).toFloat / 1000f) // injective in i
+    val vecsA = (0 until 60).map(i => (1000L + i, vec(i)))
+      .toDF("vec_id", "embedding")
+    // shard B: 60 vectors, ids 2000+, of which indices 10..19 are EXACT
+    // byte copies of shard A's — the uncaught cross-shard class
+    val vecsB = (0 until 60).map(i =>
+      (2000L + i, if (i >= 10 && i < 20) vec(i) else vec(500 + i)))
+      .toDF("vec_id", "embedding")
+    DocPipeline.rebuildEmbeddingStore(vecsA, DocPipeline.shardPath(root, 0),
+      dim = 16, bits = 4, bands = 2, atomicStore = true)
+    DocPipeline.rebuildEmbeddingStore(vecsB, DocPipeline.shardPath(root, 1),
+      dim = 16, bits = 4, bands = 2, atomicStore = true)
+    val exact = DocPipeline.auditCrossShardEmbDups(spark, root, 2,
+      sampleK = 4096)
+    assert(exact.pairs.size === 1)
+    val p = exact.pairs.head
+    assert(p.exact, p.toString)
+    // exactly the 10 planted copies — and per-shard distinct counts are
+    // VECTOR counts (60), not banded row counts (120): banding must not
+    // inflate the audit
+    assert(p.estSharedDocs === 10L, p.toString)
+    assert(exact.shardDistinctEst.values.toSeq.sorted === Seq(60L, 60L),
+      exact.shardDistinctEst.toString)
+    // the KMV path (k below the shard distinct count) lands in band
+    val est = DocPipeline.auditCrossShardEmbDups(spark, root, 2, sampleK = 32)
+    val q = est.pairs.head
+    assert(!q.exact, q.toString)
+    assert(q.estSharedDocs >= 3L && q.estSharedDocs <= 30L, q.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("auditCrossShardDups: a planted cross-shard copy is measured exactly " +
       "on small shards; the KMV path estimates the planted rate") {
     import org.apache.spark.sql.functions.col
