@@ -1254,11 +1254,7 @@ object DocPipeline {
       outlierRoots: Map[String, String] = Map.empty,
       tenantScope: Seq[String] = Nil)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
-    require(tenantScope.isEmpty || outlierRoots.keySet.subsetOf(tenantScope.toSet),
-      s"outlierRoots entries ${outlierRoots.keySet -- tenantScope.toSet} lie " +
-        "outside tenantScope — a scoped writer's table is its scope's slice " +
-        "of the fleet table; an out-of-scope entry is unroutable dead config " +
-        "or a scope violation waiting")
+    requireScopeSlice(outlierRoots, tenantScope)
     val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
     val outKeys = outlierRoots.keys.toSeq.sorted
     // per-store driver state, created at the stream's first touch of
@@ -1289,25 +1285,7 @@ object DocPipeline {
             "per shard)",
           numShards, keyTag.hashCode & 0x7fffffff, outlierRoots, tenantScope)
         val keyStr = shardKey.cast("string")
-        if (tenantScope.nonEmpty) {
-          // the assert that makes the SCOPED meta check safe: a writer
-          // that cannot route an undeclared tenant cannot be the stale
-          // writer the global pin existed to stop. Null keys count as
-          // rogue (they would route by hash to a shard no scope names).
-          // Deliberately its own filter+limit(5) job rather than a
-          // key-level census merge: a misconfigured feed can carry
-          // MILLIONS of distinct rogue keys, and this probe's collect
-          // stays 5 rows no matter what — a distinct-keys census would
-          // flood the driver exactly when the check matters most.
-          val rogue = b.filter(keyStr.isNull || !keyStr.isin(tenantScope: _*))
-            .select(keyStr.as("k")).distinct().limit(5)
-            .collect().map(r => String.valueOf(r.get(0)))
-          require(rogue.isEmpty,
-            s"batch $batchId carries shard keys outside this writer's " +
-              s"declared tenantScope: ${rogue.mkString(", ")} — scoped " +
-              "meta checks are only safe when the writer cannot route " +
-              "undeclared tenants; widen the scope or fix the feed")
-        }
+        requireBatchInScope(b, keyStr, tenantScope, batchId)
         val withShard = (
           if (outKeys.isEmpty) b.withColumn("_okey", lit(null).cast("string"))
           else b.withColumn("_okey",
@@ -2206,13 +2184,24 @@ object DocPipeline {
     * occupancy (the store grows per TENANT, not per corpus — and so
     * does the [[adviseEmbeddingMigration]] probe, runnable per shard);
     * cross-shard duplicate vectors are NOT caught (choose keys copies
-    * share); `numShards` + the shard key pinned by the root
+    * share — [[auditCrossShardEmbDups]] prices the leak on live
+    * shards); `numShards` + the shard key pinned by the root
     * `_shard_meta` (loud death on drift; `shardTag` overrides the
     * Column-string auto-tag); each shard carries its own `_emb_meta`
     * geometry and (atomic stores) its own lazily-claimed fence, so
     * disjoint-tenant streams coexist on one root and same-tenant
     * double-writers fence per shard. `onBatch` receives the accepted
-    * union with a `shard` column. */
+    * union with a `shard` column.
+    *
+    * r18: the monster-tenant escape hatch and the rolling-promotion
+    * mechanism transplant verbatim — `outlierRoots` routes matching
+    * tenants to their OWN dedicated embedding store (rows carry
+    * `shard = -1`), `tenantScope` makes the writer's pin check its
+    * slice of the per-entry table so [[promoteEmbeddingTenants]] can
+    * re-pin one tenant under live scoped writers; semantics, crash
+    * ordering, and loud-death classes are
+    * [[streamIncrementalSharded]]'s, shared through the same meta
+    * gate and scope asserts. */
   def streamEmbeddingDedupSharded(
       vecs: DataFrame,
       rootPath: String,
@@ -2226,45 +2215,106 @@ object DocPipeline {
       tau: Double = 0.9,
       atomicStore: Boolean = false,
       shardTag: String = "",
-      checkpointLocation: Option[String] = None)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      outlierRoots: Map[String, String] = Map.empty,
+      tenantScope: Seq[String] = Nil)(onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    requireScopeSlice(outlierRoots, tenantScope)
     val keyTag = if (shardTag.nonEmpty) shardTag else shardKey.toString()
-    val fences = new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
+    val outKeys = outlierRoots.keys.toSeq.sorted
+    // fences keyed by STORE PATH (hash shards AND outlier roots)
+    val fences = new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+    def fenceFor(spark: org.apache.spark.sql.SparkSession, sp: String) =
+      fences.computeIfAbsent(sp, _ =>
+        if (atomicStore)
+          Some(graft.sources.AtomicCommit.acquireEpoch(spark, sp,
+            "streamEmbeddingDedupSharded"))
+        else None)
     withCheckpoint(vecs.writeStream, checkpointLocation)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val spark = b.sparkSession
-        checkOrWriteStoreMeta(spark,
+        ensureShardedStreamMeta(spark,
           s"${rootPath.stripSuffix("/")}_shard_meta", rootPath,
           "restart with the stored shard count AND key (the key is " +
             s"pinned as hash('$keyTag') — pass shardTag to keep a " +
             "renamed-but-identical expression) or re-shard by rebuilding " +
             "every shard from the accepted vectors (rebuildEmbeddingStore " +
             "per shard)",
-          Seq("numShards" -> numShards,
-            "shardKeyHash" -> (keyTag.hashCode & 0x7fffffff)))
-        val withShard = b.withColumn("_gshard", shardOf(shardKey, numShards)).cut
-        val present = withShard.select(col("_gshard")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        if (present.isEmpty) {
+          numShards, keyTag.hashCode & 0x7fffffff, outlierRoots, tenantScope)
+        val keyStr = shardKey.cast("string")
+        requireBatchInScope(b, keyStr, tenantScope, batchId)
+        val withShard = (
+          if (outKeys.isEmpty) b.withColumn("_okey", lit(null).cast("string"))
+          else b.withColumn("_okey",
+            when(keyStr.isin(outKeys: _*), keyStr)
+              .otherwise(lit(null).cast("string"))))
+          .withColumn("_gshard",
+            when(col("_okey").isNotNull, lit(-1L))
+              .otherwise(shardOf(shardKey, numShards)))
+          .cut
+        val census = withShard.select(col("_gshard"), col("_okey"))
+          .distinct().collect()
+        val present = census.filter(_.isNullAt(1)).map(_.getLong(0)).sorted
+        val outPresent = census.filterNot(_.isNullAt(1)).map(_.getString(1)).sorted
+        if (present.isEmpty && outPresent.isEmpty) {
           onBatch(b.withColumn("shard", lit(0L)).limit(0), batchId)
         } else {
+          val outParts = outPresent.map { k =>
+            val sp = outlierRoots(k)
+            embeddingStoreStep(
+              withShard.filter(col("_okey") === k).drop("_gshard", "_okey"),
+              sp, dim, idCol, vecCol, bits, bands, tau, atomicStore,
+              fenceFor(spark, sp))
+              .withColumn("shard", lit(-1L))
+          }
           val parts = present.map { s =>
             val sp = shardPath(rootPath, s)
-            val fence = fences.computeIfAbsent(s, _ =>
-              if (atomicStore)
-                Some(graft.sources.AtomicCommit.acquireEpoch(spark, sp,
-                  "streamEmbeddingDedupSharded"))
-              else None)
             embeddingStoreStep(
-              withShard.filter(col("_gshard") === s).drop("_gshard"), sp,
-              dim, idCol, vecCol, bits, bands, tau, atomicStore, fence)
+              withShard.filter(col("_gshard") === s).drop("_gshard", "_okey"),
+              sp, dim, idCol, vecCol, bits, bands, tau, atomicStore,
+              fenceFor(spark, sp))
               .withColumn("shard", lit(s))
           }
-          onBatch(parts.reduce(_ unionByName _), batchId)
+          onBatch((outParts ++ parts).reduce(_ unionByName _), batchId)
         }
       }
       .start()
+  }
+
+  /** [[promoteTenants]] for the VECTOR family: promote (or repoint/
+    * demote) outlier tenants on a sharded EMBEDDING layout — same
+    * contract, same crash ordering (rebuild each tenant's dedicated
+    * store from the accepted vectors, re-pin the `_shard_meta` table
+    * LAST), same rolling-promotion interplay with scoped writers.
+    * `vecs` must be the ACCEPTED vectors with the key column intact;
+    * geometry (dim/bits/bands) must match the fleet's stream. */
+  def promoteEmbeddingTenants(vecs: DataFrame, rootPath: String,
+                              keyCol: String,
+                              outlierRoots: Map[String, String],
+                              dim: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              bits: Int = 8, bands: Int = 2,
+                              atomicStore: Boolean = false): Unit = {
+    val spark = vecs.sparkSession
+    val metaDir = s"${rootPath.stripSuffix("/")}_shard_meta"
+    require(graft.sources.AtomicCommit.pathExists(spark, metaDir),
+      s"$rootPath carries no shard layout — promotion amends an existing " +
+        "sharded deployment (start streamEmbeddingDedupSharded or rebuild " +
+        "the shards first)")
+    val stored = spark.read.parquet(metaDir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    require(stored.get("numShards").exists(_ > 0),
+      s"$rootPath shard layout is not finalized (meta: $stored)")
+    outlierRoots.toSeq.sortBy(_._1).foreach { case (k, dst) =>
+      rebuildEmbeddingStore(
+        vecs.filter(col(keyCol).cast("string") === k), dst,
+        dim, idCol, vecCol, bits, bands, atomicStore)
+    }
+    writeStoreMeta(spark, metaDir,
+      stored.view.filterKeys(k => k != "outlierHash" && !k.startsWith("out:"))
+        .toSeq.sortBy(_._1) ++ outlierMetaRows(outlierRoots))
   }
 
   /** The embedding store's row shape: one (band, bucket, id, vec) per
@@ -2309,6 +2359,40 @@ object DocPipeline {
     * promotion). The meta read retries torn listings: promotion
     * overwrites the sidecar while live writers read it, and a reader
     * landing in the overwrite window must re-read, not die. */
+  /** A scoped writer's outlier table is its scope's slice of the
+    * fleet table — an out-of-scope entry is unroutable dead config or
+    * a scope violation waiting. Checked once at stream start. */
+  private def requireScopeSlice(outlierRoots: Map[String, String],
+                                tenantScope: Seq[String]): Unit =
+    require(tenantScope.isEmpty || outlierRoots.keySet.subsetOf(tenantScope.toSet),
+      s"outlierRoots entries ${outlierRoots.keySet -- tenantScope.toSet} lie " +
+        "outside tenantScope — a scoped writer's table is its scope's slice " +
+        "of the fleet table; an out-of-scope entry is unroutable dead config " +
+        "or a scope violation waiting")
+
+  /** The per-batch assert that makes the SCOPED meta check safe: a
+    * writer that cannot route an undeclared tenant cannot be the stale
+    * writer the global pin existed to stop. Null keys count as rogue
+    * (they would route by hash to a shard no scope names).
+    * Deliberately its own filter+limit(5) job rather than a key-level
+    * census merge: a misconfigured feed can carry MILLIONS of distinct
+    * rogue keys, and this probe's collect stays 5 rows no matter
+    * what — a distinct-keys census would flood the driver exactly when
+    * the check matters most. */
+  private def requireBatchInScope(b: DataFrame, keyStr: Column,
+                                  tenantScope: Seq[String],
+                                  batchId: Long): Unit =
+    if (tenantScope.nonEmpty) {
+      val rogue = b.filter(keyStr.isNull || !keyStr.isin(tenantScope: _*))
+        .select(keyStr.as("k")).distinct().limit(5)
+        .collect().map(r => String.valueOf(r.get(0)))
+      require(rogue.isEmpty,
+        s"batch $batchId carries shard keys outside this writer's " +
+          s"declared tenantScope: ${rogue.mkString(", ")} — scoped " +
+          "meta checks are only safe when the writer cannot route " +
+          "undeclared tenants; widen the scope or fix the feed")
+    }
+
   private def ensureShardedStreamMeta(spark: org.apache.spark.sql.SparkSession,
                                       metaDir: String, rootPath: String,
                                       fix: String,

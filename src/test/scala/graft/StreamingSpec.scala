@@ -1705,6 +1705,79 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("vector-family outlier roots + scoped rolling promotion (r18): a " +
+      "monster tenant's embedding store promotes to its own root under a " +
+      "LIVE scoped writer; history carries; drift dies loudly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1 // the monster
+    val kB = route.find(_._2 != route(kA)).get._1
+    def vec(i: Int): Seq[Float] =
+      Array.tabulate(8)(j => (i * 8 + j).toFloat / 100f).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("vecoutlier")
+    val root = tmp.resolve("store").toString
+    val monsterRoot = tmp.resolve("monster").toString
+    def start(scope: Seq[String], outliers: Map[String, String],
+              sink: scala.collection.mutable.ArrayBuffer[(Long, Long)]) = {
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val q = graft.ext.DocPipeline.streamEmbeddingDedupSharded(
+        in.toDF().toDF("vec_id", "tenant", "embedding"), root, col("tenant"),
+        numShards = 2, dim = 8, bits = 6, bands = 2, tau = 0.999,
+        atomicStore = true, shardTag = "tenant",
+        outlierRoots = outliers, tenantScope = scope) { (df, _) =>
+        sink ++= df.select("vec_id", "shard").as[(Long, Long)].collect()
+      }
+      (in, q)
+    }
+    val acc1 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val acc2 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val (in1, q1) = start(Seq(kA), Map.empty, acc1)
+    in1.addData((1L, kA, vec(1)), (2L, kA, vec(2)))
+    q1.processAllAvailable() // bootstraps the meta before writer 2 races
+    val (in2, q2) = start(Seq(kB), Map.empty, acc2)
+    in2.addData((3L, kB, vec(3)))
+    q2.processAllAvailable()
+    assert(acc1.map(_._1).sorted.toSeq === Seq(1L, 2L))
+    assert(acc2.map(_._1).sorted.toSeq === Seq(3L))
+    // ROLLING PROMOTION: only kA's writer stops; kB's writer runs on
+    q1.stop()
+    val corpus = Seq((1L, kA, vec(1)), (2L, kA, vec(2)), (3L, kB, vec(3)))
+      .toDF("vec_id", "tenant", "embedding")
+    graft.ext.DocPipeline.promoteEmbeddingTenants(
+      corpus, root, "tenant", Map(kA -> monsterRoot),
+      dim = 8, bits = 6, bands = 2, atomicStore = true)
+    acc2.clear()
+    in2.addData((10L, kB, vec(3)), (11L, kB, vec(11)))
+    q2.processAllAvailable()
+    assert(acc2.sortBy(_._1).toSeq === Seq((11L, route(kB))),
+      s"writer 2 through the re-pin: $acc2")
+    q2.stop()
+    // the owner restarts on its slice: pre-promotion history rejects
+    // (the rebuild carried it to the dedicated root), fresh accepts at
+    // shard=-1
+    acc1.clear()
+    val (in1b, q1b) = start(Seq(kA), Map(kA -> monsterRoot), acc1)
+    in1b.addData((20L, kA, vec(1)), (21L, kA, vec(21)))
+    q1b.processAllAvailable(); q1b.stop()
+    assert(acc1.sortBy(_._1).toSeq === Seq((21L, -1L)), acc1.toString)
+    // drift: a scoped writer that forgot its table dies loudly
+    val (in3, q3) = start(Seq(kA), Map.empty,
+      scala.collection.mutable.ArrayBuffer.empty)
+    in3.addData((30L, kA, vec(30)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("drifted")),
+      s"got: $e")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("streamEmbeddingDedupSharded: within-shard vector dups drop across " +
       "batches, cross-shard copies are independent domains, shard layout " +
       "and key pinning mirror the signature-store contract") {
