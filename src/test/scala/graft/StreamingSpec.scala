@@ -1674,6 +1674,58 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("composite sub-tenant promotion (r18): outlierRoots keys off the " +
+      "COMPOSITE key string, so one hot host of a big tenant promotes to " +
+      "its own root — the two monster mitigations compose with no new code") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("subpromo")
+    val root = tmp.resolve("store").toString
+    val hotRoot = tmp.resolve("hot").toString
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"c${i}w${j}k${(i * 53 + j) % 79}").mkString(" ")
+    val key = graft.ext.DocPipeline.compositeKey(col("tenant"), col("host"))
+    val hotKey = "big\u0001h1" // the composite string the router sees
+    val accepted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def start(outliers: Map[String, String]) = {
+      val in = MemoryStream[(Long, String, String, String)]
+      val q = graft.ext.DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "host", "text"), root, key,
+        numShards = 2, minWords = 4, shardTag = "tenant#host",
+        outlierRoots = outliers) { (df, _) =>
+        accepted ++= df.select("doc_id", "shard").as[(Long, Long)].collect()
+      }
+      (in, q)
+    }
+    val (in1, q1) = start(Map.empty)
+    in1.addData((1L, "big", "h1", text(1)), (2L, "big", "h2", text(2)))
+    q1.processAllAvailable(); q1.stop()
+    assert(accepted.map(_._1).sorted.toSeq === Seq(1L, 2L))
+    // promote the HOT SUB-TENANT: the table key is the composite
+    // string; promoteTenants filters the corpus by the same composite
+    val corpus = Seq((1L, "big", "h1", text(1)), (2L, "big", "h2", text(2)))
+      .toDF("doc_id", "tenant", "host", "text")
+      .withColumn("ckey", key)
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "ckey", Map(hotKey -> hotRoot))
+    accepted.clear()
+    val (in2, q2) = start(Map(hotKey -> hotRoot))
+    in2.addData(
+      (10L, "big", "h1", text(1)),  // hot sub-tenant re-crawl → reject
+                                    // (history carried to the hot root)
+      (11L, "big", "h1", text(11)), // fresh hot → accept at shard=-1
+      (12L, "big", "h2", text(2)),  // other host's re-crawl → reject on
+                                    // its hash sub-shard, untouched
+      (13L, "big", "h2", text(13))) // fresh other host → hash path
+    q2.processAllAvailable(); q2.stop()
+    val got = accepted.sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(11L, 13L), got.toString)
+    assert(got.head._2 === -1L && got(1)._2 >= 0L, got.toString)
+    assert(spark.read.parquet(hotRoot).count() === 2L) // 1 boot + 1 fresh
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("a lost _shard_meta sidecar over an existing layout dies loudly — " +
       "bootstrap is legal only on a fresh root (silently re-pinning the " +
       "writer's current params would silently re-route keys)") {
