@@ -1126,7 +1126,10 @@ object DocPipeline {
     * duplicates matter — full recall at single-store cost. The u0001
     * separator keeps `("a","bc")` distinct from `("ab","c")`; a null
     * subKey routes like the bare tenant string (concat_ws drops
-    * nulls), deterministically. */
+    * nulls), deterministically — and a null TENANT likewise degrades
+    * to the bare subKey string, which could alias a tenant literally
+    * named that value: reject null tenants upstream (feed hygiene),
+    * the router cannot tell them apart. */
   def compositeKey(tenant: Column, subKey: Column): Column =
     concat_ws("\u0001", tenant.cast("string"), subKey.cast("string"))
 
@@ -1885,6 +1888,10 @@ object DocPipeline {
     * fired when the HOTTEST shard exceeds `budgetDocs` — the per-shard
     * budget that bounds both the per-batch fp/band scan seconds and
     * the per-shard driver bloom (~1.2 GB / 10⁹ docs at 1% fpp).
+    * Promoted outlier roots are OUT of the router and out of this
+    * count — totals price the hash layout only (a promoted tenant's
+    * dedicated store is sized by its own [[adviseGeometryMigration]] /
+    * `manifestRows` reads, not by shard-count advise).
     * `recommendedShards` scales the current count by the hot shard's
     * overload (splitting k× shrinks a shard's tenant GROUP ~k×) —
     * honest caveat: a single tenant is ATOMIC under the router, so a
@@ -1966,7 +1973,11 @@ object DocPipeline {
     * Atomic shard stores read their COMMITTED union (uncommitted
     * crash debris never skews the audit). Run it at maintenance
     * cadence; act on a hot pair with key-aware routing (route both
-    * sides' tenants together) or accept the measured leak. */
+    * sides' tenants together) or accept the measured leak. Scope:
+    * HASH shards only — a promoted tenant's dedicated outlier root is
+    * out of the router and out of this audit (its copies of other
+    * tenants' content stop being counted from its promotion cycle on;
+    * FleetMonthDemo's promotion-aware truth derives exactly this). */
   def auditCrossShardDups(spark: org.apache.spark.sql.SparkSession,
                           rootPath: String, numShards: Int,
                           sampleK: Int = 4096): CrossShardDupAudit = {
