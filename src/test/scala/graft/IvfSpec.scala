@@ -747,6 +747,53 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.indexSnapshot(spark, root).index.count() === nBase + 100L)
   }
 
+  test("side-by-side index migration: a fresh root built from the committed " +
+      "segments serves equivalently; the reader repoints; the old root's " +
+      "teardown tears held snapshots loudly, never silently") {
+    // r18 round-19 candidate (1), pulled forward: the canary-day shape
+    // for the ANN tier. Indexes are DERIVED data, so migration is
+    // rebuild-from-committed-segments at the new root + a reader
+    // repoint — no catch-up pass exists to forget (the primary store
+    // owns history); the spec pins serve-equivalence and the loud
+    // teardown contract.
+    import graft.sources.AtomicCommit
+    val tmp = java.nio.file.Files.createTempDirectory("ivfmigrate")
+    val rootA = tmp.resolve("a").toString
+    val rootB = tmp.resolve("b").toString
+    val corpus = emb.filter(col("vec_id") < 300)
+    Ivf.saveIndexAtomic(corpus, "vec_id", "embedding", rootA, k = 8, iters = 2)
+    def probes = emb.filter(col("vec_id").isin(3L, 77L, 200L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    def serve(root: String) = {
+      val snap = Ivf.indexSnapshot(spark, root)
+      Ivf.topKJoinBudget(snap.index, "embedding", snap.centroids, snap.census,
+        probes, "probe_id", "p_emb", k = 5, maxScanRows = 10000L,
+        tieBreak = Seq("vec_id"))
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = serve(rootA)
+    // the migration: re-train at the new root FROM the old root's
+    // committed segments (same deterministic spread init, same corpus
+    // → same quantizer → same cells), one atomic commit at rootB
+    val heldA = Ivf.indexSnapshot(spark, rootA)
+    Ivf.saveIndexAtomic(
+      Ivf.readIndex(spark, rootA).drop("ivf_cell"),
+      "vec_id", "embedding", rootB, k = 8, iters = 2)
+    // reader repoints: results identical (derived data, deterministic
+    // training), version numbering restarts at the new root
+    assert(serve(rootB) === before)
+    assert(Ivf.indexSnapshot(spark, rootB).version === 1L)
+    // old-root teardown: a reader still HOLDING a rootA snapshot dies
+    // loudly on the swept files (retry-at-the-new-root territory) —
+    // never a silent subset
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rootA))
+    intercept[Exception](heldA.index.count())
+    // and the migrated root keeps serving
+    assert(serve(rootB) === before)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("retrainAtomic: quantizer refreshed from committed segments only — " +
       "parity with a from-scratch rebuild, recall no worse on a drifted corpus") {
     import graft.sources.AtomicCommit
