@@ -269,46 +269,99 @@ object VecFleetDemo {
     require(probeReader.reads.get() > readsBeforePromo,
       "the probe reader stalled across the promotion")
 
+    def auditAgainst(truthOf: Int => Long, label: String): Double = {
+      val (audit, wAudit) = timed {
+        DocPipeline.auditCrossShardEmbDups(spark, root, nShards,
+          sampleK = (perTenantVecs.max + 100000L).toInt)
+      }
+      val pairTruth: Map[(Long, Long), Long] = tenants.indices.map { t =>
+        val (a, b) = (tenants(t)._2, tenants((t + 1) % nShards)._2)
+        (math.min(a, b), math.max(a, b)) -> truthOf(t)
+      }.toMap
+      audit.pairs.foreach { p =>
+        require(p.exact, s"audit must be exact at this k: $p")
+        val expected = pairTruth.getOrElse((p.shardA, p.shardB), 0L)
+        require(p.estSharedDocs == expected,
+          s"$label pair (${p.shardA},${p.shardB}): ${p.estSharedDocs} != $expected")
+      }
+      wAudit
+    }
+    // AUDIT 1 (mid-fleet, readers live): promotion-aware truth —
+    // tenant t's cycle-c copies of tenant t+1's cycle c-1 vectors
+    // share a hash between shard(t) and shard(t+1) iff the copy landed
+    // in shard(t) (t != promoted or c <= promoteAfter) AND the source
+    // landed in shard(t+1) (t+1 != promoted or c-1 <= promoteAfter)
+    require(AppendStore.manifestRows(spark, frozenShard) == frozenRows,
+      "the promoted tenant's old shard grew after promotion")
+    def ringTruth(t: Int): Long = (1 until cycles).count { c =>
+      (t != promotedT || c <= promoteAfter) &&
+        ((t + 1) % nShards != promotedT || c - 1 <= promoteAfter)
+    }.toLong * crossK
+    val wAudit1 = auditAgainst(ringTruth, "promotion-aware")
+    println(f"VEC-FLEET audit 1: exact cross-shard embedding pass in " +
+      f"$wAudit1%.1f s — promotion-aware truth " +
+      f"(${tenants.indices.map(ringTruth).mkString("/")}) on the 4 ring " +
+      "pairs, 0 on the diagonals; banded storage counted once per vector")
+
+    // ── DEMOTION DAY (r18, candidate (5), vector side): the tenant
+    // comes back. ONLY its writer stops; its hash shard rebuilds from
+    // the FULL accepted vectors — INCLUDING the outlier-era accepts,
+    // which must not be lost on the way back — the table re-pins
+    // EMPTY, the writer restarts with no table. Writer 0 and the probe
+    // reader run straight through this re-pin too: demotion is as
+    // rolling as promotion. ──
+    w1.q.stop()
+    val readsBeforeDemote = probeReader.reads.get()
+    val (_, wDemote) = timed {
+      DocPipeline.rebuildEmbeddingStore(
+        acceptedVecs(promotedT, upTo = cycles - 1), frozenShard, dim,
+        bits = 6, bands = 2, atomicStore = true)
+      DocPipeline.promoteEmbeddingTenants(
+        acceptedVecs(promotedT, upTo = cycles - 1), root, "tenant",
+        Map.empty, dim, bits = 6, bands = 2, atomicStore = true)
+    }
+    promoted = false
+    w1 = startWriter(1, Seq(2, 3), bits = 6)
+    walls += runCycle(cycles, Seq(w0, w1)) // a full cycle back on the router
+    require(probeReader.reads.get() > readsBeforeDemote,
+      "the probe reader stalled across the demotion")
+    // outlier-ERA history must have come back with the tenant: exact
+    // re-sends of vectors accepted at the dedicated root during the
+    // promotion era must ALL reject on the hash path now
+    val eraProbe = rows(spark.range(990000000L, 990000000L + reK)
+      .select(col("id"), lit(tenants(promotedT)._1),
+        vecOf(lit(base(promoteAfter + 1, promotedT)) +
+          pmod(xxhash64(col("id")), lit(freshK)))))
+    w1.in.addData(eraProbe)
+    w1.q.processAllAvailable()
+    require(!w1.accepted.get().exists(id => id >= 990000000L && id < 990000000L + reK),
+      "outlier-era accepts were LOST on demotion — the rebuild must " +
+        "carry the dedicated root's history back to the hash shard")
+    println(f"VEC-FLEET demotion day after cycle ${cycles - 1}: tenant " +
+      f"${tenants(promotedT)._1} rebuilt back onto its hash shard in " +
+      f"$wDemote%.1f s (full history incl. the outlier era), table " +
+      "re-pinned empty, writer restarted; writer 0 and the probe reader " +
+      f"never paused; $reK outlier-era re-sends all rejected on the hash path")
+
     // ── close ──
     w0.q.stop(); w1.q.stop()
     done.set(true)
     probeReader.join(60000); probeReader.check()
     require(probeReader.reads.get() >= 20,
       s"probe reader only ${probeReader.reads.get()} reads — not sustained")
-    require(AppendStore.manifestRows(spark, frozenShard) == frozenRows,
-      "the promoted tenant's old shard grew after promotion")
-    // promotion-aware audit truth: tenant t's cycle-c copies of tenant
-    // t+1's cycle c-1 vectors share a hash between shard(t) and
-    // shard(t+1) iff the copy landed in shard(t) (t != promoted or
-    // c <= promoteAfter) AND the source landed in shard(t+1)
-    // (t+1 != promoted or c-1 <= promoteAfter)
-    val (audit, wAudit) = timed {
-      DocPipeline.auditCrossShardEmbDups(spark, root, nShards,
-        sampleK = (perTenantVecs.max + 100000L).toInt)
-    }
-    def ringTruth(t: Int): Long = (1 until cycles).count { c =>
-      (t != promotedT || c <= promoteAfter) &&
-        ((t + 1) % nShards != promotedT || c - 1 <= promoteAfter)
-    }.toLong * crossK
-    val pairTruth: Map[(Long, Long), Long] = tenants.indices.map { t =>
-      val (a, b) = (tenants(t)._2, tenants((t + 1) % nShards)._2)
-      (math.min(a, b), math.max(a, b)) -> ringTruth(t)
-    }.toMap
-    audit.pairs.foreach { p =>
-      require(p.exact, s"audit must be exact at this k: $p")
-      val expected = pairTruth.getOrElse((p.shardA, p.shardB), 0L)
-      require(p.estSharedDocs == expected,
-        s"pair (${p.shardA},${p.shardB}): ${p.estSharedDocs} != $expected")
-    }
+    // AUDIT 2: demotion restores the UNIFORM truth — every ring pair
+    // carries all cycles' copies (the rebuild re-homed the promoted
+    // era's copies and sources), diagonals still 0
+    val wAudit2 = auditAgainst(_ => (cycles.toLong) * crossK, "post-demotion")
     val total = perTenantVecs.sum
-    println(f"VEC-FLEET audit: exact cross-shard embedding pass over " +
-      f"$total%,d vectors in $wAudit%.1f s — promotion-aware truth " +
-      f"(${tenants.indices.map(ringTruth).mkString("/")}) on the 4 ring " +
-      "pairs, 0 on the diagonals; banded storage counted once per vector")
-    println(f"VEC-FLEET month holds: $cycles cycles x 2 scoped writers x " +
-      f"2 tenants, $total%,d vectors stored, ${probeReader.reads.get()} " +
-      "dup-probe reads through a live writer, a rebucket of the probed " +
-      "shard, and a rolling vector promotion; cycle walls " +
+    println(f"VEC-FLEET audit 2: post-demotion pass in $wAudit2%.1f s — " +
+      f"uniform truth ${cycles.toLong * crossK}%,d on every ring pair " +
+      "(the demotion rebuild re-homed the outlier era), 0 on the diagonals")
+    println(f"VEC-FLEET month holds: ${cycles + 1} cycles x 2 scoped " +
+      f"writers x 2 tenants, $total%,d vectors stored, " +
+      f"${probeReader.reads.get()} dup-probe reads through a live writer, " +
+      "a rebucket of the probed shard, a rolling vector promotion AND a " +
+      "rolling demotion; cycle walls " +
       f"${walls.map(w => f"$w%.0f").mkString("/")} s")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     spark.stop()
