@@ -2437,14 +2437,17 @@ object DocPipeline {
         try out = Some(spark.read.parquet(metaDir).collect()
           .map(r => r.getString(0) -> r.getInt(1)).toMap)
         catch {
-          case e: Throwable if attempt < 8 &&
+          // 20 × 250 ms: the promotion's sidecar overwrite is one tiny
+          // parquet job, but on a loaded box it can exceed a sub-second
+          // window — a live writer must out-wait it, not die flaky
+          case e: Throwable if attempt < 20 &&
               (e.isInstanceOf[java.io.FileNotFoundException] ||
                 (e.getMessage != null &&
                   (e.getMessage.contains("PATH_NOT_FOUND") ||
                     e.getMessage.contains("does not exist") ||
                     e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
-            Thread.sleep(100)
-          case e: Throwable if attempt >= 8 &&
+            Thread.sleep(250)
+          case e: Throwable if attempt >= 20 &&
               (e.isInstanceOf[java.io.FileNotFoundException] ||
                 (e.getMessage != null &&
                   (e.getMessage.contains("PATH_NOT_FOUND") ||
@@ -2452,7 +2455,7 @@ object DocPipeline {
                     e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
             throw new IllegalStateException(
               s"$rootPath holds shard data but its _shard_meta sidecar is " +
-                "missing or unreadable after 8 attempts — a lost sidecar " +
+                "missing or unreadable after 20 attempts — a lost sidecar " +
                 "must be restored or the layout rebuilt (re-shard from the " +
                 "accepted corpus); re-pinning this writer's current params " +
                 "over it would silently re-route keys", e)
