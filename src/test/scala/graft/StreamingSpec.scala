@@ -1674,6 +1674,40 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("tenantScope at breadth: a 10k-key scope routes and rejects " +
+      "correctly (the isin predicate converts to InSet above the " +
+      "conversion threshold, so wide fleet manifests stay cheap)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("widescope")
+    val root = tmp.resolve("store").toString
+    val scope = (0 until 10000).map(i => s"w$i")
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"s${i}w${j}p${(i * 37 + j) % 67}").mkString(" ")
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ext.DocPipeline.streamIncrementalSharded(
+      in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+      numShards = 2, minWords = 4, shardTag = "tenant",
+      tenantScope = scope) { (df, _) =>
+      accepted ++= df.select("doc_id").as[Long].collect()
+    }
+    in.addData((1L, "w17", text(1)), (2L, "w9999", text(2)), (3L, "w0", text(3)))
+    q.processAllAvailable()
+    assert(accepted.sorted.toSeq === Seq(1L, 2L, 3L))
+    // a key just outside the 10k scope still dies loudly
+    in.addData((9L, "w10000", text(9)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("tenantScope")),
+      s"got: $e")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("composite sub-tenant promotion (r18): outlierRoots keys off the " +
       "COMPOSITE key string, so one hot host of a big tenant promotes to " +
       "its own root — the two monster mitigations compose with no new code") {
