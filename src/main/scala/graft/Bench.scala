@@ -54,17 +54,26 @@ object Bench {
     // local A/B iteration only (driver never sets it): comma-separated
     // query names to bench instead of the full contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // run-order offsets (VERDICT r18 #3): each query's elapsed seconds
+    // since suite start rides the history line, so bench_medians.py can
+    // regress regime against run POSITION and self-adjudicate the
+    // letter-cluster class (a mid-run busy window inflates a
+    // time-contiguous span; without offsets that adjudication took a
+    // judge reading four same-code runs)
+    val suiteT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val off = (System.nanoTime() - suiteT0) / 1e9
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      (name, times(times.length / 2), off)
     }
+    val offsets = results.map(r => r._1 -> r._3)
     val total = results.map(_._2).sum
     // the regime can shift MID-run: sample the sentinel again after the
     // suite and record the mean of the two medians (plus load average,
@@ -74,15 +83,21 @@ object Bench {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     def line(rs: Seq[(String, Double)], fmt: Double => String,
-             note: String = ""): String = {
+             note: String = "", withOffsets: Boolean = false): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // offsets ride the FULL line only (the compact line has a char
+      // budget; the medians tool reads history, not the tail)
+      val offs = if (!withOffsets) "" else offsets
+        .map { case (k, v) => "\"" + k + "\":" + "%.1f".format(v) }
+        .mkString(""""offsets":{""", ",", "},")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""sentinel":${"%.3f".format(sentinel)},""" +
         s""""sentinel_pre":${"%.3f".format(sentPre)},""" +
         s""""sentinel_post":${"%.3f".format(sentPost)},""" +
         s""""load":${"%.2f".format(load)},""" +
         (if (note.isEmpty) "" else s""""note":"$note",""") +
+        offs +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full precision goes to files (and stdout, first): the driver's
@@ -93,7 +108,8 @@ object Bench {
     // round-over-round per-query diffs read ONE file). Only an
     // UNFILTERED run may write the artifacts — a BENCH_ONLY
     // spot-check would otherwise clobber/pollute the full medians.
-    val full = line(results, _.toString)
+    val full = line(results.map(r => r._1 -> r._2), _.toString,
+      withOffsets = true)
     if (only.isEmpty)
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -117,7 +133,7 @@ object Bench {
     def noteFor(n: Int): String =
       if (n == results.size) ""
       else s"slowest $n of ${results.size}; full dict in BENCH_HISTORY.jsonl"
-    var kept = results.sortBy(-_._2)
+    var kept = results.map(r => r._1 -> r._2).sortBy(-_._2)
     var compact = line(kept.sortBy(_._1), fmt2, noteFor(kept.size))
     while (compact.length > budget && kept.nonEmpty) {
       kept = kept.dropRight(math.max(1, kept.length / 10))

@@ -78,15 +78,9 @@ import graft.sources.{AppendStore, AtomicCommit}
   * default. */
 object FleetMonthDemo {
 
+  // the shared engine-side classifier (r19 — was a local copy)
   private def tornRead(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(14).exists {
-      case _: java.io.FileNotFoundException => true
-      case t => t.getMessage != null &&
-        (t.getMessage.contains("PATH_NOT_FOUND") ||
-          t.getMessage.contains("does not exist") ||
-          t.getMessage.contains("FILE_NOT_EXIST") ||
-          t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
-    }
+    graft.sources.TornReads.matches(e)
 
   /** A racing reader; `clean` exceptions count as bounded retries
     * (the serve reader's torn-listing contract), anything else is
@@ -367,7 +361,7 @@ object FleetMonthDemo {
     val (_, wMaint) = timed {
       victim.tenantIdx.foreach { t =>
         val sp = DocPipeline.shardPath(root, tenants(t)._2)
-        AppendStore.compact(spark, sp, keepVersions = 2) // reader grace
+        AppendStore.compact(spark, sp, readerGrace = true)
       }
     }
     writers = writers.updated(1, startWriter(1, victim.tenantIdx))

@@ -38,15 +38,9 @@ import graft.sources.AtomicCommit
   * Run: sbt "runMain graft.examples.IvfServeGraceProbe [cycles] [readers]". */
 object IvfServeGraceProbe {
 
+  // the shared engine-side classifier (r19 — was a local copy)
   private def tornRead(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(14).exists {
-      case _: java.io.FileNotFoundException => true
-      case t => t.getMessage != null &&
-        (t.getMessage.contains("PATH_NOT_FOUND") ||
-          t.getMessage.contains("does not exist") ||
-          t.getMessage.contains("FILE_NOT_EXIST") ||
-          t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
-    }
+    graft.sources.TornReads.matches(e)
 
   private final class Reader(name: String, done: AtomicBoolean)(read: () => Unit)
       extends Thread(name) {

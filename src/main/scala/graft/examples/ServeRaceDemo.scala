@@ -63,16 +63,9 @@ import graft.sources.{AppendStore, AtomicCommit}
   * Run: sbt "runMain graft.examples.ServeRaceDemo [rounds]". */
 object ServeRaceDemo {
 
+  // the shared engine-side classifier (r19 — was a local copy)
   private def tornRead(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(14).exists {
-      case _: java.io.FileNotFoundException => true
-      case t => t.getMessage != null &&
-        (t.getMessage.contains("PATH_NOT_FOUND") ||
-          t.getMessage.contains("does not exist") ||
-          t.getMessage.contains("FILE_NOT_EXIST") ||
-          // a meta sidecar mid-overwrite lists as an empty dir
-          t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
-    }
+    graft.sources.TornReads.matches(e)
 
   /** One racing reader: runs `read` until `done`, counting successful
     * reads and clean (torn-listing) retries; the first non-torn
@@ -250,7 +243,7 @@ object ServeRaceDemo {
         // supersession + pressure-cadence folds the storm collapses to
         // a tail.
         if (AtomicCommit.committedVersions(spark, sp).size >= 4)
-          AppendStore.compact(spark, sp, keepVersions = 2)
+          AppendStore.compact(spark, sp, readerGrace = true)
       }
       if (slabs < 30) slabs += 1
     }

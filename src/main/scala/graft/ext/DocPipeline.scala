@@ -1129,7 +1129,14 @@ object DocPipeline {
     * nulls), deterministically — and a null TENANT likewise degrades
     * to the bare subKey string, which could alias a tenant literally
     * named that value: reject null tenants upstream (feed hygiene),
-    * the router cannot tell them apart. */
+    * the router cannot tell them apart. The separator is ALSO
+    * injectable (ADVICE r18): a tenant or subKey value that itself
+    * contains U+0001 aliases a different pair — a tenant literally named
+    * "a&lt;U+0001&gt;b" routes identically to composite ("a","b"),
+    * and an embedded separator in a subKey aliases a deeper nesting — so U+0001 must be absent from
+    * both inputs, the same feed-hygiene contract as null tenants
+    * (control characters in tenant/host identifiers are invalid
+    * upstream anyway; the router cannot distinguish the aliases). */
   def compositeKey(tenant: Column, subKey: Column): Column =
     concat_ws("\u0001", tenant.cast("string"), subKey.cast("string"))
 
@@ -1346,6 +1353,18 @@ object DocPipeline {
     if (outlierRoots.isEmpty) 0
     else math.max(1, digest31(outlierRoots.toSeq.sorted
       .map { case (k, v) => s"$k->$v" }.mkString(";")))
+
+  /** The r17 pin value for the same table — `String.hashCode`, the
+    * weak 31-bit mix the SHA-256 digest replaced (ADVICE r18: a
+    * pre-r18 store with a non-empty table would otherwise fail the pin
+    * check on upgrade even though the writer's table is IDENTICAL, and
+    * the mismatch message would misattribute it to a dropped entry).
+    * [[ensureShardedStreamMeta]] accepts this value exactly once and
+    * re-pins with the digest; it is never written. */
+  private def legacyOutlierTableHash(outlierRoots: Map[String, String]): Int =
+    if (outlierRoots.isEmpty) 0
+    else math.max(1, outlierRoots.toSeq.sorted
+      .map { case (k, v) => s"$k->$v" }.mkString(";").hashCode & 0x7fffffff)
 
   /** 31-bit SHA-256 truncation — the pin digest for meta sidecars. */
   private def digest31(s: String): Int = {
@@ -1830,15 +1849,6 @@ object DocPipeline {
     def readMeta(): Map[String, Int] =
       spark.read.parquet(embMetaDir(storePath)).collect()
         .map(r => r.getString(0) -> r.getInt(1)).toMap
-    def tornRead(e: Throwable): Boolean =
-      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12).exists {
-        case _: java.io.FileNotFoundException => true
-        case t => t.getMessage != null &&
-          (t.getMessage.contains("PATH_NOT_FOUND") ||
-            t.getMessage.contains("does not exist") ||
-            // a meta sidecar mid-overwrite lists as an empty dir
-            t.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))
-      }
     var attempt = 0
     var lastTorn: Throwable = null
     while (attempt < maxAttempts) {
@@ -1873,7 +1883,7 @@ object DocPipeline {
         // exhaustion message below instead of propagating the raw
         // FileNotFound/inference error (VERDICT r17 #1) — the raw cause
         // rides along for forensics
-        case e: Throwable if tornRead(e) => lastTorn = e
+        case e: Throwable if graft.sources.TornReads.matches(e) => lastTorn = e
       }
     }
     throw new IllegalStateException(
@@ -2440,19 +2450,11 @@ object DocPipeline {
           // 20 × 250 ms: the promotion's sidecar overwrite is one tiny
           // parquet job, but on a loaded box it can exceed a sub-second
           // window — a live writer must out-wait it, not die flaky
+          // (torn classification via the ONE shared matcher, r19)
           case e: Throwable if attempt < 20 &&
-              (e.isInstanceOf[java.io.FileNotFoundException] ||
-                (e.getMessage != null &&
-                  (e.getMessage.contains("PATH_NOT_FOUND") ||
-                    e.getMessage.contains("does not exist") ||
-                    e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
+              graft.sources.TornReads.matches(e) =>
             Thread.sleep(250)
-          case e: Throwable if attempt >= 20 &&
-              (e.isInstanceOf[java.io.FileNotFoundException] ||
-                (e.getMessage != null &&
-                  (e.getMessage.contains("PATH_NOT_FOUND") ||
-                    e.getMessage.contains("does not exist") ||
-                    e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")))) =>
+          case e: Throwable if graft.sources.TornReads.matches(e) =>
             throw new IllegalStateException(
               s"$rootPath holds shard data but its _shard_meta sidecar is " +
                 "missing or unreadable after 20 attempts — a lost sidecar " +
@@ -2472,24 +2474,51 @@ object DocPipeline {
     val storedEntries = stored.collect {
       case (k, v) if k.startsWith("out:") => k.stripPrefix("out:") -> v }
     val mine = outlierRoots.map { case (k, r) => k -> math.max(1, digest31(r)) }
-    if (tenantScope.isEmpty)
-      require(stored.getOrElse("outlierHash", 0) == outlierTableHash(outlierRoots),
-        s"store $rootPath pins a different outlier routing table " +
-          s"(stored hash ${stored.getOrElse("outlierHash", 0)}, this run " +
-          s"${outlierTableHash(outlierRoots)}) — a dropped or redirected " +
-          s"entry would hash its tenant back into a shard that never saw " +
-          s"its post-promotion history; amend the table with " +
-          s"promoteTenants and restart with it, or $fix")
-    else if (storedEntries.isEmpty && stored.getOrElse("outlierHash", 0) != 0)
+    // r18 pin-hash migration (ADVICE r18): a pre-r18 sidecar pinned the
+    // table under the weak String.hashCode mix. An IDENTICAL table must
+    // not die on upgrade — accept the legacy value exactly once and
+    // re-pin with the SHA-256 digest plus the r18 per-entry rows
+    // (enabling scoped checks from then on). The overwrite is
+    // idempotent (any racing upgrader writes the same bytes) and live
+    // readers crossing it retry through the torn-listing window above.
+    def migrateLegacyPin(): Unit =
+      writeStoreMeta(spark, metaDir,
+        stored.view.filterKeys(k => k != "outlierHash" && !k.startsWith("out:"))
+          .toSeq.sortBy(_._1) ++ outlierMetaRows(outlierRoots))
+    if (tenantScope.isEmpty) {
+      val storedHash = stored.getOrElse("outlierHash", 0)
+      if (storedHash != outlierTableHash(outlierRoots)) {
+        require(outlierRoots.nonEmpty &&
+            storedHash == legacyOutlierTableHash(outlierRoots),
+          s"store $rootPath pins a different outlier routing table " +
+            s"(stored hash $storedHash, this run " +
+            s"${outlierTableHash(outlierRoots)}; the r18 pin-hash " +
+            s"migration does not explain it — the r17 value for this " +
+            s"table would be ${legacyOutlierTableHash(outlierRoots)}) — " +
+            s"a dropped or redirected entry would hash its tenant back " +
+            s"into a shard that never saw its post-promotion history; " +
+            s"amend the table with promoteTenants and restart with it, " +
+            s"or $fix")
+        migrateLegacyPin()
+      }
+    } else if (storedEntries.isEmpty && stored.getOrElse("outlierHash", 0) != 0) {
       // a pre-r18 pin: global hash only, no per-entry rows — the scoped
       // comparison has nothing to compare against, so hold the strict
-      // global contract until a promoteTenants re-pin writes the rows
-      require(stored("outlierHash") == outlierTableHash(outlierRoots),
-        s"store $rootPath carries a legacy global-only outlier pin that " +
-          s"does not match this writer's table — re-pin with " +
-          s"promoteTenants (which writes per-entry rows and enables the " +
-          s"scoped check) or restart with the pinned table; $fix")
-    else tenantScope.foreach { t =>
+      // global contract (the writer's slice must BE the whole table)
+      // until a re-pin writes the rows; a legacy-hash match migrates
+      // here too (slice == table is proven by the match itself)
+      val storedHash = stored("outlierHash")
+      if (storedHash != outlierTableHash(outlierRoots)) {
+        require(storedHash == legacyOutlierTableHash(outlierRoots),
+          s"store $rootPath carries a legacy global-only outlier pin that " +
+            s"does not match this writer's table (stored $storedHash; " +
+            s"the r18 pin-hash migration does not explain it) — re-pin " +
+            s"with promoteTenants (which writes per-entry rows and " +
+            s"enables the scoped check) or restart with the pinned " +
+            s"table; $fix")
+        migrateLegacyPin()
+      }
+    } else tenantScope.foreach { t =>
       require(storedEntries.get(t) == mine.get(t),
         s"outlier routing for tenant '$t' drifted: store pins " +
           s"${storedEntries.get(t)}, this writer carries ${mine.get(t)} — " +

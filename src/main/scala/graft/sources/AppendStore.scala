@@ -181,35 +181,45 @@ object AppendStore {
     * output ([[append]]'s discipline; lower it for wide rows —
     * embedding stores — where 512k rows overshoot a sane file size).
     *
-    * `keepVersions` is READER GRACE (r17 — the ServeRace rehearsal
-    * measured a 26-retry-storm against 14 successful reads under
-    * continuous keep=1 folds): with 1, the fold sweeps every pre-fold
-    * version immediately, so any read that resolved the old manifest
-    * mid-fold dies on missing files (cleanly — it retries — but at
-    * compaction cadence that is a retry storm, not a tail). Serving
-    * deployments pass >= 2: the fold commits with a `folds:`
-    * supersession line, so NEW reads resolve only the fold (no double
-    * counting, [[liveVersions]]) while EVERY version that was live just
-    * before this fold keeps its files one more cycle for reads already
-    * in flight; the next compact sweeps them. Retention is by
+    * `readerGrace` (r17, retyped r19 — the knob was an Int named
+    * `keepVersions` that READ like a retention depth but plateaued at
+    * its >= 2 behavior: every value bought the same one-generation
+    * grace, so `keepVersions = 4` silently did NOT deepen anything for
+    * multi-cycle readers; a Boolean makes the real contract visible at
+    * every call site, and the retype is deliberately source-breaking
+    * so no caller keeps a false belief) selects between two behaviors,
+    * both measured by the ServeRace rehearsal (a 26-retry-storm
+    * against 14 successful reads under continuous no-grace folds):
+    * with `false`, the fold sweeps every pre-fold version immediately,
+    * so any read that resolved the old manifest mid-fold dies on
+    * missing files (cleanly — it retries — but at compaction cadence
+    * that is a retry storm, not a tail). Serving deployments pass
+    * `true`: the fold commits with a `folds:` supersession line, so
+    * NEW reads resolve only the fold (no double counting,
+    * [[liveVersions]]) while EVERY version that was live just before
+    * this fold keeps its files one more cycle for reads already in
+    * flight; the next compact sweeps them. Retention is by
     * SUPERSESSION BOUNDARY, not a fixed count (ADVICE r17: a fixed
     * vacuum floor of 2 retained only the newest pre-fold append and
     * swept the previous fold — the version holding nearly all the
     * data — so any in-flight reader of the pre-fold manifest still
     * died). Store footprint stays bounded at ~2x content: the grace
-    * set is one superseded generation. */
+    * set is one superseded generation. Readers slower than ONE
+    * compaction cadence are out of contract either way — slow the
+    * compaction cadence, not the sweep (retention depth cannot be
+    * bought here: [[readOr]] unions ALL live versions, so deeper
+    * retention without supersession bookkeeping would double-count). */
   def compact(spark: SparkSession, root: String,
               fenceEpoch: Option[Long] = None,
               rowsPerFile: Long = 512L * 1024,
-              keepVersions: Int = 1): Option[Long] = {
-    require(keepVersions >= 1, s"keepVersions=$keepVersions must be >= 1")
+              readerGrace: Boolean = false): Option[Long] = {
     val committed = AtomicCommit.committedVersions(spark, root)
     val live = liveVersions(spark, root)
     if (live.size < 2) {
       // nothing to fold, but grace-retained stragglers from a previous
       // fold may be due their sweep — retain the LIVE versions only
-      // (ADVICE r17: sweeping with the caller's grace knob was a no-op
-      // at the keepVersions that created the straggler, so an idle
+      // (ADVICE r17: sweeping with the caller's grace setting was a
+      // no-op at the depth that created the straggler, so an idle
       // store never aged it out)
       if (committed.size > live.size)
         AtomicCommit.vacuum(spark, root, keepVersions = math.max(1, live.size))
@@ -221,12 +231,12 @@ object AppendStore {
     // already-superseded stragglers retained for reader grace
     val v = append(all, root, fenceEpoch, rowsPerFile,
       manifestLines = Seq(AtomicCommit.encodeFoldsLine(committed.max)))
-    // grace >= 2 retains the whole just-superseded live set (they are a
+    // grace retains the whole just-superseded live set (they are a
     // suffix of the committed order, the fold being newest), so a
     // reader that resolved ANY pre-fold manifest finishes against real
     // files; older stragglers had their cycle and age out here
     AtomicCommit.vacuum(spark, root,
-      keepVersions = if (keepVersions <= 1) 1 else live.size + 1)
+      keepVersions = if (readerGrace) live.size + 1 else 1)
     v
   }
 }

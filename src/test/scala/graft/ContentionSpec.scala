@@ -70,21 +70,13 @@ class ContentionSpec extends SparkTestBase {
           successes += 1
         } catch {
           case e: Throwable =>
-            val s = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-              .take(16).map(_.toString).mkString(" | ")
-            // every benign class is "the files this read resolved were
-            // vacuumed before it finished" at a different stage: listing
-            // (PATH_NOT_FOUND), task read (FAILED_READ_FILE /
-            // FileNotFound), or PLAN-time schema inference — a dir whose
-            // files vanished between the commit-list resolution and
-            // spark.read's footer probe fails with "Unable to infer
-            // schema", the rarest window (one-off full-suite flake, r15)
-            val benign = s.contains("FileNotFound") ||
-              s.contains("PATH_NOT_FOUND") || s.contains("does not exist") ||
-              s.contains("FAILED_READ_FILE") ||
-              s.contains("Unable to infer schema") ||
-              s.contains("UNABLE_TO_INFER_SCHEMA")
-            if (!benign) anomalies.add(s"unexpected failure: $s")
+            // benign = torn read, classified by the ONE shared engine
+            // matcher (r19 — was an inline copy of the signature list)
+            if (!graft.sources.TornReads.matches(e)) {
+              val s = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+                .take(16).map(_.toString).mkString(" | ")
+              anomalies.add(s"unexpected failure: $s")
+            }
         }
       }
     })

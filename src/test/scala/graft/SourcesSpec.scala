@@ -278,7 +278,7 @@ class SourcesSpec extends SparkTestBase {
     assert(AppendStore.manifestRows(spark, plain) === None)
   }
 
-  test("AppendStore.compact reader grace: keepVersions=2 supersedes old " +
+  test("AppendStore.compact reader grace: readerGrace=true supersedes old " +
       "versions (no double counting) while their files survive one cycle") {
     import graft.sources.{AppendStore, AtomicCommit}
     val root = java.nio.file.Files.createTempDirectory("agrace").resolve("s").toString
@@ -289,7 +289,7 @@ class SourcesSpec extends SparkTestBase {
     // retention, ADVICE r17 — a fixed floor of 2 would sweep v1, and
     // v1 is where most of an in-flight reader's data lives after real
     // fold cadences: it is the previous fold)
-    AppendStore.compact(spark, root, keepVersions = 2)
+    AppendStore.compact(spark, root, readerGrace = true)
     val committed = AtomicCommit.committedVersions(spark, root)
     assert(committed === Seq(1L, 2L, 3L), committed.toString)
     assert(AppendStore.liveVersions(spark, root) === Seq(3L))
@@ -304,7 +304,7 @@ class SourcesSpec extends SparkTestBase {
     // just-superseded live set [v3,v4]; the PREVIOUS generation's grace
     // stragglers v1/v2 age out now
     AppendStore.append(docs.limit(4), root)
-    AppendStore.compact(spark, root, keepVersions = 2)
+    AppendStore.compact(spark, root, readerGrace = true)
     assert(AppendStore.liveVersions(spark, root) === Seq(5L))
     assert(AtomicCommit.committedVersions(spark, root) === Seq(3L, 4L, 5L))
     assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 9L)
@@ -318,9 +318,9 @@ class SourcesSpec extends SparkTestBase {
     // r17 case: a reader that resolved [v3,v4] pre-fold needs v3
     assert(spark.read.parquet(AtomicCommit.versionDir(root, 3L)).count() === 5L)
     // a compact with nothing to fold sweeps due stragglers even at the
-    // grace knob that retained them (low ADVICE r17: the sweep used the
-    // caller's keepVersions and was a no-op on an idle store)
-    AppendStore.compact(spark, root, keepVersions = 2)
+    // grace setting that retained them (low ADVICE r17: the sweep used
+    // the caller's retention depth and was a no-op on an idle store)
+    AppendStore.compact(spark, root, readerGrace = true)
     assert(AtomicCommit.committedVersions(spark, root) === Seq(5L))
     assert(AppendStore.readOr(spark, root, docs.limit(0)).count() === 9L)
   }

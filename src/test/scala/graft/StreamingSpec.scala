@@ -1791,6 +1791,78 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("r18 outlier pin-hash migration: a pre-r18 sidecar pinning the " +
+      "IDENTICAL table under String.hashCode is accepted once and " +
+      "re-pinned with the digest + per-entry rows; real drift still dies") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"lm${i}w${j}p${(i * 37 + j) % 79}").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("legacypin")
+    val root = tmp.resolve("store").toString
+    val monsterRoot = tmp.resolve("monster").toString
+    val corpus = (0 until 8).map(i => (i.toLong, s"t${i % 2}", text(i)))
+      .toDF("doc_id", "tenant", "text")
+    graft.ext.DocPipeline.reshardSignatureStores(corpus, root, col("tenant"),
+      numShards = 2, shardTag = "tenant")
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> monsterRoot))
+    // rewrite the sidecar to the PRE-r18 form: same table, pinned under
+    // the r17 String.hashCode mix, no per-entry rows
+    val metaDir = root.stripSuffix("/") + "_shard_meta"
+    val legacyHash = math.max(1,
+      s"$kA->$monsterRoot".hashCode & 0x7fffffff)
+    val pre = spark.read.parquet(metaDir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pre.get("outlierHash").exists(_ != legacyHash),
+      "test precondition: digest and legacy hash must differ")
+    (pre.view.filterKeys(k => k != "outlierHash" && !k.startsWith("out:"))
+      .toSeq :+ ("outlierHash" -> legacyHash))
+      .toDF("param", "value").coalesce(1)
+      .write.mode("overwrite").parquet(metaDir)
+    // an upgraded writer with the IDENTICAL table runs green and the
+    // sidecar self-migrates: digest pin + out: rows from the first batch
+    def start(outliers: Map[String, String]) = {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val q = graft.ext.DocPipeline.streamIncrementalSharded(
+        in.toDF().toDF("doc_id", "tenant", "text"), root, col("tenant"),
+        numShards = 2, minWords = 4, shardTag = "tenant",
+        outlierRoots = outliers) { (_, _) => () }
+      (in, q)
+    }
+    val (in1, q1) = start(Map(kA -> monsterRoot))
+    in1.addData((100L, kA, text(100)))
+    q1.processAllAvailable(); q1.stop()
+    val post = spark.read.parquet(metaDir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(post("outlierHash") === pre("outlierHash"),
+      "migration must re-pin the digest value")
+    assert(post.contains(s"out:$kA"),
+      s"migration must write the r18 per-entry rows; got ${post.keySet}")
+    // a DIFFERENT table over a legacy pin is still drift — loud, and the
+    // message names the migration it ruled out
+    (pre.view.filterKeys(k => k != "outlierHash" && !k.startsWith("out:"))
+      .toSeq :+ ("outlierHash" -> legacyHash))
+      .toDF("param", "value").coalesce(1)
+      .write.mode("overwrite").parquet(metaDir)
+    val (in2, q2) = start(Map(kA -> tmp.resolve("elsewhere").toString))
+    in2.addData((101L, kA, text(101)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("pin-hash migration does not explain it")),
+      s"got: $e")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("vector-family outlier roots + scoped rolling promotion (r18): a " +
       "monster tenant's embedding store promotes to its own root under a " +
       "LIVE scoped writer; history carries; drift dies loudly") {

@@ -21,6 +21,14 @@ trivial-scan sentinel + load average per history line adjudicate that
 class. Raw-flagged-but-regime-explained queries print separately (the
 recurring "quiet-box letter" class, closed).
 
+r19 (VERDICT r18 #3): runs whose history line carries per-query
+run-order "offsets" (Bench emits them since r19) get a THIRD
+normalization — a +-45 s run-position window regime — which localizes
+mid-run busy windows directly instead of inferring them from
+alphabetical adjacency, and the detected spans are printed so the
+letter-cluster class self-adjudicates (the r18 driver line's 9 s-t
+flags needed a judge with four same-code runs for exactly this).
+
 Usage: python3 tools/bench_medians.py [history.jsonl] [threshold]
        python3 tools/bench_medians.py --table [N] [history.jsonl]
   history.jsonl  default BENCH_HISTORY.jsonl
@@ -84,6 +92,33 @@ def main(path="BENCH_HISTORY.jsonl", threshold=1.81):
     for i, q in enumerate(order):
         lo, hi = max(0, i - 12), min(len(order), i + 13)
         local_reg[q] = statistics.median(rel_latest[w] for w in order[lo:hi])
+    # RUN-ORDER window regime (r19, VERDICT r18 #3): runs that recorded
+    # per-query elapsed offsets (Bench emits "offsets" since r19) get a
+    # third normalization computed against run POSITION, not alphabet: a
+    # query's window regime is the median relative speed of every query
+    # whose measurement STARTED within +-45 s of its own. A mid-run busy
+    # window inflates a time-contiguous span — exactly the class the r18
+    # driver line needed a judge for (its 9 flags were the s-t cluster,
+    # all at median in four same-code runs) — and divides out here; a
+    # genuine single-query regression barely moves a 45-s window median.
+    offsets = runs[-1].get("offsets") or {}
+    window_reg, windows = {}, []
+    if offsets:
+        timed = sorted((offsets[q], q) for q in order if q in offsets)
+        for t, q in timed:
+            near = [rel_latest[w] for (tw, w) in timed if abs(tw - t) <= 45]
+            if len(near) >= 5:
+                window_reg[q] = statistics.median(near)
+        # surface the detected busy spans so the adjudication is
+        # self-explaining (contiguous offsets whose window regime > 1.3)
+        span = None
+        for t, q in timed:
+            if window_reg.get(q, 1.0) > 1.3:
+                span = [t, t] if span is None else [span[0], t]
+            elif span is not None:
+                windows.append(tuple(span)); span = None
+        if span is not None:
+            windows.append(tuple(span))
     rows = []
     for q, secs in sorted(hist.items()):
         med = statistics.median(secs)
@@ -92,7 +127,8 @@ def main(path="BENCH_HISTORY.jsonl", threshold=1.81):
         if ratio is None:
             norm = None
         else:
-            norm = ratio / max(reg_latest, local_reg.get(q, 1.0))
+            norm = ratio / max(reg_latest, local_reg.get(q, 1.0),
+                               window_reg.get(q, 1.0))
         rows.append((q, med, cur, ratio, len(secs), norm))
     totals = [r["value"] for r in runs if r.get("metric") == "total"]
     sent = runs[-1].get("sentinel")
@@ -106,6 +142,13 @@ def main(path="BENCH_HISTORY.jsonl", threshold=1.81):
           f"latest {totals[-1]:.2f} s; latest regime {reg_latest:.2f}x"
           f"{extra}; flag threshold {threshold}x over median "
           f"(regime-normalized)")
+    if offsets and windows:
+        spans = ", ".join(f"~[{a:.0f}-{b:.0f}] s" for a, b in windows)
+        print(f"busy run-order window(s) detected (window regime > 1.3x, "
+              f"adjudicated as REGIME not regression): {spans}")
+    elif not offsets:
+        print("latest run carries no run-order offsets (pre-r19 line) — "
+              "window adjudication unavailable, alphabetical rolling only")
     flagged = [r for r in rows if r[5] is not None and r[5] > threshold]
     raw_only = [r for r in rows
                 if r[3] is not None and r[3] > threshold and r[5] <= threshold]
