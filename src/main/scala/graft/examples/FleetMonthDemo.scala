@@ -9,73 +9,71 @@ import graft.core.Checkpoints.CutOps
 import graft.ext.{DocPipeline, Eval, Ivf}
 import graft.sources.{AppendStore, AtomicCommit}
 
-/** THE FULL OPERATIONAL SUPERPOSITION (r17: VERDICT r16 #7's fleet;
-  * r18: VERDICT r17 #1/#4/#6 — ANN serve, a rolling promotion, and a
-  * reshard-canary day all INSIDE the same run): a 10M-class sharded
-  * ops month where FOUR concurrent streaming writers (disjoint tenant
-  * sets, one shared root), THREE sustained reader threads, rolling
-  * per-shard maintenance, a mid-fleet monster-tenant promotion, a
-  * side-by-side reshard racing live writer load, and a full IVF index
-  * lifecycle all run AT THE SAME TIME — per-cycle invariants asserted
-  * for every tenant, end-of-month audits exact.
+/** THE FULL OPERATIONAL SUPERPOSITION (r17: the fleet; r18: ANN serve,
+  * rolling promotion, reshard-canary and migration-completion days;
+  * r19: a COMPOSITE-KEYED monster tenant lives INSIDE the fleet with
+  * its sub-shards as first-class shards, its hot sub-tenant promotes
+  * mid-fleet, the r18 monster tenant explicitly DEMOTES back to the
+  * hash layout mid-fleet, and the IVF serve reader REPOINTS to a
+  * side-by-side migrated index root under load): a 10M-class sharded
+  * ops month where four concurrent scoped streaming writers, three
+  * sustained reader threads, rolling maintenance, two overlapping
+  * rolling promotions, an explicit rolling demotion, an ANN index
+  * migration + serve repoint, a side-by-side reshard racing live
+  * writer load, and a full IVF lifecycle all run AT THE SAME TIME.
   *
-  *   - 8 tenants → 8 shards of ONE root (tenant-affine routing); the
-  *     root is BOOTSTRAPPED with `reshardSignatureStores` (500k
-  *     docs/tenant — `_shard_meta` finalized BEFORE any stream);
+  *   - 8 ring tenants; tenant 6 is COMPOSITE
+  *     ([[DocPipeline.compositeKey]](tenant, host), 3 crawl hosts), so
+  *     the fleet root has 10 first-class shards = 7 plain tenants + 3
+  *     sub-shards, all routed by ONE pinned key expression;
   *   - 4 concurrent `streamIncrementalSharded` writers, 2 tenants
-  *     each, atomic stores, ALL SCOPED (r18 `tenantScope`): each
-  *     writer declares its tenants and checks only its slice of the
-  *     outlier table pins — the mechanism that makes the promotion
-  *     day below a stop-one-writer operation;
+  *     each, atomic stores, ALL SCOPED in route-key space (the
+  *     composite writer's scope is its three composite strings);
   *   - per cycle and per tenant: 90k fresh (ALL accepted), 10k exact
-  *     re-crawls of the boot corpus (ALL rejected), 2k CROSS-STREAM
-  *     copies from the ring-adjacent tenant's previous cycle (ALL
-  *     accepted — shards are independent dedup domains across writer
-  *     PROCESSES);
-  *   - readers run through everything: a dedup-probe reader against a
-  *     LIVE writer's shard, an advise reader (manifest-priced totals
-  *     never decrease), and — r18 — an IVF ANN SERVE reader
-  *     ([[Ivf.indexSnapshot]] + [[Ivf.topKJoinBudget]], the ServeRace
-  *     phase-1 contract: every read a complete committed snapshot
-  *     clearing a fixed recall floor) racing the in-fleet IVF
-  *     lifecycle: per-cycle anti-aligned appends + GDPR deletes, a
-  *     compact every other cycle, `vacuum(keepVersions = 2)` (the
-  *     IvfServeGraceProbe-measured serving cadence: keep=1 tore 9.1%
-  *     of reads at load, keep=2 none), and a mid-month retrain;
-  *   - ROLLING MAINTENANCE after cycle 4: one writer stopped, its two
-  *     shards grace-compacted, writer restarted — the other three
-  *     writers and all readers NEVER pause;
-  *   - PROMOTION DAY after cycle 5 (r18): tenant 4 outgrows the
-  *     router; ONLY its writer stops, `promoteTenants` rebuilds the
-  *     tenant's dedicated store from the regenerated accepted corpus
-  *     and re-pins its `out:` entry, the writer restarts on its new
-  *     slice — the other three writers and all readers run straight
-  *     through the re-pin (scoped checks: nothing in THEIR slice
-  *     moved). After it: the tenant's old hash shard is FROZEN
-  *     (manifest rows constant to month end), its boot re-crawls
-  *     still reject (history carried), its fresh routes at shard=-1;
-  *   - RESHARD-CANARY DAY overlapping the LAST cycle (r18): a
-  *     side-by-side 16-shard root is rebuilt from the regenerated
-  *     corpus WHILE the four writers drain their final batches, then
-  *     the dedup-probe READER repoints to it mid-stream — the
-  *     read-replica canary step of a side-by-side migration (writers
-  *     repoint at their next maintenance window); the reader's
-  *     accept/reject contract must hold on both roots;
-  *   - end of month: per-store rows == that tenant's accepted docs
-  *     (manifest-priced each cycle, distinct-counted at close); the
-  *     cross-shard audit at exact k recovers the PROMOTION-AWARE
-  *     planted truth (the promoted tenant's post-promotion copies
-  *     live in its dedicated root, so its two ring pairs freeze at
-  *     the promotion cycle); IVF deletes never resurface.
+  *     boot re-crawls (ALL rejected — the composite tenant's re-crawls
+  *     co-route because host derives from the content seed), ~2k
+  *     cross-stream ring copies (ALL accepted — independent dedup
+  *     domains); the composite tenant ALSO plants 600 cross-HOST
+  *     mirrors of its own previous cycle (ALL accepted — the measured
+  *     composite-key recall trade, recovered by the close audit);
+  *   - days, all rolling (only the named writer stops, every reader
+  *     races through): maintenance after c4 (writer 1's shards
+  *     grace-compacted); tenant-4 PROMOTION after c5 (writer 2);
+  *     HOT-SUB-TENANT promotion after c6 (writer 3 — the composite
+  *     host h0 outgrows its sub-shard; the amended table still pins
+  *     tenant 4, whose entry is UNCHANGED, so promoteTenants' r19
+  *     amend semantics leave its live store untouched while writer 2
+  *     runs); tenant-4 DEMOTION after c7 (writer 2 — hash shard
+  *     rebuilt from the FULL corpus including the outlier era, table
+  *     re-pinned without it while writer 3's promoted host entry rides
+  *     through unchanged; outlier-era re-sends then REJECT on the hash
+  *     path); IVF SERVE REPOINT after c8 (a side-by-side index root is
+  *     rebuilt from committed segments and the live serve reader flips
+  *     to it between snapshots — 0 torn reads, floor held, old root
+  *     torn down after);
+  *   - RESHARD-CANARY DAY overlapping the last cycle: a 20-shard root
+  *     rebuilds from the regenerated corpus (re-homing the promoted
+  *     host — demotion by rebuild) while the writers drain, the dedup
+  *     reader repoints; MIGRATION-COMPLETION DAY: catch-up delta,
+  *     writer seats re-partitioned to the new route map (grouping
+  *     tenants that share a 20-shard: the composite tenant's three
+  *     keys can co-locate with anyone), one full cycle on the new root
+  *     with route-map-aware cross/mirror accept/reject asserts;
+  *   - end of month: per-store rows manifest-priced every cycle
+  *     (per SUB-shard for the composite tenant), distinct-counted at
+  *     close; the cross-shard audit at exact k recovers the
+  *     SUB-TENANT-AWARE planted truth — a per-pair count map
+  *     accumulated as the month runs from where each planted copy and
+  *     its original land AT CLOSE (promotion freezes the hot host's
+  *     thirds; demotion restores tenant 4's pairs to uniform);
+  *     IVF deletes never resurface across the index migration.
   *
   * Run: sbt "runMain graft.examples.FleetMonthDemo [cycles] [freshK]".
-  * Defaults (8 cycles, 90k fresh) process ~10.4M docs and persist
-  * ~9.8M signatures — set SPARK_DRIVER_MEM=48g for the full-scale
-  * defaults: the MemoryStream test feed retains the whole month's
-  * batches in the single demo JVM while the canary reshard overlaps
-  * the final drain (a real deployment feeds from files/Kafka and
-  * never holds this); the freshK=9000 smoke twin fits the 8g
-  * default. */
+  * Defaults (10 cycles, 90k fresh) process ~11M docs — set
+  * SPARK_DRIVER_MEM=48g for full scale (the MemoryStream test feed
+  * retains the whole month's batches in the single demo JVM; a real
+  * deployment feeds from files/Kafka and never holds this); the
+  * freshK=9000 smoke twin fits the 8g default. */
 object FleetMonthDemo {
 
   // the shared engine-side classifier (r19 — was a local copy)
@@ -103,13 +101,21 @@ object FleetMonthDemo {
   }
 
   def main(args: Array[String]): Unit = {
-    val cycles = args.headOption.map(_.toInt).getOrElse(8)
+    val cycles = args.headOption.map(_.toInt).getOrElse(10)
     val freshK = args.lift(1).map(_.toLong).getOrElse(90000L)
-    require(cycles >= 8, "the superposition needs >= 8 cycles for its days")
-    val nShards = 8; val nStreams = 4
-    val bootN = 500000L; val reK = 10000L; val crossK = 2000L
-    val promoteAfter = 5 // promotion lands between cycle 5 and 6
-    val promotedT = 4    // tenant index; writer 2 owns tenants 4,5
+    require(cycles >= 10, "the superposition needs >= 10 cycles for its days")
+    require(freshK % 3 == 0, "freshK must split exactly across 3 hosts")
+    val nTenants = 8; val nStreams = 4
+    val compT = 6          // the composite tenant; writer 3 owns 6,7
+    val nHosts = 3
+    val nShards = 10       // 7 plain tenants + 3 composite sub-shards
+    val bootN = 499998L    // divisible by 3: exact per-host boot thirds
+    val reK = 10000L; val crossK = 1998L; val mirrorK = 600L
+    val promoteAfter = 5   // tenant-4 promotion between c5 and c6 (writer 2)
+    val promotedT = 4
+    val hotPromoteAfter = 6 // composite host h0 promotion between c6/c7 (writer 3)
+    val demoteAfter = 7    // tenant-4 demotion between c7 and c8 (writer 2)
+    val repointAfter = 8   // IVF serve repoint between c8/c9 (no writer stops)
     val spark = SparkSession.builder()
       .appName("fleet-month-demo")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -123,58 +129,122 @@ object FleetMonthDemo {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // 8 tenants, one per shard (probe key space until all shards hit)
-    val route = (0 until 256).map(i => s"ten$i").toDF("k")
-      .select(col("k"), DocPipeline.shardOf(col("k"), nShards).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val tenants: Seq[(String, Long)] =
-      route.groupBy(_._2).map(_._2.head).toSeq.sortBy(_._2)
-    require(tenants.size == nShards)
+    // ── route-key space: probe names until 7 plain tenants + 3
+    // composite strings cover the 10 shards bijectively (per-key
+    // stores make every manifest/audit assert exact) ──
+    val sep = 1.toChar.toString // compositeKey's U+0001 separator
+    def shardMapOf(keys: Seq[String]): Map[String, Long] =
+      keys.toDF("k").select(col("k"), DocPipeline.shardOf(col("k"), nShards).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tenCands = (0 until 512).map(i => s"ten$i")
+    val hostCands = (0 until 512).map(i => s"h$i")
+    val tenShard = shardMapOf(tenCands)
+    val (compName, hosts, plainPicks) = tenCands.iterator.flatMap { cand =>
+      val compShard = shardMapOf(hostCands.map(h => s"$cand$sep$h"))
+      val byShard = hostCands.groupBy(h => compShard(s"$cand$sep$h"))
+      if (byShard.size < nHosts) None
+      else {
+        val hostShards = byShard.keys.toSeq.sorted.take(nHosts)
+        val hs = hostShards.map(s => byShard(s).minBy(_.drop(1).toInt))
+        val remaining = ((0L until nShards.toLong).toSet -- hostShards).toSeq.sorted
+        val plainByShard = tenCands.filter(_ != cand).groupBy(tenShard)
+        if (remaining.forall(plainByShard.contains))
+          Some((cand, hs.toIndexedSeq,
+            remaining.map(s => plainByShard(s).minBy(_.drop(3).toInt))))
+        else None
+      }
+    }.next()
+    // tenant index -> name: compT gets the composite name, the 7 plain
+    // names fill the other indices in shard order
+    val tenants: IndexedSeq[String] = {
+      val plainIdx = (0 until nTenants).filter(_ != compT)
+      plainIdx.zip(plainPicks).foldLeft(IndexedSeq.fill(nTenants)("")) {
+        case (acc, (i, name)) => acc.updated(i, name)
+      }.updated(compT, compName)
+    }
+    def ck(h: Int): String = s"${tenants(compT)}$sep${hosts(h)}"
+    def keysOfT(t: Int): Seq[String] =
+      if (t == compT) (0 until nHosts).map(ck) else Seq(tenants(t))
+    val allKeys = (0 until nTenants).flatMap(keysOfT)
+    val keyShard: Map[String, Long] = shardMapOf(allKeys)
+    require(keyShard.values.toSet.size == nShards, s"route map not bijective: $keyShard")
+    val routeKey = when(col("tenant") === lit(tenants(compT)),
+      DocPipeline.compositeKey(col("tenant"), col("host")))
+      .otherwise(col("tenant"))
+    val keyTag = "fleet-tenant-host-composite"
 
     def docText(cid: org.apache.spark.sql.Column) = array_join(
       transform(sequence(lit(1), lit(40)), w =>
         concat(lit("u"), xxhash64(cid, w).cast("string"))), " ")
     def bootBase(t: Int) = 900000000L + t * 1000000L
-    def base(c: Int, t: Int) = (c.toLong * nShards + t) * 10000000L
+    def base(c: Int, t: Int) = (c.toLong * nTenants + t) * 10000000L
 
     val tmp = java.nio.file.Files.createTempDirectory("fleetmonth")
     val root = tmp.resolve("store").toString
 
+    // host is a pure function of the CONTENT seed (a crawl host is an
+    // attribute of the document, not of the crawl event), so re-crawls
+    // co-route with their originals — the within-host dedup contract
+    val hostArr = array(hosts.map(lit): _*)
+    def hostOf(seed: org.apache.spark.sql.Column, t: Int) =
+      if (t == compT) element_at(hostArr, (pmod(seed, lit(3L)) + 1).cast("int"))
+      else lit("-")
+
     // deterministic regeneration of any tenant's accepted corpus — the
-    // promotion rebuild and the reshard canary both replay it (the
-    // rebuildSignatureStore contract: the accepted corpus is the
-    // source of truth; here it is a pure function of the plan)
+    // promotions, the demotion rebuild, and the reshard canary all
+    // replay it (the rebuildSignatureStore contract: the accepted
+    // corpus is the source of truth; here it is a pure function of the
+    // plan). Mirror seeds use the TAIL of the previous cycle's fresh
+    // range so mirror texts and ring-copy texts never overlap (each
+    // planted duplicate contributes to exactly one audit pair class).
     def bootFrame(t: Int) = spark.range(bootN)
+      .withColumn("_seed", lit(bootBase(t)) + col("id"))
       .select((col("id") + 950000000L + t * bootN).as("doc_id"),
-        lit(tenants(t)._1).as("tenant"),
-        docText(lit(bootBase(t)) + col("id")).as("text"))
+        lit(tenants(t)).as("tenant"), hostOf(col("_seed"), t).as("host"),
+        docText(col("_seed")).as("text"))
     def freshFrame(c: Int, t: Int) = spark.range(base(c, t), base(c, t) + freshK)
-      .select(col("id").as("doc_id"), lit(tenants(t)._1).as("tenant"),
-        docText(col("id")).as("text"))
+      .select(col("id").as("doc_id"), lit(tenants(t)).as("tenant"),
+        hostOf(col("id"), t).as("host"), docText(col("id")).as("text"))
     def crossFrame(c: Int, t: Int) = {
-      val src0 = base(c - 1, (t + 1) % nShards)
+      val src0 = base(c - 1, (t + 1) % nTenants)
       spark.range(base(c, t) + 7000000L, base(c, t) + 7000000L + crossK)
-        .select(col("id").as("doc_id"), lit(tenants(t)._1).as("tenant"),
-          docText(lit(src0) + pmod(col("id"), lit(crossK))).as("text"))
+        .withColumn("_seed", lit(src0) + pmod(col("id"), lit(crossK)))
+        .select(col("id").as("doc_id"), lit(tenants(t)).as("tenant"),
+          hostOf(col("_seed"), t).as("host"), docText(col("_seed")).as("text"))
+    }
+    def mirrorFrame(c: Int) = { // compT only: cross-HOST mirrors
+      val src0 = base(c - 1, compT) + freshK - mirrorK // tail of prev fresh
+      spark.range(base(c, compT) + 8000000L, base(c, compT) + 8000000L + mirrorK)
+        .withColumn("_seed", lit(src0) + pmod(col("id"), lit(mirrorK)))
+        .select(col("id").as("doc_id"), lit(tenants(compT)).as("tenant"),
+          element_at(hostArr,
+            ((pmod(col("_seed"), lit(3L)) + 1) % 3 + 1).cast("int")).as("host"),
+          docText(col("_seed")).as("text"))
     }
     def acceptedCorpus(t: Int, upTo: Int) =
       (Seq(bootFrame(t)) ++ (0 to upTo).map(c => freshFrame(c, t)) ++
-        (1 to upTo).map(c => crossFrame(c, t))).reduce(_ unionByName _)
+        (1 to upTo).map(c => crossFrame(c, t)) ++
+        (if (t == compT) (1 to upTo).map(mirrorFrame) else Nil))
+        .reduce(_ unionByName _)
+    def withRkey(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rkey", routeKey)
 
     // ── bootstrap: the supported fleet pattern — build the layout and
     // finalize _shard_meta BEFORE any concurrent writer starts ──
-    val bootCorpus = (0 until nShards).map(bootFrame).reduce(_ unionByName _)
+    val bootCorpus = (0 until nTenants).map(bootFrame).reduce(_ unionByName _)
     val (_, wBoot) = timed {
-      DocPipeline.reshardSignatureStores(bootCorpus, root, col("tenant"),
-        nShards, atomicStore = true, shardTag = "tenant")
+      DocPipeline.reshardSignatureStores(bootCorpus, root, routeKey,
+        nShards, atomicStore = true, shardTag = keyTag)
     }
     val advBoot = DocPipeline.adviseShardCount(spark, root, nShards)
-    require(advBoot.totalDocs == nShards * bootN, advBoot.toString)
-    println(f"FLEET boot: ${nShards * bootN}%,d docs into $nShards shards " +
-      f"(parallel reshard) in $wBoot%.1f s; advise priced it in one " +
+    require(advBoot.totalDocs == nTenants * bootN, advBoot.toString)
+    println(f"FLEET boot: ${nTenants * bootN}%,d docs into $nShards shards " +
+      f"(7 plain tenants + 3 sub-shards of composite tenant " +
+      f"'${tenants(compT)}') in $wBoot%.1f s; advise priced it in one " +
       "manifest pass")
 
-    // ── the in-fleet IVF index (r18): boot + race-long ground truth ──
+    // ── the in-fleet IVF index: boot + race-long ground truth; the
+    // root is a VAR — the serve reader repoints mid-fleet (r19) ──
     val dim = 16; val kCells = 16; val topK = 8; val nRes = 20000
     def vecOf(id: org.apache.spark.sql.Column) =
       transform(sequence(lit(1), lit(dim)), j =>
@@ -190,7 +260,7 @@ object FleetMonthDemo {
       .select((col("id") * 379L).as("probe_id"),
         transform(vecOf(col("id") * 379L), x => (x + 0.01f).cast("float"))
           .as("p_emb")).cut
-    val ivfRoot = tmp.resolve("ivf").toString
+    @volatile var ivfRoot = tmp.resolve("ivf").toString
     Ivf.saveIndexAtomic(residents, "vec_id", "embedding", ivfRoot,
       k = kCells, iters = 2)
     val truth = graft.ext.Similarity.bruteForceTopKJoin(residents, "embedding",
@@ -209,25 +279,27 @@ object FleetMonthDemo {
       Eval.meanRecallAtK(got, truth, "probe_id", "vec_id", topK)
     }
     val baseline = serveOnce()
-    val floor = baseline - 0.2 // retrain may move cell geometry; budget
-                               // probing trades recall, never crashes
+    val floor = baseline - 0.2 // retrain/re-train-at-migration may move
+                               // cell geometry; budget probing trades
+                               // recall, never crashes
     require(baseline >= 0.8, f"baseline recall $baseline%.3f too low to race")
 
-    // ── the four concurrent writers, 2 tenants each, ALL SCOPED ──
-    type In = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    // ── the four concurrent writers, 2 tenants each, ALL SCOPED in
+    // route-key space (the composite writer's scope = its 3 strings) ──
+    type In = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String)]
     final case class Writer(id: Int, tenantIdx: Seq[Int], in: In,
                             q: org.apache.spark.sql.streaming.StreamingQuery,
                             accepted: AtomicReference[Set[Long]])
     def startWriter(id: Int, tenantIdx: Seq[Int],
                     outliers: Map[String, String] = Map.empty,
                     rootPath: String = root, shards: Int = nShards): Writer = {
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String)]
       val acc = new AtomicReference[Set[Long]](Set.empty)
       val q = DocPipeline.streamIncrementalSharded(
-        in.toDF().toDF("doc_id", "tenant", "text"), rootPath, col("tenant"),
+        in.toDF().toDF("doc_id", "tenant", "host", "text"), rootPath, routeKey,
         shards, minWords = 10, atomicStore = true,
-        shardTag = "tenant", outlierRoots = outliers,
-        tenantScope = tenantIdx.map(tenants(_)._1)) { (df, _) =>
+        shardTag = keyTag, outlierRoots = outliers,
+        tenantScope = tenantIdx.flatMap(keysOfT)) { (df, _) =>
         acc.set(df.select("doc_id").as[Long].collect().toSet)
       }
       Writer(id, tenantIdx, in, q, acc)
@@ -238,7 +310,7 @@ object FleetMonthDemo {
     // ── the sustained readers (never pause, whole month) ──
     val done = new AtomicBoolean(false)
     val probeSeq = new AtomicInteger(0)
-    @volatile var probeShard = DocPipeline.shardPath(root, tenants(0)._2)
+    @volatile var probeShard = DocPipeline.shardPath(root, keyShard(tenants(0)))
     val dedupReader = new Reader("fleet-dedup-read", done)(() => {
       val n = probeSeq.incrementAndGet()
       // one planted boot re-crawl (must reject) + one fresh (must accept)
@@ -247,7 +319,7 @@ object FleetMonthDemo {
         docText(lit(bootBase(0) + 7L)).as("text"))
         .unionByName(spark.range(1).select(
           lit(810000000L + n).as("doc_id"),
-          docText(lit(700000000L + n)).as("text")))
+          docText(lit(895000000L + n)).as("text")))
       val store = AppendStore.readOr(spark, probeShard, sys.error("missing"))
       val out = DocPipeline.prepareIncremental(df, store, minWords = 10)
         .select("doc_id").as[Long].collect().toSet
@@ -273,33 +345,79 @@ object FleetMonthDemo {
     dedupReader.start(); adviseReader.start(); serveReader.start()
 
     // ── the month ──
-    def rowsFor(w: Writer, c: Int): Seq[(Long, String, String)] =
+    var t4Promoted = false; var t4Demoted = false; var hotPromoted = false
+    val monsterRoot = tmp.resolve("monster").toString
+    val hotRoot = tmp.resolve("hothost").toString
+    def storePathOf(t: Int): String =
+      if (t == promotedT && t4Promoted && !t4Demoted) monsterRoot
+      else DocPipeline.shardPath(root, keyShard(tenants(t)))
+    def hostStore(h: Int): String =
+      if (h == 0 && hotPromoted) hotRoot
+      else DocPipeline.shardPath(root, keyShard(ck(h)))
+
+    type Row4 = (Long, String, String, String)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Row4] =
+      df.as[(Long, String, String, String)].collect().toSeq
+    def reFrame(c: Int, t: Int) = { // exact boot re-crawls: must reject
+      val b = base(c, t)
+      spark.range(b + 5000000L, b + 5000000L + reK)
+        .withColumn("_seed",
+          lit(bootBase(t)) + pmod(xxhash64(col("id")), lit(bootN)))
+        .select(col("id").as("doc_id"), lit(tenants(t)).as("tenant"),
+          hostOf(col("_seed"), t).as("host"), docText(col("_seed")).as("text"))
+    }
+    def outlierEraResendFrame(c: Int) = { // t4, post-demotion: must reject
+      val t = promotedT; val b = base(c, t)
+      spark.range(b + 6000000L, b + 6000000L + reK)
+        .withColumn("_seed",
+          lit(base(demoteAfter, t)) + pmod(xxhash64(col("id")), lit(freshK)))
+        .select(col("id").as("doc_id"), lit(tenants(t)).as("tenant"),
+          lit("-").as("host"), docText(col("_seed")).as("text"))
+    }
+    def rowsFor(w: Writer, c: Int): Seq[Row4] =
       w.tenantIdx.flatMap { t =>
-        val ten = tenants(t)._1
-        val fresh = freshFrame(c, t)
-          .as[(Long, String, String)].collect().toSeq
-        val re = spark.range(base(c, t) + 5000000L, base(c, t) + 5000000L + reK)
-          .select(col("id"), lit(ten),
-            docText(lit(bootBase(t)) + pmod(xxhash64(col("id")), lit(bootN)))
-              .cast("string"))
-          .as[(Long, String, String)].collect().toSeq
-        val cross = if (c == 0) Nil
-          else crossFrame(c, t).as[(Long, String, String)].collect().toSeq
-        fresh ++ re ++ cross
+        rowsOf(freshFrame(c, t)) ++ rowsOf(reFrame(c, t)) ++
+          (if (c > 0) rowsOf(crossFrame(c, t)) else Nil) ++
+          (if (t == compT && c > 0) rowsOf(mirrorFrame(c)) else Nil) ++
+          (if (t == promotedT && c == demoteAfter + 1)
+            rowsOf(outlierEraResendFrame(c)) else Nil)
       }
 
-    val perTenantAccepted = Array.fill(nShards)(0L)
-    var promoted = false
-    val monsterRoot = tmp.resolve("monster").toString
+    val perTenantAccepted = Array.fill(nTenants)(0L)
+    val perHostAccepted = Array.fill(nHosts)(0L)
     var deleted = Set.empty[Long]
-    def storePathOf(t: Int): String =
-      if (promoted && t == promotedT) monsterRoot
-      else DocPipeline.shardPath(root, tenants(t)._2)
-    def feedCycle(c: Int): Seq[(Writer, Seq[(Long, String, String)])] = {
-      val batches = writers.map(w => w -> rowsFor(w, c))
-      batches.foreach { case (w, rows) => w.in.addData(rows) }
-      batches
+    // the SUB-TENANT-AWARE audit truth, accumulated as the month runs:
+    // a planted duplicate contributes to pair (A,B) iff its original
+    // and its copy both sit in HASH stores of the old root AT CLOSE —
+    // which is a pure function of who accepted it and when (the hot
+    // host's post-promotion accepts live in its dedicated root; tenant
+    // 4's outlier-era accepts are re-homed by the demotion rebuild)
+    val pairTruth = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    def locAtClose(t: Int, hostIdx: Int, acceptCycle: Int): Option[Long] =
+      if (t == compT) {
+        if (hostIdx == 0 && acceptCycle > hotPromoteAfter) None // hotRoot
+        else Some(keyShard(ck(hostIdx)))
+      } else Some(keyShard(tenants(t))) // t4 re-homed by the demotion rebuild
+    def accumulateTruth(c: Int): Unit = if (c > 0) {
+      (0 until nTenants).foreach { t =>
+        (0 until 3).foreach { r => // seed-residue thirds, crossK/3 each
+          val orig = locAtClose((t + 1) % nTenants, r, c - 1)
+          val copy = locAtClose(t, r, c)
+          for (a <- orig; b <- copy; if a != b)
+            pairTruth((math.min(a, b), math.max(a, b))) += crossK / 3
+        }
+      }
+      (0 until 3).foreach { r => // mirrors: src host r -> dst (r+1)%3
+        val orig = locAtClose(compT, r, c - 1)
+        val copy = locAtClose(compT, (r + 1) % 3, c)
+        for (a <- orig; b <- copy; if a != b)
+          pairTruth((math.min(a, b), math.max(a, b))) += mirrorK / 3
+      }
     }
+
+    def feedCycle(c: Int): Unit =
+      writers.foreach(w => w.in.addData(rowsFor(w, c)))
     def awaitAndAssert(c: Int): Unit = {
       // all four queries drain CONCURRENTLY; these joins just await
       writers.foreach(_.q.processAllAvailable())
@@ -309,22 +427,45 @@ object FleetMonthDemo {
           val b = base(c, t)
           val fresh = acc.count(id => id >= b && id < b + freshK)
           val reLeak = acc.count(id => id >= b + 5000000L && id < b + 5000000L + reK)
+          val resendLeak = acc.count(id => id >= b + 6000000L && id < b + 6000000L + reK)
           val crossAcc = acc.count(id => id >= b + 7000000L && id < b + 7000000L + crossK)
+          val mirrorAcc = acc.count(id => id >= b + 8000000L && id < b + 8000000L + mirrorK)
           require(fresh == freshK, s"cycle $c tenant $t: $fresh of $freshK fresh")
           require(reLeak == 0, s"cycle $c tenant $t: $reLeak boot re-crawls leaked")
-          if (c > 0) require(crossAcc == crossK,
-            s"cycle $c tenant $t: $crossAcc of $crossK cross-stream copies " +
-              "accepted — the cross-writer independence contract broke")
-          perTenantAccepted(t) += freshK + (if (c > 0) crossK else 0L)
-          // manifest-priced growth check: zero Spark jobs per cycle —
-          // against the tenant's LIVE store (the dedicated root once
-          // promoted; its frozen hash shard is asserted separately)
-          val rows = AppendStore.manifestRows(spark, storePathOf(t))
-          require(rows.contains(bootN + perTenantAccepted(t)),
-            s"cycle $c tenant $t: store rows $rows != " +
-              s"${bootN + perTenantAccepted(t)}")
+          if (t == promotedT && c == demoteAfter + 1)
+            require(resendLeak == 0,
+              s"cycle $c: $resendLeak outlier-era re-sends ACCEPTED on the " +
+                "hash path — the demotion rebuild lost the dedicated history")
+          if (c > 0) {
+            require(crossAcc == crossK,
+              s"cycle $c tenant $t: $crossAcc of $crossK cross-stream copies " +
+                "accepted — the cross-writer independence contract broke")
+            if (t == compT) require(mirrorAcc == mirrorK,
+              s"cycle $c: $mirrorAcc of $mirrorK cross-host mirrors accepted " +
+                "— sub-shards are independent dedup domains BY DESIGN (the " +
+                "priced composite trade); a reject here means they are not")
+          }
+          perTenantAccepted(t) += freshK + (if (c > 0) crossK else 0L) +
+            (if (t == compT && c > 0) mirrorK else 0L)
+          if (t == compT) {
+            (0 until nHosts).foreach { h =>
+              perHostAccepted(h) += freshK / 3 +
+                (if (c > 0) crossK / 3 + mirrorK / 3 else 0L)
+              val rows = AppendStore.manifestRows(spark, hostStore(h))
+              require(rows.contains(bootN / 3 + perHostAccepted(h)),
+                s"cycle $c host $h: store rows $rows != " +
+                  s"${bootN / 3 + perHostAccepted(h)}")
+            }
+          } else {
+            // manifest-priced growth check: zero Spark jobs per cycle
+            val rows = AppendStore.manifestRows(spark, storePathOf(t))
+            require(rows.contains(bootN + perTenantAccepted(t)),
+              s"cycle $c tenant $t: store rows $rows != " +
+                s"${bootN + perTenantAccepted(t)}")
+          }
         }
       }
+      accumulateTruth(c)
       dedupReader.check(); adviseReader.check(); serveReader.check()
     }
     def ivfMaintain(c: Int): Unit = {
@@ -360,8 +501,8 @@ object FleetMonthDemo {
     victim.q.stop()
     val (_, wMaint) = timed {
       victim.tenantIdx.foreach { t =>
-        val sp = DocPipeline.shardPath(root, tenants(t)._2)
-        AppendStore.compact(spark, sp, readerGrace = true)
+        AppendStore.compact(spark,
+          DocPipeline.shardPath(root, keyShard(tenants(t))), readerGrace = true)
       }
     }
     writers = writers.updated(1, startWriter(1, victim.tenantIdx))
@@ -371,63 +512,183 @@ object FleetMonthDemo {
 
     walls += runCycle(5)
 
-    // ── PROMOTION DAY (r18): tenant 4 outgrows the router. ONLY its
-    // writer stops; the scoped per-entry pin means the re-pin changes
-    // nothing in the other writers' slices, so they run through it ──
-    require(promoteAfter == 5)
-    val owner = writers(promotedT / 2)
-    require(owner.tenantIdx.contains(promotedT))
-    owner.q.stop()
-    val frozenShardPath = DocPipeline.shardPath(root, tenants(promotedT)._2)
+    // ── T4 PROMOTION DAY after c5: ONLY its writer stops; scoped
+    // per-entry pins let the other three run through the re-pin ──
+    val owner4 = writers(promotedT / 2)
+    require(owner4.tenantIdx.contains(promotedT))
+    owner4.q.stop()
+    val t4ShardPath = DocPipeline.shardPath(root, keyShard(tenants(promotedT)))
     val readsBeforePromo =
       (dedupReader.reads.get(), adviseReader.reads.get(), serveReader.reads.get())
     val (_, wPromote) = timed {
       DocPipeline.promoteTenants(
-        acceptedCorpus(promotedT, upTo = promoteAfter), root, "tenant",
-        Map(tenants(promotedT)._1 -> monsterRoot), atomicStore = true)
+        withRkey(acceptedCorpus(promotedT, upTo = promoteAfter)), root, "rkey",
+        Map(tenants(promotedT) -> monsterRoot), atomicStore = true)
     }
-    promoted = true
-    val frozenRows = AppendStore.manifestRows(spark, frozenShardPath)
-    require(frozenRows.contains(bootN + perTenantAccepted(promotedT)),
-      s"frozen shard baseline: $frozenRows")
-    writers = writers.updated(promotedT / 2, startWriter(owner.id,
-      owner.tenantIdx, Map(tenants(promotedT)._1 -> monsterRoot)))
-    println(f"FLEET promotion day after cycle 5: tenant ${tenants(promotedT)._1} " +
+    t4Promoted = true
+    val frozenT4Rows = AppendStore.manifestRows(spark, t4ShardPath)
+    require(frozenT4Rows.contains(bootN + perTenantAccepted(promotedT)),
+      s"frozen shard baseline: $frozenT4Rows")
+    writers = writers.updated(promotedT / 2, startWriter(owner4.id,
+      owner4.tenantIdx, Map(tenants(promotedT) -> monsterRoot)))
+    println(f"FLEET promotion day after cycle 5: tenant ${tenants(promotedT)} " +
       f"promoted to its own root in $wPromote%.1f s (corpus regenerated + " +
-      f"rebuilt, out: entry re-pinned LAST); ONLY writer ${owner.id} " +
+      f"rebuilt, out: entry re-pinned LAST); ONLY writer ${owner4.id} " +
       "stopped — the other 3 scoped writers and all 3 readers ran " +
       "straight through the re-pin")
 
     walls += runCycle(6)
-    // the re-pin must not have paused anything: every reader advanced
     require(dedupReader.reads.get() > readsBeforePromo._1 &&
       adviseReader.reads.get() > readsBeforePromo._2 &&
       serveReader.reads.get() > readsBeforePromo._3,
       "a reader stalled across the promotion re-pin")
 
-    (7 until cycles - 1).foreach(c => walls += runCycle(c))
+    // ── HOT-SUB-TENANT PROMOTION DAY after c6 (r19): the composite
+    // tenant's host h0 outgrows its sub-shard. ONLY writer 3 stops.
+    // The table passed to promoteTenants still carries tenant 4's
+    // UNCHANGED entry — the r19 amend semantics must leave its live
+    // dedicated store untouched while writer 2 keeps appending to it ──
+    val owner6 = writers(compT / 2)
+    require(owner6.tenantIdx.contains(compT))
+    owner6.q.stop()
+    val hotShardPath = DocPipeline.shardPath(root, keyShard(ck(0)))
+    val monsterV0 = AtomicCommit.committedVersions(spark, monsterRoot).headOption
+    val readsBeforeHot =
+      (dedupReader.reads.get(), adviseReader.reads.get(), serveReader.reads.get())
+    val (_, wHot) = timed {
+      DocPipeline.promoteTenants(
+        withRkey(acceptedCorpus(compT, upTo = hotPromoteAfter)), root, "rkey",
+        Map(tenants(promotedT) -> monsterRoot, ck(0) -> hotRoot),
+        atomicStore = true)
+    }
+    hotPromoted = true
+    // the amend proof: a rebuild of monsterRoot would have folded+swept
+    // its version history (append + vacuum keep=1); its FIRST committed
+    // version must still be there — writer 2 only ever appends
+    require(AtomicCommit.committedVersions(spark, monsterRoot).headOption == monsterV0,
+      "promoteTenants rebuilt the UNCHANGED tenant-4 entry during the " +
+        "hot-host promotion — amend semantics broke and a live writer's " +
+        "store was rewritten under it")
+    val frozenHotRows = AppendStore.manifestRows(spark, hotShardPath)
+    require(frozenHotRows.contains(bootN / 3 + perHostAccepted(0)),
+      s"frozen sub-shard baseline: $frozenHotRows")
+    writers = writers.updated(compT / 2, startWriter(owner6.id,
+      owner6.tenantIdx, Map(ck(0) -> hotRoot)))
+    println(f"FLEET hot-sub-tenant promotion day after cycle 6: composite " +
+      f"host '${hosts(0)}' promoted to its own root in $wHot%.1f s via its " +
+      f"COMPOSITE route key; tenant-4's unchanged entry rode through " +
+      f"untouched (amend semantics, min version intact) while writer 2 " +
+      "kept appending; ONLY writer 3 stopped")
 
-    // ── RESHARD-CANARY DAY (r18), overlapping the final cycle: the
-    // side-by-side 16-shard root rebuilds from the regenerated corpus
+    walls += runCycle(7)
+    require(dedupReader.reads.get() > readsBeforeHot._1 &&
+      adviseReader.reads.get() > readsBeforeHot._2 &&
+      serveReader.reads.get() > readsBeforeHot._3,
+      "a reader stalled across the hot-host promotion re-pin")
+
+    // ── T4 DEMOTION DAY after c7 (r19): the monster returns to the
+    // hash layout. ONLY writer 2 stops; the hash shard is rebuilt from
+    // the FULL accepted corpus INCLUDING the outlier era, then the
+    // table is re-pinned WITHOUT tenant 4 — the hot host's entry is
+    // unchanged, so writer 3 runs straight through ──
+    val owner4b = writers(promotedT / 2)
+    owner4b.q.stop()
+    val monsterRowsAtDemote = AppendStore.manifestRows(spark, monsterRoot)
+    val readsBeforeDemote =
+      (dedupReader.reads.get(), adviseReader.reads.get(), serveReader.reads.get())
+    val (_, wDemote) = timed {
+      DocPipeline.rebuildSignatureStore(
+        acceptedCorpus(promotedT, upTo = demoteAfter).select("doc_id", "text"),
+        t4ShardPath, atomicStore = true)
+      DocPipeline.promoteTenants(
+        withRkey(acceptedCorpus(compT, upTo = demoteAfter)), root, "rkey",
+        Map(ck(0) -> hotRoot), atomicStore = true)
+    }
+    t4Demoted = true
+    require(AppendStore.manifestRows(spark, t4ShardPath)
+      .contains(bootN + perTenantAccepted(promotedT)),
+      "the demotion rebuild did not re-home the full corpus")
+    writers = writers.updated(promotedT / 2,
+      startWriter(owner4b.id, owner4b.tenantIdx))
+    println(f"FLEET demotion day after cycle 7: tenant ${tenants(promotedT)} " +
+      f"returned to the hash layout in $wDemote%.1f s (hash shard rebuilt " +
+      f"from the FULL corpus incl. the outlier era, table re-pinned " +
+      f"without it; the hot host's entry unchanged — writer 3 never " +
+      "paused); ONLY writer 2 stopped; outlier-era re-sends must now " +
+      "REJECT on the hash path (asserted next cycle)")
+
+    walls += runCycle(8) // carries the outlier-era re-send reject assert
+    require(dedupReader.reads.get() > readsBeforeDemote._1 &&
+      adviseReader.reads.get() > readsBeforeDemote._2 &&
+      serveReader.reads.get() > readsBeforeDemote._3,
+      "a reader stalled across the demotion re-pin")
+
+    // ── IVF SERVE REPOINT after c8 (r19): a side-by-side index root is
+    // rebuilt from the old root's committed segments (indexes are
+    // DERIVED data — no catch-up pass exists to forget) and the LIVE
+    // serve reader flips to it between snapshots; the old root is torn
+    // down only after a read that provably STARTED post-flip completed,
+    // so the swap costs 0 torn reads ──
+    val oldIvf = ivfRoot
+    val ivf2 = tmp.resolve("ivf2").toString
+    val tornBeforeRepoint = serveReader.retries.get()
+    val (_, wIvfMig) = timed {
+      Ivf.saveIndexAtomic(Ivf.readIndex(spark, oldIvf).drop("ivf_cell"),
+        "vec_id", "embedding", ivf2, k = kCells, iters = 2)
+    }
+    val readsAtFlip = serveReader.reads.get()
+    ivfRoot = ivf2
+    val flipDeadline = System.nanoTime() + 300L * 1000000000L
+    while (serveReader.reads.get() < readsAtFlip + 2 &&
+        serveReader.fatal.get() == null &&
+        System.nanoTime() < flipDeadline) Thread.sleep(100)
+    serveReader.check()
+    require(serveReader.reads.get() >= readsAtFlip + 2,
+      "serve reads stalled across the index repoint")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(oldIvf))
+    val readsAtTeardown = serveReader.reads.get()
+    while (serveReader.reads.get() < readsAtTeardown + 2 &&
+        serveReader.fatal.get() == null &&
+        System.nanoTime() < flipDeadline) Thread.sleep(100)
+    serveReader.check()
+    require(serveReader.reads.get() >= readsAtTeardown + 2,
+      "serve reads stalled after the old-root teardown")
+    require(serveReader.retries.get() == tornBeforeRepoint,
+      s"torn serve reads across the index repoint: " +
+        s"${serveReader.retries.get() - tornBeforeRepoint}")
+    println(f"FLEET ivf serve repoint after cycle 8: side-by-side index " +
+      f"root rebuilt from committed segments in $wIvfMig%.1f s, the live " +
+      f"serve reader flipped between snapshots and the old root was torn " +
+      f"down — 0 torn reads, recall floor held on every read, version " +
+      f"numbering restarted (v=${Ivf.indexSnapshot(spark, ivfRoot).version})")
+
+    (repointAfter + 1 until cycles - 1).foreach(c => walls += runCycle(c))
+
+    // ── RESHARD-CANARY DAY, overlapping the final cycle: the
+    // side-by-side 20-shard root rebuilds from the regenerated corpus
     // WHILE the four writers drain their last batches; then the READER
     // repoints — the read-replica canary step of a side-by-side
-    // migration (writers repoint at their next maintenance window) ──
+    // migration. The rebuild re-homes the promoted host's full history
+    // into hash sub-shards: demotion by rebuild, for the vector of the
+    // migration ──
     val canaryRoot = tmp.resolve("canary").toString
-    val canaryShards = 16
-    val corpusThroughPrev = (0 until nShards)
+    val canaryShards = 20
+    val shard20: Map[String, Long] =
+      allKeys.toDF("k")
+        .select(col("k"), DocPipeline.shardOf(col("k"), canaryShards).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusThroughPrev = (0 until nTenants)
       .map(t => acceptedCorpus(t, upTo = cycles - 2)).reduce(_ unionByName _)
     var wCanary = 0.0
     val (_, wallLast) = timed {
       feedCycle(cycles - 1)
       val (_, w) = timed {
         DocPipeline.reshardSignatureStores(corpusThroughPrev, canaryRoot,
-          col("tenant"), canaryShards, atomicStore = true, shardTag = "tenant")
+          routeKey, canaryShards, atomicStore = true, shardTag = keyTag)
       }
       wCanary = w
       val preRepoint = dedupReader.reads.get()
-      probeShard = DocPipeline.shardPath(canaryRoot,
-        spark.range(1).select(DocPipeline.shardOf(lit(tenants(0)._1),
-          canaryShards)).head().getLong(0))
+      probeShard = DocPipeline.shardPath(canaryRoot, shard20(tenants(0)))
       val repointDeadline = System.nanoTime() + 120L * 1000000000L
       while (dedupReader.reads.get() <= preRepoint &&
           dedupReader.fatal.get() == null &&
@@ -438,55 +699,58 @@ object FleetMonthDemo {
     }
     walls += wallLast
     ivfMaintain(cycles - 1)
-    println(f"FLEET reshard-canary day: 8->16 side-by-side root rebuilt " +
+    println(f"FLEET reshard-canary day: 10->20 side-by-side root rebuilt " +
       f"from the regenerated corpus in $wCanary%.1f s WHILE all four " +
       f"writers drained cycle ${cycles - 1}; the dedup reader repointed " +
       "mid-stream and held its accept/reject contract on the new root")
 
-    // ── MIGRATION-COMPLETION DAY (r18): the canary deferred the
-    // writers' repoint to "their next maintenance window" — this is
-    // that window. Stop all four writers, CATCH-UP the canary root
-    // with the post-snapshot delta (cycle 7's accepts, regenerated —
-    // the canary snapshot was through cycle 6), restart every writer
-    // on the 16-shard root, and run one FULL cycle there. The
-    // migration implicitly DEMOTES the outlier tenant: the 16-shard
-    // rebuild re-homed its full history into hash shards, so the new
-    // root runs with an empty table (the promoteTenants demotion
-    // recipe, executed by the reshard itself). ──
+    // ── MIGRATION-COMPLETION DAY: the canary deferred the writers'
+    // repoint to "their next maintenance window" — this is that
+    // window. Stop all four writers, CATCH-UP the canary root with the
+    // post-snapshot delta, re-partition the writer seats to the NEW
+    // route map, and run one FULL cycle there. The migration
+    // implicitly DEMOTES the hot host: the 20-shard rebuild re-homed
+    // its full history into hash sub-shards, so the new root runs with
+    // an empty table ──
     writers.foreach(_.q.stop())
     val migCycle = cycles // one past the month's last old-root cycle
     val (deltaRows, wCatchup) = timed {
-      val delta = (0 until nShards).map(t =>
+      val delta = ((0 until nTenants).map(t =>
         freshFrame(cycles - 1, t).unionByName(crossFrame(cycles - 1, t)))
-        .reduce(_ unionByName _).cut
+        :+ mirrorFrame(cycles - 1)).reduce(_ unionByName _).cut
       var n = 0L
       (0L until canaryShards.toLong).foreach { s =>
         val part = delta.filter(
-          DocPipeline.shardOf(col("tenant"), canaryShards) === s)
+          DocPipeline.shardOf(routeKey, canaryShards) === s)
         val sigs = DocPipeline.signatures(part, "doc_id", "text").cut
-        val c = sigs.count()
-        if (c > 0) {
+        val c0 = sigs.count()
+        if (c0 > 0) {
           AppendStore.append(sigs, DocPipeline.shardPath(canaryRoot, s))
-          n += c
+          n += c0
         }
       }
       n
     }
-    require(deltaRows == nShards.toLong * (freshK + crossK),
+    require(deltaRows == nTenants.toLong * (freshK + crossK) + mirrorK,
       s"catch-up delta rows $deltaRows")
-    val shard16 = tenants.indices.map(t => t ->
-      spark.range(1).select(DocPipeline.shardOf(lit(tenants(t)._1),
-        canaryShards)).head().getLong(0)).toMap
-    // the migration RE-PARTITIONS the tenant→writer assignment to the
+    // the migration RE-PARTITIONS the tenant->writer assignment to the
     // NEW route map: fences are per SHARD, so two writers feeding
-    // tenants that now co-locate on one 16-shard would fence each
+    // tenants that now co-locate on one 20-shard would fence each
     // other and die loudly (the r16 double-writer contract, working as
-    // designed). Writer assignment follows routing: tenants grouped by
-    // their new shard, groups packed across the 4 writer seats —
-    // disjoint shard ownership by construction.
+    // designed). The composite tenant carries THREE keys, any of which
+    // can co-locate with anyone — grouping is connected components
+    // over "shares a 20-shard", then groups pack across the 4 seats.
+    val shardSets: Map[Int, Set[Long]] =
+      (0 until nTenants).map(t => t -> keysOfT(t).map(shard20).toSet).toMap
     val assignment: Seq[Seq[Int]] = {
-      val groups = tenants.indices.groupBy(shard16).values.toSeq
-        .sortBy(g => (-g.size, g.head))
+      val parent = Array.tabulate(nTenants)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (a <- 0 until nTenants; b <- a + 1 until nTenants
+           if (shardSets(a) intersect shardSets(b)).nonEmpty)
+        parent(find(a)) = find(b)
+      val groups = (0 until nTenants).groupBy(find).values.toSeq
+        .map(_.sorted.toSeq).sortBy(g => (-g.size, g.head))
       val buckets = Array.fill(nStreams)(Vector.empty[Int])
       groups.foreach { g =>
         val i = buckets.zipWithIndex.minBy { case (b, bi) => (b.size, bi) }._2
@@ -494,43 +758,38 @@ object FleetMonthDemo {
       }
       buckets.toSeq.map(_.sorted)
     }
-    require(assignment.flatten.sorted == tenants.indices.toList)
+    require(assignment.flatten.sorted == (0 until nTenants).toList)
     writers = assignment.zipWithIndex.filter(_._1.nonEmpty).map {
       case (ts, w) =>
         startWriter(w, ts, rootPath = canaryRoot, shards = canaryShards)
     }.toIndexedSeq
     // one full cycle on the new root: fresh accepted; boot re-crawls
-    // AND post-snapshot (cycle-7) re-crawls ALL rejected — the proof
-    // no accepted history was lost across the migration; cross-stream
-    // copies accepted EXCEPT ring pairs the denser layout now
-    // CO-LOCATES (the reshard changed dedup domains — asserted from
-    // the live route map, not assumed)
+    // AND post-snapshot (cycle-(cycles-1)) re-crawls ALL rejected — no
+    // accepted history lost across the migration; cross copies and
+    // composite mirrors honor the NEW route map (pairs the denser
+    // layout now CO-LOCATES must reject — asserted from the live route
+    // map per seed-residue third, not assumed)
+    def rePostFrame(t: Int) = {
+      val b = base(migCycle, t)
+      spark.range(b + 6000000L, b + 6000000L + reK)
+        .withColumn("_seed",
+          lit(base(cycles - 1, t)) + pmod(xxhash64(col("id")), lit(freshK)))
+        .select(col("id").as("doc_id"), lit(tenants(t)).as("tenant"),
+          hostOf(col("_seed"), t).as("host"), docText(col("_seed")).as("text"))
+    }
     val migBatches = writers.map { w =>
       w -> w.tenantIdx.flatMap { t =>
-        val ten = tenants(t)._1
-        val b = base(migCycle, t)
-        val fresh = freshFrame(migCycle, t)
-          .as[(Long, String, String)].collect().toSeq
-        val reBoot = spark.range(b + 5000000L, b + 5000000L + reK)
-          .select(col("id"), lit(ten),
-            docText(lit(bootBase(t)) + pmod(xxhash64(col("id")), lit(bootN)))
-              .cast("string"))
-          .as[(Long, String, String)].collect().toSeq
-        val rePost = spark.range(b + 6000000L, b + 6000000L + reK)
-          .select(col("id"), lit(ten),
-            docText(lit(base(cycles - 1, t)) +
-              pmod(xxhash64(col("id")), lit(freshK))).cast("string"))
-          .as[(Long, String, String)].collect().toSeq
-        val cross = crossFrame(migCycle, t)
-          .as[(Long, String, String)].collect().toSeq
-        fresh ++ reBoot ++ rePost ++ cross
+        rowsOf(freshFrame(migCycle, t)) ++ rowsOf(reFrame(migCycle, t)) ++
+          rowsOf(rePostFrame(t)) ++ rowsOf(crossFrame(migCycle, t)) ++
+          (if (t == compT) rowsOf(mirrorFrame(migCycle)) else Nil)
       }
     }
     val (_, wMig) = timed {
       migBatches.foreach { case (w, rows) => w.in.addData(rows) }
       writers.foreach(_.q.processAllAvailable())
     }
-    val migAccepted = Array.fill(nShards)(0L)
+    val migAccepted = Array.fill(nTenants)(0L)
+    val migHostAcc = Array.fill(nHosts)(0L)
     writers.foreach { w =>
       val acc = w.accepted.get()
       w.tenantIdx.foreach { t =>
@@ -539,6 +798,7 @@ object FleetMonthDemo {
         val reBootLeak = acc.count(id => id >= b + 5000000L && id < b + 5000000L + reK)
         val rePostLeak = acc.count(id => id >= b + 6000000L && id < b + 6000000L + reK)
         val crossAcc = acc.count(id => id >= b + 7000000L && id < b + 7000000L + crossK)
+        val mirrorAcc = acc.count(id => id >= b + 8000000L && id < b + 8000000L + mirrorK)
         require(fresh == freshK, s"migration cycle tenant $t: $fresh fresh")
         require(reBootLeak == 0,
           s"migration cycle tenant $t: $reBootLeak BOOT re-crawls leaked " +
@@ -546,20 +806,46 @@ object FleetMonthDemo {
         require(rePostLeak == 0,
           s"migration cycle tenant $t: $rePostLeak POST-SNAPSHOT re-crawls " +
             "leaked — the catch-up delta is incomplete")
-        val coLocated = shard16(t) == shard16((t + 1) % nShards)
-        val wantCross = if (coLocated) 0L else crossK
+        val wantCross = (0 until 3).map { r =>
+          val copyKey = if (t == compT) ck(r) else tenants(t)
+          val srcT = (t + 1) % nTenants
+          val origKey = if (srcT == compT) ck(r) else tenants(srcT)
+          if (shard20(copyKey) == shard20(origKey)) 0L else crossK / 3
+        }.sum
         require(crossAcc == wantCross,
           s"migration cycle tenant $t: cross $crossAcc != $wantCross " +
-            s"(ring pair ${if (coLocated) "CO-LOCATED" else "split"} at 16 shards)")
-        migAccepted(t) = freshK + crossAcc
+            "(per-third co-location at 20 shards)")
+        if (t == compT) {
+          val wantMirror = (0 until 3).map { r =>
+            if (shard20(ck(r)) == shard20(ck((r + 1) % 3))) 0L
+            else mirrorK / 3
+          }.sum
+          require(mirrorAcc == wantMirror,
+            s"migration cycle: mirrors $mirrorAcc != $wantMirror — " +
+              "co-located sub-shards must now catch their cross-host " +
+              "mirrors (the composite trade shrinks as the layout merges)")
+          (0 until 3).foreach { r =>
+            migHostAcc(r) += freshK / 3
+            val srcT = (t + 1) % nTenants
+            val origKey = if (srcT == compT) ck(r) else tenants(srcT)
+            if (shard20(ck(r)) != shard20(origKey)) migHostAcc(r) += crossK / 3
+            val dst = (r + 1) % 3
+            if (shard20(ck(r)) != shard20(ck(dst))) migHostAcc(dst) += mirrorK / 3
+          }
+        } else require(mirrorAcc == 0, s"stray mirrors for tenant $t")
+        migAccepted(t) = fresh + crossAcc + mirrorAcc
       }
     }
-    // per-16-shard manifest pricing on the migrated root: rows == the
-    // sum over its tenants of boot + month accepts + catch-up + the
+    // per-20-shard manifest pricing on the migrated root: rows == the
+    // sum over its route KEYS of boot + month accepts + catch-up + the
     // migration cycle — zero Spark jobs
+    val keyDocs: Map[String, Long] =
+      ((0 until nTenants).filter(_ != compT).map(t =>
+        tenants(t) -> (bootN + perTenantAccepted(t) + migAccepted(t))) ++
+        (0 until nHosts).map(h =>
+          ck(h) -> (bootN / 3 + perHostAccepted(h) + migHostAcc(h)))).toMap
     (0L until canaryShards.toLong).foreach { s =>
-      val want = tenants.indices.filter(t => shard16(t) == s)
-        .map(t => bootN + perTenantAccepted(t) + migAccepted(t)).sum
+      val want = allKeys.filter(k => shard20(k) == s).map(keyDocs).sum
       if (want > 0) {
         val got = AppendStore.manifestRows(spark,
           DocPipeline.shardPath(canaryRoot, s))
@@ -568,19 +854,17 @@ object FleetMonthDemo {
     }
     dedupReader.check(); adviseReader.check(); serveReader.check()
     println(f"FLEET migration-completion day: catch-up delta " +
-      f"$deltaRows%,d rows into the 16-shard root in $wCatchup%.1f s, " +
+      f"$deltaRows%,d rows into the 20-shard root in $wCatchup%.1f s, " +
       f"${writers.size} writer seats re-partitioned to the new route map " +
-      f"(fences are per shard: assignment follows routing), and a full " +
-      f"cycle ran there in $wMig%.1f s — " +
-      f"boot AND post-snapshot re-crawls 0 leaked (no accepted history " +
-      f"lost across the migration), cross copies honored the NEW route " +
-      f"map (${tenants.indices.count(t => shard16(t) == shard16((t + 1) % nShards))} " +
-      "ring pairs co-located at 16 shards now reject), per-shard rows " +
-      "manifest-priced exactly; the outlier tenant demoted by the " +
-      "rebuild itself")
+      f"(fences are per shard: grouping follows routing, composite keys " +
+      f"included), and a full cycle ran there in $wMig%.1f s — boot AND " +
+      f"post-snapshot re-crawls 0 leaked, cross copies AND cross-host " +
+      f"mirrors honored the NEW route map per seed-residue third, " +
+      f"per-shard rows manifest-priced exactly; the hot host demoted by " +
+      "the rebuild itself")
 
     // ── month close: stop writers, final audits (old root: frozen at
-    // cycle 7's state by the migration) ──
+    // cycle cycles-1's state by the migration) ──
     writers.foreach(_.q.stop())
     done.set(true)
     dedupReader.join(60000); adviseReader.join(60000); serveReader.join(300000)
@@ -593,64 +877,74 @@ object FleetMonthDemo {
       s"serve retry storm: ${serveReader.retries.get()} torn vs " +
         s"${serveReader.reads.get()} reads at the keep=2 cadence")
 
-    // IVF post-race audit: deletes held through every compact/retrain
+    // IVF post-race audit ON THE MIGRATED ROOT: deletes held through
+    // every compact/retrain AND the index migration (readIndex resolves
+    // tombstones, so a migrated root must never resurrect them)
     val finalIdx = Ivf.readIndex(spark, ivfRoot)
     require(finalIdx.join(deleted.toSeq.toDF("vec_id"), Seq("vec_id"),
       "left_semi").count() == 0L, "deleted ids served after the race")
     println(f"FLEET ivf serve: ${serveReader.reads.get()} committed-snapshot " +
       f"reads (${serveReader.retries.get()} clean retries) through $cycles " +
-      f"cycles of append+delete+compact+vacuum(keep=2)+retrain UNDER the " +
-      f"4-writer fleet; recall floor $floor%.3f (baseline $baseline%.3f), " +
-      f"min seen $minRecall%.3f; deletes never resurfaced")
+      f"cycles of append+delete+compact+vacuum(keep=2)+retrain AND a " +
+      f"mid-fleet index migration + repoint UNDER the 4-writer fleet; " +
+      f"recall floor $floor%.3f (baseline $baseline%.3f), min seen " +
+      f"$minRecall%.3f; deletes never resurfaced")
 
-    // the promoted tenant's old hash shard FROZE at its baseline
-    require(AppendStore.manifestRows(spark, frozenShardPath) == frozenRows,
-      "the promoted tenant's old hash shard grew after promotion")
-    // exact distinct counts (the manifest checks priced every cycle)
-    tenants.indices.foreach { t =>
+    // abandoned-store freezes: the demoted tenant's dedicated root and
+    // the promoted host's old sub-shard must both be exactly where the
+    // day that abandoned them left them
+    require(AppendStore.manifestRows(spark, monsterRoot) == monsterRowsAtDemote,
+      "the demoted tenant's abandoned dedicated root grew after demotion")
+    require(AppendStore.manifestRows(spark, hotShardPath) == frozenHotRows,
+      "the promoted host's old sub-shard grew after its promotion")
+    // exact distinct counts per LIVE store (the manifest checks priced
+    // every cycle; this is the close-out ground truth)
+    (0 until nTenants).filter(_ != compT).foreach { t =>
       val docs = AppendStore.readOr(spark, storePathOf(t),
         sys.error("missing")).select("doc_id").distinct().count()
       require(docs == bootN + perTenantAccepted(t),
         s"tenant $t: store $docs != ${bootN + perTenantAccepted(t)}")
     }
-    // cross-shard audit at exact k: the PROMOTION-AWARE planted truth.
-    // Tenant t's cycle-c copies of tenant (t+1)'s cycle c-1 texts share
-    // fps between shard(t) and shard(t+1) iff the copy landed in
-    // shard(t) (t != promoted OR c <= promoteAfter) AND the source
-    // landed in shard(t+1) (t+1 != promoted OR c-1 <= promoteAfter).
-    val perShardDocs = bootN + perTenantAccepted.max
+    (0 until nHosts).foreach { h =>
+      val docs = AppendStore.readOr(spark, hostStore(h),
+        sys.error("missing")).select("doc_id").distinct().count()
+      require(docs == bootN / 3 + perHostAccepted(h),
+        s"host $h: store $docs != ${bootN / 3 + perHostAccepted(h)}")
+    }
+    // cross-shard audit at exact k: the SUB-TENANT-AWARE planted truth,
+    // accumulated as the month ran (promotion freezes the hot host's
+    // thirds mid-count; the demotion rebuild re-homed tenant 4's
+    // outlier era, restoring its pairs to the uniform count)
+    val perShardDocsMax = bootN + perTenantAccepted.max
     val (audit, wAudit) = timed {
       DocPipeline.auditCrossShardDups(spark, root, nShards,
-        sampleK = (perShardDocs + 1000000L).toInt)
+        sampleK = (perShardDocsMax + 1000000L).toInt)
     }
-    def ringTruth(t: Int): Long = (1 until cycles).count { c =>
-      (t != promotedT || c <= promoteAfter) &&
-        ((t + 1) % nShards != promotedT || c - 1 <= promoteAfter)
-    }.toLong * crossK
-    val pairTruth: Map[(Long, Long), Long] = tenants.indices.map { t =>
-      val (a, b) = (tenants(t)._2, tenants((t + 1) % nShards)._2)
-      (math.min(a, b), math.max(a, b)) -> ringTruth(t)
-    }.toMap
     audit.pairs.foreach { p =>
       require(p.exact, s"audit must be exact at this k: $p")
       val expected = pairTruth.getOrElse((p.shardA, p.shardB), 0L)
       require(p.estSharedDocs == expected,
         s"pair (${p.shardA},${p.shardB}): ${p.estSharedDocs} != $expected")
     }
-    val total = nShards * bootN + perTenantAccepted.sum
-    println(f"FLEET audit: exact cross-shard pass over $total%,d stored " +
-      f"docs in $wAudit%.1f s — promotion-aware truth on all 8 ring pairs " +
-      f"(${tenants.indices.map(ringTruth).mkString("/")}), 0 on all 20 " +
-      "others: every cross-stream copy accounted, including the frozen " +
-      "pairs at the promotion boundary")
+    val totalDocs = nTenants * bootN + perTenantAccepted.sum
+    val nonZeroPairs = pairTruth.values.count(_ > 0)
+    println(f"FLEET audit: exact cross-shard pass over $totalDocs%,d stored " +
+      f"docs in $wAudit%.1f s — sub-tenant-aware truth on $nonZeroPairs " +
+      f"ring/mirror pairs (hot-host thirds frozen at promotion, tenant-4 " +
+      f"pairs restored to uniform by the demotion rebuild), 0 on all " +
+      f"${audit.pairs.size - nonZeroPairs} others: every planted copy " +
+      "and every cross-host mirror accounted")
     println(f"FLEET month holds: $cycles cycles x 4 concurrent scoped " +
-      f"writers x 2 tenants, ${total}%,d docs stored " +
-      f"(${nShards * bootN}%,d boot + ${perTenantAccepted.sum}%,d streamed), " +
+      f"writers x 2 tenants (one COMPOSITE with 3 sub-shards), " +
+      f"$totalDocs%,d docs stored " +
+      f"(${nTenants * bootN}%,d boot + ${perTenantAccepted.sum}%,d streamed), " +
       f"${dedupReader.reads.get()} dedup-probe reads, " +
       f"${adviseReader.reads.get()} advise reads, and " +
       f"${serveReader.reads.get()} ANN serve reads through live writers, " +
-      "rolling maintenance, a mid-fleet promotion, and a reshard-canary " +
-      f"day; cycle walls ${walls.map(w => f"$w%.0f").mkString("/")} s")
+      "rolling maintenance, TWO overlapping rolling promotions, a rolling " +
+      "demotion, an IVF index migration + serve repoint, and a " +
+      f"reshard-canary day; cycle walls " +
+      f"${walls.map(w => f"$w%.0f").mkString("/")} s")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     spark.stop()
   }

@@ -1404,13 +1404,28 @@ object DocPipeline {
     * — rebuilding an existing outlier store replays the same corpus).
     * Demote a tenant by passing a table without it AFTER rebuilding
     * its hash shard from the corpus (its dedicated history does not
-    * follow it back). */
+    * follow it back).
+    *
+    * AMEND SEMANTICS (r19 — what lets two rolling operations overlap):
+    * an entry whose stored `out:<tenant>` pin already matches is NOT
+    * rebuilt — its dedicated store is the pinned one, and rebuilding
+    * it would write into a store whose (scoped, still-running) owner
+    * never stopped. Only CHANGED or NEW entries rebuild, so "stop the
+    * owner" means the owners of amended entries, not of every entry
+    * the table happens to carry — promoting tenant B while tenant A
+    * stays promoted touches nothing of A's. Crash ordering is
+    * preserved: a changed entry's pin still differs after a crash
+    * (the re-pin is LAST), so a rerun rebuilds it again; pass
+    * `rebuildUnchanged = true` to force-replay every entry (store
+    * repair). A legacy sidecar without per-entry rows rebuilds
+    * everything (nothing to compare against — safe, not rolling). */
   def promoteTenants(docs: DataFrame, rootPath: String, keyCol: String,
                      outlierRoots: Map[String, String],
                      idCol: String = "doc_id", textCol: String = "text",
                      minhashK: Int = 8, bands: Int = 4,
                      maxShingles: Int = 0,
-                     atomicStore: Boolean = false): Unit = {
+                     atomicStore: Boolean = false,
+                     rebuildUnchanged: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val metaDir = s"${rootPath.stripSuffix("/")}_shard_meta"
     require(graft.sources.AtomicCommit.pathExists(spark, metaDir),
@@ -1422,10 +1437,13 @@ object DocPipeline {
     require(stored.get("numShards").exists(_ > 0),
       s"$rootPath shard layout is not finalized (meta: $stored) — finish " +
         "or rerun the reshard first")
+    val pinned = stored.collect {
+      case (k, v) if k.startsWith("out:") => k.stripPrefix("out:") -> v }
     outlierRoots.toSeq.sortBy(_._1).foreach { case (k, dst) =>
-      rebuildSignatureStore(
-        docs.filter(col(keyCol).cast("string") === k), dst,
-        idCol, textCol, minhashK, bands, maxShingles, atomicStore)
+      if (rebuildUnchanged || !pinned.get(k).contains(math.max(1, digest31(dst))))
+        rebuildSignatureStore(
+          docs.filter(col(keyCol).cast("string") === k), dst,
+          idCol, textCol, minhashK, bands, maxShingles, atomicStore)
     }
     // re-pin LAST: the global hash for unscoped writers plus one
     // `out:<tenant>` row per entry (r18) — the per-entry rows are what
@@ -2317,7 +2335,8 @@ object DocPipeline {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
                               bits: Int = 8, bands: Int = 2,
-                              atomicStore: Boolean = false): Unit = {
+                              atomicStore: Boolean = false,
+                              rebuildUnchanged: Boolean = false): Unit = {
     val spark = vecs.sparkSession
     val metaDir = s"${rootPath.stripSuffix("/")}_shard_meta"
     require(graft.sources.AtomicCommit.pathExists(spark, metaDir),
@@ -2328,10 +2347,16 @@ object DocPipeline {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     require(stored.get("numShards").exists(_ > 0),
       s"$rootPath shard layout is not finalized (meta: $stored)")
+    // amend semantics shared with [[promoteTenants]] (r19): an entry
+    // whose stored pin already matches keeps its store untouched —
+    // its scoped owner may be live
+    val pinned = stored.collect {
+      case (k, v) if k.startsWith("out:") => k.stripPrefix("out:") -> v }
     outlierRoots.toSeq.sortBy(_._1).foreach { case (k, dst) =>
-      rebuildEmbeddingStore(
-        vecs.filter(col(keyCol).cast("string") === k), dst,
-        dim, idCol, vecCol, bits, bands, atomicStore)
+      if (rebuildUnchanged || !pinned.get(k).contains(math.max(1, digest31(dst))))
+        rebuildEmbeddingStore(
+          vecs.filter(col(keyCol).cast("string") === k), dst,
+          dim, idCol, vecCol, bits, bands, atomicStore)
     }
     writeStoreMeta(spark, metaDir,
       stored.view.filterKeys(k => k != "outlierHash" && !k.startsWith("out:"))

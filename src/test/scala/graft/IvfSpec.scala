@@ -794,6 +794,78 @@ class IvfSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("side-by-side index migration RACING a live serve reader (r19): the " +
+      "reader repoints between snapshots, every read before/during/after " +
+      "is complete, 0 torn across a teardown ordered after a post-flip read") {
+    // the racing extension of the solo migration pin above — the
+    // FleetMonthDemo repoint day at spec scale. The teardown-ordering
+    // contract: after TWO completed post-flip reads, the reader thread
+    // provably has no in-flight read holding the old root (reads are
+    // serial on one thread; the second post-flip completion STARTED
+    // after the flip), so the teardown costs zero torn reads.
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+    val tmp = java.nio.file.Files.createTempDirectory("ivfmigrace")
+    val rootA = tmp.resolve("a").toString
+    val rootB = tmp.resolve("b").toString
+    val corpus = emb.filter(col("vec_id") < 300)
+    Ivf.saveIndexAtomic(corpus, "vec_id", "embedding", rootA, k = 8, iters = 2)
+    val probes = emb.filter(col("vec_id").isin(3L, 77L, 200L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .localCheckpoint(true)
+    @volatile var servedRoot = rootA
+    def serve(): Set[(Long, Long)] = {
+      val snap = Ivf.indexSnapshot(spark, servedRoot)
+      Ivf.topKJoinBudget(snap.index, "embedding", snap.centroids, snap.census,
+        probes, "probe_id", "p_emb", k = 5, maxScanRows = 10000L,
+        tieBreak = Seq("vec_id"))
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val expected = serve()
+    val done = new AtomicBoolean(false)
+    val reads = new AtomicInteger(0)
+    val fatal = new AtomicReference[Throwable](null)
+    val reader = new Thread("ivf-migrate-reader") {
+      override def run(): Unit =
+        while (!done.get() && fatal.get() == null) {
+          try {
+            val got = serve()
+            if (got != expected)
+              fatal.set(new AssertionError(s"serve drifted: $got"))
+            reads.incrementAndGet()
+          } catch { case e: Throwable => fatal.set(e) }
+        }
+    }
+    reader.start()
+    try {
+      // let the reader establish a cadence on the old root
+      val d0 = System.nanoTime() + 60L * 1000000000L
+      while (reads.get() < 2 && fatal.get() == null && System.nanoTime() < d0)
+        Thread.sleep(50)
+      assert(reads.get() >= 2, "reader never established a cadence")
+      // migrate side-by-side while the reader is live on rootA
+      Ivf.saveIndexAtomic(Ivf.readIndex(spark, rootA).drop("ivf_cell"),
+        "vec_id", "embedding", rootB, k = 8, iters = 2)
+      val atFlip = reads.get()
+      servedRoot = rootB
+      val d1 = System.nanoTime() + 120L * 1000000000L
+      while (reads.get() < atFlip + 2 && fatal.get() == null &&
+          System.nanoTime() < d1) Thread.sleep(50)
+      assert(fatal.get() == null, s"reader died across the flip: ${fatal.get()}")
+      assert(reads.get() >= atFlip + 2, "reader stalled across the flip")
+      // teardown AFTER a provably post-flip read: zero torn
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rootA))
+      val atTear = reads.get()
+      while (reads.get() < atTear + 2 && fatal.get() == null &&
+          System.nanoTime() < d1) Thread.sleep(50)
+      assert(fatal.get() == null,
+        s"reader died after the old-root teardown: ${fatal.get()}")
+      assert(reads.get() >= atTear + 2, "reader stalled after the teardown")
+    } finally { done.set(true); reader.join(60000) }
+    assert(fatal.get() == null, String.valueOf(fatal.get()))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("retrainAtomic: quantizer refreshed from committed segments only — " +
       "parity with a from-scratch rebuild, recall no worse on a drifted corpus") {
     import graft.sources.AtomicCommit

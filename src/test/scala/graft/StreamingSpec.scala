@@ -1863,6 +1863,60 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("promoteTenants amend semantics (r19): an entry whose pin already " +
+      "matches is NOT rebuilt — promoting B leaves A's live store " +
+      "untouched; rebuildUnchanged forces the replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.AtomicCommit
+    val route = (0 until 16).map(i => s"t$i").toDF("k")
+      .select(col("k"), graft.ext.DocPipeline.shardOf(col("k"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kA = route.head._1
+    val kB = route.find(_._2 != route(kA)).get._1
+    def text(i: Int) =
+      Array.tabulate(12)(j => s"am${i}w${j}x${(i * 41 + j) % 73}").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("amendpromo")
+    val root = tmp.resolve("store").toString
+    val rootA = tmp.resolve("dedA").toString
+    val rootB = tmp.resolve("dedB").toString
+    val corpus = (0 until 12).map(i => (i.toLong, if (i % 2 == 0) kA else kB,
+      text(i))).toDF("doc_id", "tenant", "text")
+    graft.ext.DocPipeline.reshardSignatureStores(corpus, root, col("tenant"),
+      numShards = 2, atomicStore = true, shardTag = "tenant")
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> rootA), atomicStore = true)
+    val vA0 = AtomicCommit.committedVersions(spark, rootA)
+    assert(vA0.nonEmpty)
+    // amend: ADD kB while kA's entry is unchanged — kA's dedicated
+    // store (its scoped owner could be live) must not be rewritten
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> rootA, kB -> rootB),
+      atomicStore = true)
+    assert(AtomicCommit.committedVersions(spark, rootA) === vA0,
+      "unchanged entry was rebuilt — a rolling amend would collide " +
+        "with the live owner")
+    assert(graft.sources.AppendStore.readOr(spark, rootB,
+      sys.error("missing")).count() === 6L)
+    val meta = spark.read.parquet(root.stripSuffix("/") + "_shard_meta")
+      .collect().map(r => r.getString(0)).toSet
+    assert(meta.contains(s"out:$kA") && meta.contains(s"out:$kB"))
+    // repair valve: rebuildUnchanged replays every entry
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> rootA, kB -> rootB),
+      atomicStore = true, rebuildUnchanged = true)
+    assert(AtomicCommit.committedVersions(spark, rootA) !== vA0,
+      "rebuildUnchanged must force the replay")
+    // a CHANGED entry (repoint) rebuilds even without the force flag
+    val rootA2 = tmp.resolve("dedA2").toString
+    graft.ext.DocPipeline.promoteTenants(
+      corpus, root, "tenant", Map(kA -> rootA2, kB -> rootB),
+      atomicStore = true)
+    assert(graft.sources.AppendStore.readOr(spark, rootA2,
+      sys.error("missing")).count() === 6L)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("vector-family outlier roots + scoped rolling promotion (r18): a " +
       "monster tenant's embedding store promotes to its own root under a " +
       "LIVE scoped writer; history carries; drift dies loudly") {
