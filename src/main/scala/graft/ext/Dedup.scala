@@ -776,9 +776,12 @@ object Dedup {
         .union(frame.select(col("v").as("x"), col("u").as("y")))
       val m = sym.groupBy("x").agg(min(col("y")).as("_my"))
         .select(col("x"), least(col("_my"), col("x")).as("m"))
+      // no distinct here (r19): smallStar is duplicate-insensitive (its
+      // min ignores multiplicity; its own output IS distinct'd), so the
+      // intermediate dedup bought nothing but one (u,v)-keyed exchange
+      // per round. Self-loops cannot arise: m ≤ x < y ⇒ u > v always.
       sym.join(m, Seq("x")).filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
     }
     // small-star: each vertex u rewires its ≤-neighborhood (with the
     // canonical frame that is ALL of u's v-side partners, plus u
@@ -791,18 +794,32 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
     }
 
+    // convergence = the edge set IS a star forest (r19; replaces the
+    // next==e protocol): every u appears exactly once (one root per
+    // leaf) and no vertex sits on both sides (roots are never leaves).
+    // Star forests are fixpoints of both steps (largeStar rewires every
+    // leaf to its root m ≤ leaf; smallStar's min is the root), and the
+    // algorithm's only fixpoints are star forests (Kiveris et al. §3),
+    // so this is exactly the old stop state — detected ONE ROUND
+    // EARLIER (next==e needs an extra identical round to see itself)
+    // and tested by one u∪v-keyed aggregate + empty-probe instead of a
+    // per-round count() plus the two-sided except() on the final round.
+    def isStarForest(frame: DataFrame): Boolean = {
+      val sides = frame
+        .select(col("u").as("x"), lit(1L).as("iu"), lit(0L).as("iv"))
+        .union(frame
+          .select(col("v").as("x"), lit(0L).as("iu"), lit(1L).as("iv")))
+      sides.groupBy(col("x"))
+        .agg(sum(col("iu")).as("su"), max(col("iv")).as("mv"))
+        .filter(col("su") > 1 || (col("su") >= 1 && col("mv") >= 1))
+        .isEmpty
+    }
     var it = 0
-    var done = e.isEmpty // an edge set of pure self-loops is already converged
-    var eCount = if (done) 0L else e.count()
+    var done = isStarForest(e) // empty/self-loop-only sets pass vacuously
     while (!done && it < maxIter) {
-      val next = smallStar(largeStar(e)).cut
-      val nextCount = next.count()
-      // both frames are canonical + distinct: equal counts and an empty
-      // one-way except ⟺ identical edge sets (exact fixpoint test)
-      done = nextCount == eCount && next.except(e).isEmpty
-      e = next
-      eCount = nextCount
+      e = smallStar(largeStar(e)).cut
       it += 1
+      done = isStarForest(e)
     }
     if (!done)
       throw new IllegalStateException(

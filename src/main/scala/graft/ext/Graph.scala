@@ -45,8 +45,12 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
+    // edge list cut ONCE ([[hits]]' pattern — r19): without it every
+    // iteration's contribution join re-derives the projection from the
+    // SOURCE (a full input scan per round at corpus scale; nodes and
+    // deg below would re-scan it twice more)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).cut
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .cut
@@ -167,8 +171,9 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     val seeds = sources.distinct
+    // cut once — [[pageRank]]'s r19 edge-materialization note
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).cut
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .cut
@@ -334,8 +339,10 @@ object Graph {
     require(sources.nonEmpty, "sources must be non-empty")
     val spark = edges.sparkSession
     import spark.implicits._
+    // cut once — [[pageRank]]'s r19 edge-materialization note (each
+    // hop's frontier join would otherwise re-scan the source)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).cut
     var visited = sources.distinct.toDF("node")
       .withColumn("hop", lit(0)).cut
     var frontier = visited
@@ -446,9 +453,17 @@ object Graph {
     val cand = witness.select(col("v"), col("n").as("u"), col("w6"))
       .join(witness.select(col("v"), col("n").as("w")), Seq("v"))
       .filter(col("u") < col("w"))
-    cand
-      .join(adj, cand("u") === adj("a") && cand("w") === adj("b"), "left_anti")
+    // aggregate BEFORE the adjacency anti-join (guide §2.3 — r19): the
+    // witness fan-out is the big frame here (Σ min(deg,cap)² rows) and
+    // the anti-join only drops whole (u,w) groups, so filtering commutes
+    // with the aggregation. Aggregating first sends partial-aggregated
+    // (u,w) rows through the exchange — map-side combine collapses
+    // multi-witness pairs — and the anti-join then probes the already
+    // (u,w)-partitioned aggregate, exchanging only the adjacency side.
+    val scored = cand
       .groupBy(col("u"), col("w"))
       .agg(count(lit(1)).as("cn"), sum(col("w6")).as("aa_e6"))
+    scored
+      .join(adj, scored("u") === adj("a") && scored("w") === adj("b"), "left_anti")
   }
 }

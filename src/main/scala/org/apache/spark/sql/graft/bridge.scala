@@ -54,6 +54,12 @@ object bridge {
     }
   }
 
+  /** Drain the async listener bus so a profiler reading listener-fed
+    * counters right after an action sees every event of that action
+    * (r19 QueryProfile — measurement only, never on a query path). */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Java-serializable Hadoop conf for shipping the session's filesystem
     * settings (fs.s3a credentials, fs.defaultFS, …) from the driver into
     * DSv2 reader factories. Spark's own wrapper is private[spark]. */
