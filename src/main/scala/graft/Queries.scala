@@ -2797,10 +2797,12 @@ ORDER BY feature"""
         // store is a parquet scan per reference; an UNCUT derived frame
         // would re-run the whole store-side funnel at each of the
         // incremental path's store reads — measured 14.1 s vs 3-4 s at
-        // sf0.1)
-        val store = graft.core.Checkpoints.cut(graft.ext.DocPipeline.signatures(
-          graft.ext.DocPipeline.prepare(
-            docs.filter(pmod(col("doc_id"), lit(2L)) === 0), minWords = 30)))
+        // sf0.1). prepareSignatures (r19) = signatures∘prepare fused:
+        // same rows, one tokenization pass instead of two, enrichment
+        // columns pruned out of the store build
+        val store = graft.core.Checkpoints.cut(
+          graft.ext.DocPipeline.prepareSignatures(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0), minWords = 30))
         graft.ext.DocPipeline.prepareIncremental(
           docs.filter(pmod(col("doc_id"), lit(2L)) === 1), store, minWords = 30,
           maxStoreBandDf = 100L)
@@ -2837,9 +2839,11 @@ ORDER BY feature"""
         def shardIs(sh: Long) =
           pmod(floor(col("doc_id") / lit(2)).cast("long"), lit(2L)) === sh
         (0L to 1L).map { sh =>
+          // prepareSignatures (r19): signatures∘prepare fused — one
+          // tokenization pass per shard store instead of two
           val store = graft.core.Checkpoints.cut(
-            graft.ext.DocPipeline.signatures(graft.ext.DocPipeline.prepare(
-              docs.filter(!isBatch && shardIs(sh)), minWords = 30)))
+            graft.ext.DocPipeline.prepareSignatures(
+              docs.filter(!isBatch && shardIs(sh)), minWords = 30))
           graft.ext.DocPipeline.prepareIncremental(
             docs.filter(isBatch && shardIs(sh)), store, minWords = 30,
             maxStoreBandDf = 100L)

@@ -201,6 +201,34 @@ object DocPipeline {
       maxShingles, allPairsMaxBucket)
       .drop("_fp", "_whs")
 
+  /** [[prepare]] + [[signatures]] fused (r19): the signature rows of
+    * prepare's survivors, derived from the SAME `_fp`/`_whs` pass the
+    * funnel already ran — row-identical to
+    * `signatures(prepare(docs, …))`, minus that composition's full
+    * re-tokenization (wordHashes + fingerprint) of the accepted text.
+    * This is the store-BUILD twin of what [[prepareIncrementalWithHashes]]
+    * already does for batch absorption; a bootstrap that seeds an
+    * incremental store from a deduplicated corpus saves one map pass
+    * over every accepted document. Column pruning is the second win:
+    * the signature projection needs only (id, _fp, _whs), so the
+    * enrichment columns the composed form would compute on the output
+    * pass (language-ID among them) are pruned out of the plan. */
+  def prepareSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      tau: Double = 0.8,
+      transitive: Boolean = false,
+      maxShingles: Int = 0): DataFrame =
+    signaturesFromHashes(
+      prepareWithHashes(docs, idCol, textCol, minWords, minhashK, bands,
+        tau, transitive, oph = minhashK >= OphDefaultMinK,
+        maxShingles = maxShingles),
+      idCol, minhashK, bands, maxShingles)
+
   /** [[prepare]] retaining the internal `_fp` (64-bit text fingerprint)
     * and `_whs` (word-hash array) columns on the surviving rows, so
     * [[prepareIncremental]] can derive store signatures from the pass

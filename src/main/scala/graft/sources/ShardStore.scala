@@ -40,8 +40,18 @@ object ShardStore {
       case _: org.apache.spark.sql.types.NumericType => col(idCol)
       case _ => xxhash64(col(idCol))
     }
+    // rebalance, not repartition(col): hash-partitioning numShards
+    // distinct values into the session's shuffle-partition count leaves
+    // most partitions empty (collided shards double up, guide §2.5) and
+    // pins one writer task per shard regardless of skew. The REBALANCE
+    // hint clusters rows by shard while AQE sizes writer tasks — small
+    // shards share a task, a hot shard splits across several (same
+    // one-file-per-shard-per-task layout; the [[graft.ext.Ivf]] byCell /
+    // [[Compact.compactTo]] argument). Without AQE it degrades to the
+    // old hash repartition. Manifest content is order-independent
+    // (bit_xor), so the layout change is invisible to every reader.
     df.withColumn("shard", pmod(Corpus.orderHash(idNum), lit(numShards.toLong)))
-      .repartition(col("shard"))
+      .hint("rebalance", col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     // fingerprint the files that LANDED, not the in-memory frame — the
     // manifest certifies bytes on disk (and costs a scan of compressed
