@@ -21,10 +21,16 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { q =>
+      // capture the PRE-cut sub-plans too (r19 verdict #3/#5: an eager
+      // checkpoint hides its upstream behind Scan ExistingRDD, so the
+      // final-frame dump alone proves nothing for cut-based operators)
+      spark.conf.set(graft.core.Checkpoints.DumpPlansConf,
+        outDir.resolve(s"${q}_$tag").toString)
       val text =
         try graft.Queries.byName(q).build(spark, sfDir).queryExecution
           .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         catch { case e: Throwable => s"ERROR building $q: ${e.getMessage}" }
+      spark.conf.unset(graft.core.Checkpoints.DumpPlansConf)
       java.nio.file.Files.writeString(outDir.resolve(s"${q}_$tag.txt"), text)
       println(s"wrote ${q}_$tag.txt (${text.length} chars)")
     }

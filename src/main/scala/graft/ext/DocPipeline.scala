@@ -379,30 +379,42 @@ object DocPipeline {
     val banded =
       if (oph) Dedup.ophBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)
       else Dedup.minhashBandsFromWhs(sigHashed, idCol, "_whs", minhashK, bands)
-    val bucketMin = banded.groupBy(col("band_key")).agg(min(col(idCol)).as("_min_id"))
-    val starCand = banded.join(bucketMin, "band_key")
-      .filter(col(idCol) > col("_min_id"))
-      .select(col(idCol), col("_min_id"))
+    // Star and path edges from ONE band_key window (r20, guide §2.4):
+    // over the id-ordered bucket window the RUNNING min(id) equals the
+    // bucket min on every row (ids ascend, so the first row's id is the
+    // prefix min everywhere), and lag(1) is the path predecessor — so
+    // the one exchange+sort the path edges already paid now serves the
+    // star edges too. The pre-r20 shape derived bucket minima as a
+    // groupBy(band_key) + equi-join back onto `banded`: two more
+    // band_key exchanges AND two more recomputes of the banding
+    // projection (the O(tokens·k)/O(tokens+k) signature kernel re-ran
+    // for the agg and the join probe; it runs once now). Emission is
+    // row-identical to the old starCand ∪ pathCand multiset: one star
+    // edge per (doc, band) row with id > bucket-min, one path edge per
+    // row with a predecessor.
     // Path edges DEFAULT ON (r15): star-only blocking misses any
     // same-batch pair whose bucket minimum is an UNRELATED doc — the
     // pinned cause of the ops-month rehearsal's decaying 35→3/cycle
     // near-dup leak (BandingLeakSweep r14 exonerated the vs-store
     // banding path: ~0 leaks at every sane geometry, so the residual
-    // was exactly this in-batch artifact). The union adds ≤ 1 edge per
-    // (doc, band) — the same O(b) bound as the star set — and one lag
-    // window over the already-shuffled band frame. `pathEdges = false`
-    // restores the pre-r15 star-only candidate set bit-stably
+    // was exactly this in-batch artifact; the union adds ≤ 1 edge per
+    // (doc, band) — the same O(b) bound as the star set). `pathEdges =
+    // false` restores the pre-r15 star-only candidate set bit-stably
     // (CHANGELOG pin recipe).
+    val byBucket = Window.partitionBy(col("band_key")).orderBy(col(idCol))
     val starPath =
-      if (!transitive && !pathEdges) starCand
-      else {
-        val byBucket = Window.partitionBy(col("band_key")).orderBy(col(idCol))
-        val pathCand = banded
+      if (!transitive && !pathEdges)
+        banded
+          .withColumn("_min_id", min(col(idCol)).over(byBucket))
+          .filter(col(idCol) > col("_min_id"))
+          .select(col(idCol), col("_min_id"))
+      else
+        banded
+          .withColumn("_min_id", min(col(idCol)).over(byBucket))
           .withColumn("_prev", lag(col(idCol), 1).over(byBucket))
-          .filter(col("_prev").isNotNull)
-          .select(col(idCol), col("_prev").as("_min_id"))
-        starCand.union(pathCand)
-      }
+          .select(col(idCol), explode(array_compact(array(
+            when(col(idCol) > col("_min_id"), col("_min_id")),
+            col("_prev")))).as("_min_id"))
     // opt-in all-pairs completion for SMALL buckets (r15,
     // `allPairsMaxBucket` — 0 = off): star∪path still misses a true
     // pair whose members sit NON-ADJACENT in every shared bucket (an
@@ -605,6 +617,24 @@ object DocPipeline {
     * either way. With the guard finite, the semi-filtered subtree is
     * referenced twice (the df agg and the candidate rows), costing a
     * second column-pruned store scan — both map-only. */
+  /** Read one long metric from an observe-on-cut observation. The
+    * eager checkpoint that materializes the observed plan fills the
+    * observation via the listener bus, which is asynchronous — poll
+    * briefly rather than block unboundedly (`Observation.get` would
+    * deadlock if a foreign cut implementation never ran the plan as an
+    * action); callers fall back to an explicit aggregate on None. */
+  private def observedLong(o: org.apache.spark.sql.Observation,
+                           key: String): Option[Long] = {
+    import org.apache.spark.sql.graft.bridge.observedOrEmpty
+    val deadline = System.nanoTime() + 2000L * 1000 * 1000
+    var m = observedOrEmpty(o)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      m = observedOrEmpty(o)
+    }
+    m.get(key).map(v => v.asInstanceOf[Number].longValue)
+  }
+
   private def storeCandidates(fresh: DataFrame, store: DataFrame,
                               idCol: String, maxStoreBandDf: Long,
                               batchKeys: Option[DataFrame] = None): DataFrame = {
@@ -777,7 +807,16 @@ object DocPipeline {
     // accepted batch are derived from them, not re-tokenized
     val batch = prepareWithHashes(newDocs, idCol, textCol, minWords,
       minhashK, bands, tau, transitive = false, maxShingles = maxShingles)
+    // pricing rides the CUT's own materialization job (r20, guide §1.5
+    // /§5: fewer driver actions — each separate aggregate was a full
+    // job barrier on this per-batch path): an `observe` inside the
+    // checkpointed plan fills during the eager materialization, so the
+    // broadcast-pricing row count costs zero extra jobs. Fallback to
+    // the explicit aggregate if the observation is not filled (foreign
+    // cut implementations).
+    val sigsObs = org.apache.spark.sql.Observation()
     val sigs = signaturesFromHashes(batch, idCol, minhashK, bands, maxShingles)
+      .observe(sigsObs, count(lit(1)).as("n"))
       .cut
     val thr = graft.core.Joins.broadcastThresholdBytes(newDocs.sparkSession)
     // bloom gate (r15, [[graft.sources.StoreBloom]]): test the batch's
@@ -806,7 +845,8 @@ object DocPipeline {
       case None =>
         if (thr <= 0) (Long.MaxValue, Long.MaxValue)
         else {
-          val n = sigs.agg(count(lit(1)).as("n")).head().getLong(0)
+          val n = observedLong(sigsObs, "n")
+            .getOrElse(sigs.agg(count(lit(1)).as("n")).head().getLong(0))
           (n * 40L, n * bands * 40L)
         }
     }
@@ -849,22 +889,31 @@ object DocPipeline {
     def verify(a: Column, b: Column): Column =
       if (maxShingles == 0) TextHash.jaccard(a, b)
       else TextHash.jaccardKmv(a, b, maxShingles)
+    // count + payload size ride the cut's own materialization job
+    // (observe-on-cut, same r20 discipline as `sigs` above): the
+    // zero-candidate gate and both broadcast-pricing gates below read
+    // the observation, so the pre-r20 limit-1 probe and the separate
+    // aggregate — two driver-action barriers per batch — are gone.
+    val candObs = org.apache.spark.sql.Observation()
     val candNa = cand
       .join(fresh.select(col(idCol), col("shingles").as("_na")), Seq(idCol))
+      .observe(candObs, count(lit(1)).as("n"),
+        coalesce(sum(size(col("_na"))), lit(0L)).as("s"))
       .cut
+    val candStats = observedLong(candObs, "n")
+      .map(n => (n, observedLong(candObs, "s").getOrElse(0L)))
     // zero candidates → the verify stage has nothing to do, and
     // running it anyway would SCAN the store's shingle column — the
     // heaviest store column (the broadcast semi keeps that scan
     // exchange-free but cannot keep it unread: ~50 longs/doc, ~5-10x
-    // the fp+band columns together). candNa is already materialized
-    // (the cut above), so this gate is one cheap limit-1 probe; it
-    // fires for every disjoint batch — bloom-gated or not, since
-    // candidate keys absent from the store produce no join rows
-    // (ScanFloorDemo: this is most of the store-proportional term)
-    if (candNa.isEmpty) {
+    // the fp+band columns together). The gate fires for every disjoint
+    // batch — bloom-gated or not, since candidate keys absent from the
+    // store produce no join rows (ScanFloorDemo: this is most of the
+    // store-proportional term).
+    if (candStats.map(_._1 == 0L).getOrElse(candNa.isEmpty)) {
       return batch.join(fresh.select(col(idCol)), Seq(idCol))
     }
-    // two independent gates from one aggregate: `sidBytes` prices the
+    // two independent gates from one observation: `sidBytes` prices the
     // candidate ID column alone (what the store's shingle scan is
     // semi-filtered by — tiny even when the payload frame is not),
     // `naBytes` prices the full (ids + batch-shingle) frame. Keeping
@@ -877,9 +926,12 @@ object DocPipeline {
     val (sidBytes, naBytes) =
       if (thr <= 0) (Long.MaxValue, Long.MaxValue)
       else {
-        val r = candNa.agg(count(lit(1)).as("n"),
-          coalesce(sum(size(col("_na"))), lit(0L)).as("s")).head()
-        (r.getLong(0) * 48L, r.getLong(0) * 48L + r.getLong(1) * 8L)
+        val (n, s) = candStats.getOrElse {
+          val r = candNa.agg(count(lit(1)).as("n"),
+            coalesce(sum(size(col("_na"))), lit(0L)).as("s")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        (n * 48L, n * 48L + s * 8L)
       }
     val storeSh0 = store.select(col(idCol).as("_sid"), col("shingles").as("_sa"))
     val storeSh =

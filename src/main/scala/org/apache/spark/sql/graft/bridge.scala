@@ -60,6 +60,13 @@ object bridge {
   def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Non-blocking read of an [[org.apache.spark.sql.Observation]]
+    * (`getOrEmpty` is private[sql]; the public `get` blocks forever if
+    * the observed plan never runs as an action) — the observe-on-cut
+    * pricing pattern (r20) polls this instead. */
+  def observedOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.getOrEmpty
+
   /** Java-serializable Hadoop conf for shipping the session's filesystem
     * settings (fs.s3a credentials, fs.defaultFS, …) from the driver into
     * DSv2 reader factories. Spark's own wrapper is private[spark]. */
